@@ -1,0 +1,111 @@
+"""Interval/overlap column expressions and the binned range join.
+
+The reference computes interval overlap with a driver-side Python loop
+(``calc_overlap``, utils.py:7-25: disjoint->0, contained->1, partial->
+fraction of *self* length) and runs interval joins as SQLite nested
+loops (junction.py:159-164, 196-208, 229-263, 285-287). Here every
+predicate is a column expression (JVM-side, codegen), and the join
+itself has two physical strategies:
+
+- small annotation side  -> broadcast + non-equi condition (fine);
+- both sides large       -> ``binned_interval_join``: replicate each
+  interval into fixed-width bins, equi-join on (partition keys..., bin),
+  then exact range filter + dedup. Turns an O(n*m) BroadcastNestedLoop
+  into a shuffle hash/sort-merge join keyed by bin — the plan that
+  survives a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def overlap_len(s1, e1, s2, e2) -> Column:
+    """Length of the intersection of [s1,e1] and [s2,e2], floored at 0."""
+    return F.greatest(F.least(_c(e1), _c(e2)) - F.greatest(_c(s1), _c(s2)), F.lit(0))
+
+
+def overlap_fraction(s1, e1, s2, e2) -> Column:
+    """Overlap as a fraction of the *first* interval's length.
+
+    Column-expression port of reference utils.py:7-25 semantics:
+    disjoint -> 0, [s1,e1] contained in [s2,e2] -> 1, partial ->
+    overlap/(e1-s1). The piecewise cases collapse to the closed form
+    greatest(0, least(e1,e2)-greatest(s1,s2))/(e1-s1) (SURVEY.md §7.3).
+    """
+    return overlap_len(s1, e1, s2, e2) / (_c(e1) - _c(s1))
+
+
+def interval_overlaps(s1, e1, s2, e2) -> Column:
+    """[s1,e1] overlaps [s2,e2] (reference P5, junction.py:94)."""
+    return (_c(e1) >= _c(s2)) & (_c(s1) <= _c(e2))
+
+
+def point_in_interval(p, s, e) -> Column:
+    """Point falls inside [s,e] (reference P6 intent, variants.py:91-93)."""
+    return _c(p).between(_c(s), _c(e))
+
+
+def with_bins(df: DataFrame, start: str, end: str, bin_size: int, bin_col: str = "__bin") -> DataFrame:
+    """Explode each interval row into one row per covered bin."""
+    return df.withColumn(
+        bin_col,
+        F.explode(
+            F.sequence(
+                (_c(start) / bin_size).cast("long"),
+                (_c(end) / bin_size).cast("long"),
+            )
+        ),
+    )
+
+
+def binned_interval_join(
+    points_or_intervals: DataFrame,
+    intervals: DataFrame,
+    *,
+    left_start: str,
+    left_end: str | None,
+    right_start: str,
+    right_end: str,
+    partition_keys: list[tuple[str, str]] | None = None,
+    bin_size: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Range/containment join scalable to two large sides.
+
+    ``left_end=None`` means the left side is points (point-in-interval,
+    reference J14); otherwise interval-overlap (reference J10/J12).
+    ``partition_keys`` is a list of (left_col, right_col) equality keys
+    (e.g. chrom/strand) prepended to the bin key.
+
+    Points land in exactly one bin, so no post-join dedup is needed for
+    the point case; the interval×interval case dedups on the pair of
+    bin-0 anchors via a distinct over all columns of the joined row
+    (callers keep natural keys in both inputs, per the data model).
+    """
+    bin_l, bin_r = "__bin_l", "__bin_r"
+    if left_end is None:
+        left = points_or_intervals.withColumn(bin_l, (_c(left_start) / bin_size).cast("long"))
+    else:
+        left = with_bins(points_or_intervals, left_start, left_end, bin_size, bin_l)
+    right = with_bins(intervals, right_start, right_end, bin_size, bin_r)
+
+    cond = left[bin_l] == right[bin_r]
+    for lk, rk in partition_keys or []:
+        cond = cond & (left[lk] == right[rk])
+    if left_end is None:
+        cond = cond & point_in_interval(left[left_start], right[right_start], right[right_end])
+    else:
+        cond = cond & interval_overlaps(left[left_start], left[left_end], right[right_start], right[right_end])
+
+    joined = left.join(right, cond, how).drop(bin_l, bin_r)
+    if left_end is not None:
+        # interval×interval pairs meet in min(bins_l, bins_r) shared bins;
+        # dedup the replicated matches.
+        joined = joined.dropDuplicates()
+    return joined

@@ -1,0 +1,112 @@
+"""Text-analysis column expressions for the documents table.
+
+All pure built-in compositions (regexp/length/md5) so they stay inside
+whole-stage codegen — no Python UDFs. These back the training-data
+pipeline operators (SURVEY.md §2.8): token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation-ish."""
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}-]", "")
+    return (F.length(t) - F.length(stripped)) / F.greatest(F.length(t), F.lit(1))
+
+
+def upper_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[A-Z]", "")
+    return (F.length(t) - F.length(stripped)) / F.greatest(F.length(t), F.lit(1))
+
+
+def stopword_count(text: Column | str, stopwords: list[str]) -> Column:
+    """Number of tokens that are in ``stopwords`` (case-insensitive)."""
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(text: Column | str, stopwords: list[str]) -> Column:
+    """Heuristic quality in [0,1]: long enough, low punctuation noise,
+    reasonable stopword density (the classic Gopher-style cheap filters).
+    """
+    ntok = token_count(text)
+    sw_frac = stopword_count(text, stopwords) / F.greatest(ntok, F.lit(1))
+    return (
+        F.when(ntok < 5, 0.0).otherwise(1.0) * 0.4
+        + F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.0) * 0.3
+        + F.least(sw_frac * 5, F.lit(1.0)) * 0.3
+    )
+
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+}
+
+
+def lang_scores(text: Column | str, langs: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    langs = langs or LANG_STOPWORDS
+    return {lang: stopword_count(text, words) for lang, words in langs.items()}
+
+
+def lang_id(text: Column | str, langs: dict[str, list[str]] | None = None,
+            default: str = "und") -> Column:
+    """Argmax-stopword-hits language guess; ties broken by lang-code
+    order, zero hits -> ``default``."""
+    scores = lang_scores(text, langs)
+    items = sorted(scores.items())
+    best_lang, best_score = None, None
+    for lang, score in items:
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), score
+        else:
+            take = score > best_score
+            best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(take, score).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit(default))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace collapsed). Engine-portable (md5 exists in
+    every SQL engine) unlike xxhash64.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (for minhash/Jaccard)."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " "), " ")
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )

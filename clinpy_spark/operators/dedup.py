@@ -1,0 +1,201 @@
+"""Deduplication operators over a text corpus.
+
+Reference analogues: exact dedup = DISTINCT-on-natural-key + anti-join
+(rna_functions.py:65-90, snp_functions.py:239-262); near-dup extends the
+reference's overlap-fraction scoring idea (utils.py:7-25) to text via
+MinHash/LSH and SimHash.
+
+Scale design: every step is a DataFrame op. MinHash signatures are
+computed with built-in hash functions inside codegen (xxhash64 with a
+per-permutation salt — no Python in the hot path); LSH banding turns the
+O(n^2) pair space into an equi-join on (band, band_hash) buckets, which
+shuffles by bucket key and scales linearly with candidate pairs. The
+exact-Jaccard verify runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.text import fingerprint, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized text (min id wins is NOT
+    guaranteed — use ``dropDuplicates`` semantics like reference A4)."""
+    return df.withColumn("__fp", fingerprint(text_col)).dropDuplicates(["__fp"]).drop("__fp")
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Per-group corpus size vs distinct-fingerprint count."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(fingerprint(text_col)).alias("n_unique"),
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature as array<long> of length ``num_hashes``.
+
+    Permutation i is simulated by xxhash64(shingle, salt=i); the
+    signature element is the min over the document's distinct shingles.
+
+    Physical shape: explode shingles to rows, then ONE hash-aggregate
+    with ``num_hashes`` partial-min columns (map-side combine does most
+    of the work before the shuffle on id). This beats evaluating
+    ``num_hashes`` array lambdas per row by an order of magnitude and
+    scales to corpora that don't fit one executor.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__sh"),
+    )
+    mins = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("__sh", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding + exact-Jaccard
+    verification on candidates only.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
+    threshold. Pair space is bounded by bucket collisions, not n^2.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_hash")
+
+    left = banded.toDF("id_a", "band", "band_hash")
+    right = banded.toDF("id_b", "band", "band_hash")
+    candidates = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+    verified = (
+        candidates.join(sh.toDF("id_a", "sh_a"), "id_a")
+        .join(sh.toDF("id_b", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        block_col: str | None = None) -> DataFrame:
+    """Exact pairwise n-gram Jaccard, optionally blocked on a column
+    (e.g. ``lang``) so the cross join stays within blocks. For unblocked
+    full-corpus near-dup at scale use :func:`minhash_near_duplicates`.
+    """
+    sh = df.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a_cols = (["__blk"] if block_col else []) + ["id_a", "sh_a"]
+    b_cols = (["__blk"] if block_col else []) + ["id_b", "sh_b"]
+    a = sh.toDF(*a_cols)
+    b = sh.toDF(*b_cols)
+    joined = a.join(b, "__blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Bit j of the fingerprint is 1 iff the sum over tokens of
+    sign(bit j of xxhash64(token)) is positive. Near-duplicate detection
+    = small Hamming distance between fingerprints.
+
+    Physical shape: explode tokens, one hash-aggregate with ``bits``
+    vote sums (map-side combine), then assemble the fingerprint from the
+    votes — single shuffle on the doc id.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    ex = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
+        F.col(id_col), F.xxhash64("__tok").alias("__h")
+    )
+    bit_j = lambda j: F.shiftright("__h", j).bitwiseAND(F.lit(1).cast("long"))  # noqa: E731
+    votes = ex.groupBy(id_col).agg(
+        *[F.sum(F.when(bit_j(j) == 1, 1).otherwise(-1)).alias(f"__v{j}") for j in range(bits)]
+    )
+    fp = None
+    for j in range(bits):
+        bit = F.shiftleft(F.when(F.col(f"__v{j}") > 0, 1).otherwise(0).cast("long"), j)
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 16-bit chunks (a pair within
+    Hamming distance 3 of a 64-bit hash must agree on >=1 of 4 chunks),
+    then exact Hamming filter. Equi-join on chunk value — no n^2 scan.
+    """
+    fps = simhash(df, id_col, text_col)
+    chunked = fps.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.val")
+    a = chunked.toDF("id_a", "sh_a", "chunk", "val")
+    b = chunked.toDF("id_b", "sh_b", "chunk", "val")
+    pairs = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,98 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Baseline: brute-force cosine top-k (exact; the J13 overlap-scoring
+analogue in vector space). Scale path: random-hyperplane LSH bucketing
+so each query only scores candidates sharing a bucket — the join is an
+equi-join on the bucket signature instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector against the corpus.
+
+    queries/corpus: (id_col, vec_col). Returns (query_id, match_id,
+    cosine_sim) with deterministic tie-break on match id. The corpus is
+    broadcast when small; for a large corpus Spark's cross join
+    partitions the queries, so the scan parallelizes across executors.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("__sim", cosine_similarity("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "match_id", F.round("__sim", 4).alias("cosine_sim"))
+    )
+
+
+def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (pure Python,
+    driver-side, tiny)."""
+    # xorshift-style LCG; avoids numpy dependency in the plan and keeps
+    # the planes reproducible across runs/sessions.
+    vals = []
+    state = (seed * 1_000_003 + plane * 7919 + 12345) & 0xFFFFFFFF
+    for _ in range(dim):
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        vals.append((state / 0x7FFFFFFF) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42):
+    """Sign-random-projection bucket id (0..2^n_planes-1) as a column."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed, p)])
+        d = dot(F.col(vec_col), plane)
+        sig = sig.bitwiseOR(F.shiftleft(F.when(d > 0, 1).otherwise(0).cast("long"), p))
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only candidates in the same
+    random-hyperplane bucket. Recall < 1 by construction; the bucket
+    equi-join replaces the cross join, so candidate count scales with
+    bucket occupancy (~n/2^planes per bucket).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+                       lsh_bucket(queries, vec_col, dim, n_planes, seed).alias("__bucket"))
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"),
+                      lsh_bucket(corpus, vec_col, dim, n_planes, seed).alias("__bucket"))
+    scored = (
+        q.join(c, "__bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("__sim", cosine_similarity("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "match_id", F.round("__sim", 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,70 @@
+"""Event-time windowing operators (batch forms).
+
+The reference is batch-only (SURVEY.md §2.7) — these are the
+capability-gap extension over the ``events`` table. Each has a
+streaming twin in ``clinpy_spark.streaming.events`` using the same
+expressions plus watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling(df: DataFrame, ts_col: str = "ts", duration: str = "1 hour",
+             keys: list[str] | None = None, aggs: list | None = None) -> DataFrame:
+    """Tumbling event-time window aggregation; window struct kept as
+    (ws, we) bound columns."""
+    aggs = aggs or [F.count("*").alias("n")]
+    out = df.groupBy(F.window(ts_col, duration).alias("win"), *(keys or [])).agg(*aggs)
+    agg_names = [c for c in out.columns if c != "win" and c not in (keys or [])]
+    return out.select(F.col("win.start").alias("ws"), F.col("win.end").alias("we"),
+                      *(keys or []), *agg_names)
+
+
+def tumbling_counts(df: DataFrame, ts_col: str = "ts", duration: str = "1 hour",
+                    keys: list[str] | None = None) -> DataFrame:
+    """Tumbling window count + value sum, flattened window bounds."""
+    out = (
+        df.groupBy(F.window(ts_col, duration).alias("win"), *(keys or []))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return out.select(F.col("win.start").alias("ws"), *(keys or []), "n", "sum_value")
+
+
+def sliding_counts(df: DataFrame, ts_col: str = "ts", duration: str = "1 hour",
+                   slide: str = "30 minutes", keys: list[str] | None = None) -> DataFrame:
+    out = (
+        df.groupBy(F.window(ts_col, duration, slide).alias("win"), *(keys or []))
+        .agg(F.count("*").alias("n"))
+    )
+    return out.select(F.col("win.start").alias("ws"), *(keys or []), "n")
+
+
+def sessionize(df: DataFrame, ts_col: str = "ts", user_col: str = "user_id",
+               gap_seconds: int = 1800, order_tiebreak: str = "event_id") -> DataFrame:
+    """Batch sessionization: a new session starts when the gap from the
+    previous event of the same user exceeds ``gap_seconds``. Returns the
+    input plus a per-user ``session_id`` (0-based ordinal).
+
+    Scale note: one shuffle on user_id; the window runs sorted within
+    partitions. Skewed users are the risk at 100 TB — mitigate by
+    AQE skew handling (already on) or a two-level salt+merge if a single
+    user exceeds a partition.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_seconds), 1
+    ).otherwise(0)
+    return df.withColumn("__new", new_sess).withColumn(
+        "session_id", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    ).drop("__new")
+
+
+def session_stats(df: DataFrame, ts_col: str = "ts", user_col: str = "user_id",
+                  gap_seconds: int = 1800) -> DataFrame:
+    """Per-user session count via sessionize."""
+    s = sessionize(df, ts_col, user_col, gap_seconds)
+    return s.groupBy(user_col).agg((F.max("session_id") + 1).alias("n_sessions"))

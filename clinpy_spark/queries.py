@@ -1,0 +1,962 @@
+"""Driver-facing query registry.
+
+One entry per implemented operator family from SURVEY.md §2, each as a
+(spark_fn, oracle_sql) pair. The Spark side exercises the engine's
+library code (clinpy_spark.functions / operators); the oracle is ANSI
+SQL DuckDB runs on the same parquet tables. Column names are aliased
+identically on both sides (the driver hash-compares by sorted column
+name). Float aggregates are rounded on BOTH sides to dodge summation-
+order ULP drift; integer sums are cast to BIGINT in DuckDB (its SUM
+returns HUGEINT) so types line up.
+
+Queries with no oracle entry (minhash/simhash/LSH/multimodal) are
+non-SQL-expressible; the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.ids import hash_id
+from clinpy_spark.functions.intervals import (
+    binned_interval_join,
+    interval_overlaps,
+    overlap_fraction,
+)
+from clinpy_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    token_count,
+    upper_ratio,
+)
+from clinpy_spark.operators.dedup import (
+    exact_dedup_stats,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from clinpy_spark.operators.similarity import brute_force_topk, lsh_topk
+from clinpy_spark.operators.windows import sessionize, tumbling_counts
+from clinpy_spark.operators.multimodal import as_media, extract_features, frame_sample
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def dsum(expr, scale: int = 4):
+    """Cross-engine-exact money sum: the true value of a price*(1-disc)
+    style product has <= ``scale`` decimal digits, so casting each term
+    to DECIMAL(18,scale) is exact (the double is within 1e-8 of the true
+    value), the decimal SUM is exact, and the final DOUBLE cast of the
+    same exact decimal is bit-identical in Spark and DuckDB. Rounding a
+    double sum instead fails ~1% of the time on .xx50 boundaries.
+    """
+    return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def DSUM(sql_expr: str, scale: int = 4) -> str:
+    """SQL twin of :func:`dsum` for the DuckDB oracles."""
+    return f"CAST(sum(CAST({sql_expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+# Same regex char class; the SQL variant doubles the single quote for the
+# DuckDB string literal.
+_PUNCT_RE = "[.,;:!?'\"()\\[\\]{}-]"
+_PUNCT_RE_SQL = "[.,;:!?''\"()\\[\\]{}-]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events table is written with TIMESTAMP(NANOS), which the
+        # Spark parquet reader rejects; read nanos as long and truncate
+        # to microseconds (exactly what DuckDB's reader does).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY.md §7 step 1): two-hop semi + fk join + group aggregate —
+# the reference's canonical Junctions.select/Project.__str__ shape
+# (junction.py:37-61, project.py:60-66) on the star schema.
+# ---------------------------------------------------------------------------
+
+@q("flagship_cohort_revenue", f"""
+SELECT c_mktsegment, o_orderpriority,
+       count(DISTINCT o_orderkey) AS n_orders,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+GROUP BY c_mktsegment, o_orderpriority
+""")
+def flagship_cohort_revenue(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P family — projections / filters / scalar expressions (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+@q("p_projection_filter", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+""")
+def p_projection_filter(spark, sf):
+    # P1+P4: projection + conjunctive equality (junction.py:92-93).
+    return (
+        _t(spark, sf, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@q("p_isin", """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+""")
+def p_isin(spark, sf):
+    # P3: IN-list membership (junction.py:46-57).
+    return (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@q("p_between", """
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+""")
+def p_between(spark, sf):
+    # P6 intent: point-in-range BETWEEN (variants.py:91-93, bug fixed).
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@q("p_case_recode", """
+SELECT CASE WHEN l_linenumber % 3 = 1 THEN '+'
+            WHEN l_linenumber % 3 = 2 THEN '-'
+            ELSE '.' END AS strand,
+       count(*) AS n
+FROM lineitem
+GROUP BY strand
+""")
+def p_case_recode(spark, sf):
+    # P9: STAR strand recode 0/1/2 -> ./+/- as a when-chain, no UDF
+    # (rna_functions.py:5-13).
+    code = F.col("l_linenumber") % 3
+    strand = F.when(code == 1, "+").when(code == 2, "-").otherwise(".")
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy(strand.alias("strand"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("p_coerce_floor", """
+SELECT event_type,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""")
+def p_coerce_floor(spark, sf):
+    # P10: config-driven numeric coercion (snp_functions.py:55-78).
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.floor("value")).alias("sum_floor"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q("p_overlap_predicate", """
+SELECT o_orderkey, o_orderdate
+FROM orders
+WHERE o_orderdate + INTERVAL 30 DAY >= TIMESTAMP '1996-03-01'
+  AND o_orderdate <= TIMESTAMP '1996-04-15'
+""")
+def p_overlap_predicate(spark, sf):
+    # P5: interval-overlap predicate (junction.py:94): order window
+    # [orderdate, orderdate+30d] overlaps the query window.
+    return (
+        _t(spark, sf, "orders")
+        .filter(
+            (F.expr("o_orderdate + INTERVAL 30 DAYS") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1996-04-15").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J family — joins (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+@q("j1_fk_join", """
+SELECT o_orderstatus, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""")
+def j1_fk_join(spark, sf):
+    # J1/J2: fact-to-fact fk equi-join (junction.py:42, variants.py:93-95).
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@q("j4_multikey_natural", f"""
+WITH brand_size AS (
+  SELECT p_brand, p_size, count(*) AS n_in_class,
+         {DSUM('p_retailprice', 2)} AS tot_price
+  FROM part GROUP BY p_brand, p_size
+)
+SELECT p_partkey, part.p_brand, part.p_size, n_in_class, tot_price
+FROM part JOIN brand_size
+  ON part.p_brand = brand_size.p_brand AND part.p_size = brand_size.p_size
+""")
+def j4_multikey_natural(spark, sf):
+    # J4/J5: multi-column natural-key join (rna_functions.py:92-97).
+    part = _t(spark, sf, "part")
+    brand_size = part.groupBy("p_brand", "p_size").agg(
+        F.count("*").alias("n_in_class"),
+        dsum(F.col("p_retailprice"), 2).alias("tot_price"),
+    )
+    return part.join(brand_size, ["p_brand", "p_size"]).select(
+        "p_partkey", "p_brand", "p_size", "n_in_class", "tot_price"
+    )
+
+
+@q("j6_anti_new_parts", """
+SELECT p_partkey, p_name
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+""")
+def j6_anti_new_parts(spark, sf):
+    # J6: anti-join new-entity detection (rna_functions.py:77-90;
+    # snp_functions.py:247-262 — the `is None` bug fixed as left_anti).
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+@q("j7_semi_cohort", """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderpriority
+""")
+def j7_semi_cohort(spark, sf):
+    # J7: two-hop semi-join through the dimension (junction.py:44-57).
+    cohort = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.join(F.broadcast(cohort), orders.o_custkey == cohort.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q("j9_left_enrich", """
+SELECT p_partkey, p_name, part_rev
+FROM part
+LEFT JOIN (
+  SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+) ON p_partkey = l_partkey
+""")
+def j9_left_enrich(spark, sf):
+    # J9: left-outer enrichment (junction.py:326-335).
+    part = _t(spark, sf, "part")
+    per_part = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_rev"))
+    )
+    return part.join(per_part, part.p_partkey == per_part.l_partkey, "left").select(
+        "p_partkey", "p_name", "part_rev"
+    )
+
+
+@q("j10_interval_binned", """
+SELECT p.event_id AS purchase_id, count(*) AS n_clicks
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND CAST(floor(epoch(c.ts)) AS BIGINT)
+     BETWEEN CAST(floor(epoch(p.ts)) AS BIGINT)
+         AND CAST(floor(epoch(p.ts)) AS BIGINT) + 3600
+GROUP BY p.event_id
+""")
+def j10_interval_binned(spark, sf):
+    # J10/J14 machinery at scale: point-in-interval join via the binned
+    # range join (equi-join on (user, time-bin) then exact filter) —
+    # replaces the BroadcastNestedLoop plan (SURVEY.md §4.2).
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").cast("long").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("long").alias("p_start"),
+        (F.col("ts").cast("long") + 3600).alias("p_end"),
+    )
+    joined = binned_interval_join(
+        clicks, purchases,
+        left_start="c_ts", left_end=None,
+        right_start="p_start", right_end="p_end",
+        partition_keys=[("c_user", "p_user")],
+        bin_size=3600,
+    )
+    return joined.groupBy("purchase_id").agg(F.count("*").alias("n_clicks"))
+
+
+@q("j12_band_pairs", """
+SELECT a.o_custkey, a.o_orderkey AS a_key, b.o_orderkey AS b_key
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(CAST(floor(epoch(a.o_orderdate)) AS BIGINT)
+         - CAST(floor(epoch(b.o_orderdate)) AS BIGINT)) <= 30 * 86400
+""")
+def j12_band_pairs(spark, sf):
+    # J12: tolerance band join (junction.py:285-287) — equi prefix on the
+    # partition key keeps it a sort-merge join, band filter after.
+    # o_orderdate is TIMESTAMP_NTZ in the parquet; epoch seconds need a
+    # two-step cast (NTZ->TZ is identity under the UTC session).
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("od"),
+    )
+    a = o.toDF("o_custkey", "a_key", "a_od")
+    b = o.toDF("o_custkey", "b_key", "b_od")
+    return (
+        a.join(b, "o_custkey")
+        .filter((F.col("a_key") < F.col("b_key")) & (F.abs(F.col("a_od") - F.col("b_od")) <= 30 * 86400))
+        .select("o_custkey", "a_key", "b_key")
+    )
+
+
+@q("j13_overlap_fraction", """
+SELECT a.o_custkey, a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+       round(greatest(least(CAST(floor(epoch(a.o_orderdate)) AS BIGINT) + 2592000,
+                            CAST(floor(epoch(b.o_orderdate)) AS BIGINT) + 2592000)
+                      - greatest(CAST(floor(epoch(a.o_orderdate)) AS BIGINT),
+                                 CAST(floor(epoch(b.o_orderdate)) AS BIGINT)), 0)
+             / 2592000.0, 4) AS ovl_frac
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE greatest(least(CAST(floor(epoch(a.o_orderdate)) AS BIGINT) + 2592000,
+                     CAST(floor(epoch(b.o_orderdate)) AS BIGINT) + 2592000)
+               - greatest(CAST(floor(epoch(a.o_orderdate)) AS BIGINT),
+                          CAST(floor(epoch(b.o_orderdate)) AS BIGINT)), 0)
+      / 2592000.0 >= 0.5
+""")
+def j13_overlap_fraction(spark, sf):
+    # J13: overlap-fraction join with reciprocal threshold
+    # (junction.py:294-321 + utils.py:7-25) as a pure column expression —
+    # the reference's driver-side Python loop, distributed.
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        epoch.alias("s"),
+        (epoch + 2_592_000).alias("e"),
+    )
+    a = o.toDF("o_custkey", "a_key", "a_s", "a_e")
+    b = o.toDF("o_custkey", "b_key", "b_s", "b_e")
+    frac_ab = overlap_fraction("a_s", "a_e", "b_s", "b_e")
+    frac_ba = overlap_fraction("b_s", "b_e", "a_s", "a_e")
+    return (
+        a.join(b, "o_custkey")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .filter((frac_ab >= 0.5) & (frac_ba >= 0.5))  # reciprocal (equal lengths -> same value)
+        .select("o_custkey", "a_key", "b_key", F.round(frac_ab, 4).alias("ovl_frac"))
+    )
+
+
+@q("j14_point_in_interval", """
+SELECT label, event_type, count(*) AS n
+FROM events
+JOIN (VALUES (0, 5, 'night'), (6, 11, 'morning'),
+             (12, 17, 'afternoon'), (18, 23, 'evening')) AS buckets(sh, eh, label)
+  ON hour(ts) BETWEEN sh AND eh
+GROUP BY label, event_type
+""")
+def j14_point_in_interval(spark, sf):
+    # J14: point-in-interval classification (junction.py:229-263) against
+    # a broadcast interval dimension.
+    buckets = spark.createDataFrame(
+        [(0, 5, "night"), (6, 11, "morning"), (12, 17, "afternoon"), (18, 23, "evening")],
+        "sh int, eh int, label string",
+    )
+    ev = _t(spark, sf, "events").withColumn("__h", F.hour("ts"))
+    return (
+        ev.join(F.broadcast(buckets), F.col("__h").between(F.col("sh"), F.col("eh")))
+        .groupBy("label", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A family — aggregations / distinct / set ops (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+@q("a1_group_count", """
+SELECT c_mktsegment, count(*) AS n
+FROM customer GROUP BY c_mktsegment
+""")
+def a1_group_count(spark, sf):
+    # A1: cohort counts (project.py:60-66).
+    return _t(spark, sf, "customer").groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+
+
+@q("a2_count_distinct", """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderstatus
+""")
+def a2_count_distinct(spark, sf):
+    # A2: distinct-entity counts (variants.py:112).
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@q("a4_distinct_dedup", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def a4_distinct_dedup(spark, sf):
+    # A4: DISTINCT natural keys — the reference's core dedup op
+    # (rna_functions.py:65-66).
+    return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q("a6_pivot_wide", "\n".join([
+    "SELECT n_name,",
+    ",\n".join(
+        f"  CAST(sum(CAST(rev AS DECIMAL(18,4))) FILTER (o_orderpriority = '{p}') AS DOUBLE) AS \"{p}\""
+        for p in PRIORITIES
+    ),
+    """
+FROM (
+  SELECT n_name, o_orderpriority, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+GROUP BY n_name
+""",
+]))
+def a6_pivot_wide(spark, sf):
+    # A6: long->wide pivot (expression.py:53-60) with pinned pivot values
+    # (deterministic columns; raise spark.sql.pivotMaxValues for >10k).
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    long = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    return long.groupBy("n_name").pivot("o_orderpriority", PRIORITIES).agg(
+        F.sum(F.col("rev").cast("decimal(18,4)")).cast("double")
+    )
+
+
+@q("a7_ratio_agg", """
+SELECT l_returnflag,
+       count(*) FILTER (l_quantity > 25) AS n_high,
+       count(*) AS n,
+       round(count(*) FILTER (l_quantity > 25) * 1.0 / count(*), 4) AS high_frac
+FROM lineitem GROUP BY l_returnflag
+""")
+def a7_ratio_agg(spark, sf):
+    # A7: the allele-count/frequency aggregate the reference left as a
+    # stub (variants.py:136-143), as conditional aggregation.
+    n_high = F.count(F.when(F.col("l_quantity") > 25, 1))
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            n_high.alias("n_high"),
+            F.count("*").alias("n"),
+            F.round(n_high * 1.0 / F.count("*"), 4).alias("high_frac"),
+        )
+    )
+
+
+@q("a9_explode_words", """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+GROUP BY word
+""")
+def a9_explode_words(spark, sf):
+    # A9: explode (snp_functions.py:127).
+    return (
+        _t(spark, sf, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("a10_json_flatten", """
+SELECT event_type,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def a10_json_flatten(spark, sf):
+    # A10: JSON/struct flatten (snp_functions.py:128-130; user_annot JSON).
+    return (
+        _t(spark, sf, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@q("a11_union_tagged", """
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+""")
+def a11_union_tagged(spark, sf):
+    # A11: unionByName (junction.py:367).
+    c = _t(spark, sf, "customer").select(F.col("c_name").alias("name"), F.lit("customer").alias("kind"))
+    s = _t(spark, sf, "supplier").select(F.col("s_name").alias("name"), F.lit("supplier").alias("kind"))
+    return c.unionByName(s)
+
+
+@q("a12_hash_id", """
+SELECT count(DISTINCT l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR) AS n_ids
+FROM lineitem
+""")
+def a12_hash_id(spark, sf):
+    # A12: deterministic surrogate ids — the engine's replacement for
+    # autoincrement (rna_tables.py:8). Check: hash ids are as distinct as
+    # the natural keys they derive from.
+    return _t(spark, sf, "lineitem").agg(
+        F.countDistinct(hash_id("l_orderkey", "l_linenumber")).alias("n_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics — headline bench queries
+# ---------------------------------------------------------------------------
+
+@q("tpch_q1_pricing", f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM('l_quantity', 2)} AS sum_qty,
+       {DSUM('l_extendedprice', 2)} AS sum_base_price,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_pricing(spark, sf):
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q("tpch_q3_shipping", f"""
+SELECT l_orderkey, o_orderdate,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+""")
+def tpch_q3_shipping(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@q("tpch_q5_local_supplier", f"""
+SELECT n_name, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def tpch_q5_local_supplier(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O/W family — sorts, top-k, running windows
+# ---------------------------------------------------------------------------
+
+@q("o1_topk_per_group", """
+SELECT c_mktsegment, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+""")
+def o1_topk_per_group(spark, sf):
+    # O1 extension: deterministic top-k per group (window + row_number).
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@q("o2_running_total", """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey), 2) AS running_spend
+FROM orders
+""")
+def o2_running_total(spark, sf):
+    # Running cumulative aggregate per entity.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E family — event-time ops on the events table (SURVEY.md §2.7 extension)
+# ---------------------------------------------------------------------------
+
+@q("e_tumbling_hour", """
+SELECT date_trunc('hour', ts) AS ws, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY ws, event_type
+""")
+def e_tumbling_hour(spark, sf):
+    # Tumbling event-time window (batch form; streaming twin in
+    # clinpy_spark.streaming.events).
+    return tumbling_counts(_t(spark, sf, "events"), "ts", "1 hour", keys=["event_type"])
+
+
+@q("e_sessionize", """
+SELECT user_id, CAST(count(*) FILTER (new_sess = 1) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+""")
+def e_sessionize(spark, sf):
+    # Sessionization: gap > 30 min starts a new session.
+    s = sessionize(_t(spark, sf, "events"), "ts", "user_id", gap_seconds=1800)
+    return s.groupBy("user_id").agg((F.max("session_id") + 1).cast("long").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (SURVEY.md §2.8): dedup / similarity /
+# text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+@q("dedup_exact_stats", f"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique
+FROM documents GROUP BY source
+""")
+def dedup_exact_stats_q(spark, sf):
+    # Exact dedup by normalized-text fingerprint (hash-groupBy).
+    return exact_dedup_stats(_t(spark, sf, "documents"), "text", "source")
+
+
+@q("text_fingerprint", """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents WHERE doc_id < 100
+""")
+def text_fingerprint_q(spark, sf):
+    # Document fingerprinting — engine-portable md5 over normalized text.
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", fingerprint("text").alias("fp"))
+    )
+
+
+@q("text_stats", """
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END), 2) AS avg_tokens,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang
+""")
+def text_stats_q(spark, sf):
+    # Token counting + corpus stats.
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(token_count("text")), 2).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@q("text_quality", f"""
+SELECT source,
+       count(*) FILTER (
+         (length(text) - length(regexp_replace(text, '{_PUNCT_RE_SQL}', '', 'g')))
+           * 1.0 / greatest(length(text), 1) < 0.05
+         AND (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 10
+         AND (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+           * 1.0 / greatest(length(text), 1) < 0.3
+       ) AS n_quality,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+""")
+def text_quality_q(spark, sf):
+    # Quality scoring: cheap length/punctuation/case filters.
+    d = _t(spark, sf, "documents")
+    is_q = (punct_ratio("text") < 0.05) & (token_count("text") >= 10) & (upper_ratio("text") < 0.3)
+    return d.groupBy("source").agg(
+        F.count(F.when(is_q, 1)).alias("n_quality"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _langid_oracle() -> str:
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"x -> list_contains([{words}], x)))"
+        )
+
+    s = {lang: score(lang) for lang in LANG_STOPWORDS}
+    return f"""
+SELECT predicted, count(*) AS n
+FROM (
+  SELECT CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS predicted
+  FROM (
+    SELECT {s['de']} AS s_de, {s['en']} AS s_en,
+           {s['es']} AS s_es, {s['fr']} AS s_fr
+    FROM documents
+  )
+)
+GROUP BY predicted
+"""
+
+
+@q("text_langid", _langid_oracle())
+def text_langid_q(spark, sf):
+    # Stopword-hit language-ID heuristic (argmax, first-win ties).
+    d = _t(spark, sf, "documents")
+    return d.select(lang_id("text").alias("predicted")).groupBy("predicted").agg(F.count("*").alias("n"))
+
+
+@q("sim_topk_bruteforce", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS mid, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT qid AS query_id, mid AS match_id, list_cosine_similarity(qv, cv) AS sim
+  FROM q, c WHERE qid <> mid
+),
+r AS (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rk
+  FROM s
+)
+SELECT query_id, match_id, round(sim, 4) AS cosine_sim FROM r WHERE rk <= 5
+""")
+def sim_topk_bruteforce_q(spark, sf):
+    # Exact ANN baseline: brute-force cosine top-k, JVM-side arithmetic.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(queries, emb, k=5)
+
+
+# --- rows-only checks (non-SQL-expressible; driver records weaker gate) ---
+
+@q("dedup_minhash_lsh")
+def dedup_minhash_lsh_q(spark, sf):
+    # MinHash + LSH banding near-dup candidates, exact-Jaccard verified.
+    return minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.5)
+
+
+@q("dedup_simhash_pairs")
+def dedup_simhash_pairs_q(spark, sf):
+    # SimHash near-dup pairs via 16-bit chunk blocking + Hamming filter.
+    return simhash_near_duplicates(_t(spark, sf, "documents"), max_hamming=8)
+
+
+@q("dedup_ngram_jaccard")
+def dedup_ngram_jaccard_q(spark, sf):
+    # Exact n-gram Jaccard pairs, blocked by lang to bound the pair space.
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3, block_col="lang")
+
+
+@q("dedup_embedding_cosine")
+def dedup_embedding_cosine_q(spark, sf):
+    # Embedding near-dup: LSH-bucketed cosine pairs >= 0.95.
+    emb = _t(spark, sf, "embeddings")
+    pairs = lsh_topk(emb, emb, k=10, n_planes=6)
+    return pairs.filter((F.col("cosine_sim") >= 0.95) & (F.col("query_id") < F.col("match_id")))
+
+
+@q("sim_topk_lsh")
+def sim_topk_lsh_q(spark, sf):
+    # Approximate ANN: random-hyperplane bucketed top-k.
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 50), emb, k=5, n_planes=4)
+
+
+@q("mm_extract_features")
+def mm_extract_features_q(spark, sf):
+    # Multimodal plumbing: binary payload -> mapInPandas feature extract
+    # (decode step stubbed; Spark-side contract real).
+    media = as_media(_t(spark, sf, "documents"), "doc_id", "text", "image")
+    return extract_features(media)
+
+
+@q("mm_frame_sample")
+def mm_frame_sample_q(spark, sf):
+    media = as_media(_t(spark, sf, "documents"), "doc_id", "text", "image")
+    return frame_sample(media)
+
+
+@q("u1_grouped_filter", """
+SELECT event_id FROM (
+  SELECT event_id, value, avg(value) OVER (PARTITION BY user_id) AS uavg
+  FROM events
+) WHERE value >= uavg
+""")
+def u1_grouped_filter_q(spark, sf):
+    # U1: per-group DataFrame->DataFrame user filter via applyInPandas
+    # (junction.py:113-130 grouped-map semantics).
+    ev = _t(spark, sf, "events")
+
+    def keep_above_mean(pdf):
+        return pdf[pdf["value"] >= pdf["value"].mean()][["event_id"]]
+
+    return ev.groupBy("user_id").applyInPandas(keep_above_mean, schema="event_id long")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)

@@ -1,0 +1,116 @@
+"""SparkSession factory and project catalog.
+
+The reference opens one SQLite engine per project and reflects its schema
+once (assay_base.py:10-18). Here a "project" is a directory of Parquet
+tables; the catalog lazily registers each as a temp view and hands out
+DataFrames (schema comes free from the Parquet footer - no reflection
+round-trip, no double query execution like reference junction.py:59-61).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables of the driver's star schema (TESTDATA.md).
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(
+    app_name: str = "clinpy-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for OLAP work.
+
+    Scale stance: AQE on (runtime coalesce + skew-join handling),
+    shuffle partitions sized to the local core count (on a real cluster
+    AQE re-plans upward from this), UTC session timezone (parquet
+    timestamps compare bit-identically against external oracles), Arrow
+    enabled for the few pandas-interchange paths.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+class ProjectCatalog:
+    """Lazy table access over a directory of Parquet tables.
+
+    Analogue of the reference's schema reflection (assay_base.py:13-16,
+    ``Table(name, metadata, autoload=True)``): a table is resolved on
+    first touch and cached as a lazy DataFrame; nothing is scanned until
+    an action runs.
+    """
+
+    def __init__(self, spark: SparkSession, project_dir: str):
+        self.spark = spark
+        self.project_dir = project_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        base = os.path.join(self.project_dir, name)
+        return base + ".parquet" if os.path.exists(base + ".parquet") else base
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(self.path(name))
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return self.table(name)
+
+    def register_views(self, tables: tuple[str, ...] | None = None) -> None:
+        """Register each table as a temp view for ``spark.sql`` use."""
+        names = tables or tuple(
+            f.removesuffix(".parquet")
+            for f in os.listdir(self.project_dir)
+            if f.endswith(".parquet") or os.path.isdir(os.path.join(self.project_dir, f))
+        )
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        """Append/overwrite sink (reference S8, ``to_sql if_exists=append``)."""
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name) if self.exists(name) else os.path.join(self.project_dir, name))
+        self._cache.pop(name, None)
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> ProjectCatalog:
+    """Catalog over one of the driver's testdata scale-factor dirs."""
+    return ProjectCatalog(spark, sf_dir)
