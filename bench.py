@@ -1,0 +1,75 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs the representative query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is timed
+end-to-end (plan build + execution to a driver-side count) after a
+shared session warm-up, so the number reflects engine throughput, not
+JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clinpy_spark import queries as Q  # noqa: E402
+from clinpy_spark.session import get_spark  # noqa: E402
+
+#: Queries that define the headline number: the TPC-H classics, every
+#: join/window family with a scale story, and the training-data ops.
+HEADLINE = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "flagship_cohort_revenue",
+    "j6_anti_new_parts",
+    "j10_interval_binned",
+    "j12_band_pairs",
+    "a6_pivot_wide",
+    "o1_topk_per_group",
+    "o2_running_total",
+    "e_sessionize",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_langid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("clinpy-spark-bench")
+    qs = Q.queries()
+
+    # Warm up the JVM / parquet footer caches with a trivial action.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # full execution; result stays distributed
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_set_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Unit tests for the column-expression library."""
+
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.ids import hash_id, junction_id
+from clinpy_spark.functions.intervals import (
+    binned_interval_join,
+    interval_overlaps,
+    overlap_fraction,
+    point_in_interval,
+)
+from clinpy_spark.functions.text import fingerprint, lang_id, shingles, token_count
+from clinpy_spark.functions.vectors import cosine_similarity, dot
+
+
+def test_overlap_fraction_piecewise(spark):
+    # Port of the reference's calc_overlap semantics (utils.py:7-25):
+    # disjoint -> 0, self contained in other -> 1, partial -> fraction
+    # of self's length.
+    rows = [
+        # (s1, e1, s2, e2, expected)
+        (0, 10, 20, 30, 0.0),        # disjoint
+        (5, 10, 0, 20, 1.0),         # contained
+        (0, 10, 5, 20, 0.5),         # partial right
+        (10, 20, 5, 15, 0.5),        # partial left
+        (0, 10, 0, 10, 1.0),         # identical
+    ]
+    df = spark.createDataFrame(rows, "s1 long, e1 long, s2 long, e2 long, expected double")
+    out = df.withColumn("got", overlap_fraction("s1", "e1", "s2", "e2")).collect()
+    for r in out:
+        assert abs(r.got - r.expected) < 1e-9, r
+
+
+def test_interval_predicates(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    row = df.select(
+        interval_overlaps(F.lit(0), F.lit(10), F.lit(10), F.lit(20)).alias("touch"),
+        interval_overlaps(F.lit(0), F.lit(9), F.lit(10), F.lit(20)).alias("apart"),
+        point_in_interval(F.lit(5), F.lit(0), F.lit(10)).alias("inside"),
+        point_in_interval(F.lit(11), F.lit(0), F.lit(10)).alias("outside"),
+    ).collect()[0]
+    assert row.touch and not row.apart and row.inside and not row.outside
+
+
+def test_binned_interval_join_matches_naive(spark):
+    # Random-ish points and intervals; binned join must equal the naive
+    # non-equi join exactly.
+    points = spark.createDataFrame(
+        [(i, (i * 37) % 1000) for i in range(200)], "pid long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, (j * 61) % 900, (j * 61) % 900 + 50) for j in range(50)],
+        "iid long, s long, e long",
+    )
+    binned = binned_interval_join(
+        points, intervals, left_start="p", left_end=None,
+        right_start="s", right_end="e", bin_size=64,
+    ).select("pid", "iid")
+    naive = points.join(
+        intervals, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e"))
+    ).select("pid", "iid")
+    assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, naive.collect()))
+    assert binned.count() > 0
+
+
+def test_binned_interval_join_intervals(spark):
+    a = spark.createDataFrame([(1, 0, 100), (2, 500, 700)], "aid long, as long, ae long")
+    b = spark.createDataFrame([(10, 90, 200), (20, 900, 950)], "bid long, bs long, be long")
+    out = binned_interval_join(
+        a, b, left_start="as", left_end="ae", right_start="bs", right_end="be", bin_size=50
+    ).select("aid", "bid").collect()
+    assert sorted(map(tuple, out)) == [(1, 10)]
+
+
+def test_hash_id_deterministic_and_distinct(spark):
+    df = spark.createDataFrame(
+        [("chr1", 100, 200, "+"), ("chr1", 100, 200, "-"), ("chr1", 100, 200, "+")],
+        "chrom string, start long, end long, strand string",
+    )
+    ids = [r.id for r in df.select(junction_id().alias("id")).collect()]
+    assert ids[0] == ids[2] and ids[0] != ids[1]
+    # hash_id accepts Columns too
+    n = df.select(hash_id(F.col("chrom"), F.col("start")).alias("h")).distinct().count()
+    assert n == 1
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("   ",), ("der hund ist nicht da",)],
+        "text string",
+    )
+    rows = df.select(
+        token_count("text").alias("ntok"),
+        fingerprint("text").alias("fp"),
+        lang_id("text").alias("lang"),
+    ).collect()
+    assert rows[0].ntok == 5
+    assert rows[1].ntok == 0
+    assert rows[0].lang == "en"
+    assert rows[2].lang == "de"
+    assert len(rows[0].fp) == 32  # md5 hex
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = df.select(shingles("text", 3).alias("sh")).collect()
+    assert got[0].sh == ["a b c", "b c d"]
+    assert got[1].sh == ["a b"]  # shorter than n -> whole text
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+                               "a array<double>, b array<double>")
+    rows = df.select(dot("a", "b").alias("d"), cosine_similarity("a", "b").alias("c")).collect()
+    assert rows[0].d == 1.0 and abs(rows[0].c - 1.0) < 1e-12
+    assert rows[1].d == 0.0 and abs(rows[1].c) < 1e-12

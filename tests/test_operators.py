@@ -1,0 +1,119 @@
+"""Tests for the composed operators: dedup, similarity, windows,
+multimodal plumbing."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinpy_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from clinpy_spark.operators.multimodal import as_media, extract_features, frame_sample
+from clinpy_spark.operators.similarity import brute_force_topk
+from clinpy_spark.operators.windows import sessionize, session_stats, tumbling_counts
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("today", "tomorrow")),  # near dup
+        (4, "completely different content about spark query engines at scale"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    assert exact_dedup(docs).count() == 3
+
+
+def test_minhash_finds_planted_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_near_duplicates(docs, threshold=0.4).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fps[1] == fps[2]
+    ham13 = bin(fps[1] ^ fps[3]).count("1")
+    ham14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham13 < ham14
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_duplicates(docs, max_hamming=ham13).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_force_topk(df.filter(F.col("vec_id") == 0), df, k=3).collect()
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms[0]
+    sims[0] = -math.inf
+    expect = list(np.argsort(-sims)[:3])
+    assert [r.match_id for r in out] == expect
+
+
+def test_sessionize(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 100, t0),
+        (2, 100, t0 + dt.timedelta(minutes=10)),   # same session
+        (3, 100, t0 + dt.timedelta(minutes=70)),   # gap > 30min -> new
+        (4, 200, t0),                               # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    sess = {r.event_id: r.session_id for r in sessionize(df).collect()}
+    assert sess[1] == 0 and sess[2] == 0 and sess[3] == 1 and sess[4] == 0
+    stats = {r.user_id: r.n_sessions for r in session_stats(df).collect()}
+    assert stats == {100: 2, 200: 1}
+
+
+def test_tumbling_counts(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [(1, t0, "a", 1.0), (2, t0 + dt.timedelta(minutes=20), "a", 2.0),
+            (3, t0 + dt.timedelta(hours=1), "a", 3.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = sorted((r.ws, r.n, r.sum_value) for r in tumbling_counts(df, keys=["event_type"]).collect())
+    assert out[0][1] == 2 and out[0][2] == 3.0
+    assert out[1][1] == 1
+
+
+def test_multimodal_stub(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "defghij")], "doc_id long, payload string")
+    media = as_media(df, "doc_id", "payload", "image")
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 3 and feats[2].n_bytes == 7
+    assert 0.0 <= feats[1].mean_intensity <= 1.0
+    # deterministic: run twice, same result
+    feats2 = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats == feats2
+    # video has no codec registered -> task error surfaces NotImplementedError
+    bad = as_media(df, "doc_id", "payload", "video")
+    with pytest.raises(Exception, match="NotImplemented|no codec"):
+        extract_features(bad).collect()
+    # frame sampling is pure relational
+    assert frame_sample(media, every_n_bytes=2, max_frames=3).count() > 0
