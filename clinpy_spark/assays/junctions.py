@@ -1,0 +1,241 @@
+"""Junctions assay + Junction entity (reference assays/junction.py —
+the richest query surface in the reference; bug fixes per SURVEY.md §8).
+
+Every method builds a lazy DataFrame; nothing is collected until the
+caller acts. The reference's driver-side overlap loop (junction.py:
+294-321) is a column expression here (J13); interval joins against the
+genome run as broadcast range joins (annotation sides are small) with
+the binned join available for large-large cases (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinpy_spark.assays.base import Assay
+from clinpy_spark.functions.ids import junction_id
+from clinpy_spark.functions.intervals import overlap_fraction
+
+
+class Junctions(Assay):
+    def _tables(self, filtered: bool) -> tuple[str, str]:
+        # junction.py:28-35: filtered flag picks table pair.
+        return (
+            ("junctions", "sample_to_junction")
+            if filtered
+            else ("all_junctions", "sample_to_alljunction")
+        )
+
+    def select(
+        self,
+        samples: list | None = None,
+        cohort: list[str] | None = None,
+        counts: bool = True,
+        uniq: bool = False,
+        filtered: bool = True,
+    ) -> DataFrame:
+        """Junctions, optionally with per-sample read counts, filtered by
+        sample list or cohort (reference junction.py:14-61: P1 + J1
+        bridge join + J7 two-hop semi-join).
+
+        ``uniq=True`` drops the per-sample dimension and returns distinct
+        junctions (the reference's ``uniq`` flag).
+        """
+        junc_t, bridge_t = self._tables(filtered)
+        junc = self.db.table(junc_t)
+        if not counts and not samples and not cohort:
+            return junc.distinct() if uniq else junc
+
+        bridge = self.db.table(bridge_t)
+        if cohort:
+            members = (
+                self.db.table("samples")
+                .filter(F.col("cohort").isin(cohort))
+                .select(F.col("sample_id").alias("samplename"))
+            )
+            bridge = bridge.join(F.broadcast(members), "samplename", "left_semi")
+        if samples:
+            bridge = bridge.filter(F.col("samplename").isin(samples))
+
+        if uniq:
+            return junc.join(
+                bridge.select("junction").distinct(),
+                junc.id == F.col("junction"), "left_semi",
+            )
+        out = junc.join(bridge, junc.id == bridge.junction)
+        if not counts:
+            out = out.drop("uniq_map", "multi_map")
+        return out.drop("junction")
+
+    def filter(self, junc_func: Callable, schema=None, filtered_suffix: bool = True,
+               **kwargs) -> DataFrame:
+        """Per-sample user filter (reference junction.py:113-130 U1 +
+        readme.md:109-111): ``junc_func(pandas_df, **kwargs) -> pandas_df``
+        over columns (chrom,start,end,strand,uniq_map,multi_map,
+        samplename), applied independently per sample — exactly Spark's
+        grouped-map ``applyInPandas``.
+        """
+        import functools
+
+        junc = self.db.table("all_junctions")
+        bridge = self.db.table("sample_to_alljunction")
+        full = junc.join(bridge, junc.id == bridge.junction).select(
+            "chrom", "start", "end", "strand", "uniq_map", "multi_map", "samplename"
+        )
+        fn = functools.partial(junc_func, **kwargs) if kwargs else junc_func
+        out_schema = schema or full.schema
+        return full.groupBy("samplename").applyInPandas(lambda pdf: fn(pdf), out_schema)
+
+    def junction(self, chrom: str, start: int, end: int, strand: str,
+                 filtered: bool = True) -> "Junction":
+        return Junction(self, chrom, start, end, strand, filtered)
+
+
+class Junction:
+    """One junction; methods are lazy queries (reference junction.py:
+    133-385: 'like all other assays this is lazy')."""
+
+    def __init__(self, assay: Junctions, chrom: str, start: int, end: int,
+                 strand: str, filtered: bool = True):
+        self.assay = assay
+        self.chrom, self.start, self.end, self.strand = chrom, start, end, strand
+        self.filtered = filtered
+
+    def __repr__(self):
+        return f"Junction({self.chrom}:{self.start}-{self.end}:{self.strand})"
+
+    # -- project-side queries ------------------------------------------
+
+    def _candidates(self) -> DataFrame:
+        junc_t, _ = self.assay._tables(self.filtered)
+        return self.assay.db.table(junc_t).filter(
+            (F.col("chrom") == self.chrom) & (F.col("strand") == self.strand)
+        )  # junction.py:279-280 (P4)
+
+    def samples(
+        self,
+        mode: str = "exact",
+        tol5: int = 0,
+        tol3: int = 0,
+        min_overlap: float = 0.9,
+        reciprocal: bool = False,
+        annotate: bool = False,
+    ) -> DataFrame:
+        """Samples carrying 'the same' junction under exact / tolerance /
+        overlap matching (reference junction.py:265-338, J8/J12/J13 —
+        the overlap mode's driver loop is a column expression here).
+        """
+        cand = self._candidates()
+        if mode == "exact":
+            matches = cand.filter((F.col("start") == self.start) & (F.col("end") == self.end))
+        elif mode == "tolerance":
+            matches = cand.filter(
+                (F.col("start") >= self.start - tol5) & (F.col("end") <= self.end + tol3)
+            )  # junction.py:285-287 (J12)
+        elif mode == "overlap":
+            s, e = F.lit(self.start), F.lit(self.end)
+            frac_self = overlap_fraction(s, e, F.col("start"), F.col("end"))
+            frac_other = overlap_fraction(F.col("start"), F.col("end"), s, e)
+            cond = frac_self >= min_overlap
+            if reciprocal:
+                cond = cond & (frac_other >= min_overlap)  # junction.py:302-315 (J13)
+            matches = cand.filter(cond)
+        else:
+            raise ValueError("mode must be exact|tolerance|overlap")
+
+        _, bridge_t = self.assay._tables(self.filtered)
+        bridge = self.assay.db.table(bridge_t)
+        hits = bridge.join(
+            F.broadcast(matches.select("id")), bridge.junction == F.col("id"), "left_semi"
+        )  # junction.py:281-290 (J8 semi)
+        if not annotate:
+            return hits.select("samplename").distinct()
+        junc_t, _ = self.assay._tables(self.filtered)
+        coords = self.assay.db.table(junc_t)
+        return hits.join(coords, hits.junction == coords.id, "left").drop("id")  # J9
+
+    # -- genome-side queries -------------------------------------------
+
+    def _genome(self):
+        if self.assay.genome is None:
+            raise ValueError("no genome catalog attached to this project")
+        return self.assay.genome
+
+    def genes(self) -> DataFrame:
+        """Genes whose span covers the junction start OR end, same
+        chrom+strand (reference junction.py:152-185, J10 interval join —
+        annotation side broadcast)."""
+        g = self._genome().table("genes")
+        s, e = F.lit(self.start), F.lit(self.end)
+        covers = ((F.col("start") <= s) & (F.col("end") >= s)) | (
+            (F.col("start") <= e) & (F.col("end") >= e)
+        )
+        return g.filter(
+            (F.col("chrom") == self.chrom) & (F.col("strand") == self.strand) & covers
+        )
+
+    def transcripts(self, biotype: list[str] | None = None) -> DataFrame:
+        """Transcripts of those genes whose span covers either end
+        (reference junction.py:187-227, J11)."""
+        tx = self._genome().table("transcripts")
+        hit_genes = self.genes().select(F.col("id").alias("__gid"))
+        tx = tx.join(F.broadcast(hit_genes), tx.gene == F.col("__gid"), "left_semi")
+        s, e = F.lit(self.start), F.lit(self.end)
+        covers = ((F.col("start") <= s) & (F.col("end") >= s)) | (
+            (F.col("start") <= e) & (F.col("end") >= e)
+        )
+        tx = tx.filter(covers)
+        if biotype:
+            tx = tx.filter(F.col("biotype").isin(biotype))
+        return tx
+
+    def features(self, transcripts: list[str] | None = None) -> DataFrame:
+        """Classify the junction's start and end as landing in an exon or
+        intron of the given (or overlapping) transcripts (reference
+        junction.py:229-263, J14 point-in-interval join; the reference's
+        pandas IntervalArray becomes a relational union of two
+        point-in-interval joins tagged with a literal).
+        """
+        tx_ids = transcripts or [r.id for r in self.transcripts().select("id").collect()]
+        out = []
+        for table, tag in (("exons", "exon"), ("introns", "intron")):
+            t = self._genome().table(table).filter(F.col("transcript").isin(tx_ids))
+            for point, which in ((self.start, "start"), (self.end, "end")):
+                out.append(
+                    t.filter((F.col("start") <= point) & (F.col("end") >= point))
+                    .select(
+                        "transcript",
+                        F.lit(which).alias("junction_side"),
+                        F.lit(tag).alias("feature"),
+                        "start", "end",
+                    )
+                )
+        res = out[0]
+        for df in out[1:]:
+            res = res.unionByName(df)
+        return res
+
+    def new_transcript(self, transcript: str) -> DataFrame:
+        """Exon structure of ``transcript`` with boundaries trimmed at the
+        junction: exons fully 5' of the junction keep their coords, the
+        flanking exons are cut to the junction's start/end, exons inside
+        the junction span are dropped (reference junction.py:342-376 U3 —
+        the genome-sequence fetch stays out of relational scope).
+        """
+        ex = self._genome().table("exons").filter(F.col("transcript") == transcript)
+        s, e = F.lit(self.start), F.lit(self.end)
+        kept = ex.filter((F.col("end") <= s) | (F.col("start") >= e) |
+                         ((F.col("start") <= s) & (F.col("end") >= s)) |
+                         ((F.col("start") <= e) & (F.col("end") >= e)))
+        trimmed = kept.select(
+            "transcript",
+            F.when((F.col("start") <= e) & (F.col("end") >= e), e)
+            .otherwise(F.col("start")).alias("start"),
+            F.when((F.col("start") <= s) & (F.col("end") >= s), s)
+            .otherwise(F.col("end")).alias("end"),
+            "chrom", "strand",
+        )
+        return trimmed.filter(F.col("start") < F.col("end")).distinct().orderBy("start")

@@ -1,0 +1,126 @@
+"""Variants assay + Variant entity (reference assays/variants.py, bug
+fixes per SURVEY.md §8: the join chain is variants ⋈ impacts ⋈ mapping,
+region filter is a real BETWEEN, genotype filter lands on the mapping
+table's samplename/gt columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinpy_spark.assays.base import Assay
+
+#: Reference genotype string forms (snp_functions.py:103-105,
+#: variants.py:152-158): het "(0, 1)", hom-alt "(1, 1)".
+GT_HET = "(0, 1)"
+GT_HOM = "(1, 1)"
+
+
+class Variants(Assay):
+    def _names(self, rna: bool, filtered: bool) -> tuple[str, str, str]:
+        prefix = ("filtered_" if filtered else "") + ("rna_" if rna else "")
+        return (
+            f"{prefix}variants",
+            f"{prefix}variant_impacts",
+            f"{prefix}sample_variants",
+        )
+
+    def select(
+        self,
+        samples: list | None = None,
+        region: tuple[str, int, int] | None = None,
+        impacts: bool = False,
+        genotype: str | None = None,
+        rna: bool = False,
+        filtered: bool = False,
+    ) -> DataFrame:
+        """Variants joined to per-sample records, optionally to impact
+        rows, filterable by region / samples / genotype (reference
+        variants.py:53-109: J2/J3 joins, P6 BETWEEN, P8 genotype).
+        """
+        var_t, imp_t, map_t = self._names(rna, filtered)
+        variants = self.db.table(var_t)
+        mapping = self.db.table(map_t)
+
+        if region:
+            chrom, start, end = region
+            variants = variants.filter(
+                (F.col("chrom") == chrom) & F.col("pos").between(start, end)
+            )  # variants.py:91-93 intent (inverted-operator bug fixed)
+        if samples:
+            mapping = mapping.filter(F.col("samplename").isin(samples))  # :98 fixed
+        if genotype:
+            gt = {"het": GT_HET, "hom": GT_HOM}.get(genotype, genotype)
+            mapping = mapping.filter(F.col("gt") == gt)  # P8
+
+        out = variants.join(mapping, "variant_id")
+        if impacts:
+            out = out.join(self.db.table(imp_t), "variant_id")  # :64 fixed chain
+        return out
+
+    def describe(self, rna: bool = False, filtered: bool = False) -> str:
+        """Counts summary (reference variants.py:111-118, returns an
+        actual string with scalar counts — A2/A3)."""
+        var_t, imp_t, map_t = self._names(rna, filtered)
+        n_var = self.db.table(var_t).count()
+        n_imp = self.db.table(imp_t).count()
+        n_samp = self.db.table(map_t).select(
+            F.countDistinct("samplename").alias("n")
+        ).collect()[0].n
+        return f"{n_var} variants in {n_samp} samples with {n_imp} impact rows"
+
+    def variant(self, chrom: str, pos: int, ref: str, alt: str,
+                rna: bool = False, filtered: bool = False) -> "Variant":
+        return Variant(self, chrom, pos, ref, alt, rna, filtered)
+
+
+class Variant:
+    """One variant; lazy query methods (reference variants.py:121-173)."""
+
+    def __init__(self, assay: Variants, chrom: str, pos: int, ref: str, alt: str,
+                 rna: bool = False, filtered: bool = False):
+        self.assay = assay
+        self.chrom, self.pos, self.ref, self.alt = chrom, pos, ref, alt
+        self.rna, self.filtered = rna, filtered
+
+    def __repr__(self):
+        return f"Variant({self.chrom}:{self.pos} {self.ref}>{self.alt})"
+
+    def _mapping(self) -> DataFrame:
+        var_t, _, map_t = self.assay._names(self.rna, self.filtered)
+        me = self.assay.db.table(var_t).filter(
+            (F.col("chrom") == self.chrom) & (F.col("pos") == self.pos)
+            & (F.col("ref") == self.ref) & (F.col("alt") == self.alt)
+        ).select("variant_id")
+        mapping = self.assay.db.table(map_t)
+        return mapping.join(F.broadcast(me), "variant_id", "left_semi")
+
+    def samples(self, genotype: str | None = None) -> DataFrame:
+        """Samples carrying this variant, optionally only hom/het
+        (reference variants.py:145-168)."""
+        m = self._mapping()
+        if genotype:
+            gt = {"het": GT_HET, "hom": GT_HOM}.get(genotype, genotype)
+            m = m.filter(F.col("gt") == gt)
+        return m.select("samplename").distinct()
+
+
+def allele_counts(mapping: DataFrame, samples: list | None = None) -> DataFrame:
+    """Per-variant allele stats over a sample subset — finishes the
+    reference's stub (variants.py:136-143 TODO, A7): AC (alt allele
+    count), AN (allele number), AF, n_het, n_hom.
+    """
+    m = mapping
+    if samples:
+        m = m.filter(F.col("samplename").isin(samples))
+    is_het = F.col("gt") == GT_HET
+    is_hom = F.col("gt") == GT_HOM
+    dose = F.when(is_hom, 2).when(is_het, 1).otherwise(0)
+    return m.groupBy("variant_id").agg(
+        F.sum(dose).alias("ac"),
+        (F.count("*") * 2).alias("an"),
+        (F.sum(dose) / (F.count("*") * 2)).alias("af"),
+        F.count(F.when(is_het, 1)).alias("n_het"),
+        F.count(F.when(is_hom, 1)).alias("n_hom"),
+    )

@@ -1,0 +1,199 @@
+"""Project-creation ETL (reference scripts/create_project.py §3.1).
+
+Spark-first reshape (SURVEY.md §3.1): the reference's per-sample loop ->
+temp table -> DISTINCT -> anti-join -> id-resolution-join dance becomes:
+read all samples as one union (executors parse files in parallel),
+``dropDuplicates`` on the natural key, compute the deterministic hash id
+directly (no resolution join at all — the join the reference flags as
+"TODO this is very slow", snp_functions.py:265, does not exist here),
+and ``left_anti`` against the master only for incremental appends (J6).
+
+Shuffle budget per modality: exactly one (the dedup); bridge writes are
+shuffle-free projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.ids import junction_id, variant_id
+from clinpy_spark.session import ProjectCatalog
+from clinpy_spark.sources.rsem import read_rsem_genes, read_rsem_isoforms
+from clinpy_spark.sources.star_sj import read_star_sj
+from clinpy_spark.sources.vcf import read_vcf, vcf_csq_fields, vcf_format_keys
+
+
+def _union_per_sample(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def load_samples(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Sample-metadata TSV -> samples table (create_project.py:50-66:
+    lowercase headers, mandatory sample_id/cohort, projection)."""
+    df = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
+    df = df.toDF(*[c.lower() for c in df.columns])
+    for required in ("sample_id", "cohort"):
+        if required not in df.columns:
+            raise ValueError(f"samples file missing mandatory column {required!r}")
+    if columns:
+        keep = ["sample_id", "cohort"] + [
+            c.lower() for c in columns if c.lower() not in ("sample_id", "cohort")
+        ]
+        df = df.select(*keep)
+    if "user_annot" not in df.columns:
+        df = df.withColumn("user_annot", F.lit(None).cast("string"))
+    return df
+
+
+def ingest_expression(spark: SparkSession, manifest: list[tuple[str, str]],
+                      what: str = "gene") -> DataFrame:
+    """(samplename, path) pairs -> one long expression table
+    (create_project.py:103-141 loop -> single union job)."""
+    reader = read_rsem_genes if what == "gene" else read_rsem_isoforms
+    return _union_per_sample([reader(spark, p, s) for s, p in manifest])
+
+
+def ingest_junctions(
+    spark: SparkSession,
+    catalog: ProjectCatalog,
+    manifest: list[tuple[str, str]],
+    min_unique_reads: int = 0,
+    filtered: bool = False,
+    incremental: bool = False,
+) -> None:
+    """STAR SJ files -> junction master + bridge tables
+    (rna_functions.py:30-104 reshaped; 'filtered' applies the QC gate
+    P7 at ingest like the reference's filtered pass)."""
+    junc_t = "junctions" if filtered else "all_junctions"
+    bridge_t = "sample_to_junction" if filtered else "sample_to_alljunction"
+    natural = ["chrom", "start", "end", "strand"]
+
+    per_sample = _union_per_sample([
+        read_star_sj(spark, p, s,
+                     min_unique_reads=min_unique_reads if filtered else 0,
+                     filter_unstranded=filtered)
+        for s, p in manifest
+    ])
+
+    master_new = (
+        per_sample.select(*natural).dropDuplicates(natural)  # A4
+        .withColumn("id", junction_id())                      # A12: no resolution join
+        .select("id", *natural)
+    )
+    if incremental and catalog.exists(junc_t):
+        existing = catalog.table(junc_t)
+        # Materialize before the append: the anti-join reads the same
+        # directory the write targets.
+        master_new = master_new.join(existing, natural, "left_anti").localCheckpoint(eager=True)  # J6
+        mode = "append"
+    else:
+        mode = "overwrite"
+    catalog.write(master_new, junc_t, mode=mode)
+
+    bridge = per_sample.select(
+        "samplename", junction_id().alias("junction"), "uniq_map", "multi_map"
+    )
+    catalog.write(bridge, bridge_t, mode="append" if incremental else "overwrite")
+
+
+def ingest_variants(
+    spark: SparkSession,
+    catalog: ProjectCatalog,
+    manifest: list[tuple[str, str]],
+    rna: bool = False,
+    filtered: bool = False,
+    incremental: bool = False,
+) -> None:
+    """VCFs -> variants master + impacts + sample_variants mapping
+    (snp_functions.py:189-295 reshaped: CSQ explode at parse, hash
+    variant ids, anti-join only for incremental; fixes the broken
+    `is None` anti-join and the double-impacts join, SURVEY.md §8)."""
+    prefix = ("filtered_" if filtered else "") + ("rna_" if rna else "")
+    var_t, imp_t, map_t = f"{prefix}variants", f"{prefix}variant_impacts", f"{prefix}sample_variants"
+    natural = ["chrom", "pos", "ref", "alt"]
+
+    # Header reconciliation driver-side (S6, snp_functions.py:11-52):
+    # CSQ fields must agree; FORMAT keys are intersected.
+    csq_sets = {tuple(vcf_csq_fields(p)) for _, p in manifest}
+    if len(csq_sets) > 1:
+        raise ValueError("CSQ field sets differ across VCFs")
+    csq_fields = list(csq_sets.pop()) if csq_sets else []
+    fmt = None
+    for _, p in manifest:
+        keys = set(vcf_format_keys(p))
+        fmt = keys if fmt is None else (fmt & keys)
+    format_keys = sorted(fmt or [])
+
+    parsed = _union_per_sample([
+        read_vcf(spark, p, s, csq_fields=csq_fields, format_keys=format_keys)
+        for s, p in manifest
+    ])
+
+    master_new = (
+        parsed.select("chrom", "pos", "id", "ref", "alt").dropDuplicates(natural)
+        .withColumn("variant_id", variant_id())
+        .select("variant_id", "chrom", "pos", "id", "ref", "alt")
+    )
+    if incremental and catalog.exists(var_t):
+        master_new = master_new.join(
+            catalog.table(var_t), natural, "left_anti"
+        ).localCheckpoint(eager=True)
+        mode = "append"
+    else:
+        mode = "overwrite"
+    catalog.write(master_new, var_t, mode=mode)
+
+    with_id = parsed.withColumn("variant_id", variant_id())
+    mapping = with_id.select(
+        "variant_id", "samplename", "qual", "filter", *format_keys
+    ).dropDuplicates(["variant_id", "samplename"])
+    catalog.write(mapping, map_t, mode="append" if incremental else "overwrite")
+
+    if csq_fields:
+        impacts = with_id.select("variant_id", *csq_fields).dropDuplicates()
+        catalog.write(impacts, imp_t, mode="append" if incremental else "overwrite")
+
+
+def create_project(spark: SparkSession, project_dir: str, config: dict) -> ProjectCatalog:
+    """Build a project directory of Parquet tables from a config dict
+    (the YAML shape of reference config.yaml / create_project.py:18-303).
+
+    config keys:
+      samples: path to sample-metadata TSV (mandatory)
+      rna:  {expression: [(sample, genes_path, isoforms_path)],
+             junctions: [(sample, sj_path)], min_unique_reads: int}
+      snps: {variants: [(sample, vcf_path)]}
+      incremental: bool (reference `create: false`)
+    """
+    catalog = ProjectCatalog(spark, project_dir)
+    incremental = bool(config.get("incremental"))
+
+    samples = load_samples(spark, config["samples"], config.get("sample_columns"))
+    catalog.write(samples, "samples", mode="append" if incremental else "overwrite")
+
+    rna = config.get("rna") or {}
+    if rna.get("expression"):
+        genes = [(s, g) for s, g, _ in rna["expression"]]
+        isos = [(s, i) for s, _, i in rna["expression"] if i]
+        catalog.write(ingest_expression(spark, genes, "gene"), "gene_expression",
+                      mode="append" if incremental else "overwrite")
+        if isos:
+            catalog.write(ingest_expression(spark, isos, "transcript"),
+                          "transcript_expression",
+                          mode="append" if incremental else "overwrite")
+    if rna.get("junctions"):
+        # unfiltered pass + QC-filtered pass (create_project.py:119-155)
+        ingest_junctions(spark, catalog, rna["junctions"], incremental=incremental)
+        ingest_junctions(spark, catalog, rna["junctions"],
+                         min_unique_reads=int(rna.get("min_unique_reads", 3)),
+                         filtered=True, incremental=incremental)
+
+    snps = (config.get("snps") or {})
+    if snps.get("variants"):
+        ingest_variants(spark, catalog, snps["variants"], incremental=incremental)
+
+    return catalog

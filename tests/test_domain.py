@@ -1,0 +1,253 @@
+"""End-to-end clinpy-domain tests: raw files -> ETL -> assay queries.
+
+Fixture shapes follow FIXTURES.md §B/§C: junctions shared across
+samples (dedup/anti-join), partially-overlapping junctions on one
+chrom+strand (tolerance/overlap matching), variants with multiple CSQ
+consequences (explode provenance).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinpy_spark.assays import Expression, Junctions, Project, Variants
+from clinpy_spark.assays.variants import allele_counts
+from clinpy_spark.etl import create_project
+from clinpy_spark.session import ProjectCatalog
+
+SAMPLES = [("s1", "A"), ("s2", "A"), ("s3", "B"), ("s4", "C")]
+
+# (chrom, start, end, strand_code, uniq, multi) per sample — j1 shared by
+# s1/s2; j2 overlaps j1; j3 unique to s3; one unstranded row filtered by QC.
+SJ = {
+    "s1": [("chr1", 100, 200, 1, 10, 2), ("chr1", 110, 190, 1, 4, 0), ("chr2", 500, 800, 2, 7, 1)],
+    "s2": [("chr1", 100, 200, 1, 8, 1), ("chr1", 900, 1200, 0, 9, 0)],
+    "s3": [("chr1", 3000, 4000, 1, 2, 0)],
+    "s4": [("chr2", 500, 800, 2, 5, 0)],
+}
+
+GENES = [("g1", "chr1", 50, 1500, "+", "GENE1", "first gene", "protein_coding"),
+         ("g2", "chr1", 2500, 5000, "+", "GENE2", "second gene", "lincRNA"),
+         ("g3", "chr2", 400, 900, "-", "GENE3", "third gene", "protein_coding")]
+TX = [("t1", "g1", 60, 1400, "protein_coding"), ("t2", "g1", 90, 250, "protein_coding"),
+      ("t3", "g2", 2600, 4800, "lincRNA")]
+EXONS = [("t1", 60, 120, "chr1", "+", 1), ("t1", 180, 300, "chr1", "+", 2),
+         ("t1", 1000, 1400, "chr1", "+", 3), ("t2", 90, 105, "chr1", "+", 1)]
+INTRONS = [("t1", 120, 180, "chr1", "+"), ("t1", 300, 1000, "chr1", "+")]
+
+VCF_BODY = """\
+chr1\t150\trs1\tA\tG\t50.0\tPASS\tCSQ=missense_variant|MODERATE|GENE1|g1,intron_variant|MODIFIER|GENE1|g1\tGT:DP\t0/1:30
+chr1\t3500\t.\tC\tT\t99.0\tPASS\tCSQ=stop_gained|HIGH|GENE2|g2\tGT:DP\t1/1:44
+"""
+VCF_BODY2 = """\
+chr1\t150\trs1\tA\tG\t48.0\tPASS\tCSQ=missense_variant|MODERATE|GENE1|g1,intron_variant|MODIFIER|GENE1|g1\tGT:DP\t1/1:21
+chr2\t600\t.\tG\tC\t10.0\tq10\tCSQ=downstream_gene_variant|MODIFIER|GENE3|g3\tGT:DP\t0/1:9
+"""
+VCF_HEADER = """\
+##fileformat=VCFv4.2
+##INFO=<ID=CSQ,Number=.,Type=String,Description="Consequence annotations from VEP. Format: Consequence|IMPACT|SYMBOL|Gene">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE
+"""
+
+
+def _write(path, text):
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
+@pytest.fixture(scope="module")
+def project(spark, tmp_path_factory):
+    raw = tmp_path_factory.mktemp("raw")
+    proj_dir = str(tmp_path_factory.mktemp("proj"))
+    genome_dir = str(tmp_path_factory.mktemp("genome"))
+
+    _write(raw / "samples.tsv", "Sample_ID\tCohort\tage\n" + "".join(
+        f"{s}\t{c}\t{30 + i}\n" for i, (s, c) in enumerate(SAMPLES)))
+
+    rsem_header = "gene_id\ttranscript_id(s)\tlength\teffective_length\texpected_count\tTPM\tFPKM\n"
+    iso_header = "transcript_id\tgene_id\tlength\teffective_length\texpected_count\tTPM\tFPKM\tIsoPct\n"
+    expression = []
+    for i, (s, _) in enumerate(SAMPLES):
+        gp, ip = raw / f"{s}.genes.results", raw / f"{s}.isoforms.results"
+        _write(gp, rsem_header + "".join(
+            f"g{g}\tt{g}\t1000\t900\t{100 + i * 10 + g}\t{float(10 + g)}\t{float(20 + g)}\n"
+            for g in range(1, 4)))
+        _write(ip, iso_header + "".join(
+            f"t{g}\tg{g}\t1000\t900\t{50 + g}\t{float(5 + g)}\t{float(9 + g)}\t{100.0}\n"
+            for g in range(1, 4)))
+        expression.append((s, str(gp), str(ip)))
+
+    junction_manifest = []
+    for s, rows in SJ.items():
+        p = raw / f"{s}.SJ.out.tab"
+        _write(p, "".join(
+            f"{c}\t{st}\t{en}\t{code}\t0\t1\t{u}\t{m}\t20\n" for c, st, en, code, u, m in rows))
+        junction_manifest.append((s, str(p)))
+
+    v1, v2 = raw / "s1.vcf", raw / "s3.vcf"
+    _write(v1, VCF_HEADER + VCF_BODY)
+    _write(v2, VCF_HEADER + VCF_BODY2)
+
+    config = {
+        "samples": str(raw / "samples.tsv"),
+        "rna": {
+            "expression": expression,
+            "junctions": junction_manifest,
+            "min_unique_reads": 3,
+        },
+        "snps": {"variants": [("s1", str(v1)), ("s3", str(v2))]},
+    }
+    catalog = create_project(spark, proj_dir, config)
+
+    genome = ProjectCatalog(spark, genome_dir)
+    genome.write(spark.createDataFrame(
+        GENES, "id string, chrom string, start long, end long, strand string,"
+               "name string, description string, biotype string"), "genes")
+    genome.write(spark.createDataFrame(
+        TX, "id string, gene string, start long, end long, biotype string"), "transcripts")
+    genome.write(spark.createDataFrame(
+        EXONS, "transcript string, start long, end long, chrom string, strand string,"
+               "exon_number long"), "exons")
+    genome.write(spark.createDataFrame(
+        INTRONS, "transcript string, start long, end long, chrom string, strand string"), "introns")
+    return catalog, genome
+
+
+def test_samples_and_describe(spark, project):
+    catalog, _ = project
+    p = Project(catalog)
+    assert p.samples().count() == 4
+    assert p.samples(cohort=["A"]).count() == 2
+    desc = p.describe()
+    assert "4 samples" in desc and "cohort A: 2" in desc
+
+
+def test_annotate_sample(spark, project):
+    catalog, _ = project
+    p = Project(catalog)
+    p.annotate_sample("s1", {"note": "relapse"})
+    row = p.samples(samples=["s1"]).collect()[0]
+    assert "relapse" in row.user_annot
+    assert p.samples(samples=["s2"]).collect()[0].user_annot is None
+
+
+def test_expression_long_and_pivot(spark, project):
+    catalog, _ = project
+    e = Expression(catalog)
+    long = e.select(features=["g1"], what="gene")
+    assert long.count() == 4
+    cohort_a = e.select(cohort=["A"], what="gene")
+    assert cohort_a.select("samplename").distinct().count() == 2
+    wide = e.select(what="gene", long=False, metric="tpm")
+    assert wide.count() == 3  # one row per gene
+    assert set(wide.columns) == {"gene", "s1", "s2", "s3", "s4"}
+    tx = e.select(what="transcript")
+    assert tx.count() == 12 and "isopct" in tx.columns
+
+
+def test_junction_master_dedup(spark, project):
+    catalog, _ = project
+    # 5 distinct junctions across samples in all_junctions (shared
+    # chr1:100-200 and chr2:500-800 dedup); filtered drops unstranded +
+    # uniq_map<3.
+    all_j = catalog.table("all_junctions")
+    assert all_j.count() == 5
+    filt = catalog.table("junctions")
+    coords = {(r.chrom, r.start, r.end, r.strand) for r in filt.collect()}
+    assert ("chr1", 900, 1200, ".") not in coords  # unstranded filtered
+    assert ("chr1", 3000, 4000, "+") not in coords  # uniq_map=2 < 3
+    assert ("chr1", 100, 200, "+") in coords
+
+
+def test_junctions_select(spark, project):
+    catalog, _ = project
+    j = Junctions(catalog)
+    with_counts = j.select(filtered=True)
+    assert "uniq_map" in with_counts.columns
+    # j1 shared by s1+s2 -> two bridge rows for one junction id
+    shared = with_counts.filter((F.col("start") == 100) & (F.col("end") == 200))
+    assert shared.count() == 2
+    cohort_b = j.select(cohort=["B"], filtered=False)
+    assert cohort_b.select("samplename").distinct().collect()[0].samplename == "s3"
+    uniq = j.select(uniq=True, filtered=True)
+    assert uniq.count() == uniq.select("id").distinct().count()
+
+
+def test_junction_entity_samples_modes(spark, project):
+    catalog, _ = project
+    j = Junctions(catalog)
+    target = j.junction("chr1", 100, 200, "+", filtered=True)
+    exact = {r.samplename for r in target.samples(mode="exact").collect()}
+    assert exact == {"s1", "s2"}
+    tol = {r.samplename for r in target.samples(mode="tolerance", tol5=10, tol3=10).collect()}
+    assert tol == {"s1", "s2"}  # band [90, 210] matches j1 and j2
+    tight = {r.samplename for r in target.samples(mode="tolerance", tol5=-5, tol3=0).collect()}
+    assert tight == {"s1"}  # negative tol excludes the exact junction, keeps j2
+    ovl = {r.samplename for r in
+           target.samples(mode="overlap", min_overlap=0.7, reciprocal=True).collect()}
+    assert ovl == {"s1", "s2"}  # j2 (110-190) overlaps 0.8/1.0 reciprocal... s1 carries it
+    annotated = target.samples(mode="exact", annotate=True)
+    assert {"samplename", "chrom", "start", "end", "strand"} <= set(annotated.columns)
+
+
+def test_junction_genome_queries(spark, project):
+    catalog, genome = project
+    j = Junctions(catalog, genome)
+    target = j.junction("chr1", 100, 200, "+")
+    genes = [r.id for r in target.genes().collect()]
+    assert genes == ["g1"]
+    tx = {r.id for r in target.transcripts().collect()}
+    assert tx == {"t1", "t2"}  # t2 (90-250) covers both ends, t1 covers both
+    feats = {(r.junction_side, r.feature) for r in target.features(["t1"]).collect()}
+    assert ("start", "exon") in feats      # 100 in exon 60-120
+    assert ("end", "exon") in feats        # 200 in exon 180-300
+    new_tx = target.new_transcript("t1").collect()
+    spans = [(r.start, r.end) for r in new_tx]
+    assert (60, 100) in spans and (200, 300) in spans and (1000, 1400) in spans
+
+
+def test_variants_tables_and_select(spark, project):
+    catalog, _ = project
+    v = Variants(catalog)
+    master = catalog.table("variants")
+    assert master.count() == 3  # shared chr1:150 dedups
+    imps = catalog.table("variant_impacts")
+    assert imps.filter(F.col("consequence") == "missense_variant").count() == 1
+    sel = v.select(impacts=True)
+    assert sel.filter((F.col("pos") == 150) & (F.col("samplename") == "s1")).count() == 2
+    region = v.select(region=("chr1", 100, 1000))
+    assert {r.pos for r in region.select("pos").distinct().collect()} == {150}
+    het = v.select(genotype="het")
+    assert {(r.pos, r.samplename) for r in het.select("pos", "samplename").collect()} == {
+        (150, "s1"), (600, "s3")}
+
+
+def test_variant_entity_and_allele_counts(spark, project):
+    catalog, _ = project
+    v = Variants(catalog)
+    var = v.variant("chr1", 150, "A", "G")
+    assert {r.samplename for r in var.samples().collect()} == {"s1", "s3"}
+    assert {r.samplename for r in var.samples(genotype="hom").collect()} == {"s3"}
+    ac = {r.variant_id: r for r in allele_counts(catalog.table("sample_variants")).collect()}
+    target = [r for r in ac.values() if r.an == 4]
+    assert len(target) == 1 and target[0].ac == 3 and target[0].n_het == 1 and target[0].n_hom == 1
+
+
+def test_incremental_append_anti_join(spark, project, tmp_path):
+    catalog, _ = project
+    # Re-ingest s4's junctions incrementally: nothing new -> master stable.
+    raw = tmp_path
+    p = raw / "s4b.SJ.out.tab"
+    rows = SJ["s4"] + [("chr3", 10, 99, 1, 6, 0)]  # one genuinely new junction
+    with open(p, "w") as fh:
+        fh.write("".join(
+            f"{c}\t{st}\t{en}\t{code}\t0\t1\t{u}\t{m}\t20\n" for c, st, en, code, u, m in rows))
+    from clinpy_spark.etl import ingest_junctions
+
+    before = catalog.table("all_junctions").count()
+    ingest_junctions(spark, catalog, [("s4", str(p))], incremental=True)
+    after = catalog.table("all_junctions").count()
+    assert after == before + 1

@@ -1,0 +1,67 @@
+"""Structured Streaming twins: file source -> windowed aggs -> memory
+sink, verified against the batch operators on the same data."""
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from clinpy_spark.operators.windows import tumbling_counts
+from clinpy_spark.streaming.events import (
+    read_event_stream,
+    streaming_session_counts,
+    streaming_tumbling_counts,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+ROWS = [
+    (1, T0, 100, "click", 1.0),
+    (2, T0 + dt.timedelta(minutes=20), 100, "click", 2.0),
+    (3, T0 + dt.timedelta(minutes=90), 100, "view", 3.0),
+    (4, T0 + dt.timedelta(minutes=5), 200, "click", 4.0),
+]
+
+
+def _write_events(path):
+    with open(path / "part-0.json", "w") as fh:
+        for eid, ts, uid, etype, val in ROWS:
+            fh.write(json.dumps({
+                "event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                "event_type": etype, "value": val, "props": "{}",
+            }) + "\n")
+
+
+def _run_stream(spark, df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    _write_events(tmp_path)
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    out = _run_stream(
+        spark, streaming_tumbling_counts(stream, "1 hour", keys=["event_type"]), "tumb"
+    ).collect()
+    got = {(r.ws, r.event_type): (r.n, r.sum_value) for r in out}
+
+    batch = spark.createDataFrame(
+        ROWS, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    expect = {(r.ws, r.event_type): (r.n, r.sum_value)
+              for r in tumbling_counts(batch, keys=["event_type"]).collect()}
+    # batch tumbling rounds sum_value; compare modulo rounding
+    assert set(got) == set(expect)
+    assert got[(T0, "click")] == (3, 7.0)
+
+
+def test_streaming_sessions(spark, tmp_path):
+    _write_events(tmp_path)
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    out = _run_stream(spark, streaming_session_counts(stream, gap="30 minutes"), "sess").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[100]) == [1, 2]  # events 1+2 merge, 3 alone
+    assert per_user[200] == [1]
