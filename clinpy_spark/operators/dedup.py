@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clinpy_spark.functions.text import fingerprint, shingles
+from clinpy_spark.functions.text import (
+    fingerprint,
+    hashed_shingles_from,
+    shingles,
+    token_hashes,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -45,18 +50,22 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     Permutation i is simulated by xxhash64(shingle, salt=i); the
     signature element is the min over the document's distinct shingles.
 
-    Physical shape: explode shingles to rows, then ONE hash-aggregate
-    with ``num_hashes`` partial-min columns (map-side combine does most
-    of the work before the shuffle on id). This beats evaluating
-    ``num_hashes`` array lambdas per row by an order of magnitude and
-    scales to corpora that don't fit one executor.
+    Physical shape: tokens are hashed once and shingle identity is a
+    hash of n consecutive token hashes (``hashed_shingles`` — string
+    shingle construction is ~6x slower); explode to rows, then ONE
+    hash-aggregate with ``num_hashes`` partial-min columns (map-side
+    combine does most of the work before the shuffle on id). Scales to
+    corpora that don't fit one executor.
     """
-    ex = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__sh"),
+    ex = (
+        df.select(F.col(id_col), token_hashes(text_col).alias("__th"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(hashed_shingles_from("__th", shingle_n))).alias("__h0"),
+        )
     )
     mins = ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("__sh", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64("__h0", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
     )
     return mins.select(
         F.col(id_col),
@@ -107,7 +116,12 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+    # Exact Jaccard on candidates, over hashed shingle SETS (identical
+    # value to string-shingle Jaccard modulo 64-bit collisions, and skips
+    # rebuilding shingle strings for both join legs).
+    sh = df.select(F.col(id_col), token_hashes(text_col).alias("__th")).select(
+        F.col(id_col), F.array_distinct(hashed_shingles_from("__th", shingle_n)).alias("sh")
+    )
     verified = (
         candidates.join(sh.toDF("id_a", "sh_a"), "id_a")
         .join(sh.toDF("id_b", "sh_b"), "id_b")
