@@ -597,6 +597,61 @@ def a12_hash_id(spark, sf):
     )
 
 
+@q("a8_rollup", f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def a8_rollup(spark, sf):
+    # Beyond-reference: hierarchical subtotals (rollup) — grand total and
+    # per-returnflag rows appear with NULL group keys in both engines.
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q("a6b_unpivot", """
+SELECT o_orderkey, metric, val
+FROM (
+  SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS custkey_num
+  FROM orders WHERE o_orderkey < 500
+)
+UNPIVOT (val FOR metric IN (o_totalprice, custkey_num))
+""")
+def a6b_unpivot(spark, sf):
+    # A6 inverse: wide->long melt.
+    base = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("custkey_num"))
+    )
+    return base.unpivot("o_orderkey", ["o_totalprice", "custkey_num"], "metric", "val")
+
+
+@q("o3_lag_gaps", """
+SELECT o_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT)
+       - CAST(floor(epoch(lag(o_orderdate) OVER w)) AS BIGINT) AS gap_s
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def o3_lag_gaps(spark, sf):
+    # Window lag: seconds since the customer's previous order.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    prev = F.lag(F.col("o_orderdate")).over(w).cast("timestamp").cast("long")
+    return _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", (epoch - prev).alias("gap_s")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H classics — headline bench queries
 # ---------------------------------------------------------------------------
@@ -688,6 +743,27 @@ def tpch_q5_local_supplier(spark, sf):
     )
 
 
+@q("tpch_q6_forecast", f"""
+SELECT {DSUM('l_extendedprice * l_discount')} AS revenue, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6_forecast(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.03, 0.07) & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # O/W family — sorts, top-k, running windows
 # ---------------------------------------------------------------------------
@@ -761,6 +837,46 @@ def e_sessionize(spark, sf):
     # Sessionization: gap > 30 min starts a new session.
     s = sessionize(_t(spark, sf, "events"), "ts", "user_id", gap_seconds=1800)
     return s.groupBy("user_id").agg((F.max("session_id") + 1).cast("long").alias("n_sessions"))
+
+
+@q("e_sliding_window", """
+SELECT ws, event_type, count(*) AS n
+FROM (
+  SELECT event_type,
+         unnest([date_trunc('hour', ts)
+                   + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+                 date_trunc('hour', ts)
+                   + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                   - INTERVAL 30 MINUTE]) AS ws
+  FROM events
+)
+GROUP BY ws, event_type
+""")
+def e_sliding_window(spark, sf):
+    # Sliding window (1h window, 30min slide): each event lands in two
+    # windows. The oracle replicates window assignment by unnesting the
+    # two aligned window starts.
+    from clinpy_spark.operators.windows import sliding_counts
+
+    return sliding_counts(_t(spark, sf, "events"), "ts", "1 hour", "30 minutes",
+                          keys=["event_type"])
+
+
+@q("text_tokens_bpe", r"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def text_tokens_bpe(spark, sf):
+    # BPE-ish regex tokenization (words + standalone punctuation) —
+    # the token-counting flavor an LLM-data pipeline actually uses.
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.sum(n_tok).alias("total_tokens"), F.count("*").alias("n_docs"))
+    )
 
 
 # ---------------------------------------------------------------------------
