@@ -39,11 +39,21 @@ def upper_ratio(text: Column | str) -> Column:
     return (F.length(t) - F.length(stripped)) / F.greatest(F.length(t), F.lit(1))
 
 
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens. Materialize in a projection when
+    several downstream expressions consume it (Catalyst re-inlines
+    multiply-used non-cheap aliases otherwise)."""
+    return F.split(F.lower(F.trim(_c(text))), r"\s+")
+
+
+def stopword_count_from_tokens(toks: Column | str, stopwords: list[str]) -> Column:
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(_c(toks), lambda t: F.array_contains(sw, t)))
+
+
 def stopword_count(text: Column | str, stopwords: list[str]) -> Column:
     """Number of tokens that are in ``stopwords`` (case-insensitive)."""
-    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
-    sw = F.array(*[F.lit(w) for w in stopwords])
-    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return stopword_count_from_tokens(tokens(text), stopwords)
 
 
 def quality_score(text: Column | str, stopwords: list[str]) -> Column:
@@ -74,11 +84,24 @@ def lang_scores(text: Column | str, langs: dict[str, list[str]] | None = None) -
     return {lang: stopword_count(text, words) for lang, words in langs.items()}
 
 
+def lang_id_from_tokens(toks: Column | str, langs: dict[str, list[str]] | None = None,
+                        default: str = "und") -> Column:
+    """Argmax over a MATERIALIZED token-array column — use this form in
+    hot paths so the tokenizer runs once, not once per language."""
+    langs = langs or LANG_STOPWORDS
+    scores = {lang: stopword_count_from_tokens(toks, words) for lang, words in langs.items()}
+    return _argmax_lang(scores, default)
+
+
 def lang_id(text: Column | str, langs: dict[str, list[str]] | None = None,
             default: str = "und") -> Column:
     """Argmax-stopword-hits language guess; ties broken by lang-code
     order, zero hits -> ``default``."""
     scores = lang_scores(text, langs)
+    return _argmax_lang(scores, default)
+
+
+def _argmax_lang(scores: dict[str, Column], default: str) -> Column:
     items = sorted(scores.items())
     best_lang, best_score = None, None
     for lang, score in items:

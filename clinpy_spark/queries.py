@@ -116,7 +116,9 @@ def flagship_cohort_revenue(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no broadcast hint: customer scales with SF — AQE broadcasts it
+        # while it fits and falls back to shuffle join beyond.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
@@ -302,7 +304,7 @@ def j7_semi_cohort(spark, sf):
     )
     orders = _t(spark, sf, "orders")
     return (
-        orders.join(F.broadcast(cohort), orders.o_custkey == cohort.c_custkey, "left_semi")
+        orders.join(cohort, orders.o_custkey == cohort.c_custkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
@@ -706,7 +708,7 @@ def tpch_q3_shipping(spark, sf):
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -735,7 +737,7 @@ def tpch_q5_local_supplier(spark, sf):
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -979,8 +981,36 @@ GROUP BY predicted
 @q("text_langid", _langid_oracle())
 def text_langid_q(spark, sf):
     # Stopword-hit language-ID heuristic (argmax, first-win ties).
+    # Physical shape for scale: explode tokens once, broadcast-join the
+    # tiny (lang, word) dim, conditional-count per language, argmax —
+    # everything whole-stage codegen (the HOF-filter form of
+    # functions.text.lang_id is interpreted and ~4x slower).
+    from clinpy_spark.functions.text import tokens
+
     d = _t(spark, sf, "documents")
-    return d.select(lang_id("text").alias("predicted")).groupBy("predicted").agg(F.count("*").alias("n"))
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, words in LANG_STOPWORDS.items() for w in words],
+        "lang string, word string",
+    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    scores = (
+        toks.join(F.broadcast(sw), toks.tok == sw.word, "left")
+        .groupBy("doc_id")
+        .agg(*[
+            F.count(F.when(F.col("lang") == lang, 1)).alias(f"s_{lang}")
+            for lang in sorted(LANG_STOPWORDS)
+        ])
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best_lang, best_score = F.lit(langs[0]), F.col(f"s_{langs[0]}")
+    for lang in langs[1:]:
+        take = F.col(f"s_{lang}") > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, F.col(f"s_{lang}")).otherwise(best_score)
+    predicted = F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    return scores.select(predicted.alias("predicted")).groupBy("predicted").agg(
+        F.count("*").alias("n")
+    )
 
 
 @q("sim_topk_bruteforce", """
