@@ -53,13 +53,19 @@ def main() -> None:
     # Warm up the JVM / parquet footer caches with a trivial action.
     spark.range(1).count()
 
+    # Two runs per query: run 1 pays Catalyst analysis + whole-stage
+    # codegen JIT (a fixed per-plan cost, noise at real data scale);
+    # run 2 is steady-state engine throughput. Headline = steady state;
+    # cold timings are reported alongside for transparency.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # full execution; result stays distributed
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        for run, store in ((1, cold), (2, timings)):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # full execution; result stays distributed
+            store[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -67,6 +73,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "runs_per_query": 2,
+        "timing": "steady-state (2nd run); cold run reported in queries_cold",
         "sf": sf,
     }))
 

@@ -24,6 +24,7 @@ from clinpy_spark.functions.text import (
     shingles,
     token_hashes,
 )
+from clinpy_spark.session import ensure_min_parallelism
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -58,7 +59,8 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     corpora that don't fit one executor.
     """
     ex = (
-        df.select(F.col(id_col), token_hashes(text_col).alias("__th"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), token_hashes(text_col).alias("__th"))
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(hashed_shingles_from("__th", shingle_n))).alias("__h0"),
@@ -89,6 +91,7 @@ def minhash_near_duplicates(
     threshold. Pair space is bounded by bucket collisions, not n^2.
     """
     rows_per_band = num_hashes // bands
+    df = ensure_min_parallelism(df)
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
 
     banded = sigs.select(
@@ -141,7 +144,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     (e.g. ``lang``) so the cross join stays within blocks. For unblocked
     full-corpus near-dup at scale use :func:`minhash_near_duplicates`.
     """
-    sh = df.select(
+    sh = ensure_min_parallelism(df).select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col),
         F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
@@ -172,7 +175,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     votes — single shuffle on the doc id.
     """
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    ex = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
+    ex = ensure_min_parallelism(df).select(F.col(id_col), F.explode(toks).alias("__tok")).select(
         F.col(id_col), F.xxhash64("__tok").alias("__h")
     )
     bit_j = lambda j: F.shiftright("__h", j).bitwiseAND(F.lit(1).cast("long"))  # noqa: E731

@@ -84,7 +84,11 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 rows.append((int(mid), mtype, len(payload), w, h, mi))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields])
 
-    return media.mapInPandas(_extract, schema=MEDIA_FEATURE_SCHEMA)
+    from clinpy_spark.session import ensure_min_parallelism
+
+    # Codec work is the per-core bottleneck — never let a coarse input
+    # layout serialize it.
+    return ensure_min_parallelism(media).mapInPandas(_extract, schema=MEDIA_FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:

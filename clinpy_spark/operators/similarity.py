@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from clinpy_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from clinpy_spark.session import ensure_min_parallelism
 
 
 def brute_force_topk(
@@ -28,7 +29,11 @@ def brute_force_topk(
     broadcast when small; for a large corpus Spark's cross join
     partitions the queries, so the scan parallelizes across executors.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # Scoring parallelism follows the stream (query) side's partitioning —
+    # spread it across cores when the source scan is a single small file.
+    q = ensure_min_parallelism(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
     scored = (
         q.crossJoin(c)

@@ -986,8 +986,9 @@ def text_langid_q(spark, sf):
     # everything whole-stage codegen (the HOF-filter form of
     # functions.text.lang_id is interpreted and ~4x slower).
     from clinpy_spark.functions.text import tokens
+    from clinpy_spark.session import ensure_min_parallelism
 
-    d = _t(spark, sf, "documents")
+    d = ensure_min_parallelism(_t(spark, sf, "documents"))
     sw = spark.createDataFrame(
         [(lang, w) for lang, words in LANG_STOPWORDS.items() for w in words],
         "lang string, word string",

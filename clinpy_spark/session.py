@@ -61,6 +61,20 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame whose source is under-partitioned
+    (e.g. one small single-row-group parquet file -> a 1-task scan) so
+    CPU-bound downstream work (tokenization, hashing, vector math) uses
+    every core. No-op when the scan already yields >= the session's default
+    parallelism — the normal case on real multi-file datasets — so at
+    cluster scale this never introduces a shuffle.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 class ProjectCatalog:
     """Lazy table access over a directory of Parquet tables.
 
