@@ -437,15 +437,19 @@ JOIN (VALUES (0, 5, 'night'), (6, 11, 'morning'),
 GROUP BY label, event_type
 """)
 def j14_point_in_interval(spark, sf):
-    # J14: point-in-interval classification (junction.py:229-263) against
-    # a broadcast interval dimension.
+    # J14: point-in-interval classification (junction.py:229-263).
+    # The point domain is discrete (hour 0-23), so discretize the interval
+    # dim instead of range-joining the fact: explode each bucket to one row
+    # per hour and the plan becomes a broadcast hash EQUI-join — no
+    # BroadcastNestedLoopJoin, no per-row range comparisons. (For continuous
+    # domains use functions.intervals.binned_interval_join.)
     buckets = spark.createDataFrame(
         [(0, 5, "night"), (6, 11, "morning"), (12, 17, "afternoon"), (18, 23, "evening")],
         "sh int, eh int, label string",
-    )
+    ).select(F.explode(F.sequence("sh", "eh")).alias("__h"), "label")
     ev = _t(spark, sf, "events").withColumn("__h", F.hour("ts"))
     return (
-        ev.join(F.broadcast(buckets), F.col("__h").between(F.col("sh"), F.col("eh")))
+        ev.join(F.broadcast(buckets), "__h")
         .groupBy("label", "event_type")
         .agg(F.count("*").alias("n"))
     )

