@@ -48,6 +48,93 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into cells; each query scores only the cells of
+    its ``n_probe`` nearest centroids.
+
+    Scale shape: the quantizer trains on a driver-bounded SAMPLE of the
+    corpus (train_fraction defaults to min(1, 100k/|corpus| rows) — at
+    100 TB the model never sees more than ~100k vectors); cell assignment
+    is a broadcast hash join against the tiny centroid table with the
+    argmin computed as built-in expressions (JVM-side, no Python in the
+    per-row path); the probe->candidate step is an equi-join on cell id,
+    so scored pairs shrink by ~n_probe/n_centroids vs brute force.
+    ``n_probe == n_centroids`` degrades gracefully to exact search.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    q = ensure_min_parallelism(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+
+    if train_fraction is None:
+        n = c.count()
+        train_fraction = min(1.0, 100_000 / max(n, 1))
+    train = c.sample(fraction=train_fraction, seed=seed) if train_fraction < 1.0 else c
+    # A coarse quantizer doesn't need convergence — cells just need to be
+    # roughly balanced; cap the iterations.
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", maxIter=max_iter)
+    model = km.fit(train.select(array_to_vector("__cv").alias("__fv")))
+
+    # Tiny (cell, centroid) table — broadcast everywhere below.
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, __ctr array<double>",
+    )
+
+    def _sq_dist(v, ctr):  # squared L2, all built-in expressions
+        return F.aggregate(F.zip_with(v, ctr, lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    # Corpus -> owning cell (argmin over centroids via rank-1 window on a
+    # constant-size broadcast join: |corpus| x n_centroids rows, then cut).
+    wc = Window.partitionBy("match_id").orderBy(F.asc("__d"), F.asc("cell"))
+    assigned = (
+        c.join(F.broadcast(cents))
+        .withColumn("__d", _sq_dist(F.col("__cv").cast("array<double>"), F.col("__ctr")))
+        .withColumn("__rk", F.row_number().over(wc))
+        .filter(F.col("__rk") == 1)
+        .select("match_id", "__cv", "cell")
+    )
+
+    # Queries -> n_probe nearest cells.
+    wq = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("__d", _sq_dist(F.col("__qv").cast("array<double>"), F.col("__ctr")))
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("__sim", cosine_similarity("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "match_id", F.round("__sim", 4).alias("cosine_sim"))
+    )
+
+
 def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane (pure Python,
     driver-side, tiny)."""

@@ -1074,6 +1074,18 @@ def sim_topk_lsh_q(spark, sf):
     return lsh_topk(emb.filter(F.col("vec_id") < 50), emb, k=5, n_planes=4)
 
 
+@q("sim_topk_ivf")
+def sim_topk_ivf_q(spark, sf):
+    # Approximate ANN, scale path 2: IVF — KMeans coarse quantizer cells,
+    # n_probe nearest cells searched per query (rows-only check: result is
+    # approximate by contract; exactness when n_probe == n_centroids is
+    # asserted in tests/test_operators.py).
+    from clinpy_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 50), emb, k=5, n_centroids=8, n_probe=2)
+
+
 @q("mm_extract_features")
 def mm_extract_features_q(spark, sf):
     # Multimodal plumbing: binary payload -> mapInPandas feature extract

@@ -77,6 +77,34 @@ def test_brute_force_topk_matches_numpy(spark):
     assert [r.match_id for r in out] == expect
 
 
+def test_ivf_topk_full_probe_is_exact(spark):
+    import numpy as np
+
+    from clinpy_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = df.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.match_id) for r in brute_force_topk(qdf, df, k=3).collect()}
+    # Probing every cell scores every candidate -> must equal brute force.
+    full = {(r.query_id, r.match_id)
+            for r in ivf_topk(qdf, df, k=3, n_centroids=4, n_probe=4).collect()}
+    assert full == exact
+    # Partial probe returns k results per query from the probed cells only.
+    part = ivf_topk(qdf, df, k=3, n_centroids=4, n_probe=2).collect()
+    per_q = {}
+    for r in part:
+        per_q.setdefault(r.query_id, []).append(r.match_id)
+    assert set(per_q) == {0, 1, 2, 3, 4} and all(len(v) <= 3 for v in per_q.values())
+    # Recall against exact is typically high even at n_probe=2.
+    hits = sum((q, m) in exact for q, m in ((r.query_id, r.match_id) for r in part))
+    assert hits >= len(exact) // 2
+
+
 def test_sessionize(spark):
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
