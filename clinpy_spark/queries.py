@@ -1074,6 +1074,43 @@ def sim_topk_lsh_q(spark, sf):
     return lsh_topk(emb.filter(F.col("vec_id") < 50), emb, k=5, n_planes=4)
 
 
+@q("skew_salted_join", f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""")
+def skew_salted_join_q(spark, sf):
+    # Salting is semantically transparent: the oracle is the PLAIN join.
+    # Use when a skewed fact-fact equi-join can't broadcast and AQE can't
+    # intervene (e.g. stream-stream); hot keys spread over num_salts
+    # reducers.
+    from clinpy_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"),
+        orders, on=["o_orderkey"], num_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@q("a2b_two_phase_distinct", """
+SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+""")
+def a2b_two_phase_distinct_q(spark, sf):
+    # Two-phase distinct: phase 1 shuffles on (group, value) so a hot
+    # group's distinct-set build fans out; equals COUNT(DISTINCT) exactly.
+    from clinpy_spark.operators.skew import two_phase_count_distinct
+
+    return two_phase_count_distinct(_t(spark, sf, "orders"), ["o_orderpriority"], "o_custkey")
+
+
 @q("sim_topk_ivf")
 def sim_topk_ivf_q(spark, sf):
     # Approximate ANN, scale path 2: IVF — KMeans coarse quantizer cells,

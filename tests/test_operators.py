@@ -77,6 +77,28 @@ def test_brute_force_topk_matches_numpy(spark):
     assert [r.match_id for r in out] == expect
 
 
+def test_salted_join_transparent(spark):
+    from clinpy_spark.operators.skew import salted_join, two_phase_count_distinct
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, rv string")
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in left.join(right, ["k"], how).collect()}
+        salted = {tuple(r) for r in salted_join(left, right, ["k"], num_salts=4, how=how).collect()}
+        assert salted == plain, how
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")
+
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 1), ("g1", 2), ("g2", None), ("g2", 5)],
+        "g string, v int",
+    )
+    out = {r.g: r.n_distinct for r in two_phase_count_distinct(df, ["g"], "v").collect()}
+    assert out == {"g1": 2, "g2": 1}  # nulls excluded, like COUNT(DISTINCT)
+
+
 def test_ivf_topk_full_probe_is_exact(spark):
     import numpy as np
 
