@@ -71,3 +71,99 @@ def streaming_session_counts(
             "user_id", "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operators (applyInPandasWithState): semantics the built-in
+# windows can't express — running per-key statistics and cross-batch dedup.
+# State lives in the state store (checkpointed, partitioned by key); the
+# pandas function only ever sees ONE key's rows, so state size per task is
+# bounded and the operator scales with the number of executors.
+# ---------------------------------------------------------------------------
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of ``value_col``,
+    emitting the updated (key, ewma, n_events) row once per micro-batch.
+
+    The recurrence ewma' = alpha*v + (1-alpha)*ewma is order-dependent
+    and unbounded-lookback — not expressible with windowed aggregation;
+    this is the canonical applyInPandasWithState shape. Idle keys are
+    GC'd via processing-time timeout after ``state_ttl_ms``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, ewma double, n_events long"
+    state_schema = "ewma double, n long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ewma, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            for v in pdf.sort_values("ts")[value_col]:
+                v = float(v)
+                ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+                n += 1
+        state.update((float(ewma), int(n)))
+        state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame({key_col: [key[0]], "ewma": [float(ewma)], "n_events": [int(n)]})
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )
+
+
+def streaming_first_seen(
+    stream: DataFrame,
+    key_col: str = "props",
+    id_col: str = "event_id",
+    state_ttl_ms: int = 86_400_000,
+) -> DataFrame:
+    """Cross-batch exact dedup: emit each key the FIRST time it is ever
+    seen, drop every later occurrence — the streaming twin of the batch
+    ``operators.dedup.exact_dedup`` for a training-data ingest pipeline.
+
+    Unlike ``dropDuplicates`` on a stream (whose state a watermark can
+    only bound by event time), the TTL here bounds state by wall clock:
+    a key re-appearing after ``state_ttl_ms`` of silence is treated as
+    new again (at 100 TB/day the state store can't hold forever-keys).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, first_{id_col} long"
+    state_schema = "seen boolean"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already = state.exists
+        first_id = None
+        for pdf in pdfs:
+            if not already and len(pdf):
+                first_id = int(pdf[id_col].iloc[0])
+                already = True
+        state.update((True,))
+        state.setTimeoutDuration(state_ttl_ms)
+        if first_id is not None:
+            yield pd.DataFrame({key_col: [key[0]], f"first_{id_col}": [first_id]})
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )

@@ -65,3 +65,36 @@ def test_streaming_sessions(spark, tmp_path):
         per_user.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(per_user[100]) == [1, 2]  # events 1+2 merge, 3 alone
     assert per_user[200] == [1]
+
+
+def test_streaming_ewma_stateful(spark, tmp_path):
+    from clinpy_spark.streaming.events import streaming_ewma
+
+    _write_events(tmp_path)
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    q = (streaming_ewma(stream, alpha=0.5).writeStream.format("memory")
+         .queryName("ewma").outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = {r.user_id: (r.ewma, r.n_events) for r in spark.sql("select * from ewma").collect()}
+    # user 100 values in ts order: 1.0, 2.0, 3.0 ->
+    # e1=1.0, e2=0.5*2+0.5*1=1.5, e3=0.5*3+0.5*1.5=2.25
+    assert out[100] == (2.25, 3)
+    assert out[200] == (4.0, 1)
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    from clinpy_spark.streaming.events import streaming_first_seen
+
+    # Two keys, key "a" appears twice (events 1 and 2) -> emitted once.
+    with open(tmp_path / "part-0.json", "w") as fh:
+        for eid, key in [(1, "a"), (2, "a"), (3, "b")]:
+            fh.write(json.dumps({
+                "event_id": eid, "ts": T0.isoformat(), "user_id": 1,
+                "event_type": "click", "value": 0.0, "props": key,
+            }) + "\n")
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    q = (streaming_first_seen(stream, key_col="props").writeStream.format("memory")
+         .queryName("firstseen").outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = {r.props: r.first_event_id for r in spark.sql("select * from firstseen").collect()}
+    assert out == {"a": 1, "b": 3}
