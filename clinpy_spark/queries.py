@@ -770,6 +770,120 @@ def tpch_q6_forecast(spark, sf):
     )
 
 
+@q("tpch_q4_order_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def tpch_q4_order_priority(spark, sf):
+    # Q4 shape: correlated EXISTS -> left_semi join. The semi join keeps
+    # orders single-copy (no fanout-then-distinct), shuffling on orderkey.
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q("tpch_q13_cust_distribution", """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+""")
+def tpch_q13_cust_distribution(spark, sf):
+    # Q13 shape: left outer join preserving empty groups, two-level agg.
+    # count(col) skips the nulls the outer join introduces, so order-less
+    # customers land in the n_orders=0 bucket.
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@q("tpch_q16_unordered_parts", """
+SELECT p_brand, p_type, CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts
+FROM part
+WHERE p_size IN (5, 10, 15)
+  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+GROUP BY p_brand, p_type
+""")
+def tpch_q16_unordered_parts(spark, sf):
+    # Q16 shape: NOT EXISTS -> left_anti join (the J6 incremental-append
+    # primitive in a reporting query).
+    part = _t(spark, sf, "part").filter(F.col("p_size").isin(5, 10, 15))
+    heavy = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45).select("l_partkey")
+    return (
+        part.join(heavy, part.p_partkey == heavy.l_partkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("p_partkey").alias("n_parts"))
+    )
+
+
+@q("tpch_q18_large_orders", f"""
+SELECT o_orderkey, o_orderdate, o_totalprice, {DSUM('l_quantity', 2)} AS total_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 300
+""")
+def tpch_q18_large_orders(spark, sf):
+    # Q18 shape: aggregate + HAVING over the agg. One shuffle on the
+    # group key; the filter runs post-aggregation (Catalyst keeps the
+    # partial agg map-side).
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+
+
+@q("tpch_q12_shipmode", """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""")
+def tpch_q12_shipmode(spark, sf):
+    # Q12 shape: conditional aggregation (pivot-style CASE counts inside
+    # one pass — no second scan per category).
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # O/W family — sorts, top-k, running windows
 # ---------------------------------------------------------------------------
