@@ -1,0 +1,96 @@
+"""Property-based checks (hypothesis) for the interval machinery.
+
+The binned range join is an *algebraic rewrite* of a theta join — these
+tests assert the rewrite is exact on arbitrary inputs (negative
+coordinates, zero-length intervals, bin-boundary straddlers, any bin
+size), which example-based tests tend to miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.intervals import (
+    binned_interval_join,
+    interval_overlaps,
+    overlap_fraction,
+    point_in_interval,
+)
+
+# One hypothesis example = a whole dataset (single Spark job per example).
+_coord = st.integers(min_value=-2_000, max_value=2_000)
+_len = st.integers(min_value=0, max_value=800)
+
+_intervals = st.lists(
+    st.tuples(_coord, _len).map(lambda t: (t[0], t[0] + t[1])),
+    min_size=1, max_size=12,
+)
+_points = st.lists(_coord, min_size=1, max_size=12)
+_bin = st.sampled_from([1, 7, 100, 1000])
+
+
+def _ref_overlap(s1: int, e1: int, s2: int, e2: int) -> float:
+    """Reference semantics (utils.py:7-25 intent): disjoint -> 0, self
+    contained in other -> 1, else overlap / len(self)."""
+    if e1 < s2 or s1 > e2:
+        return 0.0
+    if s1 >= s2 and e1 <= e2:
+        return 1.0
+    return max(0, min(e1, e2) - max(s1, s2)) / (e1 - s1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=st.lists(st.tuples(_coord, st.integers(1, 800), _coord, _len), min_size=1, max_size=20))
+def test_overlap_fraction_matches_piecewise_reference(spark, pairs):
+    rows = [(s1, s1 + l1, s2, s2 + l2) for s1, l1, s2, l2 in pairs]
+    df = spark.createDataFrame(rows, "s1 long, e1 long, s2 long, e2 long")
+    got = df.select(overlap_fraction("s1", "e1", "s2", "e2").alias("f")).collect()
+    for r, (s1, e1, s2, e2) in zip(got, rows):
+        assert abs(r.f - _ref_overlap(s1, e1, s2, e2)) < 1e-12, (s1, e1, s2, e2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(left=_intervals, right=_intervals, bin_size=_bin)
+def test_binned_interval_join_equals_theta_join(spark, left, right, bin_size):
+    ldf = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(left)], "lid long, ls long, le long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(right)], "rid long, rs long, re long"
+    )
+    naive = {
+        (r.lid, r.rid)
+        for r in ldf.crossJoin(rdf)
+        .filter(interval_overlaps("ls", "le", "rs", "re"))
+        .collect()
+    }
+    binned = {
+        (r.lid, r.rid)
+        for r in binned_interval_join(
+            ldf, rdf, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_size=bin_size,
+        ).collect()
+    }
+    assert binned == naive
+
+
+@settings(max_examples=6, deadline=None)
+@given(points=_points, right=_intervals, bin_size=_bin)
+def test_binned_point_join_equals_theta_join(spark, points, right, bin_size):
+    pdf = spark.createDataFrame([(i, p) for i, p in enumerate(points)], "pid long, p long")
+    rdf = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(right)], "rid long, rs long, re long"
+    )
+    naive = {
+        (r.pid, r.rid)
+        for r in pdf.crossJoin(rdf).filter(point_in_interval("p", "rs", "re")).collect()
+    }
+    binned = {
+        (r.pid, r.rid)
+        for r in binned_interval_join(
+            pdf, rdf, left_start="p", left_end=None,
+            right_start="rs", right_end="re", bin_size=bin_size,
+        ).collect()
+    }
+    assert binned == naive
