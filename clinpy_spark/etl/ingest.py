@@ -92,7 +92,12 @@ def ingest_junctions(
         mode = "append"
     else:
         mode = "overwrite"
-    catalog.write(master_new, junc_t, mode=mode)
+    # Physical layout (SURVEY §1.5: partitioning replaces the reference's
+    # secondary indexes, rna_tables.py:28-29): directory-partition by chrom
+    # so chrom-filtered queries prune whole directories, and sort each
+    # partition by start so parquet row-group min/max stats prune within.
+    catalog.write(master_new.sortWithinPartitions("start"), junc_t, mode=mode,
+                  partition_by=["chrom"])
 
     bridge = per_sample.select(
         "samplename", junction_id().alias("junction"), "uniq_map", "multi_map"
@@ -145,7 +150,11 @@ def ingest_variants(
         mode = "append"
     else:
         mode = "overwrite"
-    catalog.write(master_new, var_t, mode=mode)
+    # Same layout story as junctions: chrom directory partitions (replaces
+    # the chrom/pos indexes of snp_tables.py:8-9,17-18) + pos-sorted row
+    # groups for min/max pruning on region queries (P6).
+    catalog.write(master_new.sortWithinPartitions("pos"), var_t, mode=mode,
+                  partition_by=["chrom"])
 
     with_id = parsed.withColumn("variant_id", variant_id())
     mapping = with_id.select(

@@ -251,3 +251,22 @@ def test_incremental_append_anti_join(spark, project, tmp_path):
     ingest_junctions(spark, catalog, [("s4", str(p))], incremental=True)
     after = catalog.table("all_junctions").count()
     assert after == before + 1
+
+
+def test_written_layout_prunes(spark, project):
+    """The master tables' write layout (partitionBy chrom + start/pos sort)
+    must reach the physical plan: a chrom filter becomes a partition
+    (directory) filter, never a data filter, and range predicates reach the
+    scan as pushed filters for row-group min/max pruning."""
+    catalog, _ = project
+    assert os.path.isdir(os.path.join(catalog.path("all_junctions"), "chrom=chr1"))
+
+    q = catalog.table("all_junctions").filter(
+        (F.col("chrom") == "chr1") & (F.col("start") >= 100) & (F.col("start") < 1000)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "chrom" in plan.split("PartitionFilters", 1)[1][:200]
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "GreaterThanOrEqual(start,100)" in pushed
+    rows = q.collect()
+    assert {(r.start, r.end) for r in rows} == {(100, 200), (110, 190), (900, 1200)}
