@@ -33,6 +33,9 @@ from clinpy_spark.session import get_spark  # noqa: E402
 #: scale-path twin in the registry).
 EXPECTED_UNBOUNDED = {
     "sim_topk_bruteforce",  # exact baseline; LSH twin = sim_topk_lsh
+    "sim_topk_ivf",  # cross join vs the CONSTANT-size broadcast centroid
+                     # table (n_centroids rows) for argmin cell assignment —
+                     # linear in the corpus, not a pair blowup
 }
 
 
