@@ -97,8 +97,13 @@ class ProjectCatalog:
         return os.path.exists(self.path(name))
 
     def table(self, name: str) -> DataFrame:
+        """Catalog-registered (bucketed) tables first, then parquet dirs —
+        bucket metadata only flows into plans via the catalog entry."""
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(self.path(name))
+            if self.spark.catalog.tableExists(name):
+                self._cache[name] = self.spark.table(name)
+            else:
+                self._cache[name] = self.spark.read.parquet(self.path(name))
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:
@@ -122,6 +127,32 @@ class ProjectCatalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name) if self.exists(name) else os.path.join(self.project_dir, name))
+        self._cache.pop(name, None)
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write hash-bucketed (and optionally sorted) parquet, registered
+        in the session catalog.
+
+        Two tables bucketed on the same key with the same bucket count
+        join WITHOUT a shuffle (each bucket pairs off 1:1) — the standing
+        replacement for repeated shuffles on a hot join key, e.g. the
+        junction master ⋈ bridge fk join on every query. Bucket metadata
+        lives in the table catalog, so production deployments back this
+        with a real metastore; reads go through ``spark.table`` /
+        :meth:`table`, which prefers the catalog entry.
+        """
+        w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.option("path", os.path.join(self.project_dir, name)).saveAsTable(name)
         self._cache.pop(name, None)
 
 

@@ -38,3 +38,35 @@ def test_roundtrip_create_dataframe(spark):
     st = struct_from_config({"a": {"type": "int"}, "b": {"type": "str"}})
     df = spark.createDataFrame([(1, "x")], st)
     assert df.schema == st
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key/count must join with ZERO
+    exchanges — each bucket pairs off 1:1 (the standing co-location for
+    hot fk joins like junction master ⋈ bridge)."""
+    from clinpy_spark.session import ProjectCatalog
+
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    master = spark.range(0, 1000).selectExpr("id", "id % 7 AS payload")
+    bridge = spark.range(0, 5000).selectExpr("id % 1000 AS id", "id AS reads")
+    spark.sql("DROP TABLE IF EXISTS m_bkt")
+    spark.sql("DROP TABLE IF EXISTS b_bkt")
+    catalog.write_bucketed(master, "m_bkt", ["id"], num_buckets=8, sort_cols=["id"])
+    catalog.write_bucketed(bridge, "b_bkt", ["id"], num_buckets=8, sort_cols=["id"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = catalog.table("m_bkt").join(catalog.table("b_bkt"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5000
+        # Same join from plain (unbucketed) parquet DOES shuffle.
+        plain = master.join(bridge, "id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS m_bkt")
+        spark.sql("DROP TABLE IF EXISTS b_bkt")
