@@ -123,6 +123,24 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def rolling_fingerprint(text: Column | str, base: int = 1_000_003,
+                        modulus: int = 2_147_483_647) -> Column:
+    """Order-sensitive rolling (polynomial / Rabin-style) fingerprint over
+    tokens: ``fp_i = (fp_{i-1} * B + h(t_i)) mod M``. Unlike the md5
+    :func:`fingerprint` (content identity), token order changes the value,
+    and a stream can extend it incrementally from the previous fp. Pure
+    built-in expressions (aggregate over the token-hash array, JVM-side);
+    the explicit modulus keeps every step inside 63 bits, so it is exact
+    under ANSI arithmetic (no silent wrapping, no overflow error).
+    """
+    th = token_hashes(text)
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * base + F.pmod(h, F.lit(1 << 20)), F.lit(modulus)),
+    )
+
+
 def token_hashes(text: Column | str) -> Column:
     """Per-token xxhash64 as array<long>.
 

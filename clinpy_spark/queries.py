@@ -623,6 +623,43 @@ def a8_rollup(spark, sf):
     )
 
 
+@q("a8c_cube", """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def a8c_cube(spark, sf):
+    # Full grouping-set lattice (cube): all four (status, priority)
+    # grouping combinations in one pass — Spark expands to an Expand node
+    # feeding ONE hash aggregate, not four scans.
+    return (
+        _t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("o4_exact_percentiles", """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def o4_exact_percentiles(spark, sf):
+    # Ordered-set aggregate: exact interpolated percentiles (Spark
+    # percentile == SQL quantile_cont semantics). For 100 TB dashboards
+    # swap in approx_percentile; the exact form is the oracle-checkable
+    # contract.
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        )
+    )
+
+
 @q("a6b_unpivot", """
 SELECT o_orderkey, metric, val
 FROM (
@@ -1012,6 +1049,20 @@ FROM documents GROUP BY source
 def dedup_exact_stats_q(spark, sf):
     # Exact dedup by normalized-text fingerprint (hash-groupBy).
     return exact_dedup_stats(_t(spark, sf, "documents"), "text", "source")
+
+
+@q("text_rolling_fp")
+def text_rolling_fp_q(spark, sf):
+    # Order-sensitive rolling (polynomial) fingerprint — rows-only: DuckDB
+    # has no xxhash64 twin; the incremental-extension identity is proven in
+    # tests/test_functions.py::test_rolling_fingerprint.
+    from clinpy_spark.functions.text import rolling_fingerprint
+
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", rolling_fingerprint("text").alias("fp"))
+    )
 
 
 @q("text_fingerprint", """

@@ -114,3 +114,22 @@ def test_vector_math(spark):
     rows = df.select(dot("a", "b").alias("d"), cosine_similarity("a", "b").alias("c")).collect()
     assert rows[0].d == 1.0 and abs(rows[0].c - 1.0) < 1e-12
     assert rows[1].d == 0.0 and abs(rows[1].c) < 1e-12
+
+
+def test_rolling_fingerprint(spark):
+    from clinpy_spark.functions.text import rolling_fingerprint
+
+    B, M = 1_000_003, 2_147_483_647
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "gamma beta alpha"),
+         (4, "alpha beta"), (5, "gamma")],
+        "id long, text string",
+    )
+    out = {r.id: r.fp for r in df.select("id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert out[1] == out[2]                  # deterministic
+    assert out[1] != out[3]                  # order-sensitive
+    assert all(0 <= v < M for v in out.values())
+    # Incremental-extension identity: fp("alpha beta gamma") ==
+    # (fp("alpha beta") * B + (xxhash64("gamma") mod 2^20)) mod M.
+    h_gamma = df.select(F.pmod(F.xxhash64(F.lit("gamma")), F.lit(1 << 20)).alias("h")).first().h
+    assert out[1] == (out[4] * B + h_gamma) % M
