@@ -91,6 +91,54 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     return ensure_min_parallelism(media).mapInPandas(_extract, schema=MEDIA_FEATURE_SCHEMA)
 
 
+#: Output schema of the resize stage: payload out, target dims + the
+#: (stub-)resized payload in.
+MEDIA_RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def resize(media: DataFrame, width: int = 224, height: int = 224,
+           batch_size: int = 256) -> DataFrame:
+    """Resize every media item to (width, height) via mapInPandas.
+
+    The codec step is STUBBED (no image libs in this container): the fake
+    'resample' deterministically re-chunks the payload bytes to
+    width*height length, preserving the real contract — binary in /
+    binary out on executors, fixed output schema, Arrow batching. Swap
+    ``_resize_one`` for PIL's ``Image.resize`` in production.
+    """
+
+    def _resize_one(payload: bytes) -> bytes:
+        target = width * height
+        if not payload:
+            return bytes(target)
+        reps = -(-target // len(payload))  # ceil-repeat then trim
+        return (payload * reps)[:target]
+
+    def _do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "width": width,
+                "height": height,
+                "payload": [
+                    _resize_one(bytes(p) if p is not None else b"")
+                    for p in pdf["payload"]
+                ],
+            })
+            yield out
+
+    from clinpy_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(media).mapInPandas(_do, schema=MEDIA_RESIZE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
     """'Frame sampling' stub: emit up to ``max_frames`` offsets per item
     (a real video path would emit decoded keyframes). Pure relational:

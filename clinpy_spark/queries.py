@@ -1302,6 +1302,19 @@ def mm_frame_sample_q(spark, sf):
     return frame_sample(media)
 
 
+@q("mm_resize")
+def mm_resize_q(spark, sf):
+    # Resize plumbing (codec stubbed): binary in/out on executors, fixed
+    # schema, Arrow batches. Drop the payload for the driver-side check.
+    from clinpy_spark.operators.multimodal import resize
+
+    media = as_media(_t(spark, sf, "documents").filter(F.col("doc_id") < 200),
+                     "doc_id", "text", "image")
+    return resize(media, width=32, height=32).select(
+        "media_id", "width", "height", F.length("payload").alias("n_bytes")
+    )
+
+
 @q("u1_grouped_filter", """
 SELECT event_id FROM (
   SELECT event_id, value, avg(value) OVER (PARTITION BY user_id) AS uavg

@@ -167,3 +167,9 @@ def test_multimodal_stub(spark):
         extract_features(bad).collect()
     # frame sampling is pure relational
     assert frame_sample(media, every_n_bytes=2, max_frames=3).count() > 0
+    # resize re-chunks payloads to width*height bytes with the dims stamped
+    from clinpy_spark.operators.multimodal import resize
+
+    res = {r.media_id: r for r in resize(media, width=4, height=3).collect()}
+    assert all(len(r.payload) == 12 and r.width == 4 and r.height == 3 for r in res.values())
+    assert bytes(res[1].payload)[:3] == b"abc"

@@ -1,0 +1,76 @@
+"""Empirical scaling check: run the bench headline set at every
+available scale factor and fit the per-query scaling exponent
+alpha in  time ∝ (scale factor)^alpha  over the two largest SFs.
+
+alpha <= ~1 means the operator scales linearly (or better, when fixed
+per-query overhead dominates) with data size — the local-mode proxy for
+"survives a 100x scale-up without a quadratic blowup". Writes
+SCALING.md. Usage:
+
+    python tools/scale_check.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from bench import HEADLINE  # noqa: E402
+from clinpy_spark import queries as Q  # noqa: E402
+from clinpy_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or [
+        f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    sfs = [float(re.search(r"sf([0-9.]+)", d).group(1)) for d in dirs]
+
+    spark = get_spark("scale-check")
+    spark.range(1).count()
+    qs = Q.queries()
+
+    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for d in dirs:
+        for name in HEADLINE:
+            qs[name](spark, d).count()  # warm (codegen/JIT per plan+schema)
+            t0 = time.time()
+            qs[name](spark, d).count()
+            times[name].append(time.time() - t0)
+
+    lines = [
+        "# SCALING — empirical per-query scaling exponents",
+        "",
+        "`python tools/scale_check.py` — steady-state runtimes of the bench",
+        f"headline set at sf={sfs}, and the fitted exponent alpha in",
+        "time ∝ sf^alpha over the two largest SFs. alpha <= ~1 = linear or",
+        "overhead-dominated; alpha >> 1 would flag a super-linear operator.",
+        "",
+        "| query | " + " | ".join(f"sf{s}" for s in sfs) + " | alpha |",
+        "|---|" + "---|" * (len(sfs) + 1),
+    ]
+    worst = []
+    for name in HEADLINE:
+        ts = times[name]
+        alpha = math.log(ts[-1] / ts[-2]) / math.log(sfs[-1] / sfs[-2]) if len(ts) >= 2 else float("nan")
+        worst.append((alpha, name))
+        lines.append(
+            f"| {name} | " + " | ".join(f"{t:.3f}s" for t in ts) + f" | {alpha:.2f} |"
+        )
+    lines.append("")
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(lines))
+
+    for alpha, name in sorted(worst, reverse=True):
+        print(f"alpha={alpha:5.2f}  {name}")
+    print("-> SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
