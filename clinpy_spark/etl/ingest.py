@@ -102,6 +102,12 @@ def ingest_junctions(
     bridge = per_sample.select(
         "samplename", junction_id().alias("junction"), "uniq_map", "multi_map"
     )
+    if incremental and catalog.exists(bridge_t):
+        # Composite-PK guard (rna_tables.py:26-31): already-loaded
+        # (samplename, junction) pairs are skipped, not doubled — a
+        # re-ingested sample contributes only its genuinely new rows.
+        loaded = catalog.table(bridge_t).select("samplename", "junction")
+        bridge = bridge.join(loaded, ["samplename", "junction"], "left_anti").localCheckpoint(eager=True)
     catalog.write(bridge, bridge_t, mode="append" if incremental else "overwrite")
 
 
@@ -160,6 +166,11 @@ def ingest_variants(
     mapping = with_id.select(
         "variant_id", "samplename", "qual", "filter", *format_keys
     ).dropDuplicates(["variant_id", "samplename"])
+    if incremental and catalog.exists(map_t):
+        # Composite-PK guard (snp_functions.py:171-186): already-loaded
+        # (variant_id, samplename) pairs are skipped.
+        loaded = catalog.table(map_t).select("variant_id", "samplename")
+        mapping = mapping.join(loaded, ["variant_id", "samplename"], "left_anti").localCheckpoint(eager=True)
     catalog.write(mapping, map_t, mode="append" if incremental else "overwrite")
 
     if csq_fields:
@@ -167,9 +178,10 @@ def ingest_variants(
         catalog.write(impacts, imp_t, mode="append" if incremental else "overwrite")
 
 
-def create_project(spark: SparkSession, project_dir: str, config: dict) -> ProjectCatalog:
-    """Build a project directory of Parquet tables from a config dict
-    (the YAML shape of reference config.yaml / create_project.py:18-303).
+def create_project(spark: SparkSession, project_dir: str, config: dict | str) -> ProjectCatalog:
+    """Build a project directory of Parquet tables from a config dict or a
+    YAML file path (reference `create_project.py -y config.yaml`,
+    create_project.py:18-303).
 
     config keys:
       samples: path to sample-metadata TSV (mandatory)
@@ -177,23 +189,47 @@ def create_project(spark: SparkSession, project_dir: str, config: dict) -> Proje
              junctions: [(sample, sj_path)], min_unique_reads: int}
       snps: {variants: [(sample, vcf_path)]}
       incremental: bool (reference `create: false`)
+
+    Incremental runs re-apply the reference's primary-key duplicate
+    guards (samples PK readme.md:47-49; expression PK (samplename, gene)
+    rna_tables.py:42-48) as anti-joins: already-loaded samples and
+    already-loaded expression samplenames are skipped, not duplicated.
     """
+    if isinstance(config, str):
+        import yaml
+
+        with open(config) as fh:
+            config = yaml.safe_load(fh)
     catalog = ProjectCatalog(spark, project_dir)
     incremental = bool(config.get("incremental"))
 
     samples = load_samples(spark, config["samples"], config.get("sample_columns"))
+    if incremental and catalog.exists("samples"):
+        samples = samples.join(
+            catalog.table("samples").select("sample_id"), "sample_id", "left_anti"
+        ).localCheckpoint(eager=True)
     catalog.write(samples, "samples", mode="append" if incremental else "overwrite")
+
+    def _new_expression(df: DataFrame, table: str) -> DataFrame:
+        if incremental and catalog.exists(table):
+            key = ["samplename", "gene" if table == "gene_expression" else "transcript"]
+            loaded = catalog.table(table).select(*key)
+            return df.join(loaded, key, "left_anti").localCheckpoint(eager=True)
+        return df
 
     rna = config.get("rna") or {}
     if rna.get("expression"):
         genes = [(s, g) for s, g, _ in rna["expression"]]
         isos = [(s, i) for s, _, i in rna["expression"] if i]
-        catalog.write(ingest_expression(spark, genes, "gene"), "gene_expression",
+        catalog.write(_new_expression(ingest_expression(spark, genes, "gene"), "gene_expression"),
+                      "gene_expression",
                       mode="append" if incremental else "overwrite")
         if isos:
-            catalog.write(ingest_expression(spark, isos, "transcript"),
-                          "transcript_expression",
-                          mode="append" if incremental else "overwrite")
+            catalog.write(
+                _new_expression(ingest_expression(spark, isos, "transcript"),
+                                "transcript_expression"),
+                "transcript_expression",
+                mode="append" if incremental else "overwrite")
     if rna.get("junctions"):
         # unfiltered pass + QC-filtered pass (create_project.py:119-155)
         ingest_junctions(spark, catalog, rna["junctions"], incremental=incremental)

@@ -248,9 +248,16 @@ def test_incremental_append_anti_join(spark, project, tmp_path):
     from clinpy_spark.etl import ingest_junctions
 
     before = catalog.table("all_junctions").count()
+    bridge_before = catalog.table("sample_to_alljunction")
+    s4_before = bridge_before.filter(F.col("samplename") == "s4").count()
     ingest_junctions(spark, catalog, [("s4", str(p))], incremental=True)
     after = catalog.table("all_junctions").count()
     assert after == before + 1
+    # Composite-PK guard: re-ingested (s4, junction) pairs are NOT doubled;
+    # only the bridge row for the genuinely new junction is added.
+    s4_after = catalog.table("sample_to_alljunction").filter(F.col("samplename") == "s4")
+    assert s4_after.count() == s4_before + 1
+    assert s4_after.groupBy("junction").count().filter(F.col("count") > 1).count() == 0
 
 
 def test_written_layout_prunes(spark, project):
@@ -270,3 +277,39 @@ def test_written_layout_prunes(spark, project):
     assert "GreaterThanOrEqual(start,100)" in pushed
     rows = q.collect()
     assert {(r.start, r.end) for r in rows} == {(100, 200), (110, 190), (900, 1200)}
+
+
+def test_create_project_from_yaml_idempotent_incremental(spark, tmp_path):
+    """YAML-driven create_project (reference `-y config.yaml`), then an
+    incremental re-run of the SAME config: every PK guard fires and no
+    table grows (idempotent re-ingest)."""
+    import yaml
+
+    from clinpy_spark.etl import create_project
+
+    raw = tmp_path / "raw"; raw.mkdir()
+    proj = str(tmp_path / "proj")
+    _write(raw / "samples.tsv", "Sample_ID\tCohort\ns1\tA\ns2\tB\n")
+    rsem_header = "gene_id\ttranscript_id(s)\tlength\teffective_length\texpected_count\tTPM\tFPKM\n"
+    for s in ("s1", "s2"):
+        _write(raw / f"{s}.genes.results",
+               rsem_header + f"g1\tt1\t100\t90\t5\t1.5\t2.5\ng2\tt2\t200\t180\t7\t0.5\t0.7\n")
+    cfg = {
+        "samples": str(raw / "samples.tsv"),
+        "rna": {"expression": [("s1", str(raw / "s1.genes.results"), None),
+                               ("s2", str(raw / "s2.genes.results"), None)]},
+    }
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+
+    catalog = create_project(spark, proj, str(cfg_path))
+    counts1 = {t: catalog.table(t).count() for t in ("samples", "gene_expression")}
+    assert counts1 == {"samples": 2, "gene_expression": 4}
+
+    cfg["incremental"] = True
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    create_project(spark, proj, str(cfg_path))
+    counts2 = {t: catalog.table(t).count() for t in ("samples", "gene_expression")}
+    assert counts2 == counts1
