@@ -313,3 +313,40 @@ def test_create_project_from_yaml_idempotent_incremental(spark, tmp_path):
     create_project(spark, proj, str(cfg_path))
     counts2 = {t: catalog.table(t).count() for t in ("samples", "gene_expression")}
     assert counts2 == counts1
+
+
+def test_build_genome_catalog_from_gtf(spark, tmp_path):
+    """GTF -> genes/transcripts/exons + window-derived introns, usable by
+    the same Junction genome queries as a hand-built catalog."""
+    from clinpy_spark.sources.gtf import build_genome_catalog
+
+    gtf = tmp_path / "anno.gtf"
+    rows = [
+        "#!genome-build test",
+        'chr1\ttest\tgene\t50\t1500\t.\t+\t.\tgene_id "g1"; gene_name "GENE1"; gene_biotype "protein_coding";',
+        'chr1\ttest\ttranscript\t60\t1400\t.\t+\t.\tgene_id "g1"; transcript_id "t1"; transcript_biotype "protein_coding";',
+        'chr1\ttest\texon\t60\t120\t.\t+\t.\tgene_id "g1"; transcript_id "t1"; exon_number "1";',
+        'chr1\ttest\texon\t180\t300\t.\t+\t.\tgene_id "g1"; transcript_id "t1"; exon_number "2";',
+        'chr1\ttest\texon\t1000\t1400\t.\t+\t.\tgene_id "g1"; transcript_id "t1"; exon_number "3";',
+    ]
+    _write(gtf, "\n".join(rows) + "\n")
+
+    genome = build_genome_catalog(spark, str(gtf), str(tmp_path / "genome"))
+    g = genome.table("genes").collect()
+    assert len(g) == 1 and g[0].id == "g1" and g[0].biotype == "protein_coding"
+    assert genome.table("transcripts").collect()[0].gene == "g1"
+    assert genome.table("exons").count() == 3
+    # Introns are the inter-exon gaps: (120,180) and (300,1000).
+    introns = {(r.start, r.end) for r in genome.table("introns").collect()}
+    assert introns == {(120, 180), (300, 1000)}
+    # The built catalog drives the same genome queries as the fixture one.
+    from clinpy_spark.functions.intervals import interval_overlaps
+
+    juncs = spark.createDataFrame([("chr1", 100, 200, "+")],
+                                  "chrom string, start long, end long, strand string")
+    hits = juncs.join(
+        genome.table("genes"),
+        interval_overlaps(juncs.start, juncs.end, genome.table("genes").start,
+                          genome.table("genes").end)
+        & (juncs.chrom == genome.table("genes").chrom), "inner").count()
+    assert hits == 1
