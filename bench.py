@@ -53,18 +53,21 @@ def main() -> None:
     # Warm up the JVM / parquet footer caches with a trivial action.
     spark.range(1).count()
 
-    # Two runs per query: run 1 pays Catalyst analysis + whole-stage
+    # Three runs per query: run 1 pays Catalyst analysis + whole-stage
     # codegen JIT (a fixed per-plan cost, noise at real data scale);
-    # run 2 is steady-state engine throughput. Headline = steady state;
-    # cold timings are reported alongside for transparency.
+    # headline = min of the two steady-state runs (standard best-of-N to
+    # damp scheduler jitter). Cold timings are reported for transparency.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        for run, store in ((1, cold), (2, timings)):
+        runs = []
+        for run in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()  # full execution; result stays distributed
-            store[name] = round(time.time() - t0, 3)
+            runs.append(round(time.time() - t0, 3))
+        cold[name] = runs[0]
+        timings[name] = min(runs[1:])
         print(f"# {name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -75,8 +78,8 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
-        "runs_per_query": 2,
-        "timing": "steady-state (2nd run); cold run reported in queries_cold",
+        "runs_per_query": 3,
+        "timing": "best of 2 steady-state runs; cold (1st) run in queries_cold",
         "sf": sf,
     }))
 
