@@ -921,6 +921,63 @@ def tpch_q12_shipmode(spark, sf):
     )
 
 
+@q("tpch_q10_returned_items", f"""
+SELECT * FROM (
+  SELECT c_custkey, c_name, n_name,
+         {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+) ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def tpch_q10_returned_items(spark, sf):
+    # Q10 shape: 4-table star join + top-N by aggregate. The returnflag
+    # filter lands on the lineitem scan (pushed); nation broadcasts;
+    # TakeOrderedAndProject avoids a global sort.
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@q("o5_window_frames", """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3,
+       first_value(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order
+FROM orders
+WHERE o_custkey < 500
+""")
+def o5_window_frames(spark, sf):
+    # Explicit rows-frame windows: trailing-3 sum + first_value. One
+    # shuffle on the partition key serves both frames.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(-2, 0)).cast("double").alias("trailing3"),
+            F.first("o_orderkey").over(w).alias("first_order"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # O/W family — sorts, top-k, running windows
 # ---------------------------------------------------------------------------
