@@ -623,6 +623,41 @@ def a8_rollup(spark, sf):
     )
 
 
+@q("a11b_intersect", """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def a11b_intersect(spark, sf):
+    # Set op: INTERSECT (distinct semantics) — the data-level analogue of
+    # the reference's header-set intersection (snp_functions.py:36-43).
+    building = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey"))
+    )
+    urgent = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(urgent)
+
+
+@q("a11c_except", """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def a11c_except(spark, sf):
+    # Set op: EXCEPT (distinct anti semantics) — customers who ordered
+    # but never urgently.
+    orders = _t(spark, sf, "orders")
+    return orders.select("o_custkey").subtract(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    )
+
+
 @q("a8c_cube", """
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
 FROM orders
