@@ -85,6 +85,14 @@ def ivf_topk(
         n = c.count()
         train_fraction = min(1.0, 100_000 / max(n, 1))
     train = c.sample(fraction=train_fraction, seed=seed) if train_fraction < 1.0 else c
+    # Tiny-corpus guard: KMeans needs k <= n training vectors.
+    n_train = train.count()
+    if n_train == 0:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, match_id long, cosine_sim double"
+        )
+    n_centroids = max(1, min(n_centroids, n_train))
+    n_probe = max(1, min(n_probe, n_centroids))
     # A coarse quantizer doesn't need convergence — cells just need to be
     # roughly balanced; cap the iterations.
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", maxIter=max_iter)

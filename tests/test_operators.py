@@ -173,3 +173,30 @@ def test_multimodal_stub(spark):
     res = {r.media_id: r for r in resize(media, width=4, height=3).collect()}
     assert all(len(r.payload) == 12 and r.width == 4 and r.height == 3 for r in res.values())
     assert bytes(res[1].payload)[:3] == b"abc"
+
+
+def test_operators_on_tiny_and_empty_inputs(spark):
+    """Degenerate-input insurance: empty/tiny frames flow through the
+    pipeline operators without crashing (schemas intact, zero/valid rows)."""
+    from clinpy_spark.operators.dedup import simhash_near_duplicates
+    from clinpy_spark.operators.similarity import ivf_topk
+    from clinpy_spark.operators.skew import salted_join
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_near_duplicates(empty_docs).count() == 0
+    assert simhash_near_duplicates(empty_docs).count() == 0
+
+    # Corpus smaller than n_centroids: KMeans k is clamped, search works.
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    out = ivf_topk(tiny, tiny, k=2, n_centroids=16, n_probe=8)
+    assert out.count() > 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_topk(empty_vecs, empty_vecs, k=2).count() == 0
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    empty_right = spark.createDataFrame([], "k long, r string")
+    assert salted_join(left, empty_right, ["k"]).count() == 0
+    assert salted_join(left, empty_right, ["k"], how="left").count() == 1
