@@ -1111,6 +1111,36 @@ def e_sliding_window(spark, sf):
                           keys=["event_type"])
 
 
+@q("j15_asof_join", """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts,
+       v.view_value, v.ts AS ts_right
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""")
+def j15_asof_join(spark, sf):
+    # As-of join (operator Spark lacks): for each click, the user's most
+    # recent view at-or-before it. One shuffle on user_id (tagged union +
+    # window), oracle = DuckDB's native ASOF LEFT JOIN. The right side is
+    # pre-aggregated to unique (user_id, ts) so ties are deterministic.
+    from clinpy_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(clicks, views, key="user_id", left_time="ts")
+
+
 @q("text_tokens_bpe", r"""
 SELECT lang,
        CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_tokens,

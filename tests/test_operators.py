@@ -200,3 +200,29 @@ def test_operators_on_tiny_and_empty_inputs(spark):
     empty_right = spark.createDataFrame([], "k long, r string")
     assert salted_join(left, empty_right, ["k"]).count() == 0
     assert salted_join(left, empty_right, ["k"], how="left").count() == 1
+
+
+def test_asof_join_backward(spark):
+    from clinpy_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, "a"), (1, 10, "b"), (2, 3, "c")],
+                                 "k long, t long, lv string")
+    right = spark.createDataFrame([(1, 4, 100), (1, 9, 200), (2, 7, 300)],
+                                  "k long, t long, v int")
+    out = {(r.k, r.t): (r.v, r.t_right, r.lv)
+           for r in asof_join(left, right, key="k", left_time="t").collect()}
+    # DuckDB ASOF LEFT JOIN ground truth (verified): latest right t <= left t.
+    assert out == {(1, 5): (100, 4, "a"), (1, 10): (200, 9, "b"),
+                   (2, 3): (None, None, "c")}
+    # Inclusive at equal times.
+    eq = asof_join(left, spark.createDataFrame([(1, 5, 999)], "k long, t long, v int"),
+                   key="k", left_time="t").collect()
+    assert {(r.k, r.t): r.v for r in eq}[(1, 5)] == 999
+    # Tolerance voids stale matches: (1,10) matched rt=9 (age 1), keep;
+    # with tolerance 0 only exact-time matches survive.
+    tol = {(r.k, r.t): r.v
+           for r in asof_join(left, right, key="k", left_time="t", tolerance=0).collect()}
+    assert tol == {(1, 5): None, (1, 10): None, (2, 3): None}
+    tol1 = {(r.k, r.t): r.v
+            for r in asof_join(left, right, key="k", left_time="t", tolerance=1).collect()}
+    assert tol1[(1, 5)] == 100 and tol1[(1, 10)] == 200
