@@ -658,6 +658,31 @@ def a11c_except(spark, sf):
     )
 
 
+@q("a15_hll_sketch", """
+SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+       TRUE AS within_5pct
+FROM orders GROUP BY o_orderpriority
+""")
+def a15_hll_sketch(spark, sf):
+    # Sketch family: Datasketches HLL per group. An estimate can't
+    # hash-match an oracle, so the query CHECKS THE ACCURACY CONTRACT
+    # instead: it returns the exact distinct count plus a boolean
+    # "estimate within 5%", and the oracle asserts TRUE — a wrong sketch
+    # fails the gate. (At 100 TB the sketch replaces the exact count:
+    # fixed-size state, mergeable across partitions — merge law tested in
+    # tests/test_operators.py.)
+    est = F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))
+    exact = F.countDistinct("o_custkey")
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            exact.alias("exact_nd"),
+            (F.abs(est - exact) <= 0.05 * exact).alias("within_5pct"),
+        )
+    )
+
+
 @q("a8c_cube", """
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
 FROM orders

@@ -226,3 +226,18 @@ def test_asof_join_backward(spark):
     tol1 = {(r.k, r.t): r.v
             for r in asof_join(left, right, key="k", left_time="t", tolerance=1).collect()}
     assert tol1[(1, 5)] == 100 and tol1[(1, 10)] == 200
+
+
+def test_hll_sketch_merge_law(spark):
+    """Sketches are mergeable: union of per-half sketches estimates the
+    same cardinality as one whole-data sketch (the property that makes
+    HLL a fixed-size distributed distinct counter)."""
+    df = spark.range(0, 10_000).selectExpr("id % 1000 AS v", "id % 2 AS half")
+    whole = df.select(F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")).first().e
+    merged = (
+        df.groupBy("half").agg(F.hll_sketch_agg("v").alias("sk"))
+        .select(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first().e
+    )
+    assert whole == merged
+    assert abs(whole - 1000) <= 50  # within ~5% of the true 1000
