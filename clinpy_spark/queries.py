@@ -658,6 +658,29 @@ def a11c_except(spark, sf):
     )
 
 
+@q("e_time_rollup", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, hour(ts) AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP), hour(ts))
+""")
+def e_time_rollup(spark, sf):
+    # Hypertable-style continuous aggregate: ONE pass produces the hourly
+    # level, the daily rollup, and the grand total (time hierarchy via
+    # ROLLUP — Spark's Expand feeds a single hash aggregate, no re-scan
+    # per granularity).
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(F.date_trunc("day", "ts").alias("day"), F.hour("ts").alias("hr"), "value")
+        .rollup("day", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 @q("a15_hll_sketch", """
 SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
        TRUE AS within_5pct

@@ -129,6 +129,40 @@ class ProjectCatalog:
         w.parquet(self.path(name) if self.exists(name) else os.path.join(self.project_dir, name))
         self._cache.pop(name, None)
 
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024,
+                sort_within_by: list[str] | None = None) -> int:
+        """Rewrite a table into ~``target_file_bytes`` files.
+
+        Streaming/incremental appends accumulate small files (each
+        micro-batch/append is its own file); small files poison scan
+        parallelism bookkeeping and footer overhead at scale. Reads the
+        table, coalesces to ceil(bytes/target), optionally restores the
+        sort-on-write order (min/max pruning survives compaction), and
+        atomically replaces via a staging directory. Returns the new
+        file count.
+        """
+        import shutil
+
+        path = self.path(name)
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path) for f in fs
+        )
+        n_files = max(1, -(-total // target_file_bytes))
+        df = self.spark.read.parquet(path)
+        if sort_within_by:
+            df = df.repartition(n_files).sortWithinPartitions(*sort_within_by)
+        else:
+            df = df.coalesce(n_files)
+        staging = path.rstrip("/") + ".__compact__"
+        df.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(path)
+        os.rename(staging, path)
+        self._cache.pop(name, None)
+        return sum(
+            1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+
     def write_bucketed(
         self,
         df: DataFrame,

@@ -70,3 +70,18 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS m_bkt")
         spark.sql("DROP TABLE IF EXISTS b_bkt")
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many-small-file table -> few files, same rows, cache invalidated."""
+    from clinpy_spark.session import ProjectCatalog
+
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    df = spark.range(0, 10_000).selectExpr("id", "id % 5 AS g")
+    df.repartition(40).write.parquet(str(tmp_path / "t"))  # 40 small files
+    assert catalog.table("t").count() == 10_000
+
+    n_files = catalog.compact("t", target_file_bytes=1 << 30, sort_within_by=["id"])
+    assert n_files == 1
+    assert catalog.table("t").count() == 10_000
+    assert catalog.table("t").select("g").distinct().count() == 5
