@@ -94,3 +94,45 @@ def test_binned_point_join_equals_theta_join(spark, points, right, bin_size):
         ).collect()
     }
     assert binned == naive
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15),
+)
+def test_asof_join_matches_duckdb(spark, left, right):
+    """Cross-engine property: asof_join == DuckDB's native ASOF LEFT JOIN
+    on arbitrary keyed event sets (right side deduped to unique (k, t),
+    as the operator contract requires for determinism)."""
+    import duckdb
+
+    from clinpy_spark.operators.asof import asof_join
+
+    right = list({(k, t): None for k, t in right})  # unique (k, t)
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in right], "k long, t long, v long"
+    )
+    got = {
+        (r.lid): (r.v, r.t_right)
+        for r in asof_join(ldf, rdf, key="k", left_time="t").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(lid BIGINT, k BIGINT, t BIGINT)")
+    con.execute("CREATE TABLE r(k BIGINT, t BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)",
+                    [(i, k, t) for i, (k, t) in enumerate(left)])
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)",
+                    [(k, t, k * 1000 + t) for k, t in right])
+    expect = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            "SELECT l.lid, r.v, r.t FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    }
+    assert got == expect
