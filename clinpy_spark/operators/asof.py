@@ -1,16 +1,19 @@
-"""As-of (nearest-preceding) join — an operator Spark has no built-in
+"""As-of (temporal nearest) join — an operator Spark has no built-in
 for (the reference has no streaming/temporal surface at all; this is
 part of the engine's event-time extension, SURVEY §2.7/§2.8).
 
-For every left row, attach the right row with the greatest right-time
-<= left-time within the same key (optionally within a tolerance) —
-SQL's ``ASOF LEFT JOIN`` (DuckDB/QuestDB) / pandas ``merge_asof``.
+For every left row, attach the right row nearest in time within the
+same key: ``backward`` (greatest right-time <= left-time — SQL's
+``ASOF LEFT JOIN`` in DuckDB/QuestDB), ``forward`` (smallest
+right-time >= left-time) or ``nearest`` — matching pandas
+``merge_asof`` directions.
 
 Physical shape (the scalable one): tag both sides, union, ONE window
-partitioned by key ordered by (time, side-tag) carrying the right
-side's values forward with ``last(ignorenulls)``, then keep left rows.
-A single shuffle on the key — no range join, no per-key driver loop,
-and skew follows the key distribution exactly like any windowed op.
+per direction partitioned by key ordered by (time, side-tag) carrying
+the right side's values across with ``last(ignorenulls)``, then keep
+left rows. A single shuffle on the key (both ``nearest`` sorts reuse
+the same exchange) — no range join, no per-key driver loop, and skew
+follows the key distribution exactly like any windowed op.
 """
 
 from __future__ import annotations
@@ -26,25 +29,27 @@ def asof_join(
     left_time: str,
     right_time: str | None = None,
     tolerance: int | None = None,
+    direction: str = "backward",
     suffix: str = "_right",
 ) -> DataFrame:
-    """ASOF LEFT JOIN: latest right row per left row with
-    ``right_time <= left_time`` on matching keys.
+    """ASOF LEFT JOIN with pandas ``merge_asof`` direction semantics.
 
     right value columns (everything but key/time) are appended; the
     matched right time is appended as ``{right_time}{suffix}``. Left
-    rows with no preceding right row keep NULLs. ``tolerance`` (same
-    units as the time columns' numeric/epoch representation — pass
-    seconds for timestamps) voids matches older than
-    ``left_time - tolerance``.
+    rows with no qualifying right row keep NULLs. ``tolerance`` (same
+    units as the time columns' numeric/epoch representation — seconds
+    for timestamps) voids matches farther than it. ``nearest`` breaks
+    exact-distance ties backward.
 
-    Semantics twin of DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND
-    l.t >= r.t`` (oracle-checked in the driver registry) and pandas
-    ``merge_asof(direction="backward")``. Ties on right_time within a
-    key resolve to the LAST row in (right_time) order — make
+    The backward direction is the semantics twin of DuckDB
+    ``ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`` (oracle-checked
+    in the driver registry and property-tested cross-engine). Ties on
+    right_time within a key resolve arbitrarily — make
     (key, right_time) unique upstream for deterministic output, as with
     any asof implementation.
     """
+    if direction not in {"backward", "forward", "nearest"}:
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     right_time = right_time or left_time
     vals = [c for c in right.columns if c not in set(keys) | {right_time}]
@@ -69,39 +74,60 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in vals],
         F.col(right_time).alias("__rt"),
     )
+    unioned = r.unionByName(l)
 
-    # Right rows sort BEFORE left rows at equal time -> inclusive (<=).
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = r.unionByName(l).select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in vals],
-        F.last("__rt", ignorenulls=True).over(w).alias("__f_rt"),
-    )
-
-    out = filled.filter(F.col("__is_left") == 1)
-    if tolerance is not None:
-        fresh = (
-            F.col("__t").cast("double") - F.col("__f_rt").cast("double")
-        ) <= F.lit(tolerance)
-        out = out.select(
-            "*",
-            *[F.when(fresh, F.col(f"__f_{c}")).alias(f"__k_{c}") for c in vals],
-            F.when(fresh, F.col("__f_rt")).alias("__k_rt"),
+    # Right rows sort BEFORE left rows at equal time in the traversal
+    # direction -> inclusive (<= / >=) match at ties.
+    def _window(dir_: str):
+        order = F.col("__t").asc() if dir_ == "backward" else F.col("__t").desc()
+        return (
+            Window.partitionBy(*keys)
+            .orderBy(order, F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        pick = lambda c: f"__k_{c}"  # noqa: E731
-        rt_col = "__k_rt"
-    else:
-        pick = lambda c: f"__f_{c}"  # noqa: E731
-        rt_col = "__f_rt"
+
+    def _fill(df: DataFrame, dir_: str, tag: str) -> DataFrame:
+        w = _window(dir_)
+        return df.select(
+            "*",
+            *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__{tag}_{c}") for c in vals],
+            F.last("__rt", ignorenulls=True).over(w).alias(f"__{tag}_rt"),
+        )
+
+    def _age(rt_col: str):
+        # signed distance in the direction's sense; always >= 0 when matched
+        d = F.col("__t").cast("double") - F.col(rt_col).cast("double")
+        return F.abs(d)
+
+    if direction in {"backward", "forward"}:
+        filled = _fill(unioned, direction, "f")
+        out = filled.filter(F.col("__is_left") == 1)
+        ok = F.col("__f_rt").isNotNull()
+        if tolerance is not None:
+            ok = ok & (_age("__f_rt") <= F.lit(tolerance))
+        picked = {c: F.when(ok, F.col(f"__f_{c}")) for c in vals}
+        picked_rt = F.when(ok, F.col("__f_rt"))
+    else:  # nearest
+        filled = _fill(_fill(unioned, "backward", "b"), "forward", "w")
+        out = filled.filter(F.col("__is_left") == 1)
+        b_ok = F.col("__b_rt").isNotNull()
+        w_ok = F.col("__w_rt").isNotNull()
+        if tolerance is not None:
+            b_ok = b_ok & (_age("__b_rt") <= F.lit(tolerance))
+            w_ok = w_ok & (_age("__w_rt") <= F.lit(tolerance))
+        # ties (equal distance) resolve backward
+        use_b = b_ok & (~w_ok | (_age("__b_rt") <= _age("__w_rt")))
+        use_w = w_ok & ~use_b
+        picked = {
+            c: F.when(use_b, F.col(f"__b_{c}")).when(use_w, F.col(f"__w_{c}"))
+            for c in vals
+        }
+        picked_rt = F.when(use_b, F.col("__b_rt")).when(use_w, F.col("__w_rt"))
 
     return out.select(
         *keys,
         left_time,
         *[c for c in left.columns if c not in set(keys) | {left_time}],
-        *[F.col(pick(c)).alias(c if c not in left.columns else f"{c}{suffix}") for c in vals],
-        F.col(rt_col).alias(rt_out),
+        *[picked[c].alias(c if c not in left.columns else f"{c}{suffix}") for c in vals],
+        picked_rt.alias(rt_out),
     )

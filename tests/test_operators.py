@@ -241,3 +241,26 @@ def test_hll_sketch_merge_law(spark):
     )
     assert whole == merged
     assert abs(whole - 1000) <= 50  # within ~5% of the true 1000
+
+
+def test_asof_join_forward_and_nearest(spark):
+    from clinpy_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5), (1, 10), (1, 20)], "k long, t long")
+    right = spark.createDataFrame([(1, 4, 100), (1, 9, 200), (1, 12, 300)],
+                                  "k long, t long, v int")
+    fwd = {r.t: (r.v, r.t_right)
+           for r in asof_join(left, right, key="k", left_time="t", direction="forward").collect()}
+    assert fwd == {5: (200, 9), 10: (300, 12), 20: (None, None)}
+    near = {r.t: r.v
+            for r in asof_join(left, right, key="k", left_time="t", direction="nearest").collect()}
+    # t=5: back age 1 (rt 4) vs fwd age 4 (rt 9) -> 100; t=10: back 1 vs fwd 2 -> 200;
+    # t=20: only backward exists -> 300
+    assert near == {5: 100, 10: 200, 20: 300}
+    # nearest tie (back age == fwd age) resolves backward
+    tie = asof_join(spark.createDataFrame([(1, 8)], "k long, t long"),
+                    spark.createDataFrame([(1, 6, 1), (1, 10, 2)], "k long, t long, v int"),
+                    key="k", left_time="t", direction="nearest").collect()[0]
+    assert tie.v == 1
+    with pytest.raises(ValueError):
+        asof_join(left, right, key="k", left_time="t", direction="sideways")
