@@ -47,3 +47,29 @@ class Expression(Assay):
         # with >10k samples should raise spark.sql.pivotMaxValues or stay
         # long (SURVEY.md §7 hard-point 4).
         return df.groupBy(key).pivot("samplename").agg(F.first(metric))
+
+    def normalize(
+        self,
+        what: str = "gene",
+        method: str = "cpm",
+        log2: bool = False,
+        **select_kwargs,
+    ) -> DataFrame:
+        """Long expression with a per-sample normalized column appended
+        (beyond-reference extension; the reference stores RSEM's
+        TPM/FPKM but offers no within-project normalization).
+
+        ``cpm``: expected_count scaled to counts-per-million over each
+        sample's library size — one window over samplename (a single
+        shuffle), no driver pass. ``log2`` applies log2(x + 1).
+        """
+        if method != "cpm":
+            raise ValueError(f"unknown normalization method {method!r}")
+        from pyspark.sql import Window
+
+        df = self.select(what=what, long=True, **select_kwargs)
+        lib = F.sum("expected_count").over(Window.partitionBy("samplename"))
+        norm = F.col("expected_count") * F.lit(1_000_000.0) / lib
+        if log2:
+            norm = F.log2(norm + F.lit(1.0))
+        return df.withColumn("cpm", norm)

@@ -350,3 +350,19 @@ def test_build_genome_catalog_from_gtf(spark, tmp_path):
                           genome.table("genes").end)
         & (juncs.chrom == genome.table("genes").chrom), "inner").count()
     assert hits == 1
+
+
+def test_expression_normalize_cpm(spark, project):
+    catalog, _ = project
+    e = Expression(catalog)
+    cpm = e.normalize(what="gene")
+    rows = cpm.filter(F.col("samplename") == "s1").collect()
+    total = sum(r.expected_count for r in rows)
+    for r in rows:
+        assert abs(r.cpm - r.expected_count * 1e6 / total) < 1e-6
+    # each sample's CPM sums to 1e6
+    sums = {r.samplename: r.s for r in
+            cpm.groupBy("samplename").agg(F.sum("cpm").alias("s")).collect()}
+    assert all(abs(s - 1e6) < 1e-6 for s in sums.values())
+    logged = e.normalize(what="gene", log2=True)
+    assert logged.filter(F.col("cpm") < 0).count() == 0
