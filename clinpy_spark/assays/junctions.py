@@ -70,13 +70,20 @@ class Junctions(Assay):
             out = out.drop("uniq_map", "multi_map")
         return out.drop("junction")
 
-    def filter(self, junc_func: Callable, schema=None, filtered_suffix: bool = True,
+    def filter(self, junc_func: Callable, schema=None, write: bool = False,
                **kwargs) -> DataFrame:
         """Per-sample user filter (reference junction.py:113-130 U1 +
         readme.md:109-111): ``junc_func(pandas_df, **kwargs) -> pandas_df``
         over columns (chrom,start,end,strand,uniq_map,multi_map,
         samplename), applied independently per sample — exactly Spark's
         grouped-map ``applyInPandas``.
+
+        ``write=True`` completes the reference's intent (the stub at
+        junction.py:113-130 was meant to WRITE the filtered junction
+        tables): the surviving rows replace the ``junctions`` master
+        (dedup + hash id, chrom-partitioned/start-sorted like the ETL)
+        and ``sample_to_junction`` bridge. Requires the default schema
+        (natural keys must survive the filter).
         """
         import functools
 
@@ -87,7 +94,26 @@ class Junctions(Assay):
         )
         fn = functools.partial(junc_func, **kwargs) if kwargs else junc_func
         out_schema = schema or full.schema
-        return full.groupBy("samplename").applyInPandas(lambda pdf: fn(pdf), out_schema)
+        out = full.groupBy("samplename").applyInPandas(lambda pdf: fn(pdf), out_schema)
+        if write:
+            if schema is not None:
+                raise ValueError("write=True requires the default schema")
+            from clinpy_spark.functions.ids import junction_id
+
+            out = out.localCheckpoint(eager=True)  # run the UDF once
+            natural = ["chrom", "start", "end", "strand"]
+            master = (
+                out.select(*natural).dropDuplicates(natural)
+                .withColumn("id", junction_id()).select("id", *natural)
+            )
+            self.db.write(master.sortWithinPartitions("start"), "junctions",
+                          partition_by=["chrom"])
+            self.db.write(
+                out.select("samplename", junction_id().alias("junction"),
+                           "uniq_map", "multi_map"),
+                "sample_to_junction",
+            )
+        return out
 
     def junction(self, chrom: str, start: int, end: int, strand: str,
                  filtered: bool = True) -> "Junction":

@@ -366,3 +366,27 @@ def test_expression_normalize_cpm(spark, project):
     assert all(abs(s - 1e6) < 1e-6 for s in sums.values())
     logged = e.normalize(what="gene", log2=True)
     assert logged.filter(F.col("cpm") < 0).count() == 0
+
+
+def test_junctions_user_filter_writes_tables(spark, tmp_path):
+    """U1 write path: the per-sample grouped-map filter's survivors replace
+    the filtered master + bridge (the reference's intended behavior for
+    its Junctions.filter stub)."""
+    from clinpy_spark.etl import ingest_junctions
+
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    p = tmp_path / "s1.SJ.out.tab"
+    _write(p, "".join(
+        f"chr1\t{100*i}\t{100*i+50}\t1\t0\t1\t{i}\t0\t20\n" for i in range(1, 6)))
+    ingest_junctions(spark, catalog, [("s1", str(p))])
+
+    def keep_high(pdf, min_reads=3):
+        return pdf[pdf["uniq_map"] >= min_reads]
+
+    j = Junctions(catalog)
+    out = j.filter(keep_high, write=True, min_reads=3)
+    assert out.count() == 3  # uniq_map 3,4,5 survive
+    assert catalog.table("junctions").count() == 3
+    assert catalog.table("sample_to_junction").count() == 3
+    # filtered selects now reflect the user filter
+    assert j.select(filtered=True).agg(F.min("uniq_map")).first()[0] == 3
