@@ -1,0 +1,65 @@
+"""MERGE-INTO / slowly-changing-dimension emulation on plain Parquet.
+
+Plain Parquet has no UPDATE/MERGE (SURVEY §4.2 S11); Delta would supply
+one. These are the engine-level emulations — pure transforms suitable
+for read-transform-overwrite (small dims) or staged rewrite (large
+ones): upsert = anti-join + union (one shuffle on the keys), SCD2 =
+close current versions + append new ones, with history preserved.
+The samples upsert (`assays/project.py::annotate_sample`) is the
+point-update special case of the same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics: source rows replace key-matching target rows,
+    unmatched source rows are inserted, unmatched target rows survive.
+
+    Equivalent SQL: ``target WHERE NOT EXISTS (source by key) UNION ALL
+    source`` — oracle-checked in the driver registry. Columns must be
+    union-compatible by name.
+    """
+    kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(source)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str = "effective_from",
+    end_col: str = "effective_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 SCD: apply a batch of updates (key cols + attribute cols +
+    ``ts_col`` = change time) to a versioned dimension.
+
+    Matching keys' current rows are closed (``end_col`` = the update's
+    change time, ``current_col`` = false); each update row is appended
+    as the new open version (``end_col`` = NULL, current). History rows
+    and untouched keys pass through unchanged. One shuffle on the keys.
+    """
+    upd_times = updates.groupBy(*keys).agg(F.max(ts_col).alias("__new_from"))
+
+    closed = (
+        dim.join(upd_times, keys, "left")
+        .withColumn(
+            end_col,
+            F.when(
+                F.col(current_col) & F.col("__new_from").isNotNull(),
+                F.col("__new_from"),
+            ).otherwise(F.col(end_col)),
+        )
+        .withColumn(
+            current_col,
+            F.when(F.col("__new_from").isNotNull(), F.lit(False)).otherwise(F.col(current_col)),
+        )
+        .drop("__new_from")
+    )
+    opened = updates.withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType)) \
+                    .withColumn(current_col, F.lit(True))
+    return closed.unionByName(opened)

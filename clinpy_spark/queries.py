@@ -681,6 +681,39 @@ def e_time_rollup(spark, sf):
     )
 
 
+@q("s12_merge_upsert", f"""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+merged AS (
+  SELECT * FROM orders o WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {DSUM('o_totalprice', 3)} AS total
+FROM merged GROUP BY o_orderstatus
+""")
+def s12_merge_upsert_q(spark, sf):
+    # MERGE INTO emulation on plain parquet (S11 generalized): source rows
+    # replace key-matched target rows, inserts append, the rest survive —
+    # anti-join + unionByName, one shuffle on the key. Oracle = the
+    # NOT EXISTS + UNION ALL formulation.
+    from clinpy_spark.operators.merge import merge_upsert
+
+    orders = _t(spark, sf, "orders")
+    src = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merged = merge_upsert(orders, src, keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), 3).alias("total"),
+    )
+
+
 @q("a15_hll_sketch", """
 SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
        TRUE AS within_5pct

@@ -264,3 +264,34 @@ def test_asof_join_forward_and_nearest(spark):
     assert tie.v == 1
     with pytest.raises(ValueError):
         asof_join(left, right, key="k", left_time="t", direction="sideways")
+
+
+def test_scd2_apply(spark):
+    import datetime as dt
+
+    from clinpy_spark.operators.merge import merge_upsert, scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [(1, "NYC", t0, None, True), (2, "LA", t0, None, True),
+         (1, "BOS", dt.datetime(2023, 1, 1), t0, False)],  # closed history
+        "k long, city string, effective_from timestamp, effective_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "SF", t1), (3, "CHI", t1)],
+        "k long, city string, effective_from timestamp",
+    )
+    out = scd2_apply(dim, updates, keys=["k"]).collect()
+    cur = {r.k: r.city for r in out if r.is_current}
+    assert cur == {1: "SF", 2: "LA", 3: "CHI"}
+    closed_1 = [r for r in out if r.k == 1 and not r.is_current]
+    # old current NYC row closed at t1; 2023 history row untouched
+    assert {(r.city, r.effective_to) for r in closed_1} == {("NYC", t1), ("BOS", t0)}
+    assert len(out) == 5
+
+    # merge_upsert: updates replace, inserts append, others survive
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    src = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    merged = {r.k: r.v for r in merge_upsert(tgt, src, ["k"]).collect()}
+    assert merged == {1: "a", 2: "B", 3: "C"}
