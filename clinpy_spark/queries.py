@@ -681,6 +681,87 @@ def e_time_rollup(spark, sf):
     )
 
 
+@q("o6_approx_quantiles", """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS exact_median,
+       TRUE AS approx_within_1pct
+FROM lineitem GROUP BY l_returnflag
+""")
+def o6_approx_quantiles(spark, sf):
+    # Sketch quantiles (Greenwald-Khanna percentile_approx) with the same
+    # accuracy-contract oracle trick as the HLL query: return the exact
+    # median plus a boolean "approx within 1% relative error" the oracle
+    # asserts TRUE. At scale the sketch is the mergeable fixed-memory
+    # replacement for exact sorting.
+    exact = F.percentile("l_extendedprice", F.lit(0.5))
+    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000))
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            exact.alias("exact_median"),
+            (F.abs(approx - exact) <= 0.01 * exact).alias("approx_within_1pct"),
+        )
+    )
+
+
+@q("s13_stratified_sample", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_total, TRUE AS sampled_within_bounds
+FROM orders GROUP BY o_orderpriority
+""")
+def s13_stratified_sample(spark, sf):
+    # Stratified sampling (training-data curation staple): sampleBy keeps
+    # a per-stratum fraction without a shuffle (per-row Bernoulli against
+    # the broadcast fraction map). Randomness can't hash-match an oracle,
+    # so the query returns the full per-stratum counts plus a boolean
+    # asserting the sampled count is within +-30% of fraction*n (seeded,
+    # deterministic) — the oracle asserts TRUE.
+    orders = _t(spark, sf, "orders")
+    fractions = {p: 0.2 for p in PRIORITIES}
+    sampled = orders.sampleBy("o_orderpriority", fractions, seed=7)
+    s_counts = sampled.groupBy("o_orderpriority").agg(F.count("*").alias("n_sampled"))
+    return (
+        orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_total"))
+        .join(s_counts, "o_orderpriority")
+        .select(
+            "o_orderpriority", "n_total",
+            (F.abs(F.col("n_sampled") - 0.2 * F.col("n_total"))
+             <= 0.3 * 0.2 * F.col("n_total")).alias("sampled_within_bounds"),
+        )
+    )
+
+
+@q("s14_profile", """
+SELECT 'o_totalprice' AS col, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(o_totalprice) AS BIGINT) AS n_nonnull,
+       min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT), CAST(count(o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+FROM orders
+""")
+def s14_profile(spark, sf):
+    # Data profiling: per-column row/null/min/max in ONE scan — aggregate
+    # every column's stats in a single pass, then unpivot the stat row to
+    # per-column rows (no per-column re-scan).
+    orders = _t(spark, sf, "orders")
+    cols = ["o_totalprice", "o_custkey"]
+    one = orders.agg(
+        F.count("*").alias("n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    )
+    stacked = one.selectExpr(
+        "n",
+        "stack(2, " + ", ".join(
+            f"'{c}', nn_{c}, mn_{c}, mx_{c}" for c in cols
+        ) + ") AS (col, n_nonnull, min_v, max_v)",
+    )
+    return stacked.select("col", "n", "n_nonnull", "min_v", "max_v")
+
+
 @q("s12_merge_upsert", f"""
 WITH src AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
