@@ -390,3 +390,23 @@ def test_junctions_user_filter_writes_tables(spark, tmp_path):
     assert catalog.table("sample_to_junction").count() == 3
     # filtered selects now reflect the user filter
     assert j.select(filtered=True).agg(F.min("uniq_map")).first()[0] == 3
+
+
+def test_read_vcf_edge_shapes(spark, tmp_path):
+    """Multi-allelic ALT, missing QUAL/ID, consequence-less records and
+    phased genotypes all parse without driver loops or crashes."""
+    from clinpy_spark.sources.vcf import read_vcf
+
+    vcf = tmp_path / "edge.vcf"
+    _write(vcf, VCF_HEADER
+           + "chr1\t100\t.\tA\tG,T\t.\tPASS\tCSQ=missense_variant|MODERATE|GENE1|g1\tGT:DP\t1|2:10\n"
+           + "chr1\t200\trs9\tC\tT\t5.0\tq10\tDP=3\tGT:DP\t0/0:3\n")
+    rows = read_vcf(spark, str(vcf), "sX").collect()
+    by_pos = {r.pos: r for r in rows}
+    assert by_pos[100].alt == "G,T"              # multi-allelic kept verbatim (reference parity)
+    assert by_pos[100].qual is None and by_pos[100].id is None
+    assert by_pos[100].gt == "(1, 2)"            # phased | normalized like unphased
+    assert by_pos[100].consequence == "missense_variant"
+    assert by_pos[200].consequence is None       # no CSQ -> explode_outer keeps the row
+    assert by_pos[200].qual == 5.0 and by_pos[200].filter == "q10"
+    assert by_pos[200].dp == "3"
