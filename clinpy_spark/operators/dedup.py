@@ -162,6 +162,65 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                      max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (doc_id,
+    cluster_id), cluster_id = min doc id in the component.
+
+    Pair emitters (minhash/simhash/embedding) produce EDGES; the dedup
+    action needs COMPONENTS (a~b, b~c => {a,b,c} is one duplicate
+    group). Iterative min-label propagation over the edge list: each
+    round every node takes the min of its own and its neighbors'
+    labels; near-dup components are shallow (diameter ~ a few hops), so
+    convergence is fast. Each iteration is one join + one aggregate
+    (shuffles on node id); lineage is cut per round with
+    localCheckpoint so the plan stays flat. Converges exactly; raises
+    if max_iter rounds don't reach the fixpoint.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"component labeling did not converge in {max_iter} iterations")
+
+
+def apply_near_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one document per near-duplicate cluster (the min id), plus
+    every document that appears in no pair — the end-to-end dedup
+    action over any pair emitter's output."""
+    clusters = near_dup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(losers, df[id_col] == losers.doc_id, "left_anti")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 64) -> DataFrame:
     """64-bit SimHash over whitespace tokens.

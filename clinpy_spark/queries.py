@@ -1467,6 +1467,21 @@ def text_langid_q(spark, sf):
     )
 
 
+@q("dedup_apply_clusters")
+def dedup_apply_clusters_q(spark, sf):
+    # End-to-end near-dedup action: minhash pairs -> connected components
+    # (iterative min-label propagation) -> keep one doc per cluster.
+    # Rows-only: the clustering is iterative (not SQL-expressible in the
+    # oracle dialect used here); exactness is pinned by unit tests.
+    from clinpy_spark.operators.dedup import apply_near_dedup
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_near_duplicates(d, threshold=0.7)
+    return apply_near_dedup(d, pairs).groupBy("source").agg(
+        F.count("*").alias("n_docs_kept")
+    )
+
+
 @q("sim_topk_bruteforce", """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS mid, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -295,3 +295,22 @@ def test_scd2_apply(spark):
     src = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
     merged = {r.k: r.v for r in merge_upsert(tgt, src, ["k"]).collect()}
     assert merged == {1: "a", 2: "B", 3: "C"}
+
+
+def test_near_dup_clusters_and_apply(spark):
+    from clinpy_spark.operators.dedup import apply_near_dedup, near_dup_clusters
+
+    # chain 1-2, 2-3 (one component), 5-6 (another); 9 is pair-free
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (5, 6)], "id_a long, id_b long")
+    clusters = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in (1, 2, 3, 5, 6, 9)],
+                                 "doc_id long, text string")
+    kept = sorted(r.doc_id for r in apply_near_dedup(docs, pairs).collect())
+    assert kept == [1, 5, 9]  # one per cluster + the pair-free doc
+
+    # longer chain needs >1 propagation round: 1-2-3-4-5-6-7
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], "id_a long, id_b long")
+    cl = {r.doc_id: r.cluster_id for r in near_dup_clusters(chain).collect()}
+    assert set(cl.values()) == {1} and len(cl) == 7
