@@ -40,6 +40,7 @@ from clinpy_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
+from clinpy_spark.functions.vectors import cosine_similarity
 from clinpy_spark.operators.similarity import brute_force_topk, lsh_topk
 from clinpy_spark.operators.windows import sessionize, tumbling_counts
 from clinpy_spark.operators.multimodal import as_media, extract_features, frame_sample
@@ -1465,6 +1466,42 @@ def text_langid_q(spark, sf):
     return scores.select(predicted.alias("predicted")).groupBy("predicted").agg(
         F.count("*").alias("n")
     )
+
+
+@q("dedup_cluster_components", """
+WITH RECURSIVE
+emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+r(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM r GROUP BY src
+""")
+def dedup_cluster_components_q(spark, sf):
+    # The iterative component-labeling operator, ORACLE-CHECKED: pairs come
+    # from an SQL-expressible emitter (brute-force cosine over a bounded
+    # slice), so DuckDB can rebuild the same graph and label components
+    # with a recursive CTE — exactness of the min-label propagation is
+    # verified end-to-end, not just unit-tested.
+    from clinpy_spark.operators.dedup import near_dup_clusters
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("va", "vb") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return near_dup_clusters(pairs)
 
 
 @q("dedup_apply_clusters")
