@@ -21,7 +21,13 @@ from clinpy_spark.functions.ids import junction_id, variant_id
 from clinpy_spark.session import ProjectCatalog
 from clinpy_spark.sources.rsem import read_rsem_genes, read_rsem_isoforms
 from clinpy_spark.sources.star_sj import read_star_sj
-from clinpy_spark.sources.vcf import read_vcf, vcf_csq_fields, vcf_format_keys
+from clinpy_spark.sources.vcf import (
+    _SQL_TYPE,
+    normalize_type_dict,
+    read_vcf,
+    vcf_csq_fields,
+    vcf_format_keys,
+)
 
 
 def _union_per_sample(parts: list[DataFrame]) -> DataFrame:
@@ -111,6 +117,30 @@ def ingest_junctions(
     catalog.write(bridge, bridge_t, mode="append" if incremental else "overwrite")
 
 
+def reconcile_fields(per_file: list[list[str]], not_same: str = "error") -> list[str]:
+    """Reconcile per-file header field lists (reference
+    ``compare_fields``, snp_functions.py:11-52; vcf.yaml:6 ``not_same``):
+    ``error`` raises unless identical, ``union``/``intersection`` merge —
+    first-file order preserved, union appends new fields in file order.
+    """
+    if not per_file:
+        return []
+    distinct = {tuple(f) for f in per_file}
+    if len(distinct) == 1:
+        return list(per_file[0])
+    if not_same == "error":
+        raise ValueError("the descriptions of fields or formats are not the same in all files")
+    if not_same == "union":
+        out = list(per_file[0])
+        for fields in per_file[1:]:
+            out.extend(f for f in fields if f not in out)
+        return out
+    if not_same == "intersection":
+        common = set(per_file[0]).intersection(*map(set, per_file[1:]))
+        return [f for f in per_file[0] if f in common]
+    raise NotImplementedError("not_same field can only be 'error', 'union' or 'intersection'")
+
+
 def ingest_variants(
     spark: SparkSession,
     catalog: ProjectCatalog,
@@ -118,31 +148,68 @@ def ingest_variants(
     rna: bool = False,
     filtered: bool = False,
     incremental: bool = False,
+    not_same: str = "error",
+    missing_impact: str = "ignore",
+    type_dict: dict | None = None,
+    pass_only: bool = False,
+    min_qual: float | None = None,
 ) -> None:
     """VCFs -> variants master + impacts + sample_variants mapping
     (snp_functions.py:189-295 reshaped: CSQ explode at parse, hash
     variant ids, anti-join only for incremental; fixes the broken
-    `is None` anti-join and the double-impacts join, SURVEY.md §8)."""
+    `is None` anti-join and the double-impacts join, SURVEY.md §8).
+
+    ``not_same`` reconciles CSQ/FORMAT header sets across files
+    (vcf.yaml:6, error|union|intersection); ``missing_impact``
+    (vcf.yaml:9, ignore|error) governs per-file header fields outside
+    the reconciled set — union-mode gaps null-fill. ``type_dict``
+    (vcf.yaml ``variant_impacts``) types the impact columns.
+    ``pass_only``/``min_qual`` are the QC gate for the ``filtered_``
+    table families (reference feeds pre-filtered VCFs; here the gate is
+    explicit, mirroring the junctions' min_unique_reads pass).
+    """
     prefix = ("filtered_" if filtered else "") + ("rna_" if rna else "")
     var_t, imp_t, map_t = f"{prefix}variants", f"{prefix}variant_impacts", f"{prefix}sample_variants"
     natural = ["chrom", "pos", "ref", "alt"]
+    types = normalize_type_dict(type_dict)
+    if missing_impact not in ("ignore", "error"):
+        raise ValueError("missing_impact must be 'ignore' or 'error'")
 
-    # Header reconciliation driver-side (S6, snp_functions.py:11-52):
-    # CSQ fields must agree; FORMAT keys are intersected.
-    csq_sets = {tuple(vcf_csq_fields(p)) for _, p in manifest}
-    if len(csq_sets) > 1:
-        raise ValueError("CSQ field sets differ across VCFs")
-    csq_fields = list(csq_sets.pop()) if csq_sets else []
-    fmt = None
-    for _, p in manifest:
-        keys = set(vcf_format_keys(p))
-        fmt = keys if fmt is None else (fmt & keys)
-    format_keys = sorted(fmt or [])
+    # Header reconciliation driver-side (S6, snp_functions.py:11-52).
+    per_file_csq = [vcf_csq_fields(p) for _, p in manifest]
+    csq_fields = reconcile_fields(per_file_csq, not_same)
+    format_keys = reconcile_fields([vcf_format_keys(p) for _, p in manifest], not_same)
+    if missing_impact == "error":
+        for (_, p), fields in zip(manifest, per_file_csq):
+            extra = [f for f in fields if f not in csq_fields]
+            if extra:
+                raise ValueError(f"{extra} is not defined in the vcf config ({p})")
+    # Output impact columns: reconciled order, restricted to the config
+    # when typed (reference coerce drops unconfigured fields).
+    out_csq = [f for f in csq_fields if types is None or f in types]
 
-    parsed = _union_per_sample([
-        read_vcf(spark, p, s, csq_fields=csq_fields, format_keys=format_keys)
-        for s, p in manifest
-    ])
+    def _one_file(s: str, p: str) -> DataFrame:
+        # Parse with the FILE'S OWN header order (CSQ split is positional),
+        # then align to the reconciled set: union-mode gaps become typed
+        # NULL columns (the reference's pandas concat null-fill).
+        own = per_file_csq[[q for _, q in manifest].index(p)]
+        own_kept = [f for f in own if f in csq_fields]
+        df = read_vcf(spark, p, s, csq_fields=own, format_keys=format_keys,
+                      type_dict=types)
+        extra = [f for f in own if f not in csq_fields and (types is None or f in types)]
+        if extra:
+            df = df.drop(*extra)
+        for f in out_csq:
+            if f not in own_kept:
+                sql_t = _SQL_TYPE[types[f]] if types else "string"
+                df = df.withColumn(f, F.lit(None).cast(sql_t))
+        return df
+
+    parsed = _union_per_sample([_one_file(s, p) for s, p in manifest])
+    if pass_only:
+        parsed = parsed.filter(F.col("filter") == "PASS")
+    if min_qual is not None:
+        parsed = parsed.filter(F.col("qual") >= F.lit(float(min_qual)))
 
     master_new = (
         parsed.select("chrom", "pos", "id", "ref", "alt").dropDuplicates(natural)
@@ -163,8 +230,9 @@ def ingest_variants(
                   partition_by=["chrom"])
 
     with_id = parsed.withColumn("variant_id", variant_id())
+    gt_cols = ["gt_alleles", "gt_phased"] if "gt" in format_keys else []
     mapping = with_id.select(
-        "variant_id", "samplename", "qual", "filter", *format_keys
+        "variant_id", "samplename", "qual", "filter", *format_keys, *gt_cols
     ).dropDuplicates(["variant_id", "samplename"])
     if incremental and catalog.exists(map_t):
         # Composite-PK guard (snp_functions.py:171-186): already-loaded
@@ -173,8 +241,15 @@ def ingest_variants(
         mapping = mapping.join(loaded, ["variant_id", "samplename"], "left_anti").localCheckpoint(eager=True)
     catalog.write(mapping, map_t, mode="append" if incremental else "overwrite")
 
-    if csq_fields:
-        impacts = with_id.select("variant_id", *csq_fields).dropDuplicates()
+    if out_csq:
+        impacts = with_id.select("variant_id", *out_csq).dropDuplicates()
+        if incremental and catalog.exists(imp_t):
+            # Anti-join guard mirroring the mapping table's: impacts of
+            # already-loaded variants are skipped, not doubled — without
+            # this every incremental run re-appends impact rows for every
+            # parsed variant and select(impacts=True) joins fan out.
+            loaded = catalog.table(imp_t).select("variant_id").distinct()
+            impacts = impacts.join(loaded, "variant_id", "left_anti").localCheckpoint(eager=True)
         catalog.write(impacts, imp_t, mode="append" if incremental else "overwrite")
 
 
@@ -187,7 +262,10 @@ def create_project(spark: SparkSession, project_dir: str, config: dict | str) ->
       samples: path to sample-metadata TSV (mandatory)
       rna:  {expression: [(sample, genes_path, isoforms_path)],
              junctions: [(sample, sj_path)], min_unique_reads: int}
-      snps: {variants: [(sample, vcf_path)]}
+      snps: {variants|rna_variants|filtered_variants|filtered_rna_variants:
+               [(sample, vcf_path)],
+             filter: {pass_only: bool, min_qual: float},   # derive filtered_*
+             vcf: {not_same, missing_impact, variant_impacts}}  # vcf.yaml
       incremental: bool (reference `create: false`)
 
     Incremental runs re-apply the reference's primary-key duplicate
@@ -238,7 +316,34 @@ def create_project(spark: SparkSession, project_dir: str, config: dict | str) ->
                          filtered=True, incremental=incremental)
 
     snps = (config.get("snps") or {})
-    if snps.get("variants"):
-        ingest_variants(spark, catalog, snps["variants"], incremental=incremental)
+    # vcf.yaml-equivalent knobs (reference vcf.yaml:1-9 + variant_impacts):
+    vcf_params = snps.get("vcf") or {}
+    vcf_kw = dict(
+        not_same=vcf_params.get("not_same", "error"),
+        missing_impact=vcf_params.get("missing_impact", "ignore"),
+        type_dict=vcf_params.get("variant_impacts"),
+    )
+    gate = snps.get("filter") or {}
+    gate_kw = dict(
+        pass_only=bool(gate.get("pass_only", True)),
+        min_qual=gate.get("min_qual"),
+    )
+    # The four table families of reference create_project.py:101-115,
+    # 153-175 + config.yaml:50-57: {,rna_}variants x {,filtered_}. A
+    # filtered family either gets its own pre-filtered file list (the
+    # reference's shape) or derives from the unfiltered list with the
+    # explicit FILTER/qual gate when ``snps.filter`` is configured.
+    for key, rna in (("variants", False), ("rna_variants", True)):
+        files = snps.get(key)
+        if files:
+            ingest_variants(spark, catalog, files, rna=rna,
+                            incremental=incremental, **vcf_kw)
+        filt_files = snps.get(f"filtered_{key}")
+        if filt_files:
+            ingest_variants(spark, catalog, filt_files, rna=rna, filtered=True,
+                            incremental=incremental, **vcf_kw)
+        elif files and gate:
+            ingest_variants(spark, catalog, files, rna=rna, filtered=True,
+                            incremental=incremental, **vcf_kw, **gate_kw)
 
     return catalog

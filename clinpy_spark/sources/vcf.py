@@ -11,14 +11,69 @@ Spark-first shape: ``spark.read.text`` -> filter header lines ->
 lines parse in parallel across executors (no pysam, no driver loop).
 Header introspection (S6) reads only the header lines driver-side,
 matching the reference's per-file metadata pass (snp_functions.py:11-52).
+
+CSQ type coercion (reference snp_functions.py:55-78 ``coerce`` driven by
+vcf.yaml ``variant_impacts: {af: {type: float}, ...}``): each consequence
+field is cast per the config type — '' -> NULL (type-independent), str
+as-is, int/float SQL casts, bool -> TRUE iff present (``bool(non-empty)``
+is always True in the reference, e.g. VEP CANONICAL="YES").
 """
 
 from __future__ import annotations
 
 import gzip
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: vcf.yaml type names -> Spark SQL types (reference coerce(),
+#: snp_functions.py:66-77).
+_SQL_TYPE = {"str": "string", "int": "int", "float": "double", "bool": "boolean"}
+
+#: Default CSQ field typing, mirroring the non-str entries of the
+#: reference's shipped vcf.yaml (distance int :66-67, canonical bool
+#: :84-85, every *_af float :129-208). Fields absent here parse as str.
+DEFAULT_CSQ_TYPES: dict[str, str] = {
+    "distance": "int",
+    "canonical": "bool",
+    **{
+        f: "float"
+        for f in (
+            "af", "afr_af", "amr_af", "eas_af", "eur_af", "sas_af",
+            "aa_af", "ea_af", "exac_af", "exac_adj_af", "exac_afr_af",
+            "exac_amr_af", "exac_eas_af", "exac_fin_af", "exac_nfe_af",
+            "exac_oth_af", "exac_sas_af", "gnomad_af", "gnomad_afr_af",
+            "gnomad_amr_af", "gnomad_asj_af", "gnomad_eas_af",
+            "gnomad_fin_af", "gnomad_nfe_af", "gnomad_oth_af",
+            "gnomad_sas_af", "max_af",
+        )
+    },
+}
+
+
+def normalize_type_dict(type_dict: dict | None) -> dict[str, str] | None:
+    """Accept either ``{field: "float"}`` or the vcf.yaml shape
+    ``{field: {"type": "float", "index": ...}}`` and return the flat
+    lowercase form. ``None`` passes through (= keep all fields as str).
+    """
+    if type_dict is None:
+        return None
+    out = {}
+    for k, v in type_dict.items():
+        t = v["type"] if isinstance(v, dict) else v
+        if t not in _SQL_TYPE:
+            raise ValueError(f"unknown CSQ type {t!r} for field {k!r}")
+        out[k.lower()] = t
+    return out
+
+
+def coerce_csq(col: Column, type_name: str) -> Column:
+    """One CSQ value coerced per the config type (reference
+    snp_functions.py:62-77): '' -> NULL handled upstream; bool -> TRUE
+    iff a value is present (``bool(non-empty str)``)."""
+    if type_name == "bool":
+        return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(F.lit(True))
+    return col.cast(_SQL_TYPE[type_name])
 
 
 def _header_lines(path: str, max_lines: int = 5000) -> list[str]:
@@ -61,17 +116,31 @@ def read_vcf(
     csq_fields: list[str] | None = None,
     format_keys: list[str] | None = None,
     explode_csq: bool = True,
+    type_dict: dict | None = None,
 ) -> DataFrame:
     """-> one row per variant (or per consequence when ``explode_csq``):
     (samplename, chrom, pos, id, ref, alt, qual, filter, <format keys>,
-    csq struct fields...).
+    gt_alleles, gt_phased, csq struct fields...).
 
-    Genotype is kept both raw (``gt``) and as the reference's stringified
-    tuple form ``"(0, 1)"`` (snp_functions.py:103-105) for parity with
-    genotype filters (variants.py:152-158).
+    Genotype is kept raw (``gt`` as the reference's stringified tuple
+    form ``"(0, 1)"``, snp_functions.py:103-105) AND structurally:
+    ``gt_alleles array<int>`` (missing alleles '.' -> NULL elements) plus
+    ``gt_phased`` — SURVEY P8's note that structural filters
+    (multi-allelic, phased) need more than the string form.
+
+    ``type_dict`` (flat or vcf.yaml shape, see :func:`normalize_type_dict`)
+    coerces CSQ columns per config and — matching the reference's
+    ``coerce`` which drops fields absent from the config
+    (snp_functions.py:63-65) — restricts the CSQ output to the configured
+    fields. ``None`` keeps every header field as a string.
+
+    Sites-only VCFs (no FORMAT/sample columns) parse with NULL format
+    values; FORMAT value lists shorter than the key list (spec-legal
+    trailing drop) are NULL-padded instead of erroring.
     """
     csq_fields = csq_fields if csq_fields is not None else vcf_csq_fields(path)
     format_keys = format_keys if format_keys is not None else vcf_format_keys(path)
+    types = normalize_type_dict(type_dict)
 
     lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
     c = F.split("value", "\t")
@@ -84,32 +153,60 @@ def read_vcf(
         c.getItem(4).alias("alt"),
         F.when(c.getItem(5) == ".", None).otherwise(c.getItem(5)).cast("double").alias("qual"),
         c.getItem(6).alias("filter"),
-        c.getItem(7).alias("_info"),
-        c.getItem(8).alias("_format"),
-        c.getItem(9).alias("_sample0"),
+        F.get(c, 7).alias("_info"),       # F.get: NULL (not ANSI error) when
+        F.get(c, 8).alias("_format"),     # the column is absent — sites-only
+        F.get(c, 9).alias("_sample0"),    # VCFs have no FORMAT/sample cols.
     )
 
     # FORMAT: map keys to the first sample's values (snp_functions.py:98-105).
-    fmt_map = F.map_from_arrays(F.split("_format", ":"), F.split("_sample0", ":"))
+    # Values are positionally padded to the key count — the VCF spec allows
+    # trailing FORMAT fields to be dropped per-sample, and map_from_arrays
+    # errors on ragged arrays.
+    keys_arr = F.split("_format", ":")
+    vals_arr = F.split("_sample0", ":")
+    fmt_map = F.map_from_arrays(
+        keys_arr, F.transform(keys_arr, lambda _, i: F.get(vals_arr, i))
+    )
     for key in format_keys:
         df = df.withColumn(key, fmt_map.getItem(key.upper()))
     if "gt" in format_keys:
-        # "0/1" or "0|1" -> "(0, 1)" — the reference's stringified tuple.
         parts = F.split(F.col("gt"), r"[/|]")
         df = df.withColumn(
-            "gt", F.concat(F.lit("("), F.concat_ws(", ", parts), F.lit(")"))
+            "gt_alleles",
+            F.when(
+                F.col("gt").isNull(), F.lit(None).cast("array<int>")
+            ).otherwise(F.transform(parts, lambda a: a.try_cast("int"))),
+        ).withColumn(
+            "gt_phased",
+            F.when(F.col("gt").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.col("gt").contains("|")),
+        )
+        # "0/1" or "0|1" -> "(0, 1)" — the reference's stringified tuple.
+        df = df.withColumn(
+            "gt",
+            F.when(F.col("gt").isNull(), F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("("), F.concat_ws(", ", parts), F.lit(")"))
+            ),
         )
 
     if csq_fields:
+        out_fields = [f for f in csq_fields if types is None or f in types]
+
+        def _one(entry, i, name):
+            raw = F.split(entry, r"\|").getItem(i)
+            base = F.when(raw == "", None).otherwise(raw)
+            if types is not None:
+                base = coerce_csq(base, types[name])
+            return base.alias(name)
+
         # CSQ=a|b|c,a2|b2|c2 -> array of structs -> explode (A9/A10).
         csq_str = F.regexp_extract("_info", r"(?:^|;)CSQ=([^;]*)", 1)
         one = F.transform(
             F.split(csq_str, ","),
             lambda entry: F.struct(*[
-                F.when(F.split(entry, r"\|").getItem(i) == "", None)
-                .otherwise(F.split(entry, r"\|").getItem(i))
-                .alias(name)
+                _one(entry, i, name)
                 for i, name in enumerate(csq_fields)
+                if name in out_fields
             ]),
         )
         df = df.withColumn("csq", F.when(csq_str == "", F.array()).otherwise(one))
