@@ -225,10 +225,17 @@ class Junction:
         pandas IntervalArray becomes a relational union of two
         point-in-interval joins tagged with a literal).
         """
-        tx_ids = transcripts or [r.id for r in self.transcripts().select("id").collect()]
+        if transcripts:
+            keep = lambda t: t.filter(F.col("transcript").isin(transcripts))  # noqa: E731
+        else:
+            # Semi-join against the overlapping-transcripts query — same
+            # plan shape as J8, no driver round-trip (the id list never
+            # materializes on the driver).
+            tx_ids = self.transcripts().select(F.col("id").alias("transcript"))
+            keep = lambda t: t.join(F.broadcast(tx_ids), "transcript", "left_semi")  # noqa: E731
         out = []
         for table, tag in (("exons", "exon"), ("introns", "intron")):
-            t = self._genome().table(table).filter(F.col("transcript").isin(tx_ids))
+            t = keep(self._genome().table(table))
             for point, which in ((self.start, "start"), (self.end, "end")):
                 out.append(
                     t.filter((F.col("start") <= point) & (F.col("end") >= point))

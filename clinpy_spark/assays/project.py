@@ -8,8 +8,6 @@ reference's sample_id/study_id confusion to ``sample_id``).
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -35,21 +33,32 @@ class Project(Assay):
     def annotate_sample(self, sample_id, annotation: dict) -> None:
         """Upsert free-form annotation (reference project.py:41-53, S11).
 
-        Parquet has no point UPDATE; the samples dim is small by design,
-        so this is a read-modify-overwrite of one table — the documented
-        scale stance in SURVEY.md §4.2 (Delta MERGE if it ever grows).
+        ``user_annot`` is a real ``map<string,string>`` (SURVEY §1.5):
+        the new keys MERGE into the existing map (new values win on key
+        collision) instead of replacing the whole blob. Parquet has no
+        point UPDATE; the rewrite goes through a staging directory +
+        atomic swap (same pattern as ``ProjectCatalog.compact``) — no
+        driver collect, and the read of the live table happens inside
+        the staged write job.
         """
         df = self.db.table("samples")
-        payload = json.dumps(annotation, sort_keys=True)
+        new_keys = list(annotation.keys())
+        new_map = F.create_map(*[
+            F.lit(x) for k in new_keys for x in (str(k), str(annotation[k]))
+        ])
+        old = F.coalesce(
+            F.col("user_annot"), F.expr("cast(map() as map<string,string>)")
+        )
+        merged = F.map_concat(
+            F.map_filter(old, lambda k, _: ~k.isin([str(k_) for k_ in new_keys])),
+            new_map,
+        )
         updated = df.withColumn(
             "user_annot",
-            F.when(F.col("sample_id") == F.lit(sample_id), F.lit(payload))
+            F.when(F.col("sample_id") == F.lit(sample_id), merged)
             .otherwise(F.col("user_annot")),
         )
-        # Materialize before overwriting the source directory.
-        rows = updated.collect()
-        out = self.spark.createDataFrame(rows, updated.schema)
-        self.db.write(out, "samples", mode="overwrite")
+        self.db.overwrite_staged(updated, "samples")
 
     def describe(self) -> str:
         """Per-cohort sample counts (reference project.py:56-66, A1)."""

@@ -50,8 +50,12 @@ def load_samples(spark: SparkSession, path: str, columns: list[str] | None = Non
             c.lower() for c in columns if c.lower() not in ("sample_id", "cohort")
         ]
         df = df.select(*keep)
-    if "user_annot" not in df.columns:
-        df = df.withColumn("user_annot", F.lit(None).cast("string"))
+    # user_annot is a real map<string,string> (SURVEY §1.5); a TSV-borne
+    # column arrives as a JSON string and is parsed into the map.
+    if "user_annot" in df.columns:
+        df = df.withColumn("user_annot", F.from_json("user_annot", "map<string,string>"))
+    else:
+        df = df.withColumn("user_annot", F.lit(None).cast("map<string,string>"))
     return df
 
 

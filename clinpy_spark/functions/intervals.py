@@ -83,10 +83,11 @@ def binned_interval_join(
     ``partition_keys`` is a list of (left_col, right_col) equality keys
     (e.g. chrom/strand) prepended to the bin key.
 
-    Points land in exactly one bin, so no post-join dedup is needed for
-    the point case; the interval×interval case dedups on the pair of
-    bin-0 anchors via a distinct over all columns of the joined row
-    (callers keep natural keys in both inputs, per the data model).
+    Points land in exactly one bin; an interval×interval pair meets in
+    every shared bin, so the join emits each pair ONCE by keeping only
+    the first shared bin (``bin == floor(greatest(l_start, r_start) /
+    bin_size)``) — no post-join distinct (a full-row shuffle) and no
+    collapsing of genuinely duplicate input rows.
     """
     bin_l, bin_r = "__bin_l", "__bin_r"
     if left_end is None:
@@ -102,10 +103,12 @@ def binned_interval_join(
         cond = cond & point_in_interval(left[left_start], right[right_start], right[right_end])
     else:
         cond = cond & interval_overlaps(left[left_start], left[left_end], right[right_start], right[right_end])
+        # Emit-once: of the min(bins_l, bins_r) shared bins the pair
+        # meets in, keep only the first — the bin containing the later
+        # of the two starts (same truncation arithmetic as with_bins).
+        first_shared = (
+            F.greatest(left[left_start], right[right_start]) / bin_size
+        ).cast("long")
+        cond = cond & (left[bin_l] == first_shared)
 
-    joined = left.join(right, cond, how).drop(bin_l, bin_r)
-    if left_end is not None:
-        # interval×interval pairs meet in min(bins_l, bins_r) shared bins;
-        # dedup the replicated matches.
-        joined = joined.dropDuplicates()
-    return joined
+    return left.join(right, cond, how).drop(bin_l, bin_r)

@@ -250,17 +250,36 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                             max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 16-bit chunks (a pair within
-    Hamming distance 3 of a 64-bit hash must agree on >=1 of 4 chunks),
-    then exact Hamming filter. Equi-join on chunk value — no n^2 scan.
+    """Near-dup pairs by SimHash: block on ``max_hamming + 1`` bit
+    chunks — by pigeonhole, a pair within Hamming distance ``max_hamming``
+    of a 64-bit hash must agree on at least one chunk — then exact
+    Hamming filter. Equi-join on chunk value, no n^2 scan.
+
+    The chunk count is DERIVED from ``max_hamming`` (4 chunks only
+    guarantee recall for distance <= 3; a fixed chunking silently missed
+    pairs at larger distances). Scale note: recall costs selectivity —
+    n_chunks chunks means ~64/n_chunks-bit bucket values, so large
+    ``max_hamming`` fattens buckets toward the birthday bound; keep it
+    small (<= 7) on big corpora.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError(f"max_hamming={max_hamming} needs {n_chunks} chunks; a 64-bit simhash supports at most 64 (max_hamming <= 63)")
+    bounds = [64 * i // n_chunks for i in range(n_chunks + 1)]
+
+    def _chunk_val(c: int):
+        lo, hi = bounds[c], bounds[c + 1]
+        v = F.shiftright("simhash", lo)
+        if hi - lo < 64:
+            v = v.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+        return v
+
     fps = simhash(df, id_col, text_col)
     chunked = fps.select(
         id_col, "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
-            for c in range(4)
+            F.struct(F.lit(c).alias("chunk"), _chunk_val(c).alias("val"))
+            for c in range(n_chunks)
         ])).alias("ck"),
     ).select(id_col, "simhash", "ck.chunk", "ck.val")
     a = chunked.toDF("id_a", "sh_a", "chunk", "val")

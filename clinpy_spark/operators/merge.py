@@ -38,12 +38,18 @@ def scd2_apply(
     """Type-2 SCD: apply a batch of updates (key cols + attribute cols +
     ``ts_col`` = change time) to a versioned dimension.
 
-    Matching keys' current rows are closed (``end_col`` = the update's
-    change time, ``current_col`` = false); each update row is appended
-    as the new open version (``end_col`` = NULL, current). History rows
-    and untouched keys pass through unchanged. One shuffle on the keys.
+    Matching keys' current rows are closed at the key's EARLIEST update
+    time (``current_col`` = false); the update batch itself is chained
+    per key (window by key ordered by ``ts_col``): each update's
+    ``end_col`` is the next update's change time, and only the latest
+    is the open current version — so a batch with several updates for
+    one key yields exactly one ``is_current`` row and a contiguous
+    version history. Untouched keys pass through unchanged. One shuffle
+    on the keys.
     """
-    upd_times = updates.groupBy(*keys).agg(F.max(ts_col).alias("__new_from"))
+    from pyspark.sql import Window
+
+    upd_times = updates.groupBy(*keys).agg(F.min(ts_col).alias("__new_from"))
 
     closed = (
         dim.join(upd_times, keys, "left")
@@ -60,6 +66,11 @@ def scd2_apply(
         )
         .drop("__new_from")
     )
-    opened = updates.withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType)) \
-                    .withColumn(current_col, F.lit(True))
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    opened = (
+        updates.withColumn(
+            end_col, F.lead(ts_col).over(w).cast(dim.schema[end_col].dataType)
+        )
+        .withColumn(current_col, F.col(end_col).isNull())
+    )
     return closed.unionByName(opened)

@@ -1550,8 +1550,10 @@ def dedup_minhash_lsh_q(spark, sf):
 
 @q("dedup_simhash_pairs")
 def dedup_simhash_pairs_q(spark, sf):
-    # SimHash near-dup pairs via 16-bit chunk blocking + Hamming filter.
-    return simhash_near_duplicates(_t(spark, sf, "documents"), max_hamming=8)
+    # SimHash near-dup pairs; chunk blocking derived from max_hamming
+    # (5 chunks of ~13 bits -> pigeonhole-complete recall at distance 4
+    # with buckets still selective at corpus scale).
+    return simhash_near_duplicates(_t(spark, sf, "documents"), max_hamming=4)
 
 
 @q("dedup_ngram_jaccard")

@@ -75,6 +75,23 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     return df
 
 
+def _atomic_swap(path: str, staging: str) -> None:
+    """Replace the directory at ``path`` with ``staging`` without a
+    window where ``path`` is missing: rename the old directory aside,
+    rename staging into place, then delete the old copy. A crash leaves
+    either the old or the new table at ``path``, never neither."""
+    import shutil
+
+    old = path.rstrip("/") + ".__old__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 class ProjectCatalog:
     """Lazy table access over a directory of Parquet tables.
 
@@ -141,8 +158,6 @@ class ProjectCatalog:
         atomically replaces via a staging directory. Returns the new
         file count.
         """
-        import shutil
-
         path = self.path(name)
         total = sum(
             os.path.getsize(os.path.join(dp, f))
@@ -156,12 +171,24 @@ class ProjectCatalog:
             df = df.coalesce(n_files)
         staging = path.rstrip("/") + ".__compact__"
         df.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(path)
-        os.rename(staging, path)
+        _atomic_swap(path, staging)
         self._cache.pop(name, None)
         return sum(
             1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
         )
+
+    def overwrite_staged(self, df: DataFrame, name: str) -> None:
+        """Overwrite a table whose new contents are DERIVED FROM ITSELF
+        (read-transform-overwrite, e.g. a point update): write to a
+        staging directory first — the read of the live table happens
+        during that job, executor-side — then atomically swap. No
+        driver collect, no window with the table missing.
+        """
+        path = self.path(name)
+        staging = path.rstrip("/") + ".__staged__"
+        df.write.mode("overwrite").parquet(staging)
+        _atomic_swap(path, staging)
+        self._cache.pop(name, None)
 
     def write_bucketed(
         self,

@@ -130,8 +130,12 @@ def test_annotate_sample(spark, project):
     p = Project(catalog)
     p.annotate_sample("s1", {"note": "relapse"})
     row = p.samples(samples=["s1"]).collect()[0]
-    assert "relapse" in row.user_annot
+    assert row.user_annot == {"note": "relapse"}  # map access, not a JSON blob
     assert p.samples(samples=["s2"]).collect()[0].user_annot is None
+    # Second annotation MERGES keys (new value wins), not replaces the map.
+    p.annotate_sample("s1", {"note": "remission", "stage": "II"})
+    row = p.samples(samples=["s1"]).collect()[0]
+    assert row.user_annot == {"note": "remission", "stage": "II"}
 
 
 def test_expression_long_and_pivot(spark, project):

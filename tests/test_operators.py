@@ -314,3 +314,49 @@ def test_near_dup_clusters_and_apply(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], "id_a long, id_b long")
     cl = {r.doc_id: r.cluster_id for r in near_dup_clusters(chain).collect()}
     assert set(cl.values()) == {1} and len(cl) == 7
+
+
+def test_scd2_multiple_updates_same_key_in_batch(spark):
+    """ADVICE r1: a batch with several updates for one key must chain
+    versions — exactly one is_current row per key, each non-final update
+    closed at the next update's change time."""
+    import datetime as dt
+
+    from clinpy_spark.operators.merge import scd2_apply
+
+    t0, t1, t2 = (dt.datetime(2024, m, 1) for m in (1, 6, 9))
+    dim = spark.createDataFrame(
+        [(1, "NYC", t0, None, True)],
+        "k long, city string, effective_from timestamp, effective_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "SF", t1), (1, "SEA", t2)],
+        "k long, city string, effective_from timestamp",
+    )
+    out = scd2_apply(dim, updates, keys=["k"]).collect()
+    current = [r for r in out if r.is_current]
+    assert len(current) == 1 and current[0].city == "SEA" and current[0].effective_to is None
+    by_city = {r.city: r for r in out}
+    assert by_city["NYC"].effective_to == t1      # closed at EARLIEST update
+    assert by_city["SF"].effective_to == t2       # chained to next version
+    assert not by_city["SF"].is_current
+    assert len(out) == 3
+
+
+def test_simhash_chunks_derived_from_max_hamming(spark, docs):
+    """ADVICE r1: the chunk count follows the pigeonhole requirement, so
+    pairs beyond distance 3 are found when max_hamming says so."""
+    from clinpy_spark.operators.dedup import simhash, simhash_near_duplicates
+
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    # Pick the largest inter-doc distance present and ask for it: the old
+    # fixed 4x16-bit blocking only guaranteed recall for distance <= 3.
+    ids = sorted(fps)
+    dists = {(a, b): bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+             for a in ids for b in ids if a < b}
+    far_pair, far = max(dists.items(), key=lambda kv: kv[1])
+    pairs = {(r.id_a, r.id_b) for r in
+             simhash_near_duplicates(docs, max_hamming=far).collect()}
+    assert set(dists) == pairs  # every pair within the asked distance: complete recall
+    with pytest.raises(ValueError, match="at most 64"):
+        simhash_near_duplicates(docs, max_hamming=64)

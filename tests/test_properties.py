@@ -136,3 +136,33 @@ def test_asof_join_matches_duckdb(spark, left, right):
         ).fetchall()
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(left=_intervals, right=_intervals, bin_size=_bin, dup=st.integers(2, 3))
+def test_binned_interval_join_preserves_duplicate_rows(spark, left, right, bin_size, dup):
+    """Emit-once via first-shared-bin must NOT collapse genuinely
+    duplicate input rows (the old all-column dropDuplicates did): each
+    of the `dup` copies of a left row matches independently."""
+    from collections import Counter
+
+    ldf = spark.createDataFrame(
+        [(s, e) for (s, e) in left for _ in range(dup)], "ls long, le long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(right)], "rid long, rs long, re long"
+    )
+    naive = Counter(
+        (r.ls, r.le, r.rid)
+        for r in ldf.crossJoin(rdf)
+        .filter(interval_overlaps("ls", "le", "rs", "re"))
+        .collect()
+    )
+    binned = Counter(
+        (r.ls, r.le, r.rid)
+        for r in binned_interval_join(
+            ldf, rdf, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_size=bin_size,
+        ).collect()
+    )
+    assert binned == naive
