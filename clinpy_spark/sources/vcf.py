@@ -76,6 +76,47 @@ def coerce_csq(col: Column, type_name: str) -> Column:
     return col.cast(_SQL_TYPE[type_name])
 
 
+def csq_struct(entry: Column, fields: list[str], types: dict[str, str] | None) -> Column:
+    """One pipe-packed CSQ entry ("a|b|c") -> typed struct: positional
+    split per ``fields``, '' -> NULL, then per-field coercion. The parse
+    core of :func:`read_vcf`, reusable over any string column."""
+    out_fields = [f for f in fields if types is None or f in types]
+
+    def _one(i, name):
+        raw = F.split(entry, r"\|").getItem(i)
+        base = F.when(raw == "", None).otherwise(raw)
+        if types is not None:
+            base = coerce_csq(base, types[name])
+        return base.alias(name)
+
+    return F.struct(*[
+        _one(i, name) for i, name in enumerate(fields) if name in out_fields
+    ])
+
+
+def gt_alleles_expr(gt: Column) -> Column:
+    """Raw genotype string ("0/1", "1|2", "./.") -> ``array<int>`` with
+    missing alleles as NULL elements (SURVEY P8 structural form)."""
+    parts = F.split(gt, r"[/|]")
+    return F.when(gt.isNull(), F.lit(None).cast("array<int>")).otherwise(
+        F.transform(parts, lambda a: a.try_cast("int"))
+    )
+
+
+def gt_phased_expr(gt: Column) -> Column:
+    """True iff the genotype separator is '|' (phased)."""
+    return F.when(gt.isNull(), F.lit(None).cast("boolean")).otherwise(gt.contains("|"))
+
+
+def gt_tuple_expr(gt: Column) -> Column:
+    """"0/1" or "0|1" -> "(0, 1)" — the reference's stringified tuple
+    form (snp_functions.py:103-105)."""
+    parts = F.split(gt, r"[/|]")
+    return F.when(gt.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("("), F.concat_ws(", ", parts), F.lit(")"))
+    )
+
+
 def _header_lines(path: str, max_lines: int = 5000) -> list[str]:
     opener = gzip.open if path.endswith(".gz") else open
     out = []
@@ -170,44 +211,18 @@ def read_vcf(
     for key in format_keys:
         df = df.withColumn(key, fmt_map.getItem(key.upper()))
     if "gt" in format_keys:
-        parts = F.split(F.col("gt"), r"[/|]")
-        df = df.withColumn(
-            "gt_alleles",
-            F.when(
-                F.col("gt").isNull(), F.lit(None).cast("array<int>")
-            ).otherwise(F.transform(parts, lambda a: a.try_cast("int"))),
-        ).withColumn(
-            "gt_phased",
-            F.when(F.col("gt").isNull(), F.lit(None).cast("boolean"))
-            .otherwise(F.col("gt").contains("|")),
-        )
-        # "0/1" or "0|1" -> "(0, 1)" — the reference's stringified tuple.
-        df = df.withColumn(
-            "gt",
-            F.when(F.col("gt").isNull(), F.lit(None).cast("string")).otherwise(
-                F.concat(F.lit("("), F.concat_ws(", ", parts), F.lit(")"))
-            ),
+        df = (
+            df.withColumn("gt_alleles", gt_alleles_expr(F.col("gt")))
+            .withColumn("gt_phased", gt_phased_expr(F.col("gt")))
+            .withColumn("gt", gt_tuple_expr(F.col("gt")))
         )
 
     if csq_fields:
-        out_fields = [f for f in csq_fields if types is None or f in types]
-
-        def _one(entry, i, name):
-            raw = F.split(entry, r"\|").getItem(i)
-            base = F.when(raw == "", None).otherwise(raw)
-            if types is not None:
-                base = coerce_csq(base, types[name])
-            return base.alias(name)
-
-        # CSQ=a|b|c,a2|b2|c2 -> array of structs -> explode (A9/A10).
+        # CSQ=a|b|c,a2|b2|c2 -> array of typed structs -> explode (A9/A10).
         csq_str = F.regexp_extract("_info", r"(?:^|;)CSQ=([^;]*)", 1)
         one = F.transform(
             F.split(csq_str, ","),
-            lambda entry: F.struct(*[
-                _one(entry, i, name)
-                for i, name in enumerate(csq_fields)
-                if name in out_fields
-            ]),
+            lambda entry: csq_struct(entry, csq_fields, types),
         )
         df = df.withColumn("csq", F.when(csq_str == "", F.array()).otherwise(one))
         if explode_csq:
