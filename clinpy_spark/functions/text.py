@@ -123,6 +123,15 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def prefix_fingerprint(text: Column | str, n_chars: int = 40) -> Column:
+    """md5 of the first ``n_chars`` characters of the normalized text —
+    the cheap boilerplate-dedup key (documents sharing a leading
+    template collide even when tails differ). Character-based substring,
+    so multibyte scripts hash identically across engines."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.md5(F.substring(norm, 1, n_chars))
+
+
 def rolling_fingerprint(text: Column | str, base: int = 1_000_003,
                         modulus: int = 2_147_483_647) -> Column:
     """Order-sensitive rolling (polynomial / Rabin-style) fingerprint over

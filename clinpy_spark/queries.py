@@ -30,6 +30,7 @@ from clinpy_spark.functions.text import (
     LANG_STOPWORDS,
     fingerprint,
     lang_id,
+    prefix_fingerprint,
     punct_ratio,
     token_count,
     upper_ratio,
@@ -1672,6 +1673,79 @@ def u1_grouped_filter_q(spark, sf):
         return pdf[pdf["value"] >= pdf["value"].mean()][["event_id"]]
 
     return ev.groupBy("user_id").applyInPandas(keep_above_mean, schema="event_id long")
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline — the end-to-end training-data pass (lang -> noise ->
+# length -> exact dedup) as ONE labeled scan + one window shuffle.
+# ---------------------------------------------------------------------------
+
+_CURATE_SQL_LAB = """
+  SELECT doc_id, lang, text,
+    CASE WHEN lang NOT IN ('en', 'de') THEN 'lang'
+         WHEN length(text) * 1.0 / greatest(
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)
+              >= 5.6 THEN 'gibberish'
+         WHEN (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END)
+              NOT BETWEEN 25 AND 80 THEN 'length'
+    END AS gate,
+    md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 40)) AS fp
+  FROM documents
+"""
+_CURATE_SQL_DEDUP = f"""
+WITH lab AS ({_CURATE_SQL_LAB}),
+dup AS (
+  SELECT doc_id, lang, gate, text,
+         CASE WHEN gate IS NULL AND row_number() OVER (
+                PARTITION BY fp, gate IS NULL ORDER BY doc_id) > 1
+              THEN 'duplicate' ELSE gate END AS gate2
+  FROM lab)
+"""
+
+
+def _curate_gates():
+    # Gates tuned so every stage fires on the synthetic corpus: language
+    # whitelist, mean-token-length gibberish heuristic, token band; the
+    # duplicate gate keys on the 40-char prefix fingerprint (boilerplate
+    # dedup — full-text fingerprints never collide in this corpus).
+    ntok = token_count(F.col("text"))
+    chars_per_tok = F.length("text") / F.greatest(ntok, F.lit(1))
+    return [
+        ("lang", ~F.col("lang").isin("en", "de")),
+        ("gibberish", chars_per_tok >= 5.6),
+        ("length", ~ntok.between(25, 80)),
+    ]
+
+
+@q("curate_stats", _CURATE_SQL_DEDUP + """
+SELECT coalesce(gate2, 'kept') AS gate, count(*) AS n
+FROM dup GROUP BY coalesce(gate2, 'kept')
+""")
+def curate_stats_q(spark, sf):
+    # Per-gate drop report of the standard curation pass: first-failing-
+    # gate when-chain + fingerprint-window duplicate gate, audited in a
+    # single job (no per-stage count actions).
+    from clinpy_spark.operators.curate import curation_stats
+
+    return curation_stats(
+        _t(spark, sf, "documents"), _curate_gates(), dedup_on=prefix_fingerprint("text")
+    )
+
+
+@q("curate_kept_by_lang", _CURATE_SQL_DEDUP + """
+SELECT lang, count(*) AS n
+FROM dup WHERE gate2 IS NULL GROUP BY lang
+""")
+def curate_kept_by_lang_q(spark, sf):
+    # The curated output itself (rows surviving every gate), summarized.
+    from clinpy_spark.operators.curate import curate
+
+    kept = curate(
+        _t(spark, sf, "documents"), _curate_gates(), dedup_on=prefix_fingerprint("text")
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n"))
 
 
 # ---------------------------------------------------------------------------

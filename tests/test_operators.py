@@ -360,3 +360,40 @@ def test_simhash_chunks_derived_from_max_hamming(spark, docs):
     assert set(dists) == pairs  # every pair within the asked distance: complete recall
     with pytest.raises(ValueError, match="at most 64"):
         simhash_near_duplicates(docs, max_hamming=64)
+
+
+def test_curation_pipeline_single_pass(spark):
+    """Curation gates: first-failing-gate priority, dedup-keeps-first-id,
+    duplicates of DROPPED rows are not themselves dropped, and the stats
+    report reconciles with the curated output."""
+    from pyspark.sql import functions as F
+
+    from clinpy_spark.operators.curate import curate, curation_stats, label_gates
+
+    rows = [
+        (1, "en", "good text one"),        # kept
+        (2, "en", "good text one"),        # duplicate of 1
+        (3, "fr", "good text one"),        # lang (fails BEFORE dup: gate order)
+        (4, "en", "bad"),                  # short
+        (5, "en", "bad"),                  # short too — dup of a DROPPED row: still 'short', not 'duplicate'
+        (6, "en", "another keeper here"),  # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    gates = [
+        ("lang", ~F.col("lang").isin("en")),
+        ("short", F.size(F.split("text", " ")) < 3),
+    ]
+    from clinpy_spark.functions.text import fingerprint
+
+    lab = {r.doc_id: r.gate for r in
+           label_gates(df, gates, dedup_on=fingerprint("text")).collect()}
+    assert lab == {1: None, 2: "duplicate", 3: "lang", 4: "short", 5: "short", 6: None}
+
+    kept = curate(df, gates, dedup_on=fingerprint("text"))
+    assert {r.doc_id for r in kept.collect()} == {1, 6}
+    assert kept.columns == ["doc_id", "lang", "text"]  # gate column dropped
+
+    stats = {r.gate: r.n for r in
+             curation_stats(df, gates, dedup_on=fingerprint("text")).collect()}
+    assert stats == {"kept": 2, "duplicate": 1, "lang": 1, "short": 2}
+    assert sum(stats.values()) == df.count()
