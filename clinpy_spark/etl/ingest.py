@@ -157,6 +157,7 @@ def ingest_variants(
     type_dict: dict | None = None,
     pass_only: bool = False,
     min_qual: float | None = None,
+    split_multiallelic: bool = False,
 ) -> None:
     """VCFs -> variants master + impacts + sample_variants mapping
     (snp_functions.py:189-295 reshaped: CSQ explode at parse, hash
@@ -199,7 +200,7 @@ def ingest_variants(
         own = per_file_csq[[q for _, q in manifest].index(p)]
         own_kept = [f for f in own if f in csq_fields]
         df = read_vcf(spark, p, s, csq_fields=own, format_keys=format_keys,
-                      type_dict=types)
+                      type_dict=types, split_multiallelic=split_multiallelic)
         extra = [f for f in own if f not in csq_fields and (types is None or f in types)]
         if extra:
             df = df.drop(*extra)
@@ -326,6 +327,7 @@ def create_project(spark: SparkSession, project_dir: str, config: dict | str) ->
         not_same=vcf_params.get("not_same", "error"),
         missing_impact=vcf_params.get("missing_impact", "ignore"),
         type_dict=vcf_params.get("variant_impacts"),
+        split_multiallelic=bool(vcf_params.get("split_multiallelic", False)),
     )
     gate = snps.get("filter") or {}
     gate_kw = dict(

@@ -117,6 +117,20 @@ def gt_tuple_expr(gt: Column) -> Column:
     )
 
 
+def gt_tuple_from_alleles(alleles: Column) -> Column:
+    """``array<int>`` allele form back to the stringified tuple (missing
+    alleles render as '.')."""
+    return F.when(alleles.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("("),
+            F.concat_ws(
+                ", ", F.transform(alleles, lambda a: F.coalesce(a.cast("string"), F.lit(".")))
+            ),
+            F.lit(")"),
+        )
+    )
+
+
 def _header_lines(path: str, max_lines: int = 5000) -> list[str]:
     opener = gzip.open if path.endswith(".gz") else open
     out = []
@@ -158,6 +172,7 @@ def read_vcf(
     format_keys: list[str] | None = None,
     explode_csq: bool = True,
     type_dict: dict | None = None,
+    split_multiallelic: bool = False,
 ) -> DataFrame:
     """-> one row per variant (or per consequence when ``explode_csq``):
     (samplename, chrom, pos, id, ref, alt, qual, filter, <format keys>,
@@ -178,6 +193,14 @@ def read_vcf(
     Sites-only VCFs (no FORMAT/sample columns) parse with NULL format
     values; FORMAT value lists shorter than the key list (spec-legal
     trailing drop) are NULL-padded instead of erroring.
+
+    ``split_multiallelic=True`` goes beyond the reference (which keeps
+    only ``var.alts[0]``, snp_functions.py:101): ALT "G,T" explodes to
+    one row per alt allele with 1-based ``allele_idx``, and the
+    genotype renormalizes per row bcftools-norm style (alleles matching
+    this alt -> 1, any other -> 0, missing stays NULL) in both the
+    array and tuple-string forms. CSQ rows replicate across the split
+    (VEP's per-allele matching is annotation-side, documented caveat).
     """
     csq_fields = csq_fields if csq_fields is not None else vcf_csq_fields(path)
     format_keys = format_keys if format_keys is not None else vcf_format_keys(path)
@@ -216,6 +239,22 @@ def read_vcf(
             .withColumn("gt_phased", gt_phased_expr(F.col("gt")))
             .withColumn("gt", gt_tuple_expr(F.col("gt")))
         )
+
+    if split_multiallelic:
+        df = df.withColumn(
+            "allele_idx",
+            F.explode(F.sequence(F.lit(1), F.size(F.split("alt", ",")))),
+        ).withColumn("alt", F.element_at(F.split("alt", ","), F.col("allele_idx")))
+        if "gt" in format_keys:
+            renorm = F.transform(
+                "gt_alleles",
+                lambda a: F.when(a.isNull(), F.lit(None).cast("int"))
+                .when(a == F.col("allele_idx"), 1)
+                .otherwise(0),
+            )
+            df = df.withColumn("gt_alleles", renorm).withColumn(
+                "gt", gt_tuple_from_alleles(F.col("gt_alleles"))
+            )
 
     if csq_fields:
         # CSQ=a|b|c,a2|b2|c2 -> array of typed structs -> explode (A9/A10).

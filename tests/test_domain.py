@@ -559,3 +559,29 @@ def test_vcf_format_padding_and_sites_only(spark, tmp_path):
     r = read_vcf(spark, str(sites), "sX").collect()[0]
     assert r.gt is None and r.gt_alleles is None and r.dp is None
     assert r.consequence == "missense_variant"
+
+
+def test_split_multiallelic(spark, tmp_path):
+    """ALT "G,T" splits to one row per allele with bcftools-norm-style
+    genotype renormalization (beyond the reference, which keeps only
+    alts[0] — snp_functions.py:101)."""
+    from clinpy_spark.sources.vcf import read_vcf
+
+    vcf = tmp_path / "ma.vcf"
+    _write(vcf, VCF_HEADER
+           + "chr1\t100\t.\tA\tG,T\t50.0\tPASS\tCSQ=missense_variant|MODERATE|GENE1|g1\tGT:DP\t1|2:10\n"
+           + "chr1\t200\t.\tC\tT\t40.0\tPASS\tCSQ=intron_variant|MODIFIER|GENE1|g1\tGT:DP\t0/1:8\n"
+           + "chr1\t300\t.\tG\tA,C\t30.0\tPASS\tCSQ=stop_gained|HIGH|GENE2|g2\tGT:DP\t./.:2\n")
+    rows = read_vcf(spark, str(vcf), "sX", split_multiallelic=True).collect()
+    by_key = {(r.pos, r.allele_idx): r for r in rows}
+    assert len(rows) == 5  # 2 + 1 + 2
+    r1 = by_key[(100, 1)]
+    assert r1.alt == "G" and r1.gt_alleles == [1, 0] and r1.gt == "(1, 0)" and r1.gt_phased
+    r2 = by_key[(100, 2)]
+    assert r2.alt == "T" and r2.gt_alleles == [0, 1] and r2.gt == "(0, 1)"
+    bi = by_key[(200, 1)]
+    assert bi.alt == "T" and bi.gt_alleles == [0, 1] and bi.gt == "(0, 1)"
+    miss = by_key[(300, 2)]
+    assert miss.alt == "C" and miss.gt_alleles == [None, None] and miss.gt == "(., .)"
+    # CSQ replicates across the split (annotation-side matching caveat)
+    assert r1.consequence == r2.consequence == "missense_variant"
