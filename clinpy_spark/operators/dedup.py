@@ -117,13 +117,32 @@ def minhash_near_duplicates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # Materialized once at first action (lazy checkpoint): the verify
+        # step references candidates twice (pair list + the semi-join
+        # below), and without this the whole signature+banding subtree
+        # would execute twice. Candidate pairs are tiny next to the
+        # corpus, so checkpointing them is cheap at any scale.
+        .localCheckpoint(eager=False)
     )
 
     # Exact Jaccard on candidates, over hashed shingle SETS (identical
     # value to string-shingle Jaccard modulo 64-bit collisions, and skips
-    # rebuilding shingle strings for both join legs).
-    sh = df.select(F.col(id_col), token_hashes(text_col).alias("__th")).select(
-        F.col(id_col), F.array_distinct(hashed_shingles_from("__th", shingle_n)).alias("sh")
+    # rebuilding shingle strings for both join legs). Tokenize ONLY the
+    # documents that appear in a candidate pair (semi-join first): LSH
+    # prunes the corpus, so the verify pass must not re-scan all of it.
+    # No distinct: left_semi is insensitive to duplicate build-side keys,
+    # so deduping here would only add a shuffle.
+    cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
+        candidates.select(F.col("id_b").alias(id_col))
+    )
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), token_hashes(text_col).alias("__th"))
+        .select(
+            F.col(id_col), F.array_distinct(hashed_shingles_from("__th", shingle_n)).alias("sh")
+        )
+        # Referenced as both join legs (sh_a / sh_b) — materialize once.
+        .localCheckpoint(eager=False)
     )
     verified = (
         candidates.join(sh.toDF("id_a", "sh_a"), "id_a")
