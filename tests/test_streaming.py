@@ -98,3 +98,47 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     q.awaitTermination(120)
     out = {r.props: r.first_event_id for r in spark.sql("select * from firstseen").collect()}
     assert out == {"a": 1, "b": 3}
+
+
+def test_streaming_curation_twin(spark, tmp_path):
+    """Streaming curation: same gate exprs as the batch operator, with
+    dropDuplicatesWithinWatermark as the stateful first-seen dup gate."""
+    import json as _json
+
+    from clinpy_spark.functions.text import fingerprint
+    from clinpy_spark.streaming.curate import streaming_curate, streaming_curation_stats
+
+    docs = [
+        (1, T0, "en", "alpha beta gamma"),
+        (2, T0 + dt.timedelta(minutes=1), "en", "alpha beta gamma"),   # dup of 1
+        (3, T0 + dt.timedelta(minutes=2), "fr", "bonjour le monde"),   # lang gate
+        (4, T0 + dt.timedelta(minutes=3), "en", "x"),                  # short gate
+        (5, T0 + dt.timedelta(minutes=4), "en", "delta epsilon zeta"),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "part-0.json", "w") as fh:
+        for did, ts, lang, text in docs:
+            fh.write(_json.dumps(
+                {"doc_id": did, "ts": ts.isoformat(), "lang": lang, "text": text}) + "\n")
+
+    schema = "doc_id long, ts timestamp, lang string, text string"
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    gates = [
+        ("lang", ~F.col("lang").isin("en")),
+        ("short", F.size(F.split("text", " ")) < 2),
+    ]
+
+    kept = streaming_curate(stream, gates, dedup_on=fingerprint("text"))
+    q = (kept.writeStream.format("memory").queryName("cur_kept")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = {r.doc_id for r in spark.sql("select * from cur_kept").collect()}
+    assert ids == {1, 5}  # first-seen dedup dropped 2; gates dropped 3, 4
+    cols = spark.sql("select * from cur_kept").columns
+    assert "__fp" not in cols and "gate" not in cols
+
+    stats = _run_stream(
+        spark, streaming_curation_stats(stream, gates), "cur_stats"
+    ).collect()
+    assert {r.gate: r.n for r in stats} == {"kept": 3, "lang": 1, "short": 1}
