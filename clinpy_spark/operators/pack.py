@@ -1,0 +1,76 @@
+"""Sequence packing and vocabulary building for training pipelines.
+
+Two standard pre-training data ops expressed as pure window/aggregate
+plans:
+
+- :func:`pack_chunks` — greedy sequential packing of documents into
+  token-budget chunks (the "sequence packing" step before tokenized
+  examples are written): a running token total per group (window cumsum,
+  one shuffle) assigns each document to chunk ``floor((cumsum - n_tok) /
+  budget)``. Deterministic given the order column; documents larger than
+  the budget occupy their own chunk(s) boundary-aligned, matching the
+  greedy streaming packer.
+- :func:`vocab_topk` — corpus token frequencies -> the top-k vocabulary
+  with dense ranks (explode + count is map-side combined; the rank
+  window shuffles only the distinct-token table, which is vocabulary-
+  sized, not corpus-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.text import token_count, tokens
+
+
+def pack_chunks(
+    df: DataFrame,
+    *,
+    budget: int = 2048,
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document a ``chunk_id`` within its group such that
+    consecutive documents (by ``order_col``) share a chunk until the
+    token budget would overflow."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ntok = token_count(F.col(text_col))
+    return df.select(
+        F.col(group_col),
+        F.col(order_col),
+        ntok.alias("n_tok"),
+        F.floor((F.sum(ntok).over(w) - ntok) / budget).alias("chunk_id"),
+    )
+
+
+def pack_chunk_stats(df: DataFrame, *, budget: int = 2048, group_col: str = "lang",
+                     order_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-chunk packing report: document count and token fill."""
+    packed = pack_chunks(df, budget=budget, group_col=group_col,
+                         order_col=order_col, text_col=text_col)
+    return packed.groupBy(group_col, "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+    )
+
+
+def vocab_topk(df: DataFrame, *, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Top-``k`` tokens by corpus frequency with a dense vocabulary id
+    (1 = most frequent; ties broken by token text for determinism)."""
+    tok = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        tok.withColumn("vocab_id", F.row_number().over(w))
+        .filter(F.col("vocab_id") <= k)
+    )

@@ -1676,6 +1676,53 @@ def u1_grouped_filter_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Packing / vocabulary — pre-training data preparation ops.
+# ---------------------------------------------------------------------------
+
+@q("text_pack_chunks", """
+WITH t AS (
+  SELECT lang, doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents),
+p AS (
+  SELECT lang, doc_id, n_tok,
+    CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0)
+         AS BIGINT) AS chunk_id
+  FROM t)
+SELECT lang, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+FROM p GROUP BY lang, chunk_id
+""")
+def text_pack_chunks_q(spark, sf):
+    # Sequence packing: greedy token-budget chunk assignment per lang via
+    # a window cumsum (one shuffle), the step before tokenized training
+    # examples are written.
+    from clinpy_spark.operators.pack import pack_chunk_stats
+
+    return pack_chunk_stats(_t(spark, sf, "documents"), budget=512)
+
+
+@q("text_vocab_topk", """
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents),
+f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM tok WHERE token <> '' GROUP BY token)
+SELECT token, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS vocab_id
+FROM f QUALIFY vocab_id <= 100
+""")
+def text_vocab_topk_q(spark, sf):
+    # Vocabulary build: corpus token frequencies -> top-k with dense ids;
+    # the rank window shuffles only the vocabulary-sized distinct-token
+    # table (explode+count is map-side combined).
+    from clinpy_spark.operators.pack import vocab_topk
+
+    return vocab_topk(_t(spark, sf, "documents"), k=100)
+
+
+# ---------------------------------------------------------------------------
 # Curation pipeline — the end-to-end training-data pass (lang -> noise ->
 # length -> exact dedup) as ONE labeled scan + one window shuffle.
 # ---------------------------------------------------------------------------

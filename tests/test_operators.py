@@ -397,3 +397,27 @@ def test_curation_pipeline_single_pass(spark):
              curation_stats(df, gates, dedup_on=fingerprint("text")).collect()}
     assert stats == {"kept": 2, "duplicate": 1, "lang": 1, "short": 2}
     assert sum(stats.values()) == df.count()
+
+
+def test_pack_chunks_and_vocab(spark):
+    """Greedy token-budget packing: chunk changes when the running total
+    would overflow; an oversized doc occupies its own chunk span. Vocab:
+    dense ids, deterministic tie-break."""
+    from clinpy_spark.operators.pack import pack_chunks, vocab_topk
+
+    rows = [
+        (1, "en", "a b c"),            # 3 tok, cum 3  -> chunk 0
+        (2, "en", "d e f g"),          # 4 tok, cum 7  -> chunk 0
+        (3, "en", " ".join(["x"] * 12)),  # 12 tok, cum 19 -> chunk 0 (starts at 7 < 10)
+        (4, "en", "h i"),              # cum 21 -> chunk 1 (starts at 19)
+        (5, "fr", "aa bb"),            # separate group restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    packed = {r.doc_id: r.chunk_id for r in pack_chunks(df, budget=10).collect()}
+    assert packed == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0}
+
+    vocab = vocab_topk(df, k=3).collect()
+    assert [r.vocab_id for r in vocab] == [1, 2, 3]
+    assert vocab[0].token == "x" and vocab[0].freq == 12
+    # ties (freq 1) break by token text ascending
+    assert vocab[1].freq == 1 and vocab[1].token == "a" and vocab[2].token == "aa"
