@@ -48,6 +48,74 @@ def brute_force_topk(
     )
 
 
+def _sq_dist(v, ctr):
+    """Squared L2 between two array columns, all built-in expressions."""
+    return F.aggregate(F.zip_with(v, ctr, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def fit_centroids(
+    c: DataFrame,
+    n_centroids: int,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    max_iter: int = 10,
+    vec_col: str = "__cv",
+) -> DataFrame | None:
+    """KMeans coarse quantizer -> tiny (cell, __ctr) DataFrame, or None
+    for an empty corpus. Trains on a driver-bounded SAMPLE (default
+    min(1, 100k/|corpus|) — at 100 TB the model never sees more than
+    ~100k vectors); a coarse quantizer doesn't need convergence, so
+    iterations are capped."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if train_fraction is None:
+        n = c.count()
+        train_fraction = min(1.0, 100_000 / max(n, 1))
+    train = c.sample(fraction=train_fraction, seed=seed) if train_fraction < 1.0 else c
+    n_train = train.count()  # tiny-corpus guard: KMeans needs k <= n
+    if n_train == 0:
+        return None
+    n_centroids = max(1, min(n_centroids, n_train))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", maxIter=max_iter)
+    model = km.fit(train.select(array_to_vector(vec_col).alias("__fv")))
+    return c.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, __ctr array<double>",
+    )
+
+
+def _nearest_cells(df: DataFrame, cents: DataFrame, id_name: str, vec_name: str,
+                   n: int) -> DataFrame:
+    """Each row's ``n`` nearest cells: broadcast join against the
+    constant-size centroid table, argmin via rank window (JVM-side, no
+    Python in the per-row path)."""
+    w = Window.partitionBy(id_name).orderBy(F.asc("__d"), F.asc("cell"))
+    return (
+        df.join(F.broadcast(cents))
+        .withColumn("__d", _sq_dist(F.col(vec_name).cast("array<double>"), F.col("__ctr")))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .select(id_name, vec_name, "cell")
+    )
+
+
+def _probe_topk(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
+    """Score probe×cell candidates (equi-join on cell) and cut top-k."""
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("__sim", cosine_similarity("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "match_id", F.round("__sim", 4).alias("cosine_sim"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -64,83 +132,80 @@ def ivf_topk(
     partitions the corpus into cells; each query scores only the cells of
     its ``n_probe`` nearest centroids.
 
-    Scale shape: the quantizer trains on a driver-bounded SAMPLE of the
-    corpus (train_fraction defaults to min(1, 100k/|corpus| rows) — at
-    100 TB the model never sees more than ~100k vectors); cell assignment
-    is a broadcast hash join against the tiny centroid table with the
-    argmin computed as built-in expressions (JVM-side, no Python in the
-    per-row path); the probe->candidate step is an equi-join on cell id,
+    Scale shape: quantizer trained on a bounded sample (fit_centroids);
+    cell assignment and probing are broadcast joins against the tiny
+    centroid table; the probe->candidate step is an equi-join on cell id,
     so scored pairs shrink by ~n_probe/n_centroids vs brute force.
-    ``n_probe == n_centroids`` degrades gracefully to exact search.
+    ``n_probe == n_centroids`` degrades gracefully to exact search. For
+    repeated query batches against one corpus, build the index ONCE with
+    :func:`build_ivf_index` and search via :func:`ivf_index_topk`.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
     q = ensure_min_parallelism(queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-
-    if train_fraction is None:
-        n = c.count()
-        train_fraction = min(1.0, 100_000 / max(n, 1))
-    train = c.sample(fraction=train_fraction, seed=seed) if train_fraction < 1.0 else c
-    # Tiny-corpus guard: KMeans needs k <= n training vectors.
-    n_train = train.count()
-    if n_train == 0:
+    cents = fit_centroids(c, n_centroids, seed, train_fraction, max_iter)
+    if cents is None:
         return queries.sparkSession.createDataFrame(
             [], "query_id long, match_id long, cosine_sim double"
         )
-    n_centroids = max(1, min(n_centroids, n_train))
-    n_probe = max(1, min(n_probe, n_centroids))
-    # A coarse quantizer doesn't need convergence — cells just need to be
-    # roughly balanced; cap the iterations.
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", maxIter=max_iter)
-    model = km.fit(train.select(array_to_vector("__cv").alias("__fv")))
+    n_probe = max(1, min(n_probe, cents.count()))
+    assigned = _nearest_cells(c, cents, "match_id", "__cv", 1)
+    probes = _nearest_cells(q, cents, "query_id", "__qv", n_probe)
+    return _probe_topk(probes, assigned, k)
 
-    # Tiny (cell, centroid) table — broadcast everywhere below.
-    spark = corpus.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-        "cell int, __ctr array<double>",
-    )
 
-    def _sq_dist(v, ctr):  # squared L2, all built-in expressions
-        return F.aggregate(F.zip_with(v, ctr, lambda a, b: (a - b) * (a - b)),
-                           F.lit(0.0), lambda acc, x: acc + x)
+def build_ivf_index(
+    catalog,
+    corpus: DataFrame,
+    name: str = "ivf_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    max_iter: int = 10,
+) -> None:
+    """Persist an IVF index: ``{name}_centroids`` (tiny) plus
+    ``{name}_cells`` — the corpus partitioned BY CELL on disk, so a
+    probe that touches n_probe of n_centroids cells prunes whole
+    directories at scan time. Clustering cost is paid once per corpus,
+    not once per query batch (real deployments rebuild on drift)."""
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    cents = fit_centroids(c, n_centroids, seed, train_fraction, max_iter)
+    if cents is None:
+        raise ValueError("cannot index an empty corpus")
+    assigned = _nearest_cells(c, cents, "match_id", "__cv", 1).select(
+        F.col("match_id").alias(id_col), F.col("__cv").alias(vec_col), "cell"
+    )
+    catalog.write(cents.withColumnRenamed("__ctr", "centroid"), f"{name}_centroids")
+    catalog.write(assigned, f"{name}_cells", partition_by=["cell"])
 
-    # Corpus -> owning cell (argmin over centroids via rank-1 window on a
-    # constant-size broadcast join: |corpus| x n_centroids rows, then cut).
-    wc = Window.partitionBy("match_id").orderBy(F.asc("__d"), F.asc("cell"))
-    assigned = (
-        c.join(F.broadcast(cents))
-        .withColumn("__d", _sq_dist(F.col("__cv").cast("array<double>"), F.col("__ctr")))
-        .withColumn("__rk", F.row_number().over(wc))
-        .filter(F.col("__rk") == 1)
-        .select("match_id", "__cv", "cell")
-    )
 
-    # Queries -> n_probe nearest cells.
-    wq = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("cell"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .withColumn("__d", _sq_dist(F.col("__qv").cast("array<double>"), F.col("__ctr")))
-        .withColumn("__rk", F.row_number().over(wq))
-        .filter(F.col("__rk") <= n_probe)
-        .select("query_id", "__qv", "cell")
+def ivf_index_topk(
+    catalog,
+    queries: DataFrame,
+    name: str = "ivf_index",
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index. The probed cell ids filter the
+    cell-partitioned corpus table (partition pruning / dynamic partition
+    pruning — only n_probe/n_centroids of the data is scanned)."""
+    cents = catalog.table(f"{name}_centroids").select(
+        "cell", F.col("centroid").alias("__ctr")
     )
-
-    scored = (
-        probes.join(assigned, "cell")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("__sim", cosine_similarity("__qv", "__cv"))
+    cells = catalog.table(f"{name}_cells").select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"), "cell"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("match_id"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select("query_id", "match_id", F.round("__sim", 4).alias("cosine_sim"))
+    q = ensure_min_parallelism(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
+    n_probe = max(1, min(n_probe, cents.count()))
+    probes = _nearest_cells(q, cents, "query_id", "__qv", n_probe)
+    return _probe_topk(probes, cells, k)
 
 
 def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:

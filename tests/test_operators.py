@@ -421,3 +421,27 @@ def test_pack_chunks_and_vocab(spark):
     assert vocab[0].token == "x" and vocab[0].freq == 12
     # ties (freq 1) break by token text ascending
     assert vocab[1].freq == 1 and vocab[1].token == "a" and vocab[2].token == "aa"
+
+
+def test_ivf_persisted_index_matches_transient(spark, tmp_path):
+    """build_ivf_index + ivf_index_topk == ivf_topk with the same
+    quantizer params (same seed, same cells), and the cells table is
+    partitioned by cell on disk (probe-time directory pruning)."""
+    import os
+
+    from clinpy_spark.operators.similarity import (
+        build_ivf_index, ivf_index_topk, ivf_topk,
+    )
+    from clinpy_spark.session import ProjectCatalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    build_ivf_index(catalog, emb, n_centroids=4, seed=7)
+
+    assert any(d.startswith("cell=") for d in os.listdir(catalog.path("ivf_index_cells")))
+    got = {(r.query_id, r.match_id, r.cosine_sim)
+           for r in ivf_index_topk(catalog, queries, k=3, n_probe=2).collect()}
+    want = {(r.query_id, r.match_id, r.cosine_sim)
+            for r in ivf_topk(queries, emb, k=3, n_centroids=4, n_probe=2, seed=7).collect()}
+    assert got == want and len(got) > 0
