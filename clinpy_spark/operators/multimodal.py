@@ -5,17 +5,19 @@ struct; decode/feature-extraction runs as Arrow-batched pandas
 iterators (``mapInPandas``) so the heavy per-item work happens on
 executors in vectorized batches, never on the driver.
 
-The actual codec step is STUBBED: the image/audio libraries are not in
-this container. ``fake_decode_features`` is a deterministic stand-in
-that exercises the real Spark-side contract (schema, batching,
-partitioning); swap ``_decode_one`` for a real decoder (PIL/librosa/
-pyav) in production.
+Codec status: **PPM (P6) images decode and resize for real** — header
+parse + numpy pixel math needs no image library. Other formats
+(JPEG/PNG/audio) fall back to a deterministic stand-in that exercises
+the Spark-side contract (schema, batching, partitioning); swap the
+fallback for PIL/librosa/pyav in production — the dispatch seam is
+``_decode_one`` / ``_resize_one``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,16 +51,57 @@ def as_media(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> D
     )
 
 
-def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
-    """STUB decoder. Replace with PIL.Image.open / soundfile / pyav.
+def parse_ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a binary-PPM (P6) header -> (width, height, maxval,
+    data_offset), or None if the payload is not P6. Handles the spec's
+    whitespace and ``#`` comments."""
+    if not payload.startswith(b"P6"):
+        return None
+    i, toks = 2, []
+    while len(toks) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":
+            i = payload.find(b"\n", i)
+            if i < 0:
+                return None
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            try:
+                toks.append(int(payload[i:j]))
+            except ValueError:
+                return None
+            i = j
+    if len(toks) < 3 or i >= len(payload):
+        return None
+    i += 1  # single whitespace byte after maxval, then raw RGB data
+    w, h, maxval = toks
+    if w <= 0 or h <= 0 or maxval <= 0 or len(payload) - i < w * h * 3:
+        return None
+    return w, h, maxval, i
 
-    Deterministic fake: derives (width, height, mean_intensity) from the
-    byte content so tests are stable. Raises NotImplementedError for
-    media types the stub does not model, mirroring where a real codec
-    registry would dispatch.
-    """
+
+def _ppm_pixels(payload: bytes, hdr: tuple[int, int, int, int]) -> np.ndarray:
+    w, h, _, off = hdr
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3)
+
+
+def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
+    """Decode dispatch: REAL codec for PPM (P6) images — header parse +
+    numpy mean over pixels; deterministic fallback for formats whose
+    codecs aren't in this container (swap for PIL/librosa in
+    production). Raises NotImplementedError for unregistered media
+    types, mirroring a real codec registry."""
     if media_type not in {"image", "audio"}:
         raise NotImplementedError(f"no codec registered for media_type={media_type!r}")
+    hdr = parse_ppm_header(payload)
+    if hdr is not None:
+        w, h, maxval, _ = hdr
+        return w, h, float(_ppm_pixels(payload, hdr).mean()) / maxval
     n = len(payload)
     width = (n % 64) + 1
     height = (n % 48) + 1
@@ -106,14 +149,23 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
            batch_size: int = 256) -> DataFrame:
     """Resize every media item to (width, height) via mapInPandas.
 
-    The codec step is STUBBED (no image libs in this container): the fake
-    'resample' deterministically re-chunks the payload bytes to
-    width*height length, preserving the real contract — binary in /
-    binary out on executors, fixed output schema, Arrow batching. Swap
-    ``_resize_one`` for PIL's ``Image.resize`` in production.
+    PPM (P6) payloads resize FOR REAL — nearest-neighbor resample via
+    numpy index maps, re-emitted as valid P6. Other formats fall back
+    to a deterministic byte re-chunk that preserves the contract —
+    binary in / binary out on executors, fixed output schema, Arrow
+    batching; swap the fallback for PIL's ``Image.resize`` in
+    production.
     """
 
     def _resize_one(payload: bytes) -> bytes:
+        hdr = parse_ppm_header(payload)
+        if hdr is not None:
+            w, h, maxval, _ = hdr
+            px = _ppm_pixels(payload, hdr)
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            out = px[rows][:, cols]
+            return b"P6\n%d %d\n%d\n" % (width, height, maxval) + out.tobytes()
         target = width * height
         if not payload:
             return bytes(target)

@@ -445,3 +445,38 @@ def test_ivf_persisted_index_matches_transient(spark, tmp_path):
     want = {(r.query_id, r.match_id, r.cosine_sim)
             for r in ivf_topk(queries, emb, k=3, n_centroids=4, n_probe=2, seed=7).collect()}
     assert got == want and len(got) > 0
+
+
+def test_ppm_codec_real_decode_and_resize(spark):
+    """PPM (P6) payloads decode and resize for REAL (pure numpy, no
+    image libs): exact dimensions, exact mean, exact nearest-neighbor
+    pixels; non-PPM payloads still take the deterministic fallback."""
+    import numpy as np
+
+    from clinpy_spark.operators.multimodal import (
+        as_media, extract_features, parse_ppm_header, resize,
+    )
+
+    # 4x2 image: left half red, right half blue; includes a header comment.
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[:, :2, 0] = 255
+    px[:, 2:, 2] = 255
+    ppm = b"P6\n# test\n4 2\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"not an image"))],
+        "media_id long, payload binary",
+    )
+    media = as_media(df, "media_id", "payload", "image")
+
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert (feats[1].width, feats[1].height) == (4, 2)
+    assert abs(feats[1].mean_intensity - float(px.mean()) / 255) < 1e-9
+    assert feats[2].width == (len(b"not an image") % 64) + 1  # fallback path
+
+    out = {r.media_id: bytes(r.payload) for r in resize(media, width=2, height=1).collect()}
+    hdr = parse_ppm_header(out[1])
+    assert hdr is not None and hdr[:3] == (2, 1, 255)
+    resized = np.frombuffer(out[1], dtype=np.uint8, offset=hdr[3]).reshape(1, 2, 3)
+    assert resized[0, 0].tolist() == [255, 0, 0]   # nearest-neighbor: red
+    assert resized[0, 1].tolist() == [0, 0, 255]   # blue
+    assert len(out[2]) == 2  # fallback re-chunk to width*height
