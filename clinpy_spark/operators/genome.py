@@ -1,0 +1,86 @@
+"""Genome-coordinate operators composed from the engine's join
+primitives.
+
+``nearest_feature`` is the pyranges ``.nearest`` analogue the reference
+leaves to pyranges objects (junction.py:176-185 returns pyranges for
+exactly this kind of downstream use): for each query interval, the
+closest feature on the same partition keys (chrom/strand), distance 0
+when overlapping. The standard distributed decomposition: overlapping
+candidates via the binned interval join, the closest non-overlapping
+neighbor on each side via one backward and one forward as-of join on
+the sorted boundaries — three shuffle-joins total, no cross join, then
+a per-query rank-1 cut. Every stage is an existing audited operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.intervals import binned_interval_join
+from clinpy_spark.operators.asof import asof_join
+
+
+def nearest_feature(
+    query: DataFrame,
+    features: DataFrame,
+    *,
+    query_id: str = "id",
+    keys: list[str] | None = None,
+    q_start: str = "start",
+    q_end: str = "end",
+    f_start: str = "start",
+    f_end: str = "end",
+    feature_id: str = "id",
+    max_distance: int | None = None,
+    bin_size: int = 100_000,
+) -> DataFrame:
+    """-> (query columns..., f_id, distance): the nearest feature per
+    query interval (ties break on feature id). Queries with no feature
+    within ``max_distance`` (or none at all on their keys) are absent
+    from the output, like pyranges ``nearest(overlap=True)`` semantics.
+    """
+    keys = keys if keys is not None else ["chrom"]
+    q = query.select(F.col(query_id).alias("q_id"), *keys,
+                     F.col(q_start).alias("q_start"), F.col(q_end).alias("q_end"))
+    feats = features.select(*keys, F.col(feature_id).alias("f_id"),
+                            F.col(f_start).alias("f_start"), F.col(f_end).alias("f_end"))
+
+    cand_cols = ["q_id", *keys, "q_start", "q_end", "f_id", "f_start", "f_end"]
+
+    # 1. Overlapping features: distance 0 (binned equi-join, large-large safe).
+    ov = binned_interval_join(
+        q, feats, left_start="q_start", left_end="q_end",
+        right_start="f_start", right_end="f_end",
+        partition_keys=[(k, k) for k in keys], bin_size=bin_size,
+    ).select(*[q[c] if c in ("q_id", "q_start", "q_end", *keys) else F.col(c)
+               for c in cand_cols])
+
+    # 2./3. Closest neighbor strictly left (max f_end <= q_start) and
+    # strictly right (min f_start >= q_end) via as-of joins.
+    left_n = asof_join(
+        q, feats.select(*keys, "f_end", "f_id", "f_start"),
+        key=keys, left_time="q_start", right_time="f_end", direction="backward",
+    ).filter(F.col("f_id").isNotNull()).withColumn("f_end", F.col("f_end_right")).select(*cand_cols)
+    right_n = asof_join(
+        q, feats.select(*keys, "f_start", "f_id", "f_end"),
+        key=keys, left_time="q_end", right_time="f_start", direction="forward",
+    ).filter(F.col("f_id").isNotNull()).withColumn("f_start", F.col("f_start_right")).select(*cand_cols)
+
+    cands = ov.unionByName(left_n).unionByName(right_n)
+    dist = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("f_start") - F.col("q_end")).cast("long"),
+        (F.col("q_start") - F.col("f_end")).cast("long"),
+    )
+    out = cands.withColumn("distance", dist)
+    if max_distance is not None:
+        out = out.filter(F.col("distance") <= max_distance)
+    w = Window.partitionBy("q_id").orderBy(F.asc("distance"), F.asc("f_id"))
+    return (
+        out.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col("q_id").alias(query_id), *keys,
+                F.col("q_start").alias(q_start), F.col("q_end").alias(q_end),
+                "f_id", "distance")
+    )

@@ -1675,6 +1675,47 @@ def u1_grouped_filter_q(spark, sf):
     return ev.groupBy("user_id").applyInPandas(keep_above_mean, schema="event_id long")
 
 
+@q("j16_nearest_feature", """
+WITH f AS (
+  SELECT c_custkey AS f_id, c_nationkey % 3 AS chrom,
+         (c_custkey * 37) % 100000 AS f_start,
+         (c_custkey * 37) % 100000 + 500 AS f_end
+  FROM customer),
+qq AS (
+  SELECT s_suppkey AS id, s_nationkey % 3 AS chrom,
+         (s_suppkey * 91) % 100000 AS q_start,
+         (s_suppkey * 91) % 100000 + 200 AS q_end
+  FROM supplier),
+cand AS (
+  SELECT qq.id, qq.chrom, qq.q_start, qq.q_end, f.f_id,
+         greatest(0, f.f_start - qq.q_end, qq.q_start - f.f_end) AS distance
+  FROM qq JOIN f USING (chrom))
+SELECT id, chrom, q_start AS start, q_end AS "end", f_id, CAST(distance AS BIGINT) AS distance
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY distance, f_id) = 1
+""")
+def j16_nearest_feature_q(spark, sf):
+    # Nearest-interval join (pyranges .nearest analogue): overlap via the
+    # binned join + one backward and one forward as-of join, rank-1 per
+    # query — no cross join on the Spark side; the oracle brute-forces
+    # all pairs per chrom and must agree exactly.
+    from clinpy_spark.operators.genome import nearest_feature
+
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    feats = cust.select(
+        F.col("c_custkey").alias("id"), (F.col("c_nationkey") % 3).alias("chrom"),
+        ((F.col("c_custkey") * 37) % 100000).alias("start"),
+        ((F.col("c_custkey") * 37) % 100000 + 500).alias("end"),
+    )
+    qs = supp.select(
+        F.col("s_suppkey").alias("id"), (F.col("s_nationkey") % 3).alias("chrom"),
+        ((F.col("s_suppkey") * 91) % 100000).alias("start"),
+        ((F.col("s_suppkey") * 91) % 100000 + 200).alias("end"),
+    )
+    return nearest_feature(qs, feats, bin_size=10_000)
+
+
 # ---------------------------------------------------------------------------
 # Packing / vocabulary — pre-training data preparation ops.
 # ---------------------------------------------------------------------------

@@ -480,3 +480,29 @@ def test_ppm_codec_real_decode_and_resize(spark):
     assert resized[0, 0].tolist() == [255, 0, 0]   # nearest-neighbor: red
     assert resized[0, 1].tolist() == [0, 0, 255]   # blue
     assert len(out[2]) == 2  # fallback re-chunk to width*height
+
+
+def test_nearest_feature(spark):
+    """pyranges-.nearest analogue: overlap -> distance 0; otherwise the
+    closer of the left/right neighbors on the same chrom; ties break on
+    feature id; max_distance drops far queries."""
+    from clinpy_spark.operators.genome import nearest_feature
+
+    genes = spark.createDataFrame(
+        [("g1", "chr1", 100, 200), ("g2", "chr1", 500, 600),
+         ("g3", "chr1", 650, 700), ("g4", "chr2", 10, 20)],
+        "id string, chrom string, start long, end long",
+    )
+    queries = spark.createDataFrame(
+        [("q_ov", "chr1", 150, 160),    # inside g1 -> distance 0
+         ("q_mid", "chr1", 320, 340),   # g1 is 120 away, g2 is 160 -> g1
+         ("q_tie", "chr1", 620, 630),   # g2 is 20 away, g3 is 20 -> tie -> g2
+         ("q_far", "chr2", 1000, 1100), # g4 at 980
+         ("q_none", "chr3", 5, 6)],     # no features on chr3 -> absent
+        "id string, chrom string, start long, end long",
+    )
+    got = {r.id: (r.f_id, r.distance) for r in nearest_feature(queries, genes).collect()}
+    assert got == {"q_ov": ("g1", 0), "q_mid": ("g1", 120),
+                   "q_tie": ("g2", 20), "q_far": ("g4", 980)}
+    capped = {r.id for r in nearest_feature(queries, genes, max_distance=200).collect()}
+    assert capped == {"q_ov", "q_mid", "q_tie"}
