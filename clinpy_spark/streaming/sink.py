@@ -1,0 +1,48 @@
+"""Streaming sink into a ProjectCatalog table (exactly-once).
+
+The parquet streaming sink + a checkpoint directory gives end-to-end
+exactly-once for file-backed tables: the write-ahead log in the
+checkpoint records committed batches, and the ``_spark_metadata``
+manifest in the table directory makes batch readers see only committed
+files — a half-written micro-batch is invisible, and restarting the
+stream from the same checkpoint never duplicates rows. This is the
+streaming twin of the ETL's batch ``ProjectCatalog.write`` append path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_to_catalog(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    trigger_interval: str | None = None,
+) -> StreamingQuery:
+    """Start an append-mode parquet stream into ``catalog``'s ``name``
+    table. ``available_now=True`` drains the current source content and
+    stops (batch-style backfill); give ``trigger_interval`` (e.g.
+    "30 seconds") for a continuous micro-batch run instead. The
+    checkpoint defaults to a sibling directory of the table; reuse it
+    across restarts to keep the exactly-once guarantee."""
+    path = os.path.join(catalog.project_dir, name)
+    checkpoint = checkpoint or path.rstrip("/") + ".__checkpoint__"
+    w = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_interval:
+        w = w.trigger(processingTime=trigger_interval)
+    catalog._cache.pop(name, None)
+    return w.start()

@@ -3,6 +3,7 @@ sink, verified against the batch operators on the same data."""
 
 import datetime as dt
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -142,3 +143,36 @@ def test_streaming_curation_twin(spark, tmp_path):
         spark, streaming_curation_stats(stream, gates), "cur_stats"
     ).collect()
     assert {r.gate: r.n for r in stats} == {"kept": 3, "lang": 1, "short": 1}
+
+
+def test_stream_to_catalog_exactly_once(spark, tmp_path):
+    """Parquet sink + checkpoint: drained rows land in the catalog table;
+    re-running from the same checkpoint adds NOTHING (exactly-once);
+    new source files add only their own rows."""
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.curate import streaming_curate  # noqa: F401 (import path sanity)
+    from clinpy_spark.streaming.events import read_event_stream
+    from clinpy_spark.streaming.sink import stream_to_catalog
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events(src)
+    catalog = ProjectCatalog(spark, str(tmp_path / "proj"))
+    os.makedirs(catalog.project_dir, exist_ok=True)
+
+    def drain():
+        q = stream_to_catalog(
+            read_event_stream(spark, str(src), fmt="json"), catalog, "events_sink"
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert catalog.table("events_sink").count() == len(ROWS)
+    drain()  # same checkpoint, same source: no duplicates
+    assert catalog.table("events_sink").count() == len(ROWS)
+
+    with open(src / "part-1.json", "w") as fh:
+        fh.write('{"event_id": 99, "ts": "2024-01-02T00:00:00", "user_id": 300, '
+                 '"event_type": "click", "value": 9.0, "props": "{}"}\n')
+    drain()
+    assert catalog.table("events_sink").count() == len(ROWS) + 1
