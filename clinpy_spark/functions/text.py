@@ -123,6 +123,26 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+#: Default PII-ish redaction patterns (label -> regex). Deliberately
+#: engine-portable subset (no lookarounds): works identically in Java
+#: regex (Spark) and RE2 (DuckDB/others).
+REDACT_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._#+-]+@[a-zA-Z][a-zA-Z0-9.-]+",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "num": r"[0-9]+",
+}
+
+
+def redact(text: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """Replace each pattern's matches with ``[LABEL]``, applied in dict
+    order (order matters: e.g. emails before bare numbers). The scrub
+    step of a training-data pipeline, pure column expressions."""
+    out = _c(text)
+    for label, rx in (patterns or REDACT_PATTERNS).items():
+        out = F.regexp_replace(out, rx, f"[{label.upper()}]")
+    return out
+
+
 def prefix_fingerprint(text: Column | str, n_chars: int = 40) -> Column:
     """md5 of the first ``n_chars`` characters of the normalized text —
     the cheap boilerplate-dedup key (documents sharing a leading

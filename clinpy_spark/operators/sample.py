@@ -1,0 +1,59 @@
+"""Deterministic sampling and corpus mixing.
+
+Training-data mixtures need REPRODUCIBLE sampling: the same (row, seed)
+must make the same keep/drop decision on any cluster size, any
+partitioning, any engine — Bernoulli ``sample()`` can't promise that,
+and can't be audited by an external oracle. The decision here is a pure
+hash: keep a row iff the first 8 hex chars of ``md5(key || ':' || seed)``
+fall below the fraction's threshold. Fixed-length lowercase hex compares
+lexicographically exactly as the underlying 32-bit integer, md5 is
+identical in every engine, and the filter is a stateless column
+expression — no shuffle, no RNG state, trivially resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] -> threshold compared lexicographically against
+    8 lowercase hex chars. fraction >= 1 returns "g", which every hex
+    string sorts below (a 9-char "100000000" would NOT — '1' < 'f')."""
+    v = max(0, min(_HEX_SPACE, round(fraction * _HEX_SPACE)))
+    return "g" if v >= _HEX_SPACE else format(v, "08x")
+
+
+def sample_hash(key: Column | str, seed: int = 42) -> Column:
+    """The row's deterministic 8-hex-char sample coordinate."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 8)
+
+
+def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
+                         seed: int = 42) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per row by hash — stable
+    under repartitioning, restarts, and engine changes."""
+    return df.filter(sample_hash(key_col, seed) < F.lit(_hex_threshold(fraction)))
+
+
+def mix_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Down-sample each group to its mixture fraction (the data-mixture
+    step of a pre-training pipeline: e.g. keep all of wiki, 30% of web,
+    5% of logs). Groups absent from ``fractions`` get
+    ``default_fraction``. One stateless filter, no shuffle."""
+    thr = F.lit(_hex_threshold(default_fraction))
+    for grp, frac in fractions.items():
+        thr = F.when(F.col(group_col) == grp, F.lit(_hex_threshold(frac))).otherwise(thr)
+    return df.filter(sample_hash(key_col, seed) < thr)

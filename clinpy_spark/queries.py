@@ -1764,6 +1764,79 @@ def text_vocab_topk_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Mixture sampling + redaction — reproducible-pipeline ops.
+# ---------------------------------------------------------------------------
+
+_MIX_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1}
+
+
+def _mix_sql_thresholds():
+    from clinpy_spark.operators.sample import _hex_threshold
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN '{_hex_threshold(f)}'" for g, f in _MIX_FRACTIONS.items()
+    )
+    return f"CASE lang {cases} ELSE '{_hex_threshold(0.0)}' END"
+
+
+@q("mix_by_lang", f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n
+FROM documents
+WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8) < {_mix_sql_thresholds()}
+GROUP BY lang
+""")
+def mix_by_lang_q(spark, sf):
+    # Data-mixture sampling: per-group keep fractions decided by a pure
+    # md5 hash (stable under repartitioning/restart/engine — the oracle
+    # recomputes the SAME decisions, so this hash-matches EXACTLY, unlike
+    # RNG sampling which only admits accuracy-contract checks like s13).
+    from clinpy_spark.operators.sample import mix_corpus
+
+    mixed = mix_corpus(_t(spark, sf, "documents"), _MIX_FRACTIONS,
+                       group_col="lang", key_col="doc_id", seed=42)
+    return mixed.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+_REDACT_SQL_TEXT = ("concat('contact ', lower(c_name), '@corp.example call "
+                    "+1 555 0100 00 re order ', CAST(c_custkey AS VARCHAR))")
+
+
+@q("text_redact", f"""
+WITH t AS (SELECT c_mktsegment, {_REDACT_SQL_TEXT} AS txt FROM customer),
+r AS (SELECT c_mktsegment,
+             regexp_replace(regexp_replace(regexp_replace(txt,
+               '[a-zA-Z0-9._#+-]+@[a-zA-Z][a-zA-Z0-9.-]+', '[EMAIL]', 'g'),
+               '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]', '[PHONE]', 'g'),
+               '[0-9]+', '[NUM]', 'g') AS red
+      FROM t)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN contains(red, '[EMAIL]') THEN 1 END) AS BIGINT) AS n_email,
+       CAST(count(CASE WHEN contains(red, '[PHONE]') THEN 1 END) AS BIGINT) AS n_phone,
+       CAST(sum(length(red)) AS BIGINT) AS sum_len
+FROM r GROUP BY c_mktsegment
+""")
+def text_redact_q(spark, sf):
+    # PII scrub: ordered regex redaction (email -> phone -> number) as
+    # pure column expressions; patterns restricted to the Java/RE2
+    # common subset so any engine scrubs identically.
+    from clinpy_spark.functions.text import redact
+
+    cust = _t(spark, sf, "customer")
+    txt = F.concat(
+        F.lit("contact "), F.lower("c_name"),
+        F.lit("@corp.example call +1 555 0100 00 re order "),
+        F.col("c_custkey").cast("string"),
+    )
+    red = cust.select("c_mktsegment", redact(txt).alias("red"))
+    return red.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("red").contains("[EMAIL]"), 1)).alias("n_email"),
+        F.count(F.when(F.col("red").contains("[PHONE]"), 1)).alias("n_phone"),
+        F.sum(F.length("red")).alias("sum_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Curation pipeline — the end-to-end training-data pass (lang -> noise ->
 # length -> exact dedup) as ONE labeled scan + one window shuffle.
 # ---------------------------------------------------------------------------

@@ -506,3 +506,39 @@ def test_nearest_feature(spark):
                    "q_tie": ("g2", 20), "q_far": ("g4", 980)}
     capped = {r.id for r in nearest_feature(queries, genes, max_distance=200).collect()}
     assert capped == {"q_ov", "q_mid", "q_tie"}
+
+
+def test_deterministic_sample_and_mix(spark):
+    """Hash sampling: decisions survive repartitioning (same rows kept),
+    fraction edges keep all/none, mixture fractions land near target."""
+    from clinpy_spark.operators.sample import deterministic_sample, mix_corpus
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    kept1 = {r.doc_id for r in deterministic_sample(df, 0.3, "doc_id").collect()}
+    kept2 = {r.doc_id for r in
+             deterministic_sample(df.repartition(17), 0.3, "doc_id").collect()}
+    assert kept1 == kept2  # partition-layout independent
+    assert abs(len(kept1) / 4000 - 0.3) < 0.05
+    assert deterministic_sample(df, 1.0, "doc_id").count() == 4000
+    assert deterministic_sample(df, 0.0, "doc_id").count() == 0
+
+    mixed = mix_corpus(df, {"a": 1.0, "b": 0.25}, group_col="source", key_col="doc_id")
+    by_src = {r.source: r.n for r in
+              mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["a"] == 2000  # fraction 1.0 keeps everything ('g' threshold)
+    assert abs(by_src["b"] / 2000 - 0.25) < 0.07
+
+
+def test_redact_order_and_patterns(spark):
+    """Redaction applies patterns in dict order: emails swallowed before
+    bare numbers, then phones, then remaining digit runs."""
+    from clinpy_spark.functions.text import redact
+
+    df = spark.createDataFrame(
+        [("write bob.smith#7@corp.example or call +1 555 0100 99, order 1234",)],
+        "t string")
+    out = df.select(redact("t").alias("r")).collect()[0].r
+    assert out == "write [EMAIL] or call [PHONE], order [NUM]"
