@@ -40,6 +40,35 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
     return df.filter(sample_hash(key_col, seed) < F.lit(_hex_threshold(fraction)))
 
 
+def split_corpus(
+    df: DataFrame,
+    splits: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test ...)
+    by partitioning the hash coordinate into cumulative ranges — the
+    same (row, seed) always lands in the same split, splits are disjoint
+    by construction, and membership is auditable by recomputing the
+    hash. Fractions must sum to ~1 (within rounding)."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    coord = sample_hash(key_col, seed)
+    acc = 0.0
+    label = None
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = coord < F.lit(_hex_threshold(acc))
+        label = F.when(cond, name) if label is None else label.when(cond, name)
+    # Last split absorbs the remainder (no float-edge gap).
+    label = F.lit(names[-1]) if label is None else label.otherwise(names[-1])
+    return df.withColumn(split_col, label)
+
+
 def mix_corpus(
     df: DataFrame,
     fractions: dict[str, float],

@@ -1797,6 +1797,34 @@ def mix_by_lang_q(spark, sf):
     return mixed.groupBy("lang").agg(F.count("*").alias("n"))
 
 
+def _split_sql():
+    from clinpy_spark.operators.sample import _hex_threshold
+
+    t_train, t_val = _hex_threshold(0.8), _hex_threshold(0.9)
+    return f"""
+WITH h AS (
+  SELECT lang, substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8) AS hx
+  FROM documents)
+SELECT CASE WHEN hx < '{t_train}' THEN 'train'
+            WHEN hx < '{t_val}' THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n
+FROM h GROUP BY 1
+"""
+
+
+@q("split_corpus_assign", _split_sql())
+def split_corpus_assign_q(spark, sf):
+    # Deterministic train/val/test assignment: disjoint cumulative hash
+    # ranges over the same md5 coordinate as mix_by_lang — membership is
+    # auditable by recomputing the hash, proven by the oracle doing so.
+    from clinpy_spark.operators.sample import split_corpus
+
+    assigned = split_corpus(_t(spark, sf, "documents"),
+                            {"train": 0.8, "val": 0.1, "test": 0.1},
+                            key_col="doc_id", seed=42)
+    return assigned.groupBy("split").agg(F.count("*").alias("n"))
+
+
 _REDACT_SQL_TEXT = ("concat('contact ', lower(c_name), '@corp.example call "
                     "+1 555 0100 00 re order ', CAST(c_custkey AS VARCHAR))")
 

@@ -542,3 +542,18 @@ def test_redact_order_and_patterns(spark):
         "t string")
     out = df.select(redact("t").alias("r")).collect()[0].r
     assert out == "write [EMAIL] or call [PHONE], order [NUM]"
+
+
+def test_split_corpus_disjoint_and_stable(spark):
+    from clinpy_spark.operators.sample import split_corpus
+
+    df = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    a = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 3000  # disjoint + exhaustive
+    assert abs(counts["train"] / 3000 - 0.8) < 0.05
+    # same assignment regardless of partitioning
+    b = split_corpus(df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert a.select("doc_id", "split").subtract(b.select("doc_id", "split")).count() == 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, {"train": 0.5, "val": 0.1})
