@@ -3,13 +3,17 @@
 Two standard pre-training data ops expressed as pure window/aggregate
 plans:
 
-- :func:`pack_chunks` — greedy sequential packing of documents into
-  token-budget chunks (the "sequence packing" step before tokenized
-  examples are written): a running token total per group (window cumsum,
-  one shuffle) assigns each document to chunk ``floor((cumsum - n_tok) /
-  budget)``. Deterministic given the order column; documents larger than
-  the budget occupy their own chunk(s) boundary-aligned, matching the
-  greedy streaming packer.
+- :func:`pack_chunks` — offset-bucketed sequence packing: each document
+  is assigned to ``chunk = floor(start_offset / budget)`` where
+  ``start_offset`` is the running token total before it (window cumsum,
+  one shuffle). This is the parallelizable form of packing — true
+  next-fit greedy ("close the chunk when the next doc would overflow")
+  is a sequential recurrence no window can express. Consequences, by
+  definition: a document straddling a budget boundary belongs to the
+  chunk where it STARTS (that chunk's token sum can exceed the budget
+  by less than that document's length), and a document longer than the
+  budget makes the following chunk ids skip. Deterministic given the
+  order column; chunks average ``budget`` tokens.
 - :func:`vocab_topk` — corpus token frequencies -> the top-k vocabulary
   with dense ranks (explode + count is map-side combined; the rank
   window shuffles only the distinct-token table, which is vocabulary-

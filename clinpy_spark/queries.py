@@ -1736,9 +1736,9 @@ SELECT lang, chunk_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
 FROM p GROUP BY lang, chunk_id
 """)
 def text_pack_chunks_q(spark, sf):
-    # Sequence packing: greedy token-budget chunk assignment per lang via
-    # a window cumsum (one shuffle), the step before tokenized training
-    # examples are written.
+    # Offset-bucketed sequence packing per lang (chunk = start-offset //
+    # budget via one window cumsum) — the parallelizable packing form;
+    # see operators/pack.py for the precise straddling semantics.
     from clinpy_spark.operators.pack import pack_chunk_stats
 
     return pack_chunk_stats(_t(spark, sf, "documents"), budget=512)

@@ -166,3 +166,47 @@ def test_binned_interval_join_preserves_duplicate_rows(spark, left, right, bin_s
         ).collect()
     )
     assert binned == naive
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    budget=st.sampled_from([10, 25, 64]),
+)
+def test_pack_chunks_invariants(spark, toks, budget):
+    """Offset-bucketed packing matches a sequential reference
+    implementation of the same definition (chunk = start_offset //
+    budget) on arbitrary token sequences, and chunk ids are monotone
+    along doc order starting at 0."""
+    from clinpy_spark.operators.pack import pack_chunks
+
+    rows = [(i, "g", " ".join(["w"] * n) if n else "") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = sorted(
+        ((r.doc_id, r.chunk_id, r.n_tok) for r in pack_chunks(df, budget=budget).collect())
+    )
+    expected, offset = {}, 0
+    for i, n in enumerate(toks):
+        expected[i] = offset // budget
+        offset += n
+    assert {d: c for d, c, _ in out} == expected
+    chunk_ids = [c for _, c, _ in out]
+    assert chunk_ids == sorted(chunk_ids) and chunk_ids[0] == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    fa=st.floats(min_value=0.05, max_value=0.5),
+    fb=st.floats(min_value=0.5, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=99),
+)
+def test_deterministic_sample_monotone(spark, fa, fb, seed):
+    """Hash sampling is monotone in the fraction: the keep-set at a
+    smaller fraction is a subset of the keep-set at a larger one (same
+    seed) — the property that makes mixtures/splits consistent."""
+    from clinpy_spark.operators.sample import deterministic_sample
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    small = {r.doc_id for r in deterministic_sample(df, fa, "doc_id", seed=seed).collect()}
+    large = {r.doc_id for r in deterministic_sample(df, fb, "doc_id", seed=seed).collect()}
+    assert small <= large
