@@ -1812,6 +1812,23 @@ FROM h GROUP BY 1
 """
 
 
+@q("s15_histogram", f"""
+SELECT CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       {DSUM('c_acctbal', 2)} AS sum_bal
+FROM customer GROUP BY bin
+""")
+def s15_histogram_q(spark, sf):
+    # Fixed-width histogram (profiling primitive): floor-division binning
+    # handles negative balances identically in both engines; counts +
+    # per-bin exact decimal sums.
+    cust = _t(spark, sf, "customer")
+    return (
+        cust.groupBy(F.floor(F.col("c_acctbal") / 500.0).cast("bigint").alias("bin"))
+        .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
 @q("split_corpus_assign", _split_sql())
 def split_corpus_assign_q(spark, sf):
     # Deterministic train/val/test assignment: disjoint cumulative hash

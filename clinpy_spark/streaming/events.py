@@ -167,3 +167,34 @@ def streaming_first_seen(
             update, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
         )
     )
+
+
+def streaming_correlate(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events
+    for the same key that occur within ``[left.ts, left.ts + within]``.
+
+    The time-bound condition + watermarks on BOTH sides are what make
+    the join state finite: once the watermark passes a left event's
+    upper bound, its buffered state is dropped (unbounded stream-stream
+    joins would accumulate state forever). The classic click->view
+    attribution shape."""
+    l_ = left.withWatermark("ts", watermark).alias("l")
+    r_ = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l_.join(r_, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )

@@ -176,3 +176,23 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
                  '"event_type": "click", "value": 9.0, "props": "{}"}\n')
     drain()
     assert catalog.table("events_sink").count() == len(ROWS) + 1
+
+
+def test_streaming_correlate_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks pair with views of the
+    same user within the time bound; state stays finite by watermark."""
+    from clinpy_spark.streaming.events import read_event_stream, streaming_correlate
+
+    _write_events(tmp_path)
+    clicks = read_event_stream(spark, str(tmp_path), fmt="json").filter(
+        F.col("event_type") == "click")
+    views = read_event_stream(spark, str(tmp_path), fmt="json").filter(
+        F.col("event_type") == "view")
+    out = streaming_correlate(clicks, views, within="2 hours")
+    q = (out.writeStream.format("memory").queryName("corr")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.left_id, r.right_id) for r in spark.sql("select * from corr").collect()}
+    # user 100: clicks 1 (t0) + 2 (t0+20m) both within 2h of view 3 (t0+90m);
+    # user 200's click has no view.
+    assert got == {(1, 3), (2, 3)}
