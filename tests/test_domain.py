@@ -298,24 +298,39 @@ def test_create_project_from_yaml_idempotent_incremental(spark, tmp_path):
     for s in ("s1", "s2"):
         _write(raw / f"{s}.genes.results",
                rsem_header + f"g1\tt1\t100\t90\t5\t1.5\t2.5\ng2\tt2\t200\t180\t7\t0.5\t0.7\n")
+    _write(raw / "s1.vcf", TYPED_HEADER
+           + "chr1\t100\trs1\tA\tG\t60.0\tPASS\tCSQ=missense_variant|MODERATE|0.001|25|YES\tGT:DP\t0/1:30\n")
     cfg = {
         "samples": str(raw / "samples.tsv"),
         "rna": {"expression": [("s1", str(raw / "s1.genes.results"), None),
                                ("s2", str(raw / "s2.genes.results"), None)]},
+        "snps": {
+            "variants": [("s1", str(raw / "s1.vcf"))],
+            "filter": {"pass_only": True},
+            # vcf.yaml-equivalent block survives the YAML round-trip
+            "vcf": {"not_same": "union", "missing_impact": "ignore",
+                    "variant_impacts": {k: {"type": v} for k, v in TYPED_TYPES.items()}},
+        },
     }
     cfg_path = tmp_path / "config.yaml"
     with open(cfg_path, "w") as fh:
         yaml.safe_dump(cfg, fh)
 
     catalog = create_project(spark, proj, str(cfg_path))
-    counts1 = {t: catalog.table(t).count() for t in ("samples", "gene_expression")}
-    assert counts1 == {"samples": 2, "gene_expression": 4}
+    tables = ("samples", "gene_expression", "variants", "variant_impacts",
+              "sample_variants", "filtered_variants")
+    counts1 = {t: catalog.table(t).count() for t in tables}
+    assert counts1 == {"samples": 2, "gene_expression": 4, "variants": 1,
+                       "variant_impacts": 1, "sample_variants": 1,
+                       "filtered_variants": 1}
+    # typed coercion flowed through the YAML path
+    assert dict(catalog.table("variant_impacts").dtypes)["af"] == "double"
 
     cfg["incremental"] = True
     with open(cfg_path, "w") as fh:
         yaml.safe_dump(cfg, fh)
     create_project(spark, proj, str(cfg_path))
-    counts2 = {t: catalog.table(t).count() for t in ("samples", "gene_expression")}
+    counts2 = {t: catalog.table(t).count() for t in tables}
     assert counts2 == counts1
 
 
