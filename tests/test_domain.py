@@ -600,3 +600,46 @@ def test_split_multiallelic(spark, tmp_path):
     assert miss.alt == "C" and miss.gt_alleles == [None, None] and miss.gt == "(., .)"
     # CSQ replicates across the split (annotation-side matching caveat)
     assert r1.consequence == r2.consequence == "missense_variant"
+
+
+def test_corpus_etl_curate_and_export(spark, tmp_path):
+    """Catalog-level corpus pipeline: curated table + audit report from
+    one pass; split-partitioned export with stable assignment."""
+    import os
+
+    from clinpy_spark.etl.corpus import curate_corpus, export_splits
+    from clinpy_spark.functions.text import fingerprint
+
+    def _text(i):
+        if i in (1, 3):
+            return "x y"                      # short gate
+        if i in (7, 9):
+            return "duplicate content here"   # dup pair (first kept)
+        return f"document number {i} with words"
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 else "wiki", _text(i)) for i in range(40)],
+        "doc_id long, source string, text string")
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    gates = [("short", F.size(F.split("text", " ")) < 3)]
+    curate_corpus(catalog, docs, gates, dedup_on=fingerprint("text"))
+
+    report = {r.gate: r.n for r in catalog.table("corpus_report").collect()}
+    assert report["short"] == 2 and report["duplicate"] == 1
+    assert catalog.table("corpus_curated").count() == 37
+    assert "gate" not in catalog.table("corpus_curated").columns
+
+    export_splits(catalog, catalog.table("corpus_curated"),
+                  {"train": 0.8, "val": 0.1, "test": 0.1},
+                  fractions={"wiki": 1.0, "web": 0.5}, group_col="source")
+    export_dir = catalog.path("corpus_export")
+    assert any(d.startswith("split=") for d in os.listdir(export_dir))
+    total = catalog.table("corpus_export").count()
+    assert 25 <= total <= 37  # wiki kept whole, web halved (hash fractions)
+    # deterministic: rebuilding lands every row in the same split
+    before = {(r.doc_id, r.split) for r in catalog.table("corpus_export").collect()}
+    export_splits(catalog, catalog.table("corpus_curated"),
+                  {"train": 0.8, "val": 0.1, "test": 0.1},
+                  fractions={"wiki": 1.0, "web": 0.5}, group_col="source")
+    after = {(r.doc_id, r.split) for r in catalog.table("corpus_export").collect()}
+    assert before == after
