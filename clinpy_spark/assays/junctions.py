@@ -115,6 +115,23 @@ class Junctions(Assay):
             )
         return out
 
+    def nearest_genes(self, filtered: bool = True,
+                      max_distance: int | None = None) -> DataFrame:
+        """Nearest gene per junction across the whole table (overlap ->
+        distance 0), the bulk annotation pyranges users run after the
+        reference hands them raw ranges (junction.py:176-185). Scales as
+        the composed nearest-interval join (operators/genome.py) — no
+        cross join."""
+        from clinpy_spark.operators.genome import nearest_feature
+
+        if self.genome is None:
+            raise ValueError("no genome catalog attached to this project")
+        junc_t, _ = self._tables(filtered)
+        return nearest_feature(
+            self.db.table(junc_t), self.genome.table("genes"),
+            max_distance=max_distance,
+        ).withColumnRenamed("f_id", "gene")
+
     def junction(self, chrom: str, start: int, end: int, strand: str,
                  filtered: bool = True) -> "Junction":
         return Junction(self, chrom, start, end, strand, filtered)
@@ -250,6 +267,21 @@ class Junction:
         for df in out[1:]:
             res = res.unionByName(df)
         return res
+
+    def nearest_gene(self, max_distance: int | None = None) -> DataFrame:
+        """The closest gene to THIS junction on its chrom (distance 0
+        when overlapping) — complements :meth:`genes`, which only
+        returns genes covering an endpoint."""
+        from clinpy_spark.operators.genome import nearest_feature
+
+        spark = self.assay.db.spark
+        me = spark.createDataFrame(
+            [(0, self.chrom, self.start, self.end)],
+            "id long, chrom string, start long, end long",
+        )
+        return nearest_feature(
+            me, self._genome().table("genes"), max_distance=max_distance
+        ).select(F.col("f_id").alias("gene"), "distance")
 
     def new_transcript(self, transcript: str) -> DataFrame:
         """Exon structure of ``transcript`` with boundaries trimmed at the

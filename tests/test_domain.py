@@ -643,3 +643,21 @@ def test_corpus_etl_curate_and_export(spark, tmp_path):
                   fractions={"wiki": 1.0, "web": 0.5}, group_col="source")
     after = {(r.doc_id, r.split) for r in catalog.table("corpus_export").collect()}
     assert before == after
+
+
+def test_nearest_gene_api(spark, project):
+    """Domain integration of the nearest-interval join: bulk per-junction
+    nearest gene and the single-junction entity form (a junction BETWEEN
+    genes reports the closer one with its distance)."""
+    catalog, genome = project
+    j = Junctions(catalog, genome=genome)
+    bulk = {(r.chrom, r.start, r.end): (r.gene, r.distance)
+            for r in j.nearest_genes(filtered=False).collect()}
+    # every fixture junction overlaps a gene span -> distance 0
+    assert bulk[("chr1", 100, 200)] == ("g1", 0)
+    assert bulk[("chr2", 500, 800)] == ("g3", 0)
+    assert all(d == 0 for _, d in bulk.values())
+    # gap junction between g1 (ends 1500) and g2 (starts 2500)
+    gap = j.junction("chr1", 1600, 2000, "+").nearest_gene().collect()[0]
+    assert (gap.gene, gap.distance) == ("g1", 100)
+    assert j.junction("chr1", 1600, 2000, "+").nearest_gene(max_distance=50).count() == 0
