@@ -13,7 +13,7 @@ expression — no shuffle, no RNG state, trivially resumable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_SPACE = 16 ** 8
@@ -67,6 +67,30 @@ def split_corpus(
     # Last split absorbs the remainder (no float-edge gap).
     label = F.lit(names[-1]) if label is None else label.otherwise(names[-1])
     return df.withColumn(split_col, label)
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n`` rows per group (fewer when the group is smaller):
+    rank rows by their hash coordinate within the group and keep the
+    first ``n`` — a deterministic uniform without-replacement quota
+    (fractions can't hit exact per-group counts). One window shuffle on
+    the group key; ties impossible while keys are unique (hash + key
+    tiebreak keeps it total anyway)."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(key_col, seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
 
 
 def mix_corpus(

@@ -1812,6 +1812,30 @@ FROM h GROUP BY 1
 """
 
 
+@q("sample_exact_n", """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8) ASC,
+                    doc_id ASC) AS rk
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM ranked WHERE rk <= 40 GROUP BY lang
+""")
+def sample_exact_n_q(spark, sf):
+    # Exact per-group quota sampling: deterministic hash-rank keeps
+    # EXACTLY n rows per group (sum_ids proves the same rows, not just
+    # the same counts, were chosen in both engines).
+    from clinpy_spark.operators.sample import sample_exact_n
+
+    out = sample_exact_n(_t(spark, sf, "documents"), 40, group_col="lang",
+                         key_col="doc_id", seed=42)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
 @q("s15_histogram", f"""
 SELECT CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n,

@@ -557,3 +557,22 @@ def test_split_corpus_disjoint_and_stable(spark):
     assert a.select("doc_id", "split").subtract(b.select("doc_id", "split")).count() == 0
     with pytest.raises(ValueError, match="sum to 1"):
         split_corpus(df, {"train": 0.5, "val": 0.1})
+
+
+def test_sample_exact_n(spark):
+    from clinpy_spark.operators.sample import sample_exact_n
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 250, "big").otherwise("small").alias("source"),
+    )
+    out = sample_exact_n(df, 30, group_col="source", key_col="doc_id")
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 30, "small": 30}  # exact quota
+    tiny = sample_exact_n(df.filter("doc_id >= 290"), 30, group_col="source")
+    assert tiny.count() == 10  # smaller group -> all rows
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in
+         sample_exact_n(df.repartition(11), 30, group_col="source").collect()}
+    assert a == b  # deterministic under repartitioning
