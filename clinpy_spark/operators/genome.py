@@ -57,13 +57,24 @@ def nearest_feature(
                for c in cand_cols])
 
     # 2./3. Closest neighbor strictly left (max f_end <= q_start) and
-    # strictly right (min f_start >= q_end) via as-of joins.
+    # strictly right (min f_start >= q_end) via as-of joins.  The as-of
+    # join surfaces ONE right row per (key, time); with two features
+    # sharing a boundary it would pick one arbitrarily and the final
+    # rank-1 cut could never recover the min-f_id candidate.  Equidistant
+    # same-side neighbors necessarily share that boundary (distance is a
+    # function of f_end resp. f_start alone), so reducing the feature
+    # side to min(f_id) per boundary first makes the documented
+    # ties-break-on-f_id contract deterministic.
+    left_feats = feats.groupBy(*keys, "f_end").agg(
+        F.min("f_id").alias("f_id"), F.min_by("f_start", "f_id").alias("f_start"))
+    right_feats = feats.groupBy(*keys, "f_start").agg(
+        F.min("f_id").alias("f_id"), F.min_by("f_end", "f_id").alias("f_end"))
     left_n = asof_join(
-        q, feats.select(*keys, "f_end", "f_id", "f_start"),
+        q, left_feats.select(*keys, "f_end", "f_id", "f_start"),
         key=keys, left_time="q_start", right_time="f_end", direction="backward",
     ).filter(F.col("f_id").isNotNull()).withColumn("f_end", F.col("f_end_right")).select(*cand_cols)
     right_n = asof_join(
-        q, feats.select(*keys, "f_start", "f_id", "f_end"),
+        q, right_feats.select(*keys, "f_start", "f_id", "f_end"),
         key=keys, left_time="q_end", right_time="f_start", direction="forward",
     ).filter(F.col("f_id").isNotNull()).withColumn("f_start", F.col("f_start_right")).select(*cand_cols)
 

@@ -2083,9 +2083,84 @@ def v_gt_structural_q(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Registry ordering.
+#
+# The driver's correctness gate records the first 50 oracled queries in
+# registry order; everything past that window is only proven by the local
+# gate (tools/check_oracle.py) and pytest.  _PRIORITY pins the window to the
+# queries whose driver-green row carries the most evidence: the SURVEY §2
+# proof queries and the LLM-pipeline oracles first (never driver-recorded in
+# r1/r2), then the unique per-operator §2 proofs.  The demoted queries
+# (TPC-H block, window family, profiling, set ops) all have green rows in
+# the committed CORRECTNESS_r01.json / CORRECTNESS_r02.json artifacts.
+# ---------------------------------------------------------------------------
+
+_PRIORITY: list[str] = [
+    # -- never driver-recorded before round 3: §2 proofs + LLM pipeline --
+    "v_typed_impacts",          # P10 typed CSQ coercion
+    "v_gt_structural",          # P8 structural genotypes
+    "u1_grouped_filter",        # U1 grouped-map contract
+    "j15_asof_join",            # as-of join vs DuckDB ASOF
+    "j16_nearest_feature",      # nearest-interval join
+    "dedup_exact_stats",
+    "dedup_cluster_components",
+    "curate_stats",
+    "curate_kept_by_lang",
+    "mix_by_lang",
+    "split_corpus_assign",
+    "sample_exact_n",
+    "text_langid",
+    "text_quality",
+    "text_stats",
+    "text_tokens_bpe",
+    "text_fingerprint",
+    "text_redact",
+    "text_pack_chunks",
+    "text_vocab_topk",
+    "sim_topk_bruteforce",
+    "skew_salted_join",
+    "a2b_two_phase_distinct",
+    "o2_running_total",
+    "e_tumbling_hour",
+    "e_sessionize",
+    "e_sliding_window",
+    "s15_histogram",
+    # -- unique §2 operator proofs (driver-green in r1+r2, kept in-window) --
+    "flagship_cohort_revenue",
+    "p_between",
+    "p_case_recode",
+    "p_coerce_floor",
+    "p_overlap_predicate",
+    "j1_fk_join",
+    "j4_multikey_natural",
+    "j6_anti_new_parts",
+    "j7_semi_cohort",
+    "j9_left_enrich",
+    "j10_interval_binned",
+    "j12_band_pairs",
+    "j13_overlap_fraction",
+    "j14_point_in_interval",
+    "a4_distinct_dedup",
+    "a6_pivot_wide",
+    "a7_ratio_agg",
+    "a9_explode_words",
+    "a10_json_flatten",
+    "a11_union_tagged",
+    "a12_hash_id",
+    "o1_topk_per_group",
+]
+
+
+def _ordered(names: "dict[str, object]") -> list[str]:
+    pri = [n for n in _PRIORITY if n in names]
+    rest = [n for n in names if n not in set(_PRIORITY)]
+    return pri + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered(_QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return {n: _ORACLE[n] for n in _ordered(_ORACLE)}

@@ -508,6 +508,30 @@ def test_nearest_feature(spark):
     assert capped == {"q_ov", "q_mid", "q_tie"}
 
 
+def test_nearest_feature_shared_boundary_ties(spark):
+    """Two features sharing the same boundary on one side are equidistant
+    from any query on that side; the as-of leg surfaces one candidate per
+    (key, time), so the feature side must be pre-reduced to min(f_id) per
+    boundary — otherwise the documented ties-break-on-f_id contract is
+    nondeterministic (ADVICE r2, genome.py)."""
+    from clinpy_spark.operators.genome import nearest_feature
+
+    genes = spark.createDataFrame(
+        # gz and ga share f_end=300 (backward-leg tie -> ga wins on id);
+        # gy and gb share f_start=900 (forward-leg tie -> gb wins on id).
+        [("gz", "chr1", 250, 300), ("ga", "chr1", 100, 300),
+         ("gy", "chr1", 900, 1000), ("gb", "chr1", 900, 950)],
+        "id string, chrom string, start long, end long",
+    )
+    queries = spark.createDataFrame(
+        [("q_left", "chr1", 400, 450),    # nearest left at f_end=300 -> ga
+         ("q_right", "chr1", 700, 800)],  # nearest right at f_start=900 -> gb
+        "id string, chrom string, start long, end long",
+    )
+    got = {r.id: (r.f_id, r.distance) for r in nearest_feature(queries, genes).collect()}
+    assert got == {"q_left": ("ga", 100), "q_right": ("gb", 100)}
+
+
 def test_deterministic_sample_and_mix(spark):
     """Hash sampling: decisions survive repartitioning (same rows kept),
     fraction edges keep all/none, mixture fractions land near target."""
