@@ -89,6 +89,18 @@ def binned_interval_join(
     bin_size)``) — no post-join distinct (a full-row shuffle) and no
     collapsing of genuinely duplicate input rows.
     """
+    if how != "inner":
+        # The range predicate and the emit-once first-shared-bin condition
+        # live in the join CONDITION: under an outer join every exploded
+        # left bin-row failing the condition would emit a null-padded row,
+        # so an unmatched interval spanning k bins comes back k times.
+        # Outer semantics need de-binned padding (left-anti + union) —
+        # refuse rather than silently return wrong multiplicity.
+        raise ValueError(
+            "binned_interval_join supports only how='inner'; for outer "
+            "semantics anti-join the unmatched side and union null-padded "
+            "rows explicitly"
+        )
     bin_l, bin_r = "__bin_l", "__bin_r"
     if left_end is None:
         left = points_or_intervals.withColumn(bin_l, (_c(left_start) / bin_size).cast("long"))

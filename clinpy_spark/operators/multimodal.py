@@ -80,7 +80,10 @@ def parse_ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
         return None
     i += 1  # single whitespace byte after maxval, then raw RGB data
     w, h, maxval = toks
-    if w <= 0 or h <= 0 or maxval <= 0 or len(payload) - i < w * h * 3:
+    # maxval > 255 means 2-byte big-endian samples; the decode/resize
+    # paths assume 1 byte per sample, so 16-bit P6 takes the fallback
+    # rather than decoding a wrong mean / re-emitting corrupt pixels.
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 255 or len(payload) - i < w * h * 3:
         return None
     return w, h, maxval, i
 

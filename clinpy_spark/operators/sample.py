@@ -13,6 +13,8 @@ expression — no shuffle, no RNG state, trivially resumable.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -57,12 +59,19 @@ def split_corpus(
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
     coord = sample_hash(key_col, seed)
-    acc = 0.0
+    # Cumulative boundaries in EXACT arithmetic: float accumulation makes
+    # 0.8 + 0.1 = 0.9000000000000001, whose threshold is one hash value
+    # above _hex_threshold(0.9) — a doc landing exactly on the boundary
+    # would disagree with an auditor (or the SQL oracle) recomputing the
+    # threshold from the cumulative fraction directly.
+    acc = Fraction(0)
     label = None
     names = list(splits)
     for name in names[:-1]:
-        acc += splits[name]
-        cond = coord < F.lit(_hex_threshold(acc))
+        acc += Fraction(splits[name])
+        v = max(0, min(_HEX_SPACE, round(acc * _HEX_SPACE)))
+        thr = "g" if v >= _HEX_SPACE else format(v, "08x")
+        cond = coord < F.lit(thr)
         label = F.when(cond, name) if label is None else label.when(cond, name)
     # Last split absorbs the remainder (no float-edge gap).
     label = F.lit(names[-1]) if label is None else label.otherwise(names[-1])

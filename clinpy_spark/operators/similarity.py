@@ -61,25 +61,34 @@ def fit_centroids(
     train_fraction: float | None = None,
     max_iter: int = 10,
     vec_col: str = "__cv",
+    train_cap: int = 100_000,
 ) -> DataFrame | None:
     """KMeans coarse quantizer -> tiny (cell, __ctr) DataFrame, or None
-    for an empty corpus. Trains on a driver-bounded SAMPLE (default
-    min(1, 100k/|corpus|) — at 100 TB the model never sees more than
-    ~100k vectors); a coarse quantizer doesn't need convergence, so
-    iterations are capped."""
+    for an empty corpus.
+
+    No full-table action before the fit: by default the trainer takes a
+    ``limit(train_cap)`` prefix — GlobalLimit executes incrementally
+    (scaleUpFactor), so at 100 TB only enough partitions to yield ~100k
+    vectors are read, and the sized-corpus ``count()`` the old code paid
+    (a full scan, twice) is gone.  A prefix is fine for a coarse
+    quantizer over a shuffled corpus; pass ``train_fraction`` explicitly
+    when the layout is clustered and a uniform sample is worth one full
+    scan.  The capped subtree is localCheckpoint'ed so the k-guard count
+    and the KMeans fit materialize it once."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    if train_fraction is None:
-        n = c.count()
-        train_fraction = min(1.0, 100_000 / max(n, 1))
-    train = c.sample(fraction=train_fraction, seed=seed) if train_fraction < 1.0 else c
+    if train_fraction is not None and train_fraction < 1.0:
+        train = c.sample(fraction=train_fraction, seed=seed)
+    else:
+        train = c.limit(train_cap)
+    train = train.select(array_to_vector(vec_col).alias("__fv")).localCheckpoint(eager=False)
     n_train = train.count()  # tiny-corpus guard: KMeans needs k <= n
     if n_train == 0:
         return None
     n_centroids = max(1, min(n_centroids, n_train))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", maxIter=max_iter)
-    model = km.fit(train.select(array_to_vector(vec_col).alias("__fv")))
+    model = km.fit(train)
     return c.sparkSession.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "cell int, __ctr array<double>",

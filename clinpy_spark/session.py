@@ -140,6 +140,19 @@ class ProjectCatalog:
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
         """Append/overwrite sink (reference S8, ``to_sql if_exists=append``)."""
+        if mode == "append":
+            # A table created by the streaming sink carries a
+            # _spark_metadata manifest; batch readers then trust ONLY the
+            # manifest, so a plain batch append would write files the
+            # reader silently never sees. Streamed tables are
+            # stream-append-only — refuse rather than lose rows.
+            target = self.path(name) if self.exists(name) else os.path.join(self.project_dir, name)
+            if os.path.isdir(os.path.join(target, "_spark_metadata")):
+                raise ValueError(
+                    f"table {name!r} was written by the streaming sink "
+                    "(_spark_metadata present); batch appends would be "
+                    "invisible to readers — continue via stream_to_catalog"
+                )
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -72,6 +72,21 @@ def test_binned_interval_join_intervals(spark):
     assert sorted(map(tuple, out)) == [(1, 10)]
 
 
+def test_binned_interval_join_rejects_outer(spark):
+    # The emit-once predicate lives in the join condition; an outer join
+    # would null-pad every failing exploded bin-row (k copies of an
+    # unmatched k-bin interval), so non-inner `how` must raise.
+    import pytest
+
+    a = spark.createDataFrame([(1, 0, 100)], "aid long, as long, ae long")
+    b = spark.createDataFrame([(10, 90, 200)], "bid long, bs long, be long")
+    with pytest.raises(ValueError, match="inner"):
+        binned_interval_join(
+            a, b, left_start="as", left_end="ae",
+            right_start="bs", right_end="be", how="left",
+        )
+
+
 def test_hash_id_deterministic_and_distinct(spark):
     df = spark.createDataFrame(
         [("chr1", 100, 200, "+"), ("chr1", 100, 200, "-"), ("chr1", 100, 200, "+")],

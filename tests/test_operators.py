@@ -481,6 +481,13 @@ def test_ppm_codec_real_decode_and_resize(spark):
     assert resized[0, 1].tolist() == [0, 0, 255]   # blue
     assert len(out[2]) == 2  # fallback re-chunk to width*height
 
+    # 16-bit P6 (maxval > 255): 2-byte samples don't fit the 1-byte
+    # decode path — header parse must return None so the payload takes
+    # the deterministic fallback instead of a corrupt decode.
+    px16 = np.zeros((2, 4, 3), dtype=">u2")
+    ppm16 = b"P6\n4 2\n65535\n" + px16.tobytes()
+    assert parse_ppm_header(ppm16) is None
+
 
 def test_nearest_feature(spark):
     """pyranges-.nearest analogue: overlap -> distance 0; otherwise the

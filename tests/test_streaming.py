@@ -177,6 +177,14 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
     drain()
     assert catalog.table("events_sink").count() == len(ROWS) + 1
 
+    # Batch readers of a streamed table trust only the _spark_metadata
+    # manifest, so a batch append would write rows the reader silently
+    # never sees — the catalog must refuse the mixed-path append.
+    import pytest
+
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        catalog.write(catalog.table("events_sink").limit(1), "events_sink", mode="append")
+
 
 def test_streaming_correlate_stream_stream_join(spark, tmp_path):
     """Watermarked stream-stream join: clicks pair with views of the
