@@ -56,7 +56,11 @@ class Variants(Assay):
 
         out = variants.join(mapping, "variant_id")
         if impacts:
-            out = out.join(self.db.table(imp_t), "variant_id")  # :64 fixed chain
+            # impacts carries chrom only as a layout/pruning column
+            # (functionally dependent on variant_id) — drop it so the
+            # join doesn't produce a duplicate chrom.
+            imp = self.db.table(imp_t).drop("chrom")
+            out = out.join(imp, "variant_id")  # :64 fixed chain
         return out
 
     def describe(self, rna: bool = False, filtered: bool = False) -> str:

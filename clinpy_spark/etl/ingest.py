@@ -23,6 +23,7 @@ from clinpy_spark.sources.rsem import read_rsem_genes, read_rsem_isoforms
 from clinpy_spark.sources.star_sj import read_star_sj
 from clinpy_spark.sources.vcf import (
     _SQL_TYPE,
+    indexed_fields,
     normalize_type_dict,
     read_vcf,
     vcf_csq_fields,
@@ -74,10 +75,17 @@ def ingest_junctions(
     min_unique_reads: int = 0,
     filtered: bool = False,
     incremental: bool = False,
+    bucket_by_fk: int | None = None,
 ) -> None:
     """STAR SJ files -> junction master + bridge tables
     (rna_functions.py:30-104 reshaped; 'filtered' applies the QC gate
-    P7 at ingest like the reference's filtered pass)."""
+    P7 at ingest like the reference's filtered pass).
+
+    ``bucket_by_fk=N`` writes master and bridge hash-bucketed (N
+    buckets) on the join key (master.id / bridge.junction), so every
+    master ⋈ bridge query runs shuffle-free — the standing co-location
+    for the hottest join in the domain API. The master keeps its chrom
+    directory partitions and start-sorted files either way."""
     junc_t = "junctions" if filtered else "all_junctions"
     bridge_t = "sample_to_junction" if filtered else "sample_to_alljunction"
     natural = ["chrom", "start", "end", "strand"]
@@ -106,8 +114,12 @@ def ingest_junctions(
     # secondary indexes, rna_tables.py:28-29): directory-partition by chrom
     # so chrom-filtered queries prune whole directories, and sort each
     # partition by start so parquet row-group min/max stats prune within.
-    catalog.write(master_new.sortWithinPartitions("start"), junc_t, mode=mode,
-                  partition_by=["chrom"])
+    if bucket_by_fk:
+        catalog.write_bucketed(master_new, junc_t, ["id"], bucket_by_fk,
+                               sort_cols=["start"], mode=mode, partition_by=["chrom"])
+    else:
+        catalog.write(master_new.sortWithinPartitions("start"), junc_t, mode=mode,
+                      partition_by=["chrom"])
 
     bridge = per_sample.select(
         "samplename", junction_id().alias("junction"), "uniq_map", "multi_map"
@@ -118,7 +130,12 @@ def ingest_junctions(
         # re-ingested sample contributes only its genuinely new rows.
         loaded = catalog.table(bridge_t).select("samplename", "junction")
         bridge = bridge.join(loaded, ["samplename", "junction"], "left_anti").localCheckpoint(eager=True)
-    catalog.write(bridge, bridge_t, mode="append" if incremental else "overwrite")
+    bridge_mode = "append" if incremental else "overwrite"
+    if bucket_by_fk:
+        catalog.write_bucketed(bridge, bridge_t, ["junction"], bucket_by_fk,
+                               sort_cols=["junction"], mode=bridge_mode)
+    else:
+        catalog.write(bridge, bridge_t, mode=bridge_mode)
 
 
 def reconcile_fields(per_file: list[list[str]], not_same: str = "error") -> list[str]:
@@ -158,6 +175,7 @@ def ingest_variants(
     pass_only: bool = False,
     min_qual: float | None = None,
     split_multiallelic: bool = False,
+    bucket_by_fk: int | None = None,
 ) -> None:
     """VCFs -> variants master + impacts + sample_variants mapping
     (snp_functions.py:189-295 reshaped: CSQ explode at parse, hash
@@ -172,6 +190,10 @@ def ingest_variants(
     ``pass_only``/``min_qual`` are the QC gate for the ``filtered_``
     table families (reference feeds pre-filtered VCFs; here the gate is
     explicit, mirroring the junctions' min_unique_reads pass).
+
+    ``bucket_by_fk=N`` hash-buckets master, mapping AND impacts on
+    ``variant_id`` (N buckets): the whole J3 chain
+    (variants ⋈ impacts ⋈ mapping) then joins shuffle-free.
     """
     prefix = ("filtered_" if filtered else "") + ("rna_" if rna else "")
     var_t, imp_t, map_t = f"{prefix}variants", f"{prefix}variant_impacts", f"{prefix}sample_variants"
@@ -231,8 +253,12 @@ def ingest_variants(
     # Same layout story as junctions: chrom directory partitions (replaces
     # the chrom/pos indexes of snp_tables.py:8-9,17-18) + pos-sorted row
     # groups for min/max pruning on region queries (P6).
-    catalog.write(master_new.sortWithinPartitions("pos"), var_t, mode=mode,
-                  partition_by=["chrom"])
+    if bucket_by_fk:
+        catalog.write_bucketed(master_new, var_t, ["variant_id"], bucket_by_fk,
+                               sort_cols=["pos"], mode=mode, partition_by=["chrom"])
+    else:
+        catalog.write(master_new.sortWithinPartitions("pos"), var_t, mode=mode,
+                      partition_by=["chrom"])
 
     with_id = parsed.withColumn("variant_id", variant_id())
     gt_cols = ["gt_alleles", "gt_phased"] if "gt" in format_keys else []
@@ -244,10 +270,22 @@ def ingest_variants(
         # (variant_id, samplename) pairs are skipped.
         loaded = catalog.table(map_t).select("variant_id", "samplename")
         mapping = mapping.join(loaded, ["variant_id", "samplename"], "left_anti").localCheckpoint(eager=True)
-    catalog.write(mapping, map_t, mode="append" if incremental else "overwrite")
+    map_mode = "append" if incremental else "overwrite"
+    if bucket_by_fk:
+        catalog.write_bucketed(mapping, map_t, ["variant_id"], bucket_by_fk,
+                               sort_cols=["variant_id"], mode=map_mode)
+    else:
+        catalog.write(mapping, map_t, mode=map_mode)
 
     if out_csq:
-        impacts = with_id.select("variant_id", *out_csq).dropDuplicates()
+        # Impacts carry chrom as a LAYOUT column (functionally dependent
+        # on variant_id): chrom directory partitions + a sort-on-write by
+        # the config's index-flagged fields give impact scans the same
+        # pruning story as the master — the Spark analogue of the
+        # reference's per-field `index:` flags (vcf.yaml:14-44), which it
+        # turns into SQLite secondary indexes on variant_impacts.
+        sort_cols = [f for f in indexed_fields(type_dict) if f in out_csq]
+        impacts = with_id.select("variant_id", "chrom", *out_csq).dropDuplicates()
         if incremental and catalog.exists(imp_t):
             # Anti-join guard mirroring the mapping table's: impacts of
             # already-loaded variants are skipped, not doubled — without
@@ -255,7 +293,16 @@ def ingest_variants(
             # parsed variant and select(impacts=True) joins fan out.
             loaded = catalog.table(imp_t).select("variant_id").distinct()
             impacts = impacts.join(loaded, "variant_id", "left_anti").localCheckpoint(eager=True)
-        catalog.write(impacts, imp_t, mode="append" if incremental else "overwrite")
+        imp_mode = "append" if incremental else "overwrite"
+        if bucket_by_fk:
+            catalog.write_bucketed(impacts, imp_t, ["variant_id"], bucket_by_fk,
+                                   sort_cols=sort_cols or ["variant_id"],
+                                   mode=imp_mode, partition_by=["chrom"])
+        elif sort_cols:
+            catalog.write(impacts.sortWithinPartitions(*sort_cols), imp_t,
+                          mode=imp_mode, partition_by=["chrom"])
+        else:
+            catalog.write(impacts, imp_t, mode=imp_mode, partition_by=["chrom"])
 
 
 def create_project(spark: SparkSession, project_dir: str, config: dict | str) -> ProjectCatalog:
@@ -271,6 +318,8 @@ def create_project(spark: SparkSession, project_dir: str, config: dict | str) ->
                [(sample, vcf_path)],
              filter: {pass_only: bool, min_qual: float},   # derive filtered_*
              vcf: {not_same, missing_impact, variant_impacts}}  # vcf.yaml
+      layout: {bucket_by_fk: int}  # hash-bucket masters/bridges/impacts
+               on the join key (N buckets) so fk joins run shuffle-free
       incremental: bool (reference `create: false`)
 
     Incremental runs re-apply the reference's primary-key duplicate
@@ -285,6 +334,8 @@ def create_project(spark: SparkSession, project_dir: str, config: dict | str) ->
             config = yaml.safe_load(fh)
     catalog = ProjectCatalog(spark, project_dir)
     incremental = bool(config.get("incremental"))
+    bucket_by_fk = (config.get("layout") or {}).get("bucket_by_fk")
+    bucket_by_fk = int(bucket_by_fk) if bucket_by_fk else None
 
     samples = load_samples(spark, config["samples"], config.get("sample_columns"))
     if incremental and catalog.exists("samples"):
@@ -315,10 +366,12 @@ def create_project(spark: SparkSession, project_dir: str, config: dict | str) ->
                 mode="append" if incremental else "overwrite")
     if rna.get("junctions"):
         # unfiltered pass + QC-filtered pass (create_project.py:119-155)
-        ingest_junctions(spark, catalog, rna["junctions"], incremental=incremental)
+        ingest_junctions(spark, catalog, rna["junctions"], incremental=incremental,
+                         bucket_by_fk=bucket_by_fk)
         ingest_junctions(spark, catalog, rna["junctions"],
                          min_unique_reads=int(rna.get("min_unique_reads", 3)),
-                         filtered=True, incremental=incremental)
+                         filtered=True, incremental=incremental,
+                         bucket_by_fk=bucket_by_fk)
 
     snps = (config.get("snps") or {})
     # vcf.yaml-equivalent knobs (reference vcf.yaml:1-9 + variant_impacts):
@@ -343,13 +396,16 @@ def create_project(spark: SparkSession, project_dir: str, config: dict | str) ->
         files = snps.get(key)
         if files:
             ingest_variants(spark, catalog, files, rna=rna,
-                            incremental=incremental, **vcf_kw)
+                            incremental=incremental, bucket_by_fk=bucket_by_fk,
+                            **vcf_kw)
         filt_files = snps.get(f"filtered_{key}")
         if filt_files:
             ingest_variants(spark, catalog, filt_files, rna=rna, filtered=True,
-                            incremental=incremental, **vcf_kw)
+                            incremental=incremental, bucket_by_fk=bucket_by_fk,
+                            **vcf_kw)
         elif files and gate:
             ingest_variants(spark, catalog, files, rna=rna, filtered=True,
-                            incremental=incremental, **vcf_kw, **gate_kw)
+                            incremental=incremental, bucket_by_fk=bucket_by_fk,
+                            **vcf_kw, **gate_kw)
 
     return catalog

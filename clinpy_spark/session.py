@@ -113,12 +113,21 @@ class ProjectCatalog:
     def exists(self, name: str) -> bool:
         return os.path.exists(self.path(name))
 
+    def _bucket_name(self, name: str) -> str:
+        """Session-catalog identifier for this project's bucketed table:
+        suffixed with a project-dir hash so two projects with a table of
+        the same name never collide in the shared session catalog."""
+        import hashlib
+
+        return f"{name}__{hashlib.md5(self.project_dir.encode('utf-8')).hexdigest()[:8]}"
+
     def table(self, name: str) -> DataFrame:
         """Catalog-registered (bucketed) tables first, then parquet dirs —
         bucket metadata only flows into plans via the catalog entry."""
         if name not in self._cache:
-            if self.spark.catalog.tableExists(name):
-                self._cache[name] = self.spark.table(name)
+            qual = self._bucket_name(name)
+            if self.spark.catalog.tableExists(qual):
+                self._cache[name] = self.spark.table(qual)
             else:
                 self._cache[name] = self.spark.read.parquet(self.path(name))
         return self._cache[name]
@@ -211,6 +220,7 @@ class ProjectCatalog:
         num_buckets: int = 32,
         sort_cols: list[str] | None = None,
         mode: str = "overwrite",
+        partition_by: list[str] | None = None,
     ) -> None:
         """Write hash-bucketed (and optionally sorted) parquet, registered
         in the session catalog.
@@ -218,15 +228,20 @@ class ProjectCatalog:
         Two tables bucketed on the same key with the same bucket count
         join WITHOUT a shuffle (each bucket pairs off 1:1) — the standing
         replacement for repeated shuffles on a hot join key, e.g. the
-        junction master ⋈ bridge fk join on every query. Bucket metadata
-        lives in the table catalog, so production deployments back this
-        with a real metastore; reads go through ``spark.table`` /
-        :meth:`table`, which prefers the catalog entry.
+        junction master ⋈ bridge fk join on every query. ``partition_by``
+        composes: directory partitions for coarse pruning + buckets for
+        the co-located join. Bucket metadata lives in the table catalog
+        (under a project-qualified name, see :meth:`_bucket_name`), so
+        production deployments back this with a real metastore; reads go
+        through ``spark.table`` / :meth:`table`, which prefers the
+        catalog entry.
         """
         w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
         if sort_cols:
             w = w.sortBy(*sort_cols)
-        w.option("path", os.path.join(self.project_dir, name)).saveAsTable(name)
+        w.option("path", os.path.join(self.project_dir, name)).saveAsTable(self._bucket_name(name))
         self._cache.pop(name, None)
 
 

@@ -67,6 +67,19 @@ def normalize_type_dict(type_dict: dict | None) -> dict[str, str] | None:
     return out
 
 
+def indexed_fields(type_dict: dict | None) -> list[str]:
+    """Fields flagged ``index: true`` in the vcf.yaml shape, config
+    order, lowercased. The reference turns these into SQLite secondary
+    indexes (vcf.yaml:14-44 "more index means larger database and slower
+    build"); the Spark analogue is the impacts table's sort-on-write
+    order, which clusters values so parquet row-group min/max stats
+    prune index-field filters at scan time."""
+    if not type_dict:
+        return []
+    return [k.lower() for k, v in type_dict.items()
+            if isinstance(v, dict) and v.get("index")]
+
+
 def coerce_csq(col: Column, type_name: str) -> Column:
     """One CSQ value coerced per the config type (reference
     snp_functions.py:62-77): '' -> NULL handled upstream; bool -> TRUE

@@ -536,7 +536,69 @@ def test_csq_reconciliation_modes(spark, tmp_path):
     cat_i = ProjectCatalog(spark, str(tmp_path / "pinter"))
     ingest_variants(spark, cat_i, manifest, not_same="intersection", type_dict=types)
     cols = cat_i.table("variant_impacts").columns
-    assert cols == ["variant_id", "consequence", "impact", "af"]
+    # chrom is the layout/partition column and reads back last.
+    assert cols == ["variant_id", "consequence", "impact", "af", "chrom"]
+
+
+def test_impacts_layout_prunes(spark, tmp_path):
+    """VERDICT r2 #3: variant_impacts gets the same physical-layout story
+    as the master — chrom directory partitions + sort-on-write by the
+    config's index-flagged fields (reference vcf.yaml `index:` flags) —
+    so a gene/consequence-filtered impacts scan prunes instead of
+    reading everything."""
+    indexed = {k: {"type": v, "index": k in ("consequence", "impact")}
+               for k, v in TYPED_TYPES.items()}
+    catalog = _typed_project(spark, tmp_path, vcf={"variant_impacts": indexed})
+
+    # Directory partitions exist per chrom.
+    assert os.path.isdir(os.path.join(catalog.path("variant_impacts"), "chrom=chr1"))
+
+    q = catalog.table("variant_impacts").filter(
+        (F.col("chrom") == "chr1") & (F.col("consequence") == "missense_variant")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # chrom filter prunes directories; consequence filter reaches the scan
+    # (row-group min/max stats discriminate because files are sorted on it).
+    assert "PartitionFilters" in plan and "chrom" in plan.split("PartitionFilters", 1)[1][:200]
+    pushed = plan.split("PushedFilters", 1)[1][:250]
+    assert "EqualTo(consequence,missense_variant)" in pushed
+    assert {r.variant_id is not None for r in q.collect()} == {True}
+
+    # The domain join still yields a single chrom column.
+    sel = Variants(catalog).select(impacts=True)
+    assert sel.columns.count("chrom") == 1
+
+
+def test_bucketed_etl_fk_join_shuffle_free(spark, tmp_path):
+    """VERDICT r2 #4: layout.bucket_by_fk writes masters/bridges hash-
+    bucketed on the join key, so the hottest domain join (master ⋈
+    bridge) plans with ZERO Exchange on the fk."""
+    raw = tmp_path / "raw"; raw.mkdir()
+    _write(raw / "samples.tsv", "sample_id\tcohort\ns1\tA\n")
+    _write(raw / "s1.SJ.out.tab",
+           "".join(f"chr1\t{100*i}\t{100*i+50}\t1\t0\t1\t{5+i}\t1\t20\n"
+                   for i in range(1, 6)))
+    from clinpy_spark.etl import create_project
+
+    catalog = create_project(spark, str(tmp_path / "proj"), {
+        "samples": str(raw / "samples.tsv"),
+        "rna": {"junctions": [("s1", str(raw / "s1.SJ.out.tab"))]},
+        "layout": {"bucket_by_fk": 4},
+    })
+    master = catalog.table("all_junctions")
+    bridge = catalog.table("sample_to_alljunction")
+    assert master.count() == 5 and bridge.count() == 5
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = master.join(bridge, master["id"] == bridge["junction"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_incremental_impacts_not_duplicated(spark, tmp_path):

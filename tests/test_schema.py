@@ -49,8 +49,8 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     catalog = ProjectCatalog(spark, str(tmp_path))
     master = spark.range(0, 1000).selectExpr("id", "id % 7 AS payload")
     bridge = spark.range(0, 5000).selectExpr("id % 1000 AS id", "id AS reads")
-    spark.sql("DROP TABLE IF EXISTS m_bkt")
-    spark.sql("DROP TABLE IF EXISTS b_bkt")
+    spark.sql(f"DROP TABLE IF EXISTS {catalog._bucket_name('m_bkt')}")
+    spark.sql(f"DROP TABLE IF EXISTS {catalog._bucket_name('b_bkt')}")
     catalog.write_bucketed(master, "m_bkt", ["id"], num_buckets=8, sort_cols=["id"])
     catalog.write_bucketed(bridge, "b_bkt", ["id"], num_buckets=8, sort_cols=["id"])
 
@@ -68,8 +68,8 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert "Exchange" in plain_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS m_bkt")
-        spark.sql("DROP TABLE IF EXISTS b_bkt")
+        spark.sql(f"DROP TABLE IF EXISTS {catalog._bucket_name('m_bkt')}")
+        spark.sql(f"DROP TABLE IF EXISTS {catalog._bucket_name('b_bkt')}")
 
 
 def test_compact_small_files(spark, tmp_path):
