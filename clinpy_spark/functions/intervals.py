@@ -64,6 +64,88 @@ def with_bins(df: DataFrame, start: str, end: str, bin_size: int, bin_col: str =
     )
 
 
+def banded_pair_join(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    tol: int,
+    bin_size: int | None = None,
+    hot_threshold: int = 10_000,
+) -> DataFrame:
+    """All within-key pairs with ``|v_a - v_b| <= tol``, each unordered
+    pair once (``a_id < b_id``) — the per-key self-join (reference J12,
+    junction.py:285-287 tolerance matching) with a SKEW CAP.
+
+    Two physical routes, picked per key by cardinality:
+
+    - keys with <= ``hot_threshold`` rows take the plain per-key
+      self-join — one shuffle on the key, the cheapest plan while
+      per-key fan-out is bounded (the normal case: a customer has tens
+      of orders no matter the scale factor);
+    - hotter keys take the binned point-in-interval join:
+      ``|v_a - v_b| <= tol`` is exactly "point v_b falls inside
+      [v_a - tol, v_a + tol]", so the equi key becomes (key..., value
+      bin) and fan-out is bounded per VALUE BIN — a key with 10^6 rows
+      stays near-linear instead of going quadratic. Points land in one
+      bin, so pairs emit once (kept where ``a_id < b_id``).
+
+    Cost of the routing: one eager map-side-combined count over the
+    keys (linear, run when the plan is BUILT — the hand-rolled analogue
+    of an AQE runtime stat). When no key is hot — the normal case — the
+    result is the plain single-join plan with zero residual overhead;
+    only when hot keys exist does the plan split into the two routes
+    (three scans total: linear work that buys the quadratic cap).
+    ``hot_threshold=0`` forces the binned route for everything (used by
+    the property tests).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    hot_keys = counts.filter(F.col("__n") > hot_threshold).drop("__n")
+
+    def _pairs_self(rows: DataFrame) -> DataFrame:
+        a = rows.select(*key_cols, F.col(id_col).alias("a_id"),
+                        _c(value_col).alias("__a_v"))
+        b = rows.select(*[F.col(k).alias(f"__b_{k}") for k in key_cols],
+                        F.col(id_col).alias("b_id"), _c(value_col).alias("__b_v"))
+        cond = F.lit(True)
+        for k in key_cols:
+            cond = cond & (a[k] == b[f"__b_{k}"])
+        return (
+            a.join(b, cond & (F.col("a_id") < F.col("b_id")))
+            .filter(F.abs(F.col("__a_v") - F.col("__b_v")) <= tol)
+            .select(*key_cols, "a_id", "b_id")
+        )
+
+    def _pairs_binned(rows: DataFrame) -> DataFrame:
+        a = rows.select(*key_cols, F.col(id_col).alias("a_id"),
+                        (_c(value_col) - tol).alias("__a_lo"),
+                        (_c(value_col) + tol).alias("__a_hi"))
+        b = rows.select(*key_cols, F.col(id_col).alias("b_id"),
+                        F.col(value_col).alias("__b_v"))
+        out = binned_interval_join(
+            b, a, left_start="__b_v", left_end=None,
+            right_start="__a_lo", right_end="__a_hi",
+            partition_keys=[(k, k) for k in key_cols],
+            bin_size=bin_size or max(int(tol) * 2, 1),
+        )
+        return (
+            out.filter(F.col("a_id") < F.col("b_id"))
+            .select(*[b[k] for k in key_cols], "a_id", "b_id")
+        )
+
+    if hot_threshold <= 0:
+        return _pairs_binned(df)
+    if not hot_keys.take(1):
+        # No hot key anywhere: the per-key self-join IS the right plan.
+        return _pairs_self(df)
+    # Hot keys are few by definition (each holds > hot_threshold rows),
+    # so the key set broadcasts.
+    cold = df.join(F.broadcast(hot_keys), key_cols, "left_anti")
+    hot = df.join(F.broadcast(hot_keys), key_cols, "left_semi")
+    return _pairs_self(cold).unionByName(_pairs_binned(hot))
+
+
 def binned_interval_join(
     points_or_intervals: DataFrame,
     intervals: DataFrame,

@@ -376,21 +376,21 @@ FROM orders a JOIN orders b
          - CAST(floor(epoch(b.o_orderdate)) AS BIGINT)) <= 30 * 86400
 """)
 def j12_band_pairs(spark, sf):
-    # J12: tolerance band join (junction.py:285-287) — equi prefix on the
-    # partition key keeps it a sort-merge join, band filter after.
+    # J12: tolerance band join (junction.py:285-287) via the SKEW-SAFE
+    # banded pair join: the equi key is (custkey, value bin), so a hot
+    # customer can't go quadratic — fan-out is bounded per time bin.
     # o_orderdate is TIMESTAMP_NTZ in the parquet; epoch seconds need a
     # two-step cast (NTZ->TZ is identity under the UTC session).
+    from clinpy_spark.functions.intervals import banded_pair_join
+
     o = _t(spark, sf, "orders").select(
         "o_custkey", "o_orderkey",
         F.col("o_orderdate").cast("timestamp").cast("long").alias("od"),
     )
-    a = o.toDF("o_custkey", "a_key", "a_od")
-    b = o.toDF("o_custkey", "b_key", "b_od")
-    return (
-        a.join(b, "o_custkey")
-        .filter((F.col("a_key") < F.col("b_key")) & (F.abs(F.col("a_od") - F.col("b_od")) <= 30 * 86400))
-        .select("o_custkey", "a_key", "b_key")
-    )
+    pairs = banded_pair_join(o, key_cols=["o_custkey"], value_col="od",
+                             id_col="o_orderkey", tol=30 * 86400)
+    return pairs.select("o_custkey", F.col("a_id").alias("a_key"),
+                        F.col("b_id").alias("b_key"))
 
 
 @q("j13_overlap_fraction", """
@@ -411,7 +411,12 @@ WHERE greatest(least(CAST(floor(epoch(a.o_orderdate)) AS BIGINT) + 2592000,
 def j13_overlap_fraction(spark, sf):
     # J13: overlap-fraction join with reciprocal threshold
     # (junction.py:294-321 + utils.py:7-25) as a pure column expression —
-    # the reference's driver-side Python loop, distributed.
+    # the reference's driver-side Python loop, distributed. Per-key
+    # self-join: the cheapest plan while per-key cardinality is bounded
+    # (TPC-H customers hold tens of orders at any SF). For skewed keys,
+    # equal-length intervals make "reciprocal overlap >= f" identical to
+    # "|a_s - b_s| <= (1-f)*len", i.e. banded_pair_join's capped route
+    # (intervals.py) — the hot-key fallback j12 demonstrates.
     epoch = F.col("o_orderdate").cast("timestamp").cast("long")
     o = _t(spark, sf, "orders").select(
         "o_custkey", "o_orderkey",

@@ -76,6 +76,41 @@ def test_binned_interval_join_equals_theta_join(spark, left, right, bin_size):
 
 
 @settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 200)),
+                  min_size=1, max_size=30),
+    tol=st.integers(1, 40),
+)
+def test_banded_pair_join_equals_self_join(spark, rows, tol):
+    """Skew-safe banded pair join == naive per-key self-join, including a
+    HOT KEY (key 0 gets every generated row appended again shifted, so
+    one key dominates) — the quadratic-risk case the binned plan bounds."""
+    from clinpy_spark.functions.intervals import banded_pair_join
+
+    hot = [(0, v + 1) for _, v in rows]  # pile extra rows onto key 0
+    data = [(i, k, v) for i, (k, v) in enumerate(rows + hot)]
+    df = spark.createDataFrame(data, "id long, k long, v long")
+    a, b = df.toDF("a_id", "k", "a_v"), df.toDF("b_id", "bk", "b_v")
+    naive = {
+        (r.k, r.a_id, r.b_id)
+        for r in a.join(b, (F.col("k") == F.col("bk")) & (F.col("a_id") < F.col("b_id")))
+        .filter(F.abs(F.col("a_v") - F.col("b_v")) <= tol).collect()
+    }
+    # Pure binned route (hot_threshold=0) and hybrid route (key 0 always
+    # hot: it holds >= len(rows) rows and the threshold sits one below;
+    # other keys may route either way) must both equal the naive join.
+    for thr in (0, len(rows) - 1):
+        banded = banded_pair_join(df, key_cols=["k"], value_col="v",
+                                  id_col="id", tol=tol, hot_threshold=thr)
+        got = {(r.k, r.a_id, r.b_id) for r in banded.collect()}
+        assert got == naive, f"hot_threshold={thr}"
+    # The hot leg's equi key must include the value bin, not the key
+    # alone — that is the skew guarantee (join groups bounded per bin).
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "__bin" in plan
+
+
+@settings(max_examples=6, deadline=None)
 @given(points=_points, right=_intervals, bin_size=_bin)
 def test_binned_point_join_equals_theta_join(spark, points, right, bin_size):
     pdf = spark.createDataFrame([(i, p) for i, p in enumerate(points)], "pid long, p long")
