@@ -54,6 +54,30 @@ def _sq_dist(v, ctr):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def brute_force_range(
+    queries: DataFrame,
+    corpus: DataFrame,
+    min_sim: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius search: every corpus vector with cosine >= ``min_sim`` of
+    each query (query_id, match_id, cosine_sim). Unlike top-k there is
+    no ranking window at all — the threshold filters during the scoring
+    scan, so the only shuffle is whatever the join strategy needs."""
+    q = ensure_min_parallelism(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("__sim", cosine_similarity("__qv", "__cv"))
+        .filter(F.col("__sim") >= min_sim)
+        .select("query_id", "match_id", F.round("__sim", 4).alias("cosine_sim"))
+    )
+
+
 def fit_centroids(
     c: DataFrame,
     n_centroids: int,

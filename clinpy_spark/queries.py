@@ -1546,6 +1546,245 @@ def sim_topk_bruteforce_q(spark, sf):
     return brute_force_topk(queries, emb, k=5)
 
 
+# ---------------------------------------------------------------------------
+# Round-3 additions: correlated/decorrelated subquery family (TPC-H
+# q14/q17/q19/q21/q22 adapted to the slim star schema) + corpus
+# decontamination, repetition profiling, and vector radius search.
+# ---------------------------------------------------------------------------
+
+@q("tpch_q14_promo", f"""
+SELECT 100 * {DSUM('CASE WHEN p_type = %27PROMO%27 THEN l_extendedprice * (1 - l_discount) END')}
+         / {DSUM('l_extendedprice * (1 - l_discount)')} AS promo_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+""".replace('%27', "'"))
+def tpch_q14_promo(spark, sf):
+    # Q14: conditional aggregate ratio over a month of shipments; part is
+    # the broadcast dimension, the date filter reaches the lineitem scan.
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((100 * dsum(F.when(F.col("p_type") == "PROMO", rev))
+              / dsum(rev)).alias("promo_pct"))
+    )
+
+
+@q("tpch_q17_small_qty", f"""
+SELECT {DSUM('l_extendedprice')} AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#2'
+  AND l.l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""")
+def tpch_q17_small_qty(spark, sf):
+    # Q17 shape: correlated scalar AVG subquery, decorrelated to a
+    # per-part aggregate + join (what Catalyst/DuckDB both rewrite it
+    # to). l_quantity is integral, so the double avg (sum/count) is
+    # exact in any summation order and the 0.5* threshold compares
+    # bit-identically across engines.
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.t_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(dsum(F.col("l_extendedprice")).alias("revenue"))
+    )
+
+
+@q("tpch_q19_disjunctive", f"""
+SELECT {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+""")
+def tpch_q19_disjunctive(spark, sf):
+    # Q19 shape: disjunction of conjunctive predicates across both join
+    # sides. The single-side implications (brand IN (...), quantity
+    # within the union range) are stated explicitly so they push to the
+    # scans; the full OR evaluates after the broadcast join.
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").between(1, 40))
+    part = _t(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+    arm = lambda br, s1, s2, q1, q2: (  # noqa: E731
+        (F.col("p_brand") == br) & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm("Brand#1", 1, 15, 1, 20) | arm("Brand#2", 10, 30, 10, 30)
+                | arm("Brand#3", 20, 50, 20, 40))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@q("tpch_q21_exclusive", """
+WITH hits AS (
+  SELECT l.l_suppkey, count(*) AS n
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l.l_orderkey AND l3.l_quantity > 45)
+  GROUP BY l.l_suppkey)
+SELECT s_name, CAST(n AS BIGINT) AS numwait
+FROM hits JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY numwait DESC, s_name LIMIT 10
+""")
+def tpch_q21_exclusive(spark, sf):
+    # Q21 shape: EXISTS + NOT EXISTS over the same fact table,
+    # decorrelated into one per-order aggregate that answers both
+    # predicates in a single shuffle (distinct suppliers >= 2, max
+    # quantity <= 45) — instead of two separate semi/anti joins each
+    # re-shuffling lineitem.
+    li = _t(spark, sf, "lineitem")
+    orders_f = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey")
+    per_order = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("l_quantity").alias("max_qty"))
+    ok_orders = per_order.filter((F.col("n_supp") >= 2) & (F.col("max_qty") <= 45)) \
+        .select("g_orderkey")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .join(ok_orders, li.l_orderkey == ok_orders.g_orderkey)
+        .groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name")).limit(10)
+    )
+
+
+@q("tpch_q22_idle_rich", f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       {DSUM('c_acctbal')} AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""")
+def tpch_q22_idle_rich(spark, sf):
+    # Q22 shape: scalar subquery threshold + NOT EXISTS anti join. The
+    # global avg is computed as an exact decimal sum / count (identical
+    # doubles in both engines; a plain double avg would be summation-
+    # order sensitive at the comparison boundary) and broadcast as a
+    # 1-row dimension.
+    cust = _t(spark, sf, "customer")
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        (dsum(F.col("c_acctbal")) / F.count("*")).alias("__thr"))
+    urgent = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), dsum(F.col("c_acctbal")).alias("total_bal"))
+    )
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents"""
+
+
+@q("text_decontaminate", f"""
+WITH words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) - 4 <= 0 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')) END) AS s
+  FROM words),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+hits AS (SELECT t.doc_id, count(*) AS n_hit
+         FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(coalesce(any_value(h.n_hit), 0) AS BIGINT) AS n_hit
+FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+GROUP BY t.doc_id
+""")
+def text_decontaminate_q(spark, sf):
+    # Benchmark decontamination: flag training docs sharing word 5-grams
+    # with a held-out eval set (doc_id % 97 — stand-in for a benchmark
+    # corpus). Shingle set per side is distinct'd BEFORE the join, so the
+    # join key space is the distinct-shingle set, not the corpus; at
+    # 100 TB join on a hash of the shingle rather than the string.
+    from clinpy_spark.functions.text import shingles
+
+    # Materialize the shingle array once (Catalyst re-inlines non-cheap
+    # aliases into every reference otherwise — see token_hashes note).
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", shingles(F.col("text"), 5).alias("__sh"))
+    sh = docs.select("doc_id", F.explode("__sh").alias("s"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % 97 != 0).select("doc_id", "s").distinct()
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = train.join(bench, "s").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select("doc_id", "n_grams", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+    )
+
+
+@q("text_repetition", """
+WITH w AS (
+  SELECT doc_id,
+         len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_words,
+         len(list_distinct(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS n_distinct
+  FROM documents),
+f AS (SELECT doc_id, n_words, n_distinct,
+             1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_frac
+      FROM w)
+SELECT CAST(floor(dup_frac * 10) AS INTEGER) AS rep_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM f GROUP BY 1
+""")
+def text_repetition_q(spark, sf):
+    # Word-repetition profile (the "gibberish/boilerplate" quality gate
+    # of corpus curation): duplicate-word fraction per doc, bucketed
+    # into deciles. Single scan, two array expressions, one small agg.
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    d = _t(spark, sf, "documents").select(
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"))
+    dup = 1.0 - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+    return (
+        d.select("n_words", F.floor(dup * 10).cast("int").alias("rep_decile"))
+        .groupBy("rep_decile")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_words").alias("total_words"))
+    )
+
+
+@q("sim_range_search", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS mid, embedding::DOUBLE[] AS cv FROM embeddings)
+SELECT qid AS query_id, mid AS match_id,
+       round(list_cosine_similarity(qv, cv), 4) AS cosine_sim
+FROM q, c
+WHERE qid <> mid AND list_cosine_similarity(qv, cv) >= 0.3
+""")
+def sim_range_search_q(spark, sf):
+    # Radius search twin of sim_topk: all matches above a similarity
+    # floor — no ranking window, the threshold cuts during the scoring
+    # scan itself.
+    from clinpy_spark.operators.similarity import brute_force_range
+
+    emb = _t(spark, sf, "embeddings")
+    return brute_force_range(emb.filter(F.col("vec_id") < 5), emb, min_sim=0.3)
+
+
 # --- rows-only checks (non-SQL-expressible; driver records weaker gate) ---
 
 @q("dedup_minhash_lsh")

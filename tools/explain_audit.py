@@ -36,6 +36,11 @@ EXPECTED_UNBOUNDED = {
     "sim_topk_ivf",  # cross join vs the CONSTANT-size broadcast centroid
                      # table (n_centroids rows) for argmin cell assignment —
                      # linear in the corpus, not a pair blowup
+    "sim_range_search",  # radius twin of sim_topk_bruteforce — same
+                         # declared all-pairs baseline (LSH/IVF = scale path)
+    "tpch_q22_idle_rich",  # BNLJ vs a ONE-ROW broadcast threshold — the
+                           # scalar-subquery plan Spark itself emits;
+                           # linear in customer, not a pair blowup
 }
 
 
