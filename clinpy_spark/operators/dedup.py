@@ -44,6 +44,53 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text", group_col: str = "s
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Corpus-global passage dedup with document reconstruction (the
+    C4/RefinedWeb move: drop every repeated passage, keep its FIRST
+    occurrence corpus-wide, and stitch the surviving passages back into
+    each document).
+
+    Returns (id, n_chunks, n_kept, clean_text). Documents split into
+    fixed ``chunk_words``-word passages; a passage's first occurrence is
+    the minimal (doc id, position). One explode + one window shuffle on
+    the passage value + one reassembly agg on the doc id — no pairwise
+    anything; at 100 TB the window key should be a hash of the passage
+    (join-width, not semantics).
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_words + 1, chunk_words)),
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), chunks.alias("__chunks"))
+        .select("__id", F.posexplode("__chunks").alias("__pos", "__chunk"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__chunk").orderBy(F.asc("__id"), F.asc("__pos"))
+    ranked = exploded.withColumn("__rk", F.row_number().over(w))
+    kept = F.when(F.col("__rk") == 1, F.struct(F.col("__pos"), F.col("__chunk")))
+    return (
+        ranked.groupBy("__id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(kept).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["__chunk"]),
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
     """MinHash signature as array<long> of length ``num_hashes``.

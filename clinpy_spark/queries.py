@@ -1785,6 +1785,111 @@ def sim_range_search_q(spark, sf):
     return brute_force_range(emb.filter(F.col("vec_id") < 5), emb, min_sim=0.3)
 
 
+@q("dedup_passage_keepfirst", """
+WITH words AS (
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos FROM words),
+ch AS (SELECT doc_id, pos, array_to_string(w[(pos*10+1):(pos*10+10)], ' ') AS chunk FROM pos),
+rk AS (SELECT doc_id, pos, chunk,
+              row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
+       FROM ch)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(CASE WHEN rk = 1 THEN 1 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
+FROM rk GROUP BY doc_id
+""")
+def dedup_passage_keepfirst_q(spark, sf):
+    # C4-style corpus-global passage dedup + document reconstruction:
+    # every repeated 10-word passage keeps only its first (doc, pos)
+    # occurrence and docs are reassembled from the survivors. One
+    # explode, one window shuffle on the passage, one reassembly agg.
+    from clinpy_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(_t(spark, sf, "documents"), chunk_words=10)
+
+
+@q("tpch_q7_nation_volume", f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS yr,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""")
+def tpch_q7_nation_volume(spark, sf):
+    # Q7 shape: the same dimension (nation) joined in TWO ROLES —
+    # supplier's and customer's — with a cross-role disjunction. Both
+    # nation legs and supplier broadcast; the lineitem⋈orders⋈customer
+    # spine shuffles on its keys (AQE broadcasts what fits).
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = nat.toDF("n1_key", "supp_nation")
+    n2 = nat.toDF("n2_key", "cust_nation")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    pair_ok = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@q("tpch_q8_market_share", f"""
+SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+       {DSUM("CASE WHEN n1.n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) END")}
+         / {DSUM('l_extendedprice * (1 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n2.n_regionkey AND r_name = 'ASIA'
+GROUP BY 1
+""")
+def tpch_q8_market_share(spark, sf):
+    # Q8 shape: market share — conditional share of one supplier nation
+    # within a customer region, per year. Same two-role nation dimension
+    # as q7 plus the region rollup leg.
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf, "nation").select("n_nationkey", "n_name").toDF("n1_key", "supp_nation")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n2 = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey").toDF("n2_key", "n2_region")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == F.col("r_regionkey"))
+        .groupBy(F.year("l_shipdate").alias("yr"))
+        .agg((dsum(F.when(F.col("supp_nation") == "NATION_2", rev)) / dsum(rev))
+             .alias("mkt_share"))
+    )
+
+
 # --- rows-only checks (non-SQL-expressible; driver records weaker gate) ---
 
 @q("dedup_minhash_lsh")

@@ -37,6 +37,24 @@ def test_exact_dedup(spark, docs):
     assert exact_dedup(docs).count() == 3
 
 
+def test_passage_dedup_keepfirst_and_reassemble(spark):
+    """Corpus-global passage dedup: a repeated chunk survives only at its
+    first (doc, pos); docs reassemble from surviving chunks in order."""
+    from clinpy_spark.operators.dedup import passage_dedup
+
+    boiler = "a b c"  # 3-word chunk shared by docs 1 and 2
+    rows = [
+        (1, boiler + " x y z"),   # chunks: "a b c", "x y z"
+        (2, boiler + " p q r"),   # "a b c" repeats -> dropped here
+        (3, "u v w"),             # unique single chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in passage_dedup(df, chunk_words=3).collect()}
+    assert (got[1].n_chunks, got[1].n_kept, got[1].clean_text) == (2, 2, "a b c x y z")
+    assert (got[2].n_chunks, got[2].n_kept, got[2].clean_text) == (2, 1, "p q r")
+    assert (got[3].n_chunks, got[3].n_kept, got[3].clean_text) == (1, 1, "u v w")
+
+
 def test_minhash_finds_planted_dups(spark, docs):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_near_duplicates(docs, threshold=0.4).collect()}
     assert pairs.get((1, 2)) == 1.0
