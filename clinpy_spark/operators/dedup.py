@@ -122,6 +122,106 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def band_keys(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) LSH bucket keys from a minhash signature
+    table — one row per (document, band), band_hash = hash of that
+    band's signature slice. The banding used by both the all-at-once
+    near-dup pass and the persisted index."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_hash")
+
+
+def build_minhash_index(
+    catalog,
+    df: DataFrame,
+    name: str = "minhash_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus side of near-dup detection: ``{name}_sigs``
+    (id, minhash) and ``{name}_buckets`` (id, band, band_hash)
+    partitioned by band. A NEW batch then dedups against the whole
+    corpus touching only its own colliding buckets — the signature and
+    banding cost for the existing corpus is paid once, not per batch
+    (the incremental-ingest analogue of the reference's anti-join
+    new-entity guard, rna_functions.py:65-90, for fuzzy identity)."""
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    # Materialize once: buckets derive from the same signature pass.
+    sigs = sigs.localCheckpoint(eager=False)
+    catalog.write(sigs, f"{name}_sigs")
+    catalog.write(band_keys(sigs, id_col, num_hashes, bands),
+                  f"{name}_buckets", partition_by=["band"])
+
+
+def minhash_dedup_against_index(
+    catalog,
+    new_docs: DataFrame,
+    name: str = "minhash_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicates of a new batch AGAINST the persisted corpus index:
+    (new_id, corpus_id, est_jaccard >= threshold).
+
+    The batch's band keys equi-join the bucket table (partition-pruned
+    by band); candidates are verified with the SIGNATURE-estimated
+    Jaccard (fraction of agreeing minhash positions — the standard
+    unbiased estimator; exact verification would need the corpus text,
+    which the index deliberately doesn't carry). Batch-side work scales
+    with the batch, corpus-side with colliding buckets only."""
+    new_sigs = minhash_signature(new_docs, id_col, text_col, num_hashes, shingle_n) \
+        .localCheckpoint(eager=False)
+    new_bands = band_keys(new_sigs, id_col, num_hashes, bands)
+
+    # band is the bucket table's PARTITION column and reads back last —
+    # rename by name, never positionally.
+    buckets = catalog.table(f"{name}_buckets") \
+        .withColumnRenamed(id_col, "corpus_id") \
+        .select("corpus_id", "band", "band_hash")
+    cands = (
+        new_bands.toDF("new_id", "band", "band_hash")
+        .join(buckets, ["band", "band_hash"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    corpus_sigs = catalog.table(f"{name}_sigs").toDF("corpus_id", "corpus_sig")
+    est = F.aggregate(
+        F.zip_with("minhash", "corpus_sig",
+                   lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        cands.join(new_sigs.toDF("new_id", "minhash"), "new_id")
+        .join(corpus_sigs, "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -137,25 +237,10 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
     threshold. Pair space is bounded by bucket collisions, not n^2.
     """
-    rows_per_band = num_hashes // bands
     df = ensure_min_parallelism(df)
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
 
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ])).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_hash")
+    banded = band_keys(sigs, id_col, num_hashes, bands)
 
     left = banded.toDF("id_a", "band", "band_hash")
     right = banded.toDF("id_b", "band", "band_hash")

@@ -1890,6 +1890,35 @@ def tpch_q8_market_share(spark, sf):
     )
 
 
+@q("tpch_q15_top_supplier", f"""
+WITH rev AS (
+  SELECT l_suppkey, {DSUM('l_extendedprice * (1 - l_discount)')} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_name, total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+""")
+def tpch_q15_top_supplier(spark, sf):
+    # Q15 shape: aggregate view + scalar MAX over it, keeping the
+    # argmax rows. The max is a window over the (dimension-sized)
+    # aggregate, not a second scan of the fact table; equality on the
+    # exact decimal-cast revenue is deterministic across engines.
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    w = Window.partitionBy()
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.withColumn("__mx", F.max("total_rev").over(w))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "total_rev")
+    )
+
+
 # --- rows-only checks (non-SQL-expressible; driver records weaker gate) ---
 
 @q("dedup_minhash_lsh")

@@ -62,6 +62,66 @@ def test_minhash_finds_planted_dups(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_index_dedup_against_corpus(spark, docs, tmp_path):
+    """Persisted minhash index: a NEW batch finds its corpus near-dups
+    through the band-bucket tables alone (no corpus recompute); novel
+    docs pass clean; the bucket table is band-partitioned on disk."""
+    import os
+
+    from clinpy_spark.operators.dedup import (
+        build_minhash_index, minhash_dedup_against_index,
+    )
+    from clinpy_spark.session import ProjectCatalog
+
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    build_minhash_index(catalog, docs)
+    assert any(d.startswith("band=") for d in os.listdir(catalog.path("minhash_index_buckets")))
+
+    batch = spark.createDataFrame(
+        [(101, BASE),  # exact dup of corpus docs 1/2
+         (102, "entirely novel text that matches nothing in the corpus at all")],
+        "doc_id long, text string",
+    )
+    hits = minhash_dedup_against_index(catalog, batch, threshold=0.7)
+    got = {(r.new_id, r.corpus_id): r.est_jaccard for r in hits.collect()}
+    assert got.get((101, 1)) == 1.0 and got.get((101, 2)) == 1.0
+    assert not any(new_id == 102 for new_id, _ in got)
+
+
+def test_read_bed_source(spark, tmp_path):
+    """BED3..BED6 scan: track/comment lines dropped, '.' placeholders
+    NULL, missing trailing columns null-pad, and the result feeds the
+    interval operators directly."""
+    from clinpy_spark.operators.genome import nearest_feature
+    from clinpy_spark.sources.bed import read_bed
+
+    p6 = tmp_path / "feats.bed"
+    p6.write_text(
+        "track name=test description=x\n"
+        "# comment\n"
+        "chr1\t100\t200\tfeatA\t5\t+\n"
+        "chr1\t500\t600\tfeatB\t.\t.\n"
+    )
+    bed = read_bed(spark, str(p6), samplename="s1")
+    rows = {r.name: r for r in bed.collect()}
+    assert rows["featA"].score == 5.0 and rows["featA"].strand == "+"
+    assert rows["featB"].score is None and rows["featB"].strand is None
+    assert all(r.samplename == "s1" for r in rows.values())
+
+    p3 = tmp_path / "min.bed"
+    p3.write_text("chr2\t10\t20\n")
+    b3 = read_bed(spark, str(p3))
+    r3 = b3.collect()[0]
+    assert (r3.chrom, r3.start, r3.end, r3.name) == ("chr2", 10, 20, None)
+
+    # BED output drops straight into the genome operators.
+    queries = spark.createDataFrame(
+        [("q1", "chr1", 300, 400)], "id string, chrom string, start long, end long")
+    near = nearest_feature(queries, bed.withColumn("id", F.col("name")))
+    got = {(r.id, r.f_id, r.distance) for r in near.collect()}
+    assert got == {("q1", "featA", 100)}
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
     assert pairs.get((1, 2)) == 1.0
