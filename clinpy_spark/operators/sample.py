@@ -102,6 +102,46 @@ def sample_exact_n(
     )
 
 
+def resample_corpus(
+    df: DataFrame,
+    ratios: dict[str, float],
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_ratio: float = 1.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Up- OR down-sample each group to a target ratio (the full mixture
+    move of a pre-training pipeline: wiki x2.5, web x0.3, ...).
+
+    Ratio ``r`` emits ``floor(r)`` full copies of every row plus one
+    extra copy kept iff the row's hash coordinate falls below
+    ``frac(r)``'s threshold — expectation exactly ``r``, every decision
+    a pure per-row hash (same coordinate as :func:`mix_corpus`), so the
+    output is reproducible on any partitioning and auditable by
+    recomputing the hash. Copies are distinguished by ``copy_col``
+    (0-based). One stateless filter + bounded explode, no shuffle.
+    """
+    import math
+
+    full = F.lit(int(math.floor(default_ratio)))
+    thr: Column = F.lit(_hex_threshold(default_ratio - math.floor(default_ratio)))
+    for grp, r in ratios.items():
+        is_grp = F.col(group_col) == grp
+        full = F.when(is_grp, int(math.floor(r))).otherwise(full)
+        thr = F.when(is_grp, F.lit(_hex_threshold(r - math.floor(r)))).otherwise(thr)
+    n_copies = full + F.when(sample_hash(key_col, seed) < thr, 1).otherwise(0)
+    return (
+        df.withColumn("__nc", n_copies)
+        # Filter BEFORE the explode: sequence(0, -1) would generate a
+        # DESCENDING [0, -1] range, not an empty one.
+        .filter(F.col("__nc") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
+        .drop("__nc")
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     fractions: dict[str, float],

@@ -2175,6 +2175,48 @@ def mix_by_lang_q(spark, sf):
     return mixed.groupBy("lang").agg(F.count("*").alias("n"))
 
 
+_RESAMPLE_RATIOS = {"en": 2.25, "de": 0.5, "zh": 1.0}
+
+
+def _resample_sql():
+    from clinpy_spark.operators.sample import _hex_threshold
+
+    import math
+
+    full = " ".join(
+        f"WHEN '{g}' THEN {int(math.floor(r))}" for g, r in _RESAMPLE_RATIOS.items()
+    )
+    thr = " ".join(
+        f"WHEN '{g}' THEN '{_hex_threshold(r - math.floor(r))}'"
+        for g, r in _RESAMPLE_RATIOS.items()
+    )
+    return f"""
+WITH k AS (
+  SELECT lang,
+         CASE lang {full} ELSE 1 END
+         + CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8)
+                     < CASE lang {thr} ELSE '{_hex_threshold(0.0)}' END
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n
+FROM k, unnest(range(0, k.n_copies)) AS u(ci)
+GROUP BY lang
+"""
+
+
+@q("mix_resample_upsample", _resample_sql())
+def mix_resample_upsample_q(spark, sf):
+    # Full mixture resampling: ratios ABOVE 1 repeat rows (floor full
+    # copies + hash-decided extra), below 1 down-sample — the complete
+    # pre-training mixture move, with every copy decision a pure hash
+    # the oracle recomputes exactly.
+    from clinpy_spark.operators.sample import resample_corpus
+
+    out = resample_corpus(_t(spark, sf, "documents"), _RESAMPLE_RATIOS,
+                          group_col="lang", key_col="doc_id", seed=42)
+    return out.groupBy("lang").agg(F.count("*").alias("n"))
+
+
 def _split_sql():
     from clinpy_spark.operators.sample import _hex_threshold
 

@@ -617,6 +617,28 @@ def test_nearest_feature_shared_boundary_ties(spark):
     assert got == {"q_left": ("ga", 100), "q_right": ("gb", 100)}
 
 
+def test_resample_corpus_upsample(spark):
+    """Ratios above 1 repeat rows deterministically: integer ratios copy
+    exactly, ratio 0 empties, fractional part follows the hash decision
+    used by deterministic_sample (same coordinate, same seed)."""
+    from clinpy_spark.operators.sample import deterministic_sample, resample_corpus
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = resample_corpus(df, {"a": 3.0, "b": 0.0}, seed=7)
+    assert out.filter(F.col("source") == "b").count() == 0
+    a = out.filter(F.col("source") == "a")
+    assert a.count() == 300  # 100 rows x 3 exact copies
+    assert {r.copy_idx for r in a.select("copy_idx").distinct().collect()} == {0, 1, 2}
+
+    # Fractional part: the extra copy goes to exactly the rows that a
+    # plain hash sample at that fraction keeps.
+    frac = resample_corpus(df, {"a": 1.5, "b": 1.5}, seed=7)
+    extra = {r.doc_id for r in frac.filter(F.col("copy_idx") == 1).collect()}
+    kept = {r.doc_id for r in deterministic_sample(df, 0.5, "doc_id", seed=7).collect()}
+    assert extra == kept
+
+
 def test_deterministic_sample_and_mix(spark):
     """Hash sampling: decisions survive repartitioning (same rows kept),
     fraction edges keep all/none, mixture fractions land near target."""
