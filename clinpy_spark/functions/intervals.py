@@ -170,18 +170,24 @@ def binned_interval_join(
     the first shared bin (``bin == floor(greatest(l_start, r_start) /
     bin_size)``) — no post-join distinct (a full-row shuffle) and no
     collapsing of genuinely duplicate input rows.
+
+    ``how='left'`` is DE-BINNED: the range predicate and the emit-once
+    condition live in the join CONDITION, so a naive outer join would
+    null-pad every failing exploded bin-row (an unmatched interval
+    spanning k bins would come back k times). Instead the left join is
+    built as inner + anti-join padding: the inner result, plus each
+    unmatched ORIGINAL left row once with null right columns. Left rows
+    are matched by value (null-safe equality on all left columns), which
+    is exact because identical rows have identical match status; input
+    multiplicity is preserved on both branches. Requires disjoint
+    left/right column names (same as the inner path).
     """
-    if how != "inner":
-        # The range predicate and the emit-once first-shared-bin condition
-        # live in the join CONDITION: under an outer join every exploded
-        # left bin-row failing the condition would emit a null-padded row,
-        # so an unmatched interval spanning k bins comes back k times.
-        # Outer semantics need de-binned padding (left-anti + union) —
-        # refuse rather than silently return wrong multiplicity.
+    if how not in ("inner", "left"):
+        # right/full would need the symmetric padding; nobody asked yet.
         raise ValueError(
-            "binned_interval_join supports only how='inner'; for outer "
-            "semantics anti-join the unmatched side and union null-padded "
-            "rows explicitly"
+            "binned_interval_join supports how='inner' or 'left'; for "
+            "right/full semantics anti-join the unmatched side(s) and "
+            "union null-padded rows explicitly"
         )
     bin_l, bin_r = "__bin_l", "__bin_r"
     if left_end is None:
@@ -205,4 +211,26 @@ def binned_interval_join(
         ).cast("long")
         cond = cond & (left[bin_l] == first_shared)
 
-    return left.join(right, cond, how).drop(bin_l, bin_r)
+    inner = left.join(right, cond, "inner").drop(bin_l, bin_r)
+    if how == "inner":
+        return inner
+
+    # Left join: inner result + one null-padded row per unmatched
+    # ORIGINAL left row. The inner result feeds both the union and the
+    # anti-join probe, so materialize it once (lazy — no eager job).
+    inner = inner.localCheckpoint(eager=False)
+    left_cols = list(points_or_intervals.columns)
+    overlap = set(left_cols) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"left join needs disjoint column names; shared: {sorted(overlap)}")
+    matched = inner.select(*left_cols).distinct().alias("__m")
+    src = points_or_intervals.alias("__s")
+    anti_cond = F.lit(True)
+    for c in left_cols:
+        anti_cond = anti_cond & F.col(f"__s.{c}").eqNullSafe(F.col(f"__m.{c}"))
+    unmatched = src.join(matched, anti_cond, "left_anti")
+    padded = unmatched.select(
+        *left_cols,
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in intervals.schema.fields],
+    )
+    return inner.unionByName(padded)

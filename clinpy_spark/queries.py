@@ -367,6 +367,43 @@ def j10_interval_binned(spark, sf):
     return joined.groupBy("purchase_id").agg(F.count("*").alias("n_clicks"))
 
 
+@q("j10b_interval_left", """
+WITH p AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, count(c.t) AS n_clicks
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND c.t BETWEEN p.t AND p.t + 3600
+GROUP BY p.event_id
+""")
+def j10b_interval_left(spark, sf):
+    # LEFT variant of the binned range join (de-binned padding): every
+    # purchase keeps a row even with zero clicks in its window — the
+    # outer-join case the r2 API refused now implemented correctly
+    # (inner + anti-join null padding, functions/intervals.py).
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("long").alias("p_start"),
+        (F.col("ts").cast("long") + 3600).alias("p_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("long").alias("c_s"),
+        F.col("ts").cast("long").alias("c_e"),
+    )
+    joined = binned_interval_join(
+        purchases, clicks,
+        left_start="p_start", left_end="p_end",
+        right_start="c_s", right_end="c_e",
+        partition_keys=[("p_user", "c_user")],
+        bin_size=3600, how="left",
+    )
+    return joined.groupBy("purchase_id").agg(F.count("c_s").alias("n_clicks"))
+
+
 @q("j12_band_pairs", """
 SELECT a.o_custkey, a.o_orderkey AS a_key, b.o_orderkey AS b_key
 FROM orders a JOIN orders b

@@ -72,19 +72,56 @@ def test_binned_interval_join_intervals(spark):
     assert sorted(map(tuple, out)) == [(1, 10)]
 
 
-def test_binned_interval_join_rejects_outer(spark):
-    # The emit-once predicate lives in the join condition; an outer join
-    # would null-pad every failing exploded bin-row (k copies of an
-    # unmatched k-bin interval), so non-inner `how` must raise.
+def test_binned_interval_join_rejects_right_full(spark):
+    # The emit-once predicate lives in the join condition; a naive outer
+    # join would null-pad every failing exploded bin-row. inner and left
+    # are implemented; right/full must raise.
     import pytest
 
     a = spark.createDataFrame([(1, 0, 100)], "aid long, as long, ae long")
     b = spark.createDataFrame([(10, 90, 200)], "bid long, bs long, be long")
-    with pytest.raises(ValueError, match="inner"):
-        binned_interval_join(
-            a, b, left_start="as", left_end="ae",
-            right_start="bs", right_end="be", how="left",
-        )
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="inner"):
+            binned_interval_join(
+                a, b, left_start="as", left_end="ae",
+                right_start="bs", right_end="be", how=how,
+            )
+
+
+def test_binned_interval_join_left_matches_naive(spark):
+    # Left join must equal the naive non-equi LEFT join exactly —
+    # unmatched multi-bin intervals come back exactly once (de-binned
+    # padding), matched rows keep inner multiplicity, and duplicate
+    # left rows keep their multiplicity on both branches.
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 500, 700), (2, 500, 700), (3, 5000, 5900)],
+        "aid long, as long, ae long",
+    )
+    b = spark.createDataFrame(
+        [(10, 90, 200), (11, 95, 650), (20, 900, 950)],
+        "bid long, bs long, be long",
+    )
+    got = binned_interval_join(
+        a, b, left_start="as", left_end="ae",
+        right_start="bs", right_end="be", bin_size=50, how="left",
+    ).select("aid", "bid")
+    naive = a.join(
+        b, (F.col("ae") >= F.col("bs")) & (F.col("as") <= F.col("be")), "left"
+    ).select("aid", "bid")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # the 18-bin unmatched interval (aid=3) appears exactly once
+    assert got.filter("aid = 3").count() == 1
+
+
+def test_binned_interval_join_left_points(spark):
+    # Point-in-interval left join: unmatched points padded once.
+    pts = spark.createDataFrame([(1, 50), (2, 5000)], "pid long, p long")
+    iv = spark.createDataFrame([(10, 0, 100)], "iid long, s long, e long")
+    got = binned_interval_join(
+        pts, iv, left_start="p", left_end=None,
+        right_start="s", right_end="e", bin_size=64, how="left",
+    ).select("pid", "iid")
+    assert sorted(map(tuple, got.collect()), key=str) == [(1, 10), (2, None)]
 
 
 def test_hash_id_deterministic_and_distinct(spark):
