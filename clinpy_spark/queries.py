@@ -2583,28 +2583,29 @@ _PRIORITY: list[str] = [
     "e_sessionize",
     "e_sliding_window",
     "s15_histogram",
-    # -- unique §2 operator proofs (driver-green in r1+r2, kept in-window) --
+    # -- round-3 additions, also never driver-recorded --
+    "j10b_interval_left",
+    "tpch_q14_promo",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q21_exclusive",
+    "tpch_q22_idle_rich",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "text_decontaminate",
+    "text_repetition",
+    "sim_range_search",
+    "dedup_passage_keepfirst",
+    "mix_resample_upsample",
+    # -- high-value §2 repeats (driver-green in r1+r2, kept in-window) --
     "flagship_cohort_revenue",
-    "p_between",
-    "p_case_recode",
     "p_coerce_floor",
-    "p_overlap_predicate",
-    "j1_fk_join",
-    "j4_multikey_natural",
-    "j6_anti_new_parts",
-    "j7_semi_cohort",
-    "j9_left_enrich",
     "j10_interval_binned",
     "j12_band_pairs",
     "j13_overlap_fraction",
     "j14_point_in_interval",
-    "a4_distinct_dedup",
-    "a6_pivot_wide",
     "a7_ratio_agg",
-    "a9_explode_words",
-    "a10_json_flatten",
-    "a11_union_tagged",
-    "a12_hash_id",
     "o1_topk_per_group",
 ]
 
