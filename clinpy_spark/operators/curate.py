@@ -19,8 +19,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from clinpy_spark.functions.text import LANG_STOPWORDS, stopword_count, token_count
+
 #: Label column added by :func:`label_gates`; NULL = row passed all gates.
 GATE_COL = "gate"
+
+#: Union of the per-language heuristic lists — the "does this look like
+#: natural language at all" floor for the Gopher-style rules.
+GOPHER_STOPWORDS: list[str] = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+
+
+def gopher_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One projection of the integer document-quality metrics behind the
+    Gopher-style repetition/format rules (Rae et al. 2021, table A1):
+    word count, non-whitespace character count (mean word length =
+    ``__n_nonws / __n_words`` without the division), symbol count
+    (``#`` plus ``...`` runs, weighted by length), and stopword hits.
+
+    Materialized as ONE ``select`` so the downstream gate when-chain
+    references cheap attributes — Catalyst re-inlines multiply-used
+    non-trivial expressions otherwise, recomputing each regex per gate.
+    All metrics are integers so gate comparisons can be exact
+    cross-multiplications (``3*w <= chars`` instead of float ratios),
+    which keeps the oracle hash-stable.
+    """
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("__n_words"),
+        F.length(F.regexp_replace(t, r"\s+", "")).alias("__n_nonws"),
+        (
+            F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+            + F.lit(3) * F.regexp_count(t, F.lit(r"\.\.\."))
+        ).alias("__n_symbol"),
+        stopword_count(t, GOPHER_STOPWORDS).alias("__n_stop"),
+    )
+
+
+def gopher_gates(
+    min_words: int = 25,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 4,
+    max_mean_word_len: int = 9,
+    min_stopwords: int = 2,
+) -> list[tuple[str, Column]]:
+    """Gopher-style quality gates over :func:`gopher_metrics` columns,
+    ordered first-fail for :func:`label_gates` / :func:`curation_stats`.
+
+    Every predicate is an integer comparison (mean-word-length bounds as
+    cross-multiplications, symbol ratio as ``10*symbols >= words`` i.e.
+    >= 0.1) — no float boundary behavior to diverge between engines.
+    """
+    w, nonws = F.col("__n_words"), F.col("__n_nonws")
+    return [
+        ("too_short", w < min_words),
+        ("too_long", w > max_words),
+        ("word_length", (nonws < min_mean_word_len * w) | (nonws > max_mean_word_len * w)),
+        ("symbol_heavy", F.lit(10) * F.col("__n_symbol") >= w),
+        ("low_stopword", F.col("__n_stop") < min_stopwords),
+    ]
 
 
 def label_gates(

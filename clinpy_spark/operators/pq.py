@@ -1,0 +1,241 @@
+"""Product quantization (PQ) for embedding columns: train sub-codebooks,
+encode vectors to byte codes, and search with asymmetric distance
+computation (ADC) — Jegou et al., "Product Quantization for Nearest
+Neighbor Search" (TPAMI 2011).
+
+Why this exists at 100 TB: a 128-dim float32 embedding is 512 bytes; its
+PQ code with m=8 subquantizers is 8 bytes — a 64× reduction — and an ADC
+scan reads ONLY the code column (column pruning keeps the raw vectors on
+disk). The scan itself is a per-partition numpy table lookup
+(``lut[m, code]`` gathers), Arrow-batched via ``mapInPandas``, followed
+by a per-partition partial top-k so the global reduce sees at most
+``partitions × |Q| × k`` candidate rows instead of ``|C| × |Q|`` scored
+pairs. Compose with the IVF operator (operators/similarity.py) for
+IVFPQ: probe cells first, ADC-scan only the probed cells' codes.
+
+Training is driver-side numpy Lloyd's over a bounded ``limit(train_cap)``
+prefix (same scale stance as ``fit_centroids``: no full-table action),
+deterministic for a fixed seed — codebooks are a few KiB and ship to
+executors inside the task closure.
+
+Reference analogue: the reference engine has no vector index; this is
+part of the beyond-reference LLM-pipeline surface (SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clinpy_spark.session import ensure_min_parallelism
+
+CODES_SCHEMA = "match_id long, codes array<smallint>"
+TOPK_SCHEMA = "query_id long, match_id long, adc_dist double"
+
+
+def _kmeans_1sub(x: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
+    """Seeded Lloyd's over one subspace: (n, dsub) -> (k, dsub) float64.
+    Ties in assignment break to the lowest centroid index (np.argmin);
+    empty clusters keep their previous centroid — fully deterministic."""
+    k = min(k, len(x))
+    centroids = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    train_cap: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train ``m`` sub-codebooks of ``k`` centroids each -> (m, k, d/m).
+
+    Bounded driver-side work: a ``limit(train_cap)`` prefix (GlobalLimit
+    reads only enough partitions — no full scan) collected once; each
+    subspace is clustered independently. The embedding dim must divide
+    evenly by ``m``."""
+    sample = corpus.select(F.col(vec_col).alias("v")).limit(train_cap).toPandas()
+    if sample.empty:
+        raise ValueError("cannot fit PQ codebooks on an empty corpus")
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in sample["v"]])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [_kmeans_1sub(x[:, i * dsub : (i + 1) * dsub], k, iters, rng) for i in range(m)]
+    )
+
+
+def _encode_block(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m) int16 nearest-centroid codes per subspace."""
+    m, _, dsub = codebooks.shape
+    codes = np.empty((len(x), m), dtype=np.int16)
+    for i in range(m):
+        sub = x[:, i * dsub : (i + 1) * dsub]
+        d = ((sub[:, None, :] - codebooks[i][None, :, :]) ** 2).sum(axis=2)
+        codes[:, i] = d.argmin(axis=1)
+    return codes
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its (m,) code -> (match_id, codes).
+
+    Arrow-batched mapInPandas; the codebooks ride the task closure (KiB).
+    Persist the result once per corpus — downstream searches scan codes
+    only (32-64× less IO than the raw vectors)."""
+    src = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("v")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            codes = _encode_block(x, codebooks)
+            yield pd.DataFrame(
+                {"match_id": pdf["match_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return src.mapInPandas(encode, CODES_SCHEMA)
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """ADC top-k by squared L2: (query_id, match_id, adc_dist).
+
+    Batch-query shape: the query set is collected and broadcast inside
+    the task closure (capped at ``max_queries`` — this is the "small
+    probe batch vs huge corpus" asymmetry every ANN deployment has), the
+    code table streams through executors. Per Arrow batch each query
+    builds its (m, k) lookup table once; distances are gather+sum over
+    int16 codes — no float vector is touched. Each partition emits only
+    its local top-k per query; the global cut is a window over
+    ``partitions × k`` rows per query.
+    """
+    qpdf = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .toPandas()
+    )
+    if len(qpdf) > max_queries:
+        raise ValueError(f"query batch exceeds max_queries={max_queries}; "
+                         "chunk the probe set or raise the cap")
+    if qpdf.empty:
+        return codes.sparkSession.createDataFrame([], TOPK_SCHEMA)
+    qids = qpdf["query_id"].to_numpy()
+    qx = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
+    m, kcent, dsub = codebooks.shape
+    # (nq, m, k) per-query per-subspace distance tables, built once.
+    luts = np.stack(
+        [
+            ((qx[:, i * dsub : (i + 1) * dsub][:, None, :] - codebooks[i][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for i in range(m)
+        ],
+        axis=1,
+    )
+    marange = np.arange(m)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Running partition-local top-k per query: O(|Q| * k) state no
+        # matter how many rows the partition streams through.
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["match_id"].to_numpy()
+            cm = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            for qi in range(len(qids)):
+                d = luts[qi][marange[None, :], cm].sum(axis=1)  # (n,)
+                mask = cids != qids[qi]
+                bid, bd = cids[mask], d[mask]
+                if qi in best:
+                    bid = np.concatenate([best[qi][0], bid])
+                    bd = np.concatenate([best[qi][1], bd])
+                order = np.lexsort((bid, bd))[:k]  # ties -> smallest id
+                best[qi] = (bid[order], bd[order])
+        rows: dict[str, list] = {"query_id": [], "match_id": [], "adc_dist": []}
+        for qi, (bid, bd) in best.items():
+            rows["query_id"].extend([qids[qi]] * len(bid))
+            rows["match_id"].extend(bid)
+            rows["adc_dist"].extend(bd)
+        if rows["query_id"]:
+            yield pd.DataFrame(rows)
+
+    partial = codes.mapInPandas(scan, TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("match_id"))
+    return (
+        partial.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "match_id", "adc_dist")
+    )
+
+
+def build_pq_index(
+    catalog,
+    corpus: DataFrame,
+    name: str = "pq_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    train_cap: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist codebooks (``{name}_codebooks``: m, code, centroid) and the
+    encoded corpus (``{name}_codes``) through the catalog. Searches then
+    read the byte-code table only; the raw vector column never loads."""
+    codebooks = fit_pq_codebooks(corpus, vec_col, m, k, train_cap, iters, seed)
+    spark = corpus.sparkSession
+    cb_rows = [
+        (i, c, [float(x) for x in codebooks[i, c]])
+        for i in range(codebooks.shape[0])
+        for c in range(codebooks.shape[1])
+    ]
+    catalog.write(
+        spark.createDataFrame(cb_rows, "m int, code int, centroid array<double>"),
+        f"{name}_codebooks",
+    )
+    catalog.write(pq_encode(corpus, codebooks, id_col, vec_col), f"{name}_codes")
+    return codebooks
+
+
+def load_pq_codebooks(catalog, name: str = "pq_index") -> np.ndarray:
+    """Rehydrate the (m, k, dsub) codebook array from its catalog table."""
+    pdf = catalog.table(f"{name}_codebooks").toPandas().sort_values(["m", "code"])
+    m = int(pdf["m"].max()) + 1
+    k = int(pdf["code"].max()) + 1
+    return np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf["centroid"]]
+    ).reshape(m, k, -1)

@@ -1219,6 +1219,28 @@ def o5_window_frames(spark, sf):
     )
 
 
+@q("o7_ntile_ranks", """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""")
+def o7_ntile_ranks(spark, sf):
+    # Distribution ranks: ntile / percent_rank / cume_dist share one
+    # window (single shuffle + sort). The order key is made total with
+    # the pk so ranks are deterministic; percent_rank/cume_dist are
+    # exact int-ratio divisions — identical doubles in both engines.
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O/W family — sorts, top-k, running windows
 # ---------------------------------------------------------------------------
@@ -2045,6 +2067,23 @@ def sim_topk_ivf_q(spark, sf):
     return ivf_topk(emb.filter(F.col("vec_id") < 50), emb, k=5, n_centroids=8, n_probe=2, max_iter=3)
 
 
+@q("sim_topk_pq")
+def sim_topk_pq_q(spark, sf):
+    # Approximate ANN, scale path 3: product quantization — 64-dim
+    # vectors compressed to 4 subspace codes (codebooks trained on a
+    # bounded prefix, driver-side seeded Lloyd's), searched by ADC: the
+    # scan reads ONLY the code column and does (m,k)-LUT gathers per
+    # Arrow batch with a running per-partition top-k. Rows-only check:
+    # approximate by contract; ADC == exact L2 on reconstructible
+    # vectors is asserted in tests/test_operators.py.
+    from clinpy_spark.operators.pq import fit_pq_codebooks, pq_encode, pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    cb = fit_pq_codebooks(emb, m=4, k=16, iters=5)
+    codes = pq_encode(emb, cb)
+    return pq_topk(emb.filter(F.col("vec_id") < 50), codes, cb, k=5)
+
+
 @q("mm_extract_features")
 def mm_extract_features_q(spark, sf):
     # Multimodal plumbing: binary payload -> mapInPandas feature extract
@@ -2435,6 +2474,49 @@ def curate_kept_by_lang_q(spark, sf):
     return kept.groupBy("lang").agg(F.count("*").alias("n"))
 
 
+def _gopher_oracle() -> str:
+    from clinpy_spark.operators.curate import GOPHER_STOPWORDS
+
+    sl = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return rf"""
+WITH m AS (
+  SELECT source,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws,
+    (length(text) - length(replace(text, '#', ''))
+       + 3 * len(regexp_extract_all(text, '\.\.\.'))) AS n_symbol,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        x -> list_contains([{sl}], x))) AS n_stop
+  FROM documents)
+SELECT source,
+  CASE WHEN n_words < 25 THEN 'too_short'
+       WHEN n_words > 100000 THEN 'too_long'
+       WHEN n_nonws < 4 * n_words OR n_nonws > 9 * n_words THEN 'word_length'
+       WHEN 10 * n_symbol >= n_words THEN 'symbol_heavy'
+       WHEN n_stop < 2 THEN 'low_stopword'
+       ELSE 'kept' END AS gate,
+  count(*) AS n
+FROM m GROUP BY source, gate
+"""
+
+
+@q("curate_gopher_rules", _gopher_oracle())
+def curate_gopher_rules_q(spark, sf):
+    # Gopher-style document-quality rules (Rae et al. 2021 table A1
+    # flavor): word-count band, mean-word-length band, symbol ratio,
+    # stopword floor — integer-only comparisons over ONE metrics
+    # projection (no per-gate regex recomputation), first-fail labeled in
+    # a single scan, reported per source.
+    from clinpy_spark.operators.curate import GATE_COL, gopher_gates, gopher_metrics, label_gates
+
+    m = gopher_metrics(_t(spark, sf, "documents"))
+    lab = label_gates(m, gopher_gates())
+    return lab.groupBy(
+        "source", F.coalesce(F.col(GATE_COL), F.lit("kept")).alias("gate")
+    ).agg(F.count("*").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # V family — VCF parse/coerce primitives proven through the driver gate.
 # The VCF tables themselves aren't in the star schema, so these drive the
@@ -2598,6 +2680,8 @@ _PRIORITY: list[str] = [
     "sim_range_search",
     "dedup_passage_keepfirst",
     "mix_resample_upsample",
+    "curate_gopher_rules",
+    "o7_ntile_ranks",
     # -- high-value §2 repeats (driver-green in r1+r2, kept in-window) --
     "flagship_cohort_revenue",
     "p_coerce_floor",
@@ -2605,8 +2689,6 @@ _PRIORITY: list[str] = [
     "j12_band_pairs",
     "j13_overlap_fraction",
     "j14_point_in_interval",
-    "a7_ratio_agg",
-    "o1_topk_per_group",
 ]
 
 

@@ -707,3 +707,90 @@ def test_sample_exact_n(spark):
     b = {r.doc_id for r in
          sample_exact_n(df.repartition(11), 30, group_col="source").collect()}
     assert a == b  # deterministic under repartitioning
+
+
+def test_pq_adc_exact_on_reconstructible_vectors(spark):
+    """With corpus vectors that ARE centroid combinations, PQ encoding is
+    lossless, so ADC distance equals true squared L2 and the top-k
+    equals numpy brute force exactly (hand-built codebooks — no k-means
+    in the loop)."""
+    import numpy as np
+
+    from clinpy_spark.operators.pq import pq_encode, pq_topk
+
+    # m=2 subspaces of dim 2, k=3 centroids each -> 9 reconstructible vecs.
+    codebooks = np.array(
+        [[[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]],
+         [[1.0, 1.0], [5.0, 5.0], [9.0, 1.0]]]
+    )
+    combos = [(a, b) for a in range(3) for b in range(3)]
+    vecs = np.array([np.concatenate([codebooks[0][a], codebooks[1][b]]) for a, b in combos])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    codes = pq_encode(df, codebooks)
+    got_codes = {r.match_id: tuple(r.codes) for r in codes.collect()}
+    assert got_codes == {i: combos[i] for i in range(len(combos))}
+
+    out = pq_topk(df.filter(F.col("vec_id") < 3), codes, codebooks, k=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append((r.match_id, r.adc_dist))
+    for qid, got in per_q.items():
+        d = ((vecs - vecs[qid]) ** 2).sum(axis=1)
+        d[qid] = np.inf
+        want_ids = list(np.lexsort((np.arange(len(vecs)), d))[:4])
+        assert [m for m, _ in got] == want_ids
+        for m, dist in got:
+            assert dist == pytest.approx(d[m])
+
+
+def test_pq_fit_deterministic_and_recall(spark):
+    import numpy as np
+
+    from clinpy_spark.operators.pq import fit_pq_codebooks, pq_encode, pq_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    cb1 = fit_pq_codebooks(df, m=4, k=16, iters=5, seed=9)
+    cb2 = fit_pq_codebooks(df, m=4, k=16, iters=5, seed=9)
+    assert cb1.shape == (4, 16, 2) and np.array_equal(cb1, cb2)
+
+    codes = pq_encode(df, cb1)
+    q = df.filter(F.col("vec_id") < 5)
+    got = {(r.query_id, r.match_id) for r in pq_topk(q, codes, cb1, k=3).collect()}
+    exact = set()
+    for qid in range(5):
+        d = ((vecs - vecs[qid]) ** 2).sum(axis=1)
+        d[qid] = np.inf
+        exact |= {(qid, m) for m in np.argsort(d)[:3]}
+    # 16 centroids per 2-dim subspace over 80 points quantizes finely;
+    # demand strong (not perfect) agreement with exact L2 search.
+    assert len(got & exact) >= 10  # recall@3 >= 2/3 across 5 queries
+    with pytest.raises(ValueError, match="divisible"):
+        fit_pq_codebooks(df, m=3, k=4)
+
+
+def test_pq_persisted_index_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from clinpy_spark.operators.pq import (
+        build_pq_index, fit_pq_codebooks, load_pq_codebooks, pq_topk,
+    )
+    from clinpy_spark.session import ProjectCatalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    cb = build_pq_index(catalog, emb, m=4, k=8, iters=3, seed=5)
+    assert np.array_equal(load_pq_codebooks(catalog), cb)
+    assert np.array_equal(cb, fit_pq_codebooks(emb, m=4, k=8, iters=3, seed=5))
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    via_index = {(r.query_id, r.match_id)
+                 for r in pq_topk(queries, catalog.table("pq_index_codes"), cb, k=3).collect()}
+    assert len(via_index) == 30  # 10 queries x k
