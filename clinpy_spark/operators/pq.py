@@ -239,3 +239,103 @@ def load_pq_codebooks(catalog, name: str = "pq_index") -> np.ndarray:
     return np.asarray(
         [np.asarray(v, dtype=np.float64) for v in pdf["centroid"]]
     ).reshape(m, k, -1)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: coarse-quantizer cells (operators/similarity.py) x PQ codes — the
+# FAISS-style composition. Probing prunes to n_probe/n_centroids of the
+# corpus BEFORE any distance math; ADC then scores only probed-cell codes.
+# ---------------------------------------------------------------------------
+
+_PAIR_SCHEMA = "query_id long, match_id long, adc_dist double"
+
+
+def _adc_score_pairs(pairs: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """Score (query_id, __qv, match_id, codes) candidate pairs by ADC.
+
+    Per Arrow batch each DISTINCT query builds its (m, k) LUT once; every
+    candidate row is then a gather+sum over its codes — the float query
+    vector is touched once per (query, batch), never per candidate."""
+    m, _, dsub = codebooks.shape
+    marange = np.arange(m)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        luts: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_m, out_d = [], [], []
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                lut = luts.get(qid)
+                if lut is None:
+                    qv = np.asarray(grp["__qv"].iloc[0], dtype=np.float64)
+                    lut = np.stack(
+                        [
+                            ((qv[i * dsub : (i + 1) * dsub][None, :] - codebooks[i]) ** 2).sum(
+                                axis=1
+                            )
+                            for i in range(m)
+                        ]
+                    )
+                    luts[qid] = lut
+                cm = np.asarray(list(grp["codes"]), dtype=np.int64)
+                d = lut[marange[None, :], cm].sum(axis=1)
+                out_q.extend([qid] * len(d))
+                out_m.extend(grp["match_id"].to_numpy())
+                out_d.extend(d)
+            yield pd.DataFrame({"query_id": out_q, "match_id": out_m, "adc_dist": out_d})
+
+    return pairs.mapInPandas(score, _PAIR_SCHEMA)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    pq_k: int = 16,
+    seed: int = 42,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF cell pruning + PQ-compressed scoring, one call.
+
+    The candidate set is an equi-join of probed cells against the
+    cell-tagged code table (shuffle on the tiny cell id); ADC scores the
+    surviving ~n_probe/n_centroids fraction. Codebooks quantize the raw
+    vectors (not cell residuals) — simpler, slightly coarser than FAISS's
+    residual PQ, same asymptotics. ``n_probe == n_centroids`` plus
+    lossless codebooks degrades to exact search (tested)."""
+    from clinpy_spark.operators.similarity import _nearest_cells, fit_centroids
+
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    q = ensure_min_parallelism(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cents = fit_centroids(c, n_centroids, seed)
+    if cents is None:
+        return queries.sparkSession.createDataFrame([], _PAIR_SCHEMA)
+    codebooks = fit_pq_codebooks(corpus, vec_col, m, pq_k, iters=iters, seed=seed)
+    # assigned feeds both the encoder and the cell map — materialize once
+    # (a twice-referenced subtree would otherwise execute twice).
+    assigned = _nearest_cells(c, cents, "match_id", "__cv", 1).localCheckpoint(eager=False)
+    codes = pq_encode(assigned, codebooks, "match_id", "__cv").join(
+        assigned.select("match_id", "cell"), "match_id"
+    )
+    n_probe = max(1, min(n_probe, cents.count()))
+    probes = _nearest_cells(q, cents, "query_id", "__qv", n_probe)
+    pairs = (
+        probes.join(codes, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "__qv", "match_id", "codes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("match_id"))
+    return (
+        _adc_score_pairs(pairs, codebooks)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "match_id", "adc_dist")
+    )

@@ -2084,6 +2084,23 @@ def sim_topk_pq_q(spark, sf):
     return pq_topk(emb.filter(F.col("vec_id") < 50), codes, cb, k=5)
 
 
+@q("sim_topk_ivfpq")
+def sim_topk_ivfpq_q(spark, sf):
+    # Approximate ANN, scale path 4: IVFPQ — coarse-quantizer cells prune
+    # to n_probe/n_centroids of the corpus BEFORE any distance math, then
+    # ADC scores only the probed cells' PQ codes (per-query LUT built
+    # once per batch). Rows-only: approximate by contract; the
+    # full-probe + lossless-codebook degenerate case equals brute force
+    # (tested).
+    from clinpy_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 50), emb,
+        k=5, n_centroids=8, n_probe=2, m=4, pq_k=16, iters=3,
+    )
+
+
 @q("mm_extract_features")
 def mm_extract_features_q(spark, sf):
     # Multimodal plumbing: binary payload -> mapInPandas feature extract

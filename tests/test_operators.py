@@ -794,3 +794,62 @@ def test_pq_persisted_index_roundtrip(spark, tmp_path):
     via_index = {(r.query_id, r.match_id)
                  for r in pq_topk(queries, catalog.table("pq_index_codes"), cb, k=3).collect()}
     assert len(via_index) == 30  # 10 queries x k
+
+
+def test_ivfpq_full_probe_lossless_codebooks_is_exact(spark, monkeypatch):
+    """IVFPQ with every cell probed AND codebooks that reconstruct the
+    corpus exactly == numpy brute-force L2 — both approximation layers
+    degrade to exact together."""
+    import numpy as np
+
+    from clinpy_spark.operators import pq as pqmod
+
+    codebooks = np.array(
+        [[[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [7.0, 7.0]],
+         [[1.0, 1.0], [5.0, 5.0], [9.0, 1.0], [2.0, 8.0]]]
+    )
+    combos = [(a, b) for a in range(4) for b in range(4)]
+    vecs = np.array(
+        [np.concatenate([codebooks[0][a], codebooks[1][b]]) for a, b in combos]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    # Force the hand-built lossless codebooks instead of a k-means fit.
+    monkeypatch.setattr(pqmod, "fit_pq_codebooks", lambda *a, **k: codebooks)
+    out = pqmod.ivfpq_topk(
+        df.filter(F.col("vec_id") < 4), df, k=3, n_centroids=4, n_probe=4, m=2, pq_k=4
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append((r.match_id, r.adc_dist))
+    assert set(per_q) == {0, 1, 2, 3}
+    for qid, got in per_q.items():
+        d = ((vecs - vecs[qid]) ** 2).sum(axis=1)
+        d[qid] = np.inf
+        want = list(np.lexsort((np.arange(len(vecs)), d))[:3])
+        assert [mid for mid, _ in got] == want
+        for mid, dist in got:
+            assert dist == pytest.approx(d[mid])
+
+
+def test_ivfpq_partial_probe_bounded_and_sane(spark):
+    import numpy as np
+
+    from clinpy_spark.operators.pq import ivfpq_topk
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(60, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivfpq_topk(
+        df.filter(F.col("vec_id") < 5), df, k=3, n_centroids=4, n_probe=2, m=4, pq_k=8
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.match_id)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) <= 3 and len(v) == len(set(v)) for v in per_q.values())
