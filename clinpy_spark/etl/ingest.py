@@ -285,6 +285,15 @@ def ingest_variants(
         # reference's per-field `index:` flags (vcf.yaml:14-44), which it
         # turns into SQLite secondary indexes on variant_impacts.
         sort_cols = [f for f in indexed_fields(type_dict) if f in out_csq]
+        if "chrom" in out_csq or "variant_id" in out_csq:
+            # chrom is the impacts table's layout column and variant_id
+            # its fk; a vcf.yaml CSQ field of either name (lowercased by
+            # normalize_type_dict) would silently collide with them.
+            raise ValueError(
+                "vcf.yaml CSQ fields may not be named 'chrom' or "
+                "'variant_id' (reserved by the impacts table layout) — "
+                "rename the field in the config"
+            )
         impacts = with_id.select("variant_id", "chrom", *out_csq).dropDuplicates()
         if incremental and catalog.exists(imp_t):
             # Anti-join guard mirroring the mapping table's: impacts of

@@ -227,7 +227,8 @@ def binned_interval_join(
     src = points_or_intervals.alias("__s")
     anti_cond = F.lit(True)
     for c in left_cols:
-        anti_cond = anti_cond & F.col(f"__s.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        # Backtick-escape: column names may legally contain dots.
+        anti_cond = anti_cond & F.col(f"`__s`.`{c}`").eqNullSafe(F.col(f"`__m`.`{c}`"))
     unmatched = src.join(matched, anti_cond, "left_anti")
     padded = unmatched.select(
         *left_cols,

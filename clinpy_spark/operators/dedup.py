@@ -189,7 +189,15 @@ def minhash_dedup_against_index(
     Jaccard (fraction of agreeing minhash positions — the standard
     unbiased estimator; exact verification would need the corpus text,
     which the index deliberately doesn't carry). Batch-side work scales
-    with the batch, corpus-side with colliding buckets only."""
+    with the batch, corpus-side with colliding buckets only.
+
+    REQUIRES disjoint id spaces: batch ids must not collide with corpus
+    ids. ``new_id == corpus_id`` pairs are dropped as self-matches
+    (otherwise probing the indexed corpus with itself reports every doc
+    as its own duplicate); the flip side is that a new document which
+    legitimately REUSES a corpus doc_id can never be reported as a
+    near-duplicate of that corpus doc. Callers with overlapping id
+    spaces must remap batch ids (e.g. prefix/offset) before calling."""
     new_sigs = minhash_signature(new_docs, id_col, text_col, num_hashes, shingle_n) \
         .localCheckpoint(eager=False)
     new_bands = band_keys(new_sigs, id_col, num_hashes, bands)

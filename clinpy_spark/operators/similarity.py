@@ -86,30 +86,42 @@ def fit_centroids(
     max_iter: int = 10,
     vec_col: str = "__cv",
     train_cap: int = 100_000,
+    train_spread: int = 8,
 ) -> DataFrame | None:
     """KMeans coarse quantizer -> tiny (cell, __ctr) DataFrame, or None
     for an empty corpus.
 
-    No full-table action before the fit: by default the trainer takes a
-    ``limit(train_cap)`` prefix — GlobalLimit executes incrementally
-    (scaleUpFactor), so at 100 TB only enough partitions to yield ~100k
-    vectors are read, and the sized-corpus ``count()`` the old code paid
-    (a full scan, twice) is gone.  A prefix is fine for a coarse
-    quantizer over a shuffled corpus; pass ``train_fraction`` explicitly
-    when the layout is clustered and a uniform sample is worth one full
-    scan.  The capped subtree is localCheckpoint'ed so the k-guard count
-    and the KMeans fit materialize it once."""
+    No full-table action before the fit: by default the trainer reads a
+    ``limit(train_cap * train_spread)`` prefix — GlobalLimit executes
+    incrementally (scaleUpFactor), so at 100 TB only enough partitions
+    to yield that many vectors are read — then uniform-samples it back
+    down to ~``train_cap``. The spread is a cheap decorrelation: this
+    repo deliberately writes CLUSTERED layouts (chrom-partitioned,
+    sorted files), where a bare prefix can be a single cluster and
+    degrade IVF/IVFPQ recall; sampling across a ``train_spread``× wider
+    window costs bounded extra IO and no full scan. It is still a
+    prefix of the corpus — pass ``train_fraction`` explicitly when the
+    clustering spans more than ``train_cap*train_spread`` rows and a
+    true uniform sample is worth one full scan. The capped subtree is
+    localCheckpoint'ed so the k-guard count and the KMeans fit
+    materialize it once."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if train_fraction is not None and train_fraction < 1.0:
         train = c.sample(fraction=train_fraction, seed=seed)
     else:
-        train = c.limit(train_cap)
+        train = c.limit(train_cap * max(1, train_spread))
     train = train.select(array_to_vector(vec_col).alias("__fv")).localCheckpoint(eager=False)
     n_train = train.count()  # tiny-corpus guard: KMeans needs k <= n
     if n_train == 0:
         return None
+    if train_fraction is None and n_train > train_cap:
+        # Prefix overshot the cap: thin it to ~train_cap uniformly over
+        # the whole spread window (bounded data — the resample is cheap).
+        train = train.sample(fraction=train_cap / n_train, seed=seed) \
+            .localCheckpoint(eager=False)
+        n_train = train.count()
     n_centroids = max(1, min(n_centroids, n_train))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", maxIter=max_iter)
     model = km.fit(train)
@@ -172,6 +184,12 @@ def ivf_topk(
     ``n_probe == n_centroids`` degrades gracefully to exact search. For
     repeated query batches against one corpus, build the index ONCE with
     :func:`build_ivf_index` and search via :func:`ivf_index_topk`.
+
+    Clustered-corpus caveat: the default quantizer trains on a
+    spread-sampled PREFIX (see :func:`fit_centroids`); if the corpus
+    layout is clustered beyond that window (e.g. sorted by the very
+    feature being embedded), pass ``train_fraction`` for a true uniform
+    sample or recall degrades.
     """
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
     q = ensure_min_parallelism(queries).select(

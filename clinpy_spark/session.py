@@ -121,6 +121,20 @@ class ProjectCatalog:
 
         return f"{name}__{hashlib.md5(self.project_dir.encode('utf-8')).hexdigest()[:8]}"
 
+    def _drop_bucket_entry(self, name: str) -> None:
+        """Invalidate a catalog entry registered by :meth:`write_bucketed`.
+
+        Any plain (non-bucketed) rewrite of the same logical table must
+        drop the catalog registration: otherwise :meth:`table` keeps
+        preferring the stale entry and Spark plans shuffle-free joins
+        against files that are no longer bucketed — 'Invalid bucket
+        file' at best, silently wrong join results at worst. EXTERNAL
+        table, so the DROP removes only metadata, never data files.
+        """
+        qual = self._bucket_name(name)
+        if self.spark.catalog.tableExists(qual):
+            self.spark.sql(f"DROP TABLE IF EXISTS `{qual}`")
+
     def table(self, name: str) -> DataFrame:
         """Catalog-registered (bucketed) tables first, then parquet dirs —
         bucket metadata only flows into plans via the catalog entry."""
@@ -166,6 +180,7 @@ class ProjectCatalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name) if self.exists(name) else os.path.join(self.project_dir, name))
+        self._drop_bucket_entry(name)
         self._cache.pop(name, None)
 
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024,
@@ -194,6 +209,7 @@ class ProjectCatalog:
         staging = path.rstrip("/") + ".__compact__"
         df.write.mode("overwrite").parquet(staging)
         _atomic_swap(path, staging)
+        self._drop_bucket_entry(name)
         self._cache.pop(name, None)
         return sum(
             1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
@@ -210,6 +226,7 @@ class ProjectCatalog:
         staging = path.rstrip("/") + ".__staged__"
         df.write.mode("overwrite").parquet(staging)
         _atomic_swap(path, staging)
+        self._drop_bucket_entry(name)
         self._cache.pop(name, None)
 
     def write_bucketed(

@@ -1,6 +1,7 @@
 """Schema vocabulary tests (reference utils.py:28-89 semantics)."""
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, MapType, StringType
 
 from clinpy_spark.schema import JUNCTIONS, struct_from_config, str_to_type
@@ -70,6 +71,35 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {catalog._bucket_name('m_bkt')}")
         spark.sql(f"DROP TABLE IF EXISTS {catalog._bucket_name('b_bkt')}")
+
+
+def test_plain_rewrite_invalidates_bucket_catalog(spark, tmp_path):
+    """Rewriting a bucketed table via plain write() must drop the stale
+    catalog entry: otherwise table() keeps the bucketed registration and
+    Spark plans shuffle-free joins against files that are no longer
+    bucketed (wrong results / 'Invalid bucket file')."""
+    from clinpy_spark.session import ProjectCatalog
+
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS payload")
+    spark.sql(f"DROP TABLE IF EXISTS {catalog._bucket_name('t_rw')}")
+    catalog.write_bucketed(df, "t_rw", ["id"], num_buckets=4)
+    assert spark.catalog.tableExists(catalog._bucket_name("t_rw"))
+
+    catalog.write(df.withColumn("payload", F.col("payload") + 1), "t_rw")
+    assert not spark.catalog.tableExists(catalog._bucket_name("t_rw"))
+    # table() now reads the plain parquet, and the rewrite is visible.
+    got = catalog.table("t_rw")
+    assert got.agg(F.min("payload")).collect()[0][0] == 1
+    # No bucket metadata left in the plan: a forced-SMJ self-join shuffles.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = got.join(got.withColumnRenamed("payload", "p2"), "id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_compact_small_files(spark, tmp_path):
