@@ -72,7 +72,8 @@ def banded_pair_join(
     id_col: str,
     tol: int,
     bin_size: int | None = None,
-    hot_threshold: int = 10_000,
+    hot_threshold: int | None = 10_000,
+    key_stats: DataFrame | None = None,
 ) -> DataFrame:
     """All within-key pairs with ``|v_a - v_b| <= tol``, each unordered
     pair once (``a_id < b_id``) — the per-key self-join (reference J12,
@@ -99,9 +100,26 @@ def banded_pair_join(
     (three scans total: linear work that buys the quadratic cap).
     ``hot_threshold=0`` forces the binned route for everything (used by
     the property tests).
+
+    Amortizing / skipping the probe (the per-build scan matters at
+    100 TB):
+
+    - ``hot_threshold=None`` — the caller ASSERTS per-key fan-out is
+      bounded (e.g. a generator-bounded or schema-bounded key like
+      orders-per-customer): the plain self-join is returned with NO
+      probe and no action at build time. Correctness is unaffected —
+      a wrong assertion costs quadratic time on the hot key, never
+      wrong rows.
+    - ``key_stats`` — a precomputed ``(key_cols..., __n)`` counts
+      DataFrame (e.g. :func:`key_count_stats` cached once and reused
+      across calls, or row counts from a table catalog): the probe
+      filters it instead of rescanning ``df``.
     """
-    counts = df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
-    hot_keys = counts.filter(F.col("__n") > hot_threshold).drop("__n")
+    if hot_threshold is None:
+        return _banded_pairs_self(df, key_cols, value_col, id_col, tol)
+    counts = key_stats if key_stats is not None \
+        else df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    hot_keys = counts.filter(F.col("__n") > hot_threshold).select(*key_cols)
 
     def _pairs_self(rows: DataFrame) -> DataFrame:
         a = rows.select(*key_cols, F.col(id_col).alias("a_id"),
