@@ -5,4 +5,5 @@ from clinpy_spark.functions.intervals import (  # noqa: F401
     overlap_len,
     point_in_interval,
 )
+from clinpy_spark.functions.time import epoch_seconds  # noqa: F401
 from clinpy_spark.functions.vectors import cosine_similarity, dot, l2_norm  # noqa: F401

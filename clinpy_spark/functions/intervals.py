@@ -64,6 +64,14 @@ def with_bins(df: DataFrame, start: str, end: str, bin_size: int, bin_col: str =
     )
 
 
+def key_count_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key row counts in the ``(key_cols..., __n)`` shape that
+    :func:`banded_pair_join` accepts as ``key_stats``. Cache (or persist
+    to the catalog) and reuse across calls so the hot-key probe scans
+    the table once, not once per plan build."""
+    return df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+
+
 def banded_pair_join(
     df: DataFrame,
     *,
@@ -115,12 +123,6 @@ def banded_pair_join(
       across calls, or row counts from a table catalog): the probe
       filters it instead of rescanning ``df``.
     """
-    if hot_threshold is None:
-        return _banded_pairs_self(df, key_cols, value_col, id_col, tol)
-    counts = key_stats if key_stats is not None \
-        else df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
-    hot_keys = counts.filter(F.col("__n") > hot_threshold).select(*key_cols)
-
     def _pairs_self(rows: DataFrame) -> DataFrame:
         a = rows.select(*key_cols, F.col(id_col).alias("a_id"),
                         _c(value_col).alias("__a_v"))
@@ -152,6 +154,13 @@ def banded_pair_join(
             .select(*[b[k] for k in key_cols], "a_id", "b_id")
         )
 
+    if hot_threshold is None:
+        # Caller asserts bounded per-key fan-out: no probe, no build-time
+        # action — the plain one-shuffle self-join.
+        return _pairs_self(df)
+    counts = key_stats if key_stats is not None \
+        else df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    hot_keys = counts.filter(F.col("__n") > hot_threshold).select(*key_cols)
     if hot_threshold <= 0:
         return _pairs_binned(df)
     if not hot_keys.take(1):
@@ -189,23 +198,21 @@ def binned_interval_join(
     bin_size)``) — no post-join distinct (a full-row shuffle) and no
     collapsing of genuinely duplicate input rows.
 
-    ``how='left'`` is DE-BINNED: the range predicate and the emit-once
-    condition live in the join CONDITION, so a naive outer join would
-    null-pad every failing exploded bin-row (an unmatched interval
-    spanning k bins would come back k times). Instead the left join is
-    built as inner + anti-join padding: the inner result, plus each
-    unmatched ORIGINAL left row once with null right columns. Left rows
-    are matched by value (null-safe equality on all left columns), which
-    is exact because identical rows have identical match status; input
-    multiplicity is preserved on both branches. Requires disjoint
+    ``how='left'``/``'right'``/``'full'`` are DE-BINNED: the range
+    predicate and the emit-once condition live in the join CONDITION,
+    so a naive outer join would null-pad every failing exploded bin-row
+    (an unmatched interval spanning k bins would come back k times).
+    Instead each outer flavor is built as inner + anti-join padding:
+    the inner result, plus each unmatched ORIGINAL row of the outer
+    side(s) once, null-padded on the other side. Unmatched rows are
+    found by value (null-safe equality on all of that side's columns),
+    which is exact because identical rows have identical match status;
+    input multiplicity is preserved on every branch. Requires disjoint
     left/right column names (same as the inner path).
     """
-    if how not in ("inner", "left"):
-        # right/full would need the symmetric padding; nobody asked yet.
+    if how not in ("inner", "left", "right", "full"):
         raise ValueError(
-            "binned_interval_join supports how='inner' or 'left'; for "
-            "right/full semantics anti-join the unmatched side(s) and "
-            "union null-padded rows explicitly"
+            "binned_interval_join supports how='inner'|'left'|'right'|'full'"
         )
     bin_l, bin_r = "__bin_l", "__bin_r"
     if left_end is None:
@@ -233,23 +240,34 @@ def binned_interval_join(
     if how == "inner":
         return inner
 
-    # Left join: inner result + one null-padded row per unmatched
-    # ORIGINAL left row. The inner result feeds both the union and the
-    # anti-join probe, so materialize it once (lazy — no eager job).
-    inner = inner.localCheckpoint(eager=False)
-    left_cols = list(points_or_intervals.columns)
-    overlap = set(left_cols) & set(intervals.columns)
+    # Outer flavors: inner result + one null-padded row per unmatched
+    # ORIGINAL row of each outer side. The inner result feeds the union
+    # and every anti-join probe, so materialize it once (lazy — no
+    # eager job).
+    overlap = set(points_or_intervals.columns) & set(intervals.columns)
     if overlap:
-        raise ValueError(f"left join needs disjoint column names; shared: {sorted(overlap)}")
-    matched = inner.select(*left_cols).distinct().alias("__m")
-    src = points_or_intervals.alias("__s")
-    anti_cond = F.lit(True)
-    for c in left_cols:
-        # Backtick-escape: column names may legally contain dots.
-        anti_cond = anti_cond & F.col(f"`__s`.`{c}`").eqNullSafe(F.col(f"`__m`.`{c}`"))
-    unmatched = src.join(matched, anti_cond, "left_anti")
-    padded = unmatched.select(
-        *left_cols,
-        *[F.lit(None).cast(f.dataType).alias(f.name) for f in intervals.schema.fields],
-    )
-    return inner.unionByName(padded)
+        raise ValueError(f"outer join needs disjoint column names; shared: {sorted(overlap)}")
+    inner = inner.localCheckpoint(eager=False)
+
+    def _padded_unmatched(src_df: DataFrame, other_df: DataFrame, pad_left: bool) -> DataFrame:
+        """Rows of src_df with no inner match, null-padded on the other
+        side, in the inner result's (left cols, right cols) order."""
+        own_cols = list(src_df.columns)
+        matched = inner.select(*own_cols).distinct().alias("__m")
+        src = src_df.alias("__s")
+        anti_cond = F.lit(True)
+        for c in own_cols:
+            # Backtick-escape: column names may legally contain dots.
+            anti_cond = anti_cond & F.col(f"`__s`.`{c}`").eqNullSafe(F.col(f"`__m`.`{c}`"))
+        unmatched = src.join(matched, anti_cond, "left_anti")
+        nulls = [F.lit(None).cast(f.dataType).alias(f.name) for f in other_df.schema.fields]
+        if pad_left:
+            return unmatched.select(*nulls, *own_cols)
+        return unmatched.select(*own_cols, *nulls)
+
+    out = inner
+    if how in ("left", "full"):
+        out = out.unionByName(_padded_unmatched(points_or_intervals, intervals, pad_left=False))
+    if how in ("right", "full"):
+        out = out.unionByName(_padded_unmatched(intervals, points_or_intervals, pad_left=True))
+    return out

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from clinpy_spark.functions.time import epoch_seconds
+
 
 def tumbling(df: DataFrame, ts_col: str = "ts", duration: str = "1 hour",
              keys: list[str] | None = None, aggs: list | None = None) -> DataFrame:
@@ -56,7 +58,7 @@ def sessionize(df: DataFrame, ts_col: str = "ts", user_col: str = "user_id",
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
     prev = F.lag(F.col(ts_col)).over(w)
     new_sess = F.when(
-        prev.isNull() | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_seconds), 1
+        prev.isNull() | ((epoch_seconds(ts_col) - epoch_seconds(prev)) > gap_seconds), 1
     ).otherwise(0)
     return df.withColumn("__new", new_sess).withColumn(
         "session_id", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1

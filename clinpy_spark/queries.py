@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinpy_spark.functions.ids import hash_id
+from clinpy_spark.functions.time import epoch_seconds
 from clinpy_spark.functions.intervals import (
     binned_interval_join,
     interval_overlaps,
@@ -349,13 +350,13 @@ def j10_interval_binned(spark, sf):
     # replaces the BroadcastNestedLoop plan (SURVEY.md §4.2).
     ev = _t(spark, sf, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").cast("long").alias("c_ts")
+        F.col("user_id").alias("c_user"), epoch_seconds("ts").alias("c_ts")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
-        F.col("ts").cast("long").alias("p_start"),
-        (F.col("ts").cast("long") + 3600).alias("p_end"),
+        epoch_seconds("ts").alias("p_start"),
+        (epoch_seconds("ts") + 3600).alias("p_end"),
     )
     joined = binned_interval_join(
         clicks, purchases,
@@ -386,13 +387,13 @@ def j10b_interval_left(spark, sf):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
-        F.col("ts").cast("long").alias("p_start"),
-        (F.col("ts").cast("long") + 3600).alias("p_end"),
+        epoch_seconds("ts").alias("p_start"),
+        (epoch_seconds("ts") + 3600).alias("p_end"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
-        F.col("ts").cast("long").alias("c_s"),
-        F.col("ts").cast("long").alias("c_e"),
+        epoch_seconds("ts").alias("c_s"),
+        epoch_seconds("ts").alias("c_e"),
     )
     joined = binned_interval_join(
         purchases, clicks,
@@ -402,6 +403,43 @@ def j10b_interval_left(spark, sf):
         bin_size=3600, how="left",
     )
     return joined.groupBy("purchase_id").agg(F.count("c_s").alias("n_clicks"))
+
+
+@q("j10c_interval_full", """
+WITH c AS (SELECT user_id AS c_user, CAST(floor(epoch(ts)) AS BIGINT) AS c_ts
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS p_start,
+                  CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS p_end
+           FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, c.c_user, c.c_ts
+FROM c FULL JOIN p
+  ON c.c_user = p.p_user AND c.c_ts BETWEEN p.p_start AND p.p_end
+""")
+def j10c_interval_full(spark, sf):
+    # FULL variant of the binned range join: both unmatched clicks and
+    # zero-click purchases survive, null-padded — the symmetric
+    # anti-join padding (functions/intervals.py) that closed the
+    # right/full raise. Same de-binned construction as 'left', applied
+    # to both sides; no BroadcastNestedLoop anywhere.
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), epoch_seconds("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        epoch_seconds("ts").alias("p_start"),
+        (epoch_seconds("ts") + 3600).alias("p_end"),
+    )
+    joined = binned_interval_join(
+        clicks, purchases,
+        left_start="c_ts", left_end=None,
+        right_start="p_start", right_end="p_end",
+        partition_keys=[("c_user", "p_user")],
+        bin_size=3600, how="full",
+    )
+    return joined.select("purchase_id", "c_user", "c_ts")
 
 
 @q("j12_band_pairs", """
@@ -424,8 +462,14 @@ def j12_band_pairs(spark, sf):
         "o_custkey", "o_orderkey",
         F.col("o_orderdate").cast("timestamp").cast("long").alias("od"),
     )
+    # hot_threshold=None: orders-per-customer is generator-bounded
+    # (TPC-H caps it at ~40 regardless of SF), so the caller asserts
+    # bounded fan-out and skips the per-build hot-key probe scan — the
+    # plain one-shuffle self-join with zero build-time actions. The
+    # skew-capped route stays property-tested via hot_threshold=0.
     pairs = banded_pair_join(o, key_cols=["o_custkey"], value_col="od",
-                             id_col="o_orderkey", tol=30 * 86400)
+                             id_col="o_orderkey", tol=30 * 86400,
+                             hot_threshold=None)
     return pairs.select("o_custkey", F.col("a_id").alias("a_key"),
                         F.col("b_id").alias("b_key"))
 

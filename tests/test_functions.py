@@ -72,20 +72,35 @@ def test_binned_interval_join_intervals(spark):
     assert sorted(map(tuple, out)) == [(1, 10)]
 
 
-def test_binned_interval_join_rejects_right_full(spark):
-    # The emit-once predicate lives in the join condition; a naive outer
-    # join would null-pad every failing exploded bin-row. inner and left
-    # are implemented; right/full must raise.
-    import pytest
-
-    a = spark.createDataFrame([(1, 0, 100)], "aid long, as long, ae long")
-    b = spark.createDataFrame([(10, 90, 200)], "bid long, bs long, be long")
+def test_binned_interval_join_right_full_match_naive(spark):
+    # right/full outer flavors must equal the naive non-equi outer
+    # joins exactly — same de-binned anti-join padding as 'left',
+    # applied to the interval side (right) or both sides (full).
+    # Duplicate rows on both sides keep their multiplicity; multi-bin
+    # unmatched intervals come back exactly once.
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 500, 700), (2, 500, 700), (3, 5000, 5900)],
+        "aid long, as long, ae long",
+    )
+    b = spark.createDataFrame(
+        [(10, 90, 200), (11, 95, 650), (20, 900, 950), (20, 900, 950), (30, 7000, 8000)],
+        "bid long, bs long, be long",
+    )
+    overlap = (F.col("ae") >= F.col("bs")) & (F.col("as") <= F.col("be"))
     for how in ("right", "full"):
-        with pytest.raises(ValueError, match="inner"):
-            binned_interval_join(
-                a, b, left_start="as", left_end="ae",
-                right_start="bs", right_end="be", how=how,
-            )
+        got = binned_interval_join(
+            a, b, left_start="as", left_end="ae",
+            right_start="bs", right_end="be", bin_size=50, how=how,
+        ).select("aid", "bid")
+        naive = a.join(b, overlap, how).select("aid", "bid")
+        assert sorted(map(tuple, got.collect()), key=str) == \
+            sorted(map(tuple, naive.collect()), key=str), how
+    # the 20-bin unmatched interval (bid=30) appears exactly once
+    full = binned_interval_join(
+        a, b, left_start="as", left_end="ae",
+        right_start="bs", right_end="be", bin_size=50, how="full",
+    )
+    assert full.filter("bid = 30").count() == 1
 
 
 def test_binned_interval_join_left_matches_naive(spark):
