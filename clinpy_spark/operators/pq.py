@@ -250,34 +250,50 @@ def load_pq_codebooks(catalog, name: str = "pq_index") -> np.ndarray:
 _PAIR_SCHEMA = "query_id long, match_id long, adc_dist double"
 
 
-def _adc_score_pairs(pairs: DataFrame, codebooks: np.ndarray) -> DataFrame:
-    """Score (query_id, __qv, match_id, codes) candidate pairs by ADC.
+def _adc_score_pairs(
+    pairs: DataFrame,
+    codebooks: np.ndarray,
+    centroids: dict[int, np.ndarray] | None = None,
+) -> DataFrame:
+    """Score (query_id, __qv, match_id, codes[, cell]) candidate pairs
+    by ADC.
 
     Per Arrow batch each DISTINCT query builds its (m, k) LUT once; every
     candidate row is then a gather+sum over its codes — the float query
-    vector is touched once per (query, batch), never per candidate."""
+    vector is touched once per (query, batch), never per candidate.
+
+    With ``centroids`` (residual PQ): codes quantize ``v - centroid(cell)``
+    and the LUT is built per (query, cell) from the query's own residual
+    ``qv - centroid(cell)``, so ``lut-sum`` approximates
+    ``|qv - v|^2 = |(qv - ctr) - (v - ctr)|^2`` exactly as in the raw
+    case — at most ``n_probe`` LUTs per query, still O(1) per candidate."""
     m, _, dsub = codebooks.shape
     marange = np.arange(m)
 
+    def _lut_for(vec: np.ndarray) -> np.ndarray:
+        return np.stack(
+            [
+                ((vec[i * dsub : (i + 1) * dsub][None, :] - codebooks[i]) ** 2).sum(axis=1)
+                for i in range(m)
+            ]
+        )
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        luts: dict[int, np.ndarray] = {}
+        luts: dict[tuple, np.ndarray] = {}
+        group_keys = "query_id" if centroids is None else ["query_id", "cell"]
         for pdf in batches:
             if pdf.empty:
                 continue
             out_q, out_m, out_d = [], [], []
-            for qid, grp in pdf.groupby("query_id", sort=False):
-                lut = luts.get(qid)
+            for key, grp in pdf.groupby(group_keys, sort=False):
+                qid = key if centroids is None else key[0]
+                lut = luts.get(key)
                 if lut is None:
                     qv = np.asarray(grp["__qv"].iloc[0], dtype=np.float64)
-                    lut = np.stack(
-                        [
-                            ((qv[i * dsub : (i + 1) * dsub][None, :] - codebooks[i]) ** 2).sum(
-                                axis=1
-                            )
-                            for i in range(m)
-                        ]
-                    )
-                    luts[qid] = lut
+                    if centroids is not None:
+                        qv = qv - centroids[int(key[1])]
+                    lut = _lut_for(qv)
+                    luts[key] = lut
                 cm = np.asarray(list(grp["codes"]), dtype=np.int64)
                 d = lut[marange[None, :], cm].sum(axis=1)
                 out_q.extend([qid] * len(d))
@@ -300,15 +316,24 @@ def ivfpq_topk(
     pq_k: int = 16,
     seed: int = 42,
     iters: int = 5,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF cell pruning + PQ-compressed scoring, one call.
 
     The candidate set is an equi-join of probed cells against the
     cell-tagged code table (shuffle on the tiny cell id); ADC scores the
-    surviving ~n_probe/n_centroids fraction. Codebooks quantize the raw
-    vectors (not cell residuals) — simpler, slightly coarser than FAISS's
-    residual PQ, same asymptotics. ``n_probe == n_centroids`` plus
-    lossless codebooks degrades to exact search (tested)."""
+    surviving ~n_probe/n_centroids fraction.
+
+    ``residual=True`` (FAISS-style, the default): codebooks quantize
+    ``v - centroid(cell)`` instead of raw vectors. Residuals span the
+    within-cell spread — a fraction of the corpus diameter — so the same
+    m×pq_k code budget resolves far finer distances (measurably better
+    recall@k at equal bytes; tested). The subtraction is a JVM-side
+    ``zip_with`` against the broadcast centroid table; scoring builds at
+    most ``n_probe`` LUTs per query from the query's own residual.
+    ``residual=False`` keeps the raw-vector variant, whose
+    ``n_probe == n_centroids`` + lossless-codebook degradation to exact
+    search is the unit proof."""
     from clinpy_spark.operators.similarity import _nearest_cells, fit_centroids
 
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
@@ -318,11 +343,24 @@ def ivfpq_topk(
     cents = fit_centroids(c, n_centroids, seed)
     if cents is None:
         return queries.sparkSession.createDataFrame([], _PAIR_SCHEMA)
-    codebooks = fit_pq_codebooks(corpus, vec_col, m, pq_k, iters=iters, seed=seed)
-    # assigned feeds both the encoder and the cell map — materialize once
-    # (a twice-referenced subtree would otherwise execute twice).
-    assigned = _nearest_cells(c, cents, "match_id", "__cv", 1).localCheckpoint(eager=False)
-    codes = pq_encode(assigned, codebooks, "match_id", "__cv").join(
+    # assigned feeds the codebook fit, the encoder, and the cell map —
+    # materialize once (a thrice-referenced subtree would execute thrice).
+    assigned = _nearest_cells(c, cents, "match_id", "__cv", 1)
+    if residual:
+        assigned = assigned.join(F.broadcast(cents), "cell").withColumn(
+            "__rv",
+            F.zip_with(F.col("__cv").cast("array<double>"), F.col("__ctr"),
+                       lambda a, b: a - b),
+        ).select("match_id", "__cv", "cell", "__rv")
+        enc_col = "__rv"
+        cent_map = {int(r["cell"]): np.asarray(r["__ctr"], dtype=np.float64)
+                    for r in cents.collect()}  # tiny: n_centroids rows
+    else:
+        enc_col = "__cv"
+        cent_map = None
+    assigned = assigned.localCheckpoint(eager=False)
+    codebooks = fit_pq_codebooks(assigned, enc_col, m, pq_k, iters=iters, seed=seed)
+    codes = pq_encode(assigned, codebooks, "match_id", enc_col).join(
         assigned.select("match_id", "cell"), "match_id"
     )
     n_probe = max(1, min(n_probe, cents.count()))
@@ -330,11 +368,11 @@ def ivfpq_topk(
     pairs = (
         probes.join(codes, "cell")
         .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "__qv", "match_id", "codes")
+        .select("query_id", "__qv", "match_id", "codes", "cell")
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("match_id"))
     return (
-        _adc_score_pairs(pairs, codebooks)
+        _adc_score_pairs(pairs, codebooks, cent_map)
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select("query_id", "match_id", "adc_dist")

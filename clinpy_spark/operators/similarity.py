@@ -291,21 +291,47 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 6,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: score only candidates in the same
     random-hyperplane bucket. Recall < 1 by construction; the bucket
     equi-join replaces the cross join, so candidate count scales with
     bucket occupancy (~n/2^planes per bucket).
-    """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
-                       lsh_bucket(queries, vec_col, dim, n_planes, seed).alias("__bucket"))
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"),
-                      lsh_bucket(corpus, vec_col, dim, n_planes, seed).alias("__bucket"))
+
+    ``n_tables`` is THE recall lever (standard multi-table LSH): each
+    table hashes with an independent plane set, a (query, candidate)
+    pair is scored if they collide in ANY table. Physically the bucket
+    key becomes (table, bucket) — one equi-join over the union of
+    tables, each row replicated ``n_tables`` times — and duplicate
+    collisions are collapsed by a max aggregation on the scored pair
+    (cheaper than a pre-scoring distinct of (query, match): the pair
+    count is already bucket-bounded). Miss probability decays
+    exponentially in the table count: ~(1 - p^planes)^tables for
+    per-plane agreement p, at linear candidate cost."""
+    def tagged(df, id_alias, vec_alias):
+        tabs = [
+            df.select(
+                F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias),
+                F.lit(t).alias("__tab"),
+                lsh_bucket(df, vec_col, dim, n_planes, seed + 7919 * t).alias("__bucket"),
+            )
+            for t in range(max(1, n_tables))
+        ]
+        out = tabs[0]
+        for t in tabs[1:]:
+            out = out.unionByName(t)
+        return out
+
+    q = tagged(queries, "query_id", "__qv")
+    c = tagged(corpus, "match_id", "__cv")
     scored = (
-        q.join(c, "__bucket")
+        q.join(c, ["__tab", "__bucket"])
         .filter(F.col("query_id") != F.col("match_id"))
         .withColumn("__sim", cosine_similarity("__qv", "__cv"))
     )
+    if n_tables > 1:
+        # Same pair may collide in several tables — keep it once.
+        scored = scored.groupBy("query_id", "match_id").agg(F.max("__sim").alias("__sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("match_id"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))

@@ -819,7 +819,8 @@ def test_ivfpq_full_probe_lossless_codebooks_is_exact(spark, monkeypatch):
     # Force the hand-built lossless codebooks instead of a k-means fit.
     monkeypatch.setattr(pqmod, "fit_pq_codebooks", lambda *a, **k: codebooks)
     out = pqmod.ivfpq_topk(
-        df.filter(F.col("vec_id") < 4), df, k=3, n_centroids=4, n_probe=4, m=2, pq_k=4
+        df.filter(F.col("vec_id") < 4), df, k=3, n_centroids=4, n_probe=4, m=2, pq_k=4,
+        residual=False,  # the hand-built codebooks reconstruct RAW vectors
     ).collect()
     per_q = {}
     for r in out:
@@ -853,3 +854,84 @@ def test_ivfpq_partial_probe_bounded_and_sane(spark):
         per_q.setdefault(r.query_id, []).append(r.match_id)
     assert set(per_q) == {0, 1, 2, 3, 4}
     assert all(len(v) <= 3 and len(v) == len(set(v)) for v in per_q.values())
+
+
+def test_ann_recall_at_k_vs_bruteforce(spark):
+    """recall@10 of every approximate ANN operator against the exact
+    result on the driver's own embeddings table (random unit vectors —
+    the hardest case: no cluster structure to exploit). Operating points
+    and floors, all deterministic (fixed seeds, id tie-breaks):
+
+      lsh 16 tables x 4 planes   measured 0.916  floor 0.85
+      ivf n_probe=8/16           measured 0.844  floor 0.78
+      pq  m=16, k=64             measured 0.628  floor 0.55
+
+    The exactness degradations (n_probe==n_centroids, lossless
+    codebooks) are proven elsewhere; this pins the USEFUL-recall
+    operating point so a regression in bucketing/probing/codebook fit
+    shows up as a number, not an anecdote."""
+    import numpy as np
+
+    from clinpy_spark.operators.pq import fit_pq_codebooks, pq_encode, pq_topk
+    from clinpy_spark.operators.similarity import ivf_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id")
+    X = np.asarray([np.asarray(v, float) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    k, qn = 10, 25
+    queries = emb.filter(F.col("vec_id") < qn)
+    d2 = ((X[:qn, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2[:, :qn], np.inf)
+    exact_l2 = {int(ids[i]): set(ids[np.argsort(d2[i])[:k]].tolist()) for i in range(qn)}
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cs = Xn[:qn] @ Xn.T
+    np.fill_diagonal(cs[:, :qn], -np.inf)
+    exact_cos = {int(ids[i]): set(ids[np.argsort(-cs[i])[:k]].tolist()) for i in range(qn)}
+
+    def recall(df, exact):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.match_id)
+        return sum(len(got.get(q, set()) & m) for q, m in exact.items()) / (len(exact) * k)
+
+    assert recall(lsh_topk(queries, emb, k=k, n_planes=4, n_tables=16), exact_cos) >= 0.85
+    assert recall(ivf_topk(queries, emb, k=k, n_centroids=16, n_probe=8), exact_cos) >= 0.78
+    cb = fit_pq_codebooks(emb, m=16, k=64, iters=8, seed=7)
+    assert recall(pq_topk(queries, pq_encode(emb, cb), cb, k=k), exact_l2) >= 0.55
+
+
+def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark):
+    """Residual PQ (FAISS-style, the default) must measurably beat
+    raw-vector PQ at equal code budget on a CLUSTERED corpus — the case
+    it exists for: residuals span the within-cell spread, so the same
+    m x pq_k budget resolves much finer distances. Measured 0.395 vs
+    0.23 recall@10 on this fixture."""
+    import numpy as np
+
+    from clinpy_spark.operators.pq import ivfpq_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 10, (8, 32))
+    pts = np.concatenate([c + rng.normal(0, 0.5, (80, 32)) for c in centers])
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    k = 10
+    dd = ((pts[:20, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(dd[:, :20], np.inf)
+    exact = {i: set(np.argsort(dd[i])[:k].tolist()) for i in range(20)}
+    cq = cdf.filter(F.col("vec_id") < 20)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.match_id)
+        return sum(len(got.get(q, set()) & m) for q, m in exact.items()) / (len(exact) * k)
+
+    kwargs = dict(k=k, n_centroids=8, n_probe=2, m=4, pq_k=16)
+    r_raw = recall(ivfpq_topk(cq, cdf, residual=False, **kwargs))
+    r_res = recall(ivfpq_topk(cq, cdf, residual=True, **kwargs))
+    assert r_res > r_raw + 0.1, (r_res, r_raw)
+    assert r_res >= 0.35, r_res
