@@ -60,6 +60,10 @@ class Junctions(Assay):
         if samples:
             bridge = bridge.filter(F.col("samplename").isin(samples))
 
+        # Write-time catalog stats drive the build-side choice: a small
+        # junction master broadcasts (no shuffle of the big bridge); an
+        # unknown or large one falls through to Spark's own estimate.
+        junc = self.db.hint_small(junc_t, junc)
         if uniq:
             return junc.join(
                 bridge.select("junction").distinct(),

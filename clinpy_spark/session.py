@@ -106,6 +106,80 @@ class ProjectCatalog:
         self.project_dir = project_dir
         self._cache: dict[str, DataFrame] = {}
 
+    # -- table statistics ---------------------------------------------------
+    #
+    # Row count / bytes / file count per table, captured AT WRITE TIME from
+    # parquet footers (metadata-only reads — no data scan, amortized into
+    # the write) and persisted to a ``_stats.json`` manifest beside the
+    # tables. The metastore-stats analogue: downstream plan decisions
+    # (broadcast a small side, skip banded_pair_join's hot-key probe when
+    # the whole table is under the threshold) read the manifest instead of
+    # rescanning data.
+
+    def _stats_file(self) -> str:
+        return os.path.join(self.project_dir, "_stats.json")
+
+    def _read_stats_manifest(self) -> dict:
+        import json
+
+        try:
+            with open(self._stats_file()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _record_stats(self, name: str) -> None:
+        import json
+
+        import pyarrow.parquet as papq
+
+        path = self.path(name)
+        rows = total = files = 0
+        for dp, _, fs in os.walk(path):
+            for f in fs:
+                fp = os.path.join(dp, f)
+                total += os.path.getsize(fp)
+                if f.endswith(".parquet"):
+                    files += 1
+                    rows += papq.ParquetFile(fp).metadata.num_rows
+        manifest = self._read_stats_manifest()
+        manifest[name] = {"rows": rows, "bytes": total, "files": files}
+        tmp = self._stats_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._stats_file())
+
+    def stats(self, name: str) -> dict | None:
+        """Write-time stats for a table, or None if it was never written
+        through this catalog (e.g. externally generated data — call
+        :meth:`collect_stats` once to backfill)."""
+        return self._read_stats_manifest().get(name)
+
+    def collect_stats(self, name: str) -> dict:
+        """Backfill stats for an externally written table (footer-only
+        reads, no data scan) and return them."""
+        self._record_stats(name)
+        return self.stats(name)
+
+    def hint_small(self, name: str, df: DataFrame | None = None,
+                   threshold_bytes: int | None = None) -> DataFrame:
+        """The table's DataFrame, broadcast-hinted iff the manifest says
+        it is under the broadcast threshold (default: the session's
+        ``autoBroadcastJoinThreshold``). Parquet bytes undercount the
+        in-memory size, so this is a hint in the true sense — Spark
+        still builds the hash side; unknown tables come back unhinted
+        and planning falls through to Spark's own size estimate."""
+        from pyspark.sql import functions as F
+
+        df = df if df is not None else self.table(name)
+        if threshold_bytes is None:
+            conf = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            threshold_bytes = int(conf.rstrip("b")) if conf.isdigit() else 10 * 1024 * 1024
+        s = self.stats(name)
+        if s is not None and 0 <= s["bytes"] <= threshold_bytes:
+            return F.broadcast(df)
+        return df
+
     def path(self, name: str) -> str:
         base = os.path.join(self.project_dir, name)
         return base + ".parquet" if os.path.exists(base + ".parquet") else base
@@ -182,6 +256,7 @@ class ProjectCatalog:
         w.parquet(self.path(name) if self.exists(name) else os.path.join(self.project_dir, name))
         self._drop_bucket_entry(name)
         self._cache.pop(name, None)
+        self._record_stats(name)
 
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024,
                 sort_within_by: list[str] | None = None) -> int:
@@ -211,6 +286,7 @@ class ProjectCatalog:
         _atomic_swap(path, staging)
         self._drop_bucket_entry(name)
         self._cache.pop(name, None)
+        self._record_stats(name)
         return sum(
             1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
         )
@@ -228,6 +304,7 @@ class ProjectCatalog:
         _atomic_swap(path, staging)
         self._drop_bucket_entry(name)
         self._cache.pop(name, None)
+        self._record_stats(name)
 
     def write_bucketed(
         self,
@@ -260,6 +337,7 @@ class ProjectCatalog:
             w = w.sortBy(*sort_cols)
         w.option("path", os.path.join(self.project_dir, name)).saveAsTable(self._bucket_name(name))
         self._cache.pop(name, None)
+        self._record_stats(name)
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> ProjectCatalog:

@@ -723,3 +723,37 @@ def test_nearest_gene_api(spark, project):
     gap = j.junction("chr1", 1600, 2000, "+").nearest_gene().collect()[0]
     assert (gap.gene, gap.distance) == ("g1", 100)
     assert j.junction("chr1", 1600, 2000, "+").nearest_gene(max_distance=50).count() == 0
+
+
+def test_catalog_stats_roundtrip_and_broadcast_hint(spark, tmp_path):
+    """Write-time table stats: every write path records rows/bytes/files
+    from parquet footers into _stats.json (no data scan); hint_small
+    broadcasts iff the manifest says the table is small; compact and
+    overwrite refresh the numbers."""
+    from clinpy_spark.session import ProjectCatalog
+
+    cat = ProjectCatalog(spark, str(tmp_path))
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    cat.write(df, "dim")
+    s = cat.stats("dim")
+    assert s["rows"] == 1000 and s["bytes"] > 0 and s["files"] >= 1
+
+    # unknown table -> no stats, no hint
+    assert cat.stats("nope") is None
+
+    # hint_small: a manifest-small table carries the broadcast hint
+    hinted = cat.hint_small("dim")
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+    # a too-small threshold suppresses the hint
+    unhinted = cat.hint_small("dim", threshold_bytes=1)
+    assert "hint" not in unhinted._jdf.queryExecution().logical().toString().lower()
+
+    # overwrite + compact keep the manifest current
+    cat.write(spark.range(50).withColumnRenamed("id", "k"), "dim")
+    assert cat.stats("dim")["rows"] == 50
+    cat.compact("dim")
+    assert cat.stats("dim")["rows"] == 50
+
+    # backfill for externally written data
+    spark.range(77).write.parquet(str(tmp_path / "ext"))
+    assert cat.collect_stats("ext")["rows"] == 77
