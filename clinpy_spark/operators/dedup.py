@@ -62,23 +62,40 @@ def passage_dedup(
     anything; at 100 TB the window key should be a hash of the passage
     (join-width, not semantics).
     """
+    exploded = explode_chunks(df, id_col, text_col, chunk_words)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__chunk").orderBy(F.asc("__id"), F.asc("__pos"))
+    flagged = exploded.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__kept", F.col("__rk") == 1
+    )
+    return reassemble_passages(flagged, id_col)
+
+
+def explode_chunks(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   chunk_words: int = 10) -> DataFrame:
+    """Documents -> one row per fixed-width passage: (__id, __pos,
+    __chunk). Shared by the batch and streaming passage dedup."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_words + 1, chunk_words)),
     )
-    exploded = (
-        df.select(F.col(id_col).alias("__id"), chunks.alias("__chunks"))
-        .select("__id", F.posexplode("__chunks").alias("__pos", "__chunk"))
+    return df.select(F.col(id_col).alias("__id"), chunks.alias("__chunks")).select(
+        "__id", F.posexplode("__chunks").alias("__pos", "__chunk")
     )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("__chunk").orderBy(F.asc("__id"), F.asc("__pos"))
-    ranked = exploded.withColumn("__rk", F.row_number().over(w))
-    kept = F.when(F.col("__rk") == 1, F.struct(F.col("__pos"), F.col("__chunk")))
+
+def reassemble_passages(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(__id, __pos, __chunk, __kept) decisions -> the passage_dedup
+    output shape (id, n_chunks, n_kept, clean_text): surviving chunks
+    stitched back in position order. Plain batch aggregation — in a
+    streaming pipeline run it inside ``foreachBatch`` (a document's
+    chunks always share a micro-batch: they explode from one row)."""
+    kept = F.when(F.col("__kept"), F.struct(F.col("__pos"), F.col("__chunk")))
     return (
-        ranked.groupBy("__id")
+        flagged.groupBy("__id")
         .agg(
             F.count("*").alias("n_chunks"),
             F.count(kept).alias("n_kept"),

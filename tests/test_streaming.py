@@ -204,3 +204,51 @@ def test_streaming_correlate_stream_stream_join(spark, tmp_path):
     # user 100: clicks 1 (t0) + 2 (t0+20m) both within 2h of view 3 (t0+90m);
     # user 200's click has no view.
     assert got == {(1, 3), (2, 3)}
+
+
+def test_streaming_passage_dedup_matches_batch(spark, tmp_path):
+    """Streaming passage dedup: per-chunk first-seen state carries ACROSS
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file), and
+    reassembling the decisions reproduces the batch operator exactly on
+    the same corpus — arrival order matches the batch (id, pos) order,
+    so first-arrival == min-(id, pos)."""
+    import json as _json
+
+    from clinpy_spark.operators.dedup import passage_dedup, reassemble_passages
+    from clinpy_spark.streaming.curate import streaming_passage_dedup
+
+    boiler = "a b c"
+    docs = [
+        (1, boiler + " x y z"),   # batch 1: chunks "a b c", "x y z"
+        (2, boiler + " p q r"),   # batch 2: "a b c" repeats across batches
+        (3, "x y z u v w"),       # batch 3: "x y z" repeats; "u v w" new
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for did, text in docs:
+        p = src / f"part-{did}.json"
+        with open(p, "w") as fh:
+            fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        # FileStreamSource orders batches by modification time; equal
+        # mtimes make arrival order nondeterministic — pin it.
+        os.utime(p, (1_700_000_000 + did, 1_700_000_000 + did))
+
+    stream = (
+        spark.readStream.format("json").schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    flagged = streaming_passage_dedup(stream, chunk_words=3)
+    q = (flagged.writeStream.format("memory").queryName("pdedup")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    decisions = spark.sql("select * from pdedup")
+    assert decisions.count() == 6  # every chunk got exactly one decision row
+
+    got = {r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+           for r in reassemble_passages(decisions).collect()}
+    bdf = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+            for r in passage_dedup(bdf, chunk_words=3).collect()}
+    assert got == want
+    assert got[2] == (2, 1, "p q r")          # cross-batch drop of "a b c"
+    assert got[3] == (2, 1, "u v w")          # cross-batch drop of "x y z"
