@@ -1797,9 +1797,237 @@ def tpch_q22_idle_rich(spark, sf):
     )
 
 
+@q("tpch_q2_min_cost_supplier", """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (SELECT l_partkey AS b_partkey, min(cost) AS min_cost
+         FROM offers GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM offers o
+JOIN best ON o.l_partkey = b_partkey AND o.cost = min_cost
+JOIN part ON p_partkey = o.l_partkey AND p_type = 'ECONOMY'
+           AND p_size BETWEEN 10 AND 20
+JOIN supplier ON s_suppkey = o.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def tpch_q2_min_cost_supplier(spark, sf):
+    # Q2 shape (no partsupp in this schema: lineitem plays the
+    # part-supplier offer relation, unit price = extendedprice/quantity):
+    # the correlated MIN subquery decorrelates into a per-part aggregate
+    # joined back on (part, cost). Double division is IEEE-identical in
+    # both engines, so the min-cost equi-join compares exactly. Dims
+    # broadcast; the two aggregates reuse one shuffle on l_partkey.
+    li = _t(spark, sf, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("min_cost"))
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_type")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        offers.join(best, (offers.l_partkey == best.b_partkey)
+                    & (offers.cost == best.min_cost))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@q("tpch_q9_profit", f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY n_name, year(o_orderdate)
+""")
+def tpch_q9_profit(spark, sf):
+    # Q9 shape (profit by supplier nation and order year; no
+    # ps_supplycost in this schema so profit is discounted revenue):
+    # three broadcast dims against lineitem, one fact-fact join with
+    # orders, one aggregate. The LIKE filter prunes parts BEFORE the
+    # broadcast, so the join probe is against the small filtered set.
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    orders = _t(spark, sf, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+    )
+
+
+@q("tpch_q11_important_stock", """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+  GROUP BY partkey)
+SELECT partkey, CAST(value_dec AS DOUBLE) AS value
+FROM val
+WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM val)
+ORDER BY value DESC, partkey
+""")
+def tpch_q11_important_stock(spark, sf):
+    # Q11 shape: grouped value per part vs a global scalar threshold
+    # (share > 0.1%). All arithmetic stays DECIMAL until the output cast
+    # — the threshold compare is exact in any summation order in both
+    # engines (value*1000 > total avoids a lossy decimal*0.001). The
+    # per-part frame feeds both the rows and the scalar, so it is
+    # materialized once; the 1-row total broadcasts.
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3") \
+        .select("n_nationkey")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value_dec"))
+        .localCheckpoint(eager=False)
+    )
+    total = val.agg(F.sum("value_dec").alias("__tot"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * 1000 > F.col("__tot"))
+        .select("partkey", F.col("value_dec").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@q("tpch_q20_excess_suppliers", """
+WITH sold AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_name LIKE 'small%'
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey),
+tot AS (SELECT l_partkey AS t_partkey, CAST(sum(qty) AS BIGINT) AS part_qty
+        FROM sold GROUP BY l_partkey),
+dominant AS (
+  SELECT DISTINCT l_suppkey FROM sold JOIN tot ON l_partkey = t_partkey
+  WHERE qty * 2 > part_qty)
+SELECT s_name, n_name
+FROM dominant
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+ORDER BY s_name
+""")
+def tpch_q20_excess_suppliers(spark, sf):
+    # Q20 shape (no partsupp: "excess stock" becomes "supplier ships
+    # more than half a part's volume"): a nested-aggregate semi-join
+    # chain — filtered parts -> per-(part, supplier) quantities -> the
+    # per-part total joined back -> DISTINCT suppliers -> name lookup.
+    # Quantities are integral; summing as BIGINT keeps the halving
+    # compare exact in both engines. The two aggregates share the
+    # l_partkey shuffle; dims broadcast.
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    part = _t(spark, sf, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    sold = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .localCheckpoint(eager=False)
+    )
+    tot = sold.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("part_qty"))
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        sold.join(tot, sold.l_partkey == tot.t_partkey)
+        .filter(F.col("qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey").distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 _SHINGLE_SQL = """
   SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
   FROM documents"""
+
+
+@q("text_bm25", f"""
+WITH d AS (SELECT doc_id, w, len(w) AS dl FROM ({_SHINGLE_SQL}) base),
+consts AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'join', 'vector') GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+FROM tf JOIN dft USING (term), consts
+GROUP BY doc_id
+""")
+def text_bm25(spark, sf):
+    # Okapi BM25 of every document against a fixed query-term bag, as a
+    # pure DataFrame aggregation (operators/retrieval.py): explode
+    # bounded to |query| terms per doc via array_intersect, term df
+    # broadcast back, corpus constants a 1-row broadcast. Score rounded
+    # to 6dp — the sum over query terms is a genuine float reduction
+    # (order-sensitive in the last ulp) in both engines.
+    from clinpy_spark.operators.retrieval import bm25_scores
+
+    out = bm25_scores(_t(spark, sf, "documents"), ["spark", "join", "vector"])
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@q("text_tfidf_top_term", f"""
+WITH d AS (SELECT doc_id, w FROM ({_SHINGLE_SQL}) base),
+consts AS (SELECT count(*) AS n_docs FROM d),
+tf AS (SELECT doc_id, unnest(w) AS term FROM d),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+wts AS (SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS weight
+        FROM tfc JOIN dft USING (term), consts),
+rk AS (SELECT doc_id, term, weight,
+              row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rk
+       FROM wts)
+SELECT doc_id, term AS top_term, round(weight, 6) AS weight
+FROM rk WHERE rk = 1
+""")
+def text_tfidf_top_term(spark, sf):
+    # Most-characteristic term per document by TF-IDF weight
+    # (operators/retrieval.py tfidf_vectors + a rank window with a
+    # deterministic term tie-break) — the lexical feature extraction
+    # behind cheap quality classifiers and topic subsetting.
+    from pyspark.sql import Window
+
+    from clinpy_spark.operators.retrieval import tfidf_vectors
+
+    wts = tfidf_vectors(_t(spark, sf, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        wts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"),
+                F.round("weight", 6).alias("weight"))
+    )
 
 
 @q("text_decontaminate", f"""
