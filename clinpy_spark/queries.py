@@ -2638,6 +2638,89 @@ def s15_histogram_q(spark, sf):
     )
 
 
+@q("a13_rollup_revenue", f"""
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       CAST(count(*) AS BIGINT) AS n, {DSUM('c_acctbal', 2)} AS total_bal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def a13_rollup_revenue(spark, sf):
+    # Hierarchical subtotal aggregation (GROUP BY ROLLUP): per-nation,
+    # per-region, and grand-total rows from ONE pass — Spark's rollup()
+    # expands grouping sets inside a single Expand + aggregate, not one
+    # job per level. Dims broadcast; both grouping columns are non-null
+    # so the coalesce markers are unambiguous.
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    reg = _t(spark, sf, "region").select("r_regionkey", "r_name")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"), dsum(F.col("c_acctbal"), 2).alias("total_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n", "total_bal",
+        )
+    )
+
+
+@q("s16_quantiles", """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       round(max(o_totalprice), 2) AS mx
+FROM orders GROUP BY o_orderpriority
+""")
+def s16_quantiles(spark, sf):
+    # Exact grouped quantiles (continuous/interpolated definition — the
+    # same (n-1)*p rank rule in Spark and DuckDB; 6dp rounding absorbs
+    # the last-ulp interpolation-form difference). The profiling
+    # primitive behind outlier gates; swap percentile() for
+    # approx_percentile() at 100 TB for the sketch version (tested).
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    )
+
+
+@q("e_gaps_islands", """
+WITH s AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+  FROM events)
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS run_len, min(ts) AS run_start
+FROM s GROUP BY user_id, event_type, grp
+HAVING count(*) >= 3
+""")
+def e_gaps_islands(spark, sf):
+    # Gaps-and-islands: maximal runs of consecutive same-type events per
+    # user via the two-row_number difference trick — one shuffle on
+    # user_id serves both windows (the second partitions by a superset
+    # key), then one aggregate. Runs >= 3 are the behavioral-streak
+    # output (bot detection / engagement bursts).
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "grp")
+        .agg(F.count("*").alias("run_len"), F.min("ts").alias("run_start"))
+        .filter(F.col("run_len") >= 3)
+        .drop("grp")
+    )
+
+
 @q("split_corpus_assign", _split_sql())
 def split_corpus_assign_q(spark, sf):
     # Deterministic train/val/test assignment: disjoint cumulative hash

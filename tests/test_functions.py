@@ -200,3 +200,20 @@ def test_rolling_fingerprint(spark):
     # (fp("alpha beta") * B + (xxhash64("gamma") mod 2^20)) mod M.
     h_gamma = df.select(F.pmod(F.xxhash64(F.lit("gamma")), F.lit(1 << 20)).alias("h")).first().h
     assert out[1] == (out[4] * B + h_gamma) % M
+
+
+def test_sketch_aggregates_track_exact(spark):
+    """The 100 TB swap-ins for the exact profiling aggregates:
+    approx_percentile (t-digest-style sketch, mergeable across
+    partitions) tracks percentile(), and approx_count_distinct (HLL++)
+    tracks countDistinct(), both within their documented error."""
+    df = spark.range(10_000).selectExpr("cast(id * 37 % 1000 as double) as v")
+    exact_p, approx_p = df.select(
+        F.percentile("v", F.lit(0.9)), F.approx_percentile("v", F.lit(0.9), F.lit(10_000))
+    ).first()
+    assert abs(exact_p - approx_p) <= 1.0  # accuracy=10k -> near-exact here
+
+    exact_d, approx_d = df.select(
+        F.count_distinct("v"), F.approx_count_distinct("v", 0.02)
+    ).first()
+    assert abs(approx_d - exact_d) / exact_d < 0.05
