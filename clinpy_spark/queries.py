@@ -3008,7 +3008,27 @@ def v_gt_structural_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- never driver-recorded before round 3: §2 proofs + LLM pipeline --
+    # -- round-5 head: the three r4-FAILED queries (TIMESTAMP_NTZ event
+    # schema drift, fixed via epoch_seconds) whose latest driver record
+    # must flip back to green, then every query new in round 5 --
+    "j10_interval_binned",
+    "j10b_interval_left",
+    "e_sessionize",
+    "j10c_interval_full",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_suppliers",
+    "text_bm25",
+    "text_tfidf_top_term",
+    "a13_rollup_revenue",
+    "s16_quantiles",
+    "e_gaps_islands",
+    # -- code touched in round 5: re-record freshest proof --
+    "j12_band_pairs",           # probe-free fast path
+    "dedup_passage_keepfirst",  # routed through shared explode/reassemble
+    "sim_topk_bruteforce",      # recall-test anchor
+    # -- §2 proofs + LLM pipeline (green in committed r3/r4 artifacts) --
     "v_typed_impacts",          # P10 typed CSQ coercion
     "v_gt_structural",          # P8 structural genotypes
     "u1_grouped_filter",        # U1 grouped-map contract
@@ -3029,16 +3049,13 @@ _PRIORITY: list[str] = [
     "text_redact",
     "text_pack_chunks",
     "text_vocab_topk",
-    "sim_topk_bruteforce",
     "skew_salted_join",
     "a2b_two_phase_distinct",
     "o2_running_total",
     "e_tumbling_hour",
-    "e_sessionize",
     "e_sliding_window",
     "s15_histogram",
     # -- round-3 additions, also never driver-recorded --
-    "j10b_interval_left",
     "tpch_q14_promo",
     "tpch_q17_small_qty",
     "tpch_q19_disjunctive",
@@ -3050,15 +3067,12 @@ _PRIORITY: list[str] = [
     "text_decontaminate",
     "text_repetition",
     "sim_range_search",
-    "dedup_passage_keepfirst",
     "mix_resample_upsample",
     "curate_gopher_rules",
     "o7_ntile_ranks",
     # -- high-value §2 repeats (driver-green in r1+r2, kept in-window) --
     "flagship_cohort_revenue",
     "p_coerce_floor",
-    "j10_interval_binned",
-    "j12_band_pairs",
     "j13_overlap_fraction",
     "j14_point_in_interval",
 ]

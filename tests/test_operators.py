@@ -935,3 +935,38 @@ def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark):
     r_res = recall(ivfpq_topk(cq, cdf, residual=True, **kwargs))
     assert r_res > r_raw + 0.1, (r_res, r_raw)
     assert r_res >= 0.35, r_res
+
+
+def test_incremental_stats_equal_full_recompute(spark, tmp_path):
+    """Incremental aggregate maintenance: folding three append batches
+    into the persisted stats table gives EXACTLY the full recompute over
+    the concatenated corpus — counts, sums, mins, maxes, and read-time
+    means — at O(batch + keys) cost per refresh."""
+    from clinpy_spark.operators.incremental import (
+        finalize, partial_aggregate, refresh_stats,
+    )
+    from clinpy_spark.session import ProjectCatalog
+
+    cat = ProjectCatalog(spark, str(tmp_path))
+    batches = [
+        [("en", 10.0, 3), ("en", 20.0, 5), ("fr", 1.0, 2)],
+        [("en", 40.0, 1), ("de", 7.0, 7)],
+        [("fr", 2.0, None), ("de", 3.0, 0)],   # null value col in a batch
+    ]
+    schema = "lang string, score double, ntok int"
+    all_rows = []
+    for b in batches:
+        all_rows += b
+        refresh_stats(cat, "doc_stats", spark.createDataFrame(b, schema),
+                      ["lang"], ["score", "ntok"])
+
+    got = {r.lang: r.asDict() for r in
+           finalize(cat.table("doc_stats"), ["score", "ntok"]).collect()}
+    full = {r.lang: r.asDict() for r in
+            finalize(partial_aggregate(spark.createDataFrame(all_rows, schema),
+                                       ["lang"], ["score", "ntok"]),
+                     ["score", "ntok"]).collect()}
+    assert got == full
+    assert got["en"]["n"] == 3 and got["en"]["score_mean"] == pytest.approx(70.0 / 3)
+    assert got["fr"]["ntok_count"] == 1 and got["fr"]["ntok_mean"] == 2.0
+    assert got["de"]["ntok_min"] == 0 and got["de"]["ntok_max"] == 7

@@ -36,11 +36,17 @@ EXPECTED_UNBOUNDED = {
     "sim_topk_ivf",  # cross join vs the CONSTANT-size broadcast centroid
                      # table (n_centroids rows) for argmin cell assignment —
                      # linear in the corpus, not a pair blowup
+    "sim_topk_ivfpq",  # same _nearest_cells centroid cross join (the ADC
+                       # scan itself is an equi-join on cell + code gathers)
     "sim_range_search",  # radius twin of sim_topk_bruteforce — same
                          # declared all-pairs baseline (LSH/IVF = scale path)
     "tpch_q22_idle_rich",  # BNLJ vs a ONE-ROW broadcast threshold — the
                            # scalar-subquery plan Spark itself emits;
                            # linear in customer, not a pair blowup
+    "tpch_q11_important_stock",  # same 1-row-broadcast scalar shape:
+                                 # crossJoin vs the single-row total
+    "text_bm25",  # crossJoin vs the 1-row (N, avgdl) corpus constants
+    "text_tfidf_top_term",  # crossJoin vs the 1-row N constant
 }
 
 
