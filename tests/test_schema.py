@@ -115,3 +115,43 @@ def test_compact_small_files(spark, tmp_path):
     assert n_files == 1
     assert catalog.table("t").count() == 10_000
     assert catalog.table("t").select("g").distinct().count() == 5
+
+
+def test_zorder_layout_prunes_multi_column(spark, tmp_path):
+    """Z-order vs single-column sort: on a 2-D point predicate the
+    Morton layout's parquet footer boxes admit a small fraction of
+    files, while the x-sorted layout admits ~every file (y is scattered
+    through all of them). Pruning measured from footers only — exactly
+    what a reader's min/max filter sees."""
+    from clinpy_spark.operators.zorder import files_containing, write_zordered
+    from clinpy_spark.session import ProjectCatalog
+
+    cat = ProjectCatalog(spark, str(tmp_path))
+    n, side = 40_000, 200
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    # baseline: perfectly sorted on x only
+    cat.write(df.repartitionByRange(32, "x").sortWithinPartitions("x"), "xsorted")
+    write_zordered(cat, df, "zordered", ["x", "y"], num_files=32)
+    assert cat.table("zordered").count() == n  # layout is content-preserving
+
+    # The z-order claim is BALANCE: useful pruning on every dimension,
+    # where a single-column sort is perfect on its column and useless on
+    # the others. y-only predicate: x-sorted admits every file (y is
+    # scattered through all of them); z-order admits a small fraction.
+    hit_x_y, total_x = files_containing(cat.path("xsorted"), {"y": 101})
+    hit_z_y, total_z = files_containing(cat.path("zordered"), {"y": 101})
+    assert total_x >= 16 and total_z >= 16
+    assert hit_x_y == total_x            # unsorted dim: zero pruning
+    # A point slice crosses O(sqrt(num_files)) Morton segments: expect
+    # ~2*sqrt(32) ~= 11 of 32 — far from the x-sort's all-32.
+    assert hit_z_y <= total_z // 2
+    # the x dim still prunes under z-order too (not as perfectly as a
+    # dedicated x sort, but far better than nothing)
+    hit_z_x, _ = files_containing(cat.path("zordered"), {"x": 37})
+    assert hit_z_x <= total_z // 2
+    # conjunctive point predicate: a handful of curve segments
+    hit_z_xy, _ = files_containing(cat.path("zordered"), {"x": 37, "y": 101})
+    assert hit_z_xy <= total_z // 4
