@@ -2285,9 +2285,13 @@ def dedup_embedding_cosine_q(spark, sf):
 
 @q("sim_topk_lsh")
 def sim_topk_lsh_q(spark, sf):
-    # Approximate ANN: random-hyperplane bucketed top-k.
+    # Approximate ANN: multi-table random-hyperplane bucketing at the
+    # measured useful-recall operating point (8 tables x 4 planes;
+    # single-table recall@10 on random unit vectors is near-zero — see
+    # test_ann_recall_at_k_vs_bruteforce). Candidate cost is linear in
+    # table count; misses decay exponentially.
     emb = _t(spark, sf, "embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 50), emb, k=5, n_planes=4)
+    return lsh_topk(emb.filter(F.col("vec_id") < 50), emb, k=5, n_planes=4, n_tables=8)
 
 
 @q("skew_salted_join", f"""
