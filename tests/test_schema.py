@@ -155,3 +155,37 @@ def test_zorder_layout_prunes_multi_column(spark, tmp_path):
     # conjunctive point predicate: a handful of curve segments
     hit_z_xy, _ = files_containing(cat.path("zordered"), {"x": 37, "y": 101})
     assert hit_z_xy <= total_z // 4
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime bloom-filter join pruning (the 100 TB shuffle-join saver):
+    with a selective dimension filter, Catalyst injects a
+    bloom_filter_might_contain predicate on the FACT side, so fact rows
+    that cannot join are dropped at the scan instead of being shuffled.
+    Thresholds are lowered to trigger on local data sizes — on a real
+    cluster the defaults (10M-row creation side, 10 GB application side)
+    do this automatically."""
+    spark.range(100_000).selectExpr("id AS k", "id % 100 AS v") \
+        .write.parquet(str(tmp_path / "fact"))
+    spark.range(10_000).selectExpr("id AS k", "id % 7 AS tag") \
+        .write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter("tag = 3")
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.replace("_", "").lower(), plan
+        assert j.count() == dim.count()  # pruning is semantics-preserving
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
