@@ -245,3 +245,58 @@ def test_deterministic_sample_monotone(spark, fa, fb, seed):
     small = {r.doc_id for r in deterministic_sample(df, fa, "doc_id", seed=seed).collect()}
     large = {r.doc_id for r in deterministic_sample(df, fb, "doc_id", seed=seed).collect()}
     assert small <= large
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 500), st.integers(0, 80)),
+                  min_size=0, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 500), st.integers(0, 80)),
+                   min_size=0, max_size=15),
+    bin_size=st.sampled_from([7, 50, 128]),
+    how=st.sampled_from(["left", "right", "full"]),
+)
+def test_binned_interval_outer_joins_equal_theta_joins(spark, left, right, bin_size, how):
+    """Every outer flavor of the binned interval join must equal the
+    naive non-equi outer join as a MULTISET (padding preserves the
+    multiplicity of duplicate unmatched rows; matched rows keep inner
+    multiplicity)."""
+    from collections import Counter
+
+    ldf = spark.createDataFrame(
+        [(i % 10, s, s + d) for i, (s, d) in enumerate(left)], "lid long, ls long, le long"
+    )
+    rdf = spark.createDataFrame(
+        [(i % 10, s, s + d) for i, (s, d) in enumerate(right)], "rid long, rs long, re long"
+    )
+    naive = Counter(
+        (r.lid, r.rid) for r in
+        ldf.join(rdf, interval_overlaps("ls", "le", "rs", "re"), how).collect()
+    )
+    got = Counter(
+        (r.lid, r.rid) for r in
+        binned_interval_join(ldf, rdf, left_start="ls", left_end="le",
+                             right_start="rs", right_end="re",
+                             bin_size=bin_size, how=how).collect()
+    )
+    assert got == naive
+
+
+def test_epoch_seconds_type_robust(spark):
+    """epoch_seconds gives the same whole-second value whether the
+    source column is numeric epoch, TIMESTAMP, or TIMESTAMP_NTZ — the
+    schema-drift guard for the events table (the driver's generator has
+    shipped all three flavors across rounds)."""
+    from clinpy_spark.functions.time import epoch_seconds
+
+    df = spark.sql("""
+        SELECT CAST(1700000123 AS BIGINT) AS as_num,
+               CAST(timestamp'2023-11-14 22:15:23' AS TIMESTAMP) AS as_ts,
+               CAST(timestamp_ntz'2023-11-14 22:15:23' AS TIMESTAMP_NTZ) AS as_ntz
+    """)
+    row = df.select(
+        epoch_seconds("as_num").alias("n"),
+        epoch_seconds("as_ts").alias("t"),
+        epoch_seconds("as_ntz").alias("z"),
+    ).collect()[0]
+    assert row.n == row.t == row.z == 1700000123
