@@ -2018,6 +2018,31 @@ def text_bm25(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+@q("text_lm_surprisal", f"""
+WITH d AS (SELECT doc_id, w FROM ({_SHINGLE_SQL}) base),
+pairs AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM d, unnest(range(1, len(w))) AS u(i)),
+uni AS (SELECT prev, count(*) AS c1 FROM (SELECT unnest(w) AS prev FROM d) GROUP BY prev),
+vocab AS (SELECT count(*) AS v FROM uni),
+bgc AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(c1 + v) - ln(c2 + 1)), 6) AS surprisal
+FROM pairs JOIN bgc USING (prev, cur) JOIN uni USING (prev), vocab
+GROUP BY doc_id
+""")
+def text_lm_surprisal(spark, sf):
+    # Self-trained bigram LM quality scoring (operators/lm.py): mean
+    # -ln p(cur|prev) per doc with add-one smoothing — the CCNet-style
+    # statistical gate with no external model. One tokenization feeds
+    # model counts and scoring rows; 6dp rounding absorbs the float
+    # mean's summation order.
+    from clinpy_spark.operators.lm import bigram_surprisal
+
+    out = bigram_surprisal(_t(spark, sf, "documents"))
+    return out.select("doc_id", "n_bigrams", F.round("surprisal", 6).alias("surprisal"))
+
+
 @q("text_tfidf_top_term", f"""
 WITH d AS (SELECT doc_id, w FROM ({_SHINGLE_SQL}) base),
 consts AS (SELECT count(*) AS n_docs FROM d),
@@ -3050,6 +3075,7 @@ _PRIORITY: list[str] = [
     "s16_quantiles",
     "e_gaps_islands",
     "j17_fuzzy_pairs",
+    "text_lm_surprisal",
     # -- code touched in round 5: re-record freshest proof --
     "j12_band_pairs",           # probe-free fast path
     "dedup_passage_keepfirst",  # routed through shared explode/reassemble
