@@ -46,6 +46,15 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.lower(F.trim(_c(text))), r"\s+")
 
 
+def norm_tokens(text: Column | str) -> Column:
+    """THE canonical tokenization every oracle-checked text operator
+    shares (bm25/tf-idf, LM surprisal, passage dedup, decontamination):
+    collapse whitespace runs to single spaces, lowercase, split on the
+    single space — bit-identical to the DuckDB ``_SHINGLE_SQL`` twin in
+    queries.py. Change both together or hash comparisons break."""
+    return F.split(F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " "), " ")
+
+
 def stopword_count_from_tokens(toks: Column | str, stopwords: list[str]) -> Column:
     sw = F.array(*[F.lit(w) for w in stopwords])
     return F.size(F.filter(_c(toks), lambda t: F.array_contains(sw, t)))

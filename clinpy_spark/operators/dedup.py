@@ -76,7 +76,9 @@ def explode_chunks(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
                    chunk_words: int = 10) -> DataFrame:
     """Documents -> one row per fixed-width passage: (__id, __pos,
     __chunk). Shared by the batch and streaming passage dedup."""
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    from clinpy_spark.functions.text import norm_tokens
+
+    toks = norm_tokens(text_col)
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),

@@ -56,18 +56,27 @@ def fuzzy_join(
     left_on: str,
     right_on: str,
     max_edits: int = 2,
+    suffixes: tuple[str, str] = ("_l", "_r"),
 ) -> DataFrame:
     """Two-table fuzzy equi-match: every (left, right) row pair whose
-    strings are within ``max_edits``. Same lossless length blocking;
-    right side carries its exact length, left replicates into the band."""
-    lb = left.withColumn(
+    strings are within ``max_edits``, plus an ``edits`` column. Same
+    lossless length blocking; right side carries its exact length, left
+    replicates into the band. Column names shared by both inputs
+    (including ``left_on == right_on``, the common case) are
+    disambiguated with ``suffixes``."""
+    shared = set(left.columns) & set(right.columns)
+    lmap = {c: c + suffixes[0] if c in shared else c for c in left.columns}
+    rmap = {c: c + suffixes[1] if c in shared else c for c in right.columns}
+    lb = left.select(*[F.col(c).alias(lmap[c]) for c in left.columns]).withColumn(
         "__bin",
-        F.explode(F.sequence(F.length(left_on) - max_edits, F.length(left_on) + max_edits)),
+        F.explode(F.sequence(F.length(lmap[left_on]) - max_edits,
+                             F.length(lmap[left_on]) + max_edits)),
     )
-    rb = right.withColumn("__bin", F.length(right_on))
+    rb = right.select(*[F.col(c).alias(rmap[c]) for c in right.columns]).withColumn(
+        "__bin", F.length(rmap[right_on]))
     return (
         lb.join(rb, "__bin")
-        .withColumn("__edits", F.levenshtein(F.col(left_on), F.col(right_on)))
-        .filter(F.col("__edits") <= max_edits)
+        .withColumn("edits", F.levenshtein(F.col(lmap[left_on]), F.col(rmap[right_on])))
+        .filter(F.col("edits") <= max_edits)
         .drop("__bin")
     )

@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 
 
 def _tok_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    return docs.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    from clinpy_spark.functions.text import norm_tokens
+
+    return docs.select(F.col(id_col).alias("__id"), norm_tokens(text_col).alias("__toks"))
 
 
 def bigram_surprisal(

@@ -351,7 +351,9 @@ def ivfpq_topk(
             "__rv",
             F.zip_with(F.col("__cv").cast("array<double>"), F.col("__ctr"),
                        lambda a, b: a - b),
-        ).select("match_id", "__cv", "cell", "__rv")
+        ).select("match_id", "cell", "__rv")  # __cv dropped: nothing
+        # downstream reads raw vectors, so the lazy checkpoint holds
+        # residuals only (half the vector bytes)
         enc_col = "__rv"
         cent_map = {int(r["cell"]): np.asarray(r["__ctr"], dtype=np.float64)
                     for r in cents.collect()}  # tiny: n_centroids rows

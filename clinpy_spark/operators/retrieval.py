@@ -20,9 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _toks(text_col: str):
-    return F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+from clinpy_spark.functions.text import norm_tokens as _toks
 
 
 def bm25_scores(

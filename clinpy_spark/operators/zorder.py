@@ -113,14 +113,17 @@ def files_containing(path: str, preds: dict[str, float]) -> tuple[int, int]:
             for col, v in preds.items():
                 lo, hi = None, None
                 ci = schema_names[col]
+                stats_missing = False
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics
                     if st is None or not st.has_min_max:
-                        lo, hi = None, None
+                        stats_missing = True
                         break
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-                if lo is None or not (lo <= v <= hi):
+                if stats_missing:
+                    continue  # no stats -> a reader MUST read it: counts as hit
+                if not (lo <= v <= hi):
                     ok = False
                     break
             hit += ok

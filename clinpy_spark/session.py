@@ -75,6 +75,22 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     return df
 
 
+def _parse_size_conf(conf: str) -> int:
+    """Spark size-conf string -> bytes. Handles '-1' (disabled), plain
+    numbers, and the k/m/g(b) suffix forms ('10MB', '52428800b')."""
+    s = conf.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
 def _atomic_swap(path: str, staging: str) -> None:
     """Replace the directory at ``path`` with ``staging`` without a
     window where ``path`` is missing: rename the old directory aside,
@@ -157,26 +173,49 @@ class ProjectCatalog:
 
     def collect_stats(self, name: str) -> dict:
         """Backfill stats for an externally written table (footer-only
-        reads, no data scan) and return them."""
+        reads, no data scan) and return them. Raises on a missing table
+        — silently recording zeros would later read as a legitimately
+        empty (and broadcastable) table."""
+        if not self.exists(name):
+            raise ValueError(f"no table {name!r} under {self.project_dir}")
         self._record_stats(name)
         return self.stats(name)
 
+    def _live_bytes(self, name: str) -> int | None:
+        """Current on-disk size: filesystem metadata only (no parquet
+        parsing) — cheap enough to re-check at plan time, and it catches
+        growth the manifest never saw (streaming appends, out-of-band
+        writes) as well as deleted tables (None)."""
+        if not self.exists(name):
+            return None
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(self.path(name)) for f in fs
+        )
+
     def hint_small(self, name: str, df: DataFrame | None = None,
                    threshold_bytes: int | None = None) -> DataFrame:
-        """The table's DataFrame, broadcast-hinted iff the manifest says
-        it is under the broadcast threshold (default: the session's
-        ``autoBroadcastJoinThreshold``). Parquet bytes undercount the
-        in-memory size, so this is a hint in the true sense — Spark
-        still builds the hash side; unknown tables come back unhinted
-        and planning falls through to Spark's own size estimate."""
+        """The table's DataFrame, broadcast-hinted iff it is under the
+        broadcast threshold (default: the session's
+        ``autoBroadcastJoinThreshold``; hinting is DISABLED when that
+        conf is non-positive, mirroring Spark's own semantics). The
+        size check uses live on-disk bytes — filesystem metadata, no
+        data scan — so tables grown by streaming appends or replaced
+        out-of-band are never force-broadcast on stale manifest
+        numbers; the manifest requirement gates the hint to tables this
+        catalog actually knows. Parquet bytes undercount the in-memory
+        size, so this is a hint in the true sense — unknown tables come
+        back unhinted and planning falls through to Spark's estimate."""
         from pyspark.sql import functions as F
 
         df = df if df is not None else self.table(name)
         if threshold_bytes is None:
-            conf = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-            threshold_bytes = int(conf.rstrip("b")) if conf.isdigit() else 10 * 1024 * 1024
-        s = self.stats(name)
-        if s is not None and 0 <= s["bytes"] <= threshold_bytes:
+            threshold_bytes = _parse_size_conf(
+                self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+        if threshold_bytes <= 0:
+            return df  # broadcast disabled for the session
+        live = self._live_bytes(name)
+        if self.stats(name) is not None and live is not None and live <= threshold_bytes:
             return F.broadcast(df)
         return df
 

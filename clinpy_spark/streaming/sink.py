@@ -31,7 +31,13 @@ def stream_to_catalog(
     stops (batch-style backfill); give ``trigger_interval`` (e.g.
     "30 seconds") for a continuous micro-batch run instead. The
     checkpoint defaults to a sibling directory of the table; reuse it
-    across restarts to keep the exactly-once guarantee."""
+    across restarts to keep the exactly-once guarantee.
+
+    Stats note: micro-batch appends bypass the manifest's write-time
+    stats, so the `_stats.json` entry goes stale as the stream grows —
+    `hint_small` stays safe regardless (it re-checks live on-disk bytes
+    at plan time); call `catalog.collect_stats(name)` after a drain if
+    row counts matter."""
     path = os.path.join(catalog.project_dir, name)
     checkpoint = checkpoint or path.rstrip("/") + ".__checkpoint__"
     w = (

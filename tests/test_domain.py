@@ -757,3 +757,21 @@ def test_catalog_stats_roundtrip_and_broadcast_hint(spark, tmp_path):
     # backfill for externally written data
     spark.range(77).write.parquet(str(tmp_path / "ext"))
     assert cat.collect_stats("ext")["rows"] == 77
+
+    # collect_stats on a missing table raises instead of recording zeros
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no table"):
+        cat.collect_stats("typo_name")
+
+    # out-of-band growth: hint_small re-checks LIVE bytes, so a table
+    # grown past the threshold since its manifest entry is not hinted
+    small = cat.stats("dim")["bytes"]
+    spark.range(200_000).toDF("k").write.mode("append").parquet(cat.path("dim"))
+    grown = cat._live_bytes("dim")
+    assert grown > small
+    unhinted = cat.hint_small("dim", threshold_bytes=(small + grown) // 2)
+    assert "hint" not in unhinted._jdf.queryExecution().logical().toString().lower()
+    # a non-positive session threshold disables hinting entirely
+    assert "hint" not in cat.hint_small("dim", threshold_bytes=-1) \
+        ._jdf.queryExecution().logical().toString().lower()

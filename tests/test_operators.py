@@ -970,3 +970,36 @@ def test_incremental_stats_equal_full_recompute(spark, tmp_path):
     assert got["en"]["n"] == 3 and got["en"]["score_mean"] == pytest.approx(70.0 / 3)
     assert got["fr"]["ntok_count"] == 1 and got["fr"]["ntok_mean"] == 2.0
     assert got["de"]["ntok_min"] == 0 and got["de"]["ntok_max"] == 7
+
+
+def test_fuzzy_join_same_column_names(spark):
+    """fuzzy_join must work when both sides share the match column name
+    (the normal entity-resolution case) and expose a clean edits col."""
+    from clinpy_spark.operators.fuzzy import fuzzy_join, fuzzy_pairs
+
+    a = spark.createDataFrame([(1, "red widget"), (2, "blue bolt")], "id long, name string")
+    b = spark.createDataFrame([(10, "red wadget"), (20, "green gear")], "id long, name string")
+    out = fuzzy_join(a, b, "name", "name", max_edits=2)
+    rows = out.collect()
+    assert {(r.id_l, r.id_r, r.edits) for r in rows} == {(1, 10, 1)}
+    assert "edits" in out.columns and not any(c.startswith("__") for c in out.columns)
+
+    # fuzzy_pairs: lossless blocking equals the naive quadratic filter
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpho"), (3, "alphabet"), (4, "beta")], "id long, t string")
+    got = {(r.a_id, r.b_id) for r in fuzzy_pairs(df, "id", "t", max_edits=2).collect()}
+    naive = {
+        (r1, r2) for r1, t1 in [(1, "alpha"), (2, "alpho"), (3, "alphabet"), (4, "beta")]
+        for r2, t2 in [(1, "alpha"), (2, "alpho"), (3, "alphabet"), (4, "beta")]
+        if r1 < r2 and __import__("difflib") and _lev(t1, t2) <= 2
+    }
+    assert got == naive
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
