@@ -39,9 +39,12 @@ def bm25_scores(
     always positive. df counts documents CONTAINING the term (corpus-
     wide), dl/avgdl come from the same tokenization as the tf pass.
     """
+    # base feeds both the corpus constants and the tf pass — a lazy
+    # localCheckpoint materializes the tokenization once instead of
+    # scanning (and re-splitting) the corpus twice.
     base = docs.select(
         F.col(id_col).alias("__id"), _toks(text_col).alias("__toks")
-    ).withColumn("__dl", F.size("__toks"))
+    ).withColumn("__dl", F.size("__toks")).localCheckpoint(eager=False)
     # (N, avgdl): 1-row corpus constants, broadcast into the score.
     consts = base.agg(
         F.count("*").alias("__n_docs"),
@@ -90,7 +93,8 @@ def tfidf_vectors(
     explode + two aggregates; terms under ``min_df`` docs drop out.
     The standing input to cosine-similarity retrieval or linear quality
     classifiers over lexical features."""
-    base = docs.select(F.col(id_col).alias("__id"), _toks(text_col).alias("__toks"))
+    base = docs.select(F.col(id_col).alias("__id"), _toks(text_col).alias("__toks")) \
+        .localCheckpoint(eager=False)  # consts + tf share one tokenization
     consts = base.agg(F.count("*").alias("__n_docs"))
     tf = (
         base.select("__id", F.explode("__toks").alias("__term"))

@@ -189,3 +189,45 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """AQE skew-join handling (the zero-code complement to the manual
+    salted_join operator): a 95%-hot key would pin one reducer; with
+    adaptive skew handling the hot partition splits into multiple tasks
+    and the FINAL plan carries the skew=true marker. Thresholds lowered
+    for local sizes; results are unchanged. collect() is used because it
+    executes the DataFrame's own QueryExecution — only then does
+    explain() show the finalized adaptive plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    spark.range(500_000).selectExpr(
+        "CASE WHEN id % 20 < 19 THEN 0 ELSE id % 1000 END AS k", "id AS v"
+    ).write.parquet(str(tmp_path / "fact"))
+    spark.range(1000).selectExpr("id AS k", "id % 7 AS tag") \
+        .write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep it a shuffle join
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 500_000  # semantics preserved
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan.lower(), plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
