@@ -52,3 +52,44 @@ def stream_to_catalog(
         w = w.trigger(processingTime=trigger_interval)
     catalog._cache.pop(name, None)
     return w.start()
+
+
+def stream_stats_to_catalog(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    keys: list[str],
+    value_cols: list[str],
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    trigger_interval: str | None = None,
+) -> StreamingQuery:
+    """Continuously-maintained per-key statistics: each micro-batch folds
+    into the persisted mergeable partials via
+    ``operators.incremental.refresh_stats`` inside ``foreachBatch`` —
+    the streaming face of incremental aggregate maintenance. Cost per
+    batch is O(batch + keys) regardless of how much history the stream
+    has accumulated; read the result through
+    ``operators.incremental.finalize(catalog.table(name), value_cols)``.
+
+    foreachBatch is at-least-once on retry (the fold is not idempotent
+    per batch), so keep the checkpoint directory stable and treat a
+    crashed-mid-fold batch as the recovery edge case it is — for
+    exactly-once stats over file streams, drain with
+    ``stream_to_catalog`` and fold the sink table in batch."""
+    from clinpy_spark.operators.incremental import refresh_stats
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        refresh_stats(catalog, name, batch, keys, value_cols)
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__stats_checkpoint__"
+    w = stream.writeStream.foreachBatch(fold).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_interval:
+        w = w.trigger(processingTime=trigger_interval)
+    return w.start()

@@ -252,3 +252,50 @@ def test_streaming_passage_dedup_matches_batch(spark, tmp_path):
     assert got == want
     assert got[2] == (2, 1, "p q r")          # cross-batch drop of "a b c"
     assert got[3] == (2, 1, "u v w")          # cross-batch drop of "x y z"
+
+
+def test_stream_stats_incremental_fold(spark, tmp_path):
+    """Streaming incremental stats: three files arriving as separate
+    micro-batches fold into the persisted partials; the finalized view
+    equals the batch recompute over everything that arrived."""
+    import json as _json
+
+    import pytest
+
+    from clinpy_spark.operators.incremental import finalize, partial_aggregate
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.sink import stream_stats_to_catalog
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [("en", 10.0), ("fr", 1.0)],
+        [("en", 40.0), ("de", 7.0)],
+        [("fr", 2.0), ("en", 4.0)],
+    ]
+    rows = []
+    for i, b in enumerate(batches):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as fh:
+            for lang, score in b:
+                fh.write(_json.dumps({"lang": lang, "score": score}) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        rows += b
+
+    catalog = ProjectCatalog(spark, str(tmp_path / "proj"))
+    os.makedirs(catalog.project_dir, exist_ok=True)
+    stream = (
+        spark.readStream.format("json").schema("lang string, score double")
+        .option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    q = stream_stats_to_catalog(stream, catalog, "lang_stats", ["lang"], ["score"])
+    q.awaitTermination(120)
+
+    got = {r.lang: (r.n, r.score_mean) for r in
+           finalize(catalog.table("lang_stats"), ["score"]).collect()}
+    full = {r.lang: (r.n, r.score_mean) for r in
+            finalize(partial_aggregate(
+                spark.createDataFrame(rows, "lang string, score double"),
+                ["lang"], ["score"]), ["score"]).collect()}
+    assert got == full
+    assert got["en"] == (3, pytest.approx(18.0))
