@@ -47,6 +47,7 @@ EXPECTED_UNBOUNDED = {
                                  # crossJoin vs the single-row total
     "text_bm25",  # crossJoin vs the 1-row (N, avgdl) corpus constants
     "text_tfidf_top_term",  # crossJoin vs the 1-row N constant
+    "text_lm_surprisal",  # crossJoin vs the 1-row vocabulary-size constant
 }
 
 
