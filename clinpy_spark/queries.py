@@ -215,6 +215,39 @@ def p_coerce_floor(spark, sf):
     )
 
 
+@q("s17_coverage_bins", """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + CAST(value * 60 AS BIGINT) AS e
+  FROM events WHERE event_type = 'view'
+),
+bins AS (
+  SELECT unnest(range(s // 3600, e // 3600 + 1)) AS bin FROM iv)
+SELECT bin, CAST(count(*) AS BIGINT) AS depth
+FROM bins GROUP BY bin HAVING count(*) >= 5
+""")
+def s17_coverage_bins(spark, sf):
+    # Coverage/pileup depth: how many intervals overlap each fixed-width
+    # bin — the genomics read-depth / concurrent-sessions shape. One
+    # bin explode (bounded by interval length / bin width) + one count
+    # aggregate; no self-join, no window. At 100 TB this is the
+    # interval-aggregation dual of binned_interval_join: same binning,
+    # aggregate instead of pair emission.
+    from clinpy_spark.functions.intervals import with_bins
+
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "view")
+    iv = ev.select(
+        epoch_seconds("ts").alias("s"),
+        (epoch_seconds("ts") + (F.col("value") * 60).cast("long")).alias("e"),
+    )
+    binned = with_bins(iv, "s", "e", bin_size=3600, bin_col="bin")
+    return (
+        binned.groupBy("bin").agg(F.count("*").alias("depth"))
+        .filter(F.col("depth") >= 5)
+    )
+
+
 @q("p_overlap_predicate", """
 SELECT o_orderkey, o_orderdate
 FROM orders
@@ -3076,6 +3109,7 @@ _PRIORITY: list[str] = [
     "e_gaps_islands",
     "j17_fuzzy_pairs",
     "text_lm_surprisal",
+    "s17_coverage_bins",
     # -- code touched in round 5: re-record freshest proof --
     "j12_band_pairs",           # probe-free fast path
     "dedup_passage_keepfirst",  # routed through shared explode/reassemble
