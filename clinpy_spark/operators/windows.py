@@ -70,3 +70,66 @@ def session_stats(df: DataFrame, ts_col: str = "ts", user_col: str = "user_id",
     """Per-user session count via sessionize."""
     s = sessionize(df, ts_col, user_col, gap_seconds)
     return s.groupBy(user_col).agg((F.max("session_id") + 1).alias("n_sessions"))
+
+
+def sessionize_bucketed(df: DataFrame, ts_col: str = "ts", user_col: str = "user_id",
+                        gap_seconds: int = 1800, bucket_seconds: int = 86_400,
+                        order_tiebreak: str = "event_id") -> DataFrame:
+    """Whale-user-safe sessionize: identical output to :func:`sessionize`
+    (same ``session_id`` per row), but no single window partition ever
+    holds more than one (user, time bucket) of events.
+
+    Plain sessionize partitions the window by user alone — a user with
+    10^9 events pins one reducer at 100 TB. Two phases fix it:
+
+    1. sessionize WITHIN (user, bucket): the window key gains a
+       ``bucket_seconds``-wide time bucket, bounding partition size by
+       per-user-per-day volume, not per-user-lifetime volume;
+    2. merge across boundaries on the per-(user, bucket) SUMMARY table
+       (first/last event time + local session count — 1 row per bucket,
+       tiny): bucket k's local session 0 continues bucket k-1's last
+       session iff the boundary gap <= ``gap_seconds``. A running sum
+       of (local sessions - merge flag) over the summary gives each
+       bucket its global id offset; sessions chaining through many
+       buckets resolve because every boundary link is local.
+
+    The summary window still partitions by user, but over ~rows/day
+    counts — the compression that makes the whale tractable."""
+    eb = epoch_seconds(ts_col)
+    with_b = df.withColumn("__bkt", (eb / bucket_seconds).cast("long"))
+    wl = Window.partitionBy(user_col, "__bkt").orderBy(F.col(ts_col), F.col(order_tiebreak))
+    prev = F.lag(F.col(ts_col)).over(wl)
+    new_local = F.when(
+        prev.isNull() | ((epoch_seconds(ts_col) - epoch_seconds(prev)) > gap_seconds), 1
+    ).otherwise(0)
+    local = with_b.withColumn("__new", new_local).withColumn(
+        "__lid", F.sum("__new").over(wl.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    ).drop("__new")
+
+    summary = local.groupBy(user_col, "__bkt").agg(
+        F.min(eb).alias("__first"), F.max(eb).alias("__last"),
+        (F.max("__lid") + 1).alias("__n"),
+    )
+    wb = Window.partitionBy(user_col).orderBy("__bkt")
+    merged = summary.withColumn(
+        "__m",
+        F.when(
+            (F.col("__first") - F.lag("__last").over(wb)) <= gap_seconds, 1
+        ).otherwise(0),
+    )
+    # offset_k = sum over PRECEDING buckets of (n_j - m_j); local id s in
+    # bucket k maps to offset_k + s - m_k (m_k shifts the whole bucket
+    # down one when its first session continues the previous bucket's).
+    offsets = merged.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum(F.col("__n") - F.col("__m")).over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(user_col, "__bkt", "__off", "__m")
+    return (
+        local.join(offsets, [user_col, "__bkt"])
+        .withColumn("session_id", F.col("__off") + F.col("__lid") - F.col("__m"))
+        .drop("__bkt", "__lid", "__off", "__m")
+    )

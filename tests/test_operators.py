@@ -1003,3 +1003,35 @@ def _lev(a, b):
         for j, cb in enumerate(b, 1):
             prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
     return dp[-1]
+
+
+def test_sessionize_bucketed_equals_plain(spark):
+    """Whale-safe two-phase sessionize == plain sessionize row-for-row,
+    across chained boundary merges (sessions spanning many buckets),
+    boundary gaps that do NOT merge, and multiple users. Bucket width is
+    set small relative to the gap so the merge logic is exercised hard."""
+    import datetime as dt
+
+    from clinpy_spark.operators.windows import sessionize, sessionize_bucketed
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # user 1: a long session of events every 5 min for 3 hours (chains
+    # across many 30-min buckets), a 2h silence, then a burst
+    for i in range(36):
+        rows.append((eid, t0 + dt.timedelta(minutes=5 * i), 1)); eid += 1
+    for i in range(4):
+        rows.append((eid, t0 + dt.timedelta(hours=5, minutes=7 * i), 1)); eid += 1
+    # user 2: events exactly at bucket edges, gaps alternating just
+    # under / just over the threshold
+    for i, off in enumerate([0, 29, 61, 90, 180]):
+        rows.append((eid, t0 + dt.timedelta(minutes=off), 2)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+    plain = {(r.event_id): r.session_id for r in
+             sessionize(df, gap_seconds=1800).collect()}
+    bucketed = {(r.event_id): r.session_id for r in
+                sessionize_bucketed(df, gap_seconds=1800, bucket_seconds=1800).collect()}
+    assert bucketed == plain
+    # sanity: the fixture really does produce multiple sessions
+    assert len(set(plain.values())) >= 2

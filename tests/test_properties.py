@@ -300,3 +300,26 @@ def test_epoch_seconds_type_robust(spark):
         epoch_seconds("as_ntz").alias("z"),
     ).collect()[0]
     assert row.n == row.t == row.z == 1700000123
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    offs=st.lists(st.integers(0, 50_000), min_size=1, max_size=60),
+    gap=st.integers(60, 3600),
+    bucket=st.sampled_from([600, 1800, 7200]),
+)
+def test_sessionize_bucketed_property(spark, offs, gap, bucket):
+    """Two-phase sessionize == plain sessionize for arbitrary event
+    layouts, gaps, and bucket widths (incl. buckets narrower than the
+    session gap — maximal boundary merging)."""
+    import datetime as dt
+
+    from clinpy_spark.operators.windows import sessionize, sessionize_bucketed
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=o), i % 3) for i, o in enumerate(offs)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    plain = {r.event_id: r.session_id for r in sessionize(df, gap_seconds=gap).collect()}
+    two = {r.event_id: r.session_id for r in
+           sessionize_bucketed(df, gap_seconds=gap, bucket_seconds=bucket).collect()}
+    assert two == plain
