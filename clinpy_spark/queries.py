@@ -1414,6 +1414,34 @@ def e_sessionize(spark, sf):
     return s.groupBy("user_id").agg((F.max("session_id") + 1).cast("long").alias("n_sessions"))
 
 
+@q("e_sessionize_bucketed", """
+SELECT user_id, CAST(count(*) FILTER (new_sess = 1) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+""")
+def e_sessionize_bucketed(spark, sf):
+    # Whale-safe two-phase sessionize (operators/windows.py): window
+    # partitions bounded by (user, day bucket), boundary merge on
+    # per-bucket summaries. Oracle is the PLAIN per-user sessionization
+    # — the two-phase rewrite is semantically transparent, proven by
+    # the hash match (the skew-safety twin of skew_salted_join's
+    # transparency oracle).
+    from clinpy_spark.operators.windows import sessionize_bucketed
+
+    s = sessionize_bucketed(_t(spark, sf, "events"), "ts", "user_id",
+                            gap_seconds=1800, bucket_seconds=86_400)
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"))
+
+
 @q("e_sliding_window", """
 SELECT ws, event_type, count(*) AS n
 FROM (
@@ -3110,6 +3138,7 @@ _PRIORITY: list[str] = [
     "j17_fuzzy_pairs",
     "text_lm_surprisal",
     "s17_coverage_bins",
+    "e_sessionize_bucketed",
     # -- code touched in round 5: re-record freshest proof --
     "j12_band_pairs",           # probe-free fast path
     "dedup_passage_keepfirst",  # routed through shared explode/reassemble
