@@ -74,3 +74,33 @@ def scd2_apply(
         .withColumn(current_col, F.col(end_col).isNull())
     )
     return closed.unionByName(opened)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    ef_col: str = "effective_from",
+    et_col: str = "effective_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time dimension resolution: each fact row joined to the
+    dimension version valid at its timestamp
+    (``ef_col <= fact_ts < et_col``; an open current version carries
+    et = +inf / null).
+
+    Physical shape: this is an interval join, but per-key version counts
+    are small and versions per key partition the timeline — so the right
+    plan is the plain EQUI-join on the keys followed by the range
+    filter (fan-out bounded by versions-per-key, exactly-one match by
+    construction), NOT the binned interval join: binning pays an explode
+    for skew that a versioned dimension cannot have. One shuffle on the
+    keys, or zero against an fk-bucketed dimension.
+    """
+    ef = F.col(ef_col)
+    et = F.coalesce(F.col(et_col), F.lit((1 << 63) - 1))
+    cond = (ef <= F.col(fact_ts)) & (F.col(fact_ts) < et)
+    return facts.join(dim, keys, how).filter(
+        cond if how == "inner" else (cond | ef.isNull())
+    )

@@ -528,6 +528,53 @@ def j17_fuzzy_pairs(spark, sf):
                 F.col("edits").cast("int").alias("edits"))
 
 
+@q("j19_scd2_lookup", """
+WITH dim AS (
+  SELECT o_custkey AS k, o_orderpriority AS attr,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ef,
+         coalesce(lead(CAST(floor(epoch(o_orderdate)) AS BIGINT)) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                  9223372036854775807) AS et
+  FROM orders),
+facts AS (
+  SELECT o_custkey AS k, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ts
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT attr AS prio_at_ship, CAST(count(*) AS BIGINT) AS n
+FROM facts JOIN dim USING (k)
+WHERE ef <= ts AND ts < et
+GROUP BY attr
+""")
+def j19_scd2_lookup(spark, sf):
+    # Point-in-time dimension resolution (operators/merge.py
+    # scd2_lookup): the customer's order-priority "version" valid at
+    # each line shipment. Versions per key partition the timeline, so
+    # the plan is an equi-join on the key + range filter — fan-out
+    # bounded by versions-per-key, no binning (a versioned dimension
+    # can't have interval skew). Window builds the version table with
+    # lead(); exclusive upper bound makes the match unique.
+    from pyspark.sql import Window
+
+    from clinpy_spark.operators.merge import scd2_lookup
+
+    o = _t(spark, sf, "orders")
+    oe = epoch_seconds("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("attr"),
+        oe.alias("effective_from"),
+        F.lead(oe).over(w).alias("effective_to"),
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", epoch_seconds("l_shipdate").alias("ts"))
+    facts = li.join(o.select("o_orderkey", F.col("o_custkey").alias("k")),
+                    li.l_orderkey == F.col("o_orderkey")).select("k", "ts")
+    return (
+        scd2_lookup(facts, dim, ["k"], "ts")
+        .groupBy(F.col("attr").alias("prio_at_ship"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @q("j13_overlap_fraction", """
 SELECT a.o_custkey, a.o_orderkey AS a_key, b.o_orderkey AS b_key,
        round(greatest(least(CAST(floor(epoch(a.o_orderdate)) AS BIGINT) + 2592000,
@@ -3139,6 +3186,7 @@ _PRIORITY: list[str] = [
     "text_lm_surprisal",
     "s17_coverage_bins",
     "e_sessionize_bucketed",
+    "j19_scd2_lookup",
     # -- code touched in round 5: re-record freshest proof --
     "j12_band_pairs",           # probe-free fast path
     "dedup_passage_keepfirst",  # routed through shared explode/reassemble
