@@ -52,15 +52,18 @@ def point_in_interval(p, s, e) -> Column:
 
 
 def with_bins(df: DataFrame, start: str, end: str, bin_size: int, bin_col: str = "__bin") -> DataFrame:
-    """Explode each interval row into one row per covered bin."""
+    """Explode each interval row into one row per covered bin.
+
+    Bin index is FLOOR division (correct for negative coordinates, and
+    matches SQL ``//``); a degenerate interval with ``end < start``
+    yields zero rows (``F.sequence`` would otherwise generate a
+    DESCENDING bin list) — same as SQL ``range(s, e+1)`` being empty.
+    """
+    sb = F.floor(_c(start) / bin_size).cast("long")
+    eb = F.floor(_c(end) / bin_size).cast("long")
     return df.withColumn(
         bin_col,
-        F.explode(
-            F.sequence(
-                (_c(start) / bin_size).cast("long"),
-                (_c(end) / bin_size).cast("long"),
-            )
-        ),
+        F.explode(F.when(_c(end) >= _c(start), F.sequence(sb, eb)).otherwise(F.array())),
     )
 
 
@@ -216,7 +219,7 @@ def binned_interval_join(
         )
     bin_l, bin_r = "__bin_l", "__bin_r"
     if left_end is None:
-        left = points_or_intervals.withColumn(bin_l, (_c(left_start) / bin_size).cast("long"))
+        left = points_or_intervals.withColumn(bin_l, F.floor(_c(left_start) / bin_size).cast("long"))
     else:
         left = with_bins(points_or_intervals, left_start, left_end, bin_size, bin_l)
     right = with_bins(intervals, right_start, right_end, bin_size, bin_r)
@@ -230,8 +233,8 @@ def binned_interval_join(
         cond = cond & interval_overlaps(left[left_start], left[left_end], right[right_start], right[right_end])
         # Emit-once: of the min(bins_l, bins_r) shared bins the pair
         # meets in, keep only the first — the bin containing the later
-        # of the two starts (same truncation arithmetic as with_bins).
-        first_shared = (
+        # of the two starts (same floor arithmetic as with_bins).
+        first_shared = F.floor(
             F.greatest(left[left_start], right[right_start]) / bin_size
         ).cast("long")
         cond = cond & (left[bin_l] == first_shared)

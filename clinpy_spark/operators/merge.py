@@ -97,10 +97,42 @@ def scd2_lookup(
     construction), NOT the binned interval join: binning pays an explode
     for skew that a versioned dimension cannot have. One shuffle on the
     keys, or zero against an fk-bucketed dimension.
+
+    Outer flavors cannot be a post-join filter (a left-join fact whose
+    key matches but whose ts precedes every version would be dropped,
+    and right/full would never emit dim-only rows) — they are built as
+    inner + anti-join null-padding of the unmatched side(s), the same
+    construction ``binned_interval_join`` uses.
     """
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"scd2_lookup: unsupported how={how!r}")
     ef = F.col(ef_col)
     et = F.coalesce(F.col(et_col), F.lit((1 << 63) - 1))
     cond = (ef <= F.col(fact_ts)) & (F.col(fact_ts) < et)
-    return facts.join(dim, keys, how).filter(
-        cond if how == "inner" else (cond | ef.isNull())
+    inner = facts.join(dim, keys, "inner").filter(cond)
+    if how == "inner":
+        return inner
+
+    import functools
+    import operator
+
+    fcols = [c for c in facts.columns if c not in keys]
+    dcols = [c for c in dim.columns if c not in keys]
+    # Full join condition (equi keys + validity range) for the anti-joins:
+    # a fact row is "matched" iff some version is valid at its timestamp.
+    full_cond = functools.reduce(
+        operator.and_, [facts[k] == dim[k] for k in keys]
+    ) & (dim[ef_col] <= facts[fact_ts]) & (
+        facts[fact_ts] < F.coalesce(dim[et_col], F.lit((1 << 63) - 1))
     )
+    parts = [inner]
+    if how in ("left", "full"):
+        pad_d = [F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in dcols]
+        parts.append(facts.join(dim, full_cond, "left_anti").select(*keys, *fcols, *pad_d))
+    if how in ("right", "full"):
+        pad_f = [F.lit(None).cast(facts.schema[c].dataType).alias(c) for c in fcols]
+        parts.append(dim.join(facts, full_cond, "left_anti").select(*keys, *pad_f, *dcols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -47,7 +47,17 @@ def with_zorder_key(
 
     Each column maps to a ``bits``-bit rank: linear min-max scaling
     (nulls rank 0) by default, or per-column quantile ``breaks`` for
-    skewed data. The min/max pass is one broadcast 1-row aggregate."""
+    skewed data. The min/max pass is one broadcast 1-row aggregate.
+
+    ``bits * len(cols)`` must fit in the 63 value bits of a signed long;
+    beyond that the interleave would shift into the sign bit and
+    silently corrupt the Morton ordering, so we raise instead.
+    """
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder key needs bits*len(cols) <= 63 (got {bits}*{len(cols)}="
+            f"{bits * len(cols)}); lower bits= for this many columns"
+        )
     hi = (1 << bits) - 1
     if breaks is None:
         stats = df.agg(*[f(c).alias(f"__{n}_{c}") for c in cols

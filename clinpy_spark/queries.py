@@ -219,11 +219,11 @@ def p_coerce_floor(spark, sf):
 WITH iv AS (
   SELECT user_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS s,
-         CAST(floor(epoch(ts)) AS BIGINT) + CAST(value * 60 AS BIGINT) AS e
+         CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 60) AS BIGINT) AS e
   FROM events WHERE event_type = 'view'
 ),
 bins AS (
-  SELECT unnest(range(s // 3600, e // 3600 + 1)) AS bin FROM iv)
+  SELECT unnest(range(s // 3600, e // 3600 + 1)) AS bin FROM iv WHERE e >= s)
 SELECT bin, CAST(count(*) AS BIGINT) AS depth
 FROM bins GROUP BY bin HAVING count(*) >= 5
 """)
@@ -239,7 +239,7 @@ def s17_coverage_bins(spark, sf):
     ev = _t(spark, sf, "events").filter(F.col("event_type") == "view")
     iv = ev.select(
         epoch_seconds("ts").alias("s"),
-        (epoch_seconds("ts") + (F.col("value") * 60).cast("long")).alias("e"),
+        (epoch_seconds("ts") + F.floor(F.col("value") * 60).cast("long")).alias("e"),
     )
     binned = with_bins(iv, "s", "e", bin_size=3600, bin_col="bin")
     return (

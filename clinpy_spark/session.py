@@ -145,6 +145,14 @@ class ProjectCatalog:
             return {}
 
     def _record_stats(self, name: str) -> None:
+        # Concurrency note: this is an unlocked read-modify-write of the
+        # shared _stats.json (load, mutate one key, atomic os.replace) —
+        # safe for the single-process driver that owns a project dir.
+        # Two CONCURRENT writers to different tables could lose one
+        # writer's entry (last replace wins), which later disables
+        # hint_small for the lost table — a performance, not correctness,
+        # hazard. If concurrent catalog writers are ever expected, move
+        # to per-table stats files or take a file lock around this block.
         import json
 
         import pyarrow.parquet as papq

@@ -1035,3 +1035,72 @@ def test_sessionize_bucketed_equals_plain(spark):
     assert bucketed == plain
     # sanity: the fixture really does produce multiple sessions
     assert len(set(plain.values())) >= 2
+
+
+def test_scd2_lookup_outer_flavors(spark):
+    """ADVICE r5: outer flavors must be inner + anti-join null-padding —
+    a left-join fact whose key matches but whose ts precedes every
+    version must come back null-padded (not dropped), and right/full
+    must emit dim-only rows."""
+    import pytest
+
+    from clinpy_spark.operators.merge import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "v1", 100, 200), (1, "v2", 200, None), (3, "only", 50, None)],
+        "k long, city string, effective_from long, effective_to long",
+    )
+    facts = spark.createDataFrame(
+        [(1, 150, "a"),   # matches v1
+         (1, 50, "b"),    # key matches, ts precedes all versions
+         (2, 500, "c")],  # key matches nothing
+        "k long, ts long, tag string",
+    )
+    inner = scd2_lookup(facts, dim, ["k"], "ts")
+    assert {(r.tag, r.city) for r in inner.collect()} == {("a", "v1")}
+
+    left = scd2_lookup(facts, dim, ["k"], "ts", how="left")
+    got = {(r.tag, r.city) for r in left.collect()}
+    assert got == {("a", "v1"), ("b", None), ("c", None)}  # b NOT dropped
+
+    right = scd2_lookup(facts, dim, ["k"], "ts", how="right")
+    got_r = {(r.tag, r.city) for r in right.collect()}
+    # unmatched versions v2 (no fact in its window) and dim-only key 3
+    assert got_r == {("a", "v1"), (None, "v2"), (None, "only")}
+
+    full = scd2_lookup(facts, dim, ["k"], "ts", how="full")
+    assert full.count() == 5
+    with pytest.raises(ValueError):
+        scd2_lookup(facts, dim, ["k"], "ts", how="cross")
+
+
+def test_with_bins_floor_and_degenerate_guard(spark):
+    """ADVICE r5: bin index is floor division (negative coords), and a
+    degenerate interval (end < start) yields zero rows, not a
+    descending bin list."""
+    from clinpy_spark.functions.intervals import with_bins
+
+    df = spark.createDataFrame(
+        [(1, -250, -10), (2, 10, 5), (3, 0, 250)], "id long, s long, e long"
+    )
+    out = with_bins(df, "s", "e", bin_size=100, bin_col="bin")
+    bins = {}
+    for r in out.collect():
+        bins.setdefault(r.id, []).append(r.bin)
+    assert sorted(bins[1]) == [-3, -2, -1]  # floor(-250/100) = -3, not -2
+    assert 2 not in bins                    # degenerate -> dropped
+    assert sorted(bins[3]) == [0, 1, 2]
+
+
+def test_zorder_bits_overflow_guard(spark):
+    """ADVICE r5: bits * len(cols) > 63 would shift into the long sign
+    bit and corrupt the Morton ordering — must raise."""
+    import pytest
+
+    from clinpy_spark.operators.zorder import with_zorder_key
+
+    df = spark.createDataFrame([(1, 2, 3, 4, 5, 6)], "a long, b long, c long, d long, e long, f long")
+    with pytest.raises(ValueError, match="63"):
+        with_zorder_key(df, ["a", "b", "c", "d", "e", "f"], bits=12)
+    # 6 cols * 10 bits = 60 is fine
+    assert with_zorder_key(df, ["a", "b", "c", "d", "e", "f"], bits=10).count() == 1
