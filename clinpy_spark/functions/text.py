@@ -161,8 +161,33 @@ def prefix_fingerprint(text: Column | str, n_chars: int = 40) -> Column:
     return F.md5(F.substring(norm, 1, n_chars))
 
 
+def portable_token_hash20(t: Column | str) -> Column:
+    """20-bit per-token hash from the first 5 md5 hex digits.
+
+    The engine-portable twin of ``pmod(xxhash64(t), 2^20)`` used when a
+    DuckDB oracle must reproduce the value bit-for-bit (xxhash64 has no
+    DuckDB twin; md5 exists everywhere). Same distributional role, a
+    different — but equally deterministic — hash family."""
+    return F.conv(F.substring(F.md5(_c(t)), 1, 5), 16, 10).cast("long")
+
+
+def portable_token_hash64(t: Column | str) -> Column:
+    """64-bit per-token hash assembled from the first 16 md5 hex digits
+    (digit k supplies bits 4k..4k+3, so bit j of the value is bit j%4 of
+    hex digit j//4 — the exact layout the DuckDB oracle re-derives with
+    strpos arithmetic). Top digit wraps into the sign bit; Java shift
+    semantics make that deterministic."""
+    m = F.md5(_c(t))
+    v = F.lit(0).cast("long")
+    for k in range(16):
+        d = F.conv(F.substring(m, k + 1, 1), 16, 10).cast("long")
+        v = v.bitwiseOR(F.shiftleft(d, 4 * k))
+    return v
+
+
 def rolling_fingerprint(text: Column | str, base: int = 1_000_003,
-                        modulus: int = 2_147_483_647) -> Column:
+                        modulus: int = 2_147_483_647,
+                        portable: bool = False) -> Column:
     """Order-sensitive rolling (polynomial / Rabin-style) fingerprint over
     tokens: ``fp_i = (fp_{i-1} * B + h(t_i)) mod M``. Unlike the md5
     :func:`fingerprint` (content identity), token order changes the value,
@@ -170,13 +195,19 @@ def rolling_fingerprint(text: Column | str, base: int = 1_000_003,
     built-in expressions (aggregate over the token-hash array, JVM-side);
     the explicit modulus keeps every step inside 63 bits, so it is exact
     under ANSI arithmetic (no silent wrapping, no overflow error).
+
+    ``portable=True`` swaps the per-token hash from xxhash64 (fast path)
+    to :func:`portable_token_hash20` so a DuckDB oracle can recompute the
+    identical value (``list_reduce`` over the same md5-derived hashes);
+    the rolling recurrence — the operator under test — is unchanged.
     """
-    th = token_hashes(text)
-    return F.aggregate(
-        th,
-        F.lit(0).cast("long"),
-        lambda acc, h: F.pmod(acc * base + F.pmod(h, F.lit(1 << 20)), F.lit(modulus)),
-    )
+    if portable:
+        th = F.transform(norm_tokens(text), portable_token_hash20)
+        step = lambda acc, h: F.pmod(acc * base + h, F.lit(modulus))  # noqa: E731
+    else:
+        th = token_hashes(text)
+        step = lambda acc, h: F.pmod(acc * base + F.pmod(h, F.lit(1 << 20)), F.lit(modulus))  # noqa: E731
+    return F.aggregate(th, F.lit(0).cast("long"), step)
 
 
 def token_hashes(text: Column | str) -> Column:

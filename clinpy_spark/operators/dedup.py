@@ -415,7 +415,7 @@ def apply_near_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, portable: bool = False) -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 
     Bit j of the fingerprint is 1 iff the sum over tokens of
@@ -425,10 +425,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Physical shape: explode tokens, one hash-aggregate with ``bits``
     vote sums (map-side combine), then assemble the fingerprint from the
     votes — single shuffle on the doc id.
+
+    ``portable=True`` swaps the per-token hash from xxhash64 to the
+    md5-derived :func:`~clinpy_spark.functions.text.portable_token_hash64`
+    so a DuckDB oracle can recompute identical fingerprints; the vote
+    aggregate, bit assembly, and all downstream blocking — the operator
+    under test — are unchanged.
     """
+    from clinpy_spark.functions.text import portable_token_hash64
+
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    tok_hash = portable_token_hash64("__tok") if portable else F.xxhash64("__tok")
     ex = ensure_min_parallelism(df).select(F.col(id_col), F.explode(toks).alias("__tok")).select(
-        F.col(id_col), F.xxhash64("__tok").alias("__h")
+        F.col(id_col), tok_hash.alias("__h")
     )
     bit_j = lambda j: F.shiftright("__h", j).bitwiseAND(F.lit(1).cast("long"))  # noqa: E731
     votes = ex.groupBy(id_col).agg(
@@ -442,7 +451,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3, portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash: block on ``max_hamming + 1`` bit
     chunks — by pigeonhole, a pair within Hamming distance ``max_hamming``
     of a 64-bit hash must agree on at least one chunk — then exact
@@ -467,7 +476,7 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str
             v = v.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
         return v
 
-    fps = simhash(df, id_col, text_col)
+    fps = simhash(df, id_col, text_col, portable=portable)
     chunked = fps.select(
         id_col, "simhash",
         F.explode(F.array(*[

@@ -9,8 +9,12 @@ name). Float aggregates are rounded on BOTH sides to dodge summation-
 order ULP drift; integer sums are cast to BIGINT in DuckDB (its SUM
 returns HUGEINT) so types line up.
 
-Queries with no oracle entry (minhash/simhash/LSH/multimodal) are
+Queries with no oracle entry (minhash/LSH-pair-emitter/multimodal) are
 non-SQL-expressible; the driver records a rows-only check for those.
+Operators whose only non-portable primitive was the xxhash64 token hash
+(rolling fingerprint, simhash) run in portable md5-derived-hash mode so
+they ARE oracled; the approximate ANN operators carry oracled RECALL
+CONTRACTS (sim_recall_*) instead of value equality.
 """
 
 from __future__ import annotations
@@ -1574,17 +1578,36 @@ def dedup_exact_stats_q(spark, sf):
     return exact_dedup_stats(_t(spark, sf, "documents"), "text", "source")
 
 
-@q("text_rolling_fp")
+# DuckDB twin of portable_token_hash20: value of the first 5 md5 hex
+# digits of the token (big-endian digit weights 16^4..16^0).
+_TOK20_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(t), {k + 1}, 1)) - 1) * {16 ** (4 - k)}"
+    for k in range(5)
+)
+
+
+@q("text_rolling_fp", f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [CAST({_TOK20_SQL} AS BIGINT)
+            FOR t IN string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')]),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
+FROM documents WHERE doc_id < 100
+""")
 def text_rolling_fp_q(spark, sf):
-    # Order-sensitive rolling (polynomial) fingerprint — rows-only: DuckDB
-    # has no xxhash64 twin; the incremental-extension identity is proven in
-    # tests/test_functions.py::test_rolling_fingerprint.
+    # Order-sensitive rolling (polynomial) fingerprint, ORACLE-CHECKED:
+    # the per-token hash runs in portable (md5-derived) mode so DuckDB
+    # recomputes the identical value with list_reduce over the same
+    # recurrence; the rolling arithmetic under test is the production
+    # path. The xxhash64 fast path's incremental-extension identity is
+    # pinned by tests/test_functions.py::test_rolling_fingerprint.
     from clinpy_spark.functions.text import rolling_fingerprint
 
     return (
         _t(spark, sf, "documents")
         .filter(F.col("doc_id") < 100)
-        .select("doc_id", rolling_fingerprint("text").alias("fp"))
+        .select("doc_id", rolling_fingerprint("text", portable=True).alias("fp"))
     )
 
 
@@ -1742,16 +1765,69 @@ def dedup_cluster_components_q(spark, sf):
     return near_dup_clusters(pairs)
 
 
-@q("dedup_apply_clusters")
+# Shared oracle CTE chain (no leading WITH — callers prepend WITH /
+# WITH RECURSIVE): exact lang-blocked word-3-gram Jaccard pairs at
+# threshold 0.3, the DuckDB twin of
+# ngram_jaccard_pairs(threshold=0.3, block_col="lang"). Shingling rule
+# (token windows of 3; a <=2-token doc is one whole-text shingle)
+# mirrors functions/text.py::shingles.
+_NGRAM_PAIRS_SQL = """
+ntoks AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+shng AS (
+  SELECT DISTINCT doc_id, lang, unnest(
+    CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN generate_series(1, len(tk) - 2)]
+    END) AS s
+  FROM ntoks
+),
+shsizes AS (SELECT doc_id, count(*) AS sz FROM shng GROUP BY doc_id),
+shinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shng a JOIN shng b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jac
+  FROM shinter JOIN shsizes sa ON sa.doc_id = shinter.id_a
+               JOIN shsizes sb ON sb.doc_id = shinter.id_b
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3
+)"""
+
+
+@q("dedup_apply_clusters", f"""
+WITH RECURSIVE {_NGRAM_PAIRS_SQL},
+edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+          UNION SELECT id_b, id_a FROM jpairs),
+r(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+),
+losers AS (
+  SELECT src AS doc_id FROM r GROUP BY src
+  HAVING src != least(src, min(dst))
+)
+SELECT source, count(*) AS n_docs_kept
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY source
+""")
 def dedup_apply_clusters_q(spark, sf):
-    # End-to-end near-dedup action: minhash pairs -> connected components
-    # (iterative min-label propagation) -> keep one doc per cluster.
-    # Rows-only: the clustering is iterative (not SQL-expressible in the
-    # oracle dialect used here); exactness is pinned by unit tests.
+    # End-to-end near-dedup action, ORACLE-CHECKED: SQL-expressible pair
+    # emitter (exact n-gram Jaccard, the oracled dedup_ngram_jaccard
+    # graph) -> connected components (iterative min-label propagation
+    # with pointer jumping) -> keep one doc (the min id) per cluster.
+    # DuckDB rebuilds the same graph and labels components with a
+    # recursive CTE, so the clustering + keep decision is hash-checked
+    # end-to-end. The minhash-emitter flavor of the same action stays
+    # pinned by unit tests (test_near_dup_clusters_and_apply).
     from clinpy_spark.operators.dedup import apply_near_dedup
 
     d = _t(spark, sf, "documents")
-    pairs = minhash_near_duplicates(d, threshold=0.7)
+    pairs = ngram_jaccard_pairs(d, threshold=0.3, block_col="lang")
     return apply_near_dedup(d, pairs).groupBy("source").agg(
         F.count("*").alias("n_docs_kept")
     )
@@ -2412,17 +2488,63 @@ def dedup_minhash_lsh_q(spark, sf):
     return minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.5)
 
 
-@q("dedup_simhash_pairs")
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of portable-mode simhash pairs: per-token 64-bit value
+    re-derived digit-by-digit from md5 hex (bit j = bit j%4 of hex digit
+    j//4 — the exact portable_token_hash64 layout), 64 vote sums, bit
+    assembly into two 32-bit halves (no sign-bit shifts), then ALL-pairs
+    Hamming <= 4. All-pairs is the correct oracle for the chunk-blocked
+    engine query: pigeonhole blocking is recall-complete at the declared
+    max_hamming, so the two pair sets must be identical."""
+    digit = lambda k: f"(strpos('0123456789abcdef', substr(m, {k}, 1)) - 1)"  # noqa: E731
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (({digit(j // 4 + 1)} >> {j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    bits = ",\n    ".join(
+        f"CASE WHEN v{j} > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b{j}" for j in range(64)
+    )
+    lo = " + ".join(f"(b{j} << {j})" for j in range(32))
+    hi = " + ".join(f"(b{j} << {j - 32})" for j in range(32, 64))
+    return f"""
+WITH stoks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+),
+sh AS (SELECT doc_id, md5(t) AS m FROM stoks),
+votes AS (SELECT doc_id, {votes} FROM sh GROUP BY doc_id),
+bits AS (SELECT doc_id, {bits} FROM votes),
+fp AS (SELECT doc_id, {lo} AS lo, {hi} AS hi FROM bits)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 4
+"""
+
+
+@q("dedup_simhash_pairs", _simhash_oracle_sql())
 def dedup_simhash_pairs_q(spark, sf):
     # SimHash near-dup pairs; chunk blocking derived from max_hamming
     # (5 chunks of ~13 bits -> pigeonhole-complete recall at distance 4
-    # with buckets still selective at corpus scale).
-    return simhash_near_duplicates(_t(spark, sf, "documents"), max_hamming=4)
+    # with buckets still selective at corpus scale). ORACLE-CHECKED in
+    # portable (md5-derived token hash) mode: the vote aggregate, bit
+    # assembly, chunk blocking, and Hamming filter — the operator under
+    # test — are the production path; only the token-hash primitive
+    # swaps (xxhash64 has no DuckDB twin). The xxhash64 fast path is
+    # pinned by test_simhash_chunks_derived_from_max_hamming.
+    return simhash_near_duplicates(_t(spark, sf, "documents"), max_hamming=4, portable=True)
 
 
-@q("dedup_ngram_jaccard")
+@q("dedup_ngram_jaccard", f"""
+WITH {_NGRAM_PAIRS_SQL}
+SELECT id_a, id_b, round(jac, 4) AS jaccard FROM jpairs
+""")
 def dedup_ngram_jaccard_q(spark, sf):
-    # Exact n-gram Jaccard pairs, blocked by lang to bound the pair space.
+    # Exact n-gram Jaccard pairs, blocked by lang to bound the pair
+    # space. ORACLE-CHECKED: word-3-gram shingling, the lang-blocked
+    # pair join, and the set-Jaccard arithmetic are all exact string/
+    # integer math DuckDB reproduces verbatim.
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3, block_col="lang")
 
 
@@ -2529,6 +2651,98 @@ def sim_topk_ivfpq_q(spark, sf):
         emb.filter(F.col("vec_id") < 50), emb,
         k=5, n_centroids=8, n_probe=2, m=4, pq_k=16, iters=3,
     )
+
+
+def _recall_gate(spark, sf, family: str, floor: float, approx_fn, metric: str = "cos"):
+    """Shared shape of the ANN recall-contract queries: measure recall@10
+    of an approximate operator against the exact top-k (computed in
+    Spark, distributed) and emit one row (family, n_queries, k, floor,
+    passed). The DuckDB oracle recomputes n_queries/k from the data and
+    asserts passed=true — so the approximate contracts (recall >= floor)
+    are witnessed by the driver's hash-checked correctness file, not
+    only by pytest. A recall regression in bucketing/probing/codebook
+    fit flips ``passed`` and the hash mismatches.
+
+    Ties and seeds are deterministic (row_number tie-break on match_id,
+    fixed hyperplane/KMeans seeds), so the measured value is stable for
+    a given sf. Measured at sf0.01: lsh 0.928, ivf 0.892, pq 0.568.
+    """
+    k, qn = 10, 25
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < qn)
+    if metric == "cos":
+        exact = brute_force_topk(queries, emb, k=k)
+    else:  # exact squared-L2 baseline (PQ's ADC metric)
+        a = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        b = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cv"))
+        d2 = F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"), lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("match_id"))
+        exact = (
+            a.crossJoin(b).filter(F.col("query_id") != F.col("match_id"))
+            .withColumn("d2", d2)
+            .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+        )
+    approx = approx_fn(queries, emb, k)
+    hits = exact.select("query_id", "match_id").join(
+        approx.select("query_id", "match_id"), ["query_id", "match_id"], "left_semi"
+    )
+    nq = queries.agg(F.countDistinct("vec_id").alias("n_queries"))
+    return nq.crossJoin(hits.agg(F.count("*").alias("__hits"))).select(
+        F.lit(family).alias("family"),
+        F.col("n_queries"),
+        F.lit(k).alias("k"),
+        F.lit(floor).cast("double").alias("floor"),
+        (F.col("__hits") >= F.col("n_queries") * k * floor).alias("passed"),
+    )
+
+
+def _recall_oracle(family: str, floor: float) -> str:
+    return f"""
+SELECT '{family}' AS family,
+       count(*) AS n_queries,
+       10 AS k,
+       CAST({floor} AS DOUBLE) AS floor,
+       true AS passed
+FROM embeddings WHERE vec_id < 25
+"""
+
+
+@q("sim_recall_lsh", _recall_oracle("lsh", 0.85))
+def sim_recall_lsh_q(spark, sf):
+    # Recall contract for multi-table LSH at the useful operating point
+    # (16 tables x 4 planes): recall@10 vs exact cosine must be >= 0.85.
+    return _recall_gate(
+        spark, sf, "lsh", 0.85,
+        lambda qs, emb, k: lsh_topk(qs, emb, k=k, n_planes=4, n_tables=16),
+    )
+
+
+@q("sim_recall_ivf", _recall_oracle("ivf", 0.78))
+def sim_recall_ivf_q(spark, sf):
+    # Recall contract for IVF (16 cells, probe 8): recall@10 vs exact
+    # cosine must be >= 0.78.
+    from clinpy_spark.operators.similarity import ivf_topk
+
+    return _recall_gate(
+        spark, sf, "ivf", 0.78,
+        lambda qs, emb, k: ivf_topk(qs, emb, k=k, n_centroids=16, n_probe=8),
+    )
+
+
+@q("sim_recall_pq", _recall_oracle("pq", 0.55))
+def sim_recall_pq_q(spark, sf):
+    # Recall contract for PQ/ADC (m=16, k=64 codebooks): recall@10 vs
+    # exact L2 must be >= 0.55.
+    from clinpy_spark.operators.pq import fit_pq_codebooks, pq_encode, pq_topk
+
+    def _pq(qs, emb, k):
+        cb = fit_pq_codebooks(emb, m=16, k=64, iters=8, seed=7)
+        return pq_topk(qs, pq_encode(emb, cb), cb, k=k)
+
+    return _recall_gate(spark, sf, "pq", 0.55, _pq, metric="l2")
 
 
 @q("mm_extract_features")
