@@ -287,13 +287,28 @@ class Junction:
             me, self._genome().table("genes"), max_distance=max_distance
         ).select(F.col("f_id").alias("gene"), "distance")
 
-    def new_transcript(self, transcript: str) -> DataFrame:
+    def new_transcript(
+        self,
+        transcript: str,
+        frags: DataFrame | None = None,
+        sequence: bool = False,
+        kind: str = "nuc",
+    ) -> DataFrame:
         """Exon structure of ``transcript`` with boundaries trimmed at the
         junction: exons fully 5' of the junction keep their coords, the
         flanking exons are cut to the junction's start/end, exons inside
-        the junction span are dropped (reference junction.py:342-376 U3 —
-        the genome-sequence fetch stays out of relational scope).
+        the junction span are dropped (reference junction.py:342-376 U3).
+
+        ``sequence=True`` additionally assembles the new transcript's
+        sequence from a :func:`~clinpy_spark.sources.fasta.read_fasta`
+        fragment table (``frags``) — the reference's
+        ``genome.get_sequence`` step (junction.py:369-375): spliced
+        concat of the trimmed exons, reverse-complemented for '-'
+        transcripts; ``kind="aa"`` translates to amino acids. Returns a
+        1-row (transcript, strand, sequence) DataFrame in that mode.
         """
+        if sequence and frags is None:
+            raise ValueError("sequence=True needs a read_fasta fragment table (frags=)")
         ex = self._genome().table("exons").filter(F.col("transcript") == transcript)
         s, e = F.lit(self.start), F.lit(self.end)
         kept = ex.filter((F.col("end") <= s) | (F.col("start") >= e) |
@@ -307,4 +322,14 @@ class Junction:
             .otherwise(F.col("end")).alias("end"),
             "chrom", "strand",
         )
-        return trimmed.filter(F.col("start") < F.col("end")).distinct().orderBy("start")
+        trimmed = trimmed.filter(F.col("start") < F.col("end")).distinct().orderBy("start")
+        if not sequence:
+            return trimmed
+        from clinpy_spark.sources.fasta import fetch_transcript_sequences, translate
+
+        seq = fetch_transcript_sequences(frags, trimmed)
+        if kind == "aa":
+            seq = seq.withColumn("sequence", translate("sequence"))
+        elif kind != "nuc":
+            raise ValueError(f"kind must be 'nuc' or 'aa', got {kind!r}")
+        return seq

@@ -775,3 +775,36 @@ def test_catalog_stats_roundtrip_and_broadcast_hint(spark, tmp_path):
     # a non-positive session threshold disables hinting entirely
     assert "hint" not in cat.hint_small("dim", threshold_bytes=-1) \
         ._jdf.queryExecution().logical().toString().lower()
+
+
+def test_new_transcript_sequence_roundtrip(spark, project, tmp_path):
+    """new_transcript(sequence=True) returns the assembled nucleotide /
+    amino-acid sequence of the trimmed exon structure (reference
+    junction.py:369-375's genome.get_sequence step)."""
+    import random
+
+    from clinpy_spark.sources.fasta import read_fasta
+    from clinpy_spark.sources.fasta import CODON_TABLE
+
+    rng = random.Random(7)
+    chr1 = "".join(rng.choice("ACGT") for _ in range(1500))
+    fa = tmp_path / "toy.fa"
+    fa.write_text(">chr1\n" + "\n".join(
+        chr1[i:i + 70] for i in range(0, len(chr1), 70)) + "\n")
+    frags = read_fasta(spark, str(fa))
+
+    catalog, genome = project
+    j = Junctions(catalog, genome)
+    target = j.junction("chr1", 100, 200, "+")
+
+    # trimmed spans are (60,100),(200,300),(1000,1400) 1-based inclusive
+    expected = chr1[59:100] + chr1[199:300] + chr1[999:1400]
+    nuc = target.new_transcript("t1", frags=frags, sequence=True).collect()
+    assert len(nuc) == 1 and nuc[0].transcript == "t1"
+    assert nuc[0].sequence == expected
+
+    aa = target.new_transcript("t1", frags=frags, sequence=True, kind="aa").collect()
+    expected_aa = "".join(
+        CODON_TABLE.get(expected[i:i + 3], "X")
+        for i in range(0, len(expected) - 2, 3))
+    assert aa[0].sequence == expected_aa
