@@ -5,12 +5,14 @@ struct; decode/feature-extraction runs as Arrow-batched pandas
 iterators (``mapInPandas``) so the heavy per-item work happens on
 executors in vectorized batches, never on the driver.
 
-Codec status: **PPM (P6) images decode and resize for real** — header
-parse + numpy pixel math needs no image library. Other formats
-(JPEG/PNG/audio) fall back to a deterministic stand-in that exercises
-the Spark-side contract (schema, batching, partitioning); swap the
-fallback for PIL/librosa/pyav in production — the dispatch seam is
-``_decode_one`` / ``_resize_one``.
+Codec status: **PPM (P6) and BMP (24-bit BI_RGB) images decode and
+resize for real, and WAV (PCM 8/16-bit) audio decodes and resamples
+for real** — all three are pure-spec formats needing only header parse
++ numpy array math, no media library. Remaining formats (JPEG/PNG/MP3)
+fall back to a deterministic stand-in that exercises the Spark-side
+contract (schema, batching, partitioning); swap the fallback for
+PIL/librosa/pyav in production — the dispatch seam is ``_decode_one``
+/ ``_resize_one``.
 """
 
 from __future__ import annotations
@@ -93,18 +95,154 @@ def _ppm_pixels(payload: bytes, hdr: tuple[int, int, int, int]) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3)
 
 
+def parse_bmp_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Parse a BMP header -> (width, height, pixel_data_offset), or None
+    if the payload is not an uncompressed 24-bit bottom-up BI_RGB BMP
+    (the pure-spec core every writer emits; other BMP variants take the
+    fallback rather than decoding wrong pixels)."""
+    if len(payload) < 54 or not payload.startswith(b"BM"):
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if dib < 40 or w <= 0 or h <= 0 or bpp != 24 or compression != 0:
+        return None
+    row = _bmp_row_size(w)
+    if len(payload) - off < row * h:
+        return None
+    return w, h, off
+
+
+def _bmp_row_size(w: int) -> int:
+    return ((w * 3 + 3) // 4) * 4
+
+
+def _bmp_pixels(payload: bytes, hdr: tuple[int, int, int]) -> np.ndarray:
+    """(h, w, 3) RGB array: rows stored bottom-up, pixels BGR, rows
+    padded to 4-byte multiples per the spec."""
+    w, h, off = hdr
+    row = _bmp_row_size(w)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=off)
+    px = raw.reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+    return px[::-1, :, ::-1]  # bottom-up -> top-down, BGR -> RGB
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BI_RGB BMP bytes (the inverse of
+    :func:`_bmp_pixels`; used by the resize re-emit and by tests)."""
+    h, w, _ = px.shape
+    row = _bmp_row_size(w)
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Parse a RIFF/WAVE header -> (n_channels, sample_rate,
+    bits_per_sample, data_offset, data_len), or None unless it is
+    integer PCM with 8 or 16 bits per sample (the pure-spec core)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = (
+                int.from_bytes(body[0:2], "little"),    # audio format
+                int.from_bytes(body[2:4], "little"),    # channels
+                int.from_bytes(body[4:8], "little"),    # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits/sample
+            )
+        elif cid == b"data":
+            data = (pos + 8, min(clen, len(payload) - pos - 8))
+        pos += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, ch, rate, bits = fmt
+    if audio_format != 1 or ch <= 0 or rate <= 0 or bits not in (8, 16):
+        return None
+    return ch, rate, bits, data[0], data[1]
+
+
+def _wav_samples(payload: bytes, hdr: tuple[int, int, int, int, int]) -> np.ndarray:
+    """(n_frames, n_channels) float in [-1, 1]."""
+    ch, _, bits, off, dlen = hdr
+    if bits == 8:
+        raw = np.frombuffer(payload, dtype=np.uint8, count=dlen, offset=off)
+        x = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        dlen -= dlen % 2
+        raw = np.frombuffer(payload, dtype="<i2", count=dlen // 2, offset=off)
+        x = raw.astype(np.float64) / 32768.0
+    n = (len(x) // ch) * ch
+    return x[:n].reshape(-1, ch)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """(n_frames, n_channels) int16 -> PCM WAV bytes (inverse of
+    :func:`_wav_samples` modulo the float scaling; used by the resample
+    re-emit and by tests)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * ch * 2).to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
 def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
-    """Decode dispatch: REAL codec for PPM (P6) images — header parse +
-    numpy mean over pixels; deterministic fallback for formats whose
-    codecs aren't in this container (swap for PIL/librosa in
-    production). Raises NotImplementedError for unregistered media
-    types, mirroring a real codec registry."""
+    """Decode dispatch: REAL codecs for PPM (P6) and BMP (24-bit BI_RGB)
+    images and WAV (PCM 8/16-bit) audio — header parse + numpy math;
+    deterministic fallback for formats whose codecs aren't in this
+    container (swap for PIL/librosa in production). For images the
+    features are (width, height, mean pixel intensity / maxval); for
+    audio (n_frames, n_channels, mean |amplitude| of full scale).
+    Raises NotImplementedError for unregistered media types, mirroring
+    a real codec registry."""
     if media_type not in {"image", "audio"}:
         raise NotImplementedError(f"no codec registered for media_type={media_type!r}")
     hdr = parse_ppm_header(payload)
     if hdr is not None:
         w, h, maxval, _ = hdr
         return w, h, float(_ppm_pixels(payload, hdr).mean()) / maxval
+    bhdr = parse_bmp_header(payload)
+    if bhdr is not None:
+        w, h, _ = bhdr
+        return w, h, float(_bmp_pixels(payload, bhdr).mean()) / 255.0
+    whdr = parse_wav_header(payload)
+    if whdr is not None:
+        x = _wav_samples(payload, whdr)
+        mean_amp = float(np.abs(x).mean()) if x.size else 0.0
+        return x.shape[0], x.shape[1] if x.size else whdr[0], mean_amp
     n = len(payload)
     width = (n % 64) + 1
     height = (n % 48) + 1
@@ -152,12 +290,14 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
            batch_size: int = 256) -> DataFrame:
     """Resize every media item to (width, height) via mapInPandas.
 
-    PPM (P6) payloads resize FOR REAL — nearest-neighbor resample via
-    numpy index maps, re-emitted as valid P6. Other formats fall back
-    to a deterministic byte re-chunk that preserves the contract —
-    binary in / binary out on executors, fixed output schema, Arrow
-    batching; swap the fallback for PIL's ``Image.resize`` in
-    production.
+    PPM (P6) and BMP (24-bit) payloads resize FOR REAL — nearest-
+    neighbor resample via numpy index maps, re-emitted as valid P6/BMP.
+    WAV payloads RESAMPLE for real to ``width`` frames per channel
+    (nearest-neighbor in time; ``height`` is an image-only parameter),
+    re-emitted as valid 16-bit PCM. Other formats fall back to a
+    deterministic byte re-chunk that preserves the contract — binary in
+    / binary out on executors, fixed output schema, Arrow batching;
+    swap the fallback for PIL's ``Image.resize`` in production.
     """
 
     def _resize_one(payload: bytes) -> bytes:
@@ -169,6 +309,23 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
             cols = (np.arange(width) * w) // width
             out = px[rows][:, cols]
             return b"P6\n%d %d\n%d\n" % (width, height, maxval) + out.tobytes()
+        bhdr = parse_bmp_header(payload)
+        if bhdr is not None:
+            w, h, _ = bhdr
+            px = _bmp_pixels(payload, bhdr)
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return encode_bmp(px[rows][:, cols])
+        whdr = parse_wav_header(payload)
+        if whdr is not None:
+            _, rate, _, _, _ = whdr
+            x = _wav_samples(payload, whdr)
+            if x.shape[0]:
+                idx = (np.arange(width) * x.shape[0]) // width
+                out = np.clip(x[idx] * 32768.0, -32768, 32767).astype("<i2")
+            else:
+                out = np.zeros((width, max(whdr[0], 1)), dtype="<i2")
+            return encode_wav(out, rate)
         target = width * height
         if not payload:
             return bytes(target)
