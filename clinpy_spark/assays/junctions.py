@@ -36,14 +36,44 @@ class Junctions(Assay):
         counts: bool = True,
         uniq: bool = False,
         filtered: bool = True,
-    ) -> DataFrame:
+        df: bool = True,
+    ) -> DataFrame | list["Junction"]:
         """Junctions, optionally with per-sample read counts, filtered by
         sample list or cohort (reference junction.py:14-61: P1 + J1
         bridge join + J7 two-hop semi-join).
 
         ``uniq=True`` drops the per-sample dimension and returns distinct
         junctions (the reference's ``uniq`` flag).
+
+        ``df=False`` returns :class:`Junction` entity objects instead of
+        a DataFrame (reference junction.py:63-72 — whose loop RETURNS on
+        the first iteration, so it only ever yields one object; fixed
+        here: one entity per distinct junction, each with the live
+        ``.samples()`` / genome query surface). This is a deliberate
+        collect at the API edge — entity count is the distinct-junction
+        cardinality of the selection, and the reference also
+        materializes here. Unlike the reference, ``uniq=True`` with
+        ``df=False`` is supported (entities carry coordinates, not
+        per-sample counts, so the NotImplementedError at :71 is moot).
         """
+        out = self._select_df(samples, cohort, counts, uniq, filtered)
+        if df:
+            return out
+        coords = ["chrom", "start", "end", "strand"]
+        rows = out.select(*coords).dropDuplicates(coords).collect()
+        return [
+            Junction(self, r.chrom, r.start, r.end, r.strand, filtered)
+            for r in rows
+        ]
+
+    def _select_df(
+        self,
+        samples: list | None,
+        cohort: list[str] | None,
+        counts: bool,
+        uniq: bool,
+        filtered: bool,
+    ) -> DataFrame:
         junc_t, bridge_t = self._tables(filtered)
         junc = self.db.table(junc_t)
         if not counts and not samples and not cohort:

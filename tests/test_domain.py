@@ -808,3 +808,29 @@ def test_new_transcript_sequence_roundtrip(spark, project, tmp_path):
         CODON_TABLE.get(expected[i:i + 3], "X")
         for i in range(0, len(expected) - 2, 3))
     assert aa[0].sequence == expected_aa
+
+
+def test_select_objects_mode(spark, project):
+    """select(df=False) returns one Junction entity PER distinct
+    junction (the reference's junction.py:63-72 loop returns on the
+    first iteration, yielding a single object — fixed), each with the
+    live query surface."""
+    from clinpy_spark.assays.junctions import Junction
+
+    catalog, genome = project
+    j = Junctions(catalog, genome)
+    objs = j.select(df=False)
+    assert all(isinstance(o, Junction) for o in objs)
+    coords = {(o.chrom, o.start, o.end, o.strand) for o in objs}
+    # distinct filtered junctions (min_unique_reads=3 drops chr1:3000)
+    assert ("chr1", 100, 200, "+") in coords
+    assert len(objs) == len(coords) > 1
+
+    # entities are live: .samples() works on a returned object
+    target = next(o for o in objs if (o.chrom, o.start, o.end) == ("chr1", 100, 200))
+    carriers = {r.samplename for r in target.samples().collect()}
+    assert carriers == {"s1", "s2"}
+
+    # cohort narrowing flows through to the entity list
+    few = j.select(samples=["s3"], df=False, filtered=False)
+    assert {(o.chrom, o.start, o.end) for o in few} == {("chr1", 3000, 4000)}
