@@ -41,6 +41,23 @@ HEADLINE = [
     "text_langid",
 ]
 
+#: Second tier: queries NOT in the headline set whose regressions
+#: should be caught numerically, not only by plan audit. Timed with one
+#: cold + one warm run (cheaper than the headline's best-of-3) and
+#: reported in a separate "tier2" dict — they do NOT move the headline
+#: metric, so round-over-round comparability of `value` is preserved.
+TIER2 = [
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q21_exclusive",
+    "j17_fuzzy_pairs",
+    "e_sessionize_bucketed",
+    "sim_topk_ivfpq",
+    "text_bm25",
+    "mm_extract_features",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,6 +90,18 @@ def main() -> None:
         timings[name] = min(runs[1:])
         print(f"# {name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)", file=sys.stderr)
 
+    tier2: dict[str, float] = {}
+    for name in TIER2:
+        runs = []
+        for run in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            runs.append(round(time.time() - t0, 3))
+        tier2[name] = runs[1]  # warm run
+        print(f"# tier2 {name}: {tier2[name]}s warm / {runs[0]}s cold ({n} rows)",
+              file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_set_total",
@@ -81,6 +110,8 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "tier2": tier2,
+        "tier2_total": round(sum(tier2.values()), 3),
         "runs_per_query": 4,
         "timing": "best of 3 steady-state runs; cold (1st) run in queries_cold",
         "sf": sf,

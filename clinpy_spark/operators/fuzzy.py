@@ -7,10 +7,27 @@ OCR'd text). The blocking is LOSSLESS by the triangle bound
 its ``2*max_edits + 1`` neighboring length bins and equi-joining on
 exact length can never drop a qualifying pair, and each pair meets in
 exactly one bin (the other side's true length) so nothing double-
-counts. The expensive exact ``levenshtein`` evaluates only on
-candidates sharing a length bin — at 100 TB add a second blocking key
-(q-gram prefix a la PPJoin) inside the same equi-join to cut candidates
-further; the filter stays the same.
+counts.
+
+Two scale levers beyond the band:
+
+- **Salted join key.** Real corpora concentrate on a handful of
+  lengths (TPC-H part names span ~15), so a plain equi-join on length
+  has ~15 reduce buckets no matter how many cores exist. The probe
+  side keys on (length bin, hash(id) % num_salts) and the build side
+  replicates across all salts — same pairs, ``num_salts``x the
+  parallelism (the salted_join move from operators/skew.py, applied to
+  a theta-ish join).
+- **Banded levenshtein.** The verify runs Spark's ``threshold``
+  variant — O(max_edits * n) per pair instead of O(n^2) — and still
+  returns the exact distance for qualifying pairs.
+
+A segment-blocking layer (PassJoin family) was measured and REJECTED
+for the default path: position-anchored segments collide massively on
+low-entropy vocabularies (part names draw ~12-char segments from ~92
+color words), emitting more candidate volume than they prune. On
+high-entropy corpora it would help; the length+salt shape is the one
+that is never pathological.
 """
 
 from __future__ import annotations
@@ -18,34 +35,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clinpy_spark.session import ensure_min_parallelism
+
 
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_edits: int = 2,
+    num_salts: int = 32,
 ) -> DataFrame:
     """Unordered within-table pairs (a_id < b_id) with
     ``levenshtein <= max_edits`` -> (a_id, b_id, edits)."""
+    k = max_edits
+    df = ensure_min_parallelism(df)
     a = df.select(
         F.col(id_col).alias("a_id"),
         F.col(text_col).alias("__a_txt"),
         F.explode(
-            F.sequence(
-                F.length(text_col) - max_edits, F.length(text_col) + max_edits
-            )
+            F.sequence(F.length(text_col) - k, F.length(text_col) + k)
         ).alias("__bin"),
-    )
+    ).withColumn("__salt", F.pmod(F.xxhash64(F.col("a_id")), F.lit(num_salts)))
     b = df.select(
         F.col(id_col).alias("b_id"),
         F.col(text_col).alias("__b_txt"),
-        F.length(text_col).alias("__bin"),
-    )
+        F.length(text_col).cast("long").alias("__bin"),
+    ).withColumn("__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))))
     return (
-        a.join(b, "__bin")
+        a.join(b, ["__bin", "__salt"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("edits", F.levenshtein("__a_txt", "__b_txt"))
-        .filter(F.col("edits") <= max_edits)
+        .withColumn("edits", F.levenshtein("__a_txt", "__b_txt", k))
+        .filter(F.col("edits") >= 0)  # banded: -1 means "> max_edits"
         .select("a_id", "b_id", "edits")
     )
 
@@ -76,7 +96,7 @@ def fuzzy_join(
         "__bin", F.length(rmap[right_on]))
     return (
         lb.join(rb, "__bin")
-        .withColumn("edits", F.levenshtein(F.col(lmap[left_on]), F.col(rmap[right_on])))
-        .filter(F.col("edits") <= max_edits)
+        .withColumn("edits", F.levenshtein(F.col(lmap[left_on]), F.col(rmap[right_on]), max_edits))
+        .filter(F.col("edits") >= 0)  # banded: -1 means "> max_edits"
         .drop("__bin")
     )
