@@ -36,12 +36,11 @@ class Project(Assay):
         ``user_annot`` is a real ``map<string,string>`` (SURVEY §1.5):
         the new keys MERGE into the existing map (new values win on key
         collision) instead of replacing the whole blob. Parquet has no
-        point UPDATE; the rewrite goes through a staging directory +
-        atomic swap (same pattern as ``ProjectCatalog.compact``) — no
-        driver collect, and the read of the live table happens inside
-        the staged write job.
+        point UPDATE; the rewrite goes through ``update_staged`` — a
+        fresh read, staged write, and atomic swap all under the
+        per-table lock, so concurrent annotations serialize and none is
+        lost. No driver collect.
         """
-        df = self.db.table("samples")
         new_keys = list(annotation.keys())
         new_map = F.create_map(*[
             F.lit(x) for k in new_keys for x in (str(k), str(annotation[k]))
@@ -53,12 +52,14 @@ class Project(Assay):
             F.map_filter(old, lambda k, _: ~k.isin([str(k_) for k_ in new_keys])),
             new_map,
         )
-        updated = df.withColumn(
-            "user_annot",
-            F.when(F.col("sample_id") == F.lit(sample_id), merged)
-            .otherwise(F.col("user_annot")),
+        self.db.update_staged(
+            "samples",
+            lambda df: df.withColumn(
+                "user_annot",
+                F.when(F.col("sample_id") == F.lit(sample_id), merged)
+                .otherwise(F.col("user_annot")),
+            ),
         )
-        self.db.overwrite_staged(updated, "samples")
 
     def describe(self) -> str:
         """Per-cohort sample counts (reference project.py:56-66, A1)."""

@@ -10,6 +10,7 @@ round-trip, no double query execution like reference junction.py:59-61).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -95,10 +96,20 @@ def _atomic_swap(path: str, staging: str) -> None:
     """Replace the directory at ``path`` with ``staging`` without a
     window where ``path`` is missing: rename the old directory aside,
     rename staging into place, then delete the old copy. A crash leaves
-    either the old or the new table at ``path``, never neither."""
+    either the old or the new table at ``path``, never neither.
+
+    The aside-name is derived from the (unique) staging name, so two
+    writers' swaps never trample each other's aside directory; combined
+    with the per-table lock in :func:`_swap_lock`, concurrent staged
+    writers within a process serialize at the swap and the table always
+    holds ONE writer's complete result (last swap wins — the documented
+    semantics for concurrent point updates; cross-process coordination
+    is the caller's job, same as any filesystem table format without a
+    transaction log).
+    """
     import shutil
 
-    old = path.rstrip("/") + ".__old__"
+    old = staging.rstrip("/") + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(path):
@@ -106,6 +117,16 @@ def _atomic_swap(path: str, staging: str) -> None:
     os.rename(staging, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+_SWAP_LOCKS: dict[str, threading.Lock] = {}
+_SWAP_LOCKS_GUARD = threading.Lock()
+
+
+def _swap_lock(path: str) -> threading.Lock:
+    """Per-table in-process lock serializing staged swaps."""
+    with _SWAP_LOCKS_GUARD:
+        return _SWAP_LOCKS.setdefault(os.path.abspath(path), threading.Lock())
 
 
 class ProjectCatalog:
@@ -328,9 +349,10 @@ class ProjectCatalog:
             df = df.repartition(n_files).sortWithinPartitions(*sort_within_by)
         else:
             df = df.coalesce(n_files)
-        staging = path.rstrip("/") + ".__compact__"
+        staging = self._staging_dir(path, "compact")
         df.write.mode("overwrite").parquet(staging)
-        _atomic_swap(path, staging)
+        with _swap_lock(path):
+            _atomic_swap(path, staging)
         self._drop_bucket_entry(name)
         self._cache.pop(name, None)
         self._record_stats(name)
@@ -338,17 +360,57 @@ class ProjectCatalog:
             1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
         )
 
+    @staticmethod
+    def _staging_dir(path: str, tag: str) -> str:
+        """Writer-unique staging directory name: concurrent staged
+        writers never clobber each other's in-progress output; only the
+        final rename is serialized (per-table lock, last swap wins)."""
+        import uuid
+
+        return f"{path.rstrip('/')}.__{tag}_{os.getpid()}_{uuid.uuid4().hex[:8]}__"
+
     def overwrite_staged(self, df: DataFrame, name: str) -> None:
         """Overwrite a table whose new contents are DERIVED FROM ITSELF
         (read-transform-overwrite, e.g. a point update): write to a
         staging directory first — the read of the live table happens
         during that job, executor-side — then atomically swap. No
         driver collect, no window with the table missing.
+
+        Concurrency: SINGLE-WRITER. The caller's ``df`` captured the
+        table's file listing when it was built; a concurrent writer's
+        swap removes those files mid-job. For concurrent point updates
+        use :meth:`update_staged`, which serializes the whole
+        read-transform-swap per table.
         """
         path = self.path(name)
-        staging = path.rstrip("/") + ".__staged__"
+        staging = self._staging_dir(path, "staged")
         df.write.mode("overwrite").parquet(staging)
-        _atomic_swap(path, staging)
+        with _swap_lock(path):
+            _atomic_swap(path, staging)
+        self._drop_bucket_entry(name)
+        self._cache.pop(name, None)
+        self._record_stats(name)
+
+    def update_staged(self, name: str, transform) -> None:
+        """Serialized read-transform-overwrite (the S11 upsert story at
+        scale): ``transform(df) -> df`` is applied to a FRESH read of
+        the table and the staged write + atomic swap all run under the
+        per-table lock — concurrent in-process updaters fully
+        serialize, each sees its predecessor's result (no lost
+        updates), and the table always holds one writer's complete
+        output. Executor-side throughout; no driver collect.
+
+        Cross-PROCESS updaters still get atomicity (unique staging
+        names + rename), but not ordering — a log-less table format
+        cannot arbitrate between processes; route cross-process upserts
+        through one writer, as Delta-less parquet always requires.
+        """
+        path = self.path(name)
+        with _swap_lock(path):
+            out = transform(self.spark.read.parquet(path))
+            staging = self._staging_dir(path, "staged")
+            out.write.mode("overwrite").parquet(staging)
+            _atomic_swap(path, staging)
         self._drop_bucket_entry(name)
         self._cache.pop(name, None)
         self._record_stats(name)

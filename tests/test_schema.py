@@ -231,3 +231,42 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_concurrent_update_staged_serializes(spark, tmp_path):
+    """VERDICT r5 #8: concurrent point updates on the same table must
+    serialize — every updater's increment lands (no lost updates), the
+    table never holds a mix or goes missing, and no staging/aside dirs
+    leak. update_staged runs read+transform+swap under the per-table
+    lock, which is what makes this hold (a bare overwrite_staged caller
+    captures the file listing outside the lock and cannot get this)."""
+    import os
+    import threading
+
+    from clinpy_spark.session import ProjectCatalog
+
+    cat = ProjectCatalog(spark, str(tmp_path))
+    cat.write(spark.createDataFrame([(i, 0) for i in range(100)], "id long, v long"),
+              "t")
+
+    errors = []
+
+    def writer(inc):
+        try:
+            cat.update_staged("t", lambda df: df.withColumn(
+                "v", (F.col("v") + F.lit(inc)).cast("long")))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in (1, 2, 4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert errors == []
+    rows = spark.read.parquet(cat.path("t")).collect()
+    assert len(rows) == 100
+    assert {r.v for r in rows} == {7}  # 1+2+4: every update applied
+    leftovers = [d for d in os.listdir(tmp_path) if "__" in d]
+    assert leftovers == []

@@ -52,6 +52,15 @@ def main() -> None:
         "time ∝ sf^alpha over the two largest SFs. alpha <= ~1 = linear or",
         "overhead-dominated; alpha >> 1 would flag a super-linear operator.",
         "",
+        "",
+        "sf1 is a derived 10x replication of the driver's sf0.1 tables",
+        "(tools/make_scale_fixture.py — per-copy key shifts keep joins,",
+        "windows, and banded self-joins within a copy, the way TPC-H's",
+        "own sf scaling behaves; document text is token-salted per copy",
+        "so near-dup structure stays intra-copy). The driver's own",
+        "testdata is untouched; the fixture lives in gitignored",
+        "_scaledata/.",
+        "",
         "| query | " + " | ".join(f"sf{s}" for s in sfs) + " | alpha |",
         "|---|" + "---|" * (len(sfs) + 1),
     ]
