@@ -111,11 +111,19 @@ def reassemble_passages(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame
 
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+                      num_hashes: int = 64, shingle_n: int = 3,
+                      portable: bool = False) -> DataFrame:
     """MinHash signature as array<long> of length ``num_hashes``.
 
     Permutation i is simulated by xxhash64(shingle, salt=i); the
     signature element is the min over the document's distinct shingles.
+
+    ``portable=True`` swaps both primitives for md5-derived twins a
+    DuckDB oracle can recompute exactly: shingle identity is the STRING
+    word n-gram (same construction as :func:`ngram_jaccard_pairs`'s
+    oracle) and permutation i hashes ``md5(shingle || '|' || i)``'s
+    first 15 hex digits to a 60-bit value. The aggregate shape — the
+    operator under test — is identical; only the hash family differs.
 
     Physical shape: tokens are hashed once and shingle identity is a
     hash of n consecutive token hashes (``hashed_shingles`` — string
@@ -132,40 +140,59 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     identically, collapsing the signature (the SQL-parsed lambda form
     is correct but still interpreted-slow).
     """
-    ex = (
-        ensure_min_parallelism(df)
-        .select(F.col(id_col), token_hashes(text_col).alias("__th"))
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(hashed_shingles_from("__th", shingle_n))).alias("__h0"),
+    if portable:
+        ex = (
+            ensure_min_parallelism(df)
+            .select(
+                F.col(id_col),
+                F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__s0"),
+            )
         )
-    )
-    mins = ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("__h0", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
-    )
+        perm = lambda i: F.conv(  # noqa: E731
+            F.substring(F.md5(F.concat(F.col("__s0"), F.lit(f"|{i}"))), 1, 15), 16, 10
+        ).cast("long")
+        mins = ex.groupBy(id_col).agg(
+            *[F.min(perm(i)).alias(f"__h{i}") for i in range(num_hashes)]
+        )
+    else:
+        ex = (
+            ensure_min_parallelism(df)
+            .select(F.col(id_col), token_hashes(text_col).alias("__th"))
+            .select(
+                F.col(id_col),
+                F.explode(F.array_distinct(hashed_shingles_from("__th", shingle_n))).alias("__h0"),
+            )
+        )
+        mins = ex.groupBy(id_col).agg(
+            *[F.min(F.xxhash64("__h0", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+        )
     return mins.select(
         F.col(id_col),
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"),
     )
 
 
-def band_keys(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+def band_keys(sigs: DataFrame, id_col: str, num_hashes: int, bands: int,
+              portable: bool = False) -> DataFrame:
     """(id, band, band_hash) LSH bucket keys from a minhash signature
     table — one row per (document, band), band_hash = hash of that
     band's signature slice. The banding used by both the all-at-once
-    near-dup pass and the persisted index."""
+    near-dup pass and the persisted index. ``portable=True`` hashes the
+    slice with md5 (DuckDB twin) instead of xxhash64."""
     rows_per_band = num_hashes // bands
+
+    def _bh(b: int):
+        cat = F.concat_ws(",", *[
+            F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ])
+        return F.md5(cat) if portable else F.xxhash64(cat)
+
     return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ])).alias("band_hash"),
-                )
+                F.struct(F.lit(b).alias("band"), _bh(b).alias("band_hash"))
                 for b in range(bands)
             ])
         ).alias("bk"),
@@ -265,17 +292,24 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding + exact-Jaccard
     verification on candidates only.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
     threshold. Pair space is bounded by bucket collisions, not n^2.
+
+    ``portable=True`` runs the identical signature -> banding -> verify
+    pipeline on md5-derived hashes and string shingles so a DuckDB
+    oracle can recompute every stage (the oracled driver query); the
+    xxhash64 default stays the fast path.
     """
     df = ensure_min_parallelism(df)
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n,
+                             portable=portable)
 
-    banded = band_keys(sigs, id_col, num_hashes, bands)
+    banded = band_keys(sigs, id_col, num_hashes, bands, portable=portable)
 
     left = banded.toDF("id_a", "band", "band_hash")
     right = banded.toDF("id_b", "band", "band_hash")
@@ -302,15 +336,25 @@ def minhash_near_duplicates(
     cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
         candidates.select(F.col("id_b").alias(id_col))
     )
-    sh = (
-        df.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), token_hashes(text_col).alias("__th"))
-        .select(
-            F.col(id_col), F.array_distinct(hashed_shingles_from("__th", shingle_n)).alias("sh")
+    if portable:
+        # String shingle sets: bit-identical to the DuckDB oracle's
+        # word n-gram construction (no 64-bit hash collisions at all).
+        sh_col = F.array_distinct(shingles(text_col, shingle_n))
+        sh = (
+            df.join(cand_ids, id_col, "left_semi")
+            .select(F.col(id_col), sh_col.alias("sh"))
+            .localCheckpoint(eager=False)
         )
-        # Referenced as both join legs (sh_a / sh_b) — materialize once.
-        .localCheckpoint(eager=False)
-    )
+    else:
+        sh = (
+            df.join(cand_ids, id_col, "left_semi")
+            .select(F.col(id_col), token_hashes(text_col).alias("__th"))
+            .select(
+                F.col(id_col), F.array_distinct(hashed_shingles_from("__th", shingle_n)).alias("sh")
+            )
+            # Referenced as both join legs (sh_a / sh_b) — materialize once.
+            .localCheckpoint(eager=False)
+        )
     verified = (
         candidates.join(sh.toDF("id_a", "sh_a"), "id_a")
         .join(sh.toDF("id_b", "sh_b"), "id_b")

@@ -2485,7 +2485,81 @@ def tpch_q15_top_supplier(spark, sf):
 @q("dedup_minhash_lsh")
 def dedup_minhash_lsh_q(spark, sf):
     # MinHash + LSH banding near-dup candidates, exact-Jaccard verified.
+    # Rows-only (xxhash64 fast path); the pipeline itself is oracled by
+    # dedup_minhash_portable below.
     return minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
+                        max_id: int = 300, threshold: float = 0.5) -> str:
+    """DuckDB twin of portable-mode minhash_near_duplicates: 60-bit
+    permutation hashes from md5(shingle || '|' || i), per-doc min
+    aggregate, md5 band hashing over 4-signature slices, bucket
+    equi-join for candidates, exact string-shingle Jaccard verify."""
+    rpb = num_hashes // bands
+    hex60 = lambda expr: " + ".join(  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1) * {16 ** (14 - k)}"
+        for k in range(15)
+    )
+    mins = ",\n    ".join(
+        "MIN({}) AS h{}".format(hex60("s || '|%d'" % i), i)
+        for i in range(num_hashes)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(','"
+        + "".join(f", h{b * rpb + r}" for r in range(rpb))
+        + ")) AS bh FROM msigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents WHERE doc_id < {max_id}
+),
+psh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN generate_series(1, len(tk) - 2)]
+    END) AS s
+  FROM ptoks
+),
+msigs AS (SELECT doc_id, {mins} FROM psh GROUP BY doc_id),
+banded AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                             AND a.doc_id < b.doc_id
+),
+msizes AS (SELECT doc_id, count(*) AS sz FROM psh GROUP BY doc_id),
+minter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c JOIN psh x ON x.doc_id = c.id_a
+               JOIN psh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
+),
+mj AS (
+  SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jac
+  FROM minter JOIN msizes sa ON sa.doc_id = minter.id_a
+              JOIN msizes sb ON sb.doc_id = minter.id_b
+)
+SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mj WHERE jac >= {threshold}
+"""
+
+
+@q("dedup_minhash_portable", _minhash_oracle_sql())
+def dedup_minhash_portable_q(spark, sf):
+    # The ENTIRE minhash pipeline — signature aggregate, LSH band
+    # hashing, bucket-join candidate generation, exact-Jaccard verify —
+    # ORACLE-CHECKED in portable (md5-derived hash) mode: DuckDB
+    # recomputes every stage including the 64 permutation minima and
+    # the band buckets, so a bug anywhere in the banding arithmetic or
+    # the verify join mismatches the hash. Only the hash primitive
+    # differs from the xxhash64 fast path benched as dedup_minhash_lsh.
+    return minhash_near_duplicates(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 300),
+        threshold=0.5, portable=True,
+    )
 
 
 def _simhash_oracle_sql() -> str:
