@@ -48,6 +48,14 @@ EXPECTED_UNBOUNDED = {
     "text_bm25",  # crossJoin vs the 1-row (N, avgdl) corpus constants
     "text_tfidf_top_term",  # crossJoin vs the 1-row N constant
     "text_lm_surprisal",  # crossJoin vs the 1-row vocabulary-size constant
+    # The recall gates measure an approximate operator AGAINST the exact
+    # brute-force top-k — the all-pairs baseline is the definition of
+    # recall, not an accident; bounded by the 25-query probe set. The
+    # ivf/pq flavors add the constant-size centroid cross join and the
+    # 1-row n_queries/hit-count scalar joins.
+    "sim_recall_lsh",
+    "sim_recall_ivf",
+    "sim_recall_pq",
 }
 
 
