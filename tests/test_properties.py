@@ -323,3 +323,124 @@ def test_sessionize_bucketed_property(spark, offs, gap, bucket):
     two = {r.event_id: r.session_id for r in
            sessionize_bucketed(df, gap_seconds=gap, bucket_seconds=bucket).collect()}
     assert two == plain
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(st.text(alphabet="ab", min_size=0, max_size=6), min_size=2, max_size=16),
+    k=st.sampled_from([1, 2]),
+)
+def test_fuzzy_pairs_equals_naive_levenshtein(spark, words, k):
+    """Salted length-band blocking + banded threshold levenshtein is an
+    algebraic rewrite of the all-pairs filter — exact on arbitrary
+    strings (tiny alphabet forces dense near-duplicates, empty strings
+    and equal strings included)."""
+    from clinpy_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(list(enumerate(words)), "id long, s string")
+    got = {(r.a_id, r.b_id): r.edits
+           for r in fuzzy_pairs(df, "id", "s", max_edits=k, num_salts=4).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            d = lev(words[i], words[j])
+            if d <= k:
+                want[(i, j)] = d
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_bases=st.integers(min_value=1, max_value=200),
+    line_w=st.integers(min_value=1, max_value=23),
+    ranges=st.lists(
+        st.tuples(st.integers(0, 199), st.integers(1, 200), st.booleans()),
+        min_size=1, max_size=8,
+    ),
+    seed=st.integers(0, 10_000),
+)
+def test_fetch_sequences_equals_python_slicing(spark, tmp_path_factory, n_bases, line_w, ranges, seed):
+    """The fragment-table range join + cut + ordered concat equals plain
+    string slicing for ANY line width and any in-bounds 1-based
+    inclusive range, both strands."""
+    import random
+
+    from clinpy_spark.sources.fasta import fetch_sequences, read_fasta
+
+    rng = random.Random(seed)
+    chrom = "".join(rng.choice("ACGT") for _ in range(n_bases))
+    fa = tmp_path_factory.mktemp("pfa") / "g.fa"
+    fa.write_text(">c\n" + "\n".join(
+        chrom[i:i + line_w] for i in range(0, n_bases, line_w)) + "\n")
+    frags = read_fasta(spark, str(fa))
+
+    rows, want = [], {}
+    comp = str.maketrans("ACGT", "TGCA")
+    for i, (s0, ln, minus) in enumerate(ranges):
+        s = (s0 % n_bases) + 1                      # 1-based start in bounds
+        e = min(n_bases, s + ln - 1)                # inclusive end
+        strand = "-" if minus else "+"
+        rows.append((i, "c", s, e, strand))
+        sub = chrom[s - 1:e]
+        want[i] = sub.translate(comp)[::-1] if minus else sub
+    rdf = spark.createDataFrame(
+        rows, "range_id long, chrom string, start long, end long, strand string"
+    )
+    got = {r.range_id: r.sequence for r in fetch_sequences(frags, rdf).collect()}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    dim_rows=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 50), st.integers(1, 40)),
+        min_size=1, max_size=10,
+    ),
+    facts=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 120)), min_size=1, max_size=10
+    ),
+)
+def test_scd2_lookup_flavors_equal_python_reference(spark, dim_rows, facts):
+    """All four join flavors equal a brute-force reference over arbitrary
+    version layouts (overlapping versions, facts before the first
+    version, keys on only one side)."""
+    from clinpy_spark.operators.merge import scd2_lookup
+
+    # build non-overlapping-ish versions per key: (k, attr, ef, et|None)
+    dim = []
+    for idx, (k, ef, ln) in enumerate(dim_rows):
+        dim.append((k, f"v{idx}", ef, None if idx % 3 == 0 else ef + ln))
+    fact_rows = [(k, ts, f"f{i}") for i, (k, ts) in enumerate(facts)]
+    ddf = spark.createDataFrame(
+        dim, "k long, attr string, effective_from long, effective_to long"
+    )
+    fdf = spark.createDataFrame(fact_rows, "k long, ts long, tag string")
+
+    def valid(d, f):
+        return d[0] == f[0] and d[2] <= f[1] and (d[3] is None or f[1] < d[3])
+
+    inner = {(f[2], d[1]) for f in fact_rows for d in dim if valid(d, f)}
+    matched_f = {f[2] for f in fact_rows for d in dim if valid(d, f)}
+    matched_d = {d[1] for d in dim for f in fact_rows if valid(d, f)}
+
+    got_inner = {(r.tag, r.attr) for r in scd2_lookup(fdf, ddf, ["k"], "ts").collect()}
+    assert got_inner == inner
+
+    left = {(r.tag, r.attr) for r in scd2_lookup(fdf, ddf, ["k"], "ts", how="left").collect()}
+    assert left == inner | {(f[2], None) for f in fact_rows if f[2] not in matched_f}
+
+    right = {(r.tag, r.attr) for r in scd2_lookup(fdf, ddf, ["k"], "ts", how="right").collect()}
+    assert right == inner | {(None, d[1]) for d in dim if d[1] not in matched_d}
+
+    full = {(r.tag, r.attr) for r in scd2_lookup(fdf, ddf, ["k"], "ts", how="full").collect()}
+    assert full == left | right
