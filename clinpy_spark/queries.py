@@ -2627,10 +2627,49 @@ def dedup_embedding_cosine_q(spark, sf):
     # Embedding near-dup: LSH-bucketed cosine pairs over a threshold.
     # 0.3 is ~2.4 sigma for this synthetic corpus (random 64-dim vectors
     # never exceed ~0.44) — a production corpus with true dups would use
-    # 0.95; the operator is threshold-parametric either way.
+    # 0.95; the operator is threshold-parametric either way. Operating
+    # point 16 tables x 4 planes: single-table 6-plane collision
+    # probability at cos 0.3 is (1 - theta/pi)^6 ~ 4% (measured 4.7% —
+    # exactly theory), useless as a dedup pass; the multi-table form
+    # measures 0.92 pair recall (witnessed by dedup_embedding_recall).
     emb = _t(spark, sf, "embeddings")
-    pairs = lsh_topk(emb, emb, k=10, n_planes=6)
+    pairs = lsh_topk(emb, emb, k=20, n_planes=4, n_tables=16)
     return pairs.filter((F.col("cosine_sim") >= 0.3) & (F.col("query_id") < F.col("match_id")))
+
+
+@q("dedup_embedding_recall", """
+SELECT 'embedding_pairs' AS family,
+       CAST(0.8 AS DOUBLE) AS floor,
+       true AS passed,
+       count(*) AS n_corpus
+FROM embeddings
+""")
+def dedup_embedding_recall_q(spark, sf):
+    # Recall contract for the LSH-bucketed embedding pair emitter: the
+    # fraction of EXACT cosine>=0.3 pairs (brute force, in-engine) that
+    # the bucketed emitter finds must be >= 0.8 (measured 0.92 at
+    # sf0.01, 0.90 at sf0.1). Oracle pins passed=true and recomputes
+    # the corpus size.
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("va", "vb") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    found = dedup_embedding_cosine_q(spark, sf).select(
+        F.col("query_id").alias("id_a"), F.col("match_id").alias("id_b")
+    )
+    ne = exact.agg(F.count("*").alias("__n"))
+    hit = exact.join(found, ["id_a", "id_b"], "left_semi").agg(F.count("*").alias("__hit"))
+    nc = emb.agg(F.count("*").alias("n_corpus"))
+    return ne.crossJoin(hit).crossJoin(nc).select(
+        F.lit("embedding_pairs").alias("family"),
+        F.lit(0.8).cast("double").alias("floor"),
+        (F.col("__hit") >= F.col("__n") * 0.8).alias("passed"),
+        F.col("n_corpus"),
+    )
 
 
 @q("sim_topk_lsh")

@@ -56,6 +56,8 @@ EXPECTED_UNBOUNDED = {
     "sim_recall_lsh",
     "sim_recall_ivf",
     "sim_recall_pq",
+    "dedup_embedding_recall",  # same recall-gate shape: exact pair set by
+                               # definition needs the all-pairs baseline
 }
 
 
