@@ -340,7 +340,10 @@ def ivfpq_topk(
     q = ensure_min_parallelism(queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    cents = fit_centroids(c, n_centroids, seed)
+    # Coarse quantizer converges in few iterations on the bounded
+    # training prefix; share the caller's iteration budget instead of
+    # the standalone-IVF default (10 Spark-ML jobs -> `iters`).
+    cents = fit_centroids(c, n_centroids, seed, max_iter=max(2, iters))
     if cents is None:
         return queries.sparkSession.createDataFrame([], _PAIR_SCHEMA)
     # assigned feeds the codebook fit, the encoder, and the cell map —
