@@ -988,6 +988,65 @@ def s12_merge_upsert_q(spark, sf):
     )
 
 
+@q("s18_scd2_apply", """
+WITH dim AS (
+  SELECT c_custkey AS k, c_mktsegment AS attr, CAST(0 AS BIGINT) AS effective_from,
+         CAST(NULL AS BIGINT) AS effective_to, true AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT o_custkey AS k, max(o_orderpriority) AS attr,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS effective_from
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  GROUP BY o_custkey, o_orderdate
+),
+firsts AS (SELECT k, min(effective_from) AS nf FROM upd GROUP BY k),
+closed AS (
+  SELECT d.k, d.attr, d.effective_from,
+         CASE WHEN d.is_current AND f.nf IS NOT NULL THEN f.nf
+              ELSE d.effective_to END AS effective_to,
+         CASE WHEN f.nf IS NOT NULL THEN false ELSE d.is_current END AS is_current
+  FROM dim d LEFT JOIN firsts f ON d.k = f.k
+),
+opened AS (
+  SELECT k, attr, effective_from,
+         lead(effective_from) OVER (PARTITION BY k ORDER BY effective_from)
+           AS effective_to,
+         lead(effective_from) OVER (PARTITION BY k ORDER BY effective_from) IS NULL
+           AS is_current
+  FROM upd
+)
+SELECT * FROM closed UNION ALL SELECT * FROM opened
+""")
+def s18_scd2_apply_q(spark, sf):
+    # SCD2 batch apply, ORACLE-CHECKED (previously pytest-only): current
+    # versions close at the key's earliest update, a multi-update batch
+    # chains per key via a lead window (exactly one is_current row), and
+    # untouched keys pass through. Updates dedup on (k, ts) first so the
+    # chain order is engine-deterministic. Oracle = the window/union
+    # formulation.
+    from clinpy_spark.operators.merge import scd2_apply
+
+    dim = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+        F.lit(0).cast("long").alias("effective_from"),
+        F.lit(None).cast("long").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("effective_from"),
+        )
+        .agg(F.max("o_orderpriority").alias("attr"))
+        .select("k", "attr", "effective_from")
+    )
+    return scd2_apply(dim, updates, keys=["k"])
+
+
 @q("a15_hll_sketch", """
 SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
        TRUE AS within_5pct
