@@ -2696,6 +2696,20 @@ def dedup_embedding_cosine_q(spark, sf):
     return pairs.filter((F.col("cosine_sim") >= 0.3) & (F.col("query_id") < F.col("match_id")))
 
 
+@q("dedup_semdedup")
+def dedup_semdedup_q(spark, sf):
+    # SemDeDup construction (public method: KMeans-cluster-blocked
+    # embedding near-dup pairs, exact-cosine verified). Rows-only: the
+    # KMeans quantizer isn't SQL-expressible; losslessness on clustered
+    # structure is pinned by test_semdedup_pairs_cluster_blocked
+    # against the unblocked brute-force pair set.
+    from clinpy_spark.operators.similarity import semdedup_pairs
+
+    return semdedup_pairs(
+        _t(spark, sf, "embeddings"), n_clusters=16, threshold=0.3, max_iter=3
+    )
+
+
 @q("dedup_embedding_recall", """
 SELECT 'embedding_pairs' AS family,
        CAST(0.8 AS DOUBLE) AS floor,

@@ -1178,3 +1178,42 @@ def test_wav_codec_real_decode_and_resample(spark):
     rs = _wav_samples(out, ohdr)
     assert rs.shape == (10, 2)
     assert abs(rs[3, 1] + 16384 / 32768) < 1e-9  # values preserved
+
+
+def test_semdedup_pairs_cluster_blocked(spark):
+    """SemDeDup-style cluster-blocked embedding dedup: on a corpus with
+    genuine cluster structure, every exact cosine>=threshold pair is
+    found (semantic duplicates share a cluster), verified against the
+    unblocked brute-force pair set; the keep-one action composes with
+    apply_near_dedup."""
+    import numpy as np
+
+    from clinpy_spark.operators.dedup import apply_near_dedup
+    from clinpy_spark.operators.similarity import brute_force_range, semdedup_pairs
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 10, (6, 32))
+    pts = []
+    for c in centers:
+        base = c + rng.normal(0, 0.5, (12, 32))
+        pts.extend(base)
+        pts.extend(base[:3] + rng.normal(0, 0.01, (3, 32)))  # near-dups
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.id_a, r.id_b) for r in
+           semdedup_pairs(df, n_clusters=6, threshold=0.999, seed=3).collect()}
+    exact = {(min(r.query_id, r.match_id), max(r.query_id, r.match_id))
+             for r in brute_force_range(df, df, min_sim=0.999).collect()}
+    assert got == exact          # lossless on clustered structure
+    assert len(exact) >= 18      # the planted near-dups are found
+
+    kept = apply_near_dedup(
+        df, semdedup_pairs(df, n_clusters=6, threshold=0.999, seed=3),
+        id_col="vec_id",
+    )
+    # one survivor per duplicate pair/cluster; nothing unrelated dropped
+    assert kept.count() == df.count() - spark.createDataFrame(
+        [(a, b) for a, b in exact], "id_a long, id_b long"
+    ).select("id_b").distinct().count()

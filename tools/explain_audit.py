@@ -58,6 +58,10 @@ EXPECTED_UNBOUNDED = {
     "sim_recall_pq",
     "dedup_embedding_recall",  # same recall-gate shape: exact pair set by
                                # definition needs the all-pairs baseline
+    "dedup_semdedup",  # the _nearest_cells centroid cross join vs the
+                       # CONSTANT-size broadcast centroid table (same
+                       # allowlisted shape as sim_topk_ivf); the pair
+                       # join itself is a cell equi-join
 }
 
 
