@@ -104,6 +104,42 @@ class Junctions(Assay):
             out = out.drop("uniq_map", "multi_map")
         return out.drop("junction")
 
+    def search(
+        self,
+        chrom: str,
+        start: int,
+        end: int,
+        strand: str,
+        samples: list | None = None,
+        unique: bool = False,
+        filtered: bool = True,
+    ) -> DataFrame:
+        """Junctions overlapping a region (reference junction.py:76-112):
+        same chrom+strand, ``end >= start AND start <= end`` overlap.
+        ``samples`` restricts the JUNCTION SET to those carried by the
+        given samples (the reference's IN-subquery; note its documented
+        semantics: with ``unique=False`` the sample join still returns
+        every carrier of a matching junction, not only the listed ones).
+        ``unique=True`` returns coordinates only. Chrom-partitioned
+        masters prune the scan to one partition; the bridge join
+        broadcasts the (small) region-matched junction set."""
+        junc_t, bridge_t = self._tables(filtered)
+        j = self.db.table(junc_t).filter(
+            (F.col("chrom") == chrom) & (F.col("strand") == strand)
+            & (F.col("end") >= start) & (F.col("start") <= end)
+        )
+        bridge = self.db.table(bridge_t)
+        if samples:
+            carried = bridge.filter(F.col("samplename").isin(samples)).select("junction")
+            j = j.join(F.broadcast(carried), j.id == F.col("junction"), "left_semi")
+        if unique:
+            return j.select("chrom", "start", "end", "strand")
+        return (
+            j.join(bridge, j.id == bridge.junction)
+            .select("chrom", "start", "end", "strand",
+                    "samplename", "uniq_map", "multi_map")
+        )
+
     def filter(self, junc_func: Callable, schema=None, write: bool = False,
                **kwargs) -> DataFrame:
         """Per-sample user filter (reference junction.py:113-130 U1 +

@@ -339,19 +339,23 @@ class ProjectCatalog:
         file count.
         """
         path = self.path(name)
-        total = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(path) for f in fs
-        )
-        n_files = max(1, -(-total // target_file_bytes))
-        df = self.spark.read.parquet(path)
-        if sort_within_by:
-            df = df.repartition(n_files).sortWithinPartitions(*sort_within_by)
-        else:
-            df = df.coalesce(n_files)
-        staging = self._staging_dir(path, "compact")
-        df.write.mode("overwrite").parquet(staging)
+        # The whole read-rewrite-swap holds the table lock (same reason
+        # as update_staged: the file listing is captured at read time, so
+        # a concurrent staged writer's swap would delete this job's
+        # input files mid-read).
         with _swap_lock(path):
+            total = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path) for f in fs
+            )
+            n_files = max(1, -(-total // target_file_bytes))
+            df = self.spark.read.parquet(path)
+            if sort_within_by:
+                df = df.repartition(n_files).sortWithinPartitions(*sort_within_by)
+            else:
+                df = df.coalesce(n_files)
+            staging = self._staging_dir(path, "compact")
+            df.write.mode("overwrite").parquet(staging)
             _atomic_swap(path, staging)
         self._drop_bucket_entry(name)
         self._cache.pop(name, None)

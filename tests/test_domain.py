@@ -834,3 +834,34 @@ def test_select_objects_mode(spark, project):
     # cohort narrowing flows through to the entity list
     few = j.select(samples=["s3"], df=False, filtered=False)
     assert {(o.chrom, o.start, o.end) for o in few} == {("chr1", 3000, 4000)}
+
+
+def test_junctions_search_region(spark, project):
+    """Region search (reference junction.py:76-112): overlap on
+    chrom+strand, sample-set restriction of the junction set, unique
+    coordinate mode."""
+    catalog, genome = project
+    j = Junctions(catalog, genome)
+
+    # region overlapping chr1:100-200 and chr1:110-190 (filtered table)
+    hits = j.search("chr1", 150, 160, "+")
+    assert {(r.start, r.end) for r in hits.collect()} >= {(100, 200)}
+    carriers = {r.samplename for r in hits.filter(
+        (F.col("start") == 100) & (F.col("end") == 200)).collect()}
+    assert carriers == {"s1", "s2"}
+
+    uniq = j.search("chr1", 150, 160, "+", unique=True)
+    rows = uniq.collect()
+    assert len(rows) == len({(r.start, r.end) for r in rows})
+    assert "samplename" not in uniq.columns
+
+    # samples= restricts the junction set: chr1:3000-4000 is s3-only
+    # (all_junctions); searching with samples=["s1"] must not return it
+    none_for_s1 = j.search("chr1", 3500, 3600, "+", samples=["s1"], filtered=False)
+    assert none_for_s1.count() == 0
+    for_s3 = j.search("chr1", 3500, 3600, "+", samples=["s3"], filtered=False)
+    assert {(r.start, r.end) for r in for_s3.collect()} == {(3000, 4000)}
+
+    # out-of-region or wrong strand -> empty
+    assert j.search("chr1", 5000, 6000, "+").count() == 0
+    assert j.search("chr1", 150, 160, "-").count() == 0
