@@ -15,6 +15,22 @@ from clinpy_spark.assays.base import Assay
 
 
 class Project(Assay):
+    def view_meta_fields(self) -> list[str]:
+        """Queryable sample-metadata field names: the samples table's
+        columns plus the keys present in the ``user_annot`` map
+        (reference project.py:12-18 — which reads one row's JSON blob
+        and misses keys other rows carry; here the key set is the
+        DISTINCT union over the whole table, one exploded aggregate)."""
+        df = self.db.table("samples")
+        static = [c for c in df.columns if c != "user_annot"]
+        keys = (
+            df.select(F.explode(F.map_keys(F.coalesce(
+                F.col("user_annot"), F.expr("cast(map() as map<string,string>)")
+            ))).alias("k"))
+            .distinct().collect()
+        )
+        return static + sorted(r.k for r in keys)
+
     def samples(self, cohort: list[str] | None = None,
                 samples: list | None = None,
                 columns: list[str] | None = None) -> DataFrame:

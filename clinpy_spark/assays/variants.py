@@ -63,6 +63,19 @@ class Variants(Assay):
             out = out.join(imp, "variant_id")  # :64 fixed chain
         return out
 
+    def list_impacts(self, rna: bool = False, filtered: bool = False) -> list[str]:
+        """Impact-table column names, for building filter dicts
+        (reference variants.py:38-43 — schema reflection; here the
+        parquet footer answers without a scan)."""
+        _, imp_t, _ = self._names(rna, filtered)
+        return self.db.table(imp_t).columns
+
+    def list_variant_quals(self, rna: bool = False, filtered: bool = False) -> list[str]:
+        """Mapping-table column names (qual/filter + the per-sample
+        FORMAT-derived columns; reference variants.py:45-51)."""
+        _, _, map_t = self._names(rna, filtered)
+        return self.db.table(map_t).columns
+
     def describe(self, rna: bool = False, filtered: bool = False) -> str:
         """Counts summary (reference variants.py:111-118, returns an
         actual string with scalar counts — A2/A3)."""
@@ -108,6 +121,24 @@ class Variant:
             gt = {"het": GT_HET, "hom": GT_HOM}.get(genotype, genotype)
             m = m.filter(F.col("gt") == gt)
         return m.select("samplename").distinct()
+
+    def impact(self) -> DataFrame:
+        """This variant's impact rows (reference variants.py:163-171
+        ``impact`` property — a method here: it runs a query, and the
+        reference's own docstring calls every assay access lazy)."""
+        var_t, imp_t, _ = self.assay._names(self.rna, self.filtered)
+        me = self.assay.db.table(var_t).filter(
+            (F.col("chrom") == self.chrom) & (F.col("pos") == self.pos)
+            & (F.col("ref") == self.ref) & (F.col("alt") == self.alt)
+        ).select("variant_id")
+        return self.assay.db.table(imp_t).join(F.broadcast(me), "variant_id", "left_semi")
+
+    def counts(self, samples: list | None = None) -> DataFrame:
+        """Allele stats for THIS variant over an optional sample subset
+        (ac/an/af/n_het/n_hom) — finishes the reference's ``counts``
+        TODO stub (variants.py:136-143) by composing
+        :func:`allele_counts` over the variant's own mapping rows."""
+        return allele_counts(self._mapping(), samples)
 
 
 def allele_counts(mapping: DataFrame, samples: list | None = None) -> DataFrame:

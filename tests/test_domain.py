@@ -865,3 +865,31 @@ def test_junctions_search_region(spark, project):
     # out-of-region or wrong strand -> empty
     assert j.search("chr1", 5000, 6000, "+").count() == 0
     assert j.search("chr1", 150, 160, "-").count() == 0
+
+
+def test_meta_fields_and_variant_entity_extras(spark, project):
+    """Final reference-API parity sweep: Project.view_meta_fields,
+    Variants.list_impacts / list_variant_quals, Variant.impact and
+    Variant.counts (the reference's counts is a TODO stub — ours
+    returns real ac/an/af)."""
+    catalog, _ = project
+    p = Project(catalog)
+    # annotate first so user_annot keys exist (module fixture order-safe:
+    # merging the same keys is idempotent for field listing)
+    p.annotate_sample("s1", {"stage": "II"})
+    fields = p.view_meta_fields()
+    assert "sample_id" in fields and "cohort" in fields and "stage" in fields
+
+    v = Variants(catalog)
+    assert "consequence" in v.list_impacts()
+    quals = v.list_variant_quals()
+    assert "samplename" in quals and "gt" in quals
+
+    var = v.variant("chr1", 150, "A", "G")
+    imps = var.impact()
+    assert {r.consequence for r in imps.collect()} == {
+        "missense_variant", "intron_variant"}
+    cnt = var.counts().collect()[0]
+    # chr1:150 A>G: s1 het (0/1), s3 hom (1/1) -> ac=3, an=4
+    assert (cnt.ac, cnt.an, cnt.n_het, cnt.n_hom) == (3, 4, 1, 1)
+    assert abs(cnt.af - 0.75) < 1e-12
