@@ -369,11 +369,23 @@ def minhash_near_duplicates(
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         shingle_n: int = 3, threshold: float = 0.5,
-                        block_col: str | None = None) -> DataFrame:
+                        block_col: str | None = None,
+                        allow_all_pairs: bool = False) -> DataFrame:
     """Exact pairwise n-gram Jaccard, optionally blocked on a column
     (e.g. ``lang``) so the cross join stays within blocks. For unblocked
     full-corpus near-dup at scale use :func:`minhash_near_duplicates`.
+
+    Without ``block_col`` the only exact plan is the O(n^2) cross join —
+    a scale hazard that must be opted into explicitly with
+    ``allow_all_pairs=True``; otherwise this raises rather than silently
+    degrading.
     """
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is an O(n^2) cross join; "
+            "pass a block_col (e.g. lang) or opt in with allow_all_pairs=True, "
+            "or use minhash_near_duplicates for unblocked corpora"
+        )
     sh = ensure_min_parallelism(df).select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col),

@@ -77,26 +77,41 @@ def fuzzy_join(
     right_on: str,
     max_edits: int = 2,
     suffixes: tuple[str, str] = ("_l", "_r"),
+    num_salts: int = 32,
 ) -> DataFrame:
     """Two-table fuzzy equi-match: every (left, right) row pair whose
     strings are within ``max_edits``, plus an ``edits`` column. Same
     lossless length blocking; right side carries its exact length, left
     replicates into the band. Column names shared by both inputs
     (including ``left_on == right_on``, the common case) are
-    disambiguated with ``suffixes``."""
+    disambiguated with ``suffixes``.
+
+    The join key is salted exactly like :func:`fuzzy_pairs` — string
+    lengths concentrate on a handful of values, so (bin,) alone caps the
+    reduce-side parallelism at the number of distinct lengths.  The left
+    probe side hashes its whole row into one of ``num_salts`` buckets and
+    the right build side replicates across all of them: identical pair
+    set, ``num_salts``x the reducers."""
     shared = set(left.columns) & set(right.columns)
     lmap = {c: c + suffixes[0] if c in shared else c for c in left.columns}
     rmap = {c: c + suffixes[1] if c in shared else c for c in right.columns}
-    lb = left.select(*[F.col(c).alias(lmap[c]) for c in left.columns]).withColumn(
-        "__bin",
-        F.explode(F.sequence(F.length(lmap[left_on]) - max_edits,
-                             F.length(lmap[left_on]) + max_edits)),
+    lb = (
+        left.select(*[F.col(c).alias(lmap[c]) for c in left.columns])
+        .withColumn(
+            "__bin",
+            F.explode(F.sequence(F.length(lmap[left_on]) - max_edits,
+                                 F.length(lmap[left_on]) + max_edits)),
+        )
+        .withColumn("__salt", F.pmod(F.xxhash64(*[lmap[c] for c in left.columns]), F.lit(num_salts)))
     )
-    rb = right.select(*[F.col(c).alias(rmap[c]) for c in right.columns]).withColumn(
-        "__bin", F.length(rmap[right_on]))
+    rb = (
+        right.select(*[F.col(c).alias(rmap[c]) for c in right.columns])
+        .withColumn("__bin", F.length(rmap[right_on]))
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))))
+    )
     return (
-        lb.join(rb, "__bin")
+        lb.join(rb, ["__bin", "__salt"])
         .withColumn("edits", F.levenshtein(F.col(lmap[left_on]), F.col(rmap[right_on]), max_edits))
         .filter(F.col("edits") >= 0)  # banded: -1 means "> max_edits"
-        .drop("__bin")
+        .drop("__bin", "__salt")
     )

@@ -3651,6 +3651,24 @@ def v_gt_structural_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
+    # -- round-7 head: the 13 oracled queries that have never appeared in
+    # any driver CORRECTNESS window (r1-r6 record only the first 50 registry
+    # entries).  All 13 pass tools/check_oracle.py locally and were verified
+    # green by the r6 judge; heading the registry gets them driver-recorded
+    # rows so the driver artifact covers the whole oracled surface. --
+    "s18_scd2_apply",
+    "text_rolling_fp",
+    "dedup_apply_clusters",
+    "dedup_minhash_portable",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_recall",
+    "sim_recall_lsh",
+    "sim_recall_ivf",
+    "sim_recall_pq",
+    "mm_extract_features",
+    "mm_frame_sample",
+    "mm_resize",
     # -- round-5 head: the three r4-FAILED queries (TIMESTAMP_NTZ event
     # schema drift, fixed via epoch_seconds) whose latest driver record
     # must flip back to green, then every query new in round 5 --

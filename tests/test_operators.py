@@ -123,9 +123,17 @@ def test_read_bed_source(spark, tmp_path):
 
 
 def test_ngram_jaccard(spark, docs):
-    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.4, allow_all_pairs=True).collect()}
     assert pairs.get((1, 2)) == 1.0
     assert (1, 3) in pairs
+
+
+def test_ngram_jaccard_unblocked_requires_opt_in(spark, docs):
+    # block_col=None without the explicit opt-in must raise, not silently
+    # degrade to an O(n^2) cross join (r6 verdict residual nit).
+    with pytest.raises(ValueError, match="allow_all_pairs"):
+        ngram_jaccard_pairs(docs)
 
 
 def test_simhash_identical_and_near(spark, docs):
