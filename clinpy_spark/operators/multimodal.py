@@ -5,18 +5,21 @@ struct; decode/feature-extraction runs as Arrow-batched pandas
 iterators (``mapInPandas``) so the heavy per-item work happens on
 executors in vectorized batches, never on the driver.
 
-Codec status: **PPM (P6) and BMP (24-bit BI_RGB) images decode and
-resize for real, and WAV (PCM 8/16-bit) audio decodes and resamples
-for real** — all three are pure-spec formats needing only header parse
-+ numpy array math, no media library. Remaining formats (JPEG/PNG/MP3)
-fall back to a deterministic stand-in that exercises the Spark-side
-contract (schema, batching, partitioning); swap the fallback for
-PIL/librosa/pyav in production — the dispatch seam is ``_decode_one``
-/ ``_resize_one``.
+Codec status: **PPM (P6), BMP (24-bit BI_RGB), and PNG (8-bit depth,
+color types 0/2/3/4/6, non-interlaced) images decode and resize for
+real, and WAV (PCM 8/16-bit) audio decodes and resamples for real** —
+all pure-spec formats needing only header parse + stdlib ``zlib`` +
+numpy array math, no media library (PIL/imageio/cv2 re-probed absent
+in this container each round). Remaining formats (JPEG/MP3) fall back
+to a deterministic stand-in that exercises the Spark-side contract
+(schema, batching, partitioning); swap the fallback for PIL/librosa/
+pyav in production — the dispatch seam is ``_decode_one`` /
+``_resize_one``.
 """
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -156,6 +159,119 @@ def encode_bmp(px: np.ndarray) -> bytes:
     return header + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: samples per pixel for each supported PNG color type (palette rows
+#: are 1 index byte; expansion to RGB happens after unfiltering).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_png_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Parse the PNG signature + IHDR -> (width, height, color_type), or
+    None unless it is an 8-bit-depth non-interlaced PNG of color type
+    0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA) — the
+    pure-spec core. 1/2/4/16-bit depths and Adam7 interlace take the
+    fallback rather than decoding wrong pixels."""
+    if len(payload) < 33 or not payload.startswith(_PNG_SIG) or payload[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    depth, ctype, comp, filt, interlace = payload[24:29]
+    if w <= 0 or h <= 0 or depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or interlace:
+        return None
+    return w, h, ctype
+
+
+def _png_pixels(payload: bytes, hdr: tuple[int, int, int]) -> np.ndarray | None:
+    """Decode a parsed PNG -> (h, w, channels) uint8 (palette expanded
+    to RGB): concatenate IDAT, ``zlib`` inflate, then unfilter. Filters
+    None/Sub/Up are vectorized (Sub is a per-byte-lane cumsum mod 256);
+    Average/Paeth fall back to a per-byte loop within the row — the
+    left-neighbor recurrence is inherently sequential, and correctness
+    beats speed here (the engine's own encoder emits filter 0 only)."""
+    w, h, ctype = hdr
+    nch = _PNG_CHANNELS[ctype]
+    pos, idat, plte = 8, [], None
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos:pos + 4], "big")
+        ctag = payload[pos + 4:pos + 8]
+        if ctag == b"IDAT":
+            idat.append(payload[pos + 8:pos + 8 + clen])
+        elif ctag == b"PLTE":
+            body = payload[pos + 8:pos + 8 + clen]
+            if len(body) % 3:
+                return None
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctag == b"IEND":
+            break
+        pos += 12 + clen
+    if not idat or (ctype == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = 1 + w * nch
+    if len(raw) < stride * h:
+        return None
+    scan = np.frombuffer(raw, np.uint8, count=stride * h).reshape(h, stride)
+    out = np.zeros((h, w * nch), dtype=np.uint8)
+    bpp = nch
+    for y in range(h):
+        f, row = scan[y, 0], scan[y, 1:]
+        prior = out[y - 1] if y else np.zeros(w * nch, np.uint8)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: recon[x] = row[x] + recon[x-bpp] -> lane cumsum
+            rec = row.reshape(-1, bpp).astype(np.int64).cumsum(axis=0).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            rec = (row.astype(np.int16) + prior).astype(np.uint8)
+        elif f == 3:  # Average
+            rec = np.empty_like(row)
+            for x in range(row.size):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + (left + int(prior[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty_like(row)
+            for x in range(row.size):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+    px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if int(px.max()) >= plte.shape[0]:
+            return None
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def encode_png(px: np.ndarray, level: int = 6) -> bytes:
+    """(h, w) or (h, w, c) uint8, c in {1, 2, 3, 4} -> PNG bytes (color
+    type 0/4/2/6 respectively), filter-0 rows, non-interlaced; the
+    inverse of :func:`_png_pixels`. ``level=0`` emits stored deflate
+    blocks, making the byte length formula-predictable
+    (``len = 68 + h * (1 + w*c)`` for raw scanlines under ~64 KiB) —
+    what lets an SQL oracle check the encoder byte-exactly."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, level)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return len(body).to_bytes(4, "big") + tag + body + zlib.crc32(tag + body).to_bytes(4, "big")
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def parse_wav_header(payload: bytes) -> tuple[int, int, int, int, int] | None:
     """Parse a RIFF/WAVE header -> (n_channels, sample_rate,
     bits_per_sample, data_offset, data_len), or None unless it is
@@ -220,14 +336,15 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
 
 
 def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
-    """Decode dispatch: REAL codecs for PPM (P6) and BMP (24-bit BI_RGB)
-    images and WAV (PCM 8/16-bit) audio — header parse + numpy math;
-    deterministic fallback for formats whose codecs aren't in this
-    container (swap for PIL/librosa in production). For images the
-    features are (width, height, mean pixel intensity / maxval); for
-    audio (n_frames, n_channels, mean |amplitude| of full scale).
-    Raises NotImplementedError for unregistered media types, mirroring
-    a real codec registry."""
+    """Decode dispatch: REAL codecs for PPM (P6), BMP (24-bit BI_RGB),
+    and PNG (8-bit, types 0/2/3/4/6) images and WAV (PCM 8/16-bit)
+    audio — header parse + zlib + numpy math; deterministic fallback for
+    formats whose codecs aren't in this container (swap for PIL/librosa
+    in production). For images the features are (width, height, mean
+    color-channel intensity / maxval — alpha excluded so opacity doesn't
+    skew brightness); for audio (n_frames, n_channels, mean |amplitude|
+    of full scale). Raises NotImplementedError for unregistered media
+    types, mirroring a real codec registry."""
     if media_type not in {"image", "audio"}:
         raise NotImplementedError(f"no codec registered for media_type={media_type!r}")
     hdr = parse_ppm_header(payload)
@@ -238,6 +355,12 @@ def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
     if bhdr is not None:
         w, h, _ = bhdr
         return w, h, float(_bmp_pixels(payload, bhdr).mean()) / 255.0
+    phdr = parse_png_header(payload)
+    if phdr is not None:
+        px = _png_pixels(payload, phdr)
+        if px is not None:
+            color = px[:, :, :3] if px.shape[2] >= 3 else px[:, :, :1]
+            return phdr[0], phdr[1], float(color.mean()) / 255.0
     whdr = parse_wav_header(payload)
     if whdr is not None:
         x = _wav_samples(payload, whdr)
@@ -290,8 +413,9 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
            batch_size: int = 256) -> DataFrame:
     """Resize every media item to (width, height) via mapInPandas.
 
-    PPM (P6) and BMP (24-bit) payloads resize FOR REAL — nearest-
-    neighbor resample via numpy index maps, re-emitted as valid P6/BMP.
+    PPM (P6), BMP (24-bit), and PNG (8-bit 0/2/3/4/6) payloads resize
+    FOR REAL — nearest-neighbor resample via numpy index maps,
+    re-emitted as valid P6/BMP/PNG.
     WAV payloads RESAMPLE for real to ``width`` frames per channel
     (nearest-neighbor in time; ``height`` is an image-only parameter),
     re-emitted as valid 16-bit PCM. Other formats fall back to a
@@ -316,6 +440,16 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
             rows = (np.arange(height) * h) // height
             cols = (np.arange(width) * w) // width
             return encode_bmp(px[rows][:, cols])
+        phdr = parse_png_header(payload)
+        if phdr is not None:
+            px = _png_pixels(payload, phdr)
+            if px is not None:
+                w, h = phdr[0], phdr[1]
+                rows = (np.arange(height) * h) // height
+                cols = (np.arange(width) * w) // width
+                # channel count survives (gray/gray+alpha/RGB/RGBA);
+                # palette inputs re-emit as plain RGB.
+                return encode_png(px[rows][:, cols])
         whdr = parse_wav_header(payload)
         if whdr is not None:
             _, rate, _, _, _ = whdr

@@ -2933,24 +2933,25 @@ def sim_recall_pq_q(spark, sf):
 
 @q("mm_extract_features", """
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 3 < 2 THEN 'image' ELSE 'audio' END AS media_type,
-       CAST(CASE WHEN doc_id % 3 < 2 THEN 4 + doc_id % 5
+       CASE WHEN doc_id % 4 < 3 THEN 'image' ELSE 'audio' END AS media_type,
+       CAST(CASE WHEN doc_id % 4 < 3 THEN 4 + doc_id % 5
                  ELSE 50 + doc_id % 50 END AS BIGINT) AS width,
-       CAST(CASE WHEN doc_id % 3 < 2 THEN 3 + doc_id % 4
+       CAST(CASE WHEN doc_id % 4 < 3 THEN 3 + doc_id % 4
                  ELSE 1 + doc_id % 2 END AS BIGINT) AS height,
-       CASE WHEN doc_id % 3 < 2 THEN (doc_id % 256) / 255.0
+       CASE WHEN doc_id % 4 < 3 THEN (doc_id % 256) / 255.0
             ELSE (512 * (doc_id % 50)) / 32768.0 END AS mean_intensity
 FROM documents WHERE doc_id < 200
 """)
 def mm_extract_features_q(spark, sf):
     # Multimodal decode, ORACLE-CHECKED end-to-end: deterministic PPM /
-    # BMP / WAV payloads are synthesized from doc_id on the executors,
-    # then decoded by the REAL pure-numpy codecs (operators/multimodal);
-    # DuckDB recomputes the expected (dims, mean intensity) by formula.
-    # A codec bug (wrong row padding, BGR order, sample scaling...)
-    # flips the decoded values and the hash mismatches. All chosen
-    # values are exactly representable doubles (fill/255 and dyadic
-    # a/32768), so no rounding is needed on either side.
+    # BMP / PNG / WAV payloads are synthesized from doc_id on the
+    # executors, then decoded by the REAL pure-numpy codecs (operators/
+    # multimodal — PNG through stdlib zlib inflate + unfilter); DuckDB
+    # recomputes the expected (dims, mean intensity) by formula.
+    # A codec bug (wrong row padding, BGR order, filter math, sample
+    # scaling...) flips the decoded values and the hash mismatches. All
+    # chosen values are exactly representable doubles (fill/255 and
+    # dyadic a/32768), so no rounding is needed on either side.
     media = _synth_media(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))
     return extract_features(media).select(
         "media_id", "media_type", "width", "height", "mean_intensity"
@@ -2959,27 +2960,30 @@ def mm_extract_features_q(spark, sf):
 
 def _synth_media(docs: DataFrame) -> DataFrame:
     """Deterministic media payloads from doc_id, built on the executors:
-    doc_id % 3 picks PPM / BMP / WAV; dims, fill, and amplitude are
-    doc_id arithmetic so an oracle can predict the decoded features.
+    doc_id % 4 picks PPM / BMP / PNG / WAV; dims, fill, and amplitude
+    are doc_id arithmetic so an oracle can predict the decoded features.
     Constant fill keeps the mean invariant under nearest-neighbor
-    resampling (what lets mm_resize oracle the resize round-trip)."""
+    resampling (what lets mm_resize oracle the resize round-trip). PNG
+    is emitted at zlib level 0 (stored blocks) so its byte length is
+    also formula-predictable for the frame_sample oracle."""
     import numpy as np
     import pandas as pd
 
-    from clinpy_spark.operators.multimodal import encode_bmp, encode_wav
+    from clinpy_spark.operators.multimodal import encode_bmp, encode_png, encode_wav
 
     def _synth(batches):
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                kind = did % 3
-                if kind < 2:
+                kind = did % 4
+                if kind < 3:
                     w, h, fill = 4 + did % 5, 3 + did % 4, did % 256
                     px = np.full((h, w, 3), fill, dtype=np.uint8)
                     payload = (
-                        b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
-                        if kind == 0 else encode_bmp(px)
+                        b"P6\n%d %d\n255\n" % (w, h) + px.tobytes() if kind == 0
+                        else encode_bmp(px) if kind == 1
+                        else encode_png(px, level=0)
                     )
                     rows.append((did, "image", payload))
                 else:
@@ -2996,10 +3000,11 @@ def _synth_media(docs: DataFrame) -> DataFrame:
 @q("mm_frame_sample", """
 WITH m AS (
   SELECT doc_id,
-    CASE WHEN doc_id % 3 < 2 THEN 'image' ELSE 'audio' END AS media_type,
-    CASE doc_id % 3
+    CASE WHEN doc_id % 4 < 3 THEN 'image' ELSE 'audio' END AS media_type,
+    CASE doc_id % 4
       WHEN 0 THEN 11 + 3 * (4 + doc_id % 5) * (3 + doc_id % 4)
       WHEN 1 THEN 54 + (3 + doc_id % 4) * (((3 * (4 + doc_id % 5) + 3) // 4) * 4)
+      WHEN 2 THEN 68 + (3 + doc_id % 4) * (3 * (4 + doc_id % 5) + 1)
       ELSE 44 + (50 + doc_id % 50) * (1 + doc_id % 2) * 2
     END AS n
   FROM documents WHERE doc_id < 200)
@@ -3010,32 +3015,36 @@ FROM m
 """)
 def mm_frame_sample_q(spark, sf):
     # Frame-offset sampling over the synthesized media, ORACLE-CHECKED:
-    # the payload byte length of each PPM/BMP/WAV item is exactly
-    # predictable from doc_id (header size + row padding / sample
-    # bytes), so DuckDB recomputes the emitted offset list — which
-    # verifies both the relational sequence/explode shape AND the
-    # encoders' byte-exact output sizes.
+    # the payload byte length of each PPM/BMP/PNG/WAV item is exactly
+    # predictable from doc_id (header size + row padding / stored-block
+    # zlib overhead / sample bytes), so DuckDB recomputes the emitted
+    # offset list — which verifies both the relational sequence/explode
+    # shape AND the encoders' byte-exact output sizes (PNG: 8 sig +
+    # 25 IHDR + 12 IEND + 12 IDAT framing + 11 stored-deflate overhead
+    # + h*(1+3w) raw scanlines = 68 + h*(3w+1)).
     media = _synth_media(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))
     return frame_sample(media, every_n_bytes=64)
 
 
 @q("mm_resize", """
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 3 < 2 THEN 'image' ELSE 'audio' END AS media_type,
+       CASE WHEN doc_id % 4 < 3 THEN 'image' ELSE 'audio' END AS media_type,
        CAST(6 AS BIGINT) AS width,
-       CAST(CASE WHEN doc_id % 3 < 2 THEN 5 ELSE 1 + doc_id % 2 END AS BIGINT) AS height,
-       CASE WHEN doc_id % 3 < 2 THEN (doc_id % 256) / 255.0
+       CAST(CASE WHEN doc_id % 4 < 3 THEN 5 ELSE 1 + doc_id % 2 END AS BIGINT) AS height,
+       CASE WHEN doc_id % 4 < 3 THEN (doc_id % 256) / 255.0
             ELSE (512 * (doc_id % 50)) / 32768.0 END AS mean_intensity
 FROM documents WHERE doc_id < 200
 """)
 def mm_resize_q(spark, sf):
     # Resize/resample, ORACLE-CHECKED end-to-end through a decode
-    # round-trip: synthesized PPM/BMP/WAV payloads -> REAL nearest-
+    # round-trip: synthesized PPM/BMP/PNG/WAV payloads -> REAL nearest-
     # neighbor resize (images to 6x5, audio resampled to 6 frames) ->
-    # re-decode of the re-emitted payloads. Constant-fill inputs keep
-    # their mean through resampling, so DuckDB predicts the features of
-    # the RESIZED media exactly; a resize bug (wrong padding, scale,
-    # layout) changes dims or mean and the hash mismatches.
+    # re-decode of the re-emitted payloads (PNG re-encodes via
+    # encode_png and re-inflates on the second decode). Constant-fill
+    # inputs keep their mean through resampling, so DuckDB predicts the
+    # features of the RESIZED media exactly; a resize bug (wrong
+    # padding, scale, layout, filter math) changes dims or mean and the
+    # hash mismatches.
     from clinpy_spark.operators.multimodal import extract_features, resize
 
     media = _synth_media(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))

@@ -1150,6 +1150,108 @@ def test_bmp_codec_real_decode_and_resize(spark):
     assert parse_bmp_header(bytes(bad)) is None
 
 
+def test_png_codec_real_decode_and_resize(spark):
+    """PNG (8-bit, non-interlaced) payloads decode and resize for REAL
+    through stdlib zlib + numpy unfilter: exact round-trip for RGB /
+    gray / RGBA, all five scanline filters reconstruct exactly, palette
+    expands through PLTE, level-0 byte length matches the frame_sample
+    oracle formula, and unsupported variants (16-bit depth, interlaced)
+    fall back rather than decode wrong pixels."""
+    import zlib
+
+    import numpy as np
+
+    from clinpy_spark.operators.multimodal import (
+        _PNG_SIG, as_media, encode_png, extract_features, parse_png_header,
+        _png_pixels, resize,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    png = encode_png(px)
+    hdr = parse_png_header(png)
+    assert hdr == (5, 4, 2)
+    assert np.array_equal(_png_pixels(png, hdr), px)  # exact round-trip
+
+    # gray (2-D input -> color type 0) and RGBA (-> type 6)
+    gray = rng.integers(0, 256, (3, 7), dtype=np.uint8)
+    g = encode_png(gray)
+    assert parse_png_header(g) == (7, 3, 0)
+    assert np.array_equal(_png_pixels(g, parse_png_header(g))[:, :, 0], gray)
+    rgba = rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)
+    a = encode_png(rgba)
+    assert parse_png_header(a) == (3, 3, 6)
+    assert np.array_equal(_png_pixels(a, parse_png_header(a)), rgba)
+
+    # level-0 stored blocks: byte length is exactly 68 + h*(1+3w)
+    p0 = encode_png(px, level=0)
+    assert len(p0) == 68 + 4 * (1 + 3 * 5)
+    assert np.array_equal(_png_pixels(p0, parse_png_header(p0)), px)
+
+    # every filter type (0..4) reconstructs exactly: hand-filter the
+    # scanlines of a known image per the PNG spec, then decode
+    def chunk(tag, body):
+        return len(body).to_bytes(4, "big") + tag + body + zlib.crc32(tag + body).to_bytes(4, "big")
+
+    h, w, bpp = 5, 4, 3
+    img = rng.integers(0, 256, (h, w, bpp), dtype=np.uint8)
+    lines = []
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row = img[y].reshape(-1).astype(np.int32)
+        prior = img[y - 1].reshape(-1).astype(np.int32) if y else np.zeros(w * bpp, np.int32)
+        out = np.empty(w * bpp, np.int32)
+        for x in range(w * bpp):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            out[x] = (row[x] - pred) & 0xFF
+        lines.append(bytes([f]) + out.astype(np.uint8).tobytes())
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    filtered = (_PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b""))
+    assert np.array_equal(_png_pixels(filtered, parse_png_header(filtered)), img)
+
+    # palette PNG (color type 3) expands through PLTE to RGB
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr3 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    pal = (_PNG_SIG + chunk(b"IHDR", ihdr3) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = _png_pixels(pal, parse_png_header(pal))
+    assert got[0, 0].tolist() == [255, 0, 0] and got[1, 0].tolist() == [0, 0, 255]
+
+    # Spark path: features + resize round-trip
+    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, payload binary")
+    media = as_media(df, "media_id", "payload", "image")
+    f = extract_features(media).collect()[0]
+    assert (f.width, f.height) == (5, 4)
+    assert abs(f.mean_intensity - float(px.mean()) / 255) < 1e-9
+    out = bytes(resize(media, width=2, height=2).collect()[0].payload)
+    ohdr = parse_png_header(out)
+    assert ohdr is not None and ohdr[:2] == (2, 2)
+    assert _png_pixels(out, ohdr)[0, 0].tolist() == px[0, 0].tolist()
+
+    # unsupported variants refuse: 16-bit depth, Adam7 interlace
+    for byte_pos, val in ((24, 16), (28, 1)):
+        bad = bytearray(png)
+        bad[byte_pos] = val
+        assert parse_png_header(bytes(bad)) is None
+
+
 def test_wav_codec_real_decode_and_resample(spark):
     """WAV (PCM 16-bit) payloads decode and resample for REAL: frame and
     channel counts from the RIFF chunks, exact mean amplitude, nearest-
