@@ -104,19 +104,33 @@ class Variant:
     def __repr__(self):
         return f"Variant({self.chrom}:{self.pos} {self.ref}>{self.alt})"
 
-    def _mapping(self) -> DataFrame:
+    def _mapping(self, cohort: list[str] | None = None) -> DataFrame:
         var_t, _, map_t = self.assay._names(self.rna, self.filtered)
         me = self.assay.db.table(var_t).filter(
             (F.col("chrom") == self.chrom) & (F.col("pos") == self.pos)
             & (F.col("ref") == self.ref) & (F.col("alt") == self.alt)
         ).select("variant_id")
         mapping = self.assay.db.table(map_t)
+        if cohort:
+            # two-hop semi join through the samples dimension (J7 shape,
+            # same as Junctions/Expression cohort resolution): the member
+            # list is a broadcast-size dim slice, never a shuffle of the
+            # mapping fact.
+            members = (
+                self.assay.db.table("samples")
+                .filter(F.col("cohort").isin(cohort))
+                .select(F.col("sample_id").alias("samplename"))
+            )
+            mapping = mapping.join(F.broadcast(members), "samplename", "left_semi")
         return mapping.join(F.broadcast(me), "variant_id", "left_semi")
 
-    def samples(self, genotype: str | None = None) -> DataFrame:
-        """Samples carrying this variant, optionally only hom/het
-        (reference variants.py:145-168)."""
-        m = self._mapping()
+    def samples(self, genotype: str | None = None,
+                cohort: list[str] | None = None) -> DataFrame:
+        """Samples carrying this variant, optionally only hom/het and/or
+        restricted to named cohorts (reference variants.py:145-168;
+        the ``cohort=`` parameter finishes the reference signature at
+        variants.py:145, which accepts it but never implements it)."""
+        m = self._mapping(cohort)
         if genotype:
             gt = {"het": GT_HET, "hom": GT_HOM}.get(genotype, genotype)
             m = m.filter(F.col("gt") == gt)
@@ -133,12 +147,15 @@ class Variant:
         ).select("variant_id")
         return self.assay.db.table(imp_t).join(F.broadcast(me), "variant_id", "left_semi")
 
-    def counts(self, samples: list | None = None) -> DataFrame:
+    def counts(self, samples: list | None = None,
+               cohort: list[str] | None = None) -> DataFrame:
         """Allele stats for THIS variant over an optional sample subset
-        (ac/an/af/n_het/n_hom) — finishes the reference's ``counts``
-        TODO stub (variants.py:136-143) by composing
-        :func:`allele_counts` over the variant's own mapping rows."""
-        return allele_counts(self._mapping(), samples)
+        and/or cohort restriction (ac/an/af/n_het/n_hom) — finishes the
+        reference's ``counts`` TODO stub (variants.py:136-143, whose
+        signature accepts ``samples=, cohort=`` but is ``pass``) by
+        composing :func:`allele_counts` over the variant's own mapping
+        rows, cohort-restricted via the samples-dimension semi join."""
+        return allele_counts(self._mapping(cohort), samples)
 
 
 def allele_counts(mapping: DataFrame, samples: list | None = None) -> DataFrame:

@@ -11,6 +11,12 @@ from __future__ import annotations
 
 import os
 import threading
+from contextlib import contextmanager
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX: cross-process locking degrades to in-process
+    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -100,12 +106,12 @@ def _atomic_swap(path: str, staging: str) -> None:
 
     The aside-name is derived from the (unique) staging name, so two
     writers' swaps never trample each other's aside directory; combined
-    with the per-table lock in :func:`_swap_lock`, concurrent staged
-    writers within a process serialize at the swap and the table always
-    holds ONE writer's complete result (last swap wins — the documented
-    semantics for concurrent point updates; cross-process coordination
-    is the caller's job, same as any filesystem table format without a
-    transaction log).
+    with :func:`_table_lock` (threading lock + cross-process flock),
+    concurrent staged writers on the same host serialize at the swap and
+    the table always holds ONE writer's complete result (last swap wins
+    — the documented semantics for concurrent point updates; multi-host
+    coordination needs a transaction log, same as any filesystem table
+    format without one).
     """
     import shutil
 
@@ -127,6 +133,38 @@ def _swap_lock(path: str) -> threading.Lock:
     """Per-table in-process lock serializing staged swaps."""
     with _SWAP_LOCKS_GUARD:
         return _SWAP_LOCKS.setdefault(os.path.abspath(path), threading.Lock())
+
+
+@contextmanager
+def _file_lock(lock_path: str):
+    """Advisory CROSS-PROCESS lock: ``fcntl.flock(LOCK_EX)`` on a
+    sibling lockfile. Scope is same-host / same-local-filesystem — flock
+    is not coherent over NFS and never spans hosts; multi-host writers
+    need a real transaction log (Delta/Iceberg), the documented limit of
+    any log-less parquet layout. The lockfile is a separate path from
+    the table directory so atomic swaps never rename it out from under
+    a waiter. No-op on platforms without ``fcntl``."""
+    if fcntl is None:
+        yield
+        return
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+@contextmanager
+def _table_lock(path: str):
+    """Both layers of swap serialization: the in-process threading lock
+    (cheap, reentrancy-clear) nested with the cross-process flock, so
+    concurrent staged writers serialize whether they share a process or
+    only a filesystem."""
+    with _swap_lock(path):
+        with _file_lock(path.rstrip("/") + ".lock"):
+            yield
 
 
 class ProjectCatalog:
@@ -166,14 +204,12 @@ class ProjectCatalog:
             return {}
 
     def _record_stats(self, name: str) -> None:
-        # Concurrency note: this is an unlocked read-modify-write of the
-        # shared _stats.json (load, mutate one key, atomic os.replace) —
-        # safe for the single-process driver that owns a project dir.
-        # Two CONCURRENT writers to different tables could lose one
-        # writer's entry (last replace wins), which later disables
-        # hint_small for the lost table — a performance, not correctness,
-        # hazard. If concurrent catalog writers are ever expected, move
-        # to per-table stats files or take a file lock around this block.
+        # The footer scan runs unlocked (reads only this table's files);
+        # the manifest read-modify-write holds a cross-process flock so
+        # two concurrent writers to DIFFERENT tables can't lose each
+        # other's entry to a last-replace-wins race (which would later
+        # disable hint_small for the lost table). The tmp name is
+        # pid-unique for the same reason.
         import json
 
         import pyarrow.parquet as papq
@@ -187,12 +223,13 @@ class ProjectCatalog:
                 if f.endswith(".parquet"):
                     files += 1
                     rows += papq.ParquetFile(fp).metadata.num_rows
-        manifest = self._read_stats_manifest()
-        manifest[name] = {"rows": rows, "bytes": total, "files": files}
-        tmp = self._stats_file() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1, sort_keys=True)
-        os.replace(tmp, self._stats_file())
+        with _file_lock(self._stats_file() + ".lock"):
+            manifest = self._read_stats_manifest()
+            manifest[name] = {"rows": rows, "bytes": total, "files": files}
+            tmp = f"{self._stats_file()}.{os.getpid()}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+            os.replace(tmp, self._stats_file())
 
     def stats(self, name: str) -> dict | None:
         """Write-time stats for a table, or None if it was never written
@@ -343,7 +380,7 @@ class ProjectCatalog:
         # as update_staged: the file listing is captured at read time, so
         # a concurrent staged writer's swap would delete this job's
         # input files mid-read).
-        with _swap_lock(path):
+        with _table_lock(path):
             total = sum(
                 os.path.getsize(os.path.join(dp, f))
                 for dp, _, fs in os.walk(path) for f in fs
@@ -389,7 +426,7 @@ class ProjectCatalog:
         path = self.path(name)
         staging = self._staging_dir(path, "staged")
         df.write.mode("overwrite").parquet(staging)
-        with _swap_lock(path):
+        with _table_lock(path):
             _atomic_swap(path, staging)
         self._drop_bucket_entry(name)
         self._cache.pop(name, None)
@@ -404,13 +441,16 @@ class ProjectCatalog:
         updates), and the table always holds one writer's complete
         output. Executor-side throughout; no driver collect.
 
-        Cross-PROCESS updaters still get atomicity (unique staging
-        names + rename), but not ordering — a log-less table format
-        cannot arbitrate between processes; route cross-process upserts
-        through one writer, as Delta-less parquet always requires.
+        Cross-PROCESS updaters on the same host serialize too: the
+        per-table threading lock nests a ``flock`` on a sibling
+        lockfile (:func:`_table_lock`), so two driver processes sharing
+        a project directory each see the predecessor's swap before
+        reading. Multi-HOST writers remain out of scope — flock does
+        not span filesystems; that needs a real transaction log
+        (Delta/Iceberg), as any log-less parquet layout does.
         """
         path = self.path(name)
-        with _swap_lock(path):
+        with _table_lock(path):
             out = transform(self.spark.read.parquet(path))
             staging = self._staging_dir(path, "staged")
             out.write.mode("overwrite").parquet(staging)

@@ -240,6 +240,26 @@ def test_variant_entity_and_allele_counts(spark, project):
     assert len(target) == 1 and target[0].ac == 3 and target[0].n_het == 1 and target[0].n_hom == 1
 
 
+def test_variant_cohort_parameter_parity(spark, project):
+    """Reference variants.py:138,146: Variant.counts/samples accept a
+    ``cohort=`` restriction (a TODO there); implemented via the two-hop
+    semi join through the samples dimension."""
+    catalog, _ = project
+    v = Variants(catalog)
+    var = v.variant("chr1", 150, "A", "G")
+    assert {r.samplename for r in var.samples(cohort=["A"]).collect()} == {"s1"}
+    assert {r.samplename for r in var.samples(cohort=["B"]).collect()} == {"s3"}
+    assert {r.samplename for r in var.samples(cohort=["A", "B"]).collect()} == {"s1", "s3"}
+    assert var.samples(cohort=["A"], genotype="hom").count() == 0  # s1 is het
+    ca = var.counts(cohort=["A"]).collect()[0]
+    assert (ca.ac, ca.an, ca.n_het, ca.n_hom) == (1, 2, 1, 0)
+    cab = var.counts(cohort=["A", "B"]).collect()[0]
+    assert (cab.ac, cab.an, cab.n_het, cab.n_hom) == (3, 4, 1, 1)
+    # cohort composes with an explicit sample subset (intersection)
+    c_int = var.counts(samples=["s3"], cohort=["A", "B"]).collect()[0]
+    assert (c_int.ac, c_int.an, c_int.n_hom) == (2, 2, 1)
+
+
 def test_incremental_append_anti_join(spark, project, tmp_path):
     catalog, _ = project
     # Re-ingest s4's junctions incrementally: nothing new -> master stable.
