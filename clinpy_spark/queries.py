@@ -2851,7 +2851,8 @@ def _recall_gate(spark, sf, family: str, floor: float, approx_fn, metric: str = 
 
     Ties and seeds are deterministic (row_number tie-break on match_id,
     fixed hyperplane/KMeans seeds), so the measured value is stable for
-    a given sf. Measured at sf0.01: lsh 0.928, ivf 0.892, pq 0.568.
+    a given sf. Measured at sf0.01: lsh 0.928, ivf 0.892, pq 0.964
+    (OPQ + shortlist-50 exact re-rank; raw ADC alone measures 0.568).
     """
     k, qn = 10, 25
     emb = _t(spark, sf, "embeddings")
@@ -2918,17 +2919,20 @@ def sim_recall_ivf_q(spark, sf):
     )
 
 
-@q("sim_recall_pq", _recall_oracle("pq", 0.55))
+@q("sim_recall_pq", _recall_oracle("pq", 0.85))
 def sim_recall_pq_q(spark, sf):
-    # Recall contract for PQ/ADC (m=16, k=64 codebooks): recall@10 vs
-    # exact L2 must be >= 0.55.
-    from clinpy_spark.operators.pq import fit_pq_codebooks, pq_encode, pq_topk
+    # Recall contract for the PQ operating point: OPQ-rotated m=16/k=64
+    # codebooks (same 96-bit code budget as plain PQ) + ADC shortlist of
+    # 50 + exact re-rank — recall@10 vs exact L2 must be >= 0.85 (raw
+    # ADC alone measured 0.57 at sf0.01; OPQ+rerank measured 0.96).
+    from clinpy_spark.operators.pq import fit_opq, pq_encode, pq_topk_rerank
 
     def _pq(qs, emb, k):
-        cb = fit_pq_codebooks(emb, m=16, k=64, iters=8, seed=7)
-        return pq_topk(qs, pq_encode(emb, cb), cb, k=k)
+        rot, cb = fit_opq(emb, m=16, k=64, iters=8, seed=7)
+        codes = pq_encode(emb, cb, rotation=rot)
+        return pq_topk_rerank(qs, codes, cb, emb, k=k, shortlist=50, rotation=rot)
 
-    return _recall_gate(spark, sf, "pq", 0.55, _pq, metric="l2")
+    return _recall_gate(spark, sf, "pq", 0.85, _pq, metric="l2")
 
 
 @q("mm_extract_features", """

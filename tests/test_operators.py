@@ -804,6 +804,61 @@ def test_pq_persisted_index_roundtrip(spark, tmp_path):
     assert len(via_index) == 30  # 10 queries x k
 
 
+def test_opq_rotation_and_rerank(spark, tmp_path):
+    """OPQ (Ge et al. 2013): the learned rotation is orthogonal and
+    deterministic, lowers training quantization error vs plain PQ at the
+    same bit budget, and the ADC-shortlist exact re-rank recovers the
+    true top-k ordering; the rotation survives an index persist/load
+    round-trip."""
+    import numpy as np
+
+    from clinpy_spark.operators.pq import (
+        _encode_block, _reconstruct, build_pq_index, fit_opq,
+        fit_pq_codebooks, load_pq_codebooks, load_pq_rotation, pq_encode,
+        pq_topk_rerank,
+    )
+    from clinpy_spark.session import ProjectCatalog
+
+    rng = np.random.RandomState(4)
+    # anisotropic data (correlated dims) — the regime OPQ exists for
+    base = rng.randn(120, 8) @ np.diag([4, 3, 2, 1.5, 1, 0.5, 0.25, 0.1])
+    mix = rng.randn(8, 8)
+    vecs = base @ mix
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    rot, cb = fit_opq(df, m=4, k=8, iters=5, seed=9, opq_iters=8)
+    rot2, cb2 = fit_opq(df, m=4, k=8, iters=5, seed=9, opq_iters=8)
+    assert np.array_equal(rot, rot2) and np.array_equal(cb, cb2)  # deterministic
+    assert np.allclose(rot @ rot.T, np.eye(8), atol=1e-9)  # orthogonal
+
+    plain = fit_pq_codebooks(df, m=4, k=8, iters=5, seed=9)
+    def qerr(x, c):
+        return float(((x - _reconstruct(_encode_block(x, c), c)) ** 2).sum())
+    assert qerr(vecs @ rot, cb) < qerr(vecs, plain)  # same bits, less error
+
+    # exact re-rank: true top-k must match numpy brute force over the
+    # shortlist regime (shortlist >= corpus makes it fully exact)
+    codes = pq_encode(df, cb, rotation=rot)
+    q = df.filter(F.col("vec_id") < 5)
+    got = {}
+    for r in pq_topk_rerank(q, codes, cb, df, k=3, shortlist=120, rotation=rot).collect():
+        got.setdefault(r.query_id, []).append((r.match_id, r.dist))
+    for qid in range(5):
+        d = ((vecs - vecs[qid]) ** 2).sum(axis=1)
+        d[qid] = np.inf
+        expect = list(np.lexsort((np.arange(120), d))[:3])
+        assert [m for m, _ in sorted(got[qid], key=lambda t: (t[1], t[0]))] == expect
+
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    built = build_pq_index(catalog, df, m=4, k=8, iters=5, seed=9, opq=True)
+    assert np.array_equal(load_pq_codebooks(catalog), built)
+    lrot = load_pq_rotation(catalog)
+    assert lrot is not None and np.allclose(lrot, fit_opq(df, m=4, k=8, iters=5, seed=9)[0])
+    assert load_pq_rotation(catalog, "nope") is None  # plain-PQ index -> no rotation
+
+
 def test_ivfpq_full_probe_lossless_codebooks_is_exact(spark, monkeypatch):
     """IVFPQ with every cell probed AND codebooks that reconstruct the
     corpus exactly == numpy brute-force L2 — both approximation layers
