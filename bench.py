@@ -52,6 +52,7 @@ TIER2 = [
     "tpch_q9_profit",
     "tpch_q21_exclusive",
     "j17_fuzzy_pairs",
+    "j18_fuzzy_join",
     "e_sessionize_bucketed",
     "sim_topk_ivfpq",
     "text_bm25",
@@ -102,6 +103,22 @@ def main() -> None:
         print(f"# tier2 {name}: {tier2[name]}s warm / {runs[0]}s cold ({n} rows)",
               file=sys.stderr)
 
+    # Tier 3: EVERY remaining registry query, one timed run each — the
+    # whole-surface regression net (r6 verdict #8). One run, not
+    # best-of-N: the goal is "did anything go pathological anywhere",
+    # and a single run per query keeps the sweep to ~2 min; headline and
+    # tier2 carry the noise-controlled numbers.
+    tier3: dict[str, float] = {}
+    covered = set(HEADLINE) | set(TIER2)
+    for name in qs:
+        if name in covered:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        tier3[name] = round(time.time() - t0, 3)
+        print(f"# tier3 {name}: {tier3[name]}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_set_total",
@@ -112,6 +129,8 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "tier2": tier2,
         "tier2_total": round(sum(tier2.values()), 3),
+        "tier3": tier3,
+        "tier3_total": round(sum(tier3.values()), 3),
         "runs_per_query": 4,
         "timing": "best of 3 steady-state runs; cold (1st) run in queries_cold",
         "sf": sf,

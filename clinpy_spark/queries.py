@@ -532,6 +532,31 @@ def j17_fuzzy_pairs(spark, sf):
                 F.col("edits").cast("int").alias("edits"))
 
 
+@q("j18_fuzzy_join", """
+WITH l AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 2 = 0),
+     r AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 2 = 1)
+SELECT l.p_partkey AS l_key, r.p_partkey AS r_key,
+       CAST(levenshtein(l.p_name, r.p_name) AS INT) AS edits
+FROM l JOIN r ON levenshtein(l.p_name, r.p_name) <= 2
+""")
+def j18_fuzzy_join(spark, sf):
+    # TWO-TABLE edit-distance fuzzy join (operators/fuzzy.py fuzzy_join
+    # — the variant the r6 verdict flagged as unsalted; now carrying the
+    # same (length-bin, salt) key as fuzzy_pairs). Disjoint halves of
+    # part stand in for two catalogs being reconciled; the oracle is the
+    # unblocked all-pairs filter, proving the banding drops nothing.
+    from clinpy_spark.operators.fuzzy import fuzzy_join
+
+    part = _t(spark, sf, "part").select("p_partkey", "p_name")
+    left = part.filter(F.col("p_partkey") % 2 == 0)
+    right = part.filter(F.col("p_partkey") % 2 == 1)
+    return fuzzy_join(left, right, "p_name", "p_name", max_edits=2).select(
+        F.col("p_partkey_l").alias("l_key"),
+        F.col("p_partkey_r").alias("r_key"),
+        F.col("edits").cast("int").alias("edits"),
+    )
+
+
 @q("j19_scd2_lookup", """
 WITH dim AS (
   SELECT o_custkey AS k, o_orderpriority AS attr,
