@@ -925,9 +925,10 @@ def test_ann_recall_at_k_vs_bruteforce(spark):
     the hardest case: no cluster structure to exploit). Operating points
     and floors, all deterministic (fixed seeds, id tie-breaks):
 
-      lsh 16 tables x 4 planes   measured 0.916  floor 0.85
-      ivf n_probe=8/16           measured 0.844  floor 0.78
-      pq  m=16, k=64             measured 0.628  floor 0.55
+      lsh 16 tables x 4 planes          measured 0.916  floor 0.85
+      ivf n_probe=8/16                  measured 0.844  floor 0.78
+      pq  m=16, k=64 raw ADC            measured 0.628  floor 0.55
+      pq  OPQ + shortlist-50 re-rank    measured ~0.97  floor 0.85
 
     The exactness degradations (n_probe==n_centroids, lossless
     codebooks) are proven elsewhere; this pins the USEFUL-recall
@@ -962,6 +963,14 @@ def test_ann_recall_at_k_vs_bruteforce(spark):
     assert recall(ivf_topk(queries, emb, k=k, n_centroids=16, n_probe=8), exact_cos) >= 0.78
     cb = fit_pq_codebooks(emb, m=16, k=64, iters=8, seed=7)
     assert recall(pq_topk(queries, pq_encode(emb, cb), cb, k=k), exact_l2) >= 0.55
+    from clinpy_spark.operators.pq import fit_opq, pq_topk_rerank
+
+    rot, ocb = fit_opq(emb, m=16, k=64, iters=8, seed=7)
+    codes = pq_encode(emb, ocb, rotation=rot)
+    assert recall(
+        pq_topk_rerank(queries, codes, ocb, emb, k=k, shortlist=50, rotation=rot),
+        exact_l2,
+    ) >= 0.85  # the sim_recall_pq contract's operating point
 
 
 def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark):
