@@ -261,35 +261,28 @@ def pq_topk(
     )
 
 
-def pq_topk_rerank(
+def exact_rerank(
+    shortlist: DataFrame,
     queries: DataFrame,
-    codes: DataFrame,
-    codebooks: np.ndarray,
     corpus: DataFrame,
     k: int = 5,
-    shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_queries: int = 10_000,
-    rotation: np.ndarray | None = None,
 ) -> DataFrame:
-    """ADC shortlist + EXACT re-rank (the IVFADC+R refinement of Jegou
-    et al. 2011) -> (query_id, match_id, dist) with true squared-L2.
+    """Exact squared-L2 re-rank of ANY ANN family's candidate list
+    (query_id, match_id, ...) -> (query_id, match_id, dist), true
+    distances, top-``k`` per query.
 
-    Recall@k of raw ADC is capped by quantization error; re-ranking
-    decouples it: the compressed scan only has to put the true top-k
-    somewhere in its top-``shortlist``, then the exact distances sort
-    them. Cost model at 100 TB: the full corpus is still scanned ONLY as
-    codes (the cheap part); raw vectors are fetched for just
-    |Q| x shortlist rows via a semi-join against the shortlist — the
-    shortlist side is tiny, so it broadcasts and the vector fetch is a
-    pruned scan, never a shuffle of the corpus. Measured at sf0.01
-    (m=16, k=64, 64-dim): recall@10 0.57 raw ADC -> 0.93+ with
-    shortlist=50 (0.96 with OPQ)."""
-    sl = (
-        pq_topk(queries, codes, codebooks, shortlist, id_col, vec_col, max_queries, rotation)
-        .select("query_id", "match_id")
-    )
+    The refinement step of IVFADC+R (Jegou et al. 2011), usable behind
+    pq/ivfpq/lsh/ivf shortlists alike: recall@k of a compressed or
+    bucketed scan is capped by its approximation error; re-ranking
+    decouples it — the approximate stage only has to put the true top-k
+    somewhere in its shortlist, then exact distances sort them. Cost
+    model at 100 TB: the corpus was already scanned by the cheap
+    approximate stage; raw vectors are fetched for just |Q| x shortlist
+    rows via a broadcast join against the tiny shortlist — a pruned
+    fetch, never a shuffle of the corpus."""
+    sl = shortlist.select("query_id", "match_id")
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
     d2 = F.aggregate(
@@ -306,6 +299,25 @@ def pq_topk_rerank(
         .filter(F.col("__rk") <= k)
         .select("query_id", "match_id", "dist")
     )
+
+
+def pq_topk_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+    rotation: np.ndarray | None = None,
+) -> DataFrame:
+    """ADC shortlist + :func:`exact_rerank` -> (query_id, match_id,
+    dist) with true squared-L2. Measured at sf0.01 (m=16, k=64, 64-dim):
+    recall@10 0.57 raw ADC -> 0.93+ with shortlist=50 (0.96 with OPQ)."""
+    sl = pq_topk(queries, codes, codebooks, shortlist, id_col, vec_col, max_queries, rotation)
+    return exact_rerank(sl, queries, corpus, k, id_col, vec_col)
 
 
 def build_pq_index(

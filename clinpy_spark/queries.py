@@ -2960,6 +2960,22 @@ def sim_recall_pq_q(spark, sf):
     return _recall_gate(spark, sf, "pq", 0.85, _pq, metric="l2")
 
 
+@q("sim_recall_ivfpq", _recall_oracle("ivfpq", 0.75))
+def sim_recall_ivfpq_q(spark, sf):
+    # Recall contract for residual IVFPQ + exact re-rank: the cell probe
+    # (n_probe=8/16) bounds what any refinement can recover — cells not
+    # probed are gone — so the shortlist re-rank lifts recall@10 from
+    # 0.50 (raw ADC) to 0.816 measured at sf0.01; floor 0.75.
+    from clinpy_spark.operators.pq import exact_rerank, ivfpq_topk
+
+    def _ivfpq(qs, emb, k):
+        sl = ivfpq_topk(qs, emb, k=50, n_centroids=16, n_probe=8,
+                        m=16, pq_k=16, seed=42)
+        return exact_rerank(sl, qs, emb, k=k)
+
+    return _recall_gate(spark, sf, "ivfpq", 0.75, _ivfpq, metric="l2")
+
+
 @q("mm_extract_features", """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 4 < 3 THEN 'image' ELSE 'audio' END AS media_type,
@@ -3704,6 +3720,7 @@ _PRIORITY: list[str] = [
     "sim_recall_lsh",
     "sim_recall_ivf",
     "sim_recall_pq",
+    "sim_recall_ivfpq",  # new in r7 — needs its first driver record
     "mm_extract_features",
     "mm_frame_sample",
     "mm_resize",
