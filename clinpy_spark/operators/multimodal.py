@@ -5,22 +5,25 @@ struct; decode/feature-extraction runs as Arrow-batched pandas
 iterators (``mapInPandas``) so the heavy per-item work happens on
 executors in vectorized batches, never on the driver.
 
-Codec status: **PPM (P6), BMP (24-bit BI_RGB), and PNG (8-bit depth,
-color types 0/2/3/4/6, non-interlaced) images decode and resize for
-real, and WAV (PCM 8/16-bit) audio decodes and resamples for real** —
-all pure-spec formats needing only header parse + stdlib ``zlib`` +
-numpy array math, no media library (PIL/imageio/cv2 re-probed absent
-in this container each round). Remaining formats (JPEG/MP3) fall back
-to a deterministic stand-in that exercises the Spark-side contract
-(schema, batching, partitioning); swap the fallback for PIL/librosa/
-pyav in production — the dispatch seam is ``_decode_one`` /
-``_resize_one``.
+Codec status: **PPM (P6), BMP (24-bit BI_RGB), PNG (8-bit depth, color
+types 0/2/3/4/6, non-interlaced), and baseline JPEG (SOF0, 1/3
+components, sampling up to 2x2, restart markers — operators/jpeg.py)
+images decode and resize for real, and WAV (PCM 8/16-bit) audio decodes
+and resamples for real** — all pure-spec formats needing only header
+parse + stdlib ``zlib`` + numpy array math, no media library
+(PIL/imageio/cv2 re-probed absent in this container each round). The
+one remaining format family (MP3/compressed audio) falls back to a
+deterministic stand-in that exercises the Spark-side contract (schema,
+batching, partitioning); swap the fallback for librosa/pyav in
+production — the dispatch seam is ``_decode_one`` / ``_resize_one``.
 """
 
 from __future__ import annotations
 
 import zlib
 from collections.abc import Iterator
+
+from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
 
 import numpy as np
 import pandas as pd
@@ -361,6 +364,11 @@ def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
         if px is not None:
             color = px[:, :, :3] if px.shape[2] >= 3 else px[:, :, :1]
             return phdr[0], phdr[1], float(color.mean()) / 255.0
+    jhdr = parse_jpeg_header(payload)
+    if jhdr is not None:
+        px = decode_jpeg(payload)
+        if px is not None:
+            return jhdr[0], jhdr[1], float(px.mean()) / 255.0
     whdr = parse_wav_header(payload)
     if whdr is not None:
         x = _wav_samples(payload, whdr)
@@ -413,9 +421,9 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
            batch_size: int = 256) -> DataFrame:
     """Resize every media item to (width, height) via mapInPandas.
 
-    PPM (P6), BMP (24-bit), and PNG (8-bit 0/2/3/4/6) payloads resize
-    FOR REAL — nearest-neighbor resample via numpy index maps,
-    re-emitted as valid P6/BMP/PNG.
+    PPM (P6), BMP (24-bit), PNG (8-bit 0/2/3/4/6), and baseline JPEG
+    payloads resize FOR REAL — nearest-neighbor resample via numpy index
+    maps, re-emitted as valid P6/BMP/PNG/JFIF (JPEG re-encodes 4:4:4).
     WAV payloads RESAMPLE for real to ``width`` frames per channel
     (nearest-neighbor in time; ``height`` is an image-only parameter),
     re-emitted as valid 16-bit PCM. Other formats fall back to a
@@ -450,6 +458,13 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
                 # channel count survives (gray/gray+alpha/RGB/RGBA);
                 # palette inputs re-emit as plain RGB.
                 return encode_png(px[rows][:, cols])
+        if parse_jpeg_header(payload) is not None:
+            px = decode_jpeg(payload)
+            if px is not None:
+                h, w = px.shape[:2]
+                rows = (np.arange(height) * h) // height
+                cols = (np.arange(width) * w) // width
+                return encode_jpeg(px[rows][:, cols])
         whdr = parse_wav_header(payload)
         if whdr is not None:
             _, rate, _, _, _ = whdr

@@ -3098,6 +3098,59 @@ def mm_resize_q(spark, sf):
     )
 
 
+@q("mm_jpeg_features", """
+SELECT doc_id AS media_id, stage,
+       CAST(CASE stage WHEN 'orig' THEN 9 + doc_id % 8 ELSE 7 END AS BIGINT) AS width,
+       CAST(CASE stage WHEN 'orig' THEN 8 + doc_id % 5 ELSE 6 END AS BIGINT) AS height,
+       (doc_id % 256) / 255.0 AS mean_intensity
+FROM documents CROSS JOIN (SELECT unnest(['orig', 'resized']) AS stage)
+WHERE doc_id < 150
+""")
+def mm_jpeg_features_q(spark, sf):
+    # Baseline JPEG, ORACLE-CHECKED end-to-end through BOTH directions
+    # of the codec (operators/jpeg.py — Annex K Huffman + DCT + YCbCr in
+    # pure numpy): constant-fill JFIF payloads (with restart markers,
+    # multi-MCU dims) are synthesized from doc_id on executors, decoded
+    # ('orig' stage), then nearest-neighbor resized to 7x6 with a JPEG
+    # re-encode and re-decoded ('resized' stage). Constant fill is the
+    # one signal class a LOSSY codec reproduces exactly (DC-only blocks
+    # survive quantization), so DuckDB predicts dims and mean by formula
+    # and any bug in the entropy coder, DCT, color transform, or marker
+    # framing flips the hash.
+    from clinpy_spark.operators.multimodal import extract_features, resize
+
+    media = _synth_jpeg(_t(spark, sf, "documents").filter(F.col("doc_id") < 150))
+    orig = extract_features(media).withColumn("stage", F.lit("orig"))
+    rez = extract_features(resize(media, width=7, height=6)).withColumn(
+        "stage", F.lit("resized"))
+    return orig.unionByName(rez).select(
+        "media_id", "stage", "width", "height", "mean_intensity"
+    )
+
+
+def _synth_jpeg(docs: DataFrame) -> DataFrame:
+    """Deterministic constant-fill JPEG payloads from doc_id (dims span
+    multiple MCUs, restart_interval=2 exercises the RST resync path)."""
+    import numpy as np
+    import pandas as pd
+
+    from clinpy_spark.operators.jpeg import encode_jpeg
+
+    def _synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, fill = 9 + did % 8, 8 + did % 5, did % 256
+                px = np.full((h, w, 3), fill, dtype=np.uint8)
+                rows.append((did, "image", encode_jpeg(px, quality=92, restart_interval=2)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id long, media_type string, payload binary"
+    )
+
+
 @q("u1_grouped_filter", """
 SELECT event_id FROM (
   SELECT event_id, value, avg(value) OVER (PARTITION BY user_id) AS uavg
@@ -3724,6 +3777,7 @@ _PRIORITY: list[str] = [
     "mm_extract_features",
     "mm_frame_sample",
     "mm_resize",
+    "mm_jpeg_features",  # new in r7 — needs its first driver record
     # -- round-5 head: the three r4-FAILED queries (TIMESTAMP_NTZ event
     # schema drift, fixed via epoch_seconds) whose latest driver record
     # must flip back to green, then every query new in round 5 --

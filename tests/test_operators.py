@@ -1316,6 +1316,152 @@ def test_png_codec_real_decode_and_resize(spark):
         assert parse_png_header(bytes(bad)) is None
 
 
+def test_jpeg_codec_real_decode_and_resize(spark):
+    """Baseline JPEG (operators/jpeg.py) decodes and resizes for REAL:
+    constant-fill round-trips byte-value-exact (DC-only blocks survive
+    quantization), smooth gradients round-trip within a tight error
+    bound at q95, restart markers resync, grayscale works, the decoder
+    handles a 4:2:0 subsampled stream it did not itself produce, and
+    progressive JPEG is refused rather than wrongly decoded."""
+    import numpy as np
+
+    from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
+    from clinpy_spark.operators.multimodal import as_media, extract_features, resize
+
+    const = np.full((10, 13, 3), 77, dtype=np.uint8)
+    j = encode_jpeg(const, quality=92)
+    assert parse_jpeg_header(j) == (13, 10, 3)
+    assert np.array_equal(decode_jpeg(j), const)  # lossy codec, exact on DC-only
+
+    yy, xx = np.mgrid[0:24, 0:31]
+    grad = np.stack([(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256],
+                    axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 4
+
+    rst = decode_jpeg(encode_jpeg(grad, quality=95, restart_interval=3))
+    assert int(np.abs(rst.astype(int) - grad.astype(int)).max()) <= 4
+
+    gray = ((yy * xx) % 256).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dg.shape == (24, 31, 1)
+    assert int(np.abs(dg[:, :, 0].astype(int) - gray.astype(int)).max()) <= 16
+
+    # progressive must be refused, never mis-decoded (the 4:2:0 path is
+    # exercised by test_jpeg_decodes_420_subsampled_stream)
+    prog = bytearray(j)
+    sof_at = prog.find(b"\xFF\xC0")
+    prog[sof_at + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    assert parse_jpeg_header(bytes(prog)) is None
+    assert decode_jpeg(bytes(prog)) is None
+
+    # Spark path: features + resize round-trip through mapInPandas
+    df = spark.createDataFrame([(1, bytearray(j))], "media_id long, payload binary")
+    media = as_media(df, "media_id", "payload", "image")
+    f = extract_features(media).collect()[0]
+    assert (f.width, f.height) == (13, 10)
+    assert abs(f.mean_intensity - 77 / 255) < 1e-9
+    rz = bytes(resize(media, width=5, height=4).collect()[0].payload)
+    assert parse_jpeg_header(rz) == (5, 4, 3)
+    assert np.array_equal(decode_jpeg(rz), np.full((4, 5, 3), 77, dtype=np.uint8))
+
+
+def test_jpeg_decodes_420_subsampled_stream():
+    """The decoder must handle chroma-subsampled (2x2 Y / 1x1 C) streams
+    it did not produce: hand-assemble a 4:2:0 baseline JPEG from the
+    codec's own primitives (box-averaged chroma, interleaved MCU of four
+    Y blocks + Cb + Cr) and decode it."""
+    import numpy as np
+
+    from clinpy_spark.operators.jpeg import (
+        _DCT, _HT_AC_C, _HT_AC_L, _HT_DC_C, _HT_DC_L, ZIGZAG, _BitWriter,
+        _encode_coeff, _huff_codes, _quality_tables, decode_jpeg,
+    )
+
+    def encode_420(px, quality=95):
+        h, w, _ = px.shape
+        ql, qc = _quality_tables(quality)
+        x = px.astype(np.float64)
+        r_, g_, b_ = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        planes = [0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+                  -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
+                  0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0]
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+        pads = [np.pad(p, ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
+                for p in planes]
+        subs = [pads[0]] + [p.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+                            for p in pads[1:]]
+
+        def blockify(img, q):
+            bh, bw = img.shape[0] // 8, img.shape[1] // 8
+            fr = _DCT @ (img.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0) @ _DCT.T
+            return np.round(fr / q).astype(np.int64)
+
+        qb = [blockify(subs[0], ql), blockify(subs[1], qc), blockify(subs[2], qc)]
+        tabs = [(_huff_codes(*_HT_DC_L), _huff_codes(*_HT_AC_L))] + \
+               [(_huff_codes(*_HT_DC_C), _huff_codes(*_HT_AC_C))] * 2
+        wtr, pred = _BitWriter(), [0, 0, 0]
+
+        def put_block(blk, ci):
+            dt, at = tabs[ci]
+            zz = blk.reshape(64)[ZIGZAG]
+            _encode_coeff(wtr, int(zz[0]) - pred[ci], dt, is_dc=True)
+            pred[ci] = int(zz[0])
+            run, last = 0, 63
+            while last > 0 and zz[last] == 0:
+                last -= 1
+            for i in range(1, last + 1):
+                if zz[i] == 0:
+                    run += 1
+                    if run == 16:
+                        _encode_coeff(wtr, 0, at, run=15, is_dc=False)
+                        run = 0
+                    continue
+                _encode_coeff(wtr, int(zz[i]), at, run=run, is_dc=False)
+                run = 0
+            if last < 63:
+                c, ln = at[0x00]
+                wtr.put(c, ln)
+
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for vy in range(2):
+                    for vx in range(2):
+                        put_block(qb[0][my * 2 + vy, mx * 2 + vx], 0)
+                put_block(qb[1][my, mx], 1)
+                put_block(qb[2][my, mx], 2)
+        scan = wtr.flush()
+
+        def seg(m, b):
+            return bytes([0xFF, m]) + (len(b) + 2).to_bytes(2, "big") + b
+
+        def dqt(t, q):
+            return seg(0xDB, bytes([t]) + bytes(int(v) for v in q.reshape(64)[ZIGZAG]))
+
+        def dht(c, t, tab):
+            return seg(0xC4, bytes([(c << 4) | t]) + bytes(tab[0]) + bytes(tab[1]))
+
+        sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+               + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+        sos = (bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
+               + bytes([0, 63, 0]))
+        return (b"\xFF\xD8" + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+                + dqt(0, ql) + dqt(1, qc) + seg(0xC0, sof)
+                + dht(0, 0, _HT_DC_L) + dht(1, 0, _HT_AC_L)
+                + dht(0, 1, _HT_DC_C) + dht(1, 1, _HT_AC_C)
+                + seg(0xDA, sos) + scan + b"\xFF\xD9")
+
+    yy, xx = np.mgrid[0:24, 0:31]
+    grad = np.stack([(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256],
+                    axis=2).astype(np.uint8)
+    d = decode_jpeg(encode_420(grad))
+    assert d.shape == (24, 31, 3)
+    # chroma is 2x2 box-averaged, so allow the subsampling error budget
+    assert int(np.abs(d.astype(int) - grad.astype(int)).max()) <= 8
+    const = np.full((20, 18, 3), 120, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_420(const)), const)
+
+
 def test_wav_codec_real_decode_and_resample(spark):
     """WAV (PCM 16-bit) payloads decode and resample for REAL: frame and
     channel counts from the RIFF chunks, exact mean amplitude, nearest-
