@@ -8,14 +8,16 @@ executors in vectorized batches, never on the driver.
 Codec status: **PPM (P6), BMP (24-bit BI_RGB), PNG (8-bit depth, color
 types 0/2/3/4/6, non-interlaced), and baseline JPEG (SOF0, 1/3
 components, sampling up to 2x2, restart markers — operators/jpeg.py)
-images decode and resize for real, and WAV (PCM 8/16-bit) audio decodes
-and resamples for real** — all pure-spec formats needing only header
-parse + stdlib ``zlib`` + numpy array math, no media library
-(PIL/imageio/cv2 re-probed absent in this container each round). The
-one remaining format family (MP3/compressed audio) falls back to a
-deterministic stand-in that exercises the Spark-side contract (schema,
-batching, partitioning); swap the fallback for librosa/pyav in
-production — the dispatch seam is ``_decode_one`` / ``_resize_one``.
+images decode and resize for real, and WAV (PCM 8/16-bit) plus FLAC
+(all subframe types and channel decorrelations — operators/flac.py)
+audio decodes and resamples for real** — all pure-spec formats needing
+only header parse + stdlib ``zlib`` + numpy array math, no media
+library (PIL/imageio/cv2 re-probed absent in this container each
+round). The one remaining format family (MP3 and other LOSSY audio)
+falls back to a deterministic stand-in that exercises the Spark-side
+contract (schema, batching, partitioning); swap the fallback for
+librosa/pyav in production — the dispatch seam is ``_decode_one`` /
+``_resize_one``.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ from __future__ import annotations
 import zlib
 from collections.abc import Iterator
 
+from clinpy_spark.operators.flac import decode_flac, encode_flac, parse_flac_header
 from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
 
 import numpy as np
@@ -374,6 +377,14 @@ def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
         x = _wav_samples(payload, whdr)
         mean_amp = float(np.abs(x).mean()) if x.size else 0.0
         return x.shape[0], x.shape[1] if x.size else whdr[0], mean_amp
+    fhdr = parse_flac_header(payload)
+    if fhdr is not None:
+        x = decode_flac(payload)
+        if x is not None:
+            _, _, bps, _ = fhdr
+            scale = float(1 << (bps - 1))
+            mean_amp = float(np.abs(x).mean()) / scale if x.size else 0.0
+            return x.shape[0], x.shape[1], mean_amp
     n = len(payload)
     width = (n % 64) + 1
     height = (n % 48) + 1
@@ -475,6 +486,13 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
             else:
                 out = np.zeros((width, max(whdr[0], 1)), dtype="<i2")
             return encode_wav(out, rate)
+        fhdr = parse_flac_header(payload)
+        if fhdr is not None:
+            x = decode_flac(payload)
+            if x is not None and x.shape[0]:
+                rate, _, bps, _ = fhdr
+                idx = (np.arange(width) * x.shape[0]) // width
+                return encode_flac(x[idx], rate=rate, bps=bps)
         target = width * height
         if not payload:
             return bytes(target)

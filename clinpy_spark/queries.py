@@ -3151,6 +3151,73 @@ def _synth_jpeg(docs: DataFrame) -> DataFrame:
     )
 
 
+@q("mm_flac_features", """
+WITH d AS (
+  SELECT doc_id, 100 + doc_id % 100 AS n, 1 + doc_id % 2 AS ch
+  FROM documents WHERE doc_id < 150),
+s1 AS (SELECT doc_id, n, ch, unnest(range(n)) AS i FROM d),
+samp AS (SELECT doc_id, n, ch, i, unnest(range(ch)) AS c FROM s1),
+orig AS (
+  SELECT doc_id, 'orig' AS stage, n AS width, ch AS height,
+         avg(CAST((doc_id * 31 + i * 7 + c * 13) % 1000 AS DOUBLE)) / 32768.0
+           AS mean_intensity
+  FROM samp GROUP BY doc_id, n, ch),
+k1 AS (SELECT doc_id, n, ch, unnest(range(6)) AS k FROM d),
+ksamp AS (SELECT doc_id, n, ch, (k * n) // 6 AS i, unnest(range(ch)) AS c FROM k1),
+rez AS (
+  SELECT doc_id, 'resized' AS stage, CAST(6 AS BIGINT) AS width, ch AS height,
+         avg(CAST((doc_id * 31 + i * 7 + c * 13) % 1000 AS DOUBLE)) / 32768.0
+           AS mean_intensity
+  FROM ksamp GROUP BY doc_id, ch)
+SELECT doc_id AS media_id, stage, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height, mean_intensity
+FROM (SELECT * FROM orig UNION ALL SELECT * FROM rez)
+""")
+def mm_flac_features_q(spark, sf):
+    # FLAC, ORACLE-CHECKED sample-by-sample: deterministic RAMP payloads
+    # (x[i,c] = (doc_id*31 + i*7 + c*13) % 1000) are verbatim-encoded on
+    # executors at blocksize 64 (multi-frame streams, UTF-8 frame
+    # numbering in play), decoded by the real bit-reader
+    # (operators/flac.py), featurized, then nearest-neighbor resampled
+    # to 6 frames and re-encoded/re-decoded. Because FLAC is LOSSLESS
+    # the oracle recomputes the decoded sample values themselves — mean
+    # amplitude over the exact ramp, both stages — so any bit-packing,
+    # rice, framing, or resample-index bug flips the hash (stronger than
+    # the constant-fill contract lossy JPEG gets).
+    from clinpy_spark.operators.multimodal import extract_features, resize
+
+    media = _synth_flac(_t(spark, sf, "documents").filter(F.col("doc_id") < 150))
+    orig = extract_features(media).withColumn("stage", F.lit("orig"))
+    rez = extract_features(resize(media, width=6)).withColumn("stage", F.lit("resized"))
+    return orig.unionByName(rez).select(
+        "media_id", "stage", "width", "height", "mean_intensity"
+    )
+
+
+def _synth_flac(docs: DataFrame) -> DataFrame:
+    """Deterministic non-negative ramp FLAC payloads from doc_id."""
+    import numpy as np
+    import pandas as pd
+
+    from clinpy_spark.operators.flac import encode_flac
+
+    def _synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, ch = 100 + did % 100, 1 + did % 2
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                x = ((did * 31 + i * 7 + c * 13) % 1000).astype(np.int32)
+                rows.append((did, "audio", encode_flac(x, rate=8000, bps=16, blocksize=64)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id long, media_type string, payload binary"
+    )
+
+
 @q("u1_grouped_filter", """
 SELECT event_id FROM (
   SELECT event_id, value, avg(value) OVER (PARTITION BY user_id) AS uavg
@@ -3778,6 +3845,7 @@ _PRIORITY: list[str] = [
     "mm_frame_sample",
     "mm_resize",
     "mm_jpeg_features",  # new in r7 — needs its first driver record
+    "mm_flac_features",  # new in r7 — needs its first driver record
     # -- round-5 head: the three r4-FAILED queries (TIMESTAMP_NTZ event
     # schema drift, fixed via epoch_seconds) whose latest driver record
     # must flip back to green, then every query new in round 5 --

@@ -1462,6 +1462,155 @@ def test_jpeg_decodes_420_subsampled_stream():
     assert np.array_equal(decode_jpeg(encode_420(const)), const)
 
 
+def test_flac_codec_real_decode_and_resample(spark):
+    """FLAC (operators/flac.py): verbatim encode round-trips bit-exact
+    (lossless), the byte length matches the oracle formula, and the
+    Spark decode/featurize/resample path treats FLAC like WAV."""
+    import numpy as np
+
+    from clinpy_spark.operators.flac import decode_flac, encode_flac, parse_flac_header
+    from clinpy_spark.operators.multimodal import as_media, extract_features, resize
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(-30000, 30000, (5000, 2)).astype(np.int32)
+    b = encode_flac(x, rate=16000, bps=16, blocksize=1024)
+    assert parse_flac_header(b) == (16000, 2, 16, 5000)
+    assert np.array_equal(decode_flac(b), x)  # lossless: bit-exact
+
+    # encoder length formula (what mm_flac oracles lean on):
+    # 42 + per frame (7 header + 1 crc8 + ceil(ch*(8 + cur*16)/8) + 2)
+    frames = -(-5000 // 1024)
+    expect = 42
+    for fi in range(frames):
+        cur = min(1024, 5000 - fi * 1024)
+        expect += 7 + 1 + -(-(2 * (8 + cur * 16)) // 8) + 2
+    assert len(b) == expect
+
+    m = rng.integers(-120, 120, 777).astype(np.int32)
+    assert np.array_equal(decode_flac(encode_flac(m, bps=8, blocksize=256))[:, 0], m)
+
+    # not-FLAC and truncated payloads refuse
+    assert parse_flac_header(b"RIFFxxxxWAVE") is None
+    assert decode_flac(b[:50]) is None
+
+    df = spark.createDataFrame([(1, bytearray(b))], "media_id long, payload binary")
+    media = as_media(df, "media_id", "payload", "audio")
+    f = extract_features(media).collect()[0]
+    assert (f.width, f.height) == (5000, 2)  # frames, channels
+    assert abs(f.mean_intensity - float(np.abs(x).mean()) / 32768) < 1e-9
+    out = bytes(resize(media, width=10).collect()[0].payload)
+    rs = decode_flac(out)
+    assert rs.shape == (10, 2)
+    idx = (np.arange(10) * 5000) // 10
+    assert np.array_equal(rs, x[idx])  # lossless resample re-emit
+
+
+def test_flac_decodes_predictive_and_decorrelated_streams():
+    """The decoder must handle streams the verbatim encoder never emits:
+    hand-assemble frames with CONSTANT + wasted bits, FIXED-order-2
+    rice-coded residuals, and mid/side stereo decorrelation, then decode
+    and compare with the directly-computed PCM."""
+    import numpy as np
+
+    from clinpy_spark.operators.flac import (
+        _crc8, _crc16, _BitWriter, decode_flac, encode_flac,
+    )
+
+    n, bps = 64, 16
+    t = np.arange(n)
+    left = (100 * t + 7).astype(np.int64)        # linear -> FIXED order 2
+    right = np.full(n, -5120, dtype=np.int64)    # constant, 2^9 | value
+
+    mid, side = (left + right) >> 1, left - right
+
+    def rice_encode(w, resid, param):
+        w.write(0, 2)   # method 0 (4-bit params)
+        w.write(0, 4)   # partition order 0
+        w.write(param, 4)
+        for e in resid:
+            u = int(e) * 2 if e >= 0 else -int(e) * 2 - 1  # zigzag
+            q, rem = u >> param, u & ((1 << param) - 1)
+            for _ in range(q):
+                w.write(0, 1)
+            w.write(1, 1)
+            w.write(rem, param)
+
+    # frame: mid/side (ch_code 10); mid = FIXED order 2, side = CONSTANT
+    # with wasted bits (side = -6220 + 5120... keep side constant).
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(7, 4)       # 16-bit blocksize-1
+    w.write(0, 4)
+    w.write(10, 4)      # mid/side
+    w.write(4, 3)       # 16 bps
+    w.write(0, 1)
+    w.write(0, 8)       # frame 0
+    w.write(n - 1, 16)
+    w.align()
+    hdr = bytes(w.buf)
+    frame = bytearray(hdr) + bytes([_crc8(hdr)])
+
+    body = _BitWriter()
+    # mid subframe: FIXED order 2 (linear+constant mix is order-2 flat)
+    body.write(0, 1)
+    body.write(8 + 2, 6)
+    body.write(0, 1)
+    body.write(int(mid[0]), bps)
+    body.write(int(mid[1]), bps)
+    resid = [int(mid[i] - 2 * mid[i - 1] + mid[i - 2]) for i in range(2, n)]
+    rice_encode(body, resid, 3)
+    # side subframe: also linear, FIXED order 2 at the side channel's
+    # bps+1 width (the decorrelated difference needs the extra bit)
+    body.write(0, 1)
+    body.write(8 + 2, 6)
+    body.write(0, 1)
+    body.write(int(side[0]), bps + 1)  # side channel carries bps+1
+    body.write(int(side[1]), bps + 1)
+    sresid = [int(side[i] - 2 * side[i - 1] + side[i - 2]) for i in range(2, n)]
+    rice_encode(body, sresid, 3)
+    body.align()
+    frame += body.buf
+    frame += _crc16(bytes(frame)).to_bytes(2, "big")
+
+    # container: reuse encode_flac's STREAMINFO by encoding a stub and
+    # grafting our frame after the 42-byte header
+    stub = encode_flac(np.zeros((n, 2), dtype=np.int32), rate=8000, bps=16,
+                       blocksize=n)
+    payload = stub[:42] + bytes(frame)
+    got = decode_flac(payload)
+    assert got is not None
+    assert np.array_equal(got[:, 0], left)
+    assert np.array_equal(got[:, 1], right)
+
+    # wasted-bits CONSTANT frame, independent channels
+    w2 = _BitWriter()
+    w2.write(0x3FFE, 14)
+    w2.write(0, 2)
+    w2.write(7, 4)
+    w2.write(0, 4)
+    w2.write(0, 4)      # 1 channel, independent
+    w2.write(4, 3)
+    w2.write(0, 1)
+    w2.write(0, 8)
+    w2.write(n - 1, 16)
+    w2.align()
+    hdr2 = bytes(w2.buf)
+    fr2 = bytearray(hdr2) + bytes([_crc8(hdr2)])
+    b2 = _BitWriter()
+    b2.write(0, 1)
+    b2.write(0, 6)      # CONSTANT
+    b2.write(1, 1)      # wasted-bits flag
+    b2.write(1, 1)      # unary 0 -> wasted = 1
+    b2.write(-2560, bps - 1)  # stored right-shifted by 1 -> actual -5120
+    b2.align()
+    fr2 += b2.buf
+    fr2 += _crc16(bytes(fr2)).to_bytes(2, "big")
+    stub2 = encode_flac(np.zeros(n, dtype=np.int32), rate=8000, bps=16, blocksize=n)
+    got2 = decode_flac(stub2[:42] + bytes(fr2))
+    assert got2 is not None and np.array_equal(got2[:, 0], np.full(n, -5120))
+
+
 def test_wav_codec_real_decode_and_resample(spark):
     """WAV (PCM 16-bit) payloads decode and resample for REAL: frame and
     channel counts from the RIFF chunks, exact mean amplitude, nearest-
