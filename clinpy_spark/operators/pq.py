@@ -445,6 +445,107 @@ def _adc_score_pairs(
     return pairs.mapInPandas(score, _PAIR_SCHEMA)
 
 
+def build_ivfpq_index(
+    catalog,
+    corpus: DataFrame,
+    name: str = "ivfpq_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 4,
+    pq_k: int = 16,
+    seed: int = 42,
+    iters: int = 8,
+) -> None:
+    """Persist a residual-IVFPQ index: ``{name}_centroids`` (tiny),
+    ``{name}_codebooks`` (KiB), and ``{name}_codes`` — (id, codes)
+    partitioned BY CELL on disk, so a probe scans n_probe/n_centroids of
+    the code files and NONE of the raw vectors. The clustering + codebook
+    fit + encode cost is paid once per corpus, not once per query batch —
+    the operational difference between :func:`ivfpq_topk` (self-contained,
+    refits every call) and a deployment serving repeated query batches.
+    Raw vectors stay in the source table; searches that want the exact
+    re-rank pass it to :func:`ivfpq_index_topk` as ``rerank_corpus``."""
+    from clinpy_spark.operators.similarity import _nearest_cells, fit_centroids
+
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    cents = fit_centroids(c, n_centroids, seed, max_iter=max(2, iters))
+    if cents is None:
+        raise ValueError("cannot index an empty corpus")
+    assigned = (
+        _nearest_cells(c, cents, "match_id", "__cv", 1)
+        .join(F.broadcast(cents), "cell")
+        .withColumn("__rv", F.zip_with(F.col("__cv").cast("array<double>"),
+                                       F.col("__ctr"), lambda a, b: a - b))
+        .select("match_id", "cell", "__rv")
+        .localCheckpoint(eager=False)
+    )
+    codebooks = fit_pq_codebooks(assigned, "__rv", m, pq_k, iters=iters, seed=seed)
+    spark = corpus.sparkSession
+    catalog.write(cents.withColumnRenamed("__ctr", "centroid"), f"{name}_centroids")
+    catalog.write(
+        spark.createDataFrame(
+            [(i, cd, [float(x) for x in codebooks[i, cd]])
+             for i in range(codebooks.shape[0]) for cd in range(codebooks.shape[1])],
+            "m int, code int, centroid array<double>",
+        ),
+        f"{name}_codebooks",
+    )
+    codes = pq_encode(assigned, codebooks, "match_id", "__rv").join(
+        assigned.select("match_id", "cell"), "match_id"
+    ).select(F.col("match_id").alias(id_col), "cell", "codes")
+    catalog.write(codes, f"{name}_codes", partition_by=["cell"])
+
+
+def ivfpq_index_topk(
+    catalog,
+    queries: DataFrame,
+    name: str = "ivfpq_index",
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_corpus: DataFrame | None = None,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Search a persisted residual-IVFPQ index (see
+    :func:`build_ivfpq_index`). Probed cell ids filter the
+    cell-partitioned code table — partition pruning keeps the scan to
+    n_probe/n_centroids of the CODES, never the raw vectors. With
+    ``rerank_corpus`` the ADC shortlist is exact-re-ranked
+    (:func:`exact_rerank`), which is the recommended operating point."""
+    from clinpy_spark.operators.similarity import _nearest_cells
+
+    cents = catalog.table(f"{name}_centroids").select(
+        "cell", F.col("centroid").alias("__ctr"))
+    codebooks = load_pq_codebooks(catalog, name)
+    cent_rows = cents.collect()  # tiny: n_centroids rows
+    cent_map = {int(r["cell"]): np.asarray(r["__ctr"], dtype=np.float64)
+                for r in cent_rows}
+    codes = catalog.table(f"{name}_codes").select(
+        F.col(id_col).alias("match_id"), "cell", "codes")
+    q = ensure_min_parallelism(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    n_probe = max(1, min(n_probe, len(cent_rows)))
+    probes = _nearest_cells(q, cents, "query_id", "__qv", n_probe)
+    pairs = (
+        probes.join(codes, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "__qv", "match_id", "codes", "cell")
+    )
+    cut = shortlist if rerank_corpus is not None else k
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("match_id"))
+    adc = (
+        _adc_score_pairs(pairs, codebooks, cent_map)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cut)
+        .select("query_id", "match_id", "adc_dist")
+    )
+    if rerank_corpus is None:
+        return adc
+    return exact_rerank(adc, queries, rerank_corpus, k, id_col, vec_col)
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,

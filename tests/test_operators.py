@@ -533,6 +533,49 @@ def test_ivf_persisted_index_matches_transient(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ivfpq_persisted_index_search_and_rerank(spark, tmp_path):
+    """build_ivfpq_index persists centroids + codebooks + CELL-partitioned
+    codes (probe-time directory pruning, raw vectors never scanned);
+    ivfpq_index_topk searches it, and the exact re-rank operating point
+    recovers high recall on a clustered corpus."""
+    import os
+
+    import numpy as np
+
+    from clinpy_spark.operators.pq import build_ivfpq_index, ivfpq_index_topk
+    from clinpy_spark.session import ProjectCatalog
+
+    rng = np.random.default_rng(6)
+    centers = rng.normal(0, 10, (8, 32))
+    pts = np.concatenate([c + rng.normal(0, 0.5, (60, 32)) for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    catalog = ProjectCatalog(spark, str(tmp_path))
+    build_ivfpq_index(catalog, emb, n_centroids=8, m=4, pq_k=16, seed=6)
+    assert any(d.startswith("cell=") for d in os.listdir(catalog.path("ivfpq_index_codes")))
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    k, qn = 10, 20
+    d2 = ((pts[:qn, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2[:, :qn], np.inf)
+    exact = {qi: set(np.argsort(d2[qi])[:k].tolist()) for qi in range(qn)}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.match_id)
+        assert all(len(v) == k for v in got.values())
+        return sum(len(got.get(q, set()) & m) for q, m in exact.items()) / (qn * k)
+
+    raw = recall(ivfpq_index_topk(catalog, queries, k=k, n_probe=4))
+    rr = recall(ivfpq_index_topk(catalog, queries, k=k, n_probe=4,
+                                 rerank_corpus=emb, shortlist=40))
+    assert rr >= raw  # refinement can only help
+    assert rr >= 0.9  # clustered corpus + probe-4/8 + exact re-rank
+
+
 def test_ppm_codec_real_decode_and_resize(spark):
     """PPM (P6) payloads decode and resize for REAL (pure numpy, no
     image libs): exact dimensions, exact mean, exact nearest-neighbor
