@@ -8,9 +8,11 @@ executors in vectorized batches, never on the driver.
 Codec status: **PPM (P6), BMP (24-bit BI_RGB), PNG (8-bit depth, color
 types 0/2/3/4/6, non-interlaced), and baseline JPEG (SOF0, 1/3
 components, sampling up to 2x2, restart markers — operators/jpeg.py)
-images decode and resize for real, and WAV (PCM 8/16-bit) plus FLAC
+images decode and resize for real, WAV (PCM 8/16-bit) plus FLAC
 (all subframe types and channel decorrelations — operators/flac.py)
-audio decodes and resamples for real** — all pure-spec formats needing
+audio decodes and resamples for real, and MJPEG-AVI video
+(operators/avi.py) extracts, decodes, and resizes real keyframes** —
+all pure-spec formats needing
 only header parse + stdlib ``zlib`` + numpy array math, no media
 library (PIL/imageio/cv2 re-probed absent in this container each
 round). The one remaining format family (MP3 and other LOSSY audio)
@@ -25,6 +27,11 @@ from __future__ import annotations
 import zlib
 from collections.abc import Iterator
 
+from clinpy_spark.operators.avi import (
+    avi_frames,
+    encode_avi_mjpeg,
+    parse_avi_header,
+)
 from clinpy_spark.operators.flac import decode_flac, encode_flac, parse_flac_header
 from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
 
@@ -350,9 +357,17 @@ def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
     color-channel intensity / maxval — alpha excluded so opacity doesn't
     skew brightness); for audio (n_frames, n_channels, mean |amplitude|
     of full scale). Raises NotImplementedError for unregistered media
-    types, mirroring a real codec registry."""
-    if media_type not in {"image", "audio"}:
+    types, mirroring a real codec registry. Video (MJPEG AVI) features
+    are (container width, height, mean intensity of the FIRST frame —
+    per-frame work belongs to :func:`frame_extract`)."""
+    if media_type not in {"image", "audio", "video"}:
         raise NotImplementedError(f"no codec registered for media_type={media_type!r}")
+    ahdr = parse_avi_header(payload)
+    if ahdr is not None:
+        frames = avi_frames(payload)
+        px = decode_jpeg(frames[0]) if frames else None
+        if px is not None:
+            return ahdr[0], ahdr[1], float(px.mean()) / 255.0
     hdr = parse_ppm_header(payload)
     if hdr is not None:
         w, h, maxval, _ = hdr
@@ -444,6 +459,19 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
     """
 
     def _resize_one(payload: bytes) -> bytes:
+        ahdr = parse_avi_header(payload)
+        if ahdr is not None:
+            frames = [decode_jpeg(f) for f in avi_frames(payload)]
+            if frames and all(f is not None for f in frames):
+                out = []
+                for px in frames:
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    fh, fw = px.shape[:2]
+                    rows = (np.arange(height) * fh) // height
+                    cols = (np.arange(width) * fw) // width
+                    out.append(px[rows][:, cols])
+                return encode_avi_mjpeg(out, fps=max(1, ahdr[3] // 1000 or 25))
         hdr = parse_ppm_header(payload)
         if hdr is not None:
             w, h, maxval, _ = hdr
@@ -518,10 +546,50 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
     return ensure_min_parallelism(media).mapInPandas(_do, schema=MEDIA_RESIZE_SCHEMA)
 
 
+#: Output schema of the real video frame-extraction stage.
+FRAME_EXTRACT_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_no", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("mean_intensity", DoubleType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def frame_extract(media: DataFrame, every_n: int = 1, max_frames: int = 8) -> DataFrame:
+    """REAL video keyframe extraction: for MJPEG-AVI payloads
+    (operators/avi.py), decode every ``every_n``-th frame (up to
+    ``max_frames``) and emit per-frame features plus the frame itself as
+    a standalone JFIF — the shape a video->image training pipeline
+    consumes. Arrow-batched ``mapInPandas``; payload bytes never leave
+    the executor. Non-AVI or undecodable payloads emit no rows (a
+    relational "skip", filterable upstream), never wrong pixels."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                frames = avi_frames(payload)
+                for k in list(range(0, len(frames), every_n))[:max_frames]:
+                    px = decode_jpeg(frames[k])
+                    if px is None:
+                        continue
+                    rows.append((int(mid), k, px.shape[1], px.shape[0],
+                                 float(px.mean()) / 255.0, frames[k]))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_EXTRACT_SCHEMA.fields])
+
+    from clinpy_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(media).mapInPandas(_extract, schema=FRAME_EXTRACT_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
-    """'Frame sampling' stub: emit up to ``max_frames`` offsets per item
-    (a real video path would emit decoded keyframes). Pure relational:
-    sequence + explode, no Python."""
+    """Byte-offset frame SAMPLING (format-agnostic): emit up to
+    ``max_frames`` offsets per item — the cheap relational pre-pass
+    (sequence + explode, no Python). For real MJPEG-AVI keyframe
+    DECODING use :func:`frame_extract`."""
     n = F.length("payload").cast("long")
     offsets = F.slice(
         F.sequence(F.lit(0).cast("long"), F.greatest(n - 1, F.lit(0).cast("long")), F.lit(every_n_bytes).cast("long")),

@@ -3218,6 +3218,71 @@ def _synth_flac(docs: DataFrame) -> DataFrame:
     )
 
 
+@q("mm_video_frames", """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS nf, 10 + doc_id % 6 AS w, 9 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 150),
+ks AS (SELECT doc_id, nf, w, h, unnest(range(nf)) AS k FROM d),
+sampled AS (SELECT * FROM ks WHERE k % 2 = 0),
+orig AS (
+  SELECT doc_id, 'orig' AS stage, k, CAST(w AS BIGINT) AS width,
+         CAST(h AS BIGINT) AS height,
+         ((doc_id * 37 + k * 11) % 256) / 255.0 AS mean_intensity
+  FROM sampled),
+rez AS (
+  SELECT doc_id, 'resized' AS stage, k, CAST(5 AS BIGINT) AS width,
+         CAST(4 AS BIGINT) AS height,
+         ((doc_id * 37 + k * 11) % 256) / 255.0 AS mean_intensity
+  FROM sampled)
+SELECT doc_id AS media_id, stage, CAST(k AS BIGINT) AS frame_no,
+       width, height, mean_intensity
+FROM (SELECT * FROM orig UNION ALL SELECT * FROM rez)
+""")
+def mm_video_frames_q(spark, sf):
+    # REAL video path, ORACLE-CHECKED: MJPEG-AVI payloads (RIFF
+    # container, one constant-fill JFIF per frame — operators/avi.py)
+    # are synthesized from doc_id, every 2nd keyframe is EXTRACTED AND
+    # DECODED (frame_extract), then the whole video is resized to 5x4
+    # (per-frame JPEG re-encode inside a rebuilt AVI) and re-extracted.
+    # Constant fill per frame survives the lossy JPEG hop exactly, so
+    # DuckDB predicts each sampled frame's (dims, mean) by formula —
+    # covering the RIFF walker, the JPEG codec both ways, the frame
+    # sampler's stride, and the container re-emit in one hash.
+    from clinpy_spark.operators.multimodal import frame_extract, resize
+
+    media = _synth_avi(_t(spark, sf, "documents").filter(F.col("doc_id") < 150))
+    orig = frame_extract(media, every_n=2).withColumn("stage", F.lit("orig"))
+    rez = frame_extract(resize(media, width=5, height=4), every_n=2).withColumn(
+        "stage", F.lit("resized"))
+    return orig.unionByName(rez).select(
+        "media_id", "stage", "frame_no", "width", "height", "mean_intensity"
+    )
+
+
+def _synth_avi(docs: DataFrame) -> DataFrame:
+    """Deterministic MJPEG-AVI payloads: 3-6 constant-fill frames per
+    doc, fill varying per frame so the sampler's stride is hash-visible."""
+    import numpy as np
+    import pandas as pd
+
+    from clinpy_spark.operators.avi import encode_avi_mjpeg
+
+    def _synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf, w, h = 3 + did % 4, 10 + did % 6, 9 + did % 5
+                frames = [np.full((h, w, 3), (did * 37 + k * 11) % 256, dtype=np.uint8)
+                          for k in range(nf)]
+                rows.append((did, "video", encode_avi_mjpeg(frames, fps=25)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id long, media_type string, payload binary"
+    )
+
+
 @q("u1_grouped_filter", """
 SELECT event_id FROM (
   SELECT event_id, value, avg(value) OVER (PARTITION BY user_id) AS uavg
@@ -3846,6 +3911,7 @@ _PRIORITY: list[str] = [
     "mm_resize",
     "mm_jpeg_features",  # new in r7 — needs its first driver record
     "mm_flac_features",  # new in r7 — needs its first driver record
+    "mm_video_frames",   # new in r7 — needs its first driver record
     # -- round-5 head: the three r4-FAILED queries (TIMESTAMP_NTZ event
     # schema drift, fixed via epoch_seconds) whose latest driver record
     # must flip back to green, then every query new in round 5 --

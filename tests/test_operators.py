@@ -1505,6 +1505,47 @@ def test_jpeg_decodes_420_subsampled_stream():
     assert np.array_equal(decode_jpeg(encode_420(const)), const)
 
 
+def test_avi_mjpeg_real_video_path(spark):
+    """MJPEG-AVI (operators/avi.py): container round-trip, per-frame
+    decode via the JPEG codec, real keyframe extraction with stride, and
+    whole-video resize (per-frame re-encode in a rebuilt container)."""
+    import numpy as np
+
+    from clinpy_spark.operators.avi import (
+        avi_frames, decode_avi_frame, encode_avi_mjpeg, parse_avi_header,
+    )
+    from clinpy_spark.operators.multimodal import (
+        as_media, extract_features, frame_extract, resize,
+    )
+
+    fills = [30, 90, 150, 210, 250]
+    frames = [np.full((9, 12, 3), f, dtype=np.uint8) for f in fills]
+    avi = encode_avi_mjpeg(frames, fps=25)
+    assert parse_avi_header(avi) == (12, 9, 5, 25000)
+    assert len(avi_frames(avi)) == 5
+    for k, f in enumerate(fills):
+        assert np.array_equal(decode_avi_frame(avi, k),
+                              np.full((9, 12, 3), f, dtype=np.uint8))
+    assert decode_avi_frame(avi, 5) is None
+    assert parse_avi_header(b"RIFFxxxxWAVE") is None and avi_frames(b"junk") == []
+
+    df = spark.createDataFrame([(1, bytearray(avi))], "media_id long, payload binary")
+    media = as_media(df, "media_id", "payload", "video")
+    f0 = extract_features(media).collect()[0]
+    assert (f0.width, f0.height) == (12, 9)
+    assert abs(f0.mean_intensity - 30 / 255) < 1e-9  # first frame
+
+    got = {(r.frame_no, r.width, r.height, round(r.mean_intensity * 255))
+           for r in frame_extract(media, every_n=2).collect()}
+    assert got == {(0, 12, 9, 30), (2, 12, 9, 150), (4, 12, 9, 250)}
+
+    rz = bytes(resize(media, width=5, height=4).collect()[0].payload)
+    assert parse_avi_header(rz)[:3] == (5, 4, 5)
+    for k, f in enumerate(fills):
+        assert np.array_equal(decode_avi_frame(rz, k),
+                              np.full((4, 5, 3), f, dtype=np.uint8))
+
+
 def test_flac_codec_real_decode_and_resample(spark):
     """FLAC (operators/flac.py): verbatim encode round-trips bit-exact
     (lossless), the byte length matches the oracle formula, and the

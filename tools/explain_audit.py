@@ -56,6 +56,7 @@ EXPECTED_UNBOUNDED = {
     "sim_recall_lsh",
     "sim_recall_ivf",
     "sim_recall_pq",
+    "sim_recall_ivfpq",
     "dedup_embedding_recall",  # same recall-gate shape: exact pair set by
                                # definition needs the all-pairs baseline
     "dedup_semdedup",  # the _nearest_cells centroid cross join vs the

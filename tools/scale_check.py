@@ -7,7 +7,10 @@ per-query overhead dominates) with data size — the local-mode proxy for
 "survives a 100x scale-up without a quadratic blowup". Writes
 SCALING.md. Usage:
 
-    python tools/scale_check.py [sf_dir ...]
+    python tools/scale_check.py [sf_dir ...] [--extra q1,q2,...]
+
+``--extra`` appends named registry queries to the headline sweep (e.g.
+the tier2 fuzzy joins) without changing the standing headline table.
 """
 
 from __future__ import annotations
@@ -26,7 +29,13 @@ from clinpy_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    dirs = sys.argv[1:] or [
+    args = sys.argv[1:]
+    extra: list[str] = []
+    if "--extra" in args:
+        i = args.index("--extra")
+        extra = [q for q in args[i + 1].split(",") if q]
+        args = args[:i] + args[i + 2:]
+    dirs = args or [
         f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")
     ]
     dirs = [d for d in dirs if os.path.isdir(d)]
@@ -36,9 +45,10 @@ def main() -> None:
     spark.range(1).count()
     qs = Q.queries()
 
-    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    sweep = HEADLINE + [q for q in extra if q in qs and q not in HEADLINE]
+    times: dict[str, list[float]] = {name: [] for name in sweep}
     for d in dirs:
-        for name in HEADLINE:
+        for name in sweep:
             qs[name](spark, d).count()  # warm (codegen/JIT per plan+schema)
             t0 = time.time()
             qs[name](spark, d).count()
@@ -65,7 +75,7 @@ def main() -> None:
         "|---|" + "---|" * (len(sfs) + 1),
     ]
     worst = []
-    for name in HEADLINE:
+    for name in sweep:
         ts = times[name]
         alpha = math.log(ts[-1] / ts[-2]) / math.log(sfs[-1] / sfs[-2]) if len(ts) >= 2 else float("nan")
         worst.append((alpha, name))
