@@ -76,6 +76,20 @@ def main() -> None:
                     )
                 ),
             )
+        if name == "part":
+            # Same intra-copy-only rule for the fuzzy-join column: suffix
+            # each copy's names with a triple-digit copy tag, so any two
+            # copies differ by >= 3 edits (> the fuzzy max_edits band of
+            # 2) and copy 0 differs by >= 4 length — cross-copy pairs
+            # vanish, pair volume grows linearly with copies, and each
+            # copy keeps the source's intra-copy near-dup structure.
+            tag = F.concat(F.lit(" "), F.repeat(F.col("__copy").cast("string"), 3))
+            df = df.withColumn(
+                "p_name",
+                F.when(F.col("__copy") == 0, F.col("p_name")).otherwise(
+                    F.concat(F.col("p_name"), tag)
+                ),
+            )
         df.drop("__copy").repartition(32).write.mode("overwrite").parquet(
             f"{DST}/{name}.parquet"
         )
