@@ -3912,6 +3912,7 @@ _PRIORITY: list[str] = [
     "mm_jpeg_features",  # new in r7 — needs its first driver record
     "mm_flac_features",  # new in r7 — needs its first driver record
     "mm_video_frames",   # new in r7 — needs its first driver record
+    "j18_fuzzy_join",    # new in r7 — needs its first driver record
     # -- round-5 head: the three r4-FAILED queries (TIMESTAMP_NTZ event
     # schema drift, fixed via epoch_seconds) whose latest driver record
     # must flip back to green, then every query new in round 5 --
