@@ -444,3 +444,75 @@ def test_scd2_lookup_flavors_equal_python_reference(spark, dim_rows, facts):
 
     full = {(r.tag, r.attr) for r in scd2_lookup(fdf, ddf, ["k"], "ts", how="full").collect()}
     assert full == left | right
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (pure numpy — no Spark session needed).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    level=st.sampled_from([0, 1, 6, 9]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, level, seed):
+    """encode_png ∘ _png_pixels is the identity for every supported
+    channel count, shape, and compression level."""
+    import numpy as np
+
+    from clinpy_spark.operators.multimodal import (
+        _png_pixels, encode_png, parse_png_header,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    payload = encode_png(px, level=level)
+    hdr = parse_png_header(payload)
+    assert hdr is not None and hdr[:2] == (w, h)
+    assert np.array_equal(_png_pixels(payload, hdr), px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    ch=st.integers(1, 3),
+    bps=st.sampled_from([8, 16]),
+    blocksize=st.sampled_from([16, 64, 192]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_roundtrip_property(n, ch, bps, blocksize, seed):
+    """encode_flac ∘ decode_flac is the identity (lossless) for every
+    channel count, bit depth, and frame split."""
+    import numpy as np
+
+    from clinpy_spark.operators.flac import decode_flac, encode_flac
+
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    x = np.random.default_rng(seed).integers(lo, hi + 1, (n, ch)).astype(np.int64)
+    got = decode_flac(encode_flac(x, bps=bps, blocksize=blocksize))
+    assert got is not None and np.array_equal(got, x)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    fill=st.integers(0, 255),
+    quality=st.sampled_from([75, 92, 100]),
+    restart=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_constant_fill_exact_property(h, w, fill, quality, restart):
+    """Constant-fill images survive the lossy JPEG round trip EXACTLY at
+    any quality/shape/restart-interval — the invariant the mm oracles
+    lean on (DC-only blocks: quantization error < half an intensity
+    step after the IDCT)."""
+    import numpy as np
+
+    from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((h, w, 3), fill, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(px, quality=quality, restart_interval=restart))
+    assert np.array_equal(got, px)
