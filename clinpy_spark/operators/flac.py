@@ -191,9 +191,12 @@ def _read_subframe(r: _Bits, blocksize: int, bps: int) -> np.ndarray:
         x = np.empty(blocksize, dtype=np.int64)
         x[:order] = warm
         for i in range(order, blocksize):
+            # Python-int accumulator: arbitrary precision, so a corrupt
+            # stream's wild coefficients overflow to OverflowError at the
+            # int64 store (caught -> None) instead of silently wrapping.
             acc = 0
             for j in range(order):
-                acc += coefs[j] * x[i - 1 - j]
+                acc += coefs[j] * int(x[i - 1 - j])
             x[i] = resid[i - order] + (acc >> shift)
     else:
         raise ValueError("reserved subframe type")
@@ -262,7 +265,9 @@ def decode_flac(payload: bytes) -> np.ndarray | None:
             got = sum(len(a) for a in chans[0])
             if total and got >= total:
                 break
-    except (EOFError, ValueError):
+    except (EOFError, ValueError, OverflowError, IndexError):
+        # truncated stream, reserved fields, corrupt partition math —
+        # malformed payloads yield None, never an executor exception
         return None
     if not chans[0]:
         return None

@@ -362,8 +362,17 @@ def parse_jpeg_header(payload: bytes) -> tuple[int, int, int] | None:
     return None
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray | None:  # noqa: C901
-    """Baseline JFIF bytes -> (h, w, nc) uint8, or None if unsupported."""
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Baseline JFIF bytes -> (h, w, nc) uint8, or None if unsupported
+    or malformed — a corrupt payload must never raise out of an executor
+    batch, so the whole walk is exception-bounded."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (EOFError, IndexError, ValueError, KeyError, StopIteration, OverflowError):
+        return None
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:  # noqa: C901
     if parse_jpeg_header(payload) is None:
         return None
     pos = 2
@@ -466,7 +475,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:  # noqa: C901
                                     blk[ZIGZAG] = zz
                                     grids[ci][my * c["v"] + vy, mx * c["h"] + vx] = \
                                         blk.reshape(8, 8)
-            except (EOFError, IndexError):
+            except (EOFError, IndexError, ValueError):
+                # truncated stream, invalid Huffman code, or run overflow:
+                # a malformed payload must yield None (caller falls back),
+                # never an exception out of the executor batch
                 return None
             # dequantize + IDCT + upsample, all components vectorized
             planes = []

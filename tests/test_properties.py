@@ -496,6 +496,37 @@ def test_flac_roundtrip_property(n, ch, bps, blocksize, seed):
     assert got is not None and np.array_equal(got, x)
 
 
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), which=st.sampled_from(["jpeg", "flac", "avi"]))
+def test_codec_corruption_never_raises(seed, which):
+    """Malformed payloads must decode to None, never raise out of an
+    executor batch: random byte corruption of valid JPEG/FLAC/AVI
+    streams (hits every header segment and the entropy data)."""
+    import numpy as np
+
+    from clinpy_spark.operators.avi import decode_avi_frame, encode_avi_mjpeg
+    from clinpy_spark.operators.flac import decode_flac, encode_flac
+    from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    if which == "jpeg":
+        base = encode_jpeg(rng.integers(0, 256, (10, 13, 3), dtype=np.uint8))
+        decode = decode_jpeg
+    elif which == "flac":
+        base = encode_flac(rng.integers(-100, 100, (200, 2)).astype(np.int32),
+                           blocksize=64)
+        decode = decode_flac
+    else:
+        base = encode_avi_mjpeg(
+            [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)])
+        decode = lambda p: decode_avi_frame(p, 0)  # noqa: E731
+    buf = bytearray(base)
+    for _ in range(int(rng.integers(1, 8))):
+        buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+    out = decode(bytes(buf))
+    assert out is None or isinstance(out, np.ndarray)
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     h=st.integers(1, 20),
