@@ -95,8 +95,13 @@ def fuzzy_join(
     shared = set(left.columns) & set(right.columns)
     lmap = {c: c + suffixes[0] if c in shared else c for c in left.columns}
     rmap = {c: c + suffixes[1] if c in shared else c for c in right.columns}
+    # The probe side MUST be pre-spread: when the build side broadcasts
+    # (small dims), there is no shuffle at all, so probe-task count = scan
+    # partition count — a single-file input would run every candidate
+    # levenshtein on one core regardless of the salt (measured 45s -> 2s
+    # at sf0.1). Same recipe as fuzzy_pairs; no-op on multi-file data.
     lb = (
-        left.select(*[F.col(c).alias(lmap[c]) for c in left.columns])
+        ensure_min_parallelism(left).select(*[F.col(c).alias(lmap[c]) for c in left.columns])
         .withColumn(
             "__bin",
             F.explode(F.sequence(F.length(lmap[left_on]) - max_edits,

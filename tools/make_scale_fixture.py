@@ -78,12 +78,19 @@ def main() -> None:
             )
         if name == "part":
             # Same intra-copy-only rule for the fuzzy-join column: suffix
-            # each copy's names with a triple-digit copy tag, so any two
-            # copies differ by >= 3 edits (> the fuzzy max_edits band of
-            # 2) and copy 0 differs by >= 4 length — cross-copy pairs
-            # vanish, pair volume grows linearly with copies, and each
-            # copy keeps the source's intra-copy near-dup structure.
-            tag = F.concat(F.lit(" "), F.repeat(F.col("__copy").cast("string"), 3))
+            # each copy's names with a copy tag whose LENGTH advances by 3
+            # per copy (> the fuzzy ±2 length band), so length bins never
+            # mix copies — cross-copy candidate volume vanishes (not just
+            # cross-copy matches), pair volume AND candidate volume grow
+            # linearly with copies, and each copy keeps the source's
+            # intra-copy near-dup structure. (A fixed-length tag kept the
+            # matches intra-copy but let all 9 salted copies share length
+            # bins: ~81x candidate work at 10x data, alpha 1.9.)
+            tag = F.concat(
+                F.lit(" "),
+                F.repeat(F.col("__copy").cast("string"), 3),
+                F.repeat(F.lit("x"), (F.col("__copy") - 1) * 3),
+            )
             df = df.withColumn(
                 "p_name",
                 F.when(F.col("__copy") == 0, F.col("p_name")).otherwise(
