@@ -2,32 +2,39 @@
 without the all-pairs cross join.
 
 Entity-resolution / near-dup staple (product names, author strings,
-OCR'd text). The blocking is LOSSLESS by the triangle bound
-``|len(a) - len(b)| <= levenshtein(a, b)``: replicating one side into
-its ``2*max_edits + 1`` neighboring length bins and equi-joining on
-exact length can never drop a qualifying pair, and each pair meets in
-exactly one bin (the other side's true length) so nothing double-
-counts.
+OCR'd text). Three stacked ideas, each load-bearing at scale:
 
-Two scale levers beyond the band:
-
-- **Salted join key.** Real corpora concentrate on a handful of
-  lengths (TPC-H part names span ~15), so a plain equi-join on length
-  has ~15 reduce buckets no matter how many cores exist. The probe
-  side keys on (length bin, hash(id) % num_salts) and the build side
-  replicates across all salts — same pairs, ``num_salts``x the
-  parallelism (the salted_join move from operators/skew.py, applied to
-  a theta-ish join).
-- **Banded levenshtein.** The verify runs Spark's ``threshold``
-  variant — O(max_edits * n) per pair instead of O(n^2) — and still
-  returns the exact distance for qualifying pairs.
+- **Distinct-first.** Real corpora repeat strings (TPC-H part names
+  average ~300 copies each; catalog/author data behaves the same), and
+  edit distance only depends on the string — so the expensive banded
+  levenshtein join runs on the DISTINCT strings, and id-level pairs are
+  recovered afterwards by two equi-joins through the name. Levenshtein
+  work drops from (corpus rows)²-per-bin to (distinct strings)²-per-bin
+  — a ~10^5x cut on the bench corpus — while the output pair set is
+  byte-identical (oracle-checked). On an all-distinct corpus the
+  expansion joins are 1:1 pass-throughs, so the plan is never worse
+  than the direct formulation by more than two hash joins.
+- **Lossless length banding.** The triangle bound
+  ``|len(a) - len(b)| <= levenshtein(a, b)``: replicating one side into
+  its ``2*max_edits + 1`` neighboring length bins and equi-joining on
+  exact length can never drop a qualifying pair, and each pair meets in
+  exactly one bin. The banded ``levenshtein(a, b, k)`` verify is
+  O(max_edits * n) per candidate and still returns the exact distance.
+- **Salted join keys.** Length bins are few (names span ~30 lengths)
+  and distinct-name multiplicities are skewed, so both the name-pair
+  join and the second expansion join carry a (key, salt) composite —
+  probe side salted by a row hash, build side replicated across salts —
+  num_salts× the reducers with an identical result. The first expansion
+  join is keyed on the name and left to AQE: when the name-pair table
+  is small it broadcast-converts (no shuffle of the corpus), when it is
+  large the key has enough cardinality on its own.
 
 A segment-blocking layer (PassJoin family) was measured and REJECTED
 for the default path: position-anchored segments collide massively on
 low-entropy vocabularies (part names draw ~12-char segments from ~92
 color words), emitting more candidate volume than they prune. On
-high-entropy corpora it would help; the length+salt shape is the one
-that is never pathological.
+high-entropy corpora it would help; the distinct-first + length + salt
+shape is the one that is never pathological.
 """
 
 from __future__ import annotations
@@ -36,6 +43,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clinpy_spark.session import ensure_min_parallelism
+
+
+def _name_pairs(names: DataFrame, max_edits: int, num_salts: int) -> DataFrame:
+    """Unordered DISTINCT-string pairs within the edit budget:
+    (__na < __nb, edits). Banded + salted as described in the module
+    docstring; input is a one-column ``__txt`` DataFrame of distinct
+    strings."""
+    k = max_edits
+    a = names.select(
+        F.col("__txt").alias("__na"),
+        F.explode(F.sequence(F.length("__txt") - k, F.length("__txt") + k)).alias("__bin"),
+    ).withColumn("__salt", F.pmod(F.xxhash64(F.col("__na")), F.lit(num_salts)))
+    b = names.select(
+        F.col("__txt").alias("__nb"),
+        F.length("__txt").cast("integer").alias("__bin"),
+    ).withColumn("__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))))
+    return (
+        a.join(b, ["__bin", "__salt"])
+        .filter(F.col("__na") < F.col("__nb"))
+        .withColumn("edits", F.levenshtein("__na", "__nb", k))
+        .filter(F.col("edits") >= 0)  # banded: -1 means "> max_edits"
+        .select("__na", "__nb", "edits")
+    )
 
 
 def fuzzy_pairs(
@@ -47,26 +77,35 @@ def fuzzy_pairs(
 ) -> DataFrame:
     """Unordered within-table pairs (a_id < b_id) with
     ``levenshtein <= max_edits`` -> (a_id, b_id, edits)."""
-    k = max_edits
-    df = ensure_min_parallelism(df)
-    a = df.select(
-        F.col(id_col).alias("a_id"),
-        F.col(text_col).alias("__a_txt"),
-        F.explode(
-            F.sequence(F.length(text_col) - k, F.length(text_col) + k)
-        ).alias("__bin"),
-    ).withColumn("__salt", F.pmod(F.xxhash64(F.col("a_id")), F.lit(num_salts)))
-    b = df.select(
-        F.col(id_col).alias("b_id"),
-        F.col(text_col).alias("__b_txt"),
-        F.length(text_col).cast("long").alias("__bin"),
-    ).withColumn("__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))))
+    ids = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
+    )
+    names = ids.select("__txt").distinct()
+    # distinct-name pairs + the identity pair (duplicate strings pair at
+    # distance 0; only multi-member groups emit rows after the id filter)
+    np_ = _name_pairs(names, max_edits, num_salts).unionByName(
+        names.select(F.col("__txt").alias("__na"), F.col("__txt").alias("__nb"),
+                     F.lit(0).cast("integer").alias("edits"))
+    )
+    # expansion join 1: keyed on the name; AQE broadcast-converts when
+    # the pair table is small, shuffles on a high-cardinality key when
+    # it is not.
+    half = np_.join(
+        ids.select(F.col("__id").alias("__ida"), F.col("__txt").alias("__na")), "__na"
+    )
+    # expansion join 2: (name, salt) composite against the salted id
+    # table — a hot name's pair emission spreads over num_salts reducers.
+    half = half.withColumn("__salt", F.pmod(F.xxhash64(F.col("__ida")), F.lit(num_salts)))
+    ids_b = ids.select(F.col("__id").alias("__idb"), F.col("__txt").alias("__nb")) \
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))))
     return (
-        a.join(b, ["__bin", "__salt"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("edits", F.levenshtein("__a_txt", "__b_txt", k))
-        .filter(F.col("edits") >= 0)  # banded: -1 means "> max_edits"
-        .select("a_id", "b_id", "edits")
+        half.join(ids_b, ["__nb", "__salt"])
+        .filter((F.col("__na") != F.col("__nb")) | (F.col("__ida") < F.col("__idb")))
+        .select(
+            F.least("__ida", "__idb").alias("a_id"),
+            F.greatest("__ida", "__idb").alias("b_id"),
+            "edits",
+        )
     )
 
 
@@ -81,42 +120,49 @@ def fuzzy_join(
 ) -> DataFrame:
     """Two-table fuzzy equi-match: every (left, right) row pair whose
     strings are within ``max_edits``, plus an ``edits`` column. Same
-    lossless length blocking; right side carries its exact length, left
-    replicates into the band. Column names shared by both inputs
-    (including ``left_on == right_on``, the common case) are
-    disambiguated with ``suffixes``.
-
-    The join key is salted exactly like :func:`fuzzy_pairs` — string
-    lengths concentrate on a handful of values, so (bin,) alone caps the
-    reduce-side parallelism at the number of distinct lengths.  The left
-    probe side hashes its whole row into one of ``num_salts`` buckets and
-    the right build side replicates across all of them: identical pair
-    set, ``num_salts``x the reducers."""
+    distinct-first + banded + salted shape as :func:`fuzzy_pairs`,
+    directed (left x right, no ordering filter). Column names shared by
+    both inputs (including ``left_on == right_on``, the common case) are
+    disambiguated with ``suffixes``."""
     shared = set(left.columns) & set(right.columns)
     lmap = {c: c + suffixes[0] if c in shared else c for c in left.columns}
     rmap = {c: c + suffixes[1] if c in shared else c for c in right.columns}
-    # The probe side MUST be pre-spread: when the build side broadcasts
-    # (small dims), there is no shuffle at all, so probe-task count = scan
-    # partition count — a single-file input would run every candidate
-    # levenshtein on one core regardless of the salt (measured 45s -> 2s
-    # at sf0.1). Same recipe as fuzzy_pairs; no-op on multi-file data.
-    lb = (
-        ensure_min_parallelism(left).select(*[F.col(c).alias(lmap[c]) for c in left.columns])
-        .withColumn(
-            "__bin",
-            F.explode(F.sequence(F.length(lmap[left_on]) - max_edits,
-                                 F.length(lmap[left_on]) + max_edits)),
-        )
-        .withColumn("__salt", F.pmod(F.xxhash64(*[lmap[c] for c in left.columns]), F.lit(num_salts)))
+    lb = ensure_min_parallelism(left).select(
+        *[F.col(c).alias(lmap[c]) for c in left.columns]
+    ).withColumn("__txt", F.col(lmap[left_on]))
+    rb = right.select(*[F.col(c).alias(rmap[c]) for c in right.columns]) \
+        .withColumn("__txt", F.col(rmap[right_on]))
+    # directed distinct-name pairs: left names banded into bins, right
+    # names at true length; includes the identical-name (edits 0) case
+    # naturally since na == nb lands in the true-length bin.
+    k = max_edits
+    lnames = lb.select("__txt").distinct()
+    rnames = rb.select("__txt").distinct()
+    a = lnames.select(
+        F.col("__txt").alias("__na"),
+        F.explode(F.sequence(F.length("__txt") - k, F.length("__txt") + k)).alias("__bin"),
+    ).withColumn("__salt", F.pmod(F.xxhash64(F.col("__na")), F.lit(num_salts)))
+    b = rnames.select(
+        F.col("__txt").alias("__nb"),
+        F.length("__txt").cast("integer").alias("__bin"),
+    ).withColumn("__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))))
+    np_ = (
+        a.join(b, ["__bin", "__salt"])
+        .withColumn("edits", F.levenshtein("__na", "__nb", k))
+        .filter(F.col("edits") >= 0)
+        .select("__na", "__nb", "edits")
     )
-    rb = (
-        right.select(*[F.col(c).alias(rmap[c]) for c in right.columns])
-        .withColumn("__bin", F.length(rmap[right_on]))
-        .withColumn("__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))))
+    half = np_.join(lb.withColumnRenamed("__txt", "__na"), "__na")
+    # salt by the whole left row, not the match text: a hot name's rows
+    # must spread across reducers, and the text is constant within them
+    half = half.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[lmap[c] for c in left.columns]), F.lit(num_salts)),
+    )
+    rb_s = rb.withColumnRenamed("__txt", "__nb").withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long")))
     )
     return (
-        lb.join(rb, ["__bin", "__salt"])
-        .withColumn("edits", F.levenshtein(F.col(lmap[left_on]), F.col(rmap[right_on]), max_edits))
-        .filter(F.col("edits") >= 0)  # banded: -1 means "> max_edits"
-        .drop("__bin", "__salt")
+        half.join(rb_s, ["__nb", "__salt"])
+        .drop("__na", "__nb", "__salt")
     )
