@@ -547,3 +547,39 @@ def test_jpeg_constant_fill_exact_property(h, w, fill, quality, restart):
     px = np.full((h, w, 3), fill, dtype=np.uint8)
     got = decode_jpeg(encode_jpeg(px, quality=quality, restart_interval=restart))
     assert np.array_equal(got, px)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lwords=st.lists(st.text(alphabet="ab", min_size=0, max_size=6), min_size=1, max_size=10),
+    rwords=st.lists(st.text(alphabet="ab", min_size=0, max_size=6), min_size=1, max_size=10),
+    k=st.sampled_from([1, 2]),
+)
+def test_fuzzy_join_equals_naive_levenshtein(spark, lwords, rwords, k):
+    """The distinct-first two-table fuzzy join equals the naive cross
+    filter: every (left, right) pair within the budget appears exactly
+    once with the exact distance — duplicates, empty strings, and
+    identical strings included."""
+    from clinpy_spark.operators.fuzzy import fuzzy_join
+
+    ldf = spark.createDataFrame(list(enumerate(lwords)), "lid long, s string")
+    rdf = spark.createDataFrame(list(enumerate(rwords)), "rid long, s string")
+    rows = fuzzy_join(ldf, rdf, "s", "s", max_edits=k, num_salts=4).collect()
+    got = sorted((r.lid, r.rid, r.edits) for r in rows)
+    assert len(got) == len(set(got))  # exactly-once
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (li, ri, lev(a, b))
+        for li, a in enumerate(lwords) for ri, b in enumerate(rwords)
+        if lev(a, b) <= k
+    )
+    assert got == want
