@@ -98,8 +98,14 @@ def fuzzy_pairs(
     half = half.withColumn("__salt", F.pmod(F.xxhash64(F.col("__ida")), F.lit(num_salts)))
     ids_b = ids.select(F.col("__id").alias("__idb"), F.col("__txt").alias("__nb")) \
         .withColumn("__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))))
+    # merge (sort) join, explicitly: the salt exists FOR the shuffle
+    # path, and Catalyst's size estimate ignores the x num_salts explode
+    # — left to itself it broadcasts the replicated id table (driver OOM
+    # at scale, and a broadcast makes the salt pure overhead). SMJ over
+    # shuffle-hash because the sort path spills; a hash build of a
+    # coalesced partition does not.
     return (
-        half.join(ids_b, ["__nb", "__salt"])
+        half.join(ids_b.hint("merge"), ["__nb", "__salt"])
         .filter((F.col("__na") != F.col("__nb")) | (F.col("__ida") < F.col("__idb")))
         .select(
             F.least("__ida", "__idb").alias("a_id"),
@@ -162,7 +168,9 @@ def fuzzy_join(
     rb_s = rb.withColumnRenamed("__txt", "__nb").withColumn(
         "__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long")))
     )
+    # same explicit merge join as fuzzy_pairs: never broadcast or
+    # hash-build the salt-replicated side (estimate ignores the explode)
     return (
-        half.join(rb_s, ["__nb", "__salt"])
+        half.join(rb_s.hint("merge"), ["__nb", "__salt"])
         .drop("__na", "__nb", "__salt")
     )
