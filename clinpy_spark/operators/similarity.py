@@ -56,6 +56,51 @@ def _sq_dist(v, ctr):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 200_000,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold -> (id_a < id_b), vectorized.
+
+    The declared brute-force baseline behind the embedding recall gates —
+    O(n²) score volume by definition, but computed as a numpy GEMM per
+    Arrow batch instead of 4M interpreted higher-order-fold evaluations
+    (HOFs never enter whole-stage codegen; measured ~10x on the gate).
+    The normalized corpus matrix rides the task closure, the same
+    bounded-broadcast shape as pq_topk's query LUTs: a recall gate's
+    reference corpus must be collectable by contract (``max_rows``
+    raises otherwise — at real scale the gate runs on a sample, the
+    approximate operator on the full corpus)."""
+    pdf = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")) \
+        .limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"exact_cosine_pairs is the bounded exact baseline; corpus exceeds "
+            f"max_rows={max_rows} — gate on a sample, or raise the cap deliberately")
+    ids = pdf["i"].to_numpy()
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    def score(batches):
+        for b in batches:
+            bid = b["i"].to_numpy()
+            y = np.asarray([np.asarray(v, dtype=np.float64) for v in b["v"]])
+            yn = y / np.maximum(np.linalg.norm(y, axis=1, keepdims=True), 1e-12)
+            s = yn @ xn.T  # (batch, corpus)
+            qi, ci = np.nonzero(s >= threshold)
+            ia, ib = bid[qi], ids[ci]
+            keep = ia < ib  # unordered pairs, self excluded
+            if keep.any():
+                yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    src = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(score, "id_a long, id_b long")
+
+
 def brute_force_range(
     queries: DataFrame,
     corpus: DataFrame,

@@ -2747,15 +2747,13 @@ def dedup_embedding_recall_q(spark, sf):
     # fraction of EXACT cosine>=0.3 pairs (brute force, in-engine) that
     # the bucketed emitter finds must be >= 0.8 (measured 0.92 at
     # sf0.01, 0.90 at sf0.1). Oracle pins passed=true and recomputes
-    # the corpus size.
+    # the corpus size. The exact side is the GEMM-vectorized declared
+    # baseline (exact_cosine_pairs), localCheckpointed so the numerator
+    # and denominator read ONE materialization, not two O(n^2) passes.
+    from clinpy_spark.operators.similarity import exact_cosine_pairs
+
     emb = _t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    exact = (
-        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity("va", "vb") >= 0.3)
-        .select("id_a", "id_b")
-    )
+    exact = exact_cosine_pairs(emb, 0.3).localCheckpoint(eager=False)
     found = dedup_embedding_cosine_q(spark, sf).select(
         F.col("query_id").alias("id_a"), F.col("match_id").alias("id_b")
     )

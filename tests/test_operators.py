@@ -247,10 +247,13 @@ def test_multimodal_stub(spark):
     # deterministic: run twice, same result
     feats2 = {r.media_id: r for r in extract_features(media).collect()}
     assert feats == feats2
-    # video has no codec registered -> task error surfaces NotImplementedError
-    bad = as_media(df, "doc_id", "payload", "video")
+    # video is a registered type since the MJPEG-AVI codec landed; an
+    # UNREGISTERED type still surfaces NotImplementedError from the task
+    bad = as_media(df, "doc_id", "payload", "hologram")
     with pytest.raises(Exception, match="NotImplemented|no codec"):
         extract_features(bad).collect()
+    # non-AVI "video" payloads take the deterministic fallback, not an error
+    assert extract_features(as_media(df, "doc_id", "payload", "video")).count() == 2
     # frame sampling is pure relational
     assert frame_sample(media, every_n_bytes=2, max_frames=3).count() > 0
     # resize re-chunks payloads to width*height bytes with the dims stamped
@@ -1731,6 +1734,32 @@ def test_wav_codec_real_decode_and_resample(spark):
     rs = _wav_samples(out, ohdr)
     assert rs.shape == (10, 2)
     assert abs(rs[3, 1] + 16384 / 32768) < 1e-9  # values preserved
+
+
+def test_exact_cosine_pairs_matches_hof_crossjoin(spark):
+    """The GEMM-vectorized exact pair baseline equals the HOF cross-join
+    formulation pair-for-pair, and the bounded-corpus contract raises
+    past max_rows."""
+    import numpy as np
+
+    from clinpy_spark.functions.vectors import cosine_similarity
+    from clinpy_spark.operators.similarity import exact_cosine_pairs
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(0, 1, (60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.id_a, r.id_b) for r in exact_cosine_pairs(df, 0.2).collect()}
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    want = {(r.id_a, r.id_b)
+            for r in a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine_similarity("va", "vb") >= 0.2).collect()}
+    assert got == want and got
+    with pytest.raises(ValueError, match="max_rows"):
+        exact_cosine_pairs(df, 0.2, max_rows=10)
 
 
 def test_semdedup_pairs_cluster_blocked(spark):
