@@ -76,6 +76,12 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     parallelism — the normal case on real multi-file datasets — so at
     cluster scale this never introduces a shuffle.
     """
+    if df.isStreaming:
+        # partition counts aren't inspectable on an unstarted stream (no
+        # .rdd); micro-batch parallelism follows the source's file/offset
+        # split, so pass through untouched — the operators this guards
+        # (mapInPandas codecs etc.) run per-batch either way
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

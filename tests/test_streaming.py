@@ -299,3 +299,41 @@ def test_stream_stats_incremental_fold(spark, tmp_path):
                 ["lang"], ["score"]), ["score"]).collect()}
     assert got == full
     assert got["en"] == (3, pytest.approx(18.0))
+
+
+def test_streaming_media_decode_twin(spark, tmp_path):
+    """The multimodal decode path runs unchanged inside Structured
+    Streaming: parquet-source media stream -> mapInPandas codecs
+    (extract_features) -> memory sink, equal to the batch decode of the
+    same payloads. Pins that the codec operators stay stream-safe (no
+    driver materialization, no batch-only APIs in the hot path)."""
+    import numpy as np
+
+    from clinpy_spark.operators.multimodal import (
+        MEDIA_FEATURE_SCHEMA, as_media, encode_bmp, extract_features,
+    )
+    from clinpy_spark.operators.jpeg import encode_jpeg
+
+    media_dir = tmp_path / "media"
+    rows = [
+        (1, "image", bytearray(encode_bmp(np.full((4, 6, 3), 50, np.uint8)))),
+        (2, "image", bytearray(encode_jpeg(np.full((8, 9, 3), 120, np.uint8)))),
+        (3, "image", bytearray(b"P6\n3 2\n255\n" + bytes([200] * 18))),
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary")
+    batch_df.write.parquet(str(media_dir))
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(media_dir))
+    out = (
+        extract_features(stream.select("media_id", "media_type", "payload"))
+        .writeStream.format("memory").queryName("media_feats")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    out.awaitTermination(120)
+    got = {r.media_id: (r.width, r.height, round(r.mean_intensity, 6))
+           for r in spark.sql("select * from media_feats").collect()}
+    expect = {r.media_id: (r.width, r.height, round(r.mean_intensity, 6))
+              for r in extract_features(batch_df).collect()}
+    assert got == expect
+    assert got[1] == (6, 4, round(50 / 255, 6)) and got[2] == (9, 8, round(120 / 255, 6))
