@@ -352,7 +352,9 @@ def parse_jpeg_header(payload: bytes) -> tuple[int, int, int] | None:
             h = int.from_bytes(payload[pos + 5:pos + 7], "big")
             w = int.from_bytes(payload[pos + 7:pos + 9], "big")
             nc = payload[pos + 9]
-            if w <= 0 or h <= 0 or nc not in (1, 3):
+            # 64 MPix decompression-bomb guard (same as the GIF decoder):
+            # corrupt dims would allocate-and-touch tens of GiB of blocks
+            if w <= 0 or h <= 0 or nc not in (1, 3) or w * h > (1 << 26):
                 return None
             return w, h, nc
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,

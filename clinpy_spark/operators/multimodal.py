@@ -6,13 +6,14 @@ iterators (``mapInPandas``) so the heavy per-item work happens on
 executors in vectorized batches, never on the driver.
 
 Codec status: **PPM (P6), BMP (24-bit BI_RGB), PNG (8-bit depth, color
-types 0/2/3/4/6, non-interlaced), and baseline JPEG (SOF0, 1/3
-components, sampling up to 2x2, restart markers — operators/jpeg.py)
+types 0/2/3/4/6, non-interlaced), baseline JPEG (SOF0, 1/3
+components, sampling up to 2x2, restart markers — operators/jpeg.py),
+and GIF (LZW, palettes, interlace, animation — operators/gif.py)
 images decode and resize for real, WAV (PCM 8/16-bit) plus FLAC
 (all subframe types and channel decorrelations — operators/flac.py)
-audio decodes and resamples for real, and MJPEG-AVI video
-(operators/avi.py) extracts, decodes, and resizes real keyframes** —
-all pure-spec formats needing
+audio decodes and resamples for real, and MJPEG-AVI video plus
+animated GIF (operators/avi.py, operators/gif.py) extract, decode, and
+resize real keyframes** — all pure-spec formats needing
 only header parse + stdlib ``zlib`` + numpy array math, no media
 library (PIL/imageio/cv2 re-probed absent in this container each
 round). The one remaining format family (MP3 and other LOSSY audio)
@@ -33,6 +34,7 @@ from clinpy_spark.operators.avi import (
     parse_avi_header,
 )
 from clinpy_spark.operators.flac import decode_flac, encode_flac, parse_flac_header
+from clinpy_spark.operators.gif import decode_gif, encode_gif, parse_gif_header
 from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
 
 import numpy as np
@@ -387,6 +389,11 @@ def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
         px = decode_jpeg(payload)
         if px is not None:
             return jhdr[0], jhdr[1], float(px.mean()) / 255.0
+    ghdr = parse_gif_header(payload)
+    if ghdr is not None:
+        fr = decode_gif(payload)
+        if fr is not None:
+            return ghdr[0], ghdr[1], float(fr[0].mean()) / 255.0  # first frame
     whdr = parse_wav_header(payload)
     if whdr is not None:
         x = _wav_samples(payload, whdr)
@@ -504,6 +511,15 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
                 rows = (np.arange(height) * h) // height
                 cols = (np.arange(width) * w) // width
                 return encode_jpeg(px[rows][:, cols])
+        if parse_gif_header(payload) is not None:
+            fr = decode_gif(payload)
+            if fr is not None:
+                _, fh, fw, _ = fr.shape
+                rows = (np.arange(height) * fh) // height
+                cols = (np.arange(width) * fw) // width
+                # NN resample keeps the palette <= 256, so the lossless
+                # re-encode always succeeds; animations stay animations
+                return encode_gif(fr[:, rows][:, :, cols])
         whdr = parse_wav_header(payload)
         if whdr is not None:
             _, rate, _, _, _ = whdr
@@ -571,6 +587,16 @@ def frame_extract(media: DataFrame, every_n: int = 1, max_frames: int = 8) -> Da
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
+                if parse_gif_header(payload) is not None:
+                    # animated GIF: composited frames, re-emitted as
+                    # standalone single-frame GIFs (lossless)
+                    fr = decode_gif(payload)
+                    if fr is None:
+                        continue
+                    for k in list(range(0, len(fr), every_n))[:max_frames]:
+                        rows.append((int(mid), k, fr.shape[2], fr.shape[1],
+                                     float(fr[k].mean()) / 255.0, encode_gif(fr[k])))
+                    continue
                 frames = avi_frames(payload)
                 for k in list(range(0, len(frames), every_n))[:max_frames]:
                     px = decode_jpeg(frames[k])

@@ -3281,6 +3281,72 @@ def _synth_avi(docs: DataFrame) -> DataFrame:
     )
 
 
+@q("mm_gif_frames", """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < 150),
+ks AS (SELECT doc_id, nf, w, h, unnest(range(nf)) AS k FROM d),
+sampled AS (SELECT * FROM ks WHERE k % 2 = 0),
+orig AS (
+  SELECT doc_id, 'orig' AS stage, k, CAST(w AS BIGINT) AS width,
+         CAST(h AS BIGINT) AS height,
+         ((doc_id * 13 + k * 29) % 256) / 255.0 AS mean_intensity
+  FROM sampled),
+rez AS (
+  SELECT doc_id, 'resized' AS stage, k, CAST(5 AS BIGINT) AS width,
+         CAST(4 AS BIGINT) AS height,
+         ((doc_id * 13 + k * 29) % 256) / 255.0 AS mean_intensity
+  FROM sampled)
+SELECT doc_id AS media_id, stage, CAST(k AS BIGINT) AS frame_no,
+       width, height, mean_intensity
+FROM (SELECT * FROM orig UNION ALL SELECT * FROM rez)
+""")
+def mm_gif_frames_q(spark, sf):
+    # Animated GIF, ORACLE-CHECKED end-to-end: LZW-compressed paletted
+    # animations (operators/gif.py — real LZW both directions) are
+    # synthesized from doc_id with a constant fill per frame, stride-2
+    # keyframes are extracted AND composited-decoded, then the whole
+    # animation is resized to 5x4 (lossless palette re-encode) and
+    # re-extracted. GIF is lossless for paletted content, so DuckDB
+    # predicts every sampled frame's (dims, mean) by formula — an LZW,
+    # palette, compositing, or sampler bug flips the hash.
+    from clinpy_spark.operators.multimodal import frame_extract, resize
+
+    media = _synth_gif(_t(spark, sf, "documents").filter(F.col("doc_id") < 150))
+    orig = frame_extract(media, every_n=2).withColumn("stage", F.lit("orig"))
+    rez = frame_extract(resize(media, width=5, height=4), every_n=2).withColumn(
+        "stage", F.lit("resized"))
+    return orig.unionByName(rez).select(
+        "media_id", "stage", "frame_no", "width", "height", "mean_intensity"
+    )
+
+
+def _synth_gif(docs: DataFrame) -> DataFrame:
+    """Deterministic animated-GIF payloads: 2-4 constant-fill frames per
+    doc, fill varying per frame so the sampler stride is hash-visible."""
+    import numpy as np
+    import pandas as pd
+
+    from clinpy_spark.operators.gif import encode_gif
+
+    def _synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf, w, h = 2 + did % 3, 8 + did % 5, 6 + did % 4
+                frames = np.stack([
+                    np.full((h, w, 3), (did * 13 + k * 29) % 256, dtype=np.uint8)
+                    for k in range(nf)
+                ])
+                rows.append((did, "video", encode_gif(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id long, media_type string, payload binary"
+    )
+
+
 @q("u1_grouped_filter", """
 SELECT event_id FROM (
   SELECT event_id, value, avg(value) OVER (PARTITION BY user_id) AS uavg
@@ -3910,6 +3976,7 @@ _PRIORITY: list[str] = [
     "mm_jpeg_features",  # new in r7 — needs its first driver record
     "mm_flac_features",  # new in r7 — needs its first driver record
     "mm_video_frames",   # new in r7 — needs its first driver record
+    "mm_gif_frames",     # new in r7 — needs its first driver record
     "j18_fuzzy_join",    # new in r7 — needs its first driver record
     # -- round-5 head: the three r4-FAILED queries (TIMESTAMP_NTZ event
     # schema drift, fixed via epoch_seconds) whose latest driver record

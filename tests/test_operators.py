@@ -1549,6 +1549,85 @@ def test_avi_mjpeg_real_video_path(spark):
                               np.full((4, 5, 3), f, dtype=np.uint8))
 
 
+def test_gif_codec_real_decode_and_animation(spark):
+    """GIF (operators/gif.py): real LZW both directions — paletted
+    round-trips exact (incl. the 256-color maximum and dictionary
+    resets), animations composite per frame, interlaced and transparent
+    foreign streams decode, >256 colors refuse, and the Spark
+    feature/resize/frame_extract paths treat GIF like AVI video."""
+    import numpy as np
+
+    from clinpy_spark.operators.gif import (
+        _INTERLACE_PASSES, decode_gif, encode_gif, parse_gif_header,
+    )
+    from clinpy_spark.operators.multimodal import (
+        as_media, extract_features, frame_extract, resize,
+    )
+
+    rng = np.random.default_rng(7)
+    px = (rng.integers(0, 4, (13, 17, 1)).repeat(3, axis=2) * 60).astype(np.uint8)
+    g = encode_gif(px)
+    assert parse_gif_header(g) == (17, 13, 1)
+    assert np.array_equal(decode_gif(g)[0], px)  # lossless round trip
+
+    big = np.arange(256, dtype=np.uint8).reshape(16, 16)[:, :, None].repeat(3, axis=2)
+    assert np.array_equal(decode_gif(encode_gif(big))[0], big)  # max palette
+    with pytest.raises(ValueError, match="quantize"):
+        encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+
+    fills = (10, 80, 150, 220)
+    anim = np.stack([np.full((9, 11, 3), f, np.uint8) for f in fills])
+    ga = encode_gif(anim)
+    assert parse_gif_header(ga) == (11, 9, 4)
+    assert np.array_equal(decode_gif(ga), anim)
+
+    # interlaced foreign stream: rewrite frame rows in 4-pass order and
+    # set the interlace flag; decode must de-interlace back
+    gi = bytearray(encode_gif(px))
+    desc = gi.index(0x2C, 13)
+    order = [y for start, step in _INTERLACE_PASSES for y in range(start, 13, step)]
+    shuffled = px[order]
+    gi2 = bytearray(encode_gif(shuffled))
+    desc2 = gi2.index(0x2C, 13)
+    gi2[desc2 + 9] |= 0x40  # interlace flag
+    assert np.array_equal(decode_gif(bytes(gi2))[0], px)
+
+    # transparency compositing: mark the SECOND frame's own palette
+    # index transparent in its graphic-control extension — every pixel
+    # of that frame becomes "leave underlying", so the composited second
+    # frame must equal the first
+    gt = bytearray(ga)
+    gces = []
+    o = 0
+    while True:
+        o = gt.find(b"\x21\xF9", o)
+        if o < 0:
+            break
+        gces.append(o)
+        o += 2
+    assert len(gces) == 4
+    gt[gces[1] + 3] |= 1          # transparency flag
+    gt[gces[1] + 6] = 1           # palette index of fill 80 (sorted unique)
+    dt_ = decode_gif(bytes(gt))
+    assert np.array_equal(dt_[1], anim[0])  # second frame shows through
+    assert np.array_equal(dt_[2], anim[2])  # later frames unaffected
+
+    df = spark.createDataFrame([(1, bytearray(ga))], "media_id long, payload binary")
+    media = as_media(df, "media_id", "payload", "video")
+    f0 = extract_features(media).collect()[0]
+    assert (f0.width, f0.height) == (11, 9)
+    assert abs(f0.mean_intensity - fills[0] / 255) < 1e-9
+
+    got = {(r.frame_no, r.width, r.height, round(r.mean_intensity * 255))
+           for r in frame_extract(media, every_n=2).collect()}
+    assert got == {(0, 11, 9, 10), (2, 11, 9, 150)}
+
+    rz = bytes(resize(media, width=5, height=4).collect()[0].payload)
+    assert parse_gif_header(rz) == (5, 4, 4)
+    assert np.array_equal(decode_gif(rz),
+                          np.stack([np.full((4, 5, 3), f, np.uint8) for f in fills]))
+
+
 def test_flac_codec_real_decode_and_resample(spark):
     """FLAC (operators/flac.py): verbatim encode round-trips bit-exact
     (lossless), the byte length matches the oracle formula, and the

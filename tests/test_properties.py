@@ -497,15 +497,16 @@ def test_flac_roundtrip_property(n, ch, bps, blocksize, seed):
 
 
 @settings(max_examples=30, deadline=None)
-@given(seed=st.integers(0, 2**31 - 1), which=st.sampled_from(["jpeg", "flac", "avi"]))
+@given(seed=st.integers(0, 2**31 - 1), which=st.sampled_from(["jpeg", "flac", "avi", "gif"]))
 def test_codec_corruption_never_raises(seed, which):
     """Malformed payloads must decode to None, never raise out of an
-    executor batch: random byte corruption of valid JPEG/FLAC/AVI
+    executor batch: random byte corruption of valid JPEG/FLAC/AVI/GIF
     streams (hits every header segment and the entropy data)."""
     import numpy as np
 
     from clinpy_spark.operators.avi import decode_avi_frame, encode_avi_mjpeg
     from clinpy_spark.operators.flac import decode_flac, encode_flac
+    from clinpy_spark.operators.gif import decode_gif, encode_gif
     from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     rng = np.random.default_rng(seed)
@@ -516,6 +517,10 @@ def test_codec_corruption_never_raises(seed, which):
         base = encode_flac(rng.integers(-100, 100, (200, 2)).astype(np.int32),
                            blocksize=64)
         decode = decode_flac
+    elif which == "gif":
+        base = encode_gif(np.stack([np.full((9, 11, 3), f, np.uint8)
+                                    for f in (10, 80, 150)]))
+        decode = decode_gif
     else:
         base = encode_avi_mjpeg(
             [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)])
