@@ -117,6 +117,13 @@ def fit_opq(
     LAPACK SVD). Encode/search must apply the same rotation — pass it
     to :func:`pq_encode` / :func:`pq_topk` / :func:`pq_topk_rerank`."""
     x = _collect_training(corpus, vec_col, train_cap, m)
+    rot = _fit_rotation_np(x, m, k, seed, opq_iters, inner_iters)
+    cb = _fit_codebooks_np(x @ rot, m, k, iters, seed)
+    return rot, cb
+
+
+def _fit_rotation_np(x: np.ndarray, m: int, k: int, seed: int,
+                     opq_iters: int, inner_iters: int) -> np.ndarray:
     rot = np.eye(x.shape[1])
     for _ in range(opq_iters):
         y = x @ rot
@@ -124,8 +131,21 @@ def fit_opq(
         yhat = _reconstruct(_encode_block(y, cb), cb)
         u, _, vt = np.linalg.svd(x.T @ yhat)
         rot = u @ vt
-    cb = _fit_codebooks_np(x @ rot, m, k, iters, seed)
-    return rot, cb
+    return rot
+
+
+def _rotate_col(df: DataFrame, vec_col: str, rotation: np.ndarray, out_col: str) -> DataFrame:
+    """Apply an orthogonal (d, d) rotation to an array column — an
+    Arrow-batched matrix product per batch (the OPQ pretransform; the
+    KiB-scale matrix rides the task closure)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _rot(v: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(a, dtype=np.float64) for a in v])
+        return pd.Series(list(x @ rotation))
+
+    return df.withColumn(out_col, _rot(F.col(vec_col)))
 
 
 def _reconstruct(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -456,6 +476,7 @@ def build_ivfpq_index(
     pq_k: int = 16,
     seed: int = 42,
     iters: int = 8,
+    opq: bool = False,
 ) -> None:
     """Persist a residual-IVFPQ index: ``{name}_centroids`` (tiny),
     ``{name}_codebooks`` (KiB), and ``{name}_codes`` — (id, codes)
@@ -465,10 +486,22 @@ def build_ivfpq_index(
     the operational difference between :func:`ivfpq_topk` (self-contained,
     refits every call) and a deployment serving repeated query batches.
     Raw vectors stay in the source table; searches that want the exact
-    re-rank pass it to :func:`ivfpq_index_topk` as ``rerank_corpus``."""
+    re-rank pass it to :func:`ivfpq_index_topk` as ``rerank_corpus``.
+
+    ``opq=True`` prepends the FAISS-style OPQ pretransform: a global
+    orthogonal rotation fitted on the training sample, applied to every
+    vector before clustering/encoding (Arrow-batched matvec) and
+    persisted as ``{name}_rotation``; queries are rotated at search
+    time. L2 is rotation-invariant, so ADC distances and the raw-vector
+    re-rank stay directly comparable."""
     from clinpy_spark.operators.similarity import _nearest_cells, fit_centroids
 
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    rotation = None
+    if opq:
+        x = _collect_training(c, "__cv", 100_000, m)
+        rotation = _fit_rotation_np(x, m, pq_k, seed, opq_iters=5, inner_iters=4)
+        c = _rotate_col(c, "__cv", rotation, "__cv")
     cents = fit_centroids(c, n_centroids, seed, max_iter=max(2, iters))
     if cents is None:
         raise ValueError("cannot index an empty corpus")
@@ -495,6 +528,14 @@ def build_ivfpq_index(
         assigned.select("match_id", "cell"), "match_id"
     ).select(F.col("match_id").alias(id_col), "cell", "codes")
     catalog.write(codes, f"{name}_codes", partition_by=["cell"])
+    if rotation is not None:
+        catalog.write(
+            spark.createDataFrame(
+                [(i, [float(v) for v in rotation[i]]) for i in range(rotation.shape[0])],
+                "i int, row array<double>",
+            ),
+            f"{name}_rotation",
+        )
 
 
 def ivfpq_index_topk(
@@ -526,6 +567,12 @@ def ivfpq_index_topk(
         F.col(id_col).alias("match_id"), "cell", "codes")
     q = ensure_min_parallelism(queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    rotation = load_pq_rotation(catalog, name)
+    if rotation is not None:
+        # OPQ index: probe/score in rotated space (centroids, residual
+        # codebooks, and codes all live there); re-rank below stays in
+        # raw space — L2 is rotation-invariant
+        q = _rotate_col(q, "__qv", rotation, "__qv")
     n_probe = max(1, min(n_probe, len(cent_rows)))
     probes = _nearest_cells(q, cents, "query_id", "__qv", n_probe)
     pairs = (

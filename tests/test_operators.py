@@ -578,6 +578,18 @@ def test_ivfpq_persisted_index_search_and_rerank(spark, tmp_path):
     assert rr >= raw  # refinement can only help
     assert rr >= 0.9  # clustered corpus + probe-4/8 + exact re-rank
 
+    # OPQ pretransform: rotation persisted, search rotates queries, and
+    # the re-ranked operating point holds on the rotated index too
+    from clinpy_spark.operators.pq import load_pq_rotation
+
+    build_ivfpq_index(catalog, emb, name="opq_idx", n_centroids=8, m=4,
+                      pq_k=16, seed=6, opq=True)
+    rot = load_pq_rotation(catalog, "opq_idx")
+    assert rot is not None and np.allclose(rot @ rot.T, np.eye(32), atol=1e-9)
+    rr_opq = recall(ivfpq_index_topk(catalog, queries, name="opq_idx", k=k,
+                                     n_probe=4, rerank_corpus=emb, shortlist=40))
+    assert rr_opq >= 0.9
+
 
 def test_ppm_codec_real_decode_and_resize(spark):
     """PPM (P6) payloads decode and resize for REAL (pure numpy, no
