@@ -8,8 +8,10 @@ executors in vectorized batches, never on the driver.
 Codec status: **PPM (P6), BMP (24-bit BI_RGB), PNG (8-bit depth, color
 types 0/2/3/4/6, non-interlaced), baseline JPEG (SOF0, 1/3
 components, sampling up to 2x2, restart markers — operators/jpeg.py),
-and GIF (LZW, palettes, interlace, animation — operators/gif.py)
-images decode and resize for real, WAV (PCM 8/16-bit) plus FLAC
+GIF (LZW, palettes, interlace, animation — operators/gif.py), and TIFF
+(both byte orders, strips, none/PackBits/TIFF-LZW compression,
+horizontal predictor — operators/tiff.py) images decode and resize for
+real, WAV (PCM 8/16-bit) plus FLAC
 (all subframe types and channel decorrelations — operators/flac.py)
 audio decodes and resamples for real, and MJPEG-AVI video plus
 animated GIF (operators/avi.py, operators/gif.py) extract, decode, and
@@ -36,6 +38,7 @@ from clinpy_spark.operators.avi import (
 from clinpy_spark.operators.flac import decode_flac, encode_flac, parse_flac_header
 from clinpy_spark.operators.gif import decode_gif, encode_gif, parse_gif_header
 from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
+from clinpy_spark.operators.tiff import decode_tiff, encode_tiff, parse_tiff_header
 
 import numpy as np
 import pandas as pd
@@ -394,6 +397,11 @@ def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
         fr = decode_gif(payload)
         if fr is not None:
             return ghdr[0], ghdr[1], float(fr[0].mean()) / 255.0  # first frame
+    thdr = parse_tiff_header(payload)
+    if thdr is not None:
+        px = decode_tiff(payload)
+        if px is not None:
+            return thdr[0], thdr[1], float(px.mean()) / 255.0
     whdr = parse_wav_header(payload)
     if whdr is not None:
         x = _wav_samples(payload, whdr)
@@ -520,6 +528,13 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
                 # NN resample keeps the palette <= 256, so the lossless
                 # re-encode always succeeds; animations stay animations
                 return encode_gif(fr[:, rows][:, :, cols])
+        if parse_tiff_header(payload) is not None:
+            px = decode_tiff(payload)
+            if px is not None:
+                fh, fw = px.shape[:2]
+                rows = (np.arange(height) * fh) // height
+                cols = (np.arange(width) * fw) // width
+                return encode_tiff(px[rows][:, cols])
         whdr = parse_wav_header(payload)
         if whdr is not None:
             _, rate, _, _, _ = whdr

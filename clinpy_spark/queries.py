@@ -3350,6 +3350,77 @@ def _synth_gif(docs: DataFrame) -> DataFrame:
     )
 
 
+@q("mm_tiff_features", """
+WITH d AS (
+  SELECT doc_id, 6 + doc_id % 7 AS w, 5 + doc_id % 6 AS h
+  FROM documents WHERE doc_id < 150),
+s1 AS (SELECT doc_id, w, h, unnest(range(h)) AS y FROM d),
+s2 AS (SELECT doc_id, w, h, y, unnest(range(w)) AS x FROM s1),
+s3 AS (SELECT doc_id, w, h, y, x, unnest(range(3)) AS c FROM s2),
+orig AS (
+  SELECT doc_id, 'orig' AS stage, w AS width, h AS height,
+         avg(CAST((doc_id * 7 + y * 3 + x * 5 + c * 11) % 256 AS DOUBLE)) / 255.0
+           AS mean_intensity
+  FROM s3 GROUP BY doc_id, w, h),
+r1 AS (SELECT doc_id, w, h, unnest(range(4)) AS i FROM d),
+r2 AS (SELECT doc_id, w, h, i, unnest(range(5)) AS j FROM r1),
+r3 AS (SELECT doc_id, w, h, (i * h) // 4 AS y, (j * w) // 5 AS x,
+              unnest(range(3)) AS c FROM r2),
+rez AS (
+  SELECT doc_id, 'resized' AS stage, CAST(5 AS BIGINT) AS width,
+         CAST(4 AS BIGINT) AS height,
+         avg(CAST((doc_id * 7 + y * 3 + x * 5 + c * 11) % 256 AS DOUBLE)) / 255.0
+           AS mean_intensity
+  FROM r3 GROUP BY doc_id)
+SELECT doc_id AS media_id, stage, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height, mean_intensity
+FROM (SELECT * FROM orig UNION ALL SELECT * FROM rez)
+""")
+def mm_tiff_features_q(spark, sf):
+    # TIFF, ORACLE-CHECKED pixel-by-pixel: deterministic RAMP images
+    # (px[y,x,c] = (doc_id*7 + y*3 + x*5 + c*11) % 256) are encoded on
+    # executors (operators/tiff.py), decoded through the real IFD/strip
+    # reader, featurized, then nearest-neighbor resized to 5x4 with a
+    # TIFF re-encode and re-decoded. TIFF is LOSSLESS, so DuckDB
+    # recomputes the decoded pixel values themselves for BOTH stages
+    # (including the NN index map (i*h)//4, (j*w)//5) — an IFD, strip,
+    # byte-order, or resize-index bug flips the hash.
+    from clinpy_spark.operators.multimodal import extract_features, resize
+
+    media = _synth_tiff(_t(spark, sf, "documents").filter(F.col("doc_id") < 150))
+    orig = extract_features(media).withColumn("stage", F.lit("orig"))
+    rez = extract_features(resize(media, width=5, height=4)).withColumn(
+        "stage", F.lit("resized"))
+    return orig.unionByName(rez).select(
+        "media_id", "stage", "width", "height", "mean_intensity"
+    )
+
+
+def _synth_tiff(docs: DataFrame) -> DataFrame:
+    """Deterministic ramp TIFF payloads from doc_id."""
+    import numpy as np
+    import pandas as pd
+
+    from clinpy_spark.operators.tiff import encode_tiff
+
+    def _synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 7, 5 + did % 6
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                px = ((did * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+                rows.append((did, "image", encode_tiff(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id long, media_type string, payload binary"
+    )
+
+
 @q("u1_grouped_filter", """
 SELECT event_id FROM (
   SELECT event_id, value, avg(value) OVER (PARTITION BY user_id) AS uavg
@@ -3980,6 +4051,7 @@ _PRIORITY: list[str] = [
     "mm_flac_features",  # new in r7 — needs its first driver record
     "mm_video_frames",   # new in r7 — needs its first driver record
     "mm_gif_frames",     # new in r7 — needs its first driver record
+    "mm_tiff_features",  # new in r7 — needs its first driver record
     "j18_fuzzy_join",    # new in r7 — needs its first driver record
     # -- round-5 head: the three r4-FAILED queries (TIMESTAMP_NTZ event
     # schema drift, fixed via epoch_seconds) whose latest driver record

@@ -1561,6 +1561,132 @@ def test_avi_mjpeg_real_video_path(spark):
                               np.full((4, 5, 3), f, dtype=np.uint8))
 
 
+def test_tiff_codec_real_decode_and_resize(spark):
+    """TIFF (operators/tiff.py): uncompressed encode round-trips exact
+    with a formula-predictable byte length; the decoder handles foreign
+    streams the encoder never emits — PackBits and TIFF-LZW compression
+    (MSB-first, early change), multi-strip layout, min-is-white
+    grayscale, the horizontal-differencing predictor, and big-endian
+    byte order; tiled TIFF refuses; Spark feature/resize paths work."""
+    import numpy as np
+
+    from clinpy_spark.operators.multimodal import as_media, extract_features, resize
+    from clinpy_spark.operators.tiff import decode_tiff, encode_tiff, parse_tiff_header
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (11, 14, 3), dtype=np.uint8)
+    t = encode_tiff(px)
+    assert parse_tiff_header(t) == (14, 11, 3)
+    assert len(t) == 8 + 2 + 9 * 12 + 4 + 6 + 11 * 14 * 3  # oracle formula
+    assert np.array_equal(decode_tiff(t), px)
+
+    g = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    tg = encode_tiff(g)
+    assert parse_tiff_header(tg) == (7, 9, 1)
+    assert np.array_equal(decode_tiff(tg)[:, :, 0], g)
+
+    def entry(tag, typ, cnt, val, lt):
+        b = tag.to_bytes(2, lt) + typ.to_bytes(2, lt) + cnt.to_bytes(4, lt)
+        if typ == 3 and cnt == 1:
+            return b + val.to_bytes(2, lt) + b"\x00\x00"
+        return b + val.to_bytes(4, lt)
+
+    def build(raw_strips, w, h, spp, comp, photo, rows_per, predictor=1, lt="little"):
+        pre = b"II*\x00" if lt == "little" else b"MM\x00*"
+        ntags, strips = 10, len(raw_strips)
+        hdr_len = 8 + 2 + ntags * 12 + 4
+        extra = (8).to_bytes(2, lt) * 3 if spp == 3 else b""
+        arr_off = hdr_len + len(extra)
+        counts = [len(b) for b in raw_strips]
+        data_start = arr_off + (8 * strips if strips > 1 else 0)
+        offsets, cur = [], data_start
+        for b in raw_strips:
+            offsets.append(cur)
+            cur += len(b)
+        arr = b""
+        if strips > 1:
+            arr = b"".join(o.to_bytes(4, lt) for o in offsets) \
+                + b"".join(c.to_bytes(4, lt) for c in counts)
+        tags = [entry(256, 3, 1, w, lt), entry(257, 3, 1, h, lt),
+                entry(258, 3, spp, 8 if spp == 1 else hdr_len, lt),
+                entry(259, 3, 1, comp, lt), entry(262, 3, 1, photo, lt),
+                entry(273, 4, strips, offsets[0] if strips == 1 else arr_off, lt),
+                entry(277, 3, 1, spp, lt), entry(278, 3, 1, rows_per, lt),
+                entry(279, 4, strips,
+                      counts[0] if strips == 1 else arr_off + 4 * strips, lt),
+                entry(317, 3, 1, predictor, lt)]
+        return (pre + (8).to_bytes(4, lt) + ntags.to_bytes(2, lt) + b"".join(tags)
+                + (0).to_bytes(4, lt) + extra + arr + b"".join(raw_strips))
+
+    # PackBits, min-is-white, 3 strips: literal-run compress each strip
+    gw = rng.integers(0, 256, (10, 6), dtype=np.uint8)
+    def pb(raw):
+        out = bytearray()
+        for i in range(0, len(raw), 128):
+            ch = raw[i:i + 128]
+            out.append(len(ch) - 1)
+            out += ch
+        return bytes(out)
+    strips = [pb(gw[i * 4:(i + 1) * 4].tobytes()) for i in range(3)]
+    d = decode_tiff(build(strips, 6, 10, 1, 32773, 0, 4))
+    assert np.array_equal(d[:, :, 0], 255 - gw)  # min-is-white inverted
+
+    # TIFF-LZW + horizontal predictor, RGB, big-endian container
+    rgbw = rng.integers(0, 256, (8, 5, 3), dtype=np.uint8)
+    pred = rgbw.astype(np.int64).copy()
+    pred[:, 1:] = (rgbw[:, 1:].astype(np.int64) - rgbw[:, :-1]) % 256
+    def lzw(raw):
+        width, table, nxt = 9, {bytes([i]): i for i in range(256)}, 258
+        acc = nb = 0
+        out = bytearray()
+        def put(code, wd):
+            nonlocal acc, nb
+            acc = (acc << wd) | code
+            nb += wd
+            while nb >= 8:
+                out.append((acc >> (nb - 8)) & 0xFF)
+                nb -= 8
+            acc &= (1 << nb) - 1
+        put(256, width)
+        prev = b""
+        for bt in raw:
+            cur = prev + bytes([bt])
+            if cur in table:
+                prev = cur
+                continue
+            put(table[prev], width)
+            table[cur] = nxt
+            nxt += 1
+            if nxt + 1 > (1 << width) and width < 12:
+                width += 1
+            prev = bytes([bt])
+        if prev:
+            put(table[prev], width)
+        put(257, width)
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        return bytes(out)
+    tl = build([lzw(pred.astype(np.uint8).tobytes())], 5, 8, 3, 5, 2, 8,
+               predictor=2, lt="big")
+    assert np.array_equal(decode_tiff(tl), rgbw)
+
+    # tiled TIFF refuses (tag 322)
+    bad = bytearray(encode_tiff(px))
+    # flip one tag id (259 compression -> 322 TileWidth) in the IFD
+    idf = bad.find((259).to_bytes(2, "little"), 8)
+    bad[idf:idf + 2] = (322).to_bytes(2, "little")
+    assert parse_tiff_header(bytes(bad)) is None
+
+    df = spark.createDataFrame([(1, bytearray(t))], "media_id long, payload binary")
+    media = as_media(df, "media_id", "payload", "image")
+    f = extract_features(media).collect()[0]
+    assert (f.width, f.height) == (14, 11)
+    assert abs(f.mean_intensity - float(px.mean()) / 255) < 1e-9
+    out = bytes(resize(media, width=4, height=3).collect()[0].payload)
+    assert parse_tiff_header(out) == (4, 3, 3)
+    assert decode_tiff(out)[0, 0].tolist() == px[0, 0].tolist()
+
+
 def test_gif_codec_real_decode_and_animation(spark):
     """GIF (operators/gif.py): real LZW both directions — paletted
     round-trips exact (incl. the 256-color maximum and dictionary

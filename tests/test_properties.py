@@ -497,10 +497,11 @@ def test_flac_roundtrip_property(n, ch, bps, blocksize, seed):
 
 
 @settings(max_examples=30, deadline=None)
-@given(seed=st.integers(0, 2**31 - 1), which=st.sampled_from(["jpeg", "flac", "avi", "gif"]))
+@given(seed=st.integers(0, 2**31 - 1),
+       which=st.sampled_from(["jpeg", "flac", "avi", "gif", "tiff"]))
 def test_codec_corruption_never_raises(seed, which):
     """Malformed payloads must decode to None, never raise out of an
-    executor batch: random byte corruption of valid JPEG/FLAC/AVI/GIF
+    executor batch: random byte corruption of valid JPEG/FLAC/AVI/GIF/TIFF
     streams (hits every header segment and the entropy data)."""
     import numpy as np
 
@@ -521,6 +522,11 @@ def test_codec_corruption_never_raises(seed, which):
         base = encode_gif(np.stack([np.full((9, 11, 3), f, np.uint8)
                                     for f in (10, 80, 150)]))
         decode = decode_gif
+    elif which == "tiff":
+        from clinpy_spark.operators.tiff import decode_tiff, encode_tiff
+
+        base = encode_tiff(rng.integers(0, 256, (9, 11, 3), dtype=np.uint8))
+        decode = decode_tiff
     else:
         base = encode_avi_mjpeg(
             [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)])
