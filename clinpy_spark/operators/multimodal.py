@@ -38,7 +38,12 @@ from clinpy_spark.operators.avi import (
 from clinpy_spark.operators.flac import decode_flac, encode_flac, parse_flac_header
 from clinpy_spark.operators.gif import decode_gif, encode_gif, parse_gif_header
 from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
-from clinpy_spark.operators.tiff import decode_tiff, encode_tiff, parse_tiff_header
+from clinpy_spark.operators.tiff import (
+    decode_tiff,
+    decode_tiff_pages,
+    encode_tiff,
+    parse_tiff_header,
+)
 
 import numpy as np
 import pandas as pd
@@ -611,6 +616,17 @@ def frame_extract(media: DataFrame, every_n: int = 1, max_frames: int = 8) -> Da
                     for k in list(range(0, len(fr), every_n))[:max_frames]:
                         rows.append((int(mid), k, fr.shape[2], fr.shape[1],
                                      float(fr[k].mean()) / 255.0, encode_gif(fr[k])))
+                    continue
+                if parse_tiff_header(payload) is not None:
+                    # multi-page TIFF (scanned document): one row per
+                    # sampled page, re-emitted as single-page TIFF
+                    pgs = decode_tiff_pages(payload)
+                    if pgs is None:
+                        continue
+                    for k in list(range(0, len(pgs), every_n))[:max_frames]:
+                        p = pgs[k]
+                        rows.append((int(mid), k, p.shape[1], p.shape[0],
+                                     float(p.mean()) / 255.0, encode_tiff(p)))
                     continue
                 frames = avi_frames(payload)
                 for k in list(range(0, len(frames), every_n))[:max_frames]:

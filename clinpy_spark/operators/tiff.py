@@ -30,11 +30,11 @@ import numpy as np
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
-def _read_ifd(payload: bytes, lt: str) -> dict[int, tuple[int, int, int]] | None:
-    """First IFD -> {tag: (type, count, value_or_offset)}; values that
-    fit in 4 bytes are decoded inline per spec."""
-    off = int.from_bytes(payload[4:8], lt)
-    if off + 2 > len(payload):
+def _read_ifd_at(payload: bytes, lt: str, off: int
+                 ) -> tuple[dict[int, tuple[int, int, int]], int] | None:
+    """IFD at ``off`` -> ({tag: (type, count, value_or_offset)},
+    next_ifd_offset); inline values decoded left-justified per spec."""
+    if off <= 0 or off + 2 > len(payload):
         return None
     n = int.from_bytes(payload[off:off + 2], lt)
     out: dict[int, tuple[int, int, int]] = {}
@@ -51,7 +51,28 @@ def _read_ifd(payload: bytes, lt: str) -> dict[int, tuple[int, int, int]] | None
             val = int.from_bytes(payload[pos + 8:pos + 8 + _TYPE_SIZES[typ]], lt)
         out[tag] = (typ, cnt, val)
         pos += 12
-    return out
+    if pos + 4 > len(payload):
+        return out, 0
+    return out, int.from_bytes(payload[pos:pos + 4], lt)
+
+
+def _read_ifd(payload: bytes, lt: str) -> dict[int, tuple[int, int, int]] | None:
+    r = _read_ifd_at(payload, lt, int.from_bytes(payload[4:8], lt))
+    return r[0] if r else None
+
+
+def _ifd_offsets(payload: bytes, lt: str, max_pages: int = 1000) -> list[int]:
+    """Walk the IFD chain -> page offsets (seen-set breaks cycles)."""
+    offs, seen = [], set()
+    off = int.from_bytes(payload[4:8], lt)
+    while off and off not in seen and len(offs) < max_pages:
+        seen.add(off)
+        r = _read_ifd_at(payload, lt, off)
+        if r is None:
+            break
+        offs.append(off)
+        off = r[1]
+    return offs
 
 
 def _tag_values(payload: bytes, lt: str, entry: tuple[int, int, int]) -> list[int]:
@@ -85,25 +106,44 @@ def parse_tiff_header(payload: bytes) -> tuple[int, int, int] | None:
         else:
             return None
         ifd = _read_ifd(payload, lt)
-        if ifd is None or 256 not in ifd or 257 not in ifd or 273 not in ifd:
+        if ifd is None:
             return None
-        w = _tag_values(payload, lt, ifd[256])[0]
-        h = _tag_values(payload, lt, ifd[257])[0]
-        spp = _tag_values(payload, lt, ifd[277])[0] if 277 in ifd else 1
-        bits = _tag_values(payload, lt, ifd[258]) if 258 in ifd else [8]
-        comp = _tag_values(payload, lt, ifd[259])[0] if 259 in ifd else 1
-        photo = _tag_values(payload, lt, ifd[262])[0] if 262 in ifd else 1
-        if 322 in ifd or 323 in ifd:  # tiled
-            return None
-        if w <= 0 or h <= 0 or w * h > (1 << 26):
-            return None
-        if spp not in (1, 3) or any(b != 8 for b in bits) or len(bits) != spp:
-            return None
-        if comp not in (1, 5, 32773) or photo not in (0, 1, 2):
-            return None
-        return w, h, spp
+        return _page_dims(payload, lt, ifd)
     except (IndexError, ValueError, OverflowError):
         return None
+
+
+def _page_dims(payload: bytes, lt: str,
+               ifd: dict[int, tuple[int, int, int]]) -> tuple[int, int, int] | None:
+    """Validate one page's IFD -> (w, h, spp) or None if unsupported."""
+    if 256 not in ifd or 257 not in ifd or 273 not in ifd:
+        return None
+    w = _tag_values(payload, lt, ifd[256])[0]
+    h = _tag_values(payload, lt, ifd[257])[0]
+    spp = _tag_values(payload, lt, ifd[277])[0] if 277 in ifd else 1
+    bits = _tag_values(payload, lt, ifd[258]) if 258 in ifd else [8]
+    comp = _tag_values(payload, lt, ifd[259])[0] if 259 in ifd else 1
+    photo = _tag_values(payload, lt, ifd[262])[0] if 262 in ifd else 1
+    if 322 in ifd or 323 in ifd:  # tiled
+        return None
+    if w <= 0 or h <= 0 or w * h > (1 << 26):
+        return None
+    if spp not in (1, 3) or any(b != 8 for b in bits) or len(bits) != spp:
+        return None
+    if comp not in (1, 5, 32773) or photo not in (0, 1, 2):
+        return None
+    return w, h, spp
+
+
+def tiff_page_count(payload: bytes) -> int:
+    """Number of IFDs in the chain (multi-page documents), 0 if not TIFF."""
+    try:
+        if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+            return 0
+        lt = "little" if payload[:2] == b"II" else "big"
+        return len(_ifd_offsets(payload, lt))
+    except (IndexError, ValueError, OverflowError):
+        return 0
 
 
 def _packbits(data: bytes, expect: int) -> bytes:
@@ -163,20 +203,48 @@ def _lzw_tiff(data: bytes, expect: int) -> bytes:
 
 
 def decode_tiff(payload: bytes) -> np.ndarray | None:
-    """TIFF bytes -> (h, w, channels) uint8, or None if unsupported."""
+    """TIFF bytes -> FIRST page as (h, w, channels) uint8, or None."""
     try:
-        return _decode_tiff_inner(payload)
+        pages = _decode_tiff_pages_inner(payload, first_only=True)
+        return pages[0] if pages else None
     except (IndexError, ValueError, KeyError, OverflowError):
         return None
 
 
-def _decode_tiff_inner(payload: bytes) -> np.ndarray | None:
-    hdr = parse_tiff_header(payload)
-    if hdr is None:
+def decode_tiff_pages(payload: bytes) -> list[np.ndarray] | None:
+    """Multi-page TIFF -> list of (h, w, channels) uint8 arrays (pages
+    may differ in shape), or None if any page is unsupported — a partial
+    document silently missing pages is worse than an explicit fallback."""
+    try:
+        return _decode_tiff_pages_inner(payload, first_only=False)
+    except (IndexError, ValueError, KeyError, OverflowError):
         return None
-    w, h, spp = hdr
+
+
+def _decode_tiff_pages_inner(payload: bytes, first_only: bool) -> list[np.ndarray] | None:
+    if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
     lt = "little" if payload[:2] == b"II" else "big"
-    ifd = _read_ifd(payload, lt)
+    out = []
+    for off in _ifd_offsets(payload, lt):
+        r = _read_ifd_at(payload, lt, off)
+        if r is None:
+            return None
+        px = _decode_page(payload, lt, r[0])
+        if px is None:
+            return None
+        out.append(px)
+        if first_only:
+            break
+    return out or None
+
+
+def _decode_page(payload: bytes, lt: str,
+                 ifd: dict[int, tuple[int, int, int]]) -> np.ndarray | None:
+    dims = _page_dims(payload, lt, ifd)
+    if dims is None:
+        return None
+    w, h, spp = dims
     comp = _tag_values(payload, lt, ifd[259])[0] if 259 in ifd else 1
     photo = _tag_values(payload, lt, ifd[262])[0] if 262 in ifd else 1
     offsets = _tag_values(payload, lt, ifd[273])
@@ -209,15 +277,10 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray | None:
     return px.copy()
 
 
-def encode_tiff(px: np.ndarray) -> bytes:
-    """(h, w) or (h, w, 1|3) uint8 -> uncompressed little-endian TIFF,
-    single strip. Byte length = 8 + 2 + n_tags*12 + 4 + h*w*c exactly
-    (what the SQL oracle leans on)."""
-    if px.ndim == 2:
-        px = px[:, :, None]
+def _encode_page(px: np.ndarray, ifd_off: int, next_ifd: int) -> bytes:
+    """One page's IFD + data at absolute offset ``ifd_off``; the IFD's
+    next pointer is set to ``next_ifd`` (0 terminates the chain)."""
     h, w, c = px.shape
-    if c not in (1, 3):
-        raise ValueError("encode_tiff supports 1 or 3 channels")
     data = px.tobytes()
     tags = [
         (256, 3, 1, w),            # width
@@ -235,7 +298,6 @@ def encode_tiff(px: np.ndarray) -> bytes:
     else:
         tags.insert(2, (258, 3, 1, 8))
     n = len(tags)
-    ifd_off = 8
     data_off = ifd_off + 2 + n * 12 + 4
     extra = b""
     if c == 3:
@@ -244,8 +306,7 @@ def encode_tiff(px: np.ndarray) -> bytes:
         data_off += 6
         tags = [(t, ty, cn, bits_off if t == 258 else v) for t, ty, cn, v in tags]
     tags = [(t, ty, cn, data_off if t == 273 else v) for t, ty, cn, v in tags]
-    out = bytearray(b"II*\x00" + ifd_off.to_bytes(4, "little"))
-    out += n.to_bytes(2, "little")
+    out = bytearray(n.to_bytes(2, "little"))
     for tag, typ, cnt, val in tags:
         out += tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
         out += cnt.to_bytes(4, "little")
@@ -253,6 +314,38 @@ def encode_tiff(px: np.ndarray) -> bytes:
             out += val.to_bytes(2, "little") + b"\x00\x00"
         else:
             out += val.to_bytes(4, "little")
-    out += (0).to_bytes(4, "little")  # no next IFD
+    out += next_ifd.to_bytes(4, "little")
     out += extra + data
+    return bytes(out)
+
+
+def page_size(px: np.ndarray) -> int:
+    """Encoded byte size of one page (IFD + data)."""
+    h, w, c = px.shape
+    return 2 + (9 * 12) + 4 + (6 if c == 3 else 0) + h * w * c
+
+
+def encode_tiff(px: np.ndarray | list) -> bytes:
+    """uint8 (h, w), (h, w, 1|3), or a LIST of such pages ->
+    uncompressed little-endian TIFF (single strip per page; multi-page
+    via the IFD chain — the scanned-document layout). Byte length =
+    8 + sum over pages of (2 + n_tags*12 + 4 [+6 for RGB] + h*w*c),
+    exactly (what the SQL oracle leans on)."""
+    pages = px if isinstance(px, list) else [px]
+    norm = []
+    for p in pages:
+        p = np.asarray(p, dtype=np.uint8)
+        if p.ndim == 2:
+            p = p[:, :, None]
+        if p.shape[2] not in (1, 3):
+            raise ValueError("encode_tiff supports 1 or 3 channels")
+        norm.append(p)
+    if not norm:
+        raise ValueError("cannot encode an empty page list")
+    out = bytearray(b"II*\x00" + (8).to_bytes(4, "little"))
+    off = 8
+    for i, p in enumerate(norm):
+        nxt = 0 if i == len(norm) - 1 else off + page_size(p)
+        out += _encode_page(p, off, nxt)
+        off += page_size(p)
     return bytes(out)

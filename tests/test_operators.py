@@ -1686,6 +1686,26 @@ def test_tiff_codec_real_decode_and_resize(spark):
     assert parse_tiff_header(out) == (4, 3, 3)
     assert decode_tiff(out)[0, 0].tolist() == px[0, 0].tolist()
 
+    # multi-page document: IFD chain round-trips, frame_extract samples
+    # pages like GIF/AVI frames and re-emits standalone single-page TIFFs
+    from clinpy_spark.operators.multimodal import frame_extract
+    from clinpy_spark.operators.tiff import decode_tiff_pages, tiff_page_count
+
+    pages = [np.full((5 + k, 6, 3), 40 * (k + 1), dtype=np.uint8) for k in range(4)]
+    doc = encode_tiff(pages)
+    assert tiff_page_count(doc) == 4
+    dp = decode_tiff_pages(doc)
+    assert all(np.array_equal(a, b) for a, b in zip(dp, pages))
+    mdoc = as_media(spark.createDataFrame([(7, bytearray(doc))],
+                                          "media_id long, payload binary"),
+                    "media_id", "payload", "image")
+    got = {(r.frame_no, r.width, r.height, round(r.mean_intensity * 255))
+           for r in frame_extract(mdoc, every_n=2).collect()}
+    assert got == {(0, 6, 5, 40), (2, 6, 7, 120)}
+    frames = {r.frame_no: bytes(r.frame)
+              for r in frame_extract(mdoc, every_n=2).collect()}
+    assert np.array_equal(decode_tiff(frames[2]), pages[2])
+
 
 def test_gif_codec_real_decode_and_animation(spark):
     """GIF (operators/gif.py): real LZW both directions — paletted
