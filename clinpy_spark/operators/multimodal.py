@@ -18,11 +18,12 @@ animated GIF (operators/avi.py, operators/gif.py) extract, decode, and
 resize real keyframes** — all pure-spec formats needing
 only header parse + stdlib ``zlib`` + numpy array math, no media
 library (PIL/imageio/cv2 re-probed absent in this container each
-round). The one remaining format family (MP3 and other LOSSY audio)
-falls back to a deterministic stand-in that exercises the Spark-side
-contract (schema, batching, partitioning); swap the fallback for
-librosa/pyav in production — the dispatch seam is ``_decode_one`` /
-``_resize_one``.
+round). LOSSY audio decodes too: MPEG-1 Layer II (MP2,
+operators/mp2.py) — full ISO 11172-3 bitstream semantics with a
+derived near-PR synthesis window (see its module doc for the one
+documented deviation). MP3 proper (Layer III: Huffman + hybrid MDCT)
+remains out of scope; an MP3 payload takes the deterministic fallback
+— the dispatch seam is ``_decode_one`` / ``_resize_one``.
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ from clinpy_spark.operators.avi import (
 from clinpy_spark.operators.flac import decode_flac, encode_flac, parse_flac_header
 from clinpy_spark.operators.gif import decode_gif, encode_gif, parse_gif_header
 from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
+from clinpy_spark.operators.mp2 import decode_mp2, parse_mp2_header
 from clinpy_spark.operators.tiff import (
     decode_tiff,
     decode_tiff_pages,
@@ -358,6 +360,29 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     )
 
 
+def _quantize_256(frames: np.ndarray) -> np.ndarray:
+    """Quantize (…, h, w, 3) uint8 pixels to their 256 most frequent
+    colors, remapping every other pixel to the nearest kept color
+    (Euclidean in RGB). Deterministic (frequency then RGB-value order),
+    pure numpy — enough to keep encode_gif's <=256-color invariant on
+    spec-legal composites without an image library."""
+    flat = frames.reshape(-1, 3).astype(np.uint8)
+    colors, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True)
+    if len(colors) <= 256:
+        return frames
+    keep = np.sort(np.argsort(counts, kind="stable")[::-1][:256])
+    kept = colors[keep].astype(np.int32)
+    # map each distinct color (not each pixel) to its nearest kept color;
+    # chunked so the distance matrix stays <= ~64k x 256 x 3 int32
+    nearest = np.empty(len(colors), dtype=np.int64)
+    for lo in range(0, len(colors), 65536):
+        chunk = colors[lo:lo + 65536].astype(np.int32)
+        d = chunk[:, None, :] - kept[None, :, :]
+        nearest[lo:lo + 65536] = np.argmin((d * d).sum(axis=2), axis=1)
+    return kept[nearest][inverse].astype(np.uint8).reshape(frames.shape)
+
+
 def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
     """Decode dispatch: REAL codecs for PPM (P6), BMP (24-bit BI_RGB),
     and PNG (8-bit, types 0/2/3/4/6) images and WAV (PCM 8/16-bit)
@@ -372,54 +397,72 @@ def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, float]:
     per-frame work belongs to :func:`frame_extract`)."""
     if media_type not in {"image", "audio", "video"}:
         raise NotImplementedError(f"no codec registered for media_type={media_type!r}")
-    ahdr = parse_avi_header(payload)
-    if ahdr is not None:
-        frames = avi_frames(payload)
-        px = decode_jpeg(frames[0]) if frames else None
-        if px is not None:
-            return ahdr[0], ahdr[1], float(px.mean()) / 255.0
-    hdr = parse_ppm_header(payload)
-    if hdr is not None:
-        w, h, maxval, _ = hdr
-        return w, h, float(_ppm_pixels(payload, hdr).mean()) / maxval
-    bhdr = parse_bmp_header(payload)
-    if bhdr is not None:
-        w, h, _ = bhdr
-        return w, h, float(_bmp_pixels(payload, bhdr).mean()) / 255.0
-    phdr = parse_png_header(payload)
-    if phdr is not None:
-        px = _png_pixels(payload, phdr)
-        if px is not None:
-            color = px[:, :, :3] if px.shape[2] >= 3 else px[:, :, :1]
-            return phdr[0], phdr[1], float(color.mean()) / 255.0
-    jhdr = parse_jpeg_header(payload)
-    if jhdr is not None:
-        px = decode_jpeg(payload)
-        if px is not None:
-            return jhdr[0], jhdr[1], float(px.mean()) / 255.0
-    ghdr = parse_gif_header(payload)
-    if ghdr is not None:
-        fr = decode_gif(payload)
-        if fr is not None:
-            return ghdr[0], ghdr[1], float(fr[0].mean()) / 255.0  # first frame
-    thdr = parse_tiff_header(payload)
-    if thdr is not None:
-        px = decode_tiff(payload)
-        if px is not None:
-            return thdr[0], thdr[1], float(px.mean()) / 255.0
-    whdr = parse_wav_header(payload)
-    if whdr is not None:
-        x = _wav_samples(payload, whdr)
-        mean_amp = float(np.abs(x).mean()) if x.size else 0.0
-        return x.shape[0], x.shape[1] if x.size else whdr[0], mean_amp
-    fhdr = parse_flac_header(payload)
-    if fhdr is not None:
-        x = decode_flac(payload)
-        if x is not None:
-            _, _, bps, _ = fhdr
-            scale = float(1 << (bps - 1))
-            mean_amp = float(np.abs(x).mean()) / scale if x.size else 0.0
-            return x.shape[0], x.shape[1], mean_amp
+    # Probe only the formats registered for the DECLARED media_type — a
+    # mistyped payload (an 'audio' row carrying a GIF) takes the
+    # deterministic fallback instead of silently returning image
+    # features under an audio contract.
+    if media_type == "video":
+        ahdr = parse_avi_header(payload)
+        if ahdr is not None:
+            frames = avi_frames(payload)
+            px = decode_jpeg(frames[0]) if frames else None
+            if px is not None:
+                return ahdr[0], ahdr[1], float(px.mean()) / 255.0
+        ghdr = parse_gif_header(payload)  # animated GIF as video
+        if ghdr is not None:
+            fr = decode_gif(payload)
+            if fr is not None:
+                return ghdr[0], ghdr[1], float(fr[0].mean()) / 255.0
+    if media_type == "image":
+        hdr = parse_ppm_header(payload)
+        if hdr is not None:
+            w, h, maxval, _ = hdr
+            return w, h, float(_ppm_pixels(payload, hdr).mean()) / maxval
+        bhdr = parse_bmp_header(payload)
+        if bhdr is not None:
+            w, h, _ = bhdr
+            return w, h, float(_bmp_pixels(payload, bhdr).mean()) / 255.0
+        phdr = parse_png_header(payload)
+        if phdr is not None:
+            px = _png_pixels(payload, phdr)
+            if px is not None:
+                color = px[:, :, :3] if px.shape[2] >= 3 else px[:, :, :1]
+                return phdr[0], phdr[1], float(color.mean()) / 255.0
+        jhdr = parse_jpeg_header(payload)
+        if jhdr is not None:
+            px = decode_jpeg(payload)
+            if px is not None:
+                return jhdr[0], jhdr[1], float(px.mean()) / 255.0
+        ghdr = parse_gif_header(payload)
+        if ghdr is not None:
+            fr = decode_gif(payload)
+            if fr is not None:
+                return ghdr[0], ghdr[1], float(fr[0].mean()) / 255.0  # first frame
+        thdr = parse_tiff_header(payload)
+        if thdr is not None:
+            px = decode_tiff(payload)
+            if px is not None:
+                return thdr[0], thdr[1], float(px.mean()) / 255.0
+    if media_type == "audio":
+        whdr = parse_wav_header(payload)
+        if whdr is not None:
+            x = _wav_samples(payload, whdr)
+            mean_amp = float(np.abs(x).mean()) if x.size else 0.0
+            return x.shape[0], x.shape[1] if x.size else whdr[0], mean_amp
+        fhdr = parse_flac_header(payload)
+        if fhdr is not None:
+            x = decode_flac(payload)
+            if x is not None:
+                _, _, bps, _ = fhdr
+                scale = float(1 << (bps - 1))
+                mean_amp = float(np.abs(x).mean()) / scale if x.size else 0.0
+                return x.shape[0], x.shape[1], mean_amp
+        mhdr = parse_mp2_header(payload)
+        if mhdr is not None:
+            x = decode_mp2(payload)
+            if x is not None:
+                mean_amp = float(np.abs(x).mean()) if x.size else 0.0
+                return x.shape[0], x.shape[1], mean_amp
     n = len(payload)
     width = (n % 64) + 1
     height = (n % 48) + 1
@@ -530,9 +573,18 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
                 _, fh, fw, _ = fr.shape
                 rows = (np.arange(height) * fh) // height
                 cols = (np.arange(width) * fw) // width
-                # NN resample keeps the palette <= 256, so the lossless
-                # re-encode always succeeds; animations stay animations
-                return encode_gif(fr[:, rows][:, :, cols])
+                out = fr[:, rows][:, :, cols]
+                try:
+                    # animations stay animations; lossless when the
+                    # composited frames still fit one palette
+                    return encode_gif(out)
+                except ValueError:
+                    # Spec-legal GIFs (per-frame local palettes, partial
+                    # overlays, transparency composites) can exceed 256
+                    # distinct colors once composited; quantize to the
+                    # 256 most frequent colors (nearest-neighbor remap)
+                    # rather than crashing the executor task.
+                    return encode_gif(_quantize_256(out))
         if parse_tiff_header(payload) is not None:
             px = decode_tiff(payload)
             if px is not None:
@@ -614,8 +666,15 @@ def frame_extract(media: DataFrame, every_n: int = 1, max_frames: int = 8) -> Da
                     if fr is None:
                         continue
                     for k in list(range(0, len(fr), every_n))[:max_frames]:
+                        try:
+                            enc = encode_gif(fr[k])
+                        except ValueError:
+                            # composited frame exceeds 256 colors
+                            # (per-frame local palettes / overlays):
+                            # quantize instead of crashing the task
+                            enc = encode_gif(_quantize_256(fr[k]))
                         rows.append((int(mid), k, fr.shape[2], fr.shape[1],
-                                     float(fr[k].mean()) / 255.0, encode_gif(fr[k])))
+                                     float(fr[k].mean()) / 255.0, enc))
                     continue
                 if parse_tiff_header(payload) is not None:
                     # multi-page TIFF (scanned document): one row per

@@ -548,13 +548,20 @@ def ivfpq_index_topk(
     vec_col: str = "embedding",
     rerank_corpus: DataFrame | None = None,
     shortlist: int = 50,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Search a persisted residual-IVFPQ index (see
     :func:`build_ivfpq_index`). Probed cell ids filter the
     cell-partitioned code table — partition pruning keeps the scan to
     n_probe/n_centroids of the CODES, never the raw vectors. With
     ``rerank_corpus`` the ADC shortlist is exact-re-ranked
-    (:func:`exact_rerank`), which is the recommended operating point."""
+    (:func:`exact_rerank`), which is the recommended operating point.
+
+    Bounded-queries contract (same as :func:`pq_topk`): the re-rank
+    broadcasts the query vectors, so the probe batch is capped at
+    ``max_queries`` — chunk a larger probe set or raise the cap
+    explicitly. This is the small-batch-vs-huge-corpus asymmetry every
+    ANN deployment has; the CORPUS side is never collected."""
     from clinpy_spark.operators.similarity import _nearest_cells
 
     cents = catalog.table(f"{name}_centroids").select(
@@ -590,6 +597,9 @@ def ivfpq_index_topk(
     )
     if rerank_corpus is None:
         return adc
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(f"query batch exceeds max_queries={max_queries}; "
+                         "chunk the probe set or raise the cap")
     return exact_rerank(adc, queries, rerank_corpus, k, id_col, vec_col)
 
 

@@ -87,6 +87,12 @@ def _tag_values(payload: bytes, lt: str, entry: tuple[int, int, int]) -> list[in
     if size * cnt <= 4:
         base = val.to_bytes(4, lt)
         return [int.from_bytes(base[i * size:(i + 1) * size], lt) for i in range(cnt)]
+    if val + size * cnt > len(payload):
+        # Out-of-line data past EOF: a truncated strip-offset array would
+        # otherwise slice to b'' and silently decode as offset 0, making
+        # _decode_page return header bytes as pixels. Raise instead (the
+        # decode wrappers catch ValueError -> None, never wrong pixels).
+        raise ValueError("tag data extends past end of payload")
     return [
         int.from_bytes(payload[val + i * size: val + (i + 1) * size], lt)
         for i in range(cnt)

@@ -498,11 +498,12 @@ def test_flac_roundtrip_property(n, ch, bps, blocksize, seed):
 
 @settings(max_examples=30, deadline=None)
 @given(seed=st.integers(0, 2**31 - 1),
-       which=st.sampled_from(["jpeg", "flac", "avi", "gif", "tiff"]))
+       which=st.sampled_from(["jpeg", "flac", "avi", "gif", "tiff", "mp2"]))
 def test_codec_corruption_never_raises(seed, which):
     """Malformed payloads must decode to None, never raise out of an
-    executor batch: random byte corruption of valid JPEG/FLAC/AVI/GIF/TIFF
-    streams (hits every header segment and the entropy data)."""
+    executor batch: random byte corruption of valid
+    JPEG/FLAC/AVI/GIF/TIFF/MP2 streams (hits every header segment and
+    the entropy data)."""
     import numpy as np
 
     from clinpy_spark.operators.avi import decode_avi_frame, encode_avi_mjpeg
@@ -527,6 +528,12 @@ def test_codec_corruption_never_raises(seed, which):
 
         base = encode_tiff(rng.integers(0, 256, (9, 11, 3), dtype=np.uint8))
         decode = decode_tiff
+    elif which == "mp2":
+        from clinpy_spark.operators.mp2 import decode_mp2, encode_mp2
+
+        t = np.arange(2304)
+        base = encode_mp2(0.4 * np.sin(2 * np.pi * 700 * t / 48000))
+        decode = decode_mp2
     else:
         base = encode_avi_mjpeg(
             [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)])
