@@ -106,10 +106,10 @@ class Junctions(Assay):
 
     def search(
         self,
-        chrom: str,
-        start: int,
-        end: int,
-        strand: str,
+        chrom: "str | DataFrame",
+        start: int | None = None,
+        end: int | None = None,
+        strand: str | None = None,
         samples: list | None = None,
         unique: bool = False,
         filtered: bool = True,
@@ -122,7 +122,13 @@ class Junctions(Assay):
         every carrier of a matching junction, not only the listed ones).
         ``unique=True`` returns coordinates only. Chrom-partitioned
         masters prune the scan to one partition; the bridge join
-        broadcasts the (small) region-matched junction set."""
+        broadcasts the (small) region-matched junction set.
+
+        Passing a DataFrame of regions as the first argument (the
+        reference's pyranges form) delegates to :meth:`search_regions`."""
+        if isinstance(chrom, DataFrame):
+            return self.search_regions(
+                chrom, samples=samples, unique=unique, filtered=filtered)
         junc_t, bridge_t = self._tables(filtered)
         j = self.db.table(junc_t).filter(
             (F.col("chrom") == chrom) & (F.col("strand") == strand)
@@ -137,6 +143,73 @@ class Junctions(Assay):
         return (
             j.join(bridge, j.id == bridge.junction)
             .select("chrom", "start", "end", "strand",
+                    "samplename", "uniq_map", "multi_map")
+        )
+
+    def search_regions(
+        self,
+        regions: DataFrame,
+        samples: list | None = None,
+        unique: bool = False,
+        filtered: bool = True,
+        bin_size: int = 100_000,
+    ) -> DataFrame:
+        """Batch form of :meth:`search` — the reference's
+        ``Junctions.search(gr)`` takes a pyranges object, i.e. a TABLE
+        of regions (junction.py:74-112); this takes the Spark-native
+        equivalent: a DataFrame with columns ``chrom``, ``start``,
+        ``end`` and optionally ``strand`` and ``region_id``. Output rows
+        are keyed by ``region_id`` (stamped deterministically from the
+        coordinates when absent), one row per (region, overlapping
+        junction[, carrier]) — the pyranges join result, relational.
+
+        Runs through :func:`binned_interval_join`: both sides can be
+        large (a million-region panel against the full junction master
+        stays an equi-join on (chrom[, strand], bin) — never a
+        broadcast-nested-loop), and the chrom partition key lines up
+        with the master's chrom-partitioned layout for pruning."""
+        from clinpy_spark.functions.intervals import binned_interval_join
+
+        rcols = set(regions.columns)
+        if not {"chrom", "start", "end"} <= rcols:
+            raise ValueError("regions needs chrom/start/end columns")
+        if "region_id" not in rcols:
+            regions = regions.withColumn(
+                "region_id",
+                F.xxhash64("chrom", "start", "end",
+                           *(["strand"] if "strand" in rcols else [])),
+            )
+        ren = {"chrom": "region_chrom", "start": "region_start",
+               "end": "region_end", "strand": "region_strand"}
+        reg = regions.select(
+            "region_id",
+            *[F.col(c).alias(ren[c]) for c in ("chrom", "start", "end", "strand")
+              if c in rcols],
+        )
+        keys = [("chrom", "region_chrom")]
+        if "region_strand" in reg.columns:
+            keys.append(("strand", "region_strand"))
+
+        junc_t, bridge_t = self._tables(filtered)
+        j = self.db.table(junc_t)
+        bridge = self.db.table(bridge_t)
+        if samples:
+            carried = bridge.filter(
+                F.col("samplename").isin(samples)).select("junction")
+            j = j.join(F.broadcast(carried), j.id == F.col("junction"),
+                       "left_semi")
+        hits = binned_interval_join(
+            j, reg,
+            left_start="start", left_end="end",
+            right_start="region_start", right_end="region_end",
+            partition_keys=keys,
+            bin_size=bin_size,
+        )
+        if unique:
+            return hits.select("region_id", "chrom", "start", "end", "strand")
+        return (
+            hits.join(bridge, hits.id == bridge.junction)
+            .select("region_id", "chrom", "start", "end", "strand",
                     "samplename", "uniq_map", "multi_map")
         )
 

@@ -43,7 +43,14 @@ class Variants(Assay):
         variants = self.db.table(var_t)
         mapping = self.db.table(map_t)
 
-        if region:
+        if isinstance(region, DataFrame):
+            # batch form (reference search_region takes a pyranges gr,
+            # variants.py:82-109): keep only variants inside ANY region;
+            # for per-region keyed output use :meth:`search_region`.
+            variants = self.search_region(
+                region, rna=rna, filtered=filtered, _master_only=True
+            ).drop("region_id").distinct()
+        elif region:
             chrom, start, end = region
             variants = variants.filter(
                 (F.col("chrom") == chrom) & F.col("pos").between(start, end)
@@ -61,6 +68,87 @@ class Variants(Assay):
             # join doesn't produce a duplicate chrom.
             imp = self.db.table(imp_t).drop("chrom")
             out = out.join(imp, "variant_id")  # :64 fixed chain
+        return out
+
+    def search_region(
+        self,
+        regions: DataFrame,
+        samples: list | None = None,
+        rna: bool = False,
+        filtered: bool = False,
+        bin_size: int = 100_000,
+        _master_only: bool = False,
+    ) -> DataFrame:
+        """Batch region search — the reference's
+        ``Variants.search_region(gr)`` takes a pyranges TABLE of regions
+        (variants.py:82-109); this takes a DataFrame with ``chrom``,
+        ``start``, ``end`` and optionally ``region_id`` (stamped from
+        the coordinates when absent). Returns per-sample variant rows
+        keyed by ``region_id`` — a variant inside two panel regions
+        appears once per region, the pyranges join semantic.
+
+        Point-in-interval via :func:`binned_interval_join`: scales to a
+        large panel × large master (equi-join on (chrom, bin), no
+        broadcast-nested-loop), chrom partition key prunes the
+        chrom-partitioned master."""
+        from clinpy_spark.functions.intervals import binned_interval_join
+
+        rcols = set(regions.columns)
+        if not {"chrom", "start", "end"} <= rcols:
+            raise ValueError("regions needs chrom/start/end columns")
+        if "region_id" not in rcols:
+            regions = regions.withColumn(
+                "region_id", F.xxhash64("chrom", "start", "end"))
+        reg = regions.select(
+            "region_id",
+            F.col("chrom").alias("region_chrom"),
+            F.col("start").alias("region_start"),
+            F.col("end").alias("region_end"),
+        )
+        var_t, _, map_t = self._names(rna, filtered)
+        hits = binned_interval_join(
+            self.db.table(var_t), reg,
+            left_start="pos", left_end=None,
+            right_start="region_start", right_end="region_end",
+            partition_keys=[("chrom", "region_chrom")],
+            bin_size=bin_size,
+        ).drop("region_chrom", "region_start", "region_end")
+        if _master_only:
+            return hits
+        mapping = self.db.table(map_t)
+        if samples:
+            mapping = mapping.filter(F.col("samplename").isin(samples))
+        return hits.join(mapping, "variant_id")
+
+    def filter(
+        self,
+        impacts: list | dict | None = None,
+        formats: list | dict | None = None,
+        rna: bool = False,
+        filtered: bool = False,
+    ) -> DataFrame:
+        """Config-driven filtering (reference variants.py:53-81): the
+        same sqlalchemy-filters spec vocabulary — ``{"field": ...,
+        "op": ..., "value": ...}`` dicts, lists as implicit AND,
+        ``and``/``or``/``not`` combinators — compiled to Spark Columns
+        (functions/filters.py), applied to the variants ⋈ mapping ⋈
+        impacts view. ``impacts`` specs address impact columns,
+        ``formats`` address the mapping table's qual/FORMAT columns
+        (:meth:`list_impacts` / :meth:`list_variant_quals` enumerate
+        them). Fixes folded in per SURVEY §8: the reference joins
+        impacts twice and never joins mapping, so its ``formats`` specs
+        could not bind; here both tables are in the view. Raises
+        ValueError when both spec sets are None, like the reference."""
+        if impacts is None and formats is None:
+            raise ValueError(
+                "Both impacts and formats are none, there are no filters specified")
+        from clinpy_spark.functions.filters import specs_to_column
+
+        out = self.select(impacts=True, rna=rna, filtered=filtered)
+        if impacts is not None:
+            out = out.filter(specs_to_column(impacts))
+        if formats is not None:
+            out = out.filter(specs_to_column(formats))
         return out
 
     def list_impacts(self, rna: bool = False, filtered: bool = False) -> list[str]:

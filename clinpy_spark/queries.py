@@ -166,6 +166,43 @@ def p_isin(spark, sf):
     )
 
 
+@q("v_filter_spec", """
+SELECT p_partkey, p_name, p_size, p_retailprice
+FROM part
+WHERE (p_size >= 40 OR p_brand IN ('Brand#11', 'Brand#22'))
+  AND p_name LIKE '%e%'
+  AND p_type ILIKE '%o%'
+  AND NOT (p_brand = 'Brand#33')
+  AND p_retailprice <= 980.0
+  AND p_type IS NOT NULL
+""")
+def v_filter_spec(spark, sf):
+    # Declarative filter-spec compiler (r7 verdict #4; reference
+    # variants.py:53-81 sqlalchemy-filters vocabulary): the WHOLE WHERE
+    # clause arrives as data — spec dicts with and/or/not combinators,
+    # like/ilike, in, is_not_null — and functions/filters.py compiles it
+    # to one boolean Column. Catalyst treats the result exactly like
+    # hand-written predicates (pushdown into the parquet scan), so
+    # config-driven pipelines pay nothing for the indirection.
+    from clinpy_spark.functions.filters import specs_to_column
+
+    specs = [
+        {"or": [{"field": "p_size", "op": ">=", "value": 40},
+                {"field": "p_brand", "op": "in",
+                 "value": ["Brand#11", "Brand#22"]}]},
+        {"field": "p_name", "op": "like", "value": "%e%"},
+        {"field": "p_type", "op": "ilike", "value": "%o%"},
+        {"not": [{"field": "p_brand", "op": "==", "value": "Brand#33"}]},
+        {"field": "p_retailprice", "op": "<=", "value": 980.0},
+        {"field": "p_type", "op": "is_not_null"},
+    ]
+    return (
+        _t(spark, sf, "part")
+        .filter(specs_to_column(specs))
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )
+
+
 @q("p_between", """
 SELECT l_orderkey, l_linenumber, l_shipdate
 FROM lineitem
@@ -477,6 +514,50 @@ def j10c_interval_full(spark, sf):
         bin_size=3600, how="full",
     )
     return joined.select("purchase_id", "c_user", "c_ts")
+
+
+@q("j10d_region_batch", """
+WITH r AS (SELECT event_id AS region_id, user_id AS r_user,
+                  CAST(floor(epoch(ts)) AS BIGINT) - 3600 AS r_start,
+                  CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS r_end
+           FROM events WHERE event_type = 'purchase' AND event_id % 3 = 0),
+     c AS (SELECT user_id AS c_user, CAST(floor(epoch(ts)) AS BIGINT) AS c_ts
+           FROM events WHERE event_type = 'click')
+SELECT r.region_id, count(*) AS n_hits
+FROM r JOIN c ON c.c_user = r.r_user AND c.c_ts BETWEEN r.r_start AND r.r_end
+GROUP BY r.region_id
+""")
+def j10d_region_batch(spark, sf):
+    # Multi-region BATCH search (r7 verdict #3): a TABLE of regions —
+    # the reference's pyranges form of Junctions.search(gr) /
+    # Variants.search_region(gr) (junction.py:74-112, variants.py:82-109)
+    # — probed in one binned point-in-interval join, output keyed by
+    # region_id. Same machinery the assay batch APIs route through
+    # (assays/junctions.py search_regions, assays/variants.py
+    # search_region); here proven over the star schema: a sparse panel
+    # of purchase-centered windows against all clicks. Scales as an
+    # equi-join on (user, bin): a million-region panel never becomes a
+    # BroadcastNestedLoop.
+    ev = _t(spark, sf, "events")
+    regions = ev.filter(
+        (F.col("event_type") == "purchase") & (F.pmod("event_id", F.lit(3)) == 0)
+    ).select(
+        F.col("event_id").alias("region_id"),
+        F.col("user_id").alias("r_user"),
+        (epoch_seconds("ts") - 3600).alias("r_start"),
+        (epoch_seconds("ts") + 3600).alias("r_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), epoch_seconds("ts").alias("c_ts")
+    )
+    joined = binned_interval_join(
+        clicks, regions,
+        left_start="c_ts", left_end=None,
+        right_start="r_start", right_end="r_end",
+        partition_keys=[("c_user", "r_user")],
+        bin_size=3600,
+    )
+    return joined.groupBy("region_id").agg(F.count("*").alias("n_hits"))
 
 
 @q("j12_band_pairs", """
@@ -2788,15 +2869,20 @@ GROUP BY o_orderpriority
 def skew_salted_join_q(spark, sf):
     # Salting is semantically transparent: the oracle is the PLAIN join.
     # Use when a skewed fact-fact equi-join can't broadcast and AQE can't
-    # intervene (e.g. stream-stream); hot keys spread over num_salts
-    # reducers.
+    # intervene (e.g. stream-stream). num_salts='auto' (r7 verdict #5)
+    # probes key counts and salts ONLY hot keys, each over
+    # ceil(count/hot_threshold) reducers — nothing hot means the plain
+    # plan with zero replication. hot_threshold here is set below the
+    # TPC-H ~4-7 lineitems/order so the hot+cold mixed path actually
+    # executes against the oracle at every sf; production keeps the
+    # 100k default (or passes catalog-backed key_stats).
     from clinpy_spark.operators.skew import salted_join
 
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
     joined = salted_join(
         li.select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"),
-        orders, on=["o_orderkey"], num_salts=8,
+        orders, on=["o_orderkey"], num_salts="auto", hot_threshold=4,
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -3218,6 +3304,60 @@ def _synth_flac(docs: DataFrame) -> DataFrame:
         _synth, schema="media_id long, media_type string, payload binary"
     )
 
+
+
+@q("mm_audio_lossy_gate", """
+SELECT 'mp2' AS family, CAST(count(*) AS BIGINT) AS n_items,
+       25.0 AS snr_floor_db, true AS passed
+FROM documents WHERE doc_id < 40
+""")
+def mm_audio_lossy_gate_q(spark, sf):
+    # LOSSY audio closed the FLAC way but GATED (r7 verdict #6): MP2 is
+    # lossy by design, so equality oracles are impossible — instead each
+    # doc synthesizes a deterministic two-tone signal, round-trips it
+    # through the real ISO 11172-3 Layer II encode/decode
+    # (operators/mp2.py), and the query emits ONE row asserting every
+    # per-doc SNR clears the 25 dB floor (measured headroom ~43 dB, the
+    # filterbank limit). The oracle pins passed=true and recomputes
+    # n_items from the table — an allocation, requant, bit-packing, or
+    # filterbank regression flips the hash. Arrow-batched mapInPandas;
+    # payloads never leave executors.
+    import numpy as np
+    import pandas as pd
+
+    from clinpy_spark.operators.mp2 import SYNTH_DELAY, decode_mp2, encode_mp2
+    from clinpy_spark.session import ensure_min_parallelism
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select("doc_id")
+
+    def _gate(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                t = np.arange(9216)
+                f1 = 200 + (did % 20) * 100
+                f2 = 2500 + (did % 10) * 250
+                x = (0.5 * np.sin(2 * np.pi * f1 * t / 48000)
+                     + 0.2 * np.sin(2 * np.pi * f2 * t / 48000))
+                y = decode_mp2(encode_mp2(x, rate=48000, bitrate=192))
+                snr = -1.0
+                if y is not None:
+                    a = x[: y.shape[0] - SYNTH_DELAY]
+                    b = y[SYNTH_DELAY:, 0][: len(a)]
+                    a2, b2 = a[1000:-1000], b[1000:-1000]
+                    err = max(float(((a2 - b2) ** 2).mean()), 1e-300)
+                    snr = 10.0 * np.log10(float((a2 ** 2).mean()) / err)
+                rows.append((did, float(snr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "snr"])
+
+    per = ensure_min_parallelism(docs).mapInPandas(_gate, "doc_id long, snr double")
+    return per.agg(
+        F.lit("mp2").alias("family"),
+        F.count("*").cast("long").alias("n_items"),
+        F.lit(25.0).alias("snr_floor_db"),
+        (F.min("snr") >= F.lit(25.0)).alias("passed"),
+    )
 
 @q("mm_video_frames", """
 WITH d AS (
@@ -4019,75 +4159,84 @@ def v_gt_structural_q(spark, sf):
 #
 # The driver's correctness gate records the first 50 oracled queries in
 # registry order; everything past that window is only proven by the local
-# gate (tools/check_oracle.py) and pytest.  _PRIORITY pins the window to the
-# queries whose driver-green row carries the most evidence: the SURVEY §2
-# proof queries and the LLM-pipeline oracles first (never driver-recorded in
-# r1/r2), then the unique per-operator §2 proofs.  The demoted queries
-# (TPC-H block, window family, profiling, set ops) all have green rows in
-# the committed CORRECTNESS_r01.json / CORRECTNESS_r02.json artifacts.
+# gate (tools/check_oracle.py) and pytest.  _PRIORITY rotates the window by
+# STALENESS each round (r7 verdict #2): new queries first (their first
+# driver record), then oracled queries ordered by the round of their most
+# recent driver-recorded row (oldest first), so the artifact re-proves the
+# least-recently-recorded half of the surface every round and no query's
+# newest evidence ages past ~2 rounds.
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- round-7 head: the 13 oracled queries that have never appeared in
-    # any driver CORRECTNESS window (r1-r6 record only the first 50 registry
-    # entries).  All 13 pass tools/check_oracle.py locally and were verified
-    # green by the r6 judge; heading the registry gets them driver-recorded
-    # rows so the driver artifact covers the whole oracled surface. --
-    "s18_scd2_apply",
-    "text_rolling_fp",
-    "dedup_apply_clusters",
-    "dedup_minhash_portable",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_recall",
-    "sim_recall_lsh",
-    "sim_recall_ivf",
-    "sim_recall_pq",
-    "sim_recall_ivfpq",  # new in r7 — needs its first driver record
-    "mm_extract_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_jpeg_features",  # new in r7 — needs its first driver record
-    "mm_flac_features",  # new in r7 — needs its first driver record
-    "mm_video_frames",   # new in r7 — needs its first driver record
-    "mm_gif_frames",     # new in r7 — needs its first driver record
-    "mm_tiff_features",  # new in r7 — needs its first driver record
-    "j18_fuzzy_join",    # new in r7 — needs its first driver record
-    # -- round-5 head: the three r4-FAILED queries (TIMESTAMP_NTZ event
-    # schema drift, fixed via epoch_seconds) whose latest driver record
-    # must flip back to green, then every query new in round 5 --
-    "j10_interval_binned",
-    "j10b_interval_left",
-    "e_sessionize",
-    "j10c_interval_full",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_profit",
-    "tpch_q11_important_stock",
-    "tpch_q20_excess_suppliers",
-    "text_bm25",
-    "text_tfidf_top_term",
-    "a13_rollup_revenue",
-    "s16_quantiles",
-    "e_gaps_islands",
-    "j17_fuzzy_pairs",
-    "text_lm_surprisal",
-    "s17_coverage_bins",
-    "e_sessionize_bucketed",
-    "j19_scd2_lookup",
-    # -- code touched in round 5: re-record freshest proof --
-    "j12_band_pairs",           # probe-free fast path
-    "dedup_passage_keepfirst",  # routed through shared explode/reassemble
-    "sim_topk_bruteforce",      # recall-test anchor
-    # -- §2 proofs + LLM pipeline (green in committed r3/r4 artifacts) --
-    "v_typed_impacts",          # P10 typed CSQ coercion
-    "v_gt_structural",          # P8 structural genotypes
-    "u1_grouped_filter",        # U1 grouped-map contract
-    "j15_asof_join",            # as-of join vs DuckDB ASOF
-    "j16_nearest_feature",      # nearest-interval join
-    "dedup_exact_stats",
-    "dedup_cluster_components",
-    "curate_stats",
-    "curate_kept_by_lang",
+    # -- round-8 head: queries NEW this round need their first driver
+    # record --
+    "mm_audio_lossy_gate",
+    "j10d_region_batch",
+    "v_filter_spec",
+    # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
+    # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
+    # window refreshes the oldest evidence --
+    "p_projection_filter",
+    "p_isin",
+    "p_between",
+    "p_case_recode",
+    "p_overlap_predicate",
+    "j1_fk_join",
+    "j4_multikey_natural",
+    "j6_anti_new_parts",
+    "j7_semi_cohort",
+    "j9_left_enrich",
+    "a1_group_count",
+    "a2_count_distinct",
+    "a4_distinct_dedup",
+    "a6_pivot_wide",
+    "a7_ratio_agg",
+    "a9_explode_words",
+    "a10_json_flatten",
+    "a11_union_tagged",
+    "a12_hash_id",
+    "a8_rollup",
+    "a11b_intersect",
+    "a11c_except",
+    "e_time_rollup",
+    "o6_approx_quantiles",
+    "s13_stratified_sample",
+    "s14_profile",
+    "s12_merge_upsert",
+    "a15_hll_sketch",
+    "a8c_cube",
+    "o4_exact_percentiles",
+    "a6b_unpivot",
+    "o3_lag_gaps",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q4_order_priority",
+    "tpch_q13_cust_distribution",
+    "tpch_q16_unordered_parts",
+    "tpch_q18_large_orders",
+    "tpch_q12_shipmode",
+    "tpch_q10_returned_items",
+    "o5_window_frames",
+    "o1_topk_per_group",
+    # -- last recorded r4 --
+    "tpch_q21_exclusive",
+    "tpch_q22_idle_rich",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "text_decontaminate",
+    "text_repetition",
+    "sim_range_search",
+    "mix_resample_upsample",
+    "curate_gopher_rules",
+    "o7_ntile_ranks",
+    "flagship_cohort_revenue",
+    "p_coerce_floor",
+    "j13_overlap_fraction",
+    "j14_point_in_interval",
+    # -- last recorded r6 --
     "mix_by_lang",
     "split_corpus_assign",
     "sample_exact_n",
@@ -4105,26 +4254,11 @@ _PRIORITY: list[str] = [
     "e_tumbling_hour",
     "e_sliding_window",
     "s15_histogram",
-    # -- round-3 additions, also never driver-recorded --
     "tpch_q14_promo",
     "tpch_q17_small_qty",
     "tpch_q19_disjunctive",
-    "tpch_q21_exclusive",
-    "tpch_q22_idle_rich",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "text_decontaminate",
-    "text_repetition",
-    "sim_range_search",
-    "mix_resample_upsample",
-    "curate_gopher_rules",
-    "o7_ntile_ranks",
-    # -- high-value §2 repeats (driver-green in r1+r2, kept in-window) --
-    "flagship_cohort_revenue",
-    "p_coerce_floor",
-    "j13_overlap_fraction",
-    "j14_point_in_interval",
+    # (everything recorded in the r7 window falls to natural registry
+    # order behind this list and keeps its r7-green rows as evidence)
 ]
 
 

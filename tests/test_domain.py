@@ -913,3 +913,75 @@ def test_meta_fields_and_variant_entity_extras(spark, project):
     # chr1:150 A>G: s1 het (0/1), s3 hom (1/1) -> ac=3, an=4
     assert (cnt.ac, cnt.an, cnt.n_het, cnt.n_hom) == (3, 4, 1, 1)
     assert abs(cnt.af - 0.75) < 1e-12
+
+
+def test_multi_region_batch_search(spark, project):
+    """Batch region search (r7 verdict #3 — the reference's pyranges
+    form: Junctions.search(gr) at junction.py:74-112 and
+    Variants.search_region(gr) at variants.py:82-109 take a TABLE of
+    regions): a regions DataFrame routes through the binned interval
+    join and comes back keyed by region_id."""
+    catalog, genome = project
+    j = Junctions(catalog, genome)
+    regions = spark.createDataFrame(
+        [("rA", "chr1", 90, 210, "+"), ("rB", "chr2", 400, 900, "-"),
+         ("rC", "chr1", 5000, 6000, "+")],
+        "region_id string, chrom string, start long, end long, strand string")
+    # search() overload: a DataFrame first arg = the gr form
+    got = {(r.region_id, r.start, r.end)
+           for r in j.search(regions, unique=True).collect()}
+    assert ("rA", 100, 200) in got and ("rA", 110, 190) in got
+    assert ("rB", 500, 800) in got
+    assert not any(rid == "rC" for rid, _, _ in got)  # empty region drops
+
+    # per-carrier rows keyed by region; samples= restricts the set
+    rows = j.search_regions(regions, samples=["s4"]).collect()
+    assert {(r.region_id, r.start, r.samplename) for r in rows} >= {
+        ("rB", 500, "s1"), ("rB", 500, "s4")}
+    assert all(r.region_id == "rB" for r in rows)  # s4 carries only chr2
+
+    # region_id is stamped from coordinates when absent
+    anon = j.search_regions(regions.drop("region_id"), unique=True)
+    assert "region_id" in anon.columns and anon.count() == len(got)
+
+    v = Variants(catalog)
+    vreg = spark.createDataFrame(
+        [("r1", "chr1", 100, 1000), ("r2", "chr1", 3000, 4000),
+         ("r3", "chr2", 550, 650)],
+        "region_id string, chrom string, start long, end long")
+    per = v.search_region(vreg)
+    assert {(r.region_id, r.pos)
+            for r in per.select("region_id", "pos").collect()} == {
+        ("r1", 150), ("r2", 3500), ("r3", 600)}
+    # select(region=<DataFrame>) = membership filter, unkeyed
+    sel = v.select(region=vreg, impacts=True)
+    assert {r.pos for r in sel.select("pos").distinct().collect()} == {
+        150, 3500, 600}
+
+
+def test_variants_filter_spec_compiler(spark, project):
+    """Declarative 'filters as data' (r7 verdict #4; reference
+    variants.py:53-81 sqlalchemy-filters dicts): spec dicts filter the
+    variants ⋈ mapping ⋈ impacts view without writing code, with the
+    reference's both-None ValueError preserved."""
+    import pytest
+
+    catalog, _ = project
+    v = Variants(catalog)
+    # impacts spec: categorical == (the reference docstring's shape)
+    hit = v.filter(impacts=[{"field": "consequence", "op": "==",
+                             "value": "missense_variant"}])
+    assert {r.pos for r in hit.select("pos").distinct().collect()} == {150}
+    # formats spec on mapping columns + combinators over impact columns
+    combo = v.filter(
+        impacts={"or": [{"field": "impact", "op": "==", "value": "HIGH"},
+                        {"field": "symbol", "op": "like", "value": "GENE1%"}]},
+        formats=[{"field": "gt", "op": "in", "value": ["(0, 1)", "(1, 1)"]}],
+    )
+    assert {r.pos for r in combo.select("pos").distinct().collect()} == {150, 3500}
+    neg = v.filter(impacts=[{"not": [{"field": "impact", "op": "==",
+                                      "value": "MODIFIER"}]}])
+    assert "downstream_gene_variant" not in {
+        r.consequence for r in neg.select("consequence").collect()}
+    with pytest.raises(ValueError, match="no filters"):
+        v.filter()
