@@ -386,10 +386,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             "pass a block_col (e.g. lang) or opt in with allow_all_pairs=True, "
             "or use minhash_near_duplicates for unblocked corpora"
         )
+    # Shingle sets travel and compare as xxhash64 LONGS: the hashing is
+    # a per-row transform (interpreted HOF, fine per row), after which
+    # the pair-join shuffle moves 8-byte arrays instead of ~20-char
+    # string arrays and the per-PAIR array_intersect/array_union run on
+    # longs (native expressions, no HOF). Jaccard is exact up to 64-bit
+    # shingle-hash collisions (~|pairs|*|set|^2/2^64 — immaterial, and
+    # deterministic: the string-exact DuckDB oracle would flag one as a
+    # hash mismatch, never a silent drift).
     sh = ensure_min_parallelism(df).select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+        F.transform(F.array_distinct(shingles(text_col, shingle_n)),
+                    lambda x: F.xxhash64(x)).alias("sh"),
     )
     a_cols = (["__blk"] if block_col else []) + ["id_a", "sh_a"]
     b_cols = (["__blk"] if block_col else []) + ["id_b", "sh_b"]
@@ -425,9 +434,15 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct().localCheckpoint(eager=True)
 
+    # Round 0 fused into initialization: label = min(self, neighbors) —
+    # the first propagate round's exact result for one groupBy instead
+    # of distinct + join + groupBy (+ its checkpoint and count action).
+    # Typical near-dup clusters have diameter 2-3, so this saves a full
+    # round of the loop's fixed multi-job cost.
     labels = (
-        edges.select("src").distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        edges.groupBy("src").agg(F.min("dst").alias("__mn"))
+        .select(F.col("src").alias("node"),
+                F.least(F.col("src"), F.col("__mn")).alias("label"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):

@@ -56,6 +56,70 @@ def _sq_dist(v, ctr):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def exact_l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact squared-L2 top-k, GEMM-vectorized: (query_id, match_id, d2).
+
+    The L2 twin of the r7 cosine-baseline rewrite (same lesson:
+    higher-order folds are interpreted per pair and never enter
+    whole-stage codegen — measured ~10x on the recall gates). The query
+    block is collected and rides the task closure (bounded by
+    ``max_queries`` — the pq_topk small-probe contract); the corpus
+    STREAMS through executors in Arrow batches, each scored as one
+    ``|q|^2 + |c|^2 - 2 q·c`` matmul emitting only its per-batch top-k
+    per query, and a final window cuts batches*k rows to k. The corpus
+    is never collected, so the baseline scales with executor count."""
+    qpdf = (
+        queries.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .limit(max_queries + 1).toPandas()
+    )
+    if len(qpdf) > max_queries:
+        raise ValueError(f"query batch exceeds max_queries={max_queries}; "
+                         "chunk the probe set or raise the cap")
+    if qpdf.empty:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, match_id long, d2 double")
+    qids = qpdf["i"].to_numpy()
+    qm = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["v"]])
+    qsq = (qm ** 2).sum(axis=1)
+
+    def score(batches):
+        for b in batches:
+            ids = b["i"].to_numpy()
+            y = np.asarray([np.asarray(v, dtype=np.float64) for v in b["v"]])
+            if not len(y):
+                continue
+            d = qsq[:, None] + (y ** 2).sum(axis=1)[None, :] - 2.0 * (qm @ y.T)
+            if exclude_self:
+                d[qids[:, None] == ids[None, :]] = np.inf
+            kk = min(k, d.shape[1])
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(len(qids)), kk)
+            ci = part.ravel()
+            dv = d[qi, ci]
+            keep = np.isfinite(dv)
+            yield pd.DataFrame({"query_id": qids[qi[keep]],
+                                "match_id": ids[ci[keep]],
+                                "d2": dv[keep]})
+
+    src = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    local = src.mapInPandas(score, "query_id long, match_id long, d2 double")
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("match_id"))
+    return (
+        local.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "match_id", "d2")
+    )
+
+
 def exact_cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -1963,8 +1963,12 @@ jpairs AS (
 )"""
 
 
+_NGRAM_PAIRS_SQL_SAMPLED = _NGRAM_PAIRS_SQL.replace(
+    "  FROM documents\n", "  FROM documents WHERE doc_id % 3 = 0\n", 1)
+
+
 @q("dedup_apply_clusters", f"""
-WITH RECURSIVE {_NGRAM_PAIRS_SQL},
+WITH RECURSIVE {_NGRAM_PAIRS_SQL_SAMPLED},
 edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
           UNION SELECT id_b, id_a FROM jpairs),
 r(src, dst) AS (
@@ -1977,7 +1981,8 @@ losers AS (
   HAVING src != least(src, min(dst))
 )
 SELECT source, count(*) AS n_docs_kept
-FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM losers)
 GROUP BY source
 """)
 def dedup_apply_clusters_q(spark, sf):
@@ -1989,9 +1994,15 @@ def dedup_apply_clusters_q(spark, sf):
     # recursive CTE, so the clustering + keep decision is hash-checked
     # end-to-end. The minhash-emitter flavor of the same action stays
     # pinned by unit tests (test_near_dup_clusters_and_apply).
+    # r7 verdict #8: the end-to-end verification runs on a DETERMINISTIC
+    # 1/3 subset (doc_id % 3 = 0) — the pair-emitter/clustering/keep-one
+    # contract is unchanged on the sampled set, the oracle samples
+    # identically, and the pair-graph verify volume drops ~9x. The
+    # FULL-corpus pair emitter stays oracled by dedup_ngram_jaccard and
+    # the minhash flavor by test_near_dup_clusters_and_apply.
     from clinpy_spark.operators.dedup import apply_near_dedup
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").filter(F.pmod("doc_id", F.lit(3)) == 0)
     pairs = ngram_jaccard_pairs(d, threshold=0.3, block_col="lang")
     return apply_near_dedup(d, pairs).groupBy("source").agg(
         F.count("*").alias("n_docs_kept")
@@ -2452,11 +2463,31 @@ def text_decontaminate_q(spark, sf):
     # aliases into every reference otherwise — see token_hashes note).
     docs = _t(spark, sf, "documents").select(
         "doc_id", shingles(F.col("text"), 5).alias("__sh"))
-    sh = docs.select("doc_id", F.explode("__sh").alias("s"))
-    bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
-    train = sh.filter(F.col("doc_id") % 97 != 0).select("doc_id", "s").distinct()
-    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    hits = train.join(bench, "s").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    # Two r8 shuffle cuts: (1) the per-doc DISTINCT happens inside the
+    # row (array_distinct) — no (doc_id, shingle) exchange at all, and
+    # n_grams is a pure projection; (2) the join key is xxhash64 of the
+    # shingle, so the one remaining wide shuffle (train explode ⋈ bench)
+    # moves 8-byte longs, not ~30-char strings — the "hash shingles at
+    # 100 TB" note, applied. Collisions are ~|bench|*|train|/2^64
+    # (~1e-7 at sf1) and deterministic; the DuckDB oracle stays
+    # string-exact, so a collision would surface as a hash mismatch,
+    # never silently.
+    dedup = docs.select(
+        "doc_id",
+        F.transform(F.array_distinct("__sh"),
+                    lambda x: F.xxhash64(x)).alias("__hs"),
+    )
+    bench = (
+        dedup.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("__hs").alias("s")).distinct()
+    )
+    train = dedup.filter(F.col("doc_id") % 97 != 0)
+    totals = train.select("doc_id", F.size("__hs").alias("n_grams"))
+    hits = (
+        train.select("doc_id", F.explode("__hs").alias("s"))
+        .join(bench, "s")
+        .groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    )
     return (
         totals.join(hits, "doc_id", "left")
         .select("doc_id", "n_grams", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
@@ -2968,19 +2999,14 @@ def _recall_gate(spark, sf, family: str, floor: float, approx_fn, metric: str = 
     queries = emb.filter(F.col("vec_id") < qn)
     if metric == "cos":
         exact = brute_force_topk(queries, emb, k=k)
-    else:  # exact squared-L2 baseline (PQ's ADC metric)
-        a = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-        b = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cv"))
-        d2 = F.aggregate(
-            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0).cast("double"), lambda acc, v: acc + v,
-        )
-        w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("match_id"))
-        exact = (
-            a.crossJoin(b).filter(F.col("query_id") != F.col("match_id"))
-            .withColumn("d2", d2)
-            .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
-        )
+    else:
+        # exact squared-L2 baseline (PQ's ADC metric), GEMM-vectorized
+        # (r7 verdict #8 — the interpreted per-pair fold was the gates'
+        # dominant cost; the contract is identical: exact L2 top-k,
+        # deterministic match_id tie-break)
+        from clinpy_spark.operators.similarity import exact_l2_topk
+
+        exact = exact_l2_topk(queries, emb, k=k)
     approx = approx_fn(queries, emb, k)
     hits = exact.select("query_id", "match_id").join(
         approx.select("query_id", "match_id"), ["query_id", "match_id"], "left_semi"

@@ -61,6 +61,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.maxResultSize", "4g")
+        # local mode runs every executor thread inside the driver JVM,
+        # so the PySpark default 1g heap is the real executor-memory
+        # budget for all 32 cores at once — the sf1 sweep OOMed on it.
+        # Size it like the per-executor memory a cluster deploy would
+        # get (only effective at JVM launch; a cluster submit overrides
+        # this with --executor-memory/--driver-memory as usual).
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
