@@ -224,13 +224,13 @@ def _quantize(qi: int, s_norm: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Header
 
-def parse_mp2_header(payload: bytes) -> tuple[int, int, int, int] | None:
-    """First-frame MPEG-1 Layer II header -> (sample_rate, n_channels,
-    bitrate_kbps, frame_bytes), or None."""
+def parse_mp2_header(payload: bytes, off: int = 0) -> tuple[int, int, int, int] | None:
+    """MPEG-1 Layer II header at byte offset ``off`` -> (sample_rate,
+    n_channels, bitrate_kbps, frame_bytes), or None."""
     try:
-        if len(payload) < 4:
+        if len(payload) < off + 4:
             return None
-        b0, b1, b2, b3 = payload[0], payload[1], payload[2], payload[3]
+        b0, b1, b2, b3 = payload[off], payload[off + 1], payload[off + 2], payload[off + 3]
         if b0 != 0xFF or (b1 & 0xF0) != 0xF0:
             return None
         if (b1 >> 3) & 1 != 1:          # ID: MPEG-1 only
@@ -247,7 +247,7 @@ def parse_mp2_header(payload: bytes) -> tuple[int, int, int, int] | None:
         rate = SAMPLE_RATES[sr_idx]
         padding = (b2 >> 1) & 1
         frame_bytes = 144 * bitrate * 1000 // rate + padding
-        if frame_bytes < 24 or frame_bytes > len(payload):
+        if frame_bytes < 24 or off + frame_bytes > len(payload):
             return None
         return rate, nch, bitrate, frame_bytes
     except (IndexError, ValueError, OverflowError):
@@ -257,24 +257,27 @@ def parse_mp2_header(payload: bytes) -> tuple[int, int, int, int] | None:
 # ---------------------------------------------------------------------------
 # Decode
 
-def _decode_frame(buf: bytes, s_out: list, nch_expect: int):
-    """Parse one frame starting at buf[0] -> (frame_bytes, subbands
-    (36, nch, 32) float) or None on any inconsistency."""
-    hdr = parse_mp2_header(buf)
+def _decode_frame(buf: bytes, off: int, s_out: list, nch_expect: int):
+    """Parse one frame starting at byte ``off`` (no per-frame slice of
+    the stream — decoding stays O(n) in payload length) -> frame_bytes,
+    appending the (36, nch, 32) subband block to ``s_out``; None on any
+    inconsistency."""
+    hdr = parse_mp2_header(buf, off)
     if hdr is None:
         return None
     rate, nch, bitrate, frame_bytes = hdr
     if nch != nch_expect:
         return None
-    mode = (buf[3] >> 6) & 3
-    mode_ext = (buf[3] >> 4) & 3
-    protected = ((buf[1] & 1) == 0)
+    mode = (buf[off + 3] >> 6) & 3
+    mode_ext = (buf[off + 3] >> 4) & 3
+    protected = ((buf[off + 1] & 1) == 0)
     tab = _table_for(rate, bitrate, nch)
     sblimit = len(tab)
     bound = min((mode_ext + 1) * 4, sblimit) if mode == 1 else sblimit
     if nch == 1:
         bound = sblimit
-    br = _BitReader(buf[:frame_bytes], 32 + (16 if protected else 0))
+    br = _BitReader(buf[off: off + frame_bytes],
+                    32 + (16 if protected else 0))
 
     alloc = [[0] * sblimit for _ in range(nch)]
     for sb in range(sblimit):
@@ -365,7 +368,7 @@ def decode_mp2(payload: bytes) -> np.ndarray | None:
         frames: list[np.ndarray] = []
         off = 0
         while off + 4 <= len(payload):
-            fb = _decode_frame(payload[off:], frames, nch)
+            fb = _decode_frame(payload, off, frames, nch)
             if fb is None:
                 if not frames:
                     return None

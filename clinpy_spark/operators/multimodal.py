@@ -39,7 +39,7 @@ from clinpy_spark.operators.avi import (
 from clinpy_spark.operators.flac import decode_flac, encode_flac, parse_flac_header
 from clinpy_spark.operators.gif import decode_gif, encode_gif, parse_gif_header
 from clinpy_spark.operators.jpeg import decode_jpeg, encode_jpeg, parse_jpeg_header
-from clinpy_spark.operators.mp2 import decode_mp2, parse_mp2_header
+from clinpy_spark.operators.mp2 import decode_mp2, encode_mp2, parse_mp2_header
 from clinpy_spark.operators.tiff import (
     decode_tiff,
     decode_tiff_pages,
@@ -609,6 +609,16 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
                 rate, _, bps, _ = fhdr
                 idx = (np.arange(width) * x.shape[0]) // width
                 return encode_flac(x[idx], rate=rate, bps=bps)
+        if parse_mp2_header(payload) is not None:
+            x = decode_mp2(payload)
+            if x is not None and x.shape[0]:
+                idx = (np.arange(width) * x.shape[0]) // width
+                # lossy + frame-structured: the re-emit rounds up to a
+                # whole number of 1152-sample frames (unlike WAV/FLAC,
+                # which hit `width` exactly); 96 kbps/channel = table A
+                nch = x.shape[1]
+                return encode_mp2(np.clip(x[idx], -0.999, 0.999),
+                                  rate=48000, bitrate=96 * nch)
         target = width * height
         if not payload:
             return bytes(target)

@@ -3959,6 +3959,40 @@ def text_redact_q(spark, sf):
     )
 
 
+@q("text_bpe_gate", """
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(w)) AS BIGINT) AS total_words,
+       CAST(sum(length(norm) - (len(w) - 1)) AS BIGINT) AS total_chars,
+       CAST(least((SELECT count(DISTINCT word)
+                   FROM (SELECT unnest(w) AS word FROM n) u), 30000)
+            AS BIGINT) AS n_word_types,
+       true AS passed
+FROM n
+""")
+def text_bpe_gate_q(spark, sf):
+    # Distributed BPE tokenizer end-to-end (operators/bpe.py): train 150
+    # merges from the corpus word-frequency table (one explode+groupBy,
+    # bounded 30k-row collect — the codebook-fit contract), then encode
+    # every document via Arrow-batched mapInPandas and gate on (a)
+    # lossless round-trip of every word, (b) per-doc token-count bounds
+    # n_words <= n_tokens <= n_chars, (c) the merges actually compress.
+    # The oracle recomputes the engine-independent columns (doc count,
+    # word count, char count via normalized-length arithmetic) and pins
+    # passed=true — a trainer/encoder regression flips the hash. Lossy
+    # of nothing: segmentation is data-derived, so token identities are
+    # gated, not hash-compared (same contract as mm_audio_lossy_gate).
+    from clinpy_spark.operators.bpe import bpe_gate
+    from clinpy_spark.session import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(_t(spark, sf, "documents").select("doc_id", "text"))
+    return bpe_gate(docs, num_merges=150, max_word_types=30_000)
+
+
 # ---------------------------------------------------------------------------
 # Curation pipeline — the end-to-end training-data pass (lang -> noise ->
 # length -> exact dedup) as ONE labeled scan + one window shuffle.
@@ -4199,6 +4233,7 @@ _PRIORITY: list[str] = [
     "mm_audio_lossy_gate",
     "j10d_region_batch",
     "v_filter_spec",
+    "text_bpe_gate",
     # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
     # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
     # window refreshes the oldest evidence --

@@ -2085,10 +2085,17 @@ def test_mp2_codec_real_decode_and_features(spark):
     assert parse_mp2_header(bytes(l3)) is None
 
     # Spark dispatch: audio media_type routes MP2 through the real codec
+    from clinpy_spark.operators.multimodal import resize
+
     df = spark.createDataFrame([(1, bytearray(b))], "media_id long, payload binary")
-    f = extract_features(as_media(df, "media_id", "payload", "audio")).collect()[0]
+    media = as_media(df, "media_id", "payload", "audio")
+    f = extract_features(media).collect()[0]
     assert (f.width, f.height) == (y.shape[0], 1)  # frames, channels
     assert abs(f.mean_intensity - float(np.abs(y).mean())) < 1e-9
+    # real resample re-emit (frame-quantized: rounds up to 1152 multiples)
+    out = bytes(resize(media, width=2304).collect()[0].payload)
+    rz = decode_mp2(out)
+    assert rz is not None and rz.shape == (2304, 1)
 
 
 def test_media_type_gates_codec_dispatch(spark):
@@ -2282,3 +2289,49 @@ def test_exact_l2_topk_matches_hof_baseline(spark):
     import pytest
     with pytest.raises(ValueError, match="max_queries"):
         exact_l2_topk(emb, emb, k=2, max_queries=10).count()
+
+
+def test_bpe_train_encode_spark_end_to_end(spark):
+    """Distributed train -> distributed encode reproduces the driver-side
+    segmentation, round-trips losslessly, and the one-row gate passes."""
+    from clinpy_spark.operators.bpe import (
+        _encode_word,
+        bpe_encode,
+        bpe_gate,
+        bpe_train,
+        word_frequencies,
+    )
+
+    corpus = [
+        (1, "the theme of the thesis"),
+        (2, "low lower lowest slow slower"),
+        (3, "the slow thesis  THE  theme"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs, max_word_types=100).collect()}
+    assert wf["the"] == 4 and wf["slow"] == 2  # lowercased, ws-collapsed
+
+    merges = bpe_train(docs, num_merges=20, max_word_types=100)
+    # ('h','e') and ('t','h') tie at count 8 -> lexicographic tie-break
+    assert merges and merges[0] == ("h", "e") and merges[1] == ("t", "he")
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    enc = {
+        r["doc_id"]: r
+        for r in bpe_encode(docs, merges, return_tokens=True).collect()
+    }
+    for did, text in corpus:
+        words = text.strip().lower().split()
+        want = [t for w in words for t in _encode_word(w, ranks)]
+        row = enc[did]
+        if did == 4:  # empty doc: one empty word, zero tokens
+            assert (row["n_words"], row["n_tokens"], row["tokens"]) == (1, 0, [])
+            continue
+        assert row["tokens"] == want
+        assert row["lossless"] and row["n_tokens"] == len(want)
+        assert row["n_chars"] == sum(len(w) for w in words)
+
+    gate = bpe_gate(docs, num_merges=20, max_word_types=100).collect()[0]
+    assert gate["passed"] and gate["n_docs"] == 4 and gate["n_word_types"] == len(wf)

@@ -601,3 +601,84 @@ def test_fuzzy_join_equals_naive_levenshtein(spark, lwords, rwords, k):
         if lev(a, b) <= k
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    ntones=st.integers(1, 5),
+    bitrate=st.sampled_from([96, 128, 192, 384]),
+)
+def test_mp2_roundtrip_snr_property(seed, ntones, bitrate):
+    """Any band-limited multi-tone signal survives the MP2 round trip
+    above a 15 dB SNR floor at any table-A bitrate (lossy codec: gate,
+    not equality — the mm_audio_lossy_gate contract generalized to
+    random signals)."""
+    import numpy as np
+
+    from clinpy_spark.operators.mp2 import SYNTH_DELAY, decode_mp2, encode_mp2
+
+    rng = np.random.default_rng(seed)
+    n = 4608  # 4 frames
+    t = np.arange(n)
+    freqs = rng.uniform(100, 15000, ntones)
+    amps = rng.uniform(0.1, 0.8, ntones)
+    amps = amps / max(1.25 * amps.sum(), 1.0)  # headroom, no clipping
+    x = sum(a * np.sin(2 * np.pi * f * t / 48000) for a, f in zip(amps, freqs))
+    y = decode_mp2(encode_mp2(x, rate=48000, bitrate=bitrate))
+    assert y is not None and y.shape == (n, 1)
+    a = x[: n - SYNTH_DELAY]
+    b = y[SYNTH_DELAY:, 0][: len(a)]
+    a2, b2 = a[700:-700], b[700:-700]
+    snr = 10 * np.log10((a2 ** 2).mean() / max(((a2 - b2) ** 2).mean(), 1e-300))
+    assert snr > 15.0, (snr, list(freqs), list(amps), bitrate)
+
+
+def _naive_bpe_fit(wf, n):
+    """Reference trainer: recount every pair from scratch each
+    iteration (O(n·V·L)); max count, ties to lexicographically
+    smallest pair — the semantics _fit_merges must reproduce."""
+    words = [list(w) for w, _ in wf]
+    counts = [c for _, c in wf]
+    merges = []
+    for _ in range(n):
+        pc = {}
+        for syms, c in zip(words, counts):
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        mx = max(pc.values())
+        best = min(p for p, c in pc.items() if c == mx)
+        merges.append(best)
+        a, b = best
+        for i, syms in enumerate(words):
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+    return merges
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    wf=st.lists(
+        st.tuples(st.text(alphabet="abc", min_size=1, max_size=8),
+                  st.integers(1, 20)),
+        min_size=1, max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(0, 15),
+)
+def test_bpe_incremental_trainer_equals_naive(wf, n):
+    """The heap/inverted-index trainer is bit-identical to the
+    recount-from-scratch reference on arbitrary word-frequency tables
+    (overlapping pairs like 'aaa', ties, single-char words included)."""
+    from clinpy_spark.operators.bpe import _fit_merges
+
+    assert _fit_merges(list(wf), n) == _naive_bpe_fit(list(wf), n)
