@@ -616,12 +616,19 @@ def ivfpq_topk(
     seed: int = 42,
     iters: int = 5,
     residual: bool = True,
+    spill: int = 1,
 ) -> DataFrame:
     """IVF cell pruning + PQ-compressed scoring, one call.
 
     The candidate set is an equi-join of probed cells against the
     cell-tagged code table (shuffle on the tiny cell id); ADC scores the
     surviving ~n_probe/n_centroids fraction.
+
+    ``spill > 1`` lists every corpus vector in its ``spill`` nearest
+    cells (SPANN-style boundary duplication, same trade as
+    ``ivf_topk``): each listing gets its OWN residual code against that
+    cell's centroid, and (query, match) repeats across probed cells
+    collapse to their minimum ADC distance before the top-k cut.
 
     ``residual=True`` (FAISS-style, the default): codebooks quantize
     ``v - centroid(cell)`` instead of raw vectors. Residuals span the
@@ -647,13 +654,18 @@ def ivfpq_topk(
         return queries.sparkSession.createDataFrame([], _PAIR_SCHEMA)
     # assigned feeds the codebook fit, the encoder, and the cell map —
     # materialize once (a thrice-referenced subtree would execute thrice).
-    assigned = _nearest_cells(c, cents, "match_id", "__cv", 1)
+    # The row key is (vector, listed cell) — ``__rid`` — so spilled
+    # vectors carry one (residual) code PER listing and the code→cell
+    # join stays 1:1 (a bare match_id join would cross-multiply codes
+    # across listings).
+    assigned = _nearest_cells(c, cents, "match_id", "__cv", max(1, spill)) \
+        .withColumn("__rid", F.col("match_id") * n_centroids + F.col("cell"))
     if residual:
         assigned = assigned.join(F.broadcast(cents), "cell").withColumn(
             "__rv",
             F.zip_with(F.col("__cv").cast("array<double>"), F.col("__ctr"),
                        lambda a, b: a - b),
-        ).select("match_id", "cell", "__rv")  # __cv dropped: nothing
+        ).select("match_id", "cell", "__rid", "__rv")  # __cv dropped: nothing
         # downstream reads raw vectors, so the lazy checkpoint holds
         # residuals only (half the vector bytes)
         enc_col = "__rv"
@@ -664,8 +676,10 @@ def ivfpq_topk(
         cent_map = None
     assigned = assigned.localCheckpoint(eager=False)
     codebooks = fit_pq_codebooks(assigned, enc_col, m, pq_k, iters=iters, seed=seed)
-    codes = pq_encode(assigned, codebooks, "match_id", enc_col).join(
-        assigned.select("match_id", "cell"), "match_id"
+    codes = (
+        pq_encode(assigned, codebooks, "__rid", enc_col)
+        .withColumnRenamed("match_id", "__rid")
+        .join(assigned.select("match_id", "cell", "__rid"), "__rid")
     )
     n_probe = max(1, min(n_probe, cents.count()))
     probes = _nearest_cells(q, cents, "query_id", "__qv", n_probe)
@@ -674,9 +688,14 @@ def ivfpq_topk(
         .filter(F.col("query_id") != F.col("match_id"))
         .select("query_id", "__qv", "match_id", "codes", "cell")
     )
+    scored = _adc_score_pairs(pairs, codebooks, cent_map)
+    if spill > 1:
+        scored = scored.groupBy("query_id", "match_id").agg(
+            F.min("adc_dist").alias("adc_dist")
+        )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("match_id"))
     return (
-        _adc_score_pairs(pairs, codebooks, cent_map)
+        scored
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select("query_id", "match_id", "adc_dist")

@@ -213,31 +213,55 @@ def fit_centroids(
     window costs bounded extra IO and no full scan. It is still a
     prefix of the corpus — pass ``train_fraction`` explicitly when the
     clustering spans more than ``train_cap*train_spread`` rows and a
-    true uniform sample is worth one full scan. The capped subtree is
-    localCheckpoint'ed so the k-guard count and the KMeans fit
-    materialize it once."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    true uniform sample is worth one full scan.
 
+    The fit itself is a seeded driver-side Lloyd's over the collected
+    sample (GEMM assignment step, lowest-index tie-break, empty cells
+    keep their centroid — deterministic for a fixed seed, same
+    construction as the PQ sub-codebook fit in ``operators/pq.py``).
+    The sample is bounded by ``train_cap`` BY CONTRACT, so a
+    distributed fit would spend ``max_iter`` scheduler round-trips on
+    kilobytes: Spark's job is delivering the bounded sample, numpy's is
+    the iteration (measured: the Spark-ML fit was the dominant fixed
+    cost of every IVF/IVFPQ/semdedup query — ~10 jobs each on <100k
+    rows)."""
     if train_fraction is not None and train_fraction < 1.0:
         train = c.sample(fraction=train_fraction, seed=seed)
     else:
         train = c.limit(train_cap * max(1, train_spread))
-    train = train.select(array_to_vector(vec_col).alias("__fv")).localCheckpoint(eager=False)
-    n_train = train.count()  # tiny-corpus guard: KMeans needs k <= n
-    if n_train == 0:
+    pdf = train.select(F.col(vec_col).alias("v")).toPandas()
+    if pdf.empty:
         return None
-    if train_fraction is None and n_train > train_cap:
-        # Prefix overshot the cap: thin it to ~train_cap uniformly over
-        # the whole spread window (bounded data — the resample is cheap).
-        train = train.sample(fraction=train_cap / n_train, seed=seed) \
-            .localCheckpoint(eager=False)
-        n_train = train.count()
-    n_centroids = max(1, min(n_centroids, n_train))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", maxIter=max_iter)
-    model = km.fit(train)
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    rng = np.random.default_rng(seed)
+    if len(x) > train_cap:
+        # Window overshot the cap: thin uniformly over the whole spread
+        # window (order-preserving so the sample stays deterministic).
+        x = x[np.sort(rng.choice(len(x), train_cap, replace=False))]
+    k = max(1, min(n_centroids, len(x)))
+    # kmeans++ D^2 seeding (Arthur & Vassilvitskii 2007): on clustered
+    # corpora random init can merge true cells and sink IVF probe
+    # recall (caught by the persisted-index pytest); D^2 matches the
+    # quality of Spark-ML's kmeans|| init on the bounded sample.
+    sel = [int(rng.integers(len(x)))]
+    d2 = ((x - x[sel[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = float(d2.sum())
+        nxt = int(rng.choice(len(x), p=d2 / tot)) if tot > 0 \
+            else int(rng.integers(len(x)))
+        sel.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    ctrs = x[sel].copy()
+    xsq = (x ** 2).sum(axis=1)
+    for _ in range(max_iter):
+        d = xsq[:, None] + (ctrs ** 2).sum(axis=1)[None, :] - 2.0 * (x @ ctrs.T)
+        assign = d.argmin(axis=1)
+        for ci in range(k):
+            members = x[assign == ci]
+            if len(members):
+                ctrs[ci] = members.mean(axis=0)
     return c.sparkSession.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        [(i, [float(v) for v in ctr]) for i, ctr in enumerate(ctrs)],
         "cell int, __ctr array<double>",
     )
 
@@ -257,13 +281,20 @@ def _nearest_cells(df: DataFrame, cents: DataFrame, id_name: str, vec_name: str,
     )
 
 
-def _probe_topk(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
-    """Score probe×cell candidates (equi-join on cell) and cut top-k."""
+def _probe_topk(probes: DataFrame, assigned: DataFrame, k: int,
+                dedup: bool = False) -> DataFrame:
+    """Score probe×cell candidates (equi-join on cell) and cut top-k.
+    ``dedup`` collapses (query, match) repeats — needed when spill
+    assignment lists a corpus vector in several probed cells (the
+    duplicate scores are identical, so distinct is deterministic)."""
     scored = (
         probes.join(assigned, "cell")
         .filter(F.col("query_id") != F.col("match_id"))
         .withColumn("__sim", cosine_similarity("__qv", "__cv"))
+        .select("query_id", "match_id", "__sim")
     )
+    if dedup:
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("match_id"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))
@@ -283,10 +314,19 @@ def ivf_topk(
     seed: int = 42,
     train_fraction: float | None = None,
     max_iter: int = 10,
+    spill: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into cells; each query scores only the cells of
     its ``n_probe`` nearest centroids.
+
+    ``spill > 1`` lists every corpus vector in its ``spill`` nearest
+    cells (the SPANN-style boundary-duplication trade, public method):
+    storage and candidate volume grow ×spill, but a near-boundary
+    neighbor reachable from the "wrong" side stops being a miss — on a
+    structureless corpus, where recall is coverage-bound, spill=2
+    roughly squares the miss probability at fixed n_probe. Duplicated
+    candidates are collapsed before the top-k cut.
 
     Scale shape: quantizer trained on a bounded sample (fit_centroids);
     cell assignment and probing are broadcast joins against the tiny
@@ -312,9 +352,9 @@ def ivf_topk(
             [], "query_id long, match_id long, cosine_sim double"
         )
     n_probe = max(1, min(n_probe, cents.count()))
-    assigned = _nearest_cells(c, cents, "match_id", "__cv", 1)
+    assigned = _nearest_cells(c, cents, "match_id", "__cv", max(1, spill))
     probes = _nearest_cells(q, cents, "query_id", "__qv", n_probe)
-    return _probe_topk(probes, assigned, k)
+    return _probe_topk(probes, assigned, k, dedup=spill > 1)
 
 
 def build_ivf_index(

@@ -3044,13 +3044,22 @@ def sim_recall_lsh_q(spark, sf):
 
 @q("sim_recall_ivf", _recall_oracle("ivf", 0.78))
 def sim_recall_ivf_q(spark, sf):
-    # Recall contract for IVF (16 cells, probe 8): recall@10 vs exact
-    # cosine must be >= 0.78.
+    # Recall contract for IVF (16 cells, probe 6, spill 2): recall@10 vs
+    # exact cosine must be >= 0.78. Operating point re-pinned in r8: the
+    # coarse quantizer's numpy Lloyd fit produces BALANCED cells (the
+    # prior Spark-ML fit left degenerate 1/1/1/67-sized cells whose
+    # whale cells made probe-8 coverage — and the old 0.892 recall — an
+    # accident that would skew-shuffle at 100 TB). On this structureless
+    # corpus recall is coverage-bound, so the honest lever is SPANN-style
+    # spill=2 (each vector listed in its 2 nearest cells): measured
+    # 0.872 (sf0.01) / 0.900 (sf0.1) at ~75% of the scored volume of the
+    # old probe-8 point.
     from clinpy_spark.operators.similarity import ivf_topk
 
     return _recall_gate(
         spark, sf, "ivf", 0.78,
-        lambda qs, emb, k: ivf_topk(qs, emb, k=k, n_centroids=16, n_probe=8),
+        lambda qs, emb, k: ivf_topk(qs, emb, k=k, n_centroids=16, n_probe=6,
+                                    spill=2),
     )
 
 
@@ -3076,14 +3085,16 @@ def sim_recall_pq_q(spark, sf):
 @q("sim_recall_ivfpq", _recall_oracle("ivfpq", 0.75))
 def sim_recall_ivfpq_q(spark, sf):
     # Recall contract for residual IVFPQ + exact re-rank: the cell probe
-    # (n_probe=8/16) bounds what any refinement can recover — cells not
-    # probed are gone — so the shortlist re-rank lifts recall@10 from
-    # 0.50 (raw ADC) to 0.816 measured at sf0.01; floor 0.75.
+    # (n_probe=8/16, spill=2) bounds what any refinement can recover —
+    # cells not probed are gone — and the shortlist-100 exact re-rank
+    # recovers what 4-bit ADC ranks coarsely. Re-pinned in r8 with the
+    # balanced numpy coarse quantizer (see sim_recall_ivf): measured
+    # 0.908 (sf0.01) / 0.844 (sf0.1); floor 0.75.
     from clinpy_spark.operators.pq import exact_rerank, ivfpq_topk
 
     def _ivfpq(qs, emb, k):
-        sl = ivfpq_topk(qs, emb, k=50, n_centroids=16, n_probe=8,
-                        m=16, pq_k=16, seed=42)
+        sl = ivfpq_topk(qs, emb, k=100, n_centroids=16, n_probe=8,
+                        m=16, pq_k=16, seed=42, spill=2)
         return exact_rerank(sl, qs, emb, k=k)
 
     return _recall_gate(spark, sf, "ivfpq", 0.75, _ivfpq, metric="l2")

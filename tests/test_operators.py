@@ -2335,3 +2335,41 @@ def test_bpe_train_encode_spark_end_to_end(spark):
 
     gate = bpe_gate(docs, num_merges=20, max_word_types=100).collect()[0]
     assert gate["passed"] and gate["n_docs"] == 4 and gate["n_word_types"] == len(wf)
+
+
+def test_ivf_and_ivfpq_spill_assignment(spark):
+    """spill=s lists each corpus vector in its s nearest cells: results
+    stay k-per-query with NO duplicate (query, match) pairs, recall at a
+    fixed probe never drops vs spill=1, and full spill (= n_centroids)
+    degrades IVF to exact search regardless of probe count."""
+    import numpy as np
+
+    from clinpy_spark.operators.pq import ivfpq_topk
+    from clinpy_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(80, 8).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = df.filter(F.col("vec_id") < 6)
+    exact = {(r.query_id, r.match_id) for r in brute_force_topk(qdf, df, k=3).collect()}
+
+    def pairs(rows):
+        got = [(r.query_id, r.match_id) for r in rows]
+        assert len(got) == len(set(got))  # spill dedup: no repeats
+        return set(got)
+
+    r1 = pairs(ivf_topk(qdf, df, k=3, n_centroids=4, n_probe=2, spill=1).collect())
+    r2 = pairs(ivf_topk(qdf, df, k=3, n_centroids=4, n_probe=2, spill=2).collect())
+    assert len(r2 & exact) >= len(r1 & exact)
+    # every-cell spill == exact, even probing a single cell
+    rfull = pairs(ivf_topk(qdf, df, k=3, n_centroids=4, n_probe=1, spill=4).collect())
+    assert rfull == exact
+
+    p1 = pairs(ivfpq_topk(qdf, df, k=3, n_centroids=4, n_probe=2,
+                          m=4, pq_k=16, spill=1).collect())
+    p2 = pairs(ivfpq_topk(qdf, df, k=3, n_centroids=4, n_probe=2,
+                          m=4, pq_k=16, spill=2).collect())
+    assert len(p2 & exact) >= len(p1 & exact)

@@ -337,3 +337,33 @@ def test_streaming_media_decode_twin(spark, tmp_path):
               for r in extract_features(batch_df).collect()}
     assert got == expect
     assert got[1] == (6, 4, round(50 / 255, 6)) and got[2] == (9, 8, round(120 / 255, 6))
+
+
+def test_streaming_bpe_encode_twin(spark, tmp_path):
+    """bpe_encode (mapInPandas with a closure-shipped merge table) is
+    stream-transparent: encoding a file stream batch-by-batch yields the
+    exact rows the batch operator produces — the tokenize-on-ingest shape
+    of a training-data pipeline (train offline, segment the stream)."""
+    from clinpy_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = [(1, "stream the stream"), (2, "the theme"), (3, "fresh stream data")]
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe_train(batch, num_merges=12, max_word_types=100)
+
+    src = tmp_path / "bpe_docs"
+    src.mkdir()
+    for did, text in docs:  # one file per doc -> multiple micro-batches
+        with open(src / f"part-{did}.json", "w") as fh:
+            fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = (spark.readStream.format("json")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).load(str(src)))
+
+    enc = bpe_encode(stream, merges)
+    q = (enc.writeStream.format("memory").queryName("bpe_enc")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql("select * from bpe_enc").collect()}
+    want = {tuple(r) for r in bpe_encode(batch, merges).collect()}
+    assert got == want and len(got) == 3
