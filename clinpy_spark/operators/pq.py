@@ -477,6 +477,7 @@ def build_ivfpq_index(
     seed: int = 42,
     iters: int = 8,
     opq: bool = False,
+    spill: int = 1,
 ) -> None:
     """Persist a residual-IVFPQ index: ``{name}_centroids`` (tiny),
     ``{name}_codebooks`` (KiB), and ``{name}_codes`` — (id, codes)
@@ -493,7 +494,13 @@ def build_ivfpq_index(
     vector before clustering/encoding (Arrow-batched matvec) and
     persisted as ``{name}_rotation``; queries are rotated at search
     time. L2 is rotation-invariant, so ADC distances and the raw-vector
-    re-rank stay directly comparable."""
+    re-rank stay directly comparable.
+
+    ``spill > 1`` stores each vector's code in its ``spill`` nearest
+    cell directories, one RESIDUAL code per listing (×spill code bytes,
+    the SPANN trade of :func:`ivfpq_topk`); the factor rides the
+    centroids table so :func:`ivfpq_index_topk` self-configures its
+    min-ADC dedup."""
     from clinpy_spark.operators.similarity import _nearest_cells, fit_centroids
 
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
@@ -506,16 +513,21 @@ def build_ivfpq_index(
     if cents is None:
         raise ValueError("cannot index an empty corpus")
     assigned = (
-        _nearest_cells(c, cents, "match_id", "__cv", 1)
+        _nearest_cells(c, cents, "match_id", "__cv", max(1, spill))
+        .withColumn("__rid", F.col("match_id") * n_centroids + F.col("cell"))
         .join(F.broadcast(cents), "cell")
         .withColumn("__rv", F.zip_with(F.col("__cv").cast("array<double>"),
                                        F.col("__ctr"), lambda a, b: a - b))
-        .select("match_id", "cell", "__rv")
+        .select("match_id", "cell", "__rid", "__rv")
         .localCheckpoint(eager=False)
     )
     codebooks = fit_pq_codebooks(assigned, "__rv", m, pq_k, iters=iters, seed=seed)
     spark = corpus.sparkSession
-    catalog.write(cents.withColumnRenamed("__ctr", "centroid"), f"{name}_centroids")
+    catalog.write(
+        cents.withColumnRenamed("__ctr", "centroid")
+        .withColumn("spill", F.lit(max(1, spill))),
+        f"{name}_centroids",
+    )
     catalog.write(
         spark.createDataFrame(
             [(i, cd, [float(x) for x in codebooks[i, cd]])
@@ -524,9 +536,12 @@ def build_ivfpq_index(
         ),
         f"{name}_codebooks",
     )
-    codes = pq_encode(assigned, codebooks, "match_id", "__rv").join(
-        assigned.select("match_id", "cell"), "match_id"
-    ).select(F.col("match_id").alias(id_col), "cell", "codes")
+    codes = (
+        pq_encode(assigned, codebooks, "__rid", "__rv")
+        .withColumnRenamed("match_id", "__rid")
+        .join(assigned.select("match_id", "cell", "__rid"), "__rid")
+        .select(F.col("match_id").alias(id_col), "cell", "codes")
+    )
     catalog.write(codes, f"{name}_codes", partition_by=["cell"])
     if rotation is not None:
         catalog.write(
@@ -564,8 +579,10 @@ def ivfpq_index_topk(
     ANN deployment has; the CORPUS side is never collected."""
     from clinpy_spark.operators.similarity import _nearest_cells
 
-    cents = catalog.table(f"{name}_centroids").select(
-        "cell", F.col("centroid").alias("__ctr"))
+    craw = catalog.table(f"{name}_centroids")
+    spill = (craw.select(F.max("spill")).first()[0] or 1) \
+        if "spill" in craw.columns else 1
+    cents = craw.select("cell", F.col("centroid").alias("__ctr"))
     codebooks = load_pq_codebooks(catalog, name)
     cent_rows = cents.collect()  # tiny: n_centroids rows
     cent_map = {int(r["cell"]): np.asarray(r["__ctr"], dtype=np.float64)
@@ -588,9 +605,15 @@ def ivfpq_index_topk(
         .select("query_id", "__qv", "match_id", "codes", "cell")
     )
     cut = shortlist if rerank_corpus is not None else k
+    scored = _adc_score_pairs(pairs, codebooks, cent_map)
+    if spill > 1:
+        # spilled index: a vector probed through several of its listed
+        # cells keeps its best (min) ADC distance
+        scored = scored.groupBy("query_id", "match_id").agg(
+            F.min("adc_dist").alias("adc_dist"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("match_id"))
     adc = (
-        _adc_score_pairs(pairs, codebooks, cent_map)
+        scored
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= cut)
         .select("query_id", "match_id", "adc_dist")

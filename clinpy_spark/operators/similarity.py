@@ -367,20 +367,30 @@ def build_ivf_index(
     seed: int = 42,
     train_fraction: float | None = None,
     max_iter: int = 10,
+    spill: int = 1,
 ) -> None:
     """Persist an IVF index: ``{name}_centroids`` (tiny) plus
     ``{name}_cells`` — the corpus partitioned BY CELL on disk, so a
     probe that touches n_probe of n_centroids cells prunes whole
     directories at scan time. Clustering cost is paid once per corpus,
-    not once per query batch (real deployments rebuild on drift)."""
+    not once per query batch (real deployments rebuild on drift).
+
+    ``spill > 1`` stores each vector in its ``spill`` nearest cell
+    directories (×spill storage, the same SPANN trade as
+    :func:`ivf_topk`); the factor rides the centroids table so
+    :func:`ivf_index_topk` self-configures its dedup."""
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
     cents = fit_centroids(c, n_centroids, seed, train_fraction, max_iter)
     if cents is None:
         raise ValueError("cannot index an empty corpus")
-    assigned = _nearest_cells(c, cents, "match_id", "__cv", 1).select(
+    assigned = _nearest_cells(c, cents, "match_id", "__cv", max(1, spill)).select(
         F.col("match_id").alias(id_col), F.col("__cv").alias(vec_col), "cell"
     )
-    catalog.write(cents.withColumnRenamed("__ctr", "centroid"), f"{name}_centroids")
+    catalog.write(
+        cents.withColumnRenamed("__ctr", "centroid")
+        .withColumn("spill", F.lit(max(1, spill))),
+        f"{name}_centroids",
+    )
     catalog.write(assigned, f"{name}_cells", partition_by=["cell"])
 
 
@@ -395,10 +405,13 @@ def ivf_index_topk(
 ) -> DataFrame:
     """Search a persisted IVF index. The probed cell ids filter the
     cell-partitioned corpus table (partition pruning / dynamic partition
-    pruning — only n_probe/n_centroids of the data is scanned)."""
-    cents = catalog.table(f"{name}_centroids").select(
-        "cell", F.col("centroid").alias("__ctr")
-    )
+    pruning — only n_probe/n_centroids of the data is scanned). An
+    index built with ``spill > 1`` is detected from the centroids table
+    and its duplicate candidates collapse before the top-k cut."""
+    craw = catalog.table(f"{name}_centroids")
+    spill = (craw.select(F.max("spill")).first()[0] or 1) \
+        if "spill" in craw.columns else 1
+    cents = craw.select("cell", F.col("centroid").alias("__ctr"))
     cells = catalog.table(f"{name}_cells").select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"), "cell"
     )
@@ -407,7 +420,7 @@ def ivf_index_topk(
     )
     n_probe = max(1, min(n_probe, cents.count()))
     probes = _nearest_cells(q, cents, "query_id", "__qv", n_probe)
-    return _probe_topk(probes, cells, k)
+    return _probe_topk(probes, cells, k, dedup=spill > 1)
 
 
 def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:

@@ -2373,3 +2373,61 @@ def test_ivf_and_ivfpq_spill_assignment(spark):
     p2 = pairs(ivfpq_topk(qdf, df, k=3, n_centroids=4, n_probe=2,
                           m=4, pq_k=16, spill=2).collect())
     assert len(p2 & exact) >= len(p1 & exact)
+
+
+def test_persisted_index_spill_roundtrip(spark, tmp_path):
+    """Indexes built with spill=2 store each vector in 2 cell
+    directories, record the factor in the centroids table, and searches
+    self-configure: k unique results per query, recall >= the unspilled
+    build at the same probe count."""
+    import numpy as np
+
+    from clinpy_spark.operators.pq import build_ivfpq_index, ivfpq_index_topk
+    from clinpy_spark.operators.similarity import build_ivf_index, ivf_index_topk
+    from clinpy_spark.session import ProjectCatalog
+
+    rng = np.random.default_rng(9)
+    pts = rng.normal(0, 1, (120, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    k, qn = 5, 10
+    sims = (pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    s = sims[:qn] @ sims.T
+    np.fill_diagonal(s[:, :qn], -np.inf)
+    exact = {qi: set(np.argsort(-s[qi])[:k].tolist()) for qi in range(qn)}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, []).append(r.match_id)
+        assert all(len(v) == len(set(v)) == k for v in got.values())
+        return sum(len(set(got.get(q, [])) & m) for q, m in exact.items()) / (qn * k)
+
+    cat = ProjectCatalog(spark, str(tmp_path))
+    build_ivf_index(cat, emb, name="plain", n_centroids=6, seed=9)
+    build_ivf_index(cat, emb, name="spilled", n_centroids=6, seed=9, spill=2)
+    n_plain = cat.table("plain_cells").count()
+    assert cat.table("spilled_cells").count() == 2 * n_plain
+    assert cat.table("spilled_centroids").select(F.max("spill")).first()[0] == 2
+    r_plain = recall(ivf_index_topk(cat, queries, name="plain", k=k, n_probe=2))
+    r_spill = recall(ivf_index_topk(cat, queries, name="spilled", k=k, n_probe=2))
+    assert r_spill >= r_plain
+
+    # IVFPQ: spilled listings carry per-cell residual codes; with the
+    # exact re-rank the spilled index is at least as good
+    build_ivfpq_index(cat, emb, name="pq_plain", n_centroids=6, m=4, pq_k=16, seed=9)
+    build_ivfpq_index(cat, emb, name="pq_spill", n_centroids=6, m=4, pq_k=16,
+                      seed=9, spill=2)
+    assert cat.table("pq_spill_codes").count() == 2 * cat.table("pq_plain_codes").count()
+    # L2 exact set for the pq (l2-metric) side
+    d2 = ((pts[:qn, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2[:, :qn], np.inf)
+    exact = {qi: set(np.argsort(d2[qi])[:k].tolist()) for qi in range(qn)}
+    p_plain = recall(ivfpq_index_topk(cat, queries, name="pq_plain", k=k, n_probe=2,
+                                      rerank_corpus=emb, shortlist=20))
+    p_spill = recall(ivfpq_index_topk(cat, queries, name="pq_spill", k=k, n_probe=2,
+                                      rerank_corpus=emb, shortlist=20))
+    assert p_spill >= p_plain
