@@ -1,0 +1,138 @@
+"""Count-min sketch over token streams — the fixed-size, mergeable
+frequency summary for heavy-hitter queries at corpus scale.
+
+Cormode & Muthukrishnan 2005 (public method): ``depth`` hash rows ×
+``width`` buckets of counters; each item increments one bucket per row;
+a lookup reads the MINIMUM of its ``depth`` buckets. Estimates only
+ever OVER-count (one-sided error ≤ ε·N with ε = e/width at the usual
+depth = ln(1/δ) setting) — the sketch never misses a heavy hitter.
+
+Spark-first shape:
+
+- **Build is one explode + one groupBy** on (row, bucket) — map-side
+  combined, shuffle keyed by a key space of exactly ``depth × width``
+  cells regardless of corpus size. At 100 TB the sketch table is the
+  same few thousand rows it is at 1 GB; THAT is the point — the exact
+  ``vocab_topk`` groupBy shuffles the full vocabulary, the sketch
+  shuffles a constant.
+- **Merge is addition** (``cms_merge``): sketches of two corpora with
+  the same (width, depth, seed) sum bucket-wise — per-partition /
+  per-day sketches combine associatively, the property every
+  production sketch pipeline leans on (tested).
+- **Hashing is the repo's portable md5 construction** (see
+  oracle-parity usage across minhash/simhash): bucket =
+  int(md5(token ⊕ row)[:8 hex]) mod width, identical arithmetic in
+  Spark (``conv``) and DuckDB (hex-digit strpos sum), so the ORACLE
+  RECOMPUTES THE ENTIRE SKETCH EXACTLY — unlike the HLL gate
+  (a15_hll_sketch), the driver hash-checks every counter and every
+  estimate bit-for-bit (``text_cms_topk``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.text import norm_tokens
+
+
+def portable_hash32(col: Column | str, salt: str) -> Column:
+    """First 8 md5 hex digits of ``value || salt`` as a non-negative
+    long (< 2^32). DuckDB twin: the strpos-weighted digit sum used by
+    every portable-hash oracle in queries.py."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(F.concat(c, F.lit(salt))), 1, 8), 16, 10) \
+        .cast("long")
+
+
+def cms_bucket(col: Column | str, row: int, width: int) -> Column:
+    """Bucket of ``col`` in hash row ``row``."""
+    return portable_hash32(col, f"|{row}") % width
+
+
+def count_min(
+    df: DataFrame,
+    col: str = "t",
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Build the sketch from an item column -> (row, bucket, cnt).
+
+    Missing cells are zero by omission (lookups treat absent joins as
+    0); the materialized table is ≤ depth×width rows."""
+    buckets = F.array(*[cms_bucket(col, d, width) for d in range(depth)])
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum sketches built with identical (width, depth, seed): counters
+    add bucket-wise, so per-shard sketches combine associatively."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    cms: DataFrame,
+    items: DataFrame,
+    col: str = "t",
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Estimate each item's count: min over its ``depth`` buckets.
+
+    ``items`` is the (small) candidate table — the sketch side is a
+    broadcastable depth×width table, so the lookup is a broadcast join,
+    no shuffle of the candidates."""
+    probes = items.select(
+        F.col(col),
+        F.posexplode(
+            F.array(*[cms_bucket(col, d, width) for d in range(depth)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_cnt"))
+    )
+
+
+def cms_token_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Heavy hitters with sketch-estimated counts: the exact top-``k``
+    tokens (deterministic (count desc, token) order) annotated with the
+    CMS estimate — (token, exact_cnt, cms_cnt, overestimates). At scale
+    the exact side runs on a sample or a candidate stream while the
+    sketch summarizes the full corpus; here both run on the corpus so
+    the one-sided-error property (cms_cnt >= exact_cnt, always) is
+    checkable row by row."""
+    tok = docs.select(F.explode(norm_tokens(text_col)).alias("t"))
+    exact = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("t"))
+        .limit(k)
+    )
+    sketch = count_min(tok, "t", width, depth)
+    est = cms_lookup(sketch, exact, "t", width, depth)
+    return (
+        exact.join(est, "t")
+        .select(
+            F.col("t").alias("token"),
+            "exact_cnt",
+            "cms_cnt",
+            (F.col("cms_cnt") >= F.col("exact_cnt")).alias("overestimates"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+    )

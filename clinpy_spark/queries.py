@@ -4004,6 +4004,58 @@ def text_bpe_gate_q(spark, sf):
     return bpe_gate(docs, num_merges=150, max_word_types=30_000)
 
 
+def _cms_oracle_sql(width: int = 256, depth: int = 3, k: int = 10) -> str:
+    """DuckDB twin of the ENTIRE count-min pipeline (operators/sketch.py):
+    portable 32-bit md5 bucket hashes, the depth×width counter build,
+    and the min-bucket lookup — every counter and estimate is
+    recomputed, so the sketch is hash-checked exactly (the HLL gate
+    a15_hll_sketch can only bound its estimate; CMS is deterministic)."""
+    hex32 = lambda expr: "(" + " + ".join(  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    ) + ")"
+    ds = ", ".join(str(d) for d in range(depth))
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents),
+ex AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM tok GROUP BY t ORDER BY exact_cnt DESC, t LIMIT {k}),
+ds AS (SELECT unnest([{ds}]) AS d),
+cms AS (
+  SELECT d AS row, {hex32("t || '|' || CAST(d AS VARCHAR)")} % {width} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN ds GROUP BY 1, 2),
+probe AS (
+  SELECT ex.t, ex.exact_cnt, ds.d,
+         {hex32("ex.t || '|' || CAST(ds.d AS VARCHAR)")} % {width} AS bucket
+  FROM ex CROSS JOIN ds),
+est AS (
+  SELECT p.t, p.exact_cnt, min(coalesce(c.cnt, 0)) AS cms_cnt
+  FROM probe p LEFT JOIN cms c ON c.row = p.d AND c.bucket = p.bucket
+  GROUP BY p.t, p.exact_cnt)
+SELECT t AS token, exact_cnt, cms_cnt, cms_cnt >= exact_cnt AS overestimates
+FROM est ORDER BY exact_cnt DESC, token
+"""
+
+
+@q("text_cms_topk", _cms_oracle_sql())
+def text_cms_topk_q(spark, sf):
+    # Count-min sketch heavy hitters (operators/sketch.py): build the
+    # depth=3 × width=256 counter table in ONE explode + groupBy whose
+    # shuffle key space is the constant sketch size (not the
+    # vocabulary), then annotate the exact top-10 tokens with the
+    # min-bucket estimate. Portable md5 bucket hashing makes the whole
+    # sketch — every counter, every estimate, the one-sided
+    # overestimates flag — bit-identical in DuckDB, so this is a full
+    # hash check of a sketch operator, not an accuracy gate. Mergeable
+    # across shards by bucket-wise addition (cms_merge, pytest).
+    from clinpy_spark.operators.sketch import cms_token_topk
+
+    return cms_token_topk(_t(spark, sf, "documents"), k=10, width=256, depth=3)
+
+
 # ---------------------------------------------------------------------------
 # Curation pipeline — the end-to-end training-data pass (lang -> noise ->
 # length -> exact dedup) as ONE labeled scan + one window shuffle.
@@ -4245,6 +4297,7 @@ _PRIORITY: list[str] = [
     "j10d_region_batch",
     "v_filter_spec",
     "text_bpe_gate",
+    "text_cms_topk",
     # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
     # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
     # window refreshes the oldest evidence --

@@ -2431,3 +2431,41 @@ def test_persisted_index_spill_roundtrip(spark, tmp_path):
     p_spill = recall(ivfpq_index_topk(cat, queries, name="pq_spill", k=k, n_probe=2,
                                       rerank_corpus=emb, shortlist=20))
     assert p_spill >= p_plain
+
+
+def test_count_min_sketch_merge_and_overcount(spark):
+    """CMS laws: (a) merging per-shard sketches equals the sketch of the
+    union (bucket-wise addition, exact table equality); (b) estimates
+    never under-count any token (one-sided error); (c) the sketch table
+    never exceeds depth*width rows regardless of vocabulary size."""
+    from clinpy_spark.operators.sketch import (
+        cms_lookup,
+        cms_merge,
+        cms_token_topk,
+        count_min,
+    )
+
+    docs = [(i, f"tok{i % 7} tok{i % 3} common") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from clinpy_spark.functions.text import norm_tokens
+
+    tok = df.select(F.explode(norm_tokens("text")).alias("t"))
+    W, D = 16, 3  # tiny width forces collisions -> real overestimates
+
+    whole = count_min(tok, width=W, depth=D)
+    assert whole.count() <= W * D
+    half_a = count_min(df.filter("doc_id < 20").select(
+        F.explode(norm_tokens("text")).alias("t")), width=W, depth=D)
+    half_b = count_min(df.filter("doc_id >= 20").select(
+        F.explode(norm_tokens("text")).alias("t")), width=W, depth=D)
+    merged = {(r.row, r.bucket): r.cnt for r in cms_merge(half_a, half_b).collect()}
+    assert merged == {(r.row, r.bucket): r.cnt for r in whole.collect()}
+
+    exact = {r.t: r.cnt for r in tok.groupBy("t").agg(F.count("*").alias("cnt")).collect()}
+    items = tok.select("t").distinct()
+    est = {r.t: r.cms_cnt for r in cms_lookup(whole, items, width=W, depth=D).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= c for t, c in exact.items())
+
+    top = cms_token_topk(df, k=3, width=W, depth=D).collect()
+    assert [r.token for r in top][0] == "common" and all(r.overestimates for r in top)
