@@ -1,5 +1,6 @@
-"""Count-min sketch over token streams — the fixed-size, mergeable
-frequency summary for heavy-hitter queries at corpus scale.
+"""Fixed-size probabilistic summaries: count-min sketch (frequency) and
+Bloom filter (membership) over token/shingle streams, both built on the
+repo's portable md5 hashing so a DuckDB oracle recomputes them EXACTLY.
 
 Cormode & Muthukrishnan 2005 (public method): ``depth`` hash rows ×
 ``width`` buckets of counters; each item increments one bucket per row;
@@ -101,6 +102,50 @@ def cms_lookup(
         probes.join(F.broadcast(cms), ["row", "bucket"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_cnt"))
+    )
+
+
+def bloom_bits(
+    items: DataFrame,
+    col: str = "s",
+    n_bits: int = 65_536,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom filter of an item set -> its set-bit table ``(bit,)``.
+
+    Bit positions are the portable md5 hashes (salt ``#j`` per hash
+    function), so the filter is engine-recomputable. The table is at
+    most ``min(n_bits, k·|items|)`` rows — for a benchmark/blocklist
+    side this is kilobytes and broadcastable, which is the point: the
+    corpus side probes it without shuffling its own shingles anywhere."""
+    pos = F.array(*[portable_hash32(col, f"#{j}") % n_bits for j in range(k)])
+    return (
+        items.select(F.explode(pos).alias("bit")).distinct()
+    )
+
+
+def bloom_probe(
+    pairs: DataFrame,
+    key_cols: list[str],
+    col: str,
+    bits: DataFrame,
+    n_bits: int = 65_536,
+    k: int = 4,
+) -> DataFrame:
+    """Membership probe: one row per input (``key_cols`` + ``col``) with
+    ``bloom_maybe`` — true iff ALL ``k`` bit positions are set (Bloom
+    semantics: no false negatives, false positives at the classic
+    (1-e^{-kn/m})^k rate). The bit table joins broadcast; the probe side
+    never shuffles."""
+    pos = F.array(*[portable_hash32(col, f"#{j}") % n_bits for j in range(k)])
+    marked = bits.withColumn("__in", F.lit(1))
+    exploded = (
+        pairs.select(*key_cols, col, F.explode(pos).alias("bit"))
+        .join(F.broadcast(marked), "bit", "left")
+    )
+    return (
+        exploded.groupBy(*key_cols, col)
+        .agg((F.count("__in") == k).alias("bloom_maybe"))
     )
 
 

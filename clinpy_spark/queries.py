@@ -4040,6 +4040,71 @@ FROM est ORDER BY exact_cnt DESC, token
 """
 
 
+def _bloom_oracle_sql(n_bits: int = 65_536, k: int = 4) -> str:
+    """DuckDB twin of the Bloom decontamination pass: same md5 bit
+    positions, same all-k-bits membership rule — every per-doc hit
+    count is recomputed exactly (no false negatives by construction;
+    false positives are DETERMINISTIC given the hash family, so the two
+    engines agree bit-for-bit even about the filter's mistakes)."""
+    hex32 = lambda expr: "(" + " + ".join(  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    ) + ")"
+    js = ", ".join(str(j) for j in range(k))
+    return f"""
+WITH words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) - 4 <= 0 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')) END) AS s
+  FROM words),
+js AS (SELECT unnest([{js}]) AS j),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+bits AS (SELECT DISTINCT {hex32("s || '#' || CAST(j AS VARCHAR)")} % {n_bits} AS bit
+         FROM bench CROSS JOIN js),
+train AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+probe AS (SELECT t.doc_id, t.s,
+                 {hex32("t.s || '#' || CAST(js.j AS VARCHAR)")} % {n_bits} AS bit
+          FROM train t CROSS JOIN js),
+flag AS (SELECT p.doc_id, p.s, count(b.bit) = {k} AS maybe
+         FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+         GROUP BY p.doc_id, p.s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE maybe) AS BIGINT) AS n_bloom_hits
+FROM flag GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@q("text_bloom_decontaminate", _bloom_oracle_sql())
+def text_bloom_decontaminate_q(spark, sf):
+    # Bloom-filter decontamination (operators/sketch.py): the benchmark
+    # side's 5-gram shingles compress to a <=65536-row bit table that
+    # BROADCASTS to the corpus scan — the scale alternative to
+    # text_decontaminate's shingle equi-join, whose wide shuffle moves
+    # the corpus's distinct shingles. No false negatives by Bloom
+    # construction (a contaminated doc is never missed); false
+    # positives are deterministic given the md5 hash family, so the
+    # oracle recomputes the exact per-doc hit counts, mistakes included.
+    from clinpy_spark.functions.text import shingles
+    from clinpy_spark.operators.sketch import bloom_bits, bloom_probe
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("__sh"))
+    bench = (docs.filter(F.col("doc_id") % 97 == 0)
+             .select(F.explode("__sh").alias("s")).distinct())
+    bits = bloom_bits(bench, "s")
+    train = (docs.filter(F.col("doc_id") % 97 != 0)
+             .select("doc_id", F.explode("__sh").alias("s")))
+    flagged = bloom_probe(train, ["doc_id"], "s", bits)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("bloom_maybe"), 1)).alias("n_bloom_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @q("text_cms_topk", _cms_oracle_sql())
 def text_cms_topk_q(spark, sf):
     # Count-min sketch heavy hitters (operators/sketch.py): build the
@@ -4298,6 +4363,7 @@ _PRIORITY: list[str] = [
     "v_filter_spec",
     "text_bpe_gate",
     "text_cms_topk",
+    "text_bloom_decontaminate",
     # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
     # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
     # window refreshes the oldest evidence --

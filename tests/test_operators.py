@@ -2469,3 +2469,24 @@ def test_count_min_sketch_merge_and_overcount(spark):
 
     top = cms_token_topk(df, k=3, width=W, depth=D).collect()
     assert [r.token for r in top][0] == "common" and all(r.overestimates for r in top)
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Bloom membership: every inserted item probes true (zero false
+    negatives, the load-bearing guarantee for decontamination), and with
+    a tiny bit space the deterministic false positives still leave
+    non-members distinguishable only in one direction (maybe=True is a
+    superset of membership)."""
+    from clinpy_spark.operators.sketch import bloom_bits, bloom_probe
+
+    members = spark.createDataFrame([(f"gram {i}",) for i in range(30)], "s string")
+    others = spark.createDataFrame(
+        [(i, f"gram {i}") for i in range(60)], "rid long, s string")
+    W, K = 128, 3  # tiny -> forces some false positives
+    bits = bloom_bits(members, "s", n_bits=W, k=K)
+    assert bits.count() <= min(W, 30 * K)
+    got = {r.s: r.bloom_maybe
+           for r in bloom_probe(others, ["rid"], "s", bits, n_bits=W, k=K).collect()}
+    assert all(got[f"gram {i}"] for i in range(30))  # no false negatives
+    fps = sum(got[f"gram {i}"] for i in range(30, 60))
+    assert fps < 30  # not saturated: non-membership still informative
