@@ -102,6 +102,41 @@ def sample_exact_n(
     )
 
 
+def sample_weighted_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n`` rows per group, drawn WITHOUT replacement with
+    probability proportional to ``weight_col`` — Efraimidis & Spirakis
+    2006 A-ES (public method): rank rows by ``u^(1/w)`` (equivalently
+    ``ln(u)/w``, the monotone form used here) with ``u`` a per-row
+    uniform, keep the top ``n``. The uniform is hash-derived
+    (``(int(md5[:8]) + 1) / (2^32 + 1)``, never 0), so like every
+    sampler in this module the draw is reproducible on any partitioning
+    and auditable by an external engine recomputing the key — the
+    distributed form of weighted reservoir sampling with ONE window
+    shuffle on the group key and no RNG state. Weights must be > 0
+    (rows with NULL/non-positive weight are dropped, matching the
+    probability-zero limit)."""
+    key = F.col(key_col)
+    u = (F.conv(sample_hash(key_col, seed), 16, 10).cast("double") + 1.0) \
+        / float(_HEX_SPACE + 1)
+    score = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.desc("__aes"), key.asc())
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__aes", score)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk", "__aes")
+    )
+
+
 def resample_corpus(
     df: DataFrame,
     ratios: dict[str, float],

@@ -3818,6 +3818,51 @@ def sample_exact_n_q(spark, sf):
     )
 
 
+def _weighted_sample_oracle_sql(n: int = 20, seed: int = 42) -> str:
+    hex32 = "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    ) + ")"
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS wt
+  FROM documents),
+keyed AS (
+  SELECT doc_id, lang, wt,
+         ln(({hex32} + 1) / 4294967297.0) / wt AS aes
+  FROM w WHERE wt > 0),
+ranked AS (
+  SELECT doc_id, lang, wt,
+         row_number() OVER (PARTITION BY lang ORDER BY aes DESC, doc_id ASC) AS rk
+  FROM keyed)
+SELECT lang, doc_id, CAST(wt AS BIGINT) AS weight
+FROM ranked WHERE rk <= {n} ORDER BY lang, doc_id
+"""
+
+
+@q("sample_weighted_n", _weighted_sample_oracle_sql())
+def sample_weighted_n_q(spark, sf):
+    # Weighted without-replacement quota (Efraimidis-Spirakis A-ES,
+    # operators/sample.py): exactly 20 docs per lang, drawn with
+    # probability proportional to token count, via the hash-derived
+    # uniform ln(u)/w key — reproducible on any partitioning and
+    # recomputed row-for-row by the oracle (the emitted ids prove the
+    # same draw, not just the same counts). Rank gaps (~1e-7 on this
+    # corpus) dwarf any cross-engine libm ulp skew, so the float key
+    # ranking is engine-stable.
+    from clinpy_spark.functions.text import norm_tokens
+    from clinpy_spark.operators.sample import sample_weighted_n
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(norm_tokens("text")).alias("weight"))
+    out = sample_weighted_n(docs, 20, "weight", group_col="lang",
+                            key_col="doc_id", seed=42)
+    return out.select(
+        "lang", "doc_id", F.col("weight").cast("long").alias("weight")
+    ).orderBy("lang", "doc_id")
+
+
 @q("s15_histogram", f"""
 SELECT CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n,
@@ -4364,6 +4409,7 @@ _PRIORITY: list[str] = [
     "text_bpe_gate",
     "text_cms_topk",
     "text_bloom_decontaminate",
+    "sample_weighted_n",
     # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
     # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
     # window refreshes the oldest evidence --

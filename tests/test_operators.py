@@ -2490,3 +2490,30 @@ def test_bloom_filter_no_false_negatives(spark):
     assert all(got[f"gram {i}"] for i in range(30))  # no false negatives
     fps = sum(got[f"gram {i}"] for i in range(30, 60))
     assert fps < 30  # not saturated: non-membership still informative
+
+
+def test_sample_weighted_n_favors_heavy_rows(spark):
+    """A-ES weighted quota: every draw is exactly n unique rows,
+    deterministic for a seed, and across seeds the 10 heavy rows
+    (weight 100 vs 1) dominate the sample as pps sampling requires."""
+    from clinpy_spark.operators.sample import sample_weighted_n
+
+    rows = [(i, "g", 100.0 if i >= 90 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+
+    heavy = 0
+    for seed in range(12):
+        got = [r.doc_id for r in sample_weighted_n(df, 10, "w", seed=seed).collect()]
+        assert len(got) == len(set(got)) == 10
+        if seed == 0:
+            again = [r.doc_id for r in sample_weighted_n(df, 10, "w", seed=0).collect()]
+            assert sorted(got) == sorted(again)  # deterministic per seed
+        heavy += sum(1 for d in got if d >= 90)
+    # heavy rows hold ~92% of total weight; demand a clear majority
+    assert heavy / (12 * 10) > 0.5
+
+    # zero/negative/NULL weights are never drawn
+    df2 = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", -3.0), (3, "g", None), (4, "g", 5.0)],
+        "doc_id long, source string, w double")
+    assert [r.doc_id for r in sample_weighted_n(df2, 4, "w").collect()] == [4]
