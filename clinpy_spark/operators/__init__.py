@@ -6,3 +6,10 @@ from clinpy_spark.operators.dedup import (  # noqa: F401
     simhash,
 )
 from clinpy_spark.operators.similarity import brute_force_topk, lsh_topk  # noqa: F401
+from clinpy_spark.operators.bpe import bpe_encode, bpe_train  # noqa: F401
+from clinpy_spark.operators.sketch import (  # noqa: F401
+    bloom_bits,
+    bloom_probe,
+    cms_merge,
+    count_min,
+)

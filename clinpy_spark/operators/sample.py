@@ -137,6 +137,56 @@ def sample_weighted_n(
     )
 
 
+def temperature_quota(
+    df: DataFrame,
+    total_n: int,
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-balanced mixture (the multilingual-pretraining
+    α-sampling move: sample groups ∝ count^α, α<1 up-weights the tail):
+    allocate a ``total_n`` budget across groups by weight
+    ``floor(count^α)``, then keep each group's quota via the module's
+    deterministic hash rank.
+
+    α is restricted to {0.5, 1.0}: ``sqrt`` is correctly rounded in
+    IEEE-754 (and ``floor(sqrt(c)) == isqrt(c)`` for any table-sized
+    count), so with the otherwise-integer quota arithmetic
+    ``min(c, floor((total·w + W−1)/W))`` both engines compute identical
+    quotas bit-for-bit — a general ``pow`` is NOT correctly rounded and
+    would make the draw engine-dependent. Quota table is tiny and
+    broadcast; one window shuffle on the group key, same as
+    :func:`sample_exact_n`."""
+    if alpha not in (0.5, 1.0):
+        raise NotImplementedError(
+            "alpha must be 0.5 or 1.0: only sqrt/identity are correctly "
+            "rounded, a general pow() is engine-dependent")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    wcol = F.floor(F.sqrt(F.col("__c"))) if alpha == 0.5 else F.col("__c")
+    counts = counts.withColumn("__w", wcol.cast("long"))
+    tot = counts.agg(F.sum("__w").alias("__tw"))
+    quotas = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "__q",
+        F.least(
+            F.col("__c"),
+            F.floor((F.lit(total_n) * F.col("__w") + F.col("__tw") - 1)
+                    / F.col("__tw")).cast("long"),
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(key_col, seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.join(F.broadcast(quotas.select(group_col, "__q")), group_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__q"))
+        .drop("__rk", "__q")
+    )
+
+
 def resample_corpus(
     df: DataFrame,
     ratios: dict[str, float],

@@ -3841,6 +3841,54 @@ FROM ranked WHERE rk <= {n} ORDER BY lang, doc_id
 """
 
 
+@q("mix_temperature_quota", """
+WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+w AS (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+tw AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM w),
+q AS (SELECT lang, c, least(c, CAST(floor((200 * w + tot_w - 1) / tot_w) AS BIGINT)) AS quota
+      FROM w, tw),
+ranked AS (
+  SELECT d.lang, d.doc_id, q.quota,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8) ASC,
+                    d.doc_id ASC) AS rk
+  FROM documents d JOIN q ON q.lang = d.lang)
+SELECT lang, CAST(any_value(quota) AS BIGINT) AS quota,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM ranked WHERE rk <= quota GROUP BY lang ORDER BY lang
+""")
+def mix_temperature_quota_q(spark, sf):
+    # Temperature-balanced mixture (alpha=0.5, operators/sample.py):
+    # a 200-doc budget is allocated across languages by floor(sqrt(c))
+    # weights — the multilingual up-weight-the-tail move — and each
+    # group keeps its quota via the deterministic hash rank. sqrt is
+    # correctly rounded and the rest of the quota arithmetic is
+    # integer, so the oracle recomputes quotas AND the exact chosen
+    # rows (sum_ids) bit-for-bit.
+    from clinpy_spark.operators.sample import temperature_quota
+
+    out = temperature_quota(_t(spark, sf, "documents"), 200,
+                            group_col="lang", key_col="doc_id", seed=42)
+    counts = _t(spark, sf, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("__c"))
+    w = counts.select("lang", F.floor(F.sqrt("__c")).cast("long").alias("__w"))
+    tot = w.agg(F.sum("__w").alias("__tw"))
+    quota = (counts.join(w, "lang").crossJoin(F.broadcast(tot))
+             .select("lang", F.least(
+                 F.col("__c"),
+                 F.floor((F.lit(200) * F.col("__w") + F.col("__tw") - 1)
+                         / F.col("__tw")).cast("long")).alias("quota")))
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_selected"), F.sum("doc_id").alias("sum_ids"))
+        .join(quota, "lang")
+        .select("lang", "quota", "n_selected", "sum_ids")
+        .orderBy("lang")
+    )
+
+
 @q("sample_weighted_n", _weighted_sample_oracle_sql())
 def sample_weighted_n_q(spark, sf):
     # Weighted without-replacement quota (Efraimidis-Spirakis A-ES,
@@ -4410,6 +4458,7 @@ _PRIORITY: list[str] = [
     "text_cms_topk",
     "text_bloom_decontaminate",
     "sample_weighted_n",
+    "mix_temperature_quota",
     # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
     # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
     # window refreshes the oldest evidence --

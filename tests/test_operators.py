@@ -2517,3 +2517,31 @@ def test_sample_weighted_n_favors_heavy_rows(spark):
         [(1, "g", 0.0), (2, "g", -3.0), (3, "g", None), (4, "g", 5.0)],
         "doc_id long, source string, w double")
     assert [r.doc_id for r in sample_weighted_n(df2, 4, "w").collect()] == [4]
+
+
+def test_temperature_quota_balances_tail(spark):
+    """alpha=0.5 temperature mixture: quotas follow floor(sqrt(count))
+    weights, so the minority group's share RISES vs proportional
+    sampling; quotas never exceed the group size; draws are
+    deterministic; non-sqrt alphas are refused."""
+    import pytest
+
+    from clinpy_spark.operators.sample import temperature_quota
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_quota(df, 100, group_col="source", key_col="doc_id")
+    got = {r.source: r.n for r in out.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # weights: floor(sqrt(900))=30, floor(sqrt(100))=10 -> small gets
+    # ceil(100*10/40)=25 (proportional would give 10)
+    assert got == {"big": 75, "small": 25}
+    again = temperature_quota(df, 100, group_col="source", key_col="doc_id")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # alpha=1 degrades to proportional; tiny groups can't exceed size
+    prop = temperature_quota(df, 100, group_col="source", key_col="doc_id", alpha=1.0)
+    gp = {r.source: r.n for r in prop.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert gp == {"big": 90, "small": 10}
+    with pytest.raises(NotImplementedError):
+        temperature_quota(df, 100, group_col="source", alpha=0.3)
