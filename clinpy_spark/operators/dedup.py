@@ -15,7 +15,7 @@ exact-Jaccard verify runs only on candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from clinpy_spark.functions.text import (
@@ -482,6 +482,33 @@ def apply_near_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
     action over any pair emitter's output."""
     clusters = near_dup_clusters(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(losers, df[id_col] == losers.doc_id, "left_anti")
+
+
+def keep_best_near_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the HIGHEST-``score_col`` document per near-duplicate
+    cluster (ties to the lowest id), plus every unpaired document — the
+    quality-aware variant of :func:`apply_near_dedup` (production
+    pipelines keep the best canonical copy of a duplicate group, not
+    the smallest id). Same component machinery; one extra window over
+    the cluster-sized label table, which is candidate-sized, never
+    corpus-sized."""
+    clusters = near_dup_clusters(pairs)
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__sc")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("__sc"), F.asc("doc_id"))
+    losers = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select("doc_id")
+    )
     return df.join(losers, df[id_col] == losers.doc_id, "left_anti")
 
 

@@ -1967,6 +1967,48 @@ _NGRAM_PAIRS_SQL_SAMPLED = _NGRAM_PAIRS_SQL.replace(
     "  FROM documents\n", "  FROM documents WHERE doc_id % 3 = 0\n", 1)
 
 
+@q("dedup_keep_best", f"""
+WITH RECURSIVE {_NGRAM_PAIRS_SQL_SAMPLED},
+edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+          UNION SELECT id_b, id_a FROM jpairs),
+r(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM r GROUP BY src
+),
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+),
+losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY source
+""")
+def dedup_keep_best_q(spark, sf):
+    # Quality-aware keep-one (operators/dedup.py::keep_best_near_dedup):
+    # same sampled n-gram pair graph and pointer-jumping components as
+    # dedup_apply_clusters, but each cluster keeps its LONGEST document
+    # (n_chars, ties to lowest id) — the canonical-copy selection a real
+    # curation pipeline makes. The oracle labels components with a
+    # recursive CTE and re-ranks by the same (n_chars, id) key; sum_ids
+    # proves both engines kept the identical documents.
+    from clinpy_spark.operators.dedup import keep_best_near_dedup
+
+    d = _t(spark, sf, "documents").filter(F.pmod("doc_id", F.lit(3)) == 0)
+    pairs = ngram_jaccard_pairs(d, threshold=0.3, block_col="lang")
+    return keep_best_near_dedup(d, pairs, "n_chars").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
 @q("dedup_apply_clusters", f"""
 WITH RECURSIVE {_NGRAM_PAIRS_SQL_SAMPLED},
 edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
@@ -4459,6 +4501,7 @@ _PRIORITY: list[str] = [
     "text_bloom_decontaminate",
     "sample_weighted_n",
     "mix_temperature_quota",
+    "dedup_keep_best",
     # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
     # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
     # window refreshes the oldest evidence --

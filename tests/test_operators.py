@@ -2545,3 +2545,25 @@ def test_temperature_quota_balances_tail(spark):
     assert gp == {"big": 90, "small": 10}
     with pytest.raises(NotImplementedError):
         temperature_quota(df, 100, group_col="source", alpha=0.3)
+
+
+def test_keep_best_near_dedup_selects_highest_score(spark):
+    """keep_best keeps the max-score member of each component (ties to
+    lowest id) and every unpaired doc; apply_near_dedup's min-id choice
+    differs exactly when the best doc isn't the smallest id."""
+    from clinpy_spark.operators.dedup import apply_near_dedup, keep_best_near_dedup
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (4, 1.0), (9, 2.0)],
+        "doc_id long, score double")
+    # components: {1,2,3} (chain), {4} paired with nothing... use pair 4-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 9)], "id_a long, id_b long")
+    best = sorted(r.doc_id for r in keep_best_near_dedup(df, pairs, "score").collect())
+    assert best == [2, 9]  # {1,2,3} -> 2 (score 9.0); {4,9} -> 9 (2.0 > 1.0)
+    minid = sorted(r.doc_id for r in apply_near_dedup(df, pairs).collect())
+    assert minid == [1, 4]  # min-id baseline picks differently
+    # tie-break: equal scores -> lowest id wins
+    tie = spark.createDataFrame([(7, 3.0), (8, 3.0)], "doc_id long, score double")
+    tp = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    assert [r.doc_id for r in keep_best_near_dedup(tie, tp, "score").collect()] == [7]
