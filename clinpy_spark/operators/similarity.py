@@ -226,7 +226,11 @@ def fit_centroids(
     cost of every IVF/IVFPQ/semdedup query — ~10 jobs each on <100k
     rows)."""
     if train_fraction is not None and train_fraction < 1.0:
-        train = c.sample(fraction=train_fraction, seed=seed)
+        # Full-scan uniform sample, but the DRIVER collect stays bounded:
+        # a prefix of the sampled stream is itself a uniform sample of
+        # the corpus, so the cap loses nothing statistically.
+        train = c.sample(fraction=train_fraction, seed=seed) \
+            .limit(train_cap * max(1, train_spread))
     else:
         train = c.limit(train_cap * max(1, train_spread))
     pdf = train.select(F.col(vec_col).alias("v")).toPandas()

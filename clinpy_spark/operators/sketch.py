@@ -105,6 +105,29 @@ def cms_lookup(
     )
 
 
+def refresh_cms(
+    catalog,
+    name: str,
+    batch: DataFrame,
+    col: str = "t",
+    width: int = 256,
+    depth: int = 3,
+) -> None:
+    """Fold one appended batch into a PERSISTED count-min sketch — the
+    sketch-shaped twin of ``incremental.refresh_stats``: sketch only the
+    batch (small), ``cms_merge`` with the ≤depth×width-row state, swap.
+    Cost per refresh is O(|batch| + depth·width), independent of how
+    much corpus the sketch already summarizes — at 100 TB the state
+    read is a constant few thousand rows, which is the entire reason to
+    keep a sketch instead of exact per-token counts."""
+    parts = count_min(batch, col, width, depth)
+    if catalog.exists(name):
+        merged = cms_merge(catalog.table(name), parts)
+        catalog.overwrite_staged(merged, name)
+    else:
+        catalog.write(parts, name)
+
+
 def bloom_bits(
     items: DataFrame,
     col: str = "s",

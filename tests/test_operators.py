@@ -2567,3 +2567,25 @@ def test_keep_best_near_dedup_selects_highest_score(spark):
     tie = spark.createDataFrame([(7, 3.0), (8, 3.0)], "doc_id long, score double")
     tp = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
     assert [r.doc_id for r in keep_best_near_dedup(tie, tp, "score").collect()] == [7]
+
+
+def test_refresh_cms_incremental_equals_full(spark, tmp_path):
+    """Persisted-CMS maintenance: folding batches one at a time yields
+    the identical counter table as sketching the full corpus — cost per
+    refresh reads only the constant-size state, never the corpus."""
+    from clinpy_spark.operators.sketch import count_min, refresh_cms
+    from clinpy_spark.session import ProjectCatalog
+
+    cat = ProjectCatalog(spark, str(tmp_path))
+    batches = [
+        [("alpha",), ("beta",), ("alpha",)],
+        [("beta",), ("gamma",)],
+        [("alpha",), ("delta",), ("delta",)],
+    ]
+    for b in batches:
+        refresh_cms(cat, "tok_cms", spark.createDataFrame(b, "t string"),
+                    width=16, depth=3)
+    whole = spark.createDataFrame([r for b in batches for r in b], "t string")
+    want = {(r.row, r.bucket): r.cnt for r in count_min(whole, width=16, depth=3).collect()}
+    got = {(r.row, r.bucket): r.cnt for r in cat.table("tok_cms").collect()}
+    assert got == want
