@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clinpy_spark.functions.text import token_count, tokens
+from clinpy_spark.functions.text import norm_tokens, token_count, tokens
 
 
 def pack_chunks(
@@ -50,6 +50,43 @@ def pack_chunks(
         F.col(order_col),
         ntok.alias("n_tok"),
         F.floor((F.sum(ntok).over(w) - ntok) / budget).alias("chunk_id"),
+    )
+
+
+def split_long_docs(
+    df: DataFrame,
+    *,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "piece",
+) -> DataFrame:
+    """Split each document's token stream into consecutive
+    ``budget``-token pieces (last piece ragged) ->
+    ``(id, piece_idx, piece, piece_tok)``.
+
+    The pre-pass :func:`pack_chunks` wants: offset-bucketed packing
+    lets a long document overflow its chunk by up to its own length, so
+    pipelines split oversize docs FIRST and pack the pieces. Pure
+    ``sequence`` explode + ``slice`` — no UDF, fan-out exactly
+    ceil(n_tok/budget) per doc, and both ops are engine-portable (the
+    oracle recomputes every piece boundary)."""
+    base = (
+        df.select(F.col(id_col), norm_tokens(text_col).alias("__tk"))
+        .withColumn("__n", F.size("__tk"))
+    )
+    n_pieces = F.ceil(F.col("__n") / F.lit(budget)).cast("long")
+    return (
+        base.select(
+            id_col, "__tk",
+            F.explode(F.sequence(F.lit(0), n_pieces - 1)).alias("piece_idx"),
+        )
+        .select(
+            id_col, "piece_idx",
+            F.slice("__tk", F.col("piece_idx") * budget + 1, F.lit(budget)
+                    ).alias(out_col),
+        )
+        .withColumn("piece_tok", F.size(out_col).cast("long"))
     )
 
 

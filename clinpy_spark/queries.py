@@ -4240,6 +4240,45 @@ def text_bloom_decontaminate_q(spark, sf):
     )
 
 
+@q("text_split_pieces", """
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+pieces AS (
+  SELECT doc_id, len(w) AS n_tok,
+         unnest(range(CAST(ceil(len(w) / 32.0) AS BIGINT))) AS piece_idx,
+         w
+  FROM w)
+SELECT doc_id, CAST(any_value(n_tok) AS BIGINT) AS n_tok,
+       CAST(count(*) AS BIGINT) AS n_pieces,
+       CAST(max(len(w[piece_idx * 32 + 1 : piece_idx * 32 + 32])) AS BIGINT) AS max_piece,
+       CAST(sum(len(w[piece_idx * 32 + 1 : piece_idx * 32 + 32])) AS BIGINT) AS sum_piece
+FROM pieces GROUP BY doc_id
+""")
+def text_split_pieces_q(spark, sf):
+    # Long-document splitting for packing (operators/pack.py::
+    # split_long_docs): ceil(n_tok/32) consecutive 32-token pieces per
+    # doc via sequence explode + slice — no UDF. The oracle recomputes
+    # every piece boundary (1-based inclusive slices clamp identically
+    # in both engines); sum_piece == n_tok proves losslessness row by
+    # row and the hash pins it.
+    from clinpy_spark.functions.text import norm_tokens
+    from clinpy_spark.operators.pack import split_long_docs
+
+    docs = _t(spark, sf, "documents")
+    sizes = docs.select(
+        "doc_id", F.size(norm_tokens("text")).cast("long").alias("n_tok"))
+    pieces = split_long_docs(docs, budget=32)
+    per_doc = pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pieces"),
+        F.max("piece_tok").alias("max_piece"),
+        F.sum("piece_tok").alias("sum_piece"),
+    )
+    return sizes.join(per_doc, "doc_id").select(
+        "doc_id", "n_tok", "n_pieces", "max_piece", "sum_piece")
+
+
 @q("text_cms_topk", _cms_oracle_sql())
 def text_cms_topk_q(spark, sf):
     # Count-min sketch heavy hitters (operators/sketch.py): build the
@@ -4502,6 +4541,7 @@ _PRIORITY: list[str] = [
     "sample_weighted_n",
     "mix_temperature_quota",
     "dedup_keep_best",
+    "text_split_pieces",
     # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
     # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
     # window refreshes the oldest evidence --

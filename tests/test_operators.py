@@ -2589,3 +2589,23 @@ def test_refresh_cms_incremental_equals_full(spark, tmp_path):
     want = {(r.row, r.bucket): r.cnt for r in count_min(whole, width=16, depth=3).collect()}
     got = {(r.row, r.bucket): r.cnt for r in cat.table("tok_cms").collect()}
     assert got == want
+
+
+def test_split_long_docs_lossless_pieces(spark):
+    """Splitting reconstructs every document exactly: pieces concatenate
+    back to the token stream, all but the last piece are full, and a doc
+    within budget stays a single piece."""
+    from clinpy_spark.operators.pack import split_long_docs
+
+    docs = [(1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, " ".join(f"x{i}" for i in range(4))),   # within budget
+            (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {}
+    for r in split_long_docs(df, budget=4).collect():
+        out.setdefault(r.doc_id, []).append((r.piece_idx, list(r.piece)))
+    p1 = [p for _, p in sorted(out[1])]
+    assert [len(p) for p in p1] == [4, 4, 2]
+    assert [t for p in p1 for t in p] == [f"w{i}" for i in range(10)]
+    assert len(out[2]) == 1 and len(out[2][0][1]) == 4
+    assert out[3] == [(0, [""])]  # empty text: one piece, the '' token

@@ -367,3 +367,34 @@ def test_streaming_bpe_encode_twin(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("select * from bpe_enc").collect()}
     want = {tuple(r) for r in bpe_encode(batch, merges).collect()}
     assert got == want and len(got) == 3
+
+
+def test_streaming_cms_twin(spark, tmp_path):
+    """count_min is a pure groupBy-count, so its streaming twin (complete
+    output mode over a file stream) converges to the batch sketch —
+    sketch maintenance works on a live stream with no operator changes."""
+    docs = [(1, "a b a"), (2, "b c"), (3, "a d d")]
+    src = tmp_path / "cms_docs"
+    src.mkdir()
+    for did, text in docs:
+        with open(src / f"p{did}.json", "w") as fh:
+            fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    from clinpy_spark.functions.text import norm_tokens
+    from clinpy_spark.operators.sketch import count_min
+
+    stream = (spark.readStream.format("json")
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).load(str(src)))
+    tok_s = stream.select(F.explode(norm_tokens("text")).alias("t"))
+    q = (count_min(tok_s, width=16, depth=3)
+         .writeStream.format("memory").queryName("cms_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    tok_b = batch.select(F.explode(norm_tokens("text")).alias("t"))
+    want = {(r.row, r.bucket): r.cnt for r in count_min(tok_b, width=16, depth=3).collect()}
+    got = {(r.row, r.bucket): r.cnt
+           for r in spark.sql("select * from cms_stream").collect()}
+    assert got == want
