@@ -167,8 +167,11 @@ def temperature_quota(
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
     wcol = F.floor(F.sqrt(F.col("__c"))) if alpha == 0.5 else F.col("__c")
     counts = counts.withColumn("__w", wcol.cast("long"))
-    tot = counts.agg(F.sum("__w").alias("__tw"))
-    quotas = counts.crossJoin(F.broadcast(tot)).withColumn(
+    # Total weight via a global window over the per-group counts table —
+    # |groups| rows by construction, so the single-partition window is
+    # free and the plan avoids a scalar cross join (BNLJ) entirely.
+    tw = F.sum("__w").over(Window.partitionBy())
+    quotas = counts.withColumn("__tw", tw).withColumn(
         "__q",
         F.least(
             F.col("__c"),

@@ -3915,9 +3915,8 @@ def mix_temperature_quota_q(spark, sf):
                             group_col="lang", key_col="doc_id", seed=42)
     counts = _t(spark, sf, "documents").groupBy("lang").agg(
         F.count(F.lit(1)).alias("__c"))
-    w = counts.select("lang", F.floor(F.sqrt("__c")).cast("long").alias("__w"))
-    tot = w.agg(F.sum("__w").alias("__tw"))
-    quota = (counts.join(w, "lang").crossJoin(F.broadcast(tot))
+    w = counts.withColumn("__w", F.floor(F.sqrt("__c")).cast("long"))
+    quota = (w.withColumn("__tw", F.sum("__w").over(Window.partitionBy()))
              .select("lang", F.least(
                  F.col("__c"),
                  F.floor((F.lit(200) * F.col("__w") + F.col("__tw") - 1)

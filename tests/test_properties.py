@@ -682,3 +682,26 @@ def test_bpe_incremental_trainer_equals_naive(wf, n):
     from clinpy_spark.operators.bpe import _fit_merges
 
     assert _fit_merges(list(wf), n) == _naive_bpe_fit(list(wf), n)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    words=st.lists(
+        st.text(st.characters(blacklist_categories=("Cs", "Zs", "Cc")),
+                min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    nm=st.integers(0, 30),
+)
+def test_bpe_encode_lossless_any_unicode(words, nm):
+    """BPE segmentation is lossless for ANY unicode word (base symbols
+    are the word's own characters), including words whose characters
+    never appeared in training — unseen chars stay single-char tokens."""
+    from clinpy_spark.operators.bpe import _encode_word, _fit_merges
+
+    wf = [(w, i + 1) for i, w in enumerate(dict.fromkeys(words))]
+    ranks = {p: i for i, p in enumerate(_fit_merges(list(wf), nm))}
+    for w, _ in wf:
+        assert "".join(_encode_word(w, ranks)) == w
+    # unseen word: still lossless, tokens are chars or trained merges
+    assert "".join(_encode_word("zzz-unseen-é中", ranks)) == "zzz-unseen-é中"
