@@ -17,7 +17,7 @@ math is JVM-side column expressions; no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from clinpy_spark.functions.text import norm_tokens as _toks
@@ -113,3 +113,76 @@ def tfidf_vectors(
             (F.col("__tf") * F.log(F.col("__n_docs") / F.col("__df"))).alias("weight"),
         )
     )
+
+
+def tfidf_query_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF score of every document against a fixed query-term bag ->
+    (id, score): sum over matched terms of ``tf · ln(N/df)`` with df =
+    documents containing the term. Same bounded-explode plan shape as
+    :func:`bm25_scores` (array_intersect caps fan-out at |query| rows
+    per doc; df and N broadcast back); the second scorer a rank-fusion
+    front end wants beside BM25."""
+    base = docs.select(
+        F.col(id_col).alias("__id"), _toks(text_col).alias("__toks")
+    ).localCheckpoint(eager=False)
+    consts = base.agg(F.count("*").alias("__n_docs"))
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        base.select(
+            "__id",
+            F.explode(F.array_intersect("__toks", terms)).alias("__term"),
+            F.col("__toks"),
+        )
+        .withColumn("__tf", F.size(F.filter("__toks", lambda t: t == F.col("__term"))))
+        .select("__id", "__term", "__tf")
+    )
+    df_ = tf.groupBy("__term").agg(F.count("*").alias("__df"))
+    return (
+        tf.join(F.broadcast(df_), "__term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("__wt", F.col("__tf")
+                    * F.log(F.col("__n_docs").cast("double") / F.col("__df")))
+        .groupBy("__id")
+        .agg(F.sum("__wt").alias("score"))
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    query_col: str | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009, public
+    method): ``fused(d) = Σ_systems 1/(k + rank_sys(d))`` with the
+    published k=60 default. Rank-based, so incomparable score scales
+    (BM25 vs TF-IDF vs an ANN distance) fuse with no normalization; a
+    document missing from one system's list simply contributes nothing.
+
+    Ranks are taken on the 6-dp-ROUNDED score with an id tie-break, so
+    the ranking (and therefore the fusion) is reproducible across
+    engines — raw float scores can differ in the last ulp and would
+    swap adjacent ranks. Each input is a retrieval RESULT list (top-k
+    or matched-subset sized, not the corpus); pass ``query_col`` to
+    rank within each query of a batched result set — without it the
+    rank window is global, which is the single-result-list case by
+    contract."""
+    keys = ([query_col] if query_col else []) + [id_col]
+    parts = []
+    for df in rankings:
+        w = (Window.partitionBy(query_col) if query_col else Window.partitionBy()) \
+            .orderBy(F.desc(F.round(F.col(score_col), 6)), F.asc(id_col))
+        parts.append(df.select(
+            *keys, (1.0 / (F.lit(k) + F.row_number().over(w))).alias("__rr")))
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.groupBy(*keys).agg(F.round(F.sum("__rr"), 6).alias("rrf_score"))

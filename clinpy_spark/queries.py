@@ -2000,6 +2000,12 @@ def dedup_keep_best_q(spark, sf):
     # curation pipeline makes. The oracle labels components with a
     # recursive CTE and re-ranks by the same (n_chars, id) key; sum_ids
     # proves both engines kept the identical documents.
+    # VERIFICATION-SHAPED (like dedup_apply_clusters, excluded from the
+    # SCALING sweep): the lang-blocked exact-Jaccard emitter compares
+    # all pairs within a language block so the oracle can rebuild the
+    # graph — at scale the operator runs on a FINE blocking key
+    # (minhash bands, simhash chunks), where keep_best's own cost is
+    # linear in edges.
     from clinpy_spark.operators.dedup import keep_best_near_dedup
 
     d = _t(spark, sf, "documents").filter(F.pmod("doc_id", F.lit(3)) == 0)
@@ -2443,6 +2449,48 @@ def text_lm_surprisal(spark, sf):
 
     out = bigram_surprisal(_t(spark, sf, "documents"))
     return out.select("doc_id", "n_bigrams", F.round("surprisal", 6).alias("surprisal"))
+
+
+@q("retrieval_rrf", f"""
+WITH d AS (SELECT doc_id, w, len(w) AS dl FROM ({_SHINGLE_SQL}) base),
+consts AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       WHERE term IN ('spark', 'join', 'vector') GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm AS (SELECT doc_id,
+              round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+                        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+       FROM tf JOIN dft USING (term), consts GROUP BY doc_id),
+ti AS (SELECT doc_id,
+              round(sum(tf * ln(CAST(n_docs AS DOUBLE) / df)), 6) AS score
+       FROM tf JOIN dft USING (term), consts GROUP BY doc_id),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk FROM bm),
+tir AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk FROM ti),
+un AS (SELECT doc_id, 1.0 / (60 + rk) AS rr FROM bmr
+       UNION ALL SELECT doc_id, 1.0 / (60 + rk) FROM tir)
+SELECT doc_id, round(sum(rr), 6) AS rrf_score
+FROM un GROUP BY doc_id
+""")
+def retrieval_rrf_q(spark, sf):
+    # Reciprocal Rank Fusion of two scorers over the same fixed query
+    # (operators/retrieval.py::rrf_fuse): BM25 and query-directed
+    # TF-IDF rank the matched documents independently, and each doc's
+    # fused score is sum of 1/(60 + rank) — rank-based fusion needs no
+    # score normalization, the standard first-stage hybrid-retrieval
+    # combiner. Ranks are taken on 6-dp-rounded scores with an id
+    # tie-break so the oracle reproduces the identical permutation.
+    from clinpy_spark.operators.retrieval import (
+        bm25_scores,
+        rrf_fuse,
+        tfidf_query_scores,
+    )
+
+    docs = _t(spark, sf, "documents")
+    terms = ["spark", "join", "vector"]
+    return rrf_fuse(
+        [bm25_scores(docs, terms), tfidf_query_scores(docs, terms)]
+    ).select("doc_id", "rrf_score")
 
 
 @q("text_tfidf_top_term", f"""
@@ -4541,6 +4589,7 @@ _PRIORITY: list[str] = [
     "mix_temperature_quota",
     "dedup_keep_best",
     "text_split_pieces",
+    "retrieval_rrf",
     # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
     # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
     # window refreshes the oldest evidence --

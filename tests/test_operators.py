@@ -2609,3 +2609,32 @@ def test_split_long_docs_lossless_pieces(spark):
     assert [t for p in p1 for t in p] == [f"w{i}" for i in range(10)]
     assert len(out[2]) == 1 and len(out[2][0][1]) == 4
     assert out[3] == [(0, [""])]  # empty text: one piece, the '' token
+
+
+def test_rrf_fuse_ranks_and_missing_docs(spark):
+    """RRF: fused score is exactly sum of 1/(k+rank) per system, docs
+    missing from one list contribute only their present ranks, and
+    score-scale differences between systems don't matter (rank-based)."""
+    from clinpy_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double")
+    b = spark.createDataFrame(  # wildly different scale, doc 3 missing
+        [(2, 0.009), (1, 0.005), (4, 0.001)], "doc_id long, score double")
+    got = {r.doc_id: r.rrf_score for r in rrf_fuse([a, b], k=60).collect()}
+    want = {
+        1: round(1 / 61 + 1 / 62, 6),
+        2: round(1 / 62 + 1 / 61, 6),
+        3: round(1 / 63, 6),
+        4: round(1 / 63, 6),
+    }
+    assert got == want
+
+    # batched: per-query windows rank independently
+    qa = spark.createDataFrame(
+        [("q1", 1, 2.0), ("q1", 2, 1.0), ("q2", 2, 7.0)],
+        "q string, doc_id long, score double")
+    gq = {(r.q, r.doc_id): r.rrf_score
+          for r in rrf_fuse([qa], k=60, query_col="q").collect()}
+    assert gq == {("q1", 1): round(1 / 61, 6), ("q1", 2): round(1 / 62, 6),
+                  ("q2", 2): round(1 / 61, 6)}

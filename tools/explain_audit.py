@@ -46,6 +46,7 @@ EXPECTED_UNBOUNDED = {
     "tpch_q11_important_stock",  # same 1-row-broadcast scalar shape:
                                  # crossJoin vs the single-row total
     "text_bm25",  # crossJoin vs the 1-row (N, avgdl) corpus constants
+    "retrieval_rrf",  # same 1-row corpus-constants crossJoin, via bm25/tfidf scorers
     "text_tfidf_top_term",  # crossJoin vs the 1-row N constant
     "text_lm_surprisal",  # crossJoin vs the 1-row vocabulary-size constant
     # The recall gates measure an approximate operator AGAINST the exact
