@@ -1,0 +1,136 @@
+"""Model-based document quality scoring: a hashed-features logistic
+regression trained on the corpus's OWN weak labels — the fastText-style
+quality classifier step of production pre-training pipelines (CCNet /
+LLaMA-style data curation; public method), expressed as Spark ML over
+the repo's canonical tokenization.
+
+Why model-based next to the rule gates (``operators/curate.py``): the
+Gopher rules are precise but brittle outside the domains they were
+tuned on; the standard move trains a cheap linear model on weak labels
+(rules firing, a trusted-corpus sample) and scores everything with it —
+the model generalizes the rules' signal to feature combinations the
+hand thresholds never enumerate, and its probability output gives a
+tunable keep threshold instead of a hard gate.
+
+Scale shape:
+- **Features need no fit**: ``HashingTF`` counts over ``norm_tokens``
+  into a fixed ``n_features`` vector — one pass, no vocabulary table,
+  executor-local hashing (the hashing-trick half of fastText).
+- **Training is bounded**: the labeled sample is capped (``train_cap``
+  prefix — the same bounded-fit contract as KMeans/PQ codebooks), LBFGS
+  with a fixed seed. The model is a coefficient vector of KiB.
+- **Scoring is one ``model.transform``** — JVM-vectorized, linear in
+  the corpus, trivially parallel.
+- **Verification is contract-gated** like the ANN recall gates: a
+  linear model's exact coefficients are solver detail, so the driver
+  gate pins training-set accuracy above a floor (measured with wide
+  margin) and the DuckDB oracle recomputes the engine-independent
+  label counts and pins ``passed`` — a feature/label/solver regression
+  flips the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinpy_spark.functions.text import norm_tokens
+
+
+def hashed_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_features: int = 1024,
+    out_col: str = "features",
+) -> DataFrame:
+    """Hashing-trick term-frequency vector per document (no vocabulary
+    pass): ``norm_tokens`` -> ``HashingTF(n_features)``."""
+    from pyspark.ml.feature import HashingTF
+
+    toked = docs.withColumn("__toks", norm_tokens(text_col))
+    tf = HashingTF(inputCol="__toks", outputCol=out_col, numFeatures=n_features)
+    return tf.transform(toked).drop("__toks")
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    label_col: str = "label",
+    features_col: str = "features",
+    train_cap: int = 100_000,
+    max_iter: int = 25,
+    reg_param: float = 0.01,
+):
+    """Fit the logistic model on a bounded prefix of the labeled
+    corpus -> a Spark ML ``LogisticRegressionModel`` (KiB of
+    coefficients, broadcastable everywhere)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    train = labeled.select(label_col, features_col).limit(train_cap) \
+        .localCheckpoint(eager=False)
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param,
+        labelCol=label_col, featuresCol=features_col,
+    )
+    return lr.fit(train)
+
+
+def quality_scores(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document -> (id, quality_prob, keep_pred). One
+    feature pass + one model.transform; no shuffle at all."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = hashed_features(docs, text_col, n_features)
+    out = model.transform(feats)
+    return out.select(
+        id_col,
+        vector_to_array("probability")[1].alias("quality_prob"),
+        F.col("prediction").cast("int").alias("keep_pred"),
+    )
+
+
+def quality_model_gate(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1024,
+    accuracy_floor: float = 0.8,
+) -> DataFrame:
+    """End-to-end gate row: weak-label the corpus with the Gopher rules
+    (label 1 = kept), train the hashed-features logistic model on the
+    labels, score the same corpus, and assert training-set accuracy
+    clears ``accuracy_floor``. Emits (n_docs, n_kept_rules, floor,
+    passed) — n_docs/n_kept_rules are engine-recomputable (the rules
+    are integer-exact SQL), ``passed`` is pinned by the oracle. A
+    degenerate single-class corpus trivially passes (the model learns
+    the constant)."""
+    from clinpy_spark.operators.curate import (
+        GATE_COL,
+        gopher_gates,
+        gopher_metrics,
+        label_gates,
+    )
+
+    lab = label_gates(gopher_metrics(docs, text_col), gopher_gates()).select(
+        id_col, text_col, F.col(GATE_COL).isNull().cast("int").alias("label")
+    )
+    feats = hashed_features(lab, text_col, n_features).localCheckpoint(eager=False)
+    model = train_quality_model(feats)
+    pred = model.transform(feats)
+    agg = pred.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").cast("long").alias("n_kept_rules"),
+        F.sum((F.col("prediction") == F.col("label")).cast("int")).alias("__hits"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_kept_rules",
+        F.lit(accuracy_floor).cast("double").alias("floor"),
+        (F.col("__hits") >= F.col("n_docs") * accuracy_floor).alias("passed"),
+    )

@@ -4442,6 +4442,48 @@ FROM m GROUP BY source, gate
 """
 
 
+def _quality_model_oracle() -> str:
+    from clinpy_spark.operators.curate import GOPHER_STOPWORDS
+
+    sl = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return rf"""
+WITH m AS (
+  SELECT
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws,
+    (length(text) - length(replace(text, '#', ''))
+       + 3 * len(regexp_extract_all(text, '\.\.\.'))) AS n_symbol,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        x -> list_contains([{sl}], x))) AS n_stop
+  FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_words >= 25 AND n_words <= 100000
+                      AND n_nonws >= 4 * n_words AND n_nonws <= 9 * n_words
+                      AND 10 * n_symbol < n_words AND n_stop >= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_rules,
+       CAST(0.8 AS DOUBLE) AS floor,
+       true AS passed
+FROM m
+"""
+
+
+@q("curate_quality_model", _quality_model_oracle())
+def curate_quality_model_q(spark, sf):
+    # Model-based quality scoring (operators/classify.py): weak-label
+    # the corpus with the integer-exact Gopher rules, train a
+    # hashed-features logistic regression on a bounded sample (the
+    # fastText-style classifier of production curation pipelines), and
+    # gate training-set accuracy >= 0.8 (measured 0.94-0.96). The
+    # oracle recomputes n_docs and the rule-kept count with the same
+    # integer SQL and pins passed — a feature/label/solver regression
+    # flips the hash; exact coefficients are solver detail, so this is
+    # contract-gated like the ANN recall family, not hash-compared.
+    from clinpy_spark.operators.classify import quality_model_gate
+
+    return quality_model_gate(_t(spark, sf, "documents"))
+
+
 @q("curate_gopher_rules", _gopher_oracle())
 def curate_gopher_rules_q(spark, sf):
     # Gopher-style document-quality rules (Rae et al. 2021 table A1
@@ -4590,6 +4632,7 @@ _PRIORITY: list[str] = [
     "dedup_keep_best",
     "text_split_pieces",
     "retrieval_rrf",
+    "curate_quality_model",
     # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
     # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
     # window refreshes the oldest evidence --

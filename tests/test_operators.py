@@ -2638,3 +2638,28 @@ def test_rrf_fuse_ranks_and_missing_docs(spark):
           for r in rrf_fuse([qa], k=60, query_col="q").collect()}
     assert gq == {("q1", 1): round(1 / 61, 6), ("q1", 2): round(1 / 62, 6),
                   ("q2", 2): round(1 / 61, 6)}
+
+
+def test_quality_classifier_learns_rule_signal(spark):
+    """The hashed-features LR learns a separable weak-label signal:
+    docs labeled by an obvious lexical rule are classified correctly,
+    scores are probabilities, and scoring preserves row count."""
+    from clinpy_spark.operators.classify import (
+        hashed_features,
+        quality_scores,
+        train_quality_model,
+    )
+
+    good = [(i, "the good quality document with many useful words here " * 3)
+            for i in range(40)]
+    bad = [(100 + i, "### spam ### spam ###") for i in range(40)]
+    df = spark.createDataFrame(good + bad, "doc_id long, text string")
+    lab = df.withColumn("label", (F.col("doc_id") < 100).cast("int"))
+    feats = hashed_features(lab, n_features=256)
+    model = train_quality_model(feats)
+    scored = quality_scores(df, model, n_features=256)
+    rows = {r.doc_id: r for r in scored.collect()}
+    assert len(rows) == 80
+    assert all(0.0 <= r.quality_prob <= 1.0 for r in rows.values())
+    acc = sum((r.keep_pred == 1) == (d < 100) for d, r in rows.items()) / 80
+    assert acc >= 0.95  # trivially separable -> near-perfect
