@@ -594,3 +594,120 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr method, re-expressed
+# relationally: instead of a corpus-wide suffix array, every k-token
+# window is a row and duplication is a window-function over the gram).
+#
+# Scale design: one posexplode (n_tokens - k + 1 rows per doc, linear),
+# one shuffle on the gram value (hash the gram at 100 TB — join width,
+# not semantics), one shuffle back on the doc id. No pairwise paths.
+# ---------------------------------------------------------------------------
+
+
+def kgram_windows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 8) -> DataFrame:
+    """One row per k-token window: (__id, __n, __pos, __gram, __cnt,
+    __rk) where __cnt is the corpus-wide occurrence count of the gram
+    and __rk its rank in global (doc id, position) order — __rk == 1 is
+    the occurrence ExactSubstr keeps. Docs shorter than ``k`` tokens
+    yield no windows (they cannot contain a duplicated k-gram)."""
+    from clinpy_spark.functions.text import norm_tokens
+
+    base = (
+        df.select(F.col(id_col).alias("__id"), norm_tokens(text_col).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") >= k)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - k),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
+    )
+    wins = base.select("__id", "__n", F.posexplode(grams).alias("__pos", "__gram"))
+    wg = Window.partitionBy("__gram")
+    wo = wg.orderBy(F.asc("__id"), F.asc("__pos"))
+    return (
+        wins.withColumn("__rk", F.row_number().over(wo))
+        .withColumn("__cnt", F.count("*").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    )
+
+
+def substring_span_profile(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8) -> DataFrame:
+    """Per-document duplicated-substring profile: (id, n_tokens,
+    n_dup_tokens) where a token is duplicated iff it is covered by at
+    least one k-token window whose exact text occurs >= 2 times in the
+    corpus (all occurrences count, matching the paper's "fraction of
+    the corpus that is an exact duplicate" measurement).
+
+    Coverage is computed by exploding each duplicated window into its k
+    token positions and DISTINCT-ing per doc — linear in the number of
+    duplicated windows, never pairwise."""
+    wins = kgram_windows(df, id_col, text_col, k)
+    covered = (
+        wins.filter(F.col("__cnt") >= 2)
+        .select("__id", F.explode(F.sequence(F.col("__pos"), F.col("__pos") + k - 1)).alias("__tp"))
+        .distinct()
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    from clinpy_spark.functions.text import norm_tokens
+
+    all_docs = df.select(F.col(id_col).alias("__id"),
+                         F.size(norm_tokens(text_col)).alias("n_tokens"))
+    return (
+        all_docs.join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8) -> DataFrame:
+    """ExactSubstr dedup ACTION: remove every token covered by a
+    NON-FIRST occurrence of a duplicated k-gram (first occurrence in
+    global (doc id, position) order survives, so exactly one copy of
+    each duplicated span remains corpus-wide), then stitch the
+    surviving tokens back in order.
+
+    Returns (id, n_tokens, n_removed, clean_text). Same reassembly
+    shape as :func:`passage_dedup` but at token granularity."""
+    from clinpy_spark.functions.text import norm_tokens
+
+    wins = kgram_windows(df, id_col, text_col, k)
+    covered = (
+        wins.filter((F.col("__cnt") >= 2) & (F.col("__rk") > 1))
+        .select("__id", F.explode(F.sequence(F.col("__pos"), F.col("__pos") + k - 1)).alias("__tp"))
+        .distinct()
+    )
+    toks = (
+        df.select(F.col(id_col).alias("__id"), norm_tokens(text_col).alias("__toks"))
+        .select("__id", F.posexplode("__toks").alias("__tp", "__tok"))
+    )
+    kept = toks.join(covered, ["__id", "__tp"], "left_anti")
+    return (
+        toks.groupBy("__id").agg(F.count("*").alias("n_tokens"))
+        .join(
+            kept.groupBy("__id").agg(
+                F.count("*").alias("__n_kept"),
+                F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(F.struct("__tp", "__tok"))),
+                    lambda s: s["__tok"],
+                )).alias("clean_text"),
+            ),
+            "__id", "left",
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -39,8 +39,10 @@ def bigram_surprisal(
     under the corpus's own add-one-smoothed bigram model. Documents with
     fewer than two tokens have no transitions and are omitted."""
     base = _tok_arrays(docs, id_col, text_col).localCheckpoint(eager=False)
-    # one row per (doc, transition)
-    pairs = base.select(
+    # one row per (doc, transition); the size filter also guards
+    # sequence()'s descending-range surprise (sequence(1, 0) = [1, 0],
+    # which would index out of bounds on a 1-token doc)
+    pairs = base.filter(F.size("__toks") >= 2).select(
         "__id",
         F.explode(
             F.expr(
@@ -63,5 +65,86 @@ def bigram_surprisal(
     return (
         scored.groupBy("__id")
         .agg(F.count("*").alias("n_bigrams"), F.avg("__s").alias("surprisal"))
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def trigram_interpolated_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """(id, n_trigrams, surprisal): mean -ln p(cur | p2 p1) per document
+    under a Jelinek-Mercer interpolated trigram model self-trained on
+    the corpus (the step up from :func:`bigram_surprisal` — catches
+    locally-plausible-but-globally-odd token runs that bigrams miss):
+
+        p = l3 * c3(p2,p1,cur)/c2(p2,p1)
+          + l2 * c2(p1,cur)/c1(p1)
+          + l1 * (c1(cur) + 1)/(N + V)
+
+    c3/c2/c1 are raw corpus counts, N total tokens, V vocab size; the
+    add-one unigram floor keeps p > 0. Documents with fewer than three
+    tokens have no trigram transitions and are omitted.
+
+    Scale shape: same as the bigram model — one tokenization feeds the
+    count tables and the scoring rows, explodes are linear in corpus
+    tokens, count joins shuffle on the n-gram key (hash it to a long at
+    100 TB), and (N, V) is a 1-row broadcast.
+    """
+    l3, l2, l1 = lambdas
+    base = _tok_arrays(docs, id_col, text_col).localCheckpoint(eager=False)
+    # size filters guard sequence()'s descending-range surprise
+    # (sequence(2, 1) = [2, 1] on a 2-token doc -> out-of-bounds index)
+    tris = base.filter(F.size("__toks") >= 3).select(
+        "__id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(__toks) - 1),"
+                " i -> struct(__toks[i - 2] AS p2, __toks[i - 1] AS p1, __toks[i] AS cur))"
+            )
+        ).alias("__tg"),
+    ).select("__id", "__tg.p2", "__tg.p1", "__tg.cur")
+    bigrams = base.filter(F.size("__toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> struct(__toks[i - 1] AS prev, __toks[i] AS cur))"
+            )
+        ).alias("__bg")
+    ).select(F.col("__bg.prev").alias("__bp"), F.col("__bg.cur").alias("__bc"))
+    tric = tris.groupBy(
+        F.col("p2").alias("__t2"), F.col("p1").alias("__t1"), F.col("cur").alias("__tc")
+    ).agg(F.count("*").alias("__c3"))
+    bgc = bigrams.groupBy("__bp", "__bc").agg(F.count("*").alias("__c2"))
+    uni = base.select(F.explode("__toks").alias("__u")).groupBy("__u").agg(
+        F.count("*").alias("__c1"))
+    consts = uni.agg(F.sum("__c1").alias("__n"), F.count("*").alias("__v"))
+    ctx = bgc.select(F.col("__bp").alias("__xp"), F.col("__bc").alias("__xc"),
+                     F.col("__c2").alias("__cctx"))
+    cont = bgc.select(F.col("__bp").alias("__yp"), F.col("__bc").alias("__yc"),
+                      F.col("__c2").alias("__ccont"))
+    uni_prev = uni.select(F.col("__u").alias("__up"), F.col("__c1").alias("__c1p"))
+    uni_cur = uni.select(F.col("__u").alias("__uc"), F.col("__c1").alias("__c1c"))
+    p = (
+        F.lit(l3) * F.col("__c3") / F.col("__cctx")
+        + F.lit(l2) * F.col("__ccont") / F.col("__c1p")
+        + F.lit(l1) * (F.col("__c1c") + 1) / (F.col("__n") + F.col("__v"))
+    )
+    scored = (
+        tris
+        .join(tric, (tris.p2 == F.col("__t2")) & (tris.p1 == F.col("__t1"))
+              & (tris.cur == F.col("__tc")))
+        .join(ctx, (tris.p2 == F.col("__xp")) & (tris.p1 == F.col("__xc")))
+        .join(cont, (tris.p1 == F.col("__yp")) & (tris.cur == F.col("__yc")))
+        .join(uni_prev, tris.p1 == F.col("__up"))
+        .join(uni_cur, tris.cur == F.col("__uc"))
+        .crossJoin(F.broadcast(consts))
+        .withColumn("__s", -F.log(p))
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(F.count("*").alias("n_trigrams"), F.avg("__s").alias("surprisal"))
         .withColumnRenamed("__id", id_col)
     )

@@ -2451,6 +2451,43 @@ def text_lm_surprisal(spark, sf):
     return out.select("doc_id", "n_bigrams", F.round("surprisal", 6).alias("surprisal"))
 
 
+@q("text_trigram_ppl", f"""
+WITH d AS (SELECT doc_id, w FROM ({_SHINGLE_SQL}) base),
+tris AS (
+  SELECT doc_id, w[i - 1] AS p2, w[i] AS p1, w[i + 1] AS cur
+  FROM d, unnest(range(2, len(w))) AS u(i)),
+bigrams AS (
+  SELECT w[i] AS bp, w[i + 1] AS bc
+  FROM d, unnest(range(1, len(w))) AS u(i)),
+tric AS (SELECT p2, p1, cur, count(*) AS c3 FROM tris GROUP BY 1, 2, 3),
+bgc AS (SELECT bp, bc, count(*) AS c2 FROM bigrams GROUP BY 1, 2),
+uni AS (SELECT u AS tok, count(*) AS c1 FROM (SELECT unnest(w) AS u FROM d) GROUP BY 1),
+consts AS (SELECT CAST(sum(c1) AS BIGINT) AS n, count(*) AS v FROM uni)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(-ln(
+         0.6 * c3 / ctx.c2
+         + 0.3 * cont.c2 / u1.c1
+         + 0.1 * (uc.c1 + 1) / (n + v)
+       )), 6) AS surprisal
+FROM tris t
+JOIN tric USING (p2, p1, cur)
+JOIN bgc ctx ON ctx.bp = t.p2 AND ctx.bc = t.p1
+JOIN bgc cont ON cont.bp = t.p1 AND cont.bc = t.cur
+JOIN uni u1 ON u1.tok = t.p1
+JOIN uni uc ON uc.tok = t.cur, consts
+GROUP BY t.doc_id
+""")
+def text_trigram_ppl_q(spark, sf):
+    # Jelinek-Mercer interpolated trigram LM (operators/lm.py):
+    # p = .6*c3/c2(ctx) + .3*c2/c1 + .1*(c1+1)/(N+V); per-doc mean
+    # -ln p. The step up from text_lm_surprisal — same one-pass
+    # tokenization, count joins on the n-gram keys, (N,V) broadcast.
+    from clinpy_spark.operators.lm import trigram_interpolated_surprisal
+
+    out = trigram_interpolated_surprisal(_t(spark, sf, "documents"))
+    return out.select("doc_id", "n_trigrams", F.round("surprisal", 6).alias("surprisal"))
+
+
 @q("retrieval_rrf", f"""
 WITH d AS (SELECT doc_id, w, len(w) AS dl FROM ({_SHINGLE_SQL}) base),
 consts AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
@@ -2654,6 +2691,79 @@ def dedup_passage_keepfirst_q(spark, sf):
     from clinpy_spark.operators.dedup import passage_dedup
 
     return passage_dedup(_t(spark, sf, "documents"), chunk_words=10)
+
+
+@q("dedup_substring_spans", f"""
+WITH docs AS (SELECT doc_id, w, len(w) AS n FROM ({_SHINGLE_SQL}) base),
+wins AS (SELECT doc_id, w, unnest(range(0, n - 7)) AS pos FROM docs WHERE n >= 8),
+grams AS (SELECT doc_id, pos, array_to_string(w[(pos+1):(pos+8)], ' ') AS gram FROM wins),
+c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt FROM grams),
+cov AS (SELECT DISTINCT doc_id, pos + t.i AS tp
+        FROM c, (SELECT unnest(range(0, 8)) AS i) t WHERE cnt >= 2),
+perdoc AS (SELECT d.doc_id, d.n, coalesce(cv.ndup, 0) AS ndup
+           FROM docs d LEFT JOIN (SELECT doc_id, count(*) AS ndup FROM cov GROUP BY 1) cv
+           USING (doc_id))
+SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n) AS BIGINT) AS total_tokens,
+       CAST(sum(p.ndup) AS BIGINT) AS dup_tokens,
+       round(CAST(sum(p.ndup) AS DOUBLE) / sum(p.n), 4) AS dup_frac
+FROM perdoc p JOIN documents s USING (doc_id)
+GROUP BY s.source
+""")
+def dedup_substring_spans_q(spark, sf):
+    # ExactSubstr profile (Lee et al. 2022): fraction of each source's
+    # tokens covered by an 8-gram whose exact text occurs >= 2 times
+    # corpus-wide. One explode (linear in tokens), one shuffle on the
+    # gram, one shuffle back on the doc id — the relational twin of the
+    # paper's suffix-array scan; at 100 TB the gram key becomes a hash.
+    from clinpy_spark.operators.dedup import substring_span_profile
+
+    docs = _t(spark, sf, "documents")
+    prof = substring_span_profile(docs, k=8)
+    return (
+        prof.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_dup_tokens").alias("dup_tokens"),
+            F.round(F.sum("n_dup_tokens").cast("double") / F.sum("n_tokens"), 4).alias("dup_frac"),
+        )
+    )
+
+
+@q("dedup_substring_strip", f"""
+WITH docs AS (SELECT doc_id, w, len(w) AS n FROM ({_SHINGLE_SQL}) base),
+wins AS (SELECT doc_id, w, unnest(range(0, n - 7)) AS pos FROM docs WHERE n >= 8),
+grams AS (SELECT doc_id, pos, array_to_string(w[(pos+1):(pos+8)], ' ') AS gram FROM wins),
+c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+      FROM grams),
+cov AS (SELECT DISTINCT doc_id, pos + t.i AS tp
+        FROM c, (SELECT unnest(range(0, 8)) AS i) t WHERE cnt >= 2 AND rk > 1),
+tok AS (SELECT doc_id, unnest(w) AS tok, unnest(range(0, n)) AS tp FROM docs),
+kept AS (SELECT t.doc_id, t.tp, t.tok FROM tok t
+         LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.tp = t.tp
+         WHERE cov.doc_id IS NULL),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tp) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+       CAST(d.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM docs d LEFT JOIN agg a USING (doc_id)
+WHERE d.n - coalesce(a.n_kept, 0) > 0
+""")
+def dedup_substring_strip_q(spark, sf):
+    # ExactSubstr ACTION: remove every token covered by a non-first
+    # occurrence of a duplicated 8-gram (global (doc, pos) order picks
+    # the survivor) and reassemble the cleaned documents. Emits only
+    # docs that lost tokens; full clean_text is hash-compared against
+    # the oracle's independent reconstruction.
+    from clinpy_spark.operators.dedup import strip_duplicate_spans
+
+    out = strip_duplicate_spans(_t(spark, sf, "documents"), k=8)
+    return out.filter(F.col("n_removed") > 0)
 
 
 @q("tpch_q7_nation_volume", f"""

@@ -2663,3 +2663,78 @@ def test_quality_classifier_learns_rule_signal(spark):
     assert all(0.0 <= r.quality_prob <= 1.0 for r in rows.values())
     acc = sum((r.keep_pred == 1) == (d < 100) for d, r in rows.items()) / 80
     assert acc >= 0.95  # trivially separable -> near-perfect
+
+
+def test_substring_dedup_spans_and_strip(spark):
+    """ExactSubstr (Lee et al. 2022) at token granularity: duplicated
+    k-gram coverage counts ALL occurrences in the profile; the strip
+    action keeps exactly the globally-first occurrence; docs shorter
+    than k tokens never match; overlapping duplicated windows merge
+    (a token is removed once, not once per covering window)."""
+    from clinpy_spark.operators.dedup import (
+        strip_duplicate_spans,
+        substring_span_profile,
+    )
+
+    span = "d1 d2 d3 d4"  # duplicated 4-gram shared by docs 1 and 2
+    rows = [
+        (1, span + " u1 u2 u3"),            # first occurrence -> kept
+        (2, "w1 " + span + " " + span),     # two later occurrences, OVERLAP-free
+        (3, "d1 d2 d3"),                    # shorter than k: no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    prof = {r.doc_id: r for r in substring_span_profile(df, k=4).collect()}
+    assert (prof[1].n_tokens, prof[1].n_dup_tokens) == (7, 4)
+    # doc 2: tokens 2-5 and 6-9 both covered (the two copies) = 8 of 9
+    assert (prof[2].n_tokens, prof[2].n_dup_tokens) == (9, 8)
+    assert (prof[3].n_tokens, prof[3].n_dup_tokens) == (3, 0)
+
+    out = {r.doc_id: r for r in strip_duplicate_spans(df, k=4).collect()}
+    assert (out[1].n_removed, out[1].clean_text) == (0, "d1 d2 d3 d4 u1 u2 u3")
+    assert (out[2].n_removed, out[2].clean_text) == (8, "w1")
+    assert (out[3].n_removed, out[3].clean_text) == (0, "d1 d2 d3")
+
+
+def test_substring_strip_overlapping_windows_merge(spark):
+    """Repeated text longer than k produces overlapping duplicated
+    k-grams; coverage is the UNION of their spans (distinct positions),
+    so n_removed equals the span length, not windows * k."""
+    from clinpy_spark.operators.dedup import strip_duplicate_spans
+
+    rep = "r1 r2 r3 r4 r5"  # 5 tokens -> two overlapping 4-grams
+    rows = [(1, rep + " a b"), (2, "x " + rep)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_duplicate_spans(df, k=4).collect()}
+    assert (out[1].n_removed, out[1].clean_text) == (0, rep + " a b")
+    assert (out[2].n_removed, out[2].clean_text) == (5, "x")
+
+
+def test_trigram_interpolated_surprisal(spark):
+    """JM-interpolated trigram LM: n_trigrams = n_tokens - 2; docs
+    shorter than 3 tokens are omitted (and don't crash the transform's
+    sequence()); exact value matches a hand-computed -ln p for a fully
+    deterministic corpus."""
+    import math
+
+    from clinpy_spark.operators.lm import trigram_interpolated_surprisal
+
+    rows = [
+        (1, "a b a b a b a b"),
+        (2, "a b a b a b"),
+        (3, "x y z q"),
+        (4, "a b"),               # too short: omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in trigram_interpolated_surprisal(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_trigrams == 6 and got[2].n_trigrams == 4 and got[3].n_trigrams == 2
+    assert all(r.surprisal > 0 for r in got.values())
+
+    # single-doc deterministic corpus: "a a a a" -> every trigram is
+    # (a,a,a): c3=2, ctx c2=3, cont c2=3, c1(a)=4, N=4, V=1
+    one = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    r = trigram_interpolated_surprisal(one).collect()[0]
+    p = 0.6 * 2 / 3 + 0.3 * 3 / 4 + 0.1 * (4 + 1) / (4 + 1)
+    assert r.n_trigrams == 2
+    assert abs(r.surprisal - (-math.log(p))) < 1e-9
