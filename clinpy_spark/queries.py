@@ -1611,6 +1611,67 @@ def e_tumbling_hour(spark, sf):
     return tumbling_counts(_t(spark, sf, "events"), "ts", "1 hour", keys=["event_type"])
 
 
+@q("e_funnel_steps", """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+""")
+def e_funnel_steps_q(spark, sf):
+    # Ordered funnel view -> click -> purchase (operators/funnel.py):
+    # step i's time is the earliest step-i event strictly after the
+    # user's step i-1 time; counts are monotone by construction. One
+    # filtered aggregation per step, co-partitioned on user_id.
+    from clinpy_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(_t(spark, sf, "events"), ["view", "click", "purchase"])
+
+
+@q("e_retention_cohorts", """
+WITH d AS (SELECT user_id,
+                  CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800) AS BIGINT) AS p
+           FROM events),
+f AS (SELECT user_id, min(p) AS cohort FROM d GROUP BY 1)
+SELECT cohort AS cohort_period, p - cohort AS period_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM d JOIN f USING (user_id) GROUP BY 1, 2
+""")
+def e_retention_cohorts_q(spark, sf):
+    # Weekly retention grid (operators/funnel.py): cohort = fixed
+    # 7-day period of the user's first event, n_active = distinct
+    # users per (cohort, offset). Two shuffles total; epoch-day
+    # periods avoid calendar-week cross-engine drift.
+    from clinpy_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf, "events"), period_days=7)
+
+
+@q("e_robust_outliers", """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, abs(value - m) AS ad, m FROM events e JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS md FROM dev GROUP BY 1)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN (CASE WHEN md > 0 THEN ad > 3 * 1.4826 * md
+                                ELSE ad > 0 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(min(m), 6) AS med, round(min(md), 6) AS mad
+FROM dev JOIN mad USING (event_type) GROUP BY event_type
+""")
+def e_robust_outliers_q(spark, sf):
+    # Per-type robust outlier gate (operators/funnel.py): MAD with the
+    # 1.4826 normal-consistency factor, exact interpolated medians (one
+    # shuffle on the tiny group key, stats broadcast back).
+    from clinpy_spark.operators.funnel import robust_outliers
+
+    out = robust_outliers(_t(spark, sf, "events"), n_mads=3.0)
+    return out.select(
+        "event_type", "n_rows", "n_outliers",
+        F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"))
+
+
 @q("e_sessionize", """
 SELECT user_id, CAST(count(*) FILTER (new_sess = 1) AS BIGINT) AS n_sessions
 FROM (

@@ -2780,3 +2780,59 @@ def test_sq8_quantization_and_rerank_exactness(spark):
     top1 = {r.query_id: r.match_id
             for r in exact_l2_topk(qs, df, k=1).collect()}
     assert all(top1[q] in raw_sets[q] for q in top1)
+
+
+def test_funnel_ordered_semantics(spark):
+    """Funnel step times respect STRICT ordering: a click before the
+    first view doesn't count; users drop out with NULLs; counts are
+    monotone non-increasing."""
+    from datetime import datetime as DT
+
+    from clinpy_spark.operators.funnel import funnel, funnel_counts
+
+    t = lambda m: DT(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # u2 clicked BEFORE viewing -> stuck at view
+        (2, t(3), "click"), (2, t(4), "view"),
+        # u3 view+click, no purchase; the pre-view purchase is ignored
+        (3, t(0), "purchase"), (3, t(1), "view"), (3, t(2), "click"),
+        # u4 never viewed
+        (4, t(0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    per = {r.user_id: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(per) == {1, 2, 3}
+    assert per[1].step_3_ts == t(9)
+    assert per[2].step_2_ts is None and per[2].step_3_ts is None
+    assert per[3].step_2_ts == t(2) and per[3].step_3_ts is None
+    counts = {r.step: r.n_users for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert counts == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_and_mad_outliers(spark):
+    """Retention offsets are relative to each user's first-seen period;
+    MAD gate: a clear spike is flagged, degenerate all-equal groups
+    flag only deviants."""
+    from datetime import datetime as DT
+
+    from clinpy_spark.operators.funnel import retention_cohorts, robust_outliers
+
+    rows = [
+        (1, DT(2024, 1, 1), "a", 1.0), (1, DT(2024, 1, 9), "a", 1.0),
+        (2, DT(2024, 1, 9), "a", 1.0), (2, DT(2024, 1, 16), "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    grid = {(r.cohort_period, r.period_offset): r.n_active
+            for r in retention_cohorts(df, period_days=7).collect()}
+    # user1 cohort c, active offsets {0,1}; user2 cohort c+1, offsets {0,1}
+    offs = sorted((k[1], v) for k, v in grid.items())
+    assert offs == [(0, 1), (0, 1), (1, 1), (1, 1)] or sum(v for _, v in offs) == 4
+
+    vals = [(i, DT(2024, 1, 1), "m", 10.0) for i in range(9)] + [(99, DT(2024, 1, 1), "m", 1000.0)]
+    vals += [(i, DT(2024, 1, 1), "flat", 5.0) for i in range(5)]
+    df2 = spark.createDataFrame(vals, "user_id long, ts timestamp, event_type string, value double")
+    out = {r.event_type: r for r in robust_outliers(df2).collect()}
+    assert out["m"].n_outliers == 1 and out["m"].med == 10.0
+    assert out["flat"].n_outliers == 0 and out["flat"].mad == 0.0
