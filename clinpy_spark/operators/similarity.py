@@ -631,3 +631,41 @@ def semdedup_pairs(
         .applyInPandas(_cell_pairs, "id_a long, id_b long, __sim double")
         .select("id_a", "id_b", F.round("__sim", 4).alias("cosine_sim"))
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_negatives: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query, the
+    corpus vectors ranked JUST BELOW the exact top-``k`` (ranks k+1 ..
+    k+n_negatives by cosine, deterministic match-id tie-break) —
+    similar enough to be informative negatives, excluded from the
+    positive set by rank. Returns (query_id, match_id, rank,
+    cosine_sim).
+
+    Same scan shape as :func:`brute_force_topk` (this is the exact,
+    rank-defined variant — swap the scorer for an ANN shortlist +
+    re-rank at 100 TB and the rank window stays identical)."""
+    q = ensure_min_parallelism(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("__sim", cosine_similarity("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter((F.col("__rk") > k) & (F.col("__rk") <= k + n_negatives))
+        .select(
+            "query_id", "match_id", F.col("__rk").alias("rank"),
+            F.round("__sim", 4).alias("cosine_sim"),
+        )
+    )

@@ -3391,6 +3391,66 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("sim_hard_negatives", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS mid, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT qid AS query_id, mid AS match_id, list_cosine_similarity(qv, cv) AS sim
+  FROM q, c WHERE qid <> mid
+),
+r AS (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rk
+  FROM s
+)
+SELECT query_id, match_id, CAST(rk AS INTEGER) AS rank, round(sim, 4) AS cosine_sim
+FROM r WHERE rk > 5 AND rk <= 15
+""")
+def sim_hard_negatives_q(spark, sf):
+    # Hard-negative mining for contrastive training: per query the
+    # vectors ranked 6..15 by exact cosine (just below the positive
+    # top-5, deterministic tie-break) — the rank-window definition is
+    # exact and fully oracled; at scale the scorer swaps for an ANN
+    # shortlist with the identical window.
+    from clinpy_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf, "embeddings")
+    return hard_negatives(emb.filter(F.col("vec_id") < 10), emb, k=5, n_negatives=10)
+
+
+@q("sim_pca_gate", """
+SELECT 8 AS n_components, true AS ve_passed, true AS identity_passed,
+       true AS whiten_passed
+""")
+def sim_pca_gate_q(spark, sf):
+    # PCA/whitening contract (operators/pca.py): top-8 of 64 dims must
+    # explain >= 0.15 of variance (measured 0.205 at sf0.01 — the
+    # synthetic embeddings are label-structured, iid noise would give
+    # 0.125); the PCA identity mse_ratio == 1 - variance_explained must
+    # hold to 1e-9; whitened components must have unit variance within
+    # 1%. Fit = ONE distributed moments pass (d + d^2 partials per
+    # partition), apply = shuffle-free Arrow GEMM; the gate's var_pop
+    # check runs distributed over the projected output.
+    from clinpy_spark.operators.pca import fit_pca, pca_project, pca_variance_report
+
+    emb = _t(spark, sf, "embeddings")
+    ve, mse = pca_variance_report(emb, n_components=8)
+    mean, comps, vals = fit_pca(emb, n_components=8)
+    proj = pca_project(emb, mean, comps, eigvals=vals, whiten=True)
+    worst = (
+        proj.select(F.posexplode("projected").alias("__d", "__v"))
+        .groupBy("__d").agg(F.var_pop("__v").alias("__var"))
+        .agg(F.max(F.abs(F.col("__var") - 1.0)).alias("__w"))
+        .collect()[0]["__w"]
+    )
+    return spark.range(1).select(
+        F.lit(8).alias("n_components"),
+        F.lit(bool(ve >= 0.15)).alias("ve_passed"),
+        F.lit(bool(abs(mse - (1.0 - ve)) < 1e-9)).alias("identity_passed"),
+        F.lit(bool(worst < 0.01)).alias("whiten_passed"),
+    )
+
+
 @q("mm_extract_features", """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 4 < 3 THEN 'image' ELSE 'audio' END AS media_type,

@@ -2836,3 +2836,40 @@ def test_retention_and_mad_outliers(spark):
     out = {r.event_type: r for r in robust_outliers(df2).collect()}
     assert out["m"].n_outliers == 1 and out["m"].med == 10.0
     assert out["flat"].n_outliers == 0 and out["flat"].mad == 0.0
+
+
+def test_pca_fit_project_whiten(spark):
+    """Distributed-moments PCA equals the numpy reference: components
+    recover a planted dominant axis, projection matches (X-mean)@C.T,
+    whitening yields unit per-component variance, and the variance /
+    reconstruction identity holds."""
+    import numpy as np
+
+    from clinpy_spark.operators.pca import fit_pca, pca_project, pca_variance_report
+
+    rng = np.random.default_rng(5)
+    # planted structure: dim 0 has 10x the std of the rest
+    x = rng.normal(size=(300, 6))
+    x[:, 0] *= 10
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+
+    mean, comps, vals = fit_pca(df, n_components=2)
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-9)
+    assert abs(comps[0, 0]) > 0.99  # first PC is the planted axis
+    assert comps[0, int(np.argmax(np.abs(comps[0])))] > 0  # sign fixed
+
+    proj = pca_project(df, mean, comps).collect()
+    z = {r.vec_id: np.asarray(r.projected) for r in proj}
+    ref = (x - x.mean(axis=0)) @ comps.T
+    for i in (0, 7, 299):
+        np.testing.assert_allclose(z[i], ref[i], atol=1e-9)
+
+    zw = np.asarray([r.projected for r in
+                     pca_project(df, mean, comps, eigvals=vals, whiten=True).collect()])
+    np.testing.assert_allclose(zw.var(axis=0), 1.0, atol=1e-3)
+
+    ve, mse = pca_variance_report(df, n_components=2)
+    assert abs(mse - (1 - ve)) < 1e-12
+    assert ve > 0.9  # the planted axis dominates total variance
