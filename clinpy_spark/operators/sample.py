@@ -247,3 +247,82 @@ def mix_corpus(
     for grp, frac in fractions.items():
         thr = F.when(F.col(group_col) == grp, F.lit(_hex_threshold(frac))).otherwise(thr)
     return df.filter(sample_hash(key_col, seed) < thr)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (deterministic): resample-with-replacement replicates
+# via per-(row, replicate) Poisson(1) multiplicities drawn from the same
+# md5 hash coordinate as the samplers above — reproducible on any
+# partitioning and recomputable by an external engine (the oracle
+# re-derives every draw).
+# ---------------------------------------------------------------------------
+
+
+def poisson1_hex_thresholds(max_k: int = 7) -> list[str]:
+    """Cumulative Poisson(1) CDF mapped onto the 8-hex-char sample
+    space: a row's multiplicity in a replicate is the number of
+    thresholds its hash coordinate is >= (0..max_k). Shared by the
+    Spark expression and the DuckDB oracle so both engines draw
+    IDENTICAL multiplicities."""
+    import math
+
+    cdf, out = 0.0, []
+    for k in range(max_k):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        out.append(format(min(_HEX_SPACE - 1, round(cdf * _HEX_SPACE)), "08x"))
+    return out
+
+
+def bootstrap_multiplicity(key: Column | str, rep: Column, seed: int = 42) -> Column:
+    """Deterministic Poisson(1) draw for (row ``key``, replicate
+    ``rep``): count of CDF thresholds at or below the row's md5
+    coordinate."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(":"), rep.cast("string"),
+                       F.lit(f":{seed}"))), 1, 8)
+    m = F.lit(0)
+    for t in poisson1_hex_thresholds():
+        m = m + F.when(h >= F.lit(t), 1).otherwise(0)
+    return m
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str = "doc_id",
+    n_replicates: int = 200,
+    seed: int = 42,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``value_col``: one row (n_replicates, point_mean, ci_lo, ci_hi).
+
+    Each replicate reweights every row by an independent deterministic
+    Poisson(1) multiplicity (the standard Poisson bootstrap, exact for
+    large n); the replicate means' alpha/2 and 1-alpha/2 exact
+    percentiles bound the CI. Scale shape: the R-way explode feeds a
+    map-side partial aggregation, so the shuffle is partitions x R
+    rows, never corpus x R; R is a constant (hundreds)."""
+    reps = df.select(
+        F.col(key_col).alias("__k"), F.col(value_col).alias("__v"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("__r"),
+    ).withColumn("__m", bootstrap_multiplicity("__k", F.col("__r"), seed))
+    means = reps.groupBy("__r").agg(
+        (F.sum(F.col("__m") * F.col("__v")).cast("double") / F.sum("__m")).alias("__mean"))
+    point = df.agg((F.sum(value_col).cast("double") / F.count("*")).alias("__pt"))
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    return (
+        means.agg(
+            F.count("*").cast("int").alias("n_replicates"),
+            F.expr(f"percentile(__mean, {lo!r})").alias("__lo"),
+            F.expr(f"percentile(__mean, {hi!r})").alias("__hi"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            "n_replicates",
+            F.round("__pt", 6).alias("point_mean"),
+            F.round("__lo", 6).alias("ci_lo"),
+            F.round("__hi", 6).alias("ci_hi"),
+        )
+    )

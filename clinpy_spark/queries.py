@@ -3391,6 +3391,41 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+def _boot_sql() -> str:
+    from clinpy_spark.operators.sample import poisson1_hex_thresholds
+
+    m_expr = " + ".join(
+        f"CASE WHEN h >= '{t}' THEN 1 ELSE 0 END" for t in poisson1_hex_thresholds())
+    return f"""
+WITH reps AS (
+  SELECT r, n_chars,
+         substr(md5(doc_id || ':' || r || ':42'), 1, 8) AS h
+  FROM documents, unnest(range(1, 201)) AS u(r)
+),
+m AS (SELECT r, n_chars, ({m_expr}) AS m FROM reps),
+means AS (SELECT r, CAST(sum(m * n_chars) AS DOUBLE) / sum(m) AS mean FROM m GROUP BY r),
+pt AS (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) AS p FROM documents)
+SELECT CAST(count(*) AS INTEGER) AS n_replicates, round(min(p), 6) AS point_mean,
+       round(quantile_cont(mean, 0.025), 6) AS ci_lo,
+       round(quantile_cont(mean, 0.975), 6) AS ci_hi
+FROM means, pt
+"""
+
+
+@q("s19_bootstrap_ci", _boot_sql())
+def s19_bootstrap_ci_q(spark, sf):
+    # Deterministic Poisson bootstrap (operators/sample.py): 200
+    # resampling replicates whose per-(row, replicate) multiplicities
+    # come from the portable md5 hex coordinate — every draw is
+    # recomputed identically by the oracle, so the CI itself is
+    # hash-checked, not just gated. Map-side partial agg keeps the
+    # shuffle at partitions x R rows.
+    from clinpy_spark.operators.sample import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(_t(spark, sf, "documents"), "n_chars",
+                             n_replicates=200, seed=42)
+
+
 @q("sim_hard_negatives", """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS mid, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -4880,61 +4915,22 @@ def v_gt_structural_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- round-8 head: queries NEW this round need their first driver
+    # -- round-9 head: queries NEW this round need their first driver
     # record --
-    "mm_audio_lossy_gate",
-    "j10d_region_batch",
-    "v_filter_spec",
-    "text_bpe_gate",
-    "text_cms_topk",
-    "text_bloom_decontaminate",
-    "sample_weighted_n",
-    "mix_temperature_quota",
-    "dedup_keep_best",
-    "text_split_pieces",
-    "retrieval_rrf",
-    "curate_quality_model",
-    # -- staleness rotation (r7 verdict #2): the 44 oracled queries whose
-    # latest driver-recorded row is CORRECTNESS_r02 come first so the r8
-    # window refreshes the oldest evidence --
-    "p_projection_filter",
-    "p_isin",
-    "p_between",
-    "p_case_recode",
-    "p_overlap_predicate",
-    "j1_fk_join",
-    "j4_multikey_natural",
-    "j6_anti_new_parts",
-    "j7_semi_cohort",
-    "j9_left_enrich",
-    "a1_group_count",
-    "a2_count_distinct",
-    "a4_distinct_dedup",
-    "a6_pivot_wide",
-    "a7_ratio_agg",
-    "a9_explode_words",
-    "a10_json_flatten",
-    "a11_union_tagged",
-    "a12_hash_id",
-    "a8_rollup",
-    "a11b_intersect",
-    "a11c_except",
-    "e_time_rollup",
-    "o6_approx_quantiles",
-    "s13_stratified_sample",
-    "s14_profile",
-    "s12_merge_upsert",
-    "a15_hll_sketch",
-    "a8c_cube",
-    "o4_exact_percentiles",
-    "a6b_unpivot",
-    "o3_lag_gaps",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
-    "tpch_q4_order_priority",
-    "tpch_q13_cust_distribution",
+    "dedup_substring_spans",
+    "dedup_substring_strip",
+    "text_trigram_ppl",
+    "sim_recall_sq8",
+    "sim_topk_sq8",
+    "sim_pca_gate",
+    "sim_hard_negatives",
+    "e_funnel_steps",
+    "e_retention_cohorts",
+    "e_robust_outliers",
+    # -- staleness rotation (r7 verdict #2): r8's 50-query window took
+    # the 12 r8-new queries plus the first 38 of the r2-recorded block,
+    # so the remaining 6 of that block come next, then the blocks whose
+    # newest driver record is r4 / r6 --
     "tpch_q16_unordered_parts",
     "tpch_q18_large_orders",
     "tpch_q12_shipmode",
@@ -4978,8 +4974,9 @@ _PRIORITY: list[str] = [
     "tpch_q14_promo",
     "tpch_q17_small_qty",
     "tpch_q19_disjunctive",
-    # (everything recorded in the r7 window falls to natural registry
-    # order behind this list and keeps its r7-green rows as evidence)
+    # (everything recorded in the r7/r8 windows falls to natural
+    # registry order behind this list and keeps its green rows as
+    # evidence)
 ]
 
 

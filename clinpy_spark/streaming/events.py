@@ -198,3 +198,63 @@ def streaming_correlate(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    state_ttl_ms: int = 86_400_000,
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel``: per-user ordered
+    step matching as CEP-style keyed state — state is (furthest step,
+    its event time); an arriving event advances the state iff it is the
+    next step's type and strictly later than the current step time.
+    Emits (user, furthest_step, reached_ts) whenever a user advances.
+
+    Matches the batch operator exactly when events are replayed in
+    event-time order (the twin test); cross-batch OUT-OF-ORDER events
+    cannot rewind an already-advanced state — that's the inherent
+    streaming-funnel tradeoff, bound the disorder with a watermark
+    upstream. State is two scalars per user, GC'd after
+    ``state_ttl_ms`` idle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{user_col} long, furthest_step integer, reached_ts double"
+    state_schema = "step integer, last_ts double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        step, last = state.get if state.exists else (0, 0.0)
+        advanced = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                if step >= len(steps):
+                    break
+                ts = pd.Timestamp(row[ts_col]).timestamp()
+                if row[type_col] == steps[step] and (step == 0 or ts > last):
+                    step += 1
+                    last = ts
+                    advanced = True
+        state.update((int(step), float(last)))
+        state.setTimeoutDuration(state_ttl_ms)
+        if advanced:
+            yield pd.DataFrame({
+                user_col: [key[0]],
+                "furthest_step": [int(step)],
+                "reached_ts": [float(last)],
+            })
+
+    return (
+        stream.groupBy(user_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )

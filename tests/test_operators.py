@@ -2873,3 +2873,26 @@ def test_pca_fit_project_whiten(spark):
     ve, mse = pca_variance_report(df, n_components=2)
     assert abs(mse - (1 - ve)) < 1e-12
     assert ve > 0.9  # the planted axis dominates total variance
+
+
+def test_bootstrap_ci_deterministic_and_sane(spark):
+    """Poisson bootstrap: multiplicities are deterministic (same seed
+    -> identical CI across runs and partitionings), CI brackets the
+    point estimate, and the multiplicity distribution is Poisson(1)-ish
+    (mean ~1)."""
+    from clinpy_spark.operators.sample import (
+        bootstrap_mean_ci, bootstrap_multiplicity,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(10 + (i % 7))) for i in range(300)], "doc_id long, v double")
+    a = bootstrap_mean_ci(df, "v", n_replicates=100, seed=7).collect()[0]
+    b = bootstrap_mean_ci(df.repartition(13), "v", n_replicates=100, seed=7).collect()[0]
+    assert a == b  # partitioning-independent
+    assert a.ci_lo <= a.point_mean <= a.ci_hi
+    assert a.n_replicates == 100
+
+    m = (df.select(F.col("doc_id"),
+                   bootstrap_multiplicity("doc_id", F.lit(1), seed=7).alias("m"))
+         .agg(F.avg("m").alias("mean_m"), F.max("m").alias("max_m")).collect()[0])
+    assert 0.8 < m.mean_m < 1.2 and m.max_m <= 7

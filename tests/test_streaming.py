@@ -398,3 +398,47 @@ def test_streaming_cms_twin(spark, tmp_path):
     got = {(r.row, r.bucket): r.cnt
            for r in spark.sql("select * from cms_stream").collect()}
     assert got == want
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """CEP funnel state machine: ordered replay matches the batch
+    funnel exactly; advances across micro-batches carry state; a
+    step-2 event arriving before step 1 does not count."""
+    from clinpy_spark.operators.funnel import funnel
+    from clinpy_spark.streaming.events import streaming_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes across two files (cross-batch state)
+        (1, t(0), 1, "view", 0.0), (2, t(5), 1, "click", 0.0),
+        (3, t(9), 1, "purchase", 0.0),
+        # u2 clicks before viewing -> stuck at step 1
+        (4, t(3), 2, "click", 0.0), (5, t(4), 2, "view", 0.0),
+        # u3 view only
+        (6, t(1), 3, "view", 0.0),
+    ]
+    for i, batch in enumerate((rows[:2] + rows[3:], rows[2:3])):
+        with open(tmp_path / f"f{i}.json", "w") as fh:
+            for eid, ts, uid, etype, val in batch:
+                fh.write(json.dumps({
+                    "event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                    "event_type": etype, "value": val, "props": "{}",
+                }) + "\n")
+
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    q = (streaming_funnel(stream, ["view", "click", "purchase"], state_ttl_ms=10_000_000)
+         .writeStream.format("memory").queryName("funl")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = {}
+    for r in spark.sql("select * from funl").collect():
+        # keep the furthest emission per user across micro-batches
+        if r.user_id not in out or r.furthest_step > out[r.user_id]:
+            out[r.user_id] = r.furthest_step
+    assert out == {1: 3, 2: 1, 3: 1}
+
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    per = {r.user_id: sum(1 for i in (1, 2, 3) if r[f"step_{i}_ts"] is not None)
+           for r in funnel(batch_df, ["view", "click", "purchase"]).collect()}
+    assert per == out

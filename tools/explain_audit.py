@@ -64,6 +64,13 @@ EXPECTED_UNBOUNDED = {
                        # CONSTANT-size broadcast centroid table (same
                        # allowlisted shape as sim_topk_ivf); the pair
                        # join itself is a cell equi-join
+    "text_trigram_ppl",  # crossJoin vs the 1-row (N, V) corpus constants —
+                         # same shape as text_lm_surprisal
+    "sim_recall_sq8",  # recall gate: exact-L2 baseline is the definition
+                       # of recall (bounded 25-query probe set)
+    "sim_hard_negatives",  # rank-window definition NEEDS the exact scan
+                           # over the bounded probe set; the 100 TB path
+                           # swaps in an ANN shortlist + identical window
 }
 
 
