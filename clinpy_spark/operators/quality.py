@@ -1,0 +1,120 @@
+"""Declarative data-quality constraint suite (Deequ-style, miniature):
+a list of named checks compiled into ONE aggregation pass over the
+table, plus anti-join passes for referential checks — the validation
+stage a 100 TB ingest pipeline runs before promoting a batch.
+
+The reference's analogue is its config-driven type/QC gating
+(clinpy/etl's coercion + QC row filters, star_sj.py); this generalizes
+"the config IS the check" into a spec vocabulary:
+
+    {"name": ..., "check": "completeness", "col": c, "min_frac": f}
+    {"name": ..., "check": "uniqueness",   "col": c, "min_frac": f}
+    {"name": ..., "check": "range",  "col": c, "lo": x, "hi": y}
+    {"name": ..., "check": "pattern","col": c, "regex": r, "min_frac": f}
+    {"name": ..., "check": "fk", "col": c, "ref": DataFrame, "ref_col": c2}
+
+Scale shape: all row-local checks share a single groupBy-less agg (one
+pass, map-side partials, one 1-row result per table); each fk check is
+one left-anti join against the (usually broadcastable) reference keys.
+Output: (check_name, metric, passed) — metric is the measured fraction
+(or violation count for range/fk), so dashboards can trend it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _row_local_exprs(spec: dict) -> tuple[object, object]:
+    """-> (metric expression, passed expression) for one check."""
+    kind, col = spec["check"], spec.get("col")
+    n = F.count(F.lit(1))
+    if kind == "completeness":
+        metric = F.count(col).cast("double") / n
+        return metric, metric >= F.lit(float(spec.get("min_frac", 1.0)))
+    if kind == "uniqueness":
+        metric = F.countDistinct(col).cast("double") / n
+        return metric, metric >= F.lit(float(spec.get("min_frac", 1.0)))
+    if kind == "range":
+        lo, hi = spec["lo"], spec["hi"]
+        bad = F.sum(
+            F.when(F.col(col).isNotNull()
+                   & ((F.col(col) < lo) | (F.col(col) > hi)), 1).otherwise(0))
+        return bad.cast("double"), bad == 0
+    if kind == "pattern":
+        ok = F.sum(F.when(F.col(col).rlike(spec["regex"]), 1).otherwise(0))
+        metric = ok.cast("double") / n
+        return metric, metric >= F.lit(float(spec.get("min_frac", 1.0)))
+    raise ValueError(f"unknown check kind {kind!r}")
+
+
+def check_suite(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Run every check -> (check_name, metric, passed). Row-local
+    checks fuse into one aggregation; fk checks add one anti-join
+    each."""
+    local = [c for c in checks if c["check"] != "fk"]
+    fks = [c for c in checks if c["check"] == "fk"]
+    parts: list[DataFrame] = []
+    if local:
+        aggs = []
+        for spec in local:
+            metric, passed = _row_local_exprs(spec)
+            aggs.append(F.round(metric, 6).alias(f"__m_{spec['name']}"))
+            aggs.append(passed.alias(f"__p_{spec['name']}"))
+        one = df.agg(*aggs)
+        rows = F.array(*[
+            F.struct(
+                F.lit(spec["name"]).alias("check_name"),
+                F.col(f"__m_{spec['name']}").alias("metric"),
+                F.col(f"__p_{spec['name']}").alias("passed"),
+            )
+            for spec in local
+        ])
+        parts.append(one.select(F.explode(rows).alias("__c")).select("__c.*"))
+    for spec in fks:
+        ref = spec["ref"].select(F.col(spec["ref_col"]).alias(spec["col"])).distinct()
+        orphans = (
+            df.select(spec["col"]).filter(F.col(spec["col"]).isNotNull())
+            .join(ref, spec["col"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("__bad"))
+        )
+        parts.append(orphans.select(
+            F.lit(spec["name"]).alias("check_name"),
+            F.col("__bad").cast("double").alias("metric"),
+            (F.col("__bad") == 0).alias("passed"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def group_trends(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group least-squares trend: (group, n, slope, intercept,
+    corr) from closed-form sufficient statistics — one aggregation
+    pass, no ML library, exactly recomputable by any SQL engine.
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); groups with degenerate
+    variance emit NULL slope/corr."""
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(F.col(x_col).cast("double"))
+    sy = F.sum(F.col(y_col).cast("double"))
+    sxx = F.sum(F.col(x_col).cast("double") * F.col(x_col))
+    syy = F.sum(F.col(y_col).cast("double") * F.col(y_col))
+    sxy = F.sum(F.col(x_col).cast("double") * F.col(y_col))
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    slope = F.when(den_x > 0, (n * sxy - sx * sy) / den_x)
+    corr = F.when((den_x > 0) & (den_y > 0),
+                  (n * sxy - sx * sy) / F.sqrt(den_x * den_y))
+    return df.groupBy(group_col).agg(
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        F.when(den_x > 0, (sy - slope * sx) / n).alias("intercept"),
+        corr.alias("corr"),
+    )

@@ -3391,6 +3391,100 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("q_constraint_suite", """
+SELECT 'custkey_complete' AS check_name,
+       round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS metric,
+       CAST(count(o_custkey) AS DOUBLE) / count(*) >= 1.0 AS passed
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique',
+       round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6),
+       CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) >= 1.0
+FROM orders
+UNION ALL
+SELECT 'priority_format',
+       round(CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6),
+       CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.99
+FROM orders
+UNION ALL
+SELECT 'qty_in_1_50',
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS DOUBLE),
+       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'qty_in_1_40',
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 ELSE 0 END) AS DOUBLE),
+       sum(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'orderkey_fk',
+       CAST((SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) AS DOUBLE),
+       (SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) = 0
+""")
+def q_constraint_suite_q(spark, sf):
+    # Deequ-style declarative validation (operators/quality.py): six
+    # named checks over orders/lineitem — all row-local checks fuse
+    # into ONE aggregation pass per table (map-side partials), the fk
+    # check is one anti-join against the broadcastable key set. The
+    # qty_in_1_40 check intentionally FAILS so the suite proves it
+    # reports violations (metric = violation count), not just green.
+    from clinpy_spark.operators.quality import check_suite
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    a = check_suite(orders, [
+        {"name": "custkey_complete", "check": "completeness", "col": "o_custkey"},
+        {"name": "orderkey_unique", "check": "uniqueness", "col": "o_orderkey"},
+        {"name": "priority_format", "check": "pattern", "col": "o_orderpriority",
+         "regex": "^[1-5]-", "min_frac": 0.99},
+    ])
+    b = check_suite(li, [
+        {"name": "qty_in_1_50", "check": "range", "col": "l_quantity", "lo": 1, "hi": 50},
+        {"name": "qty_in_1_40", "check": "range", "col": "l_quantity", "lo": 1, "hi": 40},
+        {"name": "orderkey_fk", "check": "fk", "col": "l_orderkey",
+         "ref": orders, "ref_col": "o_orderkey"},
+    ])
+    return a.unionByName(b)
+
+
+@q("e_regression_trend", """
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) - 19723 AS DOUBLE) AS x,
+         value AS y
+  FROM events),
+s AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+         sum(x * y) AS sxy
+  FROM d GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM s
+""")
+def e_regression_trend_q(spark, sf):
+    # Per-type least-squares trend of event value over day index
+    # (operators/quality.py group_trends): closed-form sufficient
+    # statistics in ONE aggregation pass — no ML library, exactly
+    # recomputable in SQL. x is the small integer day offset so the
+    # x-moment sums are integer-exact in any summation order.
+    from clinpy_spark.operators.quality import group_trends
+
+    ev = _t(spark, sf, "events")
+    day = (F.floor(epoch_seconds("ts") / 86400) - 19723).cast("double")
+    out = group_trends(ev.select("event_type", day.alias("x"), F.col("value").alias("y")),
+                       "x", "y", "event_type")
+    return out.select(
+        "event_type", "n", F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"), F.round("corr", 6).alias("corr"))
+
+
 def _boot_sql() -> str:
     from clinpy_spark.operators.sample import poisson1_hex_thresholds
 

@@ -2896,3 +2896,35 @@ def test_bootstrap_ci_deterministic_and_sane(spark):
                    bootstrap_multiplicity("doc_id", F.lit(1), seed=7).alias("m"))
          .agg(F.avg("m").alias("mean_m"), F.max("m").alias("max_m")).collect()[0])
     assert 0.8 < m.mean_m < 1.2 and m.max_m <= 7
+
+
+def test_check_suite_and_group_trends(spark):
+    """Constraint suite: per-check metric + passed semantics (nulls
+    break completeness, dupes break uniqueness, range counts
+    violations, fk counts orphans, null fks are skipped); group_trends
+    recovers a planted slope and flags degenerate groups with NULLs."""
+    from clinpy_spark.operators.quality import check_suite, group_trends
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 60.0), (2, None, 7.0), (4, "b", None)],
+        "id long, cat string, v double")
+    ref = spark.createDataFrame([("a",), ("c",)], "k string")
+    out = {r.check_name: r for r in check_suite(df, [
+        {"name": "cat_complete", "check": "completeness", "col": "cat", "min_frac": 0.9},
+        {"name": "id_unique", "check": "uniqueness", "col": "id"},
+        {"name": "v_range", "check": "range", "col": "v", "lo": 0, "hi": 50},
+        {"name": "cat_fk", "check": "fk", "col": "cat", "ref": ref, "ref_col": "k"},
+    ]).collect()}
+    assert out["cat_complete"].metric == 0.75 and not out["cat_complete"].passed
+    assert out["id_unique"].metric == 0.75 and not out["id_unique"].passed
+    assert out["v_range"].metric == 1.0 and not out["v_range"].passed  # 60 > 50
+    assert out["cat_fk"].metric == 1.0 and not out["cat_fk"].passed    # one 'b' orphan
+
+    t = spark.createDataFrame(
+        [("g", float(x), 2.0 * x + 1.0) for x in range(10)]
+        + [("flat", 1.0, 5.0), ("flat", 1.0, 6.0)],
+        "grp string, x double, y double")
+    tr = {r.grp: r for r in group_trends(t, "x", "y", "grp").collect()}
+    assert abs(tr["g"].slope - 2.0) < 1e-9 and abs(tr["g"].intercept - 1.0) < 1e-9
+    assert abs(tr["g"].corr - 1.0) < 1e-9
+    assert tr["flat"].slope is None and tr["flat"].corr is None
