@@ -5011,6 +5011,9 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "q_constraint_suite",
+    "e_regression_trend",
+    "s19_bootstrap_ci",
     "dedup_substring_spans",
     "dedup_substring_strip",
     "text_trigram_ppl",
