@@ -204,3 +204,89 @@ def cms_token_topk(
         )
         .orderBy(F.desc("exact_cnt"), F.asc("token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Beyer et al. 2007, "On
+# Synopses for Distinct-Value Estimation Under Multiset Operations".
+# The k smallest hash values of a set determine (a) a distinct-count
+# estimate (k-1)/h_(k) and (b) set-operation estimates by merging
+# sketches. Built on the portable md5 coordinate, so the sketch AND
+# every estimate are deterministic and EXACTLY recomputable by the
+# DuckDB oracle (hash-checked, not gated).
+# ---------------------------------------------------------------------------
+
+_KMV_SPACE = float(1 << 32)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: (group, hashes array<long> of the k
+    smallest distinct 32-bit md5 coordinates). One distinct + one rank
+    window per group — the sort spills, the result is k longs per group
+    no matter the corpus (the mergeable summary a 100 TB pipeline
+    ships between stages)."""
+    from pyspark.sql import Window
+
+    h = (
+        df.select(F.col(group_col).alias("__g"), F.col(col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+        .withColumn("__h", portable_hash32("__v", f"|{seed}"))
+        # distinct VALUES can collide in 32 bits; the sketch is a set of
+        # hash values, so dedup the coordinates before ranking
+        .select("__g", "__h").distinct()
+    )
+    w = Window.partitionBy("__g").orderBy(F.asc("__h"))
+    return (
+        h.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .groupBy(F.col("__g").alias(group_col))
+        .agg(F.sort_array(F.collect_list("__h")).alias("hashes"))
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """(group, n_distinct_est): (k-1) / normalized k-th smallest hash;
+    a group with fewer than k distinct values is EXACT (its sketch is
+    the whole hash set)."""
+    n = F.size("hashes")
+    kth = F.element_at("hashes", k).cast("double") / F.lit(_KMV_SPACE)
+    est = F.when(n < k, n.cast("double")).otherwise((F.lit(k - 1)) / kth)
+    cols = [c for c in sketch.columns if c != "hashes"]
+    return sketch.select(*cols, est.alias("n_distinct_est"))
+
+
+def kmv_union_jaccard(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Merge two single-group sketches -> one row (union_est,
+    jaccard_est, intersect_est): the merged sketch is the k smallest of
+    the hash union; jaccard_est = |merged ∩ A ∩ B| / |merged| (Beyer's
+    K-statistic), intersect_est = jaccard_est * union_est. Every step
+    is deterministic array math on two k-length arrays."""
+    a = sketch_a.select(F.col("hashes").alias("__ha"))
+    b = sketch_b.select(F.col("hashes").alias("__hb"))
+    merged = F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k)
+    both = F.array_intersect("__ha", "__hb")
+    kk = F.size(merged)
+    kth = F.element_at(merged, kk).cast("double") / F.lit(_KMV_SPACE)
+    # exact when the merged sketch holds the whole union
+    union_est = F.when(kk < k, kk.cast("double")).otherwise(F.lit(k - 1) / kth)
+    inter_in_merged = F.size(F.array_intersect(merged, both))
+    jac = inter_in_merged.cast("double") / kk
+    return (
+        a.crossJoin(b)
+        .select(
+            F.round(union_est, 4).alias("union_est"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * union_est, 4).alias("intersect_est"),
+        )
+    )

@@ -3391,6 +3391,68 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("text_kmv_overlap", f"""
+WITH sh AS (
+  SELECT d.source, array_to_string(b.w[(u.p+1):(u.p+3)], ' ') AS s
+  FROM ({_SHINGLE_SQL}) b JOIN documents d USING (doc_id),
+       unnest(range(0, greatest(len(b.w) - 2, 0))) AS u(p)
+  WHERE d.source IN ('src0', 'src1') AND len(b.w) >= 3
+  UNION ALL
+  SELECT d.source, array_to_string(b.w, ' ')
+  FROM ({_SHINGLE_SQL}) b JOIN documents d USING (doc_id)
+  WHERE d.source IN ('src0', 'src1') AND len(b.w) < 3
+),
+h AS (SELECT DISTINCT source, ('0x' || substr(md5(s || '|kmv'), 1, 8))::BIGINT AS hv
+      FROM (SELECT DISTINCT source, s FROM sh)),
+rk AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk FROM h),
+ka AS (SELECT list_sort(list(hv)) AS ha FROM rk WHERE source = 'src0' AND rk <= 256),
+kb AS (SELECT list_sort(list(hv)) AS hb FROM rk WHERE source = 'src1' AND rk <= 256),
+m AS (
+  SELECT ha, hb,
+         list_sort(list_distinct(ha || hb))[1:256] AS merged,
+         list_intersect(ha, hb) AS bt
+  FROM ka, kb)
+SELECT
+  round(CASE WHEN len(ha) < 256 THEN CAST(len(ha) AS DOUBLE)
+             ELSE 255.0 / (CAST(ha[256] AS DOUBLE) / 4294967296.0) END, 4) AS n_a_est,
+  round(CASE WHEN len(hb) < 256 THEN CAST(len(hb) AS DOUBLE)
+             ELSE 255.0 / (CAST(hb[256] AS DOUBLE) / 4294967296.0) END, 4) AS n_b_est,
+  round(CASE WHEN len(merged) < 256 THEN CAST(len(merged) AS DOUBLE)
+             ELSE 255.0 / (CAST(merged[len(merged)] AS DOUBLE) / 4294967296.0) END, 4) AS union_est,
+  round(CAST(len(list_intersect(merged, bt)) AS DOUBLE) / len(merged), 6) AS jaccard_est,
+  round((CAST(len(list_intersect(merged, bt)) AS DOUBLE) / len(merged))
+        * (CASE WHEN len(merged) < 256 THEN CAST(len(merged) AS DOUBLE)
+                ELSE 255.0 / (CAST(merged[len(merged)] AS DOUBLE) / 4294967296.0) END), 4) AS intersect_est
+FROM m
+""")
+def text_kmv_overlap_q(spark, sf):
+    # KMV distinct sketch (Beyer et al. 2007, operators/sketch.py):
+    # per-source k=256 smallest md5 coordinates of the distinct 3-gram
+    # shingle sets, then distinct-count / union / Jaccard / intersection
+    # ESTIMATES from pure array math on the two sketches. Portable
+    # hashing makes the whole pipeline deterministic — the oracle
+    # recomputes every hash, rank, and estimate exactly (hash-checked
+    # sketch, like CMS/Bloom; unlike the HLL gate). At 100 TB each
+    # group ships k longs between stages, not its vocabulary.
+    from clinpy_spark.functions.text import shingles
+    from clinpy_spark.operators.sketch import (
+        kmv_distinct_estimate, kmv_sketch, kmv_union_jaccard,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("source").isin("src0", "src1"))
+    sh = docs.select("source", F.explode(shingles("text", 3)).alias("s"))
+    sk = kmv_sketch(sh, "s", "source", k=256)
+    est = kmv_distinct_estimate(sk, k=256)
+    a_est = est.filter(F.col("source") == "src0").select(
+        F.round("n_distinct_est", 4).alias("n_a_est"))
+    b_est = est.filter(F.col("source") == "src1").select(
+        F.round("n_distinct_est", 4).alias("n_b_est"))
+    uj = kmv_union_jaccard(
+        sk.filter(F.col("source") == "src0"),
+        sk.filter(F.col("source") == "src1"), k=256)
+    return a_est.crossJoin(b_est).crossJoin(uj)
+
+
 @q("q_constraint_suite", """
 SELECT 'custkey_complete' AS check_name,
        round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS metric,

@@ -2928,3 +2928,36 @@ def test_check_suite_and_group_trends(spark):
     assert abs(tr["g"].slope - 2.0) < 1e-9 and abs(tr["g"].intercept - 1.0) < 1e-9
     assert abs(tr["g"].corr - 1.0) < 1e-9
     assert tr["flat"].slope is None and tr["flat"].corr is None
+
+
+def test_kmv_sketch_estimates(spark):
+    """KMV: groups under k are exact; estimates for larger sets land
+    within a plausible relative error; union/jaccard math matches the
+    exact overlap on identical sets (jaccard 1) and disjoint sets
+    (jaccard 0); determinism across partitionings."""
+    from clinpy_spark.operators.sketch import (
+        kmv_distinct_estimate, kmv_sketch, kmv_union_jaccard,
+    )
+
+    rows = ([("a", f"v{i}") for i in range(2000)]
+            + [("b", f"v{i}") for i in range(2000)]          # == a
+            + [("c", f"w{i}") for i in range(2000)]          # disjoint
+            + [("small", f"s{i}") for i in range(50)])
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = kmv_sketch(df, "v", "g", k=128)
+    est = {r.g: r.n_distinct_est for r in kmv_distinct_estimate(sk, k=128).collect()}
+    assert est["small"] == 50.0  # exact below k
+    assert abs(est["a"] - 2000) / 2000 < 0.35  # ~1/sqrt(k) rel error
+    assert est["a"] == est["b"]  # same set -> same sketch
+
+    ab = kmv_union_jaccard(sk.filter(F.col("g") == "a"),
+                           sk.filter(F.col("g") == "b"), k=128).collect()[0]
+    assert ab.jaccard_est == 1.0
+    ac = kmv_union_jaccard(sk.filter(F.col("g") == "a"),
+                           sk.filter(F.col("g") == "c"), k=128).collect()[0]
+    assert ac.jaccard_est == 0.0
+    assert abs(ac.union_est - 4000) / 4000 < 0.35
+
+    sk2 = kmv_sketch(df.repartition(17), "v", "g", k=128)
+    assert ({tuple(r.hashes) for r in sk.collect()}
+            == {tuple(r.hashes) for r in sk2.collect()})
