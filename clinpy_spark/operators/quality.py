@@ -118,3 +118,28 @@ def group_trends(
         F.when(den_x > 0, (sy - slope * sx) / n).alias("intercept"),
         corr.alias("corr"),
     )
+
+
+def impute_median(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Null repair: replace NULL ``value_col`` with the per-group exact
+    interpolated median of the non-null values (the robust default for
+    skewed pipeline features). One aggregation on the small group key,
+    medians broadcast back over the stream; adds ``__was_null`` so
+    audits can count repairs. Groups that are entirely NULL stay NULL."""
+    out_col = out_col or value_col
+    med = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.expr(f"percentile({value_col}, 0.5)").alias("__gmed"))
+    )
+    return (
+        df.join(F.broadcast(med), group_col, "left")
+        .withColumn("__was_null", F.col(value_col).isNull())
+        .withColumn(out_col, F.coalesce(F.col(value_col), F.col("__gmed")))
+        .drop("__gmed")
+    )

@@ -114,3 +114,50 @@ def two_phase_count_distinct(
     """
     deduped = df.filter(F.col(distinct_col).isNotNull()).select(*keys, distinct_col).distinct()
     return deduped.groupBy(*keys).agg(F.count("*").alias(out_col))
+
+
+def bloom_pruned_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    width: int = 65_536,
+    depth: int = 3,
+) -> DataFrame:
+    """Equi-join with an explicit Bloom semi-join pushdown: build a
+    ``depth x width`` bit table from the RIGHT side's (small,
+    pre-filtered) join keys, probe the LEFT side's keys against the
+    broadcast bits BEFORE the shuffle, then join the survivors. Output
+    equals ``left.join(right, on, how)`` for inner/left-semi shapes —
+    false positives only pass extra rows into the join, which then
+    drops them, so the pushdown is TRANSPARENT (oracled as such).
+
+    Why at 100 TB: a selective dim-side predicate leaves a key set far
+    smaller than the fact table; shuffling the whole fact side to
+    discover that is the single biggest avoidable cost in a star join.
+    The bit table is <= width*depth bits broadcast once (the same
+    mergeable structure as sketch.py's decontamination filter); the
+    probe is a map-side filter, so the shuffle carries only rows whose
+    keys plausibly match. Spark's own runtime row-level bloom needs
+    AQE to decide late — this operator makes the decision explicit and
+    plan-stable for pipelines that KNOW their dim side is selective.
+    """
+    if how not in {"inner", "left_semi"}:
+        raise ValueError(f"bloom pruning is transparent only for inner/left_semi, got {how!r}")
+    from clinpy_spark.operators.sketch import bloom_bits, portable_hash32
+
+    keys = (right.select(F.col(on).cast("string").alias("__k"))
+            .filter(F.col("__k").isNotNull()).distinct())
+    bits = bloom_bits(keys, col="__k", n_bits=width, k=depth)
+    # k broadcast LEFT-SEMI joins, one per hash function: all map-side
+    # (no shuffle of the probe side, no groupBy) — a row survives iff
+    # every one of its k bit positions is set.
+    pruned = left
+    key_str = F.col(on).cast("string")
+    for j in range(depth):
+        bcol = f"__bloom_b{j}"
+        pruned = pruned.withColumn(bcol, portable_hash32(key_str, f"#{j}") % width)
+        pruned = pruned.join(
+            F.broadcast(bits.withColumnRenamed("bit", bcol)), bcol, "left_semi")
+    pruned = pruned.drop(*[f"__bloom_b{j}" for j in range(depth)])
+    return pruned.join(right, on, how)

@@ -3391,6 +3391,90 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("e_transition_matrix", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, next_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS p
+FROM c
+""")
+def e_transition_matrix_q(spark, sf):
+    # First-order Markov transition matrix over per-user event
+    # sequences: lead window (deterministic ts, event_id tie-break),
+    # pair counts, row-normalized probabilities — the "what happens
+    # next" analytics primitive. One window shuffle on user, one agg.
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    c = (seq.filter(F.col("next_type").isNotNull())
+         .groupBy("event_type", "next_type").agg(F.count("*").alias("n")))
+    tot = Window.partitionBy("event_type")
+    return c.select(
+        "event_type", "next_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"))
+
+
+@q("j20_bloom_pruned_join", f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       {DSUM('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey = 5
+GROUP BY c_mktsegment
+""")
+def j20_bloom_pruned_join_q(spark, sf):
+    # Explicit Bloom semi-join pushdown (operators/skew.py): the
+    # selective customer side (one nation) builds a broadcast bit
+    # table; orders rows are pruned MAP-SIDE by k broadcast left-semi
+    # joins before any shuffle, then the real join runs on survivors.
+    # Oracle = the PLAIN join (no bloom): false positives are dropped
+    # by the join, so the pushdown is hash-provably transparent.
+    from clinpy_spark.operators.skew import bloom_pruned_join
+
+    orders = _t(spark, sf, "orders")
+    cust = (_t(spark, sf, "customer").filter(F.col("c_nationkey") == 5)
+            .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"))
+    joined = bloom_pruned_join(orders, cust, on="o_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("revenue"))
+
+
+@q("s20_impute_median", """
+WITH masked AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events),
+med AS (SELECT event_type, quantile_cont(v, 0.5) AS gmed
+        FROM masked WHERE v IS NOT NULL GROUP BY 1)
+SELECT m.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       round(min(gmed), 6) AS fill_value,
+       round(avg(coalesce(m.v, gmed)), 6) AS mean_after
+FROM masked m JOIN med USING (event_type)
+GROUP BY m.event_type
+""")
+def s20_impute_median_q(spark, sf):
+    # Null repair (operators/quality.py impute_median): deterministic
+    # mask (event_id % 7) simulates missing values; per-type exact
+    # interpolated medians broadcast back to fill them. Audit columns
+    # (n_imputed, fill_value, post-fill mean) are hash-checked.
+    from clinpy_spark.operators.quality import impute_median
+
+    ev = _t(spark, sf, "events").withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")))
+    out = impute_median(ev, "value", "event_type")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("__was_null").cast("long")).alias("n_imputed"),
+        F.round(F.min(F.when(F.col("__was_null"), F.col("value"))), 6).alias("fill_value"),
+        F.round(F.avg("value"), 6).alias("mean_after"))
+
+
 @q("text_kmv_overlap", f"""
 WITH sh AS (
   SELECT d.source, array_to_string(b.w[(u.p+1):(u.p+3)], ' ') AS s
@@ -5073,6 +5157,7 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "text_kmv_overlap",
     "q_constraint_suite",
     "e_regression_trend",
     "s19_bootstrap_ci",

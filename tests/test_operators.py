@@ -2961,3 +2961,35 @@ def test_kmv_sketch_estimates(spark):
     sk2 = kmv_sketch(df.repartition(17), "v", "g", k=128)
     assert ({tuple(r.hashes) for r in sk.collect()}
             == {tuple(r.hashes) for r in sk2.collect()})
+
+
+def test_bloom_pruned_join_transparent_and_prunes(spark):
+    """Bloom pushdown: result == plain inner join (false positives are
+    dropped by the join); rows whose keys share no bloom bits are
+    pruned before the join; unsupported join types raise."""
+    import pytest as _pytest
+
+    from clinpy_spark.operators.skew import bloom_pruned_join
+
+    left = spark.createDataFrame([(i, f"L{i}") for i in range(500)], "k long, lv string")
+    right = spark.createDataFrame([(i, f"R{i}") for i in range(0, 500, 50)], "k long, rv string")
+    got = {(r.k, r.lv, r.rv) for r in bloom_pruned_join(left, right, "k").collect()}
+    exp = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
+    assert got == exp and len(got) == 10
+    with _pytest.raises(ValueError):
+        bloom_pruned_join(left, right, "k", how="left")
+
+
+def test_impute_median_and_transitions(spark):
+    """Median imputation fills per-group; all-null groups stay NULL;
+    __was_null audits repairs."""
+    from clinpy_spark.operators.quality import impute_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", None), ("b", None)],
+        "g string, v double")
+    out = impute_median(df, "v", "g").collect()
+    a_vals = sorted(r.v for r in out if r.g == "a")
+    assert a_vals == [1.0, 2.0, 3.0]  # null -> median 2.0
+    assert all(r.v is None for r in out if r.g == "b")  # no non-null donor
+    assert sum(1 for r in out if r["__was_null"]) == 3
