@@ -136,3 +136,57 @@ def scd2_lookup(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level change-data feed between two table snapshots:
+    (keys..., change, changed_cols) with change in
+    {'insert', 'delete', 'update'} and changed_cols the sorted array of
+    non-key columns whose values differ (null-safe comparison) — the
+    diff a CDC downstream consumes when the upstream can't emit one.
+
+    One full-outer join on the key (the only shuffle); every column
+    comparison is a null-safe equality expression, no row serialization.
+    Unchanged rows are dropped. Both snapshots must share a schema."""
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshot_diff requires identical schemas")
+    val_cols = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in val_cols])
+    nw = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in val_cols])
+    cond = None
+    for k in keys:
+        e = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = e if cond is None else cond & e
+    j = o.join(nw, cond, "full_outer")
+    in_old = F.col(f"__ko_{keys[0]}").isNotNull()
+    in_new = F.col(f"__kn_{keys[0]}").isNotNull()
+    diffs = F.array_sort(F.filter(
+        F.array(*[
+            F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c))
+            for c in val_cols
+        ]),
+        lambda x: x.isNotNull(),
+    ))
+    change = (
+        F.when(in_old & ~in_new, F.lit("delete"))
+        .when(in_new & ~in_old, F.lit("insert"))
+        .when(F.size(diffs) > 0, F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k) for k in keys],
+            "change",
+            F.when(F.col("change") == "update", diffs)
+            .otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+        )
+    )

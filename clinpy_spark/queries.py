@@ -3391,6 +3391,123 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("s21_snapshot_diff", """
+WITH oldv AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 3),
+newv AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X-CHANGED' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 7),
+j AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority) THEN 'update'
+         END AS change,
+         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+              THEN list_sort(list_filter(
+                     [CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END,
+                      CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END],
+                     x -> x IS NOT NULL))
+              ELSE [] END AS cc
+  FROM oldv o FULL JOIN newv n ON o.o_orderkey = n.o_orderkey)
+SELECT change, coalesce(array_to_string(cc, ','), '') AS changed,
+       CAST(count(*) AS BIGINT) AS n
+FROM j WHERE change IS NOT NULL GROUP BY 1, 2
+""")
+def s21_snapshot_diff_q(spark, sf):
+    # Change-data feed between two snapshots (operators/merge.py
+    # snapshot_diff): one full-outer join on the key, null-safe column
+    # comparisons, per-(change, changed-column-set) counts. Deterministic
+    # synthetic drift: %10 filters simulate inserts/deletes, +1.0 price
+    # and priority recodes simulate updates.
+    from clinpy_spark.operators.merge import snapshot_diff
+
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+    oldv = orders.filter(F.col("o_orderkey") % 10 != 3)
+    newv = (orders.filter(F.col("o_orderkey") % 10 != 7)
+            .withColumn("o_totalprice",
+                        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0)
+                        .otherwise(F.col("o_totalprice")))
+            .withColumn("o_orderpriority",
+                        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X-CHANGED"))
+                        .otherwise(F.col("o_orderpriority"))))
+    d = snapshot_diff(oldv, newv, keys=["o_orderkey"])
+    return (d.groupBy("change", F.concat_ws(",", "changed_cols").alias("changed"))
+            .agg(F.count("*").alias("n")))
+
+
+@q("e_attribution_last_touch", """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events)
+SELECT coalesce(touch, 'none') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS attributed_value
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+""")
+def e_attribution_last_touch_q(spark, sf):
+    # Last-touch attribution: each purchase credits the user's most
+    # recent preceding non-purchase event (IGNORE NULLS frame-bounded
+    # last_value — one window shuffle on user). The product-analytics
+    # closer next to funnel/retention/transitions.
+    ev = _t(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                   ignorenulls=True).over(w)
+    return (ev.withColumn("touch", touch)
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+            .agg(F.count("*").alias("n_purchases"),
+                 F.round(F.sum("value"), 2).alias("attributed_value")))
+
+
+@q("text_zipf_slope", """
+WITH tok AS (
+  SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents),
+fr AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM fr),
+xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y FROM rk WHERE r <= 100),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM s
+""")
+def text_zipf_slope_q(spark, sf):
+    # Zipf's-law fit: regress ln(freq) on ln(rank) over the top-100
+    # vocabulary (rank ties broken by token for determinism) via the
+    # same closed-form trend operator as e_regression_trend — a corpus
+    # health check (natural corpora slope ~ -1; synthetic/templated
+    # text flattens).
+    from clinpy_spark.functions.text import norm_tokens
+    from clinpy_spark.operators.quality import group_trends
+
+    docs = _t(spark, sf, "documents")
+    fr = (docs.select(F.explode(norm_tokens("text")).alias("t"))
+          .groupBy("t").agg(F.count("*").alias("f")))
+    w = Window.orderBy(F.desc("f"), F.asc("t"))
+    xy = (fr.withColumn("r", F.row_number().over(w))
+          .filter(F.col("r") <= 100)
+          .select(F.lit("all").alias("g"),
+                  F.log(F.col("r").cast("double")).alias("x"),
+                  F.log(F.col("f").cast("double")).alias("y")))
+    out = group_trends(xy, "x", "y", "g")
+    return out.select(
+        F.col("n").alias("n_ranks"),
+        F.round("slope", 6).alias("zipf_slope"),
+        F.round("corr", 6).alias("corr"))
+
+
 @q("e_transition_matrix", """
 WITH seq AS (
   SELECT user_id, event_type,

@@ -2993,3 +2993,28 @@ def test_impute_median_and_transitions(spark):
     assert a_vals == [1.0, 2.0, 3.0]  # null -> median 2.0
     assert all(r.v is None for r in out if r.g == "b")  # no non-null donor
     assert sum(1 for r in out if r["__was_null"]) == 3
+
+
+def test_snapshot_diff_cdc(spark):
+    """CDC diff: inserts/deletes/updates classified; changed_cols is
+    the exact sorted set of differing non-key columns with null-safe
+    semantics (null -> value counts as a change, null == null does
+    not); unchanged rows dropped; schema mismatch raises."""
+    import pytest as _pytest
+
+    from clinpy_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged -> dropped
+         (2, "b", None),       # null == null -> unchanged
+         (3, "cc", None),      # s changed AND v 3.0 -> null
+         (5, "e", 5.0)],       # insert; 4 deleted
+        "k long, s string, v double")
+    got = {r.k: (r.change, list(r.changed_cols))
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {3: ("update", ["s", "v"]), 4: ("delete", []), 5: ("insert", [])}
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new.drop("v"), ["k"])
