@@ -143,3 +143,58 @@ def impute_median(
         .withColumn(out_col, F.coalesce(F.col(value_col), F.col("__gmed")))
         .drop("__gmed")
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: one row
+    (k, n_groups, n_violating_groups, n_rows_at_risk, min_group_size,
+    passed) — a release is k-anonymous iff every quasi-identifier
+    equivalence class has >= k rows. One groupBy on the quasi columns,
+    one tiny rollup; the standard pre-release governance gate."""
+    g = df.groupBy(*quasi_cols).agg(F.count("*").alias("__n"))
+    return g.agg(
+        F.lit(k).alias("k"),
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0)).cast("long").alias("n_violating_groups"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)).cast("long").alias("n_rows_at_risk"),
+        F.min("__n").alias("min_group_size"),
+        (F.min("__n") >= k).alias("passed"),
+    )
+
+
+def laplace_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Laplace-mechanism count release shape: per-group count plus
+    Laplace(1/epsilon) noise drawn by inverse CDF from the group's
+    portable md5 coordinate: u in (-1/2, 1/2), noise =
+    -sign(u) * ln(1 - 2|u|) / epsilon.
+
+    DETERMINISTIC BY DESIGN here (hash-seeded, so the whole release is
+    engine-auditable and testable); production DP swaps the coordinate
+    for a real RNG — the mechanism, sensitivity (1 per count), and
+    noise shape are exactly what it would run. One groupBy; noise is a
+    column expression on the group key, no RNG state."""
+    from clinpy_spark.operators.sample import sample_hash
+
+    u = (
+        F.conv(sample_hash(F.col(group_col).cast("string"), seed), 16, 10)
+        .cast("double") / F.lit(float(1 << 32))
+    ) - 0.5
+    noise = -F.signum(u) * F.log(1.0 - 2.0 * F.abs(u)) / F.lit(float(epsilon))
+    return (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("true_count"))
+        .select(
+            group_col,
+            "true_count",
+            F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
+        )
+    )

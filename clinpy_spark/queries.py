@@ -3391,6 +3391,47 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("q_k_anonymity", """
+WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+           FROM customer GROUP BY 1, 2)
+SELECT 5 AS k, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(min(n) AS BIGINT) AS min_group_size,
+       min(n) >= 5 AS passed
+FROM g
+""")
+def q_k_anonymity_q(spark, sf):
+    # Pre-release governance gate (operators/quality.py): k-anonymity
+    # over the (nation, segment) quasi-identifier — every equivalence
+    # class must hold >= k rows; the report counts violating classes
+    # and rows at risk. One groupBy + one rollup.
+    from clinpy_spark.operators.quality import k_anonymity_report
+
+    return k_anonymity_report(_t(spark, sf, "customer"),
+                              ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@q("q_dp_counts", """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS true_count,
+       round(count(*)
+             - sign(('0x' || substr(md5(c_mktsegment || ':42'), 1, 8))::BIGINT / 4294967296.0 - 0.5)
+               * ln(1.0 - 2.0 * abs(('0x' || substr(md5(c_mktsegment || ':42'), 1, 8))::BIGINT / 4294967296.0 - 0.5))
+               / 0.5, 4) AS noisy_count
+FROM customer GROUP BY c_mktsegment
+""")
+def q_dp_counts_q(spark, sf):
+    # Laplace-mechanism count release (operators/quality.py): per-group
+    # count + Laplace(1/eps) noise by inverse CDF over the portable md5
+    # coordinate — deterministic here so the oracle recomputes the
+    # release exactly (production swaps in a real RNG; mechanism,
+    # sensitivity and noise shape are identical). eps = 0.5.
+    from clinpy_spark.operators.quality import laplace_noisy_counts
+
+    return laplace_noisy_counts(_t(spark, sf, "customer"), "c_mktsegment",
+                                epsilon=0.5, seed=42)
+
+
 @q("s21_snapshot_diff", """
 WITH oldv AS (
   SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 3),
@@ -5274,6 +5315,12 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "s21_snapshot_diff",
+    "e_attribution_last_touch",
+    "text_zipf_slope",
+    "e_transition_matrix",
+    "j20_bloom_pruned_join",
+    "s20_impute_median",
     "text_kmv_overlap",
     "q_constraint_suite",
     "e_regression_trend",

@@ -3018,3 +3018,26 @@ def test_snapshot_diff_cdc(spark):
     assert got == {3: ("update", ["s", "v"]), 4: ("delete", []), 5: ("insert", [])}
     with _pytest.raises(ValueError):
         snapshot_diff(old, new.drop("v"), ["k"])
+
+
+def test_k_anonymity_and_dp_counts(spark):
+    """k-anonymity counts violating classes and rows at risk; Laplace
+    noisy counts are deterministic per (key, seed), differ across
+    seeds, and |noise| concentrates around 1/eps."""
+    from clinpy_spark.operators.quality import (
+        k_anonymity_report, laplace_noisy_counts,
+    )
+
+    rows = [("a", 1)] * 6 + [("b", 1)] * 3 + [("c", 2)] * 1
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    r = k_anonymity_report(df, ["q1", "q2"], k=5).collect()[0]
+    assert (r.n_groups, r.n_violating_groups, r.n_rows_at_risk) == (3, 2, 4)
+    assert r.min_group_size == 1 and not r.passed
+
+    big = spark.createDataFrame([(f"g{i % 20}",) for i in range(2000)], "g string")
+    a = {r.g: r.noisy_count for r in laplace_noisy_counts(big, "g", 1.0, seed=1).collect()}
+    b = {r.g: r.noisy_count for r in laplace_noisy_counts(big, "g", 1.0, seed=1).collect()}
+    c = {r.g: r.noisy_count for r in laplace_noisy_counts(big, "g", 1.0, seed=2).collect()}
+    assert a == b and a != c  # deterministic per seed, seed-sensitive
+    errs = [abs(v - 100.0) for v in a.values()]
+    assert max(errs) < 15 and sum(errs) / len(errs) < 4  # Laplace(1) scale
