@@ -3536,9 +3536,11 @@ def text_zipf_slope_q(spark, sf):
     docs = _t(spark, sf, "documents")
     fr = (docs.select(F.explode(norm_tokens("text")).alias("t"))
           .groupBy("t").agg(F.count("*").alias("f")))
+    # distributed top-k (TakeOrderedAndProject), THEN rank the 100
+    # survivors — never a global sort of the whole vocabulary
+    top = fr.orderBy(F.desc("f"), F.asc("t")).limit(100)
     w = Window.orderBy(F.desc("f"), F.asc("t"))
-    xy = (fr.withColumn("r", F.row_number().over(w))
-          .filter(F.col("r") <= 100)
+    xy = (top.withColumn("r", F.row_number().over(w))
           .select(F.lit("all").alias("g"),
                   F.log(F.col("r").cast("double")).alias("x"),
                   F.log(F.col("f").cast("double")).alias("y")))
@@ -5315,6 +5317,8 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "q_k_anonymity",
+    "q_dp_counts",
     "s21_snapshot_diff",
     "e_attribution_last_touch",
     "text_zipf_slope",
