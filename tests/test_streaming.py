@@ -442,3 +442,43 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     per = {r.user_id: sum(1 for i in (1, 2, 3) if r[f"step_{i}_ts"] is not None)
            for r in funnel(batch_df, ["view", "click", "purchase"]).collect()}
     assert per == out
+
+
+def test_streaming_check_suite_matches_batch(spark, tmp_path):
+    """Constraint-suite streaming twin: additive partials folded per
+    micro-batch equal the batch suite over the full data; non-additive
+    checks are refused."""
+    import pytest as _pytest
+
+    from clinpy_spark.operators.quality import check_suite
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.quality import (
+        check_partials, finalize_checks, stream_check_suite,
+    )
+
+    checks = [
+        {"name": "val_complete", "check": "completeness", "col": "value",
+         "min_frac": 0.9},
+        {"name": "val_range", "check": "range", "col": "value", "lo": 0.0, "hi": 3.5},
+        {"name": "type_pat", "check": "pattern", "col": "event_type",
+         "regex": "^[a-z]+$", "min_frac": 1.0},
+    ]
+    with _pytest.raises(ValueError):
+        check_partials(spark.range(1), [{"name": "u", "check": "uniqueness", "col": "id"}])
+
+    _write_events(tmp_path / "in" if (tmp_path / "in").mkdir() is None else tmp_path)
+    src = tmp_path / "in"
+    stream = read_event_stream(spark, str(src), fmt="json")
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    q = stream_check_suite(stream, cat, "checks", checks,
+                           checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {r.check_name: (r.metric, r.passed)
+           for r in finalize_checks(cat.table("checks"), checks).collect()}
+    batch = spark.createDataFrame(
+        ROWS, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    exp = {r.check_name: (r.metric, r.passed)
+           for r in check_suite(batch, checks).collect()}
+    assert got == exp
+    assert got["val_range"] == (1.0, False)  # value 4.0 violates hi=3.5
