@@ -3391,6 +3391,87 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("a16_market_basket", """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets FROM b),
+item_n AS (SELECT item, count(*) AS ni FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.item AS item_a, c.item AS item_b, count(*) AS n_ab
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+  GROUP BY 1, 2),
+scored AS (
+  SELECT item_a, item_b, n_ab,
+         round(n_ab / n_baskets, 6) AS support,
+         round(CAST(n_ab AS DOUBLE) / ia.ni, 6) AS confidence,
+         round(n_ab * n_baskets / (CAST(ia.ni AS DOUBLE) * ib.ni), 6) AS lift
+  FROM pairs
+  JOIN item_n ia ON ia.item = item_a
+  JOIN item_n ib ON ib.item = item_b, n
+  WHERE n_ab >= 20)
+SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab, support, confidence, lift
+FROM scored
+""")
+def a16_market_basket_q(spark, sf):
+    # Association-rule mining (market basket): co-occurrence of item
+    # classes within an order -> support / confidence / lift with a
+    # min-support cut. The pair space is a self-join CO-PARTITIONED on
+    # the basket key (pairs bounded by basket size squared, never
+    # corpus squared); item marginals broadcast back. Items are
+    # partkey classes so the pair space stays dense enough to score.
+    li = _t(spark, sf, "lineitem")
+    b = li.select("l_orderkey", (F.col("l_partkey") % 50).alias("item")).distinct()
+    n_baskets = b.select(F.countDistinct("l_orderkey").alias("nb"))
+    item_n = b.groupBy("item").agg(F.count("*").alias("ni"))
+    a = b.toDF("ok", "item_a")
+    c = b.toDF("ok", "item_b")
+    pairs = (a.join(c, "ok").filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b").agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= 20))
+    ia = item_n.toDF("item_a", "ni_a")
+    ib = item_n.toDF("item_b", "ni_b")
+    return (pairs.join(F.broadcast(ia), "item_a").join(F.broadcast(ib), "item_b")
+            .crossJoin(F.broadcast(n_baskets))
+            .select(
+                "item_a", "item_b", F.col("n_ab").cast("long").alias("n_ab"),
+                F.round(F.col("n_ab") / F.col("nb").cast("double"), 6).alias("support"),
+                F.round(F.col("n_ab").cast("double") / F.col("ni_a"), 6).alias("confidence"),
+                F.round(F.col("n_ab") * F.col("nb").cast("double")
+                        / (F.col("ni_a").cast("double") * F.col("ni_b")), 6).alias("lift")))
+
+
+@q("s22_winsorize", """
+WITH q AS (SELECT event_type,
+                  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY 1)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       round(min(lo), 6) AS p05, round(min(hi), 6) AS p95,
+       round(avg(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END), 6) AS mean_winsorized
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+""")
+def s22_winsorize_q(spark, sf):
+    # Winsorization (operators/quality.py pattern family): clip each
+    # group's values at its exact p05/p95 — the outlier-robust
+    # normalization a feature pipeline applies before scaling. One
+    # percentile agg on the small group key, bounds broadcast back.
+    ev = _t(spark, sf, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"))
+    j = ev.join(F.broadcast(q), "event_type")
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")) \
+        .when(F.col("value") > F.col("hi"), F.col("hi")).otherwise(F.col("value"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+              .cast("long")).alias("n_clipped"),
+        F.round(F.min("lo"), 6).alias("p05"),
+        F.round(F.min("hi"), 6).alias("p95"),
+        F.round(F.avg(clipped), 6).alias("mean_winsorized"))
+
+
 @q("q_k_anonymity", """
 WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
            FROM customer GROUP BY 1, 2)
@@ -5317,6 +5398,8 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "a16_market_basket",
+    "s22_winsorize",
     "q_k_anonymity",
     "q_dp_counts",
     "s21_snapshot_diff",
