@@ -711,3 +711,74 @@ def strip_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the AllPairs /
+    PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008): all pairs
+    with shingle-set Jaccard >= ``threshold``, NO false negatives —
+    the exact complement to :func:`minhash_near_duplicates` when a
+    recall contract isn't enough.
+
+    Why it scales without blocking: order every set by GLOBAL token
+    rarity; two sets with Jaccard >= t must share a token within their
+    first n - ceil(t*n) + 1 rarest tokens, so candidates come from an
+    EQUI-JOIN on prefix tokens (rare tokens -> tiny buckets; the
+    birthday-bound pair space of LSH banding, but provably lossless).
+    Candidates are size-filtered (t*|a| <= |b|) then verified with
+    exact array intersection. Three shuffles (freq, prefix bucket,
+    doc re-group) — never an n^2 cross join.
+    """
+    import math
+
+    sets = (
+        ensure_min_parallelism(df).select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.array_distinct(shingles(text_col, shingle_n)),
+                        lambda x: F.xxhash64(x)).alias("__sh"),
+        )
+    )
+    toks = sets.select("__id", F.explode("__sh").alias("__t"))
+    freq = toks.groupBy("__t").agg(F.count("*").alias("__f"))
+    # re-group each doc's tokens ordered by (global rarity, hash)
+    ordered = (
+        toks.join(freq, "__t")
+        .groupBy("__id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("__f", "__t"))),
+            lambda s: s["__t"]).alias("__sorted"))
+        .withColumn("__n", F.size("__sorted"))
+        .withColumn(
+            "__prefix",
+            F.slice("__sorted", 1,
+                    (F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1)
+                    .cast("int")),
+        )
+    )
+    a = ordered.select(F.col("__id").alias("id_a"), F.col("__sorted").alias("sh_a"),
+                       F.col("__n").alias("na"), F.explode("__prefix").alias("__t"))
+    b = ordered.select(F.col("__id").alias("id_b"), F.col("__sorted").alias("sh_b"),
+                       F.col("__n").alias("nb"), F.explode("__prefix").alias("__t"))
+    t = float(threshold)
+    cands = (
+        a.join(b, "__t")
+        .filter((F.col("id_a") < F.col("id_b"))
+                & (F.col("nb") >= F.lit(t) * F.col("na"))
+                & (F.col("na") >= F.lit(t) * F.col("nb")))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

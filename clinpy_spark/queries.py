@@ -3391,6 +3391,45 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("dedup_ppjoin_pairs", """
+WITH ntoks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+shng AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN generate_series(1, len(tk) - 2)]
+    END) AS s
+  FROM ntoks
+),
+shsizes AS (SELECT doc_id, count(*) AS sz FROM shng GROUP BY doc_id),
+shinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shng a JOIN shng b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jac
+  FROM shinter JOIN shsizes sa ON sa.doc_id = id_a
+               JOIN shsizes sb ON sb.doc_id = id_b
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3)
+SELECT id_a, id_b, round(jac, 4) AS jaccard FROM jpairs
+""")
+def dedup_ppjoin_pairs_q(spark, sf):
+    # EXACT set-similarity join by prefix filtering (AllPairs/PPJoin,
+    # Bayardo 2007): candidates come from an equi-join on each set's
+    # rarest n - ceil(t*n) + 1 tokens under a global frequency order —
+    # provably NO false negatives (unlike LSH), no n^2 cross join, no
+    # blocking column needed. The oracle recomputes the full exact
+    # all-pairs answer; matching it proves the prefix filter lossless
+    # on this corpus.
+    from clinpy_spark.operators.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(_t(spark, sf, "documents"), threshold=0.3)
+
+
 @q("a16_market_basket", """
 WITH b AS (SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem),
 n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets FROM b),
@@ -5398,6 +5437,7 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "dedup_ppjoin_pairs",
     "a16_market_basket",
     "s22_winsorize",
     "q_k_anonymity",

@@ -3041,3 +3041,29 @@ def test_k_anonymity_and_dp_counts(spark):
     assert a == b and a != c  # deterministic per seed, seed-sensitive
     errs = [abs(v - 100.0) for v in a.values()]
     assert max(errs) < 15 and sum(errs) / len(errs) < 4  # Laplace(1) scale
+
+
+def test_ppjoin_lossless_vs_all_pairs(spark):
+    """Prefix-filtered exact Jaccard join equals the unblocked O(n^2)
+    reference at every threshold tried — the no-false-negative claim —
+    including near-identical, partially-overlapping, and disjoint
+    docs."""
+    from clinpy_spark.operators.dedup import ngram_jaccard_pairs, ppjoin_pairs
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, base),
+        (2, base + " extra"),            # near-dup of 1
+        (3, "w5 w6 w7 w8 w9 w10 z1 z2"),  # partial overlap
+        (4, "q1 q2 q3 q4 q5"),            # disjoint
+        (5, base),                        # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.2, 0.5, 0.9):
+        exact = {(r.id_a, r.id_b): r.jaccard
+                 for r in ngram_jaccard_pairs(df, threshold=t,
+                                              allow_all_pairs=True).collect()}
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in ppjoin_pairs(df, threshold=t).collect()}
+        assert got == exact, f"threshold {t}"
+    assert (1, 5) in got and got[(1, 5)] == 1.0
