@@ -761,21 +761,28 @@ def ppjoin_pairs(
                     .cast("int")),
         )
     )
-    a = ordered.select(F.col("__id").alias("id_a"), F.col("__sorted").alias("sh_a"),
-                       F.col("__n").alias("na"), F.explode("__prefix").alias("__t"))
-    b = ordered.select(F.col("__id").alias("id_b"), F.col("__sorted").alias("sh_b"),
-                       F.col("__n").alias("nb"), F.explode("__prefix").alias("__t"))
+    # Candidate pairs carry ONLY ids through the prefix-bucket join —
+    # the shingle arrays would otherwise be replicated once per shared
+    # prefix token before the distinct; the sets are fetched back
+    # exactly once per surviving pair for verification.
+    a = ordered.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"),
+                       F.explode("__prefix").alias("__t"))
+    b = ordered.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"),
+                       F.explode("__prefix").alias("__t"))
     t = float(threshold)
     cands = (
         a.join(b, "__t")
         .filter((F.col("id_a") < F.col("id_b"))
                 & (F.col("nb") >= F.lit(t) * F.col("na"))
                 & (F.col("na") >= F.lit(t) * F.col("nb")))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sets_a = ordered.select(F.col("__id").alias("id_a"), F.col("__sorted").alias("sh_a"))
+    sets_b = ordered.select(F.col("__id").alias("id_b"), F.col("__sorted").alias("sh_b"))
     return (
-        cands.withColumn(
+        cands.join(sets_a, "id_a").join(sets_b, "id_b")
+        .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")))

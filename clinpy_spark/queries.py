@@ -3391,6 +3391,86 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("sim_cluster_quality", """
+WITH dim AS (
+  SELECT vec_id, label, u.d AS d, embedding[u.d + 1]::DOUBLE AS v
+  FROM embeddings, unnest(range(0, 64)) AS u(d)),
+cent AS (SELECT label, d, avg(v) AS c FROM dim GROUP BY 1, 2),
+gmean AS (SELECT d, avg(v) AS g FROM dim GROUP BY 1),
+wss AS (SELECT sum((v - c) * (v - c)) AS w
+        FROM dim JOIN cent USING (label, d)),
+bss AS (SELECT sum(n_k * (c - g) * (c - g)) AS b
+        FROM (SELECT label, d, c, (SELECT count(*) FROM embeddings e
+                                   WHERE e.label = cent.label) AS n_k
+              FROM cent) x JOIN gmean USING (d)),
+consts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT label) AS BIGINT) AS k FROM embeddings)
+SELECT n, k,
+       round((b / (k - 1)) / (w / (n - k)), 4) AS calinski_harabasz,
+       round(b / (b + w), 6) AS explained_frac
+FROM wss, bss, consts
+""")
+def sim_cluster_quality_q(spark, sf):
+    # Clustering-quality metric over the labeled embeddings: the
+    # Calinski-Harabasz variance-ratio (between-cluster SS / (k-1)) /
+    # (within-cluster SS / (n-k)) — exact closed-form math, one
+    # posexplode over dims, two small aggs, NO pairwise distances (the
+    # silhouette trap at scale). Gates embedding-space health before
+    # ANN indexing or SemDeDup.
+    emb = _t(spark, sf, "embeddings")
+    dim = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"))
+    cent = dim.groupBy("label", "d").agg(F.avg("v").alias("c"),
+                                         F.count("*").alias("n_k"))
+    gmean = dim.groupBy("d").agg(F.avg("v").alias("g"))
+    wss = (dim.join(cent.select("label", "d", "c"), ["label", "d"])
+           .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("w")))
+    bss = (cent.join(gmean, "d")
+           .agg(F.sum(F.col("n_k") * (F.col("c") - F.col("g")) * (F.col("c") - F.col("g"))).alias("b")))
+    consts = emb.agg(F.count("*").alias("n"), F.countDistinct("label").alias("k"))
+    return (wss.crossJoin(bss).crossJoin(F.broadcast(consts))
+            .select(
+                "n", "k",
+                F.round((F.col("b") / (F.col("k") - 1)) / (F.col("w") / (F.col("n") - F.col("k"))), 4)
+                .alias("calinski_harabasz"),
+                F.round(F.col("b") / (F.col("b") + F.col("w")), 6).alias("explained_frac")))
+
+
+@q("e_time_weighted_avg", """
+WITH seq AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         lead(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events),
+seg AS (SELECT user_id, value, t_next - t AS dur FROM seq WHERE t_next IS NOT NULL)
+SELECT user_id % 10 AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dur) AS BIGINT) AS total_seconds,
+       round(sum(value * dur) / sum(dur), 6) AS time_weighted_avg
+FROM seg GROUP BY 1
+""")
+def e_time_weighted_avg_q(spark, sf):
+    # Time-weighted average (irregularly-sampled telemetry): each
+    # reading holds until the next (step interpolation), so the mean
+    # weights values by their holding duration — lead window per user,
+    # one agg. Integer second durations keep the weight sums exact.
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = epoch_seconds("ts")
+    seq = ev.select(
+        "user_id", "value", t.alias("t"),
+        F.lead(t).over(w).alias("t_next"))
+    seg = (seq.filter(F.col("t_next").isNotNull())
+           .withColumn("dur", F.col("t_next") - F.col("t")))
+    return (seg.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+            .agg(F.count("*").alias("n_segments"),
+                 F.sum("dur").alias("total_seconds"),
+                 F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6)
+                 .alias("time_weighted_avg")))
+
+
 @q("dedup_ppjoin_pairs", """
 WITH ntoks AS (
   SELECT doc_id,
@@ -5437,6 +5517,8 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "sim_cluster_quality",
+    "e_time_weighted_avg",
     "dedup_ppjoin_pairs",
     "a16_market_basket",
     "s22_winsorize",
