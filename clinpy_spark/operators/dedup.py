@@ -386,28 +386,55 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             "pass a block_col (e.g. lang) or opt in with allow_all_pairs=True, "
             "or use minhash_near_duplicates for unblocked corpora"
         )
-    # Shingle sets travel and compare as xxhash64 LONGS: the hashing is
-    # a per-row transform (interpreted HOF, fine per row), after which
-    # the pair-join shuffle moves 8-byte arrays instead of ~20-char
-    # string arrays and the per-PAIR array_intersect/array_union run on
-    # longs (native expressions, no HOF). Jaccard is exact up to 64-bit
-    # shingle-hash collisions (~|pairs|*|set|^2/2^64 — immaterial, and
-    # deterministic: the string-exact DuckDB oracle would flag one as a
-    # hash mismatch, never a silent drift).
+    # Shingles travel and compare as xxhash64 LONGS (exact up to 64-bit
+    # collisions — immaterial and deterministic; the string-exact DuckDB
+    # oracle would flag one as a hash mismatch, never a silent drift).
+    #
+    # For threshold > 0 the intersection is computed RELATIONALLY: a
+    # pair must share >= 1 shingle, so candidates come from an
+    # equi-join on the (block, shingle) key and |A∩B| is the pair's
+    # match count — no set arrays ever cross the shuffle, no per-block
+    # cross join materializes zero-overlap pairs. (Block/opt-in guard
+    # retained: a pathologically common shingle still fans out f^2
+    # pairs in its bucket; blocking bounds f.)
     sh = ensure_min_parallelism(df).select(
-        *([F.col(block_col)] if block_col else []),
-        F.col(id_col),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+        F.col(id_col).alias("__id"),
         F.transform(F.array_distinct(shingles(text_col, shingle_n)),
                     lambda x: F.xxhash64(x)).alias("sh"),
     )
-    a_cols = (["__blk"] if block_col else []) + ["id_a", "sh_a"]
-    b_cols = (["__blk"] if block_col else []) + ["id_b", "sh_b"]
-    a = sh.toDF(*a_cols)
-    b = sh.toDF(*b_cols)
-    joined = a.join(b, "__blk") if block_col else a.crossJoin(b)
+    if threshold <= 0:
+        # jaccard-0 pairs are requested too: only the pair join sees them
+        a_cols = (["__blk"] if block_col else []) + ["id_a", "sh_a"]
+        b_cols = (["__blk"] if block_col else []) + ["id_b", "sh_b"]
+        a = sh.toDF(*a_cols)
+        b = sh.toDF(*b_cols)
+        joined = a.join(b, "__blk") if block_col else a.crossJoin(b)
+        return (
+            joined.filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("jaccard", F.size(F.array_intersect("sh_a", "sh_b"))
+                        / F.size(F.array_union("sh_a", "sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        )
+    ex = sh.select(*(["__blk"] if block_col else []), "__id",
+                   F.explode("sh").alias("__t"))
+    sizes = sh.select("__id", F.size("sh").alias("__sz"))
+    join_keys = (["__blk"] if block_col else []) + ["__t"]
+    a = ex.toDF(*((["__blk"] if block_col else []) + ["id_a", "__t"]))
+    b = ex.toDF(*((["__blk"] if block_col else []) + ["id_b", "__t"]))
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    sa = sizes.toDF("id_a", "__sa")
+    sb = sizes.toDF("id_b", "__sb")
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")))
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+                    F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
