@@ -158,18 +158,21 @@ def bloom_probe(
     """Membership probe: one row per input (``key_cols`` + ``col``) with
     ``bloom_maybe`` — true iff ALL ``k`` bit positions are set (Bloom
     semantics: no false negatives, false positives at the classic
-    (1-e^{-kn/m})^k rate). The bit table joins broadcast; the probe side
-    never shuffles."""
-    pos = F.array(*[portable_hash32(col, f"#{j}") % n_bits for j in range(k)])
-    marked = bits.withColumn("__in", F.lit(1))
-    exploded = (
-        pairs.select(*key_cols, col, F.explode(pos).alias("bit"))
-        .join(F.broadcast(marked), "bit", "left")
-    )
-    return (
-        exploded.groupBy(*key_cols, col)
-        .agg((F.count("__in") == k).alias("bloom_maybe"))
-    )
+    (1-e^{-kn/m})^k rate). The probe is ``k`` BROADCAST left joins, one
+    per hash function — zero shuffle, zero explode, no regroup (the
+    prior explode + groupBy shuffled every probe row; at corpus scale
+    that shuffle WAS the query cost)."""
+    out = pairs.select(*key_cols, col)
+    for j in range(k):
+        bcol = f"__bp{j}"
+        marked = bits.select(F.col("bit").alias(bcol),
+                             F.lit(True).alias(f"__in{j}"))
+        out = (out.withColumn(bcol, portable_hash32(col, f"#{j}") % n_bits)
+               .join(F.broadcast(marked), bcol, "left"))
+    maybe = F.lit(True)
+    for j in range(k):
+        maybe = maybe & F.col(f"__in{j}").isNotNull()
+    return out.select(*key_cols, col, maybe.alias("bloom_maybe"))
 
 
 def cms_token_topk(

@@ -5164,9 +5164,15 @@ def text_bloom_decontaminate_q(spark, sf):
     # oracle recomputes the exact per-doc hit counts, mistakes included.
     from clinpy_spark.functions.text import shingles
     from clinpy_spark.operators.sketch import bloom_bits, bloom_probe
+    from clinpy_spark.session import ensure_min_parallelism
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("__sh"))
+    # the interpreted HOF shingling is the dominant cost — spread it
+    # across cores even when the source is one small parquet file, and
+    # materialize it ONCE (the bench and train branches both consume it;
+    # without the checkpoint Catalyst re-shingles per branch)
+    docs = ensure_min_parallelism(_t(spark, sf, "documents")).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("__sh")
+    ).localCheckpoint(eager=False)
     bench = (docs.filter(F.col("doc_id") % 97 == 0)
              .select(F.explode("__sh").alias("s")).distinct())
     bits = bloom_bits(bench, "s")
