@@ -3391,6 +3391,136 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("e_rolling_wau", """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS d
+            FROM events),
+cal AS (SELECT DISTINCT d FROM ud),
+w AS (
+  SELECT c.d, count(DISTINCT u.user_id) AS wau
+  FROM cal c JOIN ud u ON u.d BETWEEN c.d - 6 AND c.d
+  GROUP BY c.d)
+SELECT d AS day_index, CAST(wau AS BIGINT) AS wau FROM w
+""")
+def e_rolling_wau_q(spark, sf):
+    # Rolling 7-day active users per day: each (user, day) activation
+    # contributes to the 7 calendar days it keeps the user "active"
+    # for (explode of a 7-element sequence — constant fan-out), then
+    # one distinct-count per day. The explode form scales where a
+    # per-day range self-join (the oracle's formulation) would
+    # re-scan; both compute the identical grid.
+    ev = _t(spark, sf, "events")
+    day = F.floor(epoch_seconds("ts") / 86400)
+    ud = ev.select("user_id", day.alias("d")).distinct()
+    cal = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day_index"))
+    return (contrib.join(cal.withColumnRenamed("d", "day_index"), "day_index")
+            .groupBy("day_index")
+            .agg(F.countDistinct("user_id").alias("wau")))
+
+
+@q("e_funnel_latency", """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+lat AS (
+  SELECT s1.user_id,
+         CAST(floor(epoch(t2)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT) AS view_to_click,
+         CAST(floor(epoch(t3)) AS BIGINT) - CAST(floor(epoch(t2)) AS BIGINT) AS click_to_buy
+  FROM s1 JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+SELECT CAST(count(*) AS BIGINT) AS n_clicked,
+       CAST(count(click_to_buy) AS BIGINT) AS n_bought,
+       round(quantile_cont(view_to_click, 0.5), 4) AS median_view_to_click_s,
+       round(quantile_cont(click_to_buy, 0.5), 4) AS median_click_to_buy_s
+FROM lat
+""")
+def e_funnel_latency_q(spark, sf):
+    # Time-to-convert distribution on top of the ordered funnel
+    # (operators/funnel.py): integer-second step latencies, exact
+    # interpolated medians. Same chained-aggregation shape as
+    # e_funnel_steps with one stats pass appended.
+    from clinpy_spark.operators.funnel import funnel
+
+    per = funnel(_t(spark, sf, "events"), ["view", "click", "purchase"])
+    lat = (per.filter(F.col("step_2_ts").isNotNull())
+           .select(
+               (epoch_seconds("step_2_ts") - epoch_seconds("step_1_ts")).alias("v2c"),
+               (epoch_seconds("step_3_ts") - epoch_seconds("step_2_ts")).alias("c2b")))
+    return lat.agg(
+        F.count("*").alias("n_clicked"),
+        F.count("c2b").alias("n_bought"),
+        F.round(F.expr("percentile(v2c, 0.5)"), 4).alias("median_view_to_click_s"),
+        F.round(F.expr("percentile(c2b, 0.5)"), 4).alias("median_click_to_buy_s"))
+
+
+def _lang_agreement_oracle() -> str:
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"x -> list_contains([{words}], x)))"
+        )
+
+    s = {lang: score(lang) for lang in LANG_STOPWORDS}
+    return f"""
+SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT declared, CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS predicted
+  FROM (
+    SELECT lang AS declared, {s['de']} AS s_de, {s['en']} AS s_en,
+           {s['es']} AS s_es, {s['fr']} AS s_fr
+    FROM documents
+  )
+)
+GROUP BY declared, predicted
+"""
+
+
+@q("text_lang_agreement", _lang_agreement_oracle())
+def text_lang_agreement_q(spark, sf):
+    # Language-ID confusion matrix: the stopword-vote argmax against
+    # the declared lang column — the metadata-trust audit a curation
+    # pipeline runs before keying mixtures on declared language. Same
+    # codegen scorer plan as text_langid (explode + broadcast stopword
+    # dim + conditional counts) with the declared label carried
+    # through; matrix counts are hash-checked.
+    from clinpy_spark.functions.text import tokens
+    from clinpy_spark.session import ensure_min_parallelism
+
+    d = ensure_min_parallelism(_t(spark, sf, "documents"))
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, words in LANG_STOPWORDS.items() for w in words],
+        "slang string, word string",
+    )
+    toks = d.select("doc_id", F.col("lang").alias("declared"),
+                    F.explode(tokens("text")).alias("tok"))
+    scores = (
+        toks.join(F.broadcast(sw), toks.tok == sw.word, "left")
+        .groupBy("doc_id", "declared")
+        .agg(*[
+            F.count(F.when(F.col("slang") == lang, 1)).alias(f"s_{lang}")
+            for lang in sorted(LANG_STOPWORDS)
+        ])
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best_lang, best_score = F.lit(langs[0]), F.col(f"s_{langs[0]}")
+    for lang in langs[1:]:
+        take = F.col(f"s_{lang}") > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, F.col(f"s_{lang}")).otherwise(best_score)
+    predicted = F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    return (scores.select("declared", predicted.alias("predicted"))
+            .groupBy("declared", "predicted").agg(F.count("*").alias("n")))
+
+
 @q("sim_cluster_quality", """
 WITH dim AS (
   SELECT vec_id, label, u.d AS d, embedding[u.d + 1]::DOUBLE AS v
@@ -5523,6 +5653,9 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "e_rolling_wau",
+    "e_funnel_latency",
+    "text_lang_agreement",
     "sim_cluster_quality",
     "e_time_weighted_avg",
     "dedup_ppjoin_pairs",

@@ -71,6 +71,11 @@ EXPECTED_UNBOUNDED = {
     "sim_hard_negatives",  # rank-window definition NEEDS the exact scan
                            # over the bounded probe set; the 100 TB path
                            # swaps in an ANN shortlist + identical window
+    "s19_bootstrap_ci",  # crossJoin vs the ONE-ROW point-estimate agg
+    "sim_cluster_quality",  # wss x bss x consts — three 1-row aggregates
+    "a16_market_basket",  # crossJoin vs the 1-row basket-count constant
+    "text_kmv_overlap",  # two k-length single-row sketches crossJoined —
+                         # the entire pair space is ONE row of array math
 }
 
 
