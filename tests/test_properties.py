@@ -705,3 +705,56 @@ def test_bpe_encode_lossless_any_unicode(words, nm):
         assert "".join(_encode_word(w, ranks)) == w
     # unseen word: still lossless, tokens are chars or trained merges
     assert "".join(_encode_word("zzz-unseen-é中", ranks)) == "zzz-unseen-é中"
+
+
+# --- PPJoin prefix-filter losslessness -------------------------------------
+
+_vocab = [f"w{i}" for i in range(12)]
+_doc = st.lists(st.sampled_from(_vocab), min_size=3, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+_thresh = st.sampled_from([0.2, 0.4, 0.6, 0.8])
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=_corpus, threshold=_thresh)
+def test_ppjoin_prefix_filter_is_lossless(spark, texts, threshold):
+    """The prefix-filtered candidate set must contain every pair the
+    exact all-pairs join finds, for arbitrary small corpora drawn from
+    a tiny vocabulary (maximal shingle collisions = the adversarial
+    case for prefix pruning) at several thresholds."""
+    from clinpy_spark.operators.dedup import ngram_jaccard_pairs, ppjoin_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(df, threshold=threshold,
+                                          allow_all_pairs=True).collect()}
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ppjoin_pairs(df, threshold=threshold).collect()}
+    assert got == exact
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    olds=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 3)), min_size=0,
+                  max_size=8, unique_by=lambda t: t[0]),
+    news=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 3)), min_size=0,
+                  max_size=8, unique_by=lambda t: t[0]),
+)
+def test_snapshot_diff_reconstructs_new(spark, olds, news):
+    """Applying the CDC feed to the old snapshot reproduces the new one
+    exactly: new = (old minus deletes minus updates) union (inserted +
+    updated rows from new)."""
+    from clinpy_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(olds, "k long, v int") if olds else \
+        spark.createDataFrame([], "k long, v int")
+    new = spark.createDataFrame(news, "k long, v int") if news else \
+        spark.createDataFrame([], "k long, v int")
+    diff = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    old_m, new_m = dict(olds), dict(news)
+    rebuilt = {k: v for k, v in old_m.items()
+               if diff.get(k) not in ("delete", "update")}
+    for k, ch in diff.items():
+        if ch in ("insert", "update"):
+            rebuilt[k] = new_m[k]
+    assert rebuilt == new_m
