@@ -293,3 +293,46 @@ def kmv_union_jaccard(
             F.round(jac * union_est, 4).alias("intersect_est"),
         )
     )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Merge two per-group KMV sketch tables: per group, the k smallest
+    of the hash union (groups present in only one side pass through).
+    Pure array math on two k-length arrays — the mergeability that lets
+    per-shard / per-day sketches combine associatively."""
+    ga = a.select(F.col(group_col), F.col("hashes").alias("__ha"))
+    gb = b.select(F.col(group_col), F.col("hashes").alias("__hb"))
+    return (
+        ga.join(gb, group_col, "full_outer")
+        .select(
+            group_col,
+            F.slice(
+                F.array_sort(F.array_union(
+                    F.coalesce("__ha", F.array().cast("array<long>")),
+                    F.coalesce("__hb", F.array().cast("array<long>")),
+                )), 1, k,
+            ).alias("hashes"),
+        )
+    )
+
+
+def refresh_kmv(
+    catalog,
+    name: str,
+    batch: DataFrame,
+    col: str,
+    group_col: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> None:
+    """Fold one appended batch into a PERSISTED per-group KMV sketch —
+    the distinct-count twin of ``refresh_cms``: sketch only the batch,
+    merge with the k-longs-per-group state, swap. Cost per refresh is
+    O(|batch| + groups*k) no matter how much corpus the sketch already
+    summarizes; ``kmv_distinct_estimate`` reads the result directly."""
+    parts = kmv_sketch(batch, col, group_col, k, seed)
+    if catalog.exists(name):
+        merged = kmv_merge(catalog.table(name), parts, group_col, k)
+        catalog.overwrite_staged(merged, name)
+    else:
+        catalog.write(parts, name)

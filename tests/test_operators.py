@@ -3067,3 +3067,31 @@ def test_ppjoin_lossless_vs_all_pairs(spark):
                for r in ppjoin_pairs(df, threshold=t).collect()}
         assert got == exact, f"threshold {t}"
     assert (1, 5) in got and got[(1, 5)] == 1.0
+
+
+def test_refresh_kmv_incremental_equals_full(spark, tmp_path):
+    """Persisted KMV maintenance: folding three batches one at a time
+    yields byte-identical sketches (and therefore identical distinct
+    estimates) to sketching the concatenated corpus once."""
+    from clinpy_spark.operators.sketch import (
+        kmv_distinct_estimate, kmv_sketch, refresh_kmv,
+    )
+    from clinpy_spark.session import ProjectCatalog
+
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    batches = [
+        [("a", f"v{i}") for i in range(j * 150, (j + 1) * 150)]
+        + [("b", f"w{i % 40}") for i in range(60)]
+        for j in range(3)
+    ]
+    for b in batches:
+        refresh_kmv(cat, "kmv", spark.createDataFrame(b, "g string, v string"),
+                    "v", "g", k=64)
+    full = spark.createDataFrame([r for b in batches for r in b], "g string, v string")
+    expect = {r.g: tuple(r.hashes) for r in kmv_sketch(full, "v", "g", k=64).collect()}
+    got = {r.g: tuple(r.hashes) for r in cat.table("kmv").collect()}
+    assert got == expect
+    est = {r.g: r.n_distinct_est
+           for r in kmv_distinct_estimate(cat.table("kmv"), k=64).collect()}
+    assert est["b"] == 40.0          # under k -> exact
+    assert abs(est["a"] - 450) / 450 < 0.5
