@@ -258,3 +258,54 @@ def streaming_funnel(
             update, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
         )
     )
+
+
+def streaming_transitions(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    state_ttl_ms: int = 86_400_000,
+) -> DataFrame:
+    """Streaming twin of the Markov transition matrix
+    (queries.e_transition_matrix): per-user state carries the LAST seen
+    event type across micro-batches, so the (prev -> next) pair at a
+    batch boundary is never lost; each batch emits DELTA pair counts
+    (event_type, next_type, n) for the user. Summing the deltas equals
+    the batch lead-window pair counts on ordered replay (twin test).
+    State is one string per user, TTL-GC'd."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, next_type string, n long"
+    state_schema = "last string"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        counts: dict = {}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for t in pdf.sort_values(ts_col)[type_col]:
+                if last is not None:
+                    counts[(last, t)] = counts.get((last, t), 0) + 1
+                last = t
+        if last is not None:
+            state.update((last,))
+            state.setTimeoutDuration(state_ttl_ms)
+        if counts:
+            yield pd.DataFrame({
+                "event_type": [k[0] for k in counts],
+                "next_type": [k[1] for k in counts],
+                "n": list(counts.values()),
+            })
+
+    return (
+        stream.groupBy(user_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )

@@ -482,3 +482,36 @@ def test_streaming_check_suite_matches_batch(spark, tmp_path):
            for r in check_suite(batch, checks).collect()}
     assert got == exp
     assert got["val_range"] == (1.0, False)  # value 4.0 violates hi=3.5
+
+
+def test_streaming_transitions_match_batch(spark, tmp_path):
+    """Cross-batch Markov deltas: the boundary pair (last event of
+    batch 1 -> first event of batch 2) is counted exactly once, and
+    summed deltas equal the batch lead-window counts."""
+    from clinpy_spark.streaming.events import streaming_transitions
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), 1, "view", 0.0), (2, t(1), 1, "click", 0.0),
+        (3, t(2), 1, "view", 0.0),   # batch 1 ends: last = view
+        (4, t(3), 1, "click", 0.0),  # boundary pair view->click
+        (5, t(4), 1, "purchase", 0.0),
+        (6, t(0), 2, "view", 0.0),   # single event, no transition
+    ]
+    for i, batch in enumerate((rows[:3] + rows[5:], rows[3:5])):
+        with open(tmp_path / f"f{i}.json", "w") as fh:
+            for eid, ts, uid, etype, val in batch:
+                fh.write(json.dumps({
+                    "event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                    "event_type": etype, "value": val, "props": "{}",
+                }) + "\n")
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    q = (streaming_transitions(stream, state_ttl_ms=10_000_000)
+         .writeStream.format("memory").queryName("trans")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql("select * from trans").collect():
+        got[(r.event_type, r.next_type)] = got.get((r.event_type, r.next_type), 0) + r.n
+    assert got == {("view", "click"): 2, ("click", "view"): 1,
+                   ("click", "purchase"): 1}
