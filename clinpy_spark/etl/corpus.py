@@ -64,3 +64,29 @@ def export_splits(
                          key_col=key_col, seed=seed)
     out = split_corpus(out, splits, key_col=key_col, seed=seed)
     catalog.write(out, name, partition_by=["split"])
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int | None = None,
+    shard_key: str = "doc_id",
+    compression: str | None = "gzip",
+) -> None:
+    """Emit the corpus as JSONL shards — the interchange format most
+    training loaders consume. Sharding is DETERMINISTIC: rows are
+    repartitioned by hash of ``shard_key`` into ``n_shards`` files, so
+    a rebuild (or a different cluster size) produces the same
+    row-to-shard assignment — resumable downloads and per-shard
+    checksums stay valid. Spark's native json writer streams
+    executor-side; nothing is collected."""
+    from pyspark.sql import functions as F
+
+    out = df
+    if n_shards:
+        out = df.repartition(n_shards, F.crc32(F.col(shard_key).cast("string")))
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -3391,6 +3391,61 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("text_clean_stats", """
+WITH aug AS (
+  SELECT source,
+         text || CASE WHEN doc_id % 5 = 0 THEN ' visit https://example.com/page now'
+                      WHEN doc_id % 7 = 0 THEN ' mail bob@example.org <b>bold</b> end'
+                      ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT source, t,
+         len(regexp_extract_all(t, 'https?://[^ ]+')) AS n_urls,
+         len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS n_emails,
+         len(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             'https?://[^ ]+', '', 'g'),
+             '[a-z0-9._%+-]+@[a-z0-9.-]+', '', 'g'),
+             '<[^>]+>', '', 'g') AS cleaned
+  FROM aug)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_urls) AS BIGINT) AS n_urls,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_tags) AS BIGINT) AS n_tags,
+       CAST(sum(length(t) - length(cleaned)) AS BIGINT) AS removed_chars
+FROM c GROUP BY source
+""")
+def text_clean_stats_q(spark, sf):
+    # Boilerplate/noise scrubbing stats (the html/url/email cleanup
+    # stage of web-corpus curation): counts and removed-char volume per
+    # source, over deterministically injected noise (the synthetic
+    # corpus is clean, so the injection — same expression in both
+    # engines — is what exercises the regex machinery). Pure
+    # regexp_extract_all / regexp_replace codegen, one agg.
+    docs = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" visit https://example.com/page now"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(" mail bob@example.org <b>bold</b> end"))
+        .otherwise(F.lit("")))
+    url, email, tag = r"https?://[^ ]+", r"[a-z0-9._%+-]+@[a-z0-9.-]+", r"<[^>]+>"
+    d = docs.select("source", aug.alias("t"))
+    cleaned = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.col("t"), url, ""), email, ""), tag, "")
+    return (d.select(
+                "source", "t",
+                F.size(F.regexp_extract_all("t", F.lit(url), F.lit(0))).alias("n_urls"),
+                F.size(F.regexp_extract_all("t", F.lit(email), F.lit(0))).alias("n_emails"),
+                F.size(F.regexp_extract_all("t", F.lit(tag), F.lit(0))).alias("n_tags"),
+                cleaned.alias("cleaned"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_urls").alias("n_urls"),
+                 F.sum("n_emails").alias("n_emails"),
+                 F.sum("n_tags").alias("n_tags"),
+                 F.sum(F.length("t") - F.length("cleaned")).alias("removed_chars")))
+
+
 @q("e_rolling_wau", """
 WITH ud AS (SELECT DISTINCT user_id,
                    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS d
@@ -5653,6 +5708,7 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "text_clean_stats",
     "e_rolling_wau",
     "e_funnel_latency",
     "text_lang_agreement",

@@ -3095,3 +3095,34 @@ def test_refresh_kmv_incremental_equals_full(spark, tmp_path):
            for r in kmv_distinct_estimate(cat.table("kmv"), k=64).collect()}
     assert est["b"] == 40.0          # under k -> exact
     assert abs(est["a"] - 450) / 450 < 0.5
+
+
+def test_export_jsonl_deterministic_shards(spark, tmp_path):
+    """JSONL export: n_shards gzip files, lossless round-trip, and the
+    row-to-shard assignment is stable across rebuilds (deterministic
+    hash sharding)."""
+    import glob
+
+    from clinpy_spark.etl.corpus import export_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(200)],
+        "doc_id long, text string, lang string")
+    p1, p2 = str(tmp_path / "x1"), str(tmp_path / "x2")
+    export_jsonl(df, p1, n_shards=4)
+    export_jsonl(df, p2, n_shards=4)
+
+    files1 = sorted(glob.glob(p1 + "/part-*.json.gz"))
+    assert len(files1) == 4
+    back = spark.read.json(p1)
+    assert back.count() == 200
+    assert {r.doc_id for r in back.select("doc_id").collect()} == set(range(200))
+
+    def shard_map(path):
+        m = {}
+        for i, f in enumerate(sorted(glob.glob(path + "/part-*.json.gz"))):
+            for r in spark.read.json(f).select("doc_id").collect():
+                m[r.doc_id] = i
+        return m
+
+    assert shard_map(p1) == shard_map(p2)
