@@ -816,3 +816,65 @@ def ppjoin_pairs(
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def minhash_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """CROSS-CORPUS fuzzy decontamination: training docs whose shingle
+    sets are near-duplicates of any benchmark doc — the paraphrase-
+    robust complement to exact-shingle / Bloom decontamination (a
+    lightly reworded eval question shares most shingles and few exact
+    5-grams). Returns (train_id, bench_id, jaccard) >= threshold.
+
+    Same signature -> banding -> verify pipeline as
+    :func:`minhash_near_duplicates`, but the band bucket join runs
+    BETWEEN the two corpora: candidate volume is bounded by bucket
+    collisions against the (small) benchmark side, so the training
+    corpus streams through without a self-join anywhere."""
+    train = ensure_min_parallelism(train)
+    bt = band_keys(minhash_signature(train, id_col, text_col, num_hashes,
+                                     shingle_n, portable=portable),
+                   id_col, num_hashes, bands, portable=portable).toDF(
+        "train_id", "band", "band_hash")
+    bb = band_keys(minhash_signature(bench, id_col, text_col, num_hashes,
+                                     shingle_n, portable=portable),
+                   id_col, num_hashes, bands, portable=portable).toDF(
+        "bench_id", "band", "band_hash")
+    candidates = (
+        bt.join(F.broadcast(bb), ["band", "band_hash"])
+        .select("train_id", "bench_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _shingle_sets(df: DataFrame, ids: DataFrame, out_id: str) -> DataFrame:
+        keep = df.join(ids.toDF(id_col), id_col, "left_semi")
+        if portable:
+            sh_col = F.array_distinct(shingles(text_col, shingle_n))
+            sel = keep.select(F.col(id_col).alias(out_id), sh_col.alias(f"sh_{out_id}"))
+        else:
+            sel = (keep.select(F.col(id_col), token_hashes(text_col).alias("__th"))
+                   .select(F.col(id_col).alias(out_id),
+                           F.array_distinct(hashed_shingles_from("__th", shingle_n))
+                           .alias(f"sh_{out_id}")))
+        return sel.localCheckpoint(eager=False)
+
+    sh_t = _shingle_sets(train, candidates.select("train_id"), "train_id")
+    sh_b = _shingle_sets(bench, candidates.select("bench_id"), "bench_id")
+    return (
+        candidates.join(sh_t, "train_id").join(sh_b, "bench_id")
+        .withColumn("jaccard",
+                    F.size(F.array_intersect("sh_train_id", "sh_bench_id"))
+                    / F.size(F.array_union("sh_train_id", "sh_bench_id")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("train_id", "bench_id", F.round("jaccard", 4).alias("jaccard"))
+    )

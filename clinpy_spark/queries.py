@@ -3004,6 +3004,91 @@ SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mj WHERE jac >= {threshold}
 """
 
 
+def _fuzzy_decon_oracle_sql(num_hashes: int = 64, bands: int = 16,
+                            threshold: float = 0.3) -> str:
+    """DuckDB twin of the CROSS-CORPUS portable minhash decontamination:
+    one signature table over all docs, band buckets joined train-side
+    (doc_id % 97 != 0) against benchmark-side (doc_id % 97 == 0), exact
+    string-shingle Jaccard verify on candidates."""
+    rpb = num_hashes // bands
+    hex60 = lambda expr: " + ".join(  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1) * {16 ** (14 - k)}"
+        for k in range(15)
+    )
+    mins = ",\n    ".join(
+        "MIN({}) AS h{}".format(hex60("s || '|%d'" % i), i)
+        for i in range(num_hashes)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(','"
+        + "".join(f", h{b * rpb + r}" for r in range(rpb))
+        + ")) AS bh FROM msigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- the benchmark side: lightly reworded copies of every 50th training
+  -- doc (planted leakage the exact-shingle pass would partially miss)
+  SELECT doc_id + 1000000 AS doc_id, text || ' held out eval suffix' AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+ptoks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM corpus
+),
+psh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN generate_series(1, len(tk) - 2)]
+    END) AS s
+  FROM ptoks
+),
+msigs AS (SELECT doc_id, {mins} FROM psh GROUP BY doc_id),
+banded AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+),
+msizes AS (SELECT doc_id, count(*) AS sz FROM psh GROUP BY doc_id),
+minter AS (
+  SELECT c.train_id, c.bench_id, count(*) AS i
+  FROM cands c JOIN psh x ON x.doc_id = c.train_id
+               JOIN psh y ON y.doc_id = c.bench_id AND y.s = x.s
+  GROUP BY 1, 2
+),
+mj AS (
+  SELECT train_id, bench_id, i::DOUBLE / (sa.sz + sb.sz - i) AS jac
+  FROM minter JOIN msizes sa ON sa.doc_id = minter.train_id
+              JOIN msizes sb ON sb.doc_id = minter.bench_id
+)
+SELECT train_id, bench_id, round(jac, 4) AS jaccard FROM mj WHERE jac >= {threshold}
+"""
+
+
+@q("text_fuzzy_decontaminate", _fuzzy_decon_oracle_sql())
+def text_fuzzy_decontaminate_q(spark, sf):
+    # Paraphrase-robust decontamination: training docs near-duplicating
+    # a benchmark doc (MinHash bands joined CROSS-corpus, benchmark side
+    # broadcast, exact-Jaccard verify on candidates) — catches reworded
+    # eval leakage that exact-shingle/Bloom decontamination misses. The
+    # benchmark here is a deterministic light rewording of every 50th
+    # training doc (planted leakage, same expression in both engines),
+    # so the flagged set is non-trivial. Portable hashing makes every
+    # stage (64 permutation minima, band buckets, verify) recomputable
+    # by the oracle.
+    from clinpy_spark.operators.dedup import minhash_decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = (docs.filter(F.col("doc_id") % 50 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" held out eval suffix")).alias("text")))
+    return minhash_decontaminate(docs, bench, threshold=0.3, portable=True)
+
+
 @q("dedup_minhash_portable", _minhash_oracle_sql())
 def dedup_minhash_portable_q(spark, sf):
     # The ENTIRE minhash pipeline — signature aggregate, LSH band
@@ -5708,6 +5793,7 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "text_fuzzy_decontaminate",
     "text_clean_stats",
     "e_rolling_wau",
     "e_funnel_latency",

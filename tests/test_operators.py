@@ -3126,3 +3126,21 @@ def test_export_jsonl_deterministic_shards(spark, tmp_path):
         return m
 
     assert shard_map(p1) == shard_map(p2)
+
+
+def test_minhash_decontaminate_cross_corpus(spark):
+    """Cross-corpus fuzzy decontamination: a reworded benchmark copy
+    flags its training source; unrelated train docs stay clean; the
+    fast (xxhash) and portable paths agree on the flagged pair set."""
+    from clinpy_spark.operators.dedup import minhash_decontaminate
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    train_rows = [(1, base), (2, " ".join(f"other{i}" for i in range(30)))]
+    bench_rows = [(100, base + " reworded tail bit")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    for portable in (False, True):
+        got = {(r.train_id, r.bench_id)
+               for r in minhash_decontaminate(train, bench, threshold=0.5,
+                                              portable=portable).collect()}
+        assert got == {(1, 100)}, f"portable={portable}"
