@@ -3476,6 +3476,115 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+def _pipeline_oracle() -> str:
+    from clinpy_spark.operators.curate import GOPHER_STOPWORDS
+
+    sl = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    ntok = ("len(string_split_regex(regexp_replace(lower(trim({c})), "
+            "'\\s+', ' ', 'g'), ' '))")
+    return rf"""
+WITH m AS (
+  SELECT doc_id, text,
+    {ntok.format(c='text')} AS nt,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws,
+    (length(text) - length(replace(text, '#', ''))
+       + 3 * len(regexp_extract_all(text, '\.\.\.'))) AS n_symbol,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        x -> list_contains([{sl}], x))) AS n_stop
+  FROM documents),
+g AS (
+  SELECT doc_id, text, nt FROM m
+  WHERE n_words >= 25 AND n_words <= 100000
+    AND n_nonws >= 4 * n_words AND n_nonws <= 9 * n_words
+    AND 10 * n_symbol < n_words AND n_stop >= 2),
+d AS (
+  SELECT doc_id, text, nt FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rk
+    FROM g) WHERE rk = 1),
+words AS (
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM d),
+pos AS (SELECT doc_id, w, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos FROM words),
+ch AS (SELECT doc_id, pos, array_to_string(w[(pos*10+1):(pos*10+10)], ' ') AS chunk FROM pos),
+rkc AS (SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
+        FROM ch),
+clean AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN rk = 1 THEN len(string_split(chunk, ' ')) END), 0) AS cnt
+  FROM rkc GROUP BY doc_id),
+surv AS (SELECT doc_id, cnt FROM clean WHERE cnt > 0),
+packed AS (
+  SELECT CAST(floor((sum(cnt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - cnt)
+              / 512.0) AS BIGINT) AS chunk_id, cnt
+  FROM surv)
+SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens FROM m
+UNION ALL SELECT 'b_gophered', count(*), CAST(sum(nt) AS BIGINT) FROM g
+UNION ALL SELECT 'c_exact_dedup', count(*), CAST(sum(nt) AS BIGINT) FROM d
+UNION ALL SELECT 'd_passage_dedup', count(*), CAST(sum(cnt) AS BIGINT) FROM surv
+UNION ALL SELECT 'e_packed_512', count(DISTINCT chunk_id), CAST(sum(cnt) AS BIGINT) FROM packed
+"""
+
+
+@q("pipeline_curation_stats", _pipeline_oracle())
+def pipeline_curation_stats_q(spark, sf):
+    # END-TO-END curation pipeline in ONE declarative plan: Gopher
+    # quality gates -> keep-first exact dedup -> corpus-global passage
+    # dedup -> 512-token packing, with (stage, n_docs, n_tokens)
+    # emitted at every stage. Every stage is an already-oracled
+    # operator; this composes them and hash-checks the whole funnel —
+    # the "can a user run their real pipeline on this" witness.
+    from clinpy_spark.functions.text import fingerprint, norm_tokens
+    from clinpy_spark.operators.curate import gopher_gates, gopher_metrics
+    from clinpy_spark.operators.dedup import passage_dedup
+    from clinpy_spark.session import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(_t(spark, sf, "documents"))
+    nt = F.size(norm_tokens("text"))
+
+    def stage(df, name, tok_col):
+        return df.agg(F.lit(name).alias("stage"),
+                      F.count("*").alias("n_docs"),
+                      F.sum(tok_col).cast("long").alias("n_tokens"))
+
+    m = gopher_metrics(docs).withColumn("__nt", nt)
+    fails = None
+    for _, cond in gopher_gates():
+        fails = cond if fails is None else (fails | cond)
+    g = m.filter(~fails).select("doc_id", "text", "__nt").localCheckpoint(eager=False)
+
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    d = (g.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1)
+         .select("doc_id", "text", "__nt").localCheckpoint(eager=False))
+
+    p = passage_dedup(d.select("doc_id", "text"), chunk_words=10)
+    cleaned_nt = F.when(F.col("clean_text") == "", F.lit(0)) \
+        .otherwise(F.size(norm_tokens("clean_text")))
+    surv = (p.select("doc_id", cleaned_nt.alias("__cnt"))
+            .filter(F.col("__cnt") > 0).localCheckpoint(eager=False))
+
+    pw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = surv.select(
+        F.floor((F.sum("__cnt").over(pw) - F.col("__cnt")) / 512.0).alias("__chunk"),
+        "__cnt")
+
+    return (
+        stage(docs.select(nt.alias("__nt")), "a_raw", "__nt")
+        .unionByName(stage(g, "b_gophered", "__nt"))
+        .unionByName(stage(d, "c_exact_dedup", "__nt"))
+        .unionByName(stage(surv, "d_passage_dedup", "__cnt"))
+        .unionByName(packed.agg(
+            F.lit("e_packed_512").alias("stage"),
+            F.countDistinct("__chunk").alias("n_docs"),
+            F.sum("__cnt").cast("long").alias("n_tokens")))
+    )
+
+
 @q("text_clean_stats", """
 WITH aug AS (
   SELECT source,
@@ -5793,6 +5902,7 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "pipeline_curation_stats",
     "text_fuzzy_decontaminate",
     "text_clean_stats",
     "e_rolling_wau",
