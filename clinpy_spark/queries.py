@@ -3476,6 +3476,99 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("text_readability", """
+WITH m AS (
+  SELECT source,
+         greatest(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), 1) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syl
+  FROM documents),
+f AS (SELECT source,
+             206.835 - 1.015 * (CAST(w AS DOUBLE) / s) - 84.6 * (CAST(syl AS DOUBLE) / w) AS flesch
+      FROM m)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(flesch), 4) AS mean_flesch,
+       CAST(sum(CASE WHEN flesch < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unreadable
+FROM f GROUP BY source
+""")
+def text_readability_q(spark, sf):
+    # Flesch-style readability per source: vowel-group syllable proxy,
+    # [.!?]+ sentence runs — the readability band filter of classic
+    # web-corpus curation, pure regex codegen, one agg.
+    docs = _t(spark, sf, "documents")
+    w = F.greatest(F.size(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")), F.lit(1))
+    s = F.greatest(F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))), F.lit(1))
+    syl = F.greatest(F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))), F.lit(1))
+    flesch = (F.lit(206.835) - F.lit(1.015) * (w.cast("double") / s)
+              - F.lit(84.6) * (syl.cast("double") / w))
+    return (docs.select("source", flesch.alias("flesch"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("flesch"), 4).alias("mean_flesch"),
+                 F.sum((F.col("flesch") < 0).cast("long")).alias("n_unreadable")))
+
+
+@q("dedup_template_fp", """
+WITH fp AS (
+  SELECT source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS exact_fp,
+         md5(regexp_replace(regexp_replace(lower(trim(text)), '[0-9]+', '0', 'g'), '\\s+', ' ', 'g')) AS tmpl_fp
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT exact_fp) AS BIGINT) AS n_exact_unique,
+       CAST(count(DISTINCT tmpl_fp) AS BIGINT) AS n_template_unique
+FROM fp GROUP BY source
+""")
+def dedup_template_fp_q(spark, sf):
+    # Template/boilerplate detection: a digit-normalized fingerprint
+    # collapses docs that differ only in numbers (ids, dates, prices) —
+    # n_exact_unique - n_template_unique counts the near-boilerplate
+    # exact dedup misses. Pure fingerprint groupBy, linear.
+    docs = _t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tmpl = F.regexp_replace(F.regexp_replace(F.lower(F.trim(F.col("text"))), "[0-9]+", "0"), r"\s+", " ")
+    return (docs.select("source", F.md5(norm).alias("e"), F.md5(tmpl).alias("t"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("e").alias("n_exact_unique"),
+                 F.countDistinct("t").alias("n_template_unique")))
+
+
+@q("e_seasonal_anomalies", """
+WITH h AS (
+  SELECT event_type, CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) % 86400 / 3600) AS BIGINT) AS hod, value
+  FROM events),
+base AS (
+  SELECT event_type, hod, avg(value) AS mu,
+         CASE WHEN count(*) > 1 THEN stddev_samp(value) ELSE NULL END AS sigma,
+         count(*) AS n
+  FROM h GROUP BY 1, 2)
+SELECT h.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN sigma IS NOT NULL AND sigma > 0
+                      AND abs(value - mu) > 3 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM h JOIN base USING (event_type, hod)
+GROUP BY h.event_type
+""")
+def e_seasonal_anomalies_q(spark, sf):
+    # Seasonal-baseline anomaly gate: per (type, hour-of-day) mean and
+    # sample stddev; a reading 3 sigma off ITS OWN hour's baseline is
+    # anomalous (catches what a global threshold misses when load has
+    # daily shape). Baseline agg on the tiny (type, hod) key, broadcast
+    # back.
+    ev = _t(spark, sf, "events")
+    hod = F.floor((epoch_seconds("ts") % 86400) / 3600)
+    h = ev.select("event_type", hod.alias("hod"), "value")
+    base = h.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("mu"),
+        F.when(F.count("*") > 1, F.stddev_samp("value")).alias("sigma"))
+    return (h.join(F.broadcast(base), ["event_type", "hod"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum((F.col("sigma").isNotNull() & (F.col("sigma") > 0)
+                        & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")))
+                       .cast("long")).alias("n_anomalies")))
+
+
 def _pipeline_oracle() -> str:
     from clinpy_spark.operators.curate import GOPHER_STOPWORDS
 
@@ -5902,6 +5995,9 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "text_readability",
+    "dedup_template_fp",
+    "e_seasonal_anomalies",
     "pipeline_curation_stats",
     "text_fuzzy_decontaminate",
     "text_clean_stats",
