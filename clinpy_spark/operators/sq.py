@@ -154,3 +154,60 @@ def sq8_topk_rerank(
     codes = sq8_encode(corpus, lo, scale, id_col, vec_col)
     sl = sq8_topk(queries, codes, lo, scale, shortlist, id_col, vec_col, max_queries)
     return exact_rerank(sl, queries, corpus, k, id_col, vec_col)
+
+
+def build_sq8_index(
+    catalog,
+    corpus: DataFrame,
+    name: str = "sq8_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Persist the SQ8 index through the catalog: per-dim (lo, scale)
+    bounds as ``{name}_bounds`` (one row per dimension) and the byte
+    codes as ``{name}_codes``. Searches then scan the 4-8x-smaller code
+    table only; the raw vectors never load (fetch them separately for
+    an exact re-rank). Mirrors build_pq_index (pq.py:343)."""
+    lo, scale = fit_sq8(corpus, vec_col)
+    spark = corpus.sparkSession
+    catalog.write(
+        spark.createDataFrame(
+            [(d, float(lo[d]), float(scale[d])) for d in range(len(lo))],
+            "d int, lo double, scale double"),
+        f"{name}_bounds")
+    catalog.write(sq8_encode(corpus, lo, scale, id_col, vec_col), f"{name}_codes")
+    return lo, scale
+
+
+def load_sq8_bounds(catalog, name: str = "sq8_index") -> tuple[np.ndarray, np.ndarray]:
+    """(lo, scale) back from the persisted bounds table."""
+    rows = catalog.table(f"{name}_bounds").collect()
+    dim = max(r["d"] for r in rows) + 1
+    lo = np.zeros(dim)
+    scale = np.ones(dim)
+    for r in rows:
+        lo[r["d"]], scale[r["d"]] = float(r["lo"]), float(r["scale"])
+    return lo, scale
+
+
+def sq8_index_topk(
+    catalog,
+    queries: DataFrame,
+    k: int = 5,
+    name: str = "sq8_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_corpus: DataFrame | None = None,
+    shortlist: int = 50,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Search the persisted SQ8 index without refitting or re-encoding:
+    read bounds + codes, GEMM scan, optional exact re-rank against
+    ``rerank_corpus`` (the only step that touches raw vectors, pruned
+    to |Q| x shortlist rows)."""
+    lo, scale = load_sq8_bounds(catalog, name)
+    codes = catalog.table(f"{name}_codes")
+    if rerank_corpus is None:
+        return sq8_topk(queries, codes, lo, scale, k, id_col, vec_col, max_queries)
+    sl = sq8_topk(queries, codes, lo, scale, shortlist, id_col, vec_col, max_queries)
+    return exact_rerank(sl, queries, rerank_corpus, k, id_col, vec_col)

@@ -3144,3 +3144,30 @@ def test_minhash_decontaminate_cross_corpus(spark):
                for r in minhash_decontaminate(train, bench, threshold=0.5,
                                               portable=portable).collect()}
         assert got == {(1, 100)}, f"portable={portable}"
+
+
+def test_sq8_persisted_index_matches_transient(spark, tmp_path):
+    """Persisted SQ8: bounds+codes round-trip through the catalog and
+    the index search (with re-rank) equals the transient operator's
+    answer exactly."""
+    import numpy as np
+
+    from clinpy_spark.operators.sq import (
+        build_sq8_index, sq8_index_topk, sq8_topk_rerank,
+    )
+    from clinpy_spark.session import ProjectCatalog
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(120, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>")
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    build_sq8_index(cat, df)
+    qs = df.filter(F.col("vec_id") < 4)
+    got = {(r.query_id, r.match_id)
+           for r in sq8_index_topk(cat, qs, k=5, rerank_corpus=df,
+                                   shortlist=40).collect()}
+    exp = {(r.query_id, r.match_id)
+           for r in sq8_topk_rerank(qs, df, k=5, shortlist=40).collect()}
+    assert got == exp and len({q for q, _ in got}) == 4
