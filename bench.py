@@ -57,6 +57,11 @@ TIER2 = [
     "sim_topk_ivfpq",
     "text_bm25",
     "mm_extract_features",
+    # round-9 flagships: exact similarity join, cross-corpus fuzzy
+    # decontamination, and the end-to-end curation funnel
+    "dedup_ppjoin_pairs",
+    "text_fuzzy_decontaminate",
+    "pipeline_curation_stats",
 ]
 
 
