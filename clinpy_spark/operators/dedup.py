@@ -762,8 +762,11 @@ def ppjoin_pairs(
     exact array intersection. Three shuffles (freq, prefix bucket,
     doc re-group) — never an n^2 cross join.
     """
-    import math
-
+    # Shingle identity travels as xxhash64 longs over the STRING word
+    # n-grams (A/B-measured 2.5x faster here than the token-hash
+    # construction minhash uses — this shape explodes the shingles
+    # immediately, so the per-row array never amortizes the extra
+    # hashing pass that pays off in minhash's 64-min aggregate).
     sets = (
         ensure_min_parallelism(df).select(
             F.col(id_col).alias("__id"),
@@ -787,6 +790,10 @@ def ppjoin_pairs(
                     (F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1)
                     .cast("int")),
         )
+        # referenced FOUR times below (both prefix legs + both set
+        # fetches) — materialize once or Catalyst recomputes the whole
+        # freq-join + regroup subtree per reference
+        .localCheckpoint(eager=False)
     )
     # Candidate pairs carry ONLY ids through the prefix-bucket join —
     # the shingle arrays would otherwise be replicated once per shared
