@@ -14,7 +14,7 @@ Both are semantically transparent: results equal the unsalted versions
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -161,3 +161,43 @@ def bloom_pruned_join(
             F.broadcast(bits.withColumnRenamed("bit", bcol)), bcol, "left_semi")
     pruned = pruned.drop(*[f"__bloom_b{j}" for j in range(depth)])
     return pruned.join(right, on, how)
+
+
+def two_phase_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    tie_col: str,
+    num_salts: int = 16,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-``k`` rows per group without concentrating a hot group on one
+    reducer: phase 1 ranks within (keys..., salt) partitions — a whale
+    group's rows spread over ``num_salts`` reducers and each keeps only
+    its local top-k — phase 2 ranks the <= num_salts * k survivors per
+    group. Output equals the plain single-window top-k (the
+    transparency contract the oracle checks); ``tie_col`` must make the
+    ordering total or neither form is deterministic.
+
+    This is the missing member of the skew family next to salted_join
+    and two_phase_count_distinct: a plain
+    ``row_number() OVER (PARTITION BY keys ORDER BY ...)`` sorts the
+    ENTIRE hot group in one task at 100 TB; here no task ever sees more
+    than its salt-shard of the group."""
+    oc = F.desc(order_col) if descending else F.asc(order_col)
+    order = [oc, F.asc(tie_col)]
+    salt = (F.xxhash64(F.col(tie_col)) % num_salts).cast("int")
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("__salt")
+    )

@@ -3476,6 +3476,29 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("o8_two_phase_topk", """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+""")
+def o8_two_phase_topk_q(spark, sf):
+    # Skew-safe grouped top-k (operators/skew.py two_phase_topk):
+    # phase 1 keeps each (group, salt) shard's local top-k, phase 2
+    # ranks the <= salts*k survivors — no task ever sorts a whole whale
+    # group. Oracle = the PLAIN single-window top-k: transparency
+    # hash-proven. Completes the skew family next to salted_join and
+    # two_phase_count_distinct.
+    from clinpy_spark.operators.skew import two_phase_topk
+
+    out = two_phase_topk(_t(spark, sf, "orders"), ["o_custkey"],
+                         "o_totalprice", k=3, tie_col="o_orderkey")
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
 @q("text_readability", """
 WITH m AS (
   SELECT source,
@@ -5995,6 +6018,7 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "o8_two_phase_topk",
     "text_readability",
     "dedup_template_fp",
     "e_seasonal_anomalies",

@@ -3171,3 +3171,24 @@ def test_sq8_persisted_index_matches_transient(spark, tmp_path):
     exp = {(r.query_id, r.match_id)
            for r in sq8_topk_rerank(qs, df, k=5, shortlist=40).collect()}
     assert got == exp and len({q for q, _ in got}) == 4
+
+
+def test_two_phase_topk_equals_plain_window(spark):
+    """Skew-safe grouped top-k equals the plain single-window form on a
+    whale group (one group holds 90% of rows), including ranks, for
+    several salt counts."""
+    from pyspark.sql import Window
+
+    from clinpy_spark.operators.skew import two_phase_topk
+
+    rows = [(0, i, float((i * 37) % 1000)) for i in range(900)]
+    rows += [(g, 1000 + g * 10 + j, float(j)) for g in range(1, 5) for j in range(8)]
+    df = spark.createDataFrame(rows, "grp long, id long, v double")
+    w = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("id"))
+    exp = {(r.grp, r.id, r.rank) for r in
+           df.withColumn("rank", F.row_number().over(w)).filter("rank <= 5").collect()}
+    for salts in (2, 16):
+        got = {(r.grp, r.id, r.rank) for r in
+               two_phase_topk(df, ["grp"], "v", k=5, tie_col="id",
+                              num_salts=salts).collect()}
+        assert got == exp, f"salts={salts}"
