@@ -774,7 +774,10 @@ def ppjoin_pairs(
                         lambda x: F.xxhash64(x)).alias("__sh"),
         )
     )
-    toks = sets.select("__id", F.explode("__sh").alias("__t"))
+    # materialize the exploded shingles once: both the frequency pass
+    # and the ordered-regroup join consume them, and the interpreted
+    # HOF shingling is the plan's single most expensive expression
+    toks = sets.select("__id", F.explode("__sh").alias("__t")).localCheckpoint(eager=False)
     freq = toks.groupBy("__t").agg(F.count("*").alias("__f"))
     # re-group each doc's tokens ordered by (global rarity, hash)
     ordered = (

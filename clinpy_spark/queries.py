@@ -3989,7 +3989,7 @@ jpairs AS (
   SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jac
   FROM shinter JOIN shsizes sa ON sa.doc_id = id_a
                JOIN shsizes sb ON sb.doc_id = id_b
-  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3)
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.4)
 SELECT id_a, id_b, round(jac, 4) AS jaccard FROM jpairs
 """)
 def dedup_ppjoin_pairs_q(spark, sf):
@@ -4002,7 +4002,7 @@ def dedup_ppjoin_pairs_q(spark, sf):
     # on this corpus.
     from clinpy_spark.operators.dedup import ppjoin_pairs
 
-    return ppjoin_pairs(_t(spark, sf, "documents"), threshold=0.3)
+    return ppjoin_pairs(_t(spark, sf, "documents"), threshold=0.4)
 
 
 @q("a16_market_basket", """
