@@ -3476,6 +3476,51 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("e_ab_welch", """
+WITH armed AS (
+  SELECT event_type, value,
+         CASE WHEN substr(md5(user_id || ':ab7'), 1, 8) < '80000000'
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events),
+s AS (
+  SELECT event_type,
+         count(*) FILTER (arm = 'A') AS na, count(*) FILTER (arm = 'B') AS nb,
+         avg(value) FILTER (arm = 'A') AS ma, avg(value) FILTER (arm = 'B') AS mb,
+         var_samp(value) FILTER (arm = 'A') AS va, var_samp(value) FILTER (arm = 'B') AS vb
+  FROM armed GROUP BY 1)
+SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma - mb, 6) AS mean_diff,
+       round((ma - mb) / sqrt(va / na + vb / nb), 4) AS welch_t
+FROM s
+""")
+def e_ab_welch_q(spark, sf):
+    # A/B experiment readout: deterministic hash split of users into
+    # arms (the same portable md5 coordinate as the samplers, so the
+    # assignment is auditable), Welch's t statistic per event type from
+    # one aggregation pass — the experimentation primitive next to the
+    # bootstrap CI (s19).
+    from clinpy_spark.operators.sample import sample_hash
+
+    ev = _t(spark, sf, "events")
+    arm = F.when(sample_hash(F.col("user_id").cast("string"), seed="ab7") < "80000000",
+                 "A").otherwise("B")
+    armed = ev.select("event_type", "value", arm.alias("arm"))
+    isa, isb = F.col("arm") == "A", F.col("arm") == "B"
+    s = armed.groupBy("event_type").agg(
+        F.count(F.when(isa, 1)).alias("n_a"),
+        F.count(F.when(isb, 1)).alias("n_b"),
+        F.avg(F.when(isa, F.col("value"))).alias("ma"),
+        F.avg(F.when(isb, F.col("value"))).alias("mb"),
+        F.var_samp(F.when(isa, F.col("value"))).alias("va"),
+        F.var_samp(F.when(isb, F.col("value"))).alias("vb"))
+    return s.select(
+        "event_type", "n_a", "n_b",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb"))
+                / F.sqrt(F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")), 4)
+        .alias("welch_t"))
+
+
 @q("o8_two_phase_topk", """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -6018,6 +6063,7 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "e_ab_welch",
     "o8_two_phase_topk",
     "text_readability",
     "dedup_template_fp",
