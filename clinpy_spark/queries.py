@@ -3476,6 +3476,65 @@ def sim_recall_sq8_q(spark, sf):
     )
 
 
+@q("a18_grouping_sets", """
+SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS agg_priority,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS agg_status
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""")
+def a18_grouping_sets_q(spark, sf):
+    # GROUPING SETS — the third member of the multi-dimensional agg
+    # family next to a8_rollup / a8c_cube: per-priority totals,
+    # per-status totals, and the grand total in ONE pass (Spark expands
+    # to a single Expand + hash agg, not three scans). The agg_* marker
+    # columns disambiguate "aggregated" NULLs for the hash compare.
+    o = _t(spark, sf, "orders")
+    g = o.groupingSets(
+        [[F.col("o_orderpriority")], [F.col("o_orderstatus")], []],
+        F.col("o_orderpriority"), F.col("o_orderstatus"))
+    return g.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("agg_priority"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("agg_status"))
+
+
+@q("e_pareto_concentration", """
+WITH u AS (SELECT user_id, sum(value) AS tot FROM events
+           WHERE event_type = 'purchase' GROUP BY 1),
+r AS (SELECT user_id, tot,
+             sum(tot) OVER (ORDER BY tot DESC, user_id) AS cum,
+             sum(tot) OVER () AS grand,
+             row_number() OVER (ORDER BY tot DESC, user_id) AS rk,
+             count(*) OVER () AS n_users
+      FROM u)
+SELECT CAST(min(rk) FILTER (cum >= 0.5 * grand) AS BIGINT) AS users_for_50pct,
+       CAST(min(rk) FILTER (cum >= 0.8 * grand) AS BIGINT) AS users_for_80pct,
+       CAST(min(n_users) AS BIGINT) AS n_users,
+       round(min(grand), 2) AS total_value
+FROM r
+""")
+def e_pareto_concentration_q(spark, sf):
+    # Pareto/concentration readout: how many top purchasers cover 50% /
+    # 80% of purchase value (cumulative share over the ranked user
+    # totals). The user-total table is small after the first groupBy,
+    # so the global rank window is bounded by |users|, not events.
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    u = ev.groupBy("user_id").agg(F.sum("value").alias("tot"))
+    w = Window.orderBy(F.desc("tot"), F.asc("user_id"))
+    r = u.select(
+        "tot",
+        F.sum("tot").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("rk"),
+    ).crossJoin(F.broadcast(u.agg(F.sum("tot").alias("grand"),
+                                  F.count("*").alias("n_users"))))
+    return r.agg(
+        F.min(F.when(F.col("cum") >= 0.5 * F.col("grand"), F.col("rk"))).alias("users_for_50pct"),
+        F.min(F.when(F.col("cum") >= 0.8 * F.col("grand"), F.col("rk"))).alias("users_for_80pct"),
+        F.min("n_users").alias("n_users"),
+        F.round(F.min("grand"), 2).alias("total_value"))
+
+
 @q("e_ab_welch", """
 WITH armed AS (
   SELECT event_type, value,
@@ -6063,6 +6122,8 @@ def v_gt_structural_q(spark, sf):
 _PRIORITY: list[str] = [
     # -- round-9 head: queries NEW this round need their first driver
     # record --
+    "a18_grouping_sets",
+    "e_pareto_concentration",
     "e_ab_welch",
     "o8_two_phase_topk",
     "text_readability",
