@@ -76,6 +76,8 @@ EXPECTED_UNBOUNDED = {
     "a16_market_basket",  # crossJoin vs the 1-row basket-count constant
     "text_kmv_overlap",  # two k-length single-row sketches crossJoined —
                          # the entire pair space is ONE row of array math
+    "e_pareto_concentration",  # crossJoin vs the ONE-ROW (grand, n_users)
+                               # aggregate of the small user-total table
 }
 
 
