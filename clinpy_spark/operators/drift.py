@@ -1,0 +1,172 @@
+"""Distribution-drift detection between two corpus snapshots — the
+monitoring stage a 100 TB training-data pipeline runs before accepting
+a new crawl/batch into the mixture: has the numeric metric distribution
+moved (PSI, KS), has the categorical mix moved (chi-square)?
+
+All three statistics are computed EXACTLY and deterministically so an
+external SQL oracle can recompute them bit-for-bit (after the repo-wide
+round-6 convention for transcendental-touched doubles):
+
+- ``psi_table``: Population Stability Index over quantile bins of the
+  REFERENCE side (the standard credit-scoring monitoring statistic).
+  Bin edges are exact interpolated percentiles; fractions are
+  Laplace-smoothed by +0.5 per bin so empty bins stay finite and the
+  formula stays engine-portable (no epsilon clamps).
+- ``ks_two_sample``: exact two-sample Kolmogorov-Smirnov D —
+  max |ECDF_a - ECDF_b| over the pooled distinct values.
+- ``chi2_drift``: Pearson chi-square over a (side x category)
+  contingency table.
+
+Scale shape: PSI is two aggregation passes (one percentile agg on the
+reference — a single ~10-double row broadcast back — and one per-bin
+count per side); nothing is collected to the driver. KS aggregates to
+per-distinct-value counts FIRST, so the ordered cumulative window runs
+over |distinct values| rows, not the corpus; for an unbounded-domain
+metric at 100 TB pass ``quantize`` to round values first (the standard
+KS-on-binned-data compromise, stated in the output). Chi-square is one
+groupBy over (side, category) plus broadcast joins of the two marginal
+totals. Every join here is a broadcast of a tiny aggregate row —
+no large-large shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantile_edges(ref: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """1-row DataFrame with ``__edges``: the exact interpolated
+    (i/n_bins)-percentiles of ``ref.col`` for i in 1..n_bins-1."""
+    return ref.agg(
+        F.percentile(
+            F.col(col), F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+        ).alias("__edges")
+    )
+
+
+def bin_by_edges(df: DataFrame, col: str, edges: DataFrame) -> DataFrame:
+    """Add ``__bin`` — the number of edges strictly below ``col``
+    (ties land in the lower bin), via a broadcast of the 1-row edge
+    array; no per-row join key, no shuffle."""
+    return df.crossJoin(F.broadcast(edges)).withColumn(
+        "__bin",
+        F.aggregate(
+            "__edges",
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col(col) > e, 1).otherwise(0),
+        ),
+    )
+
+
+def psi_table(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin PSI detail: (bin, ref_n, cur_n, ref_frac, cur_frac,
+    psi_contrib), one row per reference-decile bin, ordered by bin.
+    Total PSI = sum(psi_contrib); > 0.25 is the conventional
+    "significant shift" flag. Fractions and contributions are rounded
+    to 6 decimals (repo convention for ln-touched doubles)."""
+    edges = quantile_edges(ref, col, n_bins)
+    sides = []
+    for tag, df in (("ref", ref), ("cur", cur)):
+        sides.append(
+            bin_by_edges(df.select(F.col(col)), col, edges)
+            .groupBy("__bin")
+            .agg(F.count(F.lit(1)).alias(f"{tag}_n"))
+        )
+    spine = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("__bin"))
+    joined = (
+        spine.join(F.broadcast(sides[0]), "__bin", "left")
+        .join(F.broadcast(sides[1]), "__bin", "left")
+        .na.fill({"ref_n": 0, "cur_n": 0})
+    )
+    tot = joined.agg(
+        F.sum("ref_n").alias("__tr"), F.sum("cur_n").alias("__tc"))
+    out = joined.crossJoin(F.broadcast(tot))
+    rf = (F.col("ref_n") + 0.5) / (F.col("__tr") + 0.5 * n_bins)
+    cf = (F.col("cur_n") + 0.5) / (F.col("__tc") + 0.5 * n_bins)
+    return (
+        out.select(
+            F.col("__bin").alias("bin"),
+            "ref_n",
+            "cur_n",
+            F.round(rf, 6).alias("ref_frac"),
+            F.round(cf, 6).alias("cur_frac"),
+            F.round((cf - rf) * F.log(cf / rf), 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Exact two-sample KS statistic: 1 row (ks_d, n_a, n_b).
+
+    ``quantize`` rounds values to that many decimals first — the scale
+    path when the metric's distinct-value count is unbounded (KS over
+    the quantized values is the exact KS of the rounded distribution).
+    The cumulative window runs over the per-distinct-value aggregate,
+    not the raw rows."""
+    val = F.round(F.col(col), quantize) if quantize is not None else F.col(col)
+    tagged = a.select(val.alias("__v"), F.lit(1).alias("__ca"), F.lit(0).alias("__cb")).unionAll(
+        b.select(val.alias("__v"), F.lit(0).alias("__ca"), F.lit(1).alias("__cb"))
+    )
+    per_val = tagged.groupBy("__v").agg(
+        F.sum("__ca").alias("na"), F.sum("__cb").alias("nb"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_val.agg(F.sum("na").alias("__ta"), F.sum("nb").alias("__tb"))
+    cum = (
+        per_val.withColumn("__cuma", F.sum("na").over(w))
+        .withColumn("__cumb", F.sum("nb").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    d = F.abs(
+        F.col("__cuma").cast("double") / F.col("__ta")
+        - F.col("__cumb").cast("double") / F.col("__tb")
+    )
+    return cum.agg(
+        F.round(F.max(d), 6).alias("ks_d"),
+        F.max("__ta").alias("n_a"),
+        F.max("__tb").alias("n_b"),
+    )
+
+
+def chi2_drift(
+    df: DataFrame,
+    side_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Pearson chi-square of the (side x category) contingency table:
+    1 row (chi2, dof, n). Null sides/categories are their own level
+    (coalesced to '␀')."""
+    base = df.select(
+        F.coalesce(F.col(side_col).cast("string"), F.lit("␀")).alias("__s"),
+        F.coalesce(F.col(cat_col).cast("string"), F.lit("␀")).alias("__c"),
+    )
+    cells = base.groupBy("__s", "__c").agg(F.count(F.lit(1)).alias("o"))
+    row_tot = cells.groupBy("__s").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("__c").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("nn"))
+    full = (
+        row_tot.crossJoin(col_tot)
+        .join(cells, ["__s", "__c"], "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rt") * F.col("ct") / F.col("nn")
+    chi = F.sum((F.col("o") - e) * (F.col("o") - e) / e)
+    return full.agg(
+        F.round(chi, 6).alias("chi2"),
+        ((F.countDistinct("__s") - 1) * (F.countDistinct("__c") - 1))
+        .cast("int").alias("dof"),
+        F.max("nn").alias("n"),
+    )

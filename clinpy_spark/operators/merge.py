@@ -157,17 +157,22 @@ def snapshot_diff(
     val_cols = [c for c in old.columns if c not in keys]
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in keys],
-        *[F.col(c).alias(f"__o_{c}") for c in val_cols])
+        *[F.col(c).alias(f"__o_{c}") for c in val_cols],
+        F.lit(True).alias("__o_present"))
     nw = new.select(
         *[F.col(k).alias(f"__kn_{k}") for k in keys],
-        *[F.col(c).alias(f"__n_{c}") for c in val_cols])
+        *[F.col(c).alias(f"__n_{c}") for c in val_cols],
+        F.lit(True).alias("__n_present"))
     cond = None
     for k in keys:
-        e = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        # eqNullSafe so a NULL key component matches itself across snapshots
+        # (plain == would emit a spurious delete+insert pair); presence is
+        # tracked by literal markers, not key nullability.
+        e = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
         cond = e if cond is None else cond & e
     j = o.join(nw, cond, "full_outer")
-    in_old = F.col(f"__ko_{keys[0]}").isNotNull()
-    in_new = F.col(f"__kn_{keys[0]}").isNotNull()
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     diffs = F.array_sort(F.filter(
         F.array(*[
             F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c))

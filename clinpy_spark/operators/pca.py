@@ -112,9 +112,12 @@ def pca_project(
             z = (x - mean[None, :]) @ components.T * scale[None, :]
             yield pd.DataFrame({"__id": pdf["__id"], "__z": list(z)})
 
+    # Derive the id field's type from the input schema — hardcoding `long`
+    # broke string/int doc-id columns at runtime.
+    id_type = df.schema[id_col].dataType.simpleString()
     return (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .mapInPandas(proj, "__id long, __z array<double>")
+        .mapInPandas(proj, f"__id {id_type}, __z array<double>")
         .select(F.col("__id").alias(id_col), F.col("__z").alias(out_col))
     )
 

@@ -154,15 +154,21 @@ def bloom_probe(
     bits: DataFrame,
     n_bits: int = 65_536,
     k: int = 4,
+    assume_distinct: bool = False,
 ) -> DataFrame:
-    """Membership probe: one row per input (``key_cols`` + ``col``) with
-    ``bloom_maybe`` — true iff ALL ``k`` bit positions are set (Bloom
-    semantics: no false negatives, false positives at the classic
-    (1-e^{-kn/m})^k rate). The probe is ``k`` BROADCAST left joins, one
-    per hash function — zero shuffle, zero explode, no regroup (the
-    prior explode + groupBy shuffled every probe row; at corpus scale
-    that shuffle WAS the query cost)."""
+    """Membership probe: one row per DISTINCT (``key_cols`` + ``col``)
+    group with ``bloom_maybe`` — true iff ALL ``k`` bit positions are
+    set (Bloom semantics: no false negatives, false positives at the
+    classic (1-e^{-kn/m})^k rate). The probe is ``k`` BROADCAST left
+    joins, one per hash function — zero explode, no regroup. The only
+    shuffle is the ``distinct`` that upholds the one-row-per-group
+    contract (callers counting hits would otherwise double-count
+    duplicate probe rows); pass ``assume_distinct=True`` when the input
+    is already distinct on (key_cols, col) to skip it and make the
+    probe fully shuffle-free."""
     out = pairs.select(*key_cols, col)
+    if not assume_distinct:
+        out = out.distinct()
     for j in range(k):
         bcol = f"__bp{j}"
         marked = bits.select(F.col("bit").alias(bcol),

@@ -5777,7 +5777,8 @@ def text_bloom_decontaminate_q(spark, sf):
     bits = bloom_bits(bench, "s")
     train = (docs.filter(F.col("doc_id") % 97 != 0)
              .select("doc_id", F.explode("__sh").alias("s")))
-    flagged = bloom_probe(train, ["doc_id"], "s", bits)
+    # (doc_id, s) is distinct by construction (explode of array_distinct)
+    flagged = bloom_probe(train, ["doc_id"], "s", bits, assume_distinct=True)
     return (
         flagged.groupBy("doc_id")
         .agg(

@@ -223,7 +223,8 @@ def streaming_funnel(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{user_col} long, furthest_step integer, reached_ts double"
+    user_type = stream.schema[user_col].dataType.simpleString()
+    out_schema = f"{user_col} {user_type}, furthest_step integer, reached_ts double"
     state_schema = "step integer, last_ts double"
 
     def update(key, pdfs, state: GroupState):
@@ -232,17 +233,24 @@ def streaming_funnel(
             return
         step, last = state.get if state.exists else (0, 0.0)
         advanced = False
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            for _, row in pdf.sort_values(ts_col).iterrows():
-                if step >= len(steps):
-                    break
-                ts = pd.Timestamp(row[ts_col]).timestamp()
-                if row[type_col] == steps[step] and (step == 0 or ts > last):
-                    step += 1
-                    last = ts
-                    advanced = True
+        # A group's rows arrive split across Arrow record batches with no
+        # cross-chunk ordering guarantee: concatenate the whole group first,
+        # then sort ONCE by event time (the per-chunk sort the operator
+        # originally did silently broke event-time order for large groups).
+        frames = [p for p in pdfs if len(p)]
+        pdf = (
+            pd.concat(frames).sort_values(ts_col)
+            if frames
+            else pd.DataFrame(columns=[ts_col, type_col])
+        )
+        for _, row in pdf.iterrows():
+            if step >= len(steps):
+                break
+            ts = pd.Timestamp(row[ts_col]).timestamp()
+            if row[type_col] == steps[step] and (step == 0 or ts > last):
+                step += 1
+                last = ts
+                advanced = True
         state.update((int(step), float(last)))
         state.setTimeoutDuration(state_ttl_ms)
         if advanced:
@@ -286,10 +294,12 @@ def streaming_transitions(
             return
         last = state.get[0] if state.exists else None
         counts: dict = {}
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            for t in pdf.sort_values(ts_col)[type_col]:
+        # Same cross-chunk ordering fix as streaming_funnel: concat the whole
+        # group, sort once by event time, then walk.
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(ts_col)
+            for t in pdf[type_col]:
                 if last is not None:
                     counts[(last, t)] = counts.get((last, t), 0) + 1
                 last = t

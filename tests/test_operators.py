@@ -3192,3 +3192,68 @@ def test_two_phase_topk_equals_plain_window(spark):
                two_phase_topk(df, ["grp"], "v", k=5, tie_col="id",
                               num_salts=salts).collect()}
         assert got == exp, f"salts={salts}"
+
+
+def test_snapshot_diff_null_key_components(spark):
+    """Regression (r9 advice): a NULL key component must match itself
+    across snapshots (eqNullSafe key join) — previously a null-keyed
+    row came back as a spurious delete + insert pair instead of
+    update/unchanged."""
+    from clinpy_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "a", 1.0)], "k string, s string, v double")
+    new = spark.createDataFrame(
+        [(None, "x", 2.0), (1, "a", 1.0)], "k string, s string, v double")
+    got = {r.k: (r.change, list(r.changed_cols))
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    # null key: v changed -> exactly one 'update' row, no delete/insert
+    assert got == {None: ("update", ["v"])}
+
+
+def test_pca_project_non_long_id_types(spark):
+    """Regression (r9 advice): pca_project's mapInPandas output schema
+    hardcoded the id as long; string and int ids must survive."""
+    import numpy as np
+
+    from clinpy_spark.operators.pca import fit_pca, pca_project
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(40, 3))
+    ids = [f"doc-{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [(ids[i], [float(v) for v in x[i]]) for i in range(40)],
+        "vec_id string, embedding array<double>")
+    mean, comps, _ = fit_pca(df, n_components=2)
+    out = {r.vec_id: np.asarray(r.projected)
+           for r in pca_project(df, mean, comps).collect()}
+    ref = (x - x.mean(axis=0)) @ comps.T
+    assert set(out) == set(ids)
+    np.testing.assert_allclose(out["doc-7"], ref[7], atol=1e-9)
+
+    df_int = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(40)],
+        "vec_id int, embedding array<double>")
+    got = pca_project(df_int, mean, comps)
+    assert got.schema["vec_id"].dataType.simpleString() == "int"
+    assert got.count() == 40
+
+
+def test_bloom_probe_distinct_contract(spark):
+    """Regression (r9 advice): bloom_probe returns one row per DISTINCT
+    (key, col) group even when the input carries duplicate probe rows,
+    so hit-counting callers don't double-count; assume_distinct=True
+    opts out for pre-distinct inputs (shuffle-free path)."""
+    from clinpy_spark.operators.sketch import bloom_bits, bloom_probe
+
+    members = spark.createDataFrame([("g1",), ("g2",)], "s string")
+    bits = bloom_bits(members, "s", n_bits=256, k=3)
+    dup = spark.createDataFrame(
+        [(1, "g1"), (1, "g1"), (1, "g2"), (2, "g1"), (2, "g1")],
+        "rid long, s string")
+    out = bloom_probe(dup, ["rid"], "s", bits, n_bits=256, k=3).collect()
+    assert len(out) == 3  # (1,g1) (1,g2) (2,g1)
+    assert all(r.bloom_maybe for r in out)
+    raw = bloom_probe(dup, ["rid"], "s", bits, n_bits=256, k=3,
+                      assume_distinct=True).count()
+    assert raw == 5  # opt-out keeps per-input-row cardinality

@@ -515,3 +515,109 @@ def test_streaming_transitions_match_batch(spark, tmp_path):
         got[(r.event_type, r.next_type)] = got.get((r.event_type, r.next_type), 0) + r.n
     assert got == {("view", "click"): 2, ("click", "view"): 1,
                    ("click", "purchase"): 1}
+
+
+def test_streaming_funnel_group_split_across_arrow_chunks(spark, tmp_path):
+    """Regression (r9 advice): a group's rows reach the state function
+    split across Arrow record batches with NO cross-chunk ordering
+    guarantee, so sorting each chunk independently mis-orders large
+    groups. Force 2-row chunks and a file order where the click
+    precedes the view: per-chunk sorting consumes the click before the
+    view and strands the funnel at step 1; the whole-group sort must
+    still reach step 3."""
+    from clinpy_spark.operators.funnel import funnel
+    from clinpy_spark.streaming.events import streaming_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    # file order: click first, fillers, then view, then purchase
+    rows = [(1, t(60), 1, "click", 0.0)]
+    rows += [(10 + i, t(i), 1, "noise", 0.0) for i in range(4)]
+    rows += [(2, t(50), 1, "view", 0.0)]
+    rows += [(20 + i, t(i + 5), 1, "noise", 0.0) for i in range(4)]
+    rows += [(3, t(70), 1, "purchase", 0.0)]
+    with open(tmp_path / "f0.json", "w") as fh:
+        for eid, ts, uid, etype, val in rows:
+            fh.write(json.dumps({
+                "event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                "event_type": etype, "value": val, "props": "{}",
+            }) + "\n")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = read_event_stream(spark, str(tmp_path), fmt="json")
+        q = (streaming_funnel(stream, ["view", "click", "purchase"],
+                              state_ttl_ms=10_000_000)
+             .writeStream.format("memory").queryName("funl_chunk")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = max(r.furthest_step for r in spark.sql("select * from funl_chunk").collect())
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    want = max(
+        sum(1 for i in (1, 2, 3) if r[f"step_{i}_ts"] is not None)
+        for r in funnel(batch_df, ["view", "click", "purchase"]).collect())
+    assert got == want == 3
+
+
+def test_streaming_transitions_group_split_across_arrow_chunks(spark, tmp_path):
+    """Same chunk-ordering regression for the Markov-delta twin: with
+    2-row Arrow chunks and a scrambled file order, per-chunk sorting
+    would count phantom pairs; the whole-group sort must reproduce the
+    batch lead-window counts exactly."""
+    from clinpy_spark.streaming.events import streaming_transitions
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    # event-time order is a,b,c,d,e; file order scrambles it
+    seq = [("a", 0), ("b", 1), ("c", 2), ("d", 3), ("e", 4)]
+    file_order = [seq[4], seq[2], seq[0], seq[3], seq[1]]
+    with open(tmp_path / "f0.json", "w") as fh:
+        for i, (etype, m) in enumerate(file_order):
+            fh.write(json.dumps({
+                "event_id": i, "ts": t(m).isoformat(), "user_id": 1,
+                "event_type": etype, "value": 0.0, "props": "{}",
+            }) + "\n")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = read_event_stream(spark, str(tmp_path), fmt="json")
+        q = (streaming_transitions(stream, state_ttl_ms=10_000_000)
+             .writeStream.format("memory").queryName("trans_chunk")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {}
+    for r in spark.sql("select * from trans_chunk").collect():
+        got[(r.event_type, r.next_type)] = got.get((r.event_type, r.next_type), 0) + r.n
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("d", "e"): 1}
+
+
+def test_streaming_funnel_string_user_ids(spark, tmp_path):
+    """Regression (r9 advice): the funnel's output schema hardcoded the
+    user column as long; a string user id must pass through."""
+    from pyspark.sql import types as T
+
+    from clinpy_spark.streaming.events import streaming_funnel
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    with open(tmp_path / "f0.json", "w") as fh:
+        for m, etype in ((0, "view"), (1, "click")):
+            fh.write(json.dumps({
+                "ts": t(m).isoformat(), "user_id": "alice", "event_type": etype,
+            }) + "\n")
+    stream = spark.readStream.schema(schema).json(str(tmp_path))
+    q = (streaming_funnel(stream, ["view", "click"], state_ttl_ms=10_000_000)
+         .writeStream.format("memory").queryName("funl_str")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from funl_str").collect()
+    assert rows and rows[0].user_id == "alice"
+    assert max(r.furthest_step for r in rows) == 2
