@@ -174,3 +174,52 @@ def fuzzy_join(
         half.join(rb_s.hint("merge"), ["__nb", "__salt"])
         .drop("__na", "__nb", "__salt")
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+    max_edits: int = 2,
+    num_salts: int = 32,
+) -> DataFrame:
+    """End-to-end entity resolution: fuzzy-match records whose
+    ``text_col`` is within ``max_edits``, group matches into clusters
+    (connected components), and elect one canonical record per
+    multi-member cluster — the catalog-reconciliation pipeline
+    (match -> cluster -> survivorship) as one composition.
+
+    Canonical = highest ``score_col``, ties to the lowest id. Output:
+    (cluster_id, n_members, canon_id, canon_text), multi-member
+    clusters only (singletons are already canonical by definition).
+
+    Scale shape: the pair emitter is the lossless length-banded salted
+    fuzzy join (never all-pairs), components are pointer-jumping
+    min-label propagation (~log2 diameter rounds), and survivorship is
+    one window over the CLUSTER-sized label table — every stage is
+    candidate-sized, not corpus-squared."""
+    from pyspark.sql.window import Window
+
+    from clinpy_spark.operators.dedup import near_dup_clusters
+
+    pairs = fuzzy_pairs(df, id_col, text_col, max_edits=max_edits,
+                        num_salts=num_salts)
+    clusters = near_dup_clusters(pairs, id_a="a_id", id_b="b_id")
+    members = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(text_col).alias("__txt"),
+                  F.col(score_col).alias("__sc")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("__sc"), F.asc("doc_id"))
+    return (
+        members.withColumn("__rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("__rk") == 1, F.col("doc_id"))).alias("canon_id"),
+            F.max(F.when(F.col("__rk") == 1, F.col("__txt"))).alias("canon_text"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

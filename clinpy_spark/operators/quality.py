@@ -198,3 +198,35 @@ def laplace_noisy_counts(
             F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
         )
     )
+
+
+def fd_audit(df: DataFrame, candidates: list[tuple[str, str]]) -> DataFrame:
+    """Approximate-functional-dependency audit: for each candidate
+    ``lhs -> rhs``, how many lhs groups exist, how many carry more than
+    one distinct rhs (violations), and whether the FD holds exactly —
+    the schema-discovery/profiling primitive that tells a pipeline
+    which columns are safe join/normalization keys.
+
+    One groupBy per candidate (each an independent map-side-combined
+    aggregate over two columns; column pruning keeps the scans narrow),
+    unioned into (lhs, rhs, n_groups, n_violating, holds). g3-style
+    error = n_violating / n_groups is derivable from the output."""
+    parts = []
+    for lhs, rhs in candidates:
+        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("__nd"))
+        parts.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.count(F.when(F.col("__nd") > 1, 1)).alias("n_violating"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "n_violating",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

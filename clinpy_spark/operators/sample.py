@@ -326,3 +326,34 @@ def bootstrap_mean_ci(
             F.round("__hi", 6).alias("ci_hi"),
         )
     )
+
+
+def shuffle_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every row
+    gets a (shard, pos) coordinate from the same engine-portable md5
+    hash the samplers use — the reproducible replacement for
+    ``orderBy(rand())`` that no two-engine audit can check and no
+    resumed job can reproduce.
+
+    shard = hash(key, seed) mod n_shards; pos = rank of the hash within
+    the shard (ties by key). Reading shards 0..n-1 in pos order IS the
+    permutation, identical on any cluster size, any partitioning, any
+    engine. Scale shape: one hash projection + one window PARTITIONED
+    BY shard (each shard sorts independently — no global sort, no
+    single-partition window); writing with partitionBy(shard) makes the
+    export one shuffle total."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"|shuf{seed}"))),
+        1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )

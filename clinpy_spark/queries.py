@@ -6107,6 +6107,195 @@ def v_gt_structural_q(spark, sf):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: distribution-drift monitoring (PSI / KS / chi-square),
+# deterministic global shuffle export, end-to-end entity resolution, and
+# approximate-FD profiling.
+# ---------------------------------------------------------------------------
+
+@q("drift_psi_value", """
+WITH ref AS (SELECT event_id, value FROM events WHERE user_id % 2 = 0),
+cur AS (SELECT event_id, value FROM events WHERE user_id % 2 = 1),
+e AS (SELECT unnest(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS edge FROM ref),
+rb AS (SELECT count(*) FILTER (r.value > e.edge) AS bin FROM ref r CROSS JOIN e GROUP BY r.event_id),
+rc AS (SELECT bin, count(*) AS ref_n FROM rb GROUP BY bin),
+cb AS (SELECT count(*) FILTER (c.value > e.edge) AS bin FROM cur c CROSS JOIN e GROUP BY c.event_id),
+cc AS (SELECT bin, count(*) AS cur_n FROM cb GROUP BY bin),
+spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+j AS (SELECT s.bin, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+      FROM spine s LEFT JOIN rc ON s.bin = rc.bin LEFT JOIN cc ON s.bin = cc.bin),
+t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j)
+SELECT CAST(j.bin AS INT) AS bin, CAST(ref_n AS BIGINT) AS ref_n,
+       CAST(cur_n AS BIGINT) AS cur_n,
+       round((ref_n + 0.5) / (tr + 5.0), 6) AS ref_frac,
+       round((cur_n + 0.5) / (tc + 5.0), 6) AS cur_frac,
+       round(((cur_n + 0.5) / (tc + 5.0) - (ref_n + 0.5) / (tr + 5.0))
+             * ln(((cur_n + 0.5) / (tc + 5.0)) / ((ref_n + 0.5) / (tr + 5.0))), 6)
+         AS psi_contrib
+FROM j CROSS JOIN t ORDER BY bin
+""")
+def drift_psi_value_q(spark, sf):
+    # Population Stability Index (operators/drift.py psi_table): bins =
+    # exact deciles of the REFERENCE cohort (even user ids), compared
+    # against the current cohort (odd user ids). Laplace-smoothed
+    # (+0.5/bin) so the formula is engine-portable with no epsilon
+    # clamp; the oracle recomputes edges with quantile_cont and the
+    # whole per-bin table. Monitoring primitive for accepting a new
+    # data batch into a training mixture.
+    from clinpy_spark.operators.drift import psi_table
+
+    ev = _t(spark, sf, "events")
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    cur = ev.filter(F.col("user_id") % 2 == 1)
+    return psi_table(ref, cur, "value", n_bins=10)
+
+
+@q("drift_ks_value", """
+WITH t AS (
+  SELECT value AS v,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ca,
+         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS cb
+  FROM events),
+pv AS (SELECT v, sum(ca) AS na, sum(cb) AS nb FROM t GROUP BY v),
+c AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      FROM pv),
+tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM t)
+SELECT round(max(abs(CAST(cuma AS DOUBLE) / ta - CAST(cumb AS DOUBLE) / tb)), 6) AS ks_d,
+       CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
+FROM c CROSS JOIN tot
+""")
+def drift_ks_value_q(spark, sf):
+    # Exact two-sample Kolmogorov-Smirnov D (operators/drift.py):
+    # max |ECDF_a - ECDF_b| over pooled distinct values. The ordered
+    # cumulative window runs over the per-distinct-value aggregate, not
+    # the corpus (quantize= is the unbounded-domain scale path).
+    from clinpy_spark.operators.drift import ks_two_sample
+
+    ev = _t(spark, sf, "events")
+    return ks_two_sample(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value",
+    )
+
+
+@q("drift_chi2_lang", u"""
+WITH base AS (
+  SELECT coalesce(CAST(source AS VARCHAR), '␀') AS s,
+         coalesce(CAST(lang AS VARCHAR), '␀') AS c
+  FROM documents),
+cells AS (SELECT s, c, count(*) AS o FROM base GROUP BY s, c),
+rt AS (SELECT s, sum(o) AS rt FROM cells GROUP BY s),
+ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c),
+n AS (SELECT sum(o) AS nn FROM cells),
+f AS (SELECT rt.s, ct.c, coalesce(cells.o, 0) AS o,
+             rt.rt * ct.ct / CAST(n.nn AS DOUBLE) AS e
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.s = rt.s AND cells.c = ct.c
+      CROSS JOIN n)
+SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       CAST((count(DISTINCT s) - 1) * (count(DISTINCT c) - 1) AS INT) AS dof,
+       CAST((SELECT nn FROM n) AS BIGINT) AS n
+FROM f
+""")
+def drift_chi2_lang_q(spark, sf):
+    # Pearson chi-square over the (source x lang) contingency table
+    # (operators/drift.py chi2_drift) — categorical-mix drift between
+    # corpus sources; one groupBy plus broadcast marginals.
+    from clinpy_spark.operators.drift import chi2_drift
+
+    return chi2_drift(_t(spark, sf, "documents"), "source", "lang")
+
+
+@q("shuffle_shards", """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shuf1'), 1, 8))::BIGINT AS hv
+  FROM documents)
+SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INT) AS pos
+FROM h
+""")
+def shuffle_shards_q(spark, sf):
+    # Deterministic global shuffle (operators/sample.py shuffle_assign):
+    # the reproducible replacement for orderBy(rand()) when exporting
+    # training shards — same md5 coordinate as the samplers, so the
+    # permutation is identical on any cluster size and auditable by the
+    # oracle. Window is partitioned BY SHARD (independent sorts, no
+    # global order).
+    from clinpy_spark.operators.sample import shuffle_assign
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return shuffle_assign(docs, "doc_id", n_shards=8, seed=1) \
+        .select("doc_id", "shard", "pos")
+
+
+@q("er_resolve_parts", """
+WITH RECURSIVE
+names AS (SELECT p_partkey AS id, p_name AS nm, p_retailprice AS sc FROM part),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib FROM names a JOIN names b ON a.id < b.id
+  WHERE levenshtein(a.nm, b.nm) <= 2),
+edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs),
+r(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id FROM r GROUP BY src),
+rk AS (
+  SELECT lab.cluster_id, lab.id, names.nm,
+         row_number() OVER (PARTITION BY lab.cluster_id
+                            ORDER BY names.sc DESC, lab.id) AS rk
+  FROM lab JOIN names ON lab.id = names.id)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       max(CASE WHEN rk = 1 THEN id END) AS canon_id,
+       max(CASE WHEN rk = 1 THEN nm END) AS canon_text
+FROM rk GROUP BY cluster_id HAVING count(*) > 1
+""")
+def er_resolve_parts_q(spark, sf):
+    # End-to-end entity resolution (operators/fuzzy.py
+    # resolve_entities): length-banded fuzzy match -> connected
+    # components -> keep-best survivorship (highest retailprice, ties
+    # to lowest key). Oracle rebuilds the same clusters from UNBLOCKED
+    # all-pairs levenshtein plus a recursive-CTE closure — both the
+    # blocking losslessness and the canonical election are hash-proven.
+    from clinpy_spark.operators.fuzzy import resolve_entities
+
+    part = _t(spark, sf, "part").select("p_partkey", "p_name", "p_retailprice")
+    return resolve_entities(part, "p_partkey", "p_name", "p_retailprice",
+                            max_edits=2)
+
+
+@q("q_fd_audit", """
+SELECT 'p_partkey' AS lhs, 'p_brand' AS rhs, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating,
+       count(*) FILTER (nd > 1) = 0 AS holds
+FROM (SELECT p_partkey, count(DISTINCT p_brand) AS nd FROM part GROUP BY p_partkey)
+UNION ALL
+SELECT 'p_brand', 'p_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (nd > 1) AS BIGINT), count(*) FILTER (nd > 1) = 0
+FROM (SELECT p_brand, count(DISTINCT p_type) AS nd FROM part GROUP BY p_brand)
+UNION ALL
+SELECT 'p_type', 'p_size', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (nd > 1) AS BIGINT), count(*) FILTER (nd > 1) = 0
+FROM (SELECT p_type, count(DISTINCT p_size) AS nd FROM part GROUP BY p_type)
+""")
+def q_fd_audit_q(spark, sf):
+    # Approximate-functional-dependency audit (operators/quality.py
+    # fd_audit): which columns determine which — the key column
+    # p_partkey -> p_brand holds exactly, the attribute pairs violate.
+    # The schema-profiling primitive for choosing safe
+    # normalization/join keys; g3 error = n_violating / n_groups.
+    from clinpy_spark.operators.quality import fd_audit
+
+    return fd_audit(_t(spark, sf, "part"),
+                    [("p_partkey", "p_brand"), ("p_brand", "p_type"),
+                     ("p_type", "p_size")])
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -6121,98 +6310,61 @@ def v_gt_structural_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- round-9 head: queries NEW this round need their first driver
-    # record --
-    "a18_grouping_sets",
-    "e_pareto_concentration",
-    "e_ab_welch",
-    "o8_two_phase_topk",
-    "text_readability",
-    "dedup_template_fp",
-    "e_seasonal_anomalies",
-    "pipeline_curation_stats",
-    "text_fuzzy_decontaminate",
-    "text_clean_stats",
-    "e_rolling_wau",
-    "e_funnel_latency",
-    "text_lang_agreement",
-    "sim_cluster_quality",
-    "e_time_weighted_avg",
-    "dedup_ppjoin_pairs",
-    "a16_market_basket",
-    "s22_winsorize",
-    "q_k_anonymity",
-    "q_dp_counts",
-    "s21_snapshot_diff",
-    "e_attribution_last_touch",
-    "text_zipf_slope",
-    "e_transition_matrix",
-    "j20_bloom_pruned_join",
-    "s20_impute_median",
-    "text_kmv_overlap",
-    "q_constraint_suite",
-    "e_regression_trend",
-    "s19_bootstrap_ci",
-    "dedup_substring_spans",
-    "dedup_substring_strip",
-    "text_trigram_ppl",
-    "sim_recall_sq8",
-    "sim_topk_sq8",
-    "sim_pca_gate",
-    "sim_hard_negatives",
-    "e_funnel_steps",
-    "e_retention_cohorts",
-    "e_robust_outliers",
-    # -- staleness rotation (r7 verdict #2): r8's 50-query window took
-    # the 12 r8-new queries plus the first 38 of the r2-recorded block,
-    # so the remaining 6 of that block come next, then the blocks whose
-    # newest driver record is r4 / r6 --
-    "tpch_q16_unordered_parts",
-    "tpch_q18_large_orders",
-    "tpch_q12_shipmode",
-    "tpch_q10_returned_items",
-    "o5_window_frames",
-    "o1_topk_per_group",
-    # -- last recorded r4 --
-    "tpch_q21_exclusive",
-    "tpch_q22_idle_rich",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "text_decontaminate",
-    "text_repetition",
-    "sim_range_search",
-    "mix_resample_upsample",
-    "curate_gopher_rules",
-    "o7_ntile_ranks",
-    "flagship_cohort_revenue",
-    "p_coerce_floor",
-    "j13_overlap_fraction",
-    "j14_point_in_interval",
-    # -- last recorded r6 --
-    "mix_by_lang",
-    "split_corpus_assign",
-    "sample_exact_n",
-    "text_langid",
-    "text_quality",
-    "text_stats",
-    "text_tokens_bpe",
-    "text_fingerprint",
-    "text_redact",
-    "text_pack_chunks",
-    "text_vocab_topk",
-    "skew_salted_join",
-    "a2b_two_phase_distinct",
-    "o2_running_total",
-    "e_tumbling_hour",
-    "e_sliding_window",
-    "s15_histogram",
-    "tpch_q14_promo",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    # (everything recorded in the r7/r8 windows falls to natural
-    # registry order behind this list and keeps its green rows as
-    # evidence)
+    # -- r10 window head: 18 oracled queries with NO driver record yet
+    # (12 r8-era queries squeezed out of earlier windows + 6 new in
+    # r10), then the 32 stalest oracled queries (last recorded r2).
+    # Generated from CORRECTNESS_r*.json by staleness; everything
+    # else keeps its newer green rows as evidence. --
+    "v_filter_spec",
+    "j10d_region_batch",
+    "dedup_keep_best",
+    "retrieval_rrf",
+    "mm_audio_lossy_gate",
+    "mix_temperature_quota",
+    "sample_weighted_n",
+    "text_bpe_gate",
+    "text_bloom_decontaminate",
+    "text_split_pieces",
+    "text_cms_topk",
+    "curate_quality_model",
+    "drift_psi_value",
+    "drift_ks_value",
+    "drift_chi2_lang",
+    "shuffle_shards",
+    "er_resolve_parts",
+    "q_fd_audit",
+    "p_projection_filter",
+    "p_isin",
+    "p_between",
+    "p_case_recode",
+    "p_overlap_predicate",
+    "j1_fk_join",
+    "j4_multikey_natural",
+    "j6_anti_new_parts",
+    "j7_semi_cohort",
+    "j9_left_enrich",
+    "a1_group_count",
+    "a2_count_distinct",
+    "a4_distinct_dedup",
+    "a6_pivot_wide",
+    "a7_ratio_agg",
+    "a9_explode_words",
+    "a10_json_flatten",
+    "a11_union_tagged",
+    "a12_hash_id",
+    "a8_rollup",
+    "a11b_intersect",
+    "a11c_except",
+    "e_time_rollup",
+    "o6_approx_quantiles",
+    "s13_stratified_sample",
+    "s14_profile",
+    "s12_merge_upsert",
+    "a15_hll_sketch",
+    "a8c_cube",
+    "o4_exact_percentiles",
+    "a6b_unpivot",
+    "o3_lag_gaps",
 ]
 
 

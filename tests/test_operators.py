@@ -3257,3 +3257,124 @@ def test_bloom_probe_distinct_contract(spark):
     raw = bloom_probe(dup, ["rid"], "s", bits, n_bits=256, k=3,
                       assume_distinct=True).count()
     assert raw == 5  # opt-out keeps per-input-row cardinality
+
+
+def test_psi_table_detects_shift(spark):
+    """PSI: identical cohorts score ~0; a mean-shifted cohort scores
+    high; per-bin detail covers all bins and fractions sum to ~1."""
+    from clinpy_spark.operators.drift import psi_table
+
+    base = [(float(i % 100),) for i in range(1000)]
+    same = spark.createDataFrame(base, "v double")
+    shifted = spark.createDataFrame([(x + 50.0,) for (x,) in base], "v double")
+
+    rows = psi_table(same, same, "v", n_bins=10).collect()
+    assert [r.bin for r in rows] == list(range(10))
+    assert abs(sum(r.psi_contrib for r in rows)) < 1e-6
+    assert abs(sum(r.ref_frac for r in rows) - 1.0) < 1e-3
+
+    shift_psi = sum(r.psi_contrib for r in
+                    psi_table(same, shifted, "v", n_bins=10).collect())
+    assert shift_psi > 0.25  # conventional "significant shift" flag
+
+
+def test_ks_two_sample_exact(spark):
+    """KS equals the hand-computed max ECDF gap; identical samples give
+    0; disjoint supports give 1."""
+    from clinpy_spark.operators.drift import ks_two_sample
+
+    a = spark.createDataFrame([(v,) for v in [1.0, 2.0, 3.0, 4.0]], "v double")
+    b = spark.createDataFrame([(v,) for v in [3.0, 4.0, 5.0, 6.0]], "v double")
+    r = ks_two_sample(a, b, "v").collect()[0]
+    # ECDFs: at v=2 F_a=0.5, F_b=0 -> D=0.5
+    assert (r.ks_d, r.n_a, r.n_b) == (0.5, 4, 4)
+    assert ks_two_sample(a, a, "v").collect()[0].ks_d == 0.0
+    lo = spark.createDataFrame([(float(i),) for i in range(5)], "v double")
+    hi = spark.createDataFrame([(float(i + 10),) for i in range(5)], "v double")
+    assert ks_two_sample(lo, hi, "v").collect()[0].ks_d == 1.0
+
+
+def test_chi2_drift_contingency(spark):
+    """Chi-square matches the hand formula on a 2x2 table and is 0 for
+    independent (proportional) rows; null categories become their own
+    level."""
+    from clinpy_spark.operators.drift import chi2_drift
+
+    # 2x2: side A: 30 x / 10 y ; side B: 10 x / 30 y
+    rows = ([("A", "x")] * 30 + [("A", "y")] * 10
+            + [("B", "x")] * 10 + [("B", "y")] * 30)
+    df = spark.createDataFrame(rows, "s string, c string")
+    r = chi2_drift(df, "s", "c").collect()[0]
+    # e=20 everywhere; chi2 = 4 * (10^2/20) = 20
+    assert (r.chi2, r.dof, r.n) == (20.0, 1, 80)
+
+    indep = spark.createDataFrame(
+        [("A", "x")] * 20 + [("A", "y")] * 10
+        + [("B", "x")] * 40 + [("B", "y")] * 20, "s string, c string")
+    assert chi2_drift(indep, "s", "c").collect()[0].chi2 == 0.0
+
+    withnull = spark.createDataFrame(
+        [("A", "x"), ("A", None), ("B", "x"), ("B", None)], "s string, c string")
+    assert chi2_drift(withnull, "s", "c").collect()[0].dof == 1
+
+
+def test_shuffle_assign_deterministic_permutation(spark):
+    """Global shuffle: (shard, pos) is a bijection over rows, positions
+    are 1..shard_size per shard, and the assignment is IDENTICAL under
+    a different input partitioning (the reproducibility contract)."""
+    from clinpy_spark.operators.sample import shuffle_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = shuffle_assign(df, "k", n_shards=7, seed=3)
+    rows = out.collect()
+    assert len(rows) == 500 and len({(r.shard, r.pos) for r in rows}) == 500
+    assert {r.shard for r in rows} == set(range(7))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    again = {(r.k): (r.shard, r.pos)
+             for r in shuffle_assign(df.repartition(13), "k", 7, seed=3).collect()}
+    assert again == {r.k: (r.shard, r.pos) for r in rows}
+    # different seed -> different permutation
+    other = {r.k: (r.shard, r.pos)
+             for r in shuffle_assign(df, "k", 7, seed=4).collect()}
+    assert other != {r.k: (r.shard, r.pos) for r in rows}
+
+
+def test_resolve_entities_survivorship(spark):
+    """ER composition: fuzzy clusters form across transitive matches;
+    the canonical record is the highest score (ties to lowest id);
+    singletons are excluded."""
+    from clinpy_spark.operators.fuzzy import resolve_entities
+
+    df = spark.createDataFrame(
+        [(1, "acme corp", 5.0), (2, "acme corpx", 9.0), (3, "acme corpxy", 7.0),
+         (4, "zzz unrelated name", 1.0),
+         (5, "beta llc", 2.0), (6, "beta llc", 8.0)],
+        "id long, name string, score double")
+    out = {r.cluster_id: r for r in
+           resolve_entities(df, "id", "name", "score", max_edits=2).collect()}
+    # {1,2,3} chain via <=2 edits (1~2:1, 2~3:1, 1~3:2); canon = id 2 (score 9)
+    assert out[1].n_members == 3 and out[1].canon_id == 2
+    assert out[1].canon_text == "acme corpx"
+    # exact duplicates {5,6}: canon = 6 (score 8)
+    assert out[5].n_members == 2 and out[5].canon_id == 6
+    assert 4 not in out  # singleton
+
+
+def test_fd_audit_holds_and_violations(spark):
+    """FD audit: a key FD holds; a violated FD reports the violating
+    group count."""
+    from clinpy_spark.operators.quality import fd_audit
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"), (4, "b", "y")],
+        "k long, g string, v string")
+    out = {(r.lhs, r.rhs): r for r in
+           fd_audit(df, [("k", "g"), ("g", "v")]).collect()}
+    assert out[("k", "g")].holds and out[("k", "g")].n_violating == 0
+    r = out[("g", "v")]
+    assert not r.holds and r.n_groups == 2 and r.n_violating == 1  # g='b'

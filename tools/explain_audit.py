@@ -78,6 +78,13 @@ EXPECTED_UNBOUNDED = {
                          # the entire pair space is ONE row of array math
     "e_pareto_concentration",  # crossJoin vs the ONE-ROW (grand, n_users)
                                # aggregate of the small user-total table
+    "drift_psi_value",  # crossJoins vs the 1-row decile-edge array and the
+                        # 1-row bin-total aggregate — constant-size
+                        # broadcasts, linear in the cohorts
+    "drift_ks_value",  # crossJoin vs the 1-row (n_a, n_b) totals
+    "drift_chi2_lang",  # marginal-product spine: |sides| x |categories|
+                        # rows (a few dozen), both sides tiny aggregates,
+                        # plus the 1-row grand-total broadcast
 }
 
 
