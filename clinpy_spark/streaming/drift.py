@@ -1,0 +1,94 @@
+"""Streaming twin of the drift monitors (operators/drift.py): per-bin
+counts are ADDITIVE sufficient statistics, so PSI/chi-square maintain
+continuously at O(batch) per trigger — the corpus-acceptance gate a
+100 TB/day ingest runs while data is still arriving, instead of a
+nightly full rescan.
+
+The twin fixes what must be fixed for streaming to be exact: bin EDGES
+come from the reference snapshot (batch-fit once, a ~10-double
+constant), not from the stream — exactly how PSI is deployed (the
+reference is the frozen training distribution, the stream is the live
+candidate batch). With frozen edges, summed per-bin deltas equal the
+batch psi_table bit-for-bit (twin test)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def bin_counts_partial(df: DataFrame, col: str, edges: list[float]) -> DataFrame:
+    """(bin, n) additive partials for one batch against FROZEN edges —
+    bin = count of edges strictly below the value (ties to the lower
+    bin, same rule as operators/drift.py bin_by_edges)."""
+    bin_expr = F.lit(0)
+    for e in edges:
+        bin_expr = bin_expr + F.when(F.col(col) > F.lit(float(e)), 1).otherwise(0)
+    return (
+        df.select(bin_expr.alias("bin"))
+        .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def stream_psi_counts(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    col: str,
+    edges: list[float],
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Fold each micro-batch's per-bin counts into the persisted
+    ``name`` table (addition-merge keyed by bin). The maintained table
+    is at most ``len(edges)+1`` rows regardless of stream volume."""
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = bin_counts_partial(batch, col, edges)
+        if catalog.exists(name):
+            merged = (catalog.table(name).unionByName(part)
+                      .groupBy("bin").agg(F.sum("n").alias("n")))
+            catalog.overwrite_staged(merged, name)
+        else:
+            catalog.write(part, name)
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__psi_checkpoint__"
+    w = stream.writeStream.foreachBatch(fold).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_psi(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    n_bins: int,
+) -> DataFrame:
+    """Two maintained (bin, n) tables -> the batch ``psi_table``
+    contract: (bin, ref_n, cur_n, ref_frac, cur_frac, psi_contrib),
+    same +0.5 Laplace smoothing and round-6 convention."""
+    spine = ref_counts.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"))
+    joined = (
+        spine.join(F.broadcast(ref_counts.select("bin", F.col("n").alias("ref_n"))),
+                   "bin", "left")
+        .join(F.broadcast(cur_counts.select("bin", F.col("n").alias("cur_n"))),
+              "bin", "left")
+        .na.fill({"ref_n": 0, "cur_n": 0})
+    )
+    tot = joined.agg(F.sum("ref_n").alias("__tr"), F.sum("cur_n").alias("__tc"))
+    out = joined.crossJoin(F.broadcast(tot))
+    rf = (F.col("ref_n") + 0.5) / (F.col("__tr") + 0.5 * n_bins)
+    cf = (F.col("cur_n") + 0.5) / (F.col("__tc") + 0.5 * n_bins)
+    return out.select(
+        "bin", "ref_n", "cur_n",
+        F.round(rf, 6).alias("ref_frac"),
+        F.round(cf, 6).alias("cur_frac"),
+        F.round((cf - rf) * F.log(cf / rf), 6).alias("psi_contrib"),
+    ).orderBy("bin")

@@ -621,3 +621,45 @@ def test_streaming_funnel_string_user_ids(spark, tmp_path):
     rows = spark.sql("select * from funl_str").collect()
     assert rows and rows[0].user_id == "alice"
     assert max(r.furthest_step for r in rows) == 2
+
+
+def test_streaming_psi_matches_batch(spark, tmp_path):
+    """Streaming PSI twin: per-bin count partials folded across
+    micro-batches with FROZEN reference edges reproduce the batch
+    psi_table exactly (cross-batch accumulation exercised by splitting
+    the events across two files)."""
+    from clinpy_spark.operators.drift import psi_table, quantile_edges
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.drift import (
+        bin_counts_partial, finalize_psi, stream_psi_counts,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    rows = [(i, t(i), 100 + i % 2, "view", float((i * 37) % 50)) for i in range(60)]
+    ref_rows = [r for r in rows if r[2] % 2 == 0]
+    cur_rows = [r for r in rows if r[2] % 2 == 1]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    cur_df = spark.createDataFrame(cur_rows, schema)
+
+    n_bins = 5
+    edges = quantile_edges(ref_df, "value", n_bins).collect()[0]["__edges"]
+
+    # stream the CURRENT cohort in two files; maintain ref counts in batch
+    for i, chunk in enumerate((cur_rows[:10], cur_rows[10:])):
+        with open(tmp_path / f"f{i}.json", "w") as fh:
+            for eid, ts, uid, etype, val in chunk:
+                fh.write(json.dumps({
+                    "event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                    "event_type": etype, "value": val, "props": "{}",
+                }) + "\n")
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    q = stream_psi_counts(stream, cat, "cur_bins", "value", list(edges),
+                          checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    ref_counts = bin_counts_partial(ref_df, "value", list(edges))
+    got = finalize_psi(ref_counts, cat.table("cur_bins"), n_bins).collect()
+    want = psi_table(ref_df, cur_df, "value", n_bins=n_bins).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
