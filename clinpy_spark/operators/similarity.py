@@ -669,3 +669,50 @@ def hard_negatives(
             F.round("__sim", 4).alias("cosine_sim"),
         )
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mutual: bool = True,
+    method: str = "lsh",
+    **method_kw,
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus: undirected
+    edges (src, dst, cosine_sim) with src < dst — the substrate for
+    graph-based dedup/clustering (mutual-kNN components are the
+    standard conservative near-dup grouping) and for kNN-graph ANN
+    indexes.
+
+    ``mutual=True`` keeps an edge only when BOTH endpoints rank each
+    other in their top-k (the asymmetric-hubness filter); ``False``
+    keeps the union of directions. ``method``: 'lsh' routes the
+    directed top-k through the bucketed multi-table LSH scan (the
+    100 TB path — candidates scale with bucket occupancy, never n²);
+    'exact' uses the brute-force scan (declared all-pairs baseline for
+    bounded slices and oracle checks). Mutuality/undirection is one
+    self-semi-join on the id pair, candidate-sized."""
+    if method == "exact":
+        directed = brute_force_topk(corpus, corpus, k=k,
+                                    id_col=id_col, vec_col=vec_col)
+    elif method == "lsh":
+        directed = lsh_topk(corpus, corpus, k=k, id_col=id_col,
+                            vec_col=vec_col, **method_kw)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if mutual:
+        rev = directed.select(
+            F.col("match_id").alias("query_id"),
+            F.col("query_id").alias("match_id"))
+        directed = directed.join(rev, ["query_id", "match_id"], "left_semi")
+        # mutual pairs appear in both directions: keep the src<dst copy
+        return directed.filter(F.col("query_id") < F.col("match_id")).select(
+            F.col("query_id").alias("src"), F.col("match_id").alias("dst"),
+            "cosine_sim")
+    und = directed.select(
+        F.least("query_id", "match_id").alias("src"),
+        F.greatest("query_id", "match_id").alias("dst"),
+        "cosine_sim")
+    return und.groupBy("src", "dst").agg(F.max("cosine_sim").alias("cosine_sim"))

@@ -6296,6 +6296,35 @@ def q_fd_audit_q(spark, sf):
                      ("p_type", "p_size")])
 
 
+
+
+@q("sim_knn_graph", """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+s AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         list_cosine_similarity(a.v, b.v) AS sim
+  FROM emb a, emb b WHERE a.vec_id <> b.vec_id),
+r AS (
+  SELECT qa, qb, sim,
+         row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+  FROM s),
+top AS (SELECT qa, qb, sim FROM r WHERE rk <= 4),
+mut AS (SELECT t.qa, t.qb, t.sim FROM top t JOIN top o ON t.qa = o.qb AND t.qb = o.qa)
+SELECT qa AS src, qb AS dst, round(sim, 4) AS cosine_sim FROM mut WHERE qa < qb
+""")
+def sim_knn_graph_q(spark, sf):
+    # Mutual-kNN graph (operators/similarity.py knn_graph): undirected
+    # edges kept only when BOTH endpoints rank each other top-k — the
+    # conservative near-dup grouping substrate. Exact method on a
+    # bounded slice so the oracle re-ranks all pairs and re-applies the
+    # mutuality filter; method='lsh' is the bucketed 100 TB path (same
+    # downstream contract, recall-gated like the other ANN emitters).
+    from clinpy_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    return knn_graph(emb, k=4, mutual=True, method="exact")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -6310,11 +6339,12 @@ def q_fd_audit_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r10 window head: 18 oracled queries with NO driver record yet
+    # -- r10 window head: 19 oracled queries with NO driver record yet
     # (12 r8-era queries squeezed out of earlier windows + 6 new in
     # r10), then the 32 stalest oracled queries (last recorded r2).
     # Generated from CORRECTNESS_r*.json by staleness; everything
     # else keeps its newer green rows as evidence. --
+    "sim_knn_graph",
     "v_filter_spec",
     "j10d_region_batch",
     "dedup_keep_best",
@@ -6364,7 +6394,6 @@ _PRIORITY: list[str] = [
     "a8c_cube",
     "o4_exact_percentiles",
     "a6b_unpivot",
-    "o3_lag_gaps",
 ]
 
 

@@ -3378,3 +3378,40 @@ def test_fd_audit_holds_and_violations(spark):
     assert out[("k", "g")].holds and out[("k", "g")].n_violating == 0
     r = out[("g", "v")]
     assert not r.holds and r.n_groups == 2 and r.n_violating == 1  # g='b'
+
+
+def test_knn_graph_mutual_and_union(spark):
+    """kNN graph: mutual mode keeps only reciprocal top-k pairs, union
+    mode keeps all directed edges undirected; LSH method emits a subset
+    of the exact edge set (bucketing can only drop candidates)."""
+    import numpy as np
+
+    from clinpy_spark.operators.similarity import knn_graph
+
+    rng = np.random.default_rng(7)
+    # two tight clusters + one outlier near cluster 0: the outlier's
+    # top-k reaches cluster members, but cluster members prefer each
+    # other -> its edges are dropped in mutual mode with small k
+    base = [rng.normal(size=8) for _ in range(2)]
+    vecs = [base[i % 2] + rng.normal(scale=0.01, size=8) for i in range(8)]
+    vecs.append(base[0] + rng.normal(scale=0.8, size=8))  # id 8: outlier
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+
+    mut = knn_graph(df, k=3, mutual=True, method="exact").collect()
+    assert all(r.src < r.dst for r in mut)
+    # every mutual edge connects same-cluster members
+    for r in mut:
+        assert r.src % 2 == r.dst % 2 or 8 in (r.src, r.dst)
+    edge_ids = {x for r in mut for x in (r.src, r.dst)}
+    assert 8 not in edge_ids  # outlier not reciprocated at k=3
+
+    uni = knn_graph(df, k=3, mutual=False, method="exact").collect()
+    uni_set = {(r.src, r.dst) for r in uni}
+    assert {(r.src, r.dst) for r in mut} <= uni_set
+    assert 8 in {x for e in uni_set for x in e}  # union keeps outlier's edges
+
+    lsh = knn_graph(df, k=3, mutual=True, method="lsh",
+                    dim=8, n_planes=2, n_tables=8).collect()
+    assert {(r.src, r.dst) for r in lsh} <= uni_set

@@ -78,6 +78,9 @@ EXPECTED_UNBOUNDED = {
                          # the entire pair space is ONE row of array math
     "e_pareto_concentration",  # crossJoin vs the ONE-ROW (grand, n_users)
                                # aggregate of the small user-total table
+    "sim_knn_graph",  # exact-method brute-force on a bounded slice: the
+                      # oracle baseline shape; the lsh method is the scale
+                      # path (bucket equi-join, no all-pairs)
     "drift_psi_value",  # crossJoins vs the 1-row decile-edge array and the
                         # 1-row bin-total aggregate — constant-size
                         # broadcasts, linear in the cohorts
