@@ -6325,6 +6325,47 @@ def sim_knn_graph_q(spark, sf):
     return knn_graph(emb, k=4, mutual=True, method="exact")
 
 
+
+
+@q("drift_psi_by_type", """
+WITH ref AS (SELECT event_id, event_type AS g, value FROM events WHERE user_id % 2 = 0),
+cur AS (SELECT event_id, event_type AS g, value FROM events WHERE user_id % 2 = 1),
+e AS (SELECT g, unnest(quantile_cont(value, [0.2,0.4,0.6,0.8])) AS edge FROM ref GROUP BY g),
+rb AS (SELECT r.g, count(*) FILTER (r.value > e.edge) AS bin
+       FROM ref r JOIN e ON r.g = e.g GROUP BY r.g, r.event_id),
+rc AS (SELECT g, bin, count(*) AS ref_n FROM rb GROUP BY g, bin),
+cb AS (SELECT c.g, count(*) FILTER (c.value > e.edge) AS bin
+       FROM cur c JOIN e ON c.g = e.g GROUP BY c.g, c.event_id),
+cc AS (SELECT g, bin, count(*) AS cur_n FROM cb GROUP BY g, bin),
+spine AS (SELECT DISTINCT g, unnest(generate_series(0, 4)) AS bin FROM e),
+j AS (SELECT s.g, s.bin, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+      FROM spine s LEFT JOIN rc ON s.g = rc.g AND s.bin = rc.bin
+      LEFT JOIN cc ON s.g = cc.g AND s.bin = cc.bin),
+t AS (SELECT g, ref_n, cur_n,
+             sum(ref_n) OVER (PARTITION BY g) AS tr,
+             sum(cur_n) OVER (PARTITION BY g) AS tc FROM j)
+SELECT g AS event_type,
+       round(sum(((cur_n + 0.5) / (tc + 2.5) - (ref_n + 0.5) / (tr + 2.5))
+                 * ln(((cur_n + 0.5) / (tc + 2.5)) / ((ref_n + 0.5) / (tr + 2.5)))), 6) AS psi,
+       CAST(max(tr) AS BIGINT) AS ref_n, CAST(max(tc) AS BIGINT) AS cur_n
+FROM t GROUP BY g
+""")
+def drift_psi_by_type_q(spark, sf):
+    # Segmented drift (operators/drift.py psi_by_group): PSI of every
+    # event type's value distribution in ONE pass — per-group decile
+    # edges from a grouped percentile aggregate rejoined by key (no
+    # driver collect, no cross join), so 10k segments cost the same
+    # plan as one. The monitoring query a mixture pipeline runs per
+    # source/language segment.
+    from clinpy_spark.operators.drift import psi_by_group
+
+    ev = _t(spark, sf, "events")
+    return psi_by_group(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value", "event_type", n_bins=5)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -6344,6 +6385,7 @@ _PRIORITY: list[str] = [
     # r10), then the 32 stalest oracled queries (last recorded r2).
     # Generated from CORRECTNESS_r*.json by staleness; everything
     # else keeps its newer green rows as evidence. --
+    "drift_psi_by_type",
     "sim_knn_graph",
     "v_filter_spec",
     "j10d_region_batch",
@@ -6393,7 +6435,6 @@ _PRIORITY: list[str] = [
     "a15_hll_sketch",
     "a8c_cube",
     "o4_exact_percentiles",
-    "a6b_unpivot",
 ]
 
 

@@ -3415,3 +3415,31 @@ def test_knn_graph_mutual_and_union(spark):
     lsh = knn_graph(df, k=3, mutual=True, method="lsh",
                     dim=8, n_planes=2, n_tables=8).collect()
     assert {(r.src, r.dst) for r in lsh} <= uni_set
+
+
+def test_psi_by_group_matches_ungrouped(spark):
+    """Grouped PSI: each group's psi equals the ungrouped psi_table
+    total computed on that group alone; ref-only groups emit with
+    cur_n=0 and cur-only groups are excluded (reference defines the
+    segments)."""
+    from clinpy_spark.operators.drift import psi_by_group, psi_table
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 20)) for i in range(200)]
+        + [("b", float(i % 50)) for i in range(100)]
+        + [("only_ref", float(i)) for i in range(30)],
+        "g string, v double")
+    cur = spark.createDataFrame(
+        [("a", float(i % 20) + 5.0) for i in range(150)]
+        + [("b", float(i % 50)) for i in range(80)]
+        + [("only_cur", 1.0)], "g string, v double")
+
+    got = {r.g: r for r in psi_by_group(ref, cur, "v", "g", n_bins=5).collect()}
+    assert set(got) == {"a", "b", "only_ref"}
+    for g in ("a", "b"):
+        solo = sum(r.psi_contrib for r in psi_table(
+            ref.filter(F.col("g") == g), cur.filter(F.col("g") == g),
+            "v", n_bins=5).collect())
+        assert abs(got[g].psi - round(solo, 5)) < 2e-5
+    assert got["only_ref"].cur_n == 0
+    assert got["a"].psi > got["b"].psi  # shifted segment flags higher
