@@ -62,6 +62,11 @@ TIER2 = [
     "dedup_ppjoin_pairs",
     "text_fuzzy_decontaminate",
     "pipeline_curation_stats",
+    # round-10 flagships: segmented drift monitoring, entity
+    # resolution, and the mutual-kNN graph
+    "drift_psi_by_type",
+    "er_resolve_parts",
+    "sim_knn_graph",
 ]
 
 

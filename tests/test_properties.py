@@ -758,3 +758,56 @@ def test_snapshot_diff_reconstructs_new(spark, olds, news):
         if ch in ("insert", "update"):
             rebuilt[k] = new_m[k]
     assert rebuilt == new_m
+
+
+# Grid floats: the affine transform must be EXACT in float arithmetic
+# (arbitrary doubles near zero collapse onto the offset — 7.0 + 2e-30
+# == 7.0 — merging ECDF steps and genuinely changing D; that is float
+# behavior, not a KS property violation).
+_grid = st.integers(min_value=-1000, max_value=1000).map(lambda i: i / 4.0)
+
+
+@given(
+    a=st.lists(_grid, min_size=3, max_size=25),
+    b=st.lists(_grid, min_size=3, max_size=25),
+)
+@settings(max_examples=8, deadline=None)
+def test_ks_invariant_under_monotone_transform(spark, a, b):
+    """KS is a rank statistic: applying the same strictly-increasing
+    exact transform (2x + 7) to BOTH samples leaves D unchanged, and D
+    is symmetric in the sample order."""
+    from clinpy_spark.operators.drift import ks_two_sample
+
+    da = spark.createDataFrame([(v,) for v in a], "v double")
+    db = spark.createDataFrame([(v,) for v in b], "v double")
+    base = ks_two_sample(da, db, "v").collect()[0]
+
+    ta = spark.createDataFrame([(2.0 * v + 7.0,) for v in a], "v double")
+    tb = spark.createDataFrame([(2.0 * v + 7.0,) for v in b], "v double")
+    trans = ks_two_sample(ta, tb, "v").collect()[0]
+    assert trans.ks_d == base.ks_d
+
+    swapped = ks_two_sample(db, da, "v").collect()[0]
+    assert swapped.ks_d == base.ks_d
+    assert (swapped.n_a, swapped.n_b) == (base.n_b, base.n_a)
+
+
+@given(
+    vals=st.lists(st.floats(min_value=0, max_value=50,
+                            allow_nan=False, allow_infinity=False),
+                  min_size=10, max_size=40),
+)
+@settings(max_examples=8, deadline=None)
+def test_psi_zero_on_identical_and_affine_invariant(spark, vals):
+    """PSI of a cohort against itself is ~0 in every bin, and scaling
+    BOTH cohorts by the same positive affine map leaves every per-bin
+    contribution unchanged (binning is quantile-based)."""
+    from clinpy_spark.operators.drift import psi_table
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = psi_table(df, df, "v", n_bins=4).collect()
+    assert all(abs(r.psi_contrib) < 1e-9 for r in rows)
+
+    df2 = spark.createDataFrame([(3.0 * v + 11.0,) for v in vals], "v double")
+    shifted = psi_table(df2, df2, "v", n_bins=4).collect()
+    assert [(r.ref_n, r.cur_n) for r in shifted] == [(r.ref_n, r.cur_n) for r in rows]
