@@ -230,3 +230,76 @@ def fd_audit(df: DataFrame, candidates: list[tuple[str, str]]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    count_percentiles: tuple[float, ...] = (0.5, 0.99),
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: one row — (n_rows, n_keys,
+    max_n, top1_frac, p50_n, p99_n, gini) — the numbers that decide
+    whether a key needs salting BEFORE the join is written (the
+    pre-flight twin of skew.py's runtime hot-key probe).
+
+    First pass: per-key counts (map-side combined). Second pass:
+    aggregates over the KEY-CARDINALITY-sized count table, including
+    the Gini concentration index via one ordered window over that
+    table (n_keys rows, not corpus rows; at extreme key cardinality
+    pre-bucket counts the same way the KS quantize knob does). Gini 0 =
+    uniform keys, -> 1 = one whale key owns the table."""
+    from pyspark.sql.window import Window as W
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    ranked = counts.withColumn(
+        "__i", F.row_number().over(W.orderBy(F.asc("__n"), *[F.asc(k) for k in key_cols])))
+    pcts = [
+        F.round(F.percentile(F.col("__n"), F.lit(p)), 6).alias(
+            f"p{int(p * 100)}_n")
+        for p in count_percentiles
+    ]
+    return ranked.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("max_n"),
+        F.round(F.max("__n") / F.sum("__n"), 6).alias("top1_frac"),
+        *pcts,
+        F.round(
+            (2 * F.sum(F.col("__i") * F.col("__n"))
+             - (F.count(F.lit(1)) + 1) * F.sum("__n"))
+            / (F.count(F.lit(1)) * F.sum("__n")),
+            6,
+        ).alias("gini"),
+    )
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law: 9 rows
+    (digit, n, frac, benford_frac, abs_dev) — the classic fabricated /
+    truncated-numeric-data audit. The digit comes from a decimal-cast
+    string (engine-portable; float-to-string scientific notation never
+    appears), zero/null values drop out. One narrow scan + one 9-group
+    aggregate."""
+    digit = F.regexp_extract(
+        F.col(col).cast("decimal(18,2)").cast("string"), "[1-9]", 0)
+    per = (
+        df.select(digit.alias("__d"))
+        .filter(F.col("__d") != "")
+        .groupBy("__d").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.agg(F.sum("n").alias("__t"))
+    digit = F.col("__d").cast("int")
+    expected = F.log10(1.0 + 1.0 / digit)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            digit.alias("digit"),
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("frac"),
+            F.round(expected, 6).alias("benford_frac"),
+            F.round(F.abs(F.col("n").cast("double") / F.col("__t")
+                          - expected), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

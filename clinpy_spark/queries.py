@@ -6366,6 +6366,54 @@ def drift_psi_by_type_q(spark, sf):
         "value", "event_type", n_bins=5)
 
 
+
+
+@q("q_skew_report", """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+r AS (SELECT n, row_number() OVER (ORDER BY n ASC, user_id ASC) AS i FROM c)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_n,
+       round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top1_frac,
+       round(quantile_cont(n, 0.5), 6) AS p50_n,
+       round(quantile_cont(n, 0.99), 6) AS p99_n,
+       round((2 * sum(i * n) - (count(*) + 1) * sum(n))
+             / (count(*) * CAST(sum(n) AS DOUBLE)), 6) AS gini
+FROM r
+""")
+def q_skew_report_q(spark, sf):
+    # Shuffle-key skew diagnostic (operators/quality.py skew_report):
+    # per-key counts -> concentration aggregates (max share, count
+    # percentiles, Gini) over the key-cardinality-sized table — the
+    # pre-flight numbers that decide whether a join key needs salting,
+    # next to skew.py's runtime hot-key probe.
+    from clinpy_spark.operators.quality import skew_report
+
+    return skew_report(_t(spark, sf, "events"), ["user_id"])
+
+
+@q("q_benford_price", """
+WITH d AS (
+  SELECT regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS dg
+  FROM orders),
+p AS (SELECT dg, count(*) AS n FROM d WHERE dg <> '' GROUP BY dg),
+t AS (SELECT sum(n) AS tt FROM p)
+SELECT CAST(dg AS INT) AS digit, CAST(n AS BIGINT) AS n,
+       round(n / CAST(tt AS DOUBLE), 6) AS frac,
+       round(log10(1.0 + 1.0 / CAST(dg AS INT)), 6) AS benford_frac,
+       round(abs(n / CAST(tt AS DOUBLE) - log10(1.0 + 1.0 / CAST(dg AS INT))), 6) AS abs_dev
+FROM p CROSS JOIN t ORDER BY digit
+""")
+def q_benford_price_q(spark, sf):
+    # Benford first-digit audit (operators/quality.py benford_digits):
+    # the fabricated/truncated-numeric-data check over order totals.
+    # Digit from a decimal-cast string (engine-portable, no scientific
+    # notation); expected share log10(1 + 1/d), deviations rounded to
+    # the repo's 6-decimal convention.
+    from clinpy_spark.operators.quality import benford_digits
+
+    return benford_digits(_t(spark, sf, "orders"), "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -6385,6 +6433,8 @@ _PRIORITY: list[str] = [
     # r10), then the 32 stalest oracled queries (last recorded r2).
     # Generated from CORRECTNESS_r*.json by staleness; everything
     # else keeps its newer green rows as evidence. --
+    "q_skew_report",
+    "q_benford_price",
     "drift_psi_by_type",
     "sim_knn_graph",
     "v_filter_spec",
@@ -6434,7 +6484,6 @@ _PRIORITY: list[str] = [
     "s12_merge_upsert",
     "a15_hll_sketch",
     "a8c_cube",
-    "o4_exact_percentiles",
 ]
 
 

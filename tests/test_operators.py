@@ -3443,3 +3443,46 @@ def test_psi_by_group_matches_ungrouped(spark):
         assert abs(got[g].psi - round(solo, 5)) < 2e-5
     assert got["only_ref"].cur_n == 0
     assert got["a"].psi > got["b"].psi  # shifted segment flags higher
+
+
+def test_skew_report_metrics(spark):
+    """Skew report: a uniform key distribution scores gini ~0; a
+    whale-dominated one scores high with the whale as max_n/top1."""
+    from clinpy_spark.operators.quality import skew_report
+
+    uniform = spark.createDataFrame(
+        [(i % 10, i) for i in range(1000)], "k long, v long")
+    r = skew_report(uniform, ["k"]).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_n) == (1000, 10, 100)
+    assert r.gini == 0.0 and r.top1_frac == 0.1 and r.p50_n == 100.0
+
+    whale = spark.createDataFrame(
+        [(0, i) for i in range(991)] + [(k, 0) for k in range(1, 10)],
+        "k long, v long")
+    w = skew_report(whale, ["k"]).collect()[0]
+    assert w.max_n == 991 and w.top1_frac == 0.991
+    assert w.gini > 0.85
+
+
+def test_benford_digits_distribution(spark):
+    """Benford audit: an exact-Benford synthetic sample matches the
+    expected fractions; zero/negative/null values are handled (zero
+    dropped, negatives take their first significant digit)."""
+    import math
+
+    from clinpy_spark.operators.quality import benford_digits
+
+    rows = []
+    for d in range(1, 10):
+        n_d = round(10000 * math.log10(1 + 1 / d))
+        rows += [(float(d * 100 + 1),)] * n_d
+    rows += [(0.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r.digit: r for r in benford_digits(df, "x").collect()}
+    assert set(out) == set(range(1, 10))
+    assert all(r.abs_dev < 1e-4 for r in out.values())
+    assert abs(sum(r.frac for r in out.values()) - 1.0) < 1e-3
+
+    neg = spark.createDataFrame([(-456.7,), (3.2,)], "x double")
+    got = {r.digit: r.n for r in benford_digits(neg, "x").collect()}
+    assert got == {3: 1, 4: 1}
