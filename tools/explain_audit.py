@@ -85,7 +85,8 @@ EXPECTED_UNBOUNDED = {
                         # 1-row bin-total aggregate — constant-size
                         # broadcasts, linear in the cohorts
     "drift_ks_value",  # crossJoin vs the 1-row (n_a, n_b) totals
-    "drift_chi2_lang",  # marginal-product spine: |sides| x |categories|
+    "drift_chi2_lang",
+    "q_benford_price",  # crossJoin vs the 1-row digit-total aggregate  # marginal-product spine: |sides| x |categories|
                         # rows (a few dozen), both sides tiny aggregates,
                         # plus the 1-row grand-total broadcast
 }
