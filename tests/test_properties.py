@@ -793,15 +793,19 @@ def test_ks_invariant_under_monotone_transform(spark, a, b):
 
 
 @given(
-    vals=st.lists(st.floats(min_value=0, max_value=50,
-                            allow_nan=False, allow_infinity=False),
+    # dyadic grid floats: percentile interpolation and the affine map
+    # are then EXACT in float arithmetic (arbitrary doubles make the
+    # transformed interpolated edge differ by 1 ulp from the
+    # transformed edge, flipping strict > bin comparisons — float
+    # behavior, not a PSI property violation)
+    vals=st.lists(st.integers(min_value=0, max_value=100).map(lambda i: i / 2.0),
                   min_size=10, max_size=40),
 )
 @settings(max_examples=8, deadline=None)
 def test_psi_zero_on_identical_and_affine_invariant(spark, vals):
     """PSI of a cohort against itself is ~0 in every bin, and scaling
-    BOTH cohorts by the same positive affine map leaves every per-bin
-    contribution unchanged (binning is quantile-based)."""
+    BOTH cohorts by the same positive exact affine map leaves every
+    per-bin contribution unchanged (binning is quantile-based)."""
     from clinpy_spark.operators.drift import psi_table
 
     df = spark.createDataFrame([(v,) for v in vals], "v double")
