@@ -1,0 +1,143 @@
+"""Relational graph analytics over an edge list — the co-occurrence /
+similarity-graph readouts a training-data pipeline runs downstream of
+the kNN-graph and entity-resolution operators (mutual_knn_graph in
+operators/similarity.py, er blocking in operators/fuzzy.py): triangle
+census for clustering structure, PageRank for node importance.
+
+Everything is DataFrame joins — no driver-side graph, no GraphX/RDD:
+
+- ``triangle_stats``: exact triangle count + wedge count + global
+  clustering coefficient. Spark side orients each undirected edge from
+  its lower-(degree, id) endpoint to the higher one, so the wedge join
+  fans out on sum(out_deg^2) with out-degree bounded by ~sqrt(2|E|)
+  (the standard compact-forward bound, Chiba-Nishizeki / Cohen's
+  MapReduce formulation) — a whale node of degree 1M contributes
+  out-wedges only up to its rank among neighbors, not 10^12 pairs.
+  Count is identical to the naive u<v<w enumeration the SQL oracle
+  runs, only the join order differs.
+- ``pagerank``: K power-iteration steps with damping, unrolled as K
+  join+groupBy rounds (each round = one shuffle keyed by node, the
+  plan AQE-sizes independently). Deterministic closed recurrence, so a
+  SQL oracle replays the same K rounds as chained CTEs. Dangling nodes
+  (isolated after edge dedup) cannot occur in a symmetrized edge list,
+  so mass is conserved exactly.
+
+Scale shape: degree computation, orientation, and each PR round are
+single-key shuffles on the node id; the only quadratic-looking step
+(wedge enumeration) is the degree-bounded self-join above. For 100 TB
+graphs, checkpoint/persist the oriented edge list once and reuse it
+across both statistics (callers pass the same ``edges``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges as (u, v) with u < v; self-loops
+    dropped. One groupBy-free distinct keyed on the canonical pair."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """1 row (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_coeff): exact global triangle census of the undirected
+    simple graph; clustering_coeff = 3 * triangles / wedges (0.0 for a
+    wedge-free graph), rounded to 6.
+    """
+    e = _canon_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge from the lower-(deg, id) endpoint: out-degree of
+    # every node is then O(sqrt(|E|)), bounding the wedge self-join.
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        e.join(du, "u").join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    # Wedge at pivot a: two out-neighbors b, c (b != c); closing edge
+    # may point either way under the orientation, so probe the
+    # canonical (min, max) pair against the undirected edge set.
+    wedges = (
+        oriented.join(o2, F.col("a") == F.col("a2"))
+        .filter(F.col("b") < F.col("c"))
+        .select("a", F.col("b").alias("u"), F.col("c").alias("v"))
+    )
+    tri = wedges.join(e, ["u", "v"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    base = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+        .alias("n_wedges"),
+    )
+    return (
+        nodes.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank on the undirected simple graph (each edge walked both
+    ways): (node, pr) after ``iterations`` power steps from the uniform
+    start, pr rounded to 6. r_{k+1}(u) = (1-d)/N + d * sum_{v~u}
+    r_k(v) / deg(v); symmetrized edges have no dangling nodes, so the
+    recurrence is mass-conserving and exactly replayable by an oracle
+    that unrolls the same K rounds.
+    """
+    e = _canon_edges(edges, src, dst)
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    adj = both.join(deg, "u")
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("__n"))
+    # rank table: (u, r). Uniform start; each round is one shuffle.
+    r = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "u", (F.lit(1.0) / F.col("__n")).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            adj.join(r, "u")
+            .select(F.col("v").alias("u"), (F.col("r") / F.col("deg")).alias("__c"))
+            .groupBy("u")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        r = contrib.crossJoin(F.broadcast(n_nodes)).select(
+            "u",
+            ((1 - damping) / F.col("__n") + damping * F.col("__in")).alias("r"),
+        )
+    return r.select(F.col("u").alias("node"), F.round("r", 6).alias("pr"))

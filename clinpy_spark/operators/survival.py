@@ -1,0 +1,170 @@
+"""Survival analysis over cohort event tables — the clinical readout a
+clinpy-style project runs on top of its sample/assay store (reference
+scope: clinical cohorts keyed by samplename, clinpy/assays/project.py;
+this module adds the time-to-event statistics the reference leaves to
+downstream R/pandas, re-expressed as exact relational plans).
+
+- ``km_curve``: Kaplan-Meier product-limit estimator per group — the
+  standard survival curve. S(t) = prod_{t_i <= t} (1 - d_i / n_i) with
+  d_i = events at t_i and n_i = subjects still at risk.
+- ``logrank_test``: two-group log-rank (Mantel-Cox) chi-square — the
+  standard test that two survival curves differ.
+
+Both are EXACT closed forms over one grouped aggregate plus ordered
+windows, so a SQL oracle recomputes them bit-for-bit (product via
+exp(sum(ln)) with the repo round-6 convention for transcendental-
+touched doubles; the all-events-at-last-time ln(0) edge is handled by
+an explicit zero flag, never by evaluating ln(0)).
+
+Scale shape: the raw cohort is aggregated to one row per (group,
+distinct event time) FIRST; every window after that runs over the
+per-time aggregate (|distinct times| rows, not the cohort), partitioned
+by group — at 100 TB the shuffle is one groupBy on (group, time) and
+the window state is bounded by the time-grid size. No driver collect,
+no join wider than the per-time table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _per_time(df: DataFrame, time_col: str, event_col: str,
+              group_col: str) -> DataFrame:
+    """(group, t, d, c): events and censorings per distinct time, the
+    bounded-size table every survival statistic is computed from."""
+    return (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(time_col).alias("__t"),
+            F.col(event_col).cast("int").alias("__e"),
+        )
+        .groupBy("__g", "__t")
+        .agg(
+            F.sum("__e").alias("d"),
+            F.sum(1 - F.col("__e")).alias("c"),
+        )
+    )
+
+
+def km_curve(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kaplan-Meier curve per group: (group, t, n_risk, n_events,
+    n_censored, survival), one row per (group, distinct observed time),
+    ordered within group by time.
+
+    ``survival`` is the product-limit estimate after all events at
+    ``t`` (right-continuous step function), rounded to 6 decimals.
+    When the last at-risk subjects all fail (d == n_risk) the factor is
+    exactly 0; that row and everything after it reports survival 0.0
+    via a cumulative flag instead of ln(0).
+    """
+    pt = _per_time(df, time_col, event_col, group_col)
+    w_ord = Window.partitionBy("__g").orderBy("__t")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("__g")
+    pt = pt.withColumn(
+        "n_risk",
+        F.sum(F.col("d") + F.col("c")).over(tot)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk")
+    pt = (
+        pt.withColumn(
+            "__lsum",
+            F.sum(
+                F.when(F.col("d") < F.col("n_risk"), F.log(1 - frac))
+                .otherwise(F.lit(0.0))
+            ).over(w_cum),
+        )
+        .withColumn(
+            "__zero",
+            F.max(
+                F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+            ).over(w_cum),
+        )
+    )
+    return pt.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias(time_col),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("__zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("__lsum"), 6))
+        .alias("survival"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-group log-rank (Mantel-Cox) test: 1 row (chi2, observed_a,
+    expected_a, n_a, n_b). chi2 = (sum(d_a - e_a))^2 / sum(v) with, at
+    each distinct pooled event time, e_a = d * n_a / n and hypergeometric
+    variance v = d * (n_a/n) * (1 - n_a/n) * (n - d) / (n - 1)
+    (v = 0 where n == 1). Censoring-only times contribute nothing
+    (d = 0) and drop out exactly.
+    """
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    pt = _per_time(sub, time_col, event_col, group_col)
+    is_a = F.col("__g") == F.lit(group_a)
+    per_t = pt.groupBy("__t").agg(
+        F.sum(F.when(is_a, F.col("d")).otherwise(0)).alias("da"),
+        F.sum(F.when(is_a, F.col("d") + F.col("c")).otherwise(0)).alias("ra"),
+        F.sum("d").alias("d"),
+        F.sum(F.col("d") + F.col("c")).alias("r"),
+    )
+    w_prev = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
+    tot_a = F.sum("ra").over(Window.partitionBy())
+    tot = F.sum("r").over(Window.partitionBy())
+    per_t = (
+        per_t.withColumn(
+            "na", tot_a - F.coalesce(F.sum("ra").over(w_prev), F.lit(0)))
+        .withColumn("n", tot - F.coalesce(F.sum("r").over(w_prev), F.lit(0)))
+        .filter(F.col("d") > 0)
+    )
+    pa = F.col("na").cast("double") / F.col("n")
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d") * pa * (1 - pa) * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1),
+    ).otherwise(F.lit(0.0))
+    agg = per_t.agg(
+        F.sum("da").alias("observed_a"),
+        F.round(F.sum(F.col("d") * pa), 6).alias("expected_a"),
+        F.sum(F.col("d") * pa).alias("__ea"),
+        F.sum(v).alias("__v"),
+    )
+    oma = F.col("observed_a") - F.col("__ea")
+    counts = (
+        sub.groupBy()
+        .agg(
+            F.sum(F.when(F.col(group_col) == F.lit(group_a), 1).otherwise(0))
+            .alias("n_a"),
+            F.sum(F.when(F.col(group_col) == F.lit(group_b), 1).otherwise(0))
+            .alias("n_b"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(counts))
+        .select(
+            F.round(oma * oma / F.col("__v"), 6).alias("chi2"),
+            "observed_a",
+            "expected_a",
+            "n_a",
+            "n_b",
+        )
+    )

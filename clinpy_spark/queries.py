@@ -6415,6 +6415,314 @@ def q_benford_price_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Survival analysis (operators/survival.py) — Kaplan-Meier curves and the
+# log-rank test over a deterministic time-to-event cohort derived from
+# orders: follow-up days from the portable md5 hash of the order key,
+# administrative censoring at the 1998-08-02 study end, cohort = order
+# priority. The clinical readout a clinpy project runs on its sample
+# store (reference project.py cohorts).
+# ---------------------------------------------------------------------------
+
+_SURV_OBS_SQL = """
+  SELECT o_orderpriority AS priority,
+         LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt
+  FROM (SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+"""
+
+
+def _surv_obs(spark, sf) -> DataFrame:
+    """(priority, duration, evt): deterministic survival cohort; the
+    SQL twin is _SURV_OBS_SQL (portable first-8-md5-hex hash)."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    return o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+    )
+
+
+@q("surv_km_curve", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+agg AS (SELECT priority, duration,
+               CAST(sum(evt) AS BIGINT) AS d,
+               CAST(sum(1 - evt) AS BIGINT) AS c
+        FROM obs GROUP BY priority, duration),
+w AS (SELECT *,
+        sum(d + c) OVER (PARTITION BY priority) AS tot,
+        coalesce(sum(d + c) OVER (PARTITION BY priority ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM agg),
+r AS (SELECT priority, duration, d, c,
+             CAST(tot - prev AS BIGINT) AS n_risk FROM w),
+s AS (SELECT *,
+        sum(CASE WHEN d < n_risk
+                 THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS lsum,
+        max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS zf
+      FROM r)
+SELECT priority, duration, n_risk, d AS n_events, c AS n_censored,
+       CASE WHEN zf = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS survival
+FROM s
+""")
+def surv_km_curve_q(spark, sf):
+    # Kaplan-Meier product-limit curve per cohort (operators/
+    # survival.py km_curve): one groupBy to the per-(cohort, time)
+    # table, then ordered windows over that bounded grid — the survival
+    # probability after each observed day, censoring handled exactly.
+    from clinpy_spark.operators.survival import km_curve
+
+    return km_curve(_surv_obs(spark, sf), "duration", "evt", "priority")
+
+
+@q("surv_logrank", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+per_t AS (SELECT duration,
+                 sum(CASE WHEN priority = '1-URGENT' THEN evt ELSE 0 END) AS da,
+                 sum(CASE WHEN priority = '1-URGENT' THEN 1 ELSE 0 END) AS ra,
+                 sum(evt) AS d, count(*) AS r
+          FROM obs GROUP BY duration),
+w AS (SELECT *,
+        sum(ra) OVER () - coalesce(sum(ra) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+        sum(r) OVER () - coalesce(sum(r) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM per_t),
+f AS (SELECT * FROM w WHERE d > 0),
+g AS (SELECT CAST(sum(da) AS BIGINT) AS observed_a,
+             sum(d * (CAST(na AS DOUBLE) / n)) AS ea,
+             sum(CASE WHEN n > 1 THEN d * (CAST(na AS DOUBLE) / n)
+                   * (1 - CAST(na AS DOUBLE) / n) * (n - d) / (n - 1)
+                 ELSE 0 END) AS v
+      FROM f)
+SELECT round((observed_a - ea) * (observed_a - ea) / v, 6) AS chi2,
+       observed_a, round(ea, 6) AS expected_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs
+        WHERE priority = '1-URGENT') AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs
+        WHERE priority = '5-LOW') AS n_b
+FROM g
+""")
+def surv_logrank_q(spark, sf):
+    # Log-rank (Mantel-Cox) two-cohort test (operators/survival.py
+    # logrank_test): hypergeometric expectation and variance at each
+    # pooled event time, summed to one chi-square row — do the urgent
+    # and low-priority cohorts share a survival curve?
+    from clinpy_spark.operators.survival import logrank_test
+
+    return logrank_test(
+        _surv_obs(spark, sf), "duration", "evt", "priority",
+        "1-URGENT", "5-LOW")
+
+
+# ---------------------------------------------------------------------------
+# Population-genetics association (operators/assoc.py) over a
+# deterministic genotype table: variant = part-key bucket, two alleles
+# drawn independently from the portable hash (so the cohort IS near
+# Hardy-Weinberg equilibrium and the chi-square distribution is
+# realistic), phenotype = an independent hash bit.
+# ---------------------------------------------------------------------------
+
+_GENO_SQL = """
+  SELECT l_partkey % 400 AS variant,
+         (CASE WHEN h % 100 < 30 THEN 1 ELSE 0 END)
+         + (CASE WHEN (h // 100) % 100 < 30 THEN 1 ELSE 0 END) AS gt,
+         (h // 10000) % 2 = 1 AS is_case
+  FROM (SELECT l_partkey,
+               ('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+                                        AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM lineitem)
+"""
+
+
+def _geno(spark, sf) -> DataFrame:
+    """(variant, gt, is_case): deterministic HWE-ish genotype table;
+    SQL twin _GENO_SQL."""
+    li = _t(spark, sf, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5((F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                  .cast("string")),
+            1, 8),
+        16, 10,
+    ).cast("long")
+    a1 = F.when(h % 100 < 30, 1).otherwise(0)
+    a2 = F.when((h / F.lit(100)).cast("long") % 100 < 30, 1).otherwise(0)
+    return li.select(
+        (F.col("l_partkey") % 400).alias("variant"),
+        (a1 + a2).alias("gt"),
+        (((h / F.lit(10000)).cast("long") % 2) == 1).alias("is_case"),
+    )
+
+
+@q("gx_hwe_audit", f"""
+WITH g AS ({_GENO_SQL}),
+pv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_ref,
+              CAST(sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+              CAST(sum(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_alt
+       FROM g GROUP BY variant),
+qq AS (SELECT *, (2 * n_hom_alt + n_het) / (2.0 * n) AS q FROM pv)
+SELECT variant, n, n_hom_ref, n_het, n_hom_alt,
+       round(q, 6) AS alt_freq,
+       CASE WHEN q = 0 OR q = 1 THEN 0.0
+            ELSE round(
+              (n_hom_ref - n * (1 - q) * (1 - q)) * (n_hom_ref - n * (1 - q) * (1 - q)) / (n * (1 - q) * (1 - q))
+              + (n_het - n * 2 * (1 - q) * q) * (n_het - n * 2 * (1 - q) * q) / (n * 2 * (1 - q) * q)
+              + (n_hom_alt - n * q * q) * (n_hom_alt - n * q * q) / (n * q * q), 6)
+       END AS chi2
+FROM qq
+""")
+def gx_hwe_audit_q(spark, sf):
+    # Hardy-Weinberg equilibrium audit per variant (operators/assoc.py
+    # hwe_chi2): the standard genotyping-QC gate as ONE conditional-sum
+    # groupBy on the variant key — observed genotype classes vs
+    # p^2/2pq/q^2, monomorphic variants exactly 0.
+    from clinpy_spark.operators.assoc import hwe_chi2
+
+    return hwe_chi2(_geno(spark, sf), "variant", "gt")
+
+
+@q("gx_allelic_assoc", f"""
+WITH g AS ({_GENO_SQL}),
+pv AS (SELECT variant,
+              CAST(sum(CASE WHEN is_case THEN gt ELSE 0 END) AS BIGINT) AS case_alt,
+              CAST(sum(CASE WHEN is_case THEN 2 - gt ELSE 0 END) AS BIGINT) AS case_ref,
+              CAST(sum(CASE WHEN NOT is_case THEN gt ELSE 0 END) AS BIGINT) AS ctrl_alt,
+              CAST(sum(CASE WHEN NOT is_case THEN 2 - gt ELSE 0 END) AS BIGINT) AS ctrl_ref
+       FROM g GROUP BY variant),
+d AS (SELECT *, CAST(case_alt AS DOUBLE) AS a, CAST(case_ref AS DOUBLE) AS b,
+             CAST(ctrl_alt AS DOUBLE) AS c, CAST(ctrl_ref AS DOUBLE) AS dd
+      FROM pv)
+SELECT variant, case_alt, case_ref, ctrl_alt, ctrl_ref,
+       CASE WHEN (a + b) * (c + dd) * (a + c) * (b + dd) = 0 THEN 0.0
+            ELSE round((a + b + c + dd) * (a * dd - b * c) * (a * dd - b * c)
+                       / ((a + b) * (c + dd) * (a + c) * (b + dd)), 6)
+       END AS chi2
+FROM d
+""")
+def gx_allelic_assoc_q(spark, sf):
+    # Case/control allelic association per variant (operators/assoc.py
+    # allelic_assoc_chi2): the 2x2 allele-count Pearson chi-square —
+    # one grouped pass, margins as conditional sums (no contingency
+    # cross join), doubles so the margin products never overflow.
+    from clinpy_spark.operators.assoc import allelic_assoc_chi2
+
+    return allelic_assoc_chi2(_geno(spark, sf), "variant", "gt", "is_case")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (operators/graph.py) over the 1996 co-purchase graph:
+# parts are nodes, an edge links two parts shipped in the same order.
+# Triangle census with degree-oriented wedge enumeration; PageRank as
+# K unrolled join+groupBy rounds.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_SQL = """
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM (SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1996-12-31') x
+  JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1996-12-31') y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+"""
+
+
+def _copurchase(spark, sf) -> DataFrame:
+    """Distinct (u, v) co-purchase edges, u < v; SQL twin
+    _COPURCHASE_SQL."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .select("l_orderkey", "l_partkey")
+    )
+    return (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+@q("graph_triangle_stats", f"""
+WITH e AS ({_COPURCHASE_SQL}),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       CASE WHEN (SELECT sum(deg * (deg - 1) / 2) FROM deg) = 0 THEN 0.0
+            ELSE round(3.0 * (SELECT n_triangles FROM tri)
+                       / (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT)
+                          FROM deg), 6)
+       END AS clustering_coeff
+""")
+def graph_triangle_stats_q(spark, sf):
+    # Exact triangle census (operators/graph.py triangle_stats): edges
+    # oriented low-degree -> high-degree bound the wedge self-join by
+    # sum(out_deg^2) = O(|E|^1.5) — a whale part never enumerates its
+    # full neighbor-pair square. The oracle counts the same triangles
+    # by naive u<v<w enumeration; only the join order differs.
+    from clinpy_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_copurchase(spark, sf), "u", "v")
+
+
+@q("graph_pagerank", f"""
+WITH e AS ({_COPURCHASE_SQL}),
+b AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM b GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT u, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+r1 AS (SELECT b.v AS u, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * sum(r0.r / deg.deg) AS r
+       FROM b JOIN r0 ON r0.u = b.u JOIN deg ON deg.u = b.u GROUP BY b.v),
+r2 AS (SELECT b.v AS u, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * sum(r1.r / deg.deg) AS r
+       FROM b JOIN r1 ON r1.u = b.u JOIN deg ON deg.u = b.u GROUP BY b.v),
+r3 AS (SELECT b.v AS u, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * sum(r2.r / deg.deg) AS r
+       FROM b JOIN r2 ON r2.u = b.u JOIN deg ON deg.u = b.u GROUP BY b.v),
+r4 AS (SELECT b.v AS u, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * sum(r3.r / deg.deg) AS r
+       FROM b JOIN r3 ON r3.u = b.u JOIN deg ON deg.u = b.u GROUP BY b.v),
+r5 AS (SELECT b.v AS u, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * sum(r4.r / deg.deg) AS r
+       FROM b JOIN r4 ON r4.u = b.u JOIN deg ON deg.u = b.u GROUP BY b.v)
+SELECT u AS node, round(r, 6) AS pr FROM r5
+""")
+def graph_pagerank_q(spark, sf):
+    # PageRank, 5 power steps at damping 0.85 (operators/graph.py
+    # pagerank): each step one shuffle keyed by node; the symmetrized
+    # edge list has no dangling mass, so the oracle replays the exact
+    # recurrence as 5 chained CTEs.
+    from clinpy_spark.operators.graph import pagerank
+
+    return pagerank(_copurchase(spark, sf), "u", "v", iterations=5)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.
 #
 # The driver's correctness gate records the first 50 oracled queries in
@@ -6428,11 +6736,18 @@ def q_benford_price_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r10 window head: 19 oracled queries with NO driver record yet
-    # (12 r8-era queries squeezed out of earlier windows + 6 new in
-    # r10), then the 32 stalest oracled queries (last recorded r2).
-    # Generated from CORRECTNESS_r*.json by staleness; everything
-    # else keeps its newer green rows as evidence. --
+    # -- r10 window head: 25 oracled queries with NO driver record yet
+    # (12 r8-era queries squeezed out of earlier windows + 12 new in
+    # r10: drift/skew/benford/ER/FD plus survival, genetics-association
+    # and graph analytics), then the stalest oracled queries (last
+    # recorded r2). Generated from CORRECTNESS_r*.json by staleness;
+    # everything else keeps its newer green rows as evidence. --
+    "surv_km_curve",
+    "surv_logrank",
+    "gx_hwe_audit",
+    "gx_allelic_assoc",
+    "graph_triangle_stats",
+    "graph_pagerank",
     "q_skew_report",
     "q_benford_price",
     "drift_psi_by_type",

@@ -1,0 +1,153 @@
+"""Survival analysis, genetic association, and graph analytics
+(operators/survival.py, assoc.py, graph.py) against hand-computed
+textbook values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinpy_spark.operators.assoc import allelic_assoc_chi2, hwe_chi2
+from clinpy_spark.operators.graph import pagerank, triangle_stats
+from clinpy_spark.operators.survival import km_curve, logrank_test
+
+
+def _cohort(spark, rows):
+    return spark.createDataFrame(rows, "grp string, t long, evt int")
+
+
+def test_km_curve_textbook(spark):
+    """Classic 5-subject example: events at 1, 2, 4; censored at 3, 5.
+    S = 0.8, 0.6, (0.6), 0.3, (0.3)."""
+    df = _cohort(spark, [
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 0), ("a", 4, 1), ("a", 5, 0)])
+    out = {r.t: r for r in km_curve(df, "t", "evt", "grp").collect()}
+    assert [out[t].n_risk for t in (1, 2, 3, 4, 5)] == [5, 4, 3, 2, 1]
+    assert out[1].survival == 0.8
+    assert out[2].survival == 0.6
+    assert out[3].survival == 0.6          # censoring-only time: flat
+    assert out[4].survival == pytest.approx(0.3)
+    assert out[5].survival == pytest.approx(0.3)
+    assert (out[3].n_events, out[3].n_censored) == (0, 1)
+
+
+def test_km_curve_all_events_hit_zero(spark):
+    """When the last at-risk subjects all fail, survival is exactly 0.0
+    (zero flag, not ln(0)); groups are independent."""
+    df = _cohort(spark, [
+        ("z", 1, 1), ("z", 1, 1),
+        ("k", 1, 1), ("k", 2, 0)])
+    out = {(r.grp, r.t): r.survival
+           for r in km_curve(df, "t", "evt", "grp").collect()}
+    assert out[("z", 1)] == 0.0
+    assert out[("k", 1)] == 0.5 and out[("k", 2)] == 0.5
+
+
+def test_km_curve_tied_event_and_censor(spark):
+    """Event + censor at the same time: both at risk at t, the censored
+    subject leaves after — S(2) = 1 - 2/3 applied to n_risk 3."""
+    df = _cohort(spark, [("a", 2, 1), ("a", 2, 1), ("a", 2, 0)])
+    (r,) = km_curve(df, "t", "evt", "grp").collect()
+    assert (r.n_risk, r.n_events, r.n_censored) == (3, 2, 1)
+    assert r.survival == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_logrank_identical_groups_is_zero(spark):
+    """Identical survival experience in both arms: O == E, chi2 == 0."""
+    rows = [("a", t, e) for t, e in [(1, 1), (2, 1), (3, 0), (4, 1)]]
+    rows += [("b", t, e) for t, e in [(1, 1), (2, 1), (3, 0), (4, 1)]]
+    (r,) = logrank_test(
+        _cohort(spark, rows), "t", "evt", "grp", "a", "b").collect()
+    assert r.chi2 == 0.0
+    assert r.observed_a == 3 and r.expected_a == pytest.approx(3.0)
+    assert (r.n_a, r.n_b) == (4, 4)
+
+
+def test_logrank_separated_groups_is_large(spark):
+    """Arm a all fails early, arm b survives (censored late):
+    chi2 far above the 3.84 significance cut."""
+    rows = [("a", t, 1) for t in (1, 2, 3, 4, 5)]
+    rows += [("b", 10, 0)] * 5
+    (r,) = logrank_test(
+        _cohort(spark, rows), "t", "evt", "grp", "a", "b").collect()
+    assert r.chi2 > 3.84
+    assert r.observed_a == 5 and r.expected_a < 4
+
+
+def _geno(spark, rows):
+    return spark.createDataFrame(rows, "variant long, gt int, case boolean")
+
+
+def test_hwe_equilibrium_and_violation(spark):
+    """Exact p^2/2pq/q^2 counts score chi2 = 0; a complete heterozygote
+    deficit at p = 0.5 scores chi2 = n; monomorphic variants are 0 by
+    definition."""
+    rows = [(1, 0, True)] * 25 + [(1, 1, True)] * 50 + [(1, 2, True)] * 25
+    rows += [(2, 0, True)] * 50 + [(2, 2, True)] * 50
+    rows += [(3, 0, True)] * 40
+    out = {r.variant: r for r in hwe_chi2(
+        _geno(spark, rows), "variant", "gt").collect()}
+    assert out[1].chi2 == 0.0 and out[1].alt_freq == 0.5
+    assert out[2].chi2 == 100.0 and out[2].n_het == 0
+    assert out[3].chi2 == 0.0 and out[3].alt_freq == 0.0
+    assert (out[1].n, out[1].n_hom_ref, out[1].n_het, out[1].n_hom_alt) \
+        == (100, 25, 50, 25)
+
+
+def test_allelic_assoc_extremes(spark):
+    """Equal allele frequencies in cases and controls: chi2 = 0;
+    perfectly separating alleles: chi2 = total allele count."""
+    rows = [(1, 1, True)] * 10 + [(1, 1, False)] * 10
+    rows += [(2, 2, True)] * 10 + [(2, 0, False)] * 10
+    out = {r.variant: r for r in allelic_assoc_chi2(
+        _geno(spark, rows), "variant", "gt", "case").collect()}
+    assert out[1].chi2 == 0.0
+    assert (out[1].case_alt, out[1].case_ref) == (10, 10)
+    assert out[2].chi2 == 40.0
+    assert (out[2].case_alt, out[2].ctrl_alt) == (20, 0)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "s long, d long")
+
+
+def test_triangle_stats_known_graphs(spark):
+    """K4: 4 triangles, 12 wedges, coefficient 1.0. Path 1-2-3: one
+    wedge, no triangle. Duplicate/reversed/self-loop inputs dedup."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    (r,) = triangle_stats(_edges(spark, k4), "s", "d").collect()
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.clustering_coeff == 1.0
+
+    path = [(1, 2), (2, 1), (2, 3), (2, 2)]
+    (p,) = triangle_stats(_edges(spark, path), "s", "d").collect()
+    assert (p.n_nodes, p.n_edges, p.n_wedges, p.n_triangles) == (3, 2, 1, 0)
+    assert p.clustering_coeff == 0.0
+
+
+def test_triangle_stats_matches_naive(spark):
+    """Degree-oriented count equals naive u<v<w enumeration on a
+    deterministic pseudo-random graph."""
+    pairs = [((i * 7919) % 23, (i * 104729 + 3) % 23) for i in range(160)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = _edges(spark, pairs)
+    (r,) = triangle_stats(df, "s", "d").collect()
+    e = {(min(a, b), max(a, b)) for a, b in pairs}
+    naive = sum(
+        1 for (u, v) in e for w in range(23)
+        if v < w and (u, w) in e and (v, w) in e)
+    assert r.n_triangles == naive and r.n_edges == len(e)
+
+
+def test_pagerank_star_cycle_and_mass(spark):
+    """5-cycle: uniform 0.2 at every node (fixed point of the
+    recurrence). Star: center outranks the leaves; total mass sums
+    to 1 (symmetrized graph has no dangling loss)."""
+    cycle = [(i, (i + 1) % 5) for i in range(5)]
+    out = pagerank(_edges(spark, cycle), "s", "d", iterations=4).collect()
+    assert all(r.pr == pytest.approx(0.2, abs=1e-6) for r in out)
+
+    star = [(0, k) for k in (1, 2, 3, 4)]
+    rs = {r.node: r.pr for r in pagerank(
+        _edges(spark, star), "s", "d", iterations=5).collect()}
+    assert rs[0] > max(rs[k] for k in (1, 2, 3, 4))
+    assert len({rs[k] for k in (1, 2, 3, 4)}) == 1
+    assert sum(rs.values()) == pytest.approx(1.0, abs=1e-5)
