@@ -104,3 +104,181 @@ def allelic_assoc_chi2(
         F.when(denom == 0, F.lit(0.0)).otherwise(F.round(chi, 6))
         .alias("chi2"),
     )
+
+
+def ld_r2(
+    df: DataFrame,
+    variant_col: str,
+    sample_col: str,
+    gt_col: str,
+    chrom_col: str,
+    pos_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Pairwise linkage disequilibrium (composite genotypic r^2) for
+    variant pairs on the same chromosome within ``max_dist`` bases:
+    (vx, vy, n, r2) with vx < vy.
+
+    r^2 is the squared Pearson correlation of the two genotype-dosage
+    vectors (the input must be a COMPLETE matrix — every sample
+    genotyped at every variant, the standard post-imputation shape, so
+    per-variant moments equal per-pair moments), computed as
+    (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2)) — moment
+    sums are exact integers, the final ratio is evaluated in doubles in
+    a fixed expression order (no sqrt), so a SQL oracle reproduces it
+    bit-for-bit; zero-variance (monomorphic) pairs report 0.0.
+
+    Scale shape: candidate pairs come from a banded self-join of the
+    DISTINCT variant map (bucket = pos / max_dist, probe side exploded
+    to 3 neighbor buckets) — pair count is bounded by the LD window,
+    never |variants|^2. Cross-moments join the genotype table to the
+    candidate list first (broadcast when small) and only then to the
+    second genotype copy keyed by (sample, variant) — the corpus is
+    never self-joined on the sample key, so a 1M-variant biobank
+    shuffles candidate-sized data only.
+    """
+    g = df.select(
+        F.col(variant_col).alias("__v"),
+        F.col(sample_col).alias("__s"),
+        F.col(gt_col).cast("long").alias("__gt"),
+        F.col(chrom_col).alias("__chrom"),
+        F.col(pos_col).cast("long").alias("__pos"),
+    )
+    stats = g.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__gt").alias("sx"),
+        F.sum(F.col("__gt") * F.col("__gt")).alias("sxx"),
+    )
+    vmap = g.select("__v", "__chrom", "__pos").distinct()
+    probe = vmap.select(
+        F.col("__v").alias("vx"),
+        F.col("__chrom").alias("cx"),
+        F.col("__pos").alias("px"),
+        F.explode(
+            F.array(
+                (F.col("__pos") / max_dist).cast("long") - 1,
+                (F.col("__pos") / max_dist).cast("long"),
+                (F.col("__pos") / max_dist).cast("long") + 1,
+            )
+        ).alias("__b"),
+    )
+    build = vmap.select(
+        F.col("__v").alias("vy"),
+        F.col("__chrom").alias("cy"),
+        F.col("__pos").alias("py"),
+        (F.col("__pos") / max_dist).cast("long").alias("__b"),
+    )
+    cand = (
+        probe.join(build, ["__b"])
+        .filter(
+            (F.col("cx") == F.col("cy"))
+            & (F.col("vx") < F.col("vy"))
+            & (F.abs(F.col("px") - F.col("py")) <= max_dist)
+        )
+        .select("vx", "vy")
+        .distinct()
+    )
+    gx = g.select(F.col("__v").alias("vx"), "__s", F.col("__gt").alias("gx"))
+    gy = g.select(
+        F.col("__v").alias("__vy2"), F.col("__s").alias("__s2"),
+        F.col("__gt").alias("gy"))
+    cross = (
+        gx.join(cand, "vx")
+        .join(gy, (F.col("__s") == F.col("__s2"))
+              & (F.col("vy") == F.col("__vy2")))
+        .groupBy("vx", "vy")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("gx") * F.col("gy")).alias("sxy"),
+        )
+    )
+    stx = stats.select(
+        F.col("__v").alias("vx"), F.col("sx").alias("sx_x"),
+        F.col("sxx").alias("sxx_x"))
+    sty = stats.select(
+        F.col("__v").alias("vy"), F.col("sx").alias("sx_y"),
+        F.col("sxx").alias("sxx_y"))
+    out = cross.join(stx, "vx").join(sty, "vy")
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx_x") * F.col("sx_y")
+    varx = n * F.col("sxx_x") - F.col("sx_x") * F.col("sx_x")
+    vary = n * F.col("sxx_y") - F.col("sx_y") * F.col("sx_y")
+    return out.select(
+        "vx", "vy", F.col("n").alias("n"),
+        F.when((varx == 0) | (vary == 0), F.lit(0.0))
+        .otherwise(F.round(num * num / (varx * vary), 6))
+        .alias("r2"),
+    )
+
+
+def burden_test(
+    df: DataFrame,
+    variant_col: str,
+    sample_col: str,
+    gt_col: str,
+    gene_col: str,
+    case_col: str,
+    max_freq: float = 0.05,
+) -> DataFrame:
+    """Rare-variant gene burden test: per gene, the 2x2 Pearson
+    chi-square of carrier status (any alt allele at a rare variant of
+    the gene) against case/control phenotype: (gene, n_rare_variants,
+    case_carriers, case_total, ctrl_carriers, ctrl_total, chi2).
+
+    "Rare" is decided FROM the cohort itself: variants whose
+    alt-allele frequency < ``max_freq`` (first aggregation) feed the
+    per-(gene, sample) carrier reduction (second aggregation); phenotype
+    totals come from the distinct sample table so non-carriers are
+    counted without materializing zero rows.
+
+    Scale shape: three grouped passes (variant freq -> carrier flag ->
+    gene counts) plus one broadcast of the 1-row phenotype totals —
+    every shuffle is keyed by variant, (gene, sample), or gene; nothing
+    is corpus x corpus.
+    """
+    g = df.select(
+        F.col(variant_col).alias("__v"),
+        F.col(sample_col).alias("__s"),
+        F.col(gt_col).cast("long").alias("__gt"),
+        F.col(gene_col).alias("__gene"),
+        F.col(case_col).alias("__case"),
+    )
+    freq = g.groupBy("__v").agg(
+        (F.sum("__gt") / (2.0 * F.count(F.lit(1)))).alias("__af"))
+    rare = freq.filter(F.col("__af") < max_freq).select("__v")
+    carriers = (
+        g.join(rare, "__v", "left_semi")
+        .groupBy("__gene", "__s", "__case")
+        .agg(
+            F.max(F.when(F.col("__gt") > 0, 1).otherwise(0)).alias("__carry"),
+            F.count(F.lit(1)).alias("__nv"),
+        )
+    )
+    per_gene = carriers.groupBy(F.col("__gene").alias("gene")).agg(
+        F.max("__nv").alias("n_rare_variants"),
+        F.sum(F.when(F.col("__case") & (F.col("__carry") == 1), 1)
+              .otherwise(0)).alias("case_carriers"),
+        F.sum(F.when(~F.col("__case") & (F.col("__carry") == 1), 1)
+              .otherwise(0)).alias("ctrl_carriers"),
+    )
+    totals = (
+        g.select("__s", "__case").distinct()
+        .agg(
+            F.sum(F.when(F.col("__case"), 1).otherwise(0)).alias("case_total"),
+            F.sum(F.when(~F.col("__case"), 1).otherwise(0)).alias("ctrl_total"),
+        )
+    )
+    out = per_gene.crossJoin(F.broadcast(totals))
+    a = F.col("case_carriers").cast("double")
+    b = (F.col("case_total") - F.col("case_carriers")).cast("double")
+    c = F.col("ctrl_carriers").cast("double")
+    d = (F.col("ctrl_total") - F.col("ctrl_carriers")).cast("double")
+    n = a + b + c + d
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    num = a * d - b * c
+    return out.select(
+        "gene", "n_rare_variants", "case_carriers", "case_total",
+        "ctrl_carriers", "ctrl_total",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(n * num * num / denom, 6)).alias("chi2"),
+    )

@@ -6623,6 +6623,157 @@ def gx_allelic_assoc_q(spark, sf):
     return allelic_assoc_chi2(_geno(spark, sf), "variant", "gt", "is_case")
 
 
+# A dense deterministic genotype GRID (every customer genotyped at 200
+# variants, two hash-drawn alleles whose frequency varies by variant:
+# thr = 2 + (variant % 10) * 5 percent) for the multi-variant statistics
+# — LD needs aligned genotype vectors, burden needs within-gene variant
+# sets with a rare tail. chrom = variant // 50, gene = variant // 20,
+# phenotype = an independent hash bit of the customer key.
+
+_GRID_GENO_SQL = """
+  SELECT c_custkey,
+         variant,
+         variant // 50 AS chrom,
+         variant AS pos,
+         variant // 20 AS gene,
+         (CASE WHEN h % 100 < 2 + (variant % 10) * 5 THEN 1 ELSE 0 END)
+         + (CASE WHEN (h // 100) % 100 < 2 + (variant % 10) * 5
+            THEN 1 ELSE 0 END) AS gt,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % 2 = 1 AS is_case
+  FROM (SELECT c_custkey, v.variant,
+               ('0x' || substr(md5(CAST(c_custkey * 200 + v.variant
+                                        AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM customer
+        CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS variant) v)
+"""
+
+
+def _grid_geno(spark, sf) -> DataFrame:
+    """(c_custkey, variant, chrom, pos, gene, gt, is_case): the dense
+    genotype grid; SQL twin _GRID_GENO_SQL. The 200-variant range side
+    is broadcast — the 'cross join' is a constant-width row expansion,
+    not a data-sized product."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    variants = spark.range(200).select(F.col("id").alias("variant"))
+    g = cust.crossJoin(F.broadcast(variants))
+    h = F.conv(
+        F.substring(
+            F.md5((F.col("c_custkey") * 200 + F.col("variant"))
+                  .cast("string")),
+            1, 8),
+        16, 10,
+    ).cast("long")
+    thr = 2 + (F.col("variant") % 10) * 5
+    a1 = F.when(h % 100 < thr, 1).otherwise(0)
+    a2 = F.when((h / F.lit(100)).cast("long") % 100 < thr, 1).otherwise(0)
+    hc = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return g.select(
+        "c_custkey",
+        "variant",
+        (F.col("variant") / 50).cast("long").alias("chrom"),
+        F.col("variant").alias("pos"),
+        (F.col("variant") / 20).cast("long").alias("gene"),
+        (a1 + a2).alias("gt"),
+        (hc % 2 == 1).alias("is_case"),
+    )
+
+
+@q("gx_ld_r2", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+st AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(gt) AS BIGINT) AS sx,
+              CAST(sum(gt * gt) AS BIGINT) AS sxx
+       FROM g GROUP BY variant),
+vm AS (SELECT DISTINCT variant, chrom, pos FROM g),
+cand AS (SELECT a.variant AS vx, b.variant AS vy
+         FROM vm a JOIN vm b
+           ON a.chrom = b.chrom AND a.variant < b.variant
+          AND abs(a.pos - b.pos) <= 5),
+cr AS (SELECT c.vx, c.vy, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(g1.gt * g2.gt) AS BIGINT) AS sxy
+       FROM cand c
+       JOIN g g1 ON g1.variant = c.vx
+       JOIN g g2 ON g2.variant = c.vy AND g2.c_custkey = g1.c_custkey
+       GROUP BY c.vx, c.vy)
+SELECT cr.vx, cr.vy, cr.n,
+       CASE WHEN (CAST(cr.n AS DOUBLE) * s1.sxx - s1.sx * s1.sx) = 0
+              OR (CAST(cr.n AS DOUBLE) * s2.sxx - s2.sx * s2.sx) = 0
+            THEN 0.0
+            ELSE round(
+              (CAST(cr.n AS DOUBLE) * cr.sxy - s1.sx * s2.sx)
+              * (CAST(cr.n AS DOUBLE) * cr.sxy - s1.sx * s2.sx)
+              / ((CAST(cr.n AS DOUBLE) * s1.sxx - s1.sx * s1.sx)
+                 * (CAST(cr.n AS DOUBLE) * s2.sxx - s2.sx * s2.sx)), 6)
+       END AS r2
+FROM cr JOIN st s1 ON s1.variant = cr.vx JOIN st s2 ON s2.variant = cr.vy
+""")
+def gx_ld_r2_q(spark, sf):
+    # Linkage-disequilibrium r^2 (operators/assoc.py ld_r2): banded
+    # self-join of the DISTINCT variant map generates same-chromosome
+    # pairs within 5 positions (never |variants|^2); cross-moments join
+    # genotypes to the candidate list FIRST, then to the second copy
+    # keyed by (sample, variant) — the genotype table is never
+    # self-joined on the sample key. Moment sums exact integers, final
+    # ratio in mirrored double order (no sqrt).
+    from clinpy_spark.operators.assoc import ld_r2
+
+    return ld_r2(
+        _grid_geno(spark, sf), "variant", "c_custkey", "gt",
+        "chrom", "pos", max_dist=5)
+
+
+@q("gx_burden_test", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+freq AS (SELECT variant, sum(gt) / (2.0 * count(*)) AS af
+         FROM g GROUP BY variant),
+rare AS (SELECT variant FROM freq WHERE af < 0.05),
+carr AS (SELECT gene, c_custkey, is_case,
+                max(CASE WHEN gt > 0 THEN 1 ELSE 0 END) AS carry,
+                count(*) AS nv
+         FROM g WHERE variant IN (SELECT variant FROM rare)
+         GROUP BY gene, c_custkey, is_case),
+pg AS (SELECT gene, CAST(max(nv) AS BIGINT) AS n_rare_variants,
+              CAST(sum(CASE WHEN is_case AND carry = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS case_carriers,
+              CAST(sum(CASE WHEN NOT is_case AND carry = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ctrl_carriers
+       FROM carr GROUP BY gene),
+tot AS (SELECT CAST(sum(CASE WHEN is_case THEN 1 ELSE 0 END) AS BIGINT)
+                 AS case_total,
+               CAST(sum(CASE WHEN NOT is_case THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ctrl_total
+        FROM (SELECT DISTINCT c_custkey, is_case FROM g)),
+d AS (SELECT pg.*, tot.case_total, tot.ctrl_total,
+             CAST(case_carriers AS DOUBLE) AS a,
+             CAST(case_total - case_carriers AS DOUBLE) AS b,
+             CAST(ctrl_carriers AS DOUBLE) AS c,
+             CAST(ctrl_total - ctrl_carriers AS DOUBLE) AS dd
+      FROM pg CROSS JOIN tot)
+SELECT gene, n_rare_variants, case_carriers, case_total,
+       ctrl_carriers, ctrl_total,
+       CASE WHEN (a + b) * (c + dd) * (a + c) * (b + dd) = 0 THEN 0.0
+            ELSE round((a + b + c + dd) * (a * dd - b * c) * (a * dd - b * c)
+                       / ((a + b) * (c + dd) * (a + c) * (b + dd)), 6)
+       END AS chi2
+FROM d
+""")
+def gx_burden_test_q(spark, sf):
+    # Rare-variant gene burden test (operators/assoc.py burden_test):
+    # "rare" decided FROM the cohort (variant-frequency pass), carrier
+    # status per (gene, sample) via a semi-join + grouped max, then the
+    # 2x2 carrier-vs-phenotype chi-square per gene with totals from one
+    # broadcast row. Three variant/gene-keyed shuffles, nothing
+    # corpus x corpus.
+    from clinpy_spark.operators.assoc import burden_test
+
+    return burden_test(
+        _grid_geno(spark, sf), "variant", "c_custkey", "gt",
+        "gene", "is_case", max_freq=0.05)
+
+
 # ---------------------------------------------------------------------------
 # Graph analytics (operators/graph.py) over the 1996 co-purchase graph:
 # parts are nodes, an edge links two parts shipped in the same order.
@@ -6736,16 +6887,19 @@ def graph_pagerank_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r10 window head: 25 oracled queries with NO driver record yet
-    # (12 r8-era queries squeezed out of earlier windows + 12 new in
+    # -- r10 window head: 27 oracled queries with NO driver record yet
+    # (12 r8-era queries squeezed out of earlier windows + 14 new in
     # r10: drift/skew/benford/ER/FD plus survival, genetics-association
-    # and graph analytics), then the stalest oracled queries (last
-    # recorded r2). Generated from CORRECTNESS_r*.json by staleness;
-    # everything else keeps its newer green rows as evidence. --
+    # (HWE/assoc/LD/burden) and graph analytics), then the stalest
+    # oracled queries (last recorded r2). Generated from
+    # CORRECTNESS_r*.json by staleness; everything else keeps its
+    # newer green rows as evidence. --
     "surv_km_curve",
     "surv_logrank",
     "gx_hwe_audit",
     "gx_allelic_assoc",
+    "gx_ld_r2",
+    "gx_burden_test",
     "graph_triangle_stats",
     "graph_pagerank",
     "q_skew_report",

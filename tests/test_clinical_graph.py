@@ -151,3 +151,61 @@ def test_pagerank_star_cycle_and_mass(spark):
     assert rs[0] > max(rs[k] for k in (1, 2, 3, 4))
     assert len({rs[k] for k in (1, 2, 3, 4)}) == 1
     assert sum(rs.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ld_r2_perfect_and_independent(spark):
+    """Perfectly linked variants (identical dosage vectors) score
+    r2 = 1; an anti-correlated pair scores 1 too (r = -1); a constant
+    (monomorphic) variant scores 0. Pairs outside the distance window
+    or across chromosomes are never emitted."""
+    from clinpy_spark.operators.assoc import ld_r2
+
+    rows = []
+    for s in range(8):
+        g0 = s % 3            # variants 0 and 1 identical
+        rows += [(0, s, g0), (1, s, g0)]
+        rows += [(2, s, 2 - g0)]          # anti-correlated with 0
+        rows += [(3, s, 1)]               # monomorphic
+        rows += [(20, s, g0)]             # same chrom, too far from 0
+        rows += [(100, s, g0)]            # other chromosome
+    df = spark.createDataFrame(rows, "variant long, s long, gt int") \
+        .withColumn("chrom", (F.col("variant") / 50).cast("long")) \
+        .withColumn("pos", F.col("variant"))
+    out = {(r.vx, r.vy): r.r2 for r in ld_r2(
+        df, "variant", "s", "gt", "chrom", "pos", max_dist=5).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == 1.0            # squared correlation
+    assert out[(0, 3)] == 0.0            # zero variance partner
+    assert (0, 20) not in out and (0, 100) not in out
+    assert set(out) == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+
+def test_burden_test_counts_and_chi2(spark):
+    """Burden: rare variants selected by cohort frequency; carriers of
+    any rare alt allele counted per gene against phenotype totals. A
+    gene whose rare carriers are all cases scores a large chi2."""
+    from clinpy_spark.operators.assoc import burden_test
+
+    rows = []
+    for s in range(20):
+        case = s < 10
+        # gene 0, variant 0: rare (2 carriers / 20 -> af 0.05 needs <;
+        # use 1 carrier -> af 0.025), carried only by case sample 0
+        rows.append((0, s, 1 if s == 0 else 0, 0, case))
+        # gene 0, variant 1: common (af 0.5), must be excluded
+        rows.append((1, s, 1, 0, case))
+        # gene 1, variant 2: rare, carried by case 1 and ctrl 11
+        rows.append((2, s, 1 if s in (1, 11) else 0, 1, case))
+    df = spark.createDataFrame(
+        rows, "variant long, s long, gt int, gene long, case boolean")
+    # variant 2 sits at af exactly 0.05 -> a 0.06 cut keeps it while
+    # still excluding the af-0.5 common variant (strict <)
+    out = {r.gene: r for r in burden_test(
+        df, "variant", "s", "gt", "gene", "case", max_freq=0.06).collect()}
+    g0, g1 = out[0], out[1]
+    assert (g0.case_carriers, g0.ctrl_carriers) == (1, 0)
+    assert (g0.case_total, g0.ctrl_total) == (10, 10)
+    assert g0.n_rare_variants == 1       # common variant excluded
+    assert (g1.case_carriers, g1.ctrl_carriers) == (1, 1)
+    assert g1.chi2 == 0.0                # symmetric carriers
+    assert g0.chi2 > 0
