@@ -67,6 +67,10 @@ TIER2 = [
     "drift_psi_by_type",
     "er_resolve_parts",
     "sim_knn_graph",
+    # round-10 clinical/graph flagships: the banded LD pair join and
+    # the 5-step unrolled PageRank (heaviest of the new family)
+    "gx_ld_r2",
+    "graph_pagerank",
 ]
 
 

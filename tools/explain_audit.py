@@ -89,6 +89,18 @@ EXPECTED_UNBOUNDED = {
     "q_benford_price",  # crossJoin vs the 1-row digit-total aggregate  # marginal-product spine: |sides| x |categories|
                         # rows (a few dozen), both sides tiny aggregates,
                         # plus the 1-row grand-total broadcast
+    "surv_logrank",  # crossJoin vs the 1-row (n_a, n_b) cohort totals
+    "gx_ld_r2",  # the genotype GRID synthesis: crossJoin vs the
+                 # CONSTANT 200-row broadcast variant range — a fixed-
+                 # width row expansion, linear in customers; the LD pair
+                 # join itself is a banded equi-join
+    "gx_burden_test",  # same constant-width grid expansion + the 1-row
+                       # phenotype-totals broadcast
+    "graph_triangle_stats",  # crossJoins of the THREE 1-row aggregates
+                             # (node/edge/triangle counts) into the
+                             # single summary row
+    "graph_pagerank",  # crossJoin vs the 1-row node-count broadcast in
+                       # every unrolled power step
 }
 
 
