@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hwe_chi2(df: DataFrame, variant_col: str, gt_col: str) -> DataFrame:
@@ -282,3 +283,47 @@ def burden_test(
         F.when(denom == 0, F.lit(0.0))
         .otherwise(F.round(n * num * num / denom, 6)).alias("chi2"),
     )
+
+
+def roh_runs(
+    df: DataFrame,
+    sample_col: str,
+    chrom_col: str,
+    pos_col: str,
+    gt_col: str,
+    min_sites: int = 8,
+) -> DataFrame:
+    """Runs of homozygosity per sample: maximal stretches of
+    CONSECUTIVE homozygous calls (gt 0 or 2) along each chromosome:
+    (sample, chrom, start_pos, end_pos, n_sites), runs shorter than
+    ``min_sites`` dropped. The standard autozygosity / consanguinity
+    screen over a genotype matrix.
+
+    Classic gaps-and-islands: site rank along the chromosome minus the
+    rank among homozygous sites is constant within a run — two window
+    ranks and one groupBy, all partitioned by (sample, chromosome), so
+    the shuffle is genotype-matrix-shaped and every window state is one
+    chromosome of one sample.
+    """
+    w_all = Window.partitionBy(sample_col, chrom_col).orderBy(pos_col)
+    hom = (
+        df.withColumn("__rn", F.row_number().over(w_all))
+        .filter(F.col(gt_col) != 1)
+    )
+    w_hom = Window.partitionBy(sample_col, chrom_col).orderBy(pos_col)
+    runs = (
+        hom.withColumn("__grp", F.col("__rn") - F.row_number().over(w_hom))
+        .groupBy(
+            F.col(sample_col).alias("sample"),
+            F.col(chrom_col).alias("chrom"),
+            F.col("__grp"),
+        )
+        .agg(
+            F.min(pos_col).alias("start_pos"),
+            F.max(pos_col).alias("end_pos"),
+            F.count(F.lit(1)).alias("n_sites"),
+        )
+        .filter(F.col("n_sites") >= min_sites)
+        .drop("__grp")
+    )
+    return runs

@@ -168,3 +168,42 @@ def logrank_test(
             "n_b",
         )
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per group: (group, t,
+    n_risk, n_events, cumhaz), one row per (group, distinct observed
+    time). H(t) = sum_{t_i <= t} d_i / n_i — the additive twin of the
+    Kaplan-Meier product (KM ~ exp(-H) for small increments), preferred
+    when hazards are the modeling target.
+
+    Same bounded shape as :func:`km_curve` (one groupBy to the
+    per-time grid, ordered windows over it); the cumulative sum runs in
+    ascending time order in every engine, so the double accumulation
+    order is fixed and the estimate is oracle-reproducible (rounded to
+    6 by the repo convention).
+    """
+    pt = _per_time(df, time_col, event_col, group_col)
+    w_ord = Window.partitionBy("__g").orderBy("__t")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("__g")
+    pt = pt.withColumn(
+        "n_risk",
+        F.sum(F.col("d") + F.col("c")).over(tot)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    return pt.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias(time_col),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(
+            F.sum(F.col("d").cast("double") / F.col("n_risk")).over(w_cum), 6
+        ).alias("cumhaz"),
+    )

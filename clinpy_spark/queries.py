@@ -6774,6 +6774,144 @@ def gx_burden_test_q(spark, sf):
         "gene", "is_case", max_freq=0.05)
 
 
+@q("surv_na_cumhaz", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+agg AS (SELECT priority, duration,
+               CAST(sum(evt) AS BIGINT) AS d,
+               CAST(sum(1 - evt) AS BIGINT) AS c
+        FROM obs GROUP BY priority, duration),
+w AS (SELECT *,
+        sum(d + c) OVER (PARTITION BY priority) AS tot,
+        coalesce(sum(d + c) OVER (PARTITION BY priority ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM agg),
+r AS (SELECT priority, duration, d,
+             CAST(tot - prev AS BIGINT) AS n_risk FROM w)
+SELECT priority, duration, n_risk, d AS n_events,
+       round(sum(CAST(d AS DOUBLE) / n_risk)
+             OVER (PARTITION BY priority ORDER BY duration), 6) AS cumhaz
+FROM r
+""")
+def surv_na_cumhaz_q(spark, sf):
+    # Nelson-Aalen cumulative hazard (operators/survival.py
+    # nelson_aalen): the additive twin of the KM product — sum of d/n
+    # over the per-time grid in ascending time order, so the double
+    # accumulation order is fixed in both engines.
+    from clinpy_spark.operators.survival import nelson_aalen
+
+    return nelson_aalen(_surv_obs(spark, sf), "duration", "evt", "priority")
+
+
+@q("gx_roh_runs", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+r AS (SELECT c_custkey, chrom, pos, gt,
+             row_number() OVER (PARTITION BY c_custkey, chrom
+                                ORDER BY pos) AS rn
+      FROM g),
+h AS (SELECT *, rn - row_number() OVER (PARTITION BY c_custkey, chrom
+                                        ORDER BY pos) AS grp
+      FROM r WHERE gt <> 1)
+SELECT c_custkey AS sample, chrom,
+       min(pos) AS start_pos, max(pos) AS end_pos,
+       CAST(count(*) AS BIGINT) AS n_sites
+FROM h GROUP BY c_custkey, chrom, grp HAVING count(*) >= 8
+""")
+def gx_roh_runs_q(spark, sf):
+    # Runs of homozygosity (operators/assoc.py roh_runs): the
+    # autozygosity screen as gaps-and-islands over the genotype grid —
+    # site rank minus homozygous-site rank is constant within a run;
+    # two windows + one groupBy, all partitioned by (sample, chrom).
+    from clinpy_spark.operators.assoc import roh_runs
+
+    return roh_runs(
+        _grid_geno(spark, sf), "c_custkey", "chrom", "pos", "gt",
+        min_sites=8)
+
+
+@q("dx_diff_expression", """
+WITH x AS (
+  SELECT c_custkey, g.gene,
+         ('0x' || substr(md5(CAST(c_custkey * 10 + g.gene AS VARCHAR)),
+                         1, 8))::BIGINT % 1000
+         + CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 = 1
+                 AND g.gene = 3 THEN 50 ELSE 0 END AS reads,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % 2 = 1 AS is_case
+  FROM customer
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS gene) g),
+s AS (SELECT gene,
+             CAST(count(*) FILTER (is_case) AS BIGINT) AS nc,
+             CAST(count(*) FILTER (NOT is_case) AS BIGINT) AS nk,
+             CAST(sum(reads) FILTER (is_case) AS BIGINT) AS sc,
+             CAST(sum(reads) FILTER (NOT is_case) AS BIGINT) AS sk,
+             CAST(sum(reads * reads) FILTER (is_case) AS BIGINT) AS ssc,
+             CAST(sum(reads * reads) FILTER (NOT is_case) AS BIGINT) AS ssk
+      FROM x GROUP BY gene)
+SELECT gene, nc AS n_case, nk AS n_ctrl,
+       round(CAST(sc AS DOUBLE) / nc, 6) AS mean_case,
+       round(CAST(sk AS DOUBLE) / nk, 6) AS mean_ctrl,
+       round((CAST(sc AS DOUBLE) / nc - CAST(sk AS DOUBLE) / nk)
+             / sqrt(((CAST(ssc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / nc)
+                     / (nc - 1)) / nc
+                    + ((CAST(ssk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / nk)
+                       / (nk - 1)) / nk), 6) AS welch_t
+FROM s
+""")
+def dx_diff_expression_q(spark, sf):
+    # Differential expression: per-gene Welch t between case and
+    # control cohorts over a deterministic read-count matrix (gene 3
+    # carries a planted +50 case shift). Moments are EXACT integer
+    # sums (no var_samp — its online accumulation is summation-order
+    # dependent); the t statistic is one fixed-order double expression,
+    # sqrt included (IEEE-exact), so the oracle matches bit-for-bit.
+    # One conditional-sum groupBy keyed by gene — the canonical
+    # RNA-seq readout a clinpy expression assay feeds.
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    genes = spark.range(10).select(F.col("id").alias("gene"))
+    x = cust.crossJoin(F.broadcast(genes))
+    h = F.conv(
+        F.substring(
+            F.md5((F.col("c_custkey") * 10 + F.col("gene")).cast("string")),
+            1, 8),
+        16, 10,
+    ).cast("long")
+    hc = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    is_case = hc % 2 == 1
+    reads = h % 1000 + F.when(is_case & (F.col("gene") == 3), 50).otherwise(0)
+    x = x.select("gene", reads.alias("reads"), is_case.alias("is_case"))
+    ic, ik = F.col("is_case"), ~F.col("is_case")
+    s = x.groupBy("gene").agg(
+        F.count(F.when(ic, 1)).alias("nc"),
+        F.count(F.when(ik, 1)).alias("nk"),
+        F.sum(F.when(ic, F.col("reads")).otherwise(0)).alias("sc"),
+        F.sum(F.when(ik, F.col("reads")).otherwise(0)).alias("sk"),
+        F.sum(F.when(ic, F.col("reads") * F.col("reads")).otherwise(0))
+        .alias("ssc"),
+        F.sum(F.when(ik, F.col("reads") * F.col("reads")).otherwise(0))
+        .alias("ssk"),
+    )
+    mc = F.col("sc").cast("double") / F.col("nc")
+    mk = F.col("sk").cast("double") / F.col("nk")
+    vc = (F.col("ssc").cast("double")
+          - F.col("sc").cast("double") * F.col("sc") / F.col("nc")) \
+        / (F.col("nc") - 1)
+    vk = (F.col("ssk").cast("double")
+          - F.col("sk").cast("double") * F.col("sk") / F.col("nk")) \
+        / (F.col("nk") - 1)
+    return s.select(
+        "gene",
+        F.col("nc").alias("n_case"),
+        F.col("nk").alias("n_ctrl"),
+        F.round(mc, 6).alias("mean_case"),
+        F.round(mk, 6).alias("mean_ctrl"),
+        F.round((mc - mk) / F.sqrt(vc / F.col("nc") + vk / F.col("nk")), 6)
+        .alias("welch_t"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph analytics (operators/graph.py) over the 1996 co-purchase graph:
 # parts are nodes, an edge links two parts shipped in the same order.
@@ -6887,19 +7025,23 @@ def graph_pagerank_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r10 window head: 27 oracled queries with NO driver record yet
-    # (12 r8-era queries squeezed out of earlier windows + 14 new in
-    # r10: drift/skew/benford/ER/FD plus survival, genetics-association
-    # (HWE/assoc/LD/burden) and graph analytics), then the stalest
-    # oracled queries (last recorded r2). Generated from
-    # CORRECTNESS_r*.json by staleness; everything else keeps its
-    # newer green rows as evidence. --
+    # -- r10 window head: 30 oracled queries with NO driver record yet
+    # (12 r8-era queries squeezed out of earlier windows + 18 new in
+    # r10: drift/skew/benford/ER/FD plus survival (KM/log-rank/
+    # Nelson-Aalen), genetics (HWE/assoc/LD/burden/ROH), differential
+    # expression and graph analytics), then the stalest oracled
+    # queries (last recorded r2). Generated from CORRECTNESS_r*.json
+    # by staleness; everything else keeps its newer green rows as
+    # evidence. --
     "surv_km_curve",
     "surv_logrank",
+    "surv_na_cumhaz",
     "gx_hwe_audit",
     "gx_allelic_assoc",
     "gx_ld_r2",
     "gx_burden_test",
+    "gx_roh_runs",
+    "dx_diff_expression",
     "graph_triangle_stats",
     "graph_pagerank",
     "q_skew_report",

@@ -209,3 +209,43 @@ def test_burden_test_counts_and_chi2(spark):
     assert (g1.case_carriers, g1.ctrl_carriers) == (1, 1)
     assert g1.chi2 == 0.0                # symmetric carriers
     assert g0.chi2 > 0
+
+
+def test_nelson_aalen_cumhaz(spark):
+    """H(t) accumulates d/n in time order: 1/5, 1/5+1/4, then flat over
+    the censoring-only time, then +1/2."""
+    from clinpy_spark.operators.survival import nelson_aalen
+
+    df = _cohort(spark, [
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 0), ("a", 4, 1), ("a", 5, 0)])
+    out = {r.t: r for r in nelson_aalen(df, "t", "evt", "grp").collect()}
+    assert out[1].cumhaz == pytest.approx(0.2)
+    assert out[2].cumhaz == pytest.approx(0.45)
+    assert out[3].cumhaz == pytest.approx(0.45)   # censoring-only: flat
+    assert out[4].cumhaz == pytest.approx(0.95)
+    assert [out[t].n_risk for t in (1, 2, 3, 4, 5)] == [5, 4, 3, 2, 1]
+
+
+def test_roh_runs_islands(spark):
+    """Runs split on heterozygous calls and chromosome boundaries;
+    short runs are dropped by min_sites."""
+    from clinpy_spark.operators.assoc import roh_runs
+
+    rows = []
+    # sample 1, chrom 0: hom at pos 0-4, het at 5, hom at 6-7
+    for p in range(5):
+        rows.append((1, 0, p, 0))
+    rows.append((1, 0, 5, 1))
+    rows += [(1, 0, 6, 2), (1, 0, 7, 0)]
+    # sample 1, chrom 1: all hom (3 sites) — separate run
+    rows += [(1, 1, p, 2) for p in range(3)]
+    df = spark.createDataFrame(rows, "s long, chrom long, pos long, gt int")
+    out = {(r.sample, r.chrom, r.start_pos): r for r in roh_runs(
+        df, "s", "chrom", "pos", "gt", min_sites=3).collect()}
+    assert set(out) == {(1, 0, 0), (1, 1, 0)}
+    r0 = out[(1, 0, 0)]
+    assert (r0.end_pos, r0.n_sites) == (4, 5)    # het at 5 breaks the run
+    assert out[(1, 1, 0)].n_sites == 3
+
+    none = roh_runs(df, "s", "chrom", "pos", "gt", min_sites=6).collect()
+    assert none == []

@@ -96,6 +96,9 @@ EXPECTED_UNBOUNDED = {
                  # join itself is a banded equi-join
     "gx_burden_test",  # same constant-width grid expansion + the 1-row
                        # phenotype-totals broadcast
+    "gx_roh_runs",  # same constant 200-row broadcast grid expansion
+    "dx_diff_expression",  # constant 10-row broadcast gene-range
+                           # expansion — fixed-width, linear in customers
     "graph_triangle_stats",  # crossJoins of the THREE 1-row aggregates
                              # (node/edge/triangle counts) into the
                              # single summary row
