@@ -54,7 +54,10 @@ def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
     simple graph; clustering_coeff = 3 * triangles / wedges (0.0 for a
     wedge-free graph), rounded to 6.
     """
-    e = _canon_edges(edges, src, dst)
+    # The canonical edge list is read three times (degrees, wedge
+    # probe, edge count): cut the upstream lineage once so the
+    # dedup/join producing it runs once, not three times.
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
@@ -124,7 +127,10 @@ def pagerank(
     e = _canon_edges(edges, src, dst)
     both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    adj = both.join(deg, "u")
+    # Every power step re-reads the adjacency: materialize it once so
+    # iteration k does not replay the edge dedup k times (the lineage
+    # cut also keeps the unrolled plan flat for Catalyst).
+    adj = both.join(deg, "u").localCheckpoint(eager=False)
     n_nodes = deg.agg(F.count(F.lit(1)).alias("__n"))
     # rank table: (u, r). Uniform start; each round is one shuffle.
     r = deg.crossJoin(F.broadcast(n_nodes)).select(
