@@ -327,3 +327,87 @@ def roh_runs(
         .drop("__grp")
     )
     return runs
+
+
+def trend_chi2(
+    df: DataFrame,
+    variant_col: str,
+    gt_col: str,
+    case_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test per variant (additive weights
+    0/1/2 — the standard GWAS association model): (variant, n, n_case,
+    score_case, score_total, chi2).
+
+    chi2 = N * (N*Sr - R*Sn)^2 / (R*(N-R) * (N*Sq - Sn^2)) with
+    Sr = sum of case genotype scores, Sn = sum of all scores, Sq = sum
+    of squared scores, R = cases, N = subjects — every moment an exact
+    integer from ONE conditional-sum groupBy; the ratio is evaluated in
+    doubles in a fixed order. Degenerate strata (no cases, no controls,
+    or zero score variance) report 0.0.
+    """
+    gt = F.col(gt_col).cast("long")
+    is_case = F.col(case_col)
+    per_v = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_case, 1).otherwise(0)).alias("n_case"),
+        F.sum(F.when(is_case, gt).otherwise(0)).alias("score_case"),
+        F.sum(gt).alias("score_total"),
+        F.sum(gt * gt).alias("__sq"),
+    )
+    nn = F.col("n").cast("double")
+    r = F.col("n_case").cast("double")
+    sr = F.col("score_case").cast("double")
+    sn = F.col("score_total").cast("double")
+    sq = F.col("__sq").cast("double")
+    num = nn * sr - r * sn
+    var = r * (nn - r) * (nn * sq - sn * sn)
+    chi = nn * num * num / var
+    return per_v.select(
+        "variant", "n", "n_case", "score_case", "score_total",
+        F.when(
+            (F.col("n_case") == 0) | (F.col("n_case") == F.col("n"))
+            | (nn * sq - sn * sn == 0),
+            F.lit(0.0),
+        ).otherwise(F.round(chi, 6)).alias("chi2"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    variant_col: str,
+    gt_col: str,
+    case_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-variant allelic odds ratio with the Haldane-Anscombe +0.5
+    correction and a normal-approximation CI on the log scale:
+    (variant, case_alt, case_ref, ctrl_alt, ctrl_ref, or_est, or_lo,
+    or_hi), all three rounded to 6.
+
+    OR = ((a+.5)(d+.5)) / ((b+.5)(c+.5)); CI = exp(ln(OR) -/+ z * se)
+    with se = sqrt(1/(a+.5) + 1/(b+.5) + 1/(c+.5) + 1/(d+.5)). The
+    +0.5 makes every cell positive, so the estimate is total (no
+    zero-cell special case) — the conventional finite-sample fix.
+    Same one-groupBy shape as :func:`allelic_assoc_chi2`.
+    """
+    gt = F.col(gt_col).cast("long")
+    is_case = F.col(case_col)
+    per_v = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.sum(F.when(is_case, gt).otherwise(0)).alias("case_alt"),
+        F.sum(F.when(is_case, 2 - gt).otherwise(0)).alias("case_ref"),
+        F.sum(F.when(~is_case, gt).otherwise(0)).alias("ctrl_alt"),
+        F.sum(F.when(~is_case, 2 - gt).otherwise(0)).alias("ctrl_ref"),
+    )
+    a = F.col("case_alt") + 0.5
+    b = F.col("case_ref") + 0.5
+    c = F.col("ctrl_alt") + 0.5
+    d = F.col("ctrl_ref") + 0.5
+    orr = a * d / (b * c)
+    se = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    return per_v.select(
+        "variant", "case_alt", "case_ref", "ctrl_alt", "ctrl_ref",
+        F.round(orr, 6).alias("or_est"),
+        F.round(F.exp(F.log(orr) - z * se), 6).alias("or_lo"),
+        F.round(F.exp(F.log(orr) + z * se), 6).alias("or_hi"),
+    )

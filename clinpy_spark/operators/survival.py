@@ -207,3 +207,72 @@ def nelson_aalen(
             F.sum(F.col("d").cast("double") / F.col("n_risk")).over(w_cum), 6
         ).alias("cumhaz"),
     )
+
+
+def km_greenwood(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Kaplan-Meier curve with Greenwood standard errors and plain
+    normal confidence bands: (group, t, n_risk, n_events, survival,
+    se, ci_lo, ci_hi). Var(S(t)) = S(t)^2 * sum_{t_i <= t}
+    d_i / (n_i * (n_i - d_i)); bands are clamped to [0, 1]. Rows at or
+    after an all-events time report survival 0 with zero-width bands
+    (the d == n term is excluded exactly like km_curve's ln(0) edge).
+
+    Same bounded per-time-grid shape as :func:`km_curve`; se/ci are one
+    extra cumulative window over the same grid.
+    """
+    pt = _per_time(df, time_col, event_col, group_col)
+    w_ord = Window.partitionBy("__g").orderBy("__t")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("__g")
+    pt = pt.withColumn(
+        "n_risk",
+        F.sum(F.col("d") + F.col("c")).over(tot)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk")
+    live = F.col("d") < F.col("n_risk")
+    pt = (
+        pt.withColumn(
+            "__lsum",
+            F.sum(F.when(live, F.log(1 - frac)).otherwise(F.lit(0.0)))
+            .over(w_cum),
+        )
+        .withColumn(
+            "__gsum",
+            F.sum(
+                F.when(
+                    live,
+                    F.col("d").cast("double")
+                    / (F.col("n_risk") * (F.col("n_risk") - F.col("d"))),
+                ).otherwise(F.lit(0.0))
+            ).over(w_cum),
+        )
+        .withColumn(
+            "__zero",
+            F.max(F.when(~live, 1).otherwise(0)).over(w_cum),
+        )
+    )
+    s = F.exp("__lsum")
+    se = F.sqrt(s * s * F.col("__gsum"))
+    zero = F.col("__zero") == 1
+    return pt.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias(time_col),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.when(zero, F.lit(0.0)).otherwise(F.round(s, 6)).alias("survival"),
+        F.when(zero, F.lit(0.0)).otherwise(F.round(se, 6)).alias("se"),
+        F.when(zero, F.lit(0.0))
+        .otherwise(F.round(F.greatest(s - z * se, F.lit(0.0)), 6))
+        .alias("ci_lo"),
+        F.when(zero, F.lit(0.0))
+        .otherwise(F.round(F.least(s + z * se, F.lit(1.0)), 6))
+        .alias("ci_hi"),
+    )

@@ -6912,6 +6912,166 @@ def dx_diff_expression_q(spark, sf):
     )
 
 
+@q("surv_km_ci", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+agg AS (SELECT priority, duration,
+               CAST(sum(evt) AS BIGINT) AS d,
+               CAST(sum(1 - evt) AS BIGINT) AS c
+        FROM obs GROUP BY priority, duration),
+w AS (SELECT *,
+        sum(d + c) OVER (PARTITION BY priority) AS tot,
+        coalesce(sum(d + c) OVER (PARTITION BY priority ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM agg),
+r AS (SELECT priority, duration, d, c,
+             CAST(tot - prev AS BIGINT) AS n_risk FROM w),
+s AS (SELECT *,
+        sum(CASE WHEN d < n_risk
+                 THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS lsum,
+        sum(CASE WHEN d < n_risk
+                 THEN CAST(d AS DOUBLE) / (n_risk * (n_risk - d))
+                 ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS gsum,
+        max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS zf
+      FROM r),
+e AS (SELECT *, exp(lsum) AS sv,
+             sqrt(exp(lsum) * exp(lsum) * gsum) AS sev FROM s)
+SELECT priority, duration, n_risk, d AS n_events,
+       CASE WHEN zf = 1 THEN 0.0 ELSE round(sv, 6) END AS survival,
+       CASE WHEN zf = 1 THEN 0.0 ELSE round(sev, 6) END AS se,
+       CASE WHEN zf = 1 THEN 0.0
+            ELSE round(greatest(sv - 1.96 * sev, 0.0), 6) END AS ci_lo,
+       CASE WHEN zf = 1 THEN 0.0
+            ELSE round(least(sv + 1.96 * sev, 1.0), 6) END AS ci_hi
+FROM e
+""")
+def surv_km_ci_q(spark, sf):
+    # Greenwood confidence bands (operators/survival.py km_greenwood):
+    # Var(S) = S^2 * sum d/(n(n-d)) as one extra cumulative window over
+    # the same per-time grid; bands clamped to [0, 1], the all-events
+    # edge excluded exactly like the KM ln(0) flag.
+    from clinpy_spark.operators.survival import km_greenwood
+
+    return km_greenwood(_surv_obs(spark, sf), "duration", "evt", "priority")
+
+
+@q("surv_median_time", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+agg AS (SELECT priority, duration,
+               CAST(sum(evt) AS BIGINT) AS d,
+               CAST(sum(1 - evt) AS BIGINT) AS c
+        FROM obs GROUP BY priority, duration),
+w AS (SELECT *,
+        sum(d + c) OVER (PARTITION BY priority) AS tot,
+        coalesce(sum(d + c) OVER (PARTITION BY priority ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM agg),
+r AS (SELECT priority, duration, d, c,
+             CAST(tot - prev AS BIGINT) AS n_risk FROM w),
+s AS (SELECT *,
+        sum(CASE WHEN d < n_risk
+                 THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS lsum,
+        max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS zf
+      FROM r),
+km AS (SELECT priority, duration, n_risk,
+              CASE WHEN zf = 1 THEN 0.0
+                   ELSE round(exp(lsum), 6) END AS survival
+       FROM s)
+SELECT priority,
+       CAST(max(n_risk) AS BIGINT) AS n_subjects,
+       min(CASE WHEN survival <= 0.5 THEN duration END) AS median_time
+FROM km GROUP BY priority
+""")
+def surv_median_time_q(spark, sf):
+    # Median survival per cohort: the first time the (rounded,
+    # engine-identical) KM curve falls to 0.5 — NULL when the curve
+    # never crosses within follow-up. Composition of km_curve + one
+    # grouped min; n_subjects = at-risk count at the first time.
+    from clinpy_spark.operators.survival import km_curve
+
+    km = km_curve(_surv_obs(spark, sf), "duration", "evt", "priority")
+    return km.groupBy("priority").agg(
+        F.max("n_risk").alias("n_subjects"),
+        F.min(F.when(F.col("survival") <= 0.5, F.col("duration")))
+        .alias("median_time"),
+    )
+
+
+@q("gx_trend_test", f"""
+WITH g AS ({_GENO_SQL}),
+pv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN is_case THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_case,
+              CAST(sum(CASE WHEN is_case THEN gt ELSE 0 END) AS BIGINT)
+                AS score_case,
+              CAST(sum(gt) AS BIGINT) AS score_total,
+              CAST(sum(gt * gt) AS BIGINT) AS sq
+       FROM g GROUP BY variant)
+SELECT variant, n, n_case, score_case, score_total,
+       CASE WHEN n_case = 0 OR n_case = n
+              OR CAST(n AS DOUBLE) * sq
+                 - CAST(score_total AS DOUBLE) * score_total = 0
+            THEN 0.0
+            ELSE round(
+              CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) * score_case
+                 - CAST(n_case AS DOUBLE) * score_total)
+              * (CAST(n AS DOUBLE) * score_case
+                 - CAST(n_case AS DOUBLE) * score_total)
+              / (CAST(n_case AS DOUBLE) * (CAST(n AS DOUBLE) - n_case)
+                 * (CAST(n AS DOUBLE) * sq
+                    - CAST(score_total AS DOUBLE) * score_total)), 6)
+       END AS chi2
+FROM pv
+""")
+def gx_trend_test_q(spark, sf):
+    # Cochran-Armitage additive trend test (operators/assoc.py
+    # trend_chi2) — the standard GWAS per-variant association model:
+    # exact integer moments from ONE conditional-sum groupBy, the
+    # statistic one fixed-order double expression.
+    from clinpy_spark.operators.assoc import trend_chi2
+
+    return trend_chi2(_geno(spark, sf), "variant", "gt", "is_case")
+
+
+@q("gx_odds_ratio", f"""
+WITH g AS ({_GENO_SQL}),
+pv AS (SELECT variant,
+              CAST(sum(CASE WHEN is_case THEN gt ELSE 0 END) AS BIGINT)
+                AS case_alt,
+              CAST(sum(CASE WHEN is_case THEN 2 - gt ELSE 0 END) AS BIGINT)
+                AS case_ref,
+              CAST(sum(CASE WHEN NOT is_case THEN gt ELSE 0 END) AS BIGINT)
+                AS ctrl_alt,
+              CAST(sum(CASE WHEN NOT is_case THEN 2 - gt ELSE 0 END)
+                   AS BIGINT) AS ctrl_ref
+       FROM g GROUP BY variant),
+h AS (SELECT *,
+             (case_alt + 0.5) * (ctrl_ref + 0.5)
+             / ((case_ref + 0.5) * (ctrl_alt + 0.5)) AS orr,
+             sqrt(1 / (case_alt + 0.5) + 1 / (case_ref + 0.5)
+                  + 1 / (ctrl_alt + 0.5) + 1 / (ctrl_ref + 0.5)) AS se
+      FROM pv)
+SELECT variant, case_alt, case_ref, ctrl_alt, ctrl_ref,
+       round(orr, 6) AS or_est,
+       round(exp(ln(orr) - 1.96 * se), 6) AS or_lo,
+       round(exp(ln(orr) + 1.96 * se), 6) AS or_hi
+FROM h
+""")
+def gx_odds_ratio_q(spark, sf):
+    # Haldane-corrected allelic odds ratio with log-scale CI
+    # (operators/assoc.py odds_ratio): +0.5 per cell makes the
+    # estimate total (no zero-cell branch); same one-groupBy shape as
+    # the allelic chi-square.
+    from clinpy_spark.operators.assoc import odds_ratio
+
+    return odds_ratio(_geno(spark, sf), "variant", "gt", "is_case")
+
+
 # ---------------------------------------------------------------------------
 # Graph analytics (operators/graph.py) over the 1996 co-purchase graph:
 # parts are nodes, an edge links two parts shipped in the same order.
@@ -7025,10 +7185,10 @@ def graph_pagerank_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r10 window head: 30 oracled queries with NO driver record yet
-    # (12 r8-era queries squeezed out of earlier windows + 18 new in
-    # r10: drift/skew/benford/ER/FD plus survival (KM/log-rank/
-    # Nelson-Aalen), genetics (HWE/assoc/LD/burden/ROH), differential
+    # -- r10 window head: 34 oracled queries with NO driver record yet
+    # (12 r8-era queries squeezed out of earlier windows + 22 new in
+    # r10: drift/skew/benford/ER/FD plus survival (KM/CI/median/log-rank/
+    # Nelson-Aalen), genetics (HWE/assoc/trend/OR/LD/burden/ROH), differential
     # expression and graph analytics), then the stalest oracled
     # queries (last recorded r2). Generated from CORRECTNESS_r*.json
     # by staleness; everything else keeps its newer green rows as
@@ -7036,11 +7196,15 @@ _PRIORITY: list[str] = [
     "surv_km_curve",
     "surv_logrank",
     "surv_na_cumhaz",
+    "surv_km_ci",
+    "surv_median_time",
     "gx_hwe_audit",
     "gx_allelic_assoc",
     "gx_ld_r2",
     "gx_burden_test",
     "gx_roh_runs",
+    "gx_trend_test",
+    "gx_odds_ratio",
     "dx_diff_expression",
     "graph_triangle_stats",
     "graph_pagerank",

@@ -249,3 +249,56 @@ def test_roh_runs_islands(spark):
 
     none = roh_runs(df, "s", "chrom", "pos", "gt", min_sites=6).collect()
     assert none == []
+
+
+def test_km_greenwood_bands(spark):
+    """Greenwood on the textbook example: se(1) = sqrt(0.8^2/20),
+    se(2) = sqrt(0.6^2 * (1/20 + 1/12)); bands clamp to [0, 1]."""
+    from clinpy_spark.operators.survival import km_greenwood
+
+    df = _cohort(spark, [
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 0), ("a", 4, 1), ("a", 5, 0)])
+    out = {r.t: r for r in km_greenwood(df, "t", "evt", "grp").collect()}
+    assert out[1].se == pytest.approx(0.178885, abs=1e-6)
+    assert out[1].ci_lo == pytest.approx(0.8 - 1.96 * 0.178885, abs=1e-5)
+    assert out[1].ci_hi == 1.0                       # clamped
+    assert out[2].se == pytest.approx(
+        (0.36 * (1 / 20 + 1 / 12)) ** 0.5, abs=1e-6)
+    assert out[3].se == out[2].se                    # censoring: flat
+
+    zero = km_greenwood(
+        _cohort(spark, [("z", 1, 1), ("z", 1, 1)]), "t", "evt", "grp"
+    ).collect()[0]
+    assert (zero.survival, zero.se, zero.ci_lo, zero.ci_hi) == (0, 0, 0, 0)
+
+
+def test_trend_chi2_extremes(spark):
+    """Perfect additive separation scores chi2 = N; identical genotype
+    distributions score 0; all-case strata are 0 by definition."""
+    from clinpy_spark.operators.assoc import trend_chi2
+
+    rows = [(1, 2, True)] * 10 + [(1, 0, False)] * 10
+    rows += [(2, 1, True)] * 5 + [(2, 1, False)] * 5
+    rows += [(3, 1, True)] * 4
+    out = {r.variant: r for r in trend_chi2(
+        _geno(spark, rows), "variant", "gt", "case").collect()}
+    assert out[1].chi2 == 20.0          # = N under perfect separation
+    assert out[2].chi2 == 0.0           # zero score variance -> 0
+    assert out[3].chi2 == 0.0           # no controls -> 0
+    assert (out[1].n, out[1].n_case, out[1].score_case) == (20, 10, 20)
+
+
+def test_odds_ratio_haldane(spark):
+    """Balanced table: OR = 1 with a CI straddling 1; one-sided table:
+    OR > 1 and finite thanks to the +0.5 correction."""
+    from clinpy_spark.operators.assoc import odds_ratio
+
+    rows = [(1, 1, True)] * 10 + [(1, 1, False)] * 10
+    rows += [(2, 2, True)] * 10 + [(2, 0, False)] * 10
+    out = {r.variant: r for r in odds_ratio(
+        _geno(spark, rows), "variant", "gt", "case").collect()}
+    assert out[1].or_est == 1.0
+    assert out[1].or_lo < 1.0 < out[1].or_hi
+    assert out[2].or_est == pytest.approx(
+        (20.5 * 20.5) / (0.5 * 0.5), abs=1e-4)
+    assert out[2].or_lo > 1.0 and out[2].or_hi > out[2].or_est
