@@ -66,6 +66,18 @@ def km_curve(
     via a cumulative flag instead of ln(0).
     """
     pt = _per_time(df, time_col, event_col, group_col)
+    return km_from_per_time(pt, time_col, group_col)
+
+
+def km_from_per_time(
+    pt: DataFrame,
+    time_col: str,
+    group_col: str,
+) -> DataFrame:
+    """KM curve from an already-aggregated per-time table (__g, __t, d,
+    c) — the entry point for incrementally-maintained cohorts: the
+    streaming twin folds (d, c) partials per micro-batch and calls this
+    on the folded table (streaming/survival.py)."""
     w_ord = Window.partitionBy("__g").orderBy("__t")
     w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)

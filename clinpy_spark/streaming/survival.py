@@ -1,0 +1,87 @@
+"""Streaming twin of the survival operators (operators/survival.py):
+a Kaplan-Meier curve continuously maintained as subjects' outcomes
+stream in.
+
+The KM estimator's sufficient statistic is the per-(group, time) table
+of (events, censorings) — ADDITIVE counters, so each micro-batch folds
+its own tiny aggregate into a persisted per-time grid at O(batch +
+grid) per trigger (the same fold-partials shape as
+streaming/quality.py's constraint suite and streaming/drift.py's PSI
+monitor). The curve itself is recomputed from the folded grid on read
+via :func:`clinpy_spark.operators.survival.km_from_per_time` — windows
+over the bounded time grid, never over history.
+
+At-least-once caveat: foreachBatch may replay a batch on failure
+before the checkpoint commits; counters are then double-added. Same
+contract (and same fix: idempotent batch ids in the state table) as
+the other streaming folds in this package — acceptable for monitoring,
+stated for audit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from clinpy_spark.operators.survival import _per_time, km_from_per_time
+
+
+def km_partials(
+    batch: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One micro-batch -> additive per-(group, time) partials
+    (__g, __t, d, c)."""
+    return _per_time(batch, time_col, event_col, group_col)
+
+
+def stream_km_partials(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Fold each micro-batch's KM partials into the persisted ``name``
+    table (addition-merge keyed by (__g, __t)). Read the live curve
+    with ``km_read(catalog.table(name), time_col, group_col)``."""
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = km_partials(batch, time_col, event_col, group_col)
+        if catalog.exists(name):
+            merged = (
+                catalog.table(name).unionByName(part)
+                .groupBy("__g", "__t")
+                .agg(F.sum("d").alias("d"), F.sum("c").alias("c"))
+            )
+            catalog.overwrite_staged(merged, name)
+        else:
+            catalog.write(part, name)
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__km_checkpoint__"
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def km_read(
+    partials: DataFrame,
+    time_col: str,
+    group_col: str,
+) -> DataFrame:
+    """The current KM curve from the folded per-time grid — identical
+    to the batch ``km_curve`` over everything folded so far."""
+    return km_from_per_time(partials, time_col, group_col)

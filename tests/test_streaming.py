@@ -663,3 +663,40 @@ def test_streaming_psi_matches_batch(spark, tmp_path):
     got = finalize_psi(ref_counts, cat.table("cur_bins"), n_bins).collect()
     want = psi_table(ref_df, cur_df, "value", n_bins=n_bins).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_km_matches_batch(spark, tmp_path):
+    """Streaming KM twin: per-(group, time) event/censor partials
+    folded across two micro-batches reproduce the batch km_curve over
+    the union exactly (cross-batch accumulation on shared times
+    exercised: both batches contribute at t=2)."""
+    from clinpy_spark.operators.survival import km_curve
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.survival import km_read, stream_km_partials
+
+    b1 = [("a", 1, 1), ("a", 2, 1), ("a", 3, 0), ("b", 2, 1)]
+    b2 = [("a", 2, 1), ("a", 5, 0), ("b", 2, 0), ("b", 4, 1)]
+    src = tmp_path / "cohort"
+    src.mkdir()
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    stream = (
+        spark.readStream.schema("grp string, t long, evt int")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    import json as _json
+    for i, rows in enumerate((b1, b2)):
+        with open(src / f"part-{i}.json", "w") as fh:
+            for g, t, e in rows:
+                fh.write(_json.dumps({"grp": g, "t": t, "evt": e}) + "\n")
+    q = stream_km_partials(
+        stream, cat, "km_grid", "t", "evt", "grp",
+        checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {(r.grp, r.t): (r.n_risk, r.n_events, r.n_censored, r.survival)
+           for r in km_read(cat.table("km_grid"), "t", "grp").collect()}
+    batch = spark.createDataFrame(b1 + b2, "grp string, t long, evt int")
+    exp = {(r.grp, r.t): (r.n_risk, r.n_events, r.n_censored, r.survival)
+           for r in km_curve(batch, "t", "evt", "grp").collect()}
+    assert got == exp
+    assert got[("a", 2)][1] == 2        # both batches' events at t=2 folded
