@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _c(x: Column | str) -> Column:
@@ -274,3 +275,50 @@ def binned_interval_join(
     if how in ("right", "full"):
         out = out.unionByName(_padded_unmatched(intervals, points_or_intervals, pad_left=True))
     return out
+
+
+def merge_intervals(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Collapse overlapping/touching [start, end] intervals per group
+    into maximal covered blocks: (group, start, end, n_merged) — the
+    genomics coverage primitive (exon unions, callable-region BED
+    merges; bedtools-merge semantics with closed-interval touching).
+
+    Gaps-and-islands: within each group ordered by start, an interval
+    opens a new block iff its start exceeds the running max of all
+    previous ends; the block id is the running sum of those flags.
+    Tie order on equal starts cannot change the result (an equal-start
+    interval never clears the running max). One group-partitioned
+    window pass + one groupBy — shuffle keyed by group, window state
+    one group's intervals.
+    """
+    w_ord = Window.partitionBy("__g").orderBy(
+        F.col("__s").asc(), F.col("__e").asc())
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    )
+    flagged = base.withColumn(
+        "__new",
+        F.when(F.col("__s") > F.coalesce(
+            F.max("__e").over(w_prev), F.col("__s")), 1).otherwise(0),
+    ).withColumn(
+        "__blk",
+        F.sum("__new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(
+            F.col("__g").alias(group_col), F.col("__blk"))
+        .agg(
+            F.min("__s").alias(start_col),
+            F.max("__e").alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__blk")
+    )

@@ -411,3 +411,42 @@ def odds_ratio(
         F.round(F.exp(F.log(orr) - z * se), 6).alias("or_lo"),
         F.round(F.exp(F.log(orr) + z * se), 6).alias("or_hi"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    sample_col: str,
+    feature_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization of a (sample x feature) value matrix —
+    the standard cross-sample expression normalization (Bolstad 2003):
+    every sample's distribution is replaced by the mean distribution,
+    matched by rank: (sample, feature, rank, qn_value).
+
+    Ranks within each sample break value ties by feature id, so the
+    rank map is total and deterministic; the reference distribution at
+    each rank is the plain mean of that rank's values across samples
+    (exact integer/long sums divided once, rounded to 6).
+
+    Scale shape: one window partitioned by sample (rank assignment),
+    one groupBy on rank (|features| rows out), one equi-join back on
+    rank — broadcastable whenever the feature count is bounded, so a
+    100k-sample matrix normalizes with a single sample-keyed shuffle.
+    """
+    ranked = df.select(
+        F.col(sample_col).alias("sample"),
+        F.col(feature_col).alias("feature"),
+        F.col(value_col).alias("__v"),
+    ).withColumn("rank", F.row_number().over(
+        Window.partitionBy("sample").orderBy(
+            F.col("__v").asc(), F.col("feature").asc())))
+    ref = ranked.groupBy("rank").agg(
+        (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("__qn"))
+    return (
+        ranked.join(F.broadcast(ref), "rank")
+        .select(
+            "sample", "feature", "rank",
+            F.round("__qn", 6).alias("qn_value"),
+        )
+    )

@@ -7072,6 +7072,101 @@ def gx_odds_ratio_q(spark, sf):
     return odds_ratio(_geno(spark, sf), "variant", "gt", "is_case")
 
 
+@q("dx_quantile_normalize", """
+WITH x AS (
+  SELECT c_custkey, g.gene,
+         ('0x' || substr(md5(CAST(c_custkey * 10 + g.gene AS VARCHAR)),
+                         1, 8))::BIGINT % 1000
+         + CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 = 1
+                 AND g.gene = 3 THEN 50 ELSE 0 END AS reads
+  FROM customer
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS gene) g),
+r AS (SELECT c_custkey AS sample, gene AS feature, reads AS v,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY reads ASC, gene ASC) AS rank
+      FROM x),
+ref AS (SELECT rank, CAST(sum(v) AS BIGINT) AS sv,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM r GROUP BY rank)
+SELECT r.sample, r.feature, CAST(r.rank AS INT) AS rank,
+       round(CAST(ref.sv AS DOUBLE) / ref.cnt, 6) AS qn_value
+FROM r JOIN ref USING (rank)
+""")
+def dx_quantile_normalize_q(spark, sf):
+    # Quantile normalization (operators/assoc.py quantile_normalize;
+    # Bolstad 2003) of the deterministic read-count matrix: rank within
+    # sample (feature-id tie-break), mean across samples per rank,
+    # value replaced by the rank's mean — the standard cross-sample
+    # expression normalization, one sample-keyed window + one
+    # broadcastable rank join.
+    from clinpy_spark.operators.assoc import quantile_normalize
+
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    genes = spark.range(10).select(F.col("id").alias("gene"))
+    x = cust.crossJoin(F.broadcast(genes))
+    h = F.conv(
+        F.substring(
+            F.md5((F.col("c_custkey") * 10 + F.col("gene")).cast("string")),
+            1, 8),
+        16, 10,
+    ).cast("long")
+    hc = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    reads = h % 1000 + F.when(
+        (hc % 2 == 1) & (F.col("gene") == 3), 50).otherwise(0)
+    x = x.select("c_custkey", "gene", reads.alias("reads"))
+    return quantile_normalize(x, "c_custkey", "gene", "reads")
+
+
+@q("g_merge_intervals", """
+WITH iv AS (
+  SELECT o_custkey % 500 AS grp,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS start_day,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         + ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % 30 AS end_day
+  FROM orders),
+f AS (SELECT grp, start_day AS s, end_day AS e,
+             CASE WHEN start_day > coalesce(
+                    max(end_day) OVER (PARTITION BY grp
+                      ORDER BY start_day ASC, end_day ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    start_day)
+                  THEN 1 ELSE 0 END AS newblk
+      FROM iv),
+b AS (SELECT *, sum(newblk) OVER (PARTITION BY grp
+        ORDER BY s ASC, e ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+      FROM f)
+SELECT grp, min(s) AS start_day, max(e) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM b GROUP BY grp, blk
+""")
+def g_merge_intervals_q(spark, sf):
+    # Interval union / coverage merge (functions/intervals.py
+    # merge_intervals — bedtools-merge semantics): collapse each
+    # customer-bucket's order-derived [day, day + hash-span] intervals
+    # into maximal covered blocks via the running-max gaps-and-islands
+    # window. The genomics exon-union primitive on the star schema.
+    from clinpy_spark.functions.intervals import merge_intervals
+
+    o = _t(spark, sf, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast("long")
+    iv = o.select(
+        (F.col("o_custkey") % 500).alias("grp"),
+        day.alias("start_day"),
+        (day + h % 30).alias("end_day"),
+    )
+    return merge_intervals(iv, "grp", "start_day", "end_day")
+
+
 # ---------------------------------------------------------------------------
 # Graph analytics (operators/graph.py) over the 1996 co-purchase graph:
 # parts are nodes, an edge links two parts shipped in the same order.
@@ -7185,8 +7280,8 @@ def graph_pagerank_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r10 window head: 34 oracled queries with NO driver record yet
-    # (12 r8-era queries squeezed out of earlier windows + 22 new in
+    # -- r10 window head: 36 oracled queries with NO driver record yet
+    # (12 r8-era queries squeezed out of earlier windows + 24 new in
     # r10: drift/skew/benford/ER/FD plus survival (KM/CI/median/log-rank/
     # Nelson-Aalen), genetics (HWE/assoc/trend/OR/LD/burden/ROH), differential
     # expression and graph analytics), then the stalest oracled
@@ -7206,6 +7301,8 @@ _PRIORITY: list[str] = [
     "gx_trend_test",
     "gx_odds_ratio",
     "dx_diff_expression",
+    "dx_quantile_normalize",
+    "g_merge_intervals",
     "graph_triangle_stats",
     "graph_pagerank",
     "q_skew_report",

@@ -302,3 +302,40 @@ def test_odds_ratio_haldane(spark):
     assert out[2].or_est == pytest.approx(
         (20.5 * 20.5) / (0.5 * 0.5), abs=1e-4)
     assert out[2].or_lo > 1.0 and out[2].or_hi > out[2].or_est
+
+
+def test_quantile_normalize_matrix(spark):
+    """After QN every sample carries the same value multiset (the
+    rank-wise means); a sample already holding the mean distribution
+    is unchanged."""
+    from clinpy_spark.operators.assoc import quantile_normalize
+
+    rows = [  # samples with different scales, same shape
+        (1, 0, 10), (1, 1, 20), (1, 2, 30),
+        (2, 0, 100), (2, 1, 200), (2, 2, 300),
+    ]
+    df = spark.createDataFrame(rows, "s long, f long, v long")
+    out = quantile_normalize(df, "s", "f", "v").collect()
+    per_sample = {}
+    for r in out:
+        per_sample.setdefault(r.sample, set()).add(r.qn_value)
+    assert per_sample[1] == per_sample[2] == {55.0, 110.0, 165.0}
+    by_rank = {(r.sample, r.rank): r.qn_value for r in out}
+    assert by_rank[(1, 1)] == 55.0 and by_rank[(2, 3)] == 165.0
+
+
+def test_merge_intervals_blocks(spark):
+    """Overlapping and touching intervals collapse; gaps split; groups
+    are independent; containment is absorbed."""
+    from clinpy_spark.functions.intervals import merge_intervals
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 7), ("a", 10, 12),   # overlap+contain+touch
+        ("a", 20, 25),                              # gap -> new block
+        ("b", 0, 1), ("b", 3, 4),                   # two blocks
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    out = {(r.g, r.s): r for r in merge_intervals(df, "g", "s", "e").collect()}
+    assert set(out) == {("a", 0), ("a", 20), ("b", 0), ("b", 3)}
+    assert (out[("a", 0)].e, out[("a", 0)].n_merged) == (12, 3)
+    assert out[("a", 20)].n_merged == 1

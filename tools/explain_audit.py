@@ -99,6 +99,8 @@ EXPECTED_UNBOUNDED = {
     "gx_roh_runs",  # same constant 200-row broadcast grid expansion
     "dx_diff_expression",  # constant 10-row broadcast gene-range
                            # expansion — fixed-width, linear in customers
+    "dx_quantile_normalize",  # same constant 10-row gene-range expansion;
+                              # the rank join is a broadcast HASH join
     "graph_triangle_stats",  # crossJoins of the THREE 1-row aggregates
                              # (node/edge/triangle counts) into the
                              # single summary row
