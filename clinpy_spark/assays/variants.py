@@ -151,6 +151,114 @@ class Variants(Assay):
             out = out.filter(specs_to_column(formats))
         return out
 
+    def _dosage(self, rna: bool, filtered: bool) -> DataFrame:
+        """Mapping rows with the alt-allele dosage decoded from the
+        reference's genotype strings (het/hom constants above; anything
+        else counts 0 — VCF rows are non-ref calls, so hom-ref never
+        appears as a mapping row)."""
+        _, _, map_t = self._names(rna, filtered)
+        m = self.db.table(map_t)
+        dose = (
+            F.when(F.col("gt") == GT_HOM, 2)
+            .when(F.col("gt") == GT_HET, 1)
+            .otherwise(0)
+        )
+        return m.withColumn("__dose", dose)
+
+    def _cohort_size(self, d: DataFrame) -> int:
+        """Default genotyped-cohort size: distinct samplenames in the
+        mapping table (samples whose VCF was ingested and produced
+        calls). Samples without a VCF are NOT silently counted hom-ref
+        — pass ``cohort_size=`` to hwe/association when the sequenced
+        cohort is known to be larger (e.g. all-ref samples)."""
+        return d.select("samplename").distinct().count()
+
+    def hwe(self, rna: bool = False, filtered: bool = False,
+            cohort_size: int | None = None) -> DataFrame:
+        """Per-variant Hardy-Weinberg equilibrium audit over the
+        project's genotypes (operators/assoc.py hwe_chi2_from_counts)
+        — the genotyping-QC gate the reference leaves to downstream
+        tools. Mapping rows are non-ref calls only, so the implicit
+        hom-ref class is derived ARITHMETICALLY from the cohort size
+        (one broadcast scalar) — no per-subject row materialization at
+        any cohort scale."""
+        from clinpy_spark.operators.assoc import hwe_chi2_from_counts
+
+        d = self._dosage(rna, filtered)
+        n_samples = cohort_size or self._cohort_size(d)
+        per_v = d.groupBy(F.col("variant_id").alias("variant")).agg(
+            F.sum(F.when(F.col("__dose") == 1, 1).otherwise(0))
+            .alias("n_het"),
+            F.sum(F.when(F.col("__dose") == 2, 1).otherwise(0))
+            .alias("n_hom_alt"),
+        ).select(
+            "variant",
+            F.lit(n_samples).alias("n"),
+            (F.lit(n_samples) - F.col("n_het") - F.col("n_hom_alt"))
+            .alias("n_hom_ref"),
+            "n_het",
+            "n_hom_alt",
+        )
+        return hwe_chi2_from_counts(per_v)
+
+    def association(
+        self,
+        case_samples: list[str],
+        test: str = "allelic",
+        rna: bool = False,
+        filtered: bool = False,
+        cohort_size: int | None = None,
+    ) -> DataFrame:
+        """Case/control association per variant over the project's
+        genotypes: ``test`` = 'allelic' (2x2 allele chi-square),
+        'trend' (Cochran-Armitage), or 'or' (Haldane odds ratio + CI)
+        — the from-counts forms in operators/assoc.py. Hom-ref
+        subjects (no mapping row) contribute 0 to every carrier sum,
+        so the full-cohort margins come from two scalar phenotype
+        totals — a biobank-sized cohort never materializes its
+        genotype matrix."""
+        from clinpy_spark.operators.assoc import (
+            allelic_chi2_from_counts, odds_ratio_from_counts,
+            trend_chi2_from_moments)
+
+        d = self._dosage(rna, filtered)
+        n_all = cohort_size or self._cohort_size(d)
+        n_case = (
+            d.select("samplename").distinct()
+            .filter(F.col("samplename").isin(case_samples)).count()
+        )
+        n_ctrl = n_all - n_case
+        is_case = F.col("samplename").isin(case_samples)
+        dose = F.col("__dose")
+        sums = d.groupBy(F.col("variant_id").alias("variant")).agg(
+            F.sum(F.when(is_case, dose).otherwise(0)).alias("case_alt"),
+            F.sum(F.when(~is_case, dose).otherwise(0)).alias("ctrl_alt"),
+            F.sum(dose * dose).alias("__sq"),
+        )
+        if test == "trend":
+            per_v = sums.select(
+                "variant",
+                F.lit(n_all).alias("n"),
+                F.lit(n_case).alias("n_case"),
+                F.col("case_alt").alias("score_case"),
+                (F.col("case_alt") + F.col("ctrl_alt")).alias("score_total"),
+                "__sq",
+            )
+            return trend_chi2_from_moments(per_v)
+        if test in ("allelic", "or"):
+            per_v = sums.select(
+                "variant",
+                "case_alt",
+                (2 * n_case - F.col("case_alt")).alias("case_ref"),
+                "ctrl_alt",
+                (2 * n_ctrl - F.col("ctrl_alt")).alias("ctrl_ref"),
+            )
+            if test == "allelic":
+                return allelic_chi2_from_counts(per_v)
+            return odds_ratio_from_counts(per_v)
+        raise ValueError(f"unknown test {test!r}; "
+                         "expected allelic | trend | or")
+
     def list_impacts(self, rna: bool = False, filtered: bool = False) -> list[str]:
         """Impact-table column names, for building filter dicts
         (reference variants.py:38-43 — schema reflection; here the

@@ -47,6 +47,15 @@ def hwe_chi2(df: DataFrame, variant_col: str, gt_col: str) -> DataFrame:
         F.sum(F.when(gt == 1, 1).otherwise(0)).alias("n_het"),
         F.sum(F.when(gt == 2, 1).otherwise(0)).alias("n_hom_alt"),
     )
+    return hwe_chi2_from_counts(per_v)
+
+
+def hwe_chi2_from_counts(per_v: DataFrame) -> DataFrame:
+    """HWE chi-square from an already-counted genotype-class table
+    (variant, n, n_hom_ref, n_het, n_hom_alt) — the entry point when
+    the hom-ref class is implicit (VCF mappings store non-ref calls
+    only, so callers derive n_hom_ref = cohort - het - hom arithmetically
+    instead of materializing rows; assays/variants.py Variants.hwe)."""
     q = (2 * F.col("n_hom_alt") + F.col("n_het")) / (2.0 * F.col("n"))
     p = 1 - q
     e0 = F.col("n") * p * p
@@ -88,6 +97,14 @@ def allelic_assoc_chi2(
         F.sum(F.when(~is_case, gt).otherwise(0)).alias("ctrl_alt"),
         F.sum(F.when(~is_case, 2 - gt).otherwise(0)).alias("ctrl_ref"),
     )
+    return allelic_chi2_from_counts(per_v)
+
+
+def allelic_chi2_from_counts(per_v: DataFrame) -> DataFrame:
+    """2x2 allelic chi-square from an already-counted cell table
+    (variant, case_alt, case_ref, ctrl_alt, ctrl_ref) — for callers
+    whose hom-ref subjects are implicit (cells derived from carrier
+    sums + cohort totals, no row materialization)."""
     # Margin products overflow BIGINT past ~3e4 subjects per variant, so
     # the statistic is computed in doubles (exact while per-cell counts
     # stay below 2^26 — products then fit the 53-bit mantissa; the
@@ -355,6 +372,14 @@ def trend_chi2(
         F.sum(gt).alias("score_total"),
         F.sum(gt * gt).alias("__sq"),
     )
+    return trend_chi2_from_moments(per_v)
+
+
+def trend_chi2_from_moments(per_v: DataFrame) -> DataFrame:
+    """Cochran-Armitage chi-square from already-aggregated moments
+    (variant, n, n_case, score_case, score_total, __sq) — absent
+    (hom-ref) subjects contribute 0 to every score moment, so carriers-
+    only tables plus cohort totals suffice (no row materialization)."""
     nn = F.col("n").cast("double")
     r = F.col("n_case").cast("double")
     sr = F.col("score_case").cast("double")
@@ -399,6 +424,12 @@ def odds_ratio(
         F.sum(F.when(~is_case, gt).otherwise(0)).alias("ctrl_alt"),
         F.sum(F.when(~is_case, 2 - gt).otherwise(0)).alias("ctrl_ref"),
     )
+    return odds_ratio_from_counts(per_v, z=z)
+
+
+def odds_ratio_from_counts(per_v: DataFrame, z: float = 1.96) -> DataFrame:
+    """Haldane odds ratio + CI from an already-counted 2x2 cell table
+    (variant, case_alt, case_ref, ctrl_alt, ctrl_ref)."""
     a = F.col("case_alt") + 0.5
     b = F.col("case_ref") + 0.5
     c = F.col("ctrl_alt") + 0.5

@@ -985,3 +985,44 @@ def test_variants_filter_spec_compiler(spark, project):
         r.consequence for r in neg.select("consequence").collect()}
     with pytest.raises(ValueError, match="no filters"):
         v.filter()
+
+
+def test_variants_hwe_and_association(spark, project):
+    """Assay-level genetics statistics over the project's genotype
+    store: the implicit hom-ref class is derived arithmetically from
+    the cohort size (no genotype-matrix materialization). The default
+    cohort is the genotyped samples (s1, s3); with an explicit
+    cohort_size=3 the chr1:150 het+hom pair scores q = 0.5,
+    chi2 = 1/3; a case split that mirrors the allele split scores 0."""
+    catalog, _ = project
+    v = Variants(catalog)
+    vid = catalog.table("variants").filter(
+        (F.col("chrom") == "chr1") & (F.col("pos") == 150)
+    ).collect()[0].variant_id
+
+    default = {r.variant: r for r in v.hwe().collect()}
+    assert (default[vid].n, default[vid].n_hom_ref) == (2, 0)
+
+    hwe = {r.variant: r for r in v.hwe(cohort_size=3).collect()}
+    r = hwe[vid]
+    assert (r.n, r.n_hom_ref, r.n_het, r.n_hom_alt) == (3, 1, 1, 1)
+    assert r.alt_freq == 0.5
+    assert r.chi2 == pytest.approx(1 / 3, abs=1e-6)
+
+    al = {r.variant: r for r in v.association(
+        ["s1"], test="allelic", cohort_size=3).collect()}
+    a = al[vid]
+    assert (a.case_alt, a.case_ref, a.ctrl_alt, a.ctrl_ref) == (1, 1, 2, 2)
+    assert a.chi2 == 0.0
+
+    tr = {r.variant: r for r in v.association(
+        ["s1"], test="trend", cohort_size=3).collect()}
+    assert tr[vid].chi2 == 0.0 and tr[vid].n == 3 and tr[vid].n_case == 1
+
+    orr = {r.variant: r for r in v.association(
+        ["s1"], test="or", cohort_size=3).collect()}
+    assert orr[vid].or_est == 1.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        v.association(["s1"], test="fisher")
