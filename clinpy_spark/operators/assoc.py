@@ -132,6 +132,7 @@ def ld_r2(
     chrom_col: str,
     pos_col: str,
     max_dist: int,
+    materialize: bool = False,
 ) -> DataFrame:
     """Pairwise linkage disequilibrium (composite genotypic r^2) for
     variant pairs on the same chromosome within ``max_dist`` bases:
@@ -162,6 +163,13 @@ def ld_r2(
         F.col(chrom_col).alias("__chrom"),
         F.col(pos_col).cast("long").alias("__pos"),
     )
+    if materialize:
+        # The genotype relation is read three times (per-variant
+        # moments, variant map, cross-moment probe): cut the lineage
+        # once when upstream is computed (a synthesized or joined
+        # matrix). Leave False when upstream is a bare parquet scan —
+        # re-scanning columnar storage is cheaper than materializing.
+        g = g.localCheckpoint(eager=False)
     stats = g.groupBy("__v").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__gt").alias("sx"),

@@ -6720,6 +6720,10 @@ def gx_ld_r2_q(spark, sf):
     # ratio in mirrored double order (no sqrt).
     from clinpy_spark.operators.assoc import ld_r2
 
+    # materialize=False: the driver/bench contract builds a fresh plan
+    # per run, so a lineage-cut would re-checkpoint the grid every call
+    # (measured 2.6x slower at sf0.1); the knob pays only when a caller
+    # holds ONE DataFrame and reuses it across actions.
     return ld_r2(
         _grid_geno(spark, sf), "variant", "c_custkey", "gt",
         "chrom", "pos", max_dist=5)
