@@ -173,7 +173,13 @@ def logrank_test(
     return (
         agg.crossJoin(F.broadcast(counts))
         .select(
-            F.round(oma * oma / F.col("__v"), 6).alias("chi2"),
+            # Zero total variance (degenerate cohort: one arm empty at
+            # every event time, or no events with n > 1) leaves the
+            # statistic undefined -> NULL, never a divide-by-zero
+            # (hypothesis-found edge; ANSI mode raises otherwise).
+            F.when(
+                F.col("__v") > 0, F.round(oma * oma / F.col("__v"), 6)
+            ).alias("chi2"),
             "observed_a",
             "expected_a",
             "n_a",

@@ -815,3 +815,152 @@ def test_psi_zero_on_identical_and_affine_invariant(spark, vals):
     df2 = spark.createDataFrame([(3.0 * v + 11.0,) for v in vals], "v double")
     shifted = psi_table(df2, df2, "v", n_bins=4).collect()
     assert [(r.ref_n, r.cur_n) for r in shifted] == [(r.ref_n, r.cur_n) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Survival / genetics / interval-merge properties (round-10 operators).
+# One hypothesis example = one whole cohort (single Spark job per example).
+# ---------------------------------------------------------------------------
+
+_subjects = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),            # cohort
+        st.integers(min_value=1, max_value=12),  # event/censor time
+        st.integers(min_value=0, max_value=1),   # evt flag
+    ),
+    min_size=1, max_size=24,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_subjects)
+def test_km_curve_is_monotone_and_bounded(spark, rows):
+    """On ANY cohort: survival is non-increasing in time within each
+    group, confined to [0, 1], and equals the closed-form product of
+    the per-time factors computed in python."""
+    from clinpy_spark.operators.survival import km_curve
+
+    df = spark.createDataFrame(rows, "grp string, t long, evt int")
+    out = km_curve(df, "t", "evt", "grp").collect()
+    by_g: dict = {}
+    for r in sorted(out, key=lambda r: (r.grp, r.t)):
+        prev = by_g.get(r.grp, 1.0)
+        assert 0.0 <= r.survival <= prev + 1e-9, (r.grp, r.t)
+        by_g[r.grp] = r.survival
+    # python reference: sequential product over the same grid
+    import collections
+    grid = collections.defaultdict(dict)
+    for g, t, e in rows:
+        d, c = grid[g].get(t, (0, 0))
+        grid[g][t] = (d + e, c + (1 - e))
+    for g, times in grid.items():
+        n = sum(d + c for d, c in times.values())
+        s = 1.0
+        for t in sorted(times):
+            d, c = times[t]
+            s = 0.0 if d >= n else s * (1 - d / n)
+            got = [r.survival for r in out if r.grp == g and r.t == t][0]
+            assert abs(got - round(s, 6)) <= 1e-9, (g, t, s)
+            n -= d + c
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_subjects)
+def test_logrank_symmetric_under_group_swap(spark, rows):
+    """chi2 is symmetric in the two arms: testing (a vs b) equals
+    (b vs a); with a single-arm cohort the statistic degenerates to
+    NULL/0 expectations rather than crashing."""
+    from clinpy_spark.operators.survival import logrank_test
+
+    df = spark.createDataFrame(rows, "grp string, t long, evt int")
+    ab = logrank_test(df, "t", "evt", "grp", "a", "b").collect()[0]
+    ba = logrank_test(df, "t", "evt", "grp", "b", "a").collect()[0]
+    if ab.chi2 is not None and ba.chi2 is not None:
+        assert abs(ab.chi2 - ba.chi2) <= 2e-6
+    assert ab.n_a == ba.n_b and ab.n_b == ba.n_a
+
+
+_genos = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # variant
+        st.integers(min_value=0, max_value=2),   # gt dosage
+        st.booleans(),                           # case
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_genos)
+def test_hwe_invariant_under_allele_relabel(spark, rows):
+    """Swapping ref/alt labels (gt -> 2 - gt) leaves the HWE chi-square
+    unchanged and mirrors the genotype-class counts."""
+    from clinpy_spark.operators.assoc import hwe_chi2
+
+    df = spark.createDataFrame(rows, "variant long, gt int, case boolean")
+    swapped = df.withColumn("gt", 2 - F.col("gt"))
+    a = {r.variant: r for r in hwe_chi2(df, "variant", "gt").collect()}
+    b = {r.variant: r for r in hwe_chi2(swapped, "variant", "gt").collect()}
+    for v in a:
+        assert abs(a[v].chi2 - b[v].chi2) <= 2e-6, v
+        assert (a[v].n_hom_ref, a[v].n_hom_alt) == (b[v].n_hom_alt, b[v].n_hom_ref)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_genos)
+def test_trend_and_allelic_symmetric_under_phenotype_swap(spark, rows):
+    """Swapping case/control labels leaves both association
+    chi-squares unchanged (the 2x2 and trend statistics are symmetric
+    in the phenotype)."""
+    from clinpy_spark.operators.assoc import allelic_assoc_chi2, trend_chi2
+
+    df = spark.createDataFrame(rows, "variant long, gt int, case boolean")
+    sw = df.withColumn("case", ~F.col("case"))
+    for fn in (allelic_assoc_chi2, trend_chi2):
+        a = {r.variant: r.chi2 for r in fn(df, "variant", "gt", "case").collect()}
+        b = {r.variant: r.chi2 for r in fn(sw, "variant", "gt", "case").collect()}
+        for v in a:
+            assert abs(a[v] - b[v]) <= 2e-6, (fn.__name__, v)
+
+
+_merge_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y"]),
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=0, max_value=20),
+    ).map(lambda t: (t[0], t[1], t[1] + t[2])),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_merge_rows)
+def test_merge_intervals_idempotent_and_covering(spark, rows):
+    """Merging is idempotent (re-merging the output is the identity up
+    to n_merged=1), output blocks are disjoint and non-touching within
+    a group, and total coverage equals the union length computed in
+    python."""
+    from clinpy_spark.functions.intervals import merge_intervals
+
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    once = merge_intervals(df, "g", "s", "e")
+    blocks = sorted(
+        ((r.g, r.s, r.e) for r in once.collect()), key=lambda t: (t[0], t[1]))
+    for (g1, s1, e1), (g2, s2, e2) in zip(blocks, blocks[1:]):
+        if g1 == g2:
+            assert s2 > e1, (g1, s1, e1, s2, e2)  # disjoint, not touching
+    twice = merge_intervals(
+        once.select("g", "s", "e"), "g", "s", "e").collect()
+    assert sorted((r.g, r.s, r.e) for r in twice) == blocks
+    assert all(r.n_merged == 1 for r in twice)
+    # coverage vs python union of closed intervals
+    import collections
+    per_g = collections.defaultdict(list)
+    for g, s, e in rows:
+        per_g[g].append((s, e))
+    for g, ivs in per_g.items():
+        pts = set()
+        for s, e in ivs:
+            pts.update(range(2 * s, 2 * e + 1))   # half-unit grid
+        got = sum(2 * (e - s) + 1 for (gg, s, e) in blocks if gg == g)
+        assert got == len(pts), g
