@@ -93,8 +93,12 @@ def triangle_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
     base = e.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
-        .alias("n_wedges"),
+        # coalesce: SUM over an edgeless graph (e.g. self-loops only)
+        # is NULL, the census should read 0
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long"),
+            F.lit(0),
+        ).alias("n_wedges"),
     )
     return (
         nodes.crossJoin(F.broadcast(base))

@@ -964,3 +964,89 @@ def test_merge_intervals_idempotent_and_covering(spark, rows):
             pts.update(range(2 * s, 2 * e + 1))   # half-unit grid
         got = sum(2 * (e - s) + 1 for (gg, s, e) in blocks if gg == g)
         assert got == len(pts), g
+
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=14),
+              st.integers(min_value=0, max_value=14)),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=_edge_lists)
+def test_triangle_count_equals_naive_on_any_graph(spark, pairs):
+    """Degree-oriented enumeration equals brute-force u<v<w counting on
+    arbitrary multigraph input (self-loops/duplicates/reversals)."""
+    from clinpy_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(pairs, "s long, d long")
+    (r,) = triangle_stats(df, "s", "d").collect()
+    e = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    naive = sum(
+        1 for (u, v) in e for w in range(15)
+        if v < w and (u, w) in e and (v, w) in e)
+    wedges = 0
+    deg: dict = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    wedges = sum(k * (k - 1) // 2 for k in deg.values())
+    assert (r.n_triangles, r.n_edges, r.n_wedges) == (naive, len(e), wedges)
+
+
+@settings(max_examples=6, deadline=None)
+@given(pairs=_edge_lists, iters=st.integers(min_value=1, max_value=4))
+def test_pagerank_conserves_mass_on_any_graph(spark, pairs, iters):
+    """On ANY symmetrized simple graph the rank vector sums to 1 after
+    every number of power steps (no dangling leakage), and every rank
+    is positive."""
+    from clinpy_spark.operators.graph import pagerank
+
+    if not any(a != b for a, b in pairs):
+        return  # no edges survive canonicalization
+    df = spark.createDataFrame(pairs, "s long, d long")
+    out = pagerank(df, "s", "d", iterations=iters).collect()
+    assert all(r.pr > 0 for r in out)
+    assert abs(sum(r.pr for r in out) - 1.0) <= 1e-4
+
+
+_roh_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),    # sample
+        st.integers(min_value=0, max_value=1),    # chrom
+        st.integers(min_value=0, max_value=25),   # pos
+        st.integers(min_value=0, max_value=2),    # gt
+    ),
+    min_size=1, max_size=30, unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_roh_rows, min_sites=st.integers(min_value=1, max_value=4))
+def test_roh_runs_equal_python_reference(spark, rows, min_sites):
+    """Gaps-and-islands ROH equals a sequential python scan over each
+    (sample, chrom) site list for any genotype pattern and cutoff."""
+    from clinpy_spark.operators.assoc import roh_runs
+
+    df = spark.createDataFrame(rows, "s long, chrom long, pos long, gt int")
+    got = {(r.sample, r.chrom, r.start_pos): (r.end_pos, r.n_sites)
+           for r in roh_runs(df, "s", "chrom", "pos", "gt",
+                             min_sites=min_sites).collect()}
+    import collections
+    per = collections.defaultdict(list)
+    for s, c, p, g in rows:
+        per[(s, c)].append((p, g))
+    exp = {}
+    for (s, c), sites in per.items():
+        run: list = []
+        for p, g in sorted(sites):
+            if g != 1:
+                run.append(p)
+            else:
+                if len(run) >= min_sites:
+                    exp[(s, c, run[0])] = (run[-1], len(run))
+                run = []
+        if len(run) >= min_sites:
+            exp[(s, c, run[0])] = (run[-1], len(run))
+    assert got == exp
