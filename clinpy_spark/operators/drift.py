@@ -122,6 +122,15 @@ def ks_two_sample(
     )
     per_val = tagged.groupBy("__v").agg(
         F.sum("__ca").alias("na"), F.sum("__cb").alias("nb"))
+    return ks_from_value_counts(per_val)
+
+
+def ks_from_value_counts(per_val: DataFrame) -> DataFrame:
+    """KS statistic from an already-aggregated per-distinct-value count
+    table (__v, na, nb) — the entry point for incrementally-maintained
+    samples: per-value counts are ADDITIVE, so a streaming fold keeps
+    (__v, n) per side and this computes the exact current D
+    (streaming/drift.py stream_ks_counts)."""
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     tot = per_val.agg(F.sum("na").alias("__ta"), F.sum("nb").alias("__tb"))
     cum = (

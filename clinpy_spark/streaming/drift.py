@@ -92,3 +92,64 @@ def finalize_psi(
         F.round(cf, 6).alias("cur_frac"),
         F.round((cf - rf) * F.log(cf / rf), 6).alias("psi_contrib"),
     ).orderBy("bin")
+
+
+def value_counts_partial(
+    df: DataFrame, col: str, quantize: int | None = None
+) -> DataFrame:
+    """(__v, n) additive partials for one batch — the KS sufficient
+    statistic. ``quantize`` rounds first (REQUIRED for unbounded-domain
+    metrics: the maintained table is |distinct values| rows, same
+    compromise as the batch ks_two_sample)."""
+    val = F.round(F.col(col), quantize) if quantize is not None else F.col(col)
+    return df.select(val.alias("__v")).groupBy("__v").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def stream_ks_counts(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    col: str,
+    quantize: int | None = None,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Fold each micro-batch's per-value counts into the persisted
+    ``name`` table (addition-merge keyed by __v). Read the live KS vs a
+    reference snapshot with :func:`finalize_ks`."""
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = value_counts_partial(batch, col, quantize)
+        if catalog.exists(name):
+            merged = (catalog.table(name).unionByName(part)
+                      .groupBy("__v").agg(F.sum("n").alias("n")))
+            catalog.overwrite_staged(merged, name)
+        else:
+            catalog.write(part, name)
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__ks_checkpoint__"
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_ks(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
+    """Exact two-sample KS from two per-value count tables (__v, n):
+    1 row (ks_d, n_a, n_b) — identical to the batch ks_two_sample over
+    the same data (twin test)."""
+    from clinpy_spark.operators.drift import ks_from_value_counts
+
+    tagged = (
+        ref_counts.select("__v", F.col("n").alias("na"), F.lit(0).alias("nb"))
+        .unionByName(cur_counts.select(
+            "__v", F.lit(0).alias("na"), F.col("n").alias("nb")))
+        .groupBy("__v")
+        .agg(F.sum("na").alias("na"), F.sum("nb").alias("nb"))
+    )
+    return ks_from_value_counts(tagged)

@@ -700,3 +700,42 @@ def test_streaming_km_matches_batch(spark, tmp_path):
            for r in km_curve(batch, "t", "evt", "grp").collect()}
     assert got == exp
     assert got[("a", 2)][1] == 2        # both batches' events at t=2 folded
+
+
+def test_streaming_ks_matches_batch(spark, tmp_path):
+    """Streaming KS twin: per-value counts folded across two
+    micro-batches + a frozen reference snapshot reproduce the batch
+    ks_two_sample exactly (shared values across batches accumulate)."""
+    from clinpy_spark.operators.drift import ks_two_sample
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.drift import (
+        finalize_ks, stream_ks_counts, value_counts_partial,
+    )
+
+    ref_rows = [(float(v),) for v in (1, 1, 2, 3, 5, 8, 8)]
+    b1 = [(float(v),) for v in (1, 2, 2, 9)]
+    b2 = [(float(v),) for v in (2, 4, 9, 9)]
+    src = tmp_path / "vals"
+    src.mkdir()
+    import json as _json
+    for i, rows in enumerate((b1, b2)):
+        with open(src / f"part-{i}.json", "w") as fh:
+            for (v,) in rows:
+                fh.write(_json.dumps({"value": v}) + "\n")
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = stream_ks_counts(stream, cat, "ks_cur", "value",
+                         checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    ref_df = spark.createDataFrame(ref_rows, "value double")
+    ref_counts = value_counts_partial(ref_df, "value")
+    (got,) = finalize_ks(ref_counts, cat.table("ks_cur")).collect()
+    (exp,) = ks_two_sample(
+        ref_df, spark.createDataFrame(b1 + b2, "value double"), "value"
+    ).collect()
+    assert (got.ks_d, got.n_a, got.n_b) == (exp.ks_d, exp.n_a, exp.n_b)
+    assert got.n_b == 8
