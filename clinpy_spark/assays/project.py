@@ -88,3 +88,65 @@ class Project(Assay):
             f"  cohort {r.cohort}: {r.n}" for r in counts
         ]
         return "\n".join(lines)
+
+    # -- clinical time-to-event readouts over the samples dimension --
+
+    def _cohort_obs(self, time_field: str, event_field: str,
+                    by: str) -> DataFrame:
+        """(grp, t, evt) observations from samples columns or
+        ``user_annot`` map keys (annotation values are strings — cast
+        here); rows missing either clinical field are dropped."""
+        df = self.db.table("samples")
+
+        def col_of(field: str) -> F.Column:
+            if field in df.columns:
+                return F.col(field)
+            return F.col("user_annot").getItem(field)
+
+        obs = df.select(
+            col_of(by).cast("string").alias("grp"),
+            col_of(time_field).cast("long").alias("t"),
+            col_of(event_field).cast("int").alias("evt"),
+        )
+        return obs.filter(F.col("t").isNotNull() & F.col("evt").isNotNull())
+
+    def survival(
+        self,
+        time_field: str,
+        event_field: str,
+        by: str = "cohort",
+        estimator: str = "km",
+    ) -> DataFrame:
+        """Survival readout per cohort straight from the project's
+        sample store (fields from samples columns or user_annot):
+        ``estimator`` = 'km' (Kaplan-Meier curve), 'ci' (KM +
+        Greenwood bands), or 'na' (Nelson-Aalen cumulative hazard) —
+        operators/survival.py over the (by, time, event) observations.
+        The clinical companion to Variants.hwe/association."""
+        from clinpy_spark.operators.survival import (
+            km_curve, km_greenwood, nelson_aalen)
+
+        fn = {"km": km_curve, "ci": km_greenwood, "na": nelson_aalen}.get(
+            estimator)
+        if fn is None:
+            raise ValueError(
+                f"unknown estimator {estimator!r}; expected km | ci | na")
+        return fn(self._cohort_obs(time_field, event_field, by),
+                  "t", "evt", "grp")
+
+    def logrank(
+        self,
+        time_field: str,
+        event_field: str,
+        group_a: str,
+        group_b: str,
+        by: str = "cohort",
+    ) -> DataFrame:
+        """Two-cohort log-rank test over the sample store — do the two
+        named cohorts share a survival curve? (operators/survival.py
+        logrank_test)."""
+        from clinpy_spark.operators.survival import logrank_test
+
+        return logrank_test(
+            self._cohort_obs(time_field, event_field, by),
+            "t", "evt", "grp", group_a, group_b)

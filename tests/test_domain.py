@@ -1026,3 +1026,38 @@ def test_variants_hwe_and_association(spark, project):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         v.association(["s1"], test="fisher")
+
+
+def test_project_survival_and_logrank(spark, project):
+    """Clinical time-to-event readouts straight from the sample store:
+    fields resolve from samples columns or user_annot strings; KM /
+    Greenwood / Nelson-Aalen agree on n_risk; log-rank runs between
+    named cohorts."""
+    catalog, _ = project
+    p = Project(catalog)
+    for s, t, e in (("s1", "5", "1"), ("s2", "8", "0"),
+                    ("s3", "3", "1"), ("s4", "9", "1")):
+        p.annotate_sample(s, {"t_days": t, "deceased": e})
+
+    km = p.survival("t_days", "deceased", by="cohort").collect()
+    by = {(r.grp, r.t): r for r in km}
+    # cohort A = s1 (5, evt) + s2 (8, censored)
+    assert by[("A", 5)].n_risk == 2 and by[("A", 5)].survival == 0.5
+    assert by[("A", 8)].survival == 0.5 and by[("A", 8)].n_censored == 1
+    assert by[("B", 3)].survival == 0.0       # single subject, event
+
+    ci = {(r.grp, r.t): r for r in p.survival(
+        "t_days", "deceased", by="cohort", estimator="ci").collect()}
+    assert ci[("A", 5)].survival == 0.5
+    assert ci[("A", 5)].ci_lo >= 0.0 and ci[("A", 5)].ci_hi <= 1.0
+
+    na = {(r.grp, r.t): r for r in p.survival(
+        "t_days", "deceased", by="cohort", estimator="na").collect()}
+    assert na[("A", 5)].cumhaz == 0.5
+
+    (lr,) = p.logrank("t_days", "deceased", "A", "B").collect()
+    assert lr.n_a == 2 and lr.n_b == 1 and lr.observed_a == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        p.survival("t_days", "deceased", estimator="cox")
