@@ -294,3 +294,42 @@ def km_greenwood(
         .otherwise(F.round(F.least(s + z * se, F.lit(1.0)), 6))
         .alias("ci_hi"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time per group: (group, n_subjects,
+    rmst) — the area under the Kaplan-Meier curve on [0, tau], the
+    standard trial endpoint when proportional hazards fail. Computed
+    from the KM step function: the [0, first-time) segment at S = 1
+    plus one lead-window segment per curve step, every segment clipped
+    to tau; rounded to 6.
+
+    Same bounded per-time-grid shape as :func:`km_curve` — one lead
+    window and one grouped sum over the grid.
+    """
+    km = km_curve(df, time_col, event_col, group_col)
+    w = Window.partitionBy(group_col).orderBy(time_col)
+    t = F.col(time_col).cast("double")
+    nxt = F.coalesce(
+        F.lead(time_col).over(w).cast("double"), F.lit(float(tau)))
+    seg = F.col("survival") * F.greatest(
+        F.least(nxt, F.lit(float(tau))) - F.least(t, F.lit(float(tau))),
+        F.lit(0.0),
+    )
+    first = F.least(F.min(t).over(Window.partitionBy(group_col)),
+                    F.lit(float(tau)))
+    return (
+        km.withColumn("__seg", seg)
+        .withColumn("__first", first)
+        .groupBy(group_col)
+        .agg(
+            F.max("n_risk").alias("n_subjects"),
+            F.round(F.max("__first") + F.sum("__seg"), 6).alias("rmst"),
+        )
+    )

@@ -7005,6 +7005,55 @@ def surv_median_time_q(spark, sf):
     )
 
 
+@q("surv_rmst", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+agg AS (SELECT priority, duration,
+               CAST(sum(evt) AS BIGINT) AS d,
+               CAST(sum(1 - evt) AS BIGINT) AS c
+        FROM obs GROUP BY priority, duration),
+w AS (SELECT *,
+        sum(d + c) OVER (PARTITION BY priority) AS tot,
+        coalesce(sum(d + c) OVER (PARTITION BY priority ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM agg),
+r AS (SELECT priority, duration, d, c,
+             CAST(tot - prev AS BIGINT) AS n_risk FROM w),
+s AS (SELECT *,
+        sum(CASE WHEN d < n_risk
+                 THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS lsum,
+        max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS zf
+      FROM r),
+km AS (SELECT priority, duration, n_risk,
+              CASE WHEN zf = 1 THEN 0.0
+                   ELSE round(exp(lsum), 6) END AS survival
+       FROM s),
+seg AS (SELECT priority, n_risk, survival,
+               CAST(duration AS DOUBLE) AS t,
+               coalesce(CAST(lead(duration) OVER (PARTITION BY priority
+                 ORDER BY duration) AS DOUBLE), 365.0) AS nxt,
+               least(min(CAST(duration AS DOUBLE)) OVER (PARTITION BY
+                 priority), 365.0) AS first_t
+        FROM km)
+SELECT priority, CAST(max(n_risk) AS BIGINT) AS n_subjects,
+       round(max(first_t)
+             + sum(survival
+                   * greatest(least(nxt, 365.0) - least(t, 365.0), 0.0)),
+             6) AS rmst
+FROM seg GROUP BY priority
+""")
+def surv_rmst_q(spark, sf):
+    # Restricted mean survival time at tau = 365 days (operators/
+    # survival.py rmst): area under the KM step function on [0, tau] —
+    # the trial endpoint of choice when hazards aren't proportional.
+    # One lead window + one grouped sum over the per-time grid.
+    from clinpy_spark.operators.survival import rmst
+
+    return rmst(_surv_obs(spark, sf), "duration", "evt", "priority",
+                tau=365)
+
+
 @q("gx_trend_test", f"""
 WITH g AS ({_GENO_SQL}),
 pv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
@@ -7284,8 +7333,8 @@ def graph_pagerank_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r10 window head: 36 oracled queries with NO driver record yet
-    # (12 r8-era queries squeezed out of earlier windows + 24 new in
+    # -- r10 window head: 37 oracled queries with NO driver record yet
+    # (12 r8-era queries squeezed out of earlier windows + 25 new in
     # r10: drift/skew/benford/ER/FD plus survival (KM/CI/median/log-rank/
     # Nelson-Aalen), genetics (HWE/assoc/trend/OR/LD/burden/ROH), differential
     # expression and graph analytics), then the stalest oracled
@@ -7297,6 +7346,7 @@ _PRIORITY: list[str] = [
     "surv_na_cumhaz",
     "surv_km_ci",
     "surv_median_time",
+    "surv_rmst",
     "gx_hwe_audit",
     "gx_allelic_assoc",
     "gx_ld_r2",

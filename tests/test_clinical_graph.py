@@ -339,3 +339,22 @@ def test_merge_intervals_blocks(spark):
     assert set(out) == {("a", 0), ("a", 20), ("b", 0), ("b", 3)}
     assert (out[("a", 0)].e, out[("a", 0)].n_merged) == (12, 3)
     assert out[("a", 20)].n_merged == 1
+
+
+def test_rmst_textbook(spark):
+    """RMST = area under the KM steps, clipped at tau: the textbook
+    cohort gives 1*1 + 0.8*1 + 0.6*2 + 0.3*(tau-4) for tau in (4, 5];
+    a tau below the first time returns tau itself."""
+    from clinpy_spark.operators.survival import rmst
+
+    df = _cohort(spark, [
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 0), ("a", 4, 1), ("a", 5, 0)])
+    (r,) = rmst(df, "t", "evt", "grp", tau=5).collect()
+    assert r.rmst == pytest.approx(1 + 0.8 + 0.6 * 2 + 0.3 * 1, abs=1e-6)
+    assert r.n_subjects == 5
+
+    (r10,) = rmst(df, "t", "evt", "grp", tau=10).collect()
+    assert r10.rmst == pytest.approx(1 + 0.8 + 0.6 * 2 + 0.3 * 6, abs=1e-6)
+
+    (r0,) = rmst(df, "t", "evt", "grp", tau=1).collect()
+    assert r0.rmst == pytest.approx(1.0, abs=1e-6)   # S=1 on [0, t1)
