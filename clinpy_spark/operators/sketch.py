@@ -281,8 +281,13 @@ def kmv_union_jaccard(
     the hash union; jaccard_est = |merged ∩ A ∩ B| / |merged| (Beyer's
     K-statistic), intersect_est = jaccard_est * union_est. Every step
     is deterministic array math on two k-length arrays."""
-    a = sketch_a.select(F.col("hashes").alias("__ha"))
-    b = sketch_b.select(F.col("hashes").alias("__hb"))
+    # limit(1) enforces the single-group contract structurally: the
+    # cross join's both sides are provably constant-row in the physical
+    # plan (shape-level audit, tools/explain_audit.py), and a caller
+    # accidentally passing a multi-group sketch can't silently blow up
+    # the pair space.
+    a = sketch_a.select(F.col("hashes").alias("__ha")).limit(1)
+    b = sketch_b.select(F.col("hashes").alias("__hb")).limit(1)
     merged = F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k)
     both = F.array_intersect("__ha", "__hb")
     kk = F.size(merged)

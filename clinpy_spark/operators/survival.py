@@ -188,6 +188,130 @@ def logrank_test(
     )
 
 
+def logrank_k(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """k-group log-rank test — one row PER GROUP: (group, n, observed,
+    expected, var_marginal, chi2, df). Generalizes :func:`logrank_test`
+    beyond two cohorts (real trials compare 3+ arms; the reference's
+    cohort model is k-ary, clinpy/assays/project.py:60-66).
+
+    At each pooled distinct event time t (d_t events among n_t at risk),
+    group g expects e_g(t) = d_t * n_g(t) / n_t events. Per group we
+    report O_g = sum d_g(t), E_g = sum e_g(t), and the marginal
+    hypergeometric variance V_g = sum d_t * p_g * (1-p_g) * (n_t-d_t) /
+    (n_t-1) with p_g = n_g/n_t. The replicated ``chi2`` column is the
+    k-sample log-rank score statistic with the standard expected-count
+    denominator, chi2 = sum_g (O_g-E_g)^2 / E_g on df = k-1 (Peto &
+    Peto 1972 / Collett ch. 2 form — exactly relational, no matrix
+    inverse). For k = 2 the EXACT Mantel-Cox statistic is recoverable
+    from any row as (observed-expected)^2 / var_marginal (property-
+    tested against :func:`logrank_test`).
+
+    Scale shape: one groupBy to the per-(group, time) grid, pooled
+    per-time totals from it, then the per-group at-risk counts n_g(t)
+    at pooled event times via a UNION + one ordered window per group —
+    no grid x cohort cartesian against a data-sized table (the group
+    list rides a 1-row collect_set broadcast, then explodes), no
+    driver collect. State per window task is bounded by |distinct
+    times|.
+    """
+    pt = _per_time(df, time_col, event_col, group_col).withColumn(
+        "r", F.col("d") + F.col("c"))
+
+    # pooled at-risk / event totals per distinct time; keep event times
+    w_prev_all = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1)
+    pooled = (
+        pt.groupBy("__t")
+        .agg(F.sum("d").alias("dt"), F.sum("r").alias("rt"))
+        .withColumn(
+            "nt",
+            F.sum("rt").over(Window.partitionBy())
+            - F.coalesce(F.sum("rt").over(w_prev_all), F.lit(0)),
+        )
+        .filter(F.col("dt") > 0)
+        .select("__t", "dt", "nt")
+    )
+
+    # event-time x group grid WITHOUT a data-sized cartesian: the group
+    # list is a 1-row collect_set (constant-row broadcast), exploded.
+    groups = pt.groupBy().agg(F.collect_set("__g").alias("gs"))
+    grid = (
+        pooled.crossJoin(F.broadcast(groups))
+        .select("__t", "dt", "nt", F.explode("gs").alias("__g"))
+    )
+
+    # n_g at each pooled event time: union the group's own (time, r)
+    # increments with the grid probes and take the exclusive running
+    # sum — grid rows (is_real=0) sort BEFORE real rows at equal time,
+    # so subjects failing/censored AT t still count as at risk at t.
+    null_l = F.lit(None).cast("long")
+    u = (
+        pt.select(
+            "__g", "__t", "r",
+            F.lit(1).alias("is_real"),
+            null_l.alias("dt"), null_l.alias("nt"),
+        )
+        .unionByName(
+            grid.select(
+                "__g", "__t",
+                F.lit(0).cast("long").alias("r"),
+                F.lit(0).alias("is_real"), "dt", "nt",
+            )
+        )
+    )
+    w_g_prev = (
+        Window.partitionBy("__g")
+        .orderBy("__t", "is_real")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    probes = (
+        u.withColumn("ngt", F.sum("r").over(Window.partitionBy("__g")))
+        .withColumn(
+            "consumed",
+            F.coalesce(F.sum("r").over(w_g_prev), F.lit(0)),
+        )
+        .filter(F.col("is_real") == 0)
+        .withColumn("ng", F.col("ngt") - F.col("consumed"))
+    )
+
+    pg = F.col("ng").cast("double") / F.col("nt")
+    v_t = F.when(
+        F.col("nt") > 1,
+        F.col("dt") * pg * (1 - pg) * (F.col("nt") - F.col("dt"))
+        / (F.col("nt") - 1),
+    ).otherwise(F.lit(0.0))
+    per_g = probes.groupBy("__g").agg(
+        F.sum(F.col("dt") * pg).alias("__e"),
+        F.sum(v_t).alias("__v"),
+    )
+    obs = pt.groupBy("__g").agg(
+        F.sum("d").alias("observed"), F.sum("r").alias("n"))
+    j = per_g.join(obs, "__g")
+
+    w_all = Window.partitionBy()
+    # groups never at risk at any event time contribute E = 0 (and
+    # necessarily O = 0): skip their 0/0 term (ANSI mode would raise).
+    term = F.when(
+        F.col("__e") > 0,
+        (F.col("observed") - F.col("__e"))
+        * (F.col("observed") - F.col("__e")) / F.col("__e"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "observed",
+        F.round("__e", 6).alias("expected"),
+        F.round("__v", 6).alias("var_marginal"),
+        F.round(F.sum(term).over(w_all), 6).alias("chi2"),
+        (F.count(F.lit(1)).over(w_all) - 1).cast("int").alias("df"),
+    )
+
+
 def nelson_aalen(
     df: DataFrame,
     time_col: str,

@@ -2135,7 +2135,12 @@ SELECT query_id, match_id, round(sim, 4) AS cosine_sim FROM r WHERE rk <= 5
 def sim_topk_bruteforce_q(spark, sf):
     # Exact ANN baseline: brute-force cosine top-k, JVM-side arithmetic.
     emb = _t(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
+    # .limit() after the id filter is a row-wise no-op (ids are unique)
+    # that encodes the probe bound IN THE PLAN: the shape-level audit
+    # (tools/explain_audit.py) proves the nested-loop's broadcast side
+    # constant-row from the GlobalLimit, and at 100 TB it is a real
+    # safety cap on the probe batch.
+    queries = emb.filter(F.col("vec_id") < 5).limit(5)
     return brute_force_topk(queries, emb, k=5)
 
 
@@ -2727,7 +2732,9 @@ def sim_range_search_q(spark, sf):
     from clinpy_spark.operators.similarity import brute_force_range
 
     emb = _t(spark, sf, "embeddings")
-    return brute_force_range(emb.filter(F.col("vec_id") < 5), emb, min_sim=0.3)
+    # limit(5): plan-level probe bound (row-wise no-op, ids unique)
+    return brute_force_range(
+        emb.filter(F.col("vec_id") < 5).limit(5), emb, min_sim=0.3)
 
 
 @q("dedup_passage_keepfirst", """
@@ -3357,7 +3364,9 @@ def _recall_gate(spark, sf, family: str, floor: float, approx_fn, metric: str = 
     """
     k, qn = 10, 25
     emb = _t(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < qn)
+    # limit(qn) = plan-level probe bound (row-wise no-op, ids unique);
+    # lets the shape audit prove the exact-baseline nested loop bounded.
+    queries = emb.filter(F.col("vec_id") < qn).limit(qn)
     if metric == "cos":
         exact = brute_force_topk(queries, emb, k=k)
     else:
@@ -4486,10 +4495,12 @@ def text_kmv_overlap_q(spark, sf):
     sh = docs.select("source", F.explode(shingles("text", 3)).alias("s"))
     sk = kmv_sketch(sh, "s", "source", k=256)
     est = kmv_distinct_estimate(sk, k=256)
+    # limit(1): one row per group key by construction — encodes the
+    # bound in the plan for the shape audit's cross-join check.
     a_est = est.filter(F.col("source") == "src0").select(
-        F.round("n_distinct_est", 4).alias("n_a_est"))
+        F.round("n_distinct_est", 4).alias("n_a_est")).limit(1)
     b_est = est.filter(F.col("source") == "src1").select(
-        F.round("n_distinct_est", 4).alias("n_b_est"))
+        F.round("n_distinct_est", 4).alias("n_b_est")).limit(1)
     uj = kmv_union_jaccard(
         sk.filter(F.col("source") == "src0"),
         sk.filter(F.col("source") == "src1"), k=256)
@@ -4649,7 +4660,9 @@ def sim_hard_negatives_q(spark, sf):
     from clinpy_spark.operators.similarity import hard_negatives
 
     emb = _t(spark, sf, "embeddings")
-    return hard_negatives(emb.filter(F.col("vec_id") < 10), emb, k=5, n_negatives=10)
+    # limit(10): plan-level probe bound (row-wise no-op, ids unique)
+    return hard_negatives(
+        emb.filter(F.col("vec_id") < 10).limit(10), emb, k=5, n_negatives=10)
 
 
 @q("sim_pca_gate", """
@@ -6321,7 +6334,10 @@ def sim_knn_graph_q(spark, sf):
     # downstream contract, recall-gated like the other ANN emitters).
     from clinpy_spark.operators.similarity import knn_graph
 
-    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    # limit(300): plan-level bound on the exact-method slice (row-wise
+    # no-op, ids unique) — proves the all-pairs scorer's broadcast side
+    # constant-row to the shape audit.
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300).limit(300)
     return knn_graph(emb, k=4, mutual=True, method="exact")
 
 
@@ -6485,6 +6501,92 @@ def surv_km_curve_q(spark, sf):
     from clinpy_spark.operators.survival import km_curve
 
     return km_curve(_surv_obs(spark, sf), "duration", "evt", "priority")
+
+
+_SURV_OBS3_SQL = """
+  SELECT o_orderpriority AS priority,
+         LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt
+  FROM (SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW'))
+"""
+
+
+def _surv_obs3(spark, sf) -> DataFrame:
+    """Three-arm variant of _surv_obs (SQL twin _SURV_OBS3_SQL)."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    return o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+    )
+
+
+@q("surv_logrank_k", f"""
+WITH obs AS ({_SURV_OBS3_SQL}),
+pt AS (SELECT priority AS g, duration AS t,
+              CAST(sum(evt) AS BIGINT) AS d,
+              CAST(count(*) AS BIGINT) AS r
+       FROM obs GROUP BY priority, duration),
+p0 AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt,
+              CAST(sum(r) AS BIGINT) AS rt
+       FROM pt GROUP BY t),
+p1 AS (SELECT t, dt,
+         sum(rt) OVER () - coalesce(sum(rt) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nt
+       FROM p0),
+pooled AS (SELECT t, dt, CAST(nt AS BIGINT) AS nt FROM p1 WHERE dt > 0),
+grid AS (SELECT p.t, p.dt, p.nt, gs.g
+         FROM pooled p CROSS JOIN (SELECT DISTINCT g FROM pt) gs),
+u AS (
+  SELECT g, t, r, 1 AS is_real, NULL AS dt, NULL AS nt FROM pt
+  UNION ALL
+  SELECT g, t, 0 AS r, 0 AS is_real, dt, nt FROM grid),
+w AS (SELECT g, dt, nt,
+        sum(r) OVER (PARTITION BY g) AS ngt,
+        coalesce(sum(r) OVER (PARTITION BY g ORDER BY t, is_real
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS consumed,
+        is_real
+      FROM u),
+probe AS (SELECT g, dt, nt, CAST(ngt - consumed AS BIGINT) AS ng
+          FROM w WHERE is_real = 0),
+eg AS (SELECT g,
+         sum(dt * (CAST(ng AS DOUBLE) / nt)) AS e,
+         sum(CASE WHEN nt > 1 THEN dt * (CAST(ng AS DOUBLE) / nt)
+               * (1 - CAST(ng AS DOUBLE) / nt) * (nt - dt) / (nt - 1)
+             ELSE 0 END) AS v
+       FROM probe GROUP BY g),
+og AS (SELECT g, CAST(sum(d) AS BIGINT) AS o, CAST(sum(r) AS BIGINT) AS n
+       FROM pt GROUP BY g),
+j AS (SELECT og.g, og.n, og.o, eg.e, eg.v FROM eg JOIN og ON eg.g = og.g)
+SELECT g AS priority, n, o AS observed, round(e, 6) AS expected,
+       round(v, 6) AS var_marginal,
+       round(sum(CASE WHEN e > 0 THEN (o - e) * (o - e) / e ELSE 0 END)
+             OVER (), 6) AS chi2,
+       CAST(count(*) OVER () - 1 AS INT) AS df
+FROM j
+""")
+def surv_logrank_k_q(spark, sf):
+    # k-arm log-rank test (operators/survival.py logrank_k) over the
+    # three-priority cohort: per-arm observed/expected events and
+    # marginal hypergeometric variance at the pooled event times, plus
+    # the pooled k-1-df score chi-square — do urgent, medium, and low
+    # priority orders share a survival curve? Generalizes surv_logrank
+    # to the reference's k-ary cohort model (clinpy project.py:60-66).
+    from clinpy_spark.operators.survival import logrank_k
+
+    return logrank_k(_surv_obs3(spark, sf), "duration", "evt", "priority")
+
 
 
 @q("surv_logrank", f"""

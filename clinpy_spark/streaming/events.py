@@ -108,11 +108,20 @@ def streaming_ewma(
             state.remove()
             return
         ewma, n = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
+        # A group's rows arrive split across Arrow record batches with no
+        # cross-chunk ordering guarantee (same hazard as streaming_funnel):
+        # concatenate the whole group first, then sort ONCE by event time.
+        # A per-chunk sort silently breaks the order-dependent recurrence
+        # for any key whose batch rows span >1 Arrow chunk.
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
             for v in pdf.sort_values("ts")[value_col]:
                 v = float(v)
                 ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
                 n += 1
+        if ewma is None:
+            return
         state.update((float(ewma), int(n)))
         state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame({key_col: [key[0]], "ewma": [float(ewma)], "n_events": [int(n)]})
@@ -129,6 +138,7 @@ def streaming_first_seen(
     stream: DataFrame,
     key_col: str = "props",
     id_col: str = "event_id",
+    ts_col: str = "ts",
     state_ttl_ms: int = 86_400_000,
 ) -> DataFrame:
     """Cross-batch exact dedup: emit each key the FIRST time it is ever
@@ -139,6 +149,10 @@ def streaming_first_seen(
     only bound by event time), the TTL here bounds state by wall clock:
     a key re-appearing after ``state_ttl_ms`` of silence is treated as
     new again (at 100 TB/day the state store can't hold forever-keys).
+
+    "First" within a micro-batch is the min-(``ts_col``, ``id_col``)
+    event across ALL Arrow chunks of the group, so the reported id is
+    deterministic regardless of chunk arrival order.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -152,10 +166,20 @@ def streaming_first_seen(
             return
         already = state.exists
         first_id = None
-        for pdf in pdfs:
-            if not already and len(pdf):
-                first_id = int(pdf[id_col].iloc[0])
-                already = True
+        if not already:
+            best = None  # (ts, id) of the earliest event seen so far
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                idx = pdf.sort_values([ts_col, id_col]).index[0]
+                cand = (pdf[ts_col][idx], int(pdf[id_col][idx]))
+                if best is None or cand < best:
+                    best = cand
+            if best is not None:
+                first_id = best[1]
+        else:
+            for _ in pdfs:  # drain the iterator; nothing to emit
+                pass
         state.update((True,))
         state.setTimeoutDuration(state_ttl_ms)
         if first_id is not None:

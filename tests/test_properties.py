@@ -880,6 +880,36 @@ def test_logrank_symmetric_under_group_swap(spark, rows):
     assert ab.n_a == ba.n_b and ab.n_b == ba.n_a
 
 
+@settings(max_examples=8, deadline=None)
+@given(rows=_subjects)
+def test_logrank_k_two_arms_recovers_mantel_cox(spark, rows):
+    """On ANY 2-arm cohort, the exact Mantel-Cox statistic is
+    recoverable from the k-group readout: (observed - expected)^2 /
+    var_marginal of either row equals logrank_test's chi2 (for k = 2
+    the marginal hypergeometric variance IS the pooled variance, and
+    O - E is sign-flipped between the arms). Also checks O and E each
+    sum to the total event count across arms."""
+    from clinpy_spark.operators.survival import logrank_k, logrank_test
+
+    df = spark.createDataFrame(rows, "grp string, t long, evt int")
+    two = logrank_test(df, "t", "evt", "grp", "a", "b").collect()[0]
+    kk = {r.grp: r for r in logrank_k(df, "t", "evt", "grp").collect()}
+    total_events = sum(e for _, _, e in rows)
+    assert sum(r.observed for r in kk.values()) == total_events
+    if kk:
+        assert abs(sum(float(r.expected) for r in kk.values())
+                   - total_events) <= 1e-4
+    if "a" in kk and "b" in kk:
+        ra = kk["a"]
+        assert ra.n == two.n_a and kk["b"].n == two.n_b
+        assert ra.observed == two.observed_a
+        assert abs(ra.expected - two.expected_a) <= 2e-6
+        if two.chi2 is not None and ra.var_marginal and ra.var_marginal > 0:
+            mc = (ra.observed - ra.expected) ** 2 / ra.var_marginal
+            assert abs(mc - two.chi2) <= 1e-4
+        assert kk["a"].df == kk["b"].df == len(kk) - 1
+
+
 _genos = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),   # variant

@@ -739,3 +739,78 @@ def test_streaming_ks_matches_batch(spark, tmp_path):
     ).collect()
     assert (got.ks_d, got.n_a, got.n_b) == (exp.ks_d, exp.n_a, exp.n_b)
     assert got.n_b == 8
+
+
+def test_streaming_ewma_group_split_across_arrow_chunks(spark, tmp_path):
+    """Regression (r10 verdict #1): the r9 chunk-ordering fix covered
+    funnel/transitions but missed EWMA, which is equally order-dependent.
+    Force 100-row Arrow chunks and feed ONE key >100 rows in a single
+    micro-batch with shuffled arrival order: a per-chunk sort walks the
+    chunks in arrival order and diverges from the ts-ordered recurrence;
+    the whole-group concat-then-sort must equal the batch EWMA."""
+    import random
+
+    from clinpy_spark.streaming.events import streaming_ewma
+
+    rng = random.Random(11)
+    n = 250
+    rows = [(i, T0 + dt.timedelta(seconds=i), 1, "e", float(rng.randrange(1, 100)))
+            for i in range(n)]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    with open(tmp_path / "f0.json", "w") as fh:
+        for eid, ts, uid, etype, val in shuffled:
+            fh.write(json.dumps({
+                "event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                "event_type": etype, "value": val, "props": "{}",
+            }) + "\n")
+
+    alpha = 0.3
+    expect = None
+    for _, _, _, _, v in rows:  # ts order
+        expect = v if expect is None else alpha * v + (1 - alpha) * expect
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        stream = read_event_stream(spark, str(tmp_path), fmt="json")
+        q = (streaming_ewma(stream, alpha=alpha).writeStream.format("memory")
+             .queryName("ewma_chunk").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    (got,) = spark.sql("select * from ewma_chunk").collect()
+    assert got.n_events == n
+    assert abs(got.ewma - expect) < 1e-9
+
+
+def test_streaming_first_seen_min_ts_id_across_chunks(spark, tmp_path):
+    """Regression (r10 verdict #2): 'first' within a micro-batch must be
+    the min-(ts, id) event across ALL Arrow chunks, not iloc[0] of the
+    first non-empty chunk in arrival order. File order puts the earliest
+    event LAST so it lands in the final chunk."""
+    from clinpy_spark.streaming.events import streaming_first_seen
+
+    n = 250
+    # descending ts in file order: event id 1000+i has ts T0 + (n-i) sec,
+    # so the earliest event (id 1000+n-1, ts T0+1s) is the last file row.
+    with open(tmp_path / "f0.json", "w") as fh:
+        for i in range(n):
+            fh.write(json.dumps({
+                "event_id": 1000 + i,
+                "ts": (T0 + dt.timedelta(seconds=n - i)).isoformat(),
+                "user_id": 1, "event_type": "e", "value": 0.0, "props": "k",
+            }) + "\n")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        stream = read_event_stream(spark, str(tmp_path), fmt="json")
+        q = (streaming_first_seen(stream, key_col="props")
+             .writeStream.format("memory").queryName("fs_chunk")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    (got,) = spark.sql("select * from fs_chunk").collect()
+    assert (got.props, got.first_event_id) == ("k", 1000 + n - 1)

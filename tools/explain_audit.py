@@ -109,6 +109,124 @@ EXPECTED_UNBOUNDED = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Shape-level unbounded-join detection (r10 verdict #3).
+#
+# The name allowlist above documents WHY each query legitimately contains a
+# nested-loop/cartesian shape, but the audit no longer TRUSTS it: for every
+# BNLJ/CartesianProduct in every plan (allowlisted or not) we parse the
+# formatted plan tree and assert the build side is a CONSTANT-ROW subtree —
+# an aggregate without grouping keys (1 row), a LocalTableScan (driver-local
+# constant), a small constant Range, or a Limit — optionally wrapped in
+# row-preserving operators. A real large-large nested loop (both sides fed
+# by unbounded scans) fails the audit even under an allowlisted name.
+# ---------------------------------------------------------------------------
+
+_TREE_RE = re.compile(r"^([:+\-| ]*)(\*\s*)?([A-Za-z][\w .$]*?)\s\((\d+)\)\s*$")
+_DETAIL_RE = re.compile(r"^\((\d+)\)\s+\S", re.M)
+_BOUNDED_AGGS = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+_LIMITS = {"CollectLimit", "GlobalLimit", "LocalLimit", "TakeOrderedAndProject"}
+_RANGE_BOUND = 100_000
+
+
+class _Node:
+    __slots__ = ("nid", "name", "depth", "children")
+
+    def __init__(self, nid, name, depth):
+        self.nid, self.name, self.depth, self.children = nid, name, depth, []
+
+
+def _parse_forest(plan: str):
+    """Parse every operator tree in a formatted explain dump (main plan +
+    subquery plans). Returns (nodes_by_id, roots). Tree lines end with the
+    node id — ``* Project (5)``; detail headers start with it — ``(5)
+    Project`` — so the two sections don't collide."""
+    nodes, roots, stack = {}, [], []
+    for line in plan.splitlines():
+        m = _TREE_RE.match(line)
+        if not m:
+            continue
+        prefix, _, name, nid = m.groups()
+        depth = len(prefix) // 3
+        node = _Node(int(nid), name.strip(), depth)
+        nodes[node.nid] = node
+        while stack and stack[-1].depth >= depth:
+            stack.pop()
+        if depth == 0 or not stack:
+            roots.append(node)
+            stack = [node]
+        else:
+            stack[-1].children.append(node)
+            stack.append(node)
+    return nodes, roots
+
+
+def _parse_details(plan: str) -> dict:
+    """id -> the detail block text for that operator id."""
+    out = {}
+    marks = [(m.start(), int(m.group(1))) for m in _DETAIL_RE.finditer(plan)]
+    for i, (pos, nid) in enumerate(marks):
+        end = marks[i + 1][0] if i + 1 < len(marks) else len(plan)
+        out[nid] = plan[pos:end]
+    return out
+
+
+def _subtree_bounded(node: _Node, details: dict, nodes: dict, seen=None) -> bool:
+    """True iff the subtree's output row count is bounded by a constant
+    regardless of input data size."""
+    if seen is None:
+        seen = set()
+    if node.nid in seen:  # defensive against malformed reuse cycles
+        return False
+    seen = seen | {node.nid}
+    head = node.name.split()[0]
+    detail = details.get(node.nid, "")
+    if head in _LIMITS:
+        return True
+    if head in _BOUNDED_AGGS and re.search(r"Keys(?:\s*\[\d+\])?:?\s*\[\]", detail):
+        return True
+    if head == "LocalTableScan":
+        return True
+    if node.name.startswith("Scan ExistingRDD"):
+        # spark.createDataFrame(<driver list / pandas>) renders as Scan
+        # ExistingRDD. This codebase is RDD-free (DataFrame-first design),
+        # so every ExistingRDD is driver-local constant data by construction.
+        return True
+    if head == "Range":
+        m = re.search(r"Range\s*\((-?\d+),\s*(-?\d+)", detail or node.name)
+        return bool(m) and int(m.group(2)) - int(m.group(1)) <= _RANGE_BOUND
+    if head in ("ReusedExchange", "ReusedSubquery"):
+        m = re.search(r"Reuses operator id:\s*(\d+)", detail)
+        target = nodes.get(int(m.group(1))) if m else None
+        return _subtree_bounded(target, details, nodes, seen) if target else False
+    if head == "Scan" or head.startswith(("FileScan", "BatchScan")) or "Scan" in node.name.split()[:1]:
+        return False
+    if not node.children:
+        return False  # unknown leaf (ExistingRDD, stream source, ...) — conservative
+    # Joins/unions/generates over all-bounded inputs stay bounded (products
+    # and expansions of driver constants); any unbounded child poisons it.
+    return all(_subtree_bounded(c, details, nodes, seen) for c in node.children)
+
+
+def unbounded_join_hazards(plan: str) -> list:
+    """Every BNLJ/CartesianProduct whose build side (either side, for
+    cartesian) is NOT a constant-row subtree. Returns hazard strings."""
+    nodes, roots = _parse_forest(plan)
+    details = _parse_details(plan)
+    hazards = []
+    for node in nodes.values():
+        head = node.name.split()[0]
+        if head in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            # A nested-loop with ONE constant-row side is linear in the
+            # other side (probe x constant), not a pair blowup; the
+            # hazard is NEITHER side bounded (large x large).
+            if len(node.children) != 2 or not any(
+                _subtree_bounded(c, details, nodes) for c in node.children
+            ):
+                hazards.append(f"{head}({node.nid}): no constant-row side")
+    return hazards
+
+
 def audit_one(name: str, fn, spark, sf_dir: str) -> dict:
     df = fn(spark, sf_dir)
     buf = io.StringIO()
@@ -117,6 +235,12 @@ def audit_one(name: str, fn, spark, sf_dir: str) -> dict:
     plan = buf.getvalue()
 
     hazards = []
+    # Shape gate for EVERY query: a nested-loop/cartesian whose build side
+    # is not provably constant-row is a hazard even under an allowlisted
+    # name (the allowlist documents intent; it no longer bypasses checks).
+    hazards += unbounded_join_hazards(plan)
+    # Name gate: a bounded BNLJ in a query that never declared one still
+    # needs a conscious allowlist entry (keeps the inventory honest).
     if "CartesianProduct" in plan and name not in EXPECTED_UNBOUNDED:
         hazards.append("CartesianProduct")
     if "BroadcastNestedLoopJoin" in plan and name not in EXPECTED_UNBOUNDED:
