@@ -208,6 +208,7 @@ class Variants(Assay):
         rna: bool = False,
         filtered: bool = False,
         cohort_size: int | None = None,
+        n_case: int | None = None,
     ) -> DataFrame:
         """Case/control association per variant over the project's
         genotypes: ``test`` = 'allelic' (2x2 allele chi-square),
@@ -216,17 +217,34 @@ class Variants(Assay):
         subjects (no mapping row) contribute 0 to every carrier sum,
         so the full-cohort margins come from two scalar phenotype
         totals — a biobank-sized cohort never materializes its
-        genotype matrix."""
+        genotype matrix.
+
+        Phenotype margins follow the SAME cohort that sizes ``n``:
+        with the default cohort (samples that produced calls), cases
+        are counted among those; with an explicit ``cohort_size``
+        (cohort widened to include all-ref subjects), cases are
+        counted against the project's samples store — a case whose
+        every call is hom-ref is still a case, and its 2 ref alleles
+        per variant belong in case_ref, not ctrl_ref. Pass ``n_case``
+        explicitly when the phenotype roster is known out-of-band."""
         from clinpy_spark.operators.assoc import (
             allelic_chi2_from_counts, odds_ratio_from_counts,
             trend_chi2_from_moments)
 
         d = self._dosage(rna, filtered)
         n_all = cohort_size or self._cohort_size(d)
-        n_case = (
-            d.select("samplename").distinct()
-            .filter(F.col("samplename").isin(case_samples)).count()
-        )
+        if n_case is None:
+            if cohort_size is not None:
+                st = self.db.table("samples")
+                id_col = ("samplename" if "samplename" in st.columns
+                          else "sample_id")
+                known = st.select(F.col(id_col).alias("samplename"))
+            else:
+                known = d.select("samplename")
+            n_case = (
+                known.filter(F.col("samplename").isin(case_samples))
+                .distinct().count()
+            )
         n_ctrl = n_all - n_case
         is_case = F.col("samplename").isin(case_samples)
         dose = F.col("__dose")

@@ -457,6 +457,7 @@ def quantile_normalize(
     sample_col: str,
     feature_col: str,
     value_col: str,
+    max_features: int | None = None,
 ) -> DataFrame:
     """Quantile normalization of a (sample x feature) value matrix —
     the standard cross-sample expression normalization (Bolstad 2003):
@@ -470,8 +471,11 @@ def quantile_normalize(
 
     Scale shape: one window partitioned by sample (rank assignment),
     one groupBy on rank (|features| rows out), one equi-join back on
-    rank — broadcastable whenever the feature count is bounded, so a
-    100k-sample matrix normalizes with a single sample-keyed shuffle.
+    rank. The rank join carries a broadcast hint only when the caller
+    declares a safe feature bound (``max_features``); without one, AQE
+    picks the strategy from the aggregate's actual runtime size — a
+    millions-of-features matrix must not be forced into a driver-side
+    broadcast (r10 advice).
     """
     ranked = df.select(
         F.col(sample_col).alias("sample"),
@@ -482,8 +486,16 @@ def quantile_normalize(
             F.col("__v").asc(), F.col("feature").asc())))
     ref = ranked.groupBy("rank").agg(
         (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("__qn"))
+    # The reference table is |features| rows (one per rank) — an
+    # unconditional broadcast hint would OOM the driver on a
+    # multi-million-feature matrix (r10 advice). Hint only when the
+    # caller-declared bound says it's safe; otherwise leave the
+    # strategy to AQE, which sees the aggregate's ACTUAL runtime size
+    # and still broadcasts small references for free.
+    if max_features is not None and max_features <= 1_000_000:
+        ref = F.broadcast(ref)
     return (
-        ranked.join(F.broadcast(ref), "rank")
+        ranked.join(ref, "rank")
         .select(
             "sample", "feature", "rank",
             F.round("__qn", 6).alias("qn_value"),

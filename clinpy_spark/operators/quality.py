@@ -211,6 +211,9 @@ def fd_audit(df: DataFrame, candidates: list[tuple[str, str]]) -> DataFrame:
     aggregate over two columns; column pruning keeps the scans narrow),
     unioned into (lhs, rhs, n_groups, n_violating, holds). g3-style
     error = n_violating / n_groups is derivable from the output."""
+    if not candidates:
+        raise ValueError(
+            "fd_audit needs at least one (lhs, rhs) candidate pair")
     parts = []
     for lhs, rhs in candidates:
         per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("__nd"))
@@ -277,12 +280,16 @@ def skew_report(
 def benford_digits(df: DataFrame, col: str) -> DataFrame:
     """First-significant-digit distribution vs Benford's law: 9 rows
     (digit, n, frac, benford_frac, abs_dev) — the classic fabricated /
-    truncated-numeric-data audit. The digit comes from a decimal-cast
-    string (engine-portable; float-to-string scientific notation never
-    appears), zero/null values drop out. One narrow scan + one 9-group
-    aggregate."""
-    digit = F.regexp_extract(
-        F.col(col).cast("decimal(18,2)").cast("string"), "[1-9]", 0)
+    truncated-numeric-data audit. The digit is the first [1-9] char of
+    the value's string form: any faithful decimal representation —
+    plain or scientific, either engine — starts its significant digits
+    with the value's true leading digit, so the extraction is portable
+    across the FULL double range (r10 advice: the previous
+    decimal(18,2) cast rounded 0.095 -> '0.10' -> digit 1, dropped
+    |x| < 0.005 entirely, and overflowed past 1e16). Zero/null values
+    drop out (Benford is undefined there). One narrow scan + one
+    9-group aggregate."""
+    digit = F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0)
     per = (
         df.select(digit.alias("__d"))
         .filter(F.col("__d") != "")

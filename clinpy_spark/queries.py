@@ -6409,7 +6409,7 @@ def q_skew_report_q(spark, sf):
 
 @q("q_benford_price", """
 WITH d AS (
-  SELECT regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS dg
+  SELECT regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') AS dg
   FROM orders),
 p AS (SELECT dg, count(*) AS n FROM d WHERE dg <> '' GROUP BY dg),
 t AS (SELECT sum(n) AS tt FROM p)
@@ -6422,9 +6422,10 @@ FROM p CROSS JOIN t ORDER BY digit
 def q_benford_price_q(spark, sf):
     # Benford first-digit audit (operators/quality.py benford_digits):
     # the fabricated/truncated-numeric-data check over order totals.
-    # Digit from a decimal-cast string (engine-portable, no scientific
-    # notation); expected share log10(1 + 1/d), deviations rounded to
-    # the repo's 6-decimal convention.
+    # Digit = first [1-9] char of the value's string form (portable
+    # across the full double range, r10 advice); expected share
+    # log10(1 + 1/d), deviations rounded to the repo's 6-decimal
+    # convention.
     from clinpy_spark.operators.quality import benford_digits
 
     return benford_digits(_t(spark, sf, "orders"), "o_totalprice")
@@ -7272,7 +7273,7 @@ def dx_quantile_normalize_q(spark, sf):
     reads = h % 1000 + F.when(
         (hc % 2 == 1) & (F.col("gene") == 3), 50).otherwise(0)
     x = x.select("c_custkey", "gene", reads.alias("reads"))
-    return quantile_normalize(x, "c_custkey", "gene", "reads")
+    return quantile_normalize(x, "c_custkey", "gene", "reads", max_features=10)
 
 
 @q("g_merge_intervals", """

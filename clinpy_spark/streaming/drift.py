@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from clinpy_spark.streaming.fold import fold_partials
+
 
 def bin_counts_partial(df: DataFrame, col: str, edges: list[float]) -> DataFrame:
     """(bin, n) additive partials for one batch against FROZEN edges —
@@ -46,16 +48,12 @@ def stream_psi_counts(
     """Fold each micro-batch's per-bin counts into the persisted
     ``name`` table (addition-merge keyed by bin). The maintained table
     is at most ``len(edges)+1`` rows regardless of stream volume."""
-    def fold(batch: DataFrame, _batch_id: int) -> None:
+    def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         part = bin_counts_partial(batch, col, edges)
-        if catalog.exists(name):
-            merged = (catalog.table(name).unionByName(part)
-                      .groupBy("bin").agg(F.sum("n").alias("n")))
-            catalog.overwrite_staged(merged, name)
-        else:
-            catalog.write(part, name)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["bin"], counters=["n"])
 
     checkpoint = checkpoint or os.path.join(
         catalog.project_dir, name).rstrip("/") + ".__psi_checkpoint__"
@@ -119,16 +117,12 @@ def stream_ks_counts(
     """Fold each micro-batch's per-value counts into the persisted
     ``name`` table (addition-merge keyed by __v). Read the live KS vs a
     reference snapshot with :func:`finalize_ks`."""
-    def fold(batch: DataFrame, _batch_id: int) -> None:
+    def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         part = value_counts_partial(batch, col, quantize)
-        if catalog.exists(name):
-            merged = (catalog.table(name).unionByName(part)
-                      .groupBy("__v").agg(F.sum("n").alias("n")))
-            catalog.overwrite_staged(merged, name)
-        else:
-            catalog.write(part, name)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["__v"], counters=["n"])
 
     checkpoint = checkpoint or os.path.join(
         catalog.project_dir, name).rstrip("/") + ".__ks_checkpoint__"

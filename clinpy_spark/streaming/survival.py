@@ -11,11 +11,10 @@ monitor). The curve itself is recomputed from the folded grid on read
 via :func:`clinpy_spark.operators.survival.km_from_per_time` — windows
 over the bounded time grid, never over history.
 
-At-least-once caveat: foreachBatch may replay a batch on failure
-before the checkpoint commits; counters are then double-added. Same
-contract (and same fix: idempotent batch ids in the state table) as
-the other streaming folds in this package — acceptable for monitoring,
-stated for audit.
+Replay safety: foreachBatch is at-least-once, so the merge goes
+through :func:`clinpy_spark.streaming.fold.fold_partials`, which
+stamps the state table with the last folded batch id and skips
+replayed batches — the fold is effectively-once.
 """
 
 from __future__ import annotations
@@ -27,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from clinpy_spark.operators.survival import _per_time, km_from_per_time
+from clinpy_spark.streaming.fold import fold_partials
 
 
 def km_partials(
@@ -54,19 +54,12 @@ def stream_km_partials(
     """Fold each micro-batch's KM partials into the persisted ``name``
     table (addition-merge keyed by (__g, __t)). Read the live curve
     with ``km_read(catalog.table(name), time_col, group_col)``."""
-    def fold(batch: DataFrame, _batch_id: int) -> None:
+    def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         part = km_partials(batch, time_col, event_col, group_col)
-        if catalog.exists(name):
-            merged = (
-                catalog.table(name).unionByName(part)
-                .groupBy("__g", "__t")
-                .agg(F.sum("d").alias("d"), F.sum("c").alias("c"))
-            )
-            catalog.overwrite_staged(merged, name)
-        else:
-            catalog.write(part, name)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["__g", "__t"], counters=["d", "c"])
 
     checkpoint = checkpoint or os.path.join(
         catalog.project_dir, name).rstrip("/") + ".__km_checkpoint__"

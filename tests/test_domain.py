@@ -1023,6 +1023,19 @@ def test_variants_hwe_and_association(spark, project):
         ["s1"], test="or", cohort_size=3).collect()}
     assert orr[vid].or_est == 1.0
 
+    # r10 advice: a case sample with NO mapping rows (all hom-ref — s2
+    # here) that enters via a widened cohort_size must still land in the
+    # CASE margins: n_case comes from the samples store, not from
+    # samples that happen to have calls.
+    wide = {r.variant: r for r in v.association(
+        ["s1", "s2"], test="allelic", cohort_size=4).collect()}
+    wv = wide[vid]
+    assert (wv.case_alt, wv.case_ref, wv.ctrl_alt, wv.ctrl_ref) == (1, 3, 2, 2)
+    # explicit n_case override wins over any derivation
+    over = {r.variant: r for r in v.association(
+        ["s1"], test="allelic", cohort_size=4, n_case=2).collect()}
+    assert (over[vid].case_ref, over[vid].ctrl_ref) == (3, 2)
+
     import pytest as _pytest
     with _pytest.raises(ValueError):
         v.association(["s1"], test="fisher")

@@ -3486,3 +3486,12 @@ def test_benford_digits_distribution(spark):
     neg = spark.createDataFrame([(-456.7,), (3.2,)], "x double")
     got = {r.digit: r.n for r in benford_digits(neg, "x").collect()}
     assert got == {3: 1, 4: 1}
+
+    # r10 advice regressions: small magnitudes keep their true leading
+    # digit (0.095 is 9, not the '0.10'->1 of a decimal(18,2) round;
+    # 0.004 was dropped entirely), and values >= 1e16 don't overflow.
+    edge = spark.createDataFrame(
+        [(0.095,), (0.004,), (7.2e-9,), (3.4e18,), (9.99e16,), (-0.0005,)],
+        "x double")
+    got = {r.digit: r.n for r in benford_digits(edge, "x").collect()}
+    assert got == {9: 2, 4: 1, 7: 1, 3: 1, 5: 1}

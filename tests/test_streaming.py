@@ -814,3 +814,31 @@ def test_streaming_first_seen_min_ts_id_across_chunks(spark, tmp_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     (got,) = spark.sql("select * from fs_chunk").collect()
     assert (got.props, got.first_event_id) == ("k", 1000 + n - 1)
+
+
+def test_fold_partials_replay_is_idempotent(spark, tmp_path):
+    """r10 advice: a foreachBatch replay (same batch_id re-delivered
+    after a pre-commit failure) must NOT double-add into the state
+    table; a genuinely new batch_id must fold."""
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.fold import fold_partials
+
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    p0 = spark.createDataFrame([("x", 3), ("y", 1)], "k string, n long")
+    p1 = spark.createDataFrame([("x", 2)], "k string, n long")
+
+    fold_partials(cat, "state", p0, 0, keys=["k"], counters=["n"])
+    # replay of batch 0 with different content (the failed attempt is
+    # re-executed; counts must not double)
+    fold_partials(cat, "state", p0, 0, keys=["k"], counters=["n"])
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 3, "y": 1}
+
+    fold_partials(cat, "state", p1, 1, keys=["k"], counters=["n"])
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 5, "y": 1}
+    # a late replay of an OLD id after newer folds is also skipped
+    fold_partials(cat, "state", p1, 1, keys=["k"], counters=["n"])
+    fold_partials(cat, "state", p0, 0, keys=["k"], counters=["n"])
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 5, "y": 1}
