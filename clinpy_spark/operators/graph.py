@@ -120,6 +120,7 @@ def pagerank(
     dst: str,
     iterations: int = 5,
     damping: float = 0.85,
+    copartition: bool = False,
 ) -> DataFrame:
     """PageRank on the undirected simple graph (each edge walked both
     ways): (node, pr) after ``iterations`` power steps from the uniform
@@ -127,18 +128,52 @@ def pagerank(
     r_k(v) / deg(v); symmetrized edges have no dangling nodes, so the
     recurrence is mass-conserving and exactly replayable by an oracle
     that unrolls the same K rounds.
+
+    ``copartition`` picks the power-step join strategy (both produce
+    identical results; A/B-measured in round 11):
+
+    - False (default): let AQE broadcast the rank vector into each
+      step at runtime — the adjacency streams, neither side shuffles,
+      and the only per-step exchange is the contribution regroup.
+      Measured faster through sf1 (7.0s vs 8.7s steady-state sf1;
+      2.5s vs 4.9s sf0.1): a static SMJ chain with no shuffle
+      boundaries also denies AQE its replanning points.
+    - True: bake HashPartitioning(u) into the checkpointed adjacency
+      (captured with AQE momentarily off — under AQE the checkpoint's
+      pre-execution partitioning is unknown and every step would
+      re-shuffle the adjacency). The scale path for BILLION-node
+      graphs, where the rank vector itself is too large to broadcast
+      and per-step SMJ against the pinned adjacency partitioning is
+      the only shuffle-bounded plan.
     """
     e = _canon_edges(edges, src, dst)
     both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    # Every power step re-reads the adjacency: materialize it once so
-    # iteration k does not replay the edge dedup k times (the lineage
-    # cut also keeps the unrolled plan flat for Catalyst).
-    adj = both.join(deg, "u").localCheckpoint(eager=False)
+    # Materialize the degree-joined adjacency ONCE: the lineage cut
+    # keeps iteration k from replaying the edge dedup k times and the
+    # unrolled plan flat for Catalyst.
+    spark = edges.sparkSession
+    if copartition:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        aqe = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(aqe, "true")
+        spark.conf.set(aqe, "false")
+        try:
+            adj = (
+                both.join(deg, "u")
+                .repartition(nparts, "u")
+                .localCheckpoint(eager=False)
+            )
+        finally:
+            spark.conf.set(aqe, prev)
+    else:
+        adj = both.join(deg, "u").localCheckpoint(eager=False)
     n_nodes = deg.agg(F.count(F.lit(1)).alias("__n"))
     # rank table: (u, r). Uniform start; each round is one shuffle.
     r = deg.crossJoin(F.broadcast(n_nodes)).select(
         "u", (F.lit(1.0) / F.col("__n")).alias("r"))
+    if copartition:
+        r = r.repartition(nparts, "u")
     for _ in range(iterations):
         contrib = (
             adj.join(r, "u")

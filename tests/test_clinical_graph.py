@@ -152,6 +152,14 @@ def test_pagerank_star_cycle_and_mass(spark):
     assert len({rs[k] for k in (1, 2, 3, 4)}) == 1
     assert sum(rs.values()) == pytest.approx(1.0, abs=1e-5)
 
+    # copartition=True (the billion-node scale path: rank vector too
+    # big to broadcast, adjacency partitioning pinned at checkpoint)
+    # must produce bit-identical ranks to the AQE-dynamic default.
+    co = {r.node: r.pr for r in pagerank(
+        _edges(spark, star), "s", "d", iterations=5,
+        copartition=True).collect()}
+    assert co == rs
+
 
 def test_ld_r2_perfect_and_independent(spark):
     """Perfectly linked variants (identical dosage vectors) score
