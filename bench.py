@@ -122,15 +122,38 @@ def main() -> None:
     # best-of-N: the goal is "did anything go pathological anywhere",
     # and a single run per query keeps the sweep to ~2 min; headline and
     # tier2 carry the noise-controlled numbers.
+    #
+    # Fresh session for the sweep (r10 verdict #7): ~170 queries of
+    # accumulated JVM state in one session (codegen cache, broadcast
+    # cleanup backlog, checkpointed RDDs the driver still pins) showed
+    # 5-25x in-session outliers vs idle standalone runs of the same
+    # query. Restarting costs ~5s once and makes tier3 numbers
+    # comparable to standalone steady state.
+    spark.catalog.clearCache()
+    spark.stop()
+    spark = get_spark("clinpy-spark-bench-tier3")
+    spark.range(1).count()
     tier3: dict[str, float] = {}
     covered = set(HEADLINE) | set(TIER2)
+    done = 0
     for name in qs:
         if name in covered:
             continue
+        # Periodic cleanup inside the sweep: accumulated state from the
+        # preceding queries (driver-pinned localCheckpoint blocks,
+        # broadcast/shuffle cleanup backlog — the ContextCleaner only
+        # acts on driver GC) measurably degrades the late GEMM-heavy
+        # queries (sim_topk_pq observed 29s at position ~150 vs 1.7s
+        # steady-state standalone). A driver GC every 25 queries lets
+        # the cleaner release executor-side blocks between timings.
+        if done and done % 25 == 0:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
         tier3[name] = round(time.time() - t0, 3)
+        done += 1
         print(f"# tier3 {name}: {tier3[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -277,6 +277,51 @@ class Variants(Assay):
         raise ValueError(f"unknown test {test!r}; "
                          "expected allelic | trend | or")
 
+    def fst(
+        self,
+        case_samples: list[str],
+        rna: bool = False,
+        filtered: bool = False,
+        cohort_size: int | None = None,
+        n_case: int | None = None,
+    ) -> DataFrame:
+        """Per-variant Hudson F_ST between the named sub-cohort and the
+        rest of the cohort (operators/assoc.py fst_from_counts) — which
+        variants stratify the two groups. Allele counts derive from the
+        carrier sums plus the phenotype margins (same implicit hom-ref
+        arithmetic and the same margin rules as :meth:`association`),
+        so the genotype matrix is never materialized."""
+        from clinpy_spark.operators.assoc import fst_from_counts
+
+        d = self._dosage(rna, filtered)
+        n_all = cohort_size or self._cohort_size(d)
+        if n_case is None:
+            if cohort_size is not None:
+                st = self.db.table("samples")
+                id_col = ("samplename" if "samplename" in st.columns
+                          else "sample_id")
+                known = st.select(F.col(id_col).alias("samplename"))
+            else:
+                known = d.select("samplename")
+            n_case = (
+                known.filter(F.col("samplename").isin(case_samples))
+                .distinct().count()
+            )
+        n_ctrl = n_all - n_case
+        is_case = F.col("samplename").isin(case_samples)
+        per_v = d.groupBy(F.col("variant_id").alias("variant")).agg(
+            F.sum(F.when(is_case, F.col("__dose")).otherwise(0))
+            .alias("alt1"),
+            F.sum(F.when(~is_case, F.col("__dose")).otherwise(0))
+            .alias("alt2"),
+        ).select(
+            "variant",
+            F.lit(2 * n_case).alias("n1"),
+            F.lit(2 * n_ctrl).alias("n2"),
+            "alt1", "alt2",
+        )
+        return fst_from_counts(per_v)
+
     def list_impacts(self, rna: bool = False, filtered: bool = False) -> list[str]:
         """Impact-table column names, for building filter dicts
         (reference variants.py:38-43 — schema reflection; here the

@@ -501,3 +501,57 @@ def quantile_normalize(
             F.round("__qn", 6).alias("qn_value"),
         )
     )
+
+
+def fst_hudson(
+    df: DataFrame,
+    variant_col: str,
+    gt_col: str,
+    pop_col: str,
+) -> DataFrame:
+    """Per-variant Hudson F_ST between two populations: (variant, n1,
+    n2, alt1, alt2, p1, p2, fst). ``pop_col`` is a boolean (True =
+    population 1); ``gt_col`` is the 0/1/2 alt-allele dosage; n1/n2 are
+    ALLELE counts (2 x subjects). The population-differentiation scan
+    of a cohort store — which variants stratify the cohorts.
+
+    Hudson estimator in the Bhatia et al. 2013 ratio-of-averages form
+    per site: numerator (p1-p2)^2 - p1(1-p1)/(n1-1) - p2(1-p2)/(n2-1),
+    denominator p1(1-p2) + p2(1-p1); fst = num/den, NULL when either
+    population has < 2 alleles or the denominator is 0 (both
+    populations monomorphic for the same allele) — never a
+    divide-by-zero under ANSI mode. Recommended over Weir-Cockerham
+    when sample sizes differ (Bhatia's guidance); unlike W-C it has no
+    sample-size weighting to bias small cohorts.
+    """
+    gt = F.col(gt_col).cast("long")
+    p1m = F.col(pop_col)
+    per_v = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.sum(F.when(p1m, 2).otherwise(0)).alias("n1"),
+        F.sum(F.when(~p1m, 2).otherwise(0)).alias("n2"),
+        F.sum(F.when(p1m, gt).otherwise(0)).alias("alt1"),
+        F.sum(F.when(~p1m, gt).otherwise(0)).alias("alt2"),
+    )
+    return fst_from_counts(per_v)
+
+
+def fst_from_counts(per_v: DataFrame) -> DataFrame:
+    """Hudson F_ST from an already-counted allele table (variant, n1,
+    n2, alt1, alt2) — for callers whose hom-ref subjects are implicit
+    (allele counts derived from carrier sums + cohort totals, the same
+    no-matrix path as hwe/association from-counts)."""
+    p1 = F.col("alt1").cast("double") / F.col("n1")
+    p2 = F.col("alt2").cast("double") / F.col("n2")
+    num = (
+        (p1 - p2) * (p1 - p2)
+        - p1 * (1 - p1) / (F.col("n1") - 1)
+        - p2 * (1 - p2) / (F.col("n2") - 1)
+    )
+    den = p1 * (1 - p2) + p2 * (1 - p1)
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    return per_v.select(
+        "variant", "n1", "n2", "alt1", "alt2",
+        F.when(F.col("n1") > 0, F.round(p1, 6)).alias("p1"),
+        F.when(F.col("n2") > 0, F.round(p2, 6)).alias("p2"),
+        F.when(ok & (den > 0), F.round(num / den, 6)).alias("fst"),
+    )

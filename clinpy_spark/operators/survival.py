@@ -457,3 +457,177 @@ def rmst(
             F.round(F.max("__first") + F.sum("__seg"), 6).alias("rmst"),
         )
     )
+
+
+def logrank_stratified(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    stratum_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Stratified two-group log-rank test: 1 row (chi2, observed_a,
+    expected_a, n_a, n_b, n_strata). The standard confounder-adjusted
+    comparison (center / age band / line-of-therapy strata): the
+    hypergeometric O-E and variance are computed WITHIN each stratum's
+    own risk sets and summed across strata before the single
+    chi-square, so a stratum-level imbalance between the arms cannot
+    masquerade as a survival difference. With one stratum this reduces
+    exactly to :func:`logrank_test` (property-tested).
+
+    Scale shape: identical to logrank_test with every window
+    additionally partitioned by stratum — one groupBy to the
+    per-(stratum, time) grid, ordered windows over it, one global
+    aggregate. Window state is bounded by a stratum's distinct times.
+    """
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    base = sub.select(
+        F.col(stratum_col).alias("__s"),
+        F.col(time_col).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+        (F.col(group_col) == F.lit(group_a)).alias("__a"),
+    )
+    per_t = base.groupBy("__s", "__t").agg(
+        F.sum(F.when(F.col("__a"), F.col("__e")).otherwise(0)).alias("da"),
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("ra"),
+        F.sum("__e").alias("d"),
+        F.count(F.lit(1)).alias("r"),
+    )
+    w_prev = (Window.partitionBy("__s").orderBy("__t")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    tot = Window.partitionBy("__s")
+    per_t = (
+        per_t.withColumn(
+            "na",
+            F.sum("ra").over(tot)
+            - F.coalesce(F.sum("ra").over(w_prev), F.lit(0)))
+        .withColumn(
+            "n",
+            F.sum("r").over(tot)
+            - F.coalesce(F.sum("r").over(w_prev), F.lit(0)))
+        .filter(F.col("d") > 0)
+    )
+    pa = F.col("na").cast("double") / F.col("n")
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d") * pa * (1 - pa) * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1),
+    ).otherwise(F.lit(0.0))
+    agg = per_t.agg(
+        F.sum("da").alias("observed_a"),
+        F.round(F.sum(F.col("d") * pa), 6).alias("expected_a"),
+        F.sum(F.col("d") * pa).alias("__ea"),
+        F.sum(v).alias("__v"),
+        F.countDistinct("__s").alias("n_strata"),
+    )
+    oma = F.col("observed_a") - F.col("__ea")
+    counts = sub.groupBy().agg(
+        F.sum(F.when(F.col(group_col) == F.lit(group_a), 1).otherwise(0))
+        .alias("n_a"),
+        F.sum(F.when(F.col(group_col) == F.lit(group_b), 1).otherwise(0))
+        .alias("n_b"),
+    )
+    return agg.crossJoin(F.broadcast(counts)).select(
+        F.when(F.col("__v") > 0, F.round(oma * oma / F.col("__v"), 6))
+        .alias("chi2"),
+        "observed_a", "expected_a", "n_a", "n_b", "n_strata",
+    )
+
+
+def cuminc(
+    df: DataFrame,
+    time_col: str,
+    status_col: str,
+    group_col: str,
+    causes: list,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks:
+    (group, t, n_risk, cause, d, cif), one row per (group, distinct
+    observed time, listed cause). ``status_col`` follows the cmprsk
+    convention — 0 = censored, anything else = an event of that cause;
+    ``causes`` lists the cause codes to report (explicit so the plan
+    and the oracle enumerate the same set).
+
+    CIF_k(t) = sum_{t_i <= t} S(t_i-) * d_k(t_i) / n(t_i) with S the
+    ALL-cause Kaplan-Meier — the quantity 1 - KM_k overstates when
+    competing events remove subjects from risk (the classic
+    competing-risks bias; sum_k CIF_k + S = 1 at every time,
+    property-tested). S(t-) uses the exp-sum-ln prefix with the
+    explicit zero flag, never ln(0) (same convention as km_curve).
+
+    Scale shape: one groupBy to the per-(group, time) grid with one
+    conditional event counter per listed cause, ordered windows over
+    the bounded grid, one union branch per cause for the long output.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(time_col).alias("__t"),
+        F.col(status_col).alias("__st"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("__st") == F.lit(k), 1).otherwise(0))
+        .alias(f"__d{i}")
+        for i, k in enumerate(causes)
+    ]
+    pt = base.groupBy("__g", "__t").agg(
+        *aggs,
+        F.sum(F.when(F.col("__st") != 0, 1).otherwise(0)).alias("__dall"),
+        F.count(F.lit(1)).alias("__r"),
+    )
+    w_ord = Window.partitionBy("__g").orderBy("__t")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("__g")
+    pt = pt.withColumn(
+        "n_risk",
+        F.sum("__r").over(tot)
+        - F.coalesce(F.sum("__r").over(w_prev), F.lit(0)),
+    )
+    frac = F.col("__dall").cast("double") / F.col("n_risk")
+    pt = (
+        pt.withColumn(
+            "__lprev",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__dall") < F.col("n_risk"),
+                           F.log(1 - frac)).otherwise(F.lit(0.0))
+                ).over(w_prev),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "__zprev",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("__dall") >= F.col("n_risk"), 1)
+                    .otherwise(0)
+                ).over(w_prev),
+                F.lit(0),
+            ),
+        )
+    )
+    s_prev = F.when(F.col("__zprev") == 1, F.lit(0.0)).otherwise(
+        F.exp("__lprev"))
+    for i, _k in enumerate(causes):
+        pt = pt.withColumn(
+            f"__cif{i}",
+            F.sum(
+                s_prev * F.col(f"__d{i}").cast("double") / F.col("n_risk")
+            ).over(w_cum),
+        )
+    parts = []
+    for i, k in enumerate(causes):
+        parts.append(pt.select(
+            F.col("__g").alias(group_col),
+            F.col("__t").alias(time_col),
+            "n_risk",
+            F.lit(k).alias("cause"),
+            F.col(f"__d{i}").alias("d"),
+            F.round(f"__cif{i}", 6).alias("cif"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -7422,6 +7422,207 @@ def graph_pagerank_q(spark, sf):
     return pagerank(_copurchase(spark, sf), "u", "v", iterations=5)
 
 
+
+# ---------------------------------------------------------------------------
+# Round-11 clinical/genetics additions: stratified log-rank (confounder-
+# adjusted two-arm comparison), Aalen-Johansen cumulative incidence
+# (competing risks), and Hudson F_ST (population differentiation).
+# ---------------------------------------------------------------------------
+
+_SURV_STRAT_SQL = """
+  SELECT o_orderpriority AS priority,
+         datepart('year', o_orderdate) % 3 AS stratum,
+         LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt
+  FROM (SELECT o_orderpriority, o_orderdate,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+"""
+
+
+def _surv_obs_strat(spark, sf) -> DataFrame:
+    """(priority, stratum, duration, evt): the two-arm cohort with an
+    order-year stratum (SQL twin _SURV_STRAT_SQL)."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    return o.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") % 3).alias("stratum"),
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+    )
+
+
+@q("surv_logrank_strat", f"""
+WITH obs AS ({_SURV_STRAT_SQL}),
+per_t AS (SELECT stratum, duration,
+                 sum(CASE WHEN priority = '1-URGENT' THEN evt ELSE 0 END) AS da,
+                 sum(CASE WHEN priority = '1-URGENT' THEN 1 ELSE 0 END) AS ra,
+                 sum(evt) AS d, count(*) AS r
+          FROM obs GROUP BY stratum, duration),
+w AS (SELECT *,
+        sum(ra) OVER (PARTITION BY stratum)
+          - coalesce(sum(ra) OVER (PARTITION BY stratum ORDER BY duration
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+        sum(r) OVER (PARTITION BY stratum)
+          - coalesce(sum(r) OVER (PARTITION BY stratum ORDER BY duration
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM per_t),
+f AS (SELECT * FROM w WHERE d > 0),
+g AS (SELECT CAST(sum(da) AS BIGINT) AS observed_a,
+             sum(d * (CAST(na AS DOUBLE) / n)) AS ea,
+             sum(CASE WHEN n > 1 THEN d * (CAST(na AS DOUBLE) / n)
+                   * (1 - CAST(na AS DOUBLE) / n) * (n - d) / (n - 1)
+                 ELSE 0 END) AS v,
+             CAST(count(DISTINCT stratum) AS BIGINT) AS n_strata
+      FROM f)
+SELECT CASE WHEN v > 0
+            THEN round((observed_a - ea) * (observed_a - ea) / v, 6)
+       END AS chi2,
+       observed_a, round(ea, 6) AS expected_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs
+        WHERE priority = '1-URGENT') AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs
+        WHERE priority = '5-LOW') AS n_b,
+       n_strata
+FROM g
+""")
+def surv_logrank_strat_q(spark, sf):
+    # Stratified log-rank (operators/survival.py logrank_stratified):
+    # the urgent-vs-low comparison adjusted for an order-year stratum -
+    # O-E and hypergeometric variance computed within each stratum's
+    # own risk sets, summed across strata into one chi-square.
+    from clinpy_spark.operators.survival import logrank_stratified
+
+    return logrank_stratified(
+        _surv_obs_strat(spark, sf), "duration", "evt", "priority",
+        "stratum", "1-URGENT", "5-LOW")
+
+
+_SURV_CR_SQL = """
+  SELECT o_orderpriority AS priority,
+         LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd
+              THEN 1 + CAST((h // 1500) % 2 AS INT) ELSE 0 END AS st
+  FROM (SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+"""
+
+
+def _surv_obs_cr(spark, sf) -> DataFrame:
+    """(priority, duration, st): competing-risks cohort - st 0 =
+    censored, 1/2 = event cause from an independent hash digit
+    (SQL twin _SURV_CR_SQL)."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    cause = (F.floor(h / 1500) % 2 + 1).cast("int")
+    return o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, cause).otherwise(0).alias("st"),
+    )
+
+
+@q("surv_cuminc", f"""
+WITH obs AS ({_SURV_CR_SQL}),
+pt AS (SELECT priority AS g, duration AS t,
+         CAST(sum(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+         CAST(sum(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN st <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS dall,
+         CAST(count(*) AS BIGINT) AS r
+       FROM obs GROUP BY priority, duration),
+w1 AS (SELECT *,
+         sum(r) OVER (PARTITION BY g)
+           - coalesce(sum(r) OVER (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       FROM pt),
+w2 AS (SELECT *,
+         coalesce(sum(CASE WHEN dall < n_risk
+                           THEN ln(1 - CAST(dall AS DOUBLE) / n_risk)
+                           ELSE 0 END)
+           OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lprev,
+         coalesce(max(CASE WHEN dall >= n_risk THEN 1 ELSE 0 END)
+           OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS zprev
+       FROM w1),
+w3 AS (SELECT *,
+         sum((CASE WHEN zprev = 1 THEN 0.0 ELSE exp(lprev) END)
+             * CAST(d0 AS DOUBLE) / n_risk)
+           OVER (PARTITION BY g ORDER BY t) AS cif0,
+         sum((CASE WHEN zprev = 1 THEN 0.0 ELSE exp(lprev) END)
+             * CAST(d1 AS DOUBLE) / n_risk)
+           OVER (PARTITION BY g ORDER BY t) AS cif1
+       FROM w3src)
+SELECT g AS priority, t AS duration, CAST(n_risk AS BIGINT) AS n_risk,
+       1 AS cause, d0 AS d, round(cif0, 6) AS cif FROM w3
+UNION ALL
+SELECT g AS priority, t AS duration, CAST(n_risk AS BIGINT) AS n_risk,
+       2 AS cause, d1 AS d, round(cif1, 6) AS cif FROM w3
+""".replace("w3src", "w2"))
+def surv_cuminc_q(spark, sf):
+    # Aalen-Johansen cumulative incidence under competing risks
+    # (operators/survival.py cuminc): CIF_k(t) = sum S(t-) d_k/n with
+    # all-cause KM S - the readout 1-KM_k overstates when a competing
+    # cause removes subjects from risk. Two causes from an independent
+    # hash digit; sum_k CIF_k + S = 1 at every time (property-tested).
+    from clinpy_spark.operators.survival import cuminc
+
+    return cuminc(_surv_obs_cr(spark, sf), "duration", "st", "priority",
+                  causes=[1, 2])
+
+
+@q("gx_fst_hudson", f"""
+WITH g AS ({_GENO_SQL}),
+per AS (SELECT variant,
+          CAST(sum(CASE WHEN is_case THEN 2 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN NOT is_case THEN 2 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(sum(CASE WHEN is_case THEN gt ELSE 0 END) AS BIGINT) AS alt1,
+          CAST(sum(CASE WHEN NOT is_case THEN gt ELSE 0 END) AS BIGINT) AS alt2
+        FROM g GROUP BY variant),
+pv AS (SELECT *, CAST(alt1 AS DOUBLE) / n1 AS p1d,
+              CAST(alt2 AS DOUBLE) / n2 AS p2d
+       FROM per)
+SELECT variant, n1, n2, alt1, alt2,
+  CASE WHEN n1 > 0 THEN round(p1d, 6) END AS p1,
+  CASE WHEN n2 > 0 THEN round(p2d, 6) END AS p2,
+  CASE WHEN n1 > 1 AND n2 > 1
+            AND (p1d * (1 - p2d) + p2d * (1 - p1d)) > 0
+       THEN round(((p1d - p2d) * (p1d - p2d)
+                   - p1d * (1 - p1d) / (n1 - 1)
+                   - p2d * (1 - p2d) / (n2 - 1))
+                  / (p1d * (1 - p2d) + p2d * (1 - p1d)), 6)
+  END AS fst
+FROM pv
+""")
+def gx_fst_hudson_q(spark, sf):
+    # Hudson F_ST per variant between the two hash phenotypes
+    # (operators/assoc.py fst_hudson, Bhatia 2013 per-site form):
+    # population differentiation from per-population allele counts -
+    # one variant-keyed groupBy, closed-form ratio, no join. On this
+    # HWE-ish null cohort fst hovers near 0 (negative values are the
+    # estimator's unbiasedness, not an error).
+    from clinpy_spark.operators.assoc import fst_hudson
+
+    return fst_hudson(_geno(spark, sf), "variant", "gt", "is_case")
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -7436,64 +7637,24 @@ def graph_pagerank_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r10 window head: 37 oracled queries with NO driver record yet
-    # (12 r8-era queries squeezed out of earlier windows + 25 new in
-    # r10: drift/skew/benford/ER/FD plus survival (KM/CI/median/log-rank/
-    # Nelson-Aalen), genetics (HWE/assoc/trend/OR/LD/burden/ROH), differential
-    # expression and graph analytics), then the stalest oracled
-    # queries (last recorded r2). Generated from CORRECTNESS_r*.json
-    # by staleness; everything else keeps its newer green rows as
-    # evidence. --
-    "surv_km_curve",
-    "surv_logrank",
-    "surv_na_cumhaz",
-    "surv_km_ci",
-    "surv_median_time",
-    "surv_rmst",
-    "gx_hwe_audit",
-    "gx_allelic_assoc",
-    "gx_ld_r2",
-    "gx_burden_test",
-    "gx_roh_runs",
-    "gx_trend_test",
-    "gx_odds_ratio",
-    "dx_diff_expression",
-    "dx_quantile_normalize",
-    "g_merge_intervals",
-    "graph_triangle_stats",
-    "graph_pagerank",
-    "q_skew_report",
-    "q_benford_price",
-    "drift_psi_by_type",
-    "sim_knn_graph",
-    "v_filter_spec",
-    "j10d_region_batch",
-    "dedup_keep_best",
-    "retrieval_rrf",
-    "mm_audio_lossy_gate",
-    "mix_temperature_quota",
-    "sample_weighted_n",
-    "text_bpe_gate",
-    "text_bloom_decontaminate",
-    "text_split_pieces",
-    "text_cms_topk",
-    "curate_quality_model",
-    "drift_psi_value",
-    "drift_ks_value",
-    "drift_chi2_lang",
-    "shuffle_shards",
-    "er_resolve_parts",
-    "q_fd_audit",
-    "p_projection_filter",
-    "p_isin",
-    "p_between",
-    "p_case_recode",
-    "p_overlap_predicate",
-    "j1_fk_join",
-    "j4_multikey_natural",
-    "j6_anti_new_parts",
-    "j7_semi_cohort",
-    "j9_left_enrich",
+    # -- r11 window: the new oracled query (surv_logrank_k) first,
+    # then the 7 rows-only ANN emitters that have never had a driver
+    # record (their oracled recall gates are recorded separately),
+    # then the stalest oracled queries - most-recent driver record
+    # r2 (28), r4 (11), r6 (3). Regenerated from CORRECTNESS_r*.json
+    # by staleness (r7 verdict policy); all 50 driver slots this
+    # round go to queries ABSENT from the r10 window. --
+    "surv_logrank_k",
+    "surv_logrank_strat",
+    "surv_cuminc",
+    "gx_fst_hudson",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_semdedup",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
     "a1_group_count",
     "a2_count_distinct",
     "a4_distinct_dedup",
@@ -7513,6 +7674,49 @@ _PRIORITY: list[str] = [
     "s12_merge_upsert",
     "a15_hll_sketch",
     "a8c_cube",
+    "o4_exact_percentiles",
+    "a6b_unpivot",
+    "o3_lag_gaps",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q4_order_priority",
+    "tpch_q13_cust_distribution",
+    "flagship_cohort_revenue",
+    "p_coerce_floor",
+    "j13_overlap_fraction",
+    "j14_point_in_interval",
+    "o7_ntile_ranks",
+    "text_decontaminate",
+    "text_repetition",
+    "sim_range_search",
+    "tpch_q15_top_supplier",
+    "mix_resample_upsample",
+    "curate_gopher_rules",
+    "o2_running_total",
+    "e_tumbling_hour",
+    "e_sliding_window",
+    "text_tokens_bpe",
+    "text_fingerprint",
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "tpch_q14_promo",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "skew_salted_join",
+    "a2b_two_phase_distinct",
+    "text_pack_chunks",
+    "text_vocab_topk",
+    "mix_by_lang",
+    "sample_exact_n",
+    "s15_histogram",
+    "split_corpus_assign",
+    "text_redact",
+    "s17_coverage_bins",
+    "j10_interval_binned",
+    "j10b_interval_left",
 ]
 
 

@@ -366,3 +366,72 @@ def test_rmst_textbook(spark):
 
     (r0,) = rmst(df, "t", "evt", "grp", tau=1).collect()
     assert r0.rmst == pytest.approx(1.0, abs=1e-6)   # S=1 on [0, t1)
+
+
+def test_fst_hudson_closed_form_and_null(spark):
+    """Hudson F_ST: a variant with p1=0.5 (2/4 alleles) vs p2=0 scores
+    ((0.5)^2 - 0.25/3 - 0) / 0.5 = 1/3; identical populations score the
+    negative-bias null (num = -2 * p(1-p)/(n-1) / den), and a variant
+    monomorphic REF in both populations reports NULL (den = 0)."""
+    from clinpy_spark.operators.assoc import fst_hudson
+
+    rows = [
+        # variant 0: pop1 = {1,1}, pop2 = {0,0}
+        (0, 1, True), (0, 1, True), (0, 0, False), (0, 0, False),
+        # variant 1: identical het pairs in both pops
+        (1, 1, True), (1, 1, True), (1, 1, False), (1, 1, False),
+        # variant 2: all hom-ref
+        (2, 0, True), (2, 0, True), (2, 0, False), (2, 0, False),
+    ]
+    df = spark.createDataFrame(rows, "variant long, gt int, pop boolean")
+    out = {r.variant: r for r in fst_hudson(df, "variant", "gt", "pop").collect()}
+    v0 = out[0]
+    assert (v0.n1, v0.n2, v0.alt1, v0.alt2) == (4, 4, 2, 0)
+    assert v0.fst == pytest.approx(1 / 3, abs=1e-6)
+    # identical allele freqs: expectation of the estimator is 0; the
+    # per-site value is the small-sample negative bias term
+    v1 = out[1]
+    assert v1.fst == pytest.approx(
+        (0 - 2 * (0.5 * 0.5 / 3)) / (0.5 * 0.5 + 0.5 * 0.5), abs=1e-6)
+    assert out[2].fst is None
+
+
+def test_cuminc_textbook(spark):
+    """4 subjects: cause-1 event at t=1, cause-2 at t=2, censored at
+    t=3, cause-1 at t=4. CIF1 = 0.25, 0.25, 0.25, 0.75; CIF2 = 0,
+    0.25, 0.25, 0.25; at every time sum CIF + all-cause KM = 1."""
+    from clinpy_spark.operators.survival import cuminc
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 3, 0), ("a", 4, 1)],
+        "grp string, t long, st int")
+    out = {(r.cause, r.t): r for r in
+           cuminc(df, "t", "st", "grp", causes=[1, 2]).collect()}
+    assert [out[(1, t)].cif for t in (1, 2, 3, 4)] == [0.25, 0.25, 0.25, 0.75]
+    assert [out[(2, t)].cif for t in (1, 2, 3, 4)] == [0.0, 0.25, 0.25, 0.25]
+    assert [out[(1, t)].n_risk for t in (1, 2, 3, 4)] == [4, 3, 2, 1]
+    assert (out[(1, 1)].d, out[(2, 2)].d, out[(1, 4)].d) == (1, 1, 1)
+
+
+def test_stratified_logrank_adjusts_confounded_strata(spark):
+    """A cohort where arm a is over-represented in a high-risk stratum:
+    the POOLED test sees a difference, the stratified test (within-
+    stratum risk sets) sees arms with identical within-stratum
+    experience - chi2 collapses toward 0."""
+    from clinpy_spark.operators.survival import (
+        logrank_stratified, logrank_test)
+
+    rows = []
+    # stratum "hi": fast events, mostly arm a; identical curves per arm
+    for arm, n in (("a", 6), ("b", 2)):
+        rows += [(arm, "hi", t, 1) for t in range(1, n + 1)]
+    # stratum "lo": slow events, mostly arm b
+    for arm, n in (("a", 2), ("b", 6)):
+        rows += [(arm, "lo", 10 + t, 1) for t in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "grp string, site string, t long, evt int")
+    pooled = logrank_test(df, "t", "evt", "grp", "a", "b").collect()[0]
+    strat = logrank_stratified(
+        df, "t", "evt", "grp", "site", "a", "b").collect()[0]
+    assert strat.n_strata == 2
+    assert pooled.chi2 > 3.84          # confounded pooled signal
+    assert strat.chi2 < pooled.chi2 / 4  # adjustment removes most of it

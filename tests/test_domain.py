@@ -1036,6 +1036,16 @@ def test_variants_hwe_and_association(spark, project):
         ["s1"], test="allelic", cohort_size=4, n_case=2).collect()}
     assert (over[vid].case_ref, over[vid].ctrl_ref) == (3, 2)
 
+    # Hudson F_ST between the s1 sub-cohort and the rest (widened
+    # cohort): allele counts from carrier sums + phenotype margins,
+    # closed form checked by hand (p1=1/2 of 2 alleles, p2=1/3 of 6).
+    fst = {r.variant: r for r in v.fst(["s1"], cohort_size=4).collect()}
+    fv = fst[vid]
+    assert (fv.n1, fv.n2, fv.alt1, fv.alt2) == (2, 6, 1, 2)
+    num = (0.5 - 1 / 3) ** 2 - (0.5 * 0.5) / 1 - ((1 / 3) * (2 / 3)) / 5
+    den = 0.5 * (2 / 3) + (1 / 3) * 0.5
+    assert fv.fst == pytest.approx(round(num / den, 6), abs=1e-6)
+
     import pytest as _pytest
     with _pytest.raises(ValueError):
         v.association(["s1"], test="fisher")

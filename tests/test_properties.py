@@ -910,6 +910,67 @@ def test_logrank_k_two_arms_recovers_mantel_cox(spark, rows):
         assert kk["a"].df == kk["b"].df == len(kk) - 1
 
 
+@settings(max_examples=8, deadline=None)
+@given(rows=_subjects)
+def test_stratified_logrank_single_stratum_is_plain(spark, rows):
+    """With ONE stratum the stratified log-rank must equal the plain
+    Mantel-Cox statistic exactly (same O, E, V, chi2)."""
+    from clinpy_spark.operators.survival import (
+        logrank_stratified, logrank_test)
+
+    df = spark.createDataFrame(rows, "grp string, t long, evt int") \
+        .withColumn("site", F.lit("s0"))
+    plain = logrank_test(df, "t", "evt", "grp", "a", "b").collect()[0]
+    strat = logrank_stratified(
+        df, "t", "evt", "grp", "site", "a", "b").collect()[0]
+    assert (strat.observed_a, strat.n_a, strat.n_b) == (
+        plain.observed_a, plain.n_a, plain.n_b)
+    assert strat.expected_a == plain.expected_a
+    assert strat.chi2 == plain.chi2
+    # an event-free cohort has no contributing strata (grid empty after
+    # the d > 0 cut) — both statistics degenerate to the same NULL row
+    assert strat.n_strata == (1 if plain.observed_a is not None else 0)
+
+
+_cr_subjects = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),             # cohort
+        st.integers(min_value=1, max_value=10),  # time
+        st.integers(min_value=0, max_value=2),   # status: 0 cens, 1/2 cause
+    ),
+    min_size=1, max_size=24,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_cr_subjects)
+def test_cuminc_partitions_unity_with_km(spark, rows):
+    """Aalen-Johansen identity on ANY competing-risks cohort: at every
+    observed time, sum_k CIF_k(t) + S(t) == 1 with S the all-cause KM
+    (the property 1 - KM_k violates under competing risks). CIFs are
+    non-decreasing in time."""
+    from clinpy_spark.operators.survival import cuminc, km_curve
+
+    df = spark.createDataFrame(rows, "grp string, t long, st int")
+    cif = cuminc(df, "t", "st", "grp", causes=[1, 2]).collect()
+    km = {(r.grp, r.t): r.survival
+          for r in km_curve(
+              df.withColumn("evt", (F.col("st") != 0).cast("int")),
+              "t", "evt", "grp").collect()}
+    by_gt: dict = {}
+    for r in cif:
+        by_gt.setdefault((r.grp, r.t), 0.0)
+        by_gt[(r.grp, r.t)] += r.cif
+    for key, total_cif in by_gt.items():
+        assert abs(total_cif + km[key] - 1.0) <= 5e-6, key
+    # monotone per (group, cause)
+    last: dict = {}
+    for r in sorted(cif, key=lambda r: (r.grp, r.cause, r.t)):
+        prev = last.get((r.grp, r.cause), 0.0)
+        assert r.cif >= prev - 1e-9
+        last[(r.grp, r.cause)] = r.cif
+
+
 _genos = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),   # variant
