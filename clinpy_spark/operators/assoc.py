@@ -555,3 +555,54 @@ def fst_from_counts(per_v: DataFrame) -> DataFrame:
         F.when(F.col("n2") > 0, F.round(p2, 6)).alias("p2"),
         F.when(ok & (den > 0), F.round(num / den, 6)).alias("fst"),
     )
+
+
+def inbreeding_f(
+    df: DataFrame,
+    variant_col: str,
+    sample_col: str,
+    gt_col: str,
+) -> DataFrame:
+    """Per-sample method-of-moments inbreeding coefficient: (sample,
+    n_variants, obs_het, exp_het, f) with F = 1 - obs_het / exp_het.
+    The sample-QC twin of the per-variant HWE gate: excess homozygosity
+    (F >> 0) flags consanguinity or sample contamination the other way
+    (F << 0 flags excess heterozygosity / mixture).
+
+    exp_het sums 2 p_v (1 - p_v) over the variants the sample is
+    genotyped at, with p_v the cohort alt-allele frequency at v —
+    monomorphic variants contribute 0 expected heterozygosity and drop
+    from both sums exactly. F is NULL when exp_het = 0 (a sample
+    genotyped only at monomorphic sites; never a 0-division).
+
+    Scale shape: one variant-keyed groupBy for frequencies, one
+    broadcast-or-hash equi-join back, one sample-keyed aggregate — the
+    genotype matrix is traversed twice, never self-joined.
+    """
+    g = df.select(
+        F.col(variant_col).alias("__v"),
+        F.col(sample_col).alias("__s"),
+        F.col(gt_col).cast("int").alias("__gt"),
+    )
+    freq = g.groupBy("__v").agg(
+        (F.sum("__gt").cast("double") / (2 * F.count(F.lit(1))))
+        .alias("__p"))
+    eh = 2 * F.col("__p") * (1 - F.col("__p"))
+    per_s = (
+        g.join(freq, "__v")
+        .groupBy(F.col("__s").alias("sample"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum(F.when(F.col("__gt") == 1, 1).otherwise(0))
+            .alias("obs_het"),
+            F.sum(eh).alias("__eh"),
+        )
+    )
+    return per_s.select(
+        "sample", "n_variants", "obs_het",
+        F.round("__eh", 6).alias("exp_het"),
+        F.when(
+            F.col("__eh") > 0,
+            F.round(1 - F.col("obs_het") / F.col("__eh"), 6),
+        ).alias("f"),
+    )

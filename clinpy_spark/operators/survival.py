@@ -631,3 +631,79 @@ def cuminc(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cox_score(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Cox proportional-hazards SCORE test at beta = 0 for one numeric
+    covariate (Breslow ties): 1 row (chi2, u, n_events, n_subjects).
+    The bridge between the log-rank family (categorical arms) and full
+    Cox regression: does hazard rise with ``x_col`` (age, biomarker,
+    dose)? For a 0/1 indicator covariate this IS the two-group
+    log-rank statistic (property-tested).
+
+    At each distinct event time t with risk-set moments S_x, S_xx over
+    the n at risk and d events carrying covariate sum dx:
+    U += dx - d * S_x/n; V += d * (n-d)/(n-1) * (S_xx/n - (S_x/n)^2);
+    chi2 = U^2 / V on 1 df (NULL when V = 0 — constant covariate or no
+    usable event times; never a divide-by-zero under ANSI mode).
+
+    Scale shape: one groupBy to the per-time grid carrying the
+    LEAVERS' covariate moments, then risk-set moments as total-minus-
+    prefix ordered windows over the bounded grid — the cohort is never
+    self-joined against the risk sets.
+    """
+    base = df.select(
+        F.col(time_col).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+        F.col(x_col).cast("double").alias("__x"),
+    )
+    pt = base.groupBy("__t").agg(
+        F.sum("__e").alias("d"),
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.when(F.col("__e") == 1, F.col("__x")).otherwise(0.0))
+        .alias("dx"),
+        F.sum("__x").alias("rx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("rxx"),
+    )
+    w_prev = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    pt = (
+        pt.withColumn(
+            "n", F.sum("r").over(tot)
+            - F.coalesce(F.sum("r").over(w_prev), F.lit(0)))
+        .withColumn(
+            "sx", F.sum("rx").over(tot)
+            - F.coalesce(F.sum("rx").over(w_prev), F.lit(0.0)))
+        .withColumn(
+            "sxx", F.sum("rxx").over(tot)
+            - F.coalesce(F.sum("rxx").over(w_prev), F.lit(0.0)))
+        .filter(F.col("d") > 0)
+    )
+    xbar = F.col("sx") / F.col("n")
+    vbar = F.col("sxx") / F.col("n") - xbar * xbar
+    u_t = F.col("dx") - F.col("d") * xbar
+    v_t = F.when(
+        F.col("n") > 1,
+        F.col("d") * (F.col("n") - F.col("d")).cast("double")
+        / (F.col("n") - 1) * vbar,
+    ).otherwise(F.lit(0.0))
+    agg = pt.agg(
+        F.sum(u_t).alias("__u"),
+        F.sum(v_t).alias("__v"),
+        F.sum("d").alias("n_events"),
+    )
+    counts = df.groupBy().agg(F.count(F.lit(1)).alias("n_subjects"))
+    return agg.crossJoin(F.broadcast(counts)).select(
+        F.when(
+            F.col("__v") > 0,
+            F.round(F.col("__u") * F.col("__u") / F.col("__v"), 6),
+        ).alias("chi2"),
+        F.round("__u", 6).alias("u"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "n_subjects",
+    )

@@ -7623,6 +7623,117 @@ def gx_fst_hudson_q(spark, sf):
 
     return fst_hudson(_geno(spark, sf), "variant", "gt", "is_case")
 
+
+@q("surv_cox_score", """
+WITH obs AS (
+  SELECT LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt,
+         floor(o_totalprice / 1000) AS x
+  FROM (SELECT o_totalprice,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+pt AS (SELECT duration AS t,
+         CAST(sum(evt) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS r,
+         sum(CASE WHEN evt = 1 THEN x ELSE 0.0 END) AS dx,
+         sum(x) AS rx, sum(x * x) AS rxx
+       FROM obs GROUP BY duration),
+w AS (SELECT *,
+        sum(r) OVER () - coalesce(sum(r) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+        sum(rx) OVER () - coalesce(sum(rx) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sx,
+        sum(rxx) OVER () - coalesce(sum(rxx) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sxx
+      FROM pt),
+f AS (SELECT * FROM w WHERE d > 0),
+g AS (SELECT
+        sum(dx - d * (sx / n)) AS u,
+        sum(CASE WHEN n > 1
+                 THEN d * CAST(n - d AS DOUBLE) / (n - 1)
+                      * (sxx / n - (sx / n) * (sx / n))
+                 ELSE 0 END) AS v,
+        CAST(sum(d) AS BIGINT) AS n_events
+      FROM g_src)
+SELECT CASE WHEN v > 0 THEN round(u * u / v, 6) END AS chi2,
+       round(u, 6) AS u,
+       coalesce(n_events, 0) AS n_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_subjects
+FROM g
+""".replace("g_src", "f"))
+def surv_cox_score_q(spark, sf):
+    # Cox proportional-hazards score test at beta=0 (operators/
+    # survival.py cox_score) for a continuous covariate - does hazard
+    # rise with the order's price band? Risk-set covariate moments as
+    # total-minus-prefix windows over the per-time grid; for a 0/1
+    # covariate this statistic IS the two-group log-rank
+    # (property-tested). x = floor(price/1000) keeps every moment sum
+    # an exact integer in doubles, so the oracle mirrors bit-for-bit.
+    from clinpy_spark.operators.survival import cox_score
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        F.floor(F.col("o_totalprice") / 1000).alias("x"),
+    )
+    return cox_score(obs, "duration", "evt", "x")
+
+
+@q("gx_inbreeding", """
+WITH g AS (
+  SELECT l_partkey % 400 AS variant, l_suppkey AS s,
+         (CASE WHEN h % 100 < 30 THEN 1 ELSE 0 END)
+         + (CASE WHEN (h // 100) % 100 < 30 THEN 1 ELSE 0 END) AS gt
+  FROM (SELECT l_partkey, l_suppkey,
+               ('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+                                        AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM lineitem)),
+fr AS (SELECT variant, CAST(sum(gt) AS DOUBLE) / (2 * count(*)) AS p
+       FROM g GROUP BY variant),
+j AS (SELECT g.s, g.gt, 2 * fr.p * (1 - fr.p) AS eh
+      FROM g JOIN fr USING (variant)),
+a AS (SELECT s AS sample, CAST(count(*) AS BIGINT) AS n_variants,
+        CAST(sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS obs_het,
+        sum(eh) AS ehs
+      FROM j GROUP BY s)
+SELECT sample, n_variants, obs_het, round(ehs, 6) AS exp_het,
+       CASE WHEN ehs > 0 THEN round(1 - obs_het / ehs, 6) END AS f
+FROM a
+""")
+def gx_inbreeding_q(spark, sf):
+    # Per-sample inbreeding coefficient F = 1 - obs_het/exp_het
+    # (operators/assoc.py inbreeding_f) - the sample-QC twin of the
+    # per-variant HWE gate (consanguinity / contamination flags).
+    # Sample = supplier key over the hash genotypes; one freq groupBy,
+    # one join back, one sample aggregate.
+    from clinpy_spark.operators.assoc import inbreeding_f
+
+    li = _t(spark, sf, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5((F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                  .cast("string")),
+            1, 8),
+        16, 10,
+    ).cast("long")
+    g = li.select(
+        (F.col("l_partkey") % 400).alias("variant"),
+        F.col("l_suppkey").alias("s"),
+        ((h % 100 < 30).cast("int")
+         + ((F.floor(h / 100) % 100) < 30).cast("int")).alias("gt"),
+    )
+    return inbreeding_f(g, "variant", "s", "gt")
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -7648,6 +7759,8 @@ _PRIORITY: list[str] = [
     "surv_logrank_strat",
     "surv_cuminc",
     "gx_fst_hudson",
+    "surv_cox_score",
+    "gx_inbreeding",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_semdedup",

@@ -435,3 +435,24 @@ def test_stratified_logrank_adjusts_confounded_strata(spark):
     assert strat.n_strata == 2
     assert pooled.chi2 > 3.84          # confounded pooled signal
     assert strat.chi2 < pooled.chi2 / 4  # adjustment removes most of it
+
+
+def test_inbreeding_f_closed_form(spark):
+    """Two variants, two samples: at v0 p = 1/4, at v1 p = 3/4, so
+    each contributes exp-het 0.375. The all-het sample scores
+    F = 1 - 2/0.75; the fully homozygous sample scores F = 1.
+    A sample seen only at a monomorphic site reports NULL."""
+    from clinpy_spark.operators.assoc import inbreeding_f
+
+    rows = [
+        (0, "A", 1), (0, "B", 0),
+        (1, "A", 1), (1, "B", 2),
+        (9, "C", 0), (9, "C", 0),  # monomorphic-only sample
+    ]
+    df = spark.createDataFrame(rows, "variant long, s string, gt int")
+    out = {r.sample: r for r in inbreeding_f(df, "variant", "s", "gt").collect()}
+    assert (out["A"].n_variants, out["A"].obs_het) == (2, 2)
+    assert out["A"].exp_het == pytest.approx(0.75, abs=1e-6)
+    assert out["A"].f == pytest.approx(1 - 2 / 0.75, abs=1e-6)
+    assert out["B"].f == pytest.approx(1.0, abs=1e-6)
+    assert out["C"].f is None and out["C"].exp_het == 0.0

@@ -932,6 +932,27 @@ def test_stratified_logrank_single_stratum_is_plain(spark, rows):
     assert strat.n_strata == (1 if plain.observed_a is not None else 0)
 
 
+@settings(max_examples=8, deadline=None)
+@given(rows=_subjects)
+def test_cox_score_indicator_covariate_is_logrank(spark, rows):
+    """The Cox score test at beta=0 with a 0/1 indicator covariate is
+    EXACTLY the two-group log-rank statistic (same U = O-E and the same
+    hypergeometric variance): chi2 match to rounding on any cohort."""
+    from clinpy_spark.operators.survival import cox_score, logrank_test
+
+    df = spark.createDataFrame(rows, "grp string, t long, evt int")
+    lr = logrank_test(df, "t", "evt", "grp", "a", "b").collect()[0]
+    cx = cox_score(
+        df.withColumn("x", (F.col("grp") == "a").cast("int")),
+        "t", "evt", "x").collect()[0]
+    assert cx.n_subjects == lr.n_a + lr.n_b
+    if lr.chi2 is None:
+        assert cx.chi2 is None
+    else:
+        assert abs(cx.chi2 - lr.chi2) <= 2e-6
+        assert abs(cx.u - (lr.observed_a - lr.expected_a)) <= 2e-6
+
+
 _cr_subjects = st.lists(
     st.tuples(
         st.sampled_from(["a", "b"]),             # cohort
