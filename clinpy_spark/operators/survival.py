@@ -707,3 +707,58 @@ def cox_score(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         "n_subjects",
     )
+
+
+def incidence_rate(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    z: float = 1.96,
+) -> DataFrame:
+    """Person-time incidence rates and their ratio between two cohorts:
+    1 row (events_a, ptime_a, rate_a, events_b, ptime_b, rate_b, irr,
+    irr_lo, irr_hi) — the epidemiology rate readout (events per unit
+    follow-up) complementing the log-rank family (which compares curve
+    SHAPES, not absolute rates).
+
+    rate = events / person-time; the IRR confidence interval is the
+    standard log-normal form exp(ln(irr) ± z*sqrt(1/e_a + 1/e_b))
+    (Rothman), defined only when both arms have events and follow-up —
+    NULL otherwise, never a 0-division. Rates and CI are rounded to 6
+    (ln/sqrt convention).
+
+    Scale shape: ONE conditional-sum aggregate over the cohort — no
+    grid, no window, no join.
+    """
+    t = F.col(time_col).cast("double")
+    e = F.col(event_col).cast("int")
+    is_a = F.col(group_col) == F.lit(group_a)
+    is_b = F.col(group_col) == F.lit(group_b)
+    agg = df.filter(is_a | is_b).agg(
+        F.sum(F.when(is_a, e).otherwise(0)).alias("events_a"),
+        F.sum(F.when(is_a, t).otherwise(0.0)).alias("ptime_a"),
+        F.sum(F.when(is_b, e).otherwise(0)).alias("events_b"),
+        F.sum(F.when(is_b, t).otherwise(0.0)).alias("ptime_b"),
+    )
+    ra = F.col("events_a") / F.col("ptime_a")
+    rb = F.col("events_b") / F.col("ptime_b")
+    ok = (
+        (F.col("events_a") > 0) & (F.col("events_b") > 0)
+        & (F.col("ptime_a") > 0) & (F.col("ptime_b") > 0)
+    )
+    se = F.sqrt(1.0 / F.col("events_a") + 1.0 / F.col("events_b"))
+    lirr = F.log(ra / rb)
+    return agg.select(
+        "events_a",
+        F.round("ptime_a", 6).alias("ptime_a"),
+        F.when(F.col("ptime_a") > 0, F.round(ra, 6)).alias("rate_a"),
+        "events_b",
+        F.round("ptime_b", 6).alias("ptime_b"),
+        F.when(F.col("ptime_b") > 0, F.round(rb, 6)).alias("rate_b"),
+        F.when(ok, F.round(ra / rb, 6)).alias("irr"),
+        F.when(ok, F.round(F.exp(lirr - z * se), 6)).alias("irr_lo"),
+        F.when(ok, F.round(F.exp(lirr + z * se), 6)).alias("irr_hi"),
+    )

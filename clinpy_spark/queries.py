@@ -7734,6 +7734,49 @@ def gx_inbreeding_q(spark, sf):
     )
     return inbreeding_f(g, "variant", "s", "gt")
 
+
+@q("surv_incidence_rate", """
+WITH obs AS (
+  SELECT o_orderpriority AS priority,
+         CAST(LEAST(h % 1500 + 1, dd) AS DOUBLE) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt
+  FROM (SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+a AS (SELECT
+        CAST(sum(CASE WHEN priority = '1-URGENT' THEN evt ELSE 0 END) AS BIGINT) AS events_a,
+        sum(CASE WHEN priority = '1-URGENT' THEN duration ELSE 0.0 END) AS ptime_a,
+        CAST(sum(CASE WHEN priority = '5-LOW' THEN evt ELSE 0 END) AS BIGINT) AS events_b,
+        sum(CASE WHEN priority = '5-LOW' THEN duration ELSE 0.0 END) AS ptime_b
+      FROM obs)
+SELECT events_a, round(ptime_a, 6) AS ptime_a,
+       CASE WHEN ptime_a > 0 THEN round(events_a / ptime_a, 6) END AS rate_a,
+       events_b, round(ptime_b, 6) AS ptime_b,
+       CASE WHEN ptime_b > 0 THEN round(events_b / ptime_b, 6) END AS rate_b,
+       CASE WHEN events_a > 0 AND events_b > 0 AND ptime_a > 0 AND ptime_b > 0
+            THEN round((events_a / ptime_a) / (events_b / ptime_b), 6) END AS irr,
+       CASE WHEN events_a > 0 AND events_b > 0 AND ptime_a > 0 AND ptime_b > 0
+            THEN round(exp(ln((events_a / ptime_a) / (events_b / ptime_b))
+                           - 1.96 * sqrt(1.0 / events_a + 1.0 / events_b)), 6) END AS irr_lo,
+       CASE WHEN events_a > 0 AND events_b > 0 AND ptime_a > 0 AND ptime_b > 0
+            THEN round(exp(ln((events_a / ptime_a) / (events_b / ptime_b))
+                           + 1.96 * sqrt(1.0 / events_a + 1.0 / events_b)), 6) END AS irr_hi
+FROM a
+""")
+def surv_incidence_rate_q(spark, sf):
+    # Person-time incidence rates + rate ratio with the log-normal CI
+    # (operators/survival.py incidence_rate): the epidemiology rate
+    # readout next to the log-rank family - ONE conditional-sum
+    # aggregate, no grid/window/join. Durations are integer days, so
+    # the person-time double sums are exact in both engines.
+    from clinpy_spark.operators.survival import incidence_rate
+
+    return incidence_rate(
+        _surv_obs(spark, sf), "duration", "evt", "priority",
+        "1-URGENT", "5-LOW")
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -7761,6 +7804,7 @@ _PRIORITY: list[str] = [
     "gx_fst_hudson",
     "surv_cox_score",
     "gx_inbreeding",
+    "surv_incidence_rate",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_semdedup",

@@ -456,3 +456,27 @@ def test_inbreeding_f_closed_form(spark):
     assert out["A"].f == pytest.approx(1 - 2 / 0.75, abs=1e-6)
     assert out["B"].f == pytest.approx(1.0, abs=1e-6)
     assert out["C"].f is None and out["C"].exp_het == 0.0
+
+
+def test_incidence_rate_closed_form(spark):
+    """Arm a: 2 events over 10 person-days (rate 0.2); arm b: 1 event
+    over 20 (rate 0.05). IRR = 4 with the Rothman log-normal CI; an
+    event-free arm reports NULL IRR but real rates."""
+    import math
+
+    from clinpy_spark.operators.survival import incidence_rate
+
+    df = spark.createDataFrame(
+        [("a", 4, 1), ("a", 6, 1), ("b", 12, 1), ("b", 8, 0)],
+        "grp string, t long, evt int")
+    (r,) = incidence_rate(df, "t", "evt", "grp", "a", "b").collect()
+    assert (r.events_a, r.ptime_a, r.events_b, r.ptime_b) == (2, 10.0, 1, 20.0)
+    assert (r.rate_a, r.rate_b, r.irr) == (0.2, 0.05, 4.0)
+    se = math.sqrt(1 / 2 + 1 / 1)
+    assert r.irr_lo == pytest.approx(4 * math.exp(-1.96 * se), abs=1e-5)
+    assert r.irr_hi == pytest.approx(4 * math.exp(1.96 * se), abs=1e-5)
+
+    none = spark.createDataFrame(
+        [("a", 4, 0), ("b", 12, 1)], "grp string, t long, evt int")
+    (n0,) = incidence_rate(none, "t", "evt", "grp", "a", "b").collect()
+    assert n0.irr is None and n0.rate_a == 0.0 and n0.rate_b == pytest.approx(1 / 12, abs=1e-6)
