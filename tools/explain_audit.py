@@ -106,6 +106,12 @@ EXPECTED_UNBOUNDED = {
                              # single summary row
     "graph_pagerank",  # crossJoin vs the 1-row node-count broadcast in
                        # every unrolled power step
+    "surv_logrank_k",  # the event-grid x group spine rides a 1-row
+                       # collect_set broadcast (exploded AFTER the
+                       # join) + the 1-row per-arm-counts broadcast
+    "surv_logrank_strat",  # crossJoin vs the 1-row (n_a, n_b) cohort
+                           # totals (same shape as surv_logrank)
+    "surv_cox_score",  # crossJoin vs the 1-row n_subjects count
 }
 
 
