@@ -842,3 +842,58 @@ def test_fold_partials_replay_is_idempotent(spark, tmp_path):
     fold_partials(cat, "state", p0, 0, keys=["k"], counters=["n"])
     got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
     assert got == {"x": 5, "y": 1}
+
+
+def test_streaming_zscore_matches_batch_expanding_window(spark, tmp_path):
+    """Stateful anomaly twin: cross-batch per-key (n, sum, sumsq)
+    moments; flags must match the batch expanding-window z-score on
+    ordered replay. Batch 1 builds history (one planted
+    outlier mid-file, arriving out of ts order to exercise the
+    concat-then-sort path); batch 2's outlier must be judged against
+    the CARRIED-OVER moments."""
+    from clinpy_spark.streaming.anomaly import (
+        batch_zscore_flags, streaming_zscore)
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    base = [10.0, 12.0, 11.0, 10.0, 12.0, 11.0, 10.5, 11.5]
+    rows1 = [(i, t(i), 1, "e", v) for i, v in enumerate(base)]
+    rows1.append((50, t(50), 1, "e", 100.0))   # outlier inside batch 1
+    rows1 += [(60 + i, t(60 + i), 1, "e", v) for i, v in enumerate(base)]
+    rows2 = [(200, t(200), 1, "e", 11.0), (201, t(201), 1, "e", 200.0)]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for fname, rows in (("p0.json", rows1), ("p1.json", rows2)):
+        with open(src / fname, "w") as fh:
+            for eid, ts, uid, etype, val in rows:
+                fh.write(json.dumps({
+                    "event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                    "event_type": etype, "value": val, "props": "{}",
+                }) + "\n")
+
+    stream = (spark.readStream.schema(
+                  "event_id long, ts timestamp, user_id long,"
+                  "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        q = (streaming_zscore(stream, z=3.0, min_prior=5)
+             .writeStream.format("memory").queryName("zsc")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {(r.user_id, r.ts): (r.n_prior, r.zscore)
+           for r in spark.sql("select * from zsc").collect()}
+
+    batch = spark.createDataFrame(
+        rows1 + rows2,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double")
+    want = {(r.user_id, r.ts): (r.n_prior, r.zscore)
+            for r in batch_zscore_flags(batch, z=3.0, min_prior=5).collect()}
+    assert set(got) == set(want) and len(got) == 2  # both planted outliers
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-4
