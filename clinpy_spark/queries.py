@@ -7777,6 +7777,62 @@ def surv_incidence_rate_q(spark, sf):
         _surv_obs(spark, sf), "duration", "evt", "priority",
         "1-URGENT", "5-LOW")
 
+
+@q("surv_logrank_fh", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+per_t AS (SELECT duration,
+                 sum(CASE WHEN priority = '1-URGENT' THEN evt ELSE 0 END) AS da,
+                 sum(CASE WHEN priority = '1-URGENT' THEN 1 ELSE 0 END) AS ra,
+                 sum(evt) AS d, count(*) AS r
+          FROM obs GROUP BY duration),
+w AS (SELECT *,
+        sum(ra) OVER () - coalesce(sum(ra) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+        sum(r) OVER () - coalesce(sum(r) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM per_t),
+w2 AS (SELECT *,
+        coalesce(sum(CASE WHEN d < n
+                          THEN ln(1 - CAST(d AS DOUBLE) / n) ELSE 0 END)
+          OVER (ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lprev,
+        coalesce(max(CASE WHEN d >= n THEN 1 ELSE 0 END)
+          OVER (ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS zprev
+      FROM w),
+f AS (SELECT *,
+        pow(CASE WHEN zprev = 1 THEN 0.0 ELSE exp(lprev) END, 1.0)
+        * pow(1 - (CASE WHEN zprev = 1 THEN 0.0 ELSE exp(lprev) END), 0.0) AS wt
+      FROM w2 WHERE d > 0),
+g AS (SELECT CAST(sum(da) AS BIGINT) AS observed_a,
+             sum(d * (CAST(na AS DOUBLE) / n)) AS ea,
+             sum(wt * (da - d * (CAST(na AS DOUBLE) / n))) AS u,
+             sum(wt * wt * (CASE WHEN n > 1
+                   THEN d * (CAST(na AS DOUBLE) / n)
+                        * (1 - CAST(na AS DOUBLE) / n) * (n - d) / (n - 1)
+                   ELSE 0 END)) AS v
+      FROM f)
+SELECT CASE WHEN v > 0 THEN round(u * u / v, 6) END AS chi2,
+       1.0 AS rho, 0.0 AS gamma,
+       observed_a, round(ea, 6) AS expected_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs
+        WHERE priority = '1-URGENT') AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs
+        WHERE priority = '5-LOW') AS n_b
+FROM g
+""")
+def surv_logrank_fh_q(spark, sf):
+    # Fleming-Harrington G(1,0) weighted log-rank (operators/
+    # survival.py logrank_weighted): each pooled event time weighted by
+    # the pooled-KM left limit S(t-) - the early-difference-sensitive
+    # flavor (Peto-Peto); (0,1) is the delayed-effect immunotherapy
+    # weighting and (0,0) the plain Mantel-Cox (property-tested).
+    from clinpy_spark.operators.survival import logrank_weighted
+
+    return logrank_weighted(
+        _surv_obs(spark, sf), "duration", "evt", "priority",
+        "1-URGENT", "5-LOW", rho=1.0, gamma=0.0)
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -7805,6 +7861,7 @@ _PRIORITY: list[str] = [
     "surv_cox_score",
     "gx_inbreeding",
     "surv_incidence_rate",
+    "surv_logrank_fh",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_semdedup",

@@ -953,6 +953,27 @@ def test_cox_score_indicator_covariate_is_logrank(spark, rows):
         assert abs(cx.u - (lr.observed_a - lr.expected_a)) <= 2e-6
 
 
+@settings(max_examples=8, deadline=None)
+@given(rows=_subjects)
+def test_fh_weighted_logrank_rho0_gamma0_is_plain(spark, rows):
+    """Fleming-Harrington G(0,0) weights every event time by 1 — the
+    statistic must equal the plain Mantel-Cox log-rank exactly (same
+    chi2, O, E) on any cohort."""
+    from clinpy_spark.operators.survival import logrank_test, logrank_weighted
+
+    df = spark.createDataFrame(rows, "grp string, t long, evt int")
+    plain = logrank_test(df, "t", "evt", "grp", "a", "b").collect()[0]
+    fh = logrank_weighted(
+        df, "t", "evt", "grp", "a", "b", rho=0.0, gamma=0.0).collect()[0]
+    assert (fh.observed_a, fh.n_a, fh.n_b) == (
+        plain.observed_a, plain.n_a, plain.n_b)
+    assert fh.expected_a == plain.expected_a
+    if plain.chi2 is None:
+        assert fh.chi2 is None
+    else:
+        assert abs(fh.chi2 - plain.chi2) <= 2e-6
+
+
 _cr_subjects = st.lists(
     st.tuples(
         st.sampled_from(["a", "b"]),             # cohort
