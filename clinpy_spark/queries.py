@@ -7833,6 +7833,37 @@ def surv_logrank_fh_q(spark, sf):
         _surv_obs(spark, sf), "duration", "evt", "priority",
         "1-URGENT", "5-LOW", rho=1.0, gamma=0.0)
 
+
+@q("graph_kcore", f"""
+WITH e AS ({_COPURCHASE_SQL}),
+b0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+k0 AS MATERIALIZED (SELECT u FROM b0 GROUP BY u HAVING count(*) >= 4),
+b1 AS MATERIALIZED (SELECT b.u, b.v FROM b0 b JOIN k0 x ON b.u = x.u JOIN k0 y ON b.v = y.u),
+k1 AS MATERIALIZED (SELECT u FROM b1 GROUP BY u HAVING count(*) >= 4),
+b2 AS MATERIALIZED (SELECT b.u, b.v FROM b1 b JOIN k1 x ON b.u = x.u JOIN k1 y ON b.v = y.u),
+k2 AS MATERIALIZED (SELECT u FROM b2 GROUP BY u HAVING count(*) >= 4),
+b3 AS MATERIALIZED (SELECT b.u, b.v FROM b2 b JOIN k2 x ON b.u = x.u JOIN k2 y ON b.v = y.u),
+k3 AS MATERIALIZED (SELECT u FROM b3 GROUP BY u HAVING count(*) >= 4),
+b4 AS MATERIALIZED (SELECT b.u, b.v FROM b3 b JOIN k3 x ON b.u = x.u JOIN k3 y ON b.v = y.u),
+k4 AS MATERIALIZED (SELECT u FROM b4 GROUP BY u HAVING count(*) >= 4),
+b5 AS MATERIALIZED (SELECT b.u, b.v FROM b4 b JOIN k4 x ON b.u = x.u JOIN k4 y ON b.v = y.u),
+k5 AS MATERIALIZED (SELECT u FROM b5 GROUP BY u HAVING count(*) >= 4),
+b6 AS MATERIALIZED (SELECT b.u, b.v FROM b5 b JOIN k5 x ON b.u = x.u JOIN k5 y ON b.v = y.u)
+SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+FROM b6 GROUP BY u HAVING count(*) >= 4
+""")
+def graph_kcore_q(spark, sf):
+    # k-core by 6 unrolled peeling rounds at k=4 (operators/graph.py
+    # kcore): each round one degree aggregate + two semi joins; the
+    # oracle replays the SAME bounded rounds as chained MATERIALIZED
+    # CTEs (DuckDB inlines plain CTEs - the un-materialized chain
+    # re-expands exponentially and ran 41s vs 0.05s), so the
+    # contract is exact whether or not the fixpoint is reached (it is,
+    # on this graph - pytest pins convergence on a known core).
+    from clinpy_spark.operators.graph import kcore
+
+    return kcore(_copurchase(spark, sf), "u", "v", k=4, rounds=6)
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -7862,6 +7893,7 @@ _PRIORITY: list[str] = [
     "gx_inbreeding",
     "surv_incidence_rate",
     "surv_logrank_fh",
+    "graph_kcore",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_semdedup",

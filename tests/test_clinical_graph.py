@@ -480,3 +480,26 @@ def test_incidence_rate_closed_form(spark):
         [("a", 4, 0), ("b", 12, 1)], "grp string, t long, evt int")
     (n0,) = incidence_rate(none, "t", "evt", "grp", "a", "b").collect()
     assert n0.irr is None and n0.rate_a == 0.0 and n0.rate_b == pytest.approx(1 / 12, abs=1e-6)
+
+
+def test_kcore_known_graph_and_convergence(spark):
+    """K5 with a pendant chain: the 4-core is exactly the K5 (degree 4
+    each) and peeling converges — an extra round changes nothing. The
+    3-core of two triangles sharing a vertex is... both triangles only
+    form 2-cores (degree 2), so k=3 is empty."""
+    from clinpy_spark.operators.graph import kcore
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    df = _edges(spark, k5 + chain)
+    out = {r.node: r.degree for r in kcore(df, "s", "d", k=4, rounds=4).collect()}
+    assert out == {n: 4 for n in range(5)}
+    more = {r.node: r.degree
+            for r in kcore(df, "s", "d", k=4, rounds=8).collect()}
+    assert more == out  # fixpoint reached: extra rounds are no-ops
+
+    tri2 = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    assert kcore(_edges(spark, tri2), "s", "d", k=3, rounds=4).count() == 0
+    assert {r.node for r in
+            kcore(_edges(spark, tri2), "s", "d", k=2, rounds=4).collect()} \
+        == {0, 1, 2, 3, 4}
