@@ -112,6 +112,8 @@ EXPECTED_UNBOUNDED = {
     "surv_logrank_strat",  # crossJoin vs the 1-row (n_a, n_b) cohort
                            # totals (same shape as surv_logrank)
     "surv_cox_score",  # crossJoin vs the 1-row n_subjects count
+    "surv_logrank_fh",  # crossJoin vs the 1-row (n_a, n_b) cohort
+                        # totals (same shape as surv_logrank)
 }
 
 
