@@ -39,6 +39,26 @@ def _run_stream(spark, df, name):
     return spark.sql(f"select * from {name}")
 
 
+def _drain_stateful(spark, q, table, want_rows, timeout=120):
+    """Poll-and-stop for applyInPandasWithState queries with a
+    processing-time TTL: the pending timer keeps availableNow
+    scheduling empty micro-batches forever, so awaitTermination(N)
+    always burns its FULL timeout (r11 finding - every TTL-stateful
+    test silently cost 120s). Poll the memory sink until the expected
+    row count lands, then stop the query explicitly."""
+    import time as _time
+
+    deadline = _time.time() + timeout
+    n = -1
+    while _time.time() < deadline:
+        n = spark.sql(f"select count(*) from {table}").collect()[0][0]
+        if n >= want_rows:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    return n
+
+
 def test_streaming_tumbling_matches_batch(spark, tmp_path):
     _write_events(tmp_path)
     stream = read_event_stream(spark, str(tmp_path), fmt="json")
@@ -75,7 +95,7 @@ def test_streaming_ewma_stateful(spark, tmp_path):
     stream = read_event_stream(spark, str(tmp_path), fmt="json")
     q = (streaming_ewma(stream, alpha=0.5).writeStream.format("memory")
          .queryName("ewma").outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain_stateful(spark, q, "ewma", 2)
     out = {r.user_id: (r.ewma, r.n_events) for r in spark.sql("select * from ewma").collect()}
     # user 100 values in ts order: 1.0, 2.0, 3.0 ->
     # e1=1.0, e2=0.5*2+0.5*1=1.5, e3=0.5*3+0.5*1.5=2.25
@@ -96,7 +116,7 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     stream = read_event_stream(spark, str(tmp_path), fmt="json")
     q = (streaming_first_seen(stream, key_col="props").writeStream.format("memory")
          .queryName("firstseen").outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain_stateful(spark, q, "firstseen", 2)
     out = {r.props: r.first_event_id for r in spark.sql("select * from firstseen").collect()}
     assert out == {"a": 1, "b": 3}
 
@@ -429,7 +449,7 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     q = (streaming_funnel(stream, ["view", "click", "purchase"], state_ttl_ms=10_000_000)
          .writeStream.format("memory").queryName("funl")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain_stateful(spark, q, "funl", 4)
     out = {}
     for r in spark.sql("select * from funl").collect():
         # keep the furthest emission per user across micro-batches
@@ -509,7 +529,7 @@ def test_streaming_transitions_match_batch(spark, tmp_path):
     q = (streaming_transitions(stream, state_ttl_ms=10_000_000)
          .writeStream.format("memory").queryName("trans")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain_stateful(spark, q, "trans", 4)
     got = {}
     for r in spark.sql("select * from trans").collect():
         got[(r.event_type, r.next_type)] = got.get((r.event_type, r.next_type), 0) + r.n
@@ -550,7 +570,7 @@ def test_streaming_funnel_group_split_across_arrow_chunks(spark, tmp_path):
                               state_ttl_ms=10_000_000)
              .writeStream.format("memory").queryName("funl_chunk")
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _drain_stateful(spark, q, "funl_chunk", 1)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     got = max(r.furthest_step for r in spark.sql("select * from funl_chunk").collect())
@@ -586,7 +606,7 @@ def test_streaming_transitions_group_split_across_arrow_chunks(spark, tmp_path):
         q = (streaming_transitions(stream, state_ttl_ms=10_000_000)
              .writeStream.format("memory").queryName("trans_chunk")
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _drain_stateful(spark, q, "trans_chunk", 4)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     got = {}
@@ -617,7 +637,7 @@ def test_streaming_funnel_string_user_ids(spark, tmp_path):
     q = (streaming_funnel(stream, ["view", "click"], state_ttl_ms=10_000_000)
          .writeStream.format("memory").queryName("funl_str")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain_stateful(spark, q, "funl_str", 1)
     rows = spark.sql("select * from funl_str").collect()
     assert rows and rows[0].user_id == "alice"
     assert max(r.furthest_step for r in rows) == 2
@@ -777,7 +797,7 @@ def test_streaming_ewma_group_split_across_arrow_chunks(spark, tmp_path):
         q = (streaming_ewma(stream, alpha=alpha).writeStream.format("memory")
              .queryName("ewma_chunk").outputMode("update")
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _drain_stateful(spark, q, "ewma_chunk", 1)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     (got,) = spark.sql("select * from ewma_chunk").collect()
@@ -809,7 +829,7 @@ def test_streaming_first_seen_min_ts_id_across_chunks(spark, tmp_path):
         q = (streaming_first_seen(stream, key_col="props")
              .writeStream.format("memory").queryName("fs_chunk")
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _drain_stateful(spark, q, "fs_chunk", 1)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     (got,) = spark.sql("select * from fs_chunk").collect()
@@ -863,13 +883,19 @@ def test_streaming_zscore_matches_batch_expanding_window(spark, tmp_path):
 
     src = tmp_path / "src"
     src.mkdir()
-    for fname, rows in (("p0.json", rows1), ("p1.json", rows2)):
+    # FileStreamSource orders micro-batches by file MODIFICATION TIME;
+    # two files written back-to-back share an mtime and the batch order
+    # (and thus which events form "history") becomes nondeterministic.
+    # Pin strictly increasing mtimes so batch 0 is p0, batch 1 is p1.
+    for k, (fname, rows) in enumerate((("p0.json", rows1), ("p1.json", rows2))):
         with open(src / fname, "w") as fh:
             for eid, ts, uid, etype, val in rows:
                 fh.write(json.dumps({
                     "event_id": eid, "ts": ts.isoformat(), "user_id": uid,
                     "event_type": etype, "value": val, "props": "{}",
                 }) + "\n")
+        mt = 1_700_000_000 + 60 * k
+        os.utime(src / fname, (mt, mt))
 
     stream = (spark.readStream.schema(
                   "event_id long, ts timestamp, user_id long,"
@@ -881,7 +907,7 @@ def test_streaming_zscore_matches_batch_expanding_window(spark, tmp_path):
         q = (streaming_zscore(stream, z=3.0, min_prior=5)
              .writeStream.format("memory").queryName("zsc")
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        _drain_stateful(spark, q, "zsc", 2, timeout=180)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     got = {(r.user_id, r.ts): (r.n_prior, r.zscore)
