@@ -260,3 +260,118 @@ def psi_by_group(
             F.max("__tc").alias("cur_n"),
         )
     )
+
+
+def js_divergence(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the reference and current
+    distributions of ``col`` over the reference's quantile bins: 1 row
+    (jsd, ref_n, cur_n, n_bins). JSD = 0.5*KL(p||m) + 0.5*KL(q||m)
+    with m = (p+q)/2, natural log, so 0 <= jsd <= ln(2); symmetric and
+    bounded where PSI is neither — the drift score you can threshold
+    without caring which snapshot is "reference". Fractions are
+    Laplace-smoothed +0.5 per bin (same convention as ``psi_table``)
+    so empty bins stay finite; jsd is rounded to 6 (ln convention).
+
+    Scale shape: identical to PSI — one percentile aggregate on the
+    reference broadcast back as a ~10-double row, one per-bin count
+    per side, and the divergence folds over the n_bins-row spine.
+    No large-large join, nothing collected.
+    """
+    edges = quantile_edges(ref, col, n_bins)
+    sides = []
+    for tag, df in (("ref", ref), ("cur", cur)):
+        sides.append(
+            bin_by_edges(df.select(F.col(col)), col, edges)
+            .groupBy("__bin")
+            .agg(F.count(F.lit(1)).alias(f"{tag}_n"))
+        )
+    spine = ref.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("__bin"))
+    joined = (
+        spine.join(F.broadcast(sides[0]), "__bin", "left")
+        .join(F.broadcast(sides[1]), "__bin", "left")
+        .na.fill({"ref_n": 0, "cur_n": 0})
+    )
+    tot = joined.agg(
+        F.sum("ref_n").alias("__tr"), F.sum("cur_n").alias("__tc"))
+    out = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("ref_n") + 0.5) / (F.col("__tr") + 0.5 * n_bins)
+    q_ = (F.col("cur_n") + 0.5) / (F.col("__tc") + 0.5 * n_bins)
+    m = (p + q_) / 2
+    contrib = 0.5 * p * F.log(p / m) + 0.5 * q_ * F.log(q_ / m)
+    return out.agg(
+        F.round(F.sum(contrib), 6).alias("jsd"),
+        F.max("__tr").alias("ref_n"),
+        F.max("__tc").alias("cur_n"),
+        F.lit(n_bins).alias("n_bins"),
+    )
+
+
+def wasserstein_binned(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance between the two empirical
+    distributions of ``col``, computed exactly on the pooled
+    quantile-binned representatives: 1 row (w1, ks_d, ref_n, cur_n).
+
+    Bins come from the POOLED distribution's quantile edges (so both
+    sides are represented); each occupied bin's representative value
+    is its pooled MINIMUM — an exact order statistic, so no float
+    summation whose rounding could differ across engines enters the
+    positions. W1 = sum over the ordered occupied bins of
+    |CDF_ref - CDF_cur| * (x_{i+1} - x_i) — the standard
+    quantile-binned estimator, exact for the binned distributions.
+    ks_d (max CDF gap over the same grid) rides along for free because
+    the same cumulative window produces it. Values rounded to 6.
+
+    Scale shape: one percentile agg on the pooled side (broadcast
+    1-row edge array), one per-bin count+min pass over the tagged
+    union, then the cumulative window runs over the <= n_bins-row
+    grid — never the corpus.
+    """
+    tagged = ref.select(
+        F.col(col).alias("__v"), F.lit(1).alias("__ir")
+    ).unionAll(
+        cur.select(F.col(col).alias("__v"), F.lit(0).alias("__ir")))
+    edges = quantile_edges(tagged, "__v", n_bins)
+    per_bin = (
+        bin_by_edges(tagged, "__v", edges)
+        .groupBy("__bin")
+        .agg(
+            F.sum("__ir").alias("ref_n"),
+            F.sum(1 - F.col("__ir")).alias("cur_n"),
+            F.min("__v").alias("__x"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("ref_n").alias("__tr"), F.sum("cur_n").alias("__tc"))
+    # Empty bins never appear in the groupBy output, so the lead()
+    # width below is always the step to the next OCCUPIED bin.
+    out = per_bin.crossJoin(F.broadcast(tot))
+    w_cum = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.orderBy("__bin")
+    out = (
+        out.withColumn("__cr", F.sum("ref_n").over(w_cum) / F.col("__tr"))
+        .withColumn("__cc", F.sum("cur_n").over(w_cum) / F.col("__tc"))
+        .withColumn("__xn", F.lead(F.col("__x"), 1).over(w_next))
+    )
+    gap = F.abs(F.col("__cr") - F.col("__cc"))
+    # Step width to the next occupied bin's representative; the last
+    # bin (where both CDFs have reached 1 so the gap is 0 anyway)
+    # contributes nothing.
+    width = F.coalesce(F.col("__xn") - F.col("__x"), F.lit(0.0))
+    return out.agg(
+        F.round(F.sum(gap * width), 6).alias("w1"),
+        F.round(F.max(gap), 6).alias("ks_d"),
+        F.max("__tr").alias("ref_n"),
+        F.max("__tc").alias("cur_n"),
+    )

@@ -7865,6 +7865,247 @@ def graph_kcore_q(spark, sf):
     return kcore(_copurchase(spark, sf), "u", "v", k=4, rounds=6)
 
 # ---------------------------------------------------------------------------
+# Round-11 session-2 additions: drift divergences (JS, Wasserstein-1),
+# Cox Newton-Raphson MLE, KING-robust kinship, Adamic-Adar link
+# prediction.
+# ---------------------------------------------------------------------------
+
+@q("drift_js_value", """
+WITH ref AS (SELECT event_id, value FROM events WHERE user_id % 2 = 0),
+cur AS (SELECT event_id, value FROM events WHERE user_id % 2 = 1),
+e AS (SELECT unnest(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS edge FROM ref),
+rb AS (SELECT count(*) FILTER (r.value > e.edge) AS bin FROM ref r CROSS JOIN e GROUP BY r.event_id),
+rc AS (SELECT bin, count(*) AS ref_n FROM rb GROUP BY bin),
+cb AS (SELECT count(*) FILTER (c.value > e.edge) AS bin FROM cur c CROSS JOIN e GROUP BY c.event_id),
+cc AS (SELECT bin, count(*) AS cur_n FROM cb GROUP BY bin),
+spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+j AS (SELECT s.bin, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+      FROM spine s LEFT JOIN rc ON s.bin = rc.bin LEFT JOIN cc ON s.bin = cc.bin),
+t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j),
+pq AS (SELECT (ref_n + 0.5) / (tr + 5.0) AS p, (cur_n + 0.5) / (tc + 5.0) AS q,
+              tr, tc
+       FROM j CROSS JOIN t)
+SELECT round(sum(0.5 * p * ln(p / ((p + q) / 2))
+              + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd,
+       CAST(max(tr) AS BIGINT) AS ref_n,
+       CAST(max(tc) AS BIGINT) AS cur_n,
+       CAST(10 AS INT) AS n_bins
+FROM pq
+""")
+def drift_js_value_q(spark, sf):
+    # Jensen-Shannon divergence over the reference's decile bins
+    # (operators/drift.py js_divergence): symmetric and bounded by
+    # ln 2 where PSI is neither, same Laplace +0.5/bin smoothing so
+    # the oracle recomputes every term. The batch-acceptance score
+    # you can threshold without choosing which snapshot is "ref".
+    from clinpy_spark.operators.drift import js_divergence
+
+    ev = _t(spark, sf, "events")
+    return js_divergence(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value",
+        n_bins=10,
+    )
+
+
+@q("drift_w1_value", """
+WITH t0 AS (
+  SELECT event_id AS eid, value AS v,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ir
+  FROM events),
+e AS (SELECT unnest(quantile_cont(v,
+        [0.05,0.1,0.15,0.2,0.25,0.3,0.35,0.4,0.45,0.5,
+         0.55,0.6,0.65,0.7,0.75,0.8,0.85,0.9,0.95])) AS edge FROM t0),
+tb AS (SELECT t0.eid, t0.ir, t0.v,
+              count(*) FILTER (t0.v > e.edge) AS bin
+       FROM t0 CROSS JOIN e GROUP BY t0.eid, t0.ir, t0.v),
+pb AS (SELECT bin, sum(ir) AS ref_n, sum(1 - ir) AS cur_n, min(v) AS rep
+       FROM tb GROUP BY bin),
+tot AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM pb),
+c AS (SELECT bin, rep,
+             CAST(sum(ref_n) OVER w AS DOUBLE) / tr AS cr,
+             CAST(sum(cur_n) OVER w AS DOUBLE) / tc AS cc,
+             lead(rep) OVER (ORDER BY bin) AS xn
+      FROM pb CROSS JOIN tot
+      WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT round(sum(abs(cr - cc) * coalesce(xn - rep, 0.0)), 6) AS w1,
+       round(max(abs(cr - cc)), 6) AS ks_d,
+       (SELECT CAST(tr AS BIGINT) FROM tot) AS ref_n,
+       (SELECT CAST(tc AS BIGINT) FROM tot) AS cur_n
+FROM c
+""")
+def drift_w1_value_q(spark, sf):
+    # Wasserstein-1 (earth-mover) drift over 20 pooled-quantile bins
+    # (operators/drift.py wasserstein_binned): unlike KS's max-gap,
+    # W1 weights HOW FAR the mass moved — the metric of choice when a
+    # uniform small shift matters as much as a localized spike. Bin
+    # representatives are exact order statistics (pooled per-bin min),
+    # so no cross-engine float summation enters the positions and the
+    # oracle mirrors exactly.
+    from clinpy_spark.operators.drift import wasserstein_binned
+
+    ev = _t(spark, sf, "events")
+    return wasserstein_binned(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value",
+        n_bins=20,
+    )
+
+
+@q("surv_cox_beta", """
+WITH obs AS (
+  SELECT LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x
+  FROM (SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+pt AS (SELECT duration AS t,
+         CAST(sum(evt) AS BIGINT) AS d,
+         CAST(sum(evt * x) AS BIGINT) AS d1,
+         CAST(count(*) AS BIGINT) AS r,
+         CAST(sum(x) AS BIGINT) AS r1
+       FROM obs GROUP BY duration),
+w AS (SELECT *,
+        sum(r) OVER () - coalesce(sum(r) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+        sum(r1) OVER () - coalesce(sum(r1) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+      FROM pt),
+f AS MATERIALIZED (SELECT t, d, d1, n, n1 FROM w WHERE d > 0),
+i1 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp(0.0) AS s1,
+                    (n - n1) + n1 * exp(0.0) AS s0 FROM f)),
+b1 AS (SELECT CASE WHEN i > 0 THEN 0.0 + u / i END AS beta FROM i1),
+i2 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp((SELECT beta FROM b1)) AS s1,
+                    (n - n1) + n1 * exp((SELECT beta FROM b1)) AS s0 FROM f)),
+b2 AS (SELECT CASE WHEN i > 0 THEN (SELECT beta FROM b1) + u / i END AS beta FROM i2),
+i3 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp((SELECT beta FROM b2)) AS s1,
+                    (n - n1) + n1 * exp((SELECT beta FROM b2)) AS s0 FROM f)),
+b3 AS (SELECT CASE WHEN i > 0 THEN (SELECT beta FROM b2) + u / i END AS beta FROM i3),
+fin AS (SELECT sum(d * (s1 / s0) * (1 - s1 / s0)) AS i,
+               CAST(sum(d) AS BIGINT) AS n_events
+        FROM (SELECT d, n1 * exp((SELECT beta FROM b3)) AS s1,
+                     (n - n1) + n1 * exp((SELECT beta FROM b3)) AS s0 FROM f))
+SELECT CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round((SELECT beta FROM b3), 6) END AS beta,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round(exp((SELECT beta FROM b3)), 6) END AS hr,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round(1 / sqrt(i), 6) END AS se,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round((SELECT beta FROM b3) * (SELECT beta FROM b3) * i, 6)
+       END AS wald_chi2,
+       coalesce(n_events, 0) AS n_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_subjects
+FROM fin
+""")
+def surv_cox_beta_q(spark, sf):
+    # Cox proportional-hazards MLE by 3 unrolled Newton steps
+    # (operators/survival.py cox_newton) for the URGENT-vs-LOW arm
+    # indicator: the effect-SIZE readout (log hazard ratio + Wald
+    # ingredients) on top of the score test's yes/no. The binary
+    # covariate collapses every risk-set exponential moment onto the
+    # same bounded per-event-time grid the log-rank family uses, so
+    # the oracle replays the exact recurrence as 3 chained CTEs.
+    from clinpy_spark.operators.survival import cox_newton
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("x"),
+    )
+    return cox_newton(obs, "duration", "evt", "x", iterations=3)
+
+
+@q("gx_king_kinship", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+s AS (SELECT c_custkey AS smp, variant, gt FROM g WHERE c_custkey % 67 = 0),
+p AS (SELECT a.smp AS s1, b.smp AS s2,
+             CAST(count(*) AS BIGINT) AS n_shared,
+             CAST(sum(CASE WHEN a.gt = 1 AND b.gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_het,
+             CAST(sum(CASE WHEN (a.gt = 0 AND b.gt = 2)
+                             OR (a.gt = 2 AND b.gt = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_opp_hom,
+             CAST(sum(CASE WHEN a.gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS het_1,
+             CAST(sum(CASE WHEN b.gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS het_2
+      FROM s a JOIN s b ON a.variant = b.variant AND a.smp < b.smp
+      GROUP BY a.smp, b.smp)
+SELECT s1, s2, n_shared, n_both_het, n_opp_hom, het_1, het_2,
+       CASE WHEN het_1 + het_2 > 0
+            THEN round((n_both_het - 2.0 * n_opp_hom) / (het_1 + het_2), 6)
+       END AS kinship,
+       CASE WHEN het_1 + het_2 <= 0 THEN 'undefined'
+            WHEN (n_both_het - 2.0 * n_opp_hom) / (het_1 + het_2) > 0.3536 THEN 'dup/MZ'
+            WHEN (n_both_het - 2.0 * n_opp_hom) / (het_1 + het_2) > 0.1768 THEN '1st-degree'
+            WHEN (n_both_het - 2.0 * n_opp_hom) / (het_1 + het_2) > 0.0884 THEN '2nd-degree'
+            WHEN (n_both_het - 2.0 * n_opp_hom) / (het_1 + het_2) > 0.0442 THEN '3rd-degree'
+            ELSE 'unrelated'
+       END AS degree
+FROM p
+""")
+def gx_king_kinship_q(spark, sf):
+    # KING-robust pairwise kinship (operators/assoc.py king_kinship,
+    # Manichaikul 2010) over a hash-selected sub-cohort of the dense
+    # genotype grid: the cryptic-relatedness screen run before any
+    # association modelling. The self-join is keyed on the VARIANT
+    # (equi-join, the 100 TB axis streams linearly); pair count is
+    # quadratic only in the bounded cohort — the statistic's intrinsic
+    # output size.
+    from clinpy_spark.operators.assoc import king_kinship
+
+    g = _grid_geno(spark, sf).filter(F.col("c_custkey") % 67 == 0)
+    return king_kinship(g, "c_custkey", "variant", "gt")
+
+
+@q("graph_adamic_adar", f"""
+WITH e0 AS ({_COPURCHASE_SQL}),
+e AS MATERIALIZED (SELECT u, v FROM e0),
+b AS MATERIALIZED (SELECT u AS w, v AS n FROM e UNION ALL SELECT v AS w, u AS n FROM e),
+deg AS (SELECT w, count(*) AS deg FROM b GROUP BY w),
+c AS MATERIALIZED (SELECT b.w, b.n, d.deg FROM b JOIN deg d ON b.w = d.w
+                   WHERE d.deg BETWEEN 2 AND 64),
+wed AS (SELECT x.n AS u, y.n AS v, x.deg AS wdeg
+        FROM c x JOIN c y ON x.w = y.w AND x.n < y.n),
+sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+              round(sum(1.0 / ln(wdeg)), 6) AS adamic_adar
+       FROM wed GROUP BY u, v HAVING count(*) >= 2)
+SELECT u AS x, v AS y, common_neighbors, adamic_adar
+FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v)
+""")
+def graph_adamic_adar_q(spark, sf):
+    # Adamic-Adar link prediction on the co-purchase graph
+    # (operators/graph.py adamic_adar): which part pairs SHOULD be
+    # connected but aren't — the merge-proposal readout downstream of
+    # the kNN graph. Wedge fan-out is bounded by the center-degree cap
+    # (hubs carry ~zero AA weight by design — the celebrity problem),
+    # so enumeration is linear in edges for a fixed cap; the oracle
+    # replays the same cap, threshold, and adjacency anti-join.
+    from clinpy_spark.operators.graph import adamic_adar
+
+    return adamic_adar(
+        _copurchase(spark, sf), "u", "v",
+        max_center_degree=64, min_common=2)
+
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.
 #
 # The driver's correctness gate records the first 50 oracled queries in
@@ -7885,6 +8126,11 @@ _PRIORITY: list[str] = [
     # r2 (28), r4 (11), r6 (3). Regenerated from CORRECTNESS_r*.json
     # by staleness (r7 verdict policy); all 50 driver slots this
     # round go to queries ABSENT from the r10 window. --
+    "surv_cox_beta",
+    "gx_king_kinship",
+    "graph_adamic_adar",
+    "drift_js_value",
+    "drift_w1_value",
     "surv_logrank_k",
     "surv_logrank_strat",
     "surv_cuminc",

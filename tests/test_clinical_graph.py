@@ -503,3 +503,155 @@ def test_kcore_known_graph_and_convergence(spark):
     assert {r.node for r in
             kcore(_edges(spark, tri2), "s", "d", k=2, rounds=4).collect()} \
         == {0, 1, 2, 3, 4}
+
+
+def test_cox_newton_matches_known_mle(spark):
+    """Binary-covariate Cox MLE: on a small cohort the 3-step Newton
+    beta must agree with an independent numpy Newton solve of the same
+    Breslow partial likelihood to ~1e-6, hr = exp(beta), and the k=0
+    information matches the score test's variance at beta=0."""
+    import math
+
+    from clinpy_spark.operators.survival import cox_newton
+
+    rows = [
+        (1, 1, 1), (2, 1, 1), (3, 1, 1), (4, 0, 1), (6, 1, 1),
+        (5, 1, 0), (7, 1, 0), (8, 0, 0), (9, 1, 0), (10, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "t long, evt int, x int")
+    out = cox_newton(df, "t", "evt", "x", iterations=3).collect()[0]
+
+    # independent Newton on the same grid
+    import collections
+    pts = collections.defaultdict(lambda: [0, 0, 0, 0])  # d, d1, r, r1
+    for t, e, x in rows:
+        pts[t][2] += 1
+        pts[t][3] += x
+        pts[t][0] += e
+        pts[t][1] += e * x
+    times = sorted(pts)
+    n = sum(p[2] for p in pts.values())
+    n1 = sum(p[3] for p in pts.values())
+    beta = 0.0
+    for _ in range(3):
+        u = i = 0.0
+        at, at1 = n, n1
+        for t in times:
+            d, d1, r, r1 = pts[t]
+            if d > 0:
+                s1 = at1 * math.exp(beta)
+                s0 = (at - at1) + s1
+                u += d1 - d * s1 / s0
+                i += d * (s1 / s0) * (1 - s1 / s0)
+            at -= r
+            at1 -= r1
+        beta += u / i
+    assert out.beta == pytest.approx(beta, abs=2e-6)
+    assert out.hr == pytest.approx(math.exp(beta), rel=1e-5)
+    assert out.n_events == sum(e for _, e, _ in rows)
+    assert out.n_subjects == len(rows)
+    assert out.se is not None and out.se > 0
+
+
+def test_cox_newton_null_on_constant_covariate(spark):
+    """A constant covariate has zero information at every step: beta,
+    hr, se, wald_chi2 must all be NULL (no 0-division), counts real."""
+    from clinpy_spark.operators.survival import cox_newton
+
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1), (3, 0, 1)], "t long, evt int, x int")
+    out = cox_newton(df, "t", "evt", "x").collect()[0]
+    assert out.beta is None and out.hr is None
+    assert out.se is None and out.wald_chi2 is None
+    assert out.n_events == 2 and out.n_subjects == 3
+
+
+def test_king_kinship_self_and_unrelated(spark):
+    """A duplicated genotype vector scores phi ~ 0.5 -> dup/MZ; an
+    opposite-homozygote pair drives phi negative -> unrelated; a pair
+    with no het calls is undefined."""
+    from clinpy_spark.operators.assoc import king_kinship
+
+    rows = []
+    # samples 1 and 2: identical, half the variants het
+    for v in range(20):
+        gt = 1 if v % 2 == 0 else 0
+        rows += [(1, v, gt), (2, v, gt)]
+    # sample 3: opposite homozygote of sample 4 everywhere, no hets
+    for v in range(20):
+        rows += [(3, v, 0), (4, v, 2)]
+    df = spark.createDataFrame(rows, "s long, v long, gt int")
+    out = {(r.s1, r.s2): r for r in
+           king_kinship(df, "s", "v", "gt").collect()}
+    dup = out[(1, 2)]
+    assert dup.n_both_het == 10 and dup.n_opp_hom == 0
+    assert dup.kinship == pytest.approx(0.5)
+    assert dup.degree == "dup/MZ"
+    opp = out[(3, 4)]
+    assert opp.kinship is None and opp.degree == "undefined"
+    # mixed pair (1,3): sample 3 all hom-ref, sample 1 het at evens ->
+    # denominator 10, no both-het, no opp-hom -> phi = 0, unrelated
+    mixed = out[(1, 3)]
+    assert mixed.kinship == pytest.approx(0.0)
+    assert mixed.degree == "unrelated"
+
+
+def test_adamic_adar_square_and_hub(spark):
+    """On the 4-cycle a-b-c-d the diagonals (a,c) and (b,d) each share
+    2 degree-2 neighbors: AA = 2/ln(2); adjacent pairs are excluded by
+    the anti-join. A center above the degree cap contributes nothing."""
+    import math
+
+    from clinpy_spark.operators.graph import adamic_adar
+
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(cyc, "u string, v string")
+    out = {(r.x, r.y): r for r in
+           adamic_adar(df, "u", "v", min_common=2).collect()}
+    assert set(out) == {("a", "c"), ("b", "d")}
+    assert out[("a", "c")].common_neighbors == 2
+    assert out[("a", "c")].adamic_adar == pytest.approx(
+        round(2 / math.log(2), 6))
+    # hub h connected to 5 spokes with cap 3: no wedge through h
+    # survives, so no pair reaches min_common=1
+    hub = [("h", f"s{i}") for i in range(5)]
+    df2 = spark.createDataFrame(hub, "u string, v string")
+    assert adamic_adar(
+        df2, "u", "v", max_center_degree=3, min_common=1).count() == 0
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    """JSD of a distribution with itself is 0; against a disjoint
+    shift it approaches ln 2; swapping ref/cur gives the same value
+    up to the (asymmetric, reference-binned) edge choice on identical
+    supports."""
+    import math
+
+    from clinpy_spark.operators.drift import js_divergence
+
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = js_divergence(a, a, "v", n_bins=10).collect()[0]
+    assert same.jsd == pytest.approx(0.0, abs=1e-9)
+    b = spark.range(1000).select(
+        (F.col("id") % 100 + 1000).cast("double").alias("v"))
+    far = js_divergence(a, b, "v", n_bins=10).collect()[0]
+    assert far.jsd > 0.5 * math.log(2)
+    assert far.jsd <= math.log(2) + 1e-9
+    assert far.ref_n == 1000 and far.cur_n == 1000 and far.n_bins == 10
+
+
+def test_wasserstein_shift_equals_offset(spark):
+    """W1 between X and X+c on a uniform grid is ~c (exact in the
+    binned representation when c aligns with the grid); identical
+    inputs give exactly 0; ks_d rides along correctly."""
+    from clinpy_spark.operators.drift import wasserstein_binned
+
+    a = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = wasserstein_binned(a, a, "v", n_bins=20).collect()[0]
+    assert same.w1 == 0.0 and same.ks_d == 0.0
+    b = spark.range(2000).select(
+        ((F.col("id") % 100) + 10).cast("double").alias("v"))
+    shift = wasserstein_binned(a, b, "v", n_bins=20).collect()[0]
+    # mass must move ~10 units; binning quantizes, allow 25% slack
+    assert 7.5 <= shift.w1 <= 12.5
+    assert shift.ref_n == 2000 and shift.cur_n == 2000
