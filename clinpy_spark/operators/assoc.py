@@ -681,3 +681,147 @@ def king_kinship(
         .otherwise(F.lit("unrelated"))
         .alias("degree"),
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    case_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test for a 2x2 association repeated
+    across K strata: 1 row (cmh_chi2, or_mh, n_strata, n) — the
+    confounder-adjusted categorical association (does exposure track
+    outcome AFTER stratifying on the confounder?), the 2x2 sibling of
+    the stratified log-rank. Inputs are boolean/0-1 columns; rows with
+    a NULL in any of the three are dropped.
+
+    Per stratum k with cells a,b,c,d (a = exposed case), margins
+    m1 = a+b (cases), n1 = a+c (exposed), t = total:
+    E_k = n1*m1/t, V_k = n1*(t-n1)*m1*(t-m1) / (t^2 * (t-1)),
+    CMH chi2 = (|sum(a_k - E_k)| - 0.5)^2 / sum(V_k)  (1 df, the
+    classic continuity-corrected form), and the Mantel-Haenszel common
+    odds ratio = sum(a_k d_k / t_k) / sum(b_k c_k / t_k). Strata with
+    t < 2 or an empty margin contribute 0 variance and no OR terms;
+    chi2/or are NULL when their denominators vanish. Rounded to 6.
+
+    Scale shape: ONE groupBy to the per-stratum 2x2 grid, then one
+    bounded aggregate over the K strata rows — the corpus is scanned
+    once and never joined.
+    """
+    e = F.col("__e").cast("int")
+    y = F.col("__y").cast("int")
+    base = df.select(
+        F.col(stratum_col).alias("__s"),
+        F.col(exposed_col).cast("int").alias("__e"),
+        F.col(case_col).cast("int").alias("__y"),
+    ).filter(F.col("__e").isNotNull() & F.col("__y").isNotNull()
+             & F.col("__s").isNotNull())
+    per_k = base.groupBy("__s").agg(
+        F.sum(e * y).alias("a"),
+        F.sum((1 - e) * y).alias("b"),
+        F.sum(e * (1 - y)).alias("c"),
+        F.sum((1 - e) * (1 - y)).alias("d"),
+    )
+    t = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    m1 = (F.col("a") + F.col("b")).cast("double")
+    n1 = (F.col("a") + F.col("c")).cast("double")
+    ek = n1 * m1 / t
+    vk = F.when(
+        t > 1,
+        n1 * (t - n1) * m1 * (t - m1) / (t * t * (t - 1)),
+    ).otherwise(F.lit(0.0))
+    agg = per_k.agg(
+        F.sum(F.when(t > 0, F.col("a") - ek).otherwise(0.0)).alias("__u"),
+        F.sum(vk).alias("__v"),
+        F.sum(F.when(t > 0, F.col("a") * F.col("d") / t).otherwise(0.0))
+        .alias("__ad"),
+        F.sum(F.when(t > 0, F.col("b") * F.col("c") / t).otherwise(0.0))
+        .alias("__bc"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+    )
+    num = (F.abs(F.col("__u")) - 0.5)
+    return agg.select(
+        F.when(
+            F.col("__v") > 0,
+            F.round(num * num / F.col("__v"), 6),
+        ).alias("cmh_chi2"),
+        F.when(F.col("__bc") > 0, F.round(F.col("__ad") / F.col("__bc"), 6))
+        .alias("or_mh"),
+        "n_strata",
+        "n",
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two cohorts: 1
+    row (u_a, r_a, n_a, n_b, z, n_ties) — the NONPARAMETRIC two-group
+    comparison (does expression/price/score tend higher in arm A?)
+    that ``dx_diff_expression``'s t-like contrast can't give when the
+    distribution is skewed.
+
+    Midranks over the pooled sample with the standard tie-corrected
+    normal approximation:
+    U_a = R_a - n_a(n_a+1)/2,
+    z = (U_a - n_a n_b / 2) / sqrt(n_a n_b ((N+1) - sum(t^3-t)/(N(N-1))) / 12)
+    (no continuity correction — the large-sample monitoring form). z
+    is NULL when the variance vanishes (all values tied). Rounded to 6.
+
+    Scale shape: ranks come from the PER-DISTINCT-VALUE aggregate
+    (count per side per value), so the ordered cumulative window runs
+    over |distinct values| rows, not the corpus — the same compromise
+    as ``ks_from_value_counts``; midrank sums stay EXACT because every
+    midrank is a half-integer (2*midrank is integral in doubles far
+    below 2^53).
+    """
+    is_a = F.col(group_col) == F.lit(group_a)
+    is_b = F.col(group_col) == F.lit(group_b)
+    per_val = (
+        df.filter(is_a | is_b)
+        .select(
+            F.col(value_col).alias("__v"),
+            F.when(is_a, 1).otherwise(0).alias("__ia"),
+        )
+        .groupBy("__v")
+        .agg(
+            F.sum("__ia").alias("na"),
+            F.sum(1 - F.col("__ia")).alias("nb"),
+        )
+    )
+    cnt = (F.col("na") + F.col("nb")).cast("double")
+    w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "__before",
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w_prev), F.lit(0))
+        .cast("double"),
+    ).withColumn("__midrank", F.col("__before") + (cnt + 1) / 2)
+    agg = ranked.agg(
+        F.sum(F.col("na").cast("double") * F.col("__midrank")).alias("r_a"),
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(cnt * cnt * cnt - cnt).alias("__tie"),
+        F.sum(F.when(cnt > 1, 1).otherwise(0)).alias("n_ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("r_a") - na * (na + 1) / 2
+    var = na * nb / 12 * ((nn + 1) - F.col("__tie") / (nn * (nn - 1)))
+    return agg.select(
+        F.round(u_a, 6).alias("u_a"),
+        F.round("r_a", 6).alias("r_a"),
+        "n_a",
+        "n_b",
+        F.when(
+            var > 0,
+            F.round((u_a - na * nb / 2) / F.sqrt(var), 6),
+        ).alias("z"),
+        "n_ties",
+    )

@@ -300,3 +300,61 @@ def adamic_adar(
             "adamic_adar",
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007) with a DETERMINISTIC tie-break: ``rounds`` unrolled update
+    steps, each node adopting its neighborhood's most frequent label
+    (ties -> smallest label; a node's own current label competes as one
+    extra vote, which also keeps isolated-in-round nodes stable).
+    Returns (node, community) — community ids are node ids, so two
+    nodes share a community iff they converged to the same label.
+
+    Synchronous + deterministic tie-break makes the recurrence a
+    closed function of the edge list, so a SQL oracle replays the SAME
+    rounds as chained CTEs; the classic async/random variant trades
+    that reproducibility for faster convergence — wrong trade for a
+    pipeline that must re-produce its own clustering.
+
+    Scale shape: each round is one neighbor join keyed by node, one
+    (node, label) count aggregate, and one max_by window-free argmax
+    (struct-max) — three node-keyed shuffles per round, no driver
+    state; the bounded unroll keeps the whole thing ONE plan AQE can
+    size.
+    """
+    e = _canon_edges(edges, src, dst)
+    both = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = both.select("u").distinct().select(
+        "u", F.col("u").alias("label"))
+    for i in range(rounds):
+        # neighbor votes + the node's own label as one extra vote
+        votes = (
+            both.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label")), "v")
+            .select("u", "label")
+            .unionAll(labels.select("u", "label"))
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # argmax by (count desc, label asc) via a single struct max:
+        # max of (n, -label) picks highest count, then smallest label
+        labels = (
+            votes.groupBy("u")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("nl")))
+                 .alias("m"))
+            .select("u", (-F.col("m.nl")).alias("label"))
+        )
+        if i % 2 == 1 and i < rounds - 1:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select(F.col("u").alias("node"),
+                         F.col("label").alias("community"))

@@ -133,3 +133,65 @@ def sessionize_bucketed(df: DataFrame, ts_col: str = "ts", user_col: str = "user
         .withColumn("session_id", F.col("__off") + F.col("__lid") - F.col("__m"))
         .drop("__bkt", "__lid", "__off", "__m")
     )
+
+
+def cusum_changepoint(df: DataFrame, period_col: str, value_col: str) -> DataFrame:
+    """Page's CUSUM mean-shift detector over an ordered INTEGER-valued
+    series (period, x) with NUMERIC periods: 1 row (n_periods, mean_x,
+    max_cusum_pos, t_pos, max_cusum_neg, t_neg) — the retrospective
+    "did the daily volume shift, and when" monitor a pipeline runs on
+    its per-day ingest counts before trusting a trend.
+
+    With drift k=0 against the full-series mean mu, the one-sided
+    CUSUMs fold into pure window algebra: for D_t = sum_{tau<=t}(x - mu),
+    S+_t = D_t - min(0, min_{tau<=t} D_tau)   (upward shifts)
+    S-_t = max(0, max_{tau<=t} D_tau) - D_t   (downward shifts)
+    max_cusum_pos/neg are the series maxima of S+/S-; t_pos/t_neg the
+    EARLIEST period attaining them (deterministic tie-break).
+
+    Exactness: all running sums are computed on the INTEGER-scaled
+    series n*C_t - t*total (exact in doubles far below 2^53 when x is
+    integral, e.g. counts); the single division by n and the round-6
+    happen once at the end, so a SQL oracle reproduces every bit.
+
+    Scale shape: callers aggregate to the per-period series first
+    (one groupBy), so the ordered cumulative window runs over
+    |periods| rows — days/hours, not events.
+    """
+    base = df.select(
+        F.col(period_col).cast("double").alias("__p"),
+        F.col(value_col).cast("long").alias("__x"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__x").alias("__tot"))
+    w_cum = Window.orderBy("__p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_idx = Window.orderBy("__p")
+    d = (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn("__c", F.sum("__x").over(w_cum))
+        .withColumn("__t", F.row_number().over(w_idx))
+        # integer-scaled D_t: n*C_t - t*total
+        .withColumn(
+            "__d", F.col("__n") * F.col("__c") - F.col("__t") * F.col("__tot"))
+    )
+    d = (
+        d.withColumn(
+            "__sp",
+            F.col("__d")
+            - F.least(F.lit(0).cast("long"), F.min("__d").over(w_cum)))
+        .withColumn(
+            "__sn",
+            F.greatest(F.lit(0).cast("long"), F.max("__d").over(w_cum))
+            - F.col("__d"))
+    )
+    return d.agg(
+        F.max("__n").alias("n_periods"),
+        F.round(F.max("__tot") / F.max("__n"), 6).alias("mean_x"),
+        F.round(F.max("__sp") / F.max("__n"), 6).alias("max_cusum_pos"),
+        (-F.max(F.struct(F.col("__sp"), (-F.col("__p")).alias("np")))["np"])
+        .alias("t_pos"),
+        F.round(F.max("__sn") / F.max("__n"), 6).alias("max_cusum_neg"),
+        (-F.max(F.struct(F.col("__sn"), (-F.col("__p")).alias("np")))["np"])
+        .alias("t_neg"),
+    )

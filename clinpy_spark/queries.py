@@ -8105,6 +8105,188 @@ def graph_adamic_adar_q(spark, sf):
 
 
 
+@q("graph_label_prop", f"""
+WITH e0 AS ({_COPURCHASE_SQL}),
+b AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT u, u AS label FROM b),
+v1 AS (SELECT u, label, count(*) AS n FROM (
+         SELECT b.u, l.label FROM b JOIN l0 l ON l.u = b.v
+         UNION ALL SELECT u, label FROM l0) GROUP BY u, label),
+l1 AS MATERIALIZED (SELECT u, label FROM (
+         SELECT u, label,
+                row_number() OVER (PARTITION BY u ORDER BY n DESC, label ASC) AS rn
+         FROM v1) WHERE rn = 1),
+v2 AS (SELECT u, label, count(*) AS n FROM (
+         SELECT b.u, l.label FROM b JOIN l1 l ON l.u = b.v
+         UNION ALL SELECT u, label FROM l1) GROUP BY u, label),
+l2 AS MATERIALIZED (SELECT u, label FROM (
+         SELECT u, label,
+                row_number() OVER (PARTITION BY u ORDER BY n DESC, label ASC) AS rn
+         FROM v2) WHERE rn = 1),
+v3 AS (SELECT u, label, count(*) AS n FROM (
+         SELECT b.u, l.label FROM b JOIN l2 l ON l.u = b.v
+         UNION ALL SELECT u, label FROM l2) GROUP BY u, label),
+l3 AS MATERIALIZED (SELECT u, label FROM (
+         SELECT u, label,
+                row_number() OVER (PARTITION BY u ORDER BY n DESC, label ASC) AS rn
+         FROM v3) WHERE rn = 1)
+SELECT u AS node, label AS community FROM l3
+""")
+def graph_label_prop_q(spark, sf):
+    # Synchronous label propagation with deterministic min-label
+    # tie-break (operators/graph.py label_propagation), 3 unrolled
+    # rounds on the co-purchase graph: community structure without the
+    # async variant's run-to-run nondeterminism. Each round is three
+    # node-keyed shuffles; the oracle replays the identical recurrence
+    # (row_number over (count DESC, label ASC) == the struct argmax).
+    from clinpy_spark.operators.graph import label_propagation
+
+    return label_propagation(_copurchase(spark, sf), "u", "v", rounds=3)
+
+
+@q("gx_cmh_nation", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+j AS (SELECT c.c_nationkey % 5 AS s,
+             CASE WHEN g.gt > 0 THEN 1 ELSE 0 END AS e,
+             CASE WHEN g.is_case THEN 1 ELSE 0 END AS y
+      FROM g JOIN customer c ON g.c_custkey = c.c_custkey
+      WHERE g.variant = 7),
+k AS (SELECT s, CAST(sum(e * y) AS BIGINT) AS a,
+             CAST(sum((1 - e) * y) AS BIGINT) AS b,
+             CAST(sum(e * (1 - y)) AS BIGINT) AS c,
+             CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d
+      FROM j GROUP BY s),
+x AS (SELECT a, b, c, d,
+             CAST(a + b + c + d AS DOUBLE) AS t,
+             CAST(a + b AS DOUBLE) AS m1,
+             CAST(a + c AS DOUBLE) AS n1
+      FROM k),
+agg AS (SELECT
+   sum(CASE WHEN t > 0 THEN a - n1 * m1 / t ELSE 0 END) AS u,
+   sum(CASE WHEN t > 1
+            THEN n1 * (t - n1) * m1 * (t - m1) / (t * t * (t - 1))
+            ELSE 0 END) AS v,
+   sum(CASE WHEN t > 0 THEN a * d / t ELSE 0 END) AS ad,
+   sum(CASE WHEN t > 0 THEN b * c / t ELSE 0 END) AS bc,
+   CAST(count(*) AS BIGINT) AS n_strata,
+   CAST(sum(a + b + c + d) AS BIGINT) AS n
+   FROM x)
+SELECT CASE WHEN v > 0
+            THEN round((abs(u) - 0.5) * (abs(u) - 0.5) / v, 6) END AS cmh_chi2,
+       CASE WHEN bc > 0 THEN round(ad / bc, 6) END AS or_mh,
+       n_strata, n
+FROM agg
+""")
+def gx_cmh_nation_q(spark, sf):
+    # Cochran-Mantel-Haenszel test (operators/assoc.py cmh_test):
+    # carrier-vs-phenotype association for one variant, stratified by
+    # nation band — the confounder-adjusted 2x2 sibling of the
+    # stratified log-rank. One groupBy to the per-stratum table, one
+    # bounded aggregate; continuity-corrected 1-df chi2 + the MH
+    # common odds ratio.
+    from clinpy_spark.operators.assoc import cmh_test
+
+    g = _grid_geno(spark, sf).filter(F.col("variant") == 7)
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    j = g.join(cust, "c_custkey").select(
+        (F.col("c_nationkey") % 5).alias("stratum"),
+        (F.col("gt") > 0).cast("int").alias("exposed"),
+        F.col("is_case").cast("int").alias("case"),
+    )
+    return cmh_test(j, "stratum", "exposed", "case")
+
+
+@q("dx_mannwhitney", """
+WITH t AS (SELECT o_totalprice AS v,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+pv AS (SELECT v, CAST(sum(ia) AS BIGINT) AS na,
+              CAST(sum(1 - ia) AS BIGINT) AS nb
+       FROM t GROUP BY v),
+r AS (SELECT na, nb,
+             CAST(coalesce(sum(na + nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS bef,
+             CAST(na + nb AS DOUBLE) AS c
+      FROM pv),
+a AS (SELECT sum(CAST(na AS DOUBLE) * (bef + (c + 1) / 2)) AS r_a,
+             CAST(sum(na) AS BIGINT) AS n_a,
+             CAST(sum(nb) AS BIGINT) AS n_b,
+             sum(c * c * c - c) AS tie,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+      FROM r),
+f AS (SELECT r_a, n_a, n_b, tie, n_ties,
+             r_a - n_a * (n_a + 1.0) / 2 AS u_a,
+             CAST(n_a AS DOUBLE) * n_b / 12
+               * ((n_a + n_b + 1)
+                  - tie / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))) AS var
+      FROM a)
+SELECT round(u_a, 6) AS u_a, round(r_a, 6) AS r_a, n_a, n_b,
+       CASE WHEN var > 0
+            THEN round((u_a - CAST(n_a AS DOUBLE) * n_b / 2) / sqrt(var), 6)
+       END AS z,
+       n_ties
+FROM f
+""")
+def dx_mannwhitney_q(spark, sf):
+    # Mann-Whitney U / Wilcoxon rank-sum (operators/assoc.py
+    # mann_whitney_u): does URGENT order value tend higher than LOW,
+    # with no normality assumption. Midranks from the per-distinct-
+    # value aggregate (the KS compromise), and every midrank is a
+    # half-integer so all sums are EXACT in doubles — the oracle
+    # matches bit-for-bit regardless of summation order.
+    from clinpy_spark.operators.assoc import mann_whitney_u
+
+    o = _t(spark, sf, "orders")
+    return mann_whitney_u(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")
+
+
+@q("e_cusum_shift", """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+s AS (SELECT CAST(datediff('day', DATE '1970-01-01', day) AS DOUBLE) AS p, x
+      FROM d),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS tot FROM s),
+c AS (SELECT p, x,
+             CAST(sum(x) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(row_number() OVER (ORDER BY p) AS BIGINT) AS t
+      FROM s),
+dd AS (SELECT p, n, tot, n * cum - t * tot AS d FROM c CROSS JOIN tot),
+e2 AS (SELECT p, n, tot, d,
+              d - LEAST(CAST(0 AS BIGINT), min(d) OVER (ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sp,
+              GREATEST(CAST(0 AS BIGINT), max(d) OVER (ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - d AS sn
+       FROM dd)
+SELECT CAST(max(n) AS BIGINT) AS n_periods,
+       round(CAST(max(tot) AS DOUBLE) / max(n), 6) AS mean_x,
+       round(CAST(max(sp) AS DOUBLE) / max(n), 6) AS max_cusum_pos,
+       (SELECT min(p) FROM e2 WHERE sp = (SELECT max(sp) FROM e2)) AS t_pos,
+       round(CAST(max(sn) AS DOUBLE) / max(n), 6) AS max_cusum_neg,
+       (SELECT min(p) FROM e2 WHERE sn = (SELECT max(sn) FROM e2)) AS t_neg
+FROM e2
+""")
+def e_cusum_shift_q(spark, sf):
+    # Page's CUSUM mean-shift detector on the per-day event volume
+    # (operators/windows.py cusum_changepoint): did ingest volume
+    # shift, and on what day. All running sums on the integer-scaled
+    # series n*C_t - t*total, so the oracle reproduces every bit; the
+    # ordered window runs over days, not events.
+    from clinpy_spark.operators.windows import cusum_changepoint
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"))
+    ser = daily.select(
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .alias("p"),
+        "x",
+    )
+    return cusum_changepoint(ser, "p", "x")
+
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -8126,6 +8308,10 @@ _PRIORITY: list[str] = [
     # r2 (28), r4 (11), r6 (3). Regenerated from CORRECTNESS_r*.json
     # by staleness (r7 verdict policy); all 50 driver slots this
     # round go to queries ABSENT from the r10 window. --
+    "graph_label_prop",
+    "gx_cmh_nation",
+    "dx_mannwhitney",
+    "e_cusum_shift",
     "surv_cox_beta",
     "gx_king_kinship",
     "graph_adamic_adar",

@@ -655,3 +655,104 @@ def test_wasserstein_shift_equals_offset(spark):
     # mass must move ~10 units; binning quantizes, allow 25% slack
     assert 7.5 <= shift.w1 <= 12.5
     assert shift.ref_n == 2000 and shift.cur_n == 2000
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after 3 synchronous
+    rounds with min tie-break, each triangle collapses to its minimum
+    node id; community count is 2 (the bridge can't outvote a clique)."""
+    from clinpy_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = {r.node: r.community for r in
+           label_propagation(df, "u", "v", rounds=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    # the bridge node 10's clique keeps a label from its own triangle
+    assert out[10] != 1 or out[12] != 1  # cliques don't fully merge
+
+
+def test_cmh_matches_single_stratum_chi2_shape(spark):
+    """With ONE stratum, CMH reduces to the continuity-corrected 2x2
+    chi-square: check against a hand-computed table; the MH odds ratio
+    equals ad/bc."""
+    from clinpy_spark.operators.assoc import cmh_test
+
+    # a=30, b=10, c=10, d=30 -> OR = 9, t=80, m1=40, n1=40
+    rows = (
+        [(0, 1, 1)] * 30 + [(0, 0, 1)] * 10
+        + [(0, 1, 0)] * 10 + [(0, 0, 0)] * 30
+    )
+    df = spark.createDataFrame(rows, "s int, e int, y int")
+    out = cmh_test(df, "s", "e", "y").collect()[0]
+    t, m1, n1, a = 80.0, 40.0, 40.0, 30.0
+    ek = n1 * m1 / t
+    vk = n1 * (t - n1) * m1 * (t - m1) / (t * t * (t - 1))
+    exp = (abs(a - ek) - 0.5) ** 2 / vk
+    assert out.cmh_chi2 == pytest.approx(round(exp, 6))
+    assert out.or_mh == pytest.approx(9.0)
+    assert out.n_strata == 1 and out.n == 80
+
+
+def test_cmh_confounded_strata_cancel(spark):
+    """Simpson-style confounding: within each stratum exposure and
+    outcome are independent, so the stratified test must be ~null even
+    though the POOLED 2x2 shows association."""
+    from clinpy_spark.operators.assoc import cmh_test
+
+    rows = []
+    # stratum 0: mostly exposed, mostly cases — independent inside
+    rows += [(0, 1, 1)] * 16 + [(0, 1, 0)] * 4 + [(0, 0, 1)] * 4 + [(0, 0, 0)] * 1
+    # stratum 1: mostly unexposed, mostly controls — independent inside
+    rows += [(1, 1, 1)] * 1 + [(1, 1, 0)] * 4 + [(1, 0, 1)] * 4 + [(1, 0, 0)] * 16
+    df = spark.createDataFrame(rows, "s int, e int, y int")
+    out = cmh_test(df, "s", "e", "y").collect()[0]
+    assert out.or_mh == pytest.approx(1.0)
+    assert out.cmh_chi2 is not None and out.cmh_chi2 < 0.5
+
+
+def test_mann_whitney_textbook_and_ties(spark):
+    """Hand-computed 3-vs-3 example (values without overlap give U =
+    n_a*n_b), then a fully-tied sample where variance vanishes and z
+    is NULL."""
+    from clinpy_spark.operators.assoc import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0),
+         ("b", 1.0), ("b", 2.0), ("b", 3.0)],
+        "g string, v double")
+    out = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert out.u_a == 9.0          # complete separation: U = 3*3
+    assert out.r_a == 4 + 5 + 6    # ranks of the top half
+    assert out.n_ties == 0
+    assert out.z > 0
+    tied = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 4, "g string, v double")
+    out2 = mann_whitney_u(tied, "v", "g", "a", "b").collect()[0]
+    assert out2.z is None
+    assert out2.u_a == pytest.approx(8.0)  # all midranks 4.5 -> R_a = 18
+
+
+def test_cusum_detects_level_shift(spark):
+    """A series that jumps from 10 to 20 halfway: the upward CUSUM
+    peaks at the END of the series (mean sits between the halves) with
+    magnitude n/4 * shift / n = shift*n/4 scaled; the detected period
+    is deterministic; a constant series scores 0."""
+    from clinpy_spark.operators.windows import cusum_changepoint
+
+    rows = [(float(i), 10) for i in range(10)] + \
+           [(float(i), 20) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "p double, x long")
+    out = cusum_changepoint(df, "p", "x").collect()[0]
+    # mean = 15; D_t dips to -5*10 at t=10 then returns to 0; S+ peaks
+    # at the last period with value 50 (D_20 - min D = 0 - (-50))
+    assert out.mean_x == 15.0
+    assert out.max_cusum_pos == pytest.approx(50.0)
+    assert out.t_pos == 19.0
+    assert out.max_cusum_neg == pytest.approx(50.0)
+    assert out.t_neg == 9.0
+    flat = spark.createDataFrame(
+        [(float(i), 7) for i in range(5)], "p double, x long")
+    out2 = cusum_changepoint(flat, "p", "x").collect()[0]
+    assert out2.max_cusum_pos == 0.0 and out2.max_cusum_neg == 0.0

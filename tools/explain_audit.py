@@ -114,6 +114,21 @@ EXPECTED_UNBOUNDED = {
     "surv_cox_score",  # crossJoin vs the 1-row n_subjects count
     "surv_logrank_fh",  # crossJoin vs the 1-row (n_a, n_b) cohort
                         # totals (same shape as surv_logrank)
+    "surv_cox_beta",  # each Newton step crossJoins the bounded grid vs
+                      # the 1-row scalar-beta aggregate, plus the 1-row
+                      # n_subjects count (same shape as surv_cox_score)
+    "gx_king_kinship",  # the CONSTANT 200-row broadcast variant-range
+                        # grid expansion (same shape as gx_ld_r2); the
+                        # kinship pair join itself is a variant equi-join
+    "drift_js_value",  # crossJoins vs the 1-row decile-edge array and
+                       # the 1-row bin-total aggregate (psi shape)
+    "drift_w1_value",  # crossJoins vs the 1-row pooled-edge array and
+                       # the 1-row (tr, tc) totals (psi shape)
+    "gx_cmh_nation",  # the CONSTANT 200-row broadcast variant-range
+                      # grid expansion (same shape as gx_ld_r2); the
+                      # customer join is a broadcast HASH join
+    "e_cusum_shift",  # crossJoin vs the 1-row (n, total) series
+                      # aggregate — constant-size broadcast
 }
 
 
