@@ -825,3 +825,81 @@ def mann_whitney_u(
         ).alias("z"),
         "n_ties",
     )
+
+
+def tajima_d(
+    df: DataFrame,
+    gene_col: str,
+    variant_col: str,
+    gt_col: str,
+) -> DataFrame:
+    """Tajima's D per gene from a diploid genotype long table (gt in
+    {0,1,2}): one row per gene (gene, s_sites, n_chrom, pi, theta_w,
+    tajima_d) — the neutrality/selection scan (negative D = excess
+    rare variants ~ purifying selection or expansion; positive D =
+    balancing selection), the classic population-genetics summary the
+    reference's variant store feeds.
+
+    Standard Tajima 1989 constants from n = max chromosomes observed
+    in the gene (assumes near-complete genotyping, stated contract):
+    pi = sum over sites of c_alt*(n_v-c_alt) / C(n_v,2) (per-site
+    chromosome counts, exact), theta_w = S/a1,
+    D = (pi - theta_w) / sqrt(e1*S + e2*S*(S-1)); NULL when S = 0 or
+    the variance vanishes. a1/a2 are the harmonic sums over 1..n-1,
+    computed distributed by exploding a per-gene integer sequence —
+    genes x (n-1) rows, bounded by the COHORT, not the corpus.
+    Rounded to 6.
+
+    Scale shape: one groupBy to per-(gene, variant) counts (the 100 TB
+    axis reduces first), one per-gene aggregate, and the harmonic-sum
+    explode joins back per gene — no self-joins, nothing collected.
+    """
+    per_v = df.groupBy(
+        F.col(gene_col).alias("__g"), F.col(variant_col).alias("__v")
+    ).agg(
+        F.sum(F.col(gt_col).cast("long")).alias("ca"),
+        (2 * F.count(F.lit(1))).alias("nv"),
+    )
+    seg = (F.col("ca") > 0) & (F.col("ca") < F.col("nv"))
+    pi_term = (
+        F.col("ca") * (F.col("nv") - F.col("ca"))
+        / (F.col("nv") * (F.col("nv") - 1) / 2.0)
+    )
+    per_g = per_v.groupBy("__g").agg(
+        F.sum(F.when(seg, 1).otherwise(0)).alias("s_sites"),
+        F.sum(F.when(seg, pi_term).otherwise(0.0)).alias("__pi"),
+        F.max("nv").alias("n_chrom"),
+    )
+    harm = (
+        per_g.select(
+            "__g",
+            F.explode(F.sequence(F.lit(1).cast("long"),
+                                 F.col("n_chrom") - 1)).alias("__i"))
+        .groupBy("__g")
+        .agg(
+            F.sum(1.0 / F.col("__i")).alias("a1"),
+            F.sum(1.0 / (F.col("__i") * F.col("__i"))).alias("a2"),
+        )
+    )
+    j = per_g.join(harm, "__g")
+    n = F.col("n_chrom")
+    s = F.col("s_sites")
+    a1, a2 = F.col("a1"), F.col("a2")
+    b1 = (n + 1) / (3.0 * (n - 1))
+    b2 = 2.0 * (n * n + n + 3) / (9.0 * n * (n - 1))
+    c1 = b1 - 1.0 / a1
+    c2 = b2 - (n + 2) / (a1 * n) + a2 / (a1 * a1)
+    e1 = c1 / a1
+    e2 = c2 / (a1 * a1 + a2)
+    var = e1 * s + e2 * s * (s - 1)
+    return j.select(
+        F.col("__g").alias("gene"),
+        "s_sites",
+        "n_chrom",
+        F.round("__pi", 6).alias("pi"),
+        F.when(s > 0, F.round(s / a1, 6)).alias("theta_w"),
+        F.when(
+            (s > 0) & (var > 0),
+            F.round((F.col("__pi") - s / a1) / F.sqrt(var), 6),
+        ).alias("tajima_d"),
+    )

@@ -147,3 +147,40 @@ def finalize_ks(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
         .agg(F.sum("na").alias("na"), F.sum("nb").alias("nb"))
     )
     return ks_from_value_counts(tagged)
+
+
+def finalize_js(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    n_bins: int,
+) -> DataFrame:
+    """Jensen-Shannon divergence from the SAME maintained (bin, n)
+    tables the PSI fold keeps — per-bin counts are the sufficient
+    statistic for both, so one streaming fold serves both monitors:
+    1 row (jsd, ref_n, cur_n, n_bins), identical to the batch
+    ``js_divergence`` over the same data and frozen edges (twin test).
+    Same +0.5 Laplace smoothing and round-6 convention."""
+    spine = ref_counts.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"))
+    joined = (
+        spine.join(
+            F.broadcast(ref_counts.select("bin", F.col("n").alias("ref_n"))),
+            "bin", "left")
+        .join(
+            F.broadcast(cur_counts.select("bin", F.col("n").alias("cur_n"))),
+            "bin", "left")
+        .na.fill({"ref_n": 0, "cur_n": 0})
+    )
+    tot = joined.agg(
+        F.sum("ref_n").alias("__tr"), F.sum("cur_n").alias("__tc"))
+    out = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("ref_n") + 0.5) / (F.col("__tr") + 0.5 * n_bins)
+    q_ = (F.col("cur_n") + 0.5) / (F.col("__tc") + 0.5 * n_bins)
+    m = (p + q_) / 2
+    contrib = 0.5 * p * F.log(p / m) + 0.5 * q_ * F.log(q_ / m)
+    return out.agg(
+        F.round(F.sum(contrib), 6).alias("jsd"),
+        F.max("__tr").alias("ref_n"),
+        F.max("__tc").alias("cur_n"),
+        F.lit(n_bins).alias("n_bins"),
+    )

@@ -756,3 +756,54 @@ def test_cusum_detects_level_shift(spark):
         [(float(i), 7) for i in range(5)], "p double, x long")
     out2 = cusum_changepoint(flat, "p", "x").collect()[0]
     assert out2.max_cusum_pos == 0.0 and out2.max_cusum_neg == 0.0
+
+
+def test_tajima_d_monomorphic_and_signs(spark):
+    """A gene with no segregating sites gets NULL D and theta; a gene
+    where every variant is a singleton (excess rare alleles) scores
+    NEGATIVE D; pi matches the hand-computed pairwise diversity."""
+    from clinpy_spark.operators.assoc import tajima_d
+
+    rows = []
+    # gene 0: 6 samples, all hom-ref at 3 variants -> monomorphic
+    for v in range(3):
+        rows += [(0, v, s, 0) for s in range(6)]
+    # gene 1: 10 variants, each a single het in a different sample ->
+    # all singletons on n=12 chromosomes
+    for v in range(10):
+        rows += [(1, 100 + v, s, 1 if s == v % 6 else 0) for s in range(6)]
+    df = spark.createDataFrame(rows, "gene int, variant int, s int, gt int")
+    out = {r.gene: r for r in
+           tajima_d(df, "gene", "variant", "gt").collect()}
+    mono = out[0]
+    assert mono.s_sites == 0 and mono.theta_w is None and mono.tajima_d is None
+    sing = out[1]
+    assert sing.s_sites == 10 and sing.n_chrom == 12
+    # each singleton site: pi_site = 1*11 / C(12,2) = 11/66 = 1/6
+    assert sing.pi == pytest.approx(10 / 6, abs=1e-6)
+    assert sing.tajima_d is not None and sing.tajima_d < 0
+
+
+def test_hamming_topk_recovers_exact_on_separated_data(spark):
+    """Vectors built from two well-separated clusters: the Hamming
+    shortlist + exact re-rank must return exactly the brute-force
+    top-k (the thermometer code preserves cluster separation), and the
+    code scan must never emit self-matches."""
+    from clinpy_spark.operators.similarity import (
+        brute_force_topk, hamming_topk)
+
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append(
+            (i, [base + rng.uniform(-0.05, 0.05) for _ in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.query_id, r.match_id)
+             for r in brute_force_topk(df.filter(F.col("vec_id") < 6),
+                                       df, k=5).collect()}
+    got = hamming_topk(df.filter(F.col("vec_id") < 6), df, k=5,
+                       shortlist=25).collect()
+    assert {(r.query_id, r.match_id) for r in got} == exact
+    assert all(r.query_id != r.match_id for r in got)

@@ -923,3 +923,46 @@ def test_streaming_zscore_matches_batch_expanding_window(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-4
+
+
+def test_streaming_js_matches_batch(spark, tmp_path):
+    """Streaming JS twin: the SAME maintained bin-count tables the PSI
+    fold keeps yield the batch js_divergence exactly when the batch
+    side is computed over the identical frozen reference edges
+    (cross-batch accumulation exercised via two files)."""
+    from clinpy_spark.operators.drift import js_divergence, quantile_edges
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.drift import (
+        bin_counts_partial, finalize_js, stream_psi_counts,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    rows = [(i, t(i), 100 + i % 2, "view", float((i * 29) % 40)) for i in range(80)]
+    ref_rows = [r for r in rows if r[2] % 2 == 0]
+    cur_rows = [r for r in rows if r[2] % 2 == 1]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    cur_df = spark.createDataFrame(cur_rows, schema)
+
+    n_bins = 5
+    edges = quantile_edges(ref_df, "value", n_bins).collect()[0]["__edges"]
+
+    for i, chunk in enumerate((cur_rows[:15], cur_rows[15:])):
+        with open(tmp_path / f"f{i}.json", "w") as fh:
+            for eid, ts, uid, etype, val in chunk:
+                fh.write(json.dumps({
+                    "event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                    "event_type": etype, "value": val, "props": "{}",
+                }) + "\n")
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    q = stream_psi_counts(stream, cat, "js_bins", "value", list(edges),
+                          checkpoint=str(tmp_path / "ck_js"))
+    q.awaitTermination(120)
+
+    ref_counts = bin_counts_partial(ref_df, "value", list(edges))
+    got = finalize_js(ref_counts, cat.table("js_bins"), n_bins).collect()
+    # batch twin: js_divergence fits edges from ref — the SAME frozen
+    # edges by construction (same reference, same quantile call)
+    want = js_divergence(ref_df, cur_df, "value", n_bins=n_bins).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -129,6 +129,16 @@ EXPECTED_UNBOUNDED = {
                       # customer join is a broadcast HASH join
     "e_cusum_shift",  # crossJoin vs the 1-row (n, total) series
                       # aggregate — constant-size broadcast
+    "gx_tajima_d",  # the CONSTANT 200-row broadcast variant-range
+                    # grid expansion (same shape as gx_ld_r2); the
+                    # harmonic-sum join is gene-keyed
+    "sim_recall_hamming",  # recall gate: exact brute-force baseline is
+                           # the definition of recall (bounded 25-query
+                           # probe set), plus the bounded code crossJoin
+    "sim_topk_hamming",  # code-only scan vs the LIMIT-bounded probe
+                         # set (same declared shape as sim_topk_ivf's
+                         # constant-side cross join; corpus streams
+                         # linearly, 24 bytes/vector)
 }
 
 
