@@ -903,3 +903,62 @@ def tajima_d(
             F.round((F.col("__pi") - s / a1) / F.sqrt(var), 6),
         ).alias("tajima_d"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown-Forsythe test for equality of VARIANCES across k groups
+    (the robust Levene variant: deviations from the group MEDIAN, so
+    heavy tails don't masquerade as variance differences): 1 row
+    (f_stat, df1, df2, n, k) — the check run before trusting a pooled-
+    variance contrast like ``dx_diff_expression``.
+
+    z_ij = |x_ij - median(group j)| (exact interpolated medians), then
+    the one-way ANOVA F on z: F = ((N-k)/(k-1)) *
+    sum_j n_j (zbar_j - zbar)^2 / sum_ij (z_ij - zbar_j)^2.
+    NULL when the within-group sum of squares is 0 (all deviations
+    identical) or k < 2. Rounded to 6.
+
+    Scale shape: one percentile aggregate per group (k-row broadcast
+    joined back), one grouped moment pass, one k-row final fold — the
+    corpus is scanned twice and never self-joined.
+    """
+    meds = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med"))
+    z = (
+        df.select(F.col(group_col).alias("__g"),
+                  F.col(value_col).cast("double").alias("__x"))
+        .join(F.broadcast(meds), "__g")
+        .withColumn("__z", F.abs(F.col("__x") - F.col("__med")))
+    )
+    per_g = z.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("__z").alias("sz"),
+        F.sum(F.col("__z") * F.col("__z")).alias("szz"),
+    )
+    agg = per_g.agg(
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("__s"),
+        # within-group SS via the moment identity sum (z - zbar_j)^2
+        # = szz - sz^2/n_j, exact per group
+        F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("nj"))
+        .alias("__ssw"),
+        F.sum(F.col("sz") * F.col("sz") / F.col("nj")).alias("__sb"),
+    )
+    nn = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    # between-group SS = sum n_j zbar_j^2 - N zbar^2
+    ssb = F.col("__sb") - F.col("__s") * F.col("__s") / nn
+    f = (nn - k) / (k - 1) * ssb / F.col("__ssw")
+    return agg.select(
+        F.when((F.col("k") > 1) & (F.col("__ssw") > 0), F.round(f, 6))
+        .alias("f_stat"),
+        (F.col("k") - 1).alias("df1"),
+        (F.col("n") - F.col("k")).alias("df2"),
+        "n",
+        "k",
+    )

@@ -888,3 +888,68 @@ def minhash_decontaminate(
         .filter(F.col("jaccard") >= threshold)
         .select("train_id", "bench_id", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 200,
+) -> DataFrame:
+    """Directional CONTAINMENT near-duplicates: (id_a, id_b, inter,
+    size_a, size_b, containment) for every ordered pair with
+    |Sa ∩ Sb| / |Sa| >= threshold (a != b) — the asymmetric statistic
+    Jaccard misses: a short document quoted whole inside a long one
+    scores containment ~1 but Jaccard ~|Sa|/|Sb| ~ 0. The quote/
+    boilerplate/subset detector that complements
+    ``ngram_jaccard_pairs``.
+
+    Candidates come RELATIONALLY from an equi-join on the shingle
+    hash, so only pairs sharing >= 1 shingle are ever materialized,
+    and shingles appearing in more than ``max_shingle_df`` documents
+    are dropped from the CANDIDATE key (boilerplate n-grams would fan
+    out df^2 pairs while identifying nothing) — they still count in
+    |Sa| via the per-doc size computed before the cap. A contained
+    pair whose every shared shingle is boilerplate is missed BY
+    CONTRACT (stated, oracle replays the same cap).
+
+    Scale shape: per-doc distinct shingle hashes explode once, the
+    df-capped equi-join bounds fan-out by max_shingle_df per shingle,
+    and each pair reduces to one count row — no all-pairs path at any
+    corpus size.
+    """
+    sh = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(text_col, shingle_n),
+                            lambda x: F.xxhash64(x)))
+        ).alias("__sh"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    dfreq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    kept = sh.join(
+        F.broadcast(dfreq.filter(F.col("__df") <= max_shingle_df)
+                    .select("__sh")),
+        "__sh",
+    )
+    a = kept.select(F.col("__id").alias("id_a"), "__sh")
+    b = kept.select(F.col("__id").alias("id_b"), "__sh")
+    inter = (
+        a.join(b, "__sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("size_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("size_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.col("size_a"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "containment")
+    )

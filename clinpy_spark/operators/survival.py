@@ -864,6 +864,66 @@ def logrank_weighted(
     )
 
 
+def _binary_event_grid(
+    df: DataFrame, time_col: str, event_col: str, x_col: str
+) -> DataFrame:
+    """Per-event-time grid (__t, d, d1, n, n1) for a binary covariate:
+    total/arm-1 events and at-risk counts, risk sets as total-minus-
+    prefix windows, lineage cut once (the grid feeds every Newton
+    step — without the cut the cohort groupBy+window replays per
+    step)."""
+    base = df.select(
+        F.col(time_col).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+        F.col(x_col).cast("int").alias("__x"),
+    )
+    pt = base.groupBy("__t").agg(
+        F.sum("__e").alias("d"),
+        F.sum(F.col("__e") * F.col("__x")).alias("d1"),
+        F.count(F.lit(1)).alias("r"),
+        F.sum("__x").alias("r1"),
+    )
+    w_prev = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    return (
+        pt.withColumn(
+            "n", F.sum("r").over(tot)
+            - F.coalesce(F.sum("r").over(w_prev), F.lit(0)))
+        .withColumn(
+            "n1", F.sum("r1").over(tot)
+            - F.coalesce(F.sum("r1").over(w_prev), F.lit(0)))
+        .filter(F.col("d") > 0)
+        .select("__t", "d", "d1", "n", "n1")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _newton_beta(spark, grid: DataFrame, iterations: int) -> DataFrame:
+    """``iterations`` Newton-Raphson steps on the Breslow partial
+    likelihood over a binary-covariate grid: 1-row (beta) DataFrame,
+    NULL on zero information at any step."""
+    beta = spark.range(1).select(F.lit(0.0).alias("beta"))
+    for _ in range(iterations):
+        j = grid.crossJoin(F.broadcast(beta))
+        s1 = F.col("n1") * F.exp(F.col("beta"))
+        s0 = (F.col("n") - F.col("n1")) + s1
+        frac = s1 / s0
+        u_t = F.col("d1") - F.col("d") * frac
+        i_t = F.col("d") * frac * (1 - frac)
+        # agg (not groupBy) so an event-free cohort still yields the
+        # 1-row NULL result instead of vanishing
+        step = j.agg(
+            F.max("beta").alias("beta"),
+            F.sum(u_t).alias("__u"), F.sum(i_t).alias("__i"))
+        beta = step.select(
+            F.when(
+                F.col("__i") > 0,
+                F.col("beta") + F.col("__u") / F.col("__i"),
+            ).alias("beta")
+        )
+    return beta
+
+
 def cox_newton(
     df: DataFrame,
     time_col: str,
@@ -902,52 +962,8 @@ def cox_newton(
     is scanned once, never self-joined, and the iteration loop moves
     grid-sized data only.
     """
-    base = df.select(
-        F.col(time_col).alias("__t"),
-        F.col(event_col).cast("int").alias("__e"),
-        F.col(x_col).cast("int").alias("__x"),
-    )
-    pt = base.groupBy("__t").agg(
-        F.sum("__e").alias("d"),
-        F.sum(F.col("__e") * F.col("__x")).alias("d1"),
-        F.count(F.lit(1)).alias("r"),
-        F.sum("__x").alias("r1"),
-    )
-    w_prev = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
-    tot = Window.partitionBy()
-    grid = (
-        pt.withColumn(
-            "n", F.sum("r").over(tot)
-            - F.coalesce(F.sum("r").over(w_prev), F.lit(0)))
-        .withColumn(
-            "n1", F.sum("r1").over(tot)
-            - F.coalesce(F.sum("r1").over(w_prev), F.lit(0)))
-        .filter(F.col("d") > 0)
-        .select("__t", "d", "d1", "n", "n1")
-        # the grid feeds every Newton step: cut the lineage once so the
-        # cohort groupBy+window runs once, not `iterations`+1 times
-        .localCheckpoint(eager=False)
-    )
-    spark = df.sparkSession
-    beta = spark.range(1).select(F.lit(0.0).alias("beta"))
-    for _ in range(iterations):
-        j = grid.crossJoin(F.broadcast(beta))
-        s1 = F.col("n1") * F.exp(F.col("beta"))
-        s0 = (F.col("n") - F.col("n1")) + s1
-        frac = s1 / s0
-        u_t = F.col("d1") - F.col("d") * frac
-        i_t = F.col("d") * frac * (1 - frac)
-        # agg (not groupBy) so an event-free cohort still yields the
-        # 1-row NULL result instead of vanishing
-        step = j.agg(
-            F.max("beta").alias("beta"),
-            F.sum(u_t).alias("__u"), F.sum(i_t).alias("__i"))
-        beta = step.select(
-            F.when(
-                F.col("__i") > 0,
-                F.col("beta") + F.col("__u") / F.col("__i"),
-            ).alias("beta")
-        )
+    grid = _binary_event_grid(df, time_col, event_col, x_col)
+    beta = _newton_beta(df.sparkSession, grid, iterations)
     fin = grid.crossJoin(F.broadcast(beta))
     s1 = F.col("n1") * F.exp(F.col("beta"))
     s0 = (F.col("n") - F.col("n1")) + s1
@@ -966,4 +982,61 @@ def cox_newton(
         .alias("wald_chi2"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         "n_subjects",
+    )
+
+
+def cox_ph_check(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """Proportional-hazards diagnostic for the binary-covariate Cox fit
+    (the Schoenfeld-residual trend idea, Grambsch-Therneau simplified
+    to the grid): 1 row (beta, rho_ph, n_times, n_events). Fits beta by
+    the same ``iterations`` Newton steps as :func:`cox_newton`, then
+    computes the per-event-time score residual
+    r_t = d1_t - d_t * S1(t)/S0(t)  (at beta_hat)
+    and rho_ph = Pearson correlation between r_t and the RANK of t over
+    the event-time grid. Under proportional hazards the residuals have
+    no time trend (rho ~ 0); |rho| near 1 means the hazard ratio drifts
+    over follow-up and a single beta misleads. NULL rho when either
+    variance vanishes (constant residuals or < 2 event times).
+
+    Scale shape: everything after the one cohort groupBy runs on the
+    bounded grid — the Newton loop moves grid-sized data, the residual
+    correlation is one aggregate of exact sums.
+    """
+    grid = _binary_event_grid(df, time_col, event_col, x_col)
+    beta = _newton_beta(df.sparkSession, grid, iterations)
+    j = grid.crossJoin(F.broadcast(beta))
+    s1 = F.col("n1") * F.exp(F.col("beta"))
+    s0 = (F.col("n") - F.col("n1")) + s1
+    r = F.col("d1") - F.col("d") * s1 / s0
+    w_idx = Window.orderBy("__t")
+    rr = j.withColumn("__r", r).withColumn(
+        "__k", F.row_number().over(w_idx).cast("double"))
+    agg = rr.agg(
+        F.max("beta").alias("beta"),
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("d").alias("n_events"),
+        F.sum("__k").alias("sk"),
+        F.sum(F.col("__k") * F.col("__k")).alias("skk"),
+        F.sum("__r").alias("sr"),
+        F.sum(F.col("__r") * F.col("__r")).alias("srr"),
+        F.sum(F.col("__k") * F.col("__r")).alias("skr"),
+    )
+    nn = F.col("n_times").cast("double")
+    cov = nn * F.col("skr") - F.col("sk") * F.col("sr")
+    vk = nn * F.col("skk") - F.col("sk") * F.col("sk")
+    vr = nn * F.col("srr") - F.col("sr") * F.col("sr")
+    return agg.select(
+        F.when(F.col("beta").isNotNull(), F.round("beta", 6)).alias("beta"),
+        F.when(
+            F.col("beta").isNotNull() & (vk > 0) & (vr > 0),
+            F.round(cov / F.sqrt(vk * vr), 6),
+        ).alias("rho_ph"),
+        "n_times",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
     )

@@ -8364,6 +8364,213 @@ def gx_tajima_d_q(spark, sf):
 
 
 
+@q("dx_levene", """
+WITH t AS (SELECT o_orderpriority AS g, o_totalprice AS x FROM orders),
+m AS (SELECT g, quantile_cont(x, 0.5) AS med FROM t GROUP BY g),
+z AS (SELECT t.g, abs(t.x - m.med) AS z FROM t JOIN m ON t.g = m.g),
+pg AS (SELECT g, CAST(count(*) AS BIGINT) AS nj, sum(z) AS sz,
+              sum(z * z) AS szz
+       FROM z GROUP BY g),
+a AS (SELECT CAST(sum(nj) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(sz) AS s, sum(szz - sz * sz / nj) AS ssw,
+             sum(sz * sz / nj) AS sb
+      FROM pg)
+SELECT CASE WHEN k > 1 AND ssw > 0
+            THEN round((CAST(n AS DOUBLE) - k) / (k - 1)
+                       * (sb - s * s / CAST(n AS DOUBLE)) / ssw, 6)
+       END AS f_stat,
+       (k - 1) AS df1, (n - k) AS df2, n, k
+FROM a
+""")
+def dx_levene_q(spark, sf):
+    # Brown-Forsythe variance-equality test (operators/assoc.py
+    # brown_forsythe): are order values equally dispersed across the 5
+    # priority arms? Median-based deviations so heavy tails don't read
+    # as variance differences — the check run before any pooled-
+    # variance contrast. One percentile agg (k-row broadcast), one
+    # moment pass, one k-row fold.
+    from clinpy_spark.operators.assoc import brown_forsythe
+
+    return brown_forsythe(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority")
+
+
+@q("dedup_containment", """
+WITH ntoks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents),
+shng AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN generate_series(1, len(tk) - 2)]
+    END) AS s
+  FROM ntoks),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shng GROUP BY doc_id),
+dfq AS (SELECT s FROM shng GROUP BY s HAVING count(*) <= 200),
+kept AS (SELECT doc_id, s FROM shng JOIN dfq USING (s)),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.id_a
+JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.6
+""")
+def dedup_containment_q(spark, sf):
+    # Directional containment near-dup (operators/dedup.py
+    # containment_pairs): |Sa∩Sb|/|Sa| >= 0.6 over word-3-shingles —
+    # the quote/boilerplate/subset detector Jaccard misses (a short
+    # doc quoted whole inside a long one scores ~1 here, ~0 there).
+    # Candidates from a df-capped shingle equi-join; no all-pairs path.
+    from clinpy_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        shingle_n=3, threshold=0.6, max_shingle_df=200)
+
+
+@q("surv_ph_check", """
+WITH obs AS (
+  SELECT LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x
+  FROM (SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+pt AS (SELECT duration AS t,
+         CAST(sum(evt) AS BIGINT) AS d,
+         CAST(sum(evt * x) AS BIGINT) AS d1,
+         CAST(count(*) AS BIGINT) AS r,
+         CAST(sum(x) AS BIGINT) AS r1
+       FROM obs GROUP BY duration),
+w AS (SELECT *,
+        sum(r) OVER () - coalesce(sum(r) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+        sum(r1) OVER () - coalesce(sum(r1) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+      FROM pt),
+f AS MATERIALIZED (SELECT t, d, d1, n, n1 FROM w WHERE d > 0),
+i1 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp(0.0) AS s1,
+                    (n - n1) + n1 * exp(0.0) AS s0 FROM f)),
+b1 AS (SELECT CASE WHEN i > 0 THEN 0.0 + u / i END AS beta FROM i1),
+i2 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp((SELECT beta FROM b1)) AS s1,
+                    (n - n1) + n1 * exp((SELECT beta FROM b1)) AS s0 FROM f)),
+b2 AS (SELECT CASE WHEN i > 0 THEN (SELECT beta FROM b1) + u / i END AS beta FROM i2),
+i3 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp((SELECT beta FROM b2)) AS s1,
+                    (n - n1) + n1 * exp((SELECT beta FROM b2)) AS s0 FROM f)),
+b3 AS (SELECT CASE WHEN i > 0 THEN (SELECT beta FROM b2) + u / i END AS beta FROM i3),
+res AS (SELECT CAST(row_number() OVER (ORDER BY t) AS DOUBLE) AS k,
+               d1 - d * s1 / s0 AS r, d
+        FROM (SELECT t, d, d1, n1 * exp((SELECT beta FROM b3)) AS s1,
+                     (n - n1) + n1 * exp((SELECT beta FROM b3)) AS s0 FROM f)),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+              CAST(sum(d) AS BIGINT) AS n_events,
+              sum(k) AS sk, sum(k * k) AS skk, sum(r) AS sr,
+              sum(r * r) AS srr, sum(k * r) AS skr
+       FROM res)
+SELECT CASE WHEN (SELECT beta FROM b3) IS NOT NULL
+            THEN round((SELECT beta FROM b3), 6) END AS beta,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL
+             AND n_times * skk - sk * sk > 0
+             AND n_times * srr - sr * sr > 0
+            THEN round((n_times * skr - sk * sr)
+                       / sqrt((n_times * skk - sk * sk)
+                              * (n_times * srr - sr * sr)), 6)
+       END AS rho_ph,
+       n_times,
+       coalesce(n_events, 0) AS n_events
+FROM ag
+""")
+def surv_ph_check_q(spark, sf):
+    # Proportional-hazards diagnostic (operators/survival.py
+    # cox_ph_check): Schoenfeld-style score residuals at the Newton
+    # beta_hat, correlated against event-time rank — does the URGENT
+    # hazard ratio drift over follow-up? Same bounded grid as
+    # surv_cox_beta; one extra aggregate.
+    from clinpy_spark.operators.survival import cox_ph_check
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("x"),
+    )
+    return cox_ph_check(obs, "duration", "evt", "x", iterations=3)
+
+
+@q("text_textrank", """
+WITH ntoks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents),
+tok AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM ntoks),
+tw AS (SELECT doc_id, i, tk[i] AS t FROM tok),
+pr0 AS (SELECT a.t AS x, b.t AS y
+        FROM tw a JOIN tw b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE len(a.t) >= 4 AND len(b.t) >= 4 AND a.t <> b.t),
+e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM pr0),
+b AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM b GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT u, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+r1 AS (SELECT b.v AS u, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * sum(r0.r / deg.deg) AS r
+       FROM b JOIN r0 ON r0.u = b.u JOIN deg ON deg.u = b.u GROUP BY b.v),
+r2 AS (SELECT b.v AS u, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * sum(r1.r / deg.deg) AS r
+       FROM b JOIN r1 ON r1.u = b.u JOIN deg ON deg.u = b.u GROUP BY b.v),
+r3 AS (SELECT b.v AS u, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * sum(r2.r / deg.deg) AS r
+       FROM b JOIN r2 ON r2.u = b.u JOIN deg ON deg.u = b.u GROUP BY b.v)
+SELECT u AS keyword, round(r, 6) AS pr FROM r3
+""")
+def text_textrank_q(spark, sf):
+    # TextRank keyword scores (Mihalcea-Tarau 2004): PageRank over the
+    # word adjacency graph (consecutive >= 4-char tokens), reusing the
+    # oracled pagerank operator — the unsupervised keyword extractor a
+    # curation pipeline runs to tag corpora. The word graph is bounded
+    # by the VOCABULARY; the 100 TB document axis only feeds edge
+    # dedup (one groupBy).
+    from clinpy_spark.functions.text import norm_tokens
+    from clinpy_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf, "documents")
+    tw = docs.select(
+        "doc_id", F.posexplode(norm_tokens(F.col("text"))).alias("i", "t"))
+    a, bb = tw.alias("a"), tw.alias("b")
+    edges = (
+        a.join(
+            bb,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .filter(
+            (F.length("a.t") >= 4) & (F.length("b.t") >= 4)
+            & (F.col("a.t") != F.col("b.t")))
+        .select(F.col("a.t").alias("x"), F.col("b.t").alias("y"))
+    )
+    return pagerank(edges, "x", "y", iterations=3).select(
+        F.col("node").alias("keyword"), "pr")
+
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -8385,6 +8592,10 @@ _PRIORITY: list[str] = [
     # r2 (28), r4 (11), r6 (3). Regenerated from CORRECTNESS_r*.json
     # by staleness (r7 verdict policy); all 50 driver slots this
     # round go to queries ABSENT from the r10 window. --
+    "dx_levene",
+    "dedup_containment",
+    "surv_ph_check",
+    "text_textrank",
     "gx_tajima_d",
     "sim_recall_hamming",
     "graph_label_prop",

@@ -807,3 +807,44 @@ def test_hamming_topk_recovers_exact_on_separated_data(spark):
                        shortlist=25).collect()
     assert {(r.query_id, r.match_id) for r in got} == exact
     assert all(r.query_id != r.match_id for r in got)
+
+
+def test_brown_forsythe_equal_vs_unequal_spread(spark):
+    """Identically-dispersed groups score F ~ 0; a group with 10x the
+    spread drives F large. Median centering: a shifted group with the
+    SAME spread must not inflate F."""
+    from clinpy_spark.operators.assoc import brown_forsythe
+
+    rows = []
+    for i in range(40):
+        v = (i % 5) - 2.0
+        rows += [("a", v), ("b", v + 100.0)]       # same spread, shifted
+        rows += [("c", v * 10.0)]                  # 10x spread
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = brown_forsythe(df, "x", "g").collect()[0]
+    assert out.k == 3 and out.n == 120
+    assert out.df1 == 2 and out.df2 == 117
+    assert out.f_stat is not None and out.f_stat > 10
+    ab = brown_forsythe(
+        df.filter(F.col("g") != "c"), "x", "g").collect()[0]
+    assert ab.f_stat is not None and ab.f_stat < 0.5
+
+
+def test_cox_ph_check_constant_hazard_ratio(spark):
+    """With x constant (no covariate signal) beta is NULL and rho
+    NULL; with a real two-arm cohort rho is defined and bounded."""
+    from clinpy_spark.operators.survival import cox_ph_check
+
+    rows = [
+        (1, 1, 1), (2, 1, 1), (3, 1, 1), (4, 0, 1), (6, 1, 1),
+        (5, 1, 0), (7, 1, 0), (8, 0, 0), (9, 1, 0), (10, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "t long, evt int, x int")
+    out = cox_ph_check(df, "t", "evt", "x").collect()[0]
+    assert out.beta is not None
+    assert out.rho_ph is not None and -1 <= out.rho_ph <= 1
+    assert out.n_times == 7 and out.n_events == 7
+    const = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1), (3, 0, 1)], "t long, evt int, x int")
+    out2 = cox_ph_check(const, "t", "evt", "x").collect()[0]
+    assert out2.beta is None and out2.rho_ph is None

@@ -3495,3 +3495,27 @@ def test_benford_digits_distribution(spark):
         "x double")
     got = {r.digit: r.n for r in benford_digits(edge, "x").collect()}
     assert got == {9: 2, 4: 1, 7: 1, 3: 1, 5: 1}
+
+
+def test_containment_pairs_subset_doc(spark):
+    """A short doc fully quoted inside a long one scores containment
+    1.0 in the short->long direction only; unrelated docs never pair;
+    a boilerplate shingle above the df cap cannot create candidates."""
+    from clinpy_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, quote),
+        (2, "intro words here " + quote + " trailing commentary words"),
+        (3, "completely different text about other things entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in
+           containment_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)].containment == pytest.approx(1.0)
+    assert (2, 1) not in out          # long->short direction fails 0.5
+    assert all(3 not in p for p in out)
+    # df cap: the shared shingle appears in both docs; cap 1 removes it
+    none = containment_pairs(df, threshold=0.1, max_shingle_df=1).collect()
+    assert none == []

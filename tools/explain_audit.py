@@ -139,6 +139,11 @@ EXPECTED_UNBOUNDED = {
                          # set (same declared shape as sim_topk_ivf's
                          # constant-side cross join; corpus streams
                          # linearly, 24 bytes/vector)
+    "surv_ph_check",  # Newton steps crossJoin the bounded grid vs the
+                      # 1-row scalar-beta aggregate (same shape as
+                      # surv_cox_beta)
+    "text_textrank",  # crossJoin vs the 1-row node-count broadcast in
+                      # every unrolled power step (pagerank shape)
 }
 
 
