@@ -962,3 +962,57 @@ def brown_forsythe(
         "n",
         "k",
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA F test for equality of MEANS across k groups: 1
+    row (f_stat, df1, df2, n, k) — the
+    parametric mean contrast whose variance-homogeneity precondition
+    :func:`brown_forsythe` checks (run them together; report both).
+
+    Via the exact moment identities (one pass, no mean-centering
+    join): SS_within = sum_j (sxx_j - sx_j^2/n_j),
+    SS_between = sum_j sx_j^2/n_j - (sum x)^2/N,
+    F = (SS_b/(k-1)) / (SS_w/(N-k)). NULL when SS_within = 0 or k < 2.
+    Only the SCALE-FREE F ratio is emitted (rounded to 6): the raw
+    sums of squares sit at ~1e13 for money-scale data, where the last
+    float ulp of an order-dependent sum exceeds the 1e-6 rounding
+    grain — F's relative error stays ~1e-14 and reproduces exactly.
+
+    Scale shape: ONE grouped moment aggregate plus a k-row fold — the
+    corpus is scanned once, never joined.
+    """
+    per_g = (
+        df.select(F.col(group_col).alias("__g"),
+                  F.col(value_col).cast("double").alias("__x"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("nj"),
+            F.sum("__x").alias("sx"),
+            F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        )
+    )
+    agg = per_g.agg(
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sx").alias("__s"),
+        F.sum(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nj"))
+        .alias("__ssw"),
+        F.sum(F.col("sx") * F.col("sx") / F.col("nj")).alias("__sb"),
+    )
+    nn = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("__sb") - F.col("__s") * F.col("__s") / nn
+    f = (ssb / (k - 1)) / (F.col("__ssw") / (nn - k))
+    ok = (F.col("k") > 1) & (F.col("__ssw") > 0)
+    return agg.select(
+        F.when(ok, F.round(f, 6)).alias("f_stat"),
+        (F.col("k") - 1).alias("df1"),
+        (F.col("n") - F.col("k")).alias("df2"),
+        "n",
+        "k",
+    )

@@ -358,3 +358,55 @@ def label_propagation(
             labels = labels.localCheckpoint(eager=False)
     return labels.select(F.col("u").alias("node"),
                          F.col("label").alias("community"))
+
+
+def modularity(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    labels: DataFrame,
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over the
+    undirected simple graph: 1 row (n_communities, n_edges,
+    intra_edges, modularity). Q = sum over communities of
+    (e_c / m - (deg_c / (2m))^2) — the quality score that says whether
+    ``label_propagation``'s clusters beat a degree-preserving random
+    graph (Q > ~0.3 = real structure). NULL for an edgeless graph.
+
+    Scale shape: two broadcast-or-hash joins of the label table onto
+    the edge list (node-keyed), one community aggregate, one bounded
+    fold over |communities| rows — no pair enumeration anywhere.
+    """
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
+    lab = labels.select(
+        F.col(node_col).alias("__n"), F.col(community_col).alias("__c"))
+    m = e.agg(F.count(F.lit(1)).alias("__m"))
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg_c = (
+        both.join(lab.select(F.col("__n").alias("u"), "__c"), "u")
+        .groupBy("__c").agg(F.count(F.lit(1)).alias("deg_c"))
+    )
+    intra = (
+        e.join(lab.select(F.col("__n").alias("u"),
+                          F.col("__c").alias("__cu")), "u")
+        .join(lab.select(F.col("__n").alias("v"),
+                         F.col("__c").alias("__cv")), "v")
+        .filter(F.col("__cu") == F.col("__cv"))
+        .groupBy(F.col("__cu").alias("__c"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    per_c = deg_c.join(intra, "__c", "left").na.fill({"e_c": 0})
+    per_c = per_c.crossJoin(F.broadcast(m))
+    q_c = (
+        F.col("e_c") / F.col("__m")
+        - (F.col("deg_c") / (2.0 * F.col("__m")))
+        * (F.col("deg_c") / (2.0 * F.col("__m")))
+    )
+    return per_c.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.max("__m").alias("n_edges"),
+        F.sum("e_c").alias("intra_edges"),
+        F.when(F.max("__m") > 0, F.round(F.sum(q_c), 6)).alias("modularity"),
+    )

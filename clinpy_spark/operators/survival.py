@@ -1040,3 +1040,80 @@ def cox_ph_check(
         "n_times",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
     )
+
+
+def life_table(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    width: float = 90.0,
+) -> DataFrame:
+    """Actuarial life table per group over fixed-width follow-up
+    intervals: (group, interval_start, n_enter, n_events, n_censored,
+    eff_n, q, survival) — the grouped-interval estimator clinical
+    registries publish when exact event days are too granular (or too
+    identifying) to report; the interval twin of ``km_curve``.
+
+    Standard actuarial convention: withdrawals count half an interval
+    at risk, eff_n = n_enter - c/2, q = d / eff_n (0 when eff_n = 0),
+    S = prod(1 - q) over intervals so far (right-continuous at
+    interval ends; exp(sum(ln)) with the explicit zero flag, same
+    round-6 convention as km_curve).
+
+    Scale shape: one groupBy to the per-(group, interval) grid —
+    intervals are O(max follow-up / width), so every window after the
+    first aggregate runs on a bounded table.
+    """
+    per_i = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.floor(F.col(time_col) / F.lit(width)).cast("long").alias("__i"),
+            F.col(event_col).cast("int").alias("__e"),
+        )
+        .groupBy("__g", "__i")
+        .agg(
+            F.sum("__e").alias("d"),
+            F.sum(1 - F.col("__e")).alias("c"),
+        )
+    )
+    w_ord = Window.partitionBy("__g").orderBy("__i")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("__g")
+    per_i = per_i.withColumn(
+        "n_enter",
+        F.sum(F.col("d") + F.col("c")).over(tot)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    ).withColumn(
+        "eff_n", F.col("n_enter") - F.col("c") / 2.0
+    ).withColumn(
+        "q",
+        F.when(F.col("eff_n") > 0, F.col("d") / F.col("eff_n"))
+        .otherwise(F.lit(0.0)),
+    )
+    per_i = (
+        per_i.withColumn(
+            "__lsum",
+            F.sum(
+                F.when(F.col("q") < 1, F.log(1 - F.col("q")))
+                .otherwise(F.lit(0.0))
+            ).over(w_cum),
+        )
+        .withColumn(
+            "__zero",
+            F.max(F.when(F.col("q") >= 1, 1).otherwise(0)).over(w_cum),
+        )
+    )
+    return per_i.select(
+        F.col("__g").alias(group_col),
+        (F.col("__i") * F.lit(width)).alias("interval_start"),
+        "n_enter",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round("eff_n", 6).alias("eff_n"),
+        F.round("q", 6).alias("q"),
+        F.when(F.col("__zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("__lsum"), 6))
+        .alias("survival"),
+    )

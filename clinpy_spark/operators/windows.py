@@ -195,3 +195,62 @@ def cusum_changepoint(df: DataFrame, period_col: str, value_col: str) -> DataFra
         (-F.max(F.struct(F.col("__sn"), (-F.col("__p")).alias("np")))["np"])
         .alias("t_neg"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    period_col: str,
+    value_col: str,
+    season: int = 7,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a regular series
+    (period, x): per period (period, x, trend, seasonal, remainder) —
+    x = trend + seasonal + remainder where defined. The ingest-volume
+    readout that separates "weekends are slow" (seasonal) from "volume
+    is drifting" (trend) before an anomaly rule fires on the residual.
+
+    trend = centered moving average over ``trend_window`` periods,
+    defined only where the FULL window exists (edges NULL — stated,
+    matches the classical estimator). seasonal = mean of (x - trend)
+    per phase (period index mod ``season``, an engine-neutral phase —
+    not calendar day-of-week, whose numbering differs across engines),
+    centered to sum ~0 over phases by subtracting the phase-mean mean.
+    remainder = x - trend - seasonal. Rounded to 6.
+
+    Scale shape: callers aggregate to the per-period series first; the
+    moving-average window, phase means, and the final join all run on
+    |periods| rows. The phase table (``season`` rows) broadcasts.
+    """
+    half = trend_window // 2
+    base = df.select(
+        F.col(period_col).cast("double").alias("__p"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    w_ma = Window.orderBy("__p").rowsBetween(-half, half)
+    t = base.withColumn(
+        "__trend",
+        F.when(
+            F.count(F.lit(1)).over(w_ma) == trend_window,
+            F.avg("__x").over(w_ma),
+        ),
+    ).withColumn(
+        "__phase",
+        (F.row_number().over(Window.orderBy("__p")) - 1) % season,
+    )
+    det = t.withColumn("__det", F.col("__x") - F.col("__trend"))
+    ph = det.filter(F.col("__det").isNotNull()).groupBy("__phase").agg(
+        F.avg("__det").alias("__ph_raw"))
+    ctr = ph.agg(F.avg("__ph_raw").alias("__ctr"))
+    ph = ph.crossJoin(F.broadcast(ctr)).select(
+        "__phase", (F.col("__ph_raw") - F.col("__ctr")).alias("__seasonal"))
+    out = det.join(F.broadcast(ph), "__phase", "left")
+    return out.select(
+        F.col("__p").alias(period_col),
+        F.col("__x").alias(value_col),
+        F.round("__trend", 6).alias("trend"),
+        F.round("__seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("__x") - F.col("__trend") - F.col("__seasonal"), 6
+        ).alias("remainder"),
+    )

@@ -138,3 +138,63 @@ def streaming_zscore(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def period_counts_partial(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(__p, n) additive partials for one micro-batch: events per day
+    (day number = days since 1970-01-01, engine-neutral). The CUSUM
+    sufficient statistic — per-period counts add across batches."""
+    return (
+        df.select(
+            F.datediff(
+                F.to_date(F.col(ts_col)),
+                F.lit("1970-01-01").cast("date")).alias("__p"))
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def stream_period_counts(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    ts_col: str = "ts",
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Fold each micro-batch's per-day counts into the persisted
+    ``name`` table (addition-merge keyed by __p) — the maintained
+    series :func:`finalize_cusum` reads. Table size = |days observed|,
+    regardless of stream volume."""
+    import os
+
+    from clinpy_spark.streaming.fold import fold_partials
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = period_counts_partial(batch, ts_col)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["__p"], counters=["n"])
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__cusum_checkpoint__"
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_cusum(counts: DataFrame) -> DataFrame:
+    """Page's CUSUM mean-shift readout over the maintained (__p, n)
+    series — identical to the batch ``cusum_changepoint`` over the
+    same per-day counts (twin contract): 1 row (n_periods, mean_x,
+    max_cusum_pos, t_pos, max_cusum_neg, t_neg). CUSUM is a whole-
+    series statistic (not additive), but its INPUT is, so the fold
+    maintains the bounded series and the read recomputes in
+    O(|days|)."""
+    from clinpy_spark.operators.windows import cusum_changepoint
+
+    return cusum_changepoint(counts, "__p", "n")

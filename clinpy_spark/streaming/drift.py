@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 from clinpy_spark.streaming.fold import fold_partials
 
@@ -183,4 +184,45 @@ def finalize_js(
         F.max("__tr").alias("ref_n"),
         F.max("__tc").alias("cur_n"),
         F.lit(n_bins).alias("n_bins"),
+    )
+
+
+def finalize_w1(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
+    """EXACT Wasserstein-1 distance from the SAME maintained per-value
+    count tables (__v, n) the KS fold keeps — one streaming fold
+    serves both monitors: 1 row (w1, ks_d, ref_n, cur_n).
+
+    Unlike the batch ``wasserstein_binned`` (which quantile-bins for a
+    bounded grid), the maintained table IS already the per-distinct-
+    value sufficient statistic, so the streaming read computes the
+    exact empirical EMD: sum over ordered distinct values of
+    |CDF_ref - CDF_cur| * (v_{i+1} - v_i). ks_d rides along from the
+    same window. For unbounded-domain metrics the fold's ``quantize``
+    bounds the table (stated, same compromise as streaming KS).
+    """
+    tagged = (
+        ref_counts.select(
+            "__v", F.col("n").alias("na"), F.lit(0).alias("nb"))
+        .unionByName(cur_counts.select(
+            "__v", F.lit(0).alias("na"), F.col("n").alias("nb")))
+        .groupBy("__v")
+        .agg(F.sum("na").alias("na"), F.sum("nb").alias("nb"))
+    )
+    tot = tagged.agg(F.sum("na").alias("__ta"), F.sum("nb").alias("__tb"))
+    w_cum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.orderBy("__v")
+    c = (
+        tagged.crossJoin(F.broadcast(tot))
+        .withColumn("__ca", F.sum("na").over(w_cum) / F.col("__ta"))
+        .withColumn("__cb", F.sum("nb").over(w_cum) / F.col("__tb"))
+        .withColumn("__vn", F.lead("__v", 1).over(w_next))
+    )
+    gap = F.abs(F.col("__ca") - F.col("__cb"))
+    width = F.coalesce(F.col("__vn") - F.col("__v"), F.lit(0.0))
+    return c.agg(
+        F.round(F.sum(gap * width), 6).alias("w1"),
+        F.round(F.max(gap), 6).alias("ks_d"),
+        F.max("__ta").alias("ref_n"),
+        F.max("__tb").alias("cur_n"),
     )

@@ -848,3 +848,99 @@ def test_cox_ph_check_constant_hazard_ratio(spark):
         [(1, 1, 1), (2, 1, 1), (3, 0, 1)], "t long, evt int, x int")
     out2 = cox_ph_check(const, "t", "evt", "x").collect()[0]
     assert out2.beta is None and out2.rho_ph is None
+
+
+def test_life_table_textbook(spark):
+    """Hand-computed actuarial table, width 10: interval 0 has 2
+    events + 2 withdrawals of 6 entrants -> eff_n 5, q 0.4, S 0.6;
+    interval 1 inherits the 2 survivors."""
+    from clinpy_spark.operators.survival import life_table
+
+    rows = [
+        ("a", 1, 1), ("a", 5, 1), ("a", 3, 0), ("a", 8, 0),
+        ("a", 12, 1), ("a", 15, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, evt int")
+    out = {r.interval_start: r for r in
+           life_table(df, "t", "evt", "g", width=10.0).collect()}
+    i0 = out[0.0]
+    assert (i0.n_enter, i0.n_events, i0.n_censored) == (6, 2, 2)
+    assert i0.eff_n == 5.0 and i0.q == 0.4
+    assert i0.survival == pytest.approx(0.6)
+    i1 = out[10.0]
+    assert i1.n_enter == 2 and i1.eff_n == 1.5
+    assert i1.survival == pytest.approx(round(0.6 * (1 - 1 / 1.5), 6))
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    """A pure weekly sawtooth on a flat level: trend ~ level wherever
+    defined, seasonal reproduces the sawtooth (centered), remainder
+    ~ 0; edge periods (no full MA window) have NULL trend."""
+    from clinpy_spark.operators.windows import seasonal_decompose
+
+    level, pattern = 100.0, [0, 7, 14, 21, 28, 35, 42]
+    # pattern mean = 21; centered seasonal = pattern - 21
+    rows = [(float(i), level + pattern[i % 7]) for i in range(28)]
+    df = spark.createDataFrame(rows, "p double, x double")
+    out = {r.p: r for r in
+           seasonal_decompose(df, "p", "x", season=7).collect()}
+    assert out[0.0].trend is None and out[27.0].trend is None
+    mid = out[10.0]
+    assert mid.trend == pytest.approx(121.0)      # level + pattern mean
+    assert mid.seasonal == pytest.approx(pattern[3] - 21.0)
+    assert mid.remainder == pytest.approx(0.0, abs=1e-6)
+
+
+def test_modularity_two_cliques_vs_random_split(spark):
+    """Two disjoint triangles: the natural 2-community split scores
+    the known Q = 1/2 - 1/4... compute: each community e_c=3, m=6,
+    deg_c=6 -> Q = 2*(3/6 - (6/12)^2) = 0.5; a single-community
+    assignment scores Q = 1 - 1 = 0 for the same graph."""
+    from clinpy_spark.operators.graph import modularity
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    good = spark.createDataFrame(
+        [(n, 1 if n < 10 else 2) for n in (1, 2, 3, 10, 11, 12)],
+        "node long, community long")
+    out = modularity(df, "u", "v", good).collect()[0]
+    assert out.n_communities == 2 and out.n_edges == 6
+    assert out.intra_edges == 6
+    assert out.modularity == pytest.approx(0.5)
+    allone = good.select("node", F.lit(1).alias("community"))
+    out2 = modularity(df, "u", "v", allone).collect()[0]
+    assert out2.modularity == pytest.approx(0.0)
+
+
+def test_anova_oneway_closed_form(spark):
+    """Two groups with means 0 and 10, equal spread: F matches the
+    hand-computed ratio; equal-mean groups score F ~ 0; a constant
+    dataset returns NULL (ss_within = 0)."""
+    from clinpy_spark.operators.assoc import anova_oneway
+
+    rows = [("a", v) for v in (-1.0, 0.0, 1.0)] + \
+           [("b", v) for v in (9.0, 10.0, 11.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = anova_oneway(df, "x", "g").collect()[0]
+    # ssb = 2 * 3 * 5^2 = 150; ssw = 4; F = (150/1)/(4/4) = 150
+    assert out.f_stat == pytest.approx(150.0)
+    assert out.df1 == 1 and out.df2 == 4
+    const = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0)], "g string, x double")
+    assert anova_oneway(const, "x", "g").collect()[0].f_stat is None
+
+
+def test_zipf_fit_power_law_slope(spark):
+    """A corpus engineered so token frequencies follow ~1/rank fits
+    slope ~ -1 with high r2; frequencies and vocab are exact."""
+    from clinpy_spark.operators.lm import zipf_fit
+
+    words = []
+    for r in range(1, 21):
+        words += [f"tok{r:02d}"] * max(1, round(1000 / r))
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    out = zipf_fit(df, "text").collect()[0]
+    assert out.vocab_size == 20
+    assert out.n_tokens == len(words)
+    assert out.slope == pytest.approx(-1.0, abs=0.05)
+    assert out.r2 > 0.99

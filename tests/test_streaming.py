@@ -966,3 +966,92 @@ def test_streaming_js_matches_batch(spark, tmp_path):
     # edges by construction (same reference, same quantile call)
     want = js_divergence(ref_df, cur_df, "value", n_bins=n_bins).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_w1_matches_exact_emd(spark, tmp_path):
+    """Streaming W1 twin: the per-value count tables the KS fold keeps
+    yield the exact empirical earth-mover distance (hand-computed on a
+    small pair of samples), accumulated across two micro-batch files."""
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.drift import (
+        finalize_w1, stream_ks_counts, value_counts_partial,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    # ref: 0,0,10,10  cur: 5,5,15,15 -> CDF gaps: [0,5):0.5, [5,10):0,
+    # [10,15):0.5 -> W1 = 0.5*5 + 0 + 0.5*5 = 5.0; ks_d = 0.5
+    ref_vals = [0.0, 0.0, 10.0, 10.0]
+    cur_vals = [5.0, 5.0, 15.0, 15.0]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ref_df = spark.createDataFrame(
+        [(i, t(i), 1, "view", v) for i, v in enumerate(ref_vals)], schema)
+
+    for i, chunk in enumerate((cur_vals[:2], cur_vals[2:])):
+        with open(tmp_path / f"f{i}.json", "w") as fh:
+            for j, val in enumerate(chunk):
+                fh.write(json.dumps({
+                    "event_id": 100 + i * 10 + j, "ts": t(j).isoformat(),
+                    "user_id": 2, "event_type": "view", "value": val,
+                    "props": "{}",
+                }) + "\n")
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    q = stream_ks_counts(stream, cat, "w1_vals", "value",
+                         checkpoint=str(tmp_path / "ck_w1"))
+    q.awaitTermination(120)
+
+    import pytest
+
+    ref_counts = value_counts_partial(ref_df, "value")
+    out = finalize_w1(ref_counts, cat.table("w1_vals")).collect()[0]
+    assert out.w1 == pytest.approx(5.0)
+    assert out.ks_d == pytest.approx(0.5)
+    assert out.ref_n == 4 and out.cur_n == 4
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """Streaming CUSUM twin: per-day count partials folded across two
+    micro-batch files reproduce the batch cusum_changepoint over the
+    same days exactly (counts are the additive sufficient statistic;
+    the read recomputes the whole-series CUSUM on the bounded
+    series)."""
+    import pytest
+
+    from clinpy_spark.operators.windows import cusum_changepoint
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.anomaly import (
+        finalize_cusum, stream_period_counts,
+    )
+
+    day = lambda d, m: dt.datetime(2024, 1, 1 + d, 8, m)
+    # days 0-5: volumes 3,3,3,9,9,9 (level shift at day 3)
+    events = []
+    eid = 0
+    for d in range(6):
+        for m in range(3 if d < 3 else 9):
+            events.append((eid, day(d, m))); eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [(e, ts, 1, "view", 0.0) for e, ts in events]
+
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(tmp_path / f"f{i}.json", "w") as fh:
+            for eid2, ts, uid, etype, val in chunk:
+                fh.write(json.dumps({
+                    "event_id": eid2, "ts": ts.isoformat(), "user_id": uid,
+                    "event_type": etype, "value": val, "props": "{}",
+                }) + "\n")
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    q = stream_period_counts(stream, cat, "day_counts",
+                             checkpoint=str(tmp_path / "ck_cu"))
+    q.awaitTermination(120)
+
+    got = finalize_cusum(cat.table("day_counts")).collect()[0]
+    batch = spark.createDataFrame(rows, schema)
+    daily = batch.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .alias("__p")).agg(F.count(F.lit(1)).alias("n"))
+    want = cusum_changepoint(daily, "__p", "n").collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.max_cusum_pos > 0 and got.mean_x == pytest.approx(6.0)

@@ -144,6 +144,10 @@ EXPECTED_UNBOUNDED = {
                       # surv_cox_beta)
     "text_textrank",  # crossJoin vs the 1-row node-count broadcast in
                       # every unrolled power step (pagerank shape)
+    "e_seasonal_decompose",  # crossJoin vs the 1-row phase-mean
+                             # centering aggregate — constant broadcast
+    "graph_modularity",  # crossJoin vs the 1-row edge-count aggregate
+                         # (same scalar shape as graph_triangle_stats)
 }
 
 
