@@ -322,3 +322,88 @@ def merge_intervals(
         )
         .drop("__blk")
     )
+
+
+def subtract_intervals(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """bedtools-subtract semantics on CLOSED integer intervals: the
+    pieces of each A interval not covered by the union of B, per group
+    (chrom) — (id, group, start, end) with one row per surviving piece.
+    ``id_col`` must uniquely key A's rows (pieces inherit it). The
+    genomics complement primitive closing the interval algebra next to
+    merge/overlap/nearest: exon minus repeat-mask, callable minus
+    blacklist.
+
+    Plan: B first collapses to disjoint blocks (:func:`merge_intervals`
+    — so overlapping B rows can't double-cut), then each A row joins
+    its group's overlapping blocks and emits (i) the gap before each
+    block (bounded below by the running max of previous block ends —
+    the left clip), and (ii) one trailing piece after the last block;
+    A rows overlapping nothing pass through via an anti-join. Every
+    branch is a window over the per-A joined rows — no driver loops.
+
+    Scale shape: the join is keyed on the GROUP (chrom-style blocking
+    by contract, like the reference's per-chrom junction queries);
+    merged-B is block-sized. For ungrouped/pathological inputs bin
+    first (functions/intervals.py interval-join helpers).
+    """
+    blocks = merge_intervals(b, group_col, start_col, end_col).select(
+        F.col(group_col).alias("__g"),
+        F.col(start_col).alias("__bs"),
+        F.col(end_col).alias("__be"),
+    )
+    base = a.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    )
+    j = base.join(blocks, "__g").filter(
+        (F.col("__bs") <= F.col("__e")) & (F.col("__be") >= F.col("__s")))
+    w_ord = Window.partitionBy("__id").orderBy("__bs")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy("__id")
+    cut = (
+        j.withColumn(
+            "__lo",
+            F.greatest(
+                F.col("__s"),
+                F.coalesce(F.max("__be").over(w_prev) + 1, F.col("__s"))),
+        )
+        .withColumn("__hi", F.least(F.col("__e"), F.col("__bs") - 1))
+        .withColumn("__last_be", F.max("__be").over(w_all))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(F.desc("__bs"))),
+        )
+    )
+    before = cut.filter(F.col("__hi") >= F.col("__lo")).select(
+        "__id", "__g", F.col("__lo").alias("__ps"), F.col("__hi").alias("__pe"))
+    trailing = (
+        cut.filter(F.col("__rn") == 1)
+        .filter(F.col("__last_be") + 1 <= F.col("__e"))
+        .select(
+            "__id", "__g",
+            F.greatest(F.col("__s"), F.col("__last_be") + 1).alias("__ps"),
+            F.col("__e").alias("__pe"))
+    )
+    untouched = base.join(
+        j.select("__id").distinct(), "__id", "left_anti"
+    ).select("__id", "__g", F.col("__s").alias("__ps"),
+             F.col("__e").alias("__pe"))
+    return (
+        before.unionAll(trailing).unionAll(untouched)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__g").alias(group_col),
+            F.col("__ps").alias(start_col),
+            F.col("__pe").alias(end_col),
+        )
+    )

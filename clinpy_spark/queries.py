@@ -8800,6 +8800,91 @@ def text_zipf_q(spark, sf):
 
 
 
+@q("g_subtract_intervals", """
+WITH a AS (
+  SELECT o_orderkey, o_custkey % 2000 AS grp,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         + ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % 30 AS e
+  FROM orders),
+b0 AS (
+  SELECT l_partkey % 2000 AS grp,
+         datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s,
+         datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+         + ('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+                                    AS VARCHAR)), 1, 8))::BIGINT % 20 AS e
+  FROM lineitem WHERE l_linenumber = 1),
+f AS (SELECT grp, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY grp
+                    ORDER BY s ASC, e ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s)
+                  THEN 1 ELSE 0 END AS nb
+      FROM b0),
+bb AS (SELECT *, sum(nb) OVER (PARTITION BY grp ORDER BY s ASC, e ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+       FROM f),
+blocks AS (SELECT grp, min(s) AS bs, max(e) AS be FROM bb GROUP BY grp, blk),
+j AS (SELECT a.o_orderkey, a.grp, a.s, a.e, bl.bs, bl.be
+      FROM a JOIN blocks bl
+        ON a.grp = bl.grp AND bl.bs <= a.e AND bl.be >= a.s),
+cut AS (SELECT *,
+          greatest(s, coalesce(max(be) OVER (PARTITION BY o_orderkey
+            ORDER BY bs ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            + 1, s)) AS lo,
+          least(e, bs - 1) AS hi,
+          max(be) OVER (PARTITION BY o_orderkey) AS last_be,
+          row_number() OVER (PARTITION BY o_orderkey ORDER BY bs DESC) AS rn
+        FROM j),
+pieces AS (
+  SELECT o_orderkey, grp, lo AS ps, hi AS pe FROM cut WHERE hi >= lo
+  UNION ALL
+  SELECT o_orderkey, grp, greatest(s, last_be + 1) AS ps, e AS pe
+  FROM cut WHERE rn = 1 AND last_be + 1 <= e
+  UNION ALL
+  SELECT o_orderkey, grp, s AS ps, e AS pe FROM a
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM j))
+SELECT o_orderkey, grp, ps AS start_day, pe AS end_day FROM pieces
+""")
+def g_subtract_intervals_q(spark, sf):
+    # bedtools-subtract (functions/intervals.py subtract_intervals):
+    # order coverage minus the union of shipment windows, per customer
+    # bucket — the interval-complement primitive (exon minus repeat
+    # mask). B merges to disjoint blocks first; each A row emits its
+    # surviving gaps via per-A windows; untouched A passes through an
+    # anti-join. Group-keyed join = chrom-style blocking by contract.
+    from clinpy_spark.functions.intervals import subtract_intervals
+
+    o = _t(spark, sf, "orders")
+    ha = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    day_a = F.datediff(
+        F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast("long")
+    a = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 2000).alias("grp"),
+        day_a.alias("start_day"),
+        (day_a + ha % 30).alias("end_day"),
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    hb = F.conv(
+        F.substring(
+            F.md5((F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                  .cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    day_b = F.datediff(
+        F.col("l_shipdate"), F.lit("1992-01-01").cast("date")).cast("long")
+    b = li.select(
+        (F.col("l_partkey") % 2000).alias("grp"),
+        day_b.alias("start_day"),
+        (day_b + hb % 20).alias("end_day"),
+    )
+    return subtract_intervals(
+        a, b, "grp", "start_day", "end_day", "o_orderkey")
+
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -8821,6 +8906,7 @@ _PRIORITY: list[str] = [
     # r2 (28), r4 (11), r6 (3). Regenerated from CORRECTNESS_r*.json
     # by staleness (r7 verdict policy); all 50 driver slots this
     # round go to queries ABSENT from the r10 window. --
+    "g_subtract_intervals",
     "dx_anova",
     "text_zipf",
     "surv_life_table",

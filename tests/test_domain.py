@@ -1084,3 +1084,68 @@ def test_project_survival_and_logrank(spark, project):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         p.survival("t_days", "deceased", estimator="cox")
+
+
+def test_sam_scan_typed_fields_and_flags(spark, tmp_path):
+    """Synthetic SAM: header parsed into the @SQ dictionary, mandatory
+    fields typed, FLAG bits decoded, CIGAR reference span computed
+    (soft clips/insertions don't consume reference), '*' -> NULL, and
+    end_pos NULL for unmapped reads."""
+    from clinpy_spark.sources.sam import cigar_ref_span, sam_header, scan_sam
+
+    sam = "\n".join([
+        "@HD\tVN:1.6\tSO:coordinate",
+        "@SQ\tSN:chr1\tLN:248956422",
+        "@SQ\tSN:chr2\tLN:242193529",
+        "@RG\tID:rg1\tSM:sampleA",
+        "@PG\tID:bwa\tPN:bwa",
+        # mapped proper pair, 10M
+        "r1\t99\tchr1\t100\t60\t10M\t=\t200\t110\tACGTACGTAC\tIIIIIIIIII",
+        # reverse mate with soft clip + deletion: 5S10M2D5M -> span 17
+        "r2\t147\tchr1\t150\t60\t5S10M2D5M\t=\t100\t-110\t" + "A" * 20 + "\t" + "I" * 20,
+        # unmapped: flag 4, '*' placeholders
+        "r3\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII",
+        # secondary + duplicate on chr2 with skip (N): 10M100N10M -> 120
+        "r4\t1360\tchr2\t500\t0\t10M100N10M\t*\t0\t0\t*\t*",
+    ]) + "\n"
+    path = tmp_path / "toy.sam"
+    path.write_text(sam)
+
+    hdr = sam_header(spark, str(path))
+    assert hdr["sq"] == [("chr1", 248956422), ("chr2", 242193529)]
+    assert hdr["rg"] == ["rg1"] and hdr["pg"] == ["bwa"]
+
+    rows = {r.qname: r for r in scan_sam(spark, str(path)).collect()}
+    r1 = rows["r1"]
+    assert (r1.rname, r1.pos, r1.mapq) == ("chr1", 100, 60)
+    assert r1.is_paired and r1.is_proper_pair and not r1.is_reverse
+    assert r1.ref_span == 10 and r1.end_pos == 109
+    r2 = rows["r2"]
+    assert r2.is_reverse and r2.is_second
+    assert r2.ref_span == 17 and r2.end_pos == 166
+    r3 = rows["r3"]
+    assert r3.is_unmapped and r3.rname is None and r3.cigar is None
+    assert r3.end_pos is None
+    r4 = rows["r4"]
+    assert r4.is_secondary and r4.is_duplicate
+    assert r4.ref_span == 120 and r4.seq is None
+
+
+def test_subtract_intervals_pieces(spark):
+    """Closed-interval subtraction: A=[10,50] minus B blocks [20,25]
+    and [30,40] leaves [10,19], [26,29], [41,50]; overlapping B rows
+    merge before cutting; an untouched A row passes through whole; a
+    fully-covered A row vanishes."""
+    from clinpy_spark.functions.intervals import subtract_intervals
+
+    a = spark.createDataFrame(
+        [(1, "c1", 10, 50), (2, "c1", 100, 110), (3, "c2", 5, 8)],
+        "id long, g string, s long, e long")
+    b = spark.createDataFrame(
+        [("c1", 20, 23), ("c1", 22, 25), ("c1", 30, 40),
+         ("c2", 1, 9)],
+        "g string, s long, e long")
+    out = sorted(
+        (r.id, r.s, r.e)
+        for r in subtract_intervals(a, b, "g", "s", "e", "id").collect())
+    assert out == [(1, 10, 19), (1, 26, 29), (1, 41, 50), (2, 100, 110)]
