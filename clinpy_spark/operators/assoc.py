@@ -1016,3 +1016,98 @@ def anova_oneway(
         "n",
         "k",
     )
+
+
+def mendel_errors(
+    df: DataFrame,
+    variant_col: str,
+    father_col: str,
+    mother_col: str,
+    child_col: str,
+) -> DataFrame:
+    """Mendelian-inheritance error scan over trio genotype rows
+    (variant, gt_father, gt_mother, gt_child in {0,1,2}): one row per
+    variant (variant, n_trios, n_errors, error_rate, n_uninformative)
+    — the pedigree QC every family study runs before transmission
+    tests (a high error rate flags sample swaps or genotyping
+    failure).
+
+    A child genotype is an ERROR iff it requires an allele no parent
+    can transmit: hom x hom-same -> child must match the shared
+    dosage/2 rule (0x0 -> 0, 2x2 -> 2, 0x2 -> 1); a het parent can
+    transmit either allele, so only the impossible dosages count
+    (0x0 -> child 1 or 2; 0x1 -> child 2; ...). Trios with any NULL
+    genotype are n_uninformative. error_rate rounded to 6.
+
+    Scale shape: ONE classification expression + one per-variant
+    groupBy — the 100 TB trio axis reduces immediately, no joins.
+    """
+    f_ = F.col("__f")
+    m_ = F.col("__m")
+    c_ = F.col("__c")
+    base = df.select(
+        F.col(variant_col).alias("__v"),
+        F.col(father_col).cast("int").alias("__f"),
+        F.col(mother_col).cast("int").alias("__m"),
+        F.col(child_col).cast("int").alias("__c"),
+    )
+    complete = f_.isNotNull() & m_.isNotNull() & c_.isNotNull()
+    # min/max transmittable dosage: each parent contributes 0 or 1 alt
+    # allele; hom-ref forces 0, hom-alt forces 1, het allows either.
+    lo = (f_ / 2).cast("int") + (m_ / 2).cast("int")          # floor(gt/2)
+    hi = F.least(f_, F.lit(1)) + F.least(m_, F.lit(1))        # min(gt,1)
+    err = complete & ((c_ < lo) | (c_ > hi))
+    return (
+        base.groupBy(F.col("__v").alias(variant_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_trios"),
+            F.sum(F.when(err, 1).otherwise(0)).alias("n_errors"),
+            F.sum(F.when(~complete, 1).otherwise(0)).alias("n_uninformative"),
+        )
+        .withColumn(
+            "error_rate",
+            F.when(
+                F.col("n_trios") > F.col("n_uninformative"),
+                F.round(
+                    F.col("n_errors")
+                    / (F.col("n_trios") - F.col("n_uninformative")), 6),
+            ),
+        )
+    )
+
+
+def polygenic_score(
+    geno: DataFrame,
+    weights: DataFrame,
+    sample_col: str,
+    variant_col: str,
+    gt_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Polygenic risk score per sample: PRS = sum over scored variants
+    of dosage * weight — (sample, prs, n_variants_scored) with prs
+    rounded to 6. The standard clinical aggregation of a published
+    GWAS weight table onto a cohort's genotypes (the reference's
+    variant store is exactly the join target, variants.py gt model).
+
+    Variants absent from the weight table simply don't score (inner
+    join); missing genotypes contribute nothing. The weight table is
+    broadcast when small (the usual case: 1e2-1e6 rows vs a 100 TB
+    genotype corpus); the genotype axis streams through one join + one
+    per-sample aggregate.
+    """
+    w = weights.select(
+        F.col(variant_col).alias("__v"), F.col(weight_col).alias("__w"))
+    g = geno.select(
+        F.col(sample_col).alias("__s"),
+        F.col(variant_col).alias("__v"),
+        F.col(gt_col).cast("double").alias("__gt"),
+    ).filter(F.col("__gt").isNotNull())
+    return (
+        g.join(F.broadcast(w), "__v")
+        .groupBy(F.col("__s").alias(sample_col))
+        .agg(
+            F.round(F.sum(F.col("__gt") * F.col("__w")), 6).alias("prs"),
+            F.count(F.lit(1)).alias("n_variants_scored"),
+        )
+    )

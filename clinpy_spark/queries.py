@@ -8885,6 +8885,90 @@ def g_subtract_intervals_q(spark, sf):
 
 
 
+@q("gx_mendel", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+r AS (SELECT variant,
+             CAST((c_custkey - 1) // 3 AS BIGINT) AS trio,
+             (c_custkey - 1) % 3 AS role, gt
+      FROM g),
+tt AS (SELECT variant, trio,
+              max(CASE WHEN role = 0 THEN gt END) AS gtf,
+              max(CASE WHEN role = 1 THEN gt END) AS gtm,
+              max(CASE WHEN role = 2 THEN gt END) AS gtc
+       FROM r GROUP BY variant, trio),
+cl AS (SELECT variant,
+              gtf IS NOT NULL AND gtm IS NOT NULL AND gtc IS NOT NULL AS complete,
+              CASE WHEN gtf IS NOT NULL AND gtm IS NOT NULL AND gtc IS NOT NULL
+                    AND (gtc < CAST(gtf / 2 AS INT) + CAST(gtm / 2 AS INT)
+                         OR gtc > LEAST(gtf, 1) + LEAST(gtm, 1))
+                   THEN 1 ELSE 0 END AS err
+       FROM tt)
+SELECT variant, CAST(count(*) AS BIGINT) AS n_trios,
+       CAST(sum(err) AS BIGINT) AS n_errors,
+       CAST(sum(CASE WHEN complete THEN 0 ELSE 1 END) AS BIGINT) AS n_uninformative,
+       CASE WHEN count(*) > sum(CASE WHEN complete THEN 0 ELSE 1 END)
+            THEN round(sum(err) / CAST(count(*)
+                 - sum(CASE WHEN complete THEN 0 ELSE 1 END) AS DOUBLE), 6)
+       END AS error_rate
+FROM cl GROUP BY variant
+""")
+def gx_mendel_q(spark, sf):
+    # Mendelian-error scan (operators/assoc.py mendel_errors) over
+    # synthetic trios carved from the genotype grid (consecutive
+    # custkeys as father/mother/child): a child dosage outside the
+    # transmittable range [floor(f/2)+floor(m/2), min(f,1)+min(m,1)]
+    # is an error — the pedigree QC before any transmission test. One
+    # classification expression + one per-variant groupBy.
+    from clinpy_spark.operators.assoc import mendel_errors
+
+    g = _grid_geno(spark, sf).select(
+        "variant",
+        ((F.col("c_custkey") - 1) / 3).cast("long").alias("trio"),
+        ((F.col("c_custkey") - 1) % 3).alias("role"),
+        "gt",
+    )
+    tt = g.groupBy("variant", "trio").agg(
+        F.max(F.when(F.col("role") == 0, F.col("gt"))).alias("gtf"),
+        F.max(F.when(F.col("role") == 1, F.col("gt"))).alias("gtm"),
+        F.max(F.when(F.col("role") == 2, F.col("gt"))).alias("gtc"),
+    )
+    return mendel_errors(tt, "variant", "gtf", "gtm", "gtc")
+
+
+@q("gx_prs", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+w AS (SELECT DISTINCT variant,
+             ((('0x' || substr(md5('w' || CAST(variant AS VARCHAR)), 1, 8))::BIGINT
+               % 2001) - 1000) / 1000.0 AS wt
+      FROM g)
+SELECT c_custkey, round(sum(gt * wt), 6) AS prs,
+       CAST(count(*) AS BIGINT) AS n_variants_scored
+FROM g JOIN w USING (variant)
+GROUP BY c_custkey
+""")
+def gx_prs_q(spark, sf):
+    # Polygenic risk score (operators/assoc.py polygenic_score): a
+    # hash-derived 3-decimal GWAS weight per variant, broadcast onto
+    # the genotype grid, one per-sample aggregate — the standard
+    # clinical PRS join (weight tables are small; the genotype corpus
+    # is the 100 TB axis and streams through once).
+    from clinpy_spark.operators.assoc import polygenic_score
+
+    g = _grid_geno(spark, sf)
+    wt = (
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("variant").cast("string"))),
+                1, 8),
+            16, 10).cast("long") % 2001 - 1000) / 1000.0
+    )
+    weights = g.select("variant").distinct().select(
+        "variant", wt.alias("wt"))
+    return polygenic_score(
+        g, weights, "c_custkey", "variant", "gt", "wt")
+
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -8906,6 +8990,8 @@ _PRIORITY: list[str] = [
     # r2 (28), r4 (11), r6 (3). Regenerated from CORRECTNESS_r*.json
     # by staleness (r7 verdict policy); all 50 driver slots this
     # round go to queries ABSENT from the r10 window. --
+    "gx_mendel",
+    "gx_prs",
     "g_subtract_intervals",
     "dx_anova",
     "text_zipf",

@@ -944,3 +944,52 @@ def test_zipf_fit_power_law_slope(spark):
     assert out.n_tokens == len(words)
     assert out.slope == pytest.approx(-1.0, abs=0.05)
     assert out.r2 > 0.99
+
+
+def test_mendel_errors_classification(spark):
+    """Every impossible trio combination is flagged, every possible
+    one passes: 0x0->1 err, 0x0->0 ok, 0x2->1 ok, 0x2->0 err,
+    0x2->2 err, 2x2->2 ok, 2x2->1 err, 1x1->anything ok, 0x1->2 err;
+    a NULL genotype is uninformative, never an error."""
+    from clinpy_spark.operators.assoc import mendel_errors
+
+    rows = [
+        (1, 0, 0, 1, True), (2, 0, 0, 0, False),
+        (3, 0, 2, 1, False), (4, 0, 2, 0, True), (5, 0, 2, 2, True),
+        (6, 2, 2, 2, False), (7, 2, 2, 1, True),
+        (8, 1, 1, 0, False), (9, 1, 1, 2, False),
+        (10, 0, 1, 2, True), (11, 0, 1, 1, False),
+        (12, None, 1, 1, None),
+    ]
+    df = spark.createDataFrame(
+        [(v, f, m, c) for v, f, m, c, _ in rows],
+        "v long, f int, m int, c int")
+    out = {r.v: r for r in
+           mendel_errors(df, "v", "f", "m", "c").collect()}
+    for v, f, m, c, want_err in rows:
+        r = out[v]
+        if want_err is None:
+            assert r.n_uninformative == 1 and r.n_errors == 0
+            assert r.error_rate is None
+        else:
+            assert r.n_errors == (1 if want_err else 0), (v, f, m, c)
+            assert r.error_rate == (1.0 if want_err else 0.0)
+
+
+def test_polygenic_score_hand_computed(spark):
+    """PRS = sum(dosage * weight) over the scored variants only;
+    unweighted variants and NULL genotypes don't contribute."""
+    from clinpy_spark.operators.assoc import polygenic_score
+
+    geno = spark.createDataFrame(
+        [("s1", 1, 2), ("s1", 2, 1), ("s1", 3, 2), ("s2", 1, 0),
+         ("s2", 2, None)],
+        "s string, v long, gt int")
+    weights = spark.createDataFrame(
+        [(1, 0.5), (2, -0.25)], "v long, w double")
+    out = {r.s: r for r in
+           polygenic_score(geno, weights, "s", "v", "gt", "w").collect()}
+    assert out["s1"].prs == pytest.approx(2 * 0.5 + 1 * -0.25)
+    assert out["s1"].n_variants_scored == 2   # variant 3 unweighted
+    assert out["s2"].prs == pytest.approx(0.0)
+    assert out["s2"].n_variants_scored == 1   # NULL gt dropped

@@ -148,6 +148,11 @@ EXPECTED_UNBOUNDED = {
                              # centering aggregate — constant broadcast
     "graph_modularity",  # crossJoin vs the 1-row edge-count aggregate
                          # (same scalar shape as graph_triangle_stats)
+    "gx_mendel",  # the CONSTANT 200-row broadcast variant-range grid
+                  # expansion (same shape as gx_ld_r2); trio pivot is
+                  # one groupBy
+    "gx_prs",  # same constant grid expansion; the weight join is a
+               # broadcast HASH join by design
 }
 
 
