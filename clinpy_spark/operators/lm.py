@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _tok_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -150,63 +149,3 @@ def trigram_interpolated_surprisal(
         .withColumnRenamed("__id", id_col)
     )
 
-
-def zipf_fit(
-    df: DataFrame,
-    text_col: str = "text",
-) -> DataFrame:
-    """Zipf-law fit over the corpus vocabulary: 1 row (slope,
-    intercept, r2, vocab_size, n_tokens) — OLS of ln(freq) on
-    ln(rank). A healthy natural-language corpus fits slope ~ -1;
-    boilerplate-heavy or template-generated corpora flatten or steepen
-    the tail, so the slope is a cheap corpus-health monitor alongside
-    the Gopher rules.
-
-    Ranks are frequency ranks with a DETERMINISTIC tie-break (higher
-    count first, then token ascending), so the fit is a closed
-    function of the corpus. OLS by the exact moment identities over
-    the |vocab|-row table; r2 = corr^2. NULL slope when the vocabulary
-    has < 2 distinct frequencies' worth of spread (variance 0).
-    Rounded to 6.
-
-    Scale shape: one token explode + count groupBy (the 100 TB axis
-    reduces immediately), then every moment runs over the bounded
-    vocabulary table; the rank window is vocab-sized.
-    """
-    from clinpy_spark.functions.text import norm_tokens
-
-    counts = (
-        df.select(F.explode(norm_tokens(F.col(text_col))).alias("__t"))
-        .filter(F.length("__t") > 0)
-        .groupBy("__t")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    w = Window.orderBy(F.desc("__n"), F.asc("__t"))
-    xy = counts.withColumn("__r", F.row_number().over(w)).select(
-        F.log(F.col("__r").cast("double")).alias("__x"),
-        F.log(F.col("__n").cast("double")).alias("__y"),
-        "__n",
-    )
-    agg = xy.agg(
-        F.count(F.lit(1)).alias("vocab_size"),
-        F.sum("__n").alias("n_tokens"),
-        F.sum("__x").alias("sx"),
-        F.sum("__y").alias("sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
-        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
-        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
-    )
-    nn = F.col("vocab_size").cast("double")
-    vx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = nn * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = nn * F.col("sxy") - F.col("sx") * F.col("sy")
-    slope = cov / vx
-    intercept = (F.col("sy") - slope * F.col("sx")) / nn
-    return agg.select(
-        F.when(vx > 0, F.round(slope, 6)).alias("slope"),
-        F.when(vx > 0, F.round(intercept, 6)).alias("intercept"),
-        F.when((vx > 0) & (vy > 0), F.round(cov * cov / (vx * vy), 6))
-        .alias("r2"),
-        "vocab_size",
-        "n_tokens",
-    )

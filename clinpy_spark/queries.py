@@ -8759,47 +8759,6 @@ def dx_anova_q(spark, sf):
         _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority")
 
 
-@q("text_zipf", """
-WITH ntoks AS (
-  SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
-  FROM documents),
-tt AS (SELECT unnest(tk) AS t FROM ntoks),
-c AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tt
-      WHERE len(t) > 0 GROUP BY t),
-r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, t ASC) AS DOUBLE)) AS x,
-             ln(CAST(n AS DOUBLE)) AS y, n
-      FROM c),
-a AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
-             CAST(sum(n) AS BIGINT) AS n_tokens,
-             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
-             sum(y * y) AS syy, sum(x * y) AS sxy
-      FROM r),
-v AS (SELECT *,
-             CAST(vocab_size AS DOUBLE) * sxx - sx * sx AS vx,
-             CAST(vocab_size AS DOUBLE) * syy - sy * sy AS vy,
-             CAST(vocab_size AS DOUBLE) * sxy - sx * sy AS cov
-      FROM a)
-SELECT CASE WHEN vx > 0 THEN round(cov / vx, 6) END AS slope,
-       CASE WHEN vx > 0
-            THEN round((sy - (cov / vx) * sx) / CAST(vocab_size AS DOUBLE), 6)
-       END AS intercept,
-       CASE WHEN vx > 0 AND vy > 0
-            THEN round(cov * cov / (vx * vy), 6) END AS r2,
-       vocab_size, n_tokens
-FROM v
-""")
-def text_zipf_q(spark, sf):
-    # Zipf-law fit over the corpus vocabulary (operators/lm.py
-    # zipf_fit): OLS of ln(freq) on ln(rank) with a deterministic
-    # frequency-rank tie-break — slope ~ -1 is healthy natural
-    # language; template-generated corpora flatten the tail. The token
-    # explode reduces to the bounded vocab table immediately.
-    from clinpy_spark.operators.lm import zipf_fit
-
-    return zipf_fit(_t(spark, sf, "documents"), "text")
-
-
-
 @q("g_subtract_intervals", """
 WITH a AS (
   SELECT o_orderkey, o_custkey % 2000 AS grp,
@@ -8994,7 +8953,6 @@ _PRIORITY: list[str] = [
     "gx_prs",
     "g_subtract_intervals",
     "dx_anova",
-    "text_zipf",
     "surv_life_table",
     "e_seasonal_decompose",
     "graph_modularity",

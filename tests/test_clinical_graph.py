@@ -930,22 +930,6 @@ def test_anova_oneway_closed_form(spark):
     assert anova_oneway(const, "x", "g").collect()[0].f_stat is None
 
 
-def test_zipf_fit_power_law_slope(spark):
-    """A corpus engineered so token frequencies follow ~1/rank fits
-    slope ~ -1 with high r2; frequencies and vocab are exact."""
-    from clinpy_spark.operators.lm import zipf_fit
-
-    words = []
-    for r in range(1, 21):
-        words += [f"tok{r:02d}"] * max(1, round(1000 / r))
-    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
-    out = zipf_fit(df, "text").collect()[0]
-    assert out.vocab_size == 20
-    assert out.n_tokens == len(words)
-    assert out.slope == pytest.approx(-1.0, abs=0.05)
-    assert out.r2 > 0.99
-
-
 def test_mendel_errors_classification(spark):
     """Every impossible trio combination is flagged, every possible
     one passes: 0x0->1 err, 0x0->0 ok, 0x2->1 ok, 0x2->0 err,
