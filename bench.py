@@ -71,6 +71,10 @@ TIER2 = [
     # the 5-step unrolled PageRank (heaviest of the new family)
     "gx_ld_r2",
     "graph_pagerank",
+    # round-11 flagships: the variant-keyed kinship pair join (heaviest
+    # of the new genetics family) and the thermometer-Hamming code scan
+    "gx_king_kinship",
+    "sim_topk_hamming",
 ]
 
 
