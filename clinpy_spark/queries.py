@@ -8035,7 +8035,8 @@ def surv_cox_beta_q(spark, sf):
 
 @q("gx_king_kinship", f"""
 WITH g AS ({_GRID_GENO_SQL}),
-s AS (SELECT c_custkey AS smp, variant, gt FROM g WHERE c_custkey % 67 = 0),
+s AS (SELECT c_custkey AS smp, variant, gt FROM g
+     WHERE c_custkey % 67 = 0 AND c_custkey <= 15000),
 p AS (SELECT a.smp AS s1, b.smp AS s2,
              CAST(count(*) AS BIGINT) AS n_shared,
              CAST(sum(CASE WHEN a.gt = 1 AND b.gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_het,
@@ -8069,7 +8070,13 @@ def gx_king_kinship_q(spark, sf):
     # output size.
     from clinpy_spark.operators.assoc import king_kinship
 
-    g = _grid_geno(spark, sf).filter(F.col("c_custkey") % 67 == 0)
+    # Phenotype cohorts are bounded by ENROLLMENT, not corpus growth:
+    # pin the screen to the first 15000 custkeys (the full population
+    # at sf <= 0.1) so the intrinsically-quadratic pair count stays a
+    # cohort property — at sf1 the sweep otherwise fits alpha 1.6 on
+    # what is really "you asked for 10x more samples".
+    g = _grid_geno(spark, sf).filter(
+        (F.col("c_custkey") % 67 == 0) & (F.col("c_custkey") <= 15000))
     return king_kinship(g, "c_custkey", "variant", "gt")
 
 
