@@ -8949,13 +8949,15 @@ def gx_prs_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r11 window: the new oracled query (surv_logrank_k) first,
-    # then the 7 rows-only ANN emitters that have never had a driver
-    # record (their oracled recall gates are recorded separately),
-    # then the stalest oracled queries - most-recent driver record
-    # r2 (28), r4 (11), r6 (3). Regenerated from CORRECTNESS_r*.json
-    # by staleness (r7 verdict policy); all 50 driver slots this
-    # round go to queries ABSENT from the r10 window. --
+    # -- r11 window: the 27 session-2 oracled additions first (their
+    # first driver record: clinical Cox/PH/life-table, KING/CMH/
+    # Tajima/Mendel/PRS genetics, Mann-Whitney/ANOVA/Levene,
+    # Adamic-Adar/LPA/modularity graph ops, JS/W1 drift, CUSUM/
+    # seasonal series ops, Hamming recall gate, containment dedup,
+    # TextRank, interval subtraction), then the r11 session-1
+    # additions, then the stalest oracled queries by most-recent
+    # driver record (r7 verdict staleness policy); all 50 driver
+    # slots go to queries ABSENT from the r10 window. --
     "gx_mendel",
     "gx_prs",
     "g_subtract_intervals",

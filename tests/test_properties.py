@@ -1183,3 +1183,116 @@ def test_roh_runs_equal_python_reference(spark, rows, min_sites):
         if len(run) >= min_sites:
             exp[(s, c, run[0])] = (run[-1], len(run))
     assert got == exp
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    a=st.lists(st.tuples(st.integers(0, 200), st.integers(0, 40)),
+               min_size=1, max_size=8),
+    b=st.lists(st.tuples(st.integers(0, 200), st.integers(0, 40)),
+               min_size=0, max_size=8),
+)
+def test_subtract_intervals_equals_pointwise_complement(spark, a, b):
+    """On arbitrary closed integer intervals, the relational
+    subtraction covers EXACTLY the integer points of A not covered by
+    any B interval, with pieces disjoint per A row (checked against a
+    naive per-point set computation)."""
+    from clinpy_spark.functions.intervals import subtract_intervals
+
+    a_rows = [(i, "g", s, s + ln) for i, (s, ln) in enumerate(a)]
+    b_rows = [("g", s, s + ln) for s, ln in b]
+    adf = spark.createDataFrame(a_rows, "id long, g string, s long, e long")
+    bdf = (spark.createDataFrame(b_rows, "g string, s long, e long")
+           if b_rows else
+           spark.createDataFrame([], "g string, s long, e long"))
+    out = subtract_intervals(adf, bdf, "g", "s", "e", "id").collect()
+    covered_b = set()
+    for s, ln in b:
+        covered_b.update(range(s, s + ln + 1))
+    got: dict[int, set] = {}
+    for r in out:
+        pts = set(range(r.s, r.e + 1))
+        assert r.e >= r.s
+        assert not (pts & got.get(r.id, set())), "pieces overlap"
+        got.setdefault(r.id, set()).update(pts)
+    for i, (s, ln) in enumerate(a):
+        want = set(range(s, s + ln + 1)) - covered_b
+        assert got.get(i, set()) == want, (i, s, ln)
+
+
+@settings(max_examples=12, deadline=None)
+@given(xs=st.lists(st.integers(0, 50), min_size=1, max_size=20))
+def test_cusum_equals_recursive_definition(spark, xs):
+    """The window-algebra CUSUM equals the textbook recursion
+    S+_t = max(0, S+_{t-1} + (x_t - mu)) computed sequentially (and
+    the mirrored S-), including argmax tie-breaks to the earliest
+    period."""
+    import pytest
+
+    from clinpy_spark.operators.windows import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [(float(i), x) for i, x in enumerate(xs)], "p double, x long")
+    out = cusum_changepoint(df, "p", "x").collect()[0]
+    mu = sum(xs) / len(xs)
+    sp = sn = 0.0
+    best_p = (0.0, 0); best_n = (0.0, 0)
+    for t, x in enumerate(xs):
+        sp = max(0.0, sp + (x - mu))
+        sn = max(0.0, sn + (mu - x))
+        if sp > best_p[0] + 1e-9:
+            best_p = (sp, t)
+        if sn > best_n[0] + 1e-9:
+            best_n = (sn, t)
+    assert out.max_cusum_pos == pytest.approx(round(best_p[0], 6), abs=1e-6)
+    assert out.max_cusum_neg == pytest.approx(round(best_n[0], 6), abs=1e-6)
+    assert out.t_pos == float(best_p[1])
+    assert out.t_neg == float(best_n[1])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    va=st.lists(st.integers(0, 30), min_size=1, max_size=15),
+    vb=st.lists(st.integers(0, 30), min_size=1, max_size=15),
+)
+def test_mann_whitney_u_sum_identity(spark, va, vb):
+    """U_a + U_b = n_a * n_b for any two samples (with midranks), and
+    the statistic is invariant under a strictly monotone transform of
+    the values (rank-based by construction)."""
+    import pytest
+
+    from clinpy_spark.operators.assoc import mann_whitney_u
+
+    rows = [("a", float(v)) for v in va] + [("b", float(v)) for v in vb]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ra = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    rb = mann_whitney_u(df, "v", "g", "b", "a").collect()[0]
+    assert ra.u_a + rb.u_a == pytest.approx(len(va) * len(vb))
+    mono = df.select("g", (F.col("v") * 3 + 100).alias("v"))
+    rm = mann_whitney_u(mono, "v", "g", "a", "b").collect()[0]
+    assert rm.u_a == ra.u_a and rm.z == ra.z
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    trios=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2), st.integers(0, 2)),
+        min_size=1, max_size=20),
+)
+def test_mendel_errors_match_allele_enumeration(spark, trios):
+    """The closed-form transmittable-range rule agrees with brute-force
+    enumeration of parental allele transmissions for every genotype
+    combination."""
+    from clinpy_spark.operators.assoc import mendel_errors
+
+    def possible(f, m, c):
+        fa = {0: [0], 1: [0, 1], 2: [1]}[f]
+        ma = {0: [0], 1: [0, 1], 2: [1]}[m]
+        return c in {x + y for x in fa for y in ma}
+
+    rows = [(i, f, m, c) for i, (f, m, c) in enumerate(trios)]
+    df = spark.createDataFrame(rows, "v long, f int, m int, c int")
+    out = {r.v: r.n_errors for r in
+           mendel_errors(df, "v", "f", "m", "c").collect()}
+    for i, (f, m, c) in enumerate(trios):
+        assert out[i] == (0 if possible(f, m, c) else 1), (f, m, c)
