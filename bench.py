@@ -75,6 +75,12 @@ TIER2 = [
     # of the new genetics family) and the thermometer-Hamming code scan
     "gx_king_kinship",
     "sim_topk_hamming",
+    # round-11 session-3 flagships: the 4-step IRLS logistic fit (grid
+    # construction dominates), the DSIR importance-selection head (two
+    # corpus token passes), and the stratum-partitioned Cox MLE
+    "dx_logistic",
+    "curate_dsir_head",
+    "surv_cox_strat",
 ]
 
 

@@ -322,6 +322,77 @@ class Variants(Assay):
         )
         return fst_from_counts(per_v)
 
+    def sfs(
+        self,
+        rna: bool = False,
+        filtered: bool = False,
+        cohort_size: int | None = None,
+        folded: bool = True,
+    ) -> DataFrame:
+        """Site frequency spectrum over the project's genotypes
+        (operators/assoc.py sfs_from_counts): the minor-allele-count
+        histogram whose shape summarizes the cohort's demography. AC
+        comes from the non-ref mapping rows, AN from the cohort size —
+        the implicit-hom-ref arithmetic shared by :meth:`hwe` and
+        :meth:`association` (no genotype-matrix materialization)."""
+        from clinpy_spark.operators.assoc import sfs_from_counts
+
+        d = self._dosage(rna, filtered)
+        n = cohort_size or self._cohort_size(d)
+        per_v = d.groupBy(F.col("variant_id").alias("variant")).agg(
+            F.sum("__dose").alias("__ac")
+        ).select("variant", "__ac", F.lit(2 * n).alias("__an"))
+        return sfs_from_counts(per_v, folded=folded)
+
+    def fisher_exact(
+        self,
+        variant_id,
+        case_samples: list[str],
+        rna: bool = False,
+        filtered: bool = False,
+        cohort_size: int | None = None,
+        n_case: int | None = None,
+    ) -> DataFrame:
+        """Fisher's EXACT carrier-vs-phenotype test for ONE variant
+        (operators/assoc.py fisher_exact_from_counts): the small-count
+        rare-variant association :meth:`association`'s chi-square
+        family cannot give when expected cells are tiny. Carriers are
+        subjects with any non-ref call at the variant; non-carrier
+        cells derive arithmetically from the phenotype margins (same
+        cohort/margin rules as :meth:`association`)."""
+        from clinpy_spark.operators.assoc import fisher_exact_from_counts
+
+        d = self._dosage(rna, filtered)
+        n_all = cohort_size or self._cohort_size(d)
+        if n_case is None:
+            if cohort_size is not None:
+                st = self.db.table("samples")
+                id_col = ("samplename" if "samplename" in st.columns
+                          else "sample_id")
+                known = st.select(F.col(id_col).alias("samplename"))
+            else:
+                known = d.select("samplename")
+            n_case = (
+                known.filter(F.col("samplename").isin(case_samples))
+                .distinct().count()
+            )
+        n_ctrl = n_all - n_case
+        is_case = F.col("samplename").isin(case_samples)
+        carriers = d.filter(
+            (F.col("variant_id") == F.lit(variant_id))
+            & (F.col("__dose") > 0))
+        counts = carriers.agg(
+            F.countDistinct(
+                F.when(is_case, F.col("samplename"))).alias("a"),
+            F.countDistinct(
+                F.when(~is_case, F.col("samplename"))).alias("b"),
+        ).select(
+            "a", "b",
+            (F.lit(n_case) - F.col("a")).alias("c"),
+            (F.lit(n_ctrl) - F.col("b")).alias("d"),
+        )
+        return fisher_exact_from_counts(counts)
+
     def list_impacts(self, rna: bool = False, filtered: bool = False) -> list[str]:
         """Impact-table column names, for building filter dicts
         (reference variants.py:38-43 — schema reflection; here the

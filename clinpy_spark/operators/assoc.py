@@ -1111,3 +1111,857 @@ def polygenic_score(
             F.count(F.lit(1)).alias("n_variants_scored"),
         )
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test across k groups: 1 row (h, h_corrected,
+    df, n, n_groups, n_ties) — the k-group generalization of
+    ``mann_whitney_u`` (rank-based one-way ANOVA; the nonparametric
+    sibling of ``anova_oneway`` when normality/equal-variance fail the
+    ``brown_forsythe`` precondition).
+
+    H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) over pooled midranks,
+    tie-corrected H_c = H / (1 - sum(t^3-t)/(N^3-N)); df = k-1.
+    h_corrected is NULL when all values are tied (correction factor 0).
+
+    Scale shape: midranks from the PER-(value, group) aggregate, so
+    the ordered cumulative window runs over |distinct values| rows
+    (computed once for the pooled sample, shared by every group), then
+    one k-row grouped aggregate — the same bounded-grid compromise as
+    ``mann_whitney_u``; midrank sums are EXACT (half-integers).
+    Null-group/null-value rows are excluded.
+    """
+    per_vg = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(value_col).alias("__v"), F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    per_val = per_vg.groupBy("__v").agg(F.sum("__c").alias("__cv"))
+    ranked_val = per_val.withColumn(
+        "__before",
+        F.coalesce(F.sum("__cv").over(w_prev), F.lit(0)).cast("double"),
+    ).withColumn(
+        "__midrank",
+        F.col("__before") + (F.col("__cv").cast("double") + 1) / 2,
+    )
+    per_g = (
+        per_vg.join(ranked_val.select("__v", "__midrank"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__c").cast("double") * F.col("__midrank"))
+            .alias("__rg"),
+            F.sum("__c").alias("__ng"),
+        )
+    )
+    cv = F.col("__cv").cast("double")
+    ties = per_val.agg(
+        F.sum(cv * cv * cv - cv).alias("__tie"),
+        F.sum(F.when(F.col("__cv") > 1, 1).otherwise(0)).alias("n_ties"),
+    )
+    agg = per_g.agg(
+        F.sum(F.col("__rg") * F.col("__rg") / F.col("__ng")).alias("__s"),
+        F.sum("__ng").alias("n"),
+        F.count(F.lit(1)).alias("n_groups"),
+    ).crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    h = 12.0 / (nn * (nn + 1)) * F.col("__s") - 3 * (nn + 1)
+    corr = 1 - F.col("__tie") / (nn * nn * nn - nn)
+    return agg.select(
+        F.round(h, 6).alias("h"),
+        F.when(corr > 0, F.round(h / corr, 6)).alias("h_corrected"),
+        (F.col("n_groups") - 1).cast("long").alias("df"),
+        "n",
+        "n_groups",
+        "n_ties",
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation: 1 row (rho, n, n_ties_x, n_ties_y) —
+    Pearson correlation of midranks, the monotone-association readout
+    that survives outliers/skew where raw Pearson (``group_trends``
+    corr) doesn't.
+
+    Scale shape: each column's midranks come from its own
+    per-distinct-value aggregate (window over |distinct| rows), joined
+    back by value — two narrow shuffles + one final 1-row moment
+    aggregate. Midranks are half-integers, so every sum of ranks and
+    rank-squares is EXACT in doubles; only the final normalized ratio
+    is rounded (6 dp). NULL rho when either column is constant. Rows
+    null in either column are excluded (pairwise-complete).
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+
+    def midranks(col: str, out: str, tie_out: str):
+        per = base.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c"))
+        w_prev = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1)
+        ranked = per.withColumn(
+            "__before",
+            F.coalesce(F.sum("__c").over(w_prev), F.lit(0)).cast("double"),
+        ).select(
+            F.col("__v"),
+            (F.col("__before") + (F.col("__c").cast("double") + 1) / 2)
+            .alias(out),
+        )
+        ties = per.agg(
+            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).alias(tie_out))
+        return ranked, ties
+
+    rx, tx = midranks("__x", "__rx", "n_ties_x")
+    ry, ty = midranks("__y", "__ry", "n_ties_y")
+    j = (
+        base.join(rx.withColumnRenamed("__v", "__x"), "__x")
+        .join(ry.withColumnRenamed("__v", "__y"), "__y")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").alias("sx"),
+        F.sum("__ry").alias("sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    den_x = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    num = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.when(
+                (den_x > 0) & (den_y > 0),
+                F.round(num / F.sqrt(den_x * den_y), 6),
+            ).alias("rho"),
+            "n",
+            "n_ties_x",
+            "n_ties_y",
+        )
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes: 1 row (n_pairs, b, c,
+    chi2_cc, or_paired) — did the per-subject flag flip
+    asymmetrically between two conditions (before/after a release,
+    treated/untreated eye, first/second half of a funnel)? Only the
+    DISCORDANT pairs carry information: b = (1 -> 0), c = (0 -> 1),
+    continuity-corrected chi2 = (|b-c|-1)^2/(b+c) (1 dof), matched
+    odds ratio b/c.
+
+    chi2 is NULL when b + c = 0 (no discordance), or_paired NULL when
+    c = 0. Input is one row per subject with two 0/1 (or boolean)
+    columns — a single 1-row aggregate, no join, no window.
+    """
+    b1 = F.col(before_col).cast("int")
+    a1 = F.col(after_col).cast("int")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when((b1 == 1) & (a1 == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((b1 == 0) & (a1 == 1), 1).otherwise(0)).alias("c"),
+    )
+    bb = F.col("b").cast("double")
+    cc = F.col("c").cast("double")
+    disc = bb + cc
+    num = (F.abs(bb - cc) - 1) * (F.abs(bb - cc) - 1)
+    return agg.select(
+        "n_pairs",
+        "b",
+        "c",
+        F.when(disc > 0, F.round(num / disc, 6)).alias("chi2_cc"),
+        F.when(cc > 0, F.round(bb / cc, 6)).alias("or_paired"),
+    )
+
+
+def tdt_test(
+    trios: DataFrame,
+    variant_col: str,
+    father_col: str,
+    mother_col: str,
+    child_col: str,
+) -> DataFrame:
+    """Transmission disequilibrium test per variant over genotyped
+    trios: (variant, n_informative_trios, b_transmitted,
+    c_untransmitted, tdt_chi2) — the family-based association test
+    that is immune to population stratification (the confounder
+    ``cmh_test`` adjusts for in case/control designs). Input is the
+    per-trio dosage table ``mendel_errors`` consumes: one row per
+    (variant, trio) with father/mother/child alt-dosages in {0,1,2}.
+
+    Homozygous parents transmit deterministically (floor(gt/2) alt
+    alleles); heterozygous parents are the informative ones. For a
+    Mendel-CONSISTENT trio, alt transmissions from het parents
+    b_trio = child - floor(f/2) - floor(m/2), untransmitted
+    c_trio = (#het parents) - b_trio; McNemar-form chi2 =
+    (b - c)^2 / (b + c) (1 dof) over the per-variant sums.
+    Mendel-inconsistent or incomplete trios are excluded (run
+    ``mendel_errors`` first for the QC rate). chi2 NULL when no het
+    parents.
+
+    Scale shape: one classification expression + one per-variant
+    groupBy over the trio table — identical shuffle profile to
+    ``mendel_errors``.
+    """
+    f_ = F.col(father_col)
+    m_ = F.col(mother_col)
+    c_ = F.col(child_col)
+    det = F.floor(f_ / 2) + F.floor(m_ / 2)
+    hets = (f_ == 1).cast("int") + (m_ == 1).cast("int")
+    complete = f_.isNotNull() & m_.isNotNull() & c_.isNotNull()
+    consistent = complete & (c_ >= det) & (c_ <= F.least(f_, F.lit(1)) + F.least(m_, F.lit(1)))
+    b_trio = c_ - det
+    per_v = (
+        trios.filter(consistent & (hets > 0))
+        .groupBy(F.col(variant_col).alias(variant_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_informative_trios"),
+            F.sum(b_trio).alias("b_transmitted"),
+            F.sum(hets - b_trio).alias("c_untransmitted"),
+        )
+    )
+    bb = F.col("b_transmitted").cast("double")
+    cc = F.col("c_untransmitted").cast("double")
+    return per_v.select(
+        variant_col,
+        "n_informative_trios",
+        "b_transmitted",
+        "c_untransmitted",
+        F.when(
+            bb + cc > 0,
+            F.round((bb - cc) * (bb - cc) / (bb + cc), 6),
+        ).alias("tdt_chi2"),
+    )
+
+
+def logistic_newton(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    iterations: int = 4,
+) -> DataFrame:
+    """Logistic regression MLE for ONE bounded-cardinality covariate
+    plus intercept, by ``iterations`` unrolled Newton-Raphson (IRLS)
+    steps: 1 row (beta0, beta1, se1, wald_chi2, n, n_pos) — the
+    binary-outcome effect-size ladder next to ``cox_newton`` (hazard)
+    and ``odds_ratio`` (unadjusted 2x2): log-odds per unit of x with
+    Wald inference.
+
+    The covariate must have BOUNDED distinct cardinality (an integer
+    grade, a dosage in {0,1,2}, a bucketed score): the data collapses
+    to a per-x grid (x, n_x, pos_x) in ONE groupBy, and every Newton
+    step is then a grid-sized aggregate — the cohort is scanned once,
+    never per-iteration. Each step solves the 2x2 normal equations
+
+        U0 = sum(pos_x - n_x p_x),   U1 = sum(x (pos_x - n_x p_x))
+        Iab = sum(x^a+b n_x p_x (1 - p_x)),  p_x = sigmoid(b0 + b1 x)
+        [b0, b1] += inv([[I00, I01], [I01, I11]]) @ [U0, U1]
+
+    from (0, 0); 4 steps reach ~1e-9 for any non-separable data. The
+    recurrence is a closed deterministic function of the integer grid,
+    so a SQL oracle replays the same steps as chained CTEs (round-6 on
+    the exp-touched outputs). NULL coefficients on a singular
+    information matrix (constant x, empty input, or separation driving
+    weights to 0).
+    """
+    grid = (
+        df.select(
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("int").alias("__y"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__x")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__p"),
+        )
+    )
+    return logistic_newton_from_grid(grid, iterations=iterations)
+
+
+def logistic_newton_from_grid(
+    grid: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """:func:`logistic_newton` from an already-aggregated per-x grid
+    (__x, __n, __p) — the entry point for incrementally-maintained
+    cohorts: the grid IS the additive sufficient statistic, so a
+    streaming fold keeps (n, positives) per covariate value and this
+    refits the MLE on read (streaming/glm.py finalize_logistic)."""
+    grid = grid.localCheckpoint(eager=False)
+    beta = grid.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
+    for _ in range(iterations):
+        j = grid.crossJoin(F.broadcast(beta))
+        p = 1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("__x"))))
+        w = F.col("__n") * p * (1 - p)
+        r = F.col("__p") - F.col("__n") * p
+        step = j.agg(
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            F.sum(r).alias("u0"),
+            F.sum(F.col("__x") * r).alias("u1"),
+            F.sum(w).alias("i00"),
+            F.sum(F.col("__x") * w).alias("i01"),
+            F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        )
+        det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+        beta = step.select(
+            F.when(
+                det > 0,
+                F.col("b0")
+                + (F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"))
+                / det,
+            ).alias("b0"),
+            F.when(
+                det > 0,
+                F.col("b1")
+                + (F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"))
+                / det,
+            ).alias("b1"),
+        )
+    fin = grid.crossJoin(F.broadcast(beta))
+    p = 1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("__x"))))
+    w = F.col("__n") * p * (1 - p)
+    stats = fin.agg(
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+        F.sum(w).alias("i00"),
+        F.sum(F.col("__x") * w).alias("i01"),
+        F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        F.sum("__n").alias("n"),
+        F.sum("__p").alias("n_pos"),
+    )
+    det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+    ok = F.col("b0").isNotNull() & F.col("b1").isNotNull() & (det > 0)
+    var1 = F.col("i00") / det
+    return stats.select(
+        F.when(ok, F.round("b0", 6)).alias("beta0"),
+        F.when(ok, F.round("b1", 6)).alias("beta1"),
+        F.when(ok, F.round(F.sqrt(var1), 6)).alias("se1"),
+        F.when(ok, F.round(F.col("b1") * F.col("b1") / var1, 6))
+        .alias("wald_chi2"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+    )
+
+
+def fisher_exact_2x2(
+    df: DataFrame,
+    exposed_col: str,
+    case_col: str,
+    rel_tol: float = 1e-7,
+) -> DataFrame:
+    """Fisher's EXACT test for one 2x2 table: 1 row (a, b, c, d, n,
+    p_two_sided, p_left, p_right) — the small-count association test
+    the chi-square family (``allelic_assoc_chi2``, ``cmh_test``)
+    cannot give when expected cells are tiny (rare variants, rare
+    adverse events).
+
+    a = exposed cases, b = exposed controls, c = unexposed cases,
+    d = unexposed controls (booleans/0-1 ints accepted). The
+    hypergeometric pmf over the support k in [max(0, c1-r2),
+    min(r1, c1)] is built WITHOUT factorials from the neighbour
+    ratio pmf(k+1)/pmf(k) = (r1-k)(c1-k) / ((k+1)(r2-c1+k+1)):
+    ln-weights are a running prefix sum of ln-ratios over the ordered
+    support (deterministic sequential order, identical in any SQL
+    replay), shifted by their max before exp so the normalization
+    never overflows. Two-sided p sums every outcome whose pmf is <=
+    pmf(observed) * (1 + rel_tol) (the standard implementation
+    tolerance, same as R's); p_left / p_right are the one-sided tails.
+
+    Scale shape: ONE corpus aggregate to the 4 cell counts; the
+    support table is min(r1, c1) + 1 rows built by exploding a
+    sequence from the 1-row counts — window + aggregate over that
+    bounded table only. p-values are exact probabilities (round-9).
+    """
+    e1 = F.col(exposed_col).cast("int")
+    y1 = F.col(case_col).cast("int")
+    counts = df.agg(
+        F.sum(F.when((e1 == 1) & (y1 == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((e1 == 1) & (y1 == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((e1 == 0) & (y1 == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((e1 == 0) & (y1 == 0), 1).otherwise(0)).alias("d"),
+    )
+    return fisher_exact_from_counts(counts, rel_tol=rel_tol)
+
+
+def fisher_exact_from_counts(
+    counts: DataFrame, rel_tol: float = 1e-7
+) -> DataFrame:
+    """:func:`fisher_exact_2x2` from a 1-row (a, b, c, d) cell-count
+    DataFrame — the entry point when the 2x2 is already known (e.g. an
+    assay deriving implicit hom-ref margins arithmetically, or a
+    maintained counter table)."""
+    counts = counts.localCheckpoint(eager=False)
+    r1 = F.col("a") + F.col("b")
+    r2 = F.col("c") + F.col("d")
+    c1 = F.col("a") + F.col("c")
+    kmin = F.greatest(F.lit(0), c1 - r2)
+    kmax = F.least(r1, c1)
+    supp = counts.select(
+        "a", "b", "c", "d",
+        r1.alias("__r1"), r2.alias("__r2"), c1.alias("__c1"),
+        F.explode(F.sequence(kmin, kmax)).alias("__k"),
+    )
+    # ln pmf(k+1) - ln pmf(k) folded as a prefix sum from the support
+    # floor; ratio terms are guarded by the support bounds (never 0/0).
+    kk = F.col("__k").cast("double")
+    prev_ratio = F.when(
+        F.col("__k") == F.greatest(F.lit(0), F.col("__c1") - F.col("__r2")),
+        F.lit(0.0),
+    ).otherwise(
+        F.log((F.col("__r1") - kk + 1) * (F.col("__c1") - kk + 1))
+        - F.log(kk * (F.col("__r2") - F.col("__c1") + kk))
+    )
+    w_pre = Window.orderBy("__k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    lw = supp.withColumn("__lnu", F.sum(prev_ratio).over(w_pre))
+    lw = lw.withColumn("__u", F.exp(F.col("__lnu") - F.max("__lnu").over(w_all)))
+    obs = F.max(F.when(F.col("__k") == F.col("a"), F.col("__lnu"))).over(w_all)
+    lw = lw.withColumn("__lnu_obs", obs)
+    agg = lw.agg(
+        F.max("a").alias("a"), F.max("b").alias("b"),
+        F.max("c").alias("c"), F.max("d").alias("d"),
+        F.sum("__u").alias("__tot"),
+        F.sum(F.when(F.col("__lnu") <= F.col("__lnu_obs") + F.lit(rel_tol),
+                     F.col("__u")).otherwise(0.0)).alias("__le_obs"),
+        F.sum(F.when(F.col("__k") <= F.col("a"), F.col("__u")).otherwise(0.0))
+        .alias("__left"),
+        F.sum(F.when(F.col("__k") >= F.col("a"), F.col("__u")).otherwise(0.0))
+        .alias("__right"),
+    )
+    return agg.select(
+        "a", "b", "c", "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+        F.round(F.least(F.col("__le_obs") / F.col("__tot"), F.lit(1.0)), 9)
+        .alias("p_two_sided"),
+        F.round(F.least(F.col("__left") / F.col("__tot"), F.lit(1.0)), 9)
+        .alias("p_left"),
+        F.round(F.least(F.col("__right") / F.col("__tot"), F.lit(1.0)), 9)
+        .alias("p_right"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test for k related treatments over n blocks: 1 row
+    (chi2_f, df, n_blocks, k) — the repeated-measures sibling of
+    ``kruskal_wallis`` (each block supplies one observation per
+    treatment; ranking WITHIN blocks removes the block effect the
+    pooled rank tests would smear).
+
+    Input is ONE row per (block, treatment) — pre-aggregate first.
+    Midranks within each block handle ties; the general tie-robust
+    form is used:
+    chi2_F = (k-1) * (sum_j R_j^2 - n^2 k (k+1)^2 / 4)
+             / (sum_ij r_ij^2 - n k (k+1)^2 / 4)
+    which reduces to the classic 12/(nk(k+1)) formula when tie-free.
+    NULL chi2 when the denominator vanishes (all treatments tied in
+    every block). Blocks missing any treatment are EXCLUDED (complete-
+    block design).
+
+    Scale shape: per-(block, value) counts -> block-partitioned
+    cumulative window for midranks (each partition is k rows), one
+    per-treatment aggregate, one 1-row reduce. Midranks are
+    half-integers: every rank moment is exact.
+    """
+    base = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    k_tab = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__k"))
+    k_mode = k_tab.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__nb"))
+    # complete blocks only: k = max treatment count observed
+    k_max = k_mode.agg(F.max("__k").alias("k")).localCheckpoint(eager=False)
+    complete = base.join(
+        k_tab.join(
+            F.broadcast(k_max), k_tab["__k"] == k_max["k"], "left_semi"
+        ).select("__b"),
+        "__b", "left_semi")
+    per_bv = complete.groupBy("__b", "__v").agg(
+        F.count(F.lit(1)).alias("__c"))
+    w_prev = Window.partitionBy("__b").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked_v = per_bv.withColumn(
+        "__before",
+        F.coalesce(F.sum("__c").over(w_prev), F.lit(0)).cast("double"),
+    ).withColumn(
+        "__midrank",
+        F.col("__before") + (F.col("__c").cast("double") + 1) / 2,
+    )
+    r = complete.join(
+        ranked_v.select("__b", "__v", "__midrank"), ["__b", "__v"])
+    per_t = r.groupBy("__t").agg(
+        F.sum("__midrank").alias("__rj"),
+        F.count(F.lit(1)).alias("__nj"),
+    )
+    tot = r.agg(
+        F.sum(F.col("__midrank") * F.col("__midrank")).alias("__a"),
+        F.countDistinct("__b").alias("n_blocks"),
+    )
+    agg = per_t.agg(
+        F.sum(F.col("__rj") * F.col("__rj")).alias("__s"),
+        F.count(F.lit(1)).alias("k"),
+    ).crossJoin(F.broadcast(tot))
+    nn = F.col("n_blocks").cast("double")
+    kk = F.col("k").cast("double")
+    c_term = nn * kk * (kk + 1) * (kk + 1) / 4
+    num = (kk - 1) * (F.col("__s") - nn * c_term)
+    den = F.col("__a") - c_term
+    return agg.select(
+        F.when(den > 0, F.round(num / den, 6)).alias("chi2_f"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        "n_blocks",
+        "k",
+    )
+
+
+def cochran_q(df: DataFrame, flag_cols: list[str]) -> DataFrame:
+    """Cochran's Q test for k paired binary outcomes per subject: 1 row
+    (q, df, n_subjects, n_informative) — the k-ary generalization of
+    ``mcnemar_test`` (did the success rate differ across k conditions
+    measured on the SAME subjects?).
+
+    Q = k (k-1) * sum_j (C_j - N/k)^2 / (k * sum_i R_i - sum_i R_i^2)
+    with C_j the per-condition success counts, R_i the per-subject
+    success counts, N the grand total. Subjects with all-0 or all-k
+    rows contribute nothing to either side (standard). NULL q when no
+    subject is discordant. Exact: every moment is an integer sum; the
+    single division is the last operation (round-6).
+
+    Scale shape: one corpus aggregate over k conditional sums plus the
+    per-subject row-sum moments folded in the SAME pass — no window,
+    no join.
+    """
+    k = len(flag_cols)
+    if k < 2:
+        raise ValueError("cochran_q needs >= 2 flag columns")
+    flags = [F.col(c).cast("int") for c in flag_cols]
+    ri = flags[0]
+    for f_ in flags[1:]:
+        ri = ri + f_
+    aggs = [F.sum(f_).alias(f"__c{j}") for j, f_ in enumerate(flags)]
+    agg = df.agg(
+        *aggs,
+        F.sum(ri).alias("__rsum"),
+        F.sum(ri * ri).alias("__rsq"),
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum(F.when((ri > 0) & (ri < k), 1).otherwise(0))
+        .alias("n_informative"),
+    )
+    kk = F.lit(float(k))
+    nb = F.col("__rsum").cast("double") / kk
+    dev = None
+    for j in range(k):
+        d = (F.col(f"__c{j}").cast("double") - nb)
+        term = d * d
+        dev = term if dev is None else dev + term
+    den = kk * F.col("__rsum").cast("double") - F.col("__rsq").cast("double")
+    return agg.select(
+        F.when(den > 0, F.round(kk * (kk - 1) * dev / den, 6)).alias("q"),
+        F.lit(k - 1).cast("long").alias("df"),
+        "n_subjects",
+        "n_informative",
+    )
+
+
+def poisson_newton(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    iterations: int = 4,
+) -> DataFrame:
+    """Poisson (log-link) regression MLE for ONE bounded-cardinality
+    covariate plus intercept by ``iterations`` unrolled Newton steps:
+    1 row (beta0, beta1, rate_ratio, se1, wald_chi2, n, y_total) — the
+    count-outcome member of the GLM ladder (``logistic_newton`` for
+    binary, ``cox_newton`` for hazards): log rate per unit of x.
+
+    The per-x grid (x, n_x, sum_y_x) is built in ONE corpus pass; each
+    Newton step solves the 2x2 normal equations with mu_x =
+    exp(b0 + b1 x):
+        U0 = sum(sum_y_x - n_x mu_x),  U1 = sum(x (sum_y_x - n_x mu_x))
+        Iab = sum(x^(a+b) n_x mu_x)
+    from (b0, b1) = (ln(ybar), 0) — the saturated-intercept start that
+    keeps exp() in range for any data scale. NULL on singular
+    information (constant x / empty input). The recurrence is a closed
+    deterministic function of the integer grid; a SQL oracle replays
+    the identical chained steps (round-6).
+    """
+    grid = (
+        df.select(
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__x")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__sy"),
+        )
+    )
+    return poisson_newton_from_grid(grid, iterations=iterations)
+
+
+def poisson_newton_from_grid(
+    grid: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """:func:`poisson_newton` from an already-aggregated per-x grid
+    (__x, __n, __sy) — streaming-maintainable entry point (the grid
+    counters are additive; streaming/glm.py finalize_poisson refits
+    on read)."""
+    grid = grid.localCheckpoint(eager=False)
+    beta = grid.agg(
+        F.when(
+            F.sum("__sy") > 0,
+            F.log(F.sum("__sy") / F.sum("__n")),
+        ).otherwise(F.lit(0.0)).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    for _ in range(iterations):
+        j = grid.crossJoin(F.broadcast(beta))
+        mu = F.exp(F.col("b0") + F.col("b1") * F.col("__x"))
+        w = F.col("__n") * mu
+        r = F.col("__sy") - w
+        step = j.agg(
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            F.sum(r).alias("u0"),
+            F.sum(F.col("__x") * r).alias("u1"),
+            F.sum(w).alias("i00"),
+            F.sum(F.col("__x") * w).alias("i01"),
+            F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        )
+        det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+        beta = step.select(
+            F.when(
+                det > 0,
+                F.col("b0")
+                + (F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"))
+                / det,
+            ).alias("b0"),
+            F.when(
+                det > 0,
+                F.col("b1")
+                + (F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"))
+                / det,
+            ).alias("b1"),
+        )
+    fin = grid.crossJoin(F.broadcast(beta))
+    mu = F.exp(F.col("b0") + F.col("b1") * F.col("__x"))
+    w = F.col("__n") * mu
+    stats = fin.agg(
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+        F.sum(w).alias("i00"),
+        F.sum(F.col("__x") * w).alias("i01"),
+        F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        F.sum("__n").alias("n"),
+        F.sum("__sy").alias("y_total"),
+    )
+    det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+    ok = F.col("b0").isNotNull() & F.col("b1").isNotNull() & (det > 0)
+    var1 = F.col("i00") / det
+    return stats.select(
+        F.when(ok, F.round("b0", 6)).alias("beta0"),
+        F.when(ok, F.round("b1", 6)).alias("beta1"),
+        F.when(ok, F.round(F.exp("b1"), 6)).alias("rate_ratio"),
+        F.when(ok, F.round(F.sqrt(var1), 6)).alias("se1"),
+        F.when(ok, F.round(F.col("b1") * F.col("b1") / var1, 6))
+        .alias("wald_chi2"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("y_total", F.lit(0.0)), 6).alias("y_total"),
+    )
+
+
+def haplotype_em(
+    geno: DataFrame,
+    sample_col: str,
+    variant_col: str,
+    gt_col: str,
+    variant_a,
+    variant_b,
+    iterations: int = 5,
+) -> DataFrame:
+    """Two-locus haplotype frequency estimation by ``iterations``
+    unrolled EM steps (the Excoffier-Slatkin / Hill 1974 gene-counting
+    algorithm for a pair of biallelic sites): 1 row (p11, p10, p01,
+    p00, d, d_prime, r2, n_samples, n_double_het) — the PHASED
+    linkage readout ``ld_r2``'s genotype-correlation approximation
+    can't give: true gametic D/D' from unphased dosages.
+
+    Only the double-heterozygote cell is phase-ambiguous; the E-step
+    splits it with f = p11 p00 / (p11 p00 + p10 p01), the M-step
+    re-normalizes the expected haplotype counts over 2N gametes.
+    Start at linkage equilibrium (p = product of allele frequencies).
+    The whole recurrence runs on a 1-row, 9-cell genotype-count
+    aggregate; each EM step carries the state through an aggregate
+    barrier (the ``cox_newton`` pattern — naively nesting the step
+    expressions would grow the Catalyst tree exponentially in the
+    iteration count). A SQL oracle replays the identical chained
+    steps (round-6).
+
+    Scale shape: ONE self-join of the genotype table restricted to the
+    two variants (equi-join on the sample key, each side pre-filtered
+    to one variant — two narrow scans), one 9-way conditional-sum
+    aggregate, then driver-free constant-time iteration. Samples
+    missing either genotype are excluded.
+    """
+    a = geno.filter(F.col(variant_col) == F.lit(variant_a)).select(
+        F.col(sample_col).alias("__s"), F.col(gt_col).alias("__ga"))
+    b = geno.filter(F.col(variant_col) == F.lit(variant_b)).select(
+        F.col(sample_col).alias("__s"), F.col(gt_col).alias("__gb"))
+    j = a.join(b, "__s").filter(
+        F.col("__ga").isNotNull() & F.col("__gb").isNotNull())
+
+    def cell(i, k):
+        return F.sum(
+            F.when((F.col("__ga") == i) & (F.col("__gb") == k), 1)
+            .otherwise(0)
+        ).alias(f"n{i}{k}")
+
+    counts = j.agg(
+        *[cell(i, k) for i in (0, 1, 2) for k in (0, 1, 2)],
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    # constant 1-row state: bases + double-het count + gamete total +
+    # allele freqs, computed ONCE (lineage cut so the genotype join
+    # runs once, not per EM step)
+    n = F.col("n_samples").cast("double")
+    two_n = 2 * n
+    base11 = (2 * F.col("n22") + F.col("n21") + F.col("n12")).cast("double")
+    base10 = (2 * F.col("n20") + F.col("n21") + F.col("n10")).cast("double")
+    base01 = (2 * F.col("n02") + F.col("n12") + F.col("n01")).cast("double")
+    base00 = (2 * F.col("n00") + F.col("n10") + F.col("n01")).cast("double")
+    dh = F.col("n11").cast("double")
+    p_a = (base11 + base10 + dh) / two_n
+    p_b = (base11 + base01 + dh) / two_n
+    state = counts.select(
+        base11.alias("b11"), base10.alias("b10"),
+        base01.alias("b01"), base00.alias("b00"),
+        dh.alias("dh"), two_n.alias("tn"),
+        p_a.alias("pa"), p_b.alias("pb"),
+        "n_samples", F.col("n11").alias("n_double_het"),
+        # linkage-equilibrium start
+        (p_a * p_b).alias("p11"),
+        (p_a * (1 - p_b)).alias("p10"),
+        ((1 - p_a) * p_b).alias("p01"),
+        ((1 - p_a) * (1 - p_b)).alias("p00"),
+    ).localCheckpoint(eager=False)
+    carried = ["b11", "b10", "b01", "b00", "dh", "tn", "pa", "pb",
+               "n_samples", "n_double_het"]
+    for _ in range(iterations):
+        den = F.col("p11") * F.col("p00") + F.col("p10") * F.col("p01")
+        f_ = F.when(
+            den > 0, F.col("p11") * F.col("p00") / den
+        ).otherwise(F.lit(0.5))
+        # aggregate barrier: keeps each step's expressions step-sized
+        # instead of letting projection collapse inline 5 rounds of
+        # nested f into one exponential tree
+        state = state.withColumn("__f", f_).agg(
+            *[F.max(c).alias(c) for c in carried],
+            F.max((F.col("b11") + F.col("__f") * F.col("dh")) / F.col("tn"))
+            .alias("p11"),
+            F.max((F.col("b10") + (1 - F.col("__f")) * F.col("dh"))
+                  / F.col("tn")).alias("p10"),
+            F.max((F.col("b01") + (1 - F.col("__f")) * F.col("dh"))
+                  / F.col("tn")).alias("p01"),
+            F.max((F.col("b00") + F.col("__f") * F.col("dh")) / F.col("tn"))
+            .alias("p00"),
+        )
+    pa, pb = F.col("pa"), F.col("pb")
+    d = F.col("p11") - pa * pb
+    d_max = F.when(
+        d >= 0,
+        F.least(pa * (1 - pb), (1 - pa) * pb),
+    ).otherwise(F.least(pa * pb, (1 - pa) * (1 - pb)))
+    denom = pa * (1 - pa) * pb * (1 - pb)
+    return state.select(
+        F.round("p11", 6).alias("p11"),
+        F.round("p10", 6).alias("p10"),
+        F.round("p01", 6).alias("p01"),
+        F.round("p00", 6).alias("p00"),
+        F.round(d, 6).alias("d"),
+        F.when(d_max > 0, F.round(F.abs(d) / d_max, 6)).alias("d_prime"),
+        F.when(denom > 0, F.round(d * d / denom, 6)).alias("r2"),
+        "n_samples",
+        "n_double_het",
+    )
+
+
+def site_frequency_spectrum(
+    geno: DataFrame,
+    variant_col: str,
+    gt_col: str,
+    folded: bool = True,
+) -> DataFrame:
+    """Site frequency spectrum: (allele_count, n_variants, frac) — the
+    population-genetics summary histogram (how many variants are
+    singletons, doubletons, ...) whose shape diagnoses demography and
+    selection (an excess of rare alleles = expansion/purifying
+    selection; Tajima's D condenses this curve into one number).
+
+    ``folded=True`` (default) uses the MINOR allele count
+    min(AC, 2N - AC) — the ancestral allele is usually unknown.
+    Variants with missing genotypes fold over their observed 2N.
+
+    Scale shape: one per-variant aggregate (AC, 2N), one histogram
+    groupBy over the |variants|-bounded result, one 1-row total
+    broadcast for the fraction — the genotype corpus streams once.
+    """
+    per_v = (
+        geno.filter(F.col(gt_col).isNotNull())
+        .groupBy(variant_col)
+        .agg(
+            F.sum(gt_col).alias("__ac"),
+            (2 * F.count(F.lit(1))).alias("__an"),
+        )
+    )
+    return sfs_from_counts(per_v, folded=folded)
+
+
+def sfs_from_counts(per_v: DataFrame, folded: bool = True) -> DataFrame:
+    """:func:`site_frequency_spectrum` from an already-aggregated
+    per-variant (__ac, __an) allele-count table — the entry point for
+    sparse genotype stores whose hom-ref class is implicit (the assay
+    derives AC from non-ref mapping rows and AN from the cohort size
+    arithmetically, never materializing per-subject rows)."""
+    ac = (
+        F.least(F.col("__ac"), F.col("__an") - F.col("__ac"))
+        if folded else F.col("__ac")
+    )
+    hist = per_v.select(ac.alias("allele_count")).groupBy(
+        "allele_count").agg(F.count(F.lit(1)).alias("n_variants"))
+    tot = hist.agg(F.sum("n_variants").alias("__t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "allele_count",
+            "n_variants",
+            F.round(F.col("n_variants") / F.col("__t"), 6).alias("frac"),
+        )
+    )

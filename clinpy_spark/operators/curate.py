@@ -134,3 +134,92 @@ def curation_stats(df: DataFrame, gates: list[tuple[str, Column]], *,
         .groupBy(F.coalesce(F.col(GATE_COL), F.lit("kept")).alias(GATE_COL))
         .agg(F.count("*").alias("n"))
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", hashed-n-gram
+    variant): per-doc (id, n_tokens, log_importance) scoring how much
+    more likely the doc's token profile is under the TARGET
+    distribution (a trusted/high-quality subset) than under the raw
+    corpus — the principled "make the corpus look like the target"
+    selection layer on top of the rule gates (``gopher_gates``) and
+    the model classifier (``operators/classify.py``).
+
+    Features are whitespace word unigrams hashed into ``n_buckets``
+    via the portable md5 coordinate (engine-replayable, no vocabulary
+    pass); bucket distributions carry add-1 smoothing; a doc's score
+    is the LENGTH-NORMALIZED mean log-ratio (geometric-mean importance
+    — without the normalization long docs dominate any cutoff).
+    Downstream: rank by weight (ties to id) and keep the head, or
+    hash-threshold for a stochastic resample.
+
+    Scale shape: one explode+groupBy over the corpus and one over the
+    target for the two BOUNDED (n_buckets-row) histograms, broadcast
+    back onto the exploded corpus for one per-doc aggregate — the
+    corpus streams twice, all joins broadcast, no vocabulary-sized
+    shuffle.
+    """
+    def toks(df):
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__t"),
+        ).filter(F.col("__t") != "")
+
+    def bucket(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col, F.lit(":" + seed))), 1, 8),
+                16, 10,
+            ).cast("long") % n_buckets
+        )
+
+    corpus_tok = toks(docs).select("__id", bucket(F.col("__t")).alias("__b"))
+    target_tok = toks(target).select(bucket(F.col("__t")).alias("__b"))
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("__b"))
+    cs = corpus_tok.groupBy("__b").agg(F.count(F.lit(1)).alias("__ns"))
+    ct = target_tok.groupBy("__b").agg(F.count(F.lit(1)).alias("__nt"))
+    hist = (
+        spine.join(F.broadcast(cs), "__b", "left")
+        .join(F.broadcast(ct), "__b", "left")
+        .na.fill({"__ns": 0, "__nt": 0})
+    )
+    tot = hist.agg(
+        F.sum("__ns").alias("__ts"), F.sum("__nt").alias("__tt"))
+    nb = F.lit(float(n_buckets))
+    ratio = hist.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log(
+                (F.col("__nt").cast("double") + 1)
+                / (F.col("__tt").cast("double") + nb))
+            - F.log(
+                (F.col("__ns").cast("double") + 1)
+                / (F.col("__ts").cast("double") + nb))
+        ).alias("__lr"),
+    )
+    per_doc = (
+        corpus_tok.join(F.broadcast(ratio), "__b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("__lr") / F.count(F.lit(1))).alias("__lw"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.round("__lw", 6).alias("log_importance"),
+    )

@@ -953,3 +953,58 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "inter", "size_a", "size_b", "containment")
     )
+
+
+def lsh_plan(
+    spark,
+    num_hashes: int = 64,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH parameter planner: one row per valid (bands,
+    rows_per_band) factorization of ``num_hashes`` with the S-curve
+    operating point — (bands, rows_per_band, s50, p_at_threshold,
+    p_at_half_threshold, recommended). The design-time sibling of
+    ``minhash_near_duplicates``: before spending a corpus pass, pick
+    the banding whose collision curve midpoint s50 = (1/b)^(1/r) sits
+    closest to the target Jaccard ``threshold``.
+
+    p_collide(s) = 1 - (1 - s^r)^b (the standard LSH S-curve);
+    p_at_half_threshold quantifies the false-candidate mass a
+    too-permissive banding would emit. ``recommended`` marks the
+    factorization minimizing |s50 - threshold| (ties to fewer bands —
+    fewer bands = fewer shuffle keys per doc).
+
+    Driver-free constant compute over a bands range of at most
+    ``num_hashes`` rows; exactly replayable closed forms (round-6).
+    """
+    b = F.col("id").cast("double")
+    r = (F.lit(num_hashes) / F.col("id")).cast("double")
+    cand = (
+        spark.range(1, num_hashes + 1)
+        .filter((F.lit(num_hashes) % F.col("id")) == 0)
+        .select(
+            F.col("id").cast("int").alias("bands"),
+            (F.lit(num_hashes) / F.col("id")).cast("int")
+            .alias("rows_per_band"),
+            F.pow(1.0 / b, 1.0 / r).alias("__s50"),
+        )
+    )
+    t = F.lit(float(threshold))
+    p_at = 1 - F.pow(
+        1 - F.pow(t, F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"))
+    p_half = 1 - F.pow(
+        1 - F.pow(t / 2, F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"))
+    w = Window.orderBy(
+        F.abs(F.col("__s50") - t).asc(), F.col("bands").asc())
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .select(
+            "bands", "rows_per_band",
+            F.round("__s50", 6).alias("s50"),
+            F.round(p_at, 6).alias("p_at_threshold"),
+            F.round(p_half, 6).alias("p_at_half_threshold"),
+            (F.col("__rk") == 1).alias("recommended"),
+        )
+    )

@@ -375,3 +375,99 @@ def wasserstein_binned(
         F.max("__tr").alias("ref_n"),
         F.max("__tc").alias("cur_n"),
     )
+
+
+def anderson_darling_2sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Anderson-Darling test (Scholz-Stephens 1987,
+    tie-adjusted A2akN form): 1 row (a2, n_a, n_b, n_values) — the
+    drift monitor that weights the distribution TAILS the KS statistic
+    underweights (KS sees only the single largest ECDF gap; AD
+    integrates the squared gap with 1/(F(1-F)) tail emphasis — the
+    right sensitivity for latency/price corruption that shows up as
+    tail mass).
+
+    Midpoint-corrected pooled ranks handle ties exactly:
+    B_j = cumpooled_j - l_j/2, M_ij = cumsample_ij - l_ij/2,
+    A2 = (N-1)/N * sum_i (1/n_i) sum_j (l_j/N) (N M_ij - n_i B_j)^2
+         / (B_j (N - B_j) - N l_j / 4).
+    NULL when every value is tied (denominator vanishes everywhere).
+
+    Scale shape: the same per-distinct-value aggregate + ordered
+    cumulative window as ``ks_from_value_counts`` / ``mann_whitney_u``
+    — one narrow shuffle over |distinct values| rows, one 1-row
+    reduce; every B/M is a half-integer (exact), only the final
+    normalized sum rounds (6 dp).
+    """
+    is_a = F.col(group_col) == F.lit(group_a)
+    is_b = F.col(group_col) == F.lit(group_b)
+    per_val = (
+        df.filter(is_a | is_b)
+        .select(
+            F.col(value_col).alias("__v"),
+            F.when(is_a, 1).otherwise(0).alias("__ia"),
+        )
+        .groupBy("__v")
+        .agg(
+            F.sum("__ia").alias("la"),
+            F.sum(1 - F.col("__ia")).alias("lb"),
+        )
+    )
+    return ad_from_value_counts(per_val)
+
+
+def ad_from_value_counts(per_val: DataFrame) -> DataFrame:
+    """Anderson-Darling A2akN from an already-aggregated per-distinct-
+    value count table (__v, la, lb) — the entry point for
+    incrementally-maintained samples, mirroring
+    :func:`ks_from_value_counts`: per-value counts are ADDITIVE, so
+    the streaming KS fold's state serves the AD readout too
+    (streaming/drift.py finalize_ad)."""
+    w_cum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    l = (F.col("la") + F.col("lb")).cast("double")
+    g = (
+        per_val
+        .withColumn("__cl", F.sum(F.col("la") + F.col("lb")).over(w_cum)
+                    .cast("double"))
+        .withColumn("__ca", F.sum("la").over(w_cum).cast("double"))
+        .withColumn("__cb", F.sum("lb").over(w_cum).cast("double"))
+        .withColumn("__na", F.sum("la").over(w_all).cast("double"))
+        .withColumn("__nb", F.sum("lb").over(w_all).cast("double"))
+    )
+    nn = F.col("__na") + F.col("__nb")
+    bj = F.col("__cl") - l / 2
+    ma = F.col("__ca") - F.col("la").cast("double") / 2
+    mb = F.col("__cb") - F.col("lb").cast("double") / 2
+    den = bj * (nn - bj) - nn * l / 4
+    ta = (l / nn) * (nn * ma - F.col("__na") * bj)\
+        * (nn * ma - F.col("__na") * bj) / den
+    tb = (l / nn) * (nn * mb - F.col("__nb") * bj)\
+        * (nn * mb - F.col("__nb") * bj) / den
+    agg = g.agg(
+        F.sum(F.when(den > 0, ta).otherwise(0.0)).alias("__sa"),
+        F.sum(F.when(den > 0, tb).otherwise(0.0)).alias("__sb"),
+        F.sum(F.when(den > 0, 1).otherwise(0)).alias("__nv_ok"),
+        F.max("__na").alias("__na"),
+        F.max("__nb").alias("__nb"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    nn2 = F.col("__na") + F.col("__nb")
+    a2 = (nn2 - 1) / nn2 * (
+        F.col("__sa") / F.col("__na") + F.col("__sb") / F.col("__nb"))
+    return agg.select(
+        F.when(
+            (F.col("__nv_ok") > 0) & (F.col("__na") > 0)
+            & (F.col("__nb") > 0),
+            F.round(a2, 6),
+        ).alias("a2"),
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        "n_values",
+    )

@@ -95,3 +95,74 @@ def nearest_feature(
                 F.col("q_start").alias(q_start), F.col("q_end").alias(q_end),
                 "f_id", "distance")
     )
+
+
+def knearest_features(
+    query: DataFrame,
+    features: DataFrame,
+    *,
+    k: int = 3,
+    max_distance: int,
+    query_id: str = "id",
+    keys: list[str] | None = None,
+    q_start: str = "start",
+    q_end: str = "end",
+    f_start: str = "start",
+    f_end: str = "end",
+    feature_id: str = "id",
+    bin_size: int = 100_000,
+) -> DataFrame:
+    """k nearest features per query interval WITHIN ``max_distance``:
+    (query id/keys/start/end, f_id, distance, rank) — the k-ary
+    extension of ``nearest_feature`` (annotate a breakpoint with its 3
+    closest genes, not just the winner). ``max_distance`` is REQUIRED:
+    it is what keeps the candidate set bounded — an unbounded k-NN
+    over intervals degenerates to sorting every feature per query.
+
+    Candidates come from ONE binned interval join of the query
+    intervals EXPANDED by max_distance against the feature set (any
+    feature within the radius overlaps the expanded interval, so the
+    equi-join on bins is lossless); distance is the usual gap (0 for
+    true overlap), then a per-query rank window keeps the k closest
+    (ties break on feature id — deterministic, oracle-replayable).
+
+    Scale shape: the expanded binned join fans out each query to
+    ~(len + 2*max_distance)/bin_size bins — the same large-large-safe
+    shape as every interval join here; the rank window partitions by
+    query id over radius-bounded candidate lists.
+    """
+    keys = keys if keys is not None else ["chrom"]
+    q = query.select(
+        F.col(query_id).alias("q_id"), *keys,
+        F.col(q_start).alias("q_start"), F.col(q_end).alias("q_end"),
+        (F.col(q_start) - F.lit(int(max_distance))).alias("__xs"),
+        (F.col(q_end) + F.lit(int(max_distance))).alias("__xe"),
+    )
+    feats = features.select(
+        *keys, F.col(feature_id).alias("f_id"),
+        F.col(f_start).alias("f_start"), F.col(f_end).alias("f_end"))
+    cands = binned_interval_join(
+        q, feats, left_start="__xs", left_end="__xe",
+        right_start="f_start", right_end="f_end",
+        partition_keys=[(kk, kk) for kk in keys], bin_size=bin_size,
+    ).select(
+        q["q_id"], *[q[kk] for kk in keys], q["q_start"], q["q_end"],
+        "f_id", "f_start", "f_end",
+    )
+    dist = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("f_start") - F.col("q_end")).cast("long"),
+        (F.col("q_start") - F.col("f_end")).cast("long"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("distance"), F.asc("f_id"))
+    return (
+        cands.withColumn("distance", dist)
+        .filter(F.col("distance") <= F.lit(int(max_distance)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(query_id), *keys,
+            F.col("q_start").alias(q_start), F.col("q_end").alias(q_end),
+            "f_id", "distance", "rank",
+        )
+    )

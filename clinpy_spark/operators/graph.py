@@ -410,3 +410,192 @@ def modularity(
         F.sum("e_c").alias("intra_edges"),
         F.when(F.max("__m") > 0, F.round(F.sum(q_c), 6)).alias("modularity"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Watts-Strogatz average LOCAL clustering coefficient: 1 row
+    (n_nodes, n_eligible, n_closed, avg_local_cc, transitivity) — the
+    per-node sibling of ``triangle_stats``'s global census.
+    avg_local_cc averages 2*t_i / (deg_i * (deg_i - 1)) over nodes
+    with deg >= 2 (n_eligible; nodes in no wedge have no defined
+    coefficient and are excluded, the networkx convention for
+    ``average_clustering(count_zeros=True)`` restricted to eligible
+    nodes); n_closed counts nodes in >= 1 triangle; transitivity is
+    the global 3*triangles/wedges for cross-checking.
+
+    Same degree-oriented wedge enumeration as ``triangle_stats`` (each
+    triangle materialized ONCE from its orientation-minimal pivot,
+    Chiba-Nishizeki bound), then exploded to its 3 member nodes for the
+    per-node counts — one extra node-keyed aggregate over 3x the
+    triangle list, nothing quadratic beyond the bounded wedge join.
+    avg rounded to 6. Zero-triangle/empty graphs report 0.0 averages.
+    """
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        e.join(du, "u").join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
+    tri = (
+        oriented.join(o2, F.col("a") == F.col("a2"))
+        .filter(F.col("b") < F.col("c"))
+        .select("a", F.col("b").alias("u"), F.col("c").alias("v"))
+        .join(e, ["u", "v"], "left_semi")
+    )
+    per_node = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("u").alias("n")))
+        .unionAll(tri.select(F.col("v").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("t"))
+    )
+    nd = deg.join(per_node, "n", "left").select(
+        "n", "deg", F.coalesce("t", F.lit(0)).alias("t"))
+    dd = F.col("deg").cast("double")
+    local = F.col("t").cast("double") * 2 / (dd * (dd - 1))
+    agg = nd.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("deg") >= 2, 1).otherwise(0)).alias("n_eligible"),
+        F.sum(F.when(F.col("t") > 0, 1).otherwise(0)).alias("n_closed"),
+        F.sum(F.when(F.col("deg") >= 2, local).otherwise(0.0)).alias("__cc"),
+        F.sum(F.when(F.col("deg") >= 2, dd * (dd - 1) / 2).otherwise(0.0))
+        .alias("__wedges"),
+        (F.sum("t") / 3).cast("long").alias("__tri"),
+    )
+    return agg.select(
+        "n_nodes", "n_eligible", "n_closed",
+        F.when(F.col("n_eligible") > 0,
+               F.round(F.col("__cc") / F.col("n_eligible"), 6))
+        .otherwise(F.lit(0.0)).alias("avg_local_cc"),
+        F.when(F.col("__wedges") > 0,
+               F.round(3.0 * F.col("__tri") / F.col("__wedges"), 6))
+        .otherwise(F.lit(0.0)).alias("transitivity"),
+    )
+
+
+def assortativity(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): 1 row (n_edges, n_nodes,
+    mean_deg, r) — the Pearson correlation of endpoint degrees over
+    every directed edge stub. r > 0: hubs attach to hubs (social
+    shape); r < 0: hubs attach to leaves (hub-and-spoke / star shape —
+    the signature of a dedup cluster collapsing onto one canonical
+    doc). Pearson is shift-invariant, so degree and Newman's
+    "remaining degree" (deg - 1) give the identical r.
+
+    Scale shape: canonical edge dedup, one node-keyed degree
+    aggregate, two broadcast-or-hash joins to stamp endpoint degrees,
+    one 1-row moment aggregate — linear in edges, no wedge join at
+    all. r is NULL for degree-regular graphs (zero variance); moments
+    are integer sums (exact), only the final ratio is rounded (6 dp).
+    """
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # both directions: each undirected edge contributes 2 stubs
+    stubs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    j = (
+        stubs.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("ju")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("jv")), "v")
+    )
+    ju = F.col("ju").cast("double")
+    jv = F.col("jv").cast("double")
+    m = j.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(ju).alias("__sj"),
+        F.sum(ju * ju).alias("__sjj"),
+        F.sum(ju * jv).alias("__sjk"),
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("deg").alias("__sdeg"),
+    )
+    mm = F.col("__m").cast("double")
+    var = F.col("__sjj") / mm - (F.col("__sj") / mm) * (F.col("__sj") / mm)
+    cov = F.col("__sjk") / mm - (F.col("__sj") / mm) * (F.col("__sj") / mm)
+    return m.crossJoin(F.broadcast(nodes)).select(
+        (F.col("__m") / 2).cast("long").alias("n_edges"),
+        "n_nodes",
+        F.round(F.col("__sdeg").cast("double") / F.col("n_nodes"), 6)
+        .alias("mean_deg"),
+        F.when(var > 0, F.round(cov / var, 6)).alias("r"),
+    )
+
+
+def jaccard_links(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_center_degree: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """Jaccard-coefficient link prediction: for every non-adjacent
+    pair sharing >= ``min_common`` common neighbors (through centers
+    of degree <= ``max_center_degree``), emit (x, y, common_neighbors,
+    jaccard) with jaccard = |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — the
+    normalized sibling of ``adamic_adar`` (AA weights rare centers
+    up; Jaccard asks what FRACTION of the combined neighborhoods is
+    shared, the right score when endpoint degrees vary wildly).
+
+    Same wedge enumeration and celebrity-cap contract as
+    ``adamic_adar`` (the cap bounds the candidate fan-out, and common
+    counts through capped centers only); endpoint degrees for the
+    union term come from the full degree table via broadcast joins.
+    """
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
+    b = e.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("w"), F.col("u").alias("n")))
+    deg = b.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    centers = b.join(
+        F.broadcast(
+            deg.filter(
+                (F.col("deg") >= 2) & (F.col("deg") <= max_center_degree))
+            .select("w")),
+        "w",
+    )
+    x, y = centers.alias("x"), centers.alias("y")
+    wedges = (
+        x.join(
+            y,
+            (F.col("x.w") == F.col("y.w"))
+            & (F.col("x.n") < F.col("y.n")),
+        )
+        .select(F.col("x.n").alias("u"), F.col("y.n").alias("v"))
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"))
+    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("dv"))
+    union_sz = (
+        F.col("du") + F.col("dv") - F.col("common_neighbors")
+    ).cast("double")
+    return (
+        scored.filter(F.col("common_neighbors") >= min_common)
+        .join(e, ["u", "v"], "left_anti")
+        .join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.col("u").alias("x"),
+            F.col("v").alias("y"),
+            "common_neighbors",
+            F.round(F.col("common_neighbors") / union_sz, 6)
+            .alias("jaccard"),
+        )
+    )

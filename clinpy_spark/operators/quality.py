@@ -22,7 +22,7 @@ Output: (check_name, metric, passed) — metric is the measured fraction
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -309,4 +309,180 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
                           - expected), 6).alias("abs_dev"),
         )
         .orderBy("digit")
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    key_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a table of per-test
+    p-values: input rows + (bh_rank, p_adj, significant) — the
+    multiple-testing control layer every screen in this library feeds
+    (per-variant chi-squares, per-gene differential expression,
+    per-segment drift): without it, 10^6 tests at p < 0.05 hand back
+    50k false positives by construction.
+
+    p_adj(i) = min over j >= i of (p_(j) * n / j), clipped to 1, with
+    tests ranked by ascending (p, key) — ``key_col`` breaks p ties
+    DETERMINISTICALLY so both the rank and the mirrored suffix window
+    replay identically in any engine; tied p's still share one p_adj
+    (the suffix min of every tie member includes the largest-rank tie
+    row, whose raw value is the block minimum). ``significant`` =
+    p_adj <= alpha, the step-up rule's rejection set.
+
+    Scale shape: one global rank window + one running-min window over
+    the suffix (ordered DESC, unbounded preceding) — both over the
+    TEST table (n tests, not the corpus). p_adj is p * n / rank then a
+    running MIN of doubles: deterministic in any replay (round-9).
+    NULL p rows are dropped (untested hypotheses are not hypotheses).
+    """
+    base = df.filter(F.col(p_col).isNotNull())
+    w_rank = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    w_suffix = Window.orderBy(
+        F.col(p_col).desc(), F.col(key_col).desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n = Window.partitionBy()
+    ranked = base.withColumn("bh_rank", F.row_number().over(w_rank)) \
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+    raw = F.col(p_col) * F.col("__n").cast("double") / F.col("bh_rank")
+    out = ranked.withColumn(
+        "p_adj",
+        F.round(F.least(F.min(raw).over(w_suffix), F.lit(1.0)), 9),
+    )
+    return out.withColumn(
+        "significant", F.col("p_adj") <= F.lit(float(alpha))
+    ).drop("__n")
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_mads: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier gate by median absolute deviation:
+    (group, n, med, mad, n_outliers, outlier_frac) — the
+    monitoring-grade anomaly count that survives the heavy tails that
+    wreck mean/stddev z-scores (``skew_report``'s companion: it tells
+    you WHICH partition's values went wrong, not just that the key
+    distribution did).
+
+    med = interpolated within-group median, mad = median(|x - med|),
+    outlier: |x - med| > n_mads * 1.4826 * mad (the Gaussian-
+    consistent scale factor). Groups with mad = 0 report outliers
+    against the degenerate band (any x != med counts when mad is 0 and
+    n_mads * 0 = 0 — i.e. strict inequality keeps exact-median rows
+    in-band).
+
+    Scale shape: two grouped percentile aggregates (Spark's exact
+    interpolated ``percentile``, the same convention DuckDB's
+    quantile_cont replays) with one broadcast-or-hash join of the
+    bounded per-group median table between them — the corpus streams
+    twice, no window, no sort of the full data.
+    """
+    g = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    med = g.groupBy("__g").agg(
+        F.expr("percentile(__v, 0.5)").alias("med"))
+    dev = g.join(med, "__g").withColumn(
+        "__ad", F.abs(F.col("__v") - F.col("med")))
+    out = dev.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med").alias("med"),
+        F.expr("percentile(__ad, 0.5)").alias("mad"),
+    )
+    flagged = (
+        dev.join(
+            out.select("__g", F.col("mad").alias("__mad")), "__g")
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__ad") > F.lit(float(n_mads)) * 1.4826
+                    * F.col("__mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        out.join(flagged, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 6)
+            .alias("outlier_frac"),
+        )
+    )
+
+
+def ols_inference(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+    decimal_scale: int | None = None,
+) -> DataFrame:
+    """Per-group simple-regression INFERENCE: (group, n, slope,
+    intercept, se_slope, t_slope, r2) — ``group_trends`` plus the
+    standard error, t statistic, and fit quality a monitoring decision
+    actually needs (is this drift SLOPE distinguishable from noise?).
+
+    Closed form from sufficient statistics: with centered moments
+    Sxx = sxx - sx^2/n (etc.), slope = Sxy/Sxx, residual variance
+    sigma2 = (Syy - slope*Sxy)/(n-2), se = sqrt(sigma2/Sxx),
+    t = slope/se, r2 = Sxy^2/(Sxx*Syy). NULL inference for n < 3 or
+    degenerate variance.
+
+    ``decimal_scale``: when the inputs carry at most ``decimal_scale/2``
+    fractional digits (money, integer counts), pass the scale to route
+    every moment through DECIMAL(28, scale) sums — EXACT regardless of
+    summation order, so a SQL oracle matches bit-for-bit (the ``dsum``
+    rationale). Default double sums are fine for round-6 ratios.
+
+    Scale shape: one groupBy over six conditional moments — single
+    shuffle on the group key, no window, no join.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+
+    def msum(expr):
+        if decimal_scale is None:
+            return F.sum(expr)
+        return F.sum(expr.cast(f"decimal(28,{decimal_scale})")).cast("double")
+
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        msum(x).alias("sx"),
+        msum(y).alias("sy"),
+        msum(x * x).alias("sxx"),
+        msum(y * y).alias("syy"),
+        msum(x * y).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / nn
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / nn
+    slope = cxy / cxx
+    sigma2 = (cyy - slope * cxy) / (nn - 2)
+    ok = (F.col("n") >= 3) & (cxx > 0)
+    se = F.sqrt(sigma2 / cxx)
+    return g.select(
+        group_col,
+        "n",
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round((F.col("sy") - slope * F.col("sx")) / nn, 6))
+        .alias("intercept"),
+        F.when(ok & (sigma2 > 0), F.round(se, 6)).alias("se_slope"),
+        F.when(ok & (sigma2 > 0), F.round(slope / se, 6)).alias("t_slope"),
+        F.when(ok & (cyy > 0), F.round(cxy * cxy / (cxx * cyy), 6))
+        .alias("r2"),
     )

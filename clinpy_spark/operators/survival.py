@@ -1117,3 +1117,140 @@ def life_table(
         .otherwise(F.round(F.exp("__lsum"), 6))
         .alias("survival"),
     )
+
+
+def smr(
+    study: DataFrame,
+    ref: DataFrame,
+    stratum_col: str,
+    events_col: str,
+    pt_col: str,
+    rate_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Standardized mortality/morbidity ratio by INDIRECT
+    standardization: 1 row (observed, expected, smr, smr_lo, smr_hi,
+    n_strata) — does the study cohort's event count exceed what the
+    reference population's stratum-specific rates predict for the
+    cohort's own person-time mix? The epidemiology twin of
+    ``incidence_rate``'s crude ratio, free of its confounding-by-mix.
+
+    ``study`` is per-stratum (events, person-time); ``ref`` is
+    per-stratum reference rates (events / person-time in the standard
+    population). expected = sum over strata of pt * ref_rate; smr =
+    observed / expected with the log-normal CI
+    exp(ln smr +- z / sqrt(observed)) (Breslow-Day approximation, the
+    same form ``incidence_rate`` uses). NULL smr/CI when expected is 0
+    or observed is 0 (CI undefined).
+
+    Scale shape: one broadcast join of the bounded rate table onto the
+    per-stratum study aggregate, one 1-row sum — the corpus-sized work
+    is whatever produced the per-stratum inputs (one groupBy each).
+    Strata missing a reference rate are EXCLUDED from both observed
+    and expected (count them first if that matters).
+    """
+    s = study.select(
+        F.col(stratum_col).alias("__st"),
+        F.col(events_col).alias("__o"),
+        F.col(pt_col).cast("double").alias("__pt"),
+    )
+    r = ref.select(
+        F.col(stratum_col).alias("__st"),
+        F.col(rate_col).cast("double").alias("__rate"),
+    )
+    j = s.join(F.broadcast(r), "__st")
+    agg = j.agg(
+        F.sum("__o").alias("observed"),
+        F.sum(F.col("__pt") * F.col("__rate")).alias("__e"),
+        F.count(F.lit(1)).alias("n_strata"),
+    )
+    obs = F.col("observed").cast("double")
+    ok = (F.col("__e") > 0) & (F.col("observed") > 0)
+    ratio = obs / F.col("__e")
+    half = F.lit(float(z)) / F.sqrt(obs)
+    return agg.select(
+        F.coalesce("observed", F.lit(0)).alias("observed"),
+        F.round(F.coalesce("__e", F.lit(0.0)), 6).alias("expected"),
+        F.when(ok, F.round(ratio, 6)).alias("smr"),
+        F.when(ok, F.round(ratio * F.exp(-half), 6)).alias("smr_lo"),
+        F.when(ok, F.round(ratio * F.exp(half), 6)).alias("smr_hi"),
+        "n_strata",
+    )
+
+
+def cox_newton_stratified(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    stratum_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """STRATIFIED Cox MLE for one binary covariate: 1 row (beta, hr,
+    se, wald_chi2, n_events, n_subjects, n_strata) — ``cox_newton``
+    with each stratum keeping its own baseline hazard (risk sets never
+    cross strata), the standard confounder adjustment when a center /
+    batch / nation effect would otherwise masquerade as a covariate
+    effect (the Cox twin of ``logrank_stratified``).
+
+    The partial likelihood factorizes over strata, so the score and
+    information are SUMS over the per-(stratum, event-time) grid of
+    the same hypergeometric-exponential terms — ``_newton_beta``
+    iterates unchanged over the union grid; only the grid construction
+    partitions its risk-set windows by stratum. Same oracle story as
+    ``cox_newton``: chained CTEs with PARTITION BY stratum windows.
+
+    Scale shape: ONE groupBy to the (stratum, time) grid, per-stratum
+    total-minus-prefix windows, then grid-sized Newton aggregates — at
+    10k strata the grid is still |strata| x |event times| rows,
+    nothing quadratic, one shuffle keyed by stratum.
+    """
+    base = df.select(
+        F.col(stratum_col).alias("__st"),
+        F.col(time_col).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+        F.col(x_col).cast("int").alias("__x"),
+    )
+    pt = base.groupBy("__st", "__t").agg(
+        F.sum("__e").alias("d"),
+        F.sum(F.col("__e") * F.col("__x")).alias("d1"),
+        F.count(F.lit(1)).alias("r"),
+        F.sum("__x").alias("r1"),
+    )
+    w_prev = Window.partitionBy("__st").orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1)
+    tot = Window.partitionBy("__st")
+    grid = (
+        pt.withColumn(
+            "n", F.sum("r").over(tot)
+            - F.coalesce(F.sum("r").over(w_prev), F.lit(0)))
+        .withColumn(
+            "n1", F.sum("r1").over(tot)
+            - F.coalesce(F.sum("r1").over(w_prev), F.lit(0)))
+        .filter(F.col("d") > 0)
+        .select("__st", "__t", "d", "d1", "n", "n1")
+        .localCheckpoint(eager=False)
+    )
+    beta = _newton_beta(df.sparkSession, grid, iterations)
+    fin = grid.crossJoin(F.broadcast(beta))
+    s1 = F.col("n1") * F.exp(F.col("beta"))
+    s0 = (F.col("n") - F.col("n1")) + s1
+    frac = s1 / s0
+    i_t = F.col("d") * frac * (1 - frac)
+    stats = fin.agg(
+        F.max("beta").alias("beta"),
+        F.sum(i_t).alias("__i"), F.sum("d").alias("n_events"))
+    counts = df.groupBy().agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.countDistinct(stratum_col).alias("n_strata"))
+    ok = F.col("beta").isNotNull() & (F.col("__i") > 0)
+    return stats.crossJoin(F.broadcast(counts)).select(
+        F.when(ok, F.round("beta", 6)).alias("beta"),
+        F.when(ok, F.round(F.exp("beta"), 6)).alias("hr"),
+        F.when(ok, F.round(1 / F.sqrt("__i"), 6)).alias("se"),
+        F.when(ok, F.round(F.col("beta") * F.col("beta") * F.col("__i"), 6))
+        .alias("wald_chi2"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "n_subjects",
+        "n_strata",
+    )

@@ -254,3 +254,71 @@ def seasonal_decompose(
             F.col("__x") - F.col("__trend") - F.col("__seasonal"), 6
         ).alias("remainder"),
     )
+
+
+def acf(
+    df: DataFrame,
+    period_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function of a regular series at lags
+    1..max_lag: rows (lag, n_pairs, r) — the memory/periodicity
+    readout next to ``seasonal_decompose`` (is there a weekly echo in
+    ingest volume?) and the whiteness check after ``cusum_changepoint``
+    removes a level shift.
+
+    Input is one row per period (pre-aggregate first); periods are
+    ranked by ``period_col`` and lag-k pairs come from ONE equi-join on
+    (rank + k) with k exploded from a sequence — K lags cost one join,
+    not K. Uses the standard biased estimator with the GLOBAL mean
+    and variance denominator:
+    r_k = (sum x_t x_{t+k} - xbar (A_k + B_k) + (n - k) xbar^2)
+          / (sum x^2 - n xbar^2)
+    expanded so that when values are integers (counts) every aggregate
+    is an EXACT integer sum — the only float ops are the final handful
+    of multiplies/divides, identical in any SQL replay (round-6).
+    NULL r for a constant series.
+
+    Scale shape: the series is |periods| rows (already reduced); the
+    rank window and self-join run over that bounded table. For a
+    100 TB event corpus the per-period pre-aggregation is the only
+    corpus-sized pass.
+    """
+    base = df.select(
+        F.col(period_col).alias("__p"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    w = Window.orderBy("__p")
+    t = base.select(
+        F.row_number().over(w).alias("__t"), "__x"
+    ).localCheckpoint(eager=False)
+    glob = t.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__ss"),
+    )
+    lags = t.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"))
+    left = t.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("__t") + F.col("lag")).alias("__t2"),
+        F.col("__x").alias("__xl"))
+    right = t.select(F.col("__t").alias("__t2"), F.col("__x").alias("__xr"))
+    per_lag = left.join(right, "__t2").groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("__xl") * F.col("__xr")).alias("__pk"),
+        F.sum("__xl").alias("__ak"),
+        F.sum("__xr").alias("__bk"),
+    )
+    j = per_lag.crossJoin(F.broadcast(glob))
+    nn = F.col("__n").cast("double")
+    mean = F.col("__s") / nn
+    den = F.col("__ss") - nn * mean * mean
+    num = (
+        F.col("__pk") - mean * (F.col("__ak") + F.col("__bk"))
+        + F.col("n_pairs").cast("double") * mean * mean
+    )
+    return j.select(
+        "lag", "n_pairs",
+        F.when(den > 0, F.round(num / den, 6)).alias("r"),
+    ).orderBy("lag")

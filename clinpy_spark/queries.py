@@ -8936,6 +8936,1260 @@ def gx_prs_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Round-11 session-3: inference breadth (rank tests, exact tests, GLM),
+# graph micro-structure, epidemiology standardization, series memory.
+# ---------------------------------------------------------------------------
+
+
+@q("dx_kruskal", """
+WITH t AS (SELECT o_totalprice AS v, o_orderpriority AS g FROM orders),
+pvg AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY v, g),
+pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM pvg GROUP BY v),
+r AS (SELECT v,
+        CAST(coalesce(sum(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        + (CAST(cv AS DOUBLE) + 1) / 2 AS midrank
+      FROM pv),
+pg AS (SELECT g, sum(CAST(c AS DOUBLE) * midrank) AS rg,
+              CAST(sum(c) AS BIGINT) AS ng
+       FROM pvg JOIN r USING (v) GROUP BY g),
+ties AS (SELECT sum(CAST(cv AS DOUBLE) * cv * cv - cv) AS tie,
+                CAST(sum(CASE WHEN cv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_ties
+         FROM pv),
+a AS (SELECT sum(rg * rg / ng) AS s, CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM pg)
+SELECT round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s - 3 * (n + 1), 6) AS h,
+       CASE WHEN 1 - tie / (CAST(n AS DOUBLE) * n * n - n) > 0
+            THEN round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s - 3 * (n + 1))
+                       / (1 - tie / (CAST(n AS DOUBLE) * n * n - n)), 6)
+       END AS h_corrected,
+       n_groups - 1 AS df, n, n_groups, n_ties
+FROM a CROSS JOIN ties
+""")
+def dx_kruskal_q(spark, sf):
+    # Kruskal-Wallis H across the 5 order priorities (operators/
+    # assoc.py kruskal_wallis): the k-group rank ANOVA —
+    # dx_mannwhitney's 2-arm comparison generalized. Midranks from the
+    # per-distinct-value aggregate (half-integers, EXACT sums), one
+    # k-row grouped aggregate on top.
+    from clinpy_spark.operators.assoc import kruskal_wallis
+
+    o = _t(spark, sf, "orders")
+    return kruskal_wallis(o, "o_totalprice", "o_orderpriority")
+
+
+@q("dx_spearman", """
+WITH base AS (SELECT c_acctbal AS x, CAST(coalesce(o.n, 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                             GROUP BY o_custkey) o
+    ON c.c_custkey = o.o_custkey),
+px AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x),
+rx AS (SELECT v, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+          + (CAST(c AS DOUBLE) + 1) / 2 AS r
+       FROM px),
+py AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY y),
+ry AS (SELECT v, CAST(coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+          + (CAST(c AS DOUBLE) + 1) / 2 AS r
+       FROM py),
+tx AS (SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ties_x FROM px),
+ty AS (SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ties_y FROM py),
+j AS (SELECT rx.r AS rxv, ry.r AS ryv
+      FROM base JOIN rx ON base.x = rx.v JOIN ry ON base.y = ry.v),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rxv) AS sx, sum(ryv) AS sy,
+             sum(rxv * rxv) AS sxx, sum(ryv * ryv) AS syy,
+             sum(rxv * ryv) AS sxy
+      FROM j)
+SELECT CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS rho,
+       n, n_ties_x, n_ties_y
+FROM m CROSS JOIN tx CROSS JOIN ty
+""")
+def dx_spearman_q(spark, sf):
+    # Spearman rank correlation (operators/assoc.py spearman_rho)
+    # between account balance and order count per customer: the
+    # outlier-proof monotone-association readout. Midranks are
+    # half-integers, so every rank moment is exact; only the final
+    # normalized ratio rounds.
+    from clinpy_spark.operators.assoc import spearman_rho
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    per_c = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(
+        per_c, cust.c_custkey == per_c.o_custkey, "left"
+    ).select(
+        "c_acctbal",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+    return spearman_rho(j, "c_acctbal", "n_orders")
+
+
+@q("dx_mcnemar", """
+WITH pu AS (SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+        THEN 1 ELSE 0 END) AS bef,
+    max(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+        THEN 1 ELSE 0 END) AS aft
+  FROM events GROUP BY user_id),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+   CAST(sum(CASE WHEN bef = 1 AND aft = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+   CAST(sum(CASE WHEN bef = 0 AND aft = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM pu)
+SELECT n_pairs, b, c,
+  CASE WHEN b + c > 0
+       THEN round((abs(CAST(b AS DOUBLE) - c) - 1)
+                  * (abs(CAST(b AS DOUBLE) - c) - 1) / (b + c), 6)
+  END AS chi2_cc,
+  CASE WHEN c > 0 THEN round(CAST(b AS DOUBLE) / c, 6) END AS or_paired
+FROM a
+""")
+def dx_mcnemar_q(spark, sf):
+    # McNemar's paired test (operators/assoc.py mcnemar_test): did
+    # each user's "made a purchase" flag flip asymmetrically between
+    # the first and second half of January — the paired before/after
+    # readout an unpaired chi-square gets wrong (it ignores that both
+    # halves observe the SAME users).
+    from clinpy_spark.operators.assoc import mcnemar_test
+
+    ev = _t(spark, sf, "events")
+    pur = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(pur & (F.col("ts") < "2024-01-16"), 1).otherwise(0))
+        .alias("bef"),
+        F.max(F.when(pur & (F.col("ts") >= "2024-01-16"), 1).otherwise(0))
+        .alias("aft"),
+    )
+    return mcnemar_test(per_user, "bef", "aft")
+
+
+@q("gx_tdt", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+r AS (SELECT variant,
+             CAST((c_custkey - 1) // 3 AS BIGINT) AS trio,
+             (c_custkey - 1) % 3 AS role, gt
+      FROM g),
+tt AS (SELECT variant, trio,
+              max(CASE WHEN role = 0 THEN gt END) AS gtf,
+              max(CASE WHEN role = 1 THEN gt END) AS gtm,
+              max(CASE WHEN role = 2 THEN gt END) AS gtc
+       FROM r GROUP BY variant, trio),
+cl AS (SELECT variant,
+              CAST(gtf / 2 AS INT) + CAST(gtm / 2 AS INT) AS det,
+              (CASE WHEN gtf = 1 THEN 1 ELSE 0 END
+               + CASE WHEN gtm = 1 THEN 1 ELSE 0 END) AS hets,
+              gtc
+       FROM tt
+       WHERE gtf IS NOT NULL AND gtm IS NOT NULL AND gtc IS NOT NULL
+         AND gtc >= CAST(gtf / 2 AS INT) + CAST(gtm / 2 AS INT)
+         AND gtc <= LEAST(gtf, 1) + LEAST(gtm, 1)),
+s AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_informative_trios,
+             CAST(sum(gtc - det) AS BIGINT) AS b_transmitted,
+             CAST(sum(hets - (gtc - det)) AS BIGINT) AS c_untransmitted
+      FROM cl WHERE hets > 0 GROUP BY variant)
+SELECT variant, n_informative_trios, b_transmitted, c_untransmitted,
+  CASE WHEN b_transmitted + c_untransmitted > 0
+       THEN round((CAST(b_transmitted AS DOUBLE) - c_untransmitted)
+                  * (CAST(b_transmitted AS DOUBLE) - c_untransmitted)
+                  / (b_transmitted + c_untransmitted), 6)
+  END AS tdt_chi2
+FROM s
+""")
+def gx_tdt_q(spark, sf):
+    # Transmission disequilibrium test (operators/assoc.py tdt_test)
+    # over the same synthetic trios gx_mendel audits: the family-based
+    # association test immune to population stratification. Homozygous
+    # parents transmit deterministically, so b = child - floor(f/2) -
+    # floor(m/2) counts het-parent transmissions exactly; McNemar-form
+    # chi2 over the per-variant sums.
+    from clinpy_spark.operators.assoc import tdt_test
+
+    g = _grid_geno(spark, sf).select(
+        "variant",
+        ((F.col("c_custkey") - 1) / 3).cast("long").alias("trio"),
+        ((F.col("c_custkey") - 1) % 3).alias("role"),
+        "gt",
+    )
+    tt = g.groupBy("variant", "trio").agg(
+        F.max(F.when(F.col("role") == 0, F.col("gt"))).alias("gtf"),
+        F.max(F.when(F.col("role") == 1, F.col("gt"))).alias("gtm"),
+        F.max(F.when(F.col("role") == 2, F.col("gt"))).alias("gtc"),
+    )
+    return tdt_test(tt, "variant", "gtf", "gtm", "gtc")
+
+
+@q("dx_logistic", """
+WITH grid AS (SELECT l_quantity AS x, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS p
+              FROM lineitem GROUP BY l_quantity),
+b0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+i1 AS (SELECT b0, b1, sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1,
+              sum(n * pp * (1 - pp)) AS i00,
+              sum(x * n * pp * (1 - pp)) AS i01,
+              sum(x * x * n * pp * (1 - pp)) AS i11
+       FROM (SELECT x, n, p, b0, b1,
+                    1 / (1 + exp(-(b0 + b1 * x))) AS pp
+             FROM grid CROSS JOIN b0)
+       GROUP BY b0, b1),
+b1c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i1),
+i2 AS (SELECT b0, b1, sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1,
+              sum(n * pp * (1 - pp)) AS i00,
+              sum(x * n * pp * (1 - pp)) AS i01,
+              sum(x * x * n * pp * (1 - pp)) AS i11
+       FROM (SELECT x, n, p, b0, b1,
+                    1 / (1 + exp(-(b0 + b1 * x))) AS pp
+             FROM grid CROSS JOIN b1c)
+       GROUP BY b0, b1),
+b2c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i2),
+i3 AS (SELECT b0, b1, sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1,
+              sum(n * pp * (1 - pp)) AS i00,
+              sum(x * n * pp * (1 - pp)) AS i01,
+              sum(x * x * n * pp * (1 - pp)) AS i11
+       FROM (SELECT x, n, p, b0, b1,
+                    1 / (1 + exp(-(b0 + b1 * x))) AS pp
+             FROM grid CROSS JOIN b2c)
+       GROUP BY b0, b1),
+b3c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i3),
+i4 AS (SELECT b0, b1, sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1,
+              sum(n * pp * (1 - pp)) AS i00,
+              sum(x * n * pp * (1 - pp)) AS i01,
+              sum(x * x * n * pp * (1 - pp)) AS i11
+       FROM (SELECT x, n, p, b0, b1,
+                    1 / (1 + exp(-(b0 + b1 * x))) AS pp
+             FROM grid CROSS JOIN b3c)
+       GROUP BY b0, b1),
+b4c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i4),
+fin AS (SELECT b0, b1,
+               sum(n * pp * (1 - pp)) AS i00,
+               sum(x * n * pp * (1 - pp)) AS i01,
+               sum(x * x * n * pp * (1 - pp)) AS i11,
+               CAST(sum(n) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos
+        FROM (SELECT x, n, p, b0, b1,
+                     1 / (1 + exp(-(b0 + b1 * x))) AS pp
+              FROM grid CROSS JOIN b4c)
+        GROUP BY b0, b1)
+SELECT CASE WHEN ok THEN round(b0, 6) END AS beta0,
+       CASE WHEN ok THEN round(b1, 6) END AS beta1,
+       CASE WHEN ok THEN round(sqrt(i00 / det), 6) END AS se1,
+       CASE WHEN ok THEN round(b1 * b1 / (i00 / det), 6) END AS wald_chi2,
+       coalesce(n, 0) AS n, coalesce(n_pos, 0) AS n_pos
+FROM (SELECT *, i00 * i11 - i01 * i01 AS det,
+             b0 IS NOT NULL AND b1 IS NOT NULL
+             AND i00 * i11 - i01 * i01 > 0 AS ok
+      FROM fin)
+""")
+def dx_logistic_q(spark, sf):
+    # Logistic regression (operators/assoc.py logistic_newton): does
+    # return probability rise with line-item quantity — log-odds per
+    # unit with Wald inference, by 4 unrolled IRLS steps over the
+    # 50-row per-quantity grid (the corpus is scanned ONCE into the
+    # grid; every iteration is grid-sized). The oracle replays the
+    # same 4 steps as chained CTEs.
+    from clinpy_spark.operators.assoc import logistic_newton
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return logistic_newton(li, "x", "y", iterations=4)
+
+
+@q("dx_fisher_exact", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+dd AS (SELECT CASE WHEN gt > 0 THEN 1 ELSE 0 END AS e,
+              CASE WHEN is_case THEN 1 ELSE 0 END AS y
+       FROM g WHERE variant = 40 AND c_custkey % 37 = 0),
+cnt AS (SELECT
+   CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+   CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+   CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+   CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0
+  FROM dd),
+supp AS (SELECT a, b, c, d0, a + b AS r1, c + d0 AS r2, a + c AS c1,
+                unnest(generate_series(GREATEST(0, a + c - (c + d0)),
+                                       LEAST(a + b, a + c))) AS k
+         FROM cnt),
+lw AS (SELECT *,
+         sum(CASE WHEN k = GREATEST(0, c1 - r2) THEN 0.0
+             ELSE ln((r1 - CAST(k AS DOUBLE) + 1) * (c1 - CAST(k AS DOUBLE) + 1))
+                  - ln(CAST(k AS DOUBLE) * (r2 - c1 + CAST(k AS DOUBLE)))
+             END)
+           OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS lnu
+       FROM supp),
+lw2 AS (SELECT *, exp(lnu - max(lnu) OVER ()) AS u,
+               max(CASE WHEN k = a THEN lnu END) OVER () AS lnu_obs
+        FROM lw),
+agg AS (SELECT max(a) AS a, max(b) AS b, max(c) AS c, max(d0) AS d,
+          sum(u) AS tot,
+          sum(CASE WHEN lnu <= lnu_obs + 0.0000001 THEN u ELSE 0 END) AS le_obs,
+          sum(CASE WHEN k <= a THEN u ELSE 0 END) AS lft,
+          sum(CASE WHEN k >= a THEN u ELSE 0 END) AS rgt
+        FROM lw2)
+SELECT a, b, c, d, a + b + c + d AS n,
+       round(LEAST(le_obs / tot, 1.0), 9) AS p_two_sided,
+       round(LEAST(lft / tot, 1.0), 9) AS p_left,
+       round(LEAST(rgt / tot, 1.0), 9) AS p_right
+FROM agg
+""")
+def dx_fisher_exact_q(spark, sf):
+    # Fisher's EXACT 2x2 test (operators/assoc.py fisher_exact_2x2)
+    # for a rare variant (2% allele frequency) in a small hash-pinned
+    # cohort — exactly the regime where the chi-square family's
+    # expected-count assumptions collapse. The hypergeometric support
+    # is built factorial-free from the neighbour-ratio prefix sum, so
+    # the oracle replays the identical window recurrence.
+    from clinpy_spark.operators.assoc import fisher_exact_2x2
+
+    g = _grid_geno(spark, sf).filter(
+        (F.col("variant") == 40) & (F.col("c_custkey") % 37 == 0))
+    d = g.select(
+        (F.col("gt") > 0).cast("int").alias("exposed"),
+        F.col("is_case").cast("int").alias("case"),
+    )
+    return fisher_exact_2x2(d, "exposed", "case")
+
+
+@q("graph_clustering_coeff", f"""
+WITH e0 AS ({_COPURCHASE_SQL}),
+e AS MATERIALIZED (SELECT u, v FROM e0),
+b AS (SELECT u AS w FROM e UNION ALL SELECT v FROM e),
+deg AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS deg
+                     FROM b GROUP BY w),
+tri AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, bb.v AS z
+  FROM e a JOIN e bb ON bb.u = a.v JOIN e cc ON cc.u = a.u AND cc.v = bb.v),
+tn AS (SELECT n, CAST(count(*) AS BIGINT) AS t
+       FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+       GROUP BY n),
+nd AS (SELECT deg.w, deg.deg, coalesce(tn.t, 0) AS t
+       FROM deg LEFT JOIN tn ON tn.n = deg.w),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_eligible,
+        CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+        sum(CASE WHEN deg >= 2
+            THEN CAST(t AS DOUBLE) * 2 / (CAST(deg AS DOUBLE) * (deg - 1))
+            ELSE 0 END) AS cc,
+        sum(CASE WHEN deg >= 2 THEN CAST(deg AS DOUBLE) * (deg - 1) / 2
+            ELSE 0 END) AS wedges,
+        CAST(sum(t) / 3 AS BIGINT) AS tri3
+      FROM nd)
+SELECT n_nodes, n_eligible, n_closed,
+       CASE WHEN n_eligible > 0 THEN round(cc / n_eligible, 6)
+            ELSE 0.0 END AS avg_local_cc,
+       CASE WHEN wedges > 0 THEN round(3.0 * tri3 / wedges, 6)
+            ELSE 0.0 END AS transitivity
+FROM a
+""")
+def graph_clustering_coeff_q(spark, sf):
+    # Average local clustering coefficient of the co-purchase graph
+    # (operators/graph.py clustering_coefficient): per-node triangle
+    # density — the micro-structure readout next to the global census.
+    # Spark enumerates each triangle once from its degree-oriented
+    # pivot (Chiba-Nishizeki bound); the oracle's naive u<v<w
+    # enumeration counts the identical set.
+    from clinpy_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_copurchase(spark, sf), "u", "v")
+
+
+@q("graph_assortativity", f"""
+WITH e0 AS ({_COPURCHASE_SQL}),
+e AS MATERIALIZED (SELECT u, v FROM e0),
+b AS (SELECT u AS w, v AS n FROM e UNION ALL SELECT v, u FROM e),
+deg AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS deg
+                     FROM b GROUP BY w),
+st AS (SELECT du.deg AS ju, dv.deg AS jv
+       FROM b JOIN deg du ON du.w = b.w JOIN deg dv ON dv.w = b.n),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m, sum(CAST(ju AS DOUBLE)) AS sj,
+             sum(CAST(ju AS DOUBLE) * ju) AS sjj,
+             sum(CAST(ju AS DOUBLE) * jv) AS sjk
+      FROM st),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(deg) AS BIGINT) AS sdeg
+       FROM deg)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges, n_nodes,
+       round(CAST(sdeg AS DOUBLE) / n_nodes, 6) AS mean_deg,
+       CASE WHEN sjj / m - (sj / m) * (sj / m) > 0
+            THEN round((sjk / m - (sj / m) * (sj / m))
+                       / (sjj / m - (sj / m) * (sj / m)), 6)
+       END AS r
+FROM m CROSS JOIN nn
+""")
+def graph_assortativity_q(spark, sf):
+    # Degree assortativity (operators/graph.py assortativity, Newman
+    # 2002) of the co-purchase graph: do hub parts co-occur with other
+    # hubs (r > 0) or with one-off parts (r < 0)? Linear in edges —
+    # degree aggregate, two stamp joins, one moment aggregate; the
+    # integer moments make the oracle exact.
+    from clinpy_spark.operators.graph import assortativity
+
+    return assortativity(_copurchase(spark, sf), "u", "v")
+
+
+@q("e_acf", """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+t AS (SELECT row_number() OVER (ORDER BY day) AS t, x FROM d),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s, sum(x * x) AS ss
+      FROM t),
+l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+pl AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              sum(a.x * b.x) AS pk, sum(a.x) AS ak, sum(b.x) AS bk
+       FROM t a CROSS JOIN l JOIN t b ON b.t = a.t + l.lag
+       GROUP BY l.lag)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       CASE WHEN ss - n * (s / n) * (s / n) > 0
+            THEN round((pk - (s / n) * (ak + bk) + n_pairs * (s / n) * (s / n))
+                       / (ss - n * (s / n) * (s / n)), 6)
+       END AS r
+FROM pl CROSS JOIN g
+""")
+def e_acf_q(spark, sf):
+    # Sample autocorrelation of the daily event volume at lags 1..7
+    # (operators/windows.py acf): the weekly-echo/memory readout next
+    # to e_seasonal_decompose. The estimator is expanded so every
+    # aggregate is an exact integer sum; K lags cost ONE equi-join on
+    # the rank offset, over the bounded per-day series.
+    from clinpy_spark.operators.windows import acf
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x"))
+    return acf(daily, "day", "x", max_lag=7)
+
+
+@q("epi_smr", """
+WITH j AS (SELECT c_nationkey % 5 AS stratum, c_mktsegment,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                    AS urgent
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+ref AS (SELECT stratum, sum(urgent) / CAST(count(*) AS DOUBLE) AS rate
+        FROM j GROUP BY stratum),
+study AS (SELECT stratum, CAST(sum(urgent) AS BIGINT) AS ev,
+                 CAST(count(*) AS DOUBLE) AS pt
+          FROM j WHERE c_mktsegment = 'BUILDING' GROUP BY stratum),
+a AS (SELECT CAST(sum(ev) AS BIGINT) AS observed, sum(pt * rate) AS e,
+             CAST(count(*) AS BIGINT) AS n_strata
+      FROM study JOIN ref USING (stratum))
+SELECT coalesce(observed, 0) AS observed, round(coalesce(e, 0), 6) AS expected,
+  CASE WHEN e > 0 AND observed > 0 THEN round(observed / e, 6) END AS smr,
+  CASE WHEN e > 0 AND observed > 0
+       THEN round(observed / e * exp(-1.96 / sqrt(observed)), 6) END AS smr_lo,
+  CASE WHEN e > 0 AND observed > 0
+       THEN round(observed / e * exp(1.96 / sqrt(observed)), 6) END AS smr_hi,
+  n_strata
+FROM a
+""")
+def epi_smr_q(spark, sf):
+    # Standardized morbidity ratio by indirect standardization
+    # (operators/survival.py smr): does the BUILDING segment file more
+    # URGENT orders than the population's nation-band-specific urgency
+    # rates predict for its own order mix — the confounder-free
+    # sibling of surv_incidence_rate's crude ratio.
+    from clinpy_spark.operators.survival import smr
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", (F.col("c_nationkey") % 5).alias("stratum"),
+        "c_mktsegment")
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("urgent"),
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    ref = j.groupBy("stratum").agg(
+        (F.sum("urgent") / F.count(F.lit(1))).alias("rate"))
+    study = (
+        j.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("stratum")
+        .agg(
+            F.sum("urgent").alias("events"),
+            F.count(F.lit(1)).cast("double").alias("pt"),
+        )
+    )
+    return smr(study, ref, "stratum", "events", "pt", "rate")
+
+
+@q("dx_bh_fdr", """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+g AS (SELECT user_id,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+      FROM e),
+pu AS (SELECT user_id, max(gap) AS maxg, CAST(sum(gap) AS BIGINT) AS sumg,
+              CAST(count(*) AS BIGINT) AS ng
+       FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+tests AS (SELECT user_id,
+                 exp(-CAST(maxg AS DOUBLE) / (CAST(sumg AS DOUBLE) / ng)) AS p
+          FROM pu WHERE ng >= 2),
+r AS (SELECT user_id, p,
+             row_number() OVER (ORDER BY p ASC, user_id ASC) AS bh_rank,
+             count(*) OVER () AS n
+      FROM tests),
+s AS (SELECT user_id, p, bh_rank,
+             round(LEAST(min(p * CAST(n AS DOUBLE) / bh_rank)
+               OVER (ORDER BY p DESC, user_id DESC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW), 1.0), 9) AS p_adj
+      FROM r)
+SELECT user_id, round(p, 9) AS p, CAST(bh_rank AS INT) AS bh_rank, p_adj,
+       p_adj <= 0.05 AS significant
+FROM s
+""")
+def dx_bh_fdr_q(spark, sf):
+    # Benjamini-Hochberg FDR control (operators/quality.py bh_adjust)
+    # over per-user gap-anomaly p-values (exponential tail of each
+    # user's largest inter-event gap against their own mean gap): the
+    # multiple-testing layer that turns 150 simultaneous anomaly tests
+    # into a controlled rejection set. Ranks tie-break on user_id so
+    # both windows replay deterministically.
+    from clinpy_spark.operators.quality import bh_adjust
+
+    # events ts may surface as TIMESTAMP_NTZ; the cast's fixed session-tz
+    # offset cancels in the gap differences.
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = ev.withColumn(
+        "gap", F.col("us") - F.lag("us").over(w)
+    ).filter(F.col("gap").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.max("gap").alias("maxg"),
+        F.sum("gap").alias("sumg"),
+        F.count(F.lit(1)).alias("ng"),
+    )
+    tests = per_user.filter(F.col("ng") >= 2).select(
+        "user_id",
+        F.exp(
+            -F.col("maxg").cast("double")
+            / (F.col("sumg").cast("double") / F.col("ng"))
+        ).alias("p"),
+    )
+    out = bh_adjust(tests, "p", "user_id", alpha=0.05)
+    return out.select(
+        "user_id", F.round("p", 9).alias("p"), "bh_rank", "p_adj",
+        "significant")
+
+
+
+
+@q("dx_friedman", """
+WITH obs AS (SELECT c_nationkey AS b, o_orderpriority AS t,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*) AS v
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1, 2),
+kt AS (SELECT b, CAST(count(*) AS BIGINT) AS kk FROM obs GROUP BY b),
+kmax AS (SELECT max(kk) AS km FROM kt),
+comp AS (SELECT obs.b, obs.t, obs.v
+         FROM obs JOIN kt USING (b) CROSS JOIN kmax WHERE kt.kk = kmax.km),
+pbv AS (SELECT b, v, CAST(count(*) AS BIGINT) AS c FROM comp GROUP BY b, v),
+rk AS (SELECT b, v,
+         CAST(coalesce(sum(c) OVER (PARTITION BY b ORDER BY v ROWS BETWEEN
+           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+         + (CAST(c AS DOUBLE) + 1) / 2 AS midrank
+       FROM pbv),
+r AS (SELECT comp.t, comp.b, rk.midrank
+      FROM comp JOIN rk ON comp.b = rk.b AND comp.v = rk.v),
+pt AS (SELECT t, sum(midrank) AS rj FROM r GROUP BY t),
+tot AS (SELECT sum(midrank * midrank) AS a,
+               CAST(count(DISTINCT b) AS BIGINT) AS n_blocks
+        FROM r),
+ag AS (SELECT sum(rj * rj) AS s, CAST(count(*) AS BIGINT) AS k FROM pt)
+SELECT CASE WHEN a - CAST(n_blocks AS DOUBLE) * k * (k + 1) * (k + 1) / 4 > 0
+            THEN round((CAST(k AS DOUBLE) - 1)
+                 * (s - CAST(n_blocks AS DOUBLE)
+                    * (CAST(n_blocks AS DOUBLE) * k * (k + 1) * (k + 1) / 4))
+                 / (a - CAST(n_blocks AS DOUBLE) * k * (k + 1) * (k + 1) / 4),
+                 6)
+       END AS chi2_f,
+       k - 1 AS df, n_blocks, k
+FROM ag CROSS JOIN tot
+""")
+def dx_friedman_q(spark, sf):
+    # Friedman test (operators/assoc.py friedman_test): does order
+    # value rank consistently across the 5 priorities WITHIN each
+    # nation (the nation is the block — its wealth level is removed by
+    # ranking inside it)? The per-(nation, priority) observation is a
+    # decimal-exact mean so both engines rank identical values.
+    from clinpy_spark.operators.assoc import friedman_test
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf, "orders").join(
+        cust, F.col("o_custkey") == F.col("c_custkey"))
+    obs = o.groupBy(
+        F.col("c_nationkey").alias("b"),
+        F.col("o_orderpriority").alias("t"),
+    ).agg((dsum(F.col("o_totalprice"), 2) / F.count(F.lit(1))).alias("v"))
+    return friedman_test(obs, "b", "t", "v")
+
+
+@q("dx_cochran_q", """
+WITH pu AS (SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-11'
+        THEN 1 ELSE 0 END) AS w1,
+    max(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-11'
+         AND ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS w2,
+    max(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-21'
+        THEN 1 ELSE 0 END) AS w3
+  FROM events GROUP BY user_id),
+a AS (SELECT CAST(sum(w1) AS BIGINT) AS c0, CAST(sum(w2) AS BIGINT) AS c1,
+             CAST(sum(w3) AS BIGINT) AS c2,
+             CAST(sum(w1 + w2 + w3) AS BIGINT) AS rsum,
+             CAST(sum((w1 + w2 + w3) * (w1 + w2 + w3)) AS BIGINT) AS rsq,
+             CAST(count(*) AS BIGINT) AS n_subjects,
+             CAST(sum(CASE WHEN w1 + w2 + w3 > 0 AND w1 + w2 + w3 < 3
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_informative
+      FROM pu)
+SELECT CASE WHEN 3.0 * rsum - CAST(rsq AS DOUBLE) > 0
+            THEN round(3.0 * (3.0 - 1)
+                 * ((CAST(c0 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3.0)
+                    * (CAST(c0 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3.0)
+                  + (CAST(c1 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3.0)
+                    * (CAST(c1 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3.0)
+                  + (CAST(c2 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3.0)
+                    * (CAST(c2 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3.0))
+                 / (3.0 * rsum - CAST(rsq AS DOUBLE)), 6)
+       END AS q,
+       CAST(2 AS BIGINT) AS df, n_subjects, n_informative
+FROM a
+""")
+def dx_cochran_q_q(spark, sf):
+    # Cochran's Q (operators/assoc.py cochran_q): did each user's
+    # "purchased this decade of January" flag differ across the three
+    # ten-day windows — the k-ary McNemar over the SAME subjects. All
+    # moments are integer sums; one corpus aggregate.
+    from clinpy_spark.operators.assoc import cochran_q
+
+    ev = _t(spark, sf, "events")
+    pur = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(pur & (F.col("ts") < "2024-01-11"), 1).otherwise(0))
+        .alias("w1"),
+        F.max(F.when(pur & (F.col("ts") >= "2024-01-11")
+                     & (F.col("ts") < "2024-01-21"), 1).otherwise(0))
+        .alias("w2"),
+        F.max(F.when(pur & (F.col("ts") >= "2024-01-21"), 1).otherwise(0))
+        .alias("w3"),
+    )
+    return cochran_q(per_user, ["w1", "w2", "w3"])
+
+
+@q("dx_poisson", """
+WITH base AS (SELECT c_nationkey % 5 AS x, CAST(coalesce(o.n, 0) AS DOUBLE) AS y
+  FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                             GROUP BY o_custkey) o
+    ON c.c_custkey = o.o_custkey),
+grid AS (SELECT CAST(x AS DOUBLE) AS x, CAST(count(*) AS BIGINT) AS n,
+                sum(y) AS sy
+         FROM base GROUP BY x),
+b0 AS (SELECT CASE WHEN sum(sy) > 0 THEN ln(sum(sy) / sum(n)) ELSE 0.0 END AS b0,
+              0.0 AS b1
+       FROM grid),
+i1 AS (SELECT b0, b1, sum(sy - w) AS u0, sum(x * (sy - w)) AS u1,
+              sum(w) AS i00, sum(x * w) AS i01, sum(x * x * w) AS i11
+       FROM (SELECT x, n, sy, b0, b1, n * exp(b0 + b1 * x) AS w
+             FROM grid CROSS JOIN b0)
+       GROUP BY b0, b1),
+b1c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i1),
+i2 AS (SELECT b0, b1, sum(sy - w) AS u0, sum(x * (sy - w)) AS u1,
+              sum(w) AS i00, sum(x * w) AS i01, sum(x * x * w) AS i11
+       FROM (SELECT x, n, sy, b0, b1, n * exp(b0 + b1 * x) AS w
+             FROM grid CROSS JOIN b1c)
+       GROUP BY b0, b1),
+b2c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i2),
+i3 AS (SELECT b0, b1, sum(sy - w) AS u0, sum(x * (sy - w)) AS u1,
+              sum(w) AS i00, sum(x * w) AS i01, sum(x * x * w) AS i11
+       FROM (SELECT x, n, sy, b0, b1, n * exp(b0 + b1 * x) AS w
+             FROM grid CROSS JOIN b2c)
+       GROUP BY b0, b1),
+b3c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i3),
+i4 AS (SELECT b0, b1, sum(sy - w) AS u0, sum(x * (sy - w)) AS u1,
+              sum(w) AS i00, sum(x * w) AS i01, sum(x * x * w) AS i11
+       FROM (SELECT x, n, sy, b0, b1, n * exp(b0 + b1 * x) AS w
+             FROM grid CROSS JOIN b3c)
+       GROUP BY b0, b1),
+b4c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i4),
+fin AS (SELECT b0, b1, sum(w) AS i00, sum(x * w) AS i01,
+               sum(x * x * w) AS i11,
+               CAST(sum(n) AS BIGINT) AS n, sum(sy) AS y_total
+        FROM (SELECT x, n, sy, b0, b1, n * exp(b0 + b1 * x) AS w
+              FROM grid CROSS JOIN b4c)
+        GROUP BY b0, b1)
+SELECT CASE WHEN ok THEN round(b0, 6) END AS beta0,
+       CASE WHEN ok THEN round(b1, 6) END AS beta1,
+       CASE WHEN ok THEN round(exp(b1), 6) END AS rate_ratio,
+       CASE WHEN ok THEN round(sqrt(i00 / det), 6) END AS se1,
+       CASE WHEN ok THEN round(b1 * b1 / (i00 / det), 6) END AS wald_chi2,
+       coalesce(n, 0) AS n, round(coalesce(y_total, 0), 6) AS y_total
+FROM (SELECT *, i00 * i11 - i01 * i01 AS det,
+             b0 IS NOT NULL AND b1 IS NOT NULL
+             AND i00 * i11 - i01 * i01 > 0 AS ok
+      FROM fin)
+""")
+def dx_poisson_q(spark, sf):
+    # Poisson log-link regression (operators/assoc.py poisson_newton):
+    # does per-customer order volume trend across nation bands — log
+    # rate per band with Wald inference, 4 unrolled IRLS steps over
+    # the 5-row per-band grid (corpus scanned once).
+    from clinpy_spark.operators.assoc import poisson_newton
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", (F.col("c_nationkey") % 5).alias("x"))
+    per_c = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    base = cust.join(
+        per_c, cust.c_custkey == per_c.o_custkey, "left"
+    ).select("x", F.coalesce("n_orders", F.lit(0)).alias("y"))
+    return poisson_newton(base, "x", "y", iterations=4)
+
+
+@q("gx_haplotype_em", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+va AS (SELECT c_custkey AS s, gt AS ga FROM g WHERE variant = 7),
+vb AS (SELECT c_custkey AS s, gt AS gb FROM g WHERE variant = 13),
+j AS (SELECT ga, gb FROM va JOIN vb USING (s)
+      WHERE ga IS NOT NULL AND gb IS NOT NULL),
+cnt AS (SELECT
+  CAST(sum(CASE WHEN ga=0 AND gb=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+  CAST(sum(CASE WHEN ga=0 AND gb=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+  CAST(sum(CASE WHEN ga=0 AND gb=2 THEN 1 ELSE 0 END) AS BIGINT) AS n02,
+  CAST(sum(CASE WHEN ga=1 AND gb=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+  CAST(sum(CASE WHEN ga=1 AND gb=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+  CAST(sum(CASE WHEN ga=1 AND gb=2 THEN 1 ELSE 0 END) AS BIGINT) AS n12,
+  CAST(sum(CASE WHEN ga=2 AND gb=0 THEN 1 ELSE 0 END) AS BIGINT) AS n20,
+  CAST(sum(CASE WHEN ga=2 AND gb=1 THEN 1 ELSE 0 END) AS BIGINT) AS n21,
+  CAST(sum(CASE WHEN ga=2 AND gb=2 THEN 1 ELSE 0 END) AS BIGINT) AS n22,
+  CAST(count(*) AS BIGINT) AS n_samples
+ FROM j),
+c0 AS (SELECT *,
+  CAST(2 * n22 + n21 + n12 AS DOUBLE) AS b11,
+  CAST(2 * n20 + n21 + n10 AS DOUBLE) AS b10,
+  CAST(2 * n02 + n12 + n01 AS DOUBLE) AS b01,
+  CAST(2 * n00 + n10 + n01 AS DOUBLE) AS b00,
+  CAST(n11 AS DOUBLE) AS dh,
+  2 * CAST(n_samples AS DOUBLE) AS tn
+ FROM cnt),
+c1 AS (SELECT *,
+  (b11 + b10 + dh) / tn AS pa, (b11 + b01 + dh) / tn AS pb
+ FROM c0),
+e0 AS (SELECT *, pa * pb AS p11, pa * (1 - pb) AS p10,
+              (1 - pa) * pb AS p01, (1 - pa) * (1 - pb) AS p00
+       FROM c1),
+e1 AS (SELECT * REPLACE (
+         (b11 + f * dh) / tn AS p11, (b10 + (1 - f) * dh) / tn AS p10,
+         (b01 + (1 - f) * dh) / tn AS p01, (b00 + f * dh) / tn AS p00)
+       FROM (SELECT *, CASE WHEN p11 * p00 + p10 * p01 > 0
+                    THEN p11 * p00 / (p11 * p00 + p10 * p01)
+                    ELSE 0.5 END AS f FROM e0)),
+e2 AS (SELECT * REPLACE (
+         (b11 + f2 * dh) / tn AS p11, (b10 + (1 - f2) * dh) / tn AS p10,
+         (b01 + (1 - f2) * dh) / tn AS p01, (b00 + f2 * dh) / tn AS p00)
+       FROM (SELECT *, CASE WHEN p11 * p00 + p10 * p01 > 0
+                    THEN p11 * p00 / (p11 * p00 + p10 * p01)
+                    ELSE 0.5 END AS f2 FROM e1)),
+e3 AS (SELECT * REPLACE (
+         (b11 + f3 * dh) / tn AS p11, (b10 + (1 - f3) * dh) / tn AS p10,
+         (b01 + (1 - f3) * dh) / tn AS p01, (b00 + f3 * dh) / tn AS p00)
+       FROM (SELECT *, CASE WHEN p11 * p00 + p10 * p01 > 0
+                    THEN p11 * p00 / (p11 * p00 + p10 * p01)
+                    ELSE 0.5 END AS f3 FROM e2)),
+e4 AS (SELECT * REPLACE (
+         (b11 + f4 * dh) / tn AS p11, (b10 + (1 - f4) * dh) / tn AS p10,
+         (b01 + (1 - f4) * dh) / tn AS p01, (b00 + f4 * dh) / tn AS p00)
+       FROM (SELECT *, CASE WHEN p11 * p00 + p10 * p01 > 0
+                    THEN p11 * p00 / (p11 * p00 + p10 * p01)
+                    ELSE 0.5 END AS f4 FROM e3)),
+e5 AS (SELECT * REPLACE (
+         (b11 + f5 * dh) / tn AS p11, (b10 + (1 - f5) * dh) / tn AS p10,
+         (b01 + (1 - f5) * dh) / tn AS p01, (b00 + f5 * dh) / tn AS p00)
+       FROM (SELECT *, CASE WHEN p11 * p00 + p10 * p01 > 0
+                    THEN p11 * p00 / (p11 * p00 + p10 * p01)
+                    ELSE 0.5 END AS f5 FROM e4)),
+fin AS (SELECT *, p11 - pa * pb AS d FROM e5)
+SELECT round(p11, 6) AS p11, round(p10, 6) AS p10,
+       round(p01, 6) AS p01, round(p00, 6) AS p00,
+       round(d, 6) AS d,
+       CASE WHEN (CASE WHEN d >= 0
+                  THEN LEAST(pa * (1 - pb), (1 - pa) * pb)
+                  ELSE LEAST(pa * pb, (1 - pa) * (1 - pb)) END) > 0
+            THEN round(abs(d) / (CASE WHEN d >= 0
+                  THEN LEAST(pa * (1 - pb), (1 - pa) * pb)
+                  ELSE LEAST(pa * pb, (1 - pa) * (1 - pb)) END), 6)
+       END AS d_prime,
+       CASE WHEN pa * (1 - pa) * pb * (1 - pb) > 0
+            THEN round(d * d / (pa * (1 - pa) * pb * (1 - pb)), 6)
+       END AS r2,
+       n_samples, n11 AS n_double_het
+FROM fin
+""")
+def gx_haplotype_em_q(spark, sf):
+    # Two-locus haplotype EM (operators/assoc.py haplotype_em,
+    # Hill 1974 gene counting) for variants 7 x 13: gametic D/D'/r2
+    # from unphased dosages — the phased linkage readout gx_ld_r2's
+    # genotype correlation approximates. 5 unrolled EM steps over the
+    # 1-row 9-cell count aggregate; the oracle replays them as
+    # chained CTEs.
+    from clinpy_spark.operators.assoc import haplotype_em
+
+    g = _grid_geno(spark, sf)
+    return haplotype_em(g, "c_custkey", "variant", "gt", 7, 13,
+                        iterations=5)
+
+
+@q("q_mad_outliers", """
+WITH g AS (SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders),
+med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM g GROUP BY grp),
+dev AS (SELECT g.grp, abs(v - med) AS ad, med FROM g JOIN med USING (grp)),
+o AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, max(med) AS med,
+             quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY grp),
+fl AS (SELECT dev.grp,
+              CAST(sum(CASE WHEN ad > 3.0 * 1.4826 * o.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+       FROM dev JOIN o USING (grp) GROUP BY dev.grp)
+SELECT o.grp AS o_orderpriority, n, round(o.med, 6) AS med,
+       round(o.mad, 6) AS mad, n_outliers,
+       round(CAST(n_outliers AS DOUBLE) / n, 6) AS outlier_frac
+FROM o JOIN fl USING (grp)
+""")
+def q_mad_outliers_q(spark, sf):
+    # Median/MAD robust outlier gate per order priority
+    # (operators/quality.py mad_outliers): the heavy-tail-proof
+    # anomaly count a mean/stddev z-score would inflate. Exact
+    # interpolated percentiles on both engines (the o4 convention).
+    from clinpy_spark.operators.quality import mad_outliers
+
+    o = _t(spark, sf, "orders")
+    return mad_outliers(o, "o_orderpriority", "o_totalprice", n_mads=3.0)
+
+
+
+
+@q("dx_ols_inference", """
+WITH m AS (SELECT l_returnflag,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)))
+      AS DOUBLE) AS syy,
+    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+      AS sxy
+  FROM lineitem GROUP BY l_returnflag),
+c AS (SELECT l_returnflag, n, sx, sy,
+             sxx - sx * sx / n AS cxx,
+             syy - sy * sy / n AS cyy,
+             sxy - sx * sy / n AS cxy
+      FROM m)
+SELECT l_returnflag, n,
+  CASE WHEN n >= 3 AND cxx > 0 THEN round(cxy / cxx, 6) END AS slope,
+  CASE WHEN n >= 3 AND cxx > 0
+       THEN round((sy - (cxy / cxx) * sx) / n, 6) END AS intercept,
+  CASE WHEN n >= 3 AND cxx > 0
+        AND (cyy - (cxy / cxx) * cxy) / (n - 2) > 0
+       THEN round(sqrt(((cyy - (cxy / cxx) * cxy) / (n - 2)) / cxx), 6)
+  END AS se_slope,
+  CASE WHEN n >= 3 AND cxx > 0
+        AND (cyy - (cxy / cxx) * cxy) / (n - 2) > 0
+       THEN round((cxy / cxx)
+            / sqrt(((cyy - (cxy / cxx) * cxy) / (n - 2)) / cxx), 6)
+  END AS t_slope,
+  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0
+       THEN round(cxy * cxy / (cxx * cyy), 6) END AS r2
+FROM c
+""")
+def dx_ols_inference_q(spark, sf):
+    # Per-returnflag OLS inference (operators/quality.py ols_inference):
+    # price-per-quantity slope with standard error, t statistic, and
+    # r2 — group_trends plus the "is this slope real" layer. All six
+    # moments route through DECIMAL(28,4) (quantity ints, price 2dp:
+    # products have <= 4 decimals), so both engines agg EXACTLY and
+    # the closed forms match to the rounding digit.
+    from clinpy_spark.operators.quality import ols_inference
+
+    li = _t(spark, sf, "lineitem")
+    return ols_inference(
+        li, "l_quantity", "l_extendedprice", "l_returnflag",
+        decimal_scale=4)
+
+
+@q("dedup_lsh_plan", """
+WITH cand AS (
+  SELECT CAST(b AS INT) AS bands, CAST(64 // b AS INT) AS rows_per_band,
+         pow(1.0 / b, 1.0 / (64 // b)) AS s50
+  FROM (SELECT unnest(generate_series(1, 64)) AS b)
+  WHERE 64 % b = 0),
+r AS (SELECT bands, rows_per_band, s50,
+             1 - pow(1 - pow(0.8, CAST(rows_per_band AS DOUBLE)),
+                     CAST(bands AS DOUBLE)) AS p_at,
+             1 - pow(1 - pow(0.4, CAST(rows_per_band AS DOUBLE)),
+                     CAST(bands AS DOUBLE)) AS p_half,
+             row_number() OVER (ORDER BY abs(s50 - 0.8) ASC, bands ASC) AS rk
+      FROM cand)
+SELECT bands, rows_per_band, round(s50, 6) AS s50,
+       round(p_at, 6) AS p_at_threshold,
+       round(p_half, 6) AS p_at_half_threshold,
+       rk = 1 AS recommended
+FROM r
+""")
+def dedup_lsh_plan_q(spark, sf):
+    # MinHash-LSH banding planner (operators/dedup.py lsh_plan): the
+    # design-time S-curve table for 64 permutations at target Jaccard
+    # 0.8 — pick the (bands, rows) whose collision midpoint sits on
+    # the threshold BEFORE paying a corpus pass. Constant-size compute;
+    # closed forms replayed exactly.
+    from clinpy_spark.operators.dedup import lsh_plan
+
+    return lsh_plan(spark, num_hashes=64, threshold=0.8)
+
+
+@q("drift_ad_value", """
+WITH t AS (SELECT o_totalprice AS v,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+pv AS (SELECT v, CAST(sum(ia) AS BIGINT) AS la,
+              CAST(sum(1 - ia) AS BIGINT) AS lb
+       FROM t GROUP BY v),
+g AS (SELECT v, la, lb,
+        CAST(sum(la + lb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS DOUBLE) AS cl,
+        CAST(sum(la) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS DOUBLE) AS ca,
+        CAST(sum(lb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS DOUBLE) AS cb,
+        CAST(sum(la) OVER () AS DOUBLE) AS na,
+        CAST(sum(lb) OVER () AS DOUBLE) AS nb
+      FROM pv),
+terms AS (SELECT
+    CAST(la + lb AS DOUBLE) AS l, na, nb, na + nb AS nn,
+    cl - CAST(la + lb AS DOUBLE) / 2 AS bj,
+    ca - CAST(la AS DOUBLE) / 2 AS ma,
+    cb - CAST(lb AS DOUBLE) / 2 AS mb
+  FROM g),
+tt AS (SELECT na, nb, nn,
+    (bj * (nn - bj) - nn * l / 4) AS den,
+    (l / nn) * (nn * ma - na * bj) * (nn * ma - na * bj)
+      / (bj * (nn - bj) - nn * l / 4) AS ta,
+    (l / nn) * (nn * mb - nb * bj) * (nn * mb - nb * bj)
+      / (bj * (nn - bj) - nn * l / 4) AS tb
+  FROM terms),
+a AS (SELECT sum(CASE WHEN den > 0 THEN ta ELSE 0 END) AS sa,
+             sum(CASE WHEN den > 0 THEN tb ELSE 0 END) AS sb,
+             CAST(sum(CASE WHEN den > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nv_ok,
+             max(na) AS na, max(nb) AS nb,
+             CAST(count(*) AS BIGINT) AS n_values
+      FROM tt)
+SELECT CASE WHEN nv_ok > 0 AND na > 0 AND nb > 0
+            THEN round((na + nb - 1) / (na + nb) * (sa / na + sb / nb), 6)
+       END AS a2,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, n_values
+FROM a
+""")
+def drift_ad_value_q(spark, sf):
+    # Two-sample Anderson-Darling drift monitor (operators/drift.py
+    # anderson_darling_2sample, Scholz-Stephens tie-adjusted form):
+    # URGENT vs LOW order-value distributions with tail-weighted
+    # sensitivity the KS gap misses. Same per-distinct-value grid as
+    # the KS/Mann-Whitney family; every midrank term is a half-integer.
+    from clinpy_spark.operators.drift import anderson_darling_2sample
+
+    o = _t(spark, sf, "orders")
+    return anderson_darling_2sample(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")
+
+
+@q("g_knearest", """
+WITH f AS (
+  SELECT c_custkey AS f_id, c_nationkey % 3 AS chrom,
+         (c_custkey * 37) % 100000 AS f_start,
+         (c_custkey * 37) % 100000 + 500 AS f_end
+  FROM customer),
+qq AS (
+  SELECT s_suppkey AS id, s_nationkey % 3 AS chrom,
+         (s_suppkey * 91) % 100000 AS q_start,
+         (s_suppkey * 91) % 100000 + 200 AS q_end
+  FROM supplier),
+cand AS (
+  SELECT qq.id, qq.chrom, qq.q_start, qq.q_end, f.f_id,
+         greatest(0, f.f_start - qq.q_end, qq.q_start - f.f_end) AS distance
+  FROM qq JOIN f USING (chrom))
+SELECT id, chrom, q_start AS start, q_end AS "end", f_id,
+       CAST(distance AS BIGINT) AS distance, CAST(rk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY distance, f_id) AS rk
+      FROM cand WHERE distance <= 2000)
+WHERE rk <= 3
+""")
+def g_knearest_q(spark, sf):
+    # k-nearest interval annotation (operators/genome.py
+    # knearest_features): the 3 closest features within 2 kb per query
+    # interval — the k-ary extension of j16_nearest_feature, candidates
+    # from ONE radius-expanded binned join (large-large safe); the
+    # oracle brute-forces all pairs per chrom and must agree exactly.
+    from clinpy_spark.operators.genome import knearest_features
+
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    feats = cust.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_nationkey") % 3).alias("chrom"),
+        ((F.col("c_custkey") * 37) % 100000).alias("start"),
+        ((F.col("c_custkey") * 37) % 100000 + 500).alias("end"),
+    )
+    qs = supp.select(
+        F.col("s_suppkey").alias("id"),
+        (F.col("s_nationkey") % 3).alias("chrom"),
+        ((F.col("s_suppkey") * 91) % 100000).alias("start"),
+        ((F.col("s_suppkey") * 91) % 100000 + 200).alias("end"),
+    )
+    return knearest_features(
+        qs, feats, k=3, max_distance=2000, bin_size=10_000)
+
+
+@q("curate_dsir_head", """
+WITH tgt AS (SELECT text FROM documents WHERE source IN ('src18','src7','src6')),
+ctok AS (SELECT doc_id,
+                ('0x' || substr(md5(tok || ':dsir'), 1, 8))::BIGINT % 256 AS b
+         FROM (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+               FROM documents)
+         WHERE tok <> ''),
+ttok AS (SELECT ('0x' || substr(md5(tok || ':dsir'), 1, 8))::BIGINT % 256 AS b
+         FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+               FROM tgt)
+         WHERE tok <> ''),
+spine AS (SELECT unnest(generate_series(0, 255)) AS b),
+cs AS (SELECT b, CAST(count(*) AS BIGINT) AS ns FROM ctok GROUP BY b),
+ct AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM ttok GROUP BY b),
+hist AS (SELECT spine.b, coalesce(ns, 0) AS ns, coalesce(nt, 0) AS nt
+         FROM spine LEFT JOIN cs ON cs.b = spine.b
+         LEFT JOIN ct ON ct.b = spine.b),
+tot AS (SELECT CAST(sum(ns) AS BIGINT) AS ts, CAST(sum(nt) AS BIGINT) AS tt
+        FROM hist),
+ratio AS (SELECT b,
+            ln((CAST(nt AS DOUBLE) + 1) / (CAST(tt AS DOUBLE) + 256.0))
+            - ln((CAST(ns AS DOUBLE) + 1) / (CAST(ts AS DOUBLE) + 256.0)) AS lr
+          FROM hist CROSS JOIN tot),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              sum(lr) / count(*) AS lw
+       FROM ctok JOIN ratio USING (b) GROUP BY doc_id),
+rk AS (SELECT doc_id, n_tokens, round(lw, 6) AS log_importance,
+              row_number() OVER (ORDER BY round(lw, 6) DESC, doc_id ASC)
+                AS rank
+       FROM pd)
+SELECT doc_id, n_tokens, log_importance, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 50
+""")
+def curate_dsir_head_q(spark, sf):
+    # DSIR importance selection head (operators/curate.py dsir_weights,
+    # Xie 2023): score every doc by how target-like its hashed-unigram
+    # profile is (target = the three trusted sources), keep the top 50
+    # by length-normalized log-importance. Ranks order by the ROUNDED
+    # weight with id tie-break so exact-duplicate docs (bit-equal
+    # profiles) rank deterministically in any engine.
+    from clinpy_spark.operators.curate import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("source").isin("src18", "src7", "src6"))
+    w = dsir_weights(docs, target, n_buckets=256, seed="dsir")
+    win = Window.orderBy(
+        F.col("log_importance").desc(), F.col("doc_id").asc())
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+
+
+@q("surv_cox_strat", """
+WITH obs AS (
+  SELECT o_custkey % 3 AS st,
+         LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x
+  FROM (SELECT o_orderpriority, o_custkey,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+pt AS (SELECT st, duration AS t,
+         CAST(sum(evt) AS BIGINT) AS d,
+         CAST(sum(evt * x) AS BIGINT) AS d1,
+         CAST(count(*) AS BIGINT) AS r,
+         CAST(sum(x) AS BIGINT) AS r1
+       FROM obs GROUP BY st, duration),
+w AS (SELECT *,
+        sum(r) OVER (PARTITION BY st)
+          - coalesce(sum(r) OVER (PARTITION BY st ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+        sum(r1) OVER (PARTITION BY st)
+          - coalesce(sum(r1) OVER (PARTITION BY st ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+      FROM pt),
+f AS MATERIALIZED (SELECT t, d, d1, n, n1 FROM w WHERE d > 0),
+i1 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp(0.0) AS s1,
+                    (n - n1) + n1 * exp(0.0) AS s0 FROM f)),
+b1 AS (SELECT CASE WHEN i > 0 THEN 0.0 + u / i END AS beta FROM i1),
+i2 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp((SELECT beta FROM b1)) AS s1,
+                    (n - n1) + n1 * exp((SELECT beta FROM b1)) AS s0 FROM f)),
+b2 AS (SELECT CASE WHEN i > 0 THEN (SELECT beta FROM b1) + u / i END AS beta FROM i2),
+i3 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp((SELECT beta FROM b2)) AS s1,
+                    (n - n1) + n1 * exp((SELECT beta FROM b2)) AS s0 FROM f)),
+b3 AS (SELECT CASE WHEN i > 0 THEN (SELECT beta FROM b2) + u / i END AS beta FROM i3),
+fin AS (SELECT sum(d * (s1 / s0) * (1 - s1 / s0)) AS i,
+               CAST(sum(d) AS BIGINT) AS n_events
+        FROM (SELECT d, n1 * exp((SELECT beta FROM b3)) AS s1,
+                     (n - n1) + n1 * exp((SELECT beta FROM b3)) AS s0 FROM f))
+SELECT CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round((SELECT beta FROM b3), 6) END AS beta,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round(exp((SELECT beta FROM b3)), 6) END AS hr,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round(1 / sqrt(i), 6) END AS se,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round((SELECT beta FROM b3) * (SELECT beta FROM b3) * i, 6)
+       END AS wald_chi2,
+       coalesce(n_events, 0) AS n_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_subjects,
+       (SELECT CAST(count(DISTINCT st) AS BIGINT) FROM obs) AS n_strata
+FROM fin
+""")
+def surv_cox_strat_q(spark, sf):
+    # Stratified Cox MLE (operators/survival.py cox_newton_stratified):
+    # the URGENT-vs-LOW hazard ratio with each customer band keeping
+    # its own baseline hazard — the Cox twin of surv_logrank_strat.
+    # The partial likelihood factorizes over strata, so the SAME
+    # _newton_beta iterates over the per-(stratum, time) grid; the
+    # oracle replays 3 chained Newton CTEs with stratum-partitioned
+    # risk-set windows.
+    from clinpy_spark.operators.survival import cox_newton_stratified
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        (F.col("o_custkey") % 3).alias("st"),
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("x"),
+    )
+    return cox_newton_stratified(
+        obs, "duration", "evt", "x", "st", iterations=3)
+
+
+@q("gx_sfs", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+pv AS (SELECT variant, CAST(sum(gt) AS BIGINT) AS ac,
+              CAST(2 * count(*) AS BIGINT) AS an
+       FROM g GROUP BY variant),
+h AS (SELECT LEAST(ac, an - ac) AS allele_count,
+             CAST(count(*) AS BIGINT) AS n_variants
+      FROM pv GROUP BY 1),
+t AS (SELECT CAST(sum(n_variants) AS BIGINT) AS tt FROM h)
+SELECT allele_count, n_variants,
+       round(CAST(n_variants AS DOUBLE) / tt, 6) AS frac
+FROM h CROSS JOIN t
+""")
+def gx_sfs_q(spark, sf):
+    # Folded site frequency spectrum (operators/assoc.py
+    # site_frequency_spectrum): the minor-allele-count histogram whose
+    # shape Tajima's D condenses — one per-variant aggregate, one
+    # bounded histogram groupBy.
+    from clinpy_spark.operators.assoc import site_frequency_spectrum
+
+    return site_frequency_spectrum(
+        _grid_geno(spark, sf), "variant", "gt", folded=True)
+
+
+@q("graph_jaccard_links", f"""
+WITH e0 AS ({_COPURCHASE_SQL}),
+e AS MATERIALIZED (SELECT u, v FROM e0),
+b AS MATERIALIZED (SELECT u AS w, v AS n FROM e UNION ALL SELECT v, u FROM e),
+deg AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS deg
+                     FROM b GROUP BY w),
+c AS MATERIALIZED (SELECT b.w, b.n FROM b JOIN deg d ON b.w = d.w
+                   WHERE d.deg BETWEEN 2 AND 64),
+wed AS (SELECT x.n AS u, y.n AS v
+        FROM c x JOIN c y ON x.w = y.w AND x.n < y.n),
+sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors
+       FROM wed GROUP BY u, v HAVING count(*) >= 2),
+nj AS (SELECT sc.u, sc.v, sc.common_neighbors, du.deg AS du, dv.deg AS dv
+       FROM sc JOIN deg du ON du.w = sc.u JOIN deg dv ON dv.w = sc.v
+       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v))
+SELECT u AS x, v AS y, common_neighbors,
+       round(common_neighbors
+             / CAST(du + dv - common_neighbors AS DOUBLE), 6) AS jaccard
+FROM nj
+""")
+def graph_jaccard_links_q(spark, sf):
+    # Jaccard link prediction on the co-purchase graph
+    # (operators/graph.py jaccard_links): the degree-normalized
+    # sibling of graph_adamic_adar — same celebrity-capped wedge
+    # enumeration, endpoint degrees joined for the union term.
+    from clinpy_spark.operators.graph import jaccard_links
+
+    return jaccard_links(
+        _copurchase(spark, sf), "u", "v",
+        max_center_degree=64, min_common=2)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.
 #
 # The driver's correctness gate records the first 50 oracled queries in
@@ -8958,6 +10212,32 @@ _PRIORITY: list[str] = [
     # additions, then the stalest oracled queries by most-recent
     # driver record (r7 verdict staleness policy); all 50 driver
     # slots go to queries ABSENT from the r10 window. --
+    # -- r11 session-3 additions (first driver record) --
+    "surv_cox_strat",
+    "gx_sfs",
+    "graph_jaccard_links",
+    "dx_ols_inference",
+    "dedup_lsh_plan",
+    "drift_ad_value",
+    "g_knearest",
+    "curate_dsir_head",
+    "dx_friedman",
+    "dx_cochran_q",
+    "dx_poisson",
+    "gx_haplotype_em",
+    "q_mad_outliers",
+    "dx_kruskal",
+    "dx_spearman",
+    "dx_mcnemar",
+    "gx_tdt",
+    "dx_logistic",
+    "dx_fisher_exact",
+    "graph_clustering_coeff",
+    "graph_assortativity",
+    "e_acf",
+    "epi_smr",
+    "dx_bh_fdr",
+    # -- r11 session-2 additions --
     "gx_mendel",
     "gx_prs",
     "g_subtract_intervals",

@@ -198,3 +198,17 @@ def finalize_cusum(counts: DataFrame) -> DataFrame:
     from clinpy_spark.operators.windows import cusum_changepoint
 
     return cusum_changepoint(counts, "__p", "n")
+
+
+def finalize_acf(counts: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation readout over the SAME maintained (__p, n)
+    per-day series the CUSUM fold keeps — per-period counts are the
+    sufficient statistic for both monitors, so one streaming fold
+    serves level-shift detection (CUSUM) and memory/periodicity (ACF)
+    simultaneously: rows (lag, n_pairs, r), identical to the batch
+    ``acf`` over the same per-day counts (twin contract). ACF is a
+    whole-series statistic, but its input is additive; the read
+    recomputes in O(|days| * max_lag)."""
+    from clinpy_spark.operators.windows import acf
+
+    return acf(counts, "__p", "n", max_lag=max_lag)

@@ -226,3 +226,23 @@ def finalize_w1(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
         F.max("__ta").alias("ref_n"),
         F.max("__tb").alias("cur_n"),
     )
+
+
+def finalize_ad(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
+    """Two-sample Anderson-Darling readout from the SAME maintained
+    (__v, n) tables the KS fold keeps — per-value counts are the
+    sufficient statistic for the whole rank-test family, so one
+    streaming fold serves the gap monitor (KS) and the tail-weighted
+    monitor (AD) simultaneously: 1 row (a2, n_a, n_b, n_values),
+    identical to the batch ``anderson_darling_2sample`` over the same
+    data (twin test)."""
+    from clinpy_spark.operators.drift import ad_from_value_counts
+
+    tagged = (
+        ref_counts.select("__v", F.col("n").alias("la"), F.lit(0).alias("lb"))
+        .unionByName(cur_counts.select(
+            "__v", F.lit(0).alias("la"), F.col("n").alias("lb")))
+        .groupBy("__v")
+        .agg(F.sum("la").alias("la"), F.sum("lb").alias("lb"))
+    )
+    return ad_from_value_counts(tagged)

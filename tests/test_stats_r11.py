@@ -1,0 +1,573 @@
+"""Round-11 session-3 operators: rank tests, exact tests, GLM, graph
+micro-structure, standardization, series memory, FDR control.
+
+Each test pins the operator to a hand-computable (or closed-form)
+reference on tiny data — the same strategy the reference repo's test
+suite uses for its assay methods (small fixtures, known answers).
+"""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clinpy_spark.operators.assoc import (
+    fisher_exact_2x2,
+    kruskal_wallis,
+    logistic_newton,
+    mann_whitney_u,
+    mcnemar_test,
+    spearman_rho,
+    tdt_test,
+)
+from clinpy_spark.operators.graph import assortativity, clustering_coefficient
+from clinpy_spark.operators.quality import bh_adjust
+from clinpy_spark.operators.survival import smr
+from clinpy_spark.operators.windows import acf
+
+
+def test_kruskal_two_groups_equals_mannwhitney_z2(spark):
+    # For k = 2 the tie-corrected H statistic equals z^2 exactly.
+    rows = [Row(v=float(v), g=g)
+            for g, vals in (("a", [1, 3, 3, 5, 9]), ("b", [2, 3, 6, 8]))
+            for v in vals]
+    df = spark.createDataFrame(rows)
+    h = kruskal_wallis(df, "v", "g").collect()[0]
+    z = mann_whitney_u(df, "v", "g", "a", "b").collect()[0].z
+    assert h.n_groups == 2 and h.df == 1 and h.n == 9
+    assert abs(h.h_corrected - z * z) < 1e-5
+
+
+def test_kruskal_identical_groups_zero(spark):
+    df = spark.createDataFrame(
+        [Row(v=float(i % 4), g=str(i % 3)) for i in range(12)])
+    # groups see the same values -> rank sums proportional to sizes -> H=0
+    out = kruskal_wallis(df, "v", "g").collect()[0]
+    assert abs(out.h) < 1e-9
+
+
+def test_spearman_monotone_and_reverse(spark):
+    df = spark.createDataFrame(
+        [Row(x=float(i), y=float(i * i)) for i in range(10)])
+    assert spearman_rho(df, "x", "y").collect()[0].rho == 1.0
+    df2 = spark.createDataFrame(
+        [Row(x=float(i), y=float(-i)) for i in range(10)])
+    assert spearman_rho(df2, "x", "y").collect()[0].rho == -1.0
+    const = spark.createDataFrame([Row(x=1.0, y=float(i)) for i in range(5)])
+    assert spearman_rho(const, "x", "y").collect()[0].rho is None
+
+
+def test_mcnemar_known_counts(spark):
+    # 10 pairs: 3 (1->0), 1 (0->1), rest concordant.
+    rows = ([Row(b=1, a=0)] * 3 + [Row(b=0, a=1)] * 1
+            + [Row(b=1, a=1)] * 4 + [Row(b=0, a=0)] * 2)
+    out = mcnemar_test(spark.createDataFrame(rows), "b", "a").collect()[0]
+    assert (out.b, out.c, out.n_pairs) == (3, 1, 10)
+    assert abs(out.chi2_cc - (abs(3 - 1) - 1) ** 2 / 4) < 1e-9
+    assert abs(out.or_paired - 3.0) < 1e-9
+
+
+def test_tdt_counts_and_chi2(spark):
+    # Trio (f=1, m=0, c=1): one het parent transmitted the alt -> b=1.
+    # Trio (f=1, m=0, c=0): untransmitted -> c=1.
+    # Trio (f=2, m=1, c=2): det=1, b = 2-1 = 1 from the het mother.
+    # Trio (f=0, m=0, c=0): no het parents -> uninformative.
+    # Trio (f=2, m=0, c=2): Mendel-inconsistent (max = 1+0) -> excluded.
+    rows = [
+        Row(variant=1, gtf=1, gtm=0, gtc=1),
+        Row(variant=1, gtf=1, gtm=0, gtc=0),
+        Row(variant=1, gtf=2, gtm=1, gtc=2),
+        Row(variant=1, gtf=0, gtm=0, gtc=0),
+        Row(variant=1, gtf=2, gtm=0, gtc=2),
+    ]
+    out = tdt_test(
+        spark.createDataFrame(rows), "variant", "gtf", "gtm", "gtc"
+    ).collect()[0]
+    assert out.n_informative_trios == 3
+    assert out.b_transmitted == 2 and out.c_untransmitted == 1
+    assert abs(out.tdt_chi2 - (2 - 1) ** 2 / 3) < 1e-5
+
+
+def test_logistic_binary_x_closed_form(spark):
+    # With binary x the MLE is the empirical log-odds difference.
+    rows = ([Row(x=0.0, y=1)] * 20 + [Row(x=0.0, y=0)] * 80
+            + [Row(x=1.0, y=1)] * 40 + [Row(x=1.0, y=0)] * 60)
+    out = logistic_newton(
+        spark.createDataFrame(rows), "x", "y", iterations=6).collect()[0]
+    b0 = math.log(20 / 80)
+    b1 = math.log(40 / 60) - b0
+    assert abs(out.beta0 - b0) < 1e-5
+    assert abs(out.beta1 - b1) < 1e-5
+    # Wald se for 2x2 logistic: sqrt(sum of 1/cell)
+    se = math.sqrt(1 / 20 + 1 / 80 + 1 / 40 + 1 / 60)
+    assert abs(out.se1 - se) < 1e-4
+    assert out.n == 200 and out.n_pos == 60
+
+
+def test_logistic_constant_x_is_null(spark):
+    rows = [Row(x=2.0, y=i % 2) for i in range(10)]
+    out = logistic_newton(spark.createDataFrame(rows), "x", "y").collect()[0]
+    assert out.beta1 is None and out.beta0 is None
+
+
+def _hypergeom_pmf(n, r1, c1, k):
+    def c(a, b):
+        return math.comb(a, b)
+    return c(r1, k) * c(n - r1, c1 - k) / c(n, c1)
+
+
+def test_fisher_exact_matches_direct_enumeration(spark):
+    # table [[3, 1], [2, 8]]
+    rows = ([Row(e=1, y=1)] * 3 + [Row(e=1, y=0)] * 1
+            + [Row(e=0, y=1)] * 2 + [Row(e=0, y=0)] * 8)
+    out = fisher_exact_2x2(
+        spark.createDataFrame(rows), "e", "y").collect()[0]
+    n, r1, c1, a = 14, 4, 5, 3
+    pmfs = {k: _hypergeom_pmf(n, r1, c1, k)
+            for k in range(max(0, c1 - (n - r1)), min(r1, c1) + 1)}
+    p_obs = pmfs[a]
+    p_two = sum(p for p in pmfs.values() if p <= p_obs * (1 + 1e-7))
+    p_left = sum(p for k, p in pmfs.items() if k <= a)
+    p_right = sum(p for k, p in pmfs.items() if k >= a)
+    assert (out.a, out.b, out.c, out.d, out.n) == (3, 1, 2, 8, 14)
+    assert abs(out.p_two_sided - p_two) < 1e-6
+    assert abs(out.p_left - p_left) < 1e-6
+    assert abs(out.p_right - p_right) < 1e-6
+
+
+def test_clustering_coefficient_triangle_with_pendant(spark):
+    # Triangle 1-2-3 plus pendant 3-4: local cc = (1, 1, 1/3, 0-excl).
+    edges = spark.createDataFrame(
+        [Row(u=1, v=2), Row(u=2, v=3), Row(u=1, v=3), Row(u=3, v=4)])
+    out = clustering_coefficient(edges, "u", "v").collect()[0]
+    assert out.n_nodes == 4 and out.n_eligible == 3 and out.n_closed == 3
+    assert abs(out.avg_local_cc - (1 + 1 + 1 / 3) / 3) < 1e-6
+    # wedges: node1:1, node2:1, node3:3 -> transitivity = 3*1/5
+    assert abs(out.transitivity - 0.6) < 1e-6
+
+
+def test_assortativity_star_is_negative_one(spark):
+    edges = spark.createDataFrame([Row(u=0, v=i) for i in range(1, 5)])
+    out = assortativity(edges, "u", "v").collect()[0]
+    assert out.n_edges == 4 and out.n_nodes == 5
+    assert abs(out.r - (-1.0)) < 1e-9
+
+
+def test_assortativity_regular_graph_null(spark):
+    # 4-cycle: every node degree 2 -> zero variance -> NULL r.
+    edges = spark.createDataFrame(
+        [Row(u=0, v=1), Row(u=1, v=2), Row(u=2, v=3), Row(u=3, v=0)])
+    assert assortativity(edges, "u", "v").collect()[0].r is None
+
+
+def test_acf_alternating_series(spark):
+    # x = +1, -1, +1, ... -> r_k = (-1)^k (up to the biased-estimator
+    # edge terms; with mean 0 and full pairs it is exact on even n).
+    rows = [Row(p=i, x=float(1 if i % 2 == 0 else -1)) for i in range(20)]
+    out = {r.lag: r.r for r in acf(
+        spark.createDataFrame(rows), "p", "x", max_lag=3).collect()}
+    assert out[1] < -0.8 and out[2] > 0.8 and out[3] < -0.8
+
+
+def test_acf_constant_series_null(spark):
+    rows = [Row(p=i, x=5.0) for i in range(10)]
+    out = acf(spark.createDataFrame(rows), "p", "x", max_lag=2).collect()
+    assert all(r.r is None for r in out)
+
+
+def test_smr_hand_computed(spark):
+    study = spark.createDataFrame(
+        [Row(s=1, ev=4, pt=100.0), Row(s=2, ev=6, pt=50.0)])
+    ref = spark.createDataFrame([Row(s=1, rate=0.02), Row(s=2, rate=0.05)])
+    out = smr(study, ref, "s", "ev", "pt", "rate").collect()[0]
+    exp = 100 * 0.02 + 50 * 0.05  # 4.5
+    assert out.observed == 10 and abs(out.expected - exp) < 1e-9
+    assert abs(out.smr - 10 / exp) < 1e-6
+    lo = 10 / exp * math.exp(-1.96 / math.sqrt(10))
+    hi = 10 / exp * math.exp(1.96 / math.sqrt(10))
+    assert abs(out.smr_lo - lo) < 1e-5 and abs(out.smr_hi - hi) < 1e-5
+    assert out.n_strata == 2
+
+
+def test_bh_adjust_matches_stepup(spark):
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216]
+    df = spark.createDataFrame(
+        [Row(test_id=i, p=p) for i, p in enumerate(ps)])
+    out = {r.test_id: r for r in
+           bh_adjust(df, "p", "test_id", alpha=0.05).collect()}
+    n = len(ps)
+    # reference step-up: p_adj(i) = min_{j>=i} min(p_(j)*n/j, 1)
+    ref = [min(min(ps[j] * n / (j + 1), 1.0) for j in range(i, n))
+           for i in range(n)]
+    for i in range(n):
+        assert abs(out[i].p_adj - ref[i]) < 1e-9, (i, out[i].p_adj, ref[i])
+        assert out[i].bh_rank == i + 1
+    # step-up at q = 0.05 rejects exactly the first two of this list
+    assert [out[i].significant for i in range(n)] == (
+        [True] * 2 + [False] * 8)
+
+
+def test_bh_adjust_ties_share_p_adj(spark):
+    df = spark.createDataFrame(
+        [Row(test_id=i, p=p) for i, p in
+         enumerate([0.01, 0.02, 0.02, 0.02, 0.9])])
+    out = bh_adjust(df, "p", "test_id").collect()
+    tied = {r.p_adj for r in out if abs(r.p - 0.02) < 1e-12}
+    assert len(tied) == 1
+
+
+def test_friedman_consistent_ranking_maximal(spark):
+    # 6 blocks, 3 treatments, treatment c always highest, a always
+    # lowest -> perfect consistency: chi2_F = n*(k-1) = 12 (tie-free).
+    rows = [Row(b=b, t=t, v=float(10 * b + off))
+            for b in range(6) for t, off in (("a", 1), ("b", 2), ("c", 3))]
+    from clinpy_spark.operators.assoc import friedman_test
+    out = friedman_test(
+        spark.createDataFrame(rows), "b", "t", "v").collect()[0]
+    assert out.k == 3 and out.n_blocks == 6 and out.df == 2
+    assert abs(out.chi2_f - 12.0) < 1e-6
+
+
+def test_friedman_excludes_incomplete_blocks(spark):
+    rows = [Row(b=b, t=t, v=float(b + hash(t) % 7))
+            for b in range(4) for t in ("a", "b", "c")]
+    rows.append(Row(b=9, t="a", v=1.0))  # incomplete block
+    from clinpy_spark.operators.assoc import friedman_test
+    out = friedman_test(
+        spark.createDataFrame(rows), "b", "t", "v").collect()[0]
+    assert out.n_blocks == 4
+
+
+def test_cochran_q_two_conditions_equals_mcnemar_uncorrected(spark):
+    # For k = 2, Q equals the UNcorrected McNemar chi2 (b-c)^2/(b+c).
+    from clinpy_spark.operators.assoc import cochran_q
+    rows = ([Row(w1=1, w2=0)] * 5 + [Row(w1=0, w2=1)] * 2
+            + [Row(w1=1, w2=1)] * 3 + [Row(w1=0, w2=0)] * 2)
+    out = cochran_q(spark.createDataFrame(rows), ["w1", "w2"]).collect()[0]
+    assert abs(out.q - (5 - 2) ** 2 / (5 + 2)) < 1e-6
+    assert out.df == 1 and out.n_informative == 7
+
+
+def test_poisson_two_level_closed_form(spark):
+    # Two x levels: MLE rates are the group means; beta1 = log ratio.
+    rows = ([Row(x=0.0, y=float(v)) for v in (2, 4, 3, 3)]
+            + [Row(x=1.0, y=float(v)) for v in (6, 8, 10, 8)])
+    from clinpy_spark.operators.assoc import poisson_newton
+    out = poisson_newton(
+        spark.createDataFrame(rows), "x", "y", iterations=8).collect()[0]
+    import math as m
+    assert abs(out.beta0 - m.log(3.0)) < 1e-6
+    assert abs(out.beta1 - (m.log(8.0) - m.log(3.0))) < 1e-6
+    assert abs(out.rate_ratio - 8 / 3) < 1e-4
+    assert out.n == 8 and abs(out.y_total - 44.0) < 1e-9
+
+
+def test_haplotype_em_perfect_ld_and_equilibrium(spark):
+    from clinpy_spark.operators.assoc import haplotype_em
+    # Perfect coupling: every sample's two dosages identical ->
+    # EM converges to p11 = pA, p00 = 1-pA, D' = 1, r2 = 1.
+    rows = []
+    sid = 0
+    for ga in (0, 1, 2):
+        for _ in range(10 if ga != 1 else 6):
+            rows += [Row(s=sid, variant=1, gt=ga),
+                     Row(s=sid, variant=2, gt=ga)]
+            sid += 1
+    out = haplotype_em(
+        spark.createDataFrame(rows), "s", "variant", "gt", 1, 2,
+        iterations=20).collect()[0]
+    assert abs(out.d_prime - 1.0) < 1e-3
+    assert abs(out.r2 - 1.0) < 1e-3
+    assert abs(out.p10) < 1e-3 and abs(out.p01) < 1e-3
+    assert out.n_double_het == 6
+    # independent loci (all 9 cells at HWE-product counts) -> D ~ 0
+    rows2 = []
+    sid = 0
+    freq = {0: 4, 1: 4, 2: 2}
+    for ga in (0, 1, 2):
+        for gb in (0, 1, 2):
+            for _ in range(freq[ga] * freq[gb]):
+                rows2 += [Row(s=sid, variant=1, gt=ga),
+                          Row(s=sid, variant=2, gt=gb)]
+                sid += 1
+    out2 = haplotype_em(
+        spark.createDataFrame(rows2), "s", "variant", "gt", 1, 2,
+        iterations=20).collect()[0]
+    assert abs(out2.d) < 1e-6
+
+
+def test_mad_outliers_flags_planted_spikes(spark):
+    from clinpy_spark.operators.quality import mad_outliers
+    rows = ([Row(g="a", v=float(100 + (i % 7))) for i in range(50)]
+            + [Row(g="a", v=1e6), Row(g="a", v=-1e6)]
+            + [Row(g="b", v=5.0)] * 10)
+    out = {r.g: r for r in mad_outliers(
+        spark.createDataFrame(rows), "g", "v").collect()}
+    assert out["a"].n_outliers == 2
+    assert out["a"].n == 52
+    # constant group: mad 0, no row deviates -> 0 outliers
+    assert out["b"].n_outliers == 0 and out["b"].mad == 0.0
+
+
+def test_ols_inference_exact_line_and_noise(spark):
+    from clinpy_spark.operators.quality import ols_inference
+    # exact line y = 2x + 1: slope 2, r2 = 1, residual variance 0 ->
+    # se/t NULL (sigma2 = 0 guard)
+    rows = [Row(g="a", x=float(i), y=float(2 * i + 1)) for i in range(10)]
+    out = ols_inference(
+        spark.createDataFrame(rows), "x", "y", "g").collect()[0]
+    assert abs(out.slope - 2.0) < 1e-9 and abs(out.intercept - 1.0) < 1e-9
+    assert out.r2 == 1.0 and out.se_slope is None
+    # known small regression: hand-computed closed form
+    pts = [(0.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 4.0)]
+    rows2 = [Row(g="b", x=x, y=y) for x, y in pts]
+    out2 = ols_inference(
+        spark.createDataFrame(rows2), "x", "y", "g").collect()[0]
+    n = 4
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    cxx = sxx - sx * sx / n; cyy = syy - sy * sy / n
+    cxy = sxy - sx * sy / n
+    b = cxy / cxx
+    s2 = (cyy - b * cxy) / (n - 2)
+    se = math.sqrt(s2 / cxx)
+    assert abs(out2.slope - b) < 1e-6
+    assert abs(out2.se_slope - se) < 1e-6
+    assert abs(out2.t_slope - b / se) < 1e-5
+    assert abs(out2.r2 - cxy * cxy / (cxx * cyy)) < 1e-6
+
+
+def test_lsh_plan_scurve_and_recommendation(spark):
+    from clinpy_spark.operators.dedup import lsh_plan
+    out = {r.bands: r for r in lsh_plan(
+        spark, num_hashes=64, threshold=0.8).collect()}
+    # every divisor pair present, b*r = 64
+    assert set(out) == {1, 2, 4, 8, 16, 32, 64}
+    for b, r in out.items():
+        assert b * r.rows_per_band == 64
+        assert abs(r.s50 - (1 / b) ** (1 / r.rows_per_band)) < 1e-6
+    rec = [r for r in out.values() if r.recommended]
+    assert len(rec) == 1
+    best = min(out.values(), key=lambda r: (abs(r.s50 - 0.8), r.bands))
+    assert rec[0].bands == best.bands
+
+
+def test_anderson_darling_symmetry_and_separation(spark):
+    from clinpy_spark.operators.drift import anderson_darling_2sample
+    rows = ([Row(v=float(i % 10), g="a") for i in range(50)]
+            + [Row(v=float(i % 10), g="b") for i in range(50)])
+    same = anderson_darling_2sample(
+        spark.createDataFrame(rows), "v", "g", "a", "b").collect()[0]
+    # identical distributions: A2 near its null mean (~1), far below
+    # the separated case; swap symmetry exact
+    swap = anderson_darling_2sample(
+        spark.createDataFrame(rows), "v", "g", "b", "a").collect()[0]
+    assert same.a2 == swap.a2
+    far = ([Row(v=float(i % 10), g="a") for i in range(50)]
+           + [Row(v=float(100 + i % 10), g="b") for i in range(50)])
+    sep = anderson_darling_2sample(
+        spark.createDataFrame(far), "v", "g", "a", "b").collect()[0]
+    assert sep.a2 > 10 * max(same.a2, 0.1)
+    assert same.n_a == 50 and same.n_b == 50
+
+
+def test_knearest_features_ranks_and_radius(spark):
+    from clinpy_spark.operators.genome import knearest_features
+    qs = spark.createDataFrame([Row(id=1, chrom=0, start=1000, end=1100)])
+    feats = spark.createDataFrame([
+        Row(id=10, chrom=0, start=1050, end=1060),   # overlap, d=0
+        Row(id=11, chrom=0, start=1200, end=1300),   # d=100
+        Row(id=12, chrom=0, start=700, end=900),     # d=100 (tie -> id)
+        Row(id=13, chrom=0, start=5000, end=5100),   # beyond radius
+        Row(id=14, chrom=1, start=1000, end=1100),   # other chrom
+    ])
+    out = knearest_features(
+        qs, feats, k=3, max_distance=1000, bin_size=500).collect()
+    got = [(r.rank, r.f_id, r.distance) for r in
+           sorted(out, key=lambda r: r.rank)]
+    assert got == [(1, 10, 0), (2, 11, 100), (3, 12, 100)]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from clinpy_spark.operators.curate import dsir_weights
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta") for i in range(5)]
+        + [Row(doc_id=10 + i, text="foo bar baz qux") for i in range(5)])
+    target = spark.createDataFrame(
+        [Row(doc_id=100 + i, text="alpha beta gamma delta") for i in range(4)])
+    out = {r.doc_id: r.log_importance for r in
+           dsir_weights(docs, target).collect()}
+    # target-like docs must outscore the off-target ones
+    assert min(out[i] for i in range(5)) > max(out[10 + i] for i in range(5))
+
+
+def test_streaming_acf_matches_batch(spark, tmp_path):
+    """The maintained per-day count table (CUSUM fold) also serves the
+    ACF readout: folded-stream ACF == batch acf over the same days."""
+    import datetime as dt
+    import json
+
+    from clinpy_spark.operators.windows import acf
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.anomaly import (
+        finalize_acf, stream_period_counts,
+    )
+    from clinpy_spark.streaming.events import read_event_stream
+
+    rows = []
+    eid = 0
+    for d in range(12):
+        # alternating volume 2/7 -> strong lag-2 autocorrelation
+        for m in range(2 if d % 2 == 0 else 7):
+            rows.append((eid, dt.datetime(2024, 3, 1 + d, 9, m))); eid += 1
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(tmp_path / f"f{i}.json", "w") as fh:
+            for eid2, ts in chunk:
+                fh.write(json.dumps({
+                    "event_id": eid2, "ts": ts.isoformat(), "user_id": 1,
+                    "event_type": "view", "value": 0.0, "props": "{}",
+                }) + "\n")
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    stream = read_event_stream(spark, str(tmp_path), fmt="json")
+    q = stream_period_counts(stream, cat, "acf_day_counts",
+                             checkpoint=str(tmp_path / "ck_acf"))
+    q.awaitTermination(120)
+
+    got = {r.lag: r for r in
+           finalize_acf(cat.table("acf_day_counts"), max_lag=3).collect()}
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    batch = spark.createDataFrame(
+        [(e, ts, 1, "view", 0.0) for e, ts in rows], schema)
+    daily = batch.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .alias("__p")).agg(F.count(F.lit(1)).alias("n"))
+    want = {r.lag: r for r in acf(daily, "__p", "n", max_lag=3).collect()}
+    for lag in (1, 2, 3):
+        assert got[lag].r == want[lag].r
+        assert got[lag].n_pairs == want[lag].n_pairs
+    assert got[2].r > 0.5 and got[1].r < -0.5
+
+
+def test_cox_stratified_recovers_within_stratum_effect(spark):
+    from clinpy_spark.operators.survival import (
+        cox_newton, cox_newton_stratified,
+    )
+    # One stratum only -> identical to the unstratified MLE.
+    rows = []
+    for i in range(60):
+        x = i % 2
+        t = 5 + (i * 7) % 30 - 3 * x
+        rows.append(Row(st=0, t=float(t), e=1, x=x))
+    one = cox_newton_stratified(
+        spark.createDataFrame(rows), "t", "e", "x", "st").collect()[0]
+    plain = cox_newton(
+        spark.createDataFrame(rows), "t", "e", "x").collect()[0]
+    assert one.beta == plain.beta and one.se == plain.se
+    assert one.n_strata == 1
+    # Confounded two-stratum data: within each stratum x has NO
+    # effect (identical time sets), but stratum 1 has both later
+    # times and more x=1 -> pooled Cox sees an artifact, stratified
+    # reports ~0.
+    rows2 = []
+    for i in range(40):
+        rows2.append(Row(st=0, t=float(10 + i % 5), e=1, x=1 if i % 4 == 0 else 0))
+        rows2.append(Row(st=1, t=float(50 + i % 5), e=1, x=0 if i % 4 == 0 else 1))
+    strat = cox_newton_stratified(
+        spark.createDataFrame(rows2), "t", "e", "x", "st").collect()[0]
+    pooled = cox_newton(
+        spark.createDataFrame(rows2), "t", "e", "x").collect()[0]
+    assert abs(strat.beta) < 0.2
+    assert abs(pooled.beta) > abs(strat.beta) + 0.3
+    assert strat.n_strata == 2
+
+
+def test_sfs_folded_histogram(spark):
+    from clinpy_spark.operators.assoc import site_frequency_spectrum
+    # 4 samples (2N = 8): variant 1 AC=1, variant 2 AC=7 (folds to 1),
+    # variant 3 AC=4.
+    gts = {1: [1, 0, 0, 0], 2: [2, 2, 2, 1], 3: [2, 2, 0, 0]}
+    rows = [Row(variant=v, s=i, gt=g)
+            for v, arr in gts.items() for i, g in enumerate(arr)]
+    out = {r.allele_count: r.n_variants for r in site_frequency_spectrum(
+        spark.createDataFrame(rows), "variant", "gt").collect()}
+    assert out == {1: 2, 4: 1}
+    unfolded = {r.allele_count: r.n_variants for r in
+                site_frequency_spectrum(
+                    spark.createDataFrame(rows), "variant", "gt",
+                    folded=False).collect()}
+    assert unfolded == {1: 1, 7: 1, 4: 1}
+
+
+def test_jaccard_links_square_diagonals(spark):
+    from clinpy_spark.operators.graph import jaccard_links
+    # 4-cycle 1-2-3-4-1: non-adjacent diagonals (1,3) and (2,4) share
+    # both neighbors -> jaccard = 2/(2+2-2) = 1.
+    edges = spark.createDataFrame(
+        [Row(u=1, v=2), Row(u=2, v=3), Row(u=3, v=4), Row(u=1, v=4)])
+    out = {(r.x, r.y): r for r in
+           jaccard_links(edges, "u", "v", min_common=2).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    assert all(abs(r.jaccard - 1.0) < 1e-9 for r in out.values())
+
+
+def test_streaming_ad_matches_batch(spark, tmp_path):
+    """The maintained per-value count tables (KS fold state) serve the
+    AD readout: folded-stream AD == batch anderson_darling_2sample."""
+    from clinpy_spark.operators.drift import anderson_darling_2sample
+    from clinpy_spark.streaming.drift import finalize_ad
+
+    rows = ([Row(v=float(i % 12), g="ref") for i in range(80)]
+            + [Row(v=float((i % 12) + (2 if i % 3 == 0 else 0)), g="cur")
+               for i in range(70)])
+    df = spark.createDataFrame(rows)
+    ref_counts = (df.filter(F.col("g") == "ref").groupBy(F.col("v").alias("__v"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+    # split "cur" into two micro-batch halves and fold additively,
+    # mimicking the stream state after two triggers
+    cur1 = (df.filter((F.col("g") == "cur") & (F.col("v") < 6))
+            .groupBy(F.col("v").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    cur2 = (df.filter((F.col("g") == "cur") & (F.col("v") >= 6))
+            .groupBy(F.col("v").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    folded = cur1.unionByName(cur2).groupBy("__v").agg(
+        F.sum("n").alias("n"))
+    got = finalize_ad(ref_counts, folded).collect()[0]
+    want = anderson_darling_2sample(df, "v", "g", "ref", "cur").collect()[0]
+    assert got.a2 == want.a2
+    assert (got.n_a, got.n_b) == (want.n_a, want.n_b)
+
+
+def test_streaming_glm_matches_batch(spark, tmp_path):
+    """The folded per-x (n, sum_y) grid refits BOTH GLMs on read,
+    exactly matching the batch fitters over the same rows (the grid
+    counters are integer-additive)."""
+    from clinpy_spark.operators.assoc import logistic_newton, poisson_newton
+    from clinpy_spark.streaming.glm import (
+        finalize_logistic, finalize_poisson, glm_grid_partial,
+    )
+
+    rows = [Row(x=float(i % 5), y=(1 if (i * 7) % 10 < 3 + (i % 5) else 0))
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+    # two "micro-batches" folded additively, mimicking the stream state
+    g1 = glm_grid_partial(df.filter(F.col("x") < 2.5), "x", "y")
+    g2 = glm_grid_partial(df.filter(F.col("x") >= 2.5), "x", "y")
+    folded = g1.unionByName(g2).groupBy("__x").agg(
+        F.sum("n").alias("n"), F.sum("sy").alias("sy"))
+    got = finalize_logistic(folded).collect()[0]
+    want = logistic_newton(df, "x", "y").collect()[0]
+    assert tuple(got) == tuple(want)
+    # Poisson on counts derived from the same covariate
+    prows = [Row(x=float(i % 4), y=float((i * 3) % 7)) for i in range(160)]
+    pdf_ = spark.createDataFrame(prows)
+    p1 = glm_grid_partial(pdf_.filter(F.col("x") < 2), "x", "y")
+    p2 = glm_grid_partial(pdf_.filter(F.col("x") >= 2), "x", "y")
+    pfolded = p1.unionByName(p2).groupBy("__x").agg(
+        F.sum("n").alias("n"), F.sum("sy").alias("sy"))
+    pg = finalize_poisson(pfolded).collect()[0]
+    pw = poisson_newton(pdf_, "x", "y").collect()[0]
+    assert tuple(pg) == tuple(pw)

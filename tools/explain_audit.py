@@ -153,6 +153,32 @@ EXPECTED_UNBOUNDED = {
                   # one groupBy
     "gx_prs",  # same constant grid expansion; the weight join is a
                # broadcast HASH join by design
+    # -- r11 session-3 (all verified constant-row-side by the shape gate) --
+    "dx_kruskal",  # crossJoin vs the 1-row tie-correction aggregate
+    "dx_spearman",  # crossJoins vs the two 1-row tie-count aggregates
+    "gx_tdt",  # the CONSTANT 200-row broadcast variant-range grid
+               # expansion (same shape as gx_mendel)
+    "dx_logistic",  # IRLS steps crossJoin the bounded per-x grid vs the
+                    # 1-row scalar-beta aggregate (surv_cox_beta shape)
+    "graph_assortativity",  # crossJoin vs the 1-row node-count aggregate
+                            # (graph_triangle_stats scalar shape)
+    "e_acf",  # crossJoins vs the 1-row series moments and the
+              # constant 7-row exploded lag range
+    "dx_fisher_exact",  # support explode of the 1-row count aggregate —
+                        # whole pipeline is driver-bounded after one scan
+    "epi_smr",  # 1-row observed/expected aggregate crossJoin, if AQE
+                # ever picks BNLJ for the bounded rate join
+    "dx_friedman",  # crossJoin vs the 1-row max-treatment-count and
+                    # rank-moment aggregates (kruskal tie shape)
+    "dx_poisson",  # IRLS steps crossJoin the bounded per-x grid vs the
+                   # 1-row scalar-beta aggregate (dx_logistic shape)
+    "curate_dsir_head",  # crossJoin vs the 1-row bucket-total aggregate
+                         # (text_bm25 corpus-constants shape)
+    "surv_cox_strat",  # Newton steps crossJoin the bounded stratum-time
+                       # grid vs the 1-row scalar-beta aggregate
+                       # (surv_cox_beta shape)
+    "gx_sfs",  # the CONSTANT 200-row broadcast variant-range grid
+               # expansion + 1-row histogram-total crossJoin
 }
 
 
