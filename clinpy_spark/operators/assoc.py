@@ -1965,3 +1965,77 @@ def sfs_from_counts(per_v: DataFrame, folded: bool = True) -> DataFrame:
             F.round(F.col("n_variants") / F.col("__t"), 6).alias("frac"),
         )
     )
+
+
+def hwe_exact(per_v: DataFrame) -> DataFrame:
+    """EXACT Hardy-Weinberg test per variant (Wigginton, Cutler &
+    Abecasis 2005): input per-variant genotype counts (variant,
+    n_hom_ref, n_het, n_hom_alt) -> (variant, n_het_obs, n_support,
+    p_exact) — the small-cohort/rare-variant QC gate ``hwe_chi2``'s
+    asymptotic chi-square gets wrong exactly where it matters most
+    (expected het counts < 5).
+
+    The het-count distribution conditional on the allele counts obeys
+    the factorial-free neighbour recurrence
+    P(nh+2)/P(nh) = 4 n_AA(nh) n_BB(nh) / ((nh+2)(nh+1)), so each
+    variant's support (nh = rare%2, rare%2+2, ..., min(rare, 2N-rare))
+    builds as a ln-ratio prefix sum — the same machinery as
+    ``fisher_exact_2x2``, windowed PER VARIANT. p_exact sums every
+    outcome with pmf <= pmf(observed) * (1 + 1e-7) (the SNP-HWE
+    convention); monomorphic variants have a single-point support and
+    report p = 1 by construction.
+
+    Scale shape: the support explode emits at most rare_allele_count/2
+    rows per variant (bounded by the cohort, not the corpus), and all
+    windows partition by variant — a million-variant biobank runs one
+    explode + two variant-keyed window passes.
+    """
+    base = per_v.select(
+        F.col("variant"),
+        F.col("n_het").alias("__nh_obs"),
+        (2 * F.col("n_hom_ref") + F.col("n_het")).alias("__na"),
+        (2 * (F.col("n_hom_ref") + F.col("n_het") + F.col("n_hom_alt")))
+        .alias("__an"),
+    )
+    rare = F.least(F.col("__na"), F.col("__an") - F.col("__na"))
+    lo = rare % 2
+    hi = F.least(rare, F.col("__an") - rare)
+    supp = base.select(
+        "variant", "__nh_obs",
+        rare.alias("__rare"),
+        (F.col("__an") / 2).cast("long").alias("__n"),
+        F.explode(F.sequence(lo, hi, F.lit(2))).alias("__nh"),
+    )
+    # ln ratio of the step (nh-2 -> nh): counts AT nh-2
+    naa_prev = (F.col("__rare") - (F.col("__nh") - 2)) / 2
+    nbb_prev = F.col("__n") - (F.col("__nh") - 2) - naa_prev
+    step = F.when(
+        F.col("__nh") == F.col("__rare") % 2, F.lit(0.0)
+    ).otherwise(
+        F.log(4 * naa_prev * nbb_prev)
+        - F.log(F.col("__nh").cast("double") * (F.col("__nh") - 1))
+    )
+    w_pre = Window.partitionBy("variant").orderBy("__nh").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("variant")
+    lw = supp.withColumn("__lnu", F.sum(step).over(w_pre))
+    lw = lw.withColumn(
+        "__u", F.exp(F.col("__lnu") - F.max("__lnu").over(w_all)))
+    obs = F.max(
+        F.when(F.col("__nh") == F.col("__nh_obs"), F.col("__lnu"))
+    ).over(w_all)
+    lw = lw.withColumn("__lnu_obs", obs)
+    agg = lw.groupBy("variant").agg(
+        F.max("__nh_obs").alias("n_het_obs"),
+        F.count(F.lit(1)).alias("n_support"),
+        F.sum("__u").alias("__tot"),
+        F.sum(
+            F.when(F.col("__lnu") <= F.col("__lnu_obs") + F.lit(1e-7),
+                   F.col("__u")).otherwise(0.0)
+        ).alias("__le"),
+    )
+    return agg.select(
+        "variant", "n_het_obs", "n_support",
+        F.round(F.least(F.col("__le") / F.col("__tot"), F.lit(1.0)), 9)
+        .alias("p_exact"),
+    )

@@ -186,3 +186,92 @@ def rrf_fuse(
     for p in parts[1:]:
         un = un.unionByName(p)
     return un.groupBy(*keys).agg(F.round(F.sum("__rr"), 6).alias("rrf_score"))
+
+
+def rake_keywords(
+    docs: DataFrame,
+    stopwords: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, Rapid Automatic
+    Keyword Extraction): corpus-level top-``top_k`` phrases as
+    (phrase, n_occurrences, n_words, score) — the unsupervised
+    keyphrase layer between raw token frequency (``vocab_topk``) and
+    the graph-ranked sentences (``text_textrank``).
+
+    Candidate phrases are maximal stopword-free token runs (the
+    stopword list IS the phrase delimiter); word score =
+    deg(w)/freq(w) where deg sums the lengths of phrases containing w
+    (co-occurrence degree) and freq counts occurrences; a phrase
+    scores the sum of its member word scores, so multi-word domain
+    terms outrank frequent singletons.
+
+    Scale shape: one posexplode over the corpus, phrase segmentation
+    by a per-doc running stopword count (one doc-keyed window), one
+    token-keyed aggregate for the word stats (broadcast back), one
+    phrase-keyed aggregate, one top-k rank over the phrase vocabulary
+    — no pairwise anything. Phrase strings are rebuilt with an
+    array_sort on (pos, token) structs, so identical phrases hash
+    identically in any engine; ties in the final rank break on the
+    phrase text.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__pos", "__t"),
+    ).filter(F.col("__t") != "")
+    stp = F.col("__t").isin(stopwords).cast("int")
+    w_run = Window.partitionBy("__id").orderBy("__pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    ph = tok.withColumn("__stp", stp).withColumn(
+        "__pid", F.sum("__stp").over(w_run))
+    members = ph.filter(F.col("__stp") == 0).select(
+        "__id", "__pid", "__pos", "__t")
+    plen = members.groupBy("__id", "__pid").agg(
+        F.count(F.lit(1)).alias("__plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__t"))),
+                lambda s: s["__t"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstats = (
+        members.join(plen.select("__id", "__pid", "__plen"),
+                     ["__id", "__pid"])
+        .groupBy("__t")
+        .agg(
+            F.count(F.lit(1)).alias("__freq"),
+            F.sum("__plen").alias("__deg"),
+        )
+    )
+    occ_score = (
+        members.join(F.broadcast(wstats), "__t")
+        .groupBy("__id", "__pid")
+        .agg(
+            F.round(
+                F.sum(F.col("__deg").cast("double") / F.col("__freq")), 6)
+            .alias("__score"))
+    )
+    phrases = (
+        plen.join(occ_score, ["__id", "__pid"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max(F.size(F.split(F.col("phrase"), " "))).alias("n_words"),
+            F.max("__score").alias("score"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
+    return (
+        phrases.withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= top_k)
+        .select("phrase", "n_occurrences", "n_words", "score",
+                F.col("__rk").cast("int").alias("rank"))
+    )

@@ -357,3 +357,73 @@ def shuffle_assign(
         .withColumn("pos", F.row_number().over(w))
         .drop("__h")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: per stratum
+    (stratum, n_pop, stddev, share, alloc_n) — before drawing a
+    ``total_n``-row stratified sample (s13's executor), decide how
+    many rows EACH stratum deserves: n_h proportional to N_h * S_h
+    (big and volatile strata get more), which minimizes the variance
+    of the stratified mean at fixed budget (Neyman 1934). The
+    design-time planner sibling of ``lsh_plan``.
+
+    S_h is the exact population stddev from one moment pass
+    (sqrt(max(0, ssq/n - (s/n)^2))); integer allocations use floor +
+    largest-remainder so they sum EXACTLY to total_n (remainder ties
+    break on stratum for determinism). Constant strata (S_h = 0) get
+    weight 0 — sampling them adds no variance information.
+
+    Scale shape: one grouped moment aggregate over the corpus, then
+    pure column math + one rank window over the |strata|-row table.
+    """
+    g = df.select(
+        F.col(stratum_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull()).groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    nn = F.col("n_pop").cast("double")
+    var = F.greatest(
+        F.lit(0.0),
+        F.col("__ss") / nn - (F.col("__s") / nn) * (F.col("__s") / nn))
+    w_all = Window.partitionBy()
+    weighted = (
+        g.withColumn("__w", nn * F.sqrt(var))
+        .withColumn("__tw", F.sum("__w").over(w_all))
+        .withColumn("__tn", F.sum("n_pop").over(w_all))
+    )
+    # Degenerate corpus (every stratum constant): Neyman weights all
+    # vanish — fall back to proportional allocation so the budget is
+    # still honored (the property test that found this folds it in).
+    share = F.when(
+        F.col("__tw") > 0, F.col("__w") / F.col("__tw")
+    ).otherwise(
+        F.col("n_pop").cast("double") / F.col("__tn"))
+    raw = F.lit(int(total_n)) * share
+    base = F.floor(raw)
+    w_rem = Window.orderBy(
+        (raw - base).desc(), F.col("__g").asc())
+    out = (
+        weighted
+        .withColumn("__base", base)
+        .withColumn("__short",
+                    F.lit(int(total_n)) - F.sum(base).over(w_all))
+        .withColumn("__rk", F.row_number().over(w_rem))
+    )
+    return out.select(
+        F.col("__g").alias(stratum_col),
+        "n_pop",
+        F.round(F.sqrt(var), 6).alias("stddev"),
+        F.round(share, 6).alias("share"),
+        (F.col("__base")
+         + F.when(F.col("__rk") <= F.col("__short"), 1).otherwise(0))
+        .cast("long").alias("alloc_n"),
+    )

@@ -347,3 +347,79 @@ def refresh_kmv(
         catalog.overwrite_staged(merged, name)
     else:
         catalog.write(parts, name)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: Column | str,
+    phi: float = 0.001,
+) -> DataFrame:
+    """EXACT frequent-items above a frequency threshold via the
+    Misra-Gries candidate + exact-recount pattern: (item, n, frac) for
+    every item occurring in > ``phi`` fraction of rows — the
+    heavy-hitter audit (dominant tokens, hot join keys, template
+    boilerplate) whose naive form is just a group-count, but whose
+    SCALE form must not shuffle the full item domain.
+
+    Pass 1 runs a Misra-Gries summary with k = ceil(1/phi) counters
+    INSIDE each partition (Arrow-batched, no shuffle): MG guarantees
+    any item with partition frequency > n_p/k survives its partition's
+    summary, so the union of per-partition candidates is a SUPERSET of
+    every global phi-heavy item (Misra-Gries 1982; the standard
+    mergeable-summaries argument, Agarwal 2013). Pass 2 exact-counts
+    ONLY the candidates (broadcast semi join — the candidate set is at
+    most k per partition) and filters n > phi * N. Output is therefore
+    EXACT — identical to the full group-count — while the shuffle
+    carries candidate rows only.
+
+    At 100 TB with phi = 1e-4: <= 10k candidates per partition, one
+    broadcast of the deduped candidate list, one filtered group-count;
+    the unbounded token domain never shuffles.
+    """
+    import math as _math
+
+    import pandas as pd
+
+    k = max(2, int(_math.ceil(1.0 / phi)))
+    c = F.col(col) if isinstance(col, str) else col
+    vals = df.select(c.cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull())
+
+    def mg(batches):
+        # Mergeable form (Agarwal et al. 2013): each Arrow batch's
+        # exact value_counts merges into the summary; pruning back to
+        # k-1 counters subtracts the k-th largest count from the kept
+        # ones (equivalent to a run of MG decrements). Python touches
+        # DISTINCT items per batch, never rows.
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item, cnt in pdf["__v"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > k - 1:
+                cuts = sorted(counters.values(), reverse=True)
+                thresh = cuts[k - 1]
+                counters = {it: ct - thresh
+                            for it, ct in counters.items()
+                            if ct - thresh > 0}
+        yield pd.DataFrame({"__v": list(counters.keys())})
+
+    cands = (
+        vals.mapInPandas(mg, "`__v` string")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("__n"))
+    counted = (
+        vals.join(F.broadcast(cands), "__v", "left_semi")
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.lit(float(phi)) * F.col("__n"))
+        .select(
+            F.col("__v").alias("item"),
+            "n",
+            F.round(F.col("n") / F.col("__n"), 6).alias("frac"),
+        )
+    )

@@ -322,3 +322,93 @@ def acf(
         "lag", "n_pairs",
         F.when(den > 0, F.round(num / den, 6)).alias("r"),
     ).orderBy("lag")
+
+
+def pacf(
+    df: DataFrame,
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 by the closed-form
+    Durbin-Levinson recursion over the :func:`acf` values: rows
+    (lag, pacf) — the AR-order diagnostic (an AR(p) series cuts its
+    PACF off after lag p, while the raw ACF tails forever; together
+    they are the standard Box-Jenkins identification pair).
+
+    phi11 = r1; phi22 = (r2 - r1^2) / (1 - r1^2);
+    phi21 = r1 (1 - phi22);
+    phi33 = (r3 - phi21 r2 - phi22 r1) / (1 - phi21 r1 - phi22 r2).
+    Lags whose denominator vanishes (deterministic series) are NULL.
+    Computed from the ROUNDED acf outputs, so any SQL replay of the
+    same pivot + formulas matches exactly (round-6).
+
+    Scale shape: everything downstream of acf's bounded series — the
+    3-row ACF pivots to one row of pure column math, then explodes
+    back to (lag, pacf).
+    """
+    r = acf(df, period_col, value_col, max_lag=3)
+    piv = r.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    den2 = 1 - r1 * r1
+    phi22 = (r2 - r1 * r1) / den2
+    phi21 = r1 * (1 - phi22)
+    den3 = 1 - phi21 * r1 - phi22 * r2
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / den3
+    out = piv.select(
+        F.round(r1, 6).alias("p1"),
+        F.when(den2 != 0, F.round(phi22, 6)).alias("p2"),
+        F.when((den2 != 0) & (den3 != 0), F.round(phi33, 6)).alias("p3"),
+    )
+    rows = F.array(
+        F.struct(F.lit(1).alias("lag"), F.col("p1").alias("pacf")),
+        F.struct(F.lit(2).alias("lag"), F.col("p2").alias("pacf")),
+        F.struct(F.lit(3).alias("lag"), F.col("p3").alias("pacf")),
+    )
+    return out.select(F.explode(rows).alias("__r")).select("__r.*")
+
+
+def theil_sen(
+    df: DataFrame,
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend over a BOUNDED pre-aggregated series:
+    1 row (n_periods, n_pairs, slope, intercept) — the median of all
+    pairwise slopes (breakdown point ~29%), the trend readout outliers
+    can't drag the way they drag ``group_trends``'s least squares.
+    intercept = median(x_t - slope * t) (the standard robust pairing).
+
+    The all-pairs slope set is the DEFINITION of the estimator, so the
+    input must already be the reduced series (per-day counts, per-hour
+    aggregates — the same contract as ``acf``/``cusum_changepoint``);
+    n_periods series rows make n(n-1)/2 pair rows, fine for thousands
+    of periods, not for raw corpora. Medians are exact interpolated
+    percentiles (both engines' convention); pair slopes are exact
+    ratios of the input values.
+    """
+    base = df.select(
+        F.col(period_col).cast("double").alias("__p"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__x").isNotNull()).localCheckpoint(eager=False)
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, F.col("a.__p") < F.col("b.__p")).select(
+        ((F.col("b.__x") - F.col("a.__x"))
+         / (F.col("b.__p") - F.col("a.__p"))).alias("__s"))
+    sl = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(__s, 0.5)").alias("slope"),
+    )
+    j = base.crossJoin(F.broadcast(sl))
+    out = j.agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.round(F.max("slope"), 6).alias("slope"),
+        F.round(
+            F.expr("percentile(__x - slope * __p, 0.5)"), 6
+        ).alias("intercept"),
+    )
+    return out.select("n_periods", "n_pairs", "slope", "intercept")

@@ -10189,6 +10189,266 @@ def graph_jaccard_links_q(spark, sf):
         max_center_degree=64, min_common=2)
 
 
+
+
+@q("e_pacf", """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+t AS (SELECT row_number() OVER (ORDER BY day) AS t, x FROM d),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS s, sum(x * x) AS ss
+      FROM t),
+l AS (SELECT unnest(generate_series(1, 3)) AS lag),
+pl AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              sum(a.x * b.x) AS pk, sum(a.x) AS ak, sum(b.x) AS bk
+       FROM t a CROSS JOIN l JOIN t b ON b.t = a.t + l.lag
+       GROUP BY l.lag),
+rr AS (SELECT lag,
+         CASE WHEN ss - n * (s / n) * (s / n) > 0
+              THEN round((pk - (s / n) * (ak + bk)
+                          + n_pairs * (s / n) * (s / n))
+                         / (ss - n * (s / n) * (s / n)), 6)
+         END AS r
+       FROM pl CROSS JOIN g),
+piv AS (SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+               max(CASE WHEN lag = 2 THEN r END) AS r2,
+               max(CASE WHEN lag = 3 THEN r END) AS r3
+        FROM rr),
+f AS (SELECT r1, r2, r3, 1 - r1 * r1 AS den2,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS phi22,
+             r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1)) AS phi21
+      FROM piv),
+p3 AS (SELECT *,
+         1 - phi21 * r1 - phi22 * r2 AS den3,
+         (r3 - phi21 * r2 - phi22 * r1)
+           / (1 - phi21 * r1 - phi22 * r2) AS phi33
+       FROM f)
+SELECT lag, pacf FROM (
+  SELECT 1 AS lag, round(r1, 6) AS pacf FROM p3
+  UNION ALL
+  SELECT 2, CASE WHEN den2 <> 0 THEN round(phi22, 6) END FROM p3
+  UNION ALL
+  SELECT 3, CASE WHEN den2 <> 0 AND den3 <> 0 THEN round(phi33, 6) END
+  FROM p3)
+""")
+def e_pacf_q(spark, sf):
+    # Partial autocorrelation at lags 1..3 (operators/windows.py pacf,
+    # Durbin-Levinson closed forms over the rounded ACF values): the
+    # AR-order diagnostic paired with e_acf — an AR(p) ingest process
+    # cuts its PACF off after lag p.
+    from clinpy_spark.operators.windows import pacf
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x"))
+    return pacf(daily, "day", "x")
+
+
+@q("s19_neyman_alloc", """
+WITH g AS (SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_pop,
+                  sum(o_totalprice) AS s, sum(o_totalprice * o_totalprice) AS ss
+           FROM orders GROUP BY 1),
+w AS (SELECT *,
+        CAST(n_pop AS DOUBLE)
+          * sqrt(GREATEST(0.0, ss / n_pop - (s / n_pop) * (s / n_pop))) AS wt
+      FROM g),
+t AS (SELECT *, sum(wt) OVER () AS tw, sum(n_pop) OVER () AS tn FROM w),
+sh AS (SELECT *,
+         CASE WHEN tw > 0 THEN wt / tw
+              ELSE CAST(n_pop AS DOUBLE) / tn END AS share,
+         1000 * (CASE WHEN tw > 0 THEN wt / tw
+                 ELSE CAST(n_pop AS DOUBLE) / tn END) AS raw
+       FROM t),
+fl AS (SELECT *, floor(raw) AS base FROM sh),
+rk AS (SELECT *, CAST(1000 - sum(base) OVER () AS BIGINT) AS short,
+              row_number() OVER (ORDER BY raw - base DESC, grp ASC) AS rk
+       FROM fl)
+SELECT grp AS o_orderpriority, n_pop,
+  round(sqrt(GREATEST(0.0, ss / n_pop - (s / n_pop) * (s / n_pop))), 6)
+    AS stddev,
+  round(share, 6) AS share,
+  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc_n
+FROM rk
+""")
+def s19_neyman_alloc_q(spark, sf):
+    # Neyman-optimal stratified allocation (operators/sample.py
+    # neyman_allocation): how many of a 1000-row sample budget each
+    # priority stratum deserves (proportional to N_h * S_h), with
+    # floor + largest-remainder integerization summing exactly to the
+    # budget — the design-time planner upstream of s13's executor.
+    from clinpy_spark.operators.sample import neyman_allocation
+
+    o = _t(spark, sf, "orders")
+    return neyman_allocation(o, "o_orderpriority", "o_totalprice", 1000)
+
+
+@q("text_rake", """
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+tok AS (SELECT doc_id, pos, w[pos + 1] AS token
+        FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS pos FROM words)
+        WHERE w[pos + 1] <> ''),
+st AS (SELECT doc_id, pos, token,
+              CASE WHEN token IN ('the', 'and', 'of', 'to', 'a', 'in',
+                                  'is', 'it') THEN 1 ELSE 0 END AS stp
+       FROM tok),
+ph AS (SELECT doc_id, pos, token, stp,
+              sum(stp) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+       FROM st),
+members AS (SELECT doc_id, pid, pos, token FROM ph WHERE stp = 0),
+plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+                string_agg(token, ' ' ORDER BY pos) AS phrase
+         FROM members GROUP BY doc_id, pid),
+wstats AS (SELECT token, CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(plen) AS BIGINT) AS deg
+           FROM members JOIN plen USING (doc_id, pid) GROUP BY token),
+occ AS (SELECT m.doc_id, m.pid,
+               round(sum(CAST(deg AS DOUBLE) / freq), 6) AS score
+        FROM members m JOIN wstats USING (token) GROUP BY m.doc_id, m.pid),
+phr AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(max(len(string_split(phrase, ' '))) AS INT) AS n_words,
+               max(score) AS score
+        FROM plen JOIN occ USING (doc_id, pid) GROUP BY phrase),
+rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, phrase ASC) AS rnk
+       FROM phr)
+SELECT phrase, n_occurrences, n_words, score, CAST(rnk AS INT) AS rank
+FROM rk WHERE rnk <= 20
+""")
+def text_rake_q(spark, sf):
+    # RAKE keyphrase extraction (operators/retrieval.py rake_keywords,
+    # Rose 2010): stopword-delimited candidate phrases scored by
+    # summed word degree/frequency ratios — corpus top-20 keyphrases.
+    # Deterministic phrase reconstruction (array_sort on positions)
+    # and rank tie-break on the phrase text.
+    from clinpy_spark.functions.text import LANG_STOPWORDS
+    from clinpy_spark.operators.retrieval import rake_keywords
+
+    return rake_keywords(
+        _t(spark, sf, "documents"), LANG_STOPWORDS["en"], top_k=20)
+
+
+
+
+@q("gx_hwe_exact", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+pv AS (SELECT variant,
+  CAST(sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nrr,
+  CAST(sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nht,
+  CAST(sum(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nalt
+ FROM g GROUP BY variant),
+base AS (SELECT variant, nht AS nh_obs,
+  2 * nrr + nht AS na, 2 * (nrr + nht + nalt) AS an FROM pv),
+supp AS (SELECT variant, nh_obs,
+  LEAST(na, an - na) AS rare, CAST(an // 2 AS BIGINT) AS n,
+  unnest(generate_series(LEAST(na, an - na) % 2, LEAST(na, an - na), 2))
+    AS nh
+ FROM base),
+lw AS (SELECT *,
+  sum(CASE WHEN nh = rare % 2 THEN 0.0
+      ELSE ln(4 * ((rare - (nh - 2)) / 2)
+              * (n - (nh - 2) - (rare - (nh - 2)) / 2))
+           - ln(CAST(nh AS DOUBLE) * (nh - 1)) END)
+    OVER (PARTITION BY variant ORDER BY nh
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnu
+ FROM supp),
+lw2 AS (SELECT *,
+  exp(lnu - max(lnu) OVER (PARTITION BY variant)) AS u,
+  max(CASE WHEN nh = nh_obs THEN lnu END) OVER (PARTITION BY variant)
+    AS lnu_obs
+ FROM lw)
+SELECT variant, CAST(max(nh_obs) AS BIGINT) AS n_het_obs,
+       CAST(count(*) AS BIGINT) AS n_support,
+       round(LEAST(
+         sum(CASE WHEN lnu <= lnu_obs + 0.0000001 THEN u ELSE 0 END)
+         / sum(u), 1.0), 9) AS p_exact
+FROM lw2 GROUP BY variant
+""")
+def gx_hwe_exact_q(spark, sf):
+    # EXACT Hardy-Weinberg test per variant (operators/assoc.py
+    # hwe_exact, Wigginton 2005): the rare-variant QC gate the
+    # asymptotic gx_hwe_audit chi-square gets wrong at small expected
+    # counts. Factorial-free het-count recurrence as a per-variant
+    # ln-ratio prefix sum — the fisher_exact machinery windowed BY
+    # VARIANT, so a million-variant biobank runs one explode + two
+    # variant-keyed window passes.
+    from clinpy_spark.operators.assoc import hwe_exact
+
+    g = _grid_geno(spark, sf)
+    per_v = g.groupBy("variant").agg(
+        F.sum(F.when(F.col("gt") == 0, 1).otherwise(0)).alias("n_hom_ref"),
+        F.sum(F.when(F.col("gt") == 1, 1).otherwise(0)).alias("n_het"),
+        F.sum(F.when(F.col("gt") == 2, 1).otherwise(0)).alias("n_hom_alt"),
+    )
+    return hwe_exact(per_v)
+
+
+@q("e_theil_sen", """
+WITH d AS (SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS DOUBLE) AS p,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+pr AS (SELECT (b.x - a.x) / (b.p - a.p) AS s
+       FROM d a JOIN d b ON a.p < b.p),
+sl AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              quantile_cont(s, 0.5) AS slope
+       FROM pr)
+SELECT CAST(count(*) AS BIGINT) AS n_periods,
+       CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+       round(max(slope), 6) AS slope,
+       round(quantile_cont(x - slope * p, 0.5), 6) AS intercept
+FROM d CROSS JOIN sl
+""")
+def e_theil_sen_q(spark, sf):
+    # Theil-Sen robust trend of the daily event volume
+    # (operators/windows.py theil_sen): the median pairwise slope a
+    # single anomalous day can't drag — the robust sibling of
+    # group_trends' least squares, over the same bounded per-day
+    # series as e_cusum_shift/e_acf.
+    from clinpy_spark.operators.windows import theil_sen
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("double").alias("p")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return theil_sen(daily, "p", "x")
+
+
+
+
+@q("text_heavy_hitters", """
+WITH words AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+               FROM documents),
+big AS (SELECT w[pos + 1] || ' ' || w[pos + 2] AS item
+        FROM (SELECT w, unnest(range(0, len(w) - 1)) AS pos FROM words)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tn FROM big),
+cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY item)
+SELECT item, n, round(CAST(n AS DOUBLE) / tn, 6) AS frac
+FROM cnt CROSS JOIN tot
+WHERE n > 0.0012 * tn
+""")
+def text_heavy_hitters_q(spark, sf):
+    # EXACT heavy-hitter token bigrams above 0.12% corpus frequency
+    # (operators/sketch.py heavy_hitters): Misra-Gries candidates
+    # inside each partition (no shuffle of the unbounded bigram
+    # domain), exact recount of the bounded candidate set — output
+    # identical to the oracle's full group-count by the MG superset
+    # guarantee, which is exactly what the hash-compare proves.
+    from clinpy_spark.operators.sketch import heavy_hitters
+
+    docs = _t(spark, sf, "documents").select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"))
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("bg"))
+    return heavy_hitters(big, "bg", phi=0.0012)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -10213,6 +10473,12 @@ _PRIORITY: list[str] = [
     # driver record (r7 verdict staleness policy); all 50 driver
     # slots go to queries ABSENT from the r10 window. --
     # -- r11 session-3 additions (first driver record) --
+    "text_heavy_hitters",
+    "gx_hwe_exact",
+    "e_theil_sen",
+    "e_pacf",
+    "s19_neyman_alloc",
+    "text_rake",
     "surv_cox_strat",
     "gx_sfs",
     "graph_jaccard_links",

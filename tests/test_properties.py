@@ -1296,3 +1296,109 @@ def test_mendel_errors_match_allele_enumeration(spark, trios):
            mendel_errors(df, "v", "f", "m", "c").collect()}
     for i, (f, m, c) in enumerate(trios):
         assert out[i] == (0 if possible(f, m, c) else 1), (f, m, c)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    va=st.lists(st.integers(0, 12), min_size=2, max_size=15),
+    vb=st.lists(st.integers(0, 12), min_size=2, max_size=15),
+)
+def test_kruskal_two_groups_is_mannwhitney_z2(spark, va, vb):
+    """For k = 2 the tie-corrected Kruskal-Wallis H equals the
+    Mann-Whitney z^2 on ANY data (both are the same rank statistic),
+    and the plain H is invariant under swapping group labels."""
+    from clinpy_spark.operators.assoc import kruskal_wallis, mann_whitney_u
+
+    rows = ([(float(v), "a") for v in va] + [(float(v), "b") for v in vb])
+    df = spark.createDataFrame(rows, "v double, g string")
+    h = kruskal_wallis(df, "v", "g").collect()[0]
+    z = mann_whitney_u(df, "v", "g", "a", "b").collect()[0].z
+    if z is None:
+        assert h.h_corrected is None or abs(h.h_corrected) < 1e-9
+    else:
+        assert h.h_corrected is not None
+        assert abs(h.h_corrected - z * z) < 1e-4
+    swapped = spark.createDataFrame(
+        [(v, "b" if g == "a" else "a") for v, g in rows],
+        "v double, g string")
+    h2 = kruskal_wallis(swapped, "v", "g").collect()[0]
+    assert abs(h.h - h2.h) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(ps=st.lists(
+    st.integers(0, 10_000).map(lambda i: i / 10_000), min_size=1,
+    max_size=25))
+def test_bh_adjust_stepup_invariants(spark, ps):
+    """BH adjusted p-values dominate the raw p (p_adj >= p), stay in
+    [0, 1], are non-decreasing along the rank order, and match the
+    direct min-over-suffix definition."""
+    from clinpy_spark.operators.quality import bh_adjust
+
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(ps)], "test_id long, p double")
+    out = sorted(bh_adjust(df, "p", "test_id").collect(),
+                 key=lambda r: r.bh_rank)
+    n = len(ps)
+    ordered = sorted(range(n), key=lambda i: (ps[i], i))
+    ref = [min(min(ps[ordered[j]] * n / (j + 1), 1.0)
+               for j in range(i, n)) for i in range(n)]
+    for i, r in enumerate(out):
+        assert abs(r.p_adj - ref[i]) < 1e-9
+        assert r.p_adj >= r.p - 1e-12 and 0 <= r.p_adj <= 1
+        if i:
+            assert r.p_adj >= out[i - 1].p_adj - 1e-12
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    a=st.integers(0, 12), b=st.integers(0, 12),
+    c=st.integers(0, 12), d=st.integers(0, 12),
+)
+def test_fisher_exact_tail_identities(spark, a, b, c, d):
+    """One-sided tails overlap exactly at the observed point
+    (p_left + p_right = 1 + pmf_obs); the two-sided p is at most 1,
+    at least the observed pmf, and invariant under transposing the
+    table (swapping which margin is 'exposure')."""
+    import math as m
+
+    from clinpy_spark.operators.assoc import fisher_exact_2x2
+
+    if a + b + c + d == 0:
+        return
+    rows = ([(1, 1)] * a + [(1, 0)] * b + [(0, 1)] * c + [(0, 0)] * d)
+    df = spark.createDataFrame(rows, "e int, y int")
+    out = fisher_exact_2x2(df, "e", "y").collect()[0]
+
+    def pmf(k, n, r1, c1):
+        return (m.comb(r1, k) * m.comb(n - r1, c1 - k) / m.comb(n, c1))
+
+    n, r1, c1 = a + b + c + d, a + b, a + c
+    p_obs = pmf(a, n, r1, c1)
+    assert abs((out.p_left + out.p_right) - (1 + p_obs)) < 1e-6
+    assert p_obs - 1e-6 <= out.p_two_sided <= 1.0
+    # transpose: exposure <-> outcome swaps b and c, keeps a and d
+    trows = [(y, e) for e, y in rows]
+    tout = fisher_exact_2x2(
+        spark.createDataFrame(trows, "e int, y int"), "e", "y").collect()[0]
+    assert abs(tout.p_two_sided - out.p_two_sided) < 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=2, max_size=60),
+    budget=st.integers(1, 500),
+)
+def test_neyman_allocation_sums_to_budget(spark, data, budget):
+    """Largest-remainder integerization: allocations are nonnegative
+    and sum EXACTLY to the budget on any strata mix (including
+    all-constant strata, where everything lands by remainder rank)."""
+    from clinpy_spark.operators.sample import neyman_allocation
+
+    df = spark.createDataFrame(
+        [(f"g{g}", float(v)) for g, v in data], "g string, v double")
+    out = neyman_allocation(df, "g", "v", budget).collect()
+    assert all(r.alloc_n >= 0 for r in out)
+    assert sum(r.alloc_n for r in out) == budget

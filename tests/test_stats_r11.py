@@ -571,3 +571,109 @@ def test_streaming_glm_matches_batch(spark, tmp_path):
     pg = finalize_poisson(pfolded).collect()[0]
     pw = poisson_newton(pdf_, "x", "y").collect()[0]
     assert tuple(pg) == tuple(pw)
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    from clinpy_spark.operators.windows import pacf
+    # Deterministic AR(1)-like decay: x_t = 64 * 0.5^(t mod cycle) has
+    # geometric segments; simpler: exact AR(1) impulse response series
+    # x_t = 0.6^t scaled — PACF lag-1 ~ r1, lag 2/3 ~ 0 for a pure
+    # AR(1) autocorrelation structure. Use a long geometric series.
+    rows = [Row(p=i, x=float(0.8 ** i)) for i in range(40)]
+    out = {r.lag: r.pacf for r in pacf(
+        spark.createDataFrame(rows), "p", "x").collect()}
+    assert out[1] > 0.5
+    # Durbin-Levinson consistency against hand-computed values from
+    # the same rounded ACF
+    from clinpy_spark.operators.windows import acf
+    rr = {r.lag: r.r for r in acf(
+        spark.createDataFrame(rows), "p", "x", max_lag=3).collect()}
+    r1, r2 = rr[1], rr[2]
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert abs(out[2] - round(phi22, 6)) < 1e-9
+
+
+def test_neyman_allocation_properties(spark):
+    from clinpy_spark.operators.sample import neyman_allocation
+    rows = ([Row(g="big_volatile", v=float((i * 37) % 100)) for i in range(400)]
+            + [Row(g="small_flat", v=5.0) for _ in range(100)]
+            + [Row(g="mid", v=float(i % 10)) for i in range(200)])
+    out = {r.g: r for r in neyman_allocation(
+        spark.createDataFrame(rows), "g", "v", 100).collect()}
+    # allocations sum exactly to the budget
+    assert sum(r.alloc_n for r in out.values()) == 100
+    # constant stratum gets zero weight
+    assert out["small_flat"].alloc_n == 0 and out["small_flat"].share == 0.0
+    # the big volatile stratum dominates
+    assert out["big_volatile"].alloc_n > out["mid"].alloc_n
+
+
+def test_rake_scores_multiword_phrases(spark):
+    from clinpy_spark.operators.retrieval import rake_keywords
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="deep learning of deep learning and the model"),
+        Row(doc_id=2, text="deep learning in model training"),
+        Row(doc_id=3, text="the model"),
+    ])
+    out = {r.phrase: r for r in rake_keywords(
+        docs, ["the", "and", "of", "in"], top_k=10).collect()}
+    # "deep learning" appears 3x as a 2-word phrase and must outrank
+    # the 1-word "model"
+    assert "deep learning" in out
+    assert out["deep learning"].n_occurrences == 3
+    assert out["deep learning"].score > out["model"].score
+    # hand check: freq(deep)=3, deg(deep)=6 -> 2.0; same for learning
+    # -> phrase score 4.0
+    assert abs(out["deep learning"].score - 4.0) < 1e-9
+
+
+def test_hwe_exact_hand_computed(spark):
+    from clinpy_spark.operators.assoc import hwe_exact
+    # N=5, rare allele count 3 -> support nh in {1, 3}.
+    # P(3)/P(1) = 4*nAA(1)*nBB(1)/(3*2) with nAA(1)=1, nBB(1)=3 -> 2.
+    # pmf: {1: 1/3, 3: 2/3}; observing nh=1 (the rarer outcome):
+    # p = P(1) = 1/3; observing nh=3: p = 1 (all outcomes <= pmf_obs).
+    pv1 = spark.createDataFrame(
+        [Row(variant=1, n_hom_ref=3, n_het=1, n_hom_alt=1)])
+    out1 = hwe_exact(pv1).collect()[0]
+    assert out1.n_support == 2
+    assert abs(out1.p_exact - 1 / 3) < 1e-9
+    pv3 = spark.createDataFrame(
+        [Row(variant=1, n_hom_ref=2, n_het=3, n_hom_alt=0)])
+    out3 = hwe_exact(pv3).collect()[0]
+    assert abs(out3.p_exact - 1.0) < 1e-9
+    # monomorphic: single-point support, p = 1
+    mono = spark.createDataFrame(
+        [Row(variant=2, n_hom_ref=10, n_het=0, n_hom_alt=0)])
+    assert hwe_exact(mono).collect()[0].p_exact == 1.0
+
+
+def test_theil_sen_resists_outlier(spark):
+    from clinpy_spark.operators.windows import theil_sen
+    # perfect line with one wild outlier: TS slope stays 2
+    rows = [Row(p=float(i), x=float(2 * i + 1)) for i in range(20)]
+    rows[10] = Row(p=10.0, x=1e6)
+    out = theil_sen(spark.createDataFrame(rows), "p", "x").collect()[0]
+    assert abs(out.slope - 2.0) < 1e-6
+    assert abs(out.intercept - 1.0) < 1e-6
+    assert out.n_periods == 20 and out.n_pairs == 190
+
+
+def test_heavy_hitters_exact_vs_full_groupcount(spark):
+    from clinpy_spark.operators.sketch import heavy_hitters
+    # skewed domain across multiple partitions: MG candidates + exact
+    # recount must equal the naive full group-count above phi
+    rows = ([Row(v="hot") for _ in range(400)]
+            + [Row(v="warm") for _ in range(120)]
+            + [Row(v=f"cold{i}") for i in range(480)])
+    df = spark.createDataFrame(rows).repartition(8)
+    out = {r.item: r.n for r in heavy_hitters(df, "v", phi=0.05).collect()}
+    n = 1000
+    want = {"hot": 400, "warm": 120}  # cold* are singletons << 5%
+    assert out == want
+    # threshold is strict: an item at exactly phi*N is excluded
+    rows2 = [Row(v="edge")] * 50 + [Row(v=f"x{i}") for i in range(950)]
+    out2 = heavy_hitters(
+        spark.createDataFrame(rows2).repartition(4), "v", phi=0.05
+    ).collect()
+    assert out2 == []

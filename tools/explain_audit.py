@@ -179,6 +179,18 @@ EXPECTED_UNBOUNDED = {
                        # (surv_cox_beta shape)
     "gx_sfs",  # the CONSTANT 200-row broadcast variant-range grid
                # expansion + 1-row histogram-total crossJoin
+    "e_pacf",  # same constant-side crossJoins as e_acf (1-row series
+               # moments + 3-row lag range), plus the 1-row ACF pivot
+    "gx_hwe_exact",  # the CONSTANT 200-row broadcast variant-range grid
+                     # expansion (gx_ld_r2 shape); the support explode +
+                     # windows are variant-keyed
+    "e_theil_sen",  # pairwise-slope self-join of the BOUNDED per-day
+                    # series (the estimator's definition; input is
+                    # pre-aggregated by contract) + the 1-row slope
+                    # median crossJoin
+    "text_heavy_hitters",  # crossJoin vs the 1-row total-count
+                           # aggregate (text_bm25 corpus-constants
+                           # shape); candidates join is broadcast semi
 }
 
 
