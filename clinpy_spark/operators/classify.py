@@ -31,7 +31,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from clinpy_spark.functions.text import norm_tokens
@@ -133,4 +133,92 @@ def quality_model_gate(
         "n_kept_rules",
         F.lit(accuracy_floor).cast("double").alias("floor"),
         (F.col("__hits") >= F.col("n_docs") * accuracy_floor).alias("passed"),
+    )
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """EXACT ROC-AUC of a score against a binary label: 1 row (auc,
+    n_pos, n_neg, n_ties) — the threshold-free quality readout for any
+    scorer in this library (gate features, the hashed-feature model,
+    retrieval scores). AUC is the probability a random positive
+    outranks a random negative, i.e. the normalized Mann-Whitney U:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with midranks
+    crediting score ties 0.5 (the standard convention).
+
+    Same scale shape as ``mann_whitney_u``: midranks from the
+    per-distinct-score aggregate (the cumulative window runs over
+    |distinct scores| rows, not the corpus), one 1-row reduce;
+    midranks are half-integers so the rank sum is EXACT. NULL auc when
+    either class is empty.
+    """
+    lab = F.col(label_col).cast("int")
+    per_val = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .select(F.col(score_col).alias("__s"), lab.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("np"),
+            F.sum(1 - F.col("__y")).alias("nn"),
+        )
+    )
+    cnt = (F.col("np") + F.col("nn")).cast("double")
+    w_prev = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "__before",
+        F.coalesce(F.sum(F.col("np") + F.col("nn")).over(w_prev), F.lit(0))
+        .cast("double"),
+    ).withColumn("__midrank", F.col("__before") + (cnt + 1) / 2)
+    agg = ranked.agg(
+        F.sum(F.col("np").cast("double") * F.col("__midrank")).alias("__rp"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(F.when(cnt > 1, 1).otherwise(0)).alias("n_ties"),
+    )
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    auc = (F.col("__rp") - npos * (npos + 1) / 2) / (npos * nneg)
+    return agg.select(
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+               F.round(auc, 6)).alias("auc"),
+        "n_pos", "n_neg", "n_ties",
+    )
+
+
+def reliability_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration/reliability table: (bin, n, mean_score, frac_pos) —
+    does a score's VALUE mean what it claims (are 0.8-scored items
+    positive 80% of the time), the property AUC deliberately ignores
+    (AUC is rank-only). Equal-WIDTH bins over the observed [min, max]
+    (the max lands in the top bin); degenerate constant scores put
+    everything in bin 0.
+
+    One 1-row min/max aggregate broadcast back, one binned groupBy —
+    two corpus passes, no window, no sort.
+    """
+    lab = F.col(label_col).cast("int")
+    base = df.filter(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("__s"), lab.alias("__y"))
+    rng = base.agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    j = base.crossJoin(F.broadcast(rng))
+    width = F.col("__hi") - F.col("__lo")
+    bin_ = F.when(width > 0, F.least(
+        F.floor((F.col("__s") - F.col("__lo")) / width * n_bins),
+        F.lit(n_bins - 1),
+    )).otherwise(F.lit(0)).cast("int")
+    return (
+        j.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__s"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("__y").cast("double")), 6).alias("frac_pos"),
+        )
     )

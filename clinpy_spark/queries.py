@@ -10449,6 +10449,181 @@ def text_heavy_hitters_q(spark, sf):
     return heavy_hitters(big, "bg", phi=0.0012)
 
 
+
+
+_EN_SW_SQL = "['the','and','of','to','a','in','is','it']"
+
+_FEATURE_SCORE_SQL = f"""
+  SELECT CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> list_contains({_EN_SW_SQL}, x))) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE trim(text) <> ''
+"""
+
+
+def _feature_score(spark, sf):
+    """(s, y): en-stopword density vs the is-English label; SQL twin
+    _FEATURE_SCORE_SQL."""
+    from clinpy_spark.functions.text import (
+        LANG_STOPWORDS, stopword_count, token_count,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    return docs.select(
+        (stopword_count(F.col("text"), LANG_STOPWORDS["en"]).cast("double")
+         / token_count(F.col("text"))).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+
+@q("curate_feature_auc", f"""
+WITH base AS ({_FEATURE_SCORE_SQL}),
+pv AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+              CAST(sum(1 - y) AS BIGINT) AS nn
+       FROM base GROUP BY s),
+r AS (SELECT np, nn,
+        CAST(coalesce(sum(np + nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS bef,
+        CAST(np + nn AS DOUBLE) AS c
+      FROM pv),
+a AS (SELECT sum(CAST(np AS DOUBLE) * (bef + (c + 1) / 2)) AS rp,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+      FROM r)
+SELECT CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round((rp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+                       / (CAST(n_pos AS DOUBLE) * n_neg), 6)
+       END AS auc,
+       n_pos, n_neg, n_ties
+FROM a
+""")
+def curate_feature_auc_q(spark, sf):
+    # EXACT ROC-AUC (operators/classify.py roc_auc): how well does the
+    # cheap en-stopword-density feature rank English docs above the
+    # rest — the threshold-free scorer evaluation for any gate feature
+    # or model in the curation stack. AUC == normalized Mann-Whitney U
+    # over the per-distinct-score midrank grid.
+    from clinpy_spark.operators.classify import roc_auc
+
+    return roc_auc(_feature_score(spark, sf), "s", "y")
+
+
+@q("curate_calibration", f"""
+WITH base AS ({_FEATURE_SCORE_SQL}),
+rng AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+b AS (SELECT CASE WHEN hi > lo
+             THEN LEAST(CAST(floor((s - lo) / (hi - lo) * 10) AS INT), 9)
+             ELSE 0 END AS bin, s, y
+      FROM base CROSS JOIN rng)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 6) AS mean_score,
+       round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
+FROM b GROUP BY bin
+""")
+def curate_calibration_q(spark, sf):
+    # Reliability table (operators/classify.py reliability_table): is
+    # the stopword-density score CALIBRATED against the is-English
+    # label (does the positive fraction climb with the score), the
+    # value-level property curate_feature_auc's rank-only readout
+    # ignores. Equal-width bins over the observed range.
+    from clinpy_spark.operators.classify import reliability_table
+
+    return reliability_table(_feature_score(spark, sf), "s", "y", n_bins=10)
+
+
+
+
+@q("curate_conformal_cut", f"""
+WITH base AS ({_FEATURE_SCORE_SQL}),
+en AS (SELECT s, substr(md5(CAST(row_number() OVER (ORDER BY s, y) AS VARCHAR)
+         || ':77'), 1, 8) AS h
+       FROM base WHERE y = 1),
+cal AS (SELECT s FROM en WHERE h < '80000000'),
+ev AS (SELECT s FROM en WHERE h >= '80000000'),
+cut AS (SELECT quantile_cont(s, 0.1) AS cut,
+               CAST(count(*) AS BIGINT) AS n_cal
+        FROM cal)
+SELECT round(cut, 6) AS cut, n_cal,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       round(CAST(sum(CASE WHEN s >= cut THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS coverage
+FROM ev CROSS JOIN cut
+GROUP BY cut, n_cal
+""")
+def curate_conformal_cut_q(spark, sf):
+    # Split-conformal acceptance cut (operators pattern: exact
+    # percentile on a hash-held-out calibration split, coverage
+    # measured on the rest): the distribution-free "90% of in-domain
+    # docs score above this" gate a curation pipeline wants instead of
+    # an arbitrary threshold. The calibration/eval split is the
+    # deterministic md5 coordinate (membership auditable by the
+    # oracle), keyed on a rank so the split is data-derived and stable.
+    ranked = _feature_score(spark, sf).filter(F.col("y") == 1)
+    w = Window.orderBy("s", "y")
+    h = F.substring(
+        F.md5(F.concat(F.row_number().over(w).cast("string"),
+                       F.lit(":77"))), 1, 8)
+    en = ranked.select("s", h.alias("h"))
+    cal = en.filter(F.col("h") < "80000000")
+    ev = en.filter(F.col("h") >= "80000000")
+    cut = cal.agg(
+        F.expr("percentile(s, 0.1)").alias("cut"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    j = ev.crossJoin(F.broadcast(cut))
+    return j.groupBy("cut", "n_cal").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.round(
+            F.sum(F.when(F.col("s") >= F.col("cut"), 1).otherwise(0))
+            .cast("double") / F.count(F.lit(1)), 6).alias("coverage"),
+    ).select(
+        F.round("cut", 6).alias("cut"), "n_cal", "n_eval", "coverage")
+
+
+@q("q_trimmed_mean", """
+WITH g AS (SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders),
+qq AS (SELECT grp, quantile_cont(v, 0.1) AS q10, quantile_cont(v, 0.9) AS q90
+       FROM g GROUP BY grp)
+SELECT g.grp AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(CASE WHEN v >= q10 AND v <= q90 THEN v END), 6)
+         AS trimmed_mean,
+       round(avg(CASE WHEN v < q10 THEN q10
+                      WHEN v > q90 THEN q90 ELSE v END), 6)
+         AS winsorized_mean,
+       round(avg(v), 6) AS plain_mean
+FROM g JOIN qq ON g.grp = qq.grp
+GROUP BY g.grp
+""")
+def q_trimmed_mean_q(spark, sf):
+    # 10% trimmed and winsorized means per priority: the robust
+    # location family next to q_mad_outliers' robust scale — what the
+    # mean SHOULD read once the tails stop lying. Exact interpolated
+    # percentile bounds broadcast back, one conditional aggregate.
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"))
+    qq = o.groupBy("grp").agg(
+        F.expr("percentile(v, 0.1)").alias("q10"),
+        F.expr("percentile(v, 0.9)").alias("q90"),
+    )
+    j = o.join(F.broadcast(qq), "grp")
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.when((F.col("v") >= F.col("q10"))
+                         & (F.col("v") <= F.col("q90")), F.col("v"))),
+            6).alias("trimmed_mean"),
+        F.round(
+            F.avg(F.when(F.col("v") < F.col("q10"), F.col("q10"))
+                  .when(F.col("v") > F.col("q90"), F.col("q90"))
+                  .otherwise(F.col("v"))), 6).alias("winsorized_mean"),
+        F.round(F.avg("v"), 6).alias("plain_mean"),
+    ).withColumnRenamed("grp", "o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -10473,6 +10648,10 @@ _PRIORITY: list[str] = [
     # driver record (r7 verdict staleness policy); all 50 driver
     # slots go to queries ABSENT from the r10 window. --
     # -- r11 session-3 additions (first driver record) --
+    "curate_conformal_cut",
+    "q_trimmed_mean",
+    "curate_feature_auc",
+    "curate_calibration",
     "text_heavy_hitters",
     "gx_hwe_exact",
     "e_theil_sen",

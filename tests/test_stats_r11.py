@@ -677,3 +677,38 @@ def test_heavy_hitters_exact_vs_full_groupcount(spark):
         spark.createDataFrame(rows2).repartition(4), "v", phi=0.05
     ).collect()
     assert out2 == []
+
+
+def test_roc_auc_known_values(spark):
+    from clinpy_spark.operators.classify import roc_auc
+    # perfect separation -> 1.0; reversed -> 0.0; ties -> 0.5 credit
+    rows = ([Row(s=float(i), y=1) for i in range(5, 10)]
+            + [Row(s=float(i), y=0) for i in range(5)])
+    assert roc_auc(spark.createDataFrame(rows), "s", "y").collect()[0].auc == 1.0
+    rev = [Row(s=-r.s, y=r.y) for r in rows]
+    assert roc_auc(spark.createDataFrame(rev), "s", "y").collect()[0].auc == 0.0
+    tied = [Row(s=1.0, y=1)] * 3 + [Row(s=1.0, y=0)] * 3
+    out = roc_auc(spark.createDataFrame(tied), "s", "y").collect()[0]
+    assert out.auc == 0.5 and out.n_ties == 1
+    # hand-computed mixed case: pos {3,1}, neg {2,0} -> pairs won 3/4
+    mixed = [Row(s=3.0, y=1), Row(s=1.0, y=1), Row(s=2.0, y=0), Row(s=0.0, y=0)]
+    assert abs(roc_auc(
+        spark.createDataFrame(mixed), "s", "y").collect()[0].auc - 0.75) < 1e-9
+
+
+def test_reliability_table_bins_and_rates(spark):
+    from clinpy_spark.operators.classify import reliability_table
+    # scores 0..99 scaled to [0,1); label = score >= 0.5 -> perfect
+    # calibration: low bins frac 0, high bins frac 1
+    rows = [Row(s=i / 100.0, y=int(i >= 50)) for i in range(100)]
+    out = {r.bin: r for r in reliability_table(
+        spark.createDataFrame(rows), "s", "y", n_bins=10).collect()}
+    assert set(out) == set(range(10))
+    assert all(out[b].frac_pos == 0.0 for b in range(5))
+    assert all(out[b].frac_pos == 1.0 for b in range(5, 10))
+    assert all(out[b].n == 10 for b in range(10))
+    # constant score: one bin
+    const = [Row(s=2.0, y=i % 2) for i in range(10)]
+    cout = reliability_table(
+        spark.createDataFrame(const), "s", "y").collect()
+    assert len(cout) == 1 and cout[0].bin == 0 and cout[0].n == 10

@@ -191,6 +191,10 @@ EXPECTED_UNBOUNDED = {
     "text_heavy_hitters",  # crossJoin vs the 1-row total-count
                            # aggregate (text_bm25 corpus-constants
                            # shape); candidates join is broadcast semi
+    "curate_calibration",  # crossJoin vs the 1-row (min, max) score
+                           # range aggregate — constant broadcast
+    "curate_conformal_cut",  # crossJoin vs the 1-row calibration-
+                             # quantile aggregate — constant broadcast
 }
 
 
