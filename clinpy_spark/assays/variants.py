@@ -393,6 +393,55 @@ class Variants(Assay):
         )
         return fisher_exact_from_counts(counts)
 
+    def fisher_exact_scan(
+        self,
+        case_samples: list[str],
+        rna: bool = False,
+        filtered: bool = False,
+        cohort_size: int | None = None,
+        n_case: int | None = None,
+    ) -> DataFrame:
+        """Per-variant Fisher exact carrier-vs-phenotype scan over the
+        WHOLE store (operators/assoc.py fisher_exact_scan): the
+        GWAS-shaped many-tables form of :meth:`fisher_exact` — exact
+        p-values for every variant in two variant-keyed window passes,
+        no per-variant loop. Margins follow :meth:`association`'s
+        cohort rules; non-carrier cells derive arithmetically."""
+        from clinpy_spark.operators.assoc import fisher_exact_scan
+
+        d = self._dosage(rna, filtered)
+        n_all = cohort_size or self._cohort_size(d)
+        if n_case is None:
+            if cohort_size is not None:
+                st = self.db.table("samples")
+                id_col = ("samplename" if "samplename" in st.columns
+                          else "sample_id")
+                known = st.select(F.col(id_col).alias("samplename"))
+            else:
+                known = d.select("samplename")
+            n_case = (
+                known.filter(F.col("samplename").isin(case_samples))
+                .distinct().count()
+            )
+        n_ctrl = n_all - n_case
+        is_case = F.col("samplename").isin(case_samples)
+        counts = (
+            d.filter(F.col("__dose") > 0)
+            .groupBy(F.col("variant_id").alias("variant"))
+            .agg(
+                F.countDistinct(
+                    F.when(is_case, F.col("samplename"))).alias("a"),
+                F.countDistinct(
+                    F.when(~is_case, F.col("samplename"))).alias("b"),
+            )
+            .select(
+                "variant", "a", "b",
+                (F.lit(n_case) - F.col("a")).alias("c"),
+                (F.lit(n_ctrl) - F.col("b")).alias("d"),
+            )
+        )
+        return fisher_exact_scan(counts, "variant")
+
     def list_impacts(self, rna: bool = False, filtered: bool = False) -> list[str]:
         """Impact-table column names, for building filter dicts
         (reference variants.py:38-43 — schema reflection; here the

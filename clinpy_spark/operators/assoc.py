@@ -2039,3 +2039,176 @@ def hwe_exact(per_v: DataFrame) -> DataFrame:
         F.round(F.least(F.col("__le") / F.col("__tot"), F.lit(1.0)), 9)
         .alias("p_exact"),
     )
+
+
+def fisher_exact_scan(
+    counts: DataFrame,
+    group_col: str,
+    rel_tol: float = 1e-7,
+) -> DataFrame:
+    """Fisher's exact test for MANY 2x2 tables at once: input one row
+    per group (group, a, b, c, d) -> (group, a, b, c, d, n,
+    p_two_sided) — the per-variant / per-segment exact-association
+    scan (``fisher_exact_2x2`` is the single-table form; a GWAS wants
+    this one). Same factorial-free neighbour-ratio prefix sum, with
+    the support explode and every window PARTITIONED BY the group key
+    — a million-variant scan is one explode plus two group-keyed
+    window passes, no per-group driver loop.
+
+    Support size per group is min(r1, c1) + 1 (bounded by the smaller
+    margin — for rare variants, the carrier count, i.e. tiny exactly
+    where the exact test matters).
+    """
+    base = counts.select(
+        F.col(group_col).alias("__g"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+    )
+    r1 = F.col("a") + F.col("b")
+    r2 = F.col("c") + F.col("d")
+    c1 = F.col("a") + F.col("c")
+    kmin = F.greatest(F.lit(0).cast("long"), c1 - r2)
+    kmax = F.least(r1, c1)
+    supp = base.select(
+        "__g", "a", "b", "c", "d",
+        r1.alias("__r1"), r2.alias("__r2"), c1.alias("__c1"),
+        F.explode(F.sequence(kmin, kmax)).alias("__k"),
+    )
+    kk = F.col("__k").cast("double")
+    step = F.when(
+        F.col("__k") == F.greatest(
+            F.lit(0).cast("long"), F.col("__c1") - F.col("__r2")),
+        F.lit(0.0),
+    ).otherwise(
+        F.log((F.col("__r1") - kk + 1) * (F.col("__c1") - kk + 1))
+        - F.log(kk * (F.col("__r2") - F.col("__c1") + kk))
+    )
+    w_pre = Window.partitionBy("__g").orderBy("__k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("__g")
+    lw = supp.withColumn("__lnu", F.sum(step).over(w_pre))
+    lw = lw.withColumn(
+        "__u", F.exp(F.col("__lnu") - F.max("__lnu").over(w_all)))
+    obs = F.max(
+        F.when(F.col("__k") == F.col("a"), F.col("__lnu"))).over(w_all)
+    lw = lw.withColumn("__lnu_obs", obs)
+    agg = lw.groupBy("__g").agg(
+        F.max("a").alias("a"), F.max("b").alias("b"),
+        F.max("c").alias("c"), F.max("d").alias("d"),
+        F.sum("__u").alias("__tot"),
+        F.sum(F.when(F.col("__lnu") <= F.col("__lnu_obs") + F.lit(rel_tol),
+                     F.col("__u")).otherwise(0.0)).alias("__le"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "a", "b", "c", "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+        F.round(F.least(F.col("__le") / F.col("__tot"), F.lit(1.0)), 9)
+        .alias("p_two_sided"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a BOUNDED ordered
+    series: 1 row (n_above, n_below, n_runs, expected_runs, z) — are
+    above-median and below-median periods interleaved like noise, or
+    clumped like a regime (the nonparametric sibling of
+    ``cusum_changepoint``: CUSUM locates a shift, the runs test asks
+    whether ANY serial structure exists). Values equal to the median
+    are dropped (the standard convention).
+
+    R ~ Normal(1 + 2 n1 n2 / n, 2 n1 n2 (2 n1 n2 - n) / (n^2 (n-1)));
+    z is NULL when either side is empty or the variance vanishes.
+    One median pass, one ordered lag window over the reduced series.
+    """
+    base = df.select(
+        F.col(period_col).alias("__p"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    med = base.agg(F.expr("percentile(__x, 0.5)").alias("__med"))
+    j = base.crossJoin(F.broadcast(med)).filter(
+        F.col("__x") != F.col("__med"))
+    sgn = (F.col("__x") > F.col("__med")).cast("int")
+    w = Window.orderBy("__p")
+    runs = j.withColumn("__s", sgn).withColumn(
+        "__new", F.when(
+            F.lag("__s").over(w).isNull()
+            | (F.lag("__s").over(w) != F.col("__s")), 1).otherwise(0))
+    agg = runs.agg(
+        F.sum("__s").alias("n_above"),
+        F.sum(1 - F.col("__s")).alias("n_below"),
+        F.sum("__new").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    exp_r = 1 + 2 * n1 * n2 / nn
+    var_r = (2 * n1 * n2 * (2 * n1 * n2 - nn)) / (nn * nn * (nn - 1))
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var_r > 0)
+    return agg.select(
+        "n_above", "n_below", "n_runs",
+        F.when(ok, F.round(exp_r, 6)).alias("expected_runs"),
+        F.when(ok, F.round(
+            (F.col("n_runs") - exp_r) / F.sqrt(var_r), 6)).alias("z"),
+    )
+
+
+def sign_test(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """EXACT paired sign test: 1 row (n_pos, n_neg, n_ties, p_exact) —
+    did the per-subject value move up more often than down, with the
+    two-sided binomial(n, 1/2) tail computed EXACTLY via the
+    neighbour-ratio prefix sum (pmf(k+1)/pmf(k) = (n-k)/(k+1); no
+    factorials, no normal approximation — the small-n companion of
+    ``mcnemar_test``'s chi-square and ``mann_whitney_u``'s ranks).
+    Zero differences are dropped (the standard convention). p = 1 when
+    there are no informative pairs.
+
+    One 1-row aggregate, then the bounded support (n+1 rows) explodes
+    from it — same driver-bounded shape as ``fisher_exact_2x2``.
+    """
+    d = (F.col(after_col) - F.col(before_col)).cast("double")
+    agg = df.agg(
+        F.sum(F.when(d > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(d < 0, 1).otherwise(0)).alias("n_neg"),
+        F.sum(F.when(d == 0, 1).otherwise(0)).alias("n_ties"),
+    ).localCheckpoint(eager=False)
+    n = F.col("n_pos") + F.col("n_neg")
+    supp = agg.select(
+        "n_pos", "n_neg", "n_ties", n.alias("__n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n)).alias("__k"),
+    )
+    kk = F.col("__k").cast("double")
+    step = F.when(F.col("__k") == 0, F.lit(0.0)).otherwise(
+        F.log(F.col("__n") - kk + 1) - F.log(kk))
+    w_pre = Window.orderBy("__k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    lw = supp.withColumn("__lnu", F.sum(step).over(w_pre))
+    lw = lw.withColumn(
+        "__u", F.exp(F.col("__lnu") - F.max("__lnu").over(w_all)))
+    obs = F.max(
+        F.when(F.col("__k") == F.col("n_pos"), F.col("__lnu"))).over(w_all)
+    lw = lw.withColumn("__lnu_obs", obs)
+    out = lw.agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.max("n_ties").alias("n_ties"),
+        F.sum("__u").alias("__tot"),
+        F.sum(F.when(F.col("__lnu") <= F.col("__lnu_obs") + F.lit(1e-7),
+                     F.col("__u")).otherwise(0.0)).alias("__le"),
+    )
+    return out.select(
+        "n_pos", "n_neg", "n_ties",
+        F.round(F.least(F.col("__le") / F.col("__tot"), F.lit(1.0)), 9)
+        .alias("p_exact"),
+    )

@@ -161,6 +161,15 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             F.sum(1 - F.col("__y")).alias("nn"),
         )
     )
+    return auc_from_score_counts(per_val)
+
+
+def auc_from_score_counts(per_val: DataFrame) -> DataFrame:
+    """:func:`roc_auc` from an already-aggregated per-distinct-score
+    count table (__s, np, nn) — per-score labeled counts are ADDITIVE,
+    so a streaming fold maintains them and the live AUC recomputes on
+    read (streaming/quality.py finalize_auc), mirroring
+    ``ks_from_value_counts``/``ad_from_value_counts``."""
     cnt = (F.col("np") + F.col("nn")).cast("double")
     w_prev = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
     ranked = per_val.withColumn(

@@ -10624,6 +10624,295 @@ def q_trimmed_mean_q(spark, sf):
     ).withColumnRenamed("grp", "o_orderpriority")
 
 
+
+
+@q("gx_fisher_scan", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+dd AS (SELECT variant, CASE WHEN gt > 0 THEN 1 ELSE 0 END AS e,
+              CASE WHEN is_case THEN 1 ELSE 0 END AS y
+       FROM g WHERE variant % 10 < 2),
+cnt AS (SELECT variant,
+   CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+   CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+   CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+   CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0
+  FROM dd GROUP BY variant),
+supp AS (SELECT variant, a, b, c, d0, a + b AS r1, c + d0 AS r2,
+                a + c AS c1,
+                unnest(generate_series(GREATEST(0, a + c - (c + d0)),
+                                       LEAST(a + b, a + c))) AS k
+         FROM cnt),
+lw AS (SELECT *,
+         sum(CASE WHEN k = GREATEST(0, c1 - r2) THEN 0.0
+             ELSE ln((r1 - CAST(k AS DOUBLE) + 1)
+                     * (c1 - CAST(k AS DOUBLE) + 1))
+                  - ln(CAST(k AS DOUBLE) * (r2 - c1 + CAST(k AS DOUBLE)))
+             END)
+           OVER (PARTITION BY variant ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnu
+       FROM supp),
+lw2 AS (SELECT *,
+          exp(lnu - max(lnu) OVER (PARTITION BY variant)) AS u,
+          max(CASE WHEN k = a THEN lnu END)
+            OVER (PARTITION BY variant) AS lnu_obs
+        FROM lw)
+SELECT variant, max(a) AS a, max(b) AS b, max(c) AS c, max(d0) AS d,
+       max(a) + max(b) + max(c) + max(d0) AS n,
+       round(LEAST(
+         sum(CASE WHEN lnu <= lnu_obs + 0.0000001 THEN u ELSE 0 END)
+         / sum(u), 1.0), 9) AS p_two_sided
+FROM lw2 GROUP BY variant
+""")
+def gx_fisher_scan_q(spark, sf):
+    # Per-variant Fisher exact association scan (operators/assoc.py
+    # fisher_exact_scan) over the RARE variant bands (2%/7% allele
+    # frequency — exactly where the chi-square family's expectations
+    # collapse): the GWAS-shaped many-tables form of dx_fisher_exact,
+    # support explode + windows PARTITIONED BY VARIANT, no per-variant
+    # driver loop.
+    from clinpy_spark.operators.assoc import fisher_exact_scan
+
+    g = _grid_geno(spark, sf).filter(F.col("variant") % 10 < 2)
+    counts = g.groupBy("variant").agg(
+        F.sum(F.when((F.col("gt") > 0) & F.col("is_case"), 1).otherwise(0))
+        .alias("a"),
+        F.sum(F.when((F.col("gt") > 0) & ~F.col("is_case"), 1).otherwise(0))
+        .alias("b"),
+        F.sum(F.when((F.col("gt") == 0) & F.col("is_case"), 1).otherwise(0))
+        .alias("c"),
+        F.sum(F.when((F.col("gt") == 0) & ~F.col("is_case"), 1)
+              .otherwise(0)).alias("d"),
+    )
+    return fisher_exact_scan(counts, "variant")
+
+
+@q("e_runs_test", """
+WITH d AS (SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS p,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+m AS (SELECT quantile_cont(x, 0.5) AS med FROM d),
+s AS (SELECT p, CASE WHEN x > med THEN 1 ELSE 0 END AS sg
+      FROM d CROSS JOIN m WHERE x <> med),
+r AS (SELECT sg, CASE WHEN lag(sg) OVER (ORDER BY p) IS NULL
+                        OR lag(sg) OVER (ORDER BY p) <> sg
+                 THEN 1 ELSE 0 END AS nw
+      FROM s),
+a AS (SELECT CAST(sum(sg) AS BIGINT) AS n_above,
+             CAST(sum(1 - sg) AS BIGINT) AS n_below,
+             CAST(sum(nw) AS BIGINT) AS n_runs
+      FROM r)
+SELECT n_above, n_below, n_runs,
+  CASE WHEN n_above > 0 AND n_below > 0
+        AND (2.0 * n_above * n_below
+             * (2.0 * n_above * n_below - (n_above + n_below)))
+            / ((CAST(n_above + n_below AS DOUBLE)) * (n_above + n_below)
+               * ((n_above + n_below) - 1)) > 0
+       THEN round(1 + 2.0 * n_above * n_below / (n_above + n_below), 6)
+  END AS expected_runs,
+  CASE WHEN n_above > 0 AND n_below > 0
+        AND (2.0 * n_above * n_below
+             * (2.0 * n_above * n_below - (n_above + n_below)))
+            / ((CAST(n_above + n_below AS DOUBLE)) * (n_above + n_below)
+               * ((n_above + n_below) - 1)) > 0
+       THEN round((n_runs - (1 + 2.0 * n_above * n_below
+                             / (n_above + n_below)))
+            / sqrt((2.0 * n_above * n_below
+                    * (2.0 * n_above * n_below - (n_above + n_below)))
+                   / ((CAST(n_above + n_below AS DOUBLE))
+                      * (n_above + n_below)
+                      * ((n_above + n_below) - 1))), 6)
+  END AS z
+FROM a
+""")
+def e_runs_test_q(spark, sf):
+    # Wald-Wolfowitz runs test on the daily event volume
+    # (operators/assoc.py runs_test): is there ANY serial structure
+    # (clumping of above/below-median days), the existence question
+    # before e_cusum_shift's where-did-it-shift.
+    from clinpy_spark.operators.assoc import runs_test
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("p")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return runs_test(daily, "p", "x")
+
+
+@q("dx_sign_test", """
+WITH pu AS (SELECT user_id,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+              AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+      AS bef,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+              AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+      AS aft
+  FROM events GROUP BY user_id),
+cnt AS (SELECT
+   CAST(sum(CASE WHEN aft > bef THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+   CAST(sum(CASE WHEN aft < bef THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+   CAST(sum(CASE WHEN aft = bef THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+  FROM pu),
+supp AS (SELECT *, n_pos + n_neg AS n,
+                unnest(generate_series(0, n_pos + n_neg)) AS k
+         FROM cnt),
+lw AS (SELECT *,
+         sum(CASE WHEN k = 0 THEN 0.0
+             ELSE ln(CAST(n AS DOUBLE) - k + 1) - ln(CAST(k AS DOUBLE)) END)
+           OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS lnu
+       FROM supp),
+lw2 AS (SELECT *, exp(lnu - max(lnu) OVER ()) AS u,
+               max(CASE WHEN k = n_pos THEN lnu END) OVER () AS lnu_obs
+        FROM lw)
+SELECT max(n_pos) AS n_pos, max(n_neg) AS n_neg, max(n_ties) AS n_ties,
+       round(LEAST(
+         sum(CASE WHEN lnu <= lnu_obs + 0.0000001 THEN u ELSE 0 END)
+         / sum(u), 1.0), 9) AS p_exact
+FROM lw2
+""")
+def dx_sign_test_q(spark, sf):
+    # Exact paired sign test (operators/assoc.py sign_test): did
+    # per-user purchase COUNTS move between the two January halves —
+    # the binomial(n, 1/2) tail computed exactly by the ratio-prefix
+    # machinery (no normal approximation), the magnitude-free sibling
+    # of dx_mcnemar's flag flips.
+    from clinpy_spark.operators.assoc import sign_test
+
+    ev = _t(spark, sf, "events")
+    pur = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(pur & (F.col("ts") < "2024-01-16"), 1).otherwise(0))
+        .alias("bef"),
+        F.sum(F.when(pur & (F.col("ts") >= "2024-01-16"), 1).otherwise(0))
+        .alias("aft"),
+    )
+    return sign_test(per_user, "bef", "aft")
+
+
+
+
+@q("gx_ld_decay", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+st AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(gt) AS BIGINT) AS sx,
+              CAST(sum(gt * gt) AS BIGINT) AS sxx
+       FROM g GROUP BY variant),
+vm AS (SELECT DISTINCT variant, chrom, pos FROM g),
+cand AS (SELECT a.variant AS vx, b.variant AS vy, b.pos - a.pos AS dist
+         FROM vm a JOIN vm b
+           ON a.chrom = b.chrom AND a.variant < b.variant
+          AND abs(a.pos - b.pos) <= 10),
+cr AS (SELECT c.vx, c.vy, c.dist, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(g1.gt * g2.gt) AS BIGINT) AS sxy
+       FROM cand c
+       JOIN g g1 ON g1.variant = c.vx
+       JOIN g g2 ON g2.variant = c.vy AND g2.c_custkey = g1.c_custkey
+       GROUP BY c.vx, c.vy, c.dist),
+r2 AS (SELECT dist,
+         CASE WHEN (CAST(cr.n AS DOUBLE) * s1.sxx - s1.sx * s1.sx) = 0
+                OR (CAST(cr.n AS DOUBLE) * s2.sxx - s2.sx * s2.sx) = 0
+              THEN 0.0
+              ELSE round(
+                (CAST(cr.n AS DOUBLE) * cr.sxy - s1.sx * s2.sx)
+                * (CAST(cr.n AS DOUBLE) * cr.sxy - s1.sx * s2.sx)
+                / ((CAST(cr.n AS DOUBLE) * s1.sxx - s1.sx * s1.sx)
+                   * (CAST(cr.n AS DOUBLE) * s2.sxx - s2.sx * s2.sx)), 6)
+         END AS r2
+       FROM cr JOIN st s1 ON s1.variant = cr.vx
+       JOIN st s2 ON s2.variant = cr.vy)
+SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(r2), 6) AS mean_r2
+FROM r2 GROUP BY dist
+""")
+def gx_ld_decay_q(spark, sf):
+    # LD decay curve (composition of operators/assoc.py ld_r2): mean
+    # pairwise r^2 per base-distance bin — the population-genetics
+    # summary (how fast does linkage die with distance) drawn from the
+    # same banded pair machinery as gx_ld_r2, widened to 10 positions.
+    from clinpy_spark.operators.assoc import ld_r2
+
+    g = _grid_geno(spark, sf)
+    pairs = ld_r2(g, "variant", "c_custkey", "gt", "chrom", "pos",
+                  max_dist=10)
+    # pos == variant in the grid, so distance = vy - vx
+    return pairs.groupBy((F.col("vy") - F.col("vx")).alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("r2"), 6).alias("mean_r2"),
+    )
+
+
+@q("dx_permutation_test", """
+WITH pu AS (SELECT user_id,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS y
+  FROM events GROUP BY user_id),
+obs AS (SELECT sum(CASE WHEN user_id % 2 = 1 THEN CAST(y AS DOUBLE) END)
+               / sum(CASE WHEN user_id % 2 = 1 THEN 1 END)
+             - sum(CASE WHEN user_id % 2 = 0 THEN CAST(y AS DOUBLE) END)
+               / sum(CASE WHEN user_id % 2 = 0 THEN 1 END) AS d_obs
+        FROM pu),
+perm AS (SELECT b, user_id, y,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                               || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2
+             AS arm
+         FROM pu CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b)),
+pd AS (SELECT b,
+         sum(CASE WHEN arm = 1 THEN CAST(y AS DOUBLE) END)
+           / sum(CASE WHEN arm = 1 THEN 1 END)
+         - sum(CASE WHEN arm = 0 THEN CAST(y AS DOUBLE) END)
+           / sum(CASE WHEN arm = 0 THEN 1 END) AS d
+       FROM perm GROUP BY b)
+SELECT round(max(d_obs), 6) AS obs_diff,
+       CAST(count(*) AS BIGINT) AS n_perm,
+       CAST(sum(CASE WHEN abs(d) >= abs(d_obs) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge,
+       round((1.0 + sum(CASE WHEN abs(d) >= abs(d_obs) THEN 1 ELSE 0 END))
+             / (count(*) + 1), 6) AS p_perm
+FROM pd CROSS JOIN obs
+""")
+def dx_permutation_test_q(spark, sf):
+    # Deterministic permutation test: is the even/odd-user split's
+    # purchase-rate difference explainable by chance? 200 md5-derived
+    # re-randomizations (the same hash-decision machinery as the
+    # mixture/split samplers, so the oracle replays every permutation
+    # EXACTLY) — randomization inference with zero RNG state, the
+    # distribution-free cousin of dx_mannwhitney. Each permutation is
+    # one conditional-sum aggregate over a 200x exploded bounded
+    # per-user table; the corpus is scanned once into it.
+    ev = _t(spark, sf, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("y"))
+    obs = pu.agg(
+        (F.sum(F.when(F.col("user_id") % 2 == 1, F.col("y").cast("double")))
+         / F.sum(F.when(F.col("user_id") % 2 == 1, 1))
+         - F.sum(F.when(F.col("user_id") % 2 == 0, F.col("y").cast("double")))
+         / F.sum(F.when(F.col("user_id") % 2 == 0, 1))).alias("d_obs"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b")
+    arm = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                           F.col("b").cast("string"))), 1, 8),
+        16, 10).cast("long") % 2
+    perm = pu.select("user_id", "y", b).withColumn("arm", arm)
+    pd_ = perm.groupBy("b").agg(
+        (F.sum(F.when(F.col("arm") == 1, F.col("y").cast("double")))
+         / F.sum(F.when(F.col("arm") == 1, 1))
+         - F.sum(F.when(F.col("arm") == 0, F.col("y").cast("double")))
+         / F.sum(F.when(F.col("arm") == 0, 1))).alias("d"))
+    j = pd_.crossJoin(F.broadcast(obs))
+    ge = F.sum(
+        F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1).otherwise(0))
+    return j.agg(
+        F.round(F.max("d_obs"), 6).alias("obs_diff"),
+        F.count(F.lit(1)).alias("n_perm"),
+        ge.alias("n_ge"),
+        F.round((1.0 + ge) / (F.count(F.lit(1)) + 1), 6).alias("p_perm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -10648,6 +10937,11 @@ _PRIORITY: list[str] = [
     # driver record (r7 verdict staleness policy); all 50 driver
     # slots go to queries ABSENT from the r10 window. --
     # -- r11 session-3 additions (first driver record) --
+    "gx_ld_decay",
+    "dx_permutation_test",
+    "gx_fisher_scan",
+    "e_runs_test",
+    "dx_sign_test",
     "curate_conformal_cut",
     "q_trimmed_mean",
     "curate_feature_auc",

@@ -112,3 +112,65 @@ def stream_check_suite(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def score_label_counts_partial(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """(__s, np, nn) additive partials for one micro-batch — the AUC
+    sufficient statistic (per-distinct-score positive/negative
+    counts). Quantize/bucket continuous scores upstream when the score
+    domain is unbounded (the ks-fold compromise)."""
+    lab = F.col(label_col).cast("int")
+    return (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .select(F.col(score_col).alias("__s"), lab.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("np"),
+            F.sum(1 - F.col("__y")).alias("nn"),
+        )
+    )
+
+
+def stream_score_counts(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    score_col: str,
+    label_col: str,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Fold per-score labeled counts into the persisted ``name`` table
+    (addition-merge keyed by __s, idempotent batch-id stamp); read the
+    live model AUC with :func:`finalize_auc` — continuous scorer
+    monitoring without rescanning scored history."""
+    import os
+
+    from clinpy_spark.streaming.fold import fold_partials
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = score_label_counts_partial(batch, score_col, label_col)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["__s"], counters=["np", "nn"])
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__auc_checkpoint__"
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_auc(counts: DataFrame) -> DataFrame:
+    """Exact ROC-AUC over the maintained (__s, np, nn) table —
+    identical to the batch ``roc_auc`` over the same scored rows (twin
+    test)."""
+    from clinpy_spark.operators.classify import auc_from_score_counts
+
+    return auc_from_score_counts(counts.select("__s", "np", "nn"))

@@ -1182,3 +1182,19 @@ def test_variants_sfs_and_fisher_exact(spark, project):
     assert fe.n == 3
     for p in (fe.p_two_sided, fe.p_left, fe.p_right):
         assert 0 <= p <= 1 and math.isfinite(p)
+
+
+def test_variants_fisher_exact_scan_consistent_with_single(spark, project):
+    """The per-variant exact scan reproduces the single-variant form
+    for every variant in the store."""
+    catalog, _ = project
+    v = Variants(catalog)
+    scan = {r.variant: r for r in
+            v.fisher_exact_scan(["s1"], cohort_size=3).collect()}
+    assert scan
+    for vid, row in scan.items():
+        single = v.fisher_exact(vid, ["s1"], cohort_size=3).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == (
+            single.a, single.b, single.c, single.d)
+        assert abs(row.p_two_sided - single.p_two_sided) < 1e-9
+        assert 0 <= row.p_two_sided <= 1

@@ -712,3 +712,86 @@ def test_reliability_table_bins_and_rates(spark):
     cout = reliability_table(
         spark.createDataFrame(const), "s", "y").collect()
     assert len(cout) == 1 and cout[0].bin == 0 and cout[0].n == 10
+
+
+def test_fisher_scan_matches_single_table(spark):
+    from clinpy_spark.operators.assoc import (
+        fisher_exact_2x2, fisher_exact_scan,
+    )
+    tables = {1: (3, 1, 2, 8), 2: (0, 5, 5, 0), 3: (2, 2, 2, 2)}
+    counts = spark.createDataFrame(
+        [Row(v=v, a=a, b=b, c=c, d=d) for v, (a, b, c, d) in tables.items()])
+    scan = {r.v: r.p_two_sided for r in
+            fisher_exact_scan(counts, "v").collect()}
+    for v, (a, b, c, d) in tables.items():
+        rows = ([Row(e=1, y=1)] * a + [Row(e=1, y=0)] * b
+                + [Row(e=0, y=1)] * c + [Row(e=0, y=0)] * d)
+        single = fisher_exact_2x2(
+            spark.createDataFrame(rows), "e", "y").collect()[0]
+        assert abs(scan[v] - single.p_two_sided) < 1e-9, v
+
+
+def test_runs_test_alternating_vs_clumped(spark):
+    from clinpy_spark.operators.assoc import runs_test
+    # perfectly alternating -> max runs -> large positive z
+    alt = [Row(p=i, x=float(10 if i % 2 == 0 else 1)) for i in range(30)]
+    za = runs_test(spark.createDataFrame(alt), "p", "x").collect()[0]
+    assert za.n_runs == 30 and za.z > 3
+    # perfectly clumped -> 2 runs -> large negative z
+    cl = [Row(p=i, x=float(10 if i < 15 else 1)) for i in range(30)]
+    zc = runs_test(spark.createDataFrame(cl), "p", "x").collect()[0]
+    assert zc.n_runs == 2 and zc.z < -3
+    assert za.n_above == 15 and za.n_below == 15
+
+
+def test_sign_test_exact_binomial(spark):
+    import math as m
+
+    from clinpy_spark.operators.assoc import sign_test
+    # 8 up, 2 down, 3 ties -> two-sided p = sum over k with
+    # pmf <= pmf(8) of C(10,k)/2^10
+    rows = ([Row(b=0, a=1)] * 8 + [Row(b=1, a=0)] * 2
+            + [Row(b=1, a=1)] * 3)
+    out = sign_test(spark.createDataFrame(rows), "b", "a").collect()[0]
+    assert (out.n_pos, out.n_neg, out.n_ties) == (8, 2, 3)
+    pmf = [m.comb(10, k) / 2 ** 10 for k in range(11)]
+    want = sum(p for p in pmf if p <= pmf[8] * (1 + 1e-7))
+    assert abs(out.p_exact - want) < 1e-9
+    # balanced -> p = 1
+    bal = [Row(b=0, a=1)] * 5 + [Row(b=1, a=0)] * 5
+    assert sign_test(
+        spark.createDataFrame(bal), "b", "a").collect()[0].p_exact == 1.0
+
+
+def test_streaming_auc_matches_batch(spark):
+    from clinpy_spark.operators.classify import roc_auc
+    from clinpy_spark.streaming.quality import (
+        finalize_auc, score_label_counts_partial,
+    )
+    rows = [Row(s=float((i * 13) % 20), y=int((i * 7) % 10 < 4 + (i % 3)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows)
+    p1 = score_label_counts_partial(df.filter(F.col("s") < 10), "s", "y")
+    p2 = score_label_counts_partial(df.filter(F.col("s") >= 10), "s", "y")
+    folded = p1.unionByName(p2).groupBy("__s").agg(
+        F.sum("np").alias("np"), F.sum("nn").alias("nn"))
+    got = finalize_auc(folded).collect()[0]
+    want = roc_auc(df, "s", "y").collect()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_ld_decay_perfect_linkage_flat(spark):
+    # identical dosage columns at all variants -> r2 = 1 at every
+    # distance -> decay curve flat at 1
+    from clinpy_spark.operators.assoc import ld_r2
+    rows = []
+    for s in range(12):
+        g = (s * 7) % 3
+        for var in range(5):
+            rows.append(Row(variant=var, s=s, gt=g, chrom=0, pos=var))
+    pairs = ld_r2(
+        spark.createDataFrame(rows), "variant", "s", "gt", "chrom", "pos",
+        max_dist=4)
+    decay = pairs.groupBy((F.col("vy") - F.col("vx")).alias("dist")).agg(
+        F.avg("r2").alias("m")).collect()
+    assert all(abs(r.m - 1.0) < 1e-6 for r in decay)

@@ -195,6 +195,16 @@ EXPECTED_UNBOUNDED = {
                            # range aggregate — constant broadcast
     "curate_conformal_cut",  # crossJoin vs the 1-row calibration-
                              # quantile aggregate — constant broadcast
+    "gx_fisher_scan",  # the CONSTANT 200-row broadcast variant-range
+                       # grid expansion (gx_ld_r2 shape); supports +
+                       # windows are variant-keyed
+    "e_runs_test",  # crossJoin vs the 1-row series-median aggregate —
+                    # constant broadcast
+    "gx_ld_decay",  # the CONSTANT 200-row broadcast variant-range grid
+                    # expansion (gx_ld_r2 shape, 10-position band)
+    "dx_permutation_test",  # constant 200-row permutation-index
+                            # explode + the 1-row observed-difference
+                            # broadcast — fixed-width, linear in users
 }
 
 
