@@ -201,6 +201,32 @@ class Variants(Assay):
         )
         return hwe_chi2_from_counts(per_v)
 
+    def hwe_exact(self, rna: bool = False, filtered: bool = False,
+                  cohort_size: int | None = None) -> DataFrame:
+        """EXACT Hardy-Weinberg test per variant over the project's
+        genotypes (operators/assoc.py hwe_exact, Wigginton 2005): the
+        rare-variant QC gate :meth:`hwe`'s asymptotic chi-square gets
+        wrong at small expected het counts. Same implicit-hom-ref
+        count derivation as :meth:`hwe`; the exact recurrence runs in
+        variant-partitioned windows (no per-variant loop)."""
+        from clinpy_spark.operators.assoc import hwe_exact
+
+        d = self._dosage(rna, filtered)
+        n_samples = cohort_size or self._cohort_size(d)
+        per_v = d.groupBy(F.col("variant_id").alias("variant")).agg(
+            F.sum(F.when(F.col("__dose") == 1, 1).otherwise(0))
+            .alias("n_het"),
+            F.sum(F.when(F.col("__dose") == 2, 1).otherwise(0))
+            .alias("n_hom_alt"),
+        ).select(
+            "variant",
+            (F.lit(n_samples) - F.col("n_het") - F.col("n_hom_alt"))
+            .alias("n_hom_ref"),
+            "n_het",
+            "n_hom_alt",
+        )
+        return hwe_exact(per_v)
+
     def association(
         self,
         case_samples: list[str],

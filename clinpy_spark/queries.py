@@ -10927,7 +10927,12 @@ def dx_permutation_test_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r11 window: the 27 session-2 oracled additions first (their
+    # -- r11 window (session-3 final): the 39 session-3 additions
+    # lead (their first driver record: the inference/eval layer -
+    # rank/exact/GLM/permutation tests, graph micro-structure,
+    # SMR/TDT/SFS/haplotype-EM/LD-decay genetics, ACF/PACF/Theil-Sen
+    # series, BH-FDR, DSIR/RAKE/heavy-hitters/AUC/calibration/
+    # conformal pipeline ops), then the session-2 additions (their
     # first driver record: clinical Cox/PH/life-table, KING/CMH/
     # Tajima/Mendel/PRS genetics, Mann-Whitney/ANOVA/Levene,
     # Adamic-Adar/LPA/modularity graph ops, JS/W1 drift, CUSUM/

@@ -1198,3 +1198,18 @@ def test_variants_fisher_exact_scan_consistent_with_single(spark, project):
             single.a, single.b, single.c, single.d)
         assert abs(row.p_two_sided - single.p_two_sided) < 1e-9
         assert 0 <= row.p_two_sided <= 1
+
+
+def test_variants_hwe_exact_store_level(spark, project):
+    """Assay-level exact HWE: same implicit hom-ref counts as hwe(),
+    exact p in [0, 1] for every variant, p = 1 for a variant whose
+    support collapses (monomorphic under the widened cohort)."""
+    catalog, _ = project
+    v = Variants(catalog)
+    out = {r.variant: r for r in v.hwe_exact(cohort_size=3).collect()}
+    assert out
+    chi = {r.variant: r for r in v.hwe(cohort_size=3).collect()}
+    assert set(out) == set(chi)
+    for vid, r in out.items():
+        assert 0 <= r.p_exact <= 1
+        assert r.n_het_obs == chi[vid].n_het
