@@ -10913,6 +10913,157 @@ def dx_permutation_test_q(spark, sf):
     )
 
 
+
+
+@q("gx_prs_auc", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+w AS (SELECT DISTINCT variant,
+             ((('0x' || substr(md5('w' || CAST(variant AS VARCHAR)), 1, 8))::BIGINT
+               % 2001) - 1000) / 1000.0 AS wt
+      FROM g),
+prs AS (SELECT c_custkey, round(sum(gt * wt), 6) AS s,
+               CAST(max(CASE WHEN is_case THEN 1 ELSE 0 END) AS INT) AS y
+        FROM g JOIN w USING (variant)
+        GROUP BY c_custkey),
+pv AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+              CAST(sum(1 - y) AS BIGINT) AS nn
+       FROM prs GROUP BY s),
+r AS (SELECT np, nn,
+        CAST(coalesce(sum(np + nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS bef,
+        CAST(np + nn AS DOUBLE) AS c
+      FROM pv),
+a AS (SELECT sum(CAST(np AS DOUBLE) * (bef + (c + 1) / 2)) AS rp,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+      FROM r)
+SELECT CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round((rp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+                       / (CAST(n_pos AS DOUBLE) * n_neg), 6)
+       END AS auc,
+       n_pos, n_neg, n_ties
+FROM a
+""")
+def gx_prs_auc_q(spark, sf):
+    # Polygenic-score discrimination (gx_prs's scores fed to
+    # operators/classify.py roc_auc): does the PRS rank cases above
+    # controls — THE standard clinical evaluation of a risk score,
+    # composing the genetics and model-eval families. Scores rounded
+    # to the PRS contract's 6 dp before ranking so both engines rank
+    # identical values.
+    from clinpy_spark.operators.assoc import polygenic_score
+    from clinpy_spark.operators.classify import roc_auc
+
+    g = _grid_geno(spark, sf)
+    wt = (
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("variant").cast("string"))),
+                1, 8),
+            16, 10).cast("long") % 2001 - 1000) / 1000.0
+    )
+    weights = g.select("variant").distinct().select(
+        "variant", wt.alias("wt"))
+    prs = polygenic_score(
+        g, weights, "c_custkey", "variant", "gt", "wt")
+    pheno = g.groupBy("c_custkey").agg(
+        F.max(F.col("is_case").cast("int")).alias("y"))
+    j = prs.join(pheno, "c_custkey").select(
+        F.col("prs").alias("s"), "y")
+    return roc_auc(j, "s", "y")
+
+
+@q("e_dispersion", """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY user_id, CAST(ts AS DATE)),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY user_id)
+SELECT user_id, n_days,
+       round(CAST(sx AS DOUBLE) / n_days, 6) AS mean_daily,
+       CASE WHEN n_days > 1 AND sx > 0
+            THEN round(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+                         / n_days) / (n_days - 1))
+                       / (CAST(sx AS DOUBLE) / n_days), 6)
+       END AS fano
+FROM m
+""")
+def e_dispersion_q(spark, sf):
+    # Per-user burstiness (Fano factor = daily-count variance over
+    # mean): fano >> 1 = bursty sessions, ~1 = Poisson-like, < 1 =
+    # metronomic (bots) — the dispersion profile behind e_gaps_islands'
+    # streak view. Exact integer moments; one per-(user, day) and one
+    # per-user aggregate.
+    ev = _t(spark, sf, "events")
+    d = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"))
+    m = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    var = (F.col("sxx").cast("double") - sx * sx / nd) / (nd - 1)
+    mean = sx / nd
+    return m.select(
+        "user_id", "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.when((F.col("n_days") > 1) & (F.col("sx") > 0),
+               F.round(var / mean, 6)).alias("fano"),
+    )
+
+
+@q("q_entropy", """
+WITH c AS (SELECT c_nationkey % 5 AS band, o_orderpriority AS cat,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+t AS (SELECT band, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS k
+      FROM c GROUP BY band)
+SELECT c.band, t.k AS n_categories, t.tot AS n,
+       round(sum(-(CAST(c.n AS DOUBLE) / t.tot)
+                 * ln(CAST(c.n AS DOUBLE) / t.tot)), 6) AS entropy,
+       CASE WHEN t.k > 1
+            THEN round(sum(-(CAST(c.n AS DOUBLE) / t.tot)
+                           * ln(CAST(c.n AS DOUBLE) / t.tot))
+                       / ln(CAST(t.k AS DOUBLE)), 6)
+       END AS normalized
+FROM c JOIN t USING (band)
+GROUP BY c.band, t.k, t.tot
+""")
+def q_entropy_q(spark, sf):
+    # Shannon entropy of the priority mix per nation band: the
+    # category-balance profile (normalized to [0,1] by ln k) a
+    # mixture-sampling pipeline checks before and after resampling —
+    # the information-theoretic sibling of drift_chi2's deviation
+    # test. Exact category counts; one grouped sum of -p ln p.
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", (F.col("c_nationkey") % 5).alias("band"))
+    o = _t(spark, sf, "orders").join(
+        cust, F.col("o_custkey") == F.col("c_custkey"))
+    c = o.groupBy("band", F.col("o_orderpriority").alias("cat")).agg(
+        F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("band").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k"))
+    j = c.join(t, "band")
+    p = F.col("n").cast("double") / F.col("tot")
+    return j.groupBy(
+        "band", F.col("k").alias("n_categories"), F.col("tot").alias("n")
+    ).agg(
+        F.round(F.sum(-p * F.log(p)), 6).alias("entropy"),
+        F.when(
+            F.col("n_categories") > 1,
+            F.round(
+                F.sum(-p * F.log(p))
+                / F.log(F.col("n_categories").cast("double")), 6),
+        ).alias("normalized"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -10942,6 +11093,9 @@ _PRIORITY: list[str] = [
     # driver record (r7 verdict staleness policy); all 50 driver
     # slots go to queries ABSENT from the r10 window. --
     # -- r11 session-3 additions (first driver record) --
+    "gx_prs_auc",
+    "e_dispersion",
+    "q_entropy",
     "gx_ld_decay",
     "dx_permutation_test",
     "gx_fisher_scan",

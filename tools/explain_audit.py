@@ -205,6 +205,9 @@ EXPECTED_UNBOUNDED = {
     "dx_permutation_test",  # constant 200-row permutation-index
                             # explode + the 1-row observed-difference
                             # broadcast — fixed-width, linear in users
+    "gx_prs_auc",  # the CONSTANT 200-row broadcast variant-range grid
+                   # expansion (gx_prs shape); the AUC rank grid is a
+                   # score-keyed window
 }
 
 
