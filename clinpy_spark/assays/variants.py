@@ -11,6 +11,26 @@ from pyspark.sql import functions as F
 
 from clinpy_spark.assays.base import Assay
 
+
+def _checked_complement(count_col: str, margin: int, label: str):
+    """``margin - count`` with a JVM-side consistency guard: a carrier
+    count exceeding its phenotype margin (case_samples naming subjects
+    outside the cohort, or mapping rows outside the cohort when
+    cohort_size is passed) would yield a negative 2x2 cell and an
+    invalid hypergeometric support downstream, so raise a clear error
+    instead of emitting garbage p-values (r11 advice). The guard rides
+    inside the cell expression itself — no extra pass, and Catalyst
+    cannot prune it."""
+    return F.when(
+        F.col(count_col) > F.lit(margin),
+        F.raise_error(F.concat(
+            F.lit(f"fisher_exact: carrier count {count_col}="),
+            F.col(count_col).cast("string"),
+            F.lit(f" exceeds {label}={margin}; case_samples/cohort_size "
+                  "margins are inconsistent with the genotype store"),
+        )),
+    ).otherwise(F.lit(margin) - F.col(count_col))
+
 #: Reference genotype string forms (snp_functions.py:103-105,
 #: variants.py:152-158): het "(0, 1)", hom-alt "(1, 1)".
 GT_HET = "(0, 1)"
@@ -414,8 +434,8 @@ class Variants(Assay):
                 F.when(~is_case, F.col("samplename"))).alias("b"),
         ).select(
             "a", "b",
-            (F.lit(n_case) - F.col("a")).alias("c"),
-            (F.lit(n_ctrl) - F.col("b")).alias("d"),
+            _checked_complement("a", n_case, "n_case").alias("c"),
+            _checked_complement("b", n_ctrl, "n_ctrl").alias("d"),
         )
         return fisher_exact_from_counts(counts)
 
@@ -462,8 +482,8 @@ class Variants(Assay):
             )
             .select(
                 "variant", "a", "b",
-                (F.lit(n_case) - F.col("a")).alias("c"),
-                (F.lit(n_ctrl) - F.col("b")).alias("d"),
+                _checked_complement("a", n_case, "n_case").alias("c"),
+                _checked_complement("b", n_ctrl, "n_ctrl").alias("d"),
             )
         )
         return fisher_exact_scan(counts, "variant")

@@ -1355,14 +1355,14 @@ def logistic_newton(
     df: DataFrame,
     x_col: str,
     y_col: str,
-    iterations: int = 4,
+    iterations: int = 8,
 ) -> DataFrame:
     """Logistic regression MLE for ONE bounded-cardinality covariate
     plus intercept, by ``iterations`` unrolled Newton-Raphson (IRLS)
-    steps: 1 row (beta0, beta1, se1, wald_chi2, n, n_pos) — the
-    binary-outcome effect-size ladder next to ``cox_newton`` (hazard)
-    and ``odds_ratio`` (unadjusted 2x2): log-odds per unit of x with
-    Wald inference.
+    steps: 1 row (beta0, beta1, se1, wald_chi2, n, n_pos, score_norm)
+    — the binary-outcome effect-size ladder next to ``cox_newton``
+    (hazard) and ``odds_ratio`` (unadjusted 2x2): log-odds per unit of
+    x with Wald inference.
 
     The covariate must have BOUNDED distinct cardinality (an integer
     grade, a dosage in {0,1,2}, a bucketed score): the data collapses
@@ -1374,12 +1374,16 @@ def logistic_newton(
         Iab = sum(x^a+b n_x p_x (1 - p_x)),  p_x = sigmoid(b0 + b1 x)
         [b0, b1] += inv([[I00, I01], [I01, I11]]) @ [U0, U1]
 
-    from (0, 0); 4 steps reach ~1e-9 for any non-separable data. The
-    recurrence is a closed deterministic function of the integer grid,
-    so a SQL oracle replays the same steps as chained CTEs (round-6 on
-    the exp-touched outputs). NULL coefficients on a singular
-    information matrix (constant x, empty input, or separation driving
-    weights to 0).
+    from (0, 0); 8 steps reach ~1e-9 on well-conditioned grids, but
+    strong effects or extreme class imbalance can need more (r11
+    advice): the emitted ``score_norm`` column is the final Newton
+    score norm ||U|| — ~0 when converged; raise ``iterations`` when it
+    is not. Each extra step costs one grid-sized aggregate, noise at
+    any scale. The recurrence is a closed deterministic function of
+    the integer grid, so a SQL oracle replays the same steps as
+    chained CTEs (round-6 on the exp-touched outputs). NULL
+    coefficients on a singular information matrix (constant x, empty
+    input, or separation driving weights to 0).
     """
     grid = (
         df.select(
@@ -1397,7 +1401,7 @@ def logistic_newton(
 
 
 def logistic_newton_from_grid(
-    grid: DataFrame, iterations: int = 4
+    grid: DataFrame, iterations: int = 8
 ) -> DataFrame:
     """:func:`logistic_newton` from an already-aggregated per-x grid
     (__x, __n, __p) — the entry point for incrementally-maintained
@@ -1439,6 +1443,7 @@ def logistic_newton_from_grid(
     fin = grid.crossJoin(F.broadcast(beta))
     p = 1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("__x"))))
     w = F.col("__n") * p * (1 - p)
+    r = F.col("__p") - F.col("__n") * p
     stats = fin.agg(
         F.max("b0").alias("b0"),
         F.max("b1").alias("b1"),
@@ -1447,6 +1452,8 @@ def logistic_newton_from_grid(
         F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
         F.sum("__n").alias("n"),
         F.sum("__p").alias("n_pos"),
+        F.sum(r).alias("u0"),
+        F.sum(F.col("__x") * r).alias("u1"),
     )
     det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
     ok = F.col("b0").isNotNull() & F.col("b1").isNotNull() & (det > 0)
@@ -1459,6 +1466,9 @@ def logistic_newton_from_grid(
         .alias("wald_chi2"),
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+        F.when(ok, F.round(
+            F.sqrt(F.col("u0") * F.col("u0") + F.col("u1") * F.col("u1")),
+            6)).alias("score_norm"),
     )
 
 

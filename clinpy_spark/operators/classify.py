@@ -143,7 +143,10 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     retrieval scores). AUC is the probability a random positive
     outranks a random negative, i.e. the normalized Mann-Whitney U:
     AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with midranks
-    crediting score ties 0.5 (the standard convention).
+    crediting score ties 0.5 (the standard convention). ``n_ties``
+    counts CROSS-CLASS tied score values — distinct scores carrying
+    both a positive and a negative — the only ties the 0.5 credit
+    actually touches.
 
     Same scale shape as ``mann_whitney_u``: midranks from the
     per-distinct-score aggregate (the cumulative window runs over
@@ -181,7 +184,11 @@ def auc_from_score_counts(per_val: DataFrame) -> DataFrame:
         F.sum(F.col("np").cast("double") * F.col("__midrank")).alias("__rp"),
         F.sum("np").alias("n_pos"),
         F.sum("nn").alias("n_neg"),
-        F.sum(F.when(cnt > 1, 1).otherwise(0)).alias("n_ties"),
+        # cross-class ties only (np > 0 AND nn > 0): within-class
+        # duplicate scores never touch the 0.5 midrank credit, so
+        # counting them overstated the ties that matter (r11 advice)
+        F.sum(F.when((F.col("np") > 0) & (F.col("nn") > 0), 1)
+              .otherwise(0)).alias("n_ties"),
     )
     npos = F.col("n_pos").cast("double")
     nneg = F.col("n_neg").cast("double")

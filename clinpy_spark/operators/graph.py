@@ -556,8 +556,12 @@ def jaccard_links(
 
     Same wedge enumeration and celebrity-cap contract as
     ``adamic_adar`` (the cap bounds the candidate fan-out, and common
-    counts through capped centers only); endpoint degrees for the
-    union term come from the full degree table via broadcast joins.
+    counts through capped centers only). For internal consistency the
+    union term uses the CAPPED neighborhood sizes too (|{w in N(x):
+    2 <= deg(w) <= cap}|), so the score is the exact Jaccard of the
+    capped neighborhoods rather than a capped numerator over full
+    denominators, which systematically understated pairs sharing
+    high-degree centers (r11 advice).
     """
     e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
     b = e.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
@@ -581,8 +585,13 @@ def jaccard_links(
     )
     scored = wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).alias("common_neighbors"))
-    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("dv"))
+    # capped neighborhood size per endpoint: how many of its neighbors
+    # are eligible centers — the denominator consistent with the
+    # capped common count (every scored endpoint has >= min_common
+    # such neighbors, so the inner joins below drop nothing)
+    cdeg = centers.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    du = cdeg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = cdeg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
     union_sz = (
         F.col("du") + F.col("dv") - F.col("common_neighbors")
     ).cast("double")

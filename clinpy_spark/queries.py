@@ -9127,97 +9127,74 @@ def gx_tdt_q(spark, sf):
     return tdt_test(tt, "variant", "gtf", "gtm", "gtc")
 
 
-@q("dx_logistic", """
-WITH grid AS (SELECT l_quantity AS x, CAST(count(*) AS BIGINT) AS n,
+def _logit_irls_sql(iterations: int) -> str:
+    """Chained-CTE replay of logistic_newton's unrolled IRLS recurrence
+    (operators/assoc.py): one CTE pair (score/information aggregate +
+    Newton update) per step, generated rather than hand-unrolled so the
+    oracle always matches the operator's default step count."""
+    step_agg = """ (SELECT b0, b1, sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1,
+              sum(n * pp * (1 - pp)) AS i00,
+              sum(x * n * pp * (1 - pp)) AS i01,
+              sum(x * x * n * pp * (1 - pp)) AS i11
+       FROM (SELECT x, n, p, b0, b1,
+                    1 / (1 + exp(-(b0 + b1 * x))) AS pp
+             FROM grid CROSS JOIN {prev})
+       GROUP BY b0, b1)"""
+    update = """ (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i{i})"""
+    ctes = ["""grid AS (SELECT l_quantity AS x, CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                        AS BIGINT) AS p
-              FROM lineitem GROUP BY l_quantity),
-b0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
-i1 AS (SELECT b0, b1, sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1,
-              sum(n * pp * (1 - pp)) AS i00,
-              sum(x * n * pp * (1 - pp)) AS i01,
-              sum(x * x * n * pp * (1 - pp)) AS i11
-       FROM (SELECT x, n, p, b0, b1,
-                    1 / (1 + exp(-(b0 + b1 * x))) AS pp
-             FROM grid CROSS JOIN b0)
-       GROUP BY b0, b1),
-b1c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
-              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
-               CASE WHEN i00 * i11 - i01 * i01 > 0
-              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
-        FROM i1),
-i2 AS (SELECT b0, b1, sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1,
-              sum(n * pp * (1 - pp)) AS i00,
-              sum(x * n * pp * (1 - pp)) AS i01,
-              sum(x * x * n * pp * (1 - pp)) AS i11
-       FROM (SELECT x, n, p, b0, b1,
-                    1 / (1 + exp(-(b0 + b1 * x))) AS pp
-             FROM grid CROSS JOIN b1c)
-       GROUP BY b0, b1),
-b2c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
-              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
-               CASE WHEN i00 * i11 - i01 * i01 > 0
-              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
-        FROM i2),
-i3 AS (SELECT b0, b1, sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1,
-              sum(n * pp * (1 - pp)) AS i00,
-              sum(x * n * pp * (1 - pp)) AS i01,
-              sum(x * x * n * pp * (1 - pp)) AS i11
-       FROM (SELECT x, n, p, b0, b1,
-                    1 / (1 + exp(-(b0 + b1 * x))) AS pp
-             FROM grid CROSS JOIN b2c)
-       GROUP BY b0, b1),
-b3c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
-              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
-               CASE WHEN i00 * i11 - i01 * i01 > 0
-              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
-        FROM i3),
-i4 AS (SELECT b0, b1, sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1,
-              sum(n * pp * (1 - pp)) AS i00,
-              sum(x * n * pp * (1 - pp)) AS i01,
-              sum(x * x * n * pp * (1 - pp)) AS i11
-       FROM (SELECT x, n, p, b0, b1,
-                    1 / (1 + exp(-(b0 + b1 * x))) AS pp
-             FROM grid CROSS JOIN b3c)
-       GROUP BY b0, b1),
-b4c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
-              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
-               CASE WHEN i00 * i11 - i01 * i01 > 0
-              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
-        FROM i4),
-fin AS (SELECT b0, b1,
+              FROM lineitem GROUP BY l_quantity)""",
+            "bc0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"]
+    prev = "bc0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"i{i} AS" + step_agg.format(prev=prev))
+        ctes.append(f"bc{i} AS" + update.format(i=i))
+        prev = f"bc{i}"
+    ctes.append(f"""fin AS (SELECT b0, b1,
                sum(n * pp * (1 - pp)) AS i00,
                sum(x * n * pp * (1 - pp)) AS i01,
                sum(x * x * n * pp * (1 - pp)) AS i11,
-               CAST(sum(n) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos
+               CAST(sum(n) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos,
+               sum(p - n * pp) AS u0, sum(x * (p - n * pp)) AS u1
         FROM (SELECT x, n, p, b0, b1,
                      1 / (1 + exp(-(b0 + b1 * x))) AS pp
-              FROM grid CROSS JOIN b4c)
-        GROUP BY b0, b1)
+              FROM grid CROSS JOIN {prev})
+        GROUP BY b0, b1)""")
+    return "WITH " + ",\n".join(ctes) + """
 SELECT CASE WHEN ok THEN round(b0, 6) END AS beta0,
        CASE WHEN ok THEN round(b1, 6) END AS beta1,
        CASE WHEN ok THEN round(sqrt(i00 / det), 6) END AS se1,
        CASE WHEN ok THEN round(b1 * b1 / (i00 / det), 6) END AS wald_chi2,
-       coalesce(n, 0) AS n, coalesce(n_pos, 0) AS n_pos
+       coalesce(n, 0) AS n, coalesce(n_pos, 0) AS n_pos,
+       CASE WHEN ok THEN round(sqrt(u0 * u0 + u1 * u1), 6) END AS score_norm
 FROM (SELECT *, i00 * i11 - i01 * i01 AS det,
              b0 IS NOT NULL AND b1 IS NOT NULL
              AND i00 * i11 - i01 * i01 > 0 AS ok
       FROM fin)
-""")
+"""
+
+
+@q("dx_logistic", _logit_irls_sql(8))
 def dx_logistic_q(spark, sf):
     # Logistic regression (operators/assoc.py logistic_newton): does
     # return probability rise with line-item quantity — log-odds per
-    # unit with Wald inference, by 4 unrolled IRLS steps over the
+    # unit with Wald inference, by 8 unrolled IRLS steps over the
     # 50-row per-quantity grid (the corpus is scanned ONCE into the
-    # grid; every iteration is grid-sized). The oracle replays the
-    # same 4 steps as chained CTEs.
+    # grid; every iteration is grid-sized; score_norm reports the
+    # final Newton score so under-convergence is visible — r11
+    # advice). The oracle replays the same generated CTE chain.
     from clinpy_spark.operators.assoc import logistic_newton
 
     li = _t(spark, sf, "lineitem").select(
         F.col("l_quantity").alias("x"),
         (F.col("l_returnflag") == "R").cast("int").alias("y"),
     )
-    return logistic_newton(li, "x", "y", iterations=4)
+    return logistic_newton(li, "x", "y")
 
 
 @q("dx_fisher_exact", f"""
@@ -10169,8 +10146,9 @@ wed AS (SELECT x.n AS u, y.n AS v
         FROM c x JOIN c y ON x.w = y.w AND x.n < y.n),
 sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors
        FROM wed GROUP BY u, v HAVING count(*) >= 2),
+cdeg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM c GROUP BY n),
 nj AS (SELECT sc.u, sc.v, sc.common_neighbors, du.deg AS du, dv.deg AS dv
-       FROM sc JOIN deg du ON du.w = sc.u JOIN deg dv ON dv.w = sc.v
+       FROM sc JOIN cdeg du ON du.n = sc.u JOIN cdeg dv ON dv.n = sc.v
        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v))
 SELECT u AS x, v AS y, common_neighbors,
        round(common_neighbors
@@ -10181,7 +10159,8 @@ def graph_jaccard_links_q(spark, sf):
     # Jaccard link prediction on the co-purchase graph
     # (operators/graph.py jaccard_links): the degree-normalized
     # sibling of graph_adamic_adar — same celebrity-capped wedge
-    # enumeration, endpoint degrees joined for the union term.
+    # enumeration; union term = capped neighborhood sizes, so the
+    # score is the exact Jaccard of the capped neighborhoods.
     from clinpy_spark.operators.graph import jaccard_links
 
     return jaccard_links(
@@ -10490,7 +10469,8 @@ r AS (SELECT np, nn,
 a AS (SELECT sum(CAST(np AS DOUBLE) * (bef + (c + 1) / 2)) AS rp,
              CAST(sum(np) AS BIGINT) AS n_pos,
              CAST(sum(nn) AS BIGINT) AS n_neg,
-             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+             CAST(sum(CASE WHEN np > 0 AND nn > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ties
       FROM r)
 SELECT CASE WHEN n_pos > 0 AND n_neg > 0
             THEN round((rp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
@@ -10936,7 +10916,8 @@ r AS (SELECT np, nn,
 a AS (SELECT sum(CAST(np AS DOUBLE) * (bef + (c + 1) / 2)) AS rp,
              CAST(sum(np) AS BIGINT) AS n_pos,
              CAST(sum(nn) AS BIGINT) AS n_neg,
-             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+             CAST(sum(CASE WHEN np > 0 AND nn > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ties
       FROM r)
 SELECT CASE WHEN n_pos > 0 AND n_neg > 0
             THEN round((rp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
@@ -10978,10 +10959,13 @@ def gx_prs_auc_q(spark, sf):
 WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
                   CAST(count(*) AS BIGINT) AS x
            FROM events GROUP BY user_id, CAST(ts AS DATE)),
-m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+m AS (SELECT user_id,
+             CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+               AS n_days,
+             CAST(count(*) AS BIGINT) AS n_active_days,
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
       FROM d GROUP BY user_id)
-SELECT user_id, n_days,
+SELECT user_id, n_days, n_active_days,
        round(CAST(sx AS DOUBLE) / n_days, 6) AS mean_daily,
        CASE WHEN n_days > 1 AND sx > 0
             THEN round(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
@@ -10994,13 +10978,19 @@ def e_dispersion_q(spark, sf):
     # Per-user burstiness (Fano factor = daily-count variance over
     # mean): fano >> 1 = bursty sessions, ~1 = Poisson-like, < 1 =
     # metronomic (bots) — the dispersion profile behind e_gaps_islands'
-    # streak view. Exact integer moments; one per-(user, day) and one
-    # per-user aggregate.
+    # streak view. The series is DENSIFIED over each user's min..max
+    # day span (r11 advice: conditioning on active days biased the
+    # dispersion vs the fixed-window Fano the bots-vs-bursts reading
+    # assumes) — zero days contribute nothing to sum(x)/sum(x^2), so
+    # densification is pure arithmetic on the span length: no row
+    # generation, still one per-(user, day) and one per-user aggregate.
     ev = _t(spark, sf, "events")
     d = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("x"))
     m = d.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_days"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).cast("long")
+        .alias("n_days"),
+        F.count(F.lit(1)).alias("n_active_days"),
         F.sum("x").alias("sx"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
@@ -11009,7 +10999,7 @@ def e_dispersion_q(spark, sf):
     var = (F.col("sxx").cast("double") - sx * sx / nd) / (nd - 1)
     mean = sx / nd
     return m.select(
-        "user_id", "n_days",
+        "user_id", "n_days", "n_active_days",
         F.round(mean, 6).alias("mean_daily"),
         F.when((F.col("n_days") > 1) & (F.col("sx") > 0),
                F.round(var / mean, 6)).alias("fano"),

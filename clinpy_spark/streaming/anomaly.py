@@ -169,17 +169,18 @@ def stream_period_counts(
     regardless of stream volume."""
     import os
 
-    from clinpy_spark.streaming.fold import fold_partials
+    from clinpy_spark.streaming.fold import fold_partials, lineage_token
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__cusum_checkpoint__"
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         part = period_counts_partial(batch, ts_col)
         fold_partials(catalog, name, part, batch_id,
-                      keys=["__p"], counters=["n"])
-
-    checkpoint = checkpoint or os.path.join(
-        catalog.project_dir, name).rstrip("/") + ".__cusum_checkpoint__"
+                      keys=["__p"], counters=["n"],
+                      run_id=lineage_token(checkpoint))
     w = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint)
     if available_now:

@@ -4,23 +4,62 @@ foreachBatch is AT-LEAST-ONCE: a batch replayed after a failure (before
 its checkpoint offset commits) would double-add its counts into a
 read-modify-overwrite state table. The fix (r10 advice) is the standard
 one: stamp the state table with the id of the last folded batch —
-foreachBatch ids are monotonically increasing per checkpoint and a
-replay REUSES the failed id, so ``batch_id <= stamped`` identifies every
-replay exactly and the merge becomes effectively-once.
+foreachBatch ids are monotonically increasing PER CHECKPOINT LINEAGE
+and a replay REUSES the failed id, so ``batch_id <= stamped``
+identifies every replay exactly and the merge becomes effectively-once.
 
-The stamp rides as a constant ``__bid`` column on the state table (the
-table is tiny by construction — a bin grid, a time grid, a quantized
-value domain — so one long per row is noise); readers that select their
-columns by name never see it.
+The r11 verdict found the inverse hazard in that rule: batch ids
+restart at 0 under a NEW checkpoint dir, so a stream resumed with a
+fresh checkpoint against an EXISTING state table had its early batches
+misclassified as replays and silently dropped. The stamp is therefore
+now the PAIR ``(run_id, batch_id)``: ``run_id`` identifies the
+checkpoint lineage (:func:`lineage_token` — the streaming query id
+Spark persists in ``<checkpoint>/metadata``, which survives driver
+restarts on the same dir and changes when the dir is new or wiped), and
+``batch_id <= stamped`` is treated as a replay ONLY when the lineage
+matches; a changed lineage folds from its batch 0.
+
+Both stamps ride as constant ``__bid`` / ``__rid`` columns on the
+state table (the table is tiny by construction — a bin grid, a time
+grid, a quantized value domain — so two stamp columns per row are
+noise); readers that select their columns by name never see them.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: state-table column carrying the last-folded foreachBatch id.
 BATCH_ID_COL = "__bid"
+#: state-table column carrying the checkpoint-lineage token that
+#: produced the last-folded batch id.
+RUN_ID_COL = "__rid"
+
+
+def lineage_token(checkpoint: str) -> str:
+    """Stable identity of a checkpoint lineage.
+
+    Spark writes the streaming query's id to ``<checkpoint>/metadata``
+    at stream start (before batch 0 executes); the id is stable across
+    driver restarts on the SAME checkpoint dir and fresh for a new or
+    wiped dir — exactly the lineage within which foreachBatch ids are
+    monotonic. Falls back to a path hash when the metadata file is not
+    readable (e.g. a unit test folding without a real stream).
+    """
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as fh:
+            qid = json.load(fh).get("id")
+        if qid:
+            return str(qid)
+    except (OSError, ValueError):
+        pass
+    return hashlib.sha1(
+        os.path.abspath(checkpoint).encode("utf-8")).hexdigest()[:16]
 
 
 def fold_partials(
@@ -30,24 +69,43 @@ def fold_partials(
     batch_id: int,
     keys: list[str],
     counters: list[str],
+    run_id: str | None = None,
 ) -> None:
     """Merge one micro-batch's additive ``part`` (keys + counter
     columns) into the persisted ``name`` table, summing ``counters``
-    per ``keys`` — skipping the merge entirely when ``batch_id`` was
-    already folded (replay after a pre-commit failure)."""
+    per ``keys``.
+
+    ``run_id`` names the checkpoint lineage (pass
+    ``lineage_token(checkpoint)``). A batch is skipped as a replay only
+    when ``batch_id <= stamped`` AND the stamped lineage matches; a new
+    lineage (fresh checkpoint dir) folds from its batch 0 instead of
+    being dropped. With ``run_id=None`` (legacy callers) the batch-id
+    rule alone applies — correct within one lineage, WRONG across a
+    checkpoint reset; all production stream wrappers pass the token.
+    """
+    rid = "" if run_id is None else run_id
     if not catalog.exists(name):
-        catalog.write(part.withColumn(BATCH_ID_COL, F.lit(batch_id)), name)
+        catalog.write(
+            part.withColumn(BATCH_ID_COL, F.lit(batch_id))
+                .withColumn(RUN_ID_COL, F.lit(rid)),
+            name)
         return
     state = catalog.table(name)
     if BATCH_ID_COL in state.columns:
-        last = state.agg(F.max(BATCH_ID_COL).alias("b")).collect()[0].b
-        if last is not None and batch_id <= last:
-            return  # replayed batch: already folded
-        state = state.drop(BATCH_ID_COL)
+        row = state.agg(
+            F.max(BATCH_ID_COL).alias("b"),
+            F.max(RUN_ID_COL).alias("r")
+            if RUN_ID_COL in state.columns else F.lit(None).alias("r"),
+        ).collect()[0]
+        same_lineage = run_id is None or row.r is None or row.r == rid
+        if row.b is not None and batch_id <= row.b and same_lineage:
+            return  # replayed batch within this lineage: already folded
+        state = state.drop(BATCH_ID_COL, RUN_ID_COL)
     merged = (
         state.unionByName(part)
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in counters])
         .withColumn(BATCH_ID_COL, F.lit(batch_id))
+        .withColumn(RUN_ID_COL, F.lit(rid))
     )
     catalog.overwrite_staged(merged, name)

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clinpy_spark.streaming.fold import fold_partials
+from clinpy_spark.streaming.fold import fold_partials, lineage_token
 
 
 def glm_grid_partial(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
@@ -56,15 +56,16 @@ def stream_glm_grid(
     persisted ``name`` table (addition-merge keyed by __x, idempotent
     via the batch-id stamp). Read the live fit with
     :func:`finalize_logistic` / :func:`finalize_poisson`."""
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__glm_checkpoint__"
+
     def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         part = glm_grid_partial(batch, x_col, y_col)
         fold_partials(catalog, name, part, batch_id,
-                      keys=["__x"], counters=["n", "sy"])
-
-    checkpoint = checkpoint or os.path.join(
-        catalog.project_dir, name).rstrip("/") + ".__glm_checkpoint__"
+                      keys=["__x"], counters=["n", "sy"],
+                      run_id=lineage_token(checkpoint))
     w = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint)
     if available_now:
@@ -72,7 +73,7 @@ def stream_glm_grid(
     return w.start()
 
 
-def finalize_logistic(grid: DataFrame, iterations: int = 4) -> DataFrame:
+def finalize_logistic(grid: DataFrame, iterations: int = 8) -> DataFrame:
     """Logistic MLE over the maintained (__x, n, sy) grid — identical
     to the batch ``logistic_newton`` over the same data (twin test);
     sy must be the count of positive outcomes (y in {0, 1})."""

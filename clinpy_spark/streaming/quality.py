@@ -149,17 +149,18 @@ def stream_score_counts(
     monitoring without rescanning scored history."""
     import os
 
-    from clinpy_spark.streaming.fold import fold_partials
+    from clinpy_spark.streaming.fold import fold_partials, lineage_token
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__auc_checkpoint__"
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         part = score_label_counts_partial(batch, score_col, label_col)
         fold_partials(catalog, name, part, batch_id,
-                      keys=["__s"], counters=["np", "nn"])
-
-    checkpoint = checkpoint or os.path.join(
-        catalog.project_dir, name).rstrip("/") + ".__auc_checkpoint__"
+                      keys=["__s"], counters=["np", "nn"],
+                      run_id=lineage_token(checkpoint))
     w = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint)
     if available_now:

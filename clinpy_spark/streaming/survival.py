@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from clinpy_spark.operators.survival import _per_time, km_from_per_time
-from clinpy_spark.streaming.fold import fold_partials
+from clinpy_spark.streaming.fold import fold_partials, lineage_token
 
 
 def km_partials(
@@ -54,15 +54,16 @@ def stream_km_partials(
     """Fold each micro-batch's KM partials into the persisted ``name``
     table (addition-merge keyed by (__g, __t)). Read the live curve
     with ``km_read(catalog.table(name), time_col, group_col)``."""
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__km_checkpoint__"
+
     def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         part = km_partials(batch, time_col, event_col, group_col)
         fold_partials(catalog, name, part, batch_id,
-                      keys=["__g", "__t"], counters=["d", "c"])
-
-    checkpoint = checkpoint or os.path.join(
-        catalog.project_dir, name).rstrip("/") + ".__km_checkpoint__"
+                      keys=["__g", "__t"], counters=["d", "c"],
+                      run_id=lineage_token(checkpoint))
     w = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint)
     if available_now:

@@ -1184,6 +1184,26 @@ def test_variants_sfs_and_fisher_exact(spark, project):
         assert 0 <= p <= 1 and math.isfinite(p)
 
 
+def test_variants_fisher_exact_inconsistent_margins_raise(spark, project):
+    """r11 advice: a carrier count exceeding its phenotype margin
+    (cohort_size too small for the named cases) must raise a clear
+    error, not feed a negative cell into the hypergeometric support."""
+    import pytest
+
+    catalog, _ = project
+    v = Variants(catalog)
+    vid = catalog.table("variants").filter(
+        (F.col("chrom") == "chr1") & (F.col("pos") == 150)
+    ).collect()[0].variant_id
+    # n_case=0 (forced) while s1/s2 carry the variant -> a > n_case
+    with pytest.raises(Exception, match="exceeds n_case"):
+        v.fisher_exact(vid, ["s1", "s2"], cohort_size=3,
+                       n_case=0).collect()
+    with pytest.raises(Exception, match="exceeds n_case"):
+        v.fisher_exact_scan(["s1", "s2"], cohort_size=3,
+                            n_case=0).collect()
+
+
 def test_variants_fisher_exact_scan_consistent_with_single(spark, project):
     """The per-variant exact scan reproduces the single-variant form
     for every variant in the store."""

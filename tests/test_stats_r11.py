@@ -513,6 +513,27 @@ def test_jaccard_links_square_diagonals(spark):
     assert all(abs(r.jaccard - 1.0) < 1e-9 for r in out.values())
 
 
+def test_jaccard_links_capped_neighborhood_consistent(spark):
+    """r11 advice: the union denominator uses CAPPED neighborhood
+    sizes, so the score is the exact Jaccard of the capped graph — a
+    celebrity center (degree > cap) drops out of BOTH terms instead of
+    deflating the score of pairs that share it."""
+    from clinpy_spark.operators.graph import jaccard_links
+
+    # nodes 1,2 share eligible centers 3,4 (deg 2) and celebrity 5
+    # (deg 5 > cap=2); capped N(1)=N(2)={3,4} -> jaccard = 2/(2+2-2)=1
+    edges = spark.createDataFrame(
+        [Row(u=1, v=3), Row(u=1, v=4), Row(u=1, v=5),
+         Row(u=2, v=3), Row(u=2, v=4), Row(u=2, v=5),
+         Row(u=5, v=6), Row(u=5, v=7), Row(u=5, v=8)])
+    out = {(r.x, r.y): r for r in
+           jaccard_links(edges, "u", "v", max_center_degree=2,
+                         min_common=2).collect()}
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)].jaccard - 1.0) < 1e-9
+    assert out[(1, 2)].common_neighbors == 2
+
+
 def test_streaming_ad_matches_batch(spark, tmp_path):
     """The maintained per-value count tables (KS fold state) serve the
     AD readout: folded-stream AD == batch anderson_darling_2sample."""
@@ -690,6 +711,12 @@ def test_roc_auc_known_values(spark):
     tied = [Row(s=1.0, y=1)] * 3 + [Row(s=1.0, y=0)] * 3
     out = roc_auc(spark.createDataFrame(tied), "s", "y").collect()[0]
     assert out.auc == 0.5 and out.n_ties == 1
+    # within-class duplicate scores never touch the midrank credit ->
+    # NOT counted as ties (r11 advice: cross-class ties only)
+    wdup = ([Row(s=2.0, y=1)] * 4 + [Row(s=1.0, y=0)] * 4
+            + [Row(s=3.0, y=1), Row(s=3.0, y=0)])
+    out = roc_auc(spark.createDataFrame(wdup), "s", "y").collect()[0]
+    assert out.n_ties == 1  # only s=3.0 carries both classes
     # hand-computed mixed case: pos {3,1}, neg {2,0} -> pairs won 3/4
     mixed = [Row(s=3.0, y=1), Row(s=1.0, y=1), Row(s=2.0, y=0), Row(s=0.0, y=0)]
     assert abs(roc_auc(

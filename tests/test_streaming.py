@@ -864,6 +864,86 @@ def test_fold_partials_replay_is_idempotent(spark, tmp_path):
     assert got == {"x": 5, "y": 1}
 
 
+def test_fold_partials_new_lineage_folds_from_batch_zero(spark, tmp_path):
+    """r11 verdict #1: foreachBatch ids restart at 0 under a NEW
+    checkpoint dir, so the replay rule must be lineage-scoped — a
+    resumed stream's early batches fold; only same-lineage replays
+    skip."""
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.fold import fold_partials
+
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    p0 = spark.createDataFrame([("x", 3), ("y", 1)], "k string, n long")
+    p1 = spark.createDataFrame([("x", 2)], "k string, n long")
+
+    # run A folds batches 0 and 1 (with a replay of each, skipped)
+    fold_partials(cat, "state", p0, 0, keys=["k"], counters=["n"], run_id="A")
+    fold_partials(cat, "state", p0, 0, keys=["k"], counters=["n"], run_id="A")
+    fold_partials(cat, "state", p1, 1, keys=["k"], counters=["n"], run_id="A")
+    fold_partials(cat, "state", p1, 1, keys=["k"], counters=["n"], run_id="A")
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 5, "y": 1}
+
+    # the stream restarts with a FRESH checkpoint: batch ids restart at
+    # 0 under lineage B — these are NEW batches and must NOT be dropped
+    fold_partials(cat, "state", p0, 0, keys=["k"], counters=["n"], run_id="B")
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 8, "y": 2}
+    # ... while a replay WITHIN lineage B still skips
+    fold_partials(cat, "state", p0, 0, keys=["k"], counters=["n"], run_id="B")
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 8, "y": 2}
+    fold_partials(cat, "state", p1, 1, keys=["k"], counters=["n"], run_id="B")
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 10, "y": 2}
+
+
+def test_stream_restart_new_checkpoint_folds_resumed_batches(spark, tmp_path):
+    """End-to-end r11 verdict #1 'done' criterion: fold 2 micro-batches,
+    restart the stream with a NEW checkpoint dir into the SAME state
+    table, and assert the resumed batches are NOT dropped (batch id 0
+    of the new lineage used to be misclassified as a replay)."""
+    import json as _json
+
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.survival import km_read, stream_km_partials
+
+    b1 = [("a", 1, 1), ("a", 2, 1)]
+    b2 = [("a", 2, 1), ("a", 3, 0)]
+    b3 = [("a", 2, 1), ("b", 2, 1)]  # arrives after the restart
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    schema = "grp string, t long, evt int"
+
+    def _write(src, i, rows):
+        with open(src / f"part-{i}.json", "w") as fh:
+            for g, t, e in rows:
+                fh.write(_json.dumps({"grp": g, "t": t, "evt": e}) + "\n")
+
+    src1 = tmp_path / "cohort1"
+    src1.mkdir()
+    _write(src1, 0, b1)
+    _write(src1, 1, b2)
+    s1 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src1)))
+    stream_km_partials(s1, cat, "km_grid", "t", "evt", "grp",
+                       checkpoint=str(tmp_path / "ck1")).awaitTermination(120)
+
+    # resume with a FRESH checkpoint dir (new lineage, batch ids restart
+    # at 0) over the late-arriving file, into the SAME state table
+    src2 = tmp_path / "cohort2"
+    src2.mkdir()
+    _write(src2, 0, b3)
+    s2 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src2)))
+    stream_km_partials(s2, cat, "km_grid", "t", "evt", "grp",
+                       checkpoint=str(tmp_path / "ck2")).awaitTermination(120)
+
+    got = {(r.grp, r.t): r.n_events
+           for r in km_read(cat.table("km_grid"), "t", "grp").collect()}
+    assert got[("a", 2)] == 3           # b1 + b2 + resumed b3 all folded
+    assert got[("b", 2)] == 1           # the resumed lineage's new group
+
+
 def test_streaming_zscore_matches_batch_expanding_window(spark, tmp_path):
     """Stateful anomaly twin: cross-batch per-key (n, sum, sumsq)
     moments; flags must match the batch expanding-window z-score on
