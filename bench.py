@@ -115,6 +115,18 @@ def main() -> None:
         timings[name] = min(runs[1:])
         print(f"# {name}: {timings[name]}s warm / {cold[name]}s cold ({n} rows)", file=sys.stderr)
 
+    # Fresh JVM per tier (r11 verdict #2): the r11 sidecar still showed
+    # 3-10x in-session inflation on late ANN/dedup queries even after
+    # the r10 GC hygiene (text_fuzzy_decontaminate 23.8s in-session vs
+    # 6.1s standalone) — accumulated driver-pinned checkpoint blocks
+    # and codegen-cache pressure from the 15 headline queries x 4 runs
+    # leak into tier2's single warm run. A ~5s restart buys numbers
+    # comparable to standalone steady state.
+    spark.catalog.clearCache()
+    spark.stop()
+    spark = get_spark("clinpy-spark-bench-tier2")
+    spark.range(1).count()
+
     tier2: dict[str, float] = {}
     for name in TIER2:
         runs = []
@@ -155,8 +167,18 @@ def main() -> None:
         # acts on driver GC) measurably degrades the late GEMM-heavy
         # queries (sim_topk_pq observed 29s at position ~150 vs 1.7s
         # steady-state standalone). A driver GC every 25 queries lets
-        # the cleaner release executor-side blocks between timings.
-        if done and done % 25 == 0:
+        # the cleaner release executor-side blocks between timings, and
+        # a FULL JVM restart every 60 (r11 verdict #2: GC alone reduced
+        # but did not eliminate late-session degradation — sim_topk_pq
+        # still recorded 20.4s vs 2.16s standalone) resets codegen
+        # caches and pinned blocks outright; the ~5s restart is not
+        # attributed to any query's timing.
+        if done and done % 60 == 0:
+            spark.catalog.clearCache()
+            spark.stop()
+            spark = get_spark(f"clinpy-spark-bench-tier3-{done // 60}")
+            spark.range(1).count()
+        elif done and done % 25 == 0:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         t0 = time.time()

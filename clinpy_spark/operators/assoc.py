@@ -1472,6 +1472,139 @@ def logistic_newton_from_grid(
     )
 
 
+def logistic_newton_multi(
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    iterations: int = 4,
+) -> DataFrame:
+    """Logistic regression MLE for d BOUNDED-cardinality covariates
+    (1 <= d <= 8) plus intercept — the multi-covariate rung above
+    :func:`logistic_newton` (r11 verdict #4): adjust for age + sex +
+    PCs simultaneously instead of one covariate at a time. 1 row
+    (beta0, beta1..betad, se1..sed, wald_chi2_1..d, n, n_pos,
+    score_norm).
+
+    Scale shape: the cohort collapses ONCE to the per-joint-covariate
+    grid (x1..xd, n, pos) — the joint cardinality must be bounded (an
+    age band x sex x dosage cross, a few thousand cells at most; this
+    is the d-dimensional generalization of the single-covariate grid
+    contract). Each Newton/IRLS step is then ONE grid-sized aggregate
+    producing the (d+1)-vector score U = X'(y - np) and the
+    (d+1)(d+2)/2 upper-triangle moments of the information
+    X'WX (W = diag(n p (1-p))) as a single 1-row collect, followed by
+    a driver-side (d+1)x(d+1) ``numpy.linalg.solve`` — the classic
+    distributed-IRLS factoring (moments distributed, tiny solve local;
+    the collect is bounded at d(d+3)/2+1 doubles per step, never
+    cohort-sized). The next step re-enters the plan as literal
+    coefficients, so the grid is scanned ``iterations``+1 times total,
+    never the cohort.
+
+    NULL coefficients on a singular information matrix (collinear or
+    constant covariates, empty input, separation). ``score_norm`` is
+    the final ||U|| (~0 at convergence — raise ``iterations`` if not;
+    the default 4 suits the well-conditioned grids the oracle
+    exercises, matching the DuckDB replay's step count). For d <= 2
+    the recurrence is SQL-expressible via Cramer's rule, which is how
+    the ``dx_logistic_multi`` oracle replays it; LAPACK-vs-Cramer
+    drift is ~1e-14 per step, invisible at the round-6 contract.
+    """
+    import numpy as np
+
+    d = len(x_cols)
+    if not 1 <= d <= 8:
+        raise ValueError(f"logistic_newton_multi supports 1..8 covariates, got {d}")
+    xs = [f"__x{i}" for i in range(1, d + 1)]
+    lab = F.col(y_col).cast("int")
+    keep = lab.isNotNull()
+    for c in x_cols:
+        keep = keep & F.col(c).isNotNull()
+    grid = (
+        df.filter(keep)
+        .select(
+            *[F.col(c).cast("double").alias(x) for c, x in zip(x_cols, xs)],
+            lab.alias("__y"),
+        )
+        .groupBy(*xs)
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__p"))
+        .localCheckpoint(eager=False)
+    )
+    spark = df.sparkSession
+
+    def moments(beta):
+        """One grid-sized aggregate -> (U, I, n, pos) at ``beta``."""
+        eta = F.lit(float(beta[0]))
+        for i, x in enumerate(xs):
+            eta = eta + F.lit(float(beta[i + 1])) * F.col(x)
+        p = 1 / (1 + F.exp(-eta))
+        w = F.col("__n") * p * (1 - p)
+        r = F.col("__p") - F.col("__n") * p
+        terms = [F.col(x) for x in xs]
+        xall = [F.lit(1.0)] + terms
+        aggs = [F.sum(xall[a] * r).alias(f"u{a}") for a in range(d + 1)]
+        aggs += [
+            F.sum(xall[a] * xall[b] * w).alias(f"i{a}{b}")
+            for a in range(d + 1) for b in range(a, d + 1)
+        ]
+        aggs += [F.sum("__n").alias("n"), F.sum("__p").alias("pos")]
+        row = grid.agg(*aggs).collect()[0]
+        if row["n"] is None:
+            return None, None, 0, 0
+        u = np.array([row[f"u{a}"] for a in range(d + 1)])
+        info = np.zeros((d + 1, d + 1))
+        for a in range(d + 1):
+            for b in range(a, d + 1):
+                info[a, b] = info[b, a] = row[f"i{a}{b}"]
+        return u, info, int(row["n"]), int(row["pos"])
+
+    def null_result():
+        cols = [F.lit(None).cast("double").alias("beta0")]
+        cols += [F.lit(None).cast("double").alias(f"beta{i}")
+                 for i in range(1, d + 1)]
+        cols += [F.lit(None).cast("double").alias(f"se{i}")
+                 for i in range(1, d + 1)]
+        cols += [F.lit(None).cast("double").alias(f"wald_chi2_{i}")
+                 for i in range(1, d + 1)]
+        cols += [F.lit(n_obs).cast("long").alias("n"),
+                 F.lit(n_pos).cast("long").alias("n_pos"),
+                 F.lit(None).cast("double").alias("score_norm")]
+        return spark.range(1).select(*cols)
+
+    beta = np.zeros(d + 1)
+    n_obs = n_pos = 0
+    for _ in range(iterations):
+        u, info, n_obs, n_pos = moments(beta)
+        if u is None:
+            return null_result()
+        try:
+            # solve X'WX delta = U; reject non-PD information the same
+            # way the 2x2 closed form rejects det <= 0
+            if np.linalg.det(info) <= 0:
+                return null_result()
+            beta = beta + np.linalg.solve(info, u)
+        except np.linalg.LinAlgError:
+            return null_result()
+    u, info, n_obs, n_pos = moments(beta)
+    if u is None or np.linalg.det(info) <= 0:
+        return null_result()
+    cov = np.linalg.inv(info)
+    score_norm = float(np.sqrt(np.dot(u, u)))
+
+    def r6(x):
+        return round(float(x), 6) + 0.0  # +0.0 folds -0.0 to 0.0
+
+    cols = [F.lit(r6(beta[0])).alias("beta0")]
+    cols += [F.lit(r6(beta[i])).alias(f"beta{i}") for i in range(1, d + 1)]
+    cols += [F.lit(r6(np.sqrt(cov[i, i]))).alias(f"se{i}")
+             for i in range(1, d + 1)]
+    cols += [F.lit(r6(beta[i] * beta[i] / cov[i, i])).alias(f"wald_chi2_{i}")
+             for i in range(1, d + 1)]
+    cols += [F.lit(n_obs).cast("long").alias("n"),
+             F.lit(n_pos).cast("long").alias("n_pos"),
+             F.lit(r6(score_norm)).alias("score_norm")]
+    return spark.range(1).select(*cols)
+
+
 def fisher_exact_2x2(
     df: DataFrame,
     exposed_col: str,

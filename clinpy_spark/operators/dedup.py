@@ -955,6 +955,42 @@ def containment_pairs(
     )
 
 
+def apply_containment_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup action for :func:`containment_pairs` output — keep the
+    NON-DOMINATED documents (r11 verdict #6: containment is
+    directional, so the composition is keep-LONGEST, not the keep-min
+    components of :func:`apply_near_dedup`).
+
+    A document is dropped iff some pair shows it contained in a
+    STRICTLY LONGER document (more distinct shingles; equal sizes
+    tie-break to the smaller id so mutual containment keeps exactly
+    one). The rule needs no component iteration: on a quote chain
+    a ⊂ b ⊂ c both a and b are dominated and only the maximal c
+    survives — the kept set is exactly the maximal elements of the
+    dominance relation, which is what quote/boilerplate subsumption
+    wants (each dropped doc names a kept-or-longer superset carrying
+    its content).
+
+    Scale shape: one distinct projection of the pair table (already
+    candidate-sized, never corpus-sized) anti-joined against the
+    corpus — no window, no loop.
+    """
+    losers = (
+        pairs.filter(
+            (F.col("size_b") > F.col("size_a"))
+            | ((F.col("size_b") == F.col("size_a"))
+               & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("__loser"))
+        .distinct()
+    )
+    return df.join(losers, df[id_col] == F.col("__loser"), "left_anti")
+
+
 def lsh_plan(
     spark,
     num_hashes: int = 64,

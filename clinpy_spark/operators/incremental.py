@@ -75,16 +75,46 @@ def finalize(state: DataFrame, value_cols: list[str]) -> DataFrame:
 
 
 def refresh_stats(catalog, name: str, batch: DataFrame, keys: list[str],
-                  value_cols: list[str]) -> None:
+                  value_cols: list[str], batch_id: int | None = None,
+                  run_id: str | None = None) -> None:
     """Fold one appended batch into the persisted stats table ``name``.
 
     Reads |keys| state rows, aggregates only the batch, writes the
     merged state back via the staged atomic swap (the state is derived
     from itself — same crash-safety contract as point updates). Cost is
-    O(|batch| + |keys|) per refresh, independent of corpus size."""
+    O(|batch| + |keys|) per refresh, independent of corpus size.
+
+    When called from a streaming foreachBatch (at-least-once), pass
+    ``batch_id`` and the checkpoint's ``run_id``
+    (:func:`clinpy_spark.streaming.fold.lineage_token`): replays
+    within the same lineage are skipped and a fresh-checkpoint restart
+    folds from its batch 0 — the same (run_id, batch_id) stamp
+    contract as ``fold_partials``."""
+    from pyspark.sql import functions as F
+
+    from clinpy_spark.streaming.fold import BATCH_ID_COL, RUN_ID_COL
+
     parts = partial_aggregate(batch, keys, value_cols)
+    rid = "" if run_id is None else run_id
     if catalog.exists(name):
-        merged = merge_partials(catalog.table(name), parts, keys, value_cols)
+        state = catalog.table(name)
+        if batch_id is not None and BATCH_ID_COL in state.columns:
+            row = state.agg(
+                F.max(BATCH_ID_COL).alias("b"),
+                F.max(RUN_ID_COL).alias("r")
+                if RUN_ID_COL in state.columns else F.lit(None).alias("r"),
+            ).collect()[0]
+            same = run_id is None or row.r is None or row.r == rid
+            if row.b is not None and batch_id <= row.b and same:
+                return  # replayed batch within this lineage
+        state = state.drop(BATCH_ID_COL, RUN_ID_COL)
+        merged = merge_partials(state, parts, keys, value_cols)
+        if batch_id is not None:
+            merged = (merged.withColumn(BATCH_ID_COL, F.lit(batch_id))
+                      .withColumn(RUN_ID_COL, F.lit(rid)))
         catalog.overwrite_staged(merged, name)
     else:
+        if batch_id is not None:
+            parts = (parts.withColumn(BATCH_ID_COL, F.lit(batch_id))
+                     .withColumn(RUN_ID_COL, F.lit(rid)))
         catalog.write(parts, name)

@@ -264,10 +264,21 @@ def fit_centroids(
             members = x[assign == ci]
             if len(members):
                 ctrs[ci] = members.mean(axis=0)
-    return c.sparkSession.createDataFrame(
-        [(i, [float(v) for v in ctr]) for i, ctr in enumerate(ctrs)],
-        "cell int, __ctr array<double>",
-    )
+    # Emit the centroid table as LITERAL rows (inline over range(1)),
+    # not createDataFrame: a driver list renders as `Scan ExistingRDD`,
+    # which the plan audit can no longer trust as constant-row (r11
+    # verdict #5) — the literal form renders Generate-over-Range, a
+    # PROVABLY bounded subtree, so every BNLJ against the broadcast
+    # centroid table carries its own boundedness proof in the plan.
+    structs = [
+        F.struct(
+            F.lit(i).cast("int").alias("cell"),
+            F.array(*[F.lit(float(v)) for v in ctr])
+            .cast("array<double>").alias("__ctr"),
+        )
+        for i, ctr in enumerate(ctrs)
+    ]
+    return c.sparkSession.range(1).select(F.inline(F.array(*structs)))
 
 
 def _nearest_cells(df: DataFrame, cents: DataFrame, id_name: str, vec_name: str,

@@ -985,6 +985,181 @@ def cox_newton(
     )
 
 
+def cox_newton_multi(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_cols: list[str],
+    iterations: int = 4,
+) -> DataFrame:
+    """Cox proportional-hazards MLE for d BOUNDED-cardinality
+    covariates (1 <= d <= 8) by ``iterations`` Newton-Raphson steps on
+    the Breslow partial likelihood — the multi-covariate rung above
+    :func:`cox_newton` (r11 verdict #4): the hazard ratio for the
+    treatment arm ADJUSTED for age band / sex / stage simultaneously.
+    1 row (beta1..betad, hr1..hrd, se1..sed, wald_chi2_1..d, n_events,
+    n_subjects, score_norm).
+
+    Scale shape: subjects collapse to the per-(event-time, covariate-
+    cell) grid — cells are the joint covariate values (bounded by
+    contract, e.g. 2^d for d binaries), and per-cell at-risk counts
+    come from one cumulative-leavers window per cell over the bounded
+    (times x cells) frame, the d-dimensional generalization of
+    ``_binary_event_grid``'s total-minus-prefix trick. Every risk-set
+    exponential moment is then a grid row sum:
+        S0(t)    = sum_c n_c(t) e^{x_c . b}
+        S1_a(t)  = sum_c n_c(t) x_ca e^{x_c . b}
+        S2_ab(t) = sum_c n_c(t) x_ca x_cb e^{x_c . b}
+        U_a   = sum_t [da(t) - d(t) S1_a/S0]
+        I_ab  = sum_t d(t) [S2_ab/S0 - (S1_a/S0)(S1_b/S0)]
+    so each Newton step is ONE grid-sized aggregate collected as a
+    single bounded row (d + d(d+1)/2 doubles) and a driver-side dxd
+    ``numpy.linalg.solve`` — the same distributed-moments/local-solve
+    factoring as ``logistic_newton_multi``; the cohort itself is
+    scanned once, never per-iteration. NULL on singular information
+    (collinear/constant covariates, no events). ``score_norm`` is the
+    final ||U||. For d = 2 the recurrence is SQL-expressible via
+    Cramer's rule — how the ``surv_cox_multi`` oracle replays it.
+    """
+    import numpy as np
+
+    d = len(x_cols)
+    if not 1 <= d <= 8:
+        raise ValueError(f"cox_newton_multi supports 1..8 covariates, got {d}")
+    xs = [f"__x{i}" for i in range(1, d + 1)]
+    keep = (F.col(time_col).isNotNull()
+            & F.col(event_col).cast("int").isNotNull())
+    for c in x_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.filter(keep).select(
+        F.col(time_col).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+        *[F.col(c).cast("double").alias(x) for c, x in zip(x_cols, xs)],
+    )
+    # leavers per (cell, time) + event counts; event-time probe rows
+    # cross-joined with the bounded cell table so every cell's at-risk
+    # count exists at every event time (a cell without a leaver at t
+    # has no natural row there)
+    leav = base.groupBy(*xs, "__t").agg(
+        F.count(F.lit(1)).alias("__r"), F.sum("__e").alias("__d"))
+    cells = leav.groupBy(*xs).agg(F.sum("__r").alias("__tot"))
+    times = (leav.filter(F.col("__d") > 0)
+             .select("__t").distinct())
+    probe = times.crossJoin(F.broadcast(cells)).select(
+        *xs, "__t", "__tot",
+        F.lit(0).alias("__r"), F.lit(0).alias("__is_leav"))
+    lv = leav.join(F.broadcast(cells), xs).select(
+        *xs, "__t", "__tot", "__r", F.lit(1).alias("__is_leav"))
+    w_prev = (
+        Window.partitionBy(*xs)
+        .orderBy("__t", "__is_leav")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # at-risk at t = total - leavers strictly before t (same-t leavers
+    # sort AFTER the probe row, so the prefix excludes them)
+    atrisk = (
+        probe.unionByName(lv)
+        .withColumn(
+            "__n",
+            F.col("__tot")
+            - F.coalesce(F.sum("__r").over(w_prev), F.lit(0)))
+        .filter(F.col("__is_leav") == 0)
+        .select(*xs, "__t", "__n")
+    )
+    dgrid = leav.filter(F.col("__d") > 0).select(*xs, "__t", "__d")
+    grid = (
+        atrisk.join(dgrid, [*xs, "__t"], "left")
+        .withColumn("__d", F.coalesce("__d", F.lit(0)))
+        .localCheckpoint(eager=False)
+    )
+    spark = df.sparkSession
+
+    def moments(beta):
+        eta = F.lit(0.0)
+        for i, x in enumerate(xs):
+            eta = eta + F.lit(float(beta[i])) * F.col(x)
+        ex = F.exp(eta)
+        nc = F.col("__n").cast("double")
+        pt_aggs = [F.sum(nc * ex).alias("s0"), F.sum("__d").alias("dd")]
+        pt_aggs += [F.sum(F.col(x) * F.col("__d")).alias(f"da{a}")
+                    for a, x in enumerate(xs)]
+        pt_aggs += [F.sum(nc * F.col(x) * ex).alias(f"s1_{a}")
+                    for a, x in enumerate(xs)]
+        pt_aggs += [
+            F.sum(nc * F.col(xs[a]) * F.col(xs[b]) * ex).alias(f"s2_{a}{b}")
+            for a in range(d) for b in range(a, d)
+        ]
+        pt = grid.groupBy("__t").agg(*pt_aggs)
+        g_aggs = [
+            F.sum(F.col(f"da{a}")
+                  - F.col("dd") * F.col(f"s1_{a}") / F.col("s0"))
+            .alias(f"u{a}")
+            for a in range(d)
+        ]
+        g_aggs += [
+            F.sum(F.col("dd") * (
+                F.col(f"s2_{a}{b}") / F.col("s0")
+                - (F.col(f"s1_{a}") / F.col("s0"))
+                * (F.col(f"s1_{b}") / F.col("s0"))
+            )).alias(f"i{a}{b}")
+            for a in range(d) for b in range(a, d)
+        ]
+        g_aggs += [F.sum("dd").alias("n_events")]
+        row = pt.agg(*g_aggs).collect()[0]
+        if row["n_events"] is None:
+            return None, None, 0
+        u = np.array([row[f"u{a}"] for a in range(d)])
+        info = np.zeros((d, d))
+        for a in range(d):
+            for b in range(a, d):
+                info[a, b] = info[b, a] = row[f"i{a}{b}"]
+        return u, info, int(row["n_events"])
+
+    n_subjects = base.count()
+
+    def null_result(n_events):
+        cols = []
+        for pref in ("beta", "hr", "se", "wald_chi2_"):
+            cols += [F.lit(None).cast("double").alias(f"{pref}{i}")
+                     for i in range(1, d + 1)]
+        cols += [F.lit(n_events).cast("long").alias("n_events"),
+                 F.lit(n_subjects).cast("long").alias("n_subjects"),
+                 F.lit(None).cast("double").alias("score_norm")]
+        return spark.range(1).select(*cols)
+
+    beta = np.zeros(d)
+    n_events = 0
+    for _ in range(iterations):
+        u, info, n_events = moments(beta)
+        if u is None:
+            return null_result(0)
+        if np.linalg.det(info) <= 0:
+            return null_result(n_events)
+        beta = beta + np.linalg.solve(info, u)
+    u, info, n_events = moments(beta)
+    if u is None or np.linalg.det(info) <= 0:
+        return null_result(n_events if u is not None else 0)
+    cov = np.linalg.inv(info)
+
+    def r6(x):
+        return round(float(x), 6) + 0.0
+
+    cols = [F.lit(r6(beta[i - 1])).alias(f"beta{i}") for i in range(1, d + 1)]
+    cols += [F.lit(r6(np.exp(beta[i - 1]))).alias(f"hr{i}")
+             for i in range(1, d + 1)]
+    cols += [F.lit(r6(np.sqrt(cov[i - 1, i - 1]))).alias(f"se{i}")
+             for i in range(1, d + 1)]
+    cols += [
+        F.lit(r6(beta[i - 1] * beta[i - 1] / cov[i - 1, i - 1]))
+        .alias(f"wald_chi2_{i}")
+        for i in range(1, d + 1)
+    ]
+    cols += [F.lit(n_events).cast("long").alias("n_events"),
+             F.lit(n_subjects).cast("long").alias("n_subjects"),
+             F.lit(r6(np.sqrt(np.dot(u, u)))).alias("score_norm")]
+    return spark.range(1).select(*cols)
+
+
 def cox_ph_check(
     df: DataFrame,
     time_col: str,

@@ -375,6 +375,7 @@ def theil_sen(
     df: DataFrame,
     period_col: str,
     value_col: str,
+    max_periods: int = 100_000,
 ) -> DataFrame:
     """Theil-Sen robust trend over a BOUNDED pre-aggregated series:
     1 row (n_periods, n_pairs, slope, intercept) — the median of all
@@ -386,7 +387,13 @@ def theil_sen(
     input must already be the reduced series (per-day counts, per-hour
     aggregates — the same contract as ``acf``/``cusum_changepoint``);
     n_periods series rows make n(n-1)/2 pair rows, fine for thousands
-    of periods, not for raw corpora. Medians are exact interpolated
+    of periods, not for raw corpora. The contract is ENFORCED: more
+    than ``max_periods`` series rows raises instead of silently
+    running the quadratic join, and the check doubles as the plan's
+    boundedness proof — the no-op ``limit(max_periods)`` after it
+    renders a GlobalLimit the join-shape audit accepts (a checkpointed
+    series alone renders `Scan ExistingRDD`, which the audit no longer
+    trusts; r11 verdict #5). Medians are exact interpolated
     percentiles (both engines' convention); pair slopes are exact
     ratios of the input values.
     """
@@ -394,6 +401,14 @@ def theil_sen(
         F.col(period_col).cast("double").alias("__p"),
         F.col(value_col).cast("double").alias("__x"),
     ).filter(F.col("__x").isNotNull()).localCheckpoint(eager=False)
+    n = base.count()
+    if n > max_periods:
+        raise ValueError(
+            f"theil_sen input has {n} periods (> max_periods="
+            f"{max_periods}): the all-pairs slope set is quadratic by "
+            "definition — pre-aggregate the series or raise the cap "
+            "explicitly")
+    base = base.limit(max_periods)
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(b, F.col("a.__p") < F.col("b.__p")).select(
         ((F.col("b.__x") - F.col("a.__x"))

@@ -8033,6 +8033,132 @@ def surv_cox_beta_q(spark, sf):
     return cox_newton(obs, "duration", "evt", "x", iterations=3)
 
 
+def _cox_multi_sql(iterations: int) -> str:
+    """Chained-CTE replay of cox_newton_multi's Breslow-Newton
+    recurrence for d = 2 binary covariates: the dense (event-time x
+    covariate-cell) at-risk grid via the same cumulative-leavers
+    window trick as the Spark side, then per step one per-time moment
+    aggregate, one global score/information reduce, and a Cramer 2x2
+    update. Every step CTE MATERIALIZED (scalar-subquery references
+    would otherwise re-inline the whole chain per reference)."""
+    pt = """ (SELECT sum(dd) AS n_events,
+         sum(da1 - dd * s11 / s0) AS u1,
+         sum(da2 - dd * s12 / s0) AS u2,
+         sum(dd * (s211 / s0 - (s11 / s0) * (s11 / s0))) AS i11,
+         sum(dd * (s212 / s0 - (s11 / s0) * (s12 / s0))) AS i12,
+         sum(dd * (s222 / s0 - (s12 / s0) * (s12 / s0))) AS i22
+   FROM (SELECT t, sum(n_c * ex) AS s0, sum(d) AS dd,
+                sum(x1 * d) AS da1, sum(x2 * d) AS da2,
+                sum(n_c * x1 * ex) AS s11, sum(n_c * x2 * ex) AS s12,
+                sum(n_c * x1 * x1 * ex) AS s211,
+                sum(n_c * x1 * x2 * ex) AS s212,
+                sum(n_c * x2 * x2 * ex) AS s222
+         FROM (SELECT g.*, exp((SELECT b1 FROM {prev}) * x1
+                               + (SELECT b2 FROM {prev}) * x2) AS ex
+               FROM grid g)
+         GROUP BY t))"""
+    upd = """ (SELECT
+        CASE WHEN i11 * i22 - i12 * i12 > 0
+             THEN (SELECT b1 FROM {prev})
+                  + (i22 * u1 - i12 * u2) / (i11 * i22 - i12 * i12)
+        END AS b1,
+        CASE WHEN i11 * i22 - i12 * i12 > 0
+             THEN (SELECT b2 FROM {prev})
+                  + (i11 * u2 - i12 * u1) / (i11 * i22 - i12 * i12)
+        END AS b2
+        FROM m{i})"""
+    ctes = ["""obs AS MATERIALIZED (
+  SELECT LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x1,
+         CAST(ck % 2 AS DOUBLE) AS x2
+  FROM (SELECT o_orderpriority, o_custkey AS ck,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')))""",
+            """leav AS MATERIALIZED (
+  SELECT x1, x2, duration AS t, CAST(count(*) AS BIGINT) AS r,
+         CAST(sum(evt) AS BIGINT) AS d
+  FROM obs GROUP BY 1, 2, 3)""",
+            """cells AS MATERIALIZED (
+  SELECT x1, x2, CAST(sum(r) AS BIGINT) AS tot FROM leav GROUP BY 1, 2)""",
+            "times AS MATERIALIZED (SELECT DISTINCT t FROM leav WHERE d > 0)",
+            """u0 AS (SELECT c.x1, c.x2, tm.t, c.tot, 0 AS r, 0 AS il
+      FROM times tm CROSS JOIN cells c
+      UNION ALL
+      SELECT l.x1, l.x2, l.t, c.tot, l.r, 1
+      FROM leav l JOIN cells c ON l.x1 = c.x1 AND l.x2 = c.x2)""",
+            """atr AS (SELECT x1, x2, t,
+        tot - coalesce(sum(r) OVER (PARTITION BY x1, x2 ORDER BY t, il
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_c,
+        il
+      FROM u0 QUALIFY il = 0)""",
+            """grid AS MATERIALIZED (
+  SELECT a.x1, a.x2, a.t, a.n_c, coalesce(l.d, 0) AS d
+  FROM atr a LEFT JOIN (SELECT x1, x2, t, d FROM leav WHERE d > 0) l
+    ON l.x1 = a.x1 AND l.x2 = a.x2 AND l.t = a.t)""",
+            "bc0 AS (SELECT 0.0 AS b1, 0.0 AS b2)"]
+    prev = "bc0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"m{i} AS MATERIALIZED" + pt.format(prev=prev))
+        ctes.append(f"bc{i} AS MATERIALIZED" + upd.format(prev=prev, i=i))
+        prev = f"bc{i}"
+    ctes.append("fin AS MATERIALIZED" + pt.format(prev=prev))
+    ctes.append(f"bf AS MATERIALIZED (SELECT b1, b2 FROM {prev})")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT CASE WHEN ok THEN round((SELECT b1 FROM bf), 6) + 0.0 END AS beta1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf), 6) + 0.0 END AS beta2,
+       CASE WHEN ok THEN round(exp((SELECT b1 FROM bf)), 6) + 0.0 END AS hr1,
+       CASE WHEN ok THEN round(exp((SELECT b2 FROM bf)), 6) + 0.0 END AS hr2,
+       CASE WHEN ok THEN round(sqrt(i22 / det), 6) + 0.0 END AS se1,
+       CASE WHEN ok THEN round(sqrt(i11 / det), 6) + 0.0 END AS se2,
+       CASE WHEN ok THEN round((SELECT b1 FROM bf) * (SELECT b1 FROM bf)
+                               / (i22 / det), 6) + 0.0 END AS wald_chi2_1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf) * (SELECT b2 FROM bf)
+                               / (i11 / det), 6) + 0.0 END AS wald_chi2_2,
+       coalesce(n_events, 0) AS n_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_subjects,
+       CASE WHEN ok THEN round(sqrt(u1 * u1 + u2 * u2), 6) + 0.0
+       END AS score_norm
+FROM (SELECT *, i11 * i22 - i12 * i12 AS det,
+             (SELECT b1 FROM bf) IS NOT NULL
+             AND i11 * i22 - i12 * i12 > 0 AS ok
+      FROM fin)
+"""
+
+
+@q("surv_cox_multi", _cox_multi_sql(4))
+def surv_cox_multi_q(spark, sf):
+    # Multi-covariate Cox MLE (operators/survival.py cox_newton_multi,
+    # r11 verdict #4): the URGENT-vs-LOW hazard ratio ADJUSTED for a
+    # customer-parity confounder, jointly. Subjects collapse to the
+    # bounded (event-time x covariate-cell) grid via per-cell
+    # cumulative-leavers windows; each Newton step is one grid
+    # aggregate collected as a single bounded row plus a driver-side
+    # 2x2 solve. The oracle replays the identical recurrence with
+    # Cramer CTE updates over the same windowed grid.
+    from clinpy_spark.operators.survival import cox_newton_multi
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0)
+        .alias("x1"),
+        (F.col("o_custkey") % 2).cast("double").alias("x2"),
+    )
+    return cox_newton_multi(obs, "duration", "evt", ["x1", "x2"],
+                            iterations=4)
+
+
 @q("gx_king_kinship", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 s AS (SELECT c_custkey AS smp, variant, gt FROM g
@@ -8438,6 +8564,54 @@ def dedup_containment_q(spark, sf):
     return containment_pairs(
         _t(spark, sf, "documents"), "doc_id", "text",
         shingle_n=3, threshold=0.6, max_shingle_df=200)
+
+
+@q("dedup_containment_apply", """
+WITH ntoks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents),
+shng AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN generate_series(1, len(tk) - 2)]
+    END) AS s
+  FROM ntoks),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shng GROUP BY doc_id),
+dfq AS (SELECT s FROM shng GROUP BY s HAVING count(*) <= 200),
+kept AS (SELECT doc_id, s FROM shng JOIN dfq USING (s)),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+prs AS (SELECT id_a, id_b, sa.sz AS size_a, sb.sz AS size_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.id_a
+        JOIN sizes sb ON sb.doc_id = inter.id_b
+        WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.6),
+losers AS (SELECT DISTINCT id_a FROM prs
+           WHERE size_b > size_a
+              OR (size_b = size_a AND id_b < id_a))
+SELECT d.doc_id
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_a = d.doc_id)
+""")
+def dedup_containment_apply_q(spark, sf):
+    # Containment dedup ACTION (operators/dedup.py
+    # apply_containment_dedup, r11 verdict #6): drop every document
+    # contained (>= 0.6 of its 3-shingles) in a strictly longer one
+    # (size ties to the smaller id) — keep-LONGEST, the directional
+    # composition quote/boilerplate subsumption needs, where
+    # apply_near_dedup's keep-min would keep the quote and drop the
+    # source. Kept-doc set hash-matched against the oracle replay.
+    from clinpy_spark.operators.dedup import (
+        apply_containment_dedup, containment_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    prs = containment_pairs(docs, "doc_id", "text",
+                            shingle_n=3, threshold=0.6, max_shingle_df=200)
+    return apply_containment_dedup(docs, prs, "doc_id").select("doc_id")
 
 
 @q("surv_ph_check", """
@@ -9195,6 +9369,109 @@ def dx_logistic_q(spark, sf):
         (F.col("l_returnflag") == "R").cast("int").alias("y"),
     )
     return logistic_newton(li, "x", "y")
+
+
+def _logit_multi_irls_sql(iterations: int) -> str:
+    """Chained-CTE replay of logistic_newton_multi's IRLS recurrence
+    for d = 2 covariates: per step one moment aggregate over the joint
+    grid and one Cramer's-rule 3x3 Newton update — the SQL-expressible
+    face of the distributed-moments / local-solve factoring (the Spark
+    side solves the same normal equations with numpy; LAPACK-vs-Cramer
+    drift is ~1e-14, invisible at round-6)."""
+    mom = """ (SELECT sum(r) AS u0, sum(x1 * r) AS u1, sum(x2 * r) AS u2,
+              sum(w) AS i00, sum(x1 * w) AS i01, sum(x2 * w) AS i02,
+              sum(x1 * x1 * w) AS i11, sum(x1 * x2 * w) AS i12,
+              sum(x2 * x2 * w) AS i22,
+              CAST(sum(n) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS np
+       FROM (SELECT x1, x2, n, p,
+                    n * pp * (1 - pp) AS w, p - n * pp AS r
+             FROM (SELECT x1, x2, n, p,
+                          1 / (1 + exp(-((SELECT b0 FROM {prev})
+                                         + (SELECT b1 FROM {prev}) * x1
+                                         + (SELECT b2 FROM {prev}) * x2)))
+                            AS pp
+                   FROM grid)))"""
+    upd = """ (SELECT
+        CASE WHEN det > 0 THEN (SELECT b0 FROM {prev})
+             + (u0 * (i11 * i22 - i12 * i12)
+                - i01 * (u1 * i22 - i12 * u2)
+                + i02 * (u1 * i12 - i11 * u2)) / det END AS b0,
+        CASE WHEN det > 0 THEN (SELECT b1 FROM {prev})
+             + (i00 * (u1 * i22 - i12 * u2)
+                - u0 * (i01 * i22 - i12 * i02)
+                + i02 * (i01 * u2 - u1 * i02)) / det END AS b1,
+        CASE WHEN det > 0 THEN (SELECT b2 FROM {prev})
+             + (i00 * (i11 * u2 - u1 * i12)
+                - i01 * (i01 * u2 - u1 * i02)
+                + u0 * (i01 * i12 - i11 * i02)) / det END AS b2
+        FROM (SELECT *, i00 * (i11 * i22 - i12 * i12)
+                        - i01 * (i01 * i22 - i12 * i02)
+                        + i02 * (i01 * i12 - i11 * i02) AS det
+              FROM m{i}))"""
+    ctes = ["""grid AS MATERIALIZED (
+  SELECT l_quantity AS x1, CAST(l_linenumber AS DOUBLE) AS x2,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           AS BIGINT) AS p
+  FROM lineitem GROUP BY l_quantity, l_linenumber)""",
+            "bc0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
+    prev = "bc0"
+    # every step CTE MATERIALIZED: the scalar-subquery references would
+    # otherwise be INLINED by DuckDB, re-evaluating the whole chain per
+    # reference (exponential blowup in the step count)
+    for i in range(1, iterations + 1):
+        ctes.append(f"m{i} AS MATERIALIZED" + mom.format(prev=prev))
+        ctes.append(f"bc{i} AS MATERIALIZED" + upd.format(prev=prev, i=i))
+        prev = f"bc{i}"
+    ctes.append("fin AS MATERIALIZED" + mom.format(prev=prev))
+    ctes.append(f"bf AS MATERIALIZED (SELECT b0, b1, b2 FROM {prev})")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT CASE WHEN ok THEN round((SELECT b0 FROM bf), 6) + 0.0 END AS beta0,
+       CASE WHEN ok THEN round((SELECT b1 FROM bf), 6) + 0.0 END AS beta1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf), 6) + 0.0 END AS beta2,
+       CASE WHEN ok THEN round(sqrt((i00 * i22 - i02 * i02) / det), 6) + 0.0
+       END AS se1,
+       CASE WHEN ok THEN round(sqrt((i00 * i11 - i01 * i01) / det), 6) + 0.0
+       END AS se2,
+       CASE WHEN ok THEN round((SELECT b1 FROM bf) * (SELECT b1 FROM bf)
+                               / ((i00 * i22 - i02 * i02) / det), 6) + 0.0
+       END AS wald_chi2_1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf) * (SELECT b2 FROM bf)
+                               / ((i00 * i11 - i01 * i01) / det), 6) + 0.0
+       END AS wald_chi2_2,
+       coalesce(n, 0) AS n, coalesce(np, 0) AS n_pos,
+       CASE WHEN ok
+            THEN round(sqrt(u0 * u0 + u1 * u1 + u2 * u2), 6) + 0.0
+       END AS score_norm
+FROM (SELECT *, i00 * (i11 * i22 - i12 * i12)
+                - i01 * (i01 * i22 - i12 * i02)
+                + i02 * (i01 * i12 - i11 * i02) AS det,
+             (SELECT b0 FROM bf) IS NOT NULL
+             AND i00 * (i11 * i22 - i12 * i12)
+                 - i01 * (i01 * i22 - i12 * i02)
+                 + i02 * (i01 * i12 - i11 * i02) > 0 AS ok
+      FROM fin)
+"""
+
+
+@q("dx_logistic_multi", _logit_multi_irls_sql(4))
+def dx_logistic_multi_q(spark, sf):
+    # Multi-covariate logistic regression (operators/assoc.py
+    # logistic_newton_multi, r11 verdict #4): return probability vs
+    # quantity ADJUSTED for line number — log-odds per unit of each,
+    # jointly. The cohort collapses once to the ~350-cell
+    # (quantity x linenumber) grid; each of the 4 IRLS steps is one
+    # grid aggregate collected as a single bounded row and a
+    # driver-side 3x3 solve. The oracle replays the identical
+    # recurrence with Cramer's-rule CTE updates.
+    from clinpy_spark.operators.assoc import logistic_newton_multi
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_linenumber").cast("double").alias("x2"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return logistic_newton_multi(li, ["x1", "x2"], "y", iterations=4)
 
 
 @q("dx_fisher_exact", f"""
@@ -11068,23 +11345,66 @@ def q_entropy_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r11 window (session-3 final): the 39 session-3 additions
-    # lead (their first driver record: the inference/eval layer -
-    # rank/exact/GLM/permutation tests, graph micro-structure,
-    # SMR/TDT/SFS/haplotype-EM/LD-decay genetics, ACF/PACF/Theil-Sen
-    # series, BH-FDR, DSIR/RAKE/heavy-hitters/AUC/calibration/
-    # conformal pipeline ops), then the session-2 additions (their
-    # first driver record: clinical Cox/PH/life-table, KING/CMH/
-    # Tajima/Mendel/PRS genetics, Mann-Whitney/ANOVA/Levene,
-    # Adamic-Adar/LPA/modularity graph ops, JS/W1 drift, CUSUM/
-    # seasonal series ops, Hamming recall gate, containment dedup,
-    # TextRank, interval subtraction), then the r11 session-1
-    # additions, then the stalest oracled queries by most-recent
-    # driver record (r7 verdict staleness policy); all 50 driver
-    # slots go to queries ABSENT from the r10 window. --
-    # -- r11 session-3 additions (first driver record) --
-    "gx_prs_auc",
+    # -- r12 window: the 3 new r12 queries lead (multi-covariate
+    # logistic/Cox MLE, containment keep-longest apply — their first
+    # driver record), then 6 queries whose ORACLED BEHAVIOR changed
+    # this round (capped-Jaccard links, densified Fano, 8-step
+    # logistic + score_norm, cross-class AUC ties, theil-sen bounded
+    # cap) so the driver re-proves them under the fix, then the 31
+    # queries never recorded in ANY r1-r11 window (r11 verdict #3:
+    # union of all CORRECTNESS artifacts = 259 of 290), then the
+    # stalest r2-era records (r7 staleness policy). --
+    "dx_logistic_multi",
+    "surv_cox_multi",
+    "dedup_containment_apply",
+    "graph_jaccard_links",
     "e_dispersion",
+    "dx_logistic",
+    "gx_prs_auc",
+    "curate_feature_auc",
+    "e_theil_sen",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_semdedup",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "surv_logrank_k",
+    "surv_logrank_strat",
+    "surv_cuminc",
+    "gx_fst_hudson",
+    "surv_cox_score",
+    "gx_inbreeding",
+    "surv_incidence_rate",
+    "surv_logrank_fh",
+    "graph_kcore",
+    "drift_js_value",
+    "drift_w1_value",
+    "surv_cox_beta",
+    "gx_king_kinship",
+    "graph_adamic_adar",
+    "graph_label_prop",
+    "gx_cmh_nation",
+    "dx_mannwhitney",
+    "e_cusum_shift",
+    "sim_topk_hamming",
+    "sim_recall_hamming",
+    "gx_tajima_d",
+    "dedup_containment",
+    "surv_ph_check",
+    "text_textrank",
+    "a1_group_count",
+    "a2_count_distinct",
+    "a4_distinct_dedup",
+    "a6_pivot_wide",
+    "a7_ratio_agg",
+    "a9_explode_words",
+    "a10_json_flatten",
+    "a11_union_tagged",
+    "a12_hash_id",
+    "a8_rollup",
+    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "q_entropy",
     "gx_ld_decay",
     "dx_permutation_test",
@@ -11093,17 +11413,14 @@ _PRIORITY: list[str] = [
     "dx_sign_test",
     "curate_conformal_cut",
     "q_trimmed_mean",
-    "curate_feature_auc",
     "curate_calibration",
     "text_heavy_hitters",
     "gx_hwe_exact",
-    "e_theil_sen",
     "e_pacf",
     "s19_neyman_alloc",
     "text_rake",
     "surv_cox_strat",
     "gx_sfs",
-    "graph_jaccard_links",
     "dx_ols_inference",
     "dedup_lsh_plan",
     "drift_ad_value",
@@ -11118,14 +11435,12 @@ _PRIORITY: list[str] = [
     "dx_spearman",
     "dx_mcnemar",
     "gx_tdt",
-    "dx_logistic",
     "dx_fisher_exact",
     "graph_clustering_coeff",
     "graph_assortativity",
     "e_acf",
     "epi_smr",
     "dx_bh_fdr",
-    # -- r11 session-2 additions --
     "gx_mendel",
     "gx_prs",
     "g_subtract_intervals",
@@ -11134,46 +11449,6 @@ _PRIORITY: list[str] = [
     "e_seasonal_decompose",
     "graph_modularity",
     "dx_levene",
-    "dedup_containment",
-    "surv_ph_check",
-    "text_textrank",
-    "gx_tajima_d",
-    "sim_recall_hamming",
-    "graph_label_prop",
-    "gx_cmh_nation",
-    "dx_mannwhitney",
-    "e_cusum_shift",
-    "surv_cox_beta",
-    "gx_king_kinship",
-    "graph_adamic_adar",
-    "drift_js_value",
-    "drift_w1_value",
-    "surv_logrank_k",
-    "surv_logrank_strat",
-    "surv_cuminc",
-    "gx_fst_hudson",
-    "surv_cox_score",
-    "gx_inbreeding",
-    "surv_incidence_rate",
-    "surv_logrank_fh",
-    "graph_kcore",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_semdedup",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_topk_pq",
-    "sim_topk_ivfpq",
-    "a1_group_count",
-    "a2_count_distinct",
-    "a4_distinct_dedup",
-    "a6_pivot_wide",
-    "a7_ratio_agg",
-    "a9_explode_words",
-    "a10_json_flatten",
-    "a11_union_tagged",
-    "a12_hash_id",
-    "a8_rollup",
     "a11b_intersect",
     "a11c_except",
     "e_time_rollup",

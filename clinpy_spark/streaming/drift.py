@@ -136,6 +136,35 @@ def stream_ks_counts(
     return w.start()
 
 
+def finalize_trimmed_means(
+    counts: DataFrame, lo: float = 0.1, hi: float = 0.9
+) -> DataFrame:
+    """Robust location readout from the SAME maintained (__v, n) fold
+    state :func:`finalize_ks` reads (r11 verdict #7: zero new state):
+    1 row (n, trimmed_mean, winsorized_mean, plain_mean) — identical
+    to the batch trimmed/winsorized means over the same values (twin
+    test). The per-distinct-value counts are sufficient: the exact
+    interpolated percentile bounds come from the frequency-weighted
+    ``percentile(v, p, n)``, and each conditional mean is a weighted
+    sum over the bounded state table — never a rescan of history."""
+    qs = counts.agg(
+        F.expr(f"percentile(__v, {lo}, n)").alias("__ql"),
+        F.expr(f"percentile(__v, {hi}, n)").alias("__qh"),
+    )
+    j = counts.crossJoin(F.broadcast(qs))
+    v, n = F.col("__v"), F.col("n")
+    in_band = (v >= F.col("__ql")) & (v <= F.col("__qh"))
+    wins = (F.when(v < F.col("__ql"), F.col("__ql"))
+            .when(v > F.col("__qh"), F.col("__qh")).otherwise(v))
+    return j.agg(
+        F.sum(n).alias("n"),
+        F.round(F.sum(F.when(in_band, v * n)) / F.sum(F.when(in_band, n)), 6)
+        .alias("trimmed_mean"),
+        F.round(F.sum(wins * n) / F.sum(n), 6).alias("winsorized_mean"),
+        F.round(F.sum(v * n) / F.sum(n), 6).alias("plain_mean"),
+    )
+
+
 def finalize_ks(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
     """Exact two-sample KS from two per-value count tables (__v, n):
     1 row (ks_d, n_a, n_b) — identical to the batch ks_two_sample over

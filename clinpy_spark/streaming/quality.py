@@ -91,23 +91,21 @@ def stream_check_suite(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Fold each micro-batch's check partials into the persisted
-    ``name`` table (addition-merge keyed by check_name). Read the
-    current verdicts with
-    ``finalize_checks(catalog.table(name), checks)``. Same at-least-
-    once caveat as ``stream_stats_to_catalog``."""
-    def fold(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        part = check_partials(batch, checks)
-        if catalog.exists(name):
-            merged = (catalog.table(name).unionByName(part).groupBy("check_name")
-                      .agg(F.sum("num").alias("num"), F.sum("den").alias("den")))
-            catalog.overwrite_staged(merged, name)
-        else:
-            catalog.write(part, name)
+    ``name`` table (addition-merge keyed by check_name, effectively-
+    once via the (run_id, batch_id) stamp). Read the current verdicts
+    with ``finalize_checks(catalog.table(name), checks)``."""
+    from clinpy_spark.streaming.fold import fold_partials, lineage_token
 
     checkpoint = checkpoint or os.path.join(
         catalog.project_dir, name).rstrip("/") + ".__checks_checkpoint__"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = check_partials(batch, checks)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["check_name"], counters=["num", "den"],
+                      run_id=lineage_token(checkpoint))
     w = stream.writeStream.foreachBatch(fold).option("checkpointLocation", checkpoint)
     if available_now:
         w = w.trigger(availableNow=True)
@@ -166,6 +164,39 @@ def stream_score_counts(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def finalize_calibration(counts: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Calibration/reliability table from the SAME maintained
+    (__s, np, nn) fold state :func:`finalize_auc` reads (r11 verdict
+    #7: zero new state) — identical to the batch ``reliability_table``
+    over the same scored rows (twin test): (bin, n, mean_score,
+    frac_pos) with equal-width bins over the observed [min, max].
+
+    The per-distinct-score counts are sufficient: n = sum(np + nn),
+    mean_score = sum(s * (np + nn)) / n, frac_pos = sum(np) / n per
+    bin — one 1-row min/max broadcast back, one binned groupBy over
+    the bounded state table (never the scored corpus)."""
+    base = counts.select("__s", "np", "nn")
+    rng = base.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    j = base.crossJoin(F.broadcast(rng))
+    width = F.col("__hi") - F.col("__lo")
+    bin_ = F.when(width > 0, F.least(
+        F.floor((F.col("__s") - F.col("__lo")) / width * n_bins),
+        F.lit(n_bins - 1),
+    )).otherwise(F.lit(0)).cast("int")
+    cnt = F.col("np") + F.col("nn")
+    return (
+        j.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.sum(cnt).alias("n"),
+            F.round(F.sum(F.col("__s") * cnt) / F.sum(cnt), 6)
+            .alias("mean_score"),
+            F.round(F.sum("np") / F.sum(cnt).cast("double"), 6)
+            .alias("frac_pos"),
+        )
+    )
 
 
 def finalize_auc(counts: DataFrame) -> DataFrame:

@@ -73,20 +73,23 @@ def stream_stats_to_catalog(
     has accumulated; read the result through
     ``operators.incremental.finalize(catalog.table(name), value_cols)``.
 
-    foreachBatch is at-least-once on retry (the fold is not idempotent
-    per batch), so keep the checkpoint directory stable and treat a
-    crashed-mid-fold batch as the recovery edge case it is — for
-    exactly-once stats over file streams, drain with
-    ``stream_to_catalog`` and fold the sink table in batch."""
+    foreachBatch is at-least-once on retry; the fold is made
+    effectively-once by the (run_id, batch_id) stamp ``refresh_stats``
+    keeps on the state table — replays within one checkpoint lineage
+    are skipped, and a restart under a FRESH checkpoint dir folds from
+    its batch 0 instead of being misclassified as a replay (r11
+    verdict #1)."""
     from clinpy_spark.operators.incremental import refresh_stats
-
-    def fold(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        refresh_stats(catalog, name, batch, keys, value_cols)
+    from clinpy_spark.streaming.fold import lineage_token
 
     checkpoint = checkpoint or os.path.join(
         catalog.project_dir, name).rstrip("/") + ".__stats_checkpoint__"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        refresh_stats(catalog, name, batch, keys, value_cols,
+                      batch_id=batch_id, run_id=lineage_token(checkpoint))
     w = stream.writeStream.foreachBatch(fold).option("checkpointLocation", checkpoint)
     if available_now:
         w = w.trigger(availableNow=True)

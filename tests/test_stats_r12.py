@@ -1,0 +1,137 @@
+"""Round-12 additions: multi-covariate GLM/Cox (r11 verdict #4) and
+the containment keep-best composition."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_logistic_multi_d1_reduces_to_single(spark):
+    """With one covariate the d-dimensional IRLS solves the same 2x2
+    normal equations as logistic_newton — identical fit at round-6."""
+    from clinpy_spark.operators.assoc import (
+        logistic_newton, logistic_newton_multi,
+    )
+
+    rows = ([Row(x=0.0, y=1)] * 20 + [Row(x=0.0, y=0)] * 80
+            + [Row(x=1.0, y=1)] * 40 + [Row(x=1.0, y=0)] * 60)
+    df = spark.createDataFrame(rows)
+    single = logistic_newton(df, "x", "y", iterations=6).collect()[0]
+    multi = logistic_newton_multi(df, ["x"], "y", iterations=6).collect()[0]
+    assert abs(single.beta0 - multi.beta0) < 1e-6
+    assert abs(single.beta1 - multi.beta1) < 1e-6
+    assert abs(single.se1 - multi.se1) < 1e-5
+    assert abs(single.wald_chi2 - multi.wald_chi2_1) < 1e-3
+    assert (single.n, single.n_pos) == (multi.n, multi.n_pos)
+
+
+def test_logistic_multi_orthogonal_null_covariate(spark):
+    """r11 verdict #4 property test: a perfectly balanced null second
+    covariate gets beta2 = 0 and leaves (beta0, beta1) at the
+    single-covariate closed-form MLE."""
+    from clinpy_spark.operators.assoc import logistic_newton_multi
+
+    rows = []
+    for x2 in (0.0, 1.0):
+        rows += [Row(x1=0.0, x2=x2, y=1)] * 10 + [Row(x1=0.0, x2=x2, y=0)] * 40
+        rows += [Row(x1=1.0, x2=x2, y=1)] * 20 + [Row(x1=1.0, x2=x2, y=0)] * 30
+    out = logistic_newton_multi(
+        spark.createDataFrame(rows), ["x1", "x2"], "y",
+        iterations=6).collect()[0]
+    b0 = math.log(20 / 80)
+    b1 = math.log(40 / 60) - b0
+    assert abs(out.beta0 - b0) < 1e-5
+    assert abs(out.beta1 - b1) < 1e-5
+    assert abs(out.beta2) < 1e-6
+    assert out.score_norm is not None and out.score_norm < 1e-4
+    # Wald se for the 2x2 sub-model: sqrt(sum of 1/cell)
+    se = math.sqrt(1 / 20 + 1 / 80 + 1 / 40 + 1 / 60)
+    assert abs(out.se1 - se) < 1e-4
+
+
+def test_logistic_multi_singular_is_null(spark):
+    from clinpy_spark.operators.assoc import logistic_newton_multi
+
+    rows = [Row(x1=float(i % 3), x2=2.0, y=i % 2) for i in range(30)]
+    out = logistic_newton_multi(
+        spark.createDataFrame(rows), ["x1", "x2"], "y").collect()[0]
+    assert out.beta0 is None and out.beta1 is None and out.beta2 is None
+    assert out.n == 30  # margins still reported
+
+
+def test_cox_multi_d1_reduces_to_single(spark):
+    """With one binary covariate the cell-grid Newton solves the same
+    Breslow partial likelihood as cox_newton."""
+    from clinpy_spark.operators.survival import cox_newton, cox_newton_multi
+
+    rows = [Row(t=(i * 37) % 50 + 1 + (i % 2) * 3,
+                e=1 if (i * 13) % 10 < 7 else 0,
+                x=float(i % 2)) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    single = cox_newton(df, "t", "e", "x", iterations=4).collect()[0]
+    multi = cox_newton_multi(df, "t", "e", ["x"], iterations=4).collect()[0]
+    assert abs(single.beta - multi.beta1) < 1e-5
+    assert abs(single.hr - multi.hr1) < 1e-5
+    assert abs(single.se - multi.se1) < 1e-5
+    assert (single.n_events, single.n_subjects) == (
+        multi.n_events, multi.n_subjects)
+
+
+def test_cox_multi_orthogonal_null_covariate(spark):
+    """A balanced covariate independent of both hazard and the arm
+    fits beta2 ~ 0 while beta1 stays at the single-covariate MLE."""
+    from pyspark.sql import Row as R
+
+    from clinpy_spark.operators.survival import cox_newton, cox_newton_multi
+
+    rows = []
+    for i in range(200):
+        x1 = float(i % 2)
+        t = (i * 37) % 40 + 1 + int(x1) * 4
+        e = 1 if (i * 13) % 10 < 7 else 0
+        # x2 alternates within every (t, e, x1) stratum pair -> null
+        rows.append(R(t=t, e=e, x1=x1, x2=float((i // 2) % 2)))
+        rows.append(R(t=t, e=e, x1=x1, x2=float(1 - (i // 2) % 2)))
+    df = spark.createDataFrame(rows)
+    single = cox_newton(df, "t", "e", "x1", iterations=4).collect()[0]
+    multi = cox_newton_multi(
+        df, "t", "e", ["x1", "x2"], iterations=4).collect()[0]
+    assert abs(multi.beta2) < 1e-9
+    assert abs(single.beta - multi.beta1) < 1e-6
+    assert multi.score_norm < 1e-4
+
+
+def test_apply_containment_dedup_keeps_maximal(spark):
+    """Directional keep-LONGEST: on a quote chain a ⊂ b ⊂ c only the
+    maximal c survives; unrelated docs are untouched; mutual
+    containment at equal size keeps exactly the smaller id."""
+    from clinpy_spark.operators.dedup import (
+        apply_containment_dedup, containment_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base),                               # a
+        Row(doc_id=2, text=base + " iota kappa lambda mu"),     # b ⊃ a
+        Row(doc_id=3, text=base + " iota kappa lambda mu nu xi omicron pi"),
+        Row(doc_id=4, text="totally different words here indeed folks"),
+        Row(doc_id=5, text="twin one same words equal size here"),
+        Row(doc_id=6, text="twin one same words equal size here"),
+    ])
+    prs = containment_pairs(docs, "doc_id", "text",
+                            shingle_n=3, threshold=0.8, max_shingle_df=200)
+    kept = sorted(r.doc_id for r in
+                  apply_containment_dedup(docs, prs, "doc_id").collect())
+    assert kept == [3, 4, 5]
+
+
+def test_cox_multi_singular_is_null(spark):
+    from clinpy_spark.operators.survival import cox_newton_multi
+
+    rows = [Row(t=(i * 7) % 20 + 1, e=1, x1=float(i % 2), x2=0.0)
+            for i in range(60)]
+    out = cox_newton_multi(
+        spark.createDataFrame(rows), "t", "e", ["x1", "x2"]).collect()[0]
+    assert out.beta1 is None and out.hr2 is None
+    assert out.n_subjects == 60

@@ -5,6 +5,7 @@ import datetime as dt
 import json
 import os
 
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from clinpy_spark.operators.windows import tumbling_counts
@@ -834,6 +835,63 @@ def test_streaming_first_seen_min_ts_id_across_chunks(spark, tmp_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     (got,) = spark.sql("select * from fs_chunk").collect()
     assert (got.props, got.first_event_id) == ("k", 1000 + n - 1)
+
+
+def test_streaming_calibration_matches_batch(spark):
+    """r11 verdict #7: the calibration table finalizes from the SAME
+    (__s, np, nn) fold state the streaming AUC maintains — bit-exact
+    against the batch reliability_table over the same scored rows
+    (scores on a quarter grid so both summation orders are exact)."""
+    from clinpy_spark.operators.classify import reliability_table
+    from clinpy_spark.streaming.quality import (
+        finalize_calibration, score_label_counts_partial,
+    )
+
+    rows = [Row(s=float((i * 3) % 9) / 4.0, y=(1 if (i * 7) % 5 < 2 else 0))
+            for i in range(240)]
+    df = spark.createDataFrame(rows)
+    # two micro-batch halves folded additively, mimicking stream state
+    p1 = score_label_counts_partial(df.filter(F.col("s") < 1.0), "s", "y")
+    p2 = score_label_counts_partial(df.filter(F.col("s") >= 1.0), "s", "y")
+    folded = p1.unionByName(p2).groupBy("__s").agg(
+        F.sum("np").alias("np"), F.sum("nn").alias("nn"))
+    got = sorted(tuple(r) for r in
+                 finalize_calibration(folded, n_bins=5).collect())
+    want = sorted(tuple(r) for r in
+                  reliability_table(df, "s", "y", n_bins=5).collect())
+    assert got == want
+
+
+def test_streaming_trimmed_means_match_batch(spark):
+    """The KS fold's (__v, n) state also finalizes the robust-location
+    family: trimmed/winsorized/plain means match the batch expressions
+    over the same values exactly."""
+    from clinpy_spark.streaming.drift import finalize_trimmed_means
+
+    vals = [float((i * 13) % 40) for i in range(200)] + [400.0, -100.0]
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    c1 = (df.filter(F.col("v") < 20).groupBy(F.col("v").alias("__v"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    c2 = (df.filter(F.col("v") >= 20).groupBy(F.col("v").alias("__v"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    folded = c1.unionByName(c2).groupBy("__v").agg(F.sum("n").alias("n"))
+    got = finalize_trimmed_means(folded, 0.1, 0.9).collect()[0]
+    qq = df.agg(F.expr("percentile(v, 0.1)").alias("ql"),
+                F.expr("percentile(v, 0.9)").alias("qh")).collect()[0]
+    batch = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.when((F.col("v") >= qq.ql)
+                             & (F.col("v") <= qq.qh), F.col("v"))), 6)
+        .alias("trimmed_mean"),
+        F.round(F.avg(F.when(F.col("v") < qq.ql, qq.ql)
+                      .when(F.col("v") > qq.qh, qq.qh)
+                      .otherwise(F.col("v"))), 6).alias("winsorized_mean"),
+        F.round(F.avg("v"), 6).alias("plain_mean"),
+    ).collect()[0]
+    assert got.n == batch.n
+    assert got.trimmed_mean == batch.trimmed_mean
+    assert got.winsorized_mean == batch.winsorized_mean
+    assert got.plain_mean == batch.plain_mean
 
 
 def test_fold_partials_replay_is_idempotent(spark, tmp_path):

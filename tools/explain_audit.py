@@ -290,10 +290,15 @@ def _subtree_bounded(node: _Node, details: dict, nodes: dict, seen=None) -> bool
     if head == "LocalTableScan":
         return True
     if node.name.startswith("Scan ExistingRDD"):
-        # spark.createDataFrame(<driver list / pandas>) renders as Scan
-        # ExistingRDD. This codebase is RDD-free (DataFrame-first design),
-        # so every ExistingRDD is driver-local constant data by construction.
-        return True
+        # spark.createDataFrame(<pandas>) renders as Scan ExistingRDD and
+        # the formatted plan carries NO row bound for it — trusting it
+        # unconditionally would let the first operator that ships a large
+        # driver-built relation through the gate silently (r11 verdict
+        # #5). Not bounded unless proven: a driver-local relation that IS
+        # constant-size renders as LocalTableScan (list input) which the
+        # gate does accept; pandas-backed ExistingRDDs must not sit on a
+        # nested-loop side at all.
+        return False
     if head == "Range":
         m = re.search(r"Range\s*\((-?\d+),\s*(-?\d+)", detail or node.name)
         return bool(m) and int(m.group(2)) - int(m.group(1)) <= _RANGE_BOUND
