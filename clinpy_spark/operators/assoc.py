@@ -1509,8 +1509,6 @@ def logistic_newton_multi(
     the ``dx_logistic_multi`` oracle replays it; LAPACK-vs-Cramer
     drift is ~1e-14 per step, invisible at the round-6 contract.
     """
-    import numpy as np
-
     d = len(x_cols)
     if not 1 <= d <= 8:
         raise ValueError(f"logistic_newton_multi supports 1..8 covariates, got {d}")
@@ -1527,9 +1525,24 @@ def logistic_newton_multi(
         )
         .groupBy(*xs)
         .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__p"))
-        .localCheckpoint(eager=False)
     )
-    spark = df.sparkSession
+    return logistic_newton_multi_from_grid(grid, d, iterations=iterations)
+
+
+def logistic_newton_multi_from_grid(
+    grid: DataFrame, d: int, iterations: int = 4
+) -> DataFrame:
+    """:func:`logistic_newton_multi` from an already-aggregated joint
+    grid (__x1..__xd, __n, __p) — the grid is the additive sufficient
+    statistic, so a streaming fold maintains it per joint covariate
+    cell and this refits the d-covariate MLE on read
+    (streaming/glm.py finalize_logistic_multi), exactly as the
+    single-covariate ``logistic_newton_from_grid`` does."""
+    import numpy as np
+
+    xs = [f"__x{i}" for i in range(1, d + 1)]
+    grid = grid.localCheckpoint(eager=False)
+    spark = grid.sparkSession
 
     def moments(beta):
         """One grid-sized aggregate -> (U, I, n, pos) at ``beta``."""
@@ -1602,6 +1615,120 @@ def logistic_newton_multi(
     cols += [F.lit(n_obs).cast("long").alias("n"),
              F.lit(n_pos).cast("long").alias("n_pos"),
              F.lit(r6(score_norm)).alias("score_norm")]
+    return spark.range(1).select(*cols)
+
+
+def poisson_newton_multi(
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    iterations: int = 4,
+) -> DataFrame:
+    """Poisson (log-link) regression MLE for d BOUNDED-cardinality
+    covariates (1 <= d <= 8) plus intercept — completes the
+    multi-covariate GLM ladder next to :func:`logistic_newton_multi`
+    (binary) and ``cox_newton_multi`` (hazards): log rate per unit of
+    each covariate, jointly. 1 row (beta0, beta1..betad, se1..sed,
+    wald_chi2_1..d, n, y_total, score_norm).
+
+    Same distributed-moments / driver-side-solve factoring as the
+    logistic twin: ONE pass to the joint grid (x1..xd, n, sum_y), then
+    per step one grid aggregate of U = X'(y - n mu) and the upper
+    triangle of X'WX (W = diag(n mu), mu = exp(x . b)) collected as a
+    single bounded row + a numpy (d+1)x(d+1) solve. Starts from
+    (ln(ybar), 0..0) — the saturated-intercept start that keeps exp()
+    in range at any data scale. NULL on singular information. For
+    d = 2 the recurrence is SQL-expressible via Cramer's rule (the
+    ``dx_poisson_multi`` oracle).
+    """
+    import numpy as np
+
+    d = len(x_cols)
+    if not 1 <= d <= 8:
+        raise ValueError(f"poisson_newton_multi supports 1..8 covariates, got {d}")
+    xs = [f"__x{i}" for i in range(1, d + 1)]
+    yv = F.col(y_col).cast("double")
+    keep = yv.isNotNull()
+    for c in x_cols:
+        keep = keep & F.col(c).isNotNull()
+    grid = (
+        df.filter(keep)
+        .select(
+            *[F.col(c).cast("double").alias(x) for c, x in zip(x_cols, xs)],
+            yv.alias("__y"),
+        )
+        .groupBy(*xs)
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__sy"))
+        .localCheckpoint(eager=False)
+    )
+    spark = df.sparkSession
+
+    def moments(beta):
+        eta = F.lit(float(beta[0]))
+        for i, x in enumerate(xs):
+            eta = eta + F.lit(float(beta[i + 1])) * F.col(x)
+        mu = F.exp(eta)
+        w = F.col("__n") * mu
+        r = F.col("__sy") - w
+        xall = [F.lit(1.0)] + [F.col(x) for x in xs]
+        aggs = [F.sum(xall[a] * r).alias(f"u{a}") for a in range(d + 1)]
+        aggs += [
+            F.sum(xall[a] * xall[b] * w).alias(f"i{a}{b}")
+            for a in range(d + 1) for b in range(a, d + 1)
+        ]
+        aggs += [F.sum("__n").alias("n"), F.sum("__sy").alias("sy")]
+        row = grid.agg(*aggs).collect()[0]
+        if row["n"] is None:
+            return None, None, 0, 0.0
+        u = np.array([row[f"u{a}"] for a in range(d + 1)])
+        info = np.zeros((d + 1, d + 1))
+        for a in range(d + 1):
+            for b in range(a, d + 1):
+                info[a, b] = info[b, a] = row[f"i{a}{b}"]
+        return u, info, int(row["n"]), float(row["sy"])
+
+    def null_result():
+        cols = [F.lit(None).cast("double").alias("beta0")]
+        for pref in ("beta", "se", "wald_chi2_"):
+            cols += [F.lit(None).cast("double").alias(f"{pref}{i}")
+                     for i in range(1, d + 1)]
+        cols += [F.lit(n_obs).cast("long").alias("n"),
+                 F.lit(y_tot).cast("double").alias("y_total"),
+                 F.lit(None).cast("double").alias("score_norm")]
+        return spark.range(1).select(*cols)
+
+    # saturated-intercept start: beta0 = ln(ybar) (0 for an all-zero y)
+    start = grid.agg(
+        F.sum("__sy").alias("sy"), F.sum("__n").alias("n")).collect()[0]
+    n_obs = int(start["n"] or 0)
+    y_tot = float(start["sy"] or 0.0)
+    beta = np.zeros(d + 1)
+    if n_obs == 0:
+        return null_result()
+    if y_tot > 0:
+        beta[0] = float(np.log(y_tot / n_obs))
+    for _ in range(iterations):
+        u, info, n_obs, y_tot = moments(beta)
+        if u is None or np.linalg.det(info) <= 0:
+            return null_result()
+        beta = beta + np.linalg.solve(info, u)
+    u, info, n_obs, y_tot = moments(beta)
+    if u is None or np.linalg.det(info) <= 0:
+        return null_result()
+    cov = np.linalg.inv(info)
+
+    def r6(x):
+        return round(float(x), 6) + 0.0
+
+    cols = [F.lit(r6(beta[0])).alias("beta0")]
+    cols += [F.lit(r6(beta[i])).alias(f"beta{i}") for i in range(1, d + 1)]
+    cols += [F.lit(r6(np.sqrt(cov[i, i]))).alias(f"se{i}")
+             for i in range(1, d + 1)]
+    cols += [F.lit(r6(beta[i] * beta[i] / cov[i, i])).alias(f"wald_chi2_{i}")
+             for i in range(1, d + 1)]
+    cols += [F.lit(n_obs).cast("long").alias("n"),
+             F.lit(y_tot).cast("double").alias("y_total"),
+             F.lit(r6(np.sqrt(np.dot(u, u)))).alias("score_norm")]
     return spark.range(1).select(*cols)
 
 

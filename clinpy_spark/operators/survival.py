@@ -1036,12 +1036,33 @@ def cox_newton_multi(
         F.col(event_col).cast("int").alias("__e"),
         *[F.col(c).cast("double").alias(x) for c, x in zip(x_cols, xs)],
     )
-    # leavers per (cell, time) + event counts; event-time probe rows
-    # cross-joined with the bounded cell table so every cell's at-risk
-    # count exists at every event time (a cell without a leaver at t
-    # has no natural row there)
+    # leavers per (cell, time) + event counts — the ADDITIVE sufficient
+    # statistic (a streaming fold maintains exactly this table;
+    # streaming/survival.py finalize_cox_multi refits on read)
     leav = base.groupBy(*xs, "__t").agg(
         F.count(F.lit(1)).alias("__r"), F.sum("__e").alias("__d"))
+    return cox_newton_multi_from_leavers(leav, d, iterations=iterations)
+
+
+def cox_newton_multi_from_leavers(
+    leav: DataFrame,
+    d: int,
+    iterations: int = 4,
+) -> DataFrame:
+    """:func:`cox_newton_multi` from the per-(cell, time) leaver table
+    (__x1..__xd, __t, __r, __d) — r/d are integer-ADDITIVE, so a
+    streaming fold maintains them per (cell, time) and this refits the
+    d-covariate Cox MLE on read (streaming/survival.py
+    finalize_cox_multi), the same fold/recompute-on-read architecture
+    as the KM twin. At-risk counts rebuild from the folded leavers via
+    the cumulative window, never from subject history."""
+    import numpy as np
+
+    xs = [f"__x{i}" for i in range(1, d + 1)]
+    leav = leav.localCheckpoint(eager=False)
+    # event-time probe rows cross-joined with the bounded cell table so
+    # every cell's at-risk count exists at every event time (a cell
+    # without a leaver at t has no natural row there)
     cells = leav.groupBy(*xs).agg(F.sum("__r").alias("__tot"))
     times = (leav.filter(F.col("__d") > 0)
              .select("__t").distinct())
@@ -1072,7 +1093,7 @@ def cox_newton_multi(
         .withColumn("__d", F.coalesce("__d", F.lit(0)))
         .localCheckpoint(eager=False)
     )
-    spark = df.sparkSession
+    spark = leav.sparkSession
 
     def moments(beta):
         eta = F.lit(0.0)
@@ -1115,7 +1136,10 @@ def cox_newton_multi(
                 info[a, b] = info[b, a] = row[f"i{a}{b}"]
         return u, info, int(row["n_events"])
 
-    n_subjects = base.count()
+    # every subject leaves exactly once, so the leaver totals ARE the
+    # cohort size (works from a folded stream state too)
+    n_subjects = int(
+        leav.agg(F.sum("__r").alias("n")).collect()[0].n or 0)
 
     def null_result(n_events):
         cols = []

@@ -9943,6 +9943,117 @@ def dx_poisson_q(spark, sf):
     return poisson_newton(base, "x", "y", iterations=4)
 
 
+def _poisson_multi_irls_sql(iterations: int) -> str:
+    """Chained-CTE replay of poisson_newton_multi's Newton recurrence
+    for d = 2 covariates: per step one moment aggregate over the joint
+    grid (w = n mu, r = sy - n mu, mu = exp(b0 + b1 x1 + b2 x2)) and
+    one Cramer's-rule 3x3 update, from the saturated-intercept start
+    (ln(ybar), 0, 0). Every step CTE MATERIALIZED (scalar-subquery
+    references would otherwise re-inline the whole chain)."""
+    mom = """ (SELECT sum(r) AS u0, sum(x1 * r) AS u1, sum(x2 * r) AS u2,
+              sum(w) AS i00, sum(x1 * w) AS i01, sum(x2 * w) AS i02,
+              sum(x1 * x1 * w) AS i11, sum(x1 * x2 * w) AS i12,
+              sum(x2 * x2 * w) AS i22,
+              CAST(sum(n) AS BIGINT) AS n, CAST(sum(sy) AS DOUBLE) AS sy
+       FROM (SELECT x1, x2, n, sy, n * mu AS w, sy - n * mu AS r
+             FROM (SELECT x1, x2, n, sy,
+                          exp((SELECT b0 FROM {prev})
+                              + (SELECT b1 FROM {prev}) * x1
+                              + (SELECT b2 FROM {prev}) * x2) AS mu
+                   FROM grid)))"""
+    upd = """ (SELECT
+        CASE WHEN det > 0 THEN (SELECT b0 FROM {prev})
+             + (u0 * (i11 * i22 - i12 * i12)
+                - i01 * (u1 * i22 - i12 * u2)
+                + i02 * (u1 * i12 - i11 * u2)) / det END AS b0,
+        CASE WHEN det > 0 THEN (SELECT b1 FROM {prev})
+             + (i00 * (u1 * i22 - i12 * u2)
+                - u0 * (i01 * i22 - i12 * i02)
+                + i02 * (i01 * u2 - u1 * i02)) / det END AS b1,
+        CASE WHEN det > 0 THEN (SELECT b2 FROM {prev})
+             + (i00 * (i11 * u2 - u1 * i12)
+                - i01 * (i01 * u2 - u1 * i02)
+                + u0 * (i01 * i12 - i11 * i02)) / det END AS b2
+        FROM (SELECT *, i00 * (i11 * i22 - i12 * i12)
+                        - i01 * (i01 * i22 - i12 * i02)
+                        + i02 * (i01 * i12 - i11 * i02) AS det
+              FROM m{i}))"""
+    ctes = ["""cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_custkey)""",
+            """obs AS (SELECT CAST(c_nationkey % 5 AS DOUBLE) AS x1,
+         CAST(c_custkey % 3 AS DOUBLE) AS x2,
+         CAST(coalesce(n_orders, 0) AS DOUBLE) AS y
+  FROM customer LEFT JOIN cnt ON o_custkey = c_custkey)""",
+            """grid AS MATERIALIZED (
+  SELECT x1, x2, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy
+  FROM obs GROUP BY x1, x2)""",
+            """bc0 AS MATERIALIZED (
+  SELECT CASE WHEN sum(sy) > 0 THEN ln(sum(sy) / sum(n)) ELSE 0.0 END AS b0,
+         0.0 AS b1, 0.0 AS b2
+  FROM grid)"""]
+    prev = "bc0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"m{i} AS MATERIALIZED" + mom.format(prev=prev))
+        ctes.append(f"bc{i} AS MATERIALIZED" + upd.format(prev=prev, i=i))
+        prev = f"bc{i}"
+    ctes.append("fin AS MATERIALIZED" + mom.format(prev=prev))
+    ctes.append(f"bf AS MATERIALIZED (SELECT b0, b1, b2 FROM {prev})")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT CASE WHEN ok THEN round((SELECT b0 FROM bf), 6) + 0.0 END AS beta0,
+       CASE WHEN ok THEN round((SELECT b1 FROM bf), 6) + 0.0 END AS beta1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf), 6) + 0.0 END AS beta2,
+       CASE WHEN ok THEN round(sqrt((i00 * i22 - i02 * i02) / det), 6) + 0.0
+       END AS se1,
+       CASE WHEN ok THEN round(sqrt((i00 * i11 - i01 * i01) / det), 6) + 0.0
+       END AS se2,
+       CASE WHEN ok THEN round((SELECT b1 FROM bf) * (SELECT b1 FROM bf)
+                               / ((i00 * i22 - i02 * i02) / det), 6) + 0.0
+       END AS wald_chi2_1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf) * (SELECT b2 FROM bf)
+                               / ((i00 * i11 - i01 * i01) / det), 6) + 0.0
+       END AS wald_chi2_2,
+       coalesce(n, 0) AS n, coalesce(sy, 0.0) AS y_total,
+       CASE WHEN ok
+            THEN round(sqrt(u0 * u0 + u1 * u1 + u2 * u2), 6) + 0.0
+       END AS score_norm
+FROM (SELECT *, i00 * (i11 * i22 - i12 * i12)
+                - i01 * (i01 * i22 - i12 * i02)
+                + i02 * (i01 * i12 - i11 * i02) AS det,
+             (SELECT b0 FROM bf) IS NOT NULL
+             AND i00 * (i11 * i22 - i12 * i12)
+                 - i01 * (i01 * i22 - i12 * i02)
+                 + i02 * (i01 * i12 - i11 * i02) > 0 AS ok
+      FROM fin)
+"""
+
+
+@q("dx_poisson_multi", _poisson_multi_irls_sql(4))
+def dx_poisson_multi_q(spark, sf):
+    # Multi-covariate Poisson regression (operators/assoc.py
+    # poisson_newton_multi): per-customer order volume vs nation band
+    # ADJUSTED for a custkey-parity band — log rate per unit of each,
+    # jointly, completing the multi-covariate GLM ladder
+    # (dx_logistic_multi / surv_cox_multi). One pass to the 15-cell
+    # joint grid; each Newton step is one grid aggregate + a
+    # driver-side 3x3 solve; the oracle replays the identical
+    # recurrence from the same saturated-intercept start.
+    from clinpy_spark.operators.assoc import poisson_newton_multi
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 5).cast("double").alias("x1"),
+        (F.col("c_custkey") % 3).cast("double").alias("x2"),
+    )
+    per_c = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    base = cust.join(
+        per_c, cust.c_custkey == per_c.o_custkey, "left"
+    ).select("x1", "x2", F.coalesce("n_orders", F.lit(0)).alias("y"))
+    return poisson_newton_multi(base, ["x1", "x2"], "y", iterations=4)
+
+
 @q("gx_haplotype_em", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 va AS (SELECT c_custkey AS s, gt AS ga FROM g WHERE variant = 7),
@@ -11356,6 +11467,7 @@ _PRIORITY: list[str] = [
     # stalest r2-era records (r7 staleness policy). --
     "dx_logistic_multi",
     "surv_cox_multi",
+    "dx_poisson_multi",
     "dedup_containment_apply",
     "graph_jaccard_links",
     "e_dispersion",

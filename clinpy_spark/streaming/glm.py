@@ -84,6 +84,76 @@ def finalize_logistic(grid: DataFrame, iterations: int = 8) -> DataFrame:
     return logistic_newton_from_grid(g, iterations=iterations)
 
 
+def glm_grid_partial_multi(
+    df: DataFrame, x_cols: list[str], y_col: str
+) -> DataFrame:
+    """(__x1..__xd, n, sy) additive partials for one micro-batch — the
+    d-covariate joint-grid sufficient statistic of
+    ``logistic_newton_multi`` (bounded JOINT cardinality required, the
+    batch fitter's precondition)."""
+    xs = [f"__x{i}" for i in range(1, len(x_cols) + 1)]
+    lab = F.col(y_col).cast("int")
+    keep = lab.isNotNull()
+    for c in x_cols:
+        keep = keep & F.col(c).isNotNull()
+    return (
+        df.filter(keep)
+        .select(
+            *[F.col(c).cast("double").alias(x) for c, x in zip(x_cols, xs)],
+            lab.alias("__y"),
+        )
+        .groupBy(*xs)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("sy"))
+    )
+
+
+def stream_glm_grid_multi(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    x_cols: list[str],
+    y_col: str,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Fold each micro-batch's joint-grid (n, sum_y) partials into the
+    persisted ``name`` table (addition-merge keyed by the covariate
+    cell, idempotent lineage-scoped stamp). Read the live d-covariate
+    fit with :func:`finalize_logistic_multi`."""
+    xs = [f"__x{i}" for i in range(1, len(x_cols) + 1)]
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__glmm_checkpoint__"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = glm_grid_partial_multi(batch, x_cols, y_col)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=xs, counters=["n", "sy"],
+                      run_id=lineage_token(checkpoint))
+
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_logistic_multi(
+    grid: DataFrame, d: int, iterations: int = 4
+) -> DataFrame:
+    """d-covariate logistic MLE over the maintained joint grid —
+    identical to the batch ``logistic_newton_multi`` over the same
+    rows (twin test); sy must be the count of positive outcomes."""
+    from clinpy_spark.operators.assoc import logistic_newton_multi_from_grid
+
+    xs = [f"__x{i}" for i in range(1, d + 1)]
+    g = grid.select(
+        *xs, F.col("n").alias("__n"), F.col("sy").alias("__p"))
+    return logistic_newton_multi_from_grid(g, d, iterations=iterations)
+
+
 def finalize_poisson(grid: DataFrame, iterations: int = 4) -> DataFrame:
     """Poisson MLE over the maintained (__x, n, sy) grid — identical
     to the batch ``poisson_newton`` over the same data (twin test)."""

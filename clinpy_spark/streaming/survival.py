@@ -71,6 +71,86 @@ def stream_km_partials(
     return w.start()
 
 
+def cox_leaver_partials(
+    batch: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_cols: list[str],
+) -> DataFrame:
+    """One micro-batch -> additive per-(covariate-cell, time) leaver
+    partials (__x1..__xd, __t, __r, __d) — the d-covariate Cox MLE's
+    sufficient statistic (operators/survival.py
+    cox_newton_multi_from_leavers)."""
+    xs = [f"__x{i}" for i in range(1, len(x_cols) + 1)]
+    keep = (F.col(time_col).isNotNull()
+            & F.col(event_col).cast("int").isNotNull())
+    for c in x_cols:
+        keep = keep & F.col(c).isNotNull()
+    return (
+        batch.filter(keep)
+        .select(
+            F.col(time_col).alias("__t"),
+            F.col(event_col).cast("int").alias("__e"),
+            *[F.col(c).cast("double").alias(x)
+              for c, x in zip(x_cols, xs)],
+        )
+        .groupBy(*xs, "__t")
+        .agg(F.count(F.lit(1)).alias("__r"), F.sum("__e").alias("__d"))
+    )
+
+
+def stream_cox_partials(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    time_col: str,
+    event_col: str,
+    x_cols: list[str],
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Fold each micro-batch's Cox leaver partials into the persisted
+    ``name`` table (addition-merge keyed by (cell, time), idempotent
+    lineage-scoped stamp). Read the live adjusted hazard ratios with
+    :func:`finalize_cox_multi` — continuously-monitored multi-covariate
+    Cox without rescanning subject history."""
+    from clinpy_spark.streaming.fold import fold_partials, lineage_token
+
+    xs = [f"__x{i}" for i in range(1, len(x_cols) + 1)]
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__cox_checkpoint__"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = cox_leaver_partials(batch, time_col, event_col, x_cols)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=[*xs, "__t"], counters=["__r", "__d"],
+                      run_id=lineage_token(checkpoint))
+
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_cox_multi(
+    partials: DataFrame, d: int, iterations: int = 4
+) -> DataFrame:
+    """The current d-covariate Cox fit from the folded leaver grid —
+    identical to the batch ``cox_newton_multi`` over everything folded
+    so far (twin test); at-risk counts rebuild from the leaver totals
+    on read."""
+    from clinpy_spark.operators.survival import cox_newton_multi_from_leavers
+
+    xs = [f"__x{i}" for i in range(1, d + 1)]
+    return cox_newton_multi_from_leavers(
+        partials.select(*xs, "__t", "__r", "__d"), d,
+        iterations=iterations)
+
+
 def km_read(
     partials: DataFrame,
     time_col: str,

@@ -60,6 +60,44 @@ def test_logistic_multi_singular_is_null(spark):
     assert out.n == 30  # margins still reported
 
 
+def test_poisson_multi_d1_reduces_to_single(spark):
+    """With one covariate the d-dimensional Newton solves the same 2x2
+    normal equations (and saturated-intercept start) as
+    poisson_newton."""
+    from clinpy_spark.operators.assoc import (
+        poisson_newton, poisson_newton_multi,
+    )
+
+    rows = [Row(x=float(i % 4), y=float((i * 3) % 7)) for i in range(160)]
+    df = spark.createDataFrame(rows)
+    single = poisson_newton(df, "x", "y", iterations=5).collect()[0]
+    multi = poisson_newton_multi(df, ["x"], "y", iterations=5).collect()[0]
+    assert abs(single.beta0 - multi.beta0) < 1e-6
+    assert abs(single.beta1 - multi.beta1) < 1e-6
+    assert abs(single.se1 - multi.se1) < 1e-5
+
+
+def test_poisson_multi_orthogonal_null_covariate(spark):
+    """A balanced null second covariate fits beta2 = 0 and leaves
+    (beta0, beta1) at the single-covariate MLE."""
+    from clinpy_spark.operators.assoc import (
+        poisson_newton, poisson_newton_multi,
+    )
+
+    rows = []
+    for x2 in (0.0, 1.0):
+        rows += [Row(x1=float(i % 3), x2=x2, y=float((i * 5) % 6))
+                 for i in range(90)]
+    df = spark.createDataFrame(rows)
+    single = poisson_newton(df, "x1", "y", iterations=5).collect()[0]
+    multi = poisson_newton_multi(
+        df, ["x1", "x2"], "y", iterations=5).collect()[0]
+    assert abs(multi.beta2) < 1e-9
+    assert abs(single.beta0 - multi.beta0) < 1e-6
+    assert abs(single.beta1 - multi.beta1) < 1e-6
+    assert multi.score_norm < 1e-4
+
+
 def test_cox_multi_d1_reduces_to_single(spark):
     """With one binary covariate the cell-grid Newton solves the same
     Breslow partial likelihood as cox_newton."""
@@ -102,6 +140,30 @@ def test_cox_multi_orthogonal_null_covariate(spark):
     assert multi.score_norm < 1e-4
 
 
+def test_streaming_logistic_multi_matches_batch(spark):
+    """The folded joint-covariate grid refits the d-covariate MLE on
+    read, exactly matching the batch fitter over the same rows (grid
+    counters are integer-additive — twin contract)."""
+    from clinpy_spark.operators.assoc import logistic_newton_multi
+    from clinpy_spark.streaming.glm import (
+        finalize_logistic_multi, glm_grid_partial_multi,
+    )
+
+    rows = [Row(x1=float(i % 4), x2=float((i // 4) % 3),
+                y=(1 if (i * 7) % 10 < 2 + (i % 4) else 0))
+            for i in range(240)]
+    df = spark.createDataFrame(rows)
+    g1 = glm_grid_partial_multi(df.filter(F.col("x1") < 2), ["x1", "x2"], "y")
+    g2 = glm_grid_partial_multi(df.filter(F.col("x1") >= 2), ["x1", "x2"], "y")
+    folded = g1.unionByName(g2).groupBy("__x1", "__x2").agg(
+        F.sum("n").alias("n"), F.sum("sy").alias("sy"))
+    got = finalize_logistic_multi(folded, 2, iterations=5).collect()[0]
+    want = logistic_newton_multi(
+        df, ["x1", "x2"], "y", iterations=5).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.beta1 is not None
+
+
 def test_apply_containment_dedup_keeps_maximal(spark):
     """Directional keep-LONGEST: on a quote chain a ⊂ b ⊂ c only the
     maximal c survives; unrelated docs are untouched; mutual
@@ -124,6 +186,34 @@ def test_apply_containment_dedup_keeps_maximal(spark):
     kept = sorted(r.doc_id for r in
                   apply_containment_dedup(docs, prs, "doc_id").collect())
     assert kept == [3, 4, 5]
+
+
+def test_streaming_cox_multi_matches_batch(spark):
+    """The folded per-(cell, time) leaver grid refits the d-covariate
+    Cox MLE on read, exactly matching the batch fitter over the same
+    subjects (leaver counters are integer-additive; at-risk counts
+    rebuild from totals — twin contract)."""
+    from clinpy_spark.operators.survival import cox_newton_multi
+    from clinpy_spark.streaming.survival import (
+        cox_leaver_partials, finalize_cox_multi,
+    )
+
+    rows = [Row(t=(i * 37) % 50 + 1 + (i % 2) * 3,
+                e=1 if (i * 13) % 10 < 7 else 0,
+                x1=float(i % 2), x2=float((i // 2) % 2))
+            for i in range(300)]
+    df = spark.createDataFrame(rows)
+    p1 = cox_leaver_partials(df.filter(F.col("t") < 25), "t", "e",
+                             ["x1", "x2"])
+    p2 = cox_leaver_partials(df.filter(F.col("t") >= 25), "t", "e",
+                             ["x1", "x2"])
+    folded = p1.unionByName(p2).groupBy("__x1", "__x2", "__t").agg(
+        F.sum("__r").alias("__r"), F.sum("__d").alias("__d"))
+    got = finalize_cox_multi(folded, 2, iterations=4).collect()[0]
+    want = cox_newton_multi(df, "t", "e", ["x1", "x2"],
+                            iterations=4).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.beta1 is not None and got.n_subjects == 300
 
 
 def test_cox_multi_singular_is_null(spark):
