@@ -409,8 +409,11 @@ def main() -> None:
         f"Intentional all-pairs baselines (exempt): {', '.join(sorted(EXPECTED_UNBOUNDED))}.",
         "",
     ]
-    with open("/root/repo/PLANS.md", "w") as f:
-        f.write("\n".join(lines))
+    if only:
+        print("(subset run: PLANS.md not rewritten)")
+    else:
+        with open("/root/repo/PLANS.md", "w") as f:
+            f.write("\n".join(lines))
 
     for r in results:
         mark = "HAZARD" if r["hazards"] else "ok"
