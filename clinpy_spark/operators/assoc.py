@@ -1618,6 +1618,51 @@ def logistic_newton_multi_from_grid(
     return spark.range(1).select(*cols)
 
 
+def dummy_encode(
+    df: DataFrame,
+    col: str,
+    prefix: str | None = None,
+    max_levels: int = 32,
+) -> tuple[DataFrame, list[str]]:
+    """Reference-coded indicator columns for a categorical covariate —
+    the bridge from a string/enum column to the multi-covariate
+    fitters (``logistic_newton_multi`` / ``poisson_newton_multi`` /
+    ``cox_newton_multi`` take numeric covariates only). Returns
+    ``(df_with_indicators, new_column_names)``: k-1 columns
+    ``{prefix}_{level}`` for the k observed levels sorted ascending,
+    the FIRST level as the reference (all-zeros row), NULL category
+    rows get NULL indicators so the fitters' null-filter drops them.
+
+    One distinct-aggregate to the level list (collected, bounded by
+    ``max_levels`` — raises beyond it: one-hot at unbounded
+    cardinality is a modeling error, hash or bucket first), then pure
+    column expressions — no join, no shuffle.
+    """
+    prefix = prefix or col
+    levels = [
+        r.v for r in
+        df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+        .distinct().orderBy("v").limit(max_levels + 1).collect()
+    ]
+    if len(levels) > max_levels:
+        raise ValueError(
+            f"dummy_encode: {col} has more than {max_levels} levels — "
+            "hash or bucket the category first (one-hot at unbounded "
+            "cardinality is quadratic trouble downstream)")
+    if not levels:
+        return df, []
+    names = []
+    out = df
+    for lv in levels[1:]:
+        name = f"{prefix}_{lv}"
+        out = out.withColumn(
+            name,
+            F.when(F.col(col).isNull(), F.lit(None).cast("double"))
+            .when(F.col(col) == F.lit(lv), 1.0).otherwise(0.0))
+        names.append(name)
+    return out, names
+
+
 def poisson_newton_multi(
     df: DataFrame,
     x_cols: list[str],

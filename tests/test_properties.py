@@ -1402,3 +1402,67 @@ def test_neyman_allocation_sums_to_budget(spark, data, budget):
     out = neyman_allocation(df, "g", "v", budget).collect()
     assert all(r.alloc_n >= 0 for r in out)
     assert sum(r.alloc_n for r in out) == budget
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2),
+                  st.integers(1, 40), st.integers(0, 40)),
+        min_size=4, max_size=12),
+    iters=st.integers(2, 5),
+)
+def test_logistic_multi_matches_local_numpy_irls(spark, cells, iters):
+    """The distributed d=2 IRLS is the EXACT same recurrence as a
+    local numpy replay over the collected grid (same start, same step
+    count, same det>0 guard) — property-pinned on arbitrary small
+    grids including singular ones."""
+    import numpy as np
+
+    from clinpy_spark.operators.assoc import logistic_newton_multi
+
+    # build a per-cell grid and expand to rows
+    rows = []
+    for x1, x2, n, p in cells:
+        p = min(p, n)
+        rows += [(float(x1), float(x2), 1)] * p
+        rows += [(float(x1), float(x2), 0)] * (n - p)
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y int")
+    got = logistic_newton_multi(
+        df, ["x1", "x2"], "y", iterations=iters).collect()[0]
+
+    # local replay: identical algorithm on the aggregated grid
+    grid = {}
+    for x1, x2, y in rows:
+        n, p = grid.get((x1, x2), (0, 0))
+        grid[(x1, x2)] = (n + 1, p + y)
+    xs = np.array([[1.0, k[0], k[1]] for k in grid])
+    nn = np.array([v[0] for v in grid.values()], dtype=float)
+    pp = np.array([v[1] for v in grid.values()], dtype=float)
+    beta = np.zeros(3)
+    singular = False
+    for _ in range(iters):
+        mu = 1 / (1 + np.exp(-(xs @ beta)))
+        w = nn * mu * (1 - mu)
+        u = xs.T @ (pp - nn * mu)
+        info = (xs * w[:, None]).T @ xs
+        if np.linalg.det(info) <= 0:
+            singular = True
+            break
+        beta = beta + np.linalg.solve(info, u)
+    if singular:
+        assert got.beta0 is None
+        return
+    mu = 1 / (1 + np.exp(-(xs @ beta)))
+    w = nn * mu * (1 - mu)
+    info = (xs * w[:, None]).T @ xs
+    if np.linalg.det(info) <= 0:
+        assert got.beta0 is None
+        return
+    cov = np.linalg.inv(info)
+    assert got.beta0 == round(float(beta[0]), 6) + 0.0
+    assert got.beta1 == round(float(beta[1]), 6) + 0.0
+    assert got.beta2 == round(float(beta[2]), 6) + 0.0
+    assert got.se1 == round(float(np.sqrt(cov[1, 1])), 6) + 0.0
+    assert got.se2 == round(float(np.sqrt(cov[2, 2])), 6) + 0.0
+    assert (got.n, got.n_pos) == (int(nn.sum()), int(pp.sum()))

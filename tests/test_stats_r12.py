@@ -60,6 +60,39 @@ def test_logistic_multi_singular_is_null(spark):
     assert out.n == 30  # margins still reported
 
 
+def test_dummy_encode_reference_coding(spark):
+    """k-1 indicators, first level as reference, NULL rows get NULL
+    indicators, and the encoded columns feed the multi fitter: the
+    categorical adjustment recovers the per-level log-odds."""
+    import pytest
+
+    from clinpy_spark.operators.assoc import (
+        dummy_encode, logistic_newton_multi,
+    )
+
+    rows = ([Row(g="a", y=1)] * 10 + [Row(g="a", y=0)] * 40
+            + [Row(g="b", y=1)] * 20 + [Row(g="b", y=0)] * 30
+            + [Row(g="c", y=1)] * 30 + [Row(g="c", y=0)] * 20
+            + [Row(g=None, y=1)] * 3)
+    df = spark.createDataFrame(rows)
+    out, names = dummy_encode(df, "g")
+    assert names == ["g_b", "g_c"]
+    got = {(r.g, r.g_b, r.g_c) for r in
+           out.select("g", "g_b", "g_c").distinct().collect()}
+    assert got == {("a", 0.0, 0.0), ("b", 1.0, 0.0), ("c", 0.0, 1.0),
+                   (None, None, None)}
+    fit = logistic_newton_multi(out, names, "y", iterations=8).collect()[0]
+    b0 = math.log(10 / 40)
+    assert abs(fit.beta0 - b0) < 1e-5
+    assert abs(fit.beta1 - (math.log(20 / 30) - b0)) < 1e-5
+    assert abs(fit.beta2 - (math.log(30 / 20) - b0)) < 1e-5
+    assert fit.n == 150  # NULL-category rows dropped by the fitter
+    with pytest.raises(ValueError, match="levels"):
+        dummy_encode(
+            spark.range(100).select(F.col("id").cast("string").alias("g")),
+            "g", max_levels=32)
+
+
 def test_poisson_multi_d1_reduces_to_single(spark):
     """With one covariate the d-dimensional Newton solves the same 2x2
     normal equations (and saturated-intercept start) as

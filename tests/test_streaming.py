@@ -723,6 +723,50 @@ def test_streaming_km_matches_batch(spark, tmp_path):
     assert got[("a", 2)][1] == 2        # both batches' events at t=2 folded
 
 
+def test_streaming_cox_multi_end_to_end(spark, tmp_path):
+    """Streaming multi-covariate Cox twin: leaver partials folded
+    across two real micro-batches; the on-read refit equals the batch
+    cox_newton_multi over the union (cross-batch accumulation on
+    shared (cell, time) keys exercised)."""
+    import json as _json
+
+    from clinpy_spark.operators.survival import cox_newton_multi
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.survival import (
+        finalize_cox_multi, stream_cox_partials,
+    )
+
+    rows = [dict(t=(i * 37) % 30 + 1 + (i % 2) * 3,
+                 e=1 if (i * 13) % 10 < 7 else 0,
+                 x1=float(i % 2), x2=float((i // 2) % 2))
+            for i in range(200)]
+    src = tmp_path / "subjects"
+    src.mkdir()
+    for part, chunk in enumerate((rows[:90], rows[90:])):
+        with open(src / f"part-{part}.json", "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps(r) + "\n")
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    stream = (
+        spark.readStream.schema("t long, e int, x1 double, x2 double")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = stream_cox_partials(
+        stream, cat, "cox_grid", "t", "e", ["x1", "x2"],
+        checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = finalize_cox_multi(
+        cat.table("cox_grid"), 2, iterations=4).collect()[0]
+    batch = spark.createDataFrame(
+        [(r["t"], r["e"], r["x1"], r["x2"]) for r in rows],
+        "t long, e int, x1 double, x2 double")
+    want = cox_newton_multi(
+        batch, "t", "e", ["x1", "x2"], iterations=4).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.n_subjects == 200
+
+
 def test_streaming_ks_matches_batch(spark, tmp_path):
     """Streaming KS twin: per-value counts folded across two
     micro-batches + a frozen reference snapshot reproduce the batch
