@@ -1618,6 +1618,108 @@ def logistic_newton_multi_from_grid(
     return spark.range(1).select(*cols)
 
 
+def cohen_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement for two categorical raters:
+    1 row (n, n_categories, po, pe, kappa, se0, z) — chance-corrected
+    agreement, THE standard readout when two annotators / two
+    classifiers / a model and a gold label rate the same items
+    (abstract screening, variant curation, label-quality audits).
+
+    kappa = (po - pe) / (1 - pe) with po = observed agreement rate and
+    pe = sum_c p_a(c) p_b(c) the chance rate from the marginals; se0 =
+    sqrt(po(1-po))/((1-pe)sqrt(n)) is the usual null-hypothesis SE and
+    z = kappa/se0 the test against kappa = 0. NULL kappa when pe = 1
+    (both raters constant and equal — agreement is vacuous).
+
+    Scale shape: ONE groupBy to the bounded (a, b) contingency grid,
+    marginals and the diagonal as grid-sized aggregates — the corpus
+    is scanned once; exact integer counts so a SQL oracle recomputes
+    identically (round-6).
+    """
+    a, b = F.col(rater_a), F.col(rater_b)
+    grid = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.cast("string").alias("__a"), b.cast("string").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = grid.agg(F.sum("__n").alias("n")).collect()[0].n or 0
+    if tot == 0:
+        return grid.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("n_categories"),
+            *[F.lit(None).cast("double").alias(c)
+              for c in ("po", "pe", "kappa", "se0", "z")])
+    ma = grid.groupBy("__a").agg(F.sum("__n").alias("na"))
+    mb = grid.groupBy("__b").agg(F.sum("__n").alias("nb"))
+    pe_df = ma.join(mb, ma["__a"] == mb["__b"]).agg(
+        F.sum(F.col("na").cast("double") * F.col("nb")
+              / F.lit(float(tot * tot))).alias("pe"),
+    )
+    stats = grid.agg(
+        F.sum("__n").alias("n"),
+        (F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))
+               .otherwise(0)).cast("double") / F.lit(float(tot))).alias("po"),
+        F.countDistinct("__a").alias("ka"),
+    ).crossJoin(F.broadcast(pe_df))
+    po, pe = F.col("po"), F.coalesce(F.col("pe"), F.lit(0.0))
+    ok = pe < 1.0
+    se0 = F.sqrt(po * (1 - po)) / ((1 - pe) * F.sqrt(F.col("n").cast("double")))
+    return stats.select(
+        "n",
+        F.col("ka").alias("n_categories"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(ok, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
+        F.when(ok & (po > 0) & (po < 1), F.round(se0, 6)).alias("se0"),
+        F.when(ok & (po > 0) & (po < 1),
+               F.round(((po - pe) / (1 - pe)) / se0, 6)).alias("z"),
+    )
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group Wilson score interval for a binomial proportion:
+    (group, n, k, phat, ci_lo, ci_hi) — the interval that actually
+    holds its coverage at small n and extreme rates, where the Wald
+    interval collapses (the standard epi/monitoring choice: adverse
+    event rates, per-segment conversion, per-batch defect rates).
+
+    center = (phat + z^2/2n) / (1 + z^2/n),
+    halfwidth = z sqrt(phat(1-phat)/n + z^2/4n^2) / (1 + z^2/n);
+    closed-form per group from exact integer (n, k) — one groupBy,
+    no window, oracle recomputes identically (round-6).
+    """
+    y = F.col(success_col).cast("int")
+    g = (
+        df.filter(y.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("k"))
+    )
+    n = F.col("n").cast("double")
+    phat = F.col("k").cast("double") / n
+    z2 = float(z * z)
+    denom = 1 + F.lit(z2) / n
+    center = (phat + F.lit(z2) / (2 * n)) / denom
+    half = (F.lit(float(z))
+            * F.sqrt(phat * (1 - phat) / n + F.lit(z2) / (4 * n * n))
+            / denom)
+    return g.select(
+        "grp", "n", "k",
+        F.round(phat, 6).alias("phat"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("ci_lo"),
+        F.round(F.least(center + half, F.lit(1.0)), 6).alias("ci_hi"),
+    )
+
+
 def dummy_encode(
     df: DataFrame,
     col: str,

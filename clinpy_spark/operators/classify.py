@@ -200,6 +200,55 @@ def auc_from_score_counts(per_val: DataFrame) -> DataFrame:
     )
 
 
+def roc_auc_by(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by_col: str,
+) -> DataFrame:
+    """Per-group exact ROC-AUC — :func:`roc_auc` partitioned by
+    ``by_col``: (group, auc, n_pos, n_neg, n_ties), one row per group.
+    The per-segment / per-fold model readout (cross-validation folds,
+    language buckets, time slices) a single pooled AUC hides.
+
+    Same scale shape as the global form, but the midrank window is
+    PARTITIONED BY the group — it runs over each group's distinct
+    scores, never a corpus-wide unpartitioned sort — and the final
+    reduce is one groupBy over the per-(group, score) count table.
+    """
+    lab = F.col(label_col).cast("int")
+    per_val = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull()
+                  & F.col(by_col).isNotNull())
+        .groupBy(F.col(by_col).alias("grp"), F.col(score_col).alias("__s"))
+        .agg(F.sum(lab).alias("np"), F.sum(1 - lab).alias("nn"))
+    )
+    cnt = (F.col("np") + F.col("nn")).cast("double")
+    w_prev = (Window.partitionBy("grp").orderBy("__s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_val.withColumn(
+        "__before",
+        F.coalesce(F.sum(F.col("np") + F.col("nn")).over(w_prev), F.lit(0))
+        .cast("double"),
+    ).withColumn("__midrank", F.col("__before") + (cnt + 1) / 2)
+    agg = ranked.groupBy("grp").agg(
+        F.sum(F.col("np").cast("double") * F.col("__midrank")).alias("__rp"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(F.when((F.col("np") > 0) & (F.col("nn") > 0), 1)
+              .otherwise(0)).alias("n_ties"),
+    )
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    auc = (F.col("__rp") - npos * (npos + 1) / 2) / (npos * nneg)
+    return agg.select(
+        "grp",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+               F.round(auc, 6)).alias("auc"),
+        "n_pos", "n_neg", "n_ties",
+    )
+
+
 def reliability_table(
     df: DataFrame,
     score_col: str,

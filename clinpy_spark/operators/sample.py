@@ -42,6 +42,25 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
     return df.filter(sample_hash(key_col, seed) < F.lit(_hex_threshold(fraction)))
 
 
+def kfold_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    k: int = 5,
+    seed: int = 42,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = (md5 hash coordinate)
+    mod k — the cross-validation face of :func:`split_corpus` (same
+    auditable md5 coordinate, so the SQL oracle and any external
+    auditor recompute identical folds; stable under repartitioning,
+    restarts, and engine changes). Pure column expression: no shuffle,
+    no state."""
+    if k < 2:
+        raise ValueError(f"kfold_assign needs k >= 2, got {k}")
+    coord = F.conv(sample_hash(key_col, seed), 16, 10).cast("long")
+    return df.withColumn(fold_col, (coord % k).cast("int"))
+
+
 def split_corpus(
     df: DataFrame,
     splits: dict[str, float],

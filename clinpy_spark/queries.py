@@ -10054,6 +10054,98 @@ def dx_poisson_multi_q(spark, sf):
     return poisson_newton_multi(base, ["x1", "x2"], "y", iterations=4)
 
 
+@q("dx_cohen_kappa", """
+WITH r AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 'hi' ELSE 'lo' END AS a,
+                  CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS b
+           FROM orders),
+g AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+                   FROM r GROUP BY a, b),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g),
+ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM g GROUP BY a),
+mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM g GROUP BY b),
+pe AS (SELECT sum(CAST(na AS DOUBLE) * nb
+                  / (CAST(tot AS DOUBLE) * tot)) AS pe
+       FROM ma JOIN mb ON ma.a = mb.b CROSS JOIN t),
+st AS (SELECT (SELECT tot FROM t) AS n,
+              CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS DOUBLE)
+                / (SELECT tot FROM t) AS po,
+              CAST(count(DISTINCT a) AS BIGINT) AS ka
+       FROM g)
+SELECT n, ka AS n_categories, round(po, 6) AS po,
+       round(coalesce(pe, 0), 6) AS pe,
+       CASE WHEN coalesce(pe, 0) < 1
+            THEN round((po - coalesce(pe, 0)) / (1 - coalesce(pe, 0)), 6)
+       END AS kappa,
+       CASE WHEN coalesce(pe, 0) < 1 AND po > 0 AND po < 1
+            THEN round(sqrt(po * (1 - po))
+                       / ((1 - coalesce(pe, 0)) * sqrt(CAST(n AS DOUBLE))), 6)
+       END AS se0,
+       CASE WHEN coalesce(pe, 0) < 1 AND po > 0 AND po < 1
+            THEN round(((po - coalesce(pe, 0)) / (1 - coalesce(pe, 0)))
+                       / (sqrt(po * (1 - po))
+                          / ((1 - coalesce(pe, 0))
+                             * sqrt(CAST(n AS DOUBLE)))), 6)
+       END AS z
+FROM st CROSS JOIN pe
+""")
+def dx_cohen_kappa_q(spark, sf):
+    # Cohen's kappa inter-rater agreement (operators/assoc.py
+    # cohen_kappa): do the priority-based and price-based 'urgency
+    # raters' agree beyond chance — THE label-quality audit statistic
+    # when two annotators or a model and a gold standard rate the same
+    # items. One groupBy to the bounded contingency grid; marginal
+    # chance rate from grid-sized joins.
+    from clinpy_spark.operators.assoc import cohen_kappa
+
+    o = _t(spark, sf, "orders").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
+        .otherwise("lo").alias("a"),
+        F.when(F.col("o_totalprice") > 150000, "hi").otherwise("lo")
+        .alias("b"),
+    )
+    return cohen_kappa(o, "a", "b")
+
+
+@q("q_wilson_ci", """
+WITH g AS (SELECT o_orderpriority AS grp,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN o_totalprice > 150000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM orders GROUP BY o_orderpriority)
+SELECT grp, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS phat,
+       round(GREATEST(
+         ((CAST(k AS DOUBLE) / n + (1.959964 * 1.959964) / (2 * CAST(n AS DOUBLE)))
+          / (1 + (1.959964 * 1.959964) / CAST(n AS DOUBLE)))
+         - (1.959964 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                            / n + (1.959964 * 1.959964)
+                            / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            / (1 + (1.959964 * 1.959964) / CAST(n AS DOUBLE))), 0.0), 6) AS ci_lo,
+       round(LEAST(
+         ((CAST(k AS DOUBLE) / n + (1.959964 * 1.959964) / (2 * CAST(n AS DOUBLE)))
+          / (1 + (1.959964 * 1.959964) / CAST(n AS DOUBLE)))
+         + (1.959964 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                            / n + (1.959964 * 1.959964)
+                            / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            / (1 + (1.959964 * 1.959964) / CAST(n AS DOUBLE))), 1.0), 6) AS ci_hi
+FROM g
+""")
+def q_wilson_ci_q(spark, sf):
+    # Per-priority Wilson score interval (operators/assoc.py
+    # wilson_ci) for the high-price order rate: the binomial interval
+    # that holds coverage at small n / extreme rates where Wald
+    # collapses — the standard epi/monitoring readout. Closed form per
+    # group from exact integer (n, k); one groupBy, no window.
+    from clinpy_spark.operators.assoc import wilson_ci
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("s"),
+    )
+    return wilson_ci(o, "grp", "s")
+
+
 @q("gx_haplotype_em", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 va AS (SELECT c_custkey AS s, gt AS ga FROM g WHERE variant = 7),
@@ -10844,6 +10936,61 @@ def _feature_score(spark, sf):
     )
 
 
+@q("curate_kfold_auc", f"""
+WITH base AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+              ::BIGINT % 5 AS INT) AS grp,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              x -> list_contains({_EN_SW_SQL}, x))) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE trim(text) <> ''),
+pv AS (SELECT grp, s, CAST(sum(y) AS BIGINT) AS np,
+              CAST(sum(1 - y) AS BIGINT) AS nn
+       FROM base GROUP BY grp, s),
+r AS (SELECT grp, np, nn,
+        CAST(coalesce(sum(np + nn) OVER (PARTITION BY grp ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+          AS bef,
+        CAST(np + nn AS DOUBLE) AS c
+      FROM pv),
+a AS (SELECT grp, sum(CAST(np AS DOUBLE) * (bef + (c + 1) / 2)) AS rp,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN np > 0 AND nn > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ties
+      FROM r GROUP BY grp)
+SELECT grp, CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round((rp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+                       / (CAST(n_pos AS DOUBLE) * n_neg), 6)
+       END AS auc,
+       n_pos, n_neg, n_ties
+FROM a
+""")
+def curate_kfold_auc_q(spark, sf):
+    # Per-fold feature AUC (operators/sample.py kfold_assign +
+    # operators/classify.py roc_auc_by): the cross-validated
+    # discrimination readout of the en-stopword-density feature — fold
+    # assignment is the auditable md5 coordinate mod 5 (the oracle
+    # recomputes identical folds), and the midrank window runs
+    # PARTITIONED BY fold over each fold's distinct scores, never a
+    # corpus-wide sort.
+    from clinpy_spark.operators.classify import roc_auc_by
+    from clinpy_spark.operators.sample import kfold_assign
+    from clinpy_spark.functions.text import (
+        LANG_STOPWORDS, stopword_count, token_count,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    scored = kfold_assign(docs, "doc_id", k=5, seed=42).select(
+        "fold",
+        (stopword_count(F.col("text"), LANG_STOPWORDS["en"]).cast("double")
+         / token_count(F.col("text"))).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return roc_auc_by(scored, "s", "y", "fold")
+
+
 @q("curate_feature_auc", f"""
 WITH base AS ({_FEATURE_SCORE_SQL}),
 pv AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
@@ -11468,6 +11615,9 @@ _PRIORITY: list[str] = [
     "dx_logistic_multi",
     "surv_cox_multi",
     "dx_poisson_multi",
+    "dx_cohen_kappa",
+    "q_wilson_ci",
+    "curate_kfold_auc",
     "dedup_containment_apply",
     "graph_jaccard_links",
     "e_dispersion",

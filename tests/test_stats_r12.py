@@ -60,6 +60,84 @@ def test_logistic_multi_singular_is_null(spark):
     assert out.n == 30  # margins still reported
 
 
+def test_kfold_assign_and_grouped_auc(spark):
+    """Folds are deterministic, complete (0..k-1), and stable across
+    calls; per-group AUC matches the global roc_auc computed on each
+    group separately."""
+    from clinpy_spark.operators.classify import roc_auc, roc_auc_by
+    from clinpy_spark.operators.sample import kfold_assign
+
+    rows = [Row(doc_id=i, s=float((i * 7) % 13),
+                y=(1 if (i * 7) % 13 > 6 - (i % 3) else 0))
+            for i in range(300)]
+    df = spark.createDataFrame(rows)
+    f1 = kfold_assign(df, "doc_id", k=4)
+    f2 = kfold_assign(df, "doc_id", k=4)
+    a = {r.doc_id: r.fold for r in f1.collect()}
+    b = {r.doc_id: r.fold for r in f2.collect()}
+    assert a == b
+    assert set(a.values()) == {0, 1, 2, 3}
+
+    got = {r.grp: r for r in roc_auc_by(f1, "s", "y", "fold").collect()}
+    for fold in range(4):
+        want = roc_auc(f1.filter(F.col("fold") == fold), "s", "y").collect()[0]
+        g = got[fold]
+        assert (g.auc, g.n_pos, g.n_neg, g.n_ties) == (
+            want.auc, want.n_pos, want.n_neg, want.n_ties)
+
+
+def test_cohen_kappa_known_values(spark):
+    """Hand-computed 2x2 agreement table (the classic textbook case):
+    po = 0.7, pe = 0.545, kappa = (0.7-0.545)/0.455; perfect agreement
+    -> po = 1 with kappa = 1; both-constant-equal raters -> NULL
+    (vacuous agreement)."""
+    from clinpy_spark.operators.assoc import cohen_kappa
+
+    rows = ([Row(a="y", b="y")] * 45 + [Row(a="y", b="n")] * 15
+            + [Row(a="n", b="y")] * 15 + [Row(a="n", b="n")] * 25)
+    out = cohen_kappa(spark.createDataFrame(rows), "a", "b").collect()[0]
+    po = 0.7
+    pe = 0.6 * 0.6 + 0.4 * 0.4
+    assert out.n == 100 and out.n_categories == 2
+    assert abs(out.po - po) < 1e-9
+    assert abs(out.pe - pe) < 1e-9
+    assert abs(out.kappa - (po - pe) / (1 - pe)) < 1e-6
+    assert abs(out.z - out.kappa / out.se0) < 1e-3
+
+    perfect = [Row(a=str(i % 3), b=str(i % 3)) for i in range(30)]
+    outp = cohen_kappa(spark.createDataFrame(perfect), "a", "b").collect()[0]
+    assert outp.kappa == 1.0 and outp.po == 1.0
+
+    const = [Row(a="x", b="x")] * 10
+    outc = cohen_kappa(spark.createDataFrame(const), "a", "b").collect()[0]
+    assert outc.kappa is None  # pe = 1: chance correction undefined
+
+
+def test_wilson_ci_coverage_shape(spark):
+    """Wilson interval contains phat, stays inside [0, 1] at the
+    extremes (k = 0 and k = n, where Wald collapses to zero width),
+    and matches the closed form."""
+    import math
+
+    from clinpy_spark.operators.assoc import wilson_ci
+
+    rows = ([Row(g="mid", s=1)] * 30 + [Row(g="mid", s=0)] * 70
+            + [Row(g="none", s=0)] * 20 + [Row(g="all", s=1)] * 15)
+    out = {r.grp: r for r in
+           wilson_ci(spark.createDataFrame(rows), "g", "s").collect()}
+    for r in out.values():
+        assert 0.0 <= r.ci_lo <= r.phat <= r.ci_hi <= 1.0
+    assert out["none"].phat == 0.0 and out["none"].ci_hi > 0.0
+    assert out["all"].phat == 1.0 and out["all"].ci_lo < 1.0
+    # closed form for the mid group
+    z, n, p = 1.959964, 100.0, 0.3
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert abs(out["mid"].ci_lo - (center - half)) < 1e-6
+    assert abs(out["mid"].ci_hi - (center + half)) < 1e-6
+
+
 def test_dummy_encode_reference_coding(spark):
     """k-1 indicators, first level as reference, NULL rows get NULL
     indicators, and the encoded columns feed the multi fitter: the

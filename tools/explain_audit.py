@@ -72,6 +72,9 @@ EXPECTED_UNBOUNDED = {
                            # over the bounded probe set; the 100 TB path
                            # swaps in an ANN shortlist + identical window
     "s19_bootstrap_ci",  # crossJoin vs the ONE-ROW point-estimate agg
+    "dx_cohen_kappa",  # crossJoin of the TWO 1-row aggregates (observed
+                       # agreement + marginal chance rate) into the
+                       # single kappa row — both sides shape-proven
     "sim_cluster_quality",  # wss x bss x consts — three 1-row aggregates
     "a16_market_basket",  # crossJoin vs the 1-row basket-count constant
     "text_kmv_overlap",  # two k-length single-row sketches crossJoined —
