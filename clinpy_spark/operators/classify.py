@@ -200,6 +200,119 @@ def auc_from_score_counts(per_val: DataFrame) -> DataFrame:
     )
 
 
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT average precision (area under the precision-recall
+    curve, step interpolation): 1 row (ap, n_pos, n_neg, baseline) —
+    the model-eval readout that matters under CLASS IMBALANCE, where
+    ROC-AUC stays rosy because true negatives dominate both its axes.
+    ``baseline`` = n_pos/n (a random scorer's AP) for calibration of
+    the readout itself.
+
+    AP = sum_k (R_k - R_{k-1}) P_k over DESCENDING distinct scores
+    (ties processed as one block, the standard step convention):
+    P_k = TP_k/(TP_k + FP_k) and R_k = TP_k/n_pos from cumulative
+    counts. Same scale shape as ``roc_auc``: one groupBy to the
+    per-distinct-score (np, nn) table, cumulative windows over
+    |distinct scores| rows, one 1-row reduce. NULL when either class
+    is empty.
+    """
+    lab = F.col(label_col).cast("int")
+    per_val = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .select(F.col(score_col).alias("__s"), lab.alias("__y"))
+        .groupBy("__s")
+        .agg(F.sum("__y").alias("np"), F.sum(1 - F.col("__y")).alias("nn"))
+    )
+    w = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        "np",
+        F.sum("np").over(w).cast("double").alias("tp"),
+        F.sum(F.col("np") + F.col("nn")).over(w).cast("double").alias("pred"),
+    )
+    agg = cum.agg(
+        F.sum(F.col("np").cast("double")
+              * (F.col("tp") / F.col("pred"))).alias("__num"),
+        F.sum("np").alias("n_pos"),
+    )
+    tot = per_val.agg(
+        F.sum("np").alias("__tp"), F.sum("nn").alias("n_neg"))
+    j = agg.crossJoin(F.broadcast(tot))
+    npos = F.col("n_pos").cast("double")
+    n_all = npos + F.col("n_neg").cast("double")
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return j.select(
+        F.when(ok, F.round(F.col("__num") / npos, 6)).alias("ap"),
+        "n_pos", "n_neg",
+        F.when(ok, F.round(npos / n_all, 6)).alias("baseline"),
+    )
+
+
+def brier_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score + calibration-error summary for a probabilistic
+    scorer: 1 row (n, brier, ece, mce, baseline_brier) — is the score
+    a PROBABILITY (brier = mean squared error against the 0/1 label;
+    ECE/MCE = weighted-average / max |accuracy - confidence| gap over
+    equal-width reliability bins; baseline_brier = p(1-p) ... what a
+    constant base-rate forecast scores, the skill reference).
+
+    One corpus aggregate for brier + the reliability-table binning
+    (min/max broadcast, binned groupBy) reduced to the 1-row summary —
+    no window, no sort; bins over the observed score range like
+    ``reliability_table``.
+    """
+    lab = F.col(label_col).cast("int")
+    base = df.filter(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(F.col(score_col).cast("double").alias("__s"),
+             lab.cast("double").alias("__y"))
+    rng = base.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    j = base.crossJoin(F.broadcast(rng))
+    width = F.col("__hi") - F.col("__lo")
+    bin_ = F.when(width > 0, F.least(
+        F.floor((F.col("__s") - F.col("__lo")) / width * n_bins),
+        F.lit(n_bins - 1),
+    )).otherwise(F.lit(0)).cast("int")
+    bins = (
+        j.withColumn("__b", bin_)
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.avg("__s").alias("ms"),
+            F.avg("__y").alias("fp"),
+        )
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("__s") - F.col("__y"))
+              * (F.col("__s") - F.col("__y"))).alias("brier"),
+        F.avg("__y").alias("__p"),
+    )
+    gaps = bins.agg(
+        F.sum(F.col("nb").cast("double")
+              * F.abs(F.col("fp") - F.col("ms"))).alias("__g"),
+        F.max(F.abs(F.col("fp") - F.col("ms"))).alias("mce"),
+    )
+    out = overall.crossJoin(F.broadcast(gaps))
+    return out.select(
+        "n",
+        F.round("brier", 6).alias("brier"),
+        F.round(F.col("__g") / F.col("n").cast("double"), 6).alias("ece"),
+        F.round("mce", 6).alias("mce"),
+        F.round(F.col("__p") * (1 - F.col("__p")), 6)
+        .alias("baseline_brier"),
+    )
+
+
 def roc_auc_by(
     df: DataFrame,
     score_col: str,

@@ -10936,6 +10936,74 @@ def _feature_score(spark, sf):
     )
 
 
+@q("curate_feature_ap", f"""
+WITH base AS ({_FEATURE_SCORE_SQL}),
+pv AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+              CAST(sum(1 - y) AS BIGINT) AS nn
+       FROM base GROUP BY s),
+c AS (SELECT np,
+        CAST(sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) AS tp,
+        CAST(sum(np + nn) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) AS pred
+      FROM pv),
+a AS (SELECT sum(CAST(np AS DOUBLE) * tp / pred) AS num,
+             CAST(sum(np) AS BIGINT) AS n_pos
+      FROM c),
+t AS (SELECT CAST(sum(nn) AS BIGINT) AS n_neg FROM pv)
+SELECT CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(num / n_pos, 6) END AS ap,
+       n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(CAST(n_pos AS DOUBLE) / (n_pos + n_neg), 6)
+       END AS baseline
+FROM a CROSS JOIN t
+""")
+def curate_feature_ap_q(spark, sf):
+    # Average precision / PR-AUC (operators/classify.py
+    # average_precision) of the en-stopword-density feature: the
+    # class-imbalance-honest companion of curate_feature_auc (ROC-AUC
+    # stays rosy when true negatives dominate; AP does not). Same
+    # per-distinct-score grid, cumulative windows over it, one 1-row
+    # reduce.
+    from clinpy_spark.operators.classify import average_precision
+
+    return average_precision(_feature_score(spark, sf), "s", "y")
+
+
+@q("curate_brier", f"""
+WITH base AS ({_FEATURE_SCORE_SQL}),
+rng AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+b AS (SELECT CASE WHEN hi > lo
+             THEN LEAST(CAST(floor((s - lo) / (hi - lo) * 10) AS INT), 9)
+             ELSE 0 END AS bb, s, y
+      FROM base CROSS JOIN rng),
+bins AS (SELECT bb, CAST(count(*) AS BIGINT) AS nb, avg(s) AS ms,
+                avg(CAST(y AS DOUBLE)) AS fp
+         FROM b GROUP BY bb),
+o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             avg((s - CAST(y AS DOUBLE)) * (s - CAST(y AS DOUBLE))) AS brier,
+             avg(CAST(y AS DOUBLE)) AS p
+      FROM base),
+g AS (SELECT sum(CAST(nb AS DOUBLE) * abs(fp - ms)) AS gg,
+             max(abs(fp - ms)) AS mce
+      FROM bins)
+SELECT n, round(brier, 6) AS brier,
+       round(gg / n, 6) AS ece, round(mce, 6) AS mce,
+       round(p * (1 - p), 6) AS baseline_brier
+FROM o CROSS JOIN g
+""")
+def curate_brier_q(spark, sf):
+    # Brier score + ECE/MCE calibration summary (operators/classify.py
+    # brier_calibration) of the en-stopword-density feature treated as
+    # a probability: the VALUE-calibration readout AUC deliberately
+    # ignores (AUC is rank-only), with the constant-base-rate Brier as
+    # the skill reference. Reliability binning + two 1-row aggregates.
+    from clinpy_spark.operators.classify import brier_calibration
+
+    return brier_calibration(_feature_score(spark, sf), "s", "y", n_bins=10)
+
+
 @q("curate_kfold_auc", f"""
 WITH base AS (
   SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
@@ -11618,6 +11686,8 @@ _PRIORITY: list[str] = [
     "dx_cohen_kappa",
     "q_wilson_ci",
     "curate_kfold_auc",
+    "curate_feature_ap",
+    "curate_brier",
     "dedup_containment_apply",
     "graph_jaccard_links",
     "e_dispersion",

@@ -60,6 +60,59 @@ def test_logistic_multi_singular_is_null(spark):
     assert out.n == 30  # margins still reported
 
 
+def test_average_precision_known_values(spark):
+    """Hand-checked AP: perfect ranking -> 1.0; worst ranking -> the
+    tail-heavy step value; sklearn-convention step interpolation on a
+    known mixed case."""
+    from clinpy_spark.operators.classify import average_precision
+
+    perfect = ([Row(s=2.0, y=1)] * 3 + [Row(s=1.0, y=0)] * 7)
+    out = average_precision(
+        spark.createDataFrame(perfect), "s", "y").collect()[0]
+    assert out.ap == 1.0 and out.baseline == 0.3
+
+    # ranking: scores desc 4,3,2,1 with labels 1,0,1,0
+    # thresholds: tp/pred = 1/1, 1/2, 2/3, 2/4 -> AP = (1*1 + 1*(2/3))/2
+    mixed = [Row(s=4.0, y=1), Row(s=3.0, y=0), Row(s=2.0, y=1),
+             Row(s=1.0, y=0)]
+    out = average_precision(
+        spark.createDataFrame(mixed), "s", "y").collect()[0]
+    assert abs(out.ap - (1 + 2 / 3) / 2) < 1e-6
+
+    # all positives below all negatives: P at the k-th positive block
+    # (single block of 2 positives after 3 negatives) = 2/5
+    worst = [Row(s=1.0, y=1)] * 2 + [Row(s=2.0, y=0)] * 3
+    out = average_precision(
+        spark.createDataFrame(worst), "s", "y").collect()[0]
+    assert abs(out.ap - 2 / 5) < 1e-6
+
+
+def test_brier_calibration_known_values(spark):
+    """A perfectly calibrated two-value forecast: brier = mean of
+    p(1-p) within each block, ECE = 0 up to in-bin score/accuracy
+    equality; a constant wrong forecast scores its squared error."""
+    from clinpy_spark.operators.classify import brier_calibration
+
+    # block A: s=0.2, 20% positive; block B: s=0.8, 80% positive
+    rows = ([Row(s=0.2, y=1)] * 2 + [Row(s=0.2, y=0)] * 8
+            + [Row(s=0.8, y=1)] * 8 + [Row(s=0.8, y=0)] * 2)
+    out = brier_calibration(
+        spark.createDataFrame(rows), "s", "y", n_bins=2).collect()[0]
+    want_brier = (2 * 0.8 ** 2 + 8 * 0.2 ** 2 + 8 * 0.2 ** 2
+                  + 2 * 0.8 ** 2) / 20
+    assert abs(out.brier - want_brier) < 1e-6
+    assert out.ece == 0.0 and out.mce == 0.0  # calibrated by design
+    assert abs(out.baseline_brier - 0.25) < 1e-6
+
+    # constant 0.9 forecast on all-negative labels: brier = 0.81,
+    # single bin, gap = |0 - 0.9| = 0.9
+    bad = [Row(s=0.9, y=0)] * 10
+    outb = brier_calibration(
+        spark.createDataFrame(bad), "s", "y").collect()[0]
+    assert abs(outb.brier - 0.81) < 1e-6
+    assert abs(outb.mce - 0.9) < 1e-6
+
+
 def test_kfold_assign_and_grouped_auc(spark):
     """Folds are deterministic, complete (0..k-1), and stable across
     calls; per-group AUC matches the global roc_auc computed on each

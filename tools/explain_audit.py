@@ -75,6 +75,9 @@ EXPECTED_UNBOUNDED = {
     "dx_cohen_kappa",  # crossJoin of the TWO 1-row aggregates (observed
                        # agreement + marginal chance rate) into the
                        # single kappa row — both sides shape-proven
+    "curate_feature_ap",  # crossJoin vs the 1-row class-totals agg
+    "curate_brier",  # crossJoins vs the 1-row min/max range and the
+                     # 1-row bin-gap aggregate (reliability_table shape)
     "sim_cluster_quality",  # wss x bss x consts — three 1-row aggregates
     "a16_market_basket",  # crossJoin vs the 1-row basket-count constant
     "text_kmv_overlap",  # two k-length single-row sketches crossJoined —
