@@ -1618,6 +1618,108 @@ def logistic_newton_multi_from_grid(
     return spark.range(1).select(*cols)
 
 
+def breslow_day(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    case_col: str,
+) -> DataFrame:
+    """Breslow-Day homogeneity test for the stratified 2x2 family:
+    1 row (bd_chi2, tarone_chi2, df, n_strata, n_informative, or_mh) —
+    the check that LICENSES ``cmh_test``'s pooling: CMH assumes one
+    common odds ratio across strata; Breslow-Day tests exactly that
+    (chi2 on K-1 df; a significant value means report per-stratum ORs,
+    not the pooled one). Tarone's correction subtracts the
+    score-imbalance term — the form SAS/R report.
+
+    Per stratum with cells (a = exposed case) and margins m1 = a+b,
+    n1 = a+c, t: the fitted exposed-case count ã under the common
+    OR psi (Mantel-Haenszel) solves the quadratic
+        (1-psi) ã² + [(t-m1-n1) + psi(m1+n1)] ã - psi m1 n1 = 0
+    taking the root interior to [max(0, m1+n1-t), min(m1, n1)]
+    (psi = 1 degenerates to the linear ã = m1 n1/t); variance
+    Ṽ = 1/(1/ã + 1/(m1-ã) + 1/(n1-ã) + 1/(t-m1-n1+ã));
+    BD chi2 = sum (a-ã)²/Ṽ, Tarone = BD - (sum(a-ã))²/sum(Ṽ).
+    Strata with any zero margin are uninformative (fitted cell on the
+    boundary, infinite 1/cell) and are excluded from both the sum and
+    the df; NULL when or_mh is undefined or < 2 informative strata.
+
+    Scale shape: ONE groupBy to the per-stratum 2x2 grid, a 1-row
+    MH-OR aggregate broadcast back, closed-form root per stratum row,
+    one bounded reduce — the corpus is scanned once, never joined.
+    """
+    e = F.col("__e").cast("int")
+    y = F.col("__y").cast("int")
+    base = df.select(
+        F.col(stratum_col).alias("__s"),
+        F.col(exposed_col).cast("int").alias("__e"),
+        F.col(case_col).cast("int").alias("__y"),
+    ).filter(F.col("__e").isNotNull() & F.col("__y").isNotNull()
+             & F.col("__s").isNotNull())
+    per_k = base.groupBy("__s").agg(
+        F.sum(e * y).alias("a"),
+        F.sum((1 - e) * y).alias("b"),
+        F.sum(e * (1 - y)).alias("c"),
+        F.sum((1 - e) * (1 - y)).alias("d"),
+    ).localCheckpoint(eager=False)
+    t = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    mh = per_k.agg(
+        F.sum(F.when(t > 0, F.col("a") * F.col("d") / t).otherwise(0.0))
+        .alias("__ad"),
+        F.sum(F.when(t > 0, F.col("b") * F.col("c") / t).otherwise(0.0))
+        .alias("__bc"),
+    ).select(
+        F.when(F.col("__bc") > 0, F.col("__ad") / F.col("__bc"))
+        .alias("psi"))
+    j = per_k.crossJoin(F.broadcast(mh))
+    m1 = (F.col("a") + F.col("b")).cast("double")
+    n1 = (F.col("a") + F.col("c")).cast("double")
+    psi = F.col("psi")
+    informative = (
+        psi.isNotNull() & (m1 > 0) & (n1 > 0) & (t - m1 > 0) & (t - n1 > 0)
+    )
+    qa = 1 - psi
+    qb = (t - m1 - n1) + psi * (m1 + n1)
+    qc = -psi * m1 * n1
+    disc = F.sqrt(qb * qb - 4 * qa * qc)
+    r1 = (-qb + disc) / (2 * qa)
+    r2 = (-qb - disc) / (2 * qa)
+    lo = F.greatest(F.lit(0.0), m1 + n1 - t)
+    hi = F.least(m1, n1)
+    fitted = F.when(
+        F.abs(qa) < 1e-12, m1 * n1 / t,
+    ).when((r1 > lo) & (r1 < hi), r1).otherwise(r2)
+    scored = j.select(
+        "a", "psi",
+        F.when(informative, fitted).alias("__fa"),
+        F.when(informative, m1).alias("__m1"),
+        F.when(informative, n1).alias("__n1"),
+        F.when(informative, t).alias("__t"),
+    )
+    fa = F.col("__fa")
+    vtil = 1 / (1 / fa + 1 / (F.col("__m1") - fa) + 1 / (F.col("__n1") - fa)
+                + 1 / (F.col("__t") - F.col("__m1") - F.col("__n1") + fa))
+    resid = F.col("a").cast("double") - fa
+    agg = scored.agg(
+        F.sum(F.when(fa.isNotNull(), resid * resid / vtil)).alias("__bd"),
+        F.sum(F.when(fa.isNotNull(), resid)).alias("__rs"),
+        F.sum(F.when(fa.isNotNull(), vtil)).alias("__vs"),
+        F.sum(F.when(fa.isNotNull(), 1).otherwise(0)).alias("n_informative"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.max("psi").alias("__psi"),
+    )
+    ok = (F.col("n_informative") >= 2) & F.col("__psi").isNotNull()
+    return agg.select(
+        F.when(ok, F.round("__bd", 6)).alias("bd_chi2"),
+        F.when(ok & (F.col("__vs") > 0), F.round(
+            F.col("__bd") - F.col("__rs") * F.col("__rs") / F.col("__vs"),
+            6)).alias("tarone_chi2"),
+        F.when(ok, F.col("n_informative") - 1).cast("long").alias("df"),
+        "n_strata", "n_informative",
+        F.when(ok, F.round("__psi", 6)).alias("or_mh"),
+    )
+
+
 def cohen_kappa(
     df: DataFrame,
     rater_a: str,
@@ -2212,6 +2314,164 @@ def poisson_newton_from_grid(
         .alias("wald_chi2"),
         F.coalesce("n", F.lit(0)).alias("n"),
         F.round(F.coalesce("y_total", F.lit(0.0)), 6).alias("y_total"),
+    )
+
+
+def negbin_newton(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    iterations: int = 4,
+) -> DataFrame:
+    """Negative-binomial (NB2, log link) regression for ONE
+    bounded-cardinality covariate plus intercept — the OVERDISPERSION
+    rung above :func:`poisson_newton`: real count data (orders per
+    customer, reads per gene, events per user) almost always has
+    var > mean, which deflates Poisson SEs and fabricates
+    significance. 1 row (beta0, beta1, rate_ratio, se1, wald_chi2,
+    alpha, n, y_total, score_norm).
+
+    Two-stage moment/Fisher chain, every step a grid-sized aggregate:
+    (1) fit Poisson by ``iterations`` Newton steps (mu0); (2) estimate
+    the dispersion by the Cameron-Trivedi moment equation
+        alpha = sum[(y - mu0)^2 - mu0] / sum(mu0^2)
+    (clamped at 0 — per-cell sums need the y^2 counter, so the grid is
+    (x, n, sy, syy)); (3) refit by ``iterations`` Fisher-scoring steps
+    with NB2 weights w = n mu/(1 + alpha mu) and score
+    r = (sy - n mu)/(1 + alpha mu), starting FROM the Poisson
+    solution. This is the standard two-stage MoM-dispersion NB (not
+    full ML in alpha, which needs digamma terms no SQL oracle can
+    replay); se1/wald come from the final NB information. alpha ~ 0
+    collapses the whole chain to Poisson (property-tested). The
+    recurrence is a closed deterministic function of the grid, so the
+    ``dx_negbin`` oracle replays the identical chain; NULL
+    coefficients on singular information.
+    """
+    grid = (
+        df.select(
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__x")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__sy"),
+            F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        )
+    )
+    return negbin_newton_from_grid(grid, iterations=iterations)
+
+
+def negbin_newton_from_grid(
+    grid: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """:func:`negbin_newton` from an already-aggregated per-x grid
+    (__x, __n, __sy, __syy) — all three counters are additive (the y^2
+    sum is what the moment dispersion needs), so a streaming fold
+    maintains them and this refits the NB2 chain on read
+    (streaming/glm.py finalize_negbin)."""
+    grid = grid.localCheckpoint(eager=False)
+    beta = grid.agg(
+        F.when(
+            F.sum("__sy") > 0,
+            F.log(F.sum("__sy") / F.sum("__n")),
+        ).otherwise(F.lit(0.0)).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+
+    def _step(beta, weight_of, resid_of):
+        j = grid.crossJoin(F.broadcast(beta))
+        w = weight_of(j)
+        r = resid_of(j)
+        step = j.agg(
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            *([F.max("alpha").alias("alpha")] if "alpha" in j.columns
+              else []),
+            F.sum(r).alias("u0"),
+            F.sum(F.col("__x") * r).alias("u1"),
+            F.sum(w).alias("i00"),
+            F.sum(F.col("__x") * w).alias("i01"),
+            F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        )
+        det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+        keep = ([F.col("alpha").alias("alpha")] if "alpha" in j.columns
+                else [])
+        return step.select(
+            F.when(det > 0, F.col("b0")
+                   + (F.col("i11") * F.col("u0")
+                      - F.col("i01") * F.col("u1")) / det).alias("b0"),
+            F.when(det > 0, F.col("b1")
+                   + (F.col("i00") * F.col("u1")
+                      - F.col("i01") * F.col("u0")) / det).alias("b1"),
+            *keep,
+        )
+
+    mu_expr = lambda: F.exp(F.col("b0") + F.col("b1") * F.col("__x"))
+    # stage 1: Poisson
+    for _ in range(iterations):
+        beta = _step(beta,
+                     lambda j: F.col("__n") * mu_expr(),
+                     lambda j: F.col("__sy") - F.col("__n") * mu_expr())
+    # stage 2: moment dispersion at the Poisson fit — per cell,
+    # sum((y - mu)^2) = syy - 2 mu sy + n mu^2 (mu constant within x)
+    jd = grid.crossJoin(F.broadcast(beta))
+    mu = mu_expr()
+    pearson = (F.col("__syy") - 2 * mu * F.col("__sy")
+               + F.col("__n") * mu * mu)
+    disp = jd.agg(
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+        F.sum(pearson - F.col("__n") * mu).alias("__num"),
+        F.sum(F.col("__n") * mu * mu).alias("__den"),
+    ).select(
+        "b0", "b1",
+        F.when(
+            (F.col("__den") > 0) & (F.col("__num") > 0),
+            F.col("__num") / F.col("__den"),
+        ).otherwise(F.lit(0.0)).alias("alpha"),
+    )
+    beta = disp
+    # stage 3: NB2 Fisher scoring from the Poisson solution
+    nb_w = lambda j: (F.col("__n") * mu_expr()
+                      / (1 + F.col("alpha") * mu_expr()))
+    nb_r = lambda j: ((F.col("__sy") - F.col("__n") * mu_expr())
+                      / (1 + F.col("alpha") * mu_expr()))
+    for _ in range(iterations):
+        beta = _step(beta, nb_w, nb_r)
+    fin = grid.crossJoin(F.broadcast(beta))
+    mu = mu_expr()
+    w = F.col("__n") * mu / (1 + F.col("alpha") * mu)
+    r = (F.col("__sy") - F.col("__n") * mu) / (1 + F.col("alpha") * mu)
+    stats = fin.agg(
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+        F.max("alpha").alias("alpha"),
+        F.sum(w).alias("i00"),
+        F.sum(F.col("__x") * w).alias("i01"),
+        F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        F.sum(r).alias("u0"),
+        F.sum(F.col("__x") * r).alias("u1"),
+        F.sum("__n").alias("n"),
+        F.sum("__sy").alias("y_total"),
+    )
+    det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+    ok = F.col("b0").isNotNull() & F.col("b1").isNotNull() & (det > 0)
+    var1 = F.col("i00") / det
+    return stats.select(
+        F.when(ok, F.round("b0", 6)).alias("beta0"),
+        F.when(ok, F.round("b1", 6)).alias("beta1"),
+        F.when(ok, F.round(F.exp("b1"), 6)).alias("rate_ratio"),
+        F.when(ok, F.round(F.sqrt(var1), 6)).alias("se1"),
+        F.when(ok, F.round(F.col("b1") * F.col("b1") / var1, 6))
+        .alias("wald_chi2"),
+        F.when(ok, F.round("alpha", 6)).alias("alpha"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("y_total", F.lit(0.0)), 6).alias("y_total"),
+        F.when(ok, F.round(
+            F.sqrt(F.col("u0") * F.col("u0") + F.col("u1") * F.col("u1")),
+            6)).alias("score_norm"),
     )
 
 

@@ -8277,6 +8277,98 @@ def graph_label_prop_q(spark, sf):
     return label_propagation(_copurchase(spark, sf), "u", "v", rounds=3)
 
 
+@q("gx_breslow_day", f"""
+WITH g AS ({_GRID_GENO_SQL}),
+j AS (SELECT c.c_nationkey % 5 AS s,
+             CASE WHEN g.gt > 0 THEN 1 ELSE 0 END AS e,
+             CASE WHEN g.is_case THEN 1 ELSE 0 END AS y
+      FROM g JOIN customer c ON g.c_custkey = c.c_custkey
+      WHERE g.variant = 7),
+k AS MATERIALIZED (SELECT s, CAST(sum(e * y) AS BIGINT) AS a,
+             CAST(sum((1 - e) * y) AS BIGINT) AS b,
+             CAST(sum(e * (1 - y)) AS BIGINT) AS c,
+             CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d
+      FROM j GROUP BY s),
+mh AS MATERIALIZED (
+  SELECT CASE WHEN sum(CASE WHEN a + b + c + d > 0
+                      THEN CAST(b AS DOUBLE) * c / (a + b + c + d)
+                      ELSE 0 END) > 0
+         THEN sum(CASE WHEN a + b + c + d > 0
+                  THEN CAST(a AS DOUBLE) * d / (a + b + c + d)
+                  ELSE 0 END)
+              / sum(CASE WHEN a + b + c + d > 0
+                    THEN CAST(b AS DOUBLE) * c / (a + b + c + d)
+                    ELSE 0 END)
+         END AS psi
+  FROM k),
+m AS (SELECT a, psi,
+             CAST(a + b AS DOUBLE) AS m1, CAST(a + c AS DOUBLE) AS n1,
+             CAST(a + b + c + d AS DOUBLE) AS t
+      FROM k CROSS JOIN mh),
+q2 AS (SELECT a, psi, m1, n1, t,
+              1 - psi AS qa,
+              (t - m1 - n1) + psi * (m1 + n1) AS qb,
+              -psi * m1 * n1 AS qc,
+              GREATEST(0.0, m1 + n1 - t) AS lo, LEAST(m1, n1) AS hi,
+              psi IS NOT NULL AND m1 > 0 AND n1 > 0
+              AND t - m1 > 0 AND t - n1 > 0 AS inf_
+       FROM m),
+rt AS (SELECT a, psi, m1, n1, t, inf_,
+              CASE WHEN inf_ THEN
+                CASE WHEN abs(qa) < 0.000000000001 THEN m1 * n1 / t
+                     WHEN (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa) > lo
+                      AND (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa) < hi
+                     THEN (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
+                     ELSE (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
+                END END AS fa
+       FROM q2),
+sc AS (SELECT a, psi, fa,
+              CASE WHEN fa IS NOT NULL
+                   THEN 1 / (1 / fa + 1 / (m1 - fa) + 1 / (n1 - fa)
+                             + 1 / (t - m1 - n1 + fa)) END AS v
+       FROM rt),
+ag AS (SELECT sum(CASE WHEN fa IS NOT NULL
+                  THEN (CAST(a AS DOUBLE) - fa) * (CAST(a AS DOUBLE) - fa) / v
+                  END) AS bd,
+              sum(CASE WHEN fa IS NOT NULL
+                  THEN CAST(a AS DOUBLE) - fa END) AS rs,
+              sum(CASE WHEN fa IS NOT NULL THEN v END) AS vs,
+              CAST(sum(CASE WHEN fa IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_informative,
+              CAST(count(*) AS BIGINT) AS n_strata,
+              max(psi) AS psi
+       FROM sc)
+SELECT CASE WHEN n_informative >= 2 AND psi IS NOT NULL
+            THEN round(bd, 6) END AS bd_chi2,
+       CASE WHEN n_informative >= 2 AND psi IS NOT NULL AND vs > 0
+            THEN round(bd - rs * rs / vs, 6) END AS tarone_chi2,
+       CASE WHEN n_informative >= 2 AND psi IS NOT NULL
+            THEN n_informative - 1 END AS df,
+       n_strata, n_informative,
+       CASE WHEN n_informative >= 2 AND psi IS NOT NULL
+            THEN round(psi, 6) END AS or_mh
+FROM ag
+""")
+def gx_breslow_day_q(spark, sf):
+    # Breslow-Day homogeneity test (operators/assoc.py breslow_day)
+    # over the SAME nation-stratified carrier-vs-phenotype 2x2s as
+    # gx_cmh_nation: is the odds ratio actually COMMON across strata —
+    # the check that licenses CMH pooling (Tarone-corrected form
+    # included). Per-stratum closed-form quadratic root for the fitted
+    # cell under the MH common OR; one grid groupBy + one bounded
+    # reduce.
+    from clinpy_spark.operators.assoc import breslow_day
+
+    g = _grid_geno(spark, sf).filter(F.col("variant") == 7)
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    j = g.join(cust, "c_custkey").select(
+        (F.col("c_nationkey") % 5).alias("stratum"),
+        (F.col("gt") > 0).cast("int").alias("exposed"),
+        F.col("is_case").cast("int").alias("case"),
+    )
+    return breslow_day(j, "stratum", "exposed", "case")
+
+
 @q("gx_cmh_nation", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 j AS (SELECT c.c_nationkey % 5 AS s,
@@ -10146,6 +10238,122 @@ def q_wilson_ci_q(spark, sf):
     return wilson_ci(o, "grp", "s")
 
 
+def _negbin_sql(iterations: int) -> str:
+    """Chained-CTE replay of negbin_newton's two-stage chain: the
+    Poisson Newton steps, the Cameron-Trivedi moment dispersion at the
+    Poisson fit, then the NB2 Fisher-scoring steps — every step CTE
+    MATERIALIZED (scalar-subquery references would otherwise re-inline
+    the whole chain per reference)."""
+    pois_mom = """ (SELECT b0, b1, sum(sy - n * mu) AS u0,
+              sum(x * (sy - n * mu)) AS u1,
+              sum(n * mu) AS i00, sum(x * n * mu) AS i01,
+              sum(x * x * n * mu) AS i11
+       FROM (SELECT x, n, sy, b0, b1, exp(b0 + b1 * x) AS mu
+             FROM grid CROSS JOIN {prev})
+       GROUP BY b0, b1)"""
+    upd2 = """ (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01)
+         END AS b0,
+         CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01)
+         END AS b1{alpha_sel}
+        FROM m{i})"""
+    nb_mom = """ (SELECT b0, b1, alpha,
+              sum((sy - n * mu) / (1 + alpha * mu)) AS u0,
+              sum(x * (sy - n * mu) / (1 + alpha * mu)) AS u1,
+              sum(n * mu / (1 + alpha * mu)) AS i00,
+              sum(x * n * mu / (1 + alpha * mu)) AS i01,
+              sum(x * x * n * mu / (1 + alpha * mu)) AS i11
+       FROM (SELECT x, n, sy, b0, b1, alpha, exp(b0 + b1 * x) AS mu
+             FROM grid CROSS JOIN {prev})
+       GROUP BY b0, b1, alpha)"""
+    ctes = ["""cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_custkey)""",
+            """obs AS (SELECT CAST(c_nationkey % 5 AS DOUBLE) AS x,
+         CAST(coalesce(n_orders, 0) AS DOUBLE) AS y
+  FROM customer LEFT JOIN cnt ON o_custkey = c_custkey)""",
+            """grid AS MATERIALIZED (
+  SELECT x, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy,
+         sum(y * y) AS syy
+  FROM obs GROUP BY x)""",
+            """bc0 AS MATERIALIZED (
+  SELECT CASE WHEN sum(sy) > 0 THEN ln(sum(sy) / sum(n)) ELSE 0.0 END AS b0,
+         0.0 AS b1
+  FROM grid)"""]
+    prev = "bc0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"m{i} AS MATERIALIZED" + pois_mom.format(prev=prev))
+        ctes.append(f"bc{i} AS MATERIALIZED"
+                    + upd2.format(i=i, alpha_sel=""))
+        prev = f"bc{i}"
+    ctes.append(f"""ad AS MATERIALIZED (
+  SELECT b0, b1,
+         CASE WHEN sum(n * mu * mu) > 0
+              AND sum((syy - 2 * mu * sy + n * mu * mu) - n * mu) > 0
+              THEN sum((syy - 2 * mu * sy + n * mu * mu) - n * mu)
+                   / sum(n * mu * mu)
+              ELSE 0.0 END AS alpha
+  FROM (SELECT x, n, sy, syy, b0, b1, exp(b0 + b1 * x) AS mu
+        FROM grid CROSS JOIN {prev})
+  GROUP BY b0, b1)""")
+    prev = "ad"
+    for i in range(iterations + 1, 2 * iterations + 1):
+        ctes.append(f"m{i} AS MATERIALIZED" + nb_mom.format(prev=prev))
+        ctes.append(f"bc{i} AS MATERIALIZED"
+                    + upd2.format(i=i, alpha_sel=", alpha"))
+        prev = f"bc{i}"
+    ctes.append(f"""fin AS MATERIALIZED (
+  SELECT b0, b1, alpha,
+         sum(n * mu / (1 + alpha * mu)) AS i00,
+         sum(x * n * mu / (1 + alpha * mu)) AS i01,
+         sum(x * x * n * mu / (1 + alpha * mu)) AS i11,
+         sum((sy - n * mu) / (1 + alpha * mu)) AS u0,
+         sum(x * (sy - n * mu) / (1 + alpha * mu)) AS u1,
+         CAST(sum(n) AS BIGINT) AS n, sum(sy) AS y_total
+  FROM (SELECT x, n, sy, b0, b1, alpha, exp(b0 + b1 * x) AS mu
+        FROM grid CROSS JOIN {prev})
+  GROUP BY b0, b1, alpha)""")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT CASE WHEN ok THEN round(b0, 6) + 0.0 END AS beta0,
+       CASE WHEN ok THEN round(b1, 6) + 0.0 END AS beta1,
+       CASE WHEN ok THEN round(exp(b1), 6) + 0.0 END AS rate_ratio,
+       CASE WHEN ok THEN round(sqrt(i00 / det), 6) + 0.0 END AS se1,
+       CASE WHEN ok THEN round(b1 * b1 / (i00 / det), 6) + 0.0
+       END AS wald_chi2,
+       CASE WHEN ok THEN round(alpha, 6) + 0.0 END AS alpha,
+       coalesce(n, 0) AS n, round(coalesce(y_total, 0.0), 6) AS y_total,
+       CASE WHEN ok THEN round(sqrt(u0 * u0 + u1 * u1), 6) + 0.0
+       END AS score_norm
+FROM (SELECT *, i00 * i11 - i01 * i01 AS det,
+             b0 IS NOT NULL AND b1 IS NOT NULL
+             AND i00 * i11 - i01 * i01 > 0 AS ok
+      FROM fin)
+"""
+
+
+@q("dx_negbin", _negbin_sql(4))
+def dx_negbin_q(spark, sf):
+    # Negative-binomial regression (operators/assoc.py negbin_newton):
+    # per-customer order volume vs nation band with the OVERDISPERSION
+    # real count data carries — Poisson SEs deflate when var > mean;
+    # NB2 widens them by the Cameron-Trivedi moment dispersion and
+    # refits by Fisher scoring from the Poisson solution. Whole chain
+    # grid-aggregate-sized; the oracle replays the identical
+    # Poisson -> alpha -> NB CTE chain.
+    from clinpy_spark.operators.assoc import negbin_newton
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", (F.col("c_nationkey") % 5).cast("double").alias("x"))
+    per_c = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    base = cust.join(
+        per_c, cust.c_custkey == per_c.o_custkey, "left"
+    ).select("x", F.coalesce("n_orders", F.lit(0)).cast("double").alias("y"))
+    return negbin_newton(base, "x", "y", iterations=4)
+
+
 @q("gx_haplotype_em", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 va AS (SELECT c_custkey AS s, gt AS ga FROM g WHERE variant = 7),
@@ -11688,6 +11896,8 @@ _PRIORITY: list[str] = [
     "curate_kfold_auc",
     "curate_feature_ap",
     "curate_brier",
+    "gx_breslow_day",
+    "dx_negbin",
     "dedup_containment_apply",
     "graph_jaccard_links",
     "e_dispersion",

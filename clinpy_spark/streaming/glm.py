@@ -154,6 +154,38 @@ def finalize_logistic_multi(
     return logistic_newton_multi_from_grid(g, d, iterations=iterations)
 
 
+def negbin_grid_partial(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(__x, n, sy, syy) additive partials for one micro-batch — the
+    NB2 chain's sufficient statistic (the y^2 sum feeds the moment
+    dispersion estimate)."""
+    return (
+        df.select(
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("sy"),
+            F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        )
+    )
+
+
+def finalize_negbin(grid: DataFrame, iterations: int = 4) -> DataFrame:
+    """NB2 MLE chain over the maintained (__x, n, sy, syy) grid —
+    identical to the batch ``negbin_newton`` over the same rows (twin
+    test): Poisson fit, moment dispersion, NB2 Fisher refit, all on
+    read, never rescanning history."""
+    from clinpy_spark.operators.assoc import negbin_newton_from_grid
+
+    g = grid.select(
+        "__x", F.col("n").alias("__n"), F.col("sy").alias("__sy"),
+        F.col("syy").alias("__syy"))
+    return negbin_newton_from_grid(g, iterations=iterations)
+
+
 def finalize_poisson(grid: DataFrame, iterations: int = 4) -> DataFrame:
     """Poisson MLE over the maintained (__x, n, sy) grid — identical
     to the batch ``poisson_newton`` over the same data (twin test)."""

@@ -389,3 +389,83 @@ def test_cox_multi_singular_is_null(spark):
         spark.createDataFrame(rows), "t", "e", ["x1", "x2"]).collect()[0]
     assert out.beta1 is None and out.hr2 is None
     assert out.n_subjects == 60
+
+
+def test_breslow_day_homogeneity(spark):
+    """Identical per-stratum ORs -> bd_chi2 ~ 0; opposite ORs -> a
+    large chi2 with Tarone <= BD; zero-margin strata excluded from
+    the df but counted in n_strata."""
+    from clinpy_spark.operators.assoc import breslow_day
+
+    def table(s, a, b, c, d):
+        return ([Row(s=s, e=1, y=1)] * a + [Row(s=s, e=0, y=1)] * b
+                + [Row(s=s, e=1, y=0)] * c + [Row(s=s, e=0, y=0)] * d)
+
+    # OR = 4 in both strata (second is the first scaled by 2)
+    homo = table(0, 10, 20, 5, 40) + table(1, 20, 40, 10, 80)
+    out = breslow_day(spark.createDataFrame(homo), "s", "e", "y").collect()[0]
+    assert out.bd_chi2 is not None and out.bd_chi2 < 1e-6
+    assert out.df == 1 and abs(out.or_mh - 4.0) < 0.01
+
+    # OR = 9 vs OR = 1/9: strong heterogeneity
+    het = table(0, 30, 10, 10, 30) + table(1, 10, 30, 30, 10)
+    out2 = breslow_day(spark.createDataFrame(het), "s", "e", "y").collect()[0]
+    assert out2.bd_chi2 > 10
+    assert out2.tarone_chi2 <= out2.bd_chi2 + 1e-9
+
+    # a third stratum with a zero margin (no exposed at all) is
+    # uninformative: excluded from df, still counted in n_strata
+    mixed = het + table(2, 0, 20, 0, 20)
+    out3 = breslow_day(spark.createDataFrame(mixed), "s", "e", "y").collect()[0]
+    assert out3.n_strata == 3 and out3.n_informative == 2
+    assert out3.df == 1
+
+
+def test_negbin_overdispersion_widens_se(spark):
+    """Equidispersed data -> alpha ~ 0 and NB ~ Poisson; planted
+    overdispersion -> alpha > 0, similar point estimate, WIDER se
+    (the Poisson-SE-deflation failure mode NB2 exists to fix)."""
+    from clinpy_spark.operators.assoc import negbin_newton, poisson_newton
+
+    rows = [Row(x=float(i % 4), y=float((i * 3) % 7)) for i in range(160)]
+    df = spark.createDataFrame(rows)
+    nb = negbin_newton(df, "x", "y", iterations=5).collect()[0]
+    po = poisson_newton(df, "x", "y", iterations=5).collect()[0]
+    assert abs(nb.beta1 - po.beta1) < 0.01
+    assert nb.alpha < 0.2
+
+    over = []
+    for i in range(200):
+        x = float(i % 3)
+        over.append(Row(x=x, y=0.0 if i % 2 == 0 else 10.0 + 4 * x))
+    nb2 = negbin_newton(spark.createDataFrame(over), "x", "y").collect()[0]
+    po2 = poisson_newton(spark.createDataFrame(over), "x", "y").collect()[0]
+    assert nb2.alpha > 0.3
+    assert nb2.se1 > po2.se1
+    assert abs(nb2.beta1 - po2.beta1) < 0.2
+    assert nb2.score_norm is not None and nb2.score_norm < 1e-3
+
+
+def test_streaming_negbin_matches_batch(spark):
+    """The folded (n, sy, syy) grid refits the whole NB2 chain on
+    read, exactly matching the batch fitter (all three counters are
+    integer/decimal-additive — twin contract)."""
+    from clinpy_spark.operators.assoc import negbin_newton
+    from clinpy_spark.streaming.glm import (
+        finalize_negbin, negbin_grid_partial,
+    )
+
+    rows = []
+    for i in range(200):
+        x = float(i % 3)
+        rows.append(Row(x=x, y=0.0 if i % 2 == 0 else 10.0 + 4 * x))
+    df = spark.createDataFrame(rows)
+    g1 = negbin_grid_partial(df.filter(F.col("x") < 1.5), "x", "y")
+    g2 = negbin_grid_partial(df.filter(F.col("x") >= 1.5), "x", "y")
+    folded = g1.unionByName(g2).groupBy("__x").agg(
+        F.sum("n").alias("n"), F.sum("sy").alias("sy"),
+        F.sum("syy").alias("syy"))
+    got = finalize_negbin(folded).collect()[0]
+    want = negbin_newton(df, "x", "y").collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.alpha > 0.3

@@ -78,6 +78,11 @@ EXPECTED_UNBOUNDED = {
     "curate_feature_ap",  # crossJoin vs the 1-row class-totals agg
     "curate_brier",  # crossJoins vs the 1-row min/max range and the
                      # 1-row bin-gap aggregate (reliability_table shape)
+    "gx_breslow_day",  # crossJoin vs the 1-row MH-common-OR aggregate
+                       # broadcast back over the bounded stratum grid
+    "dx_negbin",  # each Poisson/NB step crossJoins the bounded grid vs
+                  # the 1-row (b0, b1[, alpha]) aggregate (same shape
+                  # as dx_poisson/surv_cox_beta)
     "sim_cluster_quality",  # wss x bss x consts — three 1-row aggregates
     "a16_market_basket",  # crossJoin vs the 1-row basket-count constant
     "text_kmv_overlap",  # two k-length single-row sketches crossJoined —
