@@ -81,6 +81,13 @@ TIER2 = [
     "dx_logistic",
     "curate_dsir_head",
     "surv_cox_strat",
+    # round-12 flagships: the multi-covariate Cox (cell-grid windows +
+    # per-step driver solves), the two-stage NB2 chain (heaviest of the
+    # new GLM family), and the containment keep-longest dedup action
+    # (pair generation + anti-join)
+    "surv_cox_multi",
+    "dx_negbin",
+    "dedup_containment_apply",
 ]
 
 
