@@ -1466,3 +1466,74 @@ def test_logistic_multi_matches_local_numpy_irls(spark, cells, iters):
     assert got.se1 == round(float(np.sqrt(cov[1, 1])), 6) + 0.0
     assert got.se2 == round(float(np.sqrt(cov[2, 2])), 6) + 0.0
     assert (got.n, got.n_pos) == (int(nn.sum()), int(pp.sum()))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    subjects=st.lists(
+        st.tuples(st.integers(1, 12), st.booleans(), st.booleans(),
+                  st.booleans()),
+        min_size=8, max_size=60),
+    iters=st.integers(2, 4),
+)
+def test_cox_multi_matches_local_numpy_replay(spark, subjects, iters):
+    """The distributed d=2 Breslow-Newton is the EXACT same recurrence
+    as a local numpy replay over the collected subjects (same start,
+    step count, det guard, Breslow tie handling) — property-pinned on
+    arbitrary small cohorts including event-free and singular ones."""
+    import numpy as np
+
+    from clinpy_spark.operators.survival import cox_newton_multi
+
+    rows = [(t, int(e), float(x1), float(x2))
+            for t, e, x1, x2 in subjects]
+    df = spark.createDataFrame(rows, "t long, e int, x1 double, x2 double")
+    got = cox_newton_multi(df, "t", "e", ["x1", "x2"],
+                           iterations=iters).collect()[0]
+
+    arr = np.array(rows, dtype=float)  # t, e, x1, x2
+    times = np.unique(arr[arr[:, 1] == 1, 0])
+
+    def moments(beta):
+        u = np.zeros(2)
+        info = np.zeros((2, 2))
+        n_ev = 0
+        for t in times:
+            at = arr[arr[:, 0] >= t]
+            ev = arr[(arr[:, 0] == t) & (arr[:, 1] == 1)]
+            x = at[:, 2:4]
+            ex = np.exp(x @ beta)
+            s0 = ex.sum()
+            s1 = (x * ex[:, None]).sum(axis=0)
+            s2 = (x[:, :, None] * x[:, None, :] * ex[:, None, None]).sum(axis=0)
+            d = len(ev)
+            da = ev[:, 2:4].sum(axis=0)
+            u += da - d * s1 / s0
+            info += d * (s2 / s0 - np.outer(s1 / s0, s1 / s0))
+            n_ev += d
+        return u, info, n_ev
+
+    if len(times) == 0:
+        assert got.beta1 is None
+        return
+    beta = np.zeros(2)
+    singular = False
+    for _ in range(iters):
+        u, info, n_ev = moments(beta)
+        if np.linalg.det(info) <= 0:
+            singular = True
+            break
+        beta = beta + np.linalg.solve(info, u)
+    if singular:
+        assert got.beta1 is None
+        return
+    u, info, n_ev = moments(beta)
+    if np.linalg.det(info) <= 0:
+        assert got.beta1 is None
+        return
+    cov = np.linalg.inv(info)
+    assert got.beta1 == round(float(beta[0]), 6) + 0.0
+    assert got.beta2 == round(float(beta[1]), 6) + 0.0
+    assert got.se1 == round(float(np.sqrt(cov[0, 0])), 6) + 0.0
+    assert got.n_events == n_ev
+    assert got.n_subjects == len(rows)

@@ -767,6 +767,50 @@ def test_streaming_cox_multi_end_to_end(spark, tmp_path):
     assert got.n_subjects == 200
 
 
+def test_streaming_cox_multi_restart_new_checkpoint(spark, tmp_path):
+    """The newest fold user inherits the lineage contract: a resumed
+    stream with a FRESH checkpoint dir folds its batch 0 into the
+    existing Cox leaver state instead of dropping it."""
+    import json as _json
+
+    from clinpy_spark.operators.survival import cox_newton_multi
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.survival import (
+        finalize_cox_multi, stream_cox_partials,
+    )
+
+    rows = [dict(t=(i * 37) % 30 + 1 + (i % 2) * 3,
+                 e=1 if (i * 13) % 10 < 7 else 0,
+                 x1=float(i % 2), x2=float((i // 2) % 2))
+            for i in range(160)]
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    schema = "t long, e int, x1 double, x2 double"
+
+    def _run(dirname, ckname, chunk):
+        src = tmp_path / dirname
+        src.mkdir()
+        with open(src / "part-0.json", "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps(r) + "\n")
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).json(str(src)))
+        stream_cox_partials(
+            s, cat, "cox_grid2", "t", "e", ["x1", "x2"],
+            checkpoint=str(tmp_path / ckname)).awaitTermination(120)
+
+    _run("c1", "ck1", rows[:100])
+    _run("c2", "ck2", rows[100:])   # fresh checkpoint -> batch ids restart
+
+    got = finalize_cox_multi(
+        cat.table("cox_grid2"), 2, iterations=4).collect()[0]
+    batch = spark.createDataFrame(
+        [(r["t"], r["e"], r["x1"], r["x2"]) for r in rows], schema)
+    want = cox_newton_multi(batch, "t", "e", ["x1", "x2"],
+                            iterations=4).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.n_subjects == 160   # resumed lineage's rows NOT dropped
+
+
 def test_streaming_ks_matches_batch(spark, tmp_path):
     """Streaming KS twin: per-value counts folded across two
     micro-batches + a frozen reference snapshot reproduce the batch
