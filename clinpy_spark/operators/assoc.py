@@ -1477,6 +1477,7 @@ def logistic_newton_multi(
     x_cols: list[str],
     y_col: str,
     iterations: int = 4,
+    digits: int | None = 5,
 ) -> DataFrame:
     """Logistic regression MLE for d BOUNDED-cardinality covariates
     (1 <= d <= 8) plus intercept — the multi-covariate rung above
@@ -1526,11 +1527,13 @@ def logistic_newton_multi(
         .groupBy(*xs)
         .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__p"))
     )
-    return logistic_newton_multi_from_grid(grid, d, iterations=iterations)
+    return logistic_newton_multi_from_grid(grid, d, iterations=iterations,
+                                           digits=digits)
 
 
 def logistic_newton_multi_from_grid(
-    grid: DataFrame, d: int, iterations: int = 4
+    grid: DataFrame, d: int, iterations: int = 4,
+    digits: int | None = 5,
 ) -> DataFrame:
     """:func:`logistic_newton_multi` from an already-aggregated joint
     grid (__x1..__xd, __n, __p) — the grid is the additive sufficient
@@ -1538,11 +1541,16 @@ def logistic_newton_multi_from_grid(
     cell and this refits the d-covariate MLE on read
     (streaming/glm.py finalize_logistic_multi), exactly as the
     single-covariate ``logistic_newton_from_grid`` does."""
+    import math
+
     import numpy as np
+
+    from clinpy_spark.functions.cramer import solve2, solve3, var3_diag
 
     xs = [f"__x{i}" for i in range(1, d + 1)]
     grid = grid.localCheckpoint(eager=False)
     spark = grid.sparkSession
+    m = d + 1  # intercept + d slopes
 
     def moments(beta):
         """One grid-sized aggregate -> (U, I, n, pos) at ``beta``."""
@@ -1563,12 +1571,62 @@ def logistic_newton_multi_from_grid(
         row = grid.agg(*aggs).collect()[0]
         if row["n"] is None:
             return None, None, 0, 0
-        u = np.array([row[f"u{a}"] for a in range(d + 1)])
-        info = np.zeros((d + 1, d + 1))
-        for a in range(d + 1):
-            for b in range(a, d + 1):
-                info[a, b] = info[b, a] = row[f"i{a}{b}"]
+        u = [float(row[f"u{a}"]) for a in range(d + 1)]
+        info = {(a, b): float(row[f"i{a}{b}"])
+                for a in range(d + 1) for b in range(a, d + 1)}
         return u, info, int(row["n"]), int(row["pos"])
+
+    def step(beta, u, info):
+        """Newton update — explicit Cramer in the oracle's operand
+        order for m <= 3 (functions/cramer.py, r12 verdict #1),
+        numpy solve for larger systems (no SQL oracle there)."""
+        if m == 2:
+            det, d0, d1 = solve2(u[0], u[1],
+                                 info[(0, 0)], info[(0, 1)], info[(1, 1)])
+            if d0 is None:
+                return None
+            return [beta[0] + d0, beta[1] + d1]
+        if m == 3:
+            det, d0, d1, d2 = solve3(
+                u[0], u[1], u[2],
+                info[(0, 0)], info[(0, 1)], info[(0, 2)],
+                info[(1, 1)], info[(1, 2)], info[(2, 2)])
+            if d0 is None:
+                return None
+            return [beta[0] + d0, beta[1] + d1, beta[2] + d2]
+        a = np.zeros((m, m))
+        for (i, j), v in info.items():
+            a[i, j] = a[j, i] = v
+        if np.linalg.det(a) <= 0:
+            return None
+        return list(np.asarray(beta) + np.linalg.solve(a, np.asarray(u)))
+
+    def var_diag(info):
+        """Diagonal of the inverse information, explicit cofactor/det
+        ratios for m <= 3 in the oracle's operand order."""
+        if m == 2:
+            det = info[(0, 0)] * info[(1, 1)] - info[(0, 1)] * info[(0, 1)]
+            if not det > 0:
+                return None
+            return [info[(1, 1)] / det, info[(0, 0)] / det]
+        if m == 3:
+            det = (info[(0, 0)] * (info[(1, 1)] * info[(2, 2)]
+                                   - info[(1, 2)] * info[(1, 2)])
+                   - info[(0, 1)] * (info[(0, 1)] * info[(2, 2)]
+                                     - info[(1, 2)] * info[(0, 2)])
+                   + info[(0, 2)] * (info[(0, 1)] * info[(1, 2)]
+                                     - info[(1, 1)] * info[(0, 2)]))
+            if not det > 0:
+                return None
+            return list(var3_diag(
+                info[(0, 0)], info[(0, 1)], info[(0, 2)],
+                info[(1, 1)], info[(1, 2)], info[(2, 2)], det))
+        a = np.zeros((m, m))
+        for (i, j), v in info.items():
+            a[i, j] = a[j, i] = v
+        if np.linalg.det(a) <= 0:
+            return None
+        return list(np.diag(np.linalg.inv(a)))
 
     def null_result():
         cols = [F.lit(None).cast("double").alias("beta0")]
@@ -1583,38 +1641,42 @@ def logistic_newton_multi_from_grid(
                  F.lit(None).cast("double").alias("score_norm")]
         return spark.range(1).select(*cols)
 
-    beta = np.zeros(d + 1)
+    beta = [0.0] * m
     n_obs = n_pos = 0
     for _ in range(iterations):
         u, info, n_obs, n_pos = moments(beta)
         if u is None:
             return null_result()
-        try:
-            # solve X'WX delta = U; reject non-PD information the same
-            # way the 2x2 closed form rejects det <= 0
-            if np.linalg.det(info) <= 0:
-                return null_result()
-            beta = beta + np.linalg.solve(info, u)
-        except np.linalg.LinAlgError:
+        beta = step(beta, u, info)
+        if beta is None:
             return null_result()
     u, info, n_obs, n_pos = moments(beta)
-    if u is None or np.linalg.det(info) <= 0:
+    var = var_diag(info) if u is not None else None
+    if u is None or var is None:
         return null_result()
-    cov = np.linalg.inv(info)
-    score_norm = float(np.sqrt(np.dot(u, u)))
+    score_norm = 0.0
+    for v in u:
+        score_norm = score_norm + v * v
+    score_norm = math.sqrt(score_norm)
 
-    def r6(x):
-        return round(float(x), 6) + 0.0  # +0.0 folds -0.0 to 0.0
+    # round-5 emission contract for the multi-covariate family (r12
+    # verdict #1): the irreducible distributed-sum-order drift in the
+    # collected moments is ~1e-13, so against the 1e-5 rounding grid a
+    # digit flips with probability ~1e-8 per statistic per run.
+    def r5(x):
+        if digits is None:  # unrounded, for boundary-margin audits
+            return float(x)
+        return round(float(x), digits) + 0.0  # +0.0 folds -0.0 to 0.0
 
-    cols = [F.lit(r6(beta[0])).alias("beta0")]
-    cols += [F.lit(r6(beta[i])).alias(f"beta{i}") for i in range(1, d + 1)]
-    cols += [F.lit(r6(np.sqrt(cov[i, i]))).alias(f"se{i}")
+    cols = [F.lit(r5(beta[0])).alias("beta0")]
+    cols += [F.lit(r5(beta[i])).alias(f"beta{i}") for i in range(1, d + 1)]
+    cols += [F.lit(r5(math.sqrt(var[i]))).alias(f"se{i}")
              for i in range(1, d + 1)]
-    cols += [F.lit(r6(beta[i] * beta[i] / cov[i, i])).alias(f"wald_chi2_{i}")
+    cols += [F.lit(r5(beta[i] * beta[i] / var[i])).alias(f"wald_chi2_{i}")
              for i in range(1, d + 1)]
     cols += [F.lit(n_obs).cast("long").alias("n"),
              F.lit(n_pos).cast("long").alias("n_pos"),
-             F.lit(r6(score_norm)).alias("score_norm")]
+             F.lit(r5(score_norm)).alias("score_norm")]
     return spark.range(1).select(*cols)
 
 
@@ -1686,9 +1748,14 @@ def breslow_day(
     r2 = (-qb - disc) / (2 * qa)
     lo = F.greatest(F.lit(0.0), m1 + n1 - t)
     hi = F.least(m1, n1)
+    # r13 (ADVICE): the fitted cell must be STRICTLY interior to
+    # (lo, hi) — when or_mh = 0 (a*d = 0 in every informative stratum)
+    # or the root lands on the support boundary, both roots are
+    # non-interior and 1/cell would divide by zero/negative; such a
+    # stratum is uninformative, excluded exactly like a zero margin.
     fitted = F.when(
         F.abs(qa) < 1e-12, m1 * n1 / t,
-    ).when((r1 > lo) & (r1 < hi), r1).otherwise(r2)
+    ).when((r1 > lo) & (r1 < hi), r1).when((r2 > lo) & (r2 < hi), r2)
     scored = j.select(
         "a", "psi",
         F.when(informative, fitted).alias("__fa"),
@@ -1762,12 +1829,19 @@ def cohen_kappa(
         F.sum(F.col("na").cast("double") * F.col("nb")
               / F.lit(float(tot * tot))).alias("pe"),
     )
+    # r13 (ADVICE): the label space is the UNION of both raters'
+    # observed levels — counting rater a's levels alone under-reports
+    # a category used exclusively by rater b.
+    cats = (
+        grid.select(F.col("__a").alias("__c"))
+        .unionByName(grid.select(F.col("__b").alias("__c")))
+        .agg(F.countDistinct("__c").alias("ka"))
+    )
     stats = grid.agg(
         F.sum("__n").alias("n"),
         (F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))
                .otherwise(0)).cast("double") / F.lit(float(tot))).alias("po"),
-        F.countDistinct("__a").alias("ka"),
-    ).crossJoin(F.broadcast(pe_df))
+    ).crossJoin(F.broadcast(cats)).crossJoin(F.broadcast(pe_df))
     po, pe = F.col("po"), F.coalesce(F.col("pe"), F.lit(0.0))
     ok = pe < 1.0
     se0 = F.sqrt(po * (1 - po)) / ((1 - pe) * F.sqrt(F.col("n").cast("double")))
@@ -1872,6 +1946,7 @@ def poisson_newton_multi(
     x_cols: list[str],
     y_col: str,
     iterations: int = 4,
+    digits: int | None = 5,
 ) -> DataFrame:
     """Poisson (log-link) regression MLE for d BOUNDED-cardinality
     covariates (1 <= d <= 8) plus intercept — completes the
@@ -1888,9 +1963,14 @@ def poisson_newton_multi(
     (ln(ybar), 0..0) — the saturated-intercept start that keeps exp()
     in range at any data scale. NULL on singular information. For
     d = 2 the recurrence is SQL-expressible via Cramer's rule (the
-    ``dx_poisson_multi`` oracle).
+    ``dx_poisson_multi`` oracle) — and for d <= 2 the driver solve IS
+    that Cramer arithmetic, with round-5 emission (r12 verdict #1).
     """
+    import math
+
     import numpy as np
+
+    from clinpy_spark.functions.cramer import solve2, solve3, var3_diag
 
     d = len(x_cols)
     if not 1 <= d <= 8:
@@ -1929,12 +2009,61 @@ def poisson_newton_multi(
         row = grid.agg(*aggs).collect()[0]
         if row["n"] is None:
             return None, None, 0, 0.0
-        u = np.array([row[f"u{a}"] for a in range(d + 1)])
-        info = np.zeros((d + 1, d + 1))
-        for a in range(d + 1):
-            for b in range(a, d + 1):
-                info[a, b] = info[b, a] = row[f"i{a}{b}"]
+        u = [float(row[f"u{a}"]) for a in range(d + 1)]
+        info = {(a, b): float(row[f"i{a}{b}"])
+                for a in range(d + 1) for b in range(a, d + 1)}
         return u, info, int(row["n"]), float(row["sy"])
+
+    m = d + 1
+
+    def step(beta, u, info):
+        """Explicit Cramer for m <= 3 in the oracle's operand order
+        (functions/cramer.py, r12 verdict #1); numpy beyond."""
+        if m == 2:
+            det, d0, d1 = solve2(u[0], u[1],
+                                 info[(0, 0)], info[(0, 1)], info[(1, 1)])
+            if d0 is None:
+                return None
+            return [beta[0] + d0, beta[1] + d1]
+        if m == 3:
+            det, d0, d1, d2 = solve3(
+                u[0], u[1], u[2],
+                info[(0, 0)], info[(0, 1)], info[(0, 2)],
+                info[(1, 1)], info[(1, 2)], info[(2, 2)])
+            if d0 is None:
+                return None
+            return [beta[0] + d0, beta[1] + d1, beta[2] + d2]
+        a = np.zeros((m, m))
+        for (i, j), v in info.items():
+            a[i, j] = a[j, i] = v
+        if np.linalg.det(a) <= 0:
+            return None
+        return list(np.asarray(beta) + np.linalg.solve(a, np.asarray(u)))
+
+    def var_diag(info):
+        if m == 2:
+            det = info[(0, 0)] * info[(1, 1)] - info[(0, 1)] * info[(0, 1)]
+            if not det > 0:
+                return None
+            return [info[(1, 1)] / det, info[(0, 0)] / det]
+        if m == 3:
+            det = (info[(0, 0)] * (info[(1, 1)] * info[(2, 2)]
+                                   - info[(1, 2)] * info[(1, 2)])
+                   - info[(0, 1)] * (info[(0, 1)] * info[(2, 2)]
+                                     - info[(1, 2)] * info[(0, 2)])
+                   + info[(0, 2)] * (info[(0, 1)] * info[(1, 2)]
+                                     - info[(1, 1)] * info[(0, 2)]))
+            if not det > 0:
+                return None
+            return list(var3_diag(
+                info[(0, 0)], info[(0, 1)], info[(0, 2)],
+                info[(1, 1)], info[(1, 2)], info[(2, 2)], det))
+        a = np.zeros((m, m))
+        for (i, j), v in info.items():
+            a[i, j] = a[j, i] = v
+        if np.linalg.det(a) <= 0:
+            return None
+        return list(np.diag(np.linalg.inv(a)))
 
     def null_result():
         cols = [F.lit(None).cast("double").alias("beta0")]
@@ -1951,33 +2080,44 @@ def poisson_newton_multi(
         F.sum("__sy").alias("sy"), F.sum("__n").alias("n")).collect()[0]
     n_obs = int(start["n"] or 0)
     y_tot = float(start["sy"] or 0.0)
-    beta = np.zeros(d + 1)
+    beta = [0.0] * m
     if n_obs == 0:
         return null_result()
     if y_tot > 0:
-        beta[0] = float(np.log(y_tot / n_obs))
+        # match the oracle's start expression ln(sum(sy)/sum(n)) exactly
+        beta[0] = math.log(y_tot / n_obs)
     for _ in range(iterations):
         u, info, n_obs, y_tot = moments(beta)
-        if u is None or np.linalg.det(info) <= 0:
+        if u is None:
             return null_result()
-        beta = beta + np.linalg.solve(info, u)
+        beta = step(beta, u, info)
+        if beta is None:
+            return null_result()
     u, info, n_obs, y_tot = moments(beta)
-    if u is None or np.linalg.det(info) <= 0:
+    var = var_diag(info) if u is not None else None
+    if u is None or var is None:
         return null_result()
-    cov = np.linalg.inv(info)
+    score_norm = 0.0
+    for v in u:
+        score_norm = score_norm + v * v
+    score_norm = math.sqrt(score_norm)
 
-    def r6(x):
-        return round(float(x), 6) + 0.0
+    # round-5 emission: the multi-covariate family's hash-determinism
+    # contract (r12 verdict #1, see logistic_newton_multi_from_grid)
+    def r5(x):
+        if digits is None:  # unrounded, for boundary-margin audits
+            return float(x)
+        return round(float(x), digits) + 0.0
 
-    cols = [F.lit(r6(beta[0])).alias("beta0")]
-    cols += [F.lit(r6(beta[i])).alias(f"beta{i}") for i in range(1, d + 1)]
-    cols += [F.lit(r6(np.sqrt(cov[i, i]))).alias(f"se{i}")
+    cols = [F.lit(r5(beta[0])).alias("beta0")]
+    cols += [F.lit(r5(beta[i])).alias(f"beta{i}") for i in range(1, d + 1)]
+    cols += [F.lit(r5(math.sqrt(var[i]))).alias(f"se{i}")
              for i in range(1, d + 1)]
-    cols += [F.lit(r6(beta[i] * beta[i] / cov[i, i])).alias(f"wald_chi2_{i}")
+    cols += [F.lit(r5(beta[i] * beta[i] / var[i])).alias(f"wald_chi2_{i}")
              for i in range(1, d + 1)]
     cols += [F.lit(n_obs).cast("long").alias("n"),
              F.lit(y_tot).cast("double").alias("y_total"),
-             F.lit(r6(np.sqrt(np.dot(u, u)))).alias("score_norm")]
+             F.lit(r5(score_norm)).alias("score_norm")]
     return spark.range(1).select(*cols)
 
 

@@ -90,31 +90,55 @@ def refresh_stats(catalog, name: str, batch: DataFrame, keys: list[str],
     within the same lineage are skipped and a fresh-checkpoint restart
     folds from its batch 0 — the same (run_id, batch_id) stamp
     contract as ``fold_partials``."""
+    import json
+
     from pyspark.sql import functions as F
 
-    from clinpy_spark.streaming.fold import BATCH_ID_COL, RUN_ID_COL
+    from clinpy_spark.streaming.fold import (
+        BATCH_ID_COL, RUN_ID_COL, decode_ledger, ledger_advance,
+        ledger_covers,
+    )
 
     parts = partial_aggregate(batch, keys, value_cols)
     rid = "" if run_id is None else run_id
     if catalog.exists(name):
         state = catalog.table(name)
-        if batch_id is not None and BATCH_ID_COL in state.columns:
+        stamped = BATCH_ID_COL in state.columns
+        ledger: list[list] = []
+        prev_bid = None
+        if stamped:
             row = state.agg(
                 F.max(BATCH_ID_COL).alias("b"),
                 F.max(RUN_ID_COL).alias("r")
                 if RUN_ID_COL in state.columns else F.lit(None).alias("r"),
             ).collect()[0]
-            same = run_id is None or row.r is None or row.r == rid
-            if row.b is not None and batch_id <= row.b and same:
-                return  # replayed batch within this lineage
+            ledger = decode_ledger(row.r, row.b)
+            prev_bid = row.b
+            if batch_id is not None and ledger_covers(ledger, rid, batch_id):
+                return  # replayed batch within ITS OWN lineage
         state = state.drop(BATCH_ID_COL, RUN_ID_COL)
         merged = merge_partials(state, parts, keys, value_cols)
         if batch_id is not None:
-            merged = (merged.withColumn(BATCH_ID_COL, F.lit(batch_id))
-                      .withColumn(RUN_ID_COL, F.lit(rid)))
+            merged = (
+                merged.withColumn(BATCH_ID_COL, F.lit(batch_id))
+                .withColumn(
+                    RUN_ID_COL,
+                    F.lit(json.dumps(ledger_advance(ledger, rid, batch_id)))))
+        elif stamped:
+            # r13 (ADVICE): a plain batch refresh against a stream-
+            # maintained table must CARRY the lineage stamps through —
+            # writing the merge unstamped would make the still-running
+            # stream's next replayed batch look like a first fold and
+            # double-count it.
+            merged = (
+                merged.withColumn(BATCH_ID_COL, F.lit(prev_bid))
+                .withColumn(RUN_ID_COL, F.lit(json.dumps(ledger))))
         catalog.overwrite_staged(merged, name)
     else:
         if batch_id is not None:
-            parts = (parts.withColumn(BATCH_ID_COL, F.lit(batch_id))
-                     .withColumn(RUN_ID_COL, F.lit(rid)))
+            parts = (
+                parts.withColumn(BATCH_ID_COL, F.lit(batch_id))
+                .withColumn(
+                    RUN_ID_COL,
+                    F.lit(json.dumps(ledger_advance([], rid, batch_id)))))
         catalog.write(parts, name)

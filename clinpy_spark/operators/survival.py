@@ -991,6 +991,7 @@ def cox_newton_multi(
     event_col: str,
     x_cols: list[str],
     iterations: int = 4,
+    digits: int | None = 5,
 ) -> DataFrame:
     """Cox proportional-hazards MLE for d BOUNDED-cardinality
     covariates (1 <= d <= 8) by ``iterations`` Newton-Raphson steps on
@@ -1014,12 +1015,17 @@ def cox_newton_multi(
         I_ab  = sum_t d(t) [S2_ab/S0 - (S1_a/S0)(S1_b/S0)]
     so each Newton step is ONE grid-sized aggregate collected as a
     single bounded row (d + d(d+1)/2 doubles) and a driver-side dxd
-    ``numpy.linalg.solve`` — the same distributed-moments/local-solve
-    factoring as ``logistic_newton_multi``; the cohort itself is
-    scanned once, never per-iteration. NULL on singular information
-    (collinear/constant covariates, no events). ``score_norm`` is the
-    final ||U||. For d = 2 the recurrence is SQL-expressible via
-    Cramer's rule — how the ``surv_cox_multi`` oracle replays it.
+    solve — the same distributed-moments/local-solve factoring as
+    ``logistic_newton_multi``; the cohort itself is scanned once,
+    never per-iteration. NULL on singular information (collinear/
+    constant covariates, no events). ``score_norm`` is the final ||U||.
+    For d <= 3 the driver solve is EXPLICIT Cramer arithmetic in the
+    oracle's own operand order (functions/cramer.py) and all statistics
+    emit at round-5 — the hash-determinism contract of the multi-
+    covariate family (r12 verdict #1: LAPACK-vs-Cramer drift plus
+    partition-order double sums flipped a round-6 digit); the
+    ``surv_cox_multi`` (d=2) and ``surv_cox_multi3`` (d=3) oracles
+    replay the identical recurrence as chained Cramer CTEs.
     """
     import numpy as np
 
@@ -1041,13 +1047,15 @@ def cox_newton_multi(
     # streaming/survival.py finalize_cox_multi refits on read)
     leav = base.groupBy(*xs, "__t").agg(
         F.count(F.lit(1)).alias("__r"), F.sum("__e").alias("__d"))
-    return cox_newton_multi_from_leavers(leav, d, iterations=iterations)
+    return cox_newton_multi_from_leavers(leav, d, iterations=iterations,
+                                         digits=digits)
 
 
 def cox_newton_multi_from_leavers(
     leav: DataFrame,
     d: int,
     iterations: int = 4,
+    digits: int | None = 5,
 ) -> DataFrame:
     """:func:`cox_newton_multi` from the per-(cell, time) leaver table
     (__x1..__xd, __t, __r, __d) — r/d are integer-ADDITIVE, so a
@@ -1056,7 +1064,11 @@ def cox_newton_multi_from_leavers(
     finalize_cox_multi), the same fold/recompute-on-read architecture
     as the KM twin. At-risk counts rebuild from the folded leavers via
     the cumulative window, never from subject history."""
+    import math
+
     import numpy as np
+
+    from clinpy_spark.functions.cramer import solve2, solve3, var3_diag
 
     xs = [f"__x{i}" for i in range(1, d + 1)]
     leav = leav.localCheckpoint(eager=False)
@@ -1129,12 +1141,75 @@ def cox_newton_multi_from_leavers(
         row = pt.agg(*g_aggs).collect()[0]
         if row["n_events"] is None:
             return None, None, 0
-        u = np.array([row[f"u{a}"] for a in range(d)])
-        info = np.zeros((d, d))
-        for a in range(d):
-            for b in range(a, d):
-                info[a, b] = info[b, a] = row[f"i{a}{b}"]
+        u = [float(row[f"u{a}"]) for a in range(d)]
+        info = {(a, b): float(row[f"i{a}{b}"])
+                for a in range(d) for b in range(a, d)}
         return u, info, int(row["n_events"])
+
+    def step(beta, u, info):
+        """One Newton update.  For d <= 3 the solve is EXPLICIT Cramer
+        arithmetic in the oracle's own operand order (functions/
+        cramer.py — r12 verdict #1: np.linalg.solve's LAPACK path
+        drifts ~1e-13 from the oracle's Cramer CTEs, enough to flip a
+        rounded digit at a boundary); larger d (no SQL oracle) keeps
+        the numpy solve."""
+        if d == 1:
+            det = info[(0, 0)]
+            if not det > 0:
+                return None
+            return [beta[0] + u[0] / det]
+        if d == 2:
+            det, d1, d2 = solve2(u[0], u[1],
+                                 info[(0, 0)], info[(0, 1)], info[(1, 1)])
+            if d1 is None:
+                return None
+            return [beta[0] + d1, beta[1] + d2]
+        if d == 3:
+            det, d1, d2, d3 = solve3(
+                u[0], u[1], u[2],
+                info[(0, 0)], info[(0, 1)], info[(0, 2)],
+                info[(1, 1)], info[(1, 2)], info[(2, 2)])
+            if d1 is None:
+                return None
+            return [beta[0] + d1, beta[1] + d2, beta[2] + d3]
+        a = np.zeros((d, d))
+        for (i, j), v in info.items():
+            a[i, j] = a[j, i] = v
+        if np.linalg.det(a) <= 0:
+            return None
+        return list(np.asarray(beta) + np.linalg.solve(a, np.asarray(u)))
+
+    def var_diag(info):
+        """Diagonal of the inverse information — explicit cofactor/det
+        ratios for d <= 3 (matching the oracle's se/wald expressions
+        exactly), numpy inverse otherwise.  None on non-PD."""
+        if d == 1:
+            det = info[(0, 0)]
+            return [1 / det] if det > 0 else None
+        if d == 2:
+            det = info[(0, 0)] * info[(1, 1)] - info[(0, 1)] * info[(0, 1)]
+            if not det > 0:
+                return None
+            # the oracle emits sqrt(i22/det) / sqrt(i11/det)
+            return [info[(1, 1)] / det, info[(0, 0)] / det]
+        if d == 3:
+            det = (info[(0, 0)] * (info[(1, 1)] * info[(2, 2)]
+                                   - info[(1, 2)] * info[(1, 2)])
+                   - info[(0, 1)] * (info[(0, 1)] * info[(2, 2)]
+                                     - info[(1, 2)] * info[(0, 2)])
+                   + info[(0, 2)] * (info[(0, 1)] * info[(1, 2)]
+                                     - info[(1, 1)] * info[(0, 2)]))
+            if not det > 0:
+                return None
+            return list(var3_diag(
+                info[(0, 0)], info[(0, 1)], info[(0, 2)],
+                info[(1, 1)], info[(1, 2)], info[(2, 2)], det))
+        a = np.zeros((d, d))
+        for (i, j), v in info.items():
+            a[i, j] = a[j, i] = v
+        if np.linalg.det(a) <= 0:
+            return None
+        return list(np.diag(np.linalg.inv(a)))
 
     # every subject leaves exactly once, so the leaver totals ARE the
     # cohort size (works from a folded stream state too)
@@ -1151,36 +1226,49 @@ def cox_newton_multi_from_leavers(
                  F.lit(None).cast("double").alias("score_norm")]
         return spark.range(1).select(*cols)
 
-    beta = np.zeros(d)
+    beta = [0.0] * d
     n_events = 0
     for _ in range(iterations):
         u, info, n_events = moments(beta)
         if u is None:
             return null_result(0)
-        if np.linalg.det(info) <= 0:
+        beta = step(beta, u, info)
+        if beta is None:
             return null_result(n_events)
-        beta = beta + np.linalg.solve(info, u)
     u, info, n_events = moments(beta)
-    if u is None or np.linalg.det(info) <= 0:
+    var = var_diag(info) if u is not None else None
+    if u is None or var is None:
         return null_result(n_events if u is not None else 0)
-    cov = np.linalg.inv(info)
 
-    def r6(x):
-        return round(float(x), 6) + 0.0
+    # round-5 emission contract for the multi-covariate family (r12
+    # verdict #1): residual distributed-sum-order drift in the moment
+    # doubles is ~1e-13; against a 1e-5 rounding grid that flips a
+    # digit with probability ~1e-8 instead of round-6's ~1e-7 per
+    # statistic per run — and the Cramer solve above already removed
+    # the LAPACK-vs-oracle term entirely.
+    def r5(x):
+        if digits is None:  # unrounded, for boundary-margin audits
+            return float(x)
+        return round(float(x), digits) + 0.0
 
-    cols = [F.lit(r6(beta[i - 1])).alias(f"beta{i}") for i in range(1, d + 1)]
-    cols += [F.lit(r6(np.exp(beta[i - 1]))).alias(f"hr{i}")
+    score_norm = 0.0
+    for v in u:
+        score_norm = score_norm + v * v
+    score_norm = math.sqrt(score_norm)
+
+    cols = [F.lit(r5(beta[i - 1])).alias(f"beta{i}") for i in range(1, d + 1)]
+    cols += [F.lit(r5(math.exp(beta[i - 1]))).alias(f"hr{i}")
              for i in range(1, d + 1)]
-    cols += [F.lit(r6(np.sqrt(cov[i - 1, i - 1]))).alias(f"se{i}")
+    cols += [F.lit(r5(math.sqrt(var[i - 1]))).alias(f"se{i}")
              for i in range(1, d + 1)]
     cols += [
-        F.lit(r6(beta[i - 1] * beta[i - 1] / cov[i - 1, i - 1]))
+        F.lit(r5(beta[i - 1] * beta[i - 1] / var[i - 1]))
         .alias(f"wald_chi2_{i}")
         for i in range(1, d + 1)
     ]
     cols += [F.lit(n_events).cast("long").alias("n_events"),
              F.lit(n_subjects).cast("long").alias("n_subjects"),
-             F.lit(r6(np.sqrt(np.dot(u, u)))).alias("score_norm")]
+             F.lit(r5(score_norm)).alias("score_norm")]
     return spark.range(1).select(*cols)
 
 

@@ -8107,19 +8107,19 @@ def _cox_multi_sql(iterations: int) -> str:
     ctes.append("fin AS MATERIALIZED" + pt.format(prev=prev))
     ctes.append(f"bf AS MATERIALIZED (SELECT b1, b2 FROM {prev})")
     return "WITH " + ",\n".join(ctes) + """
-SELECT CASE WHEN ok THEN round((SELECT b1 FROM bf), 6) + 0.0 END AS beta1,
-       CASE WHEN ok THEN round((SELECT b2 FROM bf), 6) + 0.0 END AS beta2,
-       CASE WHEN ok THEN round(exp((SELECT b1 FROM bf)), 6) + 0.0 END AS hr1,
-       CASE WHEN ok THEN round(exp((SELECT b2 FROM bf)), 6) + 0.0 END AS hr2,
-       CASE WHEN ok THEN round(sqrt(i22 / det), 6) + 0.0 END AS se1,
-       CASE WHEN ok THEN round(sqrt(i11 / det), 6) + 0.0 END AS se2,
+SELECT CASE WHEN ok THEN round((SELECT b1 FROM bf), 5) + 0.0 END AS beta1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf), 5) + 0.0 END AS beta2,
+       CASE WHEN ok THEN round(exp((SELECT b1 FROM bf)), 5) + 0.0 END AS hr1,
+       CASE WHEN ok THEN round(exp((SELECT b2 FROM bf)), 5) + 0.0 END AS hr2,
+       CASE WHEN ok THEN round(sqrt(i22 / det), 5) + 0.0 END AS se1,
+       CASE WHEN ok THEN round(sqrt(i11 / det), 5) + 0.0 END AS se2,
        CASE WHEN ok THEN round((SELECT b1 FROM bf) * (SELECT b1 FROM bf)
-                               / (i22 / det), 6) + 0.0 END AS wald_chi2_1,
+                               / (i22 / det), 5) + 0.0 END AS wald_chi2_1,
        CASE WHEN ok THEN round((SELECT b2 FROM bf) * (SELECT b2 FROM bf)
-                               / (i11 / det), 6) + 0.0 END AS wald_chi2_2,
+                               / (i11 / det), 5) + 0.0 END AS wald_chi2_2,
        coalesce(n_events, 0) AS n_events,
        (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_subjects,
-       CASE WHEN ok THEN round(sqrt(u1 * u1 + u2 * u2), 6) + 0.0
+       CASE WHEN ok THEN round(sqrt(u1 * u1 + u2 * u2), 5) + 0.0
        END AS score_norm
 FROM (SELECT *, i11 * i22 - i12 * i12 AS det,
              (SELECT b1 FROM bf) IS NOT NULL
@@ -8319,7 +8319,9 @@ rt AS (SELECT a, psi, m1, n1, t, inf_,
                      WHEN (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa) > lo
                       AND (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa) < hi
                      THEN (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
-                     ELSE (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
+                     WHEN (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa) > lo
+                      AND (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa) < hi
+                     THEN (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
                 END END AS fa
        FROM q2),
 sc AS (SELECT a, psi, fa,
@@ -9518,22 +9520,22 @@ def _logit_multi_irls_sql(iterations: int) -> str:
     ctes.append("fin AS MATERIALIZED" + mom.format(prev=prev))
     ctes.append(f"bf AS MATERIALIZED (SELECT b0, b1, b2 FROM {prev})")
     return "WITH " + ",\n".join(ctes) + """
-SELECT CASE WHEN ok THEN round((SELECT b0 FROM bf), 6) + 0.0 END AS beta0,
-       CASE WHEN ok THEN round((SELECT b1 FROM bf), 6) + 0.0 END AS beta1,
-       CASE WHEN ok THEN round((SELECT b2 FROM bf), 6) + 0.0 END AS beta2,
-       CASE WHEN ok THEN round(sqrt((i00 * i22 - i02 * i02) / det), 6) + 0.0
+SELECT CASE WHEN ok THEN round((SELECT b0 FROM bf), 5) + 0.0 END AS beta0,
+       CASE WHEN ok THEN round((SELECT b1 FROM bf), 5) + 0.0 END AS beta1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf), 5) + 0.0 END AS beta2,
+       CASE WHEN ok THEN round(sqrt((i00 * i22 - i02 * i02) / det), 5) + 0.0
        END AS se1,
-       CASE WHEN ok THEN round(sqrt((i00 * i11 - i01 * i01) / det), 6) + 0.0
+       CASE WHEN ok THEN round(sqrt((i00 * i11 - i01 * i01) / det), 5) + 0.0
        END AS se2,
        CASE WHEN ok THEN round((SELECT b1 FROM bf) * (SELECT b1 FROM bf)
-                               / ((i00 * i22 - i02 * i02) / det), 6) + 0.0
+                               / ((i00 * i22 - i02 * i02) / det), 5) + 0.0
        END AS wald_chi2_1,
        CASE WHEN ok THEN round((SELECT b2 FROM bf) * (SELECT b2 FROM bf)
-                               / ((i00 * i11 - i01 * i01) / det), 6) + 0.0
+                               / ((i00 * i11 - i01 * i01) / det), 5) + 0.0
        END AS wald_chi2_2,
        coalesce(n, 0) AS n, coalesce(np, 0) AS n_pos,
        CASE WHEN ok
-            THEN round(sqrt(u0 * u0 + u1 * u1 + u2 * u2), 6) + 0.0
+            THEN round(sqrt(u0 * u0 + u1 * u1 + u2 * u2), 5) + 0.0
        END AS score_norm
 FROM (SELECT *, i00 * (i11 * i22 - i12 * i12)
                 - i01 * (i01 * i22 - i12 * i02)
@@ -10091,22 +10093,22 @@ def _poisson_multi_irls_sql(iterations: int) -> str:
     ctes.append("fin AS MATERIALIZED" + mom.format(prev=prev))
     ctes.append(f"bf AS MATERIALIZED (SELECT b0, b1, b2 FROM {prev})")
     return "WITH " + ",\n".join(ctes) + """
-SELECT CASE WHEN ok THEN round((SELECT b0 FROM bf), 6) + 0.0 END AS beta0,
-       CASE WHEN ok THEN round((SELECT b1 FROM bf), 6) + 0.0 END AS beta1,
-       CASE WHEN ok THEN round((SELECT b2 FROM bf), 6) + 0.0 END AS beta2,
-       CASE WHEN ok THEN round(sqrt((i00 * i22 - i02 * i02) / det), 6) + 0.0
+SELECT CASE WHEN ok THEN round((SELECT b0 FROM bf), 5) + 0.0 END AS beta0,
+       CASE WHEN ok THEN round((SELECT b1 FROM bf), 5) + 0.0 END AS beta1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf), 5) + 0.0 END AS beta2,
+       CASE WHEN ok THEN round(sqrt((i00 * i22 - i02 * i02) / det), 5) + 0.0
        END AS se1,
-       CASE WHEN ok THEN round(sqrt((i00 * i11 - i01 * i01) / det), 6) + 0.0
+       CASE WHEN ok THEN round(sqrt((i00 * i11 - i01 * i01) / det), 5) + 0.0
        END AS se2,
        CASE WHEN ok THEN round((SELECT b1 FROM bf) * (SELECT b1 FROM bf)
-                               / ((i00 * i22 - i02 * i02) / det), 6) + 0.0
+                               / ((i00 * i22 - i02 * i02) / det), 5) + 0.0
        END AS wald_chi2_1,
        CASE WHEN ok THEN round((SELECT b2 FROM bf) * (SELECT b2 FROM bf)
-                               / ((i00 * i11 - i01 * i01) / det), 6) + 0.0
+                               / ((i00 * i11 - i01 * i01) / det), 5) + 0.0
        END AS wald_chi2_2,
        coalesce(n, 0) AS n, coalesce(sy, 0.0) AS y_total,
        CASE WHEN ok
-            THEN round(sqrt(u0 * u0 + u1 * u1 + u2 * u2), 6) + 0.0
+            THEN round(sqrt(u0 * u0 + u1 * u1 + u2 * u2), 5) + 0.0
        END AS score_norm
 FROM (SELECT *, i00 * (i11 * i22 - i12 * i12)
                 - i01 * (i01 * i22 - i12 * i02)
@@ -10162,7 +10164,8 @@ pe AS (SELECT sum(CAST(na AS DOUBLE) * nb
 st AS (SELECT (SELECT tot FROM t) AS n,
               CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS DOUBLE)
                 / (SELECT tot FROM t) AS po,
-              CAST(count(DISTINCT a) AS BIGINT) AS ka
+              (SELECT CAST(count(DISTINCT c) AS BIGINT)
+               FROM (SELECT a AS c FROM g UNION ALL SELECT b FROM g)) AS ka
        FROM g)
 SELECT n, ka AS n_categories, round(po, 6) AS po,
        round(coalesce(pe, 0), 6) AS pe,

@@ -173,6 +173,41 @@ def negbin_grid_partial(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def stream_negbin_grid(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    x_col: str,
+    y_col: str,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Fold each micro-batch's NB2 partials (n, sum_y, sum_y2 per x
+    cell) into the persisted ``name`` table — the addition-merge keyed
+    by the covariate cell with the idempotent lineage-scoped stamp, so
+    a fresh-checkpoint restart folds its batch 0 instead of dropping it
+    and a replay within a lineage never double-counts (r12 verdict #8).
+    Read the live fit — Poisson start, moment dispersion, NB2 Fisher
+    refit — with :func:`finalize_negbin`."""
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__nb2_checkpoint__"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = negbin_grid_partial(batch, x_col, y_col)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["__x"], counters=["n", "sy", "syy"],
+                      run_id=lineage_token(checkpoint))
+
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def finalize_negbin(grid: DataFrame, iterations: int = 4) -> DataFrame:
     """NB2 MLE chain over the maintained (__x, n, sy, syy) grid —
     identical to the batch ``negbin_newton`` over the same rows (twin

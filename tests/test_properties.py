@@ -8,6 +8,8 @@ size), which example-based tests tend to miss.
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -1436,35 +1438,54 @@ def test_logistic_multi_matches_local_numpy_irls(spark, cells, iters):
     for x1, x2, y in rows:
         n, p = grid.get((x1, x2), (0, 0))
         grid[(x1, x2)] = (n + 1, p + y)
+    from clinpy_spark.functions.cramer import solve3, var3_diag
+
     xs = np.array([[1.0, k[0], k[1]] for k in grid])
     nn = np.array([v[0] for v in grid.values()], dtype=float)
     pp = np.array([v[1] for v in grid.values()], dtype=float)
-    beta = np.zeros(3)
-    singular = False
-    for _ in range(iters):
-        mu = 1 / (1 + np.exp(-(xs @ beta)))
+
+    def mom(beta):
+        mu = 1 / (1 + np.exp(-(xs @ np.asarray(beta))))
         w = nn * mu * (1 - mu)
         u = xs.T @ (pp - nn * mu)
         info = (xs * w[:, None]).T @ xs
-        if np.linalg.det(info) <= 0:
-            singular = True
+        return [float(v) for v in u], info
+
+    # the fitter's r13 contract: explicit Cramer updates in the
+    # oracle's operand order (functions/cramer.py) and ROUND-5
+    # emission — this replay pins exactly that recurrence
+    beta = [0.0, 0.0, 0.0]
+    for _ in range(iters):
+        u, info = mom(beta)
+        det, d0, d1, d2 = solve3(
+            u[0], u[1], u[2],
+            float(info[0, 0]), float(info[0, 1]), float(info[0, 2]),
+            float(info[1, 1]), float(info[1, 2]), float(info[2, 2]))
+        if d0 is None:
+            beta = None
             break
-        beta = beta + np.linalg.solve(info, u)
-    if singular:
+        beta = [beta[0] + d0, beta[1] + d1, beta[2] + d2]
+    if beta is None:
         assert got.beta0 is None
         return
-    mu = 1 / (1 + np.exp(-(xs @ beta)))
-    w = nn * mu * (1 - mu)
-    info = (xs * w[:, None]).T @ xs
-    if np.linalg.det(info) <= 0:
+    u, info = mom(beta)
+    det = (float(info[0, 0]) * (float(info[1, 1]) * float(info[2, 2])
+                                - float(info[1, 2]) * float(info[1, 2]))
+           - float(info[0, 1]) * (float(info[0, 1]) * float(info[2, 2])
+                                  - float(info[1, 2]) * float(info[0, 2]))
+           + float(info[0, 2]) * (float(info[0, 1]) * float(info[1, 2])
+                                  - float(info[1, 1]) * float(info[0, 2])))
+    if not det > 0:
         assert got.beta0 is None
         return
-    cov = np.linalg.inv(info)
-    assert got.beta0 == round(float(beta[0]), 6) + 0.0
-    assert got.beta1 == round(float(beta[1]), 6) + 0.0
-    assert got.beta2 == round(float(beta[2]), 6) + 0.0
-    assert got.se1 == round(float(np.sqrt(cov[1, 1])), 6) + 0.0
-    assert got.se2 == round(float(np.sqrt(cov[2, 2])), 6) + 0.0
+    _, v1, v2 = var3_diag(
+        float(info[0, 0]), float(info[0, 1]), float(info[0, 2]),
+        float(info[1, 1]), float(info[1, 2]), float(info[2, 2]), det)
+    assert got.beta0 == round(float(beta[0]), 5) + 0.0
+    assert got.beta1 == round(float(beta[1]), 5) + 0.0
+    assert got.beta2 == round(float(beta[2]), 5) + 0.0
+    assert got.se1 == round(math.sqrt(v1), 5) + 0.0
+    assert got.se2 == round(math.sqrt(v2), 5) + 0.0
     assert (got.n, got.n_pos) == (int(nn.sum()), int(pp.sum()))
 
 
@@ -1513,27 +1534,34 @@ def test_cox_multi_matches_local_numpy_replay(spark, subjects, iters):
             n_ev += d
         return u, info, n_ev
 
+    from clinpy_spark.functions.cramer import solve2
+
     if len(times) == 0:
         assert got.beta1 is None
         return
-    beta = np.zeros(2)
-    singular = False
+    # pin the r13 contract: explicit 2x2 Cramer updates (the oracle's
+    # operand order, functions/cramer.py) and ROUND-5 emission
+    beta = [0.0, 0.0]
     for _ in range(iters):
-        u, info, n_ev = moments(beta)
-        if np.linalg.det(info) <= 0:
-            singular = True
+        u, info, n_ev = moments(np.asarray(beta))
+        det, d1, d2 = solve2(float(u[0]), float(u[1]),
+                             float(info[0, 0]), float(info[0, 1]),
+                             float(info[1, 1]))
+        if d1 is None:
+            beta = None
             break
-        beta = beta + np.linalg.solve(info, u)
-    if singular:
+        beta = [beta[0] + d1, beta[1] + d2]
+    if beta is None:
         assert got.beta1 is None
         return
-    u, info, n_ev = moments(beta)
-    if np.linalg.det(info) <= 0:
+    u, info, n_ev = moments(np.asarray(beta))
+    det = (float(info[0, 0]) * float(info[1, 1])
+           - float(info[0, 1]) * float(info[0, 1]))
+    if not det > 0:
         assert got.beta1 is None
         return
-    cov = np.linalg.inv(info)
-    assert got.beta1 == round(float(beta[0]), 6) + 0.0
-    assert got.beta2 == round(float(beta[1]), 6) + 0.0
-    assert got.se1 == round(float(np.sqrt(cov[0, 0])), 6) + 0.0
+    assert got.beta1 == round(float(beta[0]), 5) + 0.0
+    assert got.beta2 == round(float(beta[1]), 5) + 0.0
+    assert got.se1 == round(math.sqrt(float(info[1, 1]) / det), 5) + 0.0
     assert got.n_events == n_ev
     assert got.n_subjects == len(rows)

