@@ -8159,6 +8159,267 @@ def surv_cox_multi_q(spark, sf):
                             iterations=4)
 
 
+def _cox_multi3_sql(iterations: int) -> str:
+    """Chained-CTE replay of cox_newton_multi's recurrence for d = 3
+    covariates (r12 verdict #5 — the driver-proof above the d = 2
+    Cramer): identical windowed at-risk grid, per step one per-time
+    moment aggregate and a 3x3 cofactor-expansion Cramer update whose
+    operand order is EXACTLY functions/cramer.py solve3 (the Spark
+    driver solve), so the two sides differ only by distributed-sum
+    order — absorbed by the family's round-5 emission."""
+    pt = """ (SELECT sum(dd) AS n_events,
+         sum(da1 - dd * s11 / s0) AS u1,
+         sum(da2 - dd * s12 / s0) AS u2,
+         sum(da3 - dd * s13 / s0) AS u3,
+         sum(dd * (s211 / s0 - (s11 / s0) * (s11 / s0))) AS i11,
+         sum(dd * (s212 / s0 - (s11 / s0) * (s12 / s0))) AS i12,
+         sum(dd * (s213 / s0 - (s11 / s0) * (s13 / s0))) AS i13,
+         sum(dd * (s222 / s0 - (s12 / s0) * (s12 / s0))) AS i22,
+         sum(dd * (s223 / s0 - (s12 / s0) * (s13 / s0))) AS i23,
+         sum(dd * (s233 / s0 - (s13 / s0) * (s13 / s0))) AS i33
+   FROM (SELECT t, sum(n_c * ex) AS s0, sum(d) AS dd,
+                sum(x1 * d) AS da1, sum(x2 * d) AS da2, sum(x3 * d) AS da3,
+                sum(n_c * x1 * ex) AS s11, sum(n_c * x2 * ex) AS s12,
+                sum(n_c * x3 * ex) AS s13,
+                sum(n_c * x1 * x1 * ex) AS s211,
+                sum(n_c * x1 * x2 * ex) AS s212,
+                sum(n_c * x1 * x3 * ex) AS s213,
+                sum(n_c * x2 * x2 * ex) AS s222,
+                sum(n_c * x2 * x3 * ex) AS s223,
+                sum(n_c * x3 * x3 * ex) AS s233
+         FROM (SELECT g.*, exp((SELECT b1 FROM {prev}) * x1
+                               + (SELECT b2 FROM {prev}) * x2
+                               + (SELECT b3 FROM {prev}) * x3) AS ex
+               FROM grid g)
+         GROUP BY t))"""
+    upd = """ (SELECT
+        CASE WHEN det > 0 THEN (SELECT b1 FROM {prev})
+             + (u1 * (i22 * i33 - i23 * i23)
+                - i12 * (u2 * i33 - i23 * u3)
+                + i13 * (u2 * i23 - i22 * u3)) / det END AS b1,
+        CASE WHEN det > 0 THEN (SELECT b2 FROM {prev})
+             + (i11 * (u2 * i33 - i23 * u3)
+                - u1 * (i12 * i33 - i23 * i13)
+                + i13 * (i12 * u3 - u2 * i13)) / det END AS b2,
+        CASE WHEN det > 0 THEN (SELECT b3 FROM {prev})
+             + (i11 * (i22 * u3 - u2 * i23)
+                - i12 * (i12 * u3 - u2 * i13)
+                + u1 * (i12 * i23 - i22 * i13)) / det END AS b3
+        FROM (SELECT *, i11 * (i22 * i33 - i23 * i23)
+                        - i12 * (i12 * i33 - i23 * i13)
+                        + i13 * (i12 * i23 - i22 * i13) AS det
+              FROM m{i}))"""
+    ctes = ["""obs AS MATERIALIZED (
+  SELECT LEAST(h % 1500 + 1, dd) AS duration,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x1,
+         CAST(ck % 2 AS DOUBLE) AS x2,
+         CAST(ck % 3 AS DOUBLE) AS x3
+  FROM (SELECT o_orderpriority, o_custkey AS ck,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')))""",
+            """leav AS MATERIALIZED (
+  SELECT x1, x2, x3, duration AS t, CAST(count(*) AS BIGINT) AS r,
+         CAST(sum(evt) AS BIGINT) AS d
+  FROM obs GROUP BY 1, 2, 3, 4)""",
+            """cells AS MATERIALIZED (
+  SELECT x1, x2, x3, CAST(sum(r) AS BIGINT) AS tot FROM leav GROUP BY 1, 2, 3)""",
+            "times AS MATERIALIZED (SELECT DISTINCT t FROM leav WHERE d > 0)",
+            """u0 AS (SELECT c.x1, c.x2, c.x3, tm.t, c.tot, 0 AS r, 0 AS il
+      FROM times tm CROSS JOIN cells c
+      UNION ALL
+      SELECT l.x1, l.x2, l.x3, l.t, c.tot, l.r, 1
+      FROM leav l JOIN cells c
+        ON l.x1 = c.x1 AND l.x2 = c.x2 AND l.x3 = c.x3)""",
+            """atr AS (SELECT x1, x2, x3, t,
+        tot - coalesce(sum(r) OVER (PARTITION BY x1, x2, x3 ORDER BY t, il
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_c,
+        il
+      FROM u0 QUALIFY il = 0)""",
+            """grid AS MATERIALIZED (
+  SELECT a.x1, a.x2, a.x3, a.t, a.n_c, coalesce(l.d, 0) AS d
+  FROM atr a LEFT JOIN (SELECT x1, x2, x3, t, d FROM leav WHERE d > 0) l
+    ON l.x1 = a.x1 AND l.x2 = a.x2 AND l.x3 = a.x3 AND l.t = a.t)""",
+            "bc0 AS (SELECT 0.0 AS b1, 0.0 AS b2, 0.0 AS b3)"]
+    prev = "bc0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"m{i} AS MATERIALIZED" + pt.format(prev=prev))
+        ctes.append(f"bc{i} AS MATERIALIZED" + upd.format(prev=prev, i=i))
+        prev = f"bc{i}"
+    ctes.append("fin AS MATERIALIZED" + pt.format(prev=prev))
+    ctes.append(f"bf AS MATERIALIZED (SELECT b1, b2, b3 FROM {prev})")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT CASE WHEN ok THEN round((SELECT b1 FROM bf), 5) + 0.0 END AS beta1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf), 5) + 0.0 END AS beta2,
+       CASE WHEN ok THEN round((SELECT b3 FROM bf), 5) + 0.0 END AS beta3,
+       CASE WHEN ok THEN round(exp((SELECT b1 FROM bf)), 5) + 0.0 END AS hr1,
+       CASE WHEN ok THEN round(exp((SELECT b2 FROM bf)), 5) + 0.0 END AS hr2,
+       CASE WHEN ok THEN round(exp((SELECT b3 FROM bf)), 5) + 0.0 END AS hr3,
+       CASE WHEN ok THEN round(sqrt((i22 * i33 - i23 * i23) / det), 5) + 0.0
+       END AS se1,
+       CASE WHEN ok THEN round(sqrt((i11 * i33 - i13 * i13) / det), 5) + 0.0
+       END AS se2,
+       CASE WHEN ok THEN round(sqrt((i11 * i22 - i12 * i12) / det), 5) + 0.0
+       END AS se3,
+       CASE WHEN ok THEN round((SELECT b1 FROM bf) * (SELECT b1 FROM bf)
+                               / ((i22 * i33 - i23 * i23) / det), 5) + 0.0
+       END AS wald_chi2_1,
+       CASE WHEN ok THEN round((SELECT b2 FROM bf) * (SELECT b2 FROM bf)
+                               / ((i11 * i33 - i13 * i13) / det), 5) + 0.0
+       END AS wald_chi2_2,
+       CASE WHEN ok THEN round((SELECT b3 FROM bf) * (SELECT b3 FROM bf)
+                               / ((i11 * i22 - i12 * i12) / det), 5) + 0.0
+       END AS wald_chi2_3,
+       coalesce(n_events, 0) AS n_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_subjects,
+       CASE WHEN ok THEN round(sqrt(u1 * u1 + u2 * u2 + u3 * u3), 5) + 0.0
+       END AS score_norm
+FROM (SELECT *, i11 * (i22 * i33 - i23 * i23)
+                - i12 * (i12 * i33 - i23 * i13)
+                + i13 * (i12 * i23 - i22 * i13) AS det,
+             (SELECT b1 FROM bf) IS NOT NULL
+             AND i11 * (i22 * i33 - i23 * i23)
+                 - i12 * (i12 * i33 - i23 * i13)
+                 + i13 * (i12 * i23 - i22 * i13) > 0 AS ok
+      FROM fin)
+"""
+
+
+@q("surv_cox_multi3", _cox_multi3_sql(4))
+def surv_cox_multi3_q(spark, sf):
+    # d = 3 Cox MLE (r12 verdict #5): the URGENT-vs-LOW hazard ratio
+    # adjusted for BOTH customer-parity bands jointly — the rung that
+    # driver-proves the multi fitter beyond the d = 2 Cramer oracle.
+    # Same bounded (event-time x 12-cell) grid; each Newton step is one
+    # grid aggregate + the driver-side 3x3 Cramer solve whose operand
+    # order the oracle's cofactor CTEs replay token-for-token.
+    from clinpy_spark.operators.survival import cox_newton_multi
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0)
+        .alias("x1"),
+        (F.col("o_custkey") % 2).cast("double").alias("x2"),
+        (F.col("o_custkey") % 3).cast("double").alias("x3"),
+    )
+    return cox_newton_multi(obs, "duration", "evt", ["x1", "x2", "x3"],
+                            iterations=4)
+
+
+
+@q("surv_finegray_score", """
+WITH obs AS MATERIALIZED (
+  SELECT LEAST(h % 1500 + 1, dd) AS t,
+         CASE WHEN h % 1500 + 1 <= dd
+              THEN CASE WHEN h % 3 = 0 THEN 2 ELSE 1 END
+              ELSE 0 END AS st,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x
+  FROM (SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+leav AS MATERIALIZED (
+  SELECT x, t, CAST(count(*) AS BIGINT) AS r,
+         CAST(sum(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM obs GROUP BY 1, 2),
+tt AS (SELECT t, CAST(sum(r) AS BIGINT) AS r, CAST(sum(c) AS BIGINT) AS c,
+              CAST(sum(d1) AS BIGINT) AS d1,
+              CAST(sum(CASE WHEN x = 1 THEN d1 ELSE 0 END) AS BIGINT) AS d1x
+       FROM leav GROUP BY t),
+tw AS (SELECT *,
+         sum(r) OVER () - coalesce(sum(r) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS atr
+       FROM tt),
+tg AS MATERIALIZED (
+  SELECT *,
+    exp(coalesce(sum(lt) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)) AS g,
+    exp(coalesce(sum(lt) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS g_prev
+  FROM (SELECT *, CASE WHEN c = 0 THEN 0.0
+                       WHEN c < atr
+                       THEN ln(1.0 - CAST(c AS DOUBLE) / atr) END AS lt
+        FROM tw)),
+cells AS MATERIALIZED (
+  SELECT x, CAST(sum(r) AS BIGINT) AS tot FROM leav GROUP BY x),
+u0 AS (SELECT c.x, tg.t, c.tot, tg.g_prev, tg.d1, tg.d1x,
+              CAST(0 AS BIGINT) AS r, 0.0 AS wc, 0 AS il
+       FROM tg CROSS JOIN cells c WHERE tg.d1 > 0
+       UNION ALL
+       SELECT l.x, l.t, c.tot, NULL, NULL, NULL, l.r,
+              CAST(l.d2 AS DOUBLE) / t2.g, 1
+       FROM leav l JOIN cells c ON l.x = c.x JOIN tg t2 ON t2.t = l.t),
+a2 AS (SELECT x, t, g_prev, d1, d1x,
+         tot - coalesce(sum(r) OVER (PARTITION BY x ORDER BY t, il
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+         coalesce(sum(wc) OVER (PARTITION BY x ORDER BY t, il
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cw,
+         il
+       FROM u0 QUALIFY il = 0),
+per_t AS MATERIALIZED (
+  SELECT t, sum(n + g_prev * cw) AS s0,
+         sum(CASE WHEN x = 1 THEN n + g_prev * cw ELSE 0.0 END) AS s1,
+         max(d1) AS d, max(d1x) AS dx
+  FROM a2 GROUP BY t),
+fin AS (SELECT sum(dx - d * (s1 / s0)) AS u,
+               sum(CASE WHEN s0 > 1
+                   THEN d * (s0 - d) / (s0 - 1)
+                        * (s1 / s0 - (s1 / s0) * (s1 / s0))
+                   ELSE 0.0 END) AS v,
+               CAST(sum(d) AS BIGINT) AS n_events
+        FROM per_t)
+SELECT CASE WHEN v > 0 THEN round(u * u / v, 6) + 0.0 END AS chi2,
+       round(u, 6) + 0.0 AS u,
+       coalesce(n_events, 0) AS n_events,
+       (SELECT CAST(sum(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM obs) AS n_competing,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_subjects
+FROM fin
+""")
+def surv_finegray_score_q(spark, sf):
+    # Fine-Gray subdistribution-hazard score test (operators/
+    # survival.py finegray_score, r12 verdict #6): does the CUMULATIVE
+    # INCIDENCE of the event of interest differ between URGENT and LOW
+    # arms when a third of events are COMPETING (h % 3 = 0)? IPCW
+    # weights from the censoring KM keep competing-event subjects in
+    # the risk set; weights, weighted risk sets, and the score reduce
+    # are all bounded-grid window arithmetic the oracle replays
+    # verbatim. No competing events => cox_score exactly (property
+    # test).
+    from clinpy_spark.operators.survival import finegray_score
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.least(followup, dd).alias("t"),
+        F.when(followup <= dd,
+               F.when(h % 3 == 0, 2).otherwise(1)).otherwise(0).alias("st"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("x"),
+    )
+    return finegray_score(obs, "t", "st", "x")
+
+
 @q("gx_king_kinship", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 s AS (SELECT c_custkey AS smp, variant, gt FROM g
