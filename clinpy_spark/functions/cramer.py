@@ -155,3 +155,43 @@ def solve_n_sql(u_name, i_name, n: int):
             return u_name(r) if c == _col else base(r, c)
         nums.append(_det_sql(rep, n))
     return det, nums
+
+
+def inv_diag_py(info: dict, n: int):
+    """Diagonal of the inverse of the symmetric n x n matrix, each
+    entry as principal-minor-determinant / determinant with BOTH dets
+    evaluated in det_terms order — the Python twin of
+    :func:`inv_diag_sql`.  ``info`` maps (r, c), r <= c.  Returns
+    (det, [v0..vn-1]) with None list when det <= 0."""
+    full = {}
+    for (r, c), v in info.items():
+        full[(r, c)] = v
+        full[(c, r)] = v
+    det = _det_py(full, n)
+    if not det > 0:
+        return det, None
+    out = []
+    for i in range(n):
+        idx = [j for j in range(n) if j != i]
+        minor = {(r, c): full[(idx[r], idx[c])]
+                 for r in range(n - 1) for c in range(n - 1)}
+        out.append(_det_py(minor, n - 1) / det)
+    return det, out
+
+
+def inv_diag_sql(i_name, n: int):
+    """SQL texts for :func:`inv_diag_py`: (det_sql, [minor_sql...]) —
+    divide each minor by the det expression to get the variance."""
+    def base(r, c):
+        return i_name(min(r, c), max(r, c))
+
+    det = _det_sql(base, n)
+    minors = []
+    for i in range(n):
+        idx = [j for j in range(n) if j != i]
+
+        def m_name(r, c, _idx=idx):
+            return base(_idx[r], _idx[c])
+
+        minors.append(_det_sql(m_name, n - 1))
+    return det, minors

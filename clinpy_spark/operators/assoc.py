@@ -3029,3 +3029,162 @@ def sign_test(
         F.round(F.least(F.col("__le") / F.col("__tot"), F.lit(1.0)), 9)
         .alias("p_exact"),
     )
+
+
+def multinomial_newton(
+    df: DataFrame,
+    x_col: str,
+    label_col: str,
+    iterations: int = 4,
+    max_classes: int = 8,
+    digits: int | None = 5,
+) -> DataFrame:
+    """Multinomial (softmax) logistic MLE for a k-class outcome over
+    one BOUNDED-cardinality covariate (r12 verdict #7) — the
+    classification counterpart of the multi-covariate GLM family: per
+    non-reference class c, log odds vs the reference
+    ln(p_c/p_ref) = a_c + b_c x. 1 row (class_ref, class_1..,
+    beta0_c, beta1_c, se_c, wald_chi2_c per class, n, score_norm).
+    The reference class is the FIRST label in ascending sort order.
+
+    Same distributed-moments / driver-solve factoring as
+    ``logistic_newton_multi``: ONE pass collapses the cohort to the
+    joint (x, per-class count) grid; each Newton step is one
+    grid-sized aggregate (per-class scores U_c and the 2(k-1) x 2(k-1)
+    block information with cross terms -n p_c p_d) collected as a
+    single bounded row plus a driver-side Cramer solve.  The solve and
+    the inverse diagonal are evaluated by functions/cramer.py's
+    GENERATED term enumeration — the exact sequence the
+    ``dx_multinomial`` oracle's Leibniz CTEs encode at k = 3 — and all
+    statistics emit at round-5, the multi family's hash-determinism
+    contract.  k = 2 recovers ``logistic_newton_multi`` with one
+    covariate (property test; softmax vs sigmoid differ only in float
+    path, ~1e-12).  NULL statistics on singular information.
+    """
+    import math
+
+    from clinpy_spark.functions.cramer import inv_diag_py, solve_n_py
+
+    xv = F.col(x_col).cast("double")
+    lab = F.col(label_col).cast("string")
+    base = df.filter(xv.isNotNull() & lab.isNotNull()).select(
+        xv.alias("__x"), lab.alias("__y"))
+    labels = sorted(
+        r["__y"] for r in base.select("__y").distinct().collect())
+    if len(labels) < 2:
+        raise ValueError(
+            f"multinomial_newton needs >= 2 classes, got {labels}")
+    if len(labels) > max_classes:
+        raise ValueError(
+            f"multinomial_newton: {len(labels)} classes exceeds "
+            f"max_classes={max_classes}")
+    k = len(labels)
+    ref, alts = labels[0], labels[1:]
+    grid = base.groupBy("__x").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum((F.col("__y") == F.lit(c)).cast("int")).alias(f"__n{j}")
+          for j, c in enumerate(alts, 1)],
+    ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    m = 2 * (k - 1)
+
+    def moments(beta):
+        """One grid aggregate -> (U, block info, n) at beta.  The
+        expressions mirror the oracle CTE text operand-for-operand."""
+        es, den = [], F.lit(1.0)
+        for j in range(k - 1):
+            e = F.exp(F.lit(float(beta[2 * j]))
+                      + F.lit(float(beta[2 * j + 1])) * F.col("__x"))
+            es.append(e)
+            den = den + e
+        ps = [e / den for e in es]
+        nc = F.col("__n").cast("double")
+        x = F.col("__x")
+        aggs = []
+        for j in range(k - 1):
+            r = F.col(f"__n{j + 1}") - nc * ps[j]
+            aggs += [F.sum(r).alias(f"u{2 * j}"),
+                     F.sum(x * r).alias(f"u{2 * j + 1}")]
+        for j in range(k - 1):
+            w = nc * (ps[j] * (1 - ps[j]))
+            aggs += [F.sum(w).alias(f"h{j}0"),
+                     F.sum(x * w).alias(f"h{j}1"),
+                     F.sum(x * x * w).alias(f"h{j}2")]
+        for j in range(k - 1):
+            for lx in range(j + 1, k - 1):
+                g = nc * (ps[j] * ps[lx])
+                aggs += [F.sum(g).alias(f"g{j}{lx}0"),
+                         F.sum(x * g).alias(f"g{j}{lx}1"),
+                         F.sum(x * x * g).alias(f"g{j}{lx}2")]
+        aggs.append(F.sum("__n").alias("n"))
+        row = grid.agg(*aggs).collect()[0]
+        if row["n"] is None:
+            return None, None, 0
+        u = [float(row[f"u{i}"]) for i in range(m)]
+        info = {}
+        for j in range(k - 1):
+            info[(2 * j, 2 * j)] = float(row[f"h{j}0"])
+            info[(2 * j, 2 * j + 1)] = float(row[f"h{j}1"])
+            info[(2 * j + 1, 2 * j + 1)] = float(row[f"h{j}2"])
+        for j in range(k - 1):
+            for lx in range(j + 1, k - 1):
+                info[(2 * j, 2 * lx)] = -float(row[f"g{j}{lx}0"])
+                info[(2 * j, 2 * lx + 1)] = -float(row[f"g{j}{lx}1"])
+                info[(2 * j + 1, 2 * lx)] = -float(row[f"g{j}{lx}1"])
+                info[(2 * j + 1, 2 * lx + 1)] = -float(row[f"g{j}{lx}2"])
+        return u, info, int(row["n"])
+
+    def r5(v):
+        if digits is None:
+            return float(v)
+        return round(float(v), digits) + 0.0
+
+    def null_result(n_obs):
+        cols = [F.lit(ref).alias("class_ref")]
+        for j, c in enumerate(alts, 1):
+            cols.append(F.lit(c).alias(f"class_{j}"))
+        for j in range(1, k):
+            cols += [F.lit(None).cast("double").alias(f"beta0_{j}"),
+                     F.lit(None).cast("double").alias(f"beta1_{j}")]
+        for j in range(1, k):
+            cols += [F.lit(None).cast("double").alias(f"se_{j}"),
+                     F.lit(None).cast("double").alias(f"wald_chi2_{j}")]
+        cols += [F.lit(n_obs).cast("long").alias("n"),
+                 F.lit(None).cast("double").alias("score_norm")]
+        return spark.range(1).select(*cols)
+
+    beta = [0.0] * m
+    n_obs = 0
+    for _ in range(iterations):
+        u, info, n_obs = moments(beta)
+        if u is None:
+            return null_result(0)
+        det, deltas = solve_n_py(u, info, m)
+        if deltas is None:
+            return null_result(n_obs)
+        beta = [beta[i] + deltas[i] for i in range(m)]
+    u, info, n_obs = moments(beta)
+    if u is None:
+        return null_result(0)
+    det, var = inv_diag_py(info, m)
+    if var is None:
+        return null_result(n_obs)
+    score_norm = 0.0
+    for v in u:
+        score_norm = score_norm + v * v
+    score_norm = math.sqrt(score_norm)
+
+    cols = [F.lit(ref).alias("class_ref")]
+    for j, c in enumerate(alts, 1):
+        cols.append(F.lit(c).alias(f"class_{j}"))
+    for j in range(1, k):
+        cols += [F.lit(r5(beta[2 * (j - 1)])).alias(f"beta0_{j}"),
+                 F.lit(r5(beta[2 * (j - 1) + 1])).alias(f"beta1_{j}")]
+    for j in range(1, k):
+        vj = var[2 * (j - 1) + 1]
+        bj = beta[2 * (j - 1) + 1]
+        cols += [F.lit(r5(math.sqrt(vj))).alias(f"se_{j}"),
+                 F.lit(r5(bj * bj / vj)).alias(f"wald_chi2_{j}")]
+    cols += [F.lit(n_obs).cast("long").alias("n"),
+             F.lit(r5(score_norm)).alias("score_norm")]
+    return spark.range(1).select(*cols)

@@ -8420,6 +8420,120 @@ def surv_finegray_score_q(spark, sf):
     return finegray_score(obs, "t", "st", "x")
 
 
+def _multinomial_sql(iterations: int) -> str:
+    """Chained-CTE replay of multinomial_newton's softmax Newton
+    recurrence at k = 3 classes over one covariate (r12 verdict #7):
+    the 4x4 system [a1, b1, a2, b2] is solved by Cramer numerators and
+    principal-minor variances whose SQL text is GENERATED from the
+    same Leibniz term enumeration (functions/cramer.py det_terms) the
+    Spark driver solve evaluates — term order, and therefore every
+    IEEE rounding step, is identical by construction; the residual
+    distributed-sum drift is absorbed by round-5 emission."""
+    from clinpy_spark.functions.cramer import inv_diag_sql, solve_n_sql
+
+    det_sql, nums = solve_n_sql(
+        lambda r: f"u{r}", lambda r, c: f"i{r}{c}", 4)
+    _, minors = inv_diag_sql(lambda r, c: f"i{r}{c}", 4)
+    ialias = ("h00 AS i00, h01 AS i01, h02 AS i11, h10 AS i22, "
+              "h11 AS i23, h12 AS i33, -g0 AS i02, -g1 AS i03, "
+              "-g1 AS i12, -g2 AS i13")
+    mom = """ (SELECT sum(n1 - n * p1) AS u0,
+         sum(x * (n1 - n * p1)) AS u1,
+         sum(n2 - n * p2) AS u2,
+         sum(x * (n2 - n * p2)) AS u3,
+         sum(n * (p1 * (1 - p1))) AS h00,
+         sum(x * (n * (p1 * (1 - p1)))) AS h01,
+         sum(x * x * (n * (p1 * (1 - p1)))) AS h02,
+         sum(n * (p2 * (1 - p2))) AS h10,
+         sum(x * (n * (p2 * (1 - p2)))) AS h11,
+         sum(x * x * (n * (p2 * (1 - p2)))) AS h12,
+         sum(n * (p1 * p2)) AS g0,
+         sum(x * (n * (p1 * p2))) AS g1,
+         sum(x * x * (n * (p1 * p2))) AS g2,
+         CAST(sum(n) AS BIGINT) AS n
+   FROM (SELECT x, n, n1, n2, e1 / den AS p1, e2 / den AS p2
+         FROM (SELECT *, 1.0 + e1 + e2 AS den
+               FROM (SELECT *,
+                       exp((SELECT a1 FROM {prev})
+                           + (SELECT b1 FROM {prev}) * x) AS e1,
+                       exp((SELECT a2 FROM {prev})
+                           + (SELECT b2 FROM {prev}) * x) AS e2
+                     FROM grid))))"""
+    upd = (" (SELECT\n"
+           "  CASE WHEN det > 0 THEN (SELECT a1 FROM {prev})\n"
+           "       + " + nums[0] + " / det END AS a1,\n"
+           "  CASE WHEN det > 0 THEN (SELECT b1 FROM {prev})\n"
+           "       + " + nums[1] + " / det END AS b1,\n"
+           "  CASE WHEN det > 0 THEN (SELECT a2 FROM {prev})\n"
+           "       + " + nums[2] + " / det END AS a2,\n"
+           "  CASE WHEN det > 0 THEN (SELECT b2 FROM {prev})\n"
+           "       + " + nums[3] + " / det END AS b2\n"
+           "  FROM (SELECT *, " + det_sql + " AS det\n"
+           "        FROM (SELECT *, " + ialias + " FROM m{i})))")
+    ctes = ["""grid AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n2
+  FROM lineitem GROUP BY 1)""",
+            "bc0 AS (SELECT 0.0 AS a1, 0.0 AS b1, 0.0 AS a2, 0.0 AS b2)"]
+    prev = "bc0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"m{i} AS MATERIALIZED" + mom.format(prev=prev))
+        ctes.append(f"bc{i} AS MATERIALIZED" + upd.format(prev=prev, i=i))
+        prev = f"bc{i}"
+    ctes.append("fin AS MATERIALIZED" + mom.format(prev=prev))
+    ctes.append(f"bf AS MATERIALIZED (SELECT a1, b1, a2, b2 FROM {prev})")
+    tail = ("\nSELECT 'A' AS class_ref, 'N' AS class_1, 'R' AS class_2,\n"
+            "  CASE WHEN ok THEN round((SELECT a1 FROM bf), 5) + 0.0 END"
+            " AS beta0_1,\n"
+            "  CASE WHEN ok THEN round((SELECT b1 FROM bf), 5) + 0.0 END"
+            " AS beta1_1,\n"
+            "  CASE WHEN ok THEN round((SELECT a2 FROM bf), 5) + 0.0 END"
+            " AS beta0_2,\n"
+            "  CASE WHEN ok THEN round((SELECT b2 FROM bf), 5) + 0.0 END"
+            " AS beta1_2,\n"
+            "  CASE WHEN ok THEN round(sqrt(" + minors[1] + " / det), 5)"
+            " + 0.0 END AS se_1,\n"
+            "  CASE WHEN ok THEN round((SELECT b1 FROM bf)"
+            " * (SELECT b1 FROM bf) / (" + minors[1] + " / det), 5)"
+            " + 0.0 END AS wald_chi2_1,\n"
+            "  CASE WHEN ok THEN round(sqrt(" + minors[3] + " / det), 5)"
+            " + 0.0 END AS se_2,\n"
+            "  CASE WHEN ok THEN round((SELECT b2 FROM bf)"
+            " * (SELECT b2 FROM bf) / (" + minors[3] + " / det), 5)"
+            " + 0.0 END AS wald_chi2_2,\n"
+            "  coalesce(n, 0) AS n,\n"
+            "  CASE WHEN ok THEN"
+            " round(sqrt(u0 * u0 + u1 * u1 + u2 * u2 + u3 * u3), 5)"
+            " + 0.0 END AS score_norm\n"
+            "FROM (SELECT *, " + det_sql + " AS det,\n"
+            "        (SELECT a1 FROM bf) IS NOT NULL AND "
+            + det_sql + " > 0 AS ok\n"
+            "      FROM (SELECT *, " + ialias + " FROM fin))\n")
+    return "WITH " + ",\n".join(ctes) + tail
+
+
+@q("dx_multinomial", _multinomial_sql(4))
+def dx_multinomial_q(spark, sf):
+    # Multinomial (softmax) logistic MLE (operators/assoc.py
+    # multinomial_newton, r12 verdict #7): 3-class return-flag outcome
+    # (A/N/R, A = reference) vs quantity — per class the log odds vs
+    # the reference, jointly. One pass to the ~50-cell (quantity x
+    # class-count) grid; each Newton step is one grid aggregate + a
+    # driver-side 4x4 Cramer solve generated from the SAME Leibniz
+    # term order as the oracle's CTE text.
+    from clinpy_spark.operators.assoc import multinomial_newton
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_returnflag").alias("label"),
+    )
+    return multinomial_newton(li, "x", "label", iterations=4)
+
+
 @q("gx_king_kinship", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 s AS (SELECT c_custkey AS smp, variant, gt FROM g

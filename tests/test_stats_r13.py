@@ -221,3 +221,61 @@ def test_finegray_competing_keeps_subjects_at_risk(spark):
     assert b.chi2 is not None and not math.isnan(b.chi2)
     assert a.u != b.u  # the weighted risk sets genuinely moved
     assert a.n_events == b.n_events  # event-1 count unchanged
+
+
+def test_multinomial_k2_recovers_logistic(spark):
+    """r12 verdict #7 property: with two classes the softmax MLE IS
+    the binary logistic MLE (p = e/(1+e) vs 1/(1+e^-eta) differ only
+    in float path, ~1e-12) — same start, same step count."""
+    from clinpy_spark.operators.assoc import (
+        logistic_newton_multi, multinomial_newton,
+    )
+
+    rows = ([Row(x=0.0, y=1)] * 20 + [Row(x=0.0, y=0)] * 80
+            + [Row(x=1.0, y=1)] * 40 + [Row(x=1.0, y=0)] * 60
+            + [Row(x=2.0, y=1)] * 55 + [Row(x=2.0, y=0)] * 45)
+    df = spark.createDataFrame(rows)
+    logit = logistic_newton_multi(df, ["x"], "y", iterations=5).collect()[0]
+    mn = multinomial_newton(
+        df.withColumn("lab", F.col("y").cast("string")),
+        "x", "lab", iterations=5).collect()[0]
+    assert mn.class_ref == "0" and mn.class_1 == "1"
+    assert abs(mn.beta0_1 - logit.beta0) < 1.1e-5
+    assert abs(mn.beta1_1 - logit.beta1) < 1.1e-5
+    assert abs(mn.se_1 - logit.se1) < 1.1e-5
+    assert abs(mn.wald_chi2_1 - logit.wald_chi2_1) < 1e-3
+    assert mn.n == logit.n == 300
+
+
+def test_multinomial_k3_known_saturated(spark):
+    """A single covariate value saturates to the empirical log odds:
+    beta0_c = ln(n_c / n_ref), slopes undefined (constant covariate ->
+    singular information -> NULL stats)."""
+    from clinpy_spark.operators.assoc import multinomial_newton
+
+    rows = ([Row(x=1.0, lab="a")] * 50 + [Row(x=1.0, lab="b")] * 25
+            + [Row(x=1.0, lab="c")] * 10)
+    out = multinomial_newton(
+        spark.createDataFrame(rows), "x", "lab").collect()[0]
+    # constant covariate: intercept and slope collinear -> singular
+    assert out.beta0_1 is None and out.beta1_2 is None
+    assert out.n == 85
+
+    # two covariate levels, three classes: fit matches the per-level
+    # empirical log odds chained through the model (checked loosely
+    # via the fitted class shares at each level)
+    rows2 = ([Row(x=0.0, lab="a")] * 40 + [Row(x=0.0, lab="b")] * 40
+             + [Row(x=0.0, lab="c")] * 20
+             + [Row(x=1.0, lab="a")] * 20 + [Row(x=1.0, lab="b")] * 30
+             + [Row(x=1.0, lab="c")] * 50)
+    out2 = multinomial_newton(
+        spark.createDataFrame(rows2), "x", "lab",
+        iterations=8).collect()[0]
+    # saturated 2-level model: beta0 = ln(p_b(0)/p_a(0)) etc.
+    assert out2.beta0_1 == pytest.approx(math.log(40 / 40), abs=1e-4)
+    assert out2.beta0_2 == pytest.approx(math.log(20 / 40), abs=1e-4)
+    assert out2.beta1_1 == pytest.approx(
+        math.log(30 / 20) - math.log(40 / 40), abs=1e-4)
+    assert out2.beta1_2 == pytest.approx(
+        math.log(50 / 20) - math.log(20 / 40), abs=1e-4)
+    assert out2.score_norm < 1e-3
