@@ -165,9 +165,30 @@ def main() -> None:
     tier3: dict[str, float] = {}
     covered = set(HEADLINE) | set(TIER2)
     done = 0
+    prev_name = ""
+    since_restart = 0
+    n_restarts = 0
     for name in qs:
         if name in covered:
             continue
+        # r12 verdict #4: the dedup_*/sim_* family (ANN/near-dup — the
+        # queries most sensitive to accumulated codegen-cache and
+        # pinned-block state; dedup_containment recorded 47.3s in the
+        # r12 sidecar vs 2.24s standalone-warm) is SCATTERED through
+        # the registry, so a fixed block boundary can leave a member
+        # ~59 queries deep into a session. Restart the JVM when
+        # ENTERING the family with meaningful session state built up,
+        # so every family block starts near standalone steady state.
+        # Restart time is never attributed to a query's timing.
+        fam = name.startswith(("dedup_", "sim_"))
+        if fam and since_restart >= 15 and not prev_name.startswith(
+                ("dedup_", "sim_")):
+            since_restart = 0
+            n_restarts += 1
+            spark.catalog.clearCache()
+            spark.stop()
+            spark = get_spark(f"clinpy-spark-bench-tier3-fam{n_restarts}")
+            spark.range(1).count()
         # Periodic cleanup inside the sweep: accumulated state from the
         # preceding queries (driver-pinned localCheckpoint blocks,
         # broadcast/shuffle cleanup backlog — the ContextCleaner only
@@ -175,15 +196,17 @@ def main() -> None:
         # queries (sim_topk_pq observed 29s at position ~150 vs 1.7s
         # steady-state standalone). A driver GC every 25 queries lets
         # the cleaner release executor-side blocks between timings, and
-        # a FULL JVM restart every 60 (r11 verdict #2: GC alone reduced
-        # but did not eliminate late-session degradation — sim_topk_pq
-        # still recorded 20.4s vs 2.16s standalone) resets codegen
-        # caches and pinned blocks outright; the ~5s restart is not
-        # attributed to any query's timing.
-        if done and done % 60 == 0:
+        # a FULL JVM restart every 30 (r11 verdict #2 found 60-blocks
+        # insufficient for mid-block members — r12 verdict #4 cut the
+        # block in half) resets codegen caches and pinned blocks
+        # outright; the ~5s restart is not attributed to any query's
+        # timing.
+        if since_restart >= 30:
+            since_restart = 0
+            n_restarts += 1
             spark.catalog.clearCache()
             spark.stop()
-            spark = get_spark(f"clinpy-spark-bench-tier3-{done // 60}")
+            spark = get_spark(f"clinpy-spark-bench-tier3-{n_restarts}")
             spark.range(1).count()
         elif done and done % 25 == 0:
             spark.catalog.clearCache()
@@ -193,6 +216,8 @@ def main() -> None:
         n = df.count()
         tier3[name] = round(time.time() - t0, 3)
         done += 1
+        since_restart += 1
+        prev_name = name
         print(f"# tier3 {name}: {tier3[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

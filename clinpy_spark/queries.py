@@ -12257,170 +12257,126 @@ def q_entropy_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r12 window: the 3 new r12 queries lead (multi-covariate
-    # logistic/Cox MLE, containment keep-longest apply — their first
-    # driver record), then 6 queries whose ORACLED BEHAVIOR changed
-    # this round (capped-Jaccard links, densified Fano, 8-step
-    # logistic + score_norm, cross-class AUC ties, theil-sen bounded
-    # cap) so the driver re-proves them under the fix, then the 31
-    # queries never recorded in ANY r1-r11 window (r11 verdict #3:
-    # union of all CORRECTNESS artifacts = 259 of 290), then the
-    # stalest r2-era records (r7 staleness policy). --
-    "dx_logistic_multi",
+    # -- r13 window (r12 verdict #2/#3): surv_cox_multi leads (the one
+    # red r12 record, re-emitted under the Cramer+round-5 determinism
+    # fix), then the two other behavior-changed multi fitters, the
+    # three NEW r13 queries (d=3 Cox, Fine-Gray, multinomial), and the
+    # two ADVICE behavior changes; then every rows-only emitter PAIRED
+    # with its ORACLED recall gate in the same window so the driver
+    # artifact is self-certifying (dedup_semdedup's gate is
+    # dedup_embedding_recall, shared with dedup_embedding_cosine);
+    # then the stalest driver records (r2-era TPC-H/agg tail). --
     "surv_cox_multi",
+    "surv_cox_multi3",
+    "dx_logistic_multi",
     "dx_poisson_multi",
-    "dx_cohen_kappa",
-    "q_wilson_ci",
-    "curate_kfold_auc",
-    "curate_feature_ap",
-    "curate_brier",
+    "surv_finegray_score",
+    "dx_multinomial",
     "gx_breslow_day",
-    "dx_negbin",
-    "dedup_containment_apply",
-    "graph_jaccard_links",
-    "e_dispersion",
-    "dx_logistic",
-    "gx_prs_auc",
-    "curate_feature_auc",
-    "e_theil_sen",
+    "dx_cohen_kappa",
     "dedup_minhash_lsh",
+    "dedup_minhash_portable",
     "dedup_embedding_cosine",
+    "dedup_embedding_recall",
     "dedup_semdedup",
     "sim_topk_lsh",
+    "sim_recall_lsh",
     "sim_topk_ivf",
+    "sim_recall_ivf",
     "sim_topk_pq",
+    "sim_recall_pq",
     "sim_topk_ivfpq",
-    "surv_logrank_k",
-    "surv_logrank_strat",
-    "surv_cuminc",
-    "gx_fst_hudson",
-    "surv_cox_score",
-    "gx_inbreeding",
-    "surv_incidence_rate",
-    "surv_logrank_fh",
-    "graph_kcore",
-    "drift_js_value",
-    "drift_w1_value",
-    "surv_cox_beta",
-    "gx_king_kinship",
-    "graph_adamic_adar",
-    "graph_label_prop",
-    "gx_cmh_nation",
-    "dx_mannwhitney",
-    "e_cusum_shift",
+    "sim_recall_ivfpq",
     "sim_topk_hamming",
     "sim_recall_hamming",
-    "gx_tajima_d",
-    "dedup_containment",
-    "surv_ph_check",
-    "text_textrank",
-    "a1_group_count",
-    "a2_count_distinct",
-    "a4_distinct_dedup",
-    "a6_pivot_wide",
-    "a7_ratio_agg",
-    "a9_explode_words",
+    "sim_topk_sq8",
+    "sim_recall_sq8",
     "a10_json_flatten",
     "a11_union_tagged",
-    "a12_hash_id",
-    "a8_rollup",
-    # -- beyond the 50-slot driver window (kept for local gate ordering) --
-    "q_entropy",
-    "gx_ld_decay",
-    "dx_permutation_test",
-    "gx_fisher_scan",
-    "e_runs_test",
-    "dx_sign_test",
-    "curate_conformal_cut",
-    "q_trimmed_mean",
-    "curate_calibration",
-    "text_heavy_hitters",
-    "gx_hwe_exact",
-    "e_pacf",
-    "s19_neyman_alloc",
-    "text_rake",
-    "surv_cox_strat",
-    "gx_sfs",
-    "dx_ols_inference",
-    "dedup_lsh_plan",
-    "drift_ad_value",
-    "g_knearest",
-    "curate_dsir_head",
-    "dx_friedman",
-    "dx_cochran_q",
-    "dx_poisson",
-    "gx_haplotype_em",
-    "q_mad_outliers",
-    "dx_kruskal",
-    "dx_spearman",
-    "dx_mcnemar",
-    "gx_tdt",
-    "dx_fisher_exact",
-    "graph_clustering_coeff",
-    "graph_assortativity",
-    "e_acf",
-    "epi_smr",
-    "dx_bh_fdr",
-    "gx_mendel",
-    "gx_prs",
-    "g_subtract_intervals",
-    "dx_anova",
-    "surv_life_table",
-    "e_seasonal_decompose",
-    "graph_modularity",
-    "dx_levene",
     "a11b_intersect",
     "a11c_except",
+    "a12_hash_id",
+    "a15_hll_sketch",
+    "a4_distinct_dedup",
+    "a6_pivot_wide",
+    "a6b_unpivot",
+    "a7_ratio_agg",
+    "a8_rollup",
+    "a8c_cube",
+    "a9_explode_words",
     "e_time_rollup",
+    "o3_lag_gaps",
+    "o4_exact_percentiles",
     "o6_approx_quantiles",
+    "s12_merge_upsert",
     "s13_stratified_sample",
     "s14_profile",
-    "s12_merge_upsert",
-    "a15_hll_sketch",
-    "a8c_cube",
-    "o4_exact_percentiles",
-    "a6b_unpivot",
-    "o3_lag_gaps",
+    "tpch_q13_cust_distribution",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
     "tpch_q4_order_priority",
-    "tpch_q13_cust_distribution",
+    "tpch_q5_local_supplier",
+    # -- beyond the 50-slot driver window (kept for local gate ordering) --
+    "tpch_q6_forecast",
+    "curate_gopher_rules",
     "flagship_cohort_revenue",
-    "p_coerce_floor",
     "j13_overlap_fraction",
     "j14_point_in_interval",
+    "mix_resample_upsample",
     "o7_ntile_ranks",
+    "p_coerce_floor",
+    "sim_range_search",
     "text_decontaminate",
     "text_repetition",
-    "sim_range_search",
     "tpch_q15_top_supplier",
-    "mix_resample_upsample",
-    "curate_gopher_rules",
-    "o2_running_total",
-    "e_tumbling_hour",
+    "a2b_two_phase_distinct",
     "e_sliding_window",
-    "text_tokens_bpe",
+    "e_tumbling_hour",
+    "mix_by_lang",
+    "o2_running_total",
+    "s15_histogram",
+    "sample_exact_n",
+    "skew_salted_join",
+    "split_corpus_assign",
     "text_fingerprint",
-    "text_stats",
-    "text_quality",
     "text_langid",
+    "text_pack_chunks",
+    "text_quality",
+    "text_redact",
+    "text_stats",
+    "text_tokens_bpe",
+    "text_vocab_topk",
     "tpch_q14_promo",
     "tpch_q17_small_qty",
     "tpch_q19_disjunctive",
-    "skew_salted_join",
-    "a2b_two_phase_distinct",
-    "text_pack_chunks",
-    "text_vocab_topk",
-    "mix_by_lang",
-    "sample_exact_n",
-    "s15_histogram",
-    "split_corpus_assign",
-    "text_redact",
-    "s17_coverage_bins",
+    "a13_rollup_revenue",
+    "curate_kept_by_lang",
+    "curate_stats",
+    "dedup_apply_clusters",
+    "dedup_cluster_components",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "dedup_passage_keepfirst",
+    "dedup_simhash_pairs",
+    "e_gaps_islands",
+    "e_sessionize",
+    "e_sessionize_bucketed",
     "j10_interval_binned",
     "j10b_interval_left",
+    "j10c_interval_full",
+    "j12_band_pairs",
+    "j15_asof_join",
+    "j16_nearest_feature",
+    "j17_fuzzy_pairs",
+    "j18_fuzzy_join",
+    "j19_scd2_lookup",
+    "mm_extract_features",
+    "mm_flac_features",
+    "mm_frame_sample",
+    "mm_gif_frames",
+    "mm_jpeg_features",
+    "mm_resize",
+    "mm_tiff_features",
 ]
 
 
