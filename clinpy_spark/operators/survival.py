@@ -1625,8 +1625,21 @@ def finegray_score(
 
     # per-cell spine: probe rows at every event-1 time (il = 0, sorted
     # BEFORE same-time leavers so at-risk includes same-time leavers
-    # and the competing-weight prefix excludes them: T_i < t strictly)
-    cells = leav.groupBy("__x").agg(F.sum("__r").alias("__tot"))
+    # and the competing-weight prefix excludes them: T_i < t strictly).
+    # The per-arm totals are a <= 2-row bounded collect inlined as a
+    # LITERAL table so the cross-product side is PROVABLY constant-row
+    # (the plan audit's nested-loop gate does not trust checkpointed
+    # lineage; same pattern as the other bounded probe spines).
+    cell_rows = (leav.groupBy("__x").agg(F.sum("__r").alias("__tot"))
+                 .collect())
+    if len(cell_rows) > 8:
+        raise ValueError(
+            f"finegray_score: group column has {len(cell_rows)} levels; "
+            "expected a 0/1 indicator (bounded-cell contract)")
+    cells = leav.sparkSession.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(int(r["__x"])).alias("__x"),
+                 F.lit(int(r["__tot"])).alias("__tot"))
+        for r in cell_rows])))
     probe = (
         tg.filter(F.col("d1") > 0)
         .select("__t", "g_prev", "d1", "d1x")

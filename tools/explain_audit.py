@@ -71,6 +71,11 @@ EXPECTED_UNBOUNDED = {
     "sim_hard_negatives",  # rank-window definition NEEDS the exact scan
                            # over the bounded probe set; the 100 TB path
                            # swaps in an ANN shortlist + identical window
+    "surv_finegray_score",  # event-time probe spine crossJoin vs the
+                            # <= 2-row LITERAL per-arm cell table (the
+                            # bounded side is inlined literals, proven
+                            # constant-row by the shape gate) plus the
+                            # 1-row counts broadcast
     "s19_bootstrap_ci",  # crossJoin vs the ONE-ROW point-estimate agg
     "dx_cohen_kappa",  # crossJoin of the TWO 1-row aggregates (observed
                        # agreement + marginal chance rate) into the
