@@ -1543,41 +1543,19 @@ def cox_newton_stratified(
     )
 
 
-def finegray_score(
+def finegray_leavers(
     df: DataFrame,
     time_col: str,
     status_col: str,
     group_col: str,
 ) -> DataFrame:
-    """Fine-Gray SUBDISTRIBUTION-hazard score test at beta = 0 for a
-    0/1 group indicator under competing risks: 1 row (chi2, u,
-    n_events, n_competing, n_subjects) — the regression rung above
-    :func:`cuminc`'s Aalen-Johansen curves (r12 verdict #6: does the
-    CUMULATIVE INCIDENCE of the event of interest differ by arm, with
-    competing events handled as Fine & Gray 1999 prescribe rather than
-    censored away). ``status_col``: 0 = censored, 1 = event of
-    interest, 2 = competing event.
-
-    Subjects with a competing event at T stay in the subdistribution
-    risk set after T with the IPCW weight w(t) = G(t-) / G(T), G the
-    censoring Kaplan-Meier over ALL subjects (weights are
-    deterministic grid arithmetic — the whole recurrence is
-    CTE-replayable, which is how the ``surv_finegray_score`` oracle
-    verifies it). At each event-1 time t with weighted risk-set sums
-    S0(t) = sum_i w_i(t) and S1(t) = sum_{x_i = 1} w_i(t):
-        U += d1x_t - d_t * (S1/S0)
-        V += d_t * (S0 - d_t)/(S0 - 1) * (S1/S0 - (S1/S0)^2)
-    (the same hypergeometric form as :func:`cox_score`, weighted), and
-    chi2 = U^2/V on 1 df. With NO competing events every weight is 1
-    and the statistic equals ``cox_score``'s exactly (property test).
-
-    Scale shape: ONE groupBy to the bounded per-(arm, time) leaver
-    grid (r, d1, d2, c); the censoring KM is an ordered log-sum window
-    over the bounded time grid; the weighted risk-set sums factor as
-    n_x(t) + G(t-) * sum_{s<t} d2_x(s)/G(s) — total-minus-prefix and
-    prefix windows over the same grid, so the cohort is scanned once
-    and never self-joined against risk sets.
-    """
+    """Per-(arm, time) leaver table for the Fine-Gray family:
+    (__x, __t, __r, __d1, __d2, __c) — counts of leavers, events of
+    interest, competing events, and censorings. Every counter is
+    integer-ADDITIVE, so a streaming fold maintains this table per
+    micro-batch (streaming/survival.py stream_finegray_partials) and
+    the score/beta readers refit on read, the same fold/recompute
+    architecture as the KM and Cox twins."""
     st = F.col(status_col).cast("int")
     base = df.select(
         F.col(time_col).alias("__t"),
@@ -1585,19 +1563,37 @@ def finegray_score(
         F.col(group_col).cast("int").alias("__x"),
     ).filter(F.col("__t").isNotNull() & F.col("__s").isNotNull()
              & F.col("__x").isNotNull())
-    leav = base.groupBy("__x", "__t").agg(
+    return base.groupBy("__x", "__t").agg(
         F.count(F.lit(1)).alias("__r"),
         F.sum((F.col("__s") == 1).cast("int")).alias("__d1"),
         F.sum((F.col("__s") == 2).cast("int")).alias("__d2"),
         F.sum((F.col("__s") == 0).cast("int")).alias("__c"),
-    ).localCheckpoint(eager=False)
+    )
 
+
+def _finegray_weighted_grid(leav: DataFrame) -> DataFrame:
+    """The bounded per-event-time WEIGHTED risk-set grid from the
+    leaver table: (__t, d, d1, n, n1) with n / n1 the IPCW-weighted
+    risk-set sums (total / arm-1) — deliberately the same column names
+    as ``_binary_event_grid`` so ``_newton_beta`` and ``cox_newton``'s
+    finishing expressions apply verbatim (weights do not depend on
+    beta, so the grid is fit-invariant and built ONCE).
+
+    w_i(t) = 1 while T_i >= t; a competing-event subject keeps
+    w_i(t) = G(t-)/G(T_i) afterwards (G = censoring KM over ALL
+    subjects). The weighted sums factor as
+    n_x(t) + G(t-) * sum_{s<t} d2_x(s)/G(s): one ordered log-sum
+    window for G over the bounded time grid, one total-minus-prefix
+    and one prefix window per arm — the cohort is scanned once
+    (building ``leav``), never self-joined against risk sets.
+    """
+    leav = leav.localCheckpoint(eager=False)
     # overall per-time table: at-risk, censoring-KM G(t) and G(t-)
     tt = leav.groupBy("__t").agg(
         F.sum("__r").alias("r"), F.sum("__c").alias("c"),
-        F.sum("__d1").alias("d1"),
+        F.sum("__d1").alias("d1t"),
         F.sum(F.when(F.col("__x") == 1, F.col("__d1")).otherwise(0))
-        .alias("d1x"),
+        .alias("d1xt"),
     )
     w_all_prev = Window.orderBy("__t").rowsBetween(
         Window.unboundedPreceding, -1)
@@ -1634,17 +1630,17 @@ def finegray_score(
                  .collect())
     if len(cell_rows) > 8:
         raise ValueError(
-            f"finegray_score: group column has {len(cell_rows)} levels; "
+            f"finegray: group column has {len(cell_rows)} levels; "
             "expected a 0/1 indicator (bounded-cell contract)")
     cells = leav.sparkSession.range(1).select(F.inline(F.array(*[
         F.struct(F.lit(int(r["__x"])).alias("__x"),
                  F.lit(int(r["__tot"])).alias("__tot"))
         for r in cell_rows])))
     probe = (
-        tg.filter(F.col("d1") > 0)
-        .select("__t", "g_prev", "d1", "d1x")
+        tg.filter(F.col("d1t") > 0)
+        .select("__t", "g_prev", "d1t", "d1xt")
         .crossJoin(F.broadcast(cells))
-        .select("__x", "__t", "__tot", "g_prev", "d1", "d1x",
+        .select("__x", "__t", "__tot", "g_prev", "d1t", "d1xt",
                 F.lit(0).alias("__r"), F.lit(0.0).alias("__wc"),
                 F.lit(0).alias("__il"))
     )
@@ -1653,8 +1649,8 @@ def finegray_score(
         .join(tg.select("__t", "g"), "__t")
         .select("__x", "__t", "__tot",
                 F.lit(None).cast("double").alias("g_prev"),
-                F.lit(None).cast("long").alias("d1"),
-                F.lit(None).cast("long").alias("d1x"),
+                F.lit(None).cast("long").alias("d1t"),
+                F.lit(None).cast("long").alias("d1xt"),
                 "__r",
                 (F.col("__d2").cast("double") / F.col("g")).alias("__wc"),
                 F.lit(1).alias("__il"))
@@ -1667,42 +1663,144 @@ def finegray_score(
     atr2 = (
         probe.unionByName(lv)
         .withColumn(
-            "n", F.col("__tot")
+            "nx", F.col("__tot")
             - F.coalesce(F.sum("__r").over(w_prev), F.lit(0)))
         .withColumn(
             "cw", F.coalesce(F.sum("__wc").over(w_prev), F.lit(0.0)))
         .filter(F.col("__il") == 0)
     )
-    s_val = F.col("n") + F.col("g_prev") * F.col("cw")
-    per_t = atr2.groupBy("__t").agg(
-        F.sum(s_val).alias("s0"),
-        F.sum(F.when(F.col("__x") == 1, s_val).otherwise(0.0)).alias("s1"),
-        F.max("d1").alias("d"), F.max("d1x").alias("dx"),
+    s_val = F.col("nx") + F.col("g_prev") * F.col("cw")
+    return atr2.groupBy("__t").agg(
+        F.sum(s_val).alias("n"),
+        F.sum(F.when(F.col("__x") == 1, s_val).otherwise(0.0)).alias("n1"),
+        F.max("d1t").alias("d"), F.max("d1xt").alias("d1"),
     )
-    xbar = F.col("s1") / F.col("s0")
-    u_t = F.col("dx") - F.col("d") * xbar
+
+
+def _finegray_counts(leav: DataFrame) -> DataFrame:
+    """1-row (n_subjects, n_competing) from the leaver table — every
+    subject leaves exactly once, so the leaver totals ARE the cohort."""
+    return leav.groupBy().agg(
+        F.sum("__r").cast("long").alias("n_subjects"),
+        F.coalesce(F.sum("__d2"), F.lit(0)).cast("long")
+        .alias("n_competing"),
+    )
+
+
+def finegray_score_from_leavers(leav: DataFrame) -> DataFrame:
+    """:func:`finegray_score` from the folded per-(arm, time) leaver
+    table — the streaming read path (weights and weighted risk sets
+    rebuild from the additive counters, never from subject history)."""
+    per_t = _finegray_weighted_grid(leav)
+    xbar = F.col("n1") / F.col("n")
+    u_t = F.col("d1") - F.col("d") * xbar
     v_t = F.when(
-        F.col("s0") > 1,
-        F.col("d") * (F.col("s0") - F.col("d"))
-        / (F.col("s0") - 1) * (xbar - xbar * xbar),
+        F.col("n") > 1,
+        F.col("d") * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1) * (xbar - xbar * xbar),
     ).otherwise(F.lit(0.0))
     agg = per_t.agg(
         F.sum(u_t).alias("__u"),
         F.sum(v_t).alias("__v"),
         F.sum("d").alias("n_events"),
     )
-    counts = base.groupBy().agg(
-        F.count(F.lit(1)).alias("n_subjects"),
-        F.sum((F.col("__s") == 2).cast("int")).alias("n_competing"),
-    )
-    return agg.crossJoin(F.broadcast(counts)).select(
+    return agg.crossJoin(F.broadcast(_finegray_counts(leav))).select(
         F.when(
             F.col("__v") > 0,
             F.round(F.col("__u") * F.col("__u") / F.col("__v"), 6) + 0.0,
         ).alias("chi2"),
         (F.round("__u", 6) + 0.0).alias("u"),
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        F.coalesce("n_competing", F.lit(0)).cast("long")
-        .alias("n_competing"),
-        F.col("n_subjects").cast("long").alias("n_subjects"),
+        "n_competing", "n_subjects",
     )
+
+
+def finegray_score(
+    df: DataFrame,
+    time_col: str,
+    status_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Fine-Gray SUBDISTRIBUTION-hazard score test at beta = 0 for a
+    0/1 group indicator under competing risks: 1 row (chi2, u,
+    n_events, n_competing, n_subjects) — the regression rung above
+    :func:`cuminc`'s Aalen-Johansen curves (r12 verdict #6: does the
+    CUMULATIVE INCIDENCE of the event of interest differ by arm, with
+    competing events handled as Fine & Gray 1999 prescribe rather than
+    censored away). ``status_col``: 0 = censored, 1 = event of
+    interest, 2 = competing event.
+
+    Subjects with a competing event at T stay in the subdistribution
+    risk set after T with the IPCW weight w(t) = G(t-) / G(T), G the
+    censoring Kaplan-Meier over ALL subjects (weights are
+    deterministic grid arithmetic — the whole recurrence is
+    CTE-replayable, which is how the ``surv_finegray_score`` oracle
+    verifies it). At each event-1 time t with weighted risk-set sums
+    S0(t) = sum_i w_i(t) and S1(t) = sum_{x_i = 1} w_i(t):
+        U += d1x_t - d_t * (S1/S0)
+        V += d_t * (S0 - d_t)/(S0 - 1) * (S1/S0 - (S1/S0)^2)
+    (the same hypergeometric form as :func:`cox_score`, weighted), and
+    chi2 = U^2/V on 1 df. With NO competing events every weight is 1
+    and the statistic equals ``cox_score``'s exactly (property test).
+
+    Scale shape: see :func:`_finegray_weighted_grid` — one corpus
+    groupBy, bounded-grid windows, never a risk-set self-join.
+    """
+    return finegray_score_from_leavers(
+        finegray_leavers(df, time_col, status_col, group_col))
+
+
+def finegray_newton_from_leavers(
+    leav: DataFrame, iterations: int = 3,
+) -> DataFrame:
+    """:func:`finegray_newton` from the folded leaver table — the
+    streaming read path."""
+    grid = _finegray_weighted_grid(leav).localCheckpoint(eager=False)
+    spark = leav.sparkSession
+    beta = _newton_beta(spark, grid, iterations)
+    fin = grid.crossJoin(F.broadcast(beta))
+    s1 = F.col("n1") * F.exp(F.col("beta"))
+    s0 = (F.col("n") - F.col("n1")) + s1
+    frac = s1 / s0
+    i_t = F.col("d") * frac * (1 - frac)
+    stats = fin.agg(
+        F.max("beta").alias("beta"),
+        F.sum(i_t).alias("__i"), F.sum("d").alias("n_events"))
+    ok = F.col("beta").isNotNull() & (F.col("__i") > 0)
+    return stats.crossJoin(F.broadcast(_finegray_counts(leav))).select(
+        F.when(ok, F.round("beta", 6)).alias("beta"),
+        F.when(ok, F.round(F.exp("beta"), 6)).alias("hr"),
+        F.when(ok, F.round(1 / F.sqrt("__i"), 6)).alias("se"),
+        F.when(ok, F.round(F.col("beta") * F.col("beta") * F.col("__i"), 6))
+        .alias("wald_chi2"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "n_competing", "n_subjects",
+    )
+
+
+def finegray_newton(
+    df: DataFrame,
+    time_col: str,
+    status_col: str,
+    group_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """Fine-Gray subdistribution-hazard MLE for the 0/1 group
+    indicator: 1 row (beta, hr, se, wald_chi2, n_events, n_competing,
+    n_subjects) — the effect-SIZE rung above :func:`finegray_score`
+    (the subdistribution hazard ratio with Wald interval ingredients),
+    exactly as :func:`cox_newton` sits above :func:`cox_score`.
+
+    The IPCW weights do not depend on beta, so the weighted risk-set
+    grid (``_finegray_weighted_grid``) is built ONCE and every Newton
+    step is the SAME bounded-grid recurrence ``cox_newton`` unrolls —
+    s1 = n1 e^b, s0 = (n - n1) + n1 e^b over the weighted sums —
+    reusing ``_newton_beta`` verbatim. With no competing events the
+    weighted sums ARE the integer risk sets and the fit equals
+    ``cox_newton`` bit-exactly (property test). The recurrence is a
+    closed deterministic function of the grid; the
+    ``surv_finegray_beta`` oracle replays it as chained CTEs.
+    """
+    return finegray_newton_from_leavers(
+        finegray_leavers(df, time_col, status_col, group_col),
+        iterations=iterations)

@@ -8534,6 +8534,136 @@ def dx_multinomial_q(spark, sf):
     return multinomial_newton(li, "x", "label", iterations=4)
 
 
+def _finegray_grid_ctes() -> str:
+    """The surv_finegray family's shared oracle CTE prefix: subjects ->
+    per-(arm, time) leavers -> censoring-KM -> IPCW-weighted per-event-
+    time risk sums (t, s0, s1, d, dx). Mirrors operators/survival.py
+    _finegray_weighted_grid window-for-window."""
+    return """obs AS MATERIALIZED (
+  SELECT LEAST(h % 1500 + 1, dd) AS t,
+         CASE WHEN h % 1500 + 1 <= dd
+              THEN CASE WHEN h % 3 = 0 THEN 2 ELSE 1 END
+              ELSE 0 END AS st,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x
+  FROM (SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+leav AS MATERIALIZED (
+  SELECT x, t, CAST(count(*) AS BIGINT) AS r,
+         CAST(sum(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM obs GROUP BY 1, 2),
+tt AS (SELECT t, CAST(sum(r) AS BIGINT) AS r, CAST(sum(c) AS BIGINT) AS c,
+              CAST(sum(d1) AS BIGINT) AS d1,
+              CAST(sum(CASE WHEN x = 1 THEN d1 ELSE 0 END) AS BIGINT) AS d1x
+       FROM leav GROUP BY t),
+tw AS (SELECT *,
+         sum(r) OVER () - coalesce(sum(r) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS atr
+       FROM tt),
+tg AS MATERIALIZED (
+  SELECT *,
+    exp(coalesce(sum(lt) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)) AS g,
+    exp(coalesce(sum(lt) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS g_prev
+  FROM (SELECT *, CASE WHEN c = 0 THEN 0.0
+                       WHEN c < atr
+                       THEN ln(1.0 - CAST(c AS DOUBLE) / atr) END AS lt
+        FROM tw)),
+cells AS MATERIALIZED (
+  SELECT x, CAST(sum(r) AS BIGINT) AS tot FROM leav GROUP BY x),
+u0 AS (SELECT c.x, tg.t, c.tot, tg.g_prev, tg.d1, tg.d1x,
+              CAST(0 AS BIGINT) AS r, 0.0 AS wc, 0 AS il
+       FROM tg CROSS JOIN cells c WHERE tg.d1 > 0
+       UNION ALL
+       SELECT l.x, l.t, c.tot, NULL, NULL, NULL, l.r,
+              CAST(l.d2 AS DOUBLE) / t2.g, 1
+       FROM leav l JOIN cells c ON l.x = c.x JOIN tg t2 ON t2.t = l.t),
+a2 AS (SELECT x, t, g_prev, d1, d1x,
+         tot - coalesce(sum(r) OVER (PARTITION BY x ORDER BY t, il
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+         coalesce(sum(wc) OVER (PARTITION BY x ORDER BY t, il
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cw,
+         il
+       FROM u0 QUALIFY il = 0),
+per_t AS MATERIALIZED (
+  SELECT t, sum(n + g_prev * cw) AS s0,
+         sum(CASE WHEN x = 1 THEN n + g_prev * cw ELSE 0.0 END) AS s1,
+         max(d1) AS d, max(d1x) AS dx
+  FROM a2 GROUP BY t)"""
+
+
+def _finegray_beta_sql(iterations: int) -> str:
+    """surv_finegray_beta: the shared weighted grid, then the SAME
+    chained Newton CTEs as surv_cox_beta over the weighted sums
+    (s1e = s1 e^b, s0e = (s0 - s1) + s1 e^b — weights are beta-
+    invariant, so the grid is built once)."""
+    step = """ (SELECT sum(dx - d * s1e / s0e) AS u,
+        sum(d * (s1e / s0e) * (1 - s1e / s0e)) AS i
+   FROM (SELECT d, dx, s1 * exp((SELECT beta FROM {prev})) AS s1e,
+                (s0 - s1) + s1 * exp((SELECT beta FROM {prev})) AS s0e
+         FROM per_t))"""
+    upd = """ (SELECT CASE WHEN i > 0
+        THEN (SELECT beta FROM {prev}) + u / i END AS beta FROM i{k})"""
+    ctes = [_finegray_grid_ctes(),
+            "b0 AS (SELECT 0.0 AS beta)"]
+    prev = "b0"
+    for k in range(1, iterations + 1):
+        ctes.append(f"i{k} AS MATERIALIZED" + step.format(prev=prev))
+        ctes.append(f"b{k} AS MATERIALIZED" + upd.format(prev=prev, k=k))
+        prev = f"b{k}"
+    ctes.append("fin AS MATERIALIZED" + step.format(prev=prev))
+    ctes.append(f"bf AS MATERIALIZED (SELECT beta FROM {prev})")
+    return "WITH " + ",\n".join(ctes) + """,
+nev AS (SELECT CAST(sum(d) AS BIGINT) AS n_events FROM per_t)
+SELECT CASE WHEN ok THEN round((SELECT beta FROM bf), 6) END AS beta,
+       CASE WHEN ok THEN round(exp((SELECT beta FROM bf)), 6) END AS hr,
+       CASE WHEN ok THEN round(1 / sqrt(i), 6) END AS se,
+       CASE WHEN ok THEN round((SELECT beta FROM bf)
+                               * (SELECT beta FROM bf) * i, 6)
+       END AS wald_chi2,
+       (SELECT coalesce(n_events, 0) FROM nev) AS n_events,
+       (SELECT CAST(sum(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM obs) AS n_competing,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_subjects
+FROM (SELECT *, (SELECT beta FROM bf) IS NOT NULL AND i > 0 AS ok
+      FROM fin)
+"""
+
+
+@q("surv_finegray_beta", _finegray_beta_sql(3))
+def surv_finegray_beta_q(spark, sf):
+    # Fine-Gray subdistribution-hazard MLE (operators/survival.py
+    # finegray_newton): the effect-SIZE readout above the score test —
+    # the subdistribution hazard ratio of URGENT vs LOW with a third
+    # of events competing. The IPCW-weighted risk-set grid is built
+    # once (beta-invariant weights); the oracle replays the same 3
+    # Newton steps as chained CTEs over the same windowed grid. With
+    # no competing events this IS cox_newton (property test).
+    from clinpy_spark.operators.survival import finegray_newton
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.least(followup, dd).alias("t"),
+        F.when(followup <= dd,
+               F.when(h % 3 == 0, 2).otherwise(1)).otherwise(0).alias("st"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("x"),
+    )
+    return finegray_newton(obs, "t", "st", "x", iterations=3)
+
+
 @q("gx_king_kinship", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 s AS (SELECT c_custkey AS smp, variant, gt FROM g
@@ -12271,6 +12401,7 @@ _PRIORITY: list[str] = [
     "dx_logistic_multi",
     "dx_poisson_multi",
     "surv_finegray_score",
+    "surv_finegray_beta",
     "dx_multinomial",
     "gx_breslow_day",
     "dx_cohen_kappa",
@@ -12315,8 +12446,8 @@ _PRIORITY: list[str] = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
     # -- beyond the 50-slot driver window (kept for local gate ordering) --
+    "tpch_q5_local_supplier",
     "tpch_q6_forecast",
     "curate_gopher_rules",
     "flagship_cohort_revenue",

@@ -159,3 +159,63 @@ def km_read(
     """The current KM curve from the folded per-time grid — identical
     to the batch ``km_curve`` over everything folded so far."""
     return km_from_per_time(partials, time_col, group_col)
+
+
+def stream_finegray_partials(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    time_col: str,
+    status_col: str,
+    group_col: str,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Fold each micro-batch's Fine-Gray leaver partials — per-(arm,
+    time) counts of leavers / events of interest / competing events /
+    censorings, all integer-additive — into the persisted ``name``
+    table (addition-merge with the idempotent lineage-ledger stamp).
+    Read the live competing-risks statistics with
+    :func:`finalize_finegray_score` / :func:`finalize_finegray_beta`:
+    the censoring KM and IPCW weights rebuild from the folded counters
+    on read, never from subject history."""
+    from clinpy_spark.operators.survival import finegray_leavers
+    from clinpy_spark.streaming.fold import fold_partials, lineage_token
+
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__fg_checkpoint__"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = finegray_leavers(batch, time_col, status_col, group_col)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["__x", "__t"],
+                      counters=["__r", "__d1", "__d2", "__c"],
+                      run_id=lineage_token(checkpoint))
+
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_finegray_score(partials: DataFrame) -> DataFrame:
+    """Fine-Gray score test over the maintained leaver table —
+    identical to the batch ``finegray_score`` over the same subjects
+    (twin test)."""
+    from clinpy_spark.operators.survival import finegray_score_from_leavers
+
+    return finegray_score_from_leavers(partials)
+
+
+def finalize_finegray_beta(
+    partials: DataFrame, iterations: int = 3,
+) -> DataFrame:
+    """Fine-Gray subdistribution-hazard MLE over the maintained leaver
+    table — identical to the batch ``finegray_newton`` (twin test)."""
+    from clinpy_spark.operators.survival import finegray_newton_from_leavers
+
+    return finegray_newton_from_leavers(partials, iterations=iterations)

@@ -279,3 +279,49 @@ def test_multinomial_k3_known_saturated(spark):
     assert out2.beta1_2 == pytest.approx(
         math.log(50 / 20) - math.log(20 / 40), abs=1e-4)
     assert out2.score_norm < 1e-3
+
+
+def test_finegray_newton_no_competing_equals_cox_newton(spark):
+    """The Fine-Gray MLE with zero competing events IS cox_newton —
+    same grid recurrence over integer risk sets, bit-exact outputs."""
+    from clinpy_spark.operators.survival import cox_newton, finegray_newton
+
+    rows = [Row(t=(i * 37) % 40 + 1,
+                st=1 if (i * 13) % 10 < 6 else 0,
+                x=i % 2)
+            for i in range(300)]
+    df = spark.createDataFrame(rows)
+    fg = finegray_newton(df, "t", "st", "x", iterations=3).collect()[0]
+    cx = cox_newton(df.withColumn("e", (F.col("st") == 1).cast("int")),
+                    "t", "e", "x", iterations=3).collect()[0]
+    assert (fg.beta, fg.hr, fg.se, fg.wald_chi2) == (
+        cx.beta, cx.hr, cx.se, cx.wald_chi2)
+    assert fg.n_events == cx.n_events and fg.n_competing == 0
+
+
+def test_finegray_newton_competing_shrinks_beta_toward_cif(spark):
+    """Sanity: when arm 1's 'censorings' are really competing events,
+    the subdistribution hazard ratio must move DOWN relative to
+    naively censoring them (those subjects can never have the event of
+    interest, diluting arm 1's cumulative incidence)."""
+    from clinpy_spark.operators.survival import cox_newton, finegray_newton
+
+    rows = []
+    for i in range(400):
+        x = i % 2
+        t = (i * 29) % 30 + 1
+        if (i * 7) % 10 < 4:
+            st = 1
+        elif x == 1 and (i * 11) % 3 == 0:
+            st = 2           # competing, only in arm 1
+        else:
+            st = 0
+        rows.append(Row(t=t, st=st, x=x))
+    df = spark.createDataFrame(rows)
+    fg = finegray_newton(df, "t", "st", "x").collect()[0]
+    naive = cox_newton(
+        df.withColumn("e", (F.col("st") == 1).cast("int")),
+        "t", "e", "x").collect()[0]
+    assert fg.n_competing > 0
+    assert fg.beta is not None and naive.beta is not None
+    assert fg.beta < naive.beta  # competing events dilute arm 1's CIF

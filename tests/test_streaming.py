@@ -1397,3 +1397,67 @@ def test_streaming_negbin_fresh_checkpoint(spark, tmp_path):
     want = negbin_newton(batch, "x", "y").collect()[0]
     assert tuple(got) == tuple(want)
     assert got.beta1 is not None and got.alpha is not None
+
+
+def test_streaming_finegray_fresh_checkpoint_twin(spark, tmp_path):
+    """Fine-Gray streaming twin: fold 2 micro-batches, restart with a
+    FRESH checkpoint over a late file into the same leaver table, and
+    assert both the score test and the subdistribution MLE refit on
+    read equal the batch operators over the union of all subjects
+    (IPCW weights and censoring KM rebuild from folded counters)."""
+    import json as _json
+
+    from clinpy_spark.operators.survival import finegray_newton, finegray_score
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.survival import (
+        finalize_finegray_beta, finalize_finegray_score,
+        stream_finegray_partials,
+    )
+
+    def mk(seed, n):
+        out = []
+        for i in range(n):
+            t = (i * 29 + seed) % 25 + 1
+            r = (i * 7 + seed) % 10
+            st = 1 if r < 4 else (2 if r < 6 else 0)
+            out.append((t, st, i % 2))
+        return out
+
+    b1, b2, b3 = mk(0, 80), mk(3, 60), mk(5, 50)
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    schema = "t long, st int, x int"
+
+    def _write(src, i, rows):
+        with open(src / f"part-{i}.json", "w") as fh:
+            for t, st, x in rows:
+                fh.write(_json.dumps({"t": t, "st": st, "x": x}) + "\n")
+
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    _write(src1, 0, b1)
+    _write(src1, 1, b2)
+    s1 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src1)))
+    stream_finegray_partials(
+        s1, cat, "fg_grid", "t", "st", "x",
+        checkpoint=str(tmp_path / "ck1")).awaitTermination(120)
+
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    _write(src2, 0, b3)
+    s2 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src2)))
+    stream_finegray_partials(
+        s2, cat, "fg_grid", "t", "st", "x",
+        checkpoint=str(tmp_path / "ck2")).awaitTermination(120)
+
+    batch = spark.createDataFrame(b1 + b2 + b3, schema)
+    got_s = finalize_finegray_score(cat.table("fg_grid")).collect()[0]
+    want_s = finegray_score(batch, "t", "st", "x").collect()[0]
+    assert tuple(got_s) == tuple(want_s)
+    assert got_s.n_subjects == 190 and got_s.n_competing > 0
+
+    got_b = finalize_finegray_beta(cat.table("fg_grid")).collect()[0]
+    want_b = finegray_newton(batch, "t", "st", "x").collect()[0]
+    assert tuple(got_b) == tuple(want_b)
+    assert got_b.beta is not None

@@ -76,6 +76,8 @@ EXPECTED_UNBOUNDED = {
                             # bounded side is inlined literals, proven
                             # constant-row by the shape gate) plus the
                             # 1-row counts broadcast
+    "surv_finegray_beta",  # same literal cell spine + the 1-row Newton
+                           # beta broadcast cox_newton's loop carries
     "s19_bootstrap_ci",  # crossJoin vs the ONE-ROW point-estimate agg
     "dx_cohen_kappa",  # crossJoin of the TWO 1-row aggregates (observed
                        # agreement + marginal chance rate) into the
