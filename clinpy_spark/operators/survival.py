@@ -1804,3 +1804,123 @@ def finegray_newton(
     return finegray_newton_from_leavers(
         finegray_leavers(df, time_col, status_col, group_col),
         iterations=iterations)
+
+
+def rmst_diff(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time to horizon ``tau`` per arm WITH
+    INFERENCE — the two-arm rung above :func:`rmst` (which reports the
+    per-group point estimate only): 1 row (tau, rmst_a, se_a, n_a,
+    rmst_b, se_b, n_b, diff, se_diff, z) — the model-free effect size the
+    hazard-ratio family cannot give when proportional hazards fails
+    (crossing curves): "mean event-free time over the first tau days".
+
+    RMST = area under the Kaplan-Meier step to tau:
+        t_1 + sum_i S(t_i) * (min(t_{i+1}, tau) - t_i)
+    over event times t_i <= tau; variance by the standard
+    Greenwood-type form  sum_i A_i^2 d_i / (n_i (n_i - d_i))  with
+    A_i = integral of S from t_i to tau (the reverse-cumulative
+    segment sum). With no censoring RMST is exactly the empirical
+    mean of min(T, tau) (property test). diff = rmst_a - rmst_b,
+    se_diff = sqrt(se_a^2 + se_b^2), z = diff/se_diff (NULL when both
+    variances are 0). An arm with no events by tau reports rmst = tau,
+    se = 0.
+
+    Scale shape: ONE groupBy to the per-(arm, time) grid, at-risk via
+    total-minus-prefix, survival via the ordered log-sum window, areas
+    via one reverse-cumulative window per arm — bounded-grid
+    arithmetic end to end, CTE-replayable (the ``surv_rmst_diff`` oracle).
+    """
+    is_a = F.col(group_col) == F.lit(group_a)
+    is_b = F.col(group_col) == F.lit(group_b)
+    sub = df.filter(is_a | is_b).select(
+        F.when(is_a, F.lit("a")).otherwise(F.lit("b")).alias("__arm"),
+        F.col(time_col).alias(time_col),
+        F.col(event_col).alias(event_col),
+    )
+    pt = _per_time(sub, time_col, event_col, "__arm")
+    w_ord = Window.partitionBy("__g").orderBy("__t")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy("__g")
+    pt = pt.withColumn(
+        "n",
+        F.sum(F.col("d") + F.col("c")).over(tot)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    ev = pt.filter((F.col("d") > 0) & (F.col("__t") <= F.lit(tau)))
+    w_ev = Window.partitionBy("__g").orderBy("__t")
+    w_cum = w_ev.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = w_ev.rowsBetween(0, Window.unboundedFollowing)
+    frac = F.col("d").cast("double") / F.col("n")
+    ev = (
+        ev.withColumn(
+            "__lsum",
+            F.sum(F.when(F.col("d") < F.col("n"), F.log(1 - frac))
+                  .otherwise(F.lit(0.0))).over(w_cum))
+        .withColumn(
+            "__zero",
+            F.max(F.when(F.col("d") >= F.col("n"), 1).otherwise(0))
+            .over(w_cum))
+        .withColumn(
+            "s",
+            F.when(F.col("__zero") == 1, F.lit(0.0))
+            .otherwise(F.exp("__lsum")))
+        .withColumn(
+            "seg",
+            F.col("s") * (
+                F.coalesce(F.lead("__t").over(w_ev), F.lit(tau))
+                .cast("double") - F.col("__t").cast("double")))
+        .withColumn("a_i", F.sum("seg").over(w_fwd))
+    )
+    vterm = F.when(
+        F.col("n") > F.col("d"),
+        F.col("a_i") * F.col("a_i") * F.col("d")
+        / (F.col("n") * (F.col("n") - F.col("d"))),
+    ).otherwise(F.lit(0.0))
+    arm = ev.groupBy("__g").agg(
+        (F.min("__t").cast("double") + F.sum("seg")).alias("__rmst"),
+        F.sum(vterm).alias("__var"),
+    )
+    counts = sub.groupBy("__arm").agg(F.count(F.lit(1)).alias("__n"))
+    one = (
+        counts.join(arm, counts["__arm"] == arm["__g"], "left")
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("__arm") == "a",
+                         F.coalesce("__rmst", F.lit(float(tau))))
+                  ).alias("ra"),
+            F.sum(F.when(F.col("__arm") == "a",
+                         F.coalesce("__var", F.lit(0.0)))).alias("va"),
+            F.sum(F.when(F.col("__arm") == "a", F.col("__n"))
+                  .otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("__arm") == "b",
+                         F.coalesce("__rmst", F.lit(float(tau))))
+                  ).alias("rb"),
+            F.sum(F.when(F.col("__arm") == "b",
+                         F.coalesce("__var", F.lit(0.0)))).alias("vb"),
+            F.sum(F.when(F.col("__arm") == "b", F.col("__n"))
+                  .otherwise(0)).alias("n_b"),
+        )
+    )
+    se_diff = F.sqrt(F.col("va") + F.col("vb"))
+    return one.select(
+        F.lit(float(tau)).alias("tau"),
+        F.round("ra", 6).alias("rmst_a"),
+        F.round(F.sqrt("va"), 6).alias("se_a"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round("rb", 6).alias("rmst_b"),
+        F.round(F.sqrt("vb"), 6).alias("se_b"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.round(F.col("ra") - F.col("rb"), 6) + 0.0).alias("diff"),
+        F.round(se_diff, 6).alias("se_diff"),
+        F.when(se_diff > 0,
+               F.round((F.col("ra") - F.col("rb")) / se_diff, 6) + 0.0)
+        .alias("z"),
+    )

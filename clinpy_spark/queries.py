@@ -8664,6 +8664,90 @@ def surv_finegray_beta_q(spark, sf):
     return finegray_newton(obs, "t", "st", "x", iterations=3)
 
 
+@q("surv_rmst_diff", """
+WITH obs AS MATERIALIZED (
+  SELECT LEAST(h % 1500 + 1, dd) AS t,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g
+  FROM (SELECT o_orderpriority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+               datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+pt AS (SELECT g, t, CAST(sum(evt) AS BIGINT) AS d,
+              CAST(sum(1 - evt) AS BIGINT) AS c
+       FROM obs GROUP BY 1, 2),
+ptn AS (SELECT *,
+          sum(d + c) OVER (PARTITION BY g)
+          - coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+        FROM pt),
+ev AS MATERIALIZED (SELECT * FROM ptn WHERE d > 0 AND t <= 365.0),
+km AS (SELECT *,
+         sum(CASE WHEN d < n THEN ln(1 - CAST(d AS DOUBLE) / n)
+             ELSE 0.0 END) OVER (PARTITION BY g ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum,
+         max(CASE WHEN d >= n THEN 1 ELSE 0 END)
+           OVER (PARTITION BY g ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zz
+       FROM ev),
+sg AS (SELECT *,
+         CASE WHEN zz = 1 THEN 0.0 ELSE exp(lsum) END
+           * (coalesce(CAST(lead(t) OVER (PARTITION BY g ORDER BY t)
+                         AS DOUBLE), 365.0) - CAST(t AS DOUBLE)) AS seg
+       FROM km),
+ar AS (SELECT *,
+         sum(seg) OVER (PARTITION BY g ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS a_i
+       FROM sg),
+arm AS MATERIALIZED (
+  SELECT g, CAST(min(t) AS DOUBLE) + sum(seg) AS rmst,
+         sum(CASE WHEN n > d THEN a_i * a_i * d / (n * (n - d))
+             ELSE 0.0 END) AS var
+  FROM ar GROUP BY g),
+cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS nn FROM obs GROUP BY g),
+one AS (SELECT
+   sum(CASE WHEN cnt.g = 'a' THEN coalesce(rmst, 365.0) END) AS ra,
+   sum(CASE WHEN cnt.g = 'a' THEN coalesce(var, 0.0) END) AS va,
+   CAST(sum(CASE WHEN cnt.g = 'a' THEN nn ELSE 0 END) AS BIGINT) AS n_a,
+   sum(CASE WHEN cnt.g = 'b' THEN coalesce(rmst, 365.0) END) AS rb,
+   sum(CASE WHEN cnt.g = 'b' THEN coalesce(var, 0.0) END) AS vb,
+   CAST(sum(CASE WHEN cnt.g = 'b' THEN nn ELSE 0 END) AS BIGINT) AS n_b
+  FROM cnt LEFT JOIN arm ON cnt.g = arm.g)
+SELECT 365.0 AS tau,
+       round(ra, 6) AS rmst_a, round(sqrt(va), 6) AS se_a, n_a,
+       round(rb, 6) AS rmst_b, round(sqrt(vb), 6) AS se_b, n_b,
+       round(ra - rb, 6) + 0.0 AS diff,
+       round(sqrt(va + vb), 6) AS se_diff,
+       CASE WHEN sqrt(va + vb) > 0
+            THEN round((ra - rb) / sqrt(va + vb), 6) + 0.0 END AS z
+FROM one
+""")
+def surv_rmst_diff_q(spark, sf):
+    # Restricted mean survival time to 365 days WITH inference
+    # (operators/survival.py rmst_diff): the model-free effect size — mean event-free days in the
+    # first year, URGENT vs LOW — that stays valid when proportional
+    # hazards fails and the hazard-ratio family (surv_cox_beta) does
+    # not. KM area + Greenwood-type variance, all bounded-grid windows
+    # the oracle replays verbatim.
+    from clinpy_spark.operators.survival import rmst_diff
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.least(followup, dd).alias("t"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        F.col("o_orderpriority").alias("arm"),
+    )
+    return rmst_diff(obs, "t", "evt", "arm", "1-URGENT", "5-LOW", 365.0)
+
+
 @q("gx_king_kinship", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 s AS (SELECT c_custkey AS smp, variant, gt FROM g
@@ -12402,6 +12486,7 @@ _PRIORITY: list[str] = [
     "dx_poisson_multi",
     "surv_finegray_score",
     "surv_finegray_beta",
+    "surv_rmst_diff",
     "dx_multinomial",
     "gx_breslow_day",
     "dx_cohen_kappa",
@@ -12445,8 +12530,8 @@ _PRIORITY: list[str] = [
     "tpch_q13_cust_distribution",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
-    "tpch_q4_order_priority",
     # -- beyond the 50-slot driver window (kept for local gate ordering) --
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast",
     "curate_gopher_rules",

@@ -325,3 +325,55 @@ def test_finegray_newton_competing_shrinks_beta_toward_cif(spark):
     assert fg.n_competing > 0
     assert fg.beta is not None and naive.beta is not None
     assert fg.beta < naive.beta  # competing events dilute arm 1's CIF
+
+
+def test_rmst_no_censoring_is_truncated_mean(spark):
+    """With zero censoring the KM is the empirical survival function,
+    so RMST equals the arithmetic mean of min(T, tau) exactly."""
+    from clinpy_spark.operators.survival import rmst_diff
+
+    ta = [3, 7, 7, 12, 20, 25, 40, 55]
+    tb = [2, 5, 9, 9, 14, 60, 80]
+    rows = ([Row(t=t, e=1, g="x") for t in ta]
+            + [Row(t=t, e=1, g="y") for t in tb])
+    tau = 30.0
+    out = rmst_diff(spark.createDataFrame(rows), "t", "e", "g",
+               "x", "y", tau).collect()[0]
+    want_a = sum(min(t, tau) for t in ta) / len(ta)
+    want_b = sum(min(t, tau) for t in tb) / len(tb)
+    assert out.rmst_a == pytest.approx(want_a, abs=1e-6)
+    assert out.rmst_b == pytest.approx(want_b, abs=1e-6)
+    assert out.diff == pytest.approx(want_a - want_b, abs=1e-6)
+    assert out.n_a == 8 and out.n_b == 7
+    assert out.se_a > 0 and out.z is not None
+
+
+def test_rmst_no_events_is_tau(spark):
+    """An arm fully event-free (or censored-only) through tau reports
+    rmst = tau with zero variance; z is NULL when both arms are flat."""
+    from clinpy_spark.operators.survival import rmst_diff
+
+    rows = ([Row(t=50, e=0, g="x")] * 5 + [Row(t=40, e=0, g="y")] * 4)
+    out = rmst_diff(spark.createDataFrame(rows), "t", "e", "g",
+               "x", "y", 30.0).collect()[0]
+    assert out.rmst_a == 30.0 and out.rmst_b == 30.0
+    assert out.se_a == 0.0 and out.se_diff == 0.0
+    assert out.diff == 0.0 and out.z is None
+
+
+def test_rmst_censoring_lifts_curve_vs_naive_death(spark):
+    """Censored subjects must NOT count as events: treating the same
+    rows' censorings as deaths strictly lowers both arms' RMST."""
+    from clinpy_spark.operators.survival import rmst_diff
+
+    rows = []
+    for i in range(120):
+        g = "x" if i % 2 == 0 else "y"
+        t = (i * 17) % 28 + 1
+        e = 1 if (i * 7) % 3 else 0
+        rows.append(Row(t=t, e=e, g=g))
+    df = spark.createDataFrame(rows)
+    km = rmst_diff(df, "t", "e", "g", "x", "y", 25.0).collect()[0]
+    naive = rmst_diff(df.withColumn("e", F.lit(1)), "t", "e", "g",
+                 "x", "y", 25.0).collect()[0]
+    assert km.rmst_a > naive.rmst_a and km.rmst_b > naive.rmst_b
