@@ -3067,10 +3067,35 @@ def multinomial_newton(
 
     xv = F.col(x_col).cast("double")
     lab = F.col(label_col).cast("string")
-    base = df.filter(xv.isNotNull() & lab.isNotNull()).select(
-        xv.alias("__x"), lab.alias("__y"))
+    counts = (
+        df.filter(xv.isNotNull() & lab.isNotNull())
+        .select(xv.alias("__x"), lab.alias("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return multinomial_newton_from_counts(
+        counts, iterations=iterations, max_classes=max_classes,
+        digits=digits)
+
+
+def multinomial_newton_from_counts(
+    counts: DataFrame,
+    iterations: int = 4,
+    max_classes: int = 8,
+    digits: int | None = 5,
+) -> DataFrame:
+    """:func:`multinomial_newton` from the per-(x, label) count table
+    (__x, __y, __n) — the integer-ADDITIVE sufficient statistic, so a
+    streaming fold maintains it per micro-batch and this refits the
+    softmax MLE on read (streaming/glm.py finalize_multinomial), the
+    same fold/recompute-on-read architecture as the other fitters."""
+    import math
+
+    from clinpy_spark.functions.cramer import inv_diag_py, solve_n_py
+
+    counts = counts.localCheckpoint(eager=False)
     labels = sorted(
-        r["__y"] for r in base.select("__y").distinct().collect())
+        r["__y"] for r in counts.select("__y").distinct().collect())
     if len(labels) < 2:
         raise ValueError(
             f"multinomial_newton needs >= 2 classes, got {labels}")
@@ -3080,12 +3105,13 @@ def multinomial_newton(
             f"max_classes={max_classes}")
     k = len(labels)
     ref, alts = labels[0], labels[1:]
-    grid = base.groupBy("__x").agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.sum((F.col("__y") == F.lit(c)).cast("int")).alias(f"__n{j}")
+    grid = counts.groupBy("__x").agg(
+        F.sum("__n").alias("__n"),
+        *[F.sum(F.when(F.col("__y") == F.lit(c), F.col("__n"))
+                .otherwise(0)).alias(f"__n{j}")
           for j, c in enumerate(alts, 1)],
     ).localCheckpoint(eager=False)
-    spark = df.sparkSession
+    spark = counts.sparkSession
     m = 2 * (k - 1)
 
     def moments(beta):

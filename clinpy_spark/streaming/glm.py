@@ -229,3 +229,61 @@ def finalize_poisson(grid: DataFrame, iterations: int = 4) -> DataFrame:
     g = grid.select(
         "__x", F.col("n").alias("__n"), F.col("sy").alias("__sy"))
     return poisson_newton_from_grid(g, iterations=iterations)
+
+
+def multinomial_count_partial(
+    df: DataFrame, x_col: str, label_col: str,
+) -> DataFrame:
+    """(__x, __y, n) additive partials for one micro-batch — the
+    softmax MLE's sufficient statistic (per-(covariate, class)
+    counts)."""
+    xv = F.col(x_col).cast("double")
+    lab = F.col(label_col).cast("string")
+    return (
+        df.filter(xv.isNotNull() & lab.isNotNull())
+        .select(xv.alias("__x"), lab.alias("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def stream_multinomial_counts(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    x_col: str,
+    label_col: str,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Fold each micro-batch's per-(covariate, class) counts into the
+    persisted ``name`` table (addition-merge, idempotent lineage-ledger
+    stamp). Read the live k-class softmax fit with
+    :func:`finalize_multinomial`."""
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__mn_checkpoint__"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = multinomial_count_partial(batch, x_col, label_col)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["__x", "__y"], counters=["n"],
+                      run_id=lineage_token(checkpoint))
+
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_multinomial(counts: DataFrame, iterations: int = 4) -> DataFrame:
+    """k-class softmax MLE over the maintained (__x, __y, n) count
+    table — identical to the batch ``multinomial_newton`` over the
+    same rows (twin test)."""
+    from clinpy_spark.operators.assoc import multinomial_newton_from_counts
+
+    g = counts.select("__x", "__y", F.col("n").alias("__n"))
+    return multinomial_newton_from_counts(g, iterations=iterations)

@@ -1461,3 +1461,34 @@ def test_streaming_finegray_fresh_checkpoint_twin(spark, tmp_path):
     want_b = finegray_newton(batch, "t", "st", "x").collect()[0]
     assert tuple(got_b) == tuple(want_b)
     assert got_b.beta is not None
+
+
+def test_streaming_multinomial_matches_batch(spark, tmp_path):
+    """Softmax twin: per-(covariate, class) counts are integer-additive
+    across micro-batches; the folded table refits the k=3 MLE on read,
+    exactly matching the batch fitter over the same rows."""
+    from clinpy_spark.operators.assoc import multinomial_newton
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.fold import fold_partials
+    from clinpy_spark.streaming.glm import (
+        finalize_multinomial, multinomial_count_partial,
+    )
+
+    rows = [Row(x=float(i % 5), lab="anr"[(i * 7 + i // 5) % 3])
+            for i in range(300)]
+    df = spark.createDataFrame(rows)
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    p1 = multinomial_count_partial(df.filter(F.col("x") < 2), "x", "lab")
+    p2 = multinomial_count_partial(df.filter(F.col("x") >= 2), "x", "lab")
+    fold_partials(cat, "mn_counts", p1, 0, keys=["__x", "__y"],
+                  counters=["n"], run_id="A")
+    fold_partials(cat, "mn_counts", p2, 1, keys=["__x", "__y"],
+                  counters=["n"], run_id="A")
+    # a replayed batch must not perturb the fit
+    fold_partials(cat, "mn_counts", p2, 1, keys=["__x", "__y"],
+                  counters=["n"], run_id="A")
+    got = finalize_multinomial(
+        cat.table("mn_counts"), iterations=5).collect()[0]
+    want = multinomial_newton(df, "x", "lab", iterations=5).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.class_ref == "a" and got.beta1_1 is not None
