@@ -3214,3 +3214,211 @@ def multinomial_newton_from_counts(
     cols += [F.lit(n_obs).cast("long").alias("n"),
              F.lit(r5(score_norm)).alias("score_norm")]
     return spark.range(1).select(*cols)
+
+
+def ordinal_newton(
+    df: DataFrame,
+    x_col: str,
+    label_col: str,
+    levels: list,
+    iterations: int = 6,
+    digits: int | None = 5,
+) -> DataFrame:
+    """Proportional-odds (ordinal) logistic MLE for a k-LEVEL ORDERED
+    outcome over one bounded covariate — the ordinal rung between
+    ``logistic_newton`` (k = 2) and ``multinomial_newton`` (nominal,
+    no order): P(Y <= j | x) = sigmoid(theta_j + beta x) with ONE
+    shared slope, the standard severity-grade / stage / dose-response
+    model. 1 row (theta_1..theta_{k-1}, beta, or_beta, se_beta,
+    wald_chi2_beta, n, score_norm). ``levels`` fixes the category
+    ORDER explicitly (ordinal semantics cannot be inferred from sort
+    order of arbitrary labels).
+
+    Fisher-scoring steps from the marginal-cumulative-logit start
+    (theta_j0 = logit of the empirical P(Y <= j), beta0 = 0): per step
+    ONE grid-sized aggregate of the score and expected information —
+    cell probabilities p_j = gamma_j - gamma_{j-1}, derivative weights
+    g_j = gamma_j (1 - gamma_j) — collected as a single bounded row,
+    then a driver-side Cramer solve in the oracle's exact operand
+    order (functions/cramer.py; round-5 emission — the multi family's
+    hash-determinism contract). A step that drives any cell
+    probability to <= 0 (theta crossing) or a non-PD information emits
+    NULL statistics, same as a singular grid.
+
+    Scale shape: ONE pass collapses the cohort to the (x, per-level
+    count) grid; every Fisher step is grid-sized; the cohort is never
+    rescanned. The ``dx_ordinal`` oracle replays the identical
+    recurrence at k = 3 as chained 3x3 cofactor-Cramer CTEs.
+    """
+    import math
+
+    from clinpy_spark.functions.cramer import solve3, solve_n_py, var3_diag
+
+    k = len(levels)
+    if k < 2:
+        raise ValueError("ordinal_newton needs >= 2 ordered levels")
+    if k > 8:
+        raise ValueError(f"ordinal_newton: {k} levels exceeds 8")
+    m = k  # k-1 thresholds + 1 slope
+    xv = F.col(x_col).cast("double")
+    lab = F.col(label_col).cast("string")
+    lvl = [str(v) for v in levels]
+    base = (
+        df.filter(xv.isNotNull() & lab.isNotNull() & lab.isin(lvl))
+        .select(xv.alias("__x"), lab.alias("__y"))
+    )
+    grid = base.groupBy("__x").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum((F.col("__y") == F.lit(v)).cast("int")).alias(f"__n{j}")
+          for j, v in enumerate(lvl[:-1], 1)],
+    ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+
+    # marginal-cumulative-logit start (collected exact integer totals)
+    tot = grid.agg(
+        F.sum("__n").alias("n"),
+        *[F.sum(f"__n{j}").alias(f"t{j}") for j in range(1, k)],
+    ).collect()[0]
+    n_obs = int(tot["n"] or 0)
+
+    def null_result():
+        cols = [F.lit(None).cast("double").alias(f"theta_{j}")
+                for j in range(1, k)]
+        cols += [F.lit(None).cast("double").alias("beta"),
+                 F.lit(None).cast("double").alias("or_beta"),
+                 F.lit(None).cast("double").alias("se_beta"),
+                 F.lit(None).cast("double").alias("wald_chi2_beta"),
+                 F.lit(n_obs).cast("long").alias("n"),
+                 F.lit(None).cast("double").alias("score_norm")]
+        return spark.range(1).select(*cols)
+
+    if n_obs == 0:
+        return null_result()
+    cum = 0
+    theta = []
+    for j in range(1, k):
+        cum += int(tot[f"t{j}"] or 0)
+        if not 0 < cum < n_obs:
+            return null_result()  # empty cumulative class: unidentifiable
+        theta.append(math.log(cum / (n_obs - cum)))
+    beta = theta + [0.0]  # params: theta_1..theta_{k-1}, slope last
+
+    def moments(par):
+        """One grid aggregate -> (U, info dict, pmin).  Expressions in
+        the oracle CTE's operand order (k = 3 text; general k mirrors
+        the same per-level terms)."""
+        th, b = par[:-1], par[-1]
+        gam = [F.lit(0.0)] + [
+            1 / (1 + F.exp(-(F.lit(float(th[j])) + F.lit(float(b))
+                             * F.col("__x"))))
+            for j in range(k - 1)
+        ] + [F.lit(1.0)]
+        g = [F.lit(0.0)] + [gam[j] * (1 - gam[j]) for j in range(1, k)] \
+            + [F.lit(0.0)]
+        p = [gam[j] - gam[j - 1] for j in range(1, k + 1)]  # p[0] = p_1
+        nc = F.col("__n").cast("double")
+        ns = [F.col(f"__n{j}") for j in range(1, k)]
+        ns.append(F.col("__n") - sum(ns))  # top level count
+        x = F.col("__x")
+        aggs = []
+        # score: thresholds then slope
+        for r in range(1, k):
+            aggs.append(F.sum(
+                ns[r - 1] * (g[r] / p[r - 1]) - ns[r] * (g[r] / p[r])
+            ).alias(f"u{r - 1}"))
+        slope = ns[0] * (g[1] / p[0])
+        for j in range(2, k):
+            slope = slope + ns[j - 1] * ((g[j] - g[j - 1]) / p[j - 1])
+        slope = slope - ns[k - 1] * (g[k - 1] / p[k - 1])
+        aggs.append(F.sum(x * slope).alias(f"u{k - 1}"))
+        # expected information: d_j vectors per level share
+        # d_j(theta_r) = delta_{jr} g_r - delta_{j-1,r} g_{j-1};
+        # d_j(b) = (g_j - g_{j-1}) x
+        for r in range(m):
+            for s in range(r, m):
+                term = None
+                for j in range(1, k + 1):
+                    dr = _ord_deriv(r, j, g, x, k)
+                    ds = _ord_deriv(s, j, g, x, k)
+                    if dr is None or ds is None:
+                        continue
+                    t = dr * ds / p[j - 1]
+                    term = t if term is None else term + t
+                aggs.append(F.sum(nc * term).alias(f"i{r}{s}"))
+        aggs.append(F.min(F.least(*p)).alias("pmin"))
+        row = grid.agg(*aggs).collect()[0]
+        u = [float(row[f"u{i}"]) for i in range(m)]
+        info = {(r, s): float(row[f"i{r}{s}"])
+                for r in range(m) for s in range(r, m)}
+        pmin = row["pmin"]
+        return u, info, (float(pmin) if pmin is not None else 0.0)
+
+    for _ in range(iterations):
+        u, info, pmin = moments(beta)
+        if not pmin > 0:
+            return null_result()
+        if m == 3:
+            det, d0, d1, d2 = solve3(
+                u[0], u[1], u[2],
+                info[(0, 0)], info[(0, 1)], info[(0, 2)],
+                info[(1, 1)], info[(1, 2)], info[(2, 2)])
+            deltas = None if d0 is None else [d0, d1, d2]
+        else:
+            det, deltas = solve_n_py(u, info, m)
+        if deltas is None:
+            return null_result()
+        beta = [beta[i] + deltas[i] for i in range(m)]
+    u, info, pmin = moments(beta)
+    if not pmin > 0:
+        return null_result()
+    if m == 3:
+        det = (info[(0, 0)] * (info[(1, 1)] * info[(2, 2)]
+                               - info[(1, 2)] * info[(1, 2)])
+               - info[(0, 1)] * (info[(0, 1)] * info[(2, 2)]
+                                 - info[(1, 2)] * info[(0, 2)])
+               + info[(0, 2)] * (info[(0, 1)] * info[(1, 2)]
+                                 - info[(1, 1)] * info[(0, 2)]))
+        if not det > 0:
+            return null_result()
+        var_b = var3_diag(
+            info[(0, 0)], info[(0, 1)], info[(0, 2)],
+            info[(1, 1)], info[(1, 2)], info[(2, 2)], det)[2]
+    else:
+        from clinpy_spark.functions.cramer import inv_diag_py
+
+        det, diag = inv_diag_py(info, m)
+        if diag is None:
+            return null_result()
+        var_b = diag[m - 1]
+    score_norm = 0.0
+    for v in u:
+        score_norm = score_norm + v * v
+    score_norm = math.sqrt(score_norm)
+
+    def r5(v):
+        if digits is None:
+            return float(v)
+        return round(float(v), digits) + 0.0
+
+    b_hat = beta[m - 1]
+    cols = [F.lit(r5(beta[j - 1])).alias(f"theta_{j}") for j in range(1, k)]
+    cols += [F.lit(r5(b_hat)).alias("beta"),
+             F.lit(r5(math.exp(b_hat))).alias("or_beta"),
+             F.lit(r5(math.sqrt(var_b))).alias("se_beta"),
+             F.lit(r5(b_hat * b_hat / var_b)).alias("wald_chi2_beta"),
+             F.lit(n_obs).cast("long").alias("n"),
+             F.lit(r5(score_norm)).alias("score_norm")]
+    return spark.range(1).select(*cols)
+
+
+def _ord_deriv(r: int, j: int, g: list, x, k: int):
+    """d p_j / d param_r as a Column, or None when identically zero.
+    Params 0..k-2 are thresholds theta_{r+1}; param k-1 is the slope."""
+    if r == k - 1:  # slope
+        return (g[j] - g[j - 1]) * x
+    t = r + 1  # threshold index
+    if j == t:
+        return g[t]
+    if j == t + 1:
+        return -g[t]
+    return None

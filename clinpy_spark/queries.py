@@ -8748,6 +8748,150 @@ def surv_rmst_diff_q(spark, sf):
     return rmst_diff(obs, "t", "evt", "arm", "1-URGENT", "5-LOW", 365.0)
 
 
+def _ordinal_sql(iterations: int) -> str:
+    """Chained-CTE replay of ordinal_newton's Fisher-scoring recurrence
+    at k = 3 ordered levels: the moment expressions (score, expected
+    information, minimum cell probability) are GENERATED by the same
+    loop structure the Spark fitter evaluates — per-level derivative
+    terms d_j(param) accumulated in identical order — and the 3x3
+    update is the standing cofactor-Cramer text, so the two sides
+    differ only by distributed-sum order (round-5 emission)."""
+    k, m = 3, 3
+
+    def g_name(j):
+        return f"g{j}" if 1 <= j <= k - 1 else "0.0"
+
+    def deriv(r, j):
+        # params 0..k-2 = thresholds theta_{r+1}; param k-1 = slope
+        if r == m - 1:
+            return f"({g_name(j)} - {g_name(j - 1)}) * x"
+        t = r + 1
+        if j == t:
+            return f"g{t}"
+        if j == t + 1:
+            return f"(- g{t})"
+        return None
+
+    aggs = []
+    for r in range(1, k):
+        aggs.append(
+            f"sum(n{r} * (g{r} / p{r}) - n{r + 1} * (g{r} / p{r + 1}))"
+            f" AS u{r - 1}")
+    slope = "n1 * (g1 / p1)"
+    for j in range(2, k):
+        slope += f" + n{j} * ((g{j} - g{j - 1}) / p{j})"
+    slope += f" - n{k} * (g{k - 1} / p{k})"
+    aggs.append(f"sum(x * ({slope})) AS u{k - 1}")
+    for r in range(m):
+        for s in range(r, m):
+            terms = []
+            for j in range(1, k + 1):
+                dr, ds = deriv(r, j), deriv(s, j)
+                if dr is None or ds is None:
+                    continue
+                terms.append(f"{dr} * {ds} / p{j}")
+            aggs.append(f"sum(nc * ({' + '.join(terms)})) AS i{r}{s}")
+    aggs.append("min(least(p1, p2, p3)) AS pmin")
+    mom = (" (SELECT " + ",\n         ".join(aggs) + """
+   FROM (SELECT x, nc, n1, n2, n3,
+                gam1 AS p1, gam2 - gam1 AS p2, 1.0 - gam2 AS p3,
+                gam1 * (1 - gam1) AS g1, gam2 * (1 - gam2) AS g2
+         FROM (SELECT x, CAST(n AS DOUBLE) AS nc, n1, n2, n - n1 - n2 AS n3,
+                      1 / (1 + exp(-((SELECT th1 FROM {prev})
+                                     + (SELECT b FROM {prev}) * x))) AS gam1,
+                      1 / (1 + exp(-((SELECT th2 FROM {prev})
+                                     + (SELECT b FROM {prev}) * x))) AS gam2
+               FROM grid)))""")
+    upd = """ (SELECT
+        CASE WHEN ok2 THEN (SELECT th1 FROM {prev})
+             + (u0 * (i11 * i22 - i12 * i12)
+                - i01 * (u1 * i22 - i12 * u2)
+                + i02 * (u1 * i12 - i11 * u2)) / det END AS th1,
+        CASE WHEN ok2 THEN (SELECT th2 FROM {prev})
+             + (i00 * (u1 * i22 - i12 * u2)
+                - u0 * (i01 * i22 - i12 * i02)
+                + i02 * (i01 * u2 - u1 * i02)) / det END AS th2,
+        CASE WHEN ok2 THEN (SELECT b FROM {prev})
+             + (i00 * (i11 * u2 - u1 * i12)
+                - i01 * (i01 * u2 - u1 * i02)
+                + u0 * (i01 * i12 - i11 * i02)) / det END AS b
+        FROM (SELECT *, i00 * (i11 * i22 - i12 * i12)
+                        - i01 * (i01 * i22 - i12 * i02)
+                        + i02 * (i01 * i12 - i11 * i02) AS det,
+                     i00 * (i11 * i22 - i12 * i12)
+                     - i01 * (i01 * i22 - i12 * i02)
+                     + i02 * (i01 * i12 - i11 * i02) > 0
+                     AND pmin > 0 AS ok2
+              FROM m{i}))"""
+    ctes = ["""grid AS MATERIALIZED (
+  SELECT CAST(o_custkey % 5 AS DOUBLE) AS x,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n2
+  FROM orders
+  WHERE o_orderpriority IN ('3-MEDIUM', '2-HIGH', '1-URGENT')
+  GROUP BY 1)""",
+            """bc0 AS MATERIALIZED (
+  SELECT ln(CAST(t1 AS DOUBLE) / (tn - t1)) AS th1,
+         ln(CAST(t1 + t2 AS DOUBLE) / (tn - t1 - t2)) AS th2,
+         0.0 AS b
+  FROM (SELECT sum(n) AS tn, sum(n1) AS t1, sum(n2) AS t2 FROM grid))"""]
+    prev = "bc0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"m{i} AS MATERIALIZED" + mom.format(prev=prev))
+        ctes.append(f"bc{i} AS MATERIALIZED" + upd.format(prev=prev, i=i))
+        prev = f"bc{i}"
+    ctes.append("fin AS MATERIALIZED" + mom.format(prev=prev))
+    ctes.append(f"bf AS MATERIALIZED (SELECT th1, th2, b FROM {prev})")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT CASE WHEN ok THEN round((SELECT th1 FROM bf), 5) + 0.0 END AS theta_1,
+       CASE WHEN ok THEN round((SELECT th2 FROM bf), 5) + 0.0 END AS theta_2,
+       CASE WHEN ok THEN round((SELECT b FROM bf), 5) + 0.0 END AS beta,
+       CASE WHEN ok THEN round(exp((SELECT b FROM bf)), 5) + 0.0
+       END AS or_beta,
+       CASE WHEN ok THEN round(sqrt((i00 * i11 - i01 * i01) / det), 5) + 0.0
+       END AS se_beta,
+       CASE WHEN ok THEN round((SELECT b FROM bf) * (SELECT b FROM bf)
+                               / ((i00 * i11 - i01 * i01) / det), 5) + 0.0
+       END AS wald_chi2_beta,
+       (SELECT CAST(sum(n) AS BIGINT) FROM grid) AS n,
+       CASE WHEN ok
+            THEN round(sqrt(u0 * u0 + u1 * u1 + u2 * u2), 5) + 0.0
+       END AS score_norm
+FROM (SELECT *, i00 * (i11 * i22 - i12 * i12)
+                - i01 * (i01 * i22 - i12 * i02)
+                + i02 * (i01 * i12 - i11 * i02) AS det,
+             (SELECT th1 FROM bf) IS NOT NULL
+             AND pmin > 0
+             AND i00 * (i11 * i22 - i12 * i12)
+                 - i01 * (i01 * i22 - i12 * i02)
+                 + i02 * (i01 * i12 - i11 * i02) > 0 AS ok
+      FROM fin)
+"""
+
+
+@q("dx_ordinal", _ordinal_sql(6))
+def dx_ordinal_q(spark, sf):
+    # Proportional-odds ordinal logistic (operators/assoc.py
+    # ordinal_newton): order urgency grade (MEDIUM < HIGH < URGENT) vs
+    # a customer band — ONE shared slope on the cumulative logits, the
+    # severity/stage/dose-response model between binary logistic and
+    # nominal multinomial. One pass to the 5-cell grid; each Fisher
+    # step is one grid aggregate + a driver 3x3 Cramer solve; the
+    # oracle's moment SQL is GENERATED by the same derivative-term
+    # loop the fitter evaluates.
+    from clinpy_spark.operators.assoc import ordinal_newton
+
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 5).cast("double").alias("x"),
+        F.col("o_orderpriority").alias("grade"),
+    )
+    return ordinal_newton(
+        o, "x", "grade", ["3-MEDIUM", "2-HIGH", "1-URGENT"], iterations=6)
+
+
 @q("gx_king_kinship", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 s AS (SELECT c_custkey AS smp, variant, gt FROM g
@@ -12488,6 +12632,7 @@ _PRIORITY: list[str] = [
     "surv_finegray_beta",
     "surv_rmst_diff",
     "dx_multinomial",
+    "dx_ordinal",
     "gx_breslow_day",
     "dx_cohen_kappa",
     "dedup_minhash_lsh",
@@ -12529,8 +12674,8 @@ _PRIORITY: list[str] = [
     "s14_profile",
     "tpch_q13_cust_distribution",
     "tpch_q1_pricing",
-    "tpch_q3_shipping",
     # -- beyond the 50-slot driver window (kept for local gate ordering) --
+    "tpch_q3_shipping",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast",

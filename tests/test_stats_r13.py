@@ -377,3 +377,67 @@ def test_rmst_censoring_lifts_curve_vs_naive_death(spark):
     naive = rmst_diff(df.withColumn("e", F.lit(1)), "t", "e", "g",
                  "x", "y", 25.0).collect()[0]
     assert km.rmst_a > naive.rmst_a and km.rmst_b > naive.rmst_b
+
+
+def test_ordinal_k2_recovers_logistic(spark):
+    """With two levels the proportional-odds model IS binary logistic
+    with flipped signs: P(Y = hi) = sigmoid(-(theta_1 + beta x)), so at
+    convergence beta0 = -theta_1 and beta1 = -beta."""
+    from clinpy_spark.operators.assoc import (
+        logistic_newton_multi, ordinal_newton,
+    )
+
+    rows = ([Row(x=0.0, g="lo")] * 70 + [Row(x=0.0, g="hi")] * 30
+            + [Row(x=1.0, g="lo")] * 45 + [Row(x=1.0, g="hi")] * 55
+            + [Row(x=2.0, g="lo")] * 25 + [Row(x=2.0, g="hi")] * 75)
+    df = spark.createDataFrame(rows)
+    o = ordinal_newton(df, "x", "g", ["lo", "hi"], iterations=8).collect()[0]
+    logit = logistic_newton_multi(
+        df.withColumn("y", (F.col("g") == "hi").cast("int")),
+        ["x"], "y", iterations=8).collect()[0]
+    assert abs(-o.theta_1 - logit.beta0) < 1e-4
+    assert abs(-o.beta - logit.beta1) < 1e-4
+    assert abs(o.se_beta - logit.se1) < 1e-4
+    assert o.n == logit.n == 300
+
+
+def test_ordinal_k3_saturated_and_null_cases(spark):
+    """A two-value covariate saturates: the fitted cumulative logits
+    reproduce the empirical ones when proportional odds holds exactly;
+    a level missing everywhere -> NULL (unidentifiable threshold);
+    beta sign follows the direction of the shift."""
+    import math as _m
+
+    from clinpy_spark.operators.assoc import ordinal_newton
+
+    # proportional-odds-exact construction: cumulative logits at x=1
+    # are the x=0 logits shifted by +1
+    def counts(th1, th2, n=200):
+        g1 = 1 / (1 + _m.exp(-th1))
+        g2 = 1 / (1 + _m.exp(-th2))
+        n1 = round(n * g1)
+        n2 = round(n * (g2 - g1))
+        return n1, n2, n - n1 - n2
+    rows = []
+    for x, (t1, t2) in ((0.0, (-1.0, 0.5)), (1.0, (0.0, 1.5))):
+        n1, n2, n3 = counts(t1, t2)
+        rows += ([Row(x=x, g="mild")] * n1 + [Row(x=x, g="mod")] * n2
+                 + [Row(x=x, g="severe")] * n3)
+    out = ordinal_newton(
+        spark.createDataFrame(rows), "x", "g",
+        ["mild", "mod", "severe"], iterations=8).collect()[0]
+    # rounding of counts perturbs slightly; the shift is ~ +1
+    assert out.beta == pytest.approx(1.0, abs=0.15)
+    assert out.theta_1 == pytest.approx(-1.0, abs=0.15)
+    assert out.theta_2 == pytest.approx(0.5, abs=0.15)
+    assert out.or_beta == pytest.approx(_m.exp(out.beta), abs=1e-4)
+    assert out.score_norm < 1e-3
+
+    # a level absent everywhere: cumulative count hits 0 -> NULL
+    rows2 = [Row(x=float(i % 3), g="mod" if i % 2 else "severe")
+             for i in range(60)]
+    out2 = ordinal_newton(
+        spark.createDataFrame(rows2), "x", "g",
+        ["mild", "mod", "severe"]).collect()[0]
+    assert out2.beta is None and out2.theta_1 is None
+    assert out2.n == 60
