@@ -3250,6 +3250,30 @@ def ordinal_newton(
     rescanned. The ``dx_ordinal`` oracle replays the identical
     recurrence at k = 3 as chained 3x3 cofactor-Cramer CTEs.
     """
+    xv = F.col(x_col).cast("double")
+    lab = F.col(label_col).cast("string")
+    lvl = [str(v) for v in levels]
+    counts = (
+        df.filter(xv.isNotNull() & lab.isNotNull() & lab.isin(lvl))
+        .select(xv.alias("__x"), lab.alias("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return ordinal_newton_from_counts(
+        counts, levels, iterations=iterations, digits=digits)
+
+
+def ordinal_newton_from_counts(
+    counts: DataFrame,
+    levels: list,
+    iterations: int = 6,
+    digits: int | None = 5,
+) -> DataFrame:
+    """:func:`ordinal_newton` from the per-(x, label) count table
+    (__x, __y, __n) — the integer-ADDITIVE sufficient statistic shared
+    with ``multinomial_newton_from_counts``, so ONE streaming count
+    fold serves both the nominal and the ordinal reader
+    (streaming/glm.py finalize_ordinal)."""
     import math
 
     from clinpy_spark.functions.cramer import solve3, solve_n_py, var3_diag
@@ -3260,19 +3284,15 @@ def ordinal_newton(
     if k > 8:
         raise ValueError(f"ordinal_newton: {k} levels exceeds 8")
     m = k  # k-1 thresholds + 1 slope
-    xv = F.col(x_col).cast("double")
-    lab = F.col(label_col).cast("string")
     lvl = [str(v) for v in levels]
-    base = (
-        df.filter(xv.isNotNull() & lab.isNotNull() & lab.isin(lvl))
-        .select(xv.alias("__x"), lab.alias("__y"))
-    )
-    grid = base.groupBy("__x").agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.sum((F.col("__y") == F.lit(v)).cast("int")).alias(f"__n{j}")
+    counts = counts.filter(F.col("__y").isin(lvl))
+    grid = counts.groupBy("__x").agg(
+        F.sum("__n").alias("__n"),
+        *[F.sum(F.when(F.col("__y") == F.lit(v), F.col("__n"))
+                .otherwise(0)).alias(f"__n{j}")
           for j, v in enumerate(lvl[:-1], 1)],
     ).localCheckpoint(eager=False)
-    spark = df.sparkSession
+    spark = counts.sparkSession
 
     # marginal-cumulative-logit start (collected exact integer totals)
     tot = grid.agg(

@@ -223,3 +223,67 @@ def dsir_weights(
         "n_tokens",
         F.round("__lw", 6).alias("log_importance"),
     )
+
+
+#: PII pattern inventory — RE2/Java-compatible subset ONLY (no
+#: lookaround, no \b, [.] instead of escapes) so Spark's JVM regex and
+#: any SQL oracle's RE2 engine count identical non-overlapping matches.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "phone": "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document PII pattern counts — the redaction/compliance gate
+    a training-data pipeline runs before anything ships: adds one
+    ``pii_<name>`` match-count column per pattern plus ``pii_any``
+    (total matches). Patterns default to :data:`PII_PATTERNS`
+    (email / phone / SSN-shaped / IPv4), deliberately restricted to
+    the regex subset Java and RE2 count identically so the oracle can
+    replay the scan verbatim.
+
+    Scale shape: a pure per-row projection (regexp_extract_all +
+    size) — no shuffle, no UDF, whole-stage-codegen eligible; compose
+    with :func:`curate` to drop or route flagged documents.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    total = F.lit(0)
+    for name, pat in pats.items():
+        cnt = F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(pat), F.lit(0)))
+        out = out.withColumn(f"pii_{name}", cnt.cast("long"))
+        total = total + F.col(f"pii_{name}")
+    return out.withColumn("pii_any", total.cast("long"))
+
+
+def pii_summary(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Corpus-level PII exposure summary over :func:`pii_scan`:
+    1 row (n_docs, then per pattern docs_<name> / matches_<name>,
+    then docs_any) — the number the compliance review actually asks
+    for. Exact integer counts, oracle-replayable."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    scanned = pii_scan(df, text_col, pats)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name in pats:
+        c = F.col(f"pii_{name}")
+        aggs += [
+            F.sum(F.when(c > 0, 1).otherwise(0)).cast("long")
+            .alias(f"docs_{name}"),
+            F.sum(c).cast("long").alias(f"matches_{name}"),
+        ]
+    aggs.append(
+        F.sum(F.when(F.col("pii_any") > 0, 1).otherwise(0)).cast("long")
+        .alias("docs_any"))
+    return scanned.agg(*aggs)

@@ -8892,6 +8892,75 @@ def dx_ordinal_q(spark, sf):
         o, "x", "grade", ["3-MEDIUM", "2-HIGH", "1-URGENT"], iterations=6)
 
 
+@q("curate_pii_scan", """
+WITH d AS (SELECT concat_ws(' ', c_name, c_mktsegment,
+    printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10,
+           c_custkey % 900 + 100, c_nationkey % 900 + 100,
+           c_custkey % 9000 + 1000),
+    CASE WHEN c_custkey % 7 = 0
+         THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com' END,
+    CASE WHEN c_custkey % 11 = 0
+         THEN printf('%d.%d.%d.%d', c_custkey % 256, c_nationkey % 256,
+                     c_custkey % 100, c_custkey % 250 + 1) END,
+    CASE WHEN c_custkey % 13 = 0
+         THEN printf('%03d-%02d-%04d', c_custkey % 900 + 100,
+                     c_custkey % 90 + 10, c_custkey % 9000 + 1000) END
+  ) AS text
+  FROM customer),
+s AS MATERIALIZED (SELECT
+  length(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS pii_email,
+  length(regexp_extract_all(text,
+    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS pii_phone,
+  length(regexp_extract_all(text,
+    '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS pii_ssn,
+  length(regexp_extract_all(text,
+    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS pii_ipv4
+  FROM d)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN pii_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+  CAST(sum(pii_email) AS BIGINT) AS matches_email,
+  CAST(sum(CASE WHEN pii_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+  CAST(sum(pii_phone) AS BIGINT) AS matches_phone,
+  CAST(sum(CASE WHEN pii_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ssn,
+  CAST(sum(pii_ssn) AS BIGINT) AS matches_ssn,
+  CAST(sum(CASE WHEN pii_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ipv4,
+  CAST(sum(pii_ipv4) AS BIGINT) AS matches_ipv4,
+  CAST(sum(CASE WHEN pii_email + pii_phone + pii_ssn + pii_ipv4 > 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS docs_any
+FROM s
+""")
+def curate_pii_scan_q(spark, sf):
+    # PII exposure summary (operators/curate.py pii_scan/pii_summary):
+    # the pre-ship compliance gate. The driver's star schema carries no
+    # free-text PII, so the fixture synthesizes a deterministic text
+    # field (phone on every row; email/IPv4/SSN-shaped tokens on keyed
+    # subsets) that the patterns GENUINELY hit; the operator itself is
+    # a pure per-row regexp projection in the Java/RE2-agreeing subset
+    # so DuckDB replays exact match counts. No shuffle beyond the
+    # final 1-row reduce.
+    from clinpy_spark.operators.curate import pii_summary
+
+    c = _t(spark, sf, "customer")
+    ck, nk = F.col("c_custkey"), F.col("c_nationkey")
+    text = F.concat_ws(
+        " ", F.col("c_name"), F.col("c_mktsegment"),
+        F.format_string("%02d-%03d-%03d-%04d",
+                        ck % 90 + 10, ck % 900 + 100,
+                        nk % 900 + 100, ck % 9000 + 1000),
+        F.when(ck % 7 == 0,
+               F.concat(F.lit("user"), ck.cast("string"),
+                        F.lit("@example.com"))),
+        F.when(ck % 11 == 0,
+               F.format_string("%d.%d.%d.%d", ck % 256, nk % 256,
+                               ck % 100, ck % 250 + 1)),
+        F.when(ck % 13 == 0,
+               F.format_string("%03d-%02d-%04d", ck % 900 + 100,
+                               ck % 90 + 10, ck % 9000 + 1000)),
+    )
+    return pii_summary(c.select(text.alias("text")), "text")
+
+
 @q("gx_king_kinship", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 s AS (SELECT c_custkey AS smp, variant, gt FROM g
@@ -12633,6 +12702,7 @@ _PRIORITY: list[str] = [
     "surv_rmst_diff",
     "dx_multinomial",
     "dx_ordinal",
+    "curate_pii_scan",
     "gx_breslow_day",
     "dx_cohen_kappa",
     "dedup_minhash_lsh",

@@ -287,3 +287,16 @@ def finalize_multinomial(counts: DataFrame, iterations: int = 4) -> DataFrame:
 
     g = counts.select("__x", "__y", F.col("n").alias("__n"))
     return multinomial_newton_from_counts(g, iterations=iterations)
+
+
+def finalize_ordinal(
+    counts: DataFrame, levels: list, iterations: int = 6,
+) -> DataFrame:
+    """Proportional-odds ordinal MLE over the SAME maintained
+    (__x, __y, n) count table the multinomial reader uses — one fold,
+    two readers (nominal and ordinal); identical to the batch
+    ``ordinal_newton`` over the same rows (twin test)."""
+    from clinpy_spark.operators.assoc import ordinal_newton_from_counts
+
+    g = counts.select("__x", "__y", F.col("n").alias("__n"))
+    return ordinal_newton_from_counts(g, levels, iterations=iterations)

@@ -441,3 +441,28 @@ def test_ordinal_k3_saturated_and_null_cases(spark):
         ["mild", "mod", "severe"]).collect()[0]
     assert out2.beta is None and out2.theta_1 is None
     assert out2.n == 60
+
+
+def test_pii_scan_known_counts(spark):
+    """Hand-built documents with known PII: per-pattern counts are
+    exact, non-overlapping, and a phone never double-counts as an
+    SSN-shaped token (3-3-4 vs 3-2-4 grouping)."""
+    from clinpy_spark.operators.curate import pii_scan, pii_summary
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="reach me at jo.smith+x@corp.io or "
+                           "bob@sub.example.org today"),
+        Row(doc_id=2, text="call 25-989-741-2988 and 88-123-456-7890 now"),
+        Row(doc_id=3, text="ssn 123-45-6789 ip 10.0.255.1 mixed"),
+        Row(doc_id=4, text="nothing sensitive here at all"),
+    ])
+    got = {r.doc_id: r for r in pii_scan(docs, "text").collect()}
+    assert got[1].pii_email == 2 and got[1].pii_any == 2
+    assert got[2].pii_phone == 2 and got[2].pii_ssn == 0
+    assert got[3].pii_ssn == 1 and got[3].pii_ipv4 == 1
+    assert got[4].pii_any == 0
+
+    s = pii_summary(docs, "text").collect()[0]
+    assert s.n_docs == 4 and s.docs_any == 3
+    assert s.matches_email == 2 and s.matches_phone == 2
+    assert s.docs_ssn == 1 and s.docs_ipv4 == 1

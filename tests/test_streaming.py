@@ -1492,3 +1492,35 @@ def test_streaming_multinomial_matches_batch(spark, tmp_path):
     want = multinomial_newton(df, "x", "lab", iterations=5).collect()[0]
     assert tuple(got) == tuple(want)
     assert got.class_ref == "a" and got.beta1_1 is not None
+
+
+def test_streaming_ordinal_shares_multinomial_fold(spark, tmp_path):
+    """ONE per-(covariate, class) count fold serves BOTH readers: the
+    ordinal refit over the folded table equals the batch fitter, from
+    the same state table the multinomial twin reads."""
+    from clinpy_spark.operators.assoc import ordinal_newton
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.fold import fold_partials
+    from clinpy_spark.streaming.glm import (
+        finalize_multinomial, finalize_ordinal, multinomial_count_partial,
+    )
+
+    lv = ["lo", "mid", "hi"]
+    rows = [Row(x=float(i % 4), g=lv[(i * 7 + i // 4) % 3])
+            for i in range(240)]
+    df = spark.createDataFrame(rows)
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    p1 = multinomial_count_partial(df.filter(F.col("x") < 2), "x", "g")
+    p2 = multinomial_count_partial(df.filter(F.col("x") >= 2), "x", "g")
+    fold_partials(cat, "cls_counts", p1, 0, keys=["__x", "__y"],
+                  counters=["n"], run_id="A")
+    fold_partials(cat, "cls_counts", p2, 1, keys=["__x", "__y"],
+                  counters=["n"], run_id="A")
+    got = finalize_ordinal(
+        cat.table("cls_counts"), lv, iterations=6).collect()[0]
+    want = ordinal_newton(df, "x", "g", lv, iterations=6).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.beta is not None
+    # the same folded table still serves the nominal reader
+    mn = finalize_multinomial(cat.table("cls_counts")).collect()[0]
+    assert mn.n == 240
