@@ -3442,3 +3442,199 @@ def _ord_deriv(r: int, j: int, g: list, x, k: int):
     if j == t + 1:
         return -g[t]
     return None
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    rating_col: str,
+) -> DataFrame:
+    """Fleiss' kappa for MULTI-rater categorical agreement: 1 row
+    (n_items, n_raters, n_categories, p_bar, p_e, kappa, se0, z) —
+    the generalization of :func:`cohen_kappa` beyond two raters (label
+    audits with 3+ annotators, ensemble-of-classifiers agreement).
+    ``df`` holds one row per (item, rating); every item must carry the
+    SAME number of ratings n — items whose rating count differs from
+    the modal majority (the global MAXIMUM count) are dropped and only
+    reported through n_items, the standard balanced-panel contract.
+
+    P_i = (sum_j n_ij^2 - n) / (n (n-1)); p_bar = mean_i P_i;
+    p_j = column shares; p_e = sum p_j^2;
+    kappa = (p_bar - p_e) / (1 - p_e); the large-sample null SE is
+    se0 = sqrt(2 / (N n (n-1)))
+          * sqrt(p_e - (2n-3) p_e^2 + 2 (n-2) sum_j p_j^3) / (1 - p_e)
+    (Fleiss 1971), z = kappa / se0. NULL kappa when p_e = 1.
+
+    Scale shape: ONE groupBy to the (item, category) count table, one
+    per-item reduce, one bounded per-category reduce — exact integer
+    arithmetic until the final ratios, so a SQL oracle replays it
+    (round-6).
+    """
+    base = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(rating_col).cast("string").alias("__c"),
+    ).filter(F.col("__i").isNotNull() & F.col("__c").isNotNull())
+    cell = base.groupBy("__i", "__c").agg(F.count(F.lit(1)).alias("__m"))
+    per_item = cell.groupBy("__i").agg(
+        F.sum("__m").alias("__n"),
+        F.sum(F.col("__m") * F.col("__m")).alias("__ss"),
+    ).localCheckpoint(eager=False)
+    nmax = per_item.agg(F.max("__n").alias("n")).collect()[0].n
+    if not nmax or nmax < 2:
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_items"),
+            F.lit(nmax or 0).cast("long").alias("n_raters"),
+            F.lit(0).cast("long").alias("n_categories"),
+            *[F.lit(None).cast("double").alias(c)
+              for c in ("p_bar", "p_e", "kappa", "se0", "z")])
+    keep = per_item.filter(F.col("__n") == nmax)
+    stats = keep.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("__ss") - F.col("__n")).cast("double")
+            / (F.col("__n") * (F.col("__n") - 1))
+        ).alias("__psum"),
+    )
+    cat = (
+        cell.join(keep.select("__i"), "__i")
+        .groupBy("__c").agg(F.sum("__m").alias("__cm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_categories"),
+            F.sum("__cm").alias("__tot"),
+            F.sum(F.col("__cm").cast("double") * F.col("__cm")
+                  * F.col("__cm")).alias("__c3"),
+            F.sum(F.col("__cm").cast("double") * F.col("__cm"))
+            .alias("__c2"),
+        )
+    )
+    j = stats.crossJoin(F.broadcast(cat))
+    tot = F.col("__tot").cast("double")
+    p_bar = F.col("__psum") / F.col("n_items")
+    p_e = F.col("__c2") / (tot * tot)
+    p3 = F.col("__c3") / (tot * tot * tot)
+    nn = F.lit(float(nmax))
+    ok = p_e < 1.0
+    kappa = (p_bar - p_e) / (1 - p_e)
+    se0 = (
+        F.sqrt(2 / (F.col("n_items") * nn * (nn - 1)))
+        * F.sqrt(p_e - (2 * nn - 3) * (p_e * p_e) + 2 * (nn - 2) * p3)
+        / (1 - p_e)
+    )
+    return j.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(int(nmax)).cast("long").alias("n_raters"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.when(ok, F.round(kappa, 6) + 0.0).alias("kappa"),
+        F.when(ok, F.round(se0, 6)).alias("se0"),
+        F.when(ok & (se0 > 0), F.round(kappa / se0, 6) + 0.0).alias("z"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 5000,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation with FULL tie adjustment for
+    two BOUNDED-cardinality ordinal/discretized columns: 1 row (n,
+    concordant, discordant, pairs_tied_x, pairs_tied_y, tau_b, z) —
+    the tie-robust companion to ``spearman_rho`` (heavy-tie data like
+    grades, bands, small-integer counts is exactly where Spearman's
+    rank-average blurs and tau-b stays exact).
+
+    The cohort collapses to the joint (x, y) cell grid (bounded by
+    contract, <= ``max_cells``); concordant/discordant pair counts are
+    a cell-pair sum n_a n_b over cells with x_a < x_b, computed as an
+    inequality join of the grid against its own LITERAL-INLINED copy
+    (a bounded collect, the same constant-row-side pattern as the
+    centroid and Fine-Gray spines — pair work is |cells|^2, never
+    n^2). Ties come from the per-axis marginals. tau_b =
+    (C - D) / sqrt((n0 - n1)(n0 - n2)); z uses the ties-adjusted null
+    variance (Kendall 1970):
+        var_S = (v0 - vt - vu)/18 + v1 + v2
+    with v0 = n(n-1)(2n+5), vt/vu the per-axis t(t-1)(2t+5) sums,
+    v1 = [sum t(t-1)][sum u(u-1)] / (2n(n-1)),
+    v2 = [sum t(t-1)(t-2)][sum u(u-1)(u-2)] / (9n(n-1)(n-2)).
+    Exact integer arithmetic until the final ratios (round-6 oracle).
+    """
+    xv, yv = F.col(x_col), F.col(y_col)
+    grid = (
+        df.filter(xv.isNotNull() & yv.isNotNull())
+        .groupBy(xv.cast("double").alias("__x"),
+                 yv.cast("double").alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    cells = grid.collect()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"kendall_tau_b: {len(cells)} joint cells exceeds the "
+            f"bounded-grid contract (max_cells={max_cells}); band the "
+            "columns first")
+    spark = df.sparkSession
+    if not cells:
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n"),
+            *[F.lit(0).cast("long").alias(c) for c in
+              ("concordant", "discordant", "pairs_tied_x",
+               "pairs_tied_y")],
+            F.lit(None).cast("double").alias("tau_b"),
+            F.lit(None).cast("double").alias("z"))
+    lit = spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(float(r["__x"])).alias("__bx"),
+                 F.lit(float(r["__y"])).alias("__by"),
+                 F.lit(int(r["__n"])).alias("__bn"))
+        for r in cells])))
+    pair = grid.join(
+        F.broadcast(lit), F.col("__x") < F.col("__bx"), "inner")
+    cd = pair.agg(
+        F.sum(F.when(F.col("__by") > F.col("__y"),
+                     F.col("__n") * F.col("__bn")).otherwise(0))
+        .alias("c_pairs"),
+        F.sum(F.when(F.col("__by") < F.col("__y"),
+                     F.col("__n") * F.col("__bn")).otherwise(0))
+        .alias("d_pairs"),
+    )
+    tx = grid.groupBy("__x").agg(F.sum("__n").alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1)).alias("t2x"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .alias("vtx"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+        .alias("t3x"),
+    )
+    ty = grid.groupBy("__y").agg(F.sum("__n").alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1)).alias("t2y"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .alias("vty"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+        .alias("t3y"),
+    )
+    tot = grid.agg(F.sum("__n").alias("n"))
+    j = (cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+         .crossJoin(F.broadcast(tot)))
+    n = F.col("n").cast("double")
+    s = (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+    n0 = n * (n - 1) / 2
+    n1 = F.col("t2x").cast("double") / 2
+    n2 = F.col("t2y").cast("double") / 2
+    denom = F.sqrt((n0 - n1) * (n0 - n2))
+    v0 = n * (n - 1) * (2 * n + 5)
+    var_s = (
+        (v0 - F.col("vtx") - F.col("vty")) / 18
+        + F.col("t2x").cast("double") * F.col("t2y") / (2 * n * (n - 1))
+        + F.col("t3x").cast("double") * F.col("t3y")
+        / (9 * n * (n - 1) * (n - 2))
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("c_pairs").cast("long").alias("concordant"),
+        F.col("d_pairs").cast("long").alias("discordant"),
+        (F.col("t2x") / 2).cast("long").alias("pairs_tied_x"),
+        (F.col("t2y") / 2).cast("long").alias("pairs_tied_y"),
+        F.when(denom > 0, F.round(s / denom, 6) + 0.0).alias("tau_b"),
+        F.when((denom > 0) & (var_s > 0),
+               F.round(s / F.sqrt(var_s), 6) + 0.0).alias("z"),
+    )

@@ -8961,6 +8961,163 @@ def curate_pii_scan_q(spark, sf):
     return pii_summary(c.select(text.alias("text")), "text")
 
 
+@q("dx_fleiss_kappa", """
+WITH r AS (SELECT o_orderkey AS i, c FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'hi' ELSE 'lo' END AS r1,
+         CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS r2,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'hi' ELSE 'lo' END AS r3
+  FROM orders) t, unnest([r1, r2, r3]) AS u(c)),
+cell AS MATERIALIZED (
+  SELECT i, c, CAST(count(*) AS BIGINT) AS m FROM r GROUP BY i, c),
+pi AS MATERIALIZED (
+  SELECT i, CAST(sum(m) AS BIGINT) AS n,
+         CAST(sum(m * m) AS BIGINT) AS ss
+  FROM cell GROUP BY i),
+keep AS (SELECT * FROM pi WHERE n = (SELECT max(n) FROM pi)),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+              sum(CAST(ss - n AS DOUBLE) / (n * (n - 1))) AS psum
+       FROM keep),
+cm AS (SELECT c, CAST(sum(m) AS BIGINT) AS cm
+       FROM cell JOIN keep USING (i) GROUP BY c),
+ct AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+              CAST(sum(cm) AS BIGINT) AS tot,
+              sum(CAST(cm AS DOUBLE) * cm * cm) AS c3,
+              sum(CAST(cm AS DOUBLE) * cm) AS c2
+       FROM cm)
+SELECT n_items, 3 AS n_raters, n_categories,
+       round(psum / n_items, 6) AS p_bar,
+       round(c2 / (CAST(tot AS DOUBLE) * tot), 6) AS p_e,
+       CASE WHEN c2 / (CAST(tot AS DOUBLE) * tot) < 1
+            THEN round((psum / n_items - c2 / (CAST(tot AS DOUBLE) * tot))
+                       / (1 - c2 / (CAST(tot AS DOUBLE) * tot)), 6) + 0.0
+       END AS kappa,
+       CASE WHEN c2 / (CAST(tot AS DOUBLE) * tot) < 1
+            THEN round(sqrt(2 / (n_items * 3.0 * (3.0 - 1)))
+                       * sqrt(c2 / (CAST(tot AS DOUBLE) * tot)
+                              - (2 * 3.0 - 3)
+                                * ((c2 / (CAST(tot AS DOUBLE) * tot))
+                                   * (c2 / (CAST(tot AS DOUBLE) * tot)))
+                              + 2 * (3.0 - 2)
+                                * (c3 / (CAST(tot AS DOUBLE) * tot * tot)))
+                       / (1 - c2 / (CAST(tot AS DOUBLE) * tot)), 6)
+       END AS se0,
+       CASE WHEN c2 / (CAST(tot AS DOUBLE) * tot) < 1
+            AND sqrt(2 / (n_items * 3.0 * (3.0 - 1)))
+                * sqrt(c2 / (CAST(tot AS DOUBLE) * tot)
+                       - (2 * 3.0 - 3)
+                         * ((c2 / (CAST(tot AS DOUBLE) * tot))
+                            * (c2 / (CAST(tot AS DOUBLE) * tot)))
+                       + 2 * (3.0 - 2)
+                         * (c3 / (CAST(tot AS DOUBLE) * tot * tot)))
+                / (1 - c2 / (CAST(tot AS DOUBLE) * tot)) > 0
+            THEN round(((psum / n_items - c2 / (CAST(tot AS DOUBLE) * tot))
+                        / (1 - c2 / (CAST(tot AS DOUBLE) * tot)))
+                       / (sqrt(2 / (n_items * 3.0 * (3.0 - 1)))
+                          * sqrt(c2 / (CAST(tot AS DOUBLE) * tot)
+                                 - (2 * 3.0 - 3)
+                                   * ((c2 / (CAST(tot AS DOUBLE) * tot))
+                                      * (c2 / (CAST(tot AS DOUBLE) * tot)))
+                                 + 2 * (3.0 - 2)
+                                   * (c3 / (CAST(tot AS DOUBLE) * tot * tot)))
+                          / (1 - c2 / (CAST(tot AS DOUBLE) * tot))), 6) + 0.0
+       END AS z
+FROM st CROSS JOIN ct
+""")
+def dx_fleiss_kappa_q(spark, sf):
+    # Fleiss' kappa (operators/assoc.py fleiss_kappa): do THREE
+    # deterministic 'urgency raters' (priority-, price-, and
+    # key-parity-based) agree beyond chance — the multi-annotator
+    # label-quality audit above dx_cohen_kappa's two-rater form. One
+    # groupBy to the (item, category) counts, one per-item reduce,
+    # one bounded category reduce; exact integers until the final
+    # ratios.
+    from clinpy_spark.operators.assoc import fleiss_kappa
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("i"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
+        .otherwise("lo").alias("r1"),
+        F.when(F.col("o_totalprice") > 150000, "hi").otherwise("lo")
+        .alias("r2"),
+        F.when(F.col("o_orderkey") % 3 == 0, "hi").otherwise("lo")
+        .alias("r3"),
+    )
+    long = o.select(
+        "i", F.explode(F.array("r1", "r2", "r3")).alias("c"))
+    return fleiss_kappa(long, "i", "c")
+
+
+@q("dx_kendall_tau", """
+WITH g AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_linenumber AS DOUBLE) AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+cd AS (SELECT
+    CAST(sum(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS BIGINT)
+      AS c_pairs,
+    CAST(sum(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS BIGINT)
+      AS d_pairs
+  FROM g a JOIN g b ON a.x < b.x),
+tx AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS t2x,
+              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS vtx,
+              CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS t3x
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY x)),
+ty AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS t2y,
+              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS vty,
+              CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS t3y
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY y)),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM g)
+SELECT n, c_pairs AS concordant, d_pairs AS discordant,
+       CAST(t2x / 2 AS BIGINT) AS pairs_tied_x,
+       CAST(t2y / 2 AS BIGINT) AS pairs_tied_y,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * (n - 1) / 2
+                       - CAST(t2x AS DOUBLE) / 2)
+                      * (CAST(n AS DOUBLE) * (n - 1) / 2
+                         - CAST(t2y AS DOUBLE) / 2)) > 0
+            THEN round(CAST(c_pairs - d_pairs AS DOUBLE)
+                       / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2
+                               - CAST(t2x AS DOUBLE) / 2)
+                              * (CAST(n AS DOUBLE) * (n - 1) / 2
+                                 - CAST(t2y AS DOUBLE) / 2)), 6) + 0.0
+       END AS tau_b,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * (n - 1) / 2
+                       - CAST(t2x AS DOUBLE) / 2)
+                      * (CAST(n AS DOUBLE) * (n - 1) / 2
+                         - CAST(t2y AS DOUBLE) / 2)) > 0
+            AND (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - vtx - vty) / 18
+                + CAST(t2x AS DOUBLE) * t2y
+                  / (2 * CAST(n AS DOUBLE) * (n - 1))
+                + CAST(t3x AS DOUBLE) * t3y
+                  / (9 * CAST(n AS DOUBLE) * (n - 1) * (n - 2)) > 0
+            THEN round(CAST(c_pairs - d_pairs AS DOUBLE)
+                       / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                               - vtx - vty) / 18
+                              + CAST(t2x AS DOUBLE) * t2y
+                                / (2 * CAST(n AS DOUBLE) * (n - 1))
+                              + CAST(t3x AS DOUBLE) * t3y
+                                / (9 * CAST(n AS DOUBLE) * (n - 1)
+                                   * (n - 2))), 6) + 0.0
+       END AS z
+FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+""")
+def dx_kendall_tau_q(spark, sf):
+    # Kendall's tau-b (operators/assoc.py kendall_tau_b): quantity vs
+    # line number with FULL tie adjustment — the tie-robust companion
+    # to dx_spearman on heavily-tied small-integer data. Pair counts
+    # are a |cells|^2 inequality join of the bounded joint grid against
+    # its literal-inlined copy (never n^2); ties from the marginals;
+    # exact integers to the final ratios.
+    from clinpy_spark.operators.assoc import kendall_tau_b
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_linenumber").alias("y"))
+    return kendall_tau_b(li, "x", "y")
+
+
 @q("gx_king_kinship", f"""
 WITH g AS ({_GRID_GENO_SQL}),
 s AS (SELECT c_custkey AS smp, variant, gt FROM g
@@ -12703,6 +12860,8 @@ _PRIORITY: list[str] = [
     "dx_multinomial",
     "dx_ordinal",
     "curate_pii_scan",
+    "dx_fleiss_kappa",
+    "dx_kendall_tau",
     "gx_breslow_day",
     "dx_cohen_kappa",
     "dedup_minhash_lsh",

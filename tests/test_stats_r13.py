@@ -466,3 +466,92 @@ def test_pii_scan_known_counts(spark):
     assert s.n_docs == 4 and s.docs_any == 3
     assert s.matches_email == 2 and s.matches_phone == 2
     assert s.docs_ssn == 1 and s.docs_ipv4 == 1
+
+
+def test_fleiss_kappa_known_and_perfect(spark):
+    """Perfect 3-rater agreement -> kappa = 1; a crafted mixed panel
+    matches a local replay of the Fleiss 1971 formulas; unbalanced
+    items (missing ratings) are dropped from the panel."""
+    from clinpy_spark.operators.assoc import fleiss_kappa
+
+    perfect = [Row(i=i, c="a" if i % 2 else "b")
+               for i in range(20) for _ in range(3)]
+    out = fleiss_kappa(spark.createDataFrame(perfect), "i", "c").collect()[0]
+    assert out.kappa == 1.0 and out.n_raters == 3 and out.n_items == 20
+
+    # mixed panel: item i gets ratings by three rules; one item only 2
+    panel = []
+    for i in range(30):
+        rs = ["a" if i % 2 else "b", "a" if i % 3 else "b",
+              "a" if i % 5 else "b"]
+        if i == 7:
+            rs = rs[:2]  # unbalanced item: dropped
+        panel += [Row(i=i, c=c) for c in rs]
+    out = fleiss_kappa(spark.createDataFrame(panel), "i", "c").collect()[0]
+    assert out.n_items == 29 and out.n_raters == 3
+
+    # local replay
+    from collections import Counter
+    items = {}
+    for r in panel:
+        items.setdefault(r.i, []).append(r.c)
+    items = {k: v for k, v in items.items() if len(v) == 3}
+    N, n = len(items), 3
+    cat = Counter(c for v in items.values() for c in v)
+    tot = sum(cat.values())
+    p = {c: m / tot for c, m in cat.items()}
+    p_bar = sum(
+        (sum(m * m for m in Counter(v).values()) - n) / (n * (n - 1))
+        for v in items.values()) / N
+    p_e = sum(x * x for x in p.values())
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert out.p_bar == pytest.approx(p_bar, abs=1e-6)
+    assert out.p_e == pytest.approx(p_e, abs=1e-6)
+    assert out.kappa == pytest.approx(kappa, abs=1e-6)
+    assert out.se0 > 0 and out.z == pytest.approx(kappa / out.se0, rel=1e-3)
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    """tau-b and the ties-adjusted z match an O(n^2) brute-force pair
+    count on a heavily-tied sample; a perfect monotone (tie-free)
+    relation gives tau_b = 1."""
+    import itertools
+    import math as _m
+
+    from clinpy_spark.operators.assoc import kendall_tau_b
+
+    mono = [Row(x=float(i), y=float(2 * i + 1)) for i in range(40)]
+    out = kendall_tau_b(spark.createDataFrame(mono), "x", "y").collect()[0]
+    assert out.tau_b == 1.0 and out.discordant == 0
+
+    pts = [((i * 7) % 5, (i * 7) % 5 + (i * 3) % 4) for i in range(60)]
+    df = spark.createDataFrame([Row(x=float(a), y=float(b)) for a, b in pts])
+    got = kendall_tau_b(df, "x", "y").collect()[0]
+    C = D = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(pts, 2):
+        s = (x1 - x2) * (y1 - y2)
+        if s > 0:
+            C += 1
+        elif s < 0:
+            D += 1
+    n = len(pts)
+    from collections import Counter
+    tx = Counter(a for a, _ in pts)
+    ty = Counter(b for _, b in pts)
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in tx.values())
+    n2 = sum(t * (t - 1) / 2 for t in ty.values())
+    tau = (C - D) / _m.sqrt((n0 - n1) * (n0 - n2))
+    v0 = n * (n - 1) * (2 * n + 5)
+    vt = sum(t * (t - 1) * (2 * t + 5) for t in tx.values())
+    vu = sum(t * (t - 1) * (2 * t + 5) for t in ty.values())
+    v1 = (sum(t * (t - 1) for t in tx.values())
+          * sum(t * (t - 1) for t in ty.values())) / (2 * n * (n - 1))
+    v2 = (sum(t * (t - 1) * (t - 2) for t in tx.values())
+          * sum(t * (t - 1) * (t - 2) for t in ty.values())) \
+        / (9 * n * (n - 1) * (n - 2))
+    var_s = (v0 - vt - vu) / 18 + v1 + v2
+    assert (got.concordant, got.discordant) == (C, D)
+    assert got.pairs_tied_x == n1 and got.pairs_tied_y == n2
+    assert got.tau_b == pytest.approx(tau, abs=1e-6)
+    assert got.z == pytest.approx((C - D) / _m.sqrt(var_s), abs=1e-6)

@@ -78,6 +78,13 @@ EXPECTED_UNBOUNDED = {
                             # 1-row counts broadcast
     "surv_finegray_beta",  # same literal cell spine + the 1-row Newton
                            # beta broadcast cox_newton's loop carries
+    "dx_fleiss_kappa",  # crossJoin vs the ONE-ROW category-moment agg
+                        # (p_e / p_j^3 sums) — linear in items
+    "dx_kendall_tau",  # inequality join of the bounded joint grid vs
+                       # its LITERAL-INLINED copy (<= max_cells rows,
+                       # proven constant-row by the shape gate) plus
+                       # 1-row tie/total broadcasts — pair work is
+                       # |cells|^2, never n^2
     "s19_bootstrap_ci",  # crossJoin vs the ONE-ROW point-estimate agg
     "dx_cohen_kappa",  # crossJoin of the TWO 1-row aggregates (observed
                        # agreement + marginal chance rate) into the
