@@ -12900,10 +12900,10 @@ _PRIORITY: list[str] = [
     "o6_approx_quantiles",
     "s12_merge_upsert",
     "s13_stratified_sample",
+    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "s14_profile",
     "tpch_q13_cust_distribution",
     "tpch_q1_pricing",
-    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "tpch_q3_shipping",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
