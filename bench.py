@@ -88,6 +88,11 @@ TIER2 = [
     "surv_cox_multi",
     "dx_negbin",
     "dedup_containment_apply",
+    # round-13 flagships: Harrell's C over the dense (time x band)
+    # dominance grid and the Fine-Gray subdistribution MLE (IPCW
+    # weight recurrence + per-step driver solves)
+    "surv_cindex",
+    "surv_finegray_beta",
 ]
 
 

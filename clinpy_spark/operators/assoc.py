@@ -3560,6 +3560,61 @@ def kendall_tau_b(
     v2 = [sum t(t-1)(t-2)][sum u(u-1)(u-2)] / (9n(n-1)(n-2)).
     Exact integer arithmetic until the final ratios (round-6 oracle).
     """
+    j = _pair_grid_stats(df, x_col, y_col, max_cells, "kendall_tau_b")
+    if j is None:
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n"),
+            *[F.lit(0).cast("long").alias(c) for c in
+              ("concordant", "discordant", "pairs_tied_x",
+               "pairs_tied_y")],
+            F.lit(None).cast("double").alias("tau_b"),
+            F.lit(None).cast("double").alias("z"))
+    n = F.col("n").cast("double")
+    s = (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+    n0 = n * (n - 1) / 2
+    n1 = F.col("t2x").cast("double") / 2
+    n2 = F.col("t2y").cast("double") / 2
+    denom = F.sqrt((n0 - n1) * (n0 - n2))
+    var_s = _pair_var_s()
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("c_pairs").cast("long").alias("concordant"),
+        F.col("d_pairs").cast("long").alias("discordant"),
+        (F.col("t2x") / 2).cast("long").alias("pairs_tied_x"),
+        (F.col("t2y") / 2).cast("long").alias("pairs_tied_y"),
+        F.when(denom > 0, F.round(s / denom, 6) + 0.0).alias("tau_b"),
+        F.when((denom > 0) & (var_s > 0),
+               F.round(s / F.sqrt(var_s), 6) + 0.0).alias("z"),
+    )
+
+
+def _pair_var_s():
+    """Ties-adjusted null variance of S = C - D (Kendall 1970), as a
+    Column over the ``_pair_grid_stats`` row."""
+    n = F.col("n").cast("double")
+    v0 = n * (n - 1) * (2 * n + 5)
+    return (
+        (v0 - F.col("vtx") - F.col("vty")) / 18
+        + F.col("t2x").cast("double") * F.col("t2y") / (2 * n * (n - 1))
+        + F.col("t3x").cast("double") * F.col("t3y")
+        / (9 * n * (n - 1) * (n - 2))
+    )
+
+
+def _pair_grid_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int,
+    op_name: str,
+):
+    """Shared concordance-pair machinery for :func:`kendall_tau_b` and
+    :func:`somers_d`: collapse to the bounded joint (x, y) cell grid,
+    count concordant/discordant pairs via the grid x literal-inlined-
+    grid inequality join (|cells|^2 pair work, never n^2), and fold in
+    the per-axis tie moments. Returns a 1-row DataFrame (n, c_pairs,
+    d_pairs, t2x, vtx, t3x, t2y, vty, t3y), or None when the filtered
+    input is empty."""
     xv, yv = F.col(x_col), F.col(y_col)
     grid = (
         df.filter(xv.isNotNull() & yv.isNotNull())
@@ -3571,18 +3626,12 @@ def kendall_tau_b(
     cells = grid.collect()
     if len(cells) > max_cells:
         raise ValueError(
-            f"kendall_tau_b: {len(cells)} joint cells exceeds the "
+            f"{op_name}: {len(cells)} joint cells exceeds the "
             f"bounded-grid contract (max_cells={max_cells}); band the "
             "columns first")
     spark = df.sparkSession
     if not cells:
-        return spark.range(1).select(
-            F.lit(0).cast("long").alias("n"),
-            *[F.lit(0).cast("long").alias(c) for c in
-              ("concordant", "discordant", "pairs_tied_x",
-               "pairs_tied_y")],
-            F.lit(None).cast("double").alias("tau_b"),
-            F.lit(None).cast("double").alias("z"))
+        return None
     lit = spark.range(1).select(F.inline(F.array(*[
         F.struct(F.lit(float(r["__x"])).alias("__bx"),
                  F.lit(float(r["__y"])).alias("__by"),
@@ -3613,28 +3662,148 @@ def kendall_tau_b(
         .alias("t3y"),
     )
     tot = grid.agg(F.sum("__n").alias("n"))
-    j = (cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
-         .crossJoin(F.broadcast(tot)))
+    return (cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+            .crossJoin(F.broadcast(tot)))
+
+
+def somers_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 5000,
+) -> DataFrame:
+    """Somers' D — the ASYMMETRIC rank association between a predictor
+    x and an outcome y over the same bounded joint cell grid as
+    :func:`kendall_tau_b` (shared ``_pair_grid_stats`` machinery): 1
+    row (n, concordant, discordant, d_yx, d_xy, z). d_yx = S / (pairs
+    not tied on x) reads "y given x" (how much of x's untied ordering
+    carries to y); d_xy = S / (pairs not tied on y) reads "x given y"
+    and for a BINARY y is exactly the Gini coefficient of the score:
+    auc = (d_xy + 1) / 2 (property-tested against
+    ``classify.roc_auc``). z is the ties-adjusted S-based null normal
+    deviate (same null S variance as tau-b — the three statistics
+    share S and differ only in denominator). Pair work is |cells|^2 on
+    the literal-inlined grid, never n^2."""
+    j = _pair_grid_stats(df, x_col, y_col, max_cells, "somers_d")
+    if j is None:
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("concordant"),
+            F.lit(0).cast("long").alias("discordant"),
+            F.lit(None).cast("double").alias("d_yx"),
+            F.lit(None).cast("double").alias("d_xy"),
+            F.lit(None).cast("double").alias("z"))
     n = F.col("n").cast("double")
     s = (F.col("c_pairs") - F.col("d_pairs")).cast("double")
     n0 = n * (n - 1) / 2
-    n1 = F.col("t2x").cast("double") / 2
-    n2 = F.col("t2y").cast("double") / 2
-    denom = F.sqrt((n0 - n1) * (n0 - n2))
-    v0 = n * (n - 1) * (2 * n + 5)
-    var_s = (
-        (v0 - F.col("vtx") - F.col("vty")) / 18
-        + F.col("t2x").cast("double") * F.col("t2y") / (2 * n * (n - 1))
-        + F.col("t3x").cast("double") * F.col("t3y")
-        / (9 * n * (n - 1) * (n - 2))
-    )
+    ux = n0 - F.col("t2x").cast("double") / 2
+    uy = n0 - F.col("t2y").cast("double") / 2
+    var_s = _pair_var_s()
     return j.select(
         F.col("n").cast("long").alias("n"),
         F.col("c_pairs").cast("long").alias("concordant"),
         F.col("d_pairs").cast("long").alias("discordant"),
-        (F.col("t2x") / 2).cast("long").alias("pairs_tied_x"),
-        (F.col("t2y") / 2).cast("long").alias("pairs_tied_y"),
-        F.when(denom > 0, F.round(s / denom, 6) + 0.0).alias("tau_b"),
-        F.when((denom > 0) & (var_s > 0),
-               F.round(s / F.sqrt(var_s), 6) + 0.0).alias("z"),
+        F.when(ux > 0, F.round(s / ux, 6) + 0.0).alias("d_yx"),
+        F.when(uy > 0, F.round(s / uy, 6) + 0.0).alias("d_xy"),
+        F.when(var_s > 0, F.round(s / F.sqrt(var_s), 6) + 0.0).alias("z"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across k
+    ranked groups (dose levels, stage, priority): 1 row (n, k, j_stat,
+    e_j, var_j, z). The trend-aware successor to ``kruskal_wallis`` —
+    J = sum over group pairs g < g' of the Mann-Whitney count
+    #{x in g, y in g': x < y} + ties/2, so a monotone dose-response
+    concentrates mass where an omnibus rank test dilutes it. For k = 2
+    J IS the Mann-Whitney U (property-tested).
+
+    E[J] = (N^2 - sum n_i^2)/4 and the ties-corrected null variance
+    (Hollander & Wolfe eq. 6.19) is
+        var = A/72 + B/(36 N(N-1)(N-2)) + C/(8 N(N-1))
+    with A = f(N) - sum_i f(n_i) - sum_v f(t_v), f(m) = m(m-1)(2m+5),
+    B = [sum_i g(n_i)][sum_v g(t_v)], g(m) = m(m-1)(m-2), and
+    C = [sum_i n_i(n_i-1)][sum_v t_v(t_v-1)], t_v the pooled per-value
+    tie counts. z = (J - E[J]) / sqrt(var).
+
+    Scale shape: NO pairwise join — one groupBy collapses to the
+    (group, value) cell grid, the grid is densified (distinct values x
+    the ordered group list riding a 1-row collect_set broadcast), and
+    the pair count is 2-D dominance counting via two exclusive prefix
+    windows (strict value prefix per group, then strict group prefix
+    per value). Doubled-unit integers (2J) end to end, so the result
+    is hash-deterministic; window state is bounded by |cells|."""
+    gv, vv = F.col(group_col), F.col(value_col)
+    cells = (
+        df.filter(gv.isNotNull() & vv.isNotNull())
+        .groupBy(gv.cast("long").alias("__g"),
+                 vv.cast("double").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    glist = cells.select("__g").distinct().groupBy().agg(
+        F.collect_list("__g").alias("gs"))
+    dense = (
+        cells.select("__v").distinct()
+        .crossJoin(F.broadcast(glist))
+        .select("__v", F.explode("gs").alias("__g"))
+        .join(cells, ["__g", "__v"], "left")
+        .select("__g", "__v", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w_vpre = (
+        Window.partitionBy("__g").orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_gpre = (
+        Window.partitionBy("__v").orderBy("__g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d1 = dense.withColumn(
+        "pv", F.coalesce(F.sum("n").over(w_vpre), F.lit(0)))
+    d2 = (
+        d1.withColumn(
+            "below", F.coalesce(F.sum("pv").over(w_gpre), F.lit(0)))
+        .withColumn(
+            "tiev", F.coalesce(F.sum("n").over(w_gpre), F.lit(0)))
+    )
+    j2 = d2.groupBy().agg(
+        F.sum(F.col("n") * (2 * F.col("below") + F.col("tiev")))
+        .alias("j2"))
+    fm = lambda m: m * (m - 1) * (2 * m + 5)  # noqa: E731
+    gm = lambda m: m * (m - 1) * (m - 2)  # noqa: E731
+    gsz = cells.groupBy("__g").agg(F.sum("n").alias("m")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("m").alias("nn"),
+        F.sum(F.col("m") * F.col("m")).alias("sq"),
+        F.sum(fm(F.col("m"))).alias("fg"),
+        F.sum(gm(F.col("m"))).alias("gg"),
+        F.sum(F.col("m") * (F.col("m") - 1)).alias("pg"),
+    )
+    vsz = cells.groupBy("__v").agg(F.sum("n").alias("t")).agg(
+        F.sum(fm(F.col("t"))).alias("fv"),
+        F.sum(gm(F.col("t"))).alias("gv"),
+        F.sum(F.col("t") * (F.col("t") - 1)).alias("pv"),
+    )
+    one = (gsz.crossJoin(F.broadcast(vsz))
+           .crossJoin(F.broadcast(j2)))
+    n = F.col("nn").cast("double")
+    jstat = F.coalesce(F.col("j2"), F.lit(0)).cast("double") / 2
+    e_j = (n * n - F.col("sq").cast("double")) / 4
+    var_j = (
+        (fm(n) - F.col("fg").cast("double") - F.col("fv")) / 72
+        + F.col("gg").cast("double") * F.col("gv")
+        / (36 * n * (n - 1) * (n - 2))
+        + F.col("pg").cast("double") * F.col("pv") / (8 * n * (n - 1))
+    )
+    return one.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        (F.round(jstat, 6) + 0.0).alias("j_stat"),
+        (F.round(e_j, 6) + 0.0).alias("e_j"),
+        (F.round(var_j, 6) + 0.0).alias("var_j"),
+        F.when(var_j > 0,
+               F.round((jstat - e_j) / F.sqrt(var_j), 6) + 0.0).alias("z"),
     )

@@ -400,3 +400,63 @@ def reliability_table(
             F.round(F.avg(F.col("__y").cast("double")), 6).alias("frac_pos"),
         )
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Cumulative gains / lift / KS table for a score against a binary
+    label, one row per DISTINCT score value descending (highest score
+    = first targeted): (score, n, positives, cum_n, cum_pos, depth,
+    gain, lift, ks). The campaign-targeting / model-triage companion
+    to :func:`roc_auc` — gain is the capture rate at each depth
+    (what fraction of all positives the top slice holds), lift =
+    gain / depth, and ks = cum_pos/P - cum_neg/(N-P) is the
+    Kolmogorov-Smirnov separation at that threshold (its max over
+    rows is the classical KS statistic).
+
+    Threshold-resolved rather than decile-resolved ON PURPOSE: a
+    decile table needs a total order (a global ntile sort plus an
+    arbitrary intra-tie split); the per-threshold curve is
+    tie-unambiguous, carries strictly more information (any decile
+    table is a linear interpolation of it), and is computable with
+    one groupBy to the bounded distinct-score grid plus one ordered
+    window. Band a continuous score first — output cardinality is
+    |distinct scores| by contract. Exact integer counts until the
+    final ratios (round-6, hash-deterministic).
+    """
+    lab = F.col(label_col).cast("int")
+    per = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).cast("double").alias("score"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(lab).alias("positives"))
+    )
+    w_cum = (Window.orderBy(F.desc("score"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    g = (
+        per.withColumn("cum_n", F.sum("n").over(w_cum))
+        .withColumn("cum_pos", F.sum("positives").over(w_cum))
+        .withColumn("__nn", F.sum("n").over(w_all))
+        .withColumn("__pp", F.sum("positives").over(w_all))
+    )
+    nn = F.col("__nn").cast("double")
+    pp = F.col("__pp").cast("double")
+    depth = F.col("cum_n") / nn
+    gain = F.when(pp > 0, F.col("cum_pos") / pp)
+    neg = (F.col("cum_n") - F.col("cum_pos")) / (nn - pp)
+    return g.select(
+        F.col("score"),
+        F.col("n").cast("long").alias("n"),
+        F.col("positives").cast("long").alias("positives"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.round(depth, 6).alias("depth"),
+        F.round(gain, 6).alias("gain"),
+        F.when(pp > 0, F.round(gain / depth, 6) + 0.0).alias("lift"),
+        F.when((pp > 0) & (pp < nn),
+               F.round(F.col("cum_pos") / pp - neg, 6) + 0.0).alias("ks"),
+    )

@@ -1924,3 +1924,293 @@ def rmst_diff(
                F.round((F.col("ra") - F.col("rb")) / se_diff, 6) + 0.0)
         .alias("z"),
     )
+
+
+def cindex(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Harrell's concordance index for a risk score against censored
+    survival data: 1 row (n, n_events, comparable, concordant,
+    discordant, tied_score, c_index, somers_d) — the standard
+    discrimination readout for every fitted risk model in the family
+    (``cox_newton`` / ``finegray_newton`` / ``polygenic_score``), with
+    HIGHER score meaning HIGHER risk (earlier event).
+
+    Pair semantics (Harrell's original, the ``survival::concordance``
+    default): a pair (i, j) is comparable iff subject i has an
+    observed event and either t_i < t_j, or t_i = t_j with j censored
+    (the event is known to precede the censoring). Pairs of events at
+    the same time are incomparable. Concordant = score_i > score_j;
+    score ties credit 1/2. c_index = (concordant + tied/2)/comparable
+    and somers_d = 2c - 1.
+
+    Scale shape: NO pairwise join anywhere. One groupBy collapses the
+    cohort to the (time, score) cell grid; eligible-j counts per
+    (event time, score band) come from dominance counting over the
+    DENSE grid — distinct times x score bands, the band axis riding a
+    1-row collect_set broadcast like :func:`logrank_k`'s group axis —
+    with one exclusive prefix window per axis (time suffix via
+    total - strict prefix - same-time events, then a strict
+    lower-score prefix per time). Everything is exact integer
+    arithmetic until the two final ratios, so the result is
+    hash-deterministic. State per window task is bounded by
+    |distinct times| x |distinct scores| (band the score first if it
+    is continuous; times are grid-bounded like the log-rank family).
+    """
+    cells = (
+        df.select(
+            F.col(time_col).cast("long").alias("__t"),
+            F.col(event_col).cast("int").alias("__e"),
+            F.col(score_col).cast("long").alias("__s"),
+        )
+        .filter(F.col("__t").isNotNull() & F.col("__s").isNotNull())
+        .groupBy("__t", "__s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__e").alias("d"))
+    )
+    # dense grid: every distinct time x every score band (band list is
+    # a constant-row collect_set broadcast, exploded — no data-sized
+    # cartesian), left-joined back onto the sparse cells.
+    bands = cells.groupBy("__s").agg(F.sum("n").alias("tot"))
+    blist = bands.groupBy().agg(
+        F.collect_list(F.struct("__s", "tot")).alias("bs"))
+    dense = (
+        cells.select("__t").distinct()
+        .crossJoin(F.broadcast(blist))
+        .select("__t", F.explode("bs").alias("b"))
+        .select("__t", F.col("b.__s").alias("__s"), F.col("b.tot").alias("tot"))
+        .join(cells, ["__t", "__s"], "left")
+        .select(
+            "__t", "__s", "tot",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("d", F.lit(0)).alias("d"),
+        )
+    )
+    # eligible j's for an event anchored at time t, per band s:
+    # everyone in s strictly later than t, plus s's censored AT t =
+    # tot - (strict time prefix of n) - (events at exactly t).
+    w_tpre = (
+        Window.partitionBy("__s").orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_spre = (
+        Window.partitionBy("__t").orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tall = Window.partitionBy("__t")
+    g = (
+        dense.withColumn(
+            "nb", F.coalesce(F.sum("n").over(w_tpre), F.lit(0)))
+        .withColumn("elig", F.col("tot") - F.col("nb") - F.col("d"))
+        .withColumn(
+            "ca", F.coalesce(F.sum("elig").over(w_spre), F.lit(0)))
+        .withColumn("ta", F.sum("elig").over(w_tall))
+    )
+    one = g.filter(F.col("d") > 0).groupBy().agg(
+        F.sum(F.col("d") * F.col("ca")).alias("conc"),
+        F.sum(F.col("d") * F.col("elig")).alias("tied"),
+        F.sum(F.col("d") * F.col("ta")).alias("comp"),
+    )
+    tots = cells.groupBy().agg(
+        F.sum("n").alias("n_all"), F.sum("d").alias("d_all"))
+    j = tots.crossJoin(F.broadcast(one))
+    comp = F.coalesce(F.col("comp"), F.lit(0)).cast("double")
+    conc = F.coalesce(F.col("conc"), F.lit(0))
+    tied = F.coalesce(F.col("tied"), F.lit(0))
+    cval = (conc.cast("double") + tied.cast("double") / 2) / comp
+    return j.select(
+        F.col("n_all").cast("long").alias("n"),
+        F.col("d_all").cast("long").alias("n_events"),
+        F.coalesce(F.col("comp"), F.lit(0)).cast("long").alias("comparable"),
+        conc.cast("long").alias("concordant"),
+        (F.coalesce(F.col("comp"), F.lit(0)) - conc - tied)
+        .cast("long").alias("discordant"),
+        tied.cast("long").alias("tied_score"),
+        F.when(comp > 0, F.round(cval, 6) + 0.0).alias("c_index"),
+        F.when(comp > 0, F.round(2 * cval - 1, 6) + 0.0).alias("somers_d"),
+    )
+
+
+def direct_standardization(
+    df: DataFrame,
+    group_col: str,
+    stratum_col: str,
+    event_col: str,
+    time_col: str,
+) -> DataFrame:
+    """Directly age/stratum-standardized incidence rates per group —
+    the DIRECT counterpart to :func:`smr`'s indirect standardization:
+    one row per group (group, events, ptime, crude_rate, adj_rate,
+    se_adj, strata_used). Crude rates between groups with different
+    stratum mixes are confounded (Simpson); the adjusted rate
+    re-weights each group's stratum-specific rates to ONE standard
+    population — here the pooled cohort's person-time per stratum, the
+    usual internal standard — so groups become comparable:
+    adj_g = sum_s w_s (d_gs / pt_gs) / sum_s w_s with w_s the pooled
+    person-time of stratum s, and (Poisson counts)
+    var(adj_g) = sum_s w_s^2 d_gs / pt_gs^2 / (sum_s w_s)^2
+    (Rothman-Greenland eq. 10-6). Strata where the group has no
+    follow-up are excluded from that group's sums (strata_used counts
+    the rest) — never a 0-division.
+
+    Scale shape: one groupBy to the (group, stratum) cell grid, the
+    per-stratum standard from a second grid-sized aggregate, one
+    broadcast join grid x standard, one final per-group aggregate. No
+    windows, no collect.
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(stratum_col).alias("__s"),
+            F.col(event_col).cast("long").alias("__e"),
+            F.col(time_col).cast("double").alias("__t"),
+        )
+        .filter(F.col("__g").isNotNull() & F.col("__s").isNotNull())
+        .groupBy("__g", "__s")
+        .agg(F.sum("__e").alias("d"), F.sum("__t").alias("pt"))
+    )
+    std = cells.groupBy("__s").agg(F.sum("pt").alias("w"))
+    j = cells.join(F.broadcast(std), "__s")
+    used = F.col("pt") > 0
+    per_g = j.groupBy("__g").agg(
+        F.sum("d").alias("events"),
+        F.sum("pt").alias("ptime"),
+        F.sum(F.when(used, F.col("w"))).alias("wsum"),
+        F.sum(F.when(used, F.col("w") * F.col("d") / F.col("pt")))
+        .alias("wr"),
+        F.sum(F.when(
+            used, F.col("w") * F.col("w") * F.col("d")
+            / (F.col("pt") * F.col("pt")))).alias("wv"),
+        F.sum(F.when(used, 1).otherwise(0)).alias("strata_used"),
+    )
+    ok = F.col("wsum") > 0
+    return per_g.select(
+        F.col("__g").alias("group"),
+        F.col("events").cast("long").alias("events"),
+        F.round("ptime", 6).alias("ptime"),
+        F.when(F.col("ptime") > 0,
+               F.round(F.col("events") / F.col("ptime"), 6) + 0.0)
+        .alias("crude_rate"),
+        F.when(ok, F.round(F.col("wr") / F.col("wsum"), 6) + 0.0)
+        .alias("adj_rate"),
+        F.when(ok, F.round(F.sqrt(F.col("wv")) / F.col("wsum"), 6) + 0.0)
+        .alias("se_adj"),
+        F.col("strata_used").cast("long").alias("strata_used"),
+    )
+
+
+def _binary_event_grid_tv(
+    df: DataFrame,
+    start_col: str,
+    stop_col: str,
+    event_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Counting-process version of :func:`_binary_event_grid` for
+    EPISODE data (start, stop] with a binary covariate fixed within
+    each episode: per pooled event time (__t, d, d1, n, n1) where the
+    risk set is every episode with start < t <= stop. Built without a
+    data-sized interval join: arrivals (+1 at start) and departures
+    (-1 at stop) are pre-aggregated per distinct time (grid-sized
+    flows), unioned with event-time probes sorting BEFORE same-time
+    flow rows, and the at-risk counts are one exclusive running sum —
+    an arrival AT t is not yet at risk (start < t strict) and a
+    departure AT t still is (stop >= t), exactly the probe ordering.
+    Lineage cut once (the grid feeds every Newton step)."""
+    ep = (
+        df.select(
+            F.col(start_col).cast("double").alias("__a"),
+            F.col(stop_col).cast("double").alias("__b"),
+            F.col(event_col).cast("int").alias("__e"),
+            F.col(x_col).cast("int").alias("__x"),
+        )
+        .filter(F.col("__b") > F.col("__a"))
+    )
+    ev = (
+        ep.groupBy(F.col("__b").alias("__t"))
+        .agg(F.sum("__e").alias("d"),
+             F.sum(F.col("__e") * F.col("__x")).alias("d1"))
+        .filter(F.col("d") > 0)
+    )
+    arr = ep.groupBy(F.col("__a").alias("__t")).agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("__x").alias("dn1"))
+    dep = ep.groupBy(F.col("__b").alias("__t")).agg(
+        (-F.count(F.lit(1))).alias("dn"), (-F.sum("__x")).alias("dn1"))
+    null_l = F.lit(None).cast("long")
+    flows = arr.unionByName(dep).select(
+        "__t", "dn", "dn1", F.lit(1).alias("is_real"),
+        null_l.alias("d"), null_l.alias("d1"))
+    probes = ev.select(
+        "__t", F.lit(0).cast("long").alias("dn"),
+        F.lit(0).cast("long").alias("dn1"),
+        F.lit(0).alias("is_real"), "d", "d1")
+    w_prev = Window.orderBy("__t", "is_real").rowsBetween(
+        Window.unboundedPreceding, -1)
+    return (
+        flows.unionByName(probes)
+        .withColumn("n", F.coalesce(F.sum("dn").over(w_prev), F.lit(0)))
+        .withColumn("n1", F.coalesce(F.sum("dn1").over(w_prev), F.lit(0)))
+        .filter(F.col("is_real") == 0)
+        .select("__t", "d", "d1", "n", "n1")
+        .localCheckpoint(eager=False)
+    )
+
+
+def cox_newton_tv(
+    df: DataFrame,
+    start_col: str,
+    stop_col: str,
+    event_col: str,
+    x_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """Cox proportional-hazards MLE with a TIME-VARYING binary
+    covariate in Andersen-Gill counting-process form — each row one
+    EPISODE (start, stop] during which the covariate is constant,
+    event flagged on the episode whose stop is the failure time: 1 row
+    (beta, hr, se, wald_chi2, n_events, n_episodes). The classic
+    immortal-time-bias-free treatment-switch analysis (a subject
+    contributes x=0 person-time before switching and x=1 after —
+    coding them x=1 from day 0 inflates the treatment's survival) that
+    the single-record :func:`cox_newton` cannot express; with one
+    episode per subject spanning (0, t] it reduces to ``cox_newton``
+    BIT-EXACTLY (property-tested) because the arrival/departure flows
+    reproduce the total-minus-prefix risk sets.
+
+    Zero-length episodes (stop <= start) are dropped. Ties follow
+    Breslow, as everywhere in this family.
+
+    Scale shape: two groupBys to grid-sized flow/event tables, one
+    exclusive running window over the bounded pooled time grid
+    (:func:`_binary_event_grid_tv`), then the shared
+    :func:`_newton_beta` loop — per step a grid-sized aggregate plus a
+    1-row broadcast beta. The episode table is scanned a bounded
+    number of times and never self-joined.
+    """
+    grid = _binary_event_grid_tv(df, start_col, stop_col, event_col, x_col)
+    beta = _newton_beta(df.sparkSession, grid, iterations)
+    fin = grid.crossJoin(F.broadcast(beta))
+    s1 = F.col("n1") * F.exp(F.col("beta"))
+    s0 = (F.col("n") - F.col("n1")) + s1
+    frac = s1 / s0
+    i_t = F.col("d") * frac * (1 - frac)
+    stats = fin.agg(
+        F.max("beta").alias("beta"),
+        F.sum(i_t).alias("__i"), F.sum("d").alias("n_events"))
+    counts = (
+        df.filter(F.col(stop_col).cast("double")
+                  > F.col(start_col).cast("double"))
+        .groupBy().agg(F.count(F.lit(1)).alias("n_episodes"))
+    )
+    ok = F.col("beta").isNotNull() & (F.col("__i") > 0)
+    return stats.crossJoin(F.broadcast(counts)).select(
+        F.when(ok, F.round("beta", 6)).alias("beta"),
+        F.when(ok, F.round(F.exp("beta"), 6)).alias("hr"),
+        F.when(ok, F.round(1 / F.sqrt("__i"), 6)).alias("se"),
+        F.when(ok, F.round(F.col("beta") * F.col("beta") * F.col("__i"), 6))
+        .alias("wald_chi2"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "n_episodes",
+    )

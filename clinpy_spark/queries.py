@@ -12827,6 +12827,451 @@ def q_entropy_q(spark, sf):
     )
 
 
+@q("surv_cindex", """
+WITH obs AS MATERIALIZED (
+  SELECT LEAST(h % 1500 + 1, dd) AS t,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS e,
+         19 - LEAST(GREATEST(h % 1500 + 1 + (h2 % 601) - 300, 1) // 80, 19)
+           AS s
+  FROM (SELECT
+          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+            AS h,
+          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))::BIGINT
+            AS h2,
+          datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders)),
+cells AS MATERIALIZED (
+  SELECT t, s, CAST(count(*) AS BIGINT) AS n, CAST(sum(e) AS BIGINT) AS d
+  FROM obs GROUP BY 1, 2),
+bands AS (SELECT s, CAST(sum(n) AS BIGINT) AS tot FROM cells GROUP BY s),
+dense AS (SELECT a.t, b.s, b.tot
+          FROM (SELECT DISTINCT t FROM cells) a CROSS JOIN bands b),
+dj AS (SELECT dense.t, dense.s, dense.tot,
+              coalesce(c.n, 0) AS n, coalesce(c.d, 0) AS d
+       FROM dense LEFT JOIN cells c ON dense.t = c.t AND dense.s = c.s),
+pre AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY s ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        FROM dj),
+el AS (SELECT t, s, d, tot - nb - d AS elig FROM pre),
+w AS (SELECT *, coalesce(sum(elig) OVER (PARTITION BY t ORDER BY s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ca,
+        sum(elig) OVER (PARTITION BY t) AS ta FROM el),
+agg AS (SELECT CAST(sum(d * ca) AS BIGINT) AS conc,
+               CAST(sum(d * elig) AS BIGINT) AS tied,
+               CAST(sum(d * ta) AS BIGINT) AS comp
+        FROM w WHERE d > 0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(e) AS BIGINT) AS d_all FROM obs)
+SELECT n_all AS n, d_all AS n_events,
+       coalesce(comp, 0) AS comparable,
+       coalesce(conc, 0) AS concordant,
+       coalesce(comp, 0) - coalesce(conc, 0) - coalesce(tied, 0)
+         AS discordant,
+       coalesce(tied, 0) AS tied_score,
+       CASE WHEN comp > 0 THEN
+         round((conc + CAST(tied AS DOUBLE) / 2) / comp, 6) + 0.0
+       END AS c_index,
+       CASE WHEN comp > 0 THEN
+         round(2 * ((conc + CAST(tied AS DOUBLE) / 2) / comp) - 1, 6) + 0.0
+       END AS somers_d
+FROM tot CROSS JOIN agg
+""")
+def surv_cindex_q(spark, sf):
+    # Harrell's C (operators/survival.py cindex) for a 20-band risk
+    # score against the deterministic order-survival cohort: the
+    # discrimination readout for the whole fitted-risk family. NO
+    # pairwise join — dominance counting over the dense (time x band)
+    # grid with one exclusive prefix window per axis; exact integers
+    # to the two final ratios (hash-deterministic).
+    from clinpy_spark.operators.survival import cindex
+
+    o = _t(spark, sf, "orders")
+    md = F.md5(F.col("o_orderkey").cast("string"))
+    h = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    raw = followup + (h2 % 601) - 300
+    score = F.lit(19) - F.least(
+        F.floor(F.greatest(raw, F.lit(1)) / 80).cast("long"), F.lit(19))
+    obs = o.select(
+        F.least(followup, dd).alias("t"),
+        F.when(followup <= dd, 1).otherwise(0).alias("e"),
+        score.alias("s"))
+    return cindex(obs, "t", "e", "s")
+
+
+@q("dx_jonckheere", """
+WITH cells AS MATERIALIZED (
+  SELECT CAST(l_linenumber AS BIGINT) AS g,
+         CAST(l_quantity AS DOUBLE) AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+dense AS (SELECT a.v, b.g FROM (SELECT DISTINCT v FROM cells) a
+          CROSS JOIN (SELECT DISTINCT g FROM cells) b),
+dj AS (SELECT dense.g, dense.v, coalesce(c.n, 0) AS n
+       FROM dense LEFT JOIN cells c ON dense.g = c.g AND dense.v = c.v),
+p1 AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pv
+       FROM dj),
+p2 AS (SELECT *, coalesce(sum(pv) OVER (PARTITION BY v ORDER BY g
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        coalesce(sum(n) OVER (PARTITION BY v ORDER BY g
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tiev
+       FROM p1),
+j2 AS (SELECT CAST(sum(n * (2 * below + tiev)) AS BIGINT) AS j2 FROM p2),
+gsz AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(m) AS BIGINT) AS nn,
+               CAST(sum(m * m) AS BIGINT) AS sq,
+               CAST(sum(m * (m - 1) * (2 * m + 5)) AS BIGINT) AS fg,
+               CAST(sum(m * (m - 1) * (m - 2)) AS BIGINT) AS gg,
+               CAST(sum(m * (m - 1)) AS BIGINT) AS pg
+        FROM (SELECT CAST(sum(n) AS BIGINT) AS m FROM cells GROUP BY g)),
+vsz AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS fv,
+               CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS gv,
+               CAST(sum(t * (t - 1)) AS BIGINT) AS pv2
+        FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY v))
+SELECT nn AS n, k,
+  round(CAST(j2 AS DOUBLE) / 2, 6) + 0.0 AS j_stat,
+  round((CAST(nn AS DOUBLE) * nn - sq) / 4, 6) + 0.0 AS e_j,
+  round((CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5) - fg - fv) / 72
+        + CAST(gg AS DOUBLE) * gv
+          / (36 * CAST(nn AS DOUBLE) * (nn - 1) * (nn - 2))
+        + CAST(pg AS DOUBLE) * pv2 / (8 * CAST(nn AS DOUBLE) * (nn - 1)),
+        6) + 0.0 AS var_j,
+  CASE WHEN (CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5) - fg - fv) / 72
+            + CAST(gg AS DOUBLE) * gv
+              / (36 * CAST(nn AS DOUBLE) * (nn - 1) * (nn - 2))
+            + CAST(pg AS DOUBLE) * pv2
+              / (8 * CAST(nn AS DOUBLE) * (nn - 1)) > 0
+       THEN round((CAST(j2 AS DOUBLE) / 2
+                   - (CAST(nn AS DOUBLE) * nn - sq) / 4)
+                  / sqrt((CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5)
+                          - fg - fv) / 72
+                         + CAST(gg AS DOUBLE) * gv
+                           / (36 * CAST(nn AS DOUBLE) * (nn - 1)
+                              * (nn - 2))
+                         + CAST(pg AS DOUBLE) * pv2
+                           / (8 * CAST(nn AS DOUBLE) * (nn - 1))),
+                  6) + 0.0
+  END AS z
+FROM gsz CROSS JOIN vsz CROSS JOIN j2
+""")
+def dx_jonckheere_q(spark, sf):
+    # Jonckheere-Terpstra ordered trend (operators/assoc.py
+    # jonckheere_terpstra): does quantity trend monotonically across
+    # ordered line numbers — the trend-aware successor to dx_kruskal.
+    # NO pairwise join: dense (group x value) grid + two exclusive
+    # prefix windows; doubled-unit integers end to end, ties-corrected
+    # Hollander-Wolfe null variance.
+    from clinpy_spark.operators.assoc import jonckheere_terpstra
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_linenumber").alias("g"),
+        F.col("l_quantity").alias("v"))
+    return jonckheere_terpstra(li, "g", "v")
+
+
+@q("dx_somers_d", """
+WITH g AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DOUBLE)
+           AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+cd AS (SELECT
+    CAST(sum(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS BIGINT)
+      AS c_pairs,
+    CAST(sum(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS BIGINT)
+      AS d_pairs
+  FROM g a JOIN g b ON a.x < b.x),
+tx AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS t2x,
+              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS vtx,
+              CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS t3x
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY x)),
+ty AS (SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS t2y,
+              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS vty,
+              CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS t3y
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY y)),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM g)
+SELECT n, c_pairs AS concordant, d_pairs AS discordant,
+       CASE WHEN CAST(n AS DOUBLE) * (n - 1) / 2
+                 - CAST(t2x AS DOUBLE) / 2 > 0
+            THEN round(CAST(c_pairs - d_pairs AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1) / 2
+                          - CAST(t2x AS DOUBLE) / 2), 6) + 0.0
+       END AS d_yx,
+       CASE WHEN CAST(n AS DOUBLE) * (n - 1) / 2
+                 - CAST(t2y AS DOUBLE) / 2 > 0
+            THEN round(CAST(c_pairs - d_pairs AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1) / 2
+                          - CAST(t2y AS DOUBLE) / 2), 6) + 0.0
+       END AS d_xy,
+       CASE WHEN (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - vtx - vty)
+                 / 18
+                 + CAST(t2x AS DOUBLE) * t2y
+                   / (2 * CAST(n AS DOUBLE) * (n - 1))
+                 + CAST(t3x AS DOUBLE) * t3y
+                   / (9 * CAST(n AS DOUBLE) * (n - 1) * (n - 2)) > 0
+            THEN round(CAST(c_pairs - d_pairs AS DOUBLE)
+                       / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                               - vtx - vty) / 18
+                              + CAST(t2x AS DOUBLE) * t2y
+                                / (2 * CAST(n AS DOUBLE) * (n - 1))
+                              + CAST(t3x AS DOUBLE) * t3y
+                                / (9 * CAST(n AS DOUBLE) * (n - 1)
+                                   * (n - 2))), 6) + 0.0
+       END AS z
+FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+""")
+def dx_somers_d_q(spark, sf):
+    # Somers' D (operators/assoc.py somers_d): quantity as predictor of
+    # the binary returned flag — the asymmetric companion to
+    # dx_kendall_tau off the SAME shared pair-grid machinery; for the
+    # binary outcome d_xy is the Gini, auc = (d_xy + 1) / 2
+    # (property-tested against classify.roc_auc).
+    from clinpy_spark.operators.assoc import somers_d
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"))
+    return somers_d(li, "x", "y")
+
+
+@q("curate_gains_curve", """
+WITH base AS MATERIALIZED (
+  SELECT CAST(floor(CAST(c_acctbal AS DOUBLE) / 500) AS DOUBLE) AS score,
+         CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100
+                   < 15 + 3 * GREATEST(CAST(floor(
+                       CAST(c_acctbal AS DOUBLE) / 500) AS BIGINT), 0)
+              THEN 1 ELSE 0 END AS y
+  FROM customer),
+per AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS positives
+        FROM base GROUP BY 1),
+g AS (SELECT *,
+        sum(n) OVER (ORDER BY score DESC) AS cum_n,
+        sum(positives) OVER (ORDER BY score DESC) AS cum_pos,
+        sum(n) OVER () AS nn, sum(positives) OVER () AS pp
+      FROM per)
+SELECT score, n, positives,
+       CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+       round(CAST(cum_n AS DOUBLE) / nn, 6) AS depth,
+       CASE WHEN pp > 0
+            THEN round(CAST(cum_pos AS DOUBLE) / pp, 6) END AS gain,
+       CASE WHEN pp > 0
+            THEN round((CAST(cum_pos AS DOUBLE) / pp)
+                       / (CAST(cum_n AS DOUBLE) / nn), 6) + 0.0
+       END AS lift,
+       CASE WHEN pp > 0 AND pp < nn
+            THEN round(CAST(cum_pos AS DOUBLE) / pp
+                       - CAST(cum_n - cum_pos AS DOUBLE) / (nn - pp), 6)
+                 + 0.0
+       END AS ks
+FROM g
+""")
+def curate_gains_curve_q(spark, sf):
+    # Cumulative gains / lift / KS (operators/classify.py gains_table)
+    # for a banded account-balance score against a deterministic
+    # band-graded conversion label: threshold-resolved on the bounded
+    # distinct-score grid (tie-unambiguous, no global ntile sort),
+    # one groupBy + one ordered window, exact integers to the ratios.
+    from clinpy_spark.operators.classify import gains_table
+
+    c = _t(spark, sf, "customer")
+    band = F.floor(F.col("c_acctbal").cast("double") / 500)
+    h = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    base = c.select(
+        band.cast("double").alias("s"),
+        F.when(h % 100 < 15 + 3 * F.greatest(band.cast("long"), F.lit(0)),
+               1).otherwise(0).alias("y"))
+    return gains_table(base, "s", "y")
+
+
+@q("epi_direct_std", """
+WITH obs AS MATERIALIZED (
+  SELECT priority, stratum, duration, evt FROM (
+    SELECT o_orderpriority AS priority,
+           CAST(year(o_orderdate) AS BIGINT) AS stratum,
+           LEAST(h % 1500 + 1, dd) AS duration,
+           CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt
+    FROM (SELECT o_orderpriority, o_orderdate,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h,
+                 datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')))),
+cells AS MATERIALIZED (
+  SELECT priority AS g, stratum AS s, CAST(sum(evt) AS BIGINT) AS d,
+         CAST(sum(duration) AS DOUBLE) AS pt
+  FROM obs GROUP BY 1, 2),
+std AS (SELECT s, sum(pt) AS w FROM cells GROUP BY s),
+j AS (SELECT c.g, c.s, c.d, c.pt, std.w FROM cells c JOIN std ON c.s = std.s),
+per_g AS (SELECT g,
+    CAST(sum(d) AS BIGINT) AS events,
+    sum(pt) AS ptime,
+    sum(CASE WHEN pt > 0 THEN w END) AS wsum,
+    sum(CASE WHEN pt > 0 THEN w * d / pt END) AS wr,
+    sum(CASE WHEN pt > 0 THEN w * w * d / (pt * pt) END) AS wv,
+    CAST(sum(CASE WHEN pt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS strata_used
+  FROM j GROUP BY g)
+SELECT g AS "group", events, round(ptime, 6) AS ptime,
+       CASE WHEN ptime > 0
+            THEN round(events / ptime, 6) + 0.0 END AS crude_rate,
+       CASE WHEN wsum > 0
+            THEN round(wr / wsum, 6) + 0.0 END AS adj_rate,
+       CASE WHEN wsum > 0
+            THEN round(sqrt(wv) / wsum, 6) + 0.0 END AS se_adj,
+       strata_used
+FROM per_g
+""")
+def epi_direct_std_q(spark, sf):
+    # Directly standardized incidence rates (operators/survival.py
+    # direct_standardization): the two order-priority cohorts'
+    # order-year mixes differ, so crude event rates are confounded —
+    # re-weight each cohort's year-specific rates to the pooled
+    # person-time standard (Rothman-Greenland direct standardization
+    # with Poisson variance). Grid-sized aggregates + one broadcast
+    # join; no windows, no collect.
+    from clinpy_spark.operators.survival import direct_standardization
+
+    obs = _surv_obs_strata(spark, sf)
+    return direct_standardization(obs, "priority", "stratum", "evt",
+                                  "duration")
+
+
+def _surv_obs_strata(spark, sf) -> DataFrame:
+    """_surv_obs plus the order-year stratum column (SQL twin inlined
+    in the epi_direct_std oracle)."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    return o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("stratum"),
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+    )
+
+
+@q("surv_cox_tv", """
+WITH base AS (
+  SELECT LEAST(h % 1500 + 1, dd) AS dur,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt,
+         h2 % 1500 + 1 AS sw
+  FROM (SELECT
+          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+            AS h,
+          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))::BIGINT
+            AS h2,
+          datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+ep AS (
+  SELECT 0 AS a, CASE WHEN sw < dur THEN sw ELSE dur END AS b,
+         CASE WHEN sw < dur THEN 0 ELSE evt END AS e, 0 AS x
+  FROM base
+  UNION ALL
+  SELECT sw AS a, dur AS b, evt AS e, 1 AS x FROM base WHERE sw < dur),
+epf AS MATERIALIZED (SELECT a, b, e, x FROM ep WHERE b > a),
+ev AS (SELECT b AS t, CAST(sum(e) AS BIGINT) AS d,
+              CAST(sum(e * x) AS BIGINT) AS d1
+       FROM epf GROUP BY b HAVING sum(e) > 0),
+u AS (
+  SELECT a AS t, CAST(count(*) AS BIGINT) AS dn,
+         CAST(sum(x) AS BIGINT) AS dn1, 1 AS is_real,
+         NULL AS d, NULL AS d1
+  FROM epf GROUP BY a
+  UNION ALL
+  SELECT b AS t, -CAST(count(*) AS BIGINT), -CAST(sum(x) AS BIGINT), 1,
+         NULL, NULL
+  FROM epf GROUP BY b
+  UNION ALL
+  SELECT t, 0, 0, 0, d, d1 FROM ev),
+w AS (SELECT t, d, d1, is_real,
+        coalesce(sum(dn) OVER (ORDER BY t, is_real
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+        coalesce(sum(dn1) OVER (ORDER BY t, is_real
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+      FROM u),
+f AS MATERIALIZED (SELECT t, d, d1, CAST(n AS BIGINT) AS n,
+                          CAST(n1 AS BIGINT) AS n1
+                   FROM w WHERE is_real = 0),
+i1 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp(0.0) AS s1,
+                    (n - n1) + n1 * exp(0.0) AS s0 FROM f)),
+b1 AS (SELECT CASE WHEN i > 0 THEN 0.0 + u / i END AS beta FROM i1),
+i2 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp((SELECT beta FROM b1)) AS s1,
+                    (n - n1) + n1 * exp((SELECT beta FROM b1)) AS s0 FROM f)),
+b2 AS (SELECT CASE WHEN i > 0 THEN (SELECT beta FROM b1) + u / i END AS beta FROM i2),
+i3 AS (SELECT sum(d1 - d * s1 / s0) AS u, sum(d * (s1 / s0) * (1 - s1 / s0)) AS i
+       FROM (SELECT d, d1, n1 * exp((SELECT beta FROM b2)) AS s1,
+                    (n - n1) + n1 * exp((SELECT beta FROM b2)) AS s0 FROM f)),
+b3 AS (SELECT CASE WHEN i > 0 THEN (SELECT beta FROM b2) + u / i END AS beta FROM i3),
+fin AS (SELECT sum(d * (s1 / s0) * (1 - s1 / s0)) AS i,
+               CAST(sum(d) AS BIGINT) AS n_events
+        FROM (SELECT d, n1 * exp((SELECT beta FROM b3)) AS s1,
+                     (n - n1) + n1 * exp((SELECT beta FROM b3)) AS s0 FROM f))
+SELECT CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round((SELECT beta FROM b3), 6) END AS beta,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round(exp((SELECT beta FROM b3)), 6) END AS hr,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round(1 / sqrt(i), 6) END AS se,
+       CASE WHEN (SELECT beta FROM b3) IS NOT NULL AND i > 0
+            THEN round((SELECT beta FROM b3) * (SELECT beta FROM b3) * i, 6)
+       END AS wald_chi2,
+       coalesce(n_events, 0) AS n_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM epf) AS n_episodes
+FROM fin
+""")
+def surv_cox_tv_q(spark, sf):
+    # Time-varying-covariate Cox in Andersen-Gill counting-process
+    # form (operators/survival.py cox_newton_tv): each subject
+    # switches from x=0 to x=1 at a deterministic hashed switch day,
+    # contributing pre-switch and post-switch EPISODES — the
+    # immortal-time-bias-free treatment-switch analysis. Risk sets
+    # come from per-time arrival/departure flows + one exclusive
+    # running window (never an episode x time interval join); the
+    # oracle replays the identical grid and the 3 chained Newton CTEs
+    # of surv_cox_beta.
+    from clinpy_spark.operators.survival import cox_newton_tv
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    md = F.md5(F.col("o_orderkey").cast("string"))
+    h = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    base = o.select(
+        F.least(followup, dd).alias("dur"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        (h2 % 1500 + 1).alias("sw"))
+    pre = base.select(
+        F.lit(0).cast("long").alias("a"),
+        F.when(F.col("sw") < F.col("dur"), F.col("sw"))
+        .otherwise(F.col("dur")).alias("b"),
+        F.when(F.col("sw") < F.col("dur"), 0).otherwise(F.col("evt"))
+        .alias("e"),
+        F.lit(0).alias("x"))
+    post = base.filter(F.col("sw") < F.col("dur")).select(
+        F.col("sw").alias("a"), F.col("dur").alias("b"),
+        F.col("evt").alias("e"), F.lit(1).alias("x"))
+    return cox_newton_tv(pre.unionByName(post), "a", "b", "e", "x",
+                         iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -12864,6 +13309,12 @@ _PRIORITY: list[str] = [
     "dx_kendall_tau",
     "gx_breslow_day",
     "dx_cohen_kappa",
+    "surv_cindex",
+    "dx_jonckheere",
+    "dx_somers_d",
+    "curate_gains_curve",
+    "epi_direct_std",
+    "surv_cox_tv",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_embedding_cosine",
@@ -12895,12 +13346,12 @@ _PRIORITY: list[str] = [
     "a8c_cube",
     "a9_explode_words",
     "e_time_rollup",
+    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "o3_lag_gaps",
     "o4_exact_percentiles",
     "o6_approx_quantiles",
     "s12_merge_upsert",
     "s13_stratified_sample",
-    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "s14_profile",
     "tpch_q13_cust_distribution",
     "tpch_q1_pricing",

@@ -555,3 +555,315 @@ def test_kendall_tau_b_matches_bruteforce(spark):
     assert got.pairs_tied_x == n1 and got.pairs_tied_y == n2
     assert got.tau_b == pytest.approx(tau, abs=1e-6)
     assert got.z == pytest.approx((C - D) / _m.sqrt(var_s), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Concordance family (late r13): Harrell's C, Jonckheere-Terpstra,
+# Somers' D — each pinned against a naive O(n^2) local pair replay and
+# the cross-operator identities (k=2 JT == Mann-Whitney U; binary-y
+# Somers d_xy == Gini == 2*AUC - 1).
+# ---------------------------------------------------------------------------
+
+
+def _lcg(seed):
+    s = seed
+    while True:
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        yield s >> 33
+
+
+def test_cindex_matches_naive_pair_replay(spark):
+    from clinpy_spark.operators.survival import cindex
+
+    g = _lcg(11)
+    rows = [(next(g) % 30 + 1, next(g) % 2, next(g) % 10)
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "t long, e int, s long")
+    r = cindex(df, "t", "e", "s").collect()[0]
+    conc = disc = tied = comp = 0
+    for i, (ti, ei, si) in enumerate(rows):
+        if not ei:
+            continue
+        for j, (tj, ej, sj) in enumerate(rows):
+            if i == j:
+                continue
+            if tj > ti or (tj == ti and ej == 0):
+                comp += 1
+                if si > sj:
+                    conc += 1
+                elif si < sj:
+                    disc += 1
+                else:
+                    tied += 1
+    assert (r["comparable"], r["concordant"], r["discordant"],
+            r["tied_score"]) == (comp, conc, disc, tied)
+    assert r["c_index"] == round((conc + tied / 2) / comp, 6)
+    assert r["somers_d"] == round(2 * (conc + tied / 2) / comp - 1, 6)
+
+
+def test_cindex_perfect_and_reversed_score(spark):
+    from clinpy_spark.operators.survival import cindex
+
+    rows = [(t, 1, 100 - t) for t in range(1, 50)]
+    df = spark.createDataFrame(rows, "t long, e int, s long")
+    assert cindex(df, "t", "e", "s").collect()[0]["c_index"] == 1.0
+    rev = spark.createDataFrame(
+        [(t, 1, t) for t in range(1, 50)], "t long, e int, s long")
+    assert cindex(rev, "t", "e", "s").collect()[0]["c_index"] == 0.0
+
+
+def test_cindex_same_time_semantics(spark):
+    """Events at the same time are incomparable; an event vs a
+    censoring at the same time IS comparable (event precedes)."""
+    from clinpy_spark.operators.survival import cindex
+
+    df = spark.createDataFrame(
+        [(5, 1, 3), (5, 1, 1), (5, 0, 1)], "t long, e int, s long")
+    r = cindex(df, "t", "e", "s").collect()[0]
+    # pairs: (e@s3, e@s1) incomparable; (e@s3, c@s1) concordant;
+    # (e@s1, c@s1) tied-score comparable.
+    assert r["comparable"] == 2
+    assert r["concordant"] == 1
+    assert r["tied_score"] == 1
+    assert r["c_index"] == round(1.5 / 2, 6)
+
+
+def test_jonckheere_matches_naive_and_mannwhitney(spark):
+    from clinpy_spark.operators.assoc import (
+        jonckheere_terpstra, mann_whitney_u)
+
+    g = _lcg(23)
+    rows = [(next(g) % 4 + 1, float(next(g) % 13)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "g long, v double")
+    r = jonckheere_terpstra(df, "g", "v").collect()[0]
+    j2 = 0
+    for (ga, va) in rows:
+        for (gb, vb) in rows:
+            if ga < gb:
+                j2 += 2 if va < vb else (1 if va == vb else 0)
+    assert r["j_stat"] == j2 / 2
+    from collections import Counter
+    n = len(rows)
+    ni = Counter(gg for gg, _ in rows)
+    tv = Counter(v for _, v in rows)
+    e_j = (n * n - sum(m * m for m in ni.values())) / 4
+    f = lambda m: m * (m - 1) * (2 * m + 5)  # noqa: E731
+    g3 = lambda m: m * (m - 1) * (m - 2)  # noqa: E731
+    a = f(n) - sum(f(m) for m in ni.values()) - sum(
+        f(t) for t in tv.values())
+    b = sum(g3(m) for m in ni.values()) * sum(g3(t) for t in tv.values())
+    c = sum(m * (m - 1) for m in ni.values()) * sum(
+        t * (t - 1) for t in tv.values())
+    var = a / 72 + b / (36 * n * (n - 1) * (n - 2)) + c / (8 * n * (n - 1))
+    assert r["e_j"] == round(e_j, 6)
+    assert abs(r["var_j"] - var) < 1e-6
+    assert abs(r["z"] - (j2 / 2 - e_j) / math.sqrt(var)) < 1e-5
+
+    # k = 2: J IS the Mann-Whitney U of the higher-labelled group
+    two = [(gg, v) for gg, v in rows if gg in (1, 2)]
+    df2 = spark.createDataFrame(two, "g long, v double")
+    rj = jonckheere_terpstra(df2, "g", "v").collect()[0]
+    u = sum((1 if va < vb else 0.5 if va == vb else 0)
+            for (ga, va) in two for (gb, vb) in two
+            if ga == 1 and gb == 2)
+    assert rj["j_stat"] == u
+    mw = mann_whitney_u(df2, "v", "g", 2, 1).collect()[0]
+    assert float(mw["u_a"]) == u
+
+
+def test_somers_d_naive_and_binary_auc_identity(spark):
+    from clinpy_spark.operators.assoc import somers_d
+    from clinpy_spark.operators.classify import roc_auc
+
+    g = _lcg(37)
+    rows = [(next(g) % 20 + 1, next(g) % 2) for _ in range(500)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = somers_d(df, "x", "y").collect()[0]
+    cc = dd = tx = ty = 0
+    for i, (xa, ya) in enumerate(rows):
+        for (xb, yb) in rows[i + 1:]:
+            if xa != xb and ya != yb:
+                if (xa - xb) * (ya - yb) > 0:
+                    cc += 1
+                else:
+                    dd += 1
+            if xa == xb:
+                tx += 1
+            if ya == yb:
+                ty += 1
+    n0 = len(rows) * (len(rows) - 1) // 2
+    s = cc - dd
+    assert (r["concordant"], r["discordant"]) == (cc, dd)
+    assert r["d_yx"] == round(s / (n0 - tx), 6)
+    assert r["d_xy"] == round(s / (n0 - ty), 6)
+    auc = roc_auc(df.withColumn("y", F.col("y").cast("int")),
+                  "x", "y").collect()[0]
+    assert abs(float(auc["auc"]) - (s / (n0 - ty) + 1) / 2) < 2e-6
+
+
+def test_somers_z_matches_kendall_z(spark):
+    """tau-b, d_yx, d_xy share S and its null variance — one z."""
+    from clinpy_spark.operators.assoc import kendall_tau_b, somers_d
+
+    g = _lcg(41)
+    rows = [(next(g) % 8 + 1, next(g) % 5) for _ in range(300)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zk = kendall_tau_b(df, "x", "y").collect()[0]["z"]
+    zs = somers_d(df, "x", "y").collect()[0]["z"]
+    assert zk == zs
+
+
+def test_gains_table_naive_replay(spark):
+    from clinpy_spark.operators.classify import gains_table
+
+    g = _lcg(53)
+    rows = [(next(g) % 8, 1 if next(g) % 100 < 30 else 0)
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = {r["score"]: r for r in gains_table(df, "s", "y").collect()}
+    from collections import Counter
+    per_n = Counter(s for s, _ in rows)
+    per_p = Counter(s for s, y in rows if y)
+    nn, pp = len(rows), sum(y for _, y in rows)
+    cum_n = cum_p = 0
+    for s in sorted(per_n, reverse=True):
+        cum_n += per_n[s]
+        cum_p += per_p.get(s, 0)
+        r = out[float(s)]
+        assert (r["n"], r["positives"], r["cum_n"], r["cum_pos"]) == (
+            per_n[s], per_p.get(s, 0), cum_n, cum_p)
+        assert r["depth"] == round(cum_n / nn, 6)
+        assert r["gain"] == round(cum_p / pp, 6)
+        assert r["lift"] == round((cum_p / pp) / (cum_n / nn), 6)
+        assert r["ks"] == round(cum_p / pp - (cum_n - cum_p) / (nn - pp), 6)
+    # full depth: gain = lift = 1, ks = 0
+    last = out[float(min(per_n))]
+    assert last["gain"] == 1.0 and last["lift"] == 1.0 and last["ks"] == 0.0
+
+
+def test_direct_standardization_removes_confounding(spark):
+    """Classic Simpson setup: both groups have IDENTICAL stratum-
+    specific rates (0.01 in young, 0.10 in old) but opposite stratum
+    mixes — crude rates differ, adjusted rates are equal."""
+    from clinpy_spark.operators.survival import direct_standardization
+
+    rows = []
+    # group A: 900 young + 100 old person-units; group B reversed.
+    # encode as (group, stratum, events, time) pseudo-rows.
+    rows += [("A", "young", 9, 900.0), ("A", "old", 10, 100.0),
+             ("B", "young", 1, 100.0), ("B", "old", 90, 900.0)]
+    df = spark.createDataFrame(
+        rows, "g string, s string, e long, t double")
+    out = {r["group"]: r
+           for r in direct_standardization(df, "g", "s", "e", "t").collect()}
+    a, b = out["A"], out["B"]
+    assert a["crude_rate"] != b["crude_rate"]
+    assert a["adj_rate"] == b["adj_rate"]
+    # adjusted = pooled-weighted 0.01/0.10 mix: w_young = w_old = 1000
+    assert a["adj_rate"] == round((1000 * 0.01 + 1000 * 0.1) / 2000, 6)
+    # variance formula replay for A
+    wsum = 2000.0
+    wv = 1000.0 ** 2 * 9 / 900.0 ** 2 + 1000.0 ** 2 * 10 / 100.0 ** 2
+    assert a["se_adj"] == round(wv ** 0.5 / wsum, 6)
+    assert a["strata_used"] == 2
+
+
+def test_direct_standardization_skips_empty_stratum(spark):
+    from clinpy_spark.operators.survival import direct_standardization
+
+    rows = [("A", "s1", 2, 100.0), ("A", "s2", 0, 0.0),
+            ("B", "s1", 1, 50.0), ("B", "s2", 3, 60.0)]
+    df = spark.createDataFrame(rows, "g string, s string, e long, t double")
+    out = {r["group"]: r
+           for r in direct_standardization(df, "g", "s", "e", "t").collect()}
+    assert out["A"]["strata_used"] == 1
+    assert out["B"]["strata_used"] == 2
+    # A's adjusted uses only s1: rate = 2/100 regardless of weights
+    assert out["A"]["adj_rate"] == round(2 / 100.0, 6)
+
+
+def test_cox_tv_single_episode_reduces_to_cox_newton(spark):
+    """One episode (0, t] per subject IS the time-invariant model —
+    the counting-process risk sets reproduce total-minus-prefix
+    bit-exactly, so every emitted statistic matches cox_newton."""
+    from clinpy_spark.operators.survival import cox_newton, cox_newton_tv
+
+    g = _lcg(61)
+    subj = [(next(g) % 60 + 1, next(g) % 2, next(g) % 2)
+            for _ in range(400)]
+    plain = cox_newton(
+        spark.createDataFrame(subj, "t long, e int, x int"),
+        "t", "e", "x").collect()[0]
+    tv = cox_newton_tv(
+        spark.createDataFrame([(0, t, e, x) for (t, e, x) in subj],
+                              "a long, b long, e int, x int"),
+        "a", "b", "e", "x").collect()[0]
+    for k in ("beta", "hr", "se", "wald_chi2", "n_events"):
+        assert plain[k] == tv[k], k
+    assert tv["n_episodes"] == plain["n_subjects"]
+
+
+def test_cox_tv_matches_naive_partial_likelihood(spark):
+    """Treatment-switch episodes against a local Newton replay on the
+    brute-force risk sets (start < t <= stop)."""
+    from clinpy_spark.operators.survival import cox_newton_tv
+
+    g = _lcg(67)
+    eps = []
+    for _ in range(120):
+        dur = next(g) % 40 + 2
+        evt = 1 if next(g) % 3 < 2 else 0
+        sw = next(g) % 60
+        if sw >= dur:
+            eps.append((0, dur, evt, 0))
+        else:
+            if sw > 0:
+                eps.append((0, sw, 0, 0))
+            eps.append((sw, dur, evt, 1))
+    r = cox_newton_tv(
+        spark.createDataFrame(eps, "a long, b long, e int, x int"),
+        "a", "b", "e", "x", iterations=6).collect()[0]
+
+    from collections import Counter
+    evt_at, evx_at = Counter(), Counter()
+    for (a, b, e, x) in eps:
+        if e:
+            evt_at[b] += 1
+            evx_at[b] += x
+    beta = 0.0
+    for _ in range(6):
+        u = i = 0.0
+        for t in sorted(evt_at):
+            r1 = sum(1 for (a, b, e, x) in eps if a < t <= b and x == 1)
+            r0 = sum(1 for (a, b, e, x) in eps if a < t <= b and x == 0)
+            s1 = r1 * math.exp(beta)
+            frac = s1 / (r0 + s1)
+            u += evx_at[t] - evt_at[t] * frac
+            i += evt_at[t] * frac * (1 - frac)
+        beta += u / i
+    assert r["beta"] == round(beta, 6)
+    assert r["se"] == round(1 / math.sqrt(i), 6)
+    assert r["n_episodes"] == len(eps)
+
+
+def test_cox_tv_risk_set_boundaries(spark):
+    """An arrival AT an event time is not yet at risk; a departure AT
+    the event time still is; zero-length episodes are dropped."""
+    from clinpy_spark.operators.survival import cox_newton_tv
+    from clinpy_spark.operators.survival import _binary_event_grid_tv
+
+    eps = [
+        (0, 10, 1, 0),   # event at 10
+        (10, 20, 0, 1),  # arrives AT 10 -> NOT at risk at t=10
+        (5, 10, 0, 1),   # departs AT 10 -> at risk at t=10
+        (3, 3, 1, 1),    # zero-length -> dropped entirely
+    ]
+    df = spark.createDataFrame(eps, "a long, b long, e int, x int")
+    grid = {r["__t"]: r for r in
+            _binary_event_grid_tv(df, "a", "b", "e", "x").collect()}
+    assert set(grid) == {10.0}
+    r10 = grid[10.0]
+    assert r10["n"] == 2 and r10["n1"] == 1
+    assert r10["d"] == 1 and r10["d1"] == 0
+    out = cox_newton_tv(df, "a", "b", "e", "x").collect()[0]
+    assert out["n_episodes"] == 3

@@ -85,6 +85,15 @@ EXPECTED_UNBOUNDED = {
                        # proven constant-row by the shape gate) plus
                        # 1-row tie/total broadcasts — pair work is
                        # |cells|^2, never n^2
+    "dx_somers_d",  # same shared _pair_grid_stats machinery (and
+                    # contract) as dx_kendall_tau
+    "surv_cindex",  # NO pair join at all — the crossJoins are the
+                    # 1-row band-list collect_set broadcast (dense-grid
+                    # axis, logrank_k pattern) and the 1-row
+                    # conc/tied/comp aggregate
+    "dx_jonckheere",  # NO pair join — crossJoins are the 1-row ordered
+                      # group-list broadcast (dense-grid axis) and the
+                      # 1-row J2/group-moment/tie-moment aggregates
     "s19_bootstrap_ci",  # crossJoin vs the ONE-ROW point-estimate agg
     "dx_cohen_kappa",  # crossJoin of the TWO 1-row aggregates (observed
                        # agreement + marginal chance rate) into the
@@ -142,6 +151,9 @@ EXPECTED_UNBOUNDED = {
     "surv_cox_beta",  # each Newton step crossJoins the bounded grid vs
                       # the 1-row scalar-beta aggregate, plus the 1-row
                       # n_subjects count (same shape as surv_cox_score)
+    "surv_cox_tv",  # same _newton_beta shape over the counting-process
+                    # flow grid: bounded-grid crossJoins vs the 1-row
+                    # beta and n_episodes aggregates
     "gx_king_kinship",  # the CONSTANT 200-row broadcast variant-range
                         # grid expansion (same shape as gx_ld_r2); the
                         # kinship pair join itself is a variant equi-join
