@@ -219,3 +219,125 @@ def finalize_finegray_beta(
     from clinpy_spark.operators.survival import finegray_newton_from_leavers
 
     return finegray_newton_from_leavers(partials, iterations=iterations)
+
+
+def cox_tv_partials(
+    batch: DataFrame,
+    start_col: str,
+    stop_col: str,
+    event_col: str,
+    x_col: str,
+) -> DataFrame:
+    """One micro-batch of counting-process EPISODES -> additive
+    per-time partials (__t, d, d1, fn, fn1, eps): events of the
+    episode stopping at t, the NET at-risk flow at t (arrivals at
+    start minus departures at stop — the sufficient statistic of
+    ``operators/survival._binary_event_grid_tv``'s risk sets, which
+    are its strict prefix sums), and the episode count (arrivals) for
+    n_episodes. All integer counters, so micro-batches fold by plain
+    addition."""
+    ep = (
+        batch.select(
+            F.col(start_col).cast("double").alias("__a"),
+            F.col(stop_col).cast("double").alias("__b"),
+            F.col(event_col).cast("int").alias("__e"),
+            F.col(x_col).cast("int").alias("__x"),
+        )
+        .filter(F.col("__b") > F.col("__a"))
+    )
+    zero = F.lit(0).cast("long")
+    at_start = ep.groupBy(F.col("__a").alias("__t")).agg(
+        F.sum(F.lit(0)).alias("d"), F.sum(F.lit(0)).alias("d1"),
+        F.count(F.lit(1)).alias("fn"), F.sum("__x").alias("fn1"),
+        F.count(F.lit(1)).alias("eps"))
+    at_stop = ep.groupBy(F.col("__b").alias("__t")).agg(
+        F.sum("__e").alias("d"),
+        F.sum(F.col("__e") * F.col("__x")).alias("d1"),
+        (-F.count(F.lit(1))).alias("fn"), (-F.sum("__x")).alias("fn1"),
+        zero.alias("eps"))
+    return (
+        at_start.unionByName(at_stop)
+        .groupBy("__t")
+        .agg(*[F.sum(c).alias(c) for c in ("d", "d1", "fn", "fn1", "eps")])
+    )
+
+
+def stream_cox_tv_partials(
+    stream: DataFrame,
+    catalog,
+    name: str,
+    start_col: str,
+    stop_col: str,
+    event_col: str,
+    x_col: str,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Fold each micro-batch's counting-process partials into the
+    persisted ``name`` table (addition-merge keyed by __t with the
+    idempotent lineage-ledger stamp). Read the live time-varying Cox
+    fit with :func:`finalize_cox_tv` — continuously-monitored
+    treatment-switch hazard ratio without rescanning episode
+    history."""
+    checkpoint = checkpoint or os.path.join(
+        catalog.project_dir, name).rstrip("/") + ".__coxtv_checkpoint__"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = cox_tv_partials(batch, start_col, stop_col, event_col,
+                               x_col)
+        fold_partials(catalog, name, part, batch_id,
+                      keys=["__t"],
+                      counters=["d", "d1", "fn", "fn1", "eps"],
+                      run_id=lineage_token(checkpoint))
+
+    w = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def finalize_cox_tv(partials: DataFrame, iterations: int = 3) -> DataFrame:
+    """Time-varying Cox MLE over the maintained per-time partial table
+    — identical to the batch ``cox_newton_tv`` over the same episodes
+    (twin test): risk sets are the strict prefix sums of the folded
+    net flows, then the shared Newton loop and emission."""
+    from pyspark.sql.window import Window
+
+    from clinpy_spark.operators.survival import _newton_beta
+
+    w_prev = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1)
+    grid = (
+        partials.withColumn(
+            "n", F.coalesce(F.sum("fn").over(w_prev), F.lit(0)))
+        .withColumn(
+            "n1", F.coalesce(F.sum("fn1").over(w_prev), F.lit(0)))
+        .filter(F.col("d") > 0)
+        .select("__t", "d", "d1", "n", "n1")
+        .localCheckpoint(eager=False)
+    )
+    beta = _newton_beta(partials.sparkSession, grid, iterations)
+    fin = grid.crossJoin(F.broadcast(beta))
+    s1 = F.col("n1") * F.exp(F.col("beta"))
+    s0 = (F.col("n") - F.col("n1")) + s1
+    frac = s1 / s0
+    i_t = F.col("d") * frac * (1 - frac)
+    stats = fin.agg(
+        F.max("beta").alias("beta"),
+        F.sum(i_t).alias("__i"), F.sum("d").alias("n_events"))
+    counts = partials.groupBy().agg(
+        F.coalesce(F.sum("eps"), F.lit(0)).alias("n_episodes"))
+    ok = F.col("beta").isNotNull() & (F.col("__i") > 0)
+    return stats.crossJoin(F.broadcast(counts)).select(
+        F.when(ok, F.round("beta", 6)).alias("beta"),
+        F.when(ok, F.round(F.exp("beta"), 6)).alias("hr"),
+        F.when(ok, F.round(1 / F.sqrt("__i"), 6)).alias("se"),
+        F.when(ok, F.round(F.col("beta") * F.col("beta") * F.col("__i"), 6))
+        .alias("wald_chi2"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "n_episodes",
+    )

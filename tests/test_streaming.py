@@ -1524,3 +1524,68 @@ def test_streaming_ordinal_shares_multinomial_fold(spark, tmp_path):
     # the same folded table still serves the nominal reader
     mn = finalize_multinomial(cat.table("cls_counts")).collect()[0]
     assert mn.n == 240
+
+
+def test_streaming_cox_tv_fresh_checkpoint_twin(spark, tmp_path):
+    """Time-varying Cox streaming twin: fold 2 micro-batches of
+    treatment-switch episodes, restart with a FRESH checkpoint over a
+    late file into the same partial table, and assert the refit on
+    read equals the batch cox_newton_tv over the union of all
+    episodes (risk sets rebuild as strict prefix sums of the folded
+    net flows)."""
+    import json as _json
+
+    from clinpy_spark.operators.survival import cox_newton_tv
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.survival import (
+        finalize_cox_tv, stream_cox_tv_partials,
+    )
+
+    def mk(seed, n):
+        out = []
+        for i in range(n):
+            dur = (i * 29 + seed) % 40 + 2
+            evt = 1 if (i * 7 + seed) % 3 < 2 else 0
+            sw = (i * 13 + seed) % 60
+            if sw >= dur:
+                out.append((0, dur, evt, 0))
+            else:
+                if sw > 0:
+                    out.append((0, sw, 0, 0))
+                out.append((sw, dur, evt, 1))
+        return out
+
+    b1, b2, b3 = mk(0, 60), mk(3, 50), mk(5, 40)
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    schema = "a long, b long, e int, x int"
+
+    def _write(src, i, rows):
+        with open(src / f"part-{i}.json", "w") as fh:
+            for a, b, e, x in rows:
+                fh.write(_json.dumps({"a": a, "b": b, "e": e, "x": x})
+                         + "\n")
+
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    _write(src1, 0, b1)
+    _write(src1, 1, b2)
+    s1 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src1)))
+    stream_cox_tv_partials(
+        s1, cat, "coxtv_grid", "a", "b", "e", "x",
+        checkpoint=str(tmp_path / "ck1")).awaitTermination(120)
+
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    _write(src2, 0, b3)
+    s2 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src2)))
+    stream_cox_tv_partials(
+        s2, cat, "coxtv_grid", "a", "b", "e", "x",
+        checkpoint=str(tmp_path / "ck2")).awaitTermination(120)
+
+    batch = spark.createDataFrame(b1 + b2 + b3, schema)
+    got = finalize_cox_tv(cat.table("coxtv_grid")).collect()[0]
+    want = cox_newton_tv(batch, "a", "b", "e", "x").collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.beta is not None and got.n_episodes == len(b1 + b2 + b3)
