@@ -149,3 +149,82 @@ def trigram_interpolated_surprisal(
         .withColumnRenamed("__id", id_col)
     )
 
+
+
+def kneser_ney_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, surprisal): mean -ln p(cur|prev) per document
+    under an INTERPOLATED KNESER-NEY bigram model self-trained on the
+    corpus — the modern-smoothing rung above
+    :func:`bigram_surprisal`'s add-one and
+    :func:`trigram_interpolated_surprisal`'s Jelinek-Mercer: the
+    backoff mass goes to the CONTINUATION probability (in how many
+    distinct contexts does this word appear?) rather than raw
+    frequency, so boilerplate tokens that are frequent in one context
+    ("Francisco" after "San") stop inflating unseen-context
+    likelihoods (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.25):
+
+        p(cur|prev) = (c(prev,cur) - D) / c(prev ·)
+                      + D * N1+(prev ·)/c(prev ·) * N1+(· cur)/T
+
+    with c(prev ·) the bigram-token count of the context, N1+ the
+    distinct-neighbor type counts, T total bigram types, and the
+    discount D = n1/(n1 + 2 n2) estimated from the bigram
+    count-of-counts (absolute-discounting MLE). Self-trained scoring
+    means every scored bigram has c >= 1 > D, so p > 0 with no extra
+    floor. Documents with fewer than two tokens are omitted.
+
+    Scale shape: same as the sibling models — one tokenization feeds
+    both count tables and scoring rows, explodes linear in corpus
+    tokens, count joins shuffle on the n-gram key, and the (T, D)
+    constants are a 1-row broadcast.
+    """
+    base = _tok_arrays(docs, id_col, text_col).localCheckpoint(eager=False)
+    pairs = base.filter(F.size("__toks") >= 2).select(
+        "__id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> struct(__toks[i - 1] AS prev, __toks[i] AS cur))"
+            )
+        ).alias("__bg"),
+    ).select("__id", F.col("__bg.prev").alias("prev"),
+             F.col("__bg.cur").alias("cur"))
+    bgc = pairs.groupBy(
+        F.col("prev").alias("__bp"), F.col("cur").alias("__bc")
+    ).agg(F.count("*").alias("__c2"))
+    ctx = bgc.groupBy(F.col("__bp").alias("prev")).agg(
+        F.sum("__c2").alias("__ctot"), F.count("*").alias("__fan"))
+    cont = bgc.groupBy(F.col("__bc").alias("cur")).agg(
+        F.count("*").alias("__cont"))
+    consts = bgc.agg(
+        F.count("*").alias("__t"),
+        F.sum((F.col("__c2") == 1).cast("long")).alias("__n1"),
+        F.sum((F.col("__c2") == 2).cast("long")).alias("__n2"))
+    d = F.when(
+        F.col("__n1") + 2 * F.col("__n2") > 0,
+        F.col("__n1").cast("double") / (F.col("__n1") + 2 * F.col("__n2")),
+    ).otherwise(F.lit(0.5))
+    p = (
+        (F.col("__c2") - d) / F.col("__ctot")
+        + d * F.col("__fan") / F.col("__ctot")
+        * F.col("__cont") / F.col("__t")
+    )
+    scored = (
+        pairs
+        .join(bgc, (pairs.prev == F.col("__bp"))
+              & (pairs.cur == F.col("__bc")))
+        .join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("__s", -F.log(p))
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.avg("__s").alias("surprisal"))
+        .withColumnRenamed("__id", id_col)
+    )

@@ -13272,6 +13272,49 @@ def surv_cox_tv_q(spark, sf):
                          iterations=3)
 
 
+@q("text_kneser_ney", f"""
+WITH d AS (SELECT doc_id, w FROM ({_SHINGLE_SQL}) base),
+pairs AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM d, unnest(range(1, len(w))) AS u(i)),
+bgc AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS ctot,
+               CAST(count(*) AS BIGINT) AS fan
+        FROM bgc GROUP BY prev),
+cont AS (SELECT cur, CAST(count(*) AS BIGINT) AS cont FROM bgc GROUP BY cur),
+consts AS (SELECT CAST(count(*) AS BIGINT) AS t,
+                  CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2
+           FROM bgc)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(
+         (c2 - CASE WHEN n1 + 2 * n2 > 0
+                    THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2)
+                    ELSE 0.5 END) / ctot
+         + CASE WHEN n1 + 2 * n2 > 0
+                THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2)
+                ELSE 0.5 END * fan / ctot * cont / t
+       )), 6) AS surprisal
+FROM pairs JOIN bgc USING (prev, cur) JOIN ctx USING (prev)
+     JOIN cont USING (cur), consts
+GROUP BY doc_id
+""")
+def text_kneser_ney_q(spark, sf):
+    # Interpolated Kneser-Ney bigram LM (operators/lm.py
+    # kneser_ney_surprisal): absolute discounting with the
+    # count-of-counts MLE discount and CONTINUATION-probability
+    # backoff — the modern-smoothing rung above text_lm_surprisal's
+    # add-one and text_trigram_ppl's Jelinek-Mercer. Same one-pass
+    # tokenization, n-gram-keyed count joins, 1-row (T, D) broadcast.
+    from clinpy_spark.operators.lm import kneser_ney_surprisal
+
+    out = kneser_ney_surprisal(_t(spark, sf, "documents"))
+    return out.select("doc_id", "n_bigrams",
+                      F.round("surprisal", 6).alias("surprisal"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -13315,6 +13358,7 @@ _PRIORITY: list[str] = [
     "curate_gains_curve",
     "epi_direct_std",
     "surv_cox_tv",
+    "text_kneser_ney",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_embedding_cosine",
@@ -13345,8 +13389,8 @@ _PRIORITY: list[str] = [
     "a8_rollup",
     "a8c_cube",
     "a9_explode_words",
-    "e_time_rollup",
     # -- beyond the 50-slot driver window (kept for local gate ordering) --
+    "e_time_rollup",
     "o3_lag_gaps",
     "o4_exact_percentiles",
     "o6_approx_quantiles",

@@ -3519,3 +3519,58 @@ def test_containment_pairs_subset_doc(spark):
     # df cap: the shared shingle appears in both docs; cap 1 removes it
     none = containment_pairs(df, threshold=0.1, max_shingle_df=1).collect()
     assert none == []
+
+
+def test_kneser_ney_surprisal_replay_and_normalization(spark):
+    """Interpolated-KN bigram LM: the operator matches a local replay
+    of the model on a small corpus, and the replayed conditional
+    distribution sums to 1 over the continuation domain for every
+    context (the KN invariant add-one smoothing lacks)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from clinpy_spark.operators.lm import kneser_ney_surprisal
+
+    rows = [
+        (1, "san francisco is big san francisco is far"),
+        (2, "new york is big new york is old"),
+        (3, "francisco york is big is big"),
+        (4, "a"),                 # too short: omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in kneser_ney_surprisal(df).collect()}
+    assert set(got) == {1, 2, 3}
+
+    # local model replay
+    docs = {i: t.split() for i, t in rows if len(t.split()) >= 2}
+    bgc = Counter()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            bgc[(a, b)] += 1
+    ctot = Counter(); fan = Counter(); cont = Counter()
+    for (a, b), c in bgc.items():
+        ctot[a] += c
+        fan[a] += 1
+        cont[b] += 1
+    t = len(bgc)
+    n1 = sum(1 for c in bgc.values() if c == 1)
+    n2 = sum(1 for c in bgc.values() if c == 2)
+    d = n1 / (n1 + 2 * n2) if n1 + 2 * n2 else 0.5
+
+    def p(a, b):
+        return ((bgc[(a, b)] - d) / ctot[a]
+                + d * fan[a] / ctot[a] * cont[b] / t)
+
+    for i, toks in docs.items():
+        s = [-math.log(p(a, b)) for a, b in zip(toks, toks[1:])]
+        assert got[i].n_bigrams == len(s)
+        assert abs(got[i].surprisal - sum(s) / len(s)) < 1e-9
+
+    # normalization invariant: sum over the continuation domain is 1
+    curs = set(cont)
+    for a in ctot:
+        total = sum(
+            (max(bgc[(a, b)] - d, 0.0)) / ctot[a]
+            + d * fan[a] / ctot[a] * cont[b] / t
+            for b in curs)
+        assert abs(total - 1.0) < 1e-12, a

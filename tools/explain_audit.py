@@ -49,6 +49,9 @@ EXPECTED_UNBOUNDED = {
     "retrieval_rrf",  # same 1-row corpus-constants crossJoin, via bm25/tfidf scorers
     "text_tfidf_top_term",  # crossJoin vs the 1-row N constant
     "text_lm_surprisal",  # crossJoin vs the 1-row vocabulary-size constant
+    "text_kneser_ney",  # crossJoin vs the 1-row (T, n1, n2) bigram
+                        # count-of-counts constants (same shape as
+                        # text_trigram_ppl)
     # The recall gates measure an approximate operator AGAINST the exact
     # brute-force top-k — the all-pairs baseline is the definition of
     # recall, not an accident; bounded by the 25-query probe set. The
