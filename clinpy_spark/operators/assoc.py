@@ -3807,3 +3807,73 @@ def jonckheere_terpstra(
         F.when(var_j > 0,
                F.round((jstat - e_j) / F.sqrt(var_j), 6) + 0.0).alias("z"),
     )
+
+
+def conditional_logit_11(
+    df: DataFrame,
+    stratum_col: str,
+    case_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Conditional logistic regression for 1:1 MATCHED case-control
+    pairs with a binary exposure: 1 row (n_strata, n_used, n10, n01,
+    beta, or_hat, se, z, mcnemar_chi2) — the matched-design
+    counterpart of :func:`logistic_newton` (an unconditional fit on
+    matched data biases the odds ratio away from 1; conditioning on
+    the pair removes the per-stratum nuisance intercepts, Breslow &
+    Day ch. 7). For one case and one control per stratum the
+    conditional MLE is CLOSED FORM on the discordant pairs: with n10
+    pairs where only the case is exposed and n01 where only the
+    control is, beta = ln(n10/n01), se = sqrt(1/n10 + 1/n01), and the
+    score test is exactly McNemar's chi2 = (n10-n01)^2/(n10+n01)
+    (``mcnemar_test``'s statistic — concordant pairs carry no
+    information). Strata violating the 1:1 contract (not exactly one
+    case and one control with non-null exposure) are EXCLUDED and
+    counted via n_strata vs n_used; beta/se are NULL when either
+    discordant count is 0 (infinite MLE), the chi2 only needs
+    n10 + n01 > 0.
+
+    Scale shape: one groupBy to per-stratum (case-exposure,
+    control-exposure) sums, one global aggregate. No windows, no
+    joins, no collect.
+    """
+    case = F.col(case_col).cast("int")
+    x = F.col(x_col).cast("int")
+    per = (
+        df.filter(F.col(stratum_col).isNotNull()
+                  & case.isNotNull() & x.isNotNull())
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(case).alias("__nc"),
+            F.sum(case * x).alias("__xc"),
+            F.sum((1 - case) * x).alias("__xk"),
+        )
+    )
+    ok = (F.col("__n") == 2) & (F.col("__nc") == 1)
+    one = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(ok.cast("long")).alias("n_used"),
+        F.sum(F.when(ok & (F.col("__xc") == 1) & (F.col("__xk") == 0), 1)
+              .otherwise(0)).alias("n10"),
+        F.sum(F.when(ok & (F.col("__xc") == 0) & (F.col("__xk") == 1), 1)
+              .otherwise(0)).alias("n01"),
+    )
+    n10 = F.col("n10").cast("double")
+    n01 = F.col("n01").cast("double")
+    est = (F.col("n10") > 0) & (F.col("n01") > 0)
+    disc = (F.col("n10") + F.col("n01")) > 0
+    beta = F.log(n10 / n01)
+    se = F.sqrt(1 / n10 + 1 / n01)
+    return one.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("n_used").cast("long").alias("n_used"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.when(est, F.round(beta, 6) + 0.0).alias("beta"),
+        F.when(est, F.round(n10 / n01, 6)).alias("or_hat"),
+        F.when(est, F.round(se, 6)).alias("se"),
+        F.when(est, F.round(beta / se, 6) + 0.0).alias("z"),
+        F.when(disc, F.round((n10 - n01) * (n10 - n01) / (n10 + n01), 6))
+        .alias("mcnemar_chi2"),
+    )

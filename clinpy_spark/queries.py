@@ -13315,6 +13315,71 @@ def text_kneser_ney_q(spark, sf):
                       F.round("surprisal", 6).alias("surprisal"))
 
 
+@q("dx_conditional_logit", """
+WITH base AS (
+  SELECT o_orderkey AS s,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))::BIGINT
+           AS h2
+  FROM orders),
+pairs AS MATERIALIZED (
+  SELECT s, 1 AS cs, CASE WHEN h % 100 < 60 THEN 1 ELSE 0 END AS x
+  FROM base
+  UNION ALL
+  SELECT s, 0 AS cs, CASE WHEN h2 % 100 < 40 THEN 1 ELSE 0 END AS x
+  FROM base),
+per AS (SELECT s, count(*) AS n, sum(cs) AS nc,
+               sum(cs * x) AS xc, sum((1 - cs) * x) AS xk
+        FROM pairs GROUP BY s),
+agg AS (SELECT
+    CAST(count(*) AS BIGINT) AS n_strata,
+    CAST(sum(CASE WHEN n = 2 AND nc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_used,
+    CAST(sum(CASE WHEN n = 2 AND nc = 1 AND xc = 1 AND xk = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(sum(CASE WHEN n = 2 AND nc = 1 AND xc = 0 AND xk = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS n01
+  FROM per)
+SELECT n_strata, n_used, n10, n01,
+       CASE WHEN n10 > 0 AND n01 > 0
+            THEN round(ln(CAST(n10 AS DOUBLE) / n01), 6) + 0.0
+       END AS beta,
+       CASE WHEN n10 > 0 AND n01 > 0
+            THEN round(CAST(n10 AS DOUBLE) / n01, 6) END AS or_hat,
+       CASE WHEN n10 > 0 AND n01 > 0
+            THEN round(sqrt(1.0 / n10 + 1.0 / n01), 6) END AS se,
+       CASE WHEN n10 > 0 AND n01 > 0
+            THEN round(ln(CAST(n10 AS DOUBLE) / n01)
+                       / sqrt(1.0 / n10 + 1.0 / n01), 6) + 0.0
+       END AS z,
+       CASE WHEN n10 + n01 > 0
+            THEN round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                       / (n10 + n01), 6)
+       END AS mcnemar_chi2
+FROM agg
+""")
+def dx_conditional_logit_q(spark, sf):
+    # 1:1 matched conditional logistic regression (operators/assoc.py
+    # conditional_logit_11): each order is a matched pair (hashed case
+    # and control exposures), the conditional MLE closed-form on the
+    # discordant pairs — beta = ln(n10/n01), score test = McNemar.
+    # One groupBy + one global aggregate; no joins, windows, collects.
+    from clinpy_spark.operators.assoc import conditional_logit_11
+
+    o = _t(spark, sf, "orders")
+    md = F.md5(F.col("o_orderkey").cast("string"))
+    h = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    case = o.select(
+        F.col("o_orderkey").alias("s"), F.lit(1).alias("cs"),
+        F.when(h % 100 < 60, 1).otherwise(0).alias("x"))
+    ctl = o.select(
+        F.col("o_orderkey").alias("s"), F.lit(0).alias("cs"),
+        F.when(h2 % 100 < 40, 1).otherwise(0).alias("x"))
+    return conditional_logit_11(case.unionByName(ctl), "s", "cs", "x")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -13359,6 +13424,7 @@ _PRIORITY: list[str] = [
     "epi_direct_std",
     "surv_cox_tv",
     "text_kneser_ney",
+    "dx_conditional_logit",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_embedding_cosine",
@@ -13388,8 +13454,8 @@ _PRIORITY: list[str] = [
     "a7_ratio_agg",
     "a8_rollup",
     "a8c_cube",
-    "a9_explode_words",
     # -- beyond the 50-slot driver window (kept for local gate ordering) --
+    "a9_explode_words",
     "e_time_rollup",
     "o3_lag_gaps",
     "o4_exact_percentiles",

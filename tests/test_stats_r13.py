@@ -867,3 +867,45 @@ def test_cox_tv_risk_set_boundaries(spark):
     assert r10["d"] == 1 and r10["d1"] == 0
     out = cox_newton_tv(df, "a", "b", "e", "x").collect()[0]
     assert out["n_episodes"] == 3
+
+
+def test_conditional_logit_11_discordant_replay(spark):
+    """Closed-form conditional MLE on a hand-built matched set:
+    beta = ln(n10/n01), se from the discordant counts, concordant
+    pairs carry no information, contract-violating strata excluded."""
+    from clinpy_spark.operators.assoc import conditional_logit_11
+
+    rows = []
+    # 12 pairs case-exposed only (n10), 4 control-exposed only (n01),
+    # 9 concordant-exposed, 5 concordant-unexposed
+    sid = 0
+    for n, (xc, xk) in ((12, (1, 0)), (4, (0, 1)), (9, (1, 1)),
+                        (5, (0, 0))):
+        for _ in range(n):
+            rows += [(sid, 1, xc), (sid, 0, xk)]
+            sid += 1
+    # violations: a 1:2 stratum and a two-case stratum
+    rows += [(sid, 1, 1), (sid, 0, 0), (sid, 0, 1)]
+    rows += [(sid + 1, 1, 1), (sid + 1, 1, 0)]
+    df = spark.createDataFrame(rows, "s long, cs int, x int")
+    r = conditional_logit_11(df, "s", "cs", "x").collect()[0]
+    assert (r["n_strata"], r["n_used"]) == (32, 30)
+    assert (r["n10"], r["n01"]) == (12, 4)
+    assert r["beta"] == round(math.log(3), 6)
+    assert r["or_hat"] == 3.0
+    assert r["se"] == round(math.sqrt(1 / 12 + 1 / 4), 6)
+    assert r["z"] == round(math.log(3) / math.sqrt(1 / 12 + 1 / 4), 6)
+    assert r["mcnemar_chi2"] == round(64 / 16, 6)
+
+
+def test_conditional_logit_11_zero_discordant_null(spark):
+    from clinpy_spark.operators.assoc import conditional_logit_11
+
+    rows = []
+    for i in range(6):
+        rows += [(i, 1, 1), (i, 0, 0)]  # all n10, no n01
+    df = spark.createDataFrame(rows, "s long, cs int, x int")
+    r = conditional_logit_11(df, "s", "cs", "x").collect()[0]
+    assert r["n10"] == 6 and r["n01"] == 0
+    assert r["beta"] is None and r["se"] is None and r["or_hat"] is None
+    assert r["mcnemar_chi2"] == 6.0
