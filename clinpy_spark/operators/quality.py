@@ -166,6 +166,43 @@ def k_anonymity_report(
     )
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity report over a quasi-identifier — the
+    governance rung above :func:`k_anonymity_report` (k-anonymity
+    alone is defeated by a homogeneous equivalence class: 5
+    indistinguishable rows that all share the same diagnosis still
+    leak it; Machanavajjhala et al. 2007): every equivalence class
+    must carry >= l DISTINCT sensitive values. 1 row (l, n_groups,
+    n_violating_groups, n_rows_at_risk, min_distinct_sensitive,
+    passed).
+
+    Scale shape: one two-level aggregate (exact countDistinct per
+    class via the (class, sensitive) pre-group, then one rollup) — no
+    windows, no joins.
+    """
+    per = (
+        df.groupBy(*quasi_cols, F.col(sensitive_col).alias("__sv"))
+        .agg(F.count("*").alias("__n"))
+        .groupBy(*quasi_cols)
+        .agg(F.count("*").alias("__d"), F.sum("__n").alias("__rows"))
+    )
+    return per.agg(
+        F.lit(l).alias("l"),
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("__d") < l, 1).otherwise(0)).cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("__d") < l, F.col("__rows")).otherwise(0))
+        .cast("long").alias("n_rows_at_risk"),
+        F.min("__d").cast("long").alias("min_distinct_sensitive"),
+        (F.min("__d") >= l).alias("passed"),
+    )
+
+
 def laplace_noisy_counts(
     df: DataFrame,
     group_col: str,

@@ -13380,6 +13380,98 @@ def dx_conditional_logit_q(spark, sf):
     return conditional_logit_11(case.unionByName(ctl), "s", "cs", "x")
 
 
+@q("q_l_diversity", """
+WITH per AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+           AS d,
+         CAST(count(*) AS BIGINT) AS rows_
+  FROM customer GROUP BY 1, 2)
+SELECT 3 AS l, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN d < 3 THEN rows_ ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(min(d) AS BIGINT) AS min_distinct_sensitive,
+       min(d) >= 3 AS passed
+FROM per
+""")
+def q_l_diversity_q(spark, sf):
+    # Distinct l-diversity (operators/quality.py l_diversity_report)
+    # over the (nation, segment) quasi-identifier with the banded
+    # account balance as the sensitive attribute — the governance rung
+    # above q_k_anonymity (a k-anonymous but homogeneous class still
+    # leaks its sensitive value). Two-level exact aggregate; no joins.
+    from clinpy_spark.operators.quality import l_diversity_report
+
+    c = _t(spark, sf, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long"))
+    return l_diversity_report(
+        c, ["c_nationkey", "c_mktsegment"], "bal_band", l=3)
+
+
+@q("surv_km_iptw", f"""
+WITH obs AS MATERIALIZED (
+  SELECT priority, duration, evt,
+         0.5 + (h2 % 8) / 4.0 AS w
+  FROM (SELECT o_orderpriority AS priority,
+               LEAST(h % 1500 + 1, dd) AS duration,
+               CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS evt,
+               h2
+        FROM (SELECT o_orderpriority,
+                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  ::BIGINT AS h,
+                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))
+                  ::BIGINT AS h2,
+                datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')))),
+agg AS (SELECT priority, duration,
+               sum(w * evt) AS wd, sum(w * (1 - evt)) AS wc
+        FROM obs GROUP BY priority, duration),
+wgt AS (SELECT *,
+          sum(wd + wc) OVER (PARTITION BY priority) -
+            coalesce(sum(wd + wc) OVER (PARTITION BY priority
+              ORDER BY duration
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS nw
+        FROM agg),
+s AS (SELECT *,
+        sum(CASE WHEN wd < nw THEN ln(1 - wd / nw) ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS lsum,
+        max(CASE WHEN wd >= nw THEN 1 ELSE 0 END)
+          OVER (PARTITION BY priority ORDER BY duration) AS zf
+      FROM wgt)
+SELECT priority, duration,
+       round(nw, 6) AS n_risk_w, round(wd, 6) AS events_w,
+       round(wc, 6) AS censored_w,
+       CASE WHEN zf = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS survival
+FROM s
+""")
+def surv_km_iptw_q(spark, sf):
+    # IPTW-adjusted Kaplan-Meier (operators/survival.py km_weighted):
+    # the pseudo-population survival curve under quarter-step
+    # deterministic weights (dyadic rationals, so every weighted sum is
+    # bit-exact in both engines) — same per-(arm, time) grid +
+    # total-minus-prefix windows as surv_km_curve.
+    from clinpy_spark.operators.survival import km_weighted
+
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    md = F.md5(F.col("o_orderkey").cast("string"))
+    h = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    followup = h % 1500 + 1
+    dd = F.datediff(
+        F.lit("1998-08-02").cast("date"), F.col("o_orderdate")).cast("long")
+    obs = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.least(followup, dd).alias("duration"),
+        F.when(followup <= dd, 1).otherwise(0).alias("evt"),
+        (0.5 + (h2 % 8) / F.lit(4.0)).alias("w"))
+    return km_weighted(obs, "duration", "evt", "priority", "w")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -13425,6 +13517,8 @@ _PRIORITY: list[str] = [
     "surv_cox_tv",
     "text_kneser_ney",
     "dx_conditional_logit",
+    "q_l_diversity",
+    "surv_km_iptw",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_embedding_cosine",
@@ -13452,9 +13546,9 @@ _PRIORITY: list[str] = [
     "a6_pivot_wide",
     "a6b_unpivot",
     "a7_ratio_agg",
+    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "a8_rollup",
     "a8c_cube",
-    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "a9_explode_words",
     "e_time_rollup",
     "o3_lag_gaps",

@@ -909,3 +909,65 @@ def test_conditional_logit_11_zero_discordant_null(spark):
     assert r["n10"] == 6 and r["n01"] == 0
     assert r["beta"] is None and r["se"] is None and r["or_hat"] is None
     assert r["mcnemar_chi2"] == 6.0
+
+
+def test_km_weighted_unit_weights_reduce_to_km_curve(spark):
+    from clinpy_spark.operators.survival import km_curve, km_weighted
+
+    g = _lcg(71)
+    rows = [("a" if next(g) % 2 else "b", next(g) % 30 + 1, next(g) % 2)
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, t long, e int")
+    plain = {(r["g"], r["t"]): r
+             for r in km_curve(df, "t", "e", "g").collect()}
+    wtd = {(r["g"], r["t"]): r
+           for r in km_weighted(df.withColumn("w", F.lit(1.0)),
+                                "t", "e", "g", "w").collect()}
+    assert set(plain) == set(wtd)
+    for k, p in plain.items():
+        r = wtd[k]
+        assert r["survival"] == p["survival"], k
+        assert r["n_risk_w"] == float(p["n_risk"])
+        assert r["events_w"] == float(p["n_events"])
+
+
+def test_km_weighted_hand_example(spark):
+    """3 subjects, weights 2/1/1: event at t=1 with w=2 drops the
+    curve to 1 - 2/4 = 0.5; the censoring at 2 leaves it; the final
+    event at 3 exhausts the weighted risk set -> 0."""
+    from clinpy_spark.operators.survival import km_weighted
+
+    df = spark.createDataFrame(
+        [("g", 1, 1, 2.0), ("g", 2, 0, 1.0), ("g", 3, 1, 1.0)],
+        "g string, t long, e int, w double")
+    out = {r["t"]: r for r in
+           km_weighted(df, "t", "e", "g", "w").collect()}
+    assert out[1]["survival"] == 0.5
+    assert out[2]["survival"] == 0.5
+    assert out[3]["survival"] == 0.0
+    assert out[1]["n_risk_w"] == 4.0 and out[3]["n_risk_w"] == 1.0
+    # zero/negative/null weights drop the row entirely
+    df2 = spark.createDataFrame(
+        [("g", 1, 1, 2.0), ("g", 1, 1, 0.0), ("g", 2, 0, -1.0),
+         ("g", 3, 1, None)],
+        "g string, t long, e int, w double")
+    out2 = km_weighted(df2, "t", "e", "g", "w").collect()
+    assert len(out2) == 1 and out2[0]["n_risk_w"] == 2.0
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    from clinpy_spark.operators.quality import l_diversity_report
+
+    rows = (
+        [("n1", "s1", "flu")] * 5          # k-anonymous but homogeneous
+        + [("n1", "s2", "flu"), ("n1", "s2", "cold"),
+           ("n1", "s2", "cough")]          # diverse
+        + [("n2", "s1", "flu"), ("n2", "s1", "cold")]  # 2 distinct < 3
+    )
+    df = spark.createDataFrame(rows, "qa string, qb string, dx string")
+    r = l_diversity_report(df, ["qa", "qb"], "dx", l=3).collect()[0]
+    assert r["n_groups"] == 3
+    assert r["n_violating_groups"] == 2
+    assert r["n_rows_at_risk"] == 7
+    assert r["min_distinct_sensitive"] == 1
+    assert r["passed"] is False
