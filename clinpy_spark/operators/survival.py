@@ -2289,3 +2289,51 @@ def km_weighted(
         F.when(F.col("__zero") == 1, F.lit(0.0))
         .otherwise(F.round(F.exp("__lsum"), 6)).alias("survival"),
     )
+
+
+def mcf_curve(
+    df: DataFrame,
+    start_col: str,
+    stop_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen MEAN CUMULATIVE FUNCTION for RECURRENT events over
+    counting-process episodes — the population-average number of
+    events per subject by time t (readmissions per patient, repairs
+    per machine, orders per customer; Nelson 2003): one row per event
+    time (t, n_risk, n_events, mcf, se) with
+    mcf(t) = sum_{t' <= t} d(t')/n(t') and the Poisson-type variance
+    sum d/n^2. KM/cuminc answer time-to-FIRST-event questions; the
+    MCF is the estimand once subjects can fail repeatedly —
+    :func:`cox_newton_tv`'s episode format, reused verbatim
+    (``event_col`` may carry a per-episode event COUNT for multiple
+    events closing one episode).
+
+    Risk sets come from the same arrival/departure flow grid
+    (:func:`_binary_event_grid_tv` with a constant covariate): an
+    episode is at risk on (start, stop], so a subject's own event
+    episode keeps it at risk at the event time and n(t) >= d(t) > 0 at
+    every emitted row. Zero-length episodes are dropped.
+
+    Scale shape: grid-sized flow aggregates + two ordered windows over
+    the bounded pooled time grid; the episode table is scanned a
+    bounded number of times and never self-joined.
+    """
+    grid = _binary_event_grid_tv(
+        df.withColumn("__one", F.lit(1)), start_col, stop_col,
+        event_col, "__one")
+    w_cum = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0)
+    frac = F.col("d").cast("double") / F.col("n")
+    var_t = F.col("d").cast("double") / (F.col("n") * F.col("n"))
+    out = (
+        grid.withColumn("__mcf", F.sum(frac).over(w_cum))
+        .withColumn("__var", F.sum(var_t).over(w_cum))
+    )
+    return out.select(
+        F.col("__t").alias("t"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round("__mcf", 6).alias("mcf"),
+        F.round(F.sqrt("__var"), 6).alias("se"),
+    )

@@ -971,3 +971,51 @@ def test_l_diversity_flags_homogeneous_class(spark):
     assert r["n_rows_at_risk"] == 7
     assert r["min_distinct_sensitive"] == 1
     assert r["passed"] is False
+
+
+def test_mcf_curve_naive_replay(spark):
+    """Recurrent-event MCF against a brute-force replay: risk set =
+    episodes with start < t <= stop, mcf = cumulative d/n, Poisson
+    variance; per-episode event COUNTS (e > 1) are honored."""
+    from clinpy_spark.operators.survival import mcf_curve
+
+    g = _lcg(83)
+    eps = []
+    for _ in range(150):
+        a = next(g) % 30
+        b = a + next(g) % 20 + 1
+        e = next(g) % 3  # 0, 1 or 2 events closing the episode
+        eps.append((a, b, e))
+    df = spark.createDataFrame(eps, "a long, b long, e int")
+    got = {r["t"]: r for r in mcf_curve(df, "a", "b", "e").collect()}
+
+    from collections import Counter
+    d_at = Counter()
+    for a, b, e in eps:
+        if e:
+            d_at[b] += e
+    mcf = var = 0.0
+    for t in sorted(d_at):
+        n = sum(1 for a, b, e in eps if a < t <= b)
+        d = d_at[t]
+        assert n >= 1
+        mcf += d / n
+        var += d / n ** 2
+        r = got[float(t)]
+        assert (r["n_risk"], r["n_events"]) == (n, d)
+        assert r["mcf"] == round(mcf, 6)
+        assert r["se"] == round(var ** 0.5, 6)
+    assert set(got) == {float(t) for t in d_at}
+
+
+def test_mcf_curve_constant_rate_sanity(spark):
+    """One subject observed (0, 10] with events at 2, 4, 6, 8, 10:
+    n = 1 throughout, MCF steps by 1 per event."""
+    from clinpy_spark.operators.survival import mcf_curve
+
+    eps = [(0, 2, 1), (2, 4, 1), (4, 6, 1), (6, 8, 1), (8, 10, 1)]
+    df = spark.createDataFrame(eps, "a long, b long, e int")
+    rows = sorted(mcf_curve(df, "a", "b", "e").collect(),
+                  key=lambda r: r["t"])
+    assert [r["mcf"] for r in rows] == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert all(r["n_risk"] == 1 for r in rows)
