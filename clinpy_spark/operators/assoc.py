@@ -3877,3 +3877,87 @@ def conditional_logit_11(
         F.when(disc, F.round((n10 - n01) * (n10 - n01) / (n10 + n01), 6))
         .alias("mcnemar_chi2"),
     )
+
+
+def effect_measures(
+    df: DataFrame,
+    exposure_col: str,
+    event_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Cohort 2x2 effect-measure translation panel: 1 row (n, a, b, c,
+    d, risk1, risk0, rd, rd_lo, rd_hi, nnt, rr, rr_lo, rr_hi, or_hat,
+    e_value, e_value_ci) — the decision-facing readouts downstream of
+    every significance test in this family (:func:`odds_ratio` says
+    whether; this says HOW MUCH and what it would take to explain it
+    away): absolute risk difference with its Wald CI, number needed to
+    treat NNT = 1/|rd| (harm or benefit per the sign), relative risk
+    with the log-Wald CI (Katz), the odds ratio, and VanderWeele &
+    Ding's E-value for unmeasured confounding — the minimum
+    confounder-outcome/confounder-exposure RR that could fully explain
+    the observed RR (E = RR* + sqrt(RR*(RR*-1)) with RR* = RR when
+    RR >= 1 else 1/RR; ``e_value_ci`` applies the same map to the CI
+    bound closer to 1, and is 1 when the CI crosses 1 — no confounding
+    needed).
+
+    All-NULL measure columns when any 2x2 margin is empty; rd and its
+    CI still emit whenever both arms have subjects. a/b/c/d follow the
+    epidemiology convention (a = exposed events, b = exposed
+    non-events, c = unexposed events, d = unexposed non-events).
+
+    Scale shape: ONE conditional-sum aggregate over the cohort — no
+    joins, windows, or collects.
+    """
+    ex = F.col(exposure_col).cast("int")
+    ev = F.col(event_col).cast("int")
+    one = (
+        df.filter(ex.isNotNull() & ev.isNotNull())
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(ex * ev).alias("a"),
+            F.sum(ex * (1 - ev)).alias("b"),
+            F.sum((1 - ex) * ev).alias("c"),
+            F.sum((1 - ex) * (1 - ev)).alias("d"),
+        )
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    n1, n0 = a + b, c + d
+    p1, p0 = a / n1, c / n0
+    both = (n1 > 0) & (n0 > 0)
+    rd = p1 - p0
+    se_rd = F.sqrt(p1 * (1 - p1) / n1 + p0 * (1 - p0) / n0)
+    pos = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    rr = p1 / p0
+    se_lrr = F.sqrt(1 / a - 1 / n1 + 1 / c - 1 / n0)
+    rr_lo = rr * F.exp(-z * se_lrr)
+    rr_hi = rr * F.exp(z * se_lrr)
+    orr = a * d / (b * c)
+
+    def evalue(r):
+        rstar = F.when(r >= 1, r).otherwise(1 / r)
+        return rstar + F.sqrt(rstar * (rstar - 1))
+
+    near = F.when(rr >= 1, rr_lo).otherwise(rr_hi)
+    crosses = (rr_lo <= 1) & (rr_hi >= 1)
+    return one.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.when(n1 > 0, F.round(p1, 6)).alias("risk1"),
+        F.when(n0 > 0, F.round(p0, 6)).alias("risk0"),
+        F.when(both, F.round(rd, 6) + 0.0).alias("rd"),
+        F.when(both, F.round(rd - z * se_rd, 6) + 0.0).alias("rd_lo"),
+        F.when(both, F.round(rd + z * se_rd, 6) + 0.0).alias("rd_hi"),
+        F.when(both & (rd != 0), F.round(1 / F.abs(rd), 6)).alias("nnt"),
+        F.when(pos, F.round(rr, 6)).alias("rr"),
+        F.when(pos, F.round(rr_lo, 6)).alias("rr_lo"),
+        F.when(pos, F.round(rr_hi, 6)).alias("rr_hi"),
+        F.when(pos, F.round(orr, 6)).alias("or_hat"),
+        F.when(pos, F.round(evalue(rr), 6)).alias("e_value"),
+        F.when(pos & crosses, F.lit(1.0))
+        .when(pos, F.round(evalue(near), 6)).alias("e_value_ci"),
+    )

@@ -773,6 +773,7 @@ def logrank_weighted(
     group_b,
     rho: float = 1.0,
     gamma: float = 0.0,
+    weight: str = "fh",
 ) -> DataFrame:
     """Fleming-Harrington G(rho, gamma) weighted log-rank test: 1 row
     (chi2, rho, gamma, observed_a, expected_a, n_a, n_b). Each pooled
@@ -833,8 +834,16 @@ def logrank_weighted(
     )
     s_prev = F.when(F.col("__zprev") == 1, F.lit(0.0)).otherwise(
         F.exp("__lprev"))
-    w = F.pow(s_prev, F.lit(float(rho))) * F.pow(1 - s_prev,
-                                                 F.lit(float(gamma)))
+    if weight == "gehan":
+        # Gehan-Breslow generalized Wilcoxon: w(t) = pooled at-risk
+        # count n(t) — emphasizes early differences with an
+        # integer-exact weight (no KM prefix in the statistic's
+        # numerator), the censored generalization of the rank-sum
+        # test. NOT in the Fleming-Harrington family.
+        w = F.col("n").cast("double")
+    else:
+        w = F.pow(s_prev, F.lit(float(rho))) * F.pow(1 - s_prev,
+                                                     F.lit(float(gamma)))
     pa = F.col("na").cast("double") / F.col("n")
     v = F.when(
         F.col("n") > 1,
@@ -858,8 +867,10 @@ def logrank_weighted(
             F.col("__v") > 0,
             F.round(F.col("__u") * F.col("__u") / F.col("__v"), 6),
         ).alias("chi2"),
-        F.lit(float(rho)).alias("rho"),
-        F.lit(float(gamma)).alias("gamma"),
+        (F.lit(None).cast("double") if weight == "gehan"
+         else F.lit(float(rho))).alias("rho"),
+        (F.lit(None).cast("double") if weight == "gehan"
+         else F.lit(float(gamma))).alias("gamma"),
         "observed_a", "expected_a", "n_a", "n_b",
     )
 

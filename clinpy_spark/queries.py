@@ -7834,6 +7834,51 @@ def surv_logrank_fh_q(spark, sf):
         "1-URGENT", "5-LOW", rho=1.0, gamma=0.0)
 
 
+@q("surv_logrank_gehan", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+per_t AS (SELECT duration,
+                 sum(CASE WHEN priority = '1-URGENT' THEN evt ELSE 0 END) AS da,
+                 sum(CASE WHEN priority = '1-URGENT' THEN 1 ELSE 0 END) AS ra,
+                 sum(evt) AS d, count(*) AS r
+          FROM obs GROUP BY duration),
+w AS (SELECT *,
+        sum(ra) OVER () - coalesce(sum(ra) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+        sum(r) OVER () - coalesce(sum(r) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM per_t),
+f AS (SELECT *, CAST(n AS DOUBLE) AS wt FROM w WHERE d > 0),
+g AS (SELECT CAST(sum(da) AS BIGINT) AS observed_a,
+             sum(d * (CAST(na AS DOUBLE) / n)) AS ea,
+             sum(wt * (da - d * (CAST(na AS DOUBLE) / n))) AS u,
+             sum(wt * wt * (CASE WHEN n > 1
+                   THEN d * (CAST(na AS DOUBLE) / n)
+                        * (1 - CAST(na AS DOUBLE) / n) * (n - d) / (n - 1)
+                   ELSE 0 END)) AS v
+      FROM f)
+SELECT CASE WHEN v > 0 THEN round(u * u / v, 6) END AS chi2,
+       CAST(NULL AS DOUBLE) AS rho, CAST(NULL AS DOUBLE) AS gamma,
+       observed_a, round(ea, 6) AS expected_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs
+        WHERE priority = '1-URGENT') AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM obs
+        WHERE priority = '5-LOW') AS n_b
+FROM g
+""")
+def surv_logrank_gehan_q(spark, sf):
+    # Gehan-Breslow generalized Wilcoxon (operators/survival.py
+    # logrank_weighted, weight='gehan'): each pooled event time
+    # weighted by the at-risk count n(t) — the censored rank-sum test,
+    # early-difference-sensitive with an INTEGER-exact weight (no KM
+    # prefix in the numerator) and NOT in the Fleming-Harrington
+    # family surv_logrank_fh spans.
+    from clinpy_spark.operators.survival import logrank_weighted
+
+    return logrank_weighted(
+        _surv_obs(spark, sf), "duration", "evt", "priority",
+        "1-URGENT", "5-LOW", weight="gehan")
+
+
 @q("graph_kcore", f"""
 WITH e AS ({_COPURCHASE_SQL}),
 b0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
@@ -13541,6 +13586,77 @@ def surv_mcf_recurrent_q(spark, sf):
     return mcf_curve(eps, "a", "b", "e")
 
 
+@q("epi_effect_measures", """
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ex,
+         CASE WHEN h % 1500 + 1 <= dd THEN 1 ELSE 0 END AS ev
+  FROM (SELECT o_orderpriority,
+          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+            AS h,
+          datediff('day', o_orderdate, DATE '1998-08-02') AS dd
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ex * ev) AS BIGINT) AS a,
+             CAST(sum(ex * (1 - ev)) AS BIGINT) AS b,
+             CAST(sum((1 - ex) * ev) AS BIGINT) AS c,
+             CAST(sum((1 - ex) * (1 - ev)) AS BIGINT) AS d
+      FROM base),
+m AS (SELECT *,
+        CAST(a AS DOUBLE) / (a + b) AS p1,
+        CAST(c AS DOUBLE) / (c + d) AS p0,
+        sqrt(CAST(a AS DOUBLE) / (a + b) * (1 - CAST(a AS DOUBLE) / (a + b))
+               / (a + b)
+             + CAST(c AS DOUBLE) / (c + d)
+               * (1 - CAST(c AS DOUBLE) / (c + d)) / (c + d)) AS se_rd,
+        (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)) AS rr,
+        sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d)) AS se_lrr
+      FROM t),
+m2 AS (SELECT *,
+         rr * exp(-1.96 * se_lrr) AS rr_lo,
+         rr * exp(1.96 * se_lrr) AS rr_hi
+       FROM m),
+m3 AS (SELECT *,
+         CASE WHEN rr >= 1 THEN rr_lo ELSE rr_hi END AS near,
+         CASE WHEN rr >= 1 THEN rr ELSE 1 / rr END AS rstar
+       FROM m2)
+SELECT n, a, b, c, d,
+       round(p1, 6) AS risk1, round(p0, 6) AS risk0,
+       round(p1 - p0, 6) + 0.0 AS rd,
+       round(p1 - p0 - 1.96 * se_rd, 6) + 0.0 AS rd_lo,
+       round(p1 - p0 + 1.96 * se_rd, 6) + 0.0 AS rd_hi,
+       CASE WHEN p1 - p0 != 0
+            THEN round(1 / abs(p1 - p0), 6) END AS nnt,
+       round(rr, 6) AS rr, round(rr_lo, 6) AS rr_lo,
+       round(rr_hi, 6) AS rr_hi,
+       round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+         AS or_hat,
+       round(rstar + sqrt(rstar * (rstar - 1)), 6) AS e_value,
+       CASE WHEN rr_lo <= 1 AND rr_hi >= 1 THEN 1.0
+            ELSE round((CASE WHEN near >= 1 THEN near ELSE 1 / near END)
+                       + sqrt((CASE WHEN near >= 1 THEN near
+                               ELSE 1 / near END)
+                              * ((CASE WHEN near >= 1 THEN near
+                                  ELSE 1 / near END) - 1)), 6)
+       END AS e_value_ci
+FROM m3
+""")
+def epi_effect_measures_q(spark, sf):
+    # Effect-measure translation panel (operators/assoc.py
+    # effect_measures): risk difference + Wald CI, NNT, relative risk
+    # + Katz log CI, odds ratio, and the VanderWeele-Ding E-value for
+    # unmeasured confounding (point and CI forms) for the
+    # URGENT-vs-LOW event contrast — one conditional-sum aggregate.
+    from clinpy_spark.operators.assoc import effect_measures
+
+    obs = _surv_obs(spark, sf)
+    return effect_measures(
+        obs.select(
+            (F.col("priority") == "1-URGENT").cast("int").alias("ex"),
+            F.col("evt").alias("ev")),
+        "ex", "ev")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -13589,6 +13705,8 @@ _PRIORITY: list[str] = [
     "q_l_diversity",
     "surv_km_iptw",
     "surv_mcf_recurrent",
+    "surv_logrank_gehan",
+    "epi_effect_measures",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_embedding_cosine",
@@ -13612,9 +13730,9 @@ _PRIORITY: list[str] = [
     "a11c_except",
     "a12_hash_id",
     "a15_hll_sketch",
+    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "a4_distinct_dedup",
     "a6_pivot_wide",
-    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "a6b_unpivot",
     "a7_ratio_agg",
     "a8_rollup",

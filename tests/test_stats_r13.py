@@ -1019,3 +1019,113 @@ def test_mcf_curve_constant_rate_sanity(spark):
                   key=lambda r: r["t"])
     assert [r["mcf"] for r in rows] == [1.0, 2.0, 3.0, 4.0, 5.0]
     assert all(r["n_risk"] == 1 for r in rows)
+
+
+def test_logrank_gehan_weight_replay(spark):
+    """Gehan-Breslow = n(t)-weighted log-rank: replay the statistic
+    from the per-time table; rho/gamma emit NULL under the gehan
+    weighting; FH(0,0) still equals plain Mantel-Cox."""
+    from clinpy_spark.operators.survival import (
+        logrank_test, logrank_weighted)
+
+    g = _lcg(89)
+    rows = [("a" if next(g) % 2 else "b", next(g) % 25 + 1, next(g) % 2)
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "g string, t long, e int")
+    got = logrank_weighted(df, "t", "e", "g", "a", "b",
+                           weight="gehan").collect()[0]
+    assert got["rho"] is None and got["gamma"] is None
+
+    from collections import Counter, defaultdict
+    d_at = defaultdict(lambda: [0, 0])   # t -> [da, d]
+    r_at = defaultdict(lambda: [0, 0])   # t -> [ra, r]
+    for grp, t, e in rows:
+        if e:
+            d_at[t][1] += 1
+            if grp == "a":
+                d_at[t][0] += 1
+        r_at[t][1] += 1
+        if grp == "a":
+            r_at[t][0] += 1
+    na = sum(v[0] for v in r_at.values())
+    n = sum(v[1] for v in r_at.values())
+    u = v = 0.0
+    for t in sorted(d_at):
+        da, d = d_at[t]
+        if d == 0:
+            continue
+        pa = na / n
+        w = float(n)
+        u += w * (da - d * pa)
+        if n > 1:
+            v += w * w * d * pa * (1 - pa) * (n - d) / (n - 1)
+        na -= r_at[t][0]
+        n -= r_at[t][1]
+    # careful: risk sets must be BEFORE removal at t — recompute
+    na_run, n_run = (sum(vv[0] for vv in r_at.values()),
+                     sum(vv[1] for vv in r_at.values()))
+    u = v = 0.0
+    for t in sorted(r_at):
+        da, d = d_at.get(t, [0, 0])
+        if d > 0:
+            pa = na_run / n_run
+            w = float(n_run)
+            u += w * (da - d * pa)
+            if n_run > 1:
+                v += w * w * d * pa * (1 - pa) * (n_run - d) / (n_run - 1)
+        na_run -= r_at[t][0]
+        n_run -= r_at[t][1]
+    assert got["chi2"] == round(u * u / v, 6)
+    # FH(0,0) is still plain Mantel-Cox after the weight param change
+    plain = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+    fh00 = logrank_weighted(df, "t", "e", "g", "a", "b",
+                            rho=0.0, gamma=0.0).collect()[0]
+    assert abs(fh00["chi2"] - plain["chi2"]) < 2e-6
+
+
+def test_effect_measures_hand_2x2(spark):
+    """Textbook 2x2 (a=30 b=70, c=15 d=85): every emitted measure
+    matches the closed forms, including both E-values."""
+    from clinpy_spark.operators.assoc import effect_measures
+
+    rows = ([(1, 1)] * 30 + [(1, 0)] * 70 + [(0, 1)] * 15
+            + [(0, 0)] * 85)
+    df = spark.createDataFrame(rows, "ex int, ev int")
+    r = effect_measures(df, "ex", "ev").collect()[0]
+    p1, p0 = 0.3, 0.15
+    rd = p1 - p0
+    se_rd = math.sqrt(p1 * 0.7 / 100 + p0 * 0.85 / 100)
+    rr = 2.0
+    se_lrr = math.sqrt(1 / 30 - 1 / 100 + 1 / 15 - 1 / 100)
+    assert (r["a"], r["b"], r["c"], r["d"]) == (30, 70, 15, 85)
+    assert r["rd"] == round(rd, 6)
+    assert r["rd_lo"] == round(rd - 1.96 * se_rd, 6)
+    assert r["nnt"] == round(1 / rd, 6)
+    assert r["rr"] == 2.0
+    assert r["rr_lo"] == round(rr * math.exp(-1.96 * se_lrr), 6)
+    assert r["or_hat"] == round(30 * 85 / (70 * 15), 6)
+    assert r["e_value"] == round(2 + math.sqrt(2), 6)
+    lo = rr * math.exp(-1.96 * se_lrr)
+    want_ci = 1.0 if lo <= 1 else round(lo + math.sqrt(lo * (lo - 1)), 6)
+    assert r["e_value_ci"] == want_ci
+
+
+def test_effect_measures_protective_evalue(spark):
+    """RR < 1 maps through 1/RR for the E-value; CI crossing 1 pins
+    e_value_ci at exactly 1."""
+    from clinpy_spark.operators.assoc import effect_measures
+
+    rows = ([(1, 1)] * 10 + [(1, 0)] * 90 + [(0, 1)] * 20
+            + [(0, 0)] * 80)
+    df = spark.createDataFrame(rows, "ex int, ev int")
+    r = effect_measures(df, "ex", "ev").collect()[0]
+    rr = 0.5
+    rstar = 2.0
+    assert r["rr"] == 0.5
+    assert r["e_value"] == round(rstar + math.sqrt(rstar), 6)
+    # tiny cohort with wide CI crossing 1
+    rows2 = ([(1, 1)] * 3 + [(1, 0)] * 7 + [(0, 1)] * 2 + [(0, 0)] * 8)
+    r2 = effect_measures(
+        spark.createDataFrame(rows2, "ex int, ev int"), "ex", "ev"
+    ).collect()[0]
+    assert r2["e_value_ci"] == 1.0

@@ -151,6 +151,9 @@ EXPECTED_UNBOUNDED = {
     "surv_cox_score",  # crossJoin vs the 1-row n_subjects count
     "surv_logrank_fh",  # crossJoin vs the 1-row (n_a, n_b) cohort
                         # totals (same shape as surv_logrank)
+    "surv_logrank_gehan",  # same logrank_weighted shape under the
+                           # n(t) Gehan weighting — same 1-row cohort
+                           # totals crossJoin
     "surv_cox_beta",  # each Newton step crossJoins the bounded grid vs
                       # the 1-row scalar-beta aggregate, plus the 1-row
                       # n_subjects count (same shape as surv_cox_score)
