@@ -2348,3 +2348,87 @@ def mcf_curve(
         F.round("__mcf", 6).alias("mcf"),
         F.round(F.sqrt("__var"), 6).alias("se"),
     )
+
+
+def aalen_excess_hazard(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Aalen-type EXCESS cumulative hazard of arm a over arm b — the
+    additive-hazards effect curve (for a single binary covariate
+    Aalen's least-squares increment (X'X)^-1 X' dN reduces exactly to
+    the difference of the two arms' Nelson-Aalen increments): one row
+    per pooled event time (t, n_a, n_b, d_a, d_b, excess_cumhaz, se,
+    z) with B(t) = sum d_a/n_a - d_b/n_b, pointwise martingale
+    variance sum d_a/n_a^2 + d_b/n_b^2 and z = B/se. Where the Cox
+    model asserts ONE proportional effect, B(t) shows the effect's
+    time-COURSE on the absolute hazard scale: linear B = constant
+    added hazard, a plateau = early-only harm — the additive
+    complement to ``cox_ph_check``'s multiplicative drift diagnostic.
+
+    An arm contributes nothing at times it has no event (its failing
+    subject is always in its own risk set, so every d/n term is
+    well-defined); rows stop carrying information for an exhausted arm
+    (n = 0) by the same rule.
+
+    Scale shape: identical to the log-rank family — one groupBy to
+    the per-time two-arm grid, total-minus-prefix windows, one
+    ascending cumulative window. Fixed accumulation order, so the
+    curve is oracle-reproducible (round-6).
+    """
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    pt = _per_time(sub, time_col, event_col, group_col)
+    is_a = F.col("__g") == F.lit(group_a)
+    per_t = pt.groupBy("__t").agg(
+        F.sum(F.when(is_a, F.col("d")).otherwise(0)).alias("da"),
+        F.sum(F.when(is_a, F.col("d") + F.col("c")).otherwise(0))
+        .alias("ra"),
+        F.sum(F.when(~is_a, F.col("d")).otherwise(0)).alias("db"),
+        F.sum(F.when(~is_a, F.col("d") + F.col("c")).otherwise(0))
+        .alias("rb"),
+    )
+    w_prev = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    per_t = (
+        per_t.withColumn(
+            "na", F.sum("ra").over(tot)
+            - F.coalesce(F.sum("ra").over(w_prev), F.lit(0)))
+        .withColumn(
+            "nb", F.sum("rb").over(tot)
+            - F.coalesce(F.sum("rb").over(w_prev), F.lit(0)))
+    )
+    inc_a = F.when(F.col("da") > 0,
+                   F.col("da").cast("double") / F.col("na")).otherwise(0.0)
+    inc_b = F.when(F.col("db") > 0,
+                   F.col("db").cast("double") / F.col("nb")).otherwise(0.0)
+    var_a = F.when(
+        F.col("da") > 0,
+        F.col("da").cast("double") / (F.col("na") * F.col("na"))
+    ).otherwise(0.0)
+    var_b = F.when(
+        F.col("db") > 0,
+        F.col("db").cast("double") / (F.col("nb") * F.col("nb"))
+    ).otherwise(0.0)
+    out = (
+        per_t.withColumn("__b", F.sum(inc_a - inc_b).over(w_cum))
+        .withColumn("__v", F.sum(var_a + var_b).over(w_cum))
+        .filter((F.col("da") + F.col("db")) > 0)
+    )
+    se = F.sqrt("__v")
+    return out.select(
+        F.col("__t").alias(time_col),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("da").cast("long").alias("d_a"),
+        F.col("db").cast("long").alias("d_b"),
+        (F.round("__b", 6) + 0.0).alias("excess_cumhaz"),
+        F.round(se, 6).alias("se"),
+        F.when(se > 0, F.round(F.col("__b") / se, 6) + 0.0).alias("z"),
+    )

@@ -13657,6 +13657,52 @@ def epi_effect_measures_q(spark, sf):
         "ex", "ev")
 
 
+@q("surv_aalen_excess", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+per_t AS (SELECT duration,
+    sum(CASE WHEN priority = '1-URGENT' THEN evt ELSE 0 END) AS da,
+    sum(CASE WHEN priority = '1-URGENT' THEN 1 ELSE 0 END) AS ra,
+    sum(CASE WHEN priority = '5-LOW' THEN evt ELSE 0 END) AS db,
+    sum(CASE WHEN priority = '5-LOW' THEN 1 ELSE 0 END) AS rb
+  FROM obs GROUP BY duration),
+w AS (SELECT *,
+        sum(ra) OVER () - coalesce(sum(ra) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+        sum(rb) OVER () - coalesce(sum(rb) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+      FROM per_t),
+c AS (SELECT *,
+        sum(CASE WHEN da > 0 THEN CAST(da AS DOUBLE) / na ELSE 0 END
+            - CASE WHEN db > 0 THEN CAST(db AS DOUBLE) / nb ELSE 0 END)
+          OVER (ORDER BY duration) AS b,
+        sum(CASE WHEN da > 0
+                 THEN CAST(da AS DOUBLE) / (CAST(na AS DOUBLE) * na)
+                 ELSE 0 END
+            + CASE WHEN db > 0
+                   THEN CAST(db AS DOUBLE) / (CAST(nb AS DOUBLE) * nb)
+                   ELSE 0 END)
+          OVER (ORDER BY duration) AS v
+      FROM w)
+SELECT duration, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(da AS BIGINT) AS d_a, CAST(db AS BIGINT) AS d_b,
+       round(b, 6) + 0.0 AS excess_cumhaz,
+       round(sqrt(v), 6) AS se,
+       CASE WHEN sqrt(v) > 0 THEN round(b / sqrt(v), 6) + 0.0 END AS z
+FROM c WHERE da + db > 0
+""")
+def surv_aalen_excess_q(spark, sf):
+    # Aalen-type excess cumulative hazard (operators/survival.py
+    # aalen_excess_hazard): the URGENT arm's added hazard over LOW as
+    # a CURVE with pointwise martingale bands — the additive-scale
+    # time-course the single Cox coefficient compresses away. Same
+    # per-time grid + windows as the log-rank family.
+    from clinpy_spark.operators.survival import aalen_excess_hazard
+
+    return aalen_excess_hazard(
+        _surv_obs(spark, sf), "duration", "evt", "priority",
+        "1-URGENT", "5-LOW")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -13707,6 +13753,7 @@ _PRIORITY: list[str] = [
     "surv_mcf_recurrent",
     "surv_logrank_gehan",
     "epi_effect_measures",
+    "surv_aalen_excess",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_embedding_cosine",
@@ -13729,8 +13776,8 @@ _PRIORITY: list[str] = [
     "a11b_intersect",
     "a11c_except",
     "a12_hash_id",
-    "a15_hll_sketch",
     # -- beyond the 50-slot driver window (kept for local gate ordering) --
+    "a15_hll_sketch",
     "a4_distinct_dedup",
     "a6_pivot_wide",
     "a6b_unpivot",

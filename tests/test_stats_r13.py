@@ -1129,3 +1129,50 @@ def test_effect_measures_protective_evalue(spark):
         spark.createDataFrame(rows2, "ex int, ev int"), "ex", "ev"
     ).collect()[0]
     assert r2["e_value_ci"] == 1.0
+
+
+def test_aalen_excess_is_na_difference(spark):
+    """The binary-covariate Aalen increment reduces to the difference
+    of the two arms' Nelson-Aalen curves; variance is the sum of the
+    two martingale variances."""
+    from clinpy_spark.operators.survival import (
+        aalen_excess_hazard, nelson_aalen)
+
+    g = _lcg(97)
+    rows = [("a" if next(g) % 2 else "b", next(g) % 20 + 1, next(g) % 2)
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, t long, e int")
+    na = {(r["g"], r["t"]): r["cumhaz"]
+          for r in nelson_aalen(df, "t", "e", "g").collect()}
+    out = sorted(aalen_excess_hazard(df, "t", "e", "g", "a", "b")
+                 .collect(), key=lambda r: r["t"])
+
+    def last_na(arm, t):
+        vals = [v for (gg, tt), v in na.items() if gg == arm and tt <= t]
+        keys = [tt for (gg, tt) in na if gg == arm and tt <= t]
+        return na[(arm, max(keys))] if keys else 0.0
+
+    for r in out:
+        want = last_na("a", r["t"]) - last_na("b", r["t"])
+        assert abs(r["excess_cumhaz"] - want) < 2e-6, r["t"]
+    # local variance replay
+    from collections import defaultdict
+    d_at = defaultdict(lambda: defaultdict(int))
+    r_at = defaultdict(lambda: defaultdict(int))
+    for gg, t, e in rows:
+        if e:
+            d_at[t][gg] += 1
+        r_at[t][gg] += 1
+    n = {"a": sum(1 for gg, _, _ in rows if gg == "a"),
+         "b": sum(1 for gg, _, _ in rows if gg == "b")}
+    v = 0.0
+    got = {r["t"]: r for r in out}
+    for t in sorted(r_at):
+        for arm in ("a", "b"):
+            d = d_at[t].get(arm, 0)
+            if d:
+                v += d / n[arm] ** 2
+        if t in got:
+            assert got[t]["se"] == round(v ** 0.5, 6)
+        for arm in ("a", "b"):
+            n[arm] -= r_at[t].get(arm, 0)
