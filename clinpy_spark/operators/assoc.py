@@ -3961,3 +3961,102 @@ def effect_measures(
         F.when(pos & crosses, F.lit(1.0))
         .when(pos, F.round(evalue(near), 6)).alias("e_value_ci"),
     )
+
+
+def poisson_rate_newton(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    time_col: str,
+    iterations: int = 4,
+) -> DataFrame:
+    """Poisson RATE regression — log-link GLM with a person-time
+    OFFSET — for one bounded-cardinality covariate plus intercept: 1
+    row (beta0, beta1, rate_ratio, se1, wald_chi2, n, y_total,
+    ptime_total). :func:`poisson_newton` models counts per SUBJECT;
+    epidemiology models events per unit FOLLOW-UP (mu_i = pt_i *
+    exp(b0 + b1 x_i)), and with the offset the sufficient statistic
+    per x-cell is just (sum y, sum pt) — the same bounded grid with
+    the cell count replaced by the cell's person-time, so every Newton
+    step is one grid-sized aggregate. For a binary x the MLE is
+    closed-form and ``rate_ratio`` equals
+    :func:`clinpy_spark.operators.survival.incidence_rate`'s IRR
+    exactly (property-tested). Start (ln(sum y / sum pt), 0); NULL on
+    singular information. Rows with missing or non-positive follow-up
+    are dropped.
+    """
+    grid = (
+        df.select(
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+            F.col(time_col).cast("double").alias("__pt"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull()
+                & (F.col("__pt") > 0))
+        .groupBy("__x")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__sy"),
+            F.sum("__pt").alias("__spt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    beta = grid.agg(
+        F.when(
+            F.sum("__sy") > 0,
+            F.log(F.sum("__sy") / F.sum("__spt")),
+        ).otherwise(F.lit(0.0)).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    for _ in range(iterations):
+        j = grid.crossJoin(F.broadcast(beta))
+        w = F.col("__spt") * F.exp(F.col("b0") + F.col("b1") * F.col("__x"))
+        step = j.agg(
+            F.max("b0").alias("b0"), F.max("b1").alias("b1"),
+            F.sum(F.col("__sy") - w).alias("u0"),
+            F.sum(F.col("__x") * (F.col("__sy") - w)).alias("u1"),
+            F.sum(w).alias("i00"),
+            F.sum(F.col("__x") * w).alias("i01"),
+            F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        )
+        det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+        beta = step.select(
+            F.when(
+                det > 0,
+                F.col("b0")
+                + (F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"))
+                / det,
+            ).alias("b0"),
+            F.when(
+                det > 0,
+                F.col("b1")
+                + (F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"))
+                / det,
+            ).alias("b1"),
+        )
+    fin = grid.crossJoin(F.broadcast(beta))
+    w = F.col("__spt") * F.exp(F.col("b0") + F.col("b1") * F.col("__x"))
+    stats = fin.agg(
+        F.max("b0").alias("b0"), F.max("b1").alias("b1"),
+        F.sum(w).alias("i00"),
+        F.sum(F.col("__x") * w).alias("i01"),
+        F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        F.sum("__n").alias("n"),
+        F.sum("__sy").alias("y_total"),
+        F.sum("__spt").alias("ptime_total"),
+    )
+    det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+    ok = F.col("b0").isNotNull() & F.col("b1").isNotNull() & (det > 0)
+    var1 = F.col("i00") / det
+    return stats.select(
+        F.when(ok, F.round("b0", 6) + 0.0).alias("beta0"),
+        F.when(ok, F.round("b1", 6) + 0.0).alias("beta1"),
+        F.when(ok, F.round(F.exp("b1"), 6)).alias("rate_ratio"),
+        F.when(ok, F.round(F.sqrt(var1), 6)).alias("se1"),
+        F.when(ok, F.round(F.col("b1") * F.col("b1") / var1, 6))
+        .alias("wald_chi2"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.round(F.coalesce("y_total", F.lit(0.0)), 6).alias("y_total"),
+        F.round(F.coalesce("ptime_total", F.lit(0.0)), 6)
+        .alias("ptime_total"),
+    )

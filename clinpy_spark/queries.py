@@ -13703,6 +13703,106 @@ def surv_aalen_excess_q(spark, sf):
         "1-URGENT", "5-LOW")
 
 
+@q("epi_poisson_rate", f"""
+WITH obs AS ({_SURV_OBS_SQL}),
+grid AS (SELECT CASE WHEN priority = '1-URGENT' THEN 1.0 ELSE 0.0 END
+           AS x,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(evt) AS DOUBLE) AS sy,
+         CAST(sum(duration) AS DOUBLE) AS spt
+         FROM obs WHERE duration > 0 GROUP BY 1),
+b0 AS (SELECT CASE WHEN sum(sy) > 0 THEN ln(sum(sy) / sum(spt))
+              ELSE 0.0 END AS b0, 0.0 AS b1
+       FROM grid),
+i1 AS (SELECT b0, b1, sum(sy - w) AS u0, sum(x * (sy - w)) AS u1,
+              sum(w) AS i00, sum(x * w) AS i01, sum(x * x * w) AS i11
+       FROM (SELECT x, sy, b0, b1, spt * exp(b0 + b1 * x) AS w
+             FROM grid CROSS JOIN b0)
+       GROUP BY b0, b1),
+b1c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i1),
+i2 AS (SELECT b0, b1, sum(sy - w) AS u0, sum(x * (sy - w)) AS u1,
+              sum(w) AS i00, sum(x * w) AS i01, sum(x * x * w) AS i11
+       FROM (SELECT x, sy, b0, b1, spt * exp(b0 + b1 * x) AS w
+             FROM grid CROSS JOIN b1c)
+       GROUP BY b0, b1),
+b2c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i2),
+i3 AS (SELECT b0, b1, sum(sy - w) AS u0, sum(x * (sy - w)) AS u1,
+              sum(w) AS i00, sum(x * w) AS i01, sum(x * x * w) AS i11
+       FROM (SELECT x, sy, b0, b1, spt * exp(b0 + b1 * x) AS w
+             FROM grid CROSS JOIN b2c)
+       GROUP BY b0, b1),
+b3c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i3),
+i4 AS (SELECT b0, b1, sum(sy - w) AS u0, sum(x * (sy - w)) AS u1,
+              sum(w) AS i00, sum(x * w) AS i01, sum(x * x * w) AS i11
+       FROM (SELECT x, sy, b0, b1, spt * exp(b0 + b1 * x) AS w
+             FROM grid CROSS JOIN b3c)
+       GROUP BY b0, b1),
+b4c AS (SELECT CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b0 + (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) END AS b0,
+               CASE WHEN i00 * i11 - i01 * i01 > 0
+              THEN b1 + (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) END AS b1
+        FROM i4),
+fin AS (SELECT b0, b1, sum(w) AS i00, sum(x * w) AS i01,
+               sum(x * x * w) AS i11,
+               CAST(sum(n) AS BIGINT) AS n, sum(sy) AS y_total,
+               sum(spt) AS ptime_total
+        FROM (SELECT x, n, sy, spt, b0, b1, spt * exp(b0 + b1 * x) AS w
+              FROM grid CROSS JOIN b4c)
+        GROUP BY b0, b1)
+SELECT CASE WHEN b0 IS NOT NULL AND b1 IS NOT NULL
+            AND i00 * i11 - i01 * i01 > 0
+            THEN round(b0, 6) + 0.0 END AS beta0,
+       CASE WHEN b0 IS NOT NULL AND b1 IS NOT NULL
+            AND i00 * i11 - i01 * i01 > 0
+            THEN round(b1, 6) + 0.0 END AS beta1,
+       CASE WHEN b0 IS NOT NULL AND b1 IS NOT NULL
+            AND i00 * i11 - i01 * i01 > 0
+            THEN round(exp(b1), 6) END AS rate_ratio,
+       CASE WHEN b0 IS NOT NULL AND b1 IS NOT NULL
+            AND i00 * i11 - i01 * i01 > 0
+            THEN round(sqrt(i00 / (i00 * i11 - i01 * i01)), 6)
+       END AS se1,
+       CASE WHEN b0 IS NOT NULL AND b1 IS NOT NULL
+            AND i00 * i11 - i01 * i01 > 0
+            THEN round(b1 * b1 / (i00 / (i00 * i11 - i01 * i01)), 6)
+       END AS wald_chi2,
+       coalesce(n, 0) AS n,
+       round(coalesce(y_total, 0.0), 6) AS y_total,
+       round(coalesce(ptime_total, 0.0), 6) AS ptime_total
+FROM fin
+""")
+def epi_poisson_rate_q(spark, sf):
+    # Poisson rate regression with a person-time offset
+    # (operators/assoc.py poisson_rate_newton): events per follow-up
+    # day for the URGENT-vs-LOW contrast — the offset makes the
+    # per-cell sufficient statistic (sum y, sum pt), so every Newton
+    # step is one grid-sized aggregate; for this binary x the MLE is
+    # closed-form and rate_ratio equals surv_incidence_rate's IRR
+    # exactly (property-tested).
+    from clinpy_spark.operators.assoc import poisson_rate_newton
+
+    obs = _surv_obs(spark, sf)
+    return poisson_rate_newton(
+        obs.select(
+            F.when(F.col("priority") == "1-URGENT", 1.0).otherwise(0.0)
+            .alias("x"),
+            F.col("evt").alias("y"),
+            F.col("duration").alias("pt")),
+        "x", "y", "pt")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -13754,6 +13854,7 @@ _PRIORITY: list[str] = [
     "surv_logrank_gehan",
     "epi_effect_measures",
     "surv_aalen_excess",
+    "epi_poisson_rate",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_embedding_cosine",
@@ -13775,8 +13876,8 @@ _PRIORITY: list[str] = [
     "a11_union_tagged",
     "a11b_intersect",
     "a11c_except",
-    "a12_hash_id",
     # -- beyond the 50-slot driver window (kept for local gate ordering) --
+    "a12_hash_id",
     "a15_hll_sketch",
     "a4_distinct_dedup",
     "a6_pivot_wide",

@@ -341,3 +341,37 @@ def finalize_cox_tv(partials: DataFrame, iterations: int = 3) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         "n_episodes",
     )
+
+
+def finalize_mcf(partials: DataFrame) -> DataFrame:
+    """Recurrent-event mean cumulative function over the SAME
+    maintained per-time partial table as :func:`finalize_cox_tv` (one
+    fold state, two readers — the stream_cox_tv_partials fold already
+    carries everything the MCF needs): risk sets as strict prefix sums
+    of the folded net flows, then the cumulative d/n and d/n^2
+    windows. Identical to the batch ``mcf_curve`` over the same
+    episodes (twin test)."""
+    from pyspark.sql.window import Window
+
+    w_prev = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0)
+    grid = (
+        partials.withColumn(
+            "n", F.coalesce(F.sum("fn").over(w_prev), F.lit(0)))
+        .filter(F.col("d") > 0)
+    )
+    frac = F.col("d").cast("double") / F.col("n")
+    var_t = F.col("d").cast("double") / (F.col("n") * F.col("n"))
+    out = (
+        grid.withColumn("__mcf", F.sum(frac).over(w_cum))
+        .withColumn("__var", F.sum(var_t).over(w_cum))
+    )
+    return out.select(
+        F.col("__t").alias("t"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round("__mcf", 6).alias("mcf"),
+        F.round(F.sqrt("__var"), 6).alias("se"),
+    )

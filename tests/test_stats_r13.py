@@ -1176,3 +1176,39 @@ def test_aalen_excess_is_na_difference(spark):
             assert got[t]["se"] == round(v ** 0.5, 6)
         for arm in ("a", "b"):
             n[arm] -= r_at[t].get(arm, 0)
+
+
+def test_poisson_rate_binary_x_equals_irr(spark):
+    """With a binary covariate the offset-Poisson MLE is closed form:
+    rate_ratio == incidence_rate's IRR and beta0 == ln(rate_0)."""
+    from clinpy_spark.operators.assoc import poisson_rate_newton
+    from clinpy_spark.operators.survival import incidence_rate
+
+    g = _lcg(101)
+    rows = [("a" if next(g) % 2 else "b", next(g) % 2,
+             float(next(g) % 50 + 1)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "g string, e int, pt double")
+    fit = poisson_rate_newton(
+        df.select((F.col("g") == "a").cast("double").alias("x"),
+                  F.col("e").alias("y"), "pt"),
+        "x", "y", "pt").collect()[0]
+    irr = incidence_rate(
+        df.withColumn("t", F.col("pt")), "t", "e", "g", "a", "b"
+    ).collect()[0]
+    assert fit["rate_ratio"] == irr["irr"]
+    ev0 = sum(e for gg, e, _ in rows if gg == "b")
+    pt0 = sum(p for gg, _, p in rows if gg == "b")
+    assert fit["beta0"] == round(math.log(ev0 / pt0), 6)
+    # Wald se1 for the binary design is sqrt(1/e1 + 1/e0)
+    ev1 = sum(e for gg, e, _ in rows if gg == "a")
+    assert fit["se1"] == round(math.sqrt(1 / ev1 + 1 / ev0), 6)
+
+
+def test_poisson_rate_drops_nonpositive_followup(spark):
+    from clinpy_spark.operators.assoc import poisson_rate_newton
+
+    rows = [(1.0, 1, 10.0), (1.0, 0, 5.0), (0.0, 1, 8.0),
+            (0.0, 0, 0.0), (1.0, 1, -2.0), (0.0, 1, None)]
+    df = spark.createDataFrame(rows, "x double, y int, pt double")
+    r = poisson_rate_newton(df, "x", "y", "pt").collect()[0]
+    assert r["n"] == 3 and r["ptime_total"] == 23.0

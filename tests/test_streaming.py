@@ -1589,3 +1589,50 @@ def test_streaming_cox_tv_fresh_checkpoint_twin(spark, tmp_path):
     want = cox_newton_tv(batch, "a", "b", "e", "x").collect()[0]
     assert tuple(got) == tuple(want)
     assert got.beta is not None and got.n_episodes == len(b1 + b2 + b3)
+
+
+def test_streaming_mcf_shares_cox_tv_fold(spark, tmp_path):
+    """One fold state, two readers: the stream_cox_tv_partials table
+    also serves the recurrent-event MCF — finalize_mcf over the folded
+    flows equals the batch mcf_curve over the union of all episodes
+    (binary per-episode events, as the shared fold's schema carries)."""
+    import json as _json
+
+    from clinpy_spark.operators.survival import mcf_curve
+    from clinpy_spark.session import ProjectCatalog
+    from clinpy_spark.streaming.survival import (
+        finalize_mcf, stream_cox_tv_partials,
+    )
+
+    def mk(seed, n):
+        out = []
+        for i in range(n):
+            a = (i * 17 + seed) % 25
+            b = a + (i * 11 + seed) % 15 + 1
+            e = 1 if (i * 7 + seed) % 3 < 2 else 0
+            out.append((a, b, e, i % 2))
+        return out
+
+    b1, b2 = mk(0, 70), mk(4, 50)
+    cat = ProjectCatalog(spark, str(tmp_path / "proj"))
+    schema = "a long, b long, e int, x int"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        with open(src / f"part-{i}.json", "w") as fh:
+            for a, b, e, x in rows:
+                fh.write(_json.dumps({"a": a, "b": b, "e": e, "x": x})
+                         + "\n")
+    s = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).json(str(src)))
+    stream_cox_tv_partials(
+        s, cat, "coxtv_mcf_grid", "a", "b", "e", "x",
+        checkpoint=str(tmp_path / "ck")).awaitTermination(120)
+
+    batch = spark.createDataFrame(b1 + b2, schema)
+    got = sorted(finalize_mcf(cat.table("coxtv_mcf_grid")).collect(),
+                 key=lambda r: r["t"])
+    want = sorted(mcf_curve(batch, "a", "b", "e").collect(),
+                  key=lambda r: r["t"])
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0

@@ -215,6 +215,8 @@ EXPECTED_UNBOUNDED = {
                     # rank-moment aggregates (kruskal tie shape)
     "dx_poisson",  # IRLS steps crossJoin the bounded per-x grid vs the
                    # 1-row scalar-beta aggregate (dx_logistic shape)
+    "epi_poisson_rate",  # same Newton shape with the person-time
+                         # offset grid (dx_poisson shape)
     "curate_dsir_head",  # crossJoin vs the 1-row bucket-total aggregate
                          # (text_bm25 corpus-constants shape)
     "surv_cox_strat",  # Newton steps crossJoin the bounded stratum-time
