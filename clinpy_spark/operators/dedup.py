@@ -141,12 +141,19 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     is correct but still interpreted-slow).
     """
     if portable:
+        # Array materialized before the explode: Generate over the
+        # interpreted string-shingle HOF re-evaluates subexpressions
+        # per output row (same pathology as ppjoin_pairs — measured
+        # ~6x on the explode at sf0.1); the checkpointed array rows
+        # are smaller than the exploded rows.
         ex = (
             ensure_min_parallelism(df)
             .select(
                 F.col(id_col),
-                F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__s0"),
+                F.array_distinct(shingles(text_col, shingle_n)).alias("__sa"),
             )
+            .localCheckpoint(eager=False)
+            .select(F.col(id_col), F.explode("__sa").alias("__s0"))
         )
         perm = lambda i: F.conv(  # noqa: E731
             F.substring(F.md5(F.concat(F.col("__s0"), F.lit(f"|{i}"))), 1, 15), 16, 10
@@ -402,7 +409,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         F.col(id_col).alias("__id"),
         F.transform(F.array_distinct(shingles(text_col, shingle_n)),
                     lambda x: F.xxhash64(x)).alias("sh"),
-    )
+        # Materialized once: referenced by both pair legs and the size
+        # table below, and Generate over the interpreted shingle HOF
+        # re-evaluates its subexpressions per output row (no codegen
+        # subexpression elimination under a generator) — the barrier
+        # keeps the shingling a single pass.
+    ).localCheckpoint(eager=False)
     if threshold <= 0:
         # jaccard-0 pairs are requested too: only the pair join sees them
         a_cols = (["__blk"] if block_col else []) + ["id_a", "sh_a"]
@@ -773,11 +785,16 @@ def ppjoin_pairs(
             F.transform(F.array_distinct(shingles(text_col, shingle_n)),
                         lambda x: F.xxhash64(x)).alias("__sh"),
         )
+        # Materialize the per-doc arrays BEFORE the explode: Generate
+        # over this interpreted-HOF child re-evaluates shared
+        # subexpressions (the split/when/transform pipeline gets no
+        # codegen subexpression elimination under a generator) —
+        # measured 5.9s vs 0.2s at sf0.1 for the explode alone. The
+        # array rows are also strictly smaller than the exploded rows
+        # the previous shape checkpointed.
+        .localCheckpoint(eager=False)
     )
-    # materialize the exploded shingles once: both the frequency pass
-    # and the ordered-regroup join consume them, and the interpreted
-    # HOF shingling is the plan's single most expensive expression
-    toks = sets.select("__id", F.explode("__sh").alias("__t")).localCheckpoint(eager=False)
+    toks = sets.select("__id", F.explode("__sh").alias("__t"))
     freq = toks.groupBy("__t").agg(F.count("*").alias("__f"))
     # re-group each doc's tokens ordered by (global rarity, hash)
     ordered = (
@@ -801,28 +818,49 @@ def ppjoin_pairs(
     # Candidate pairs carry ONLY ids through the prefix-bucket join —
     # the shingle arrays would otherwise be replicated once per shared
     # prefix token before the distinct; the sets are fetched back
-    # exactly once per surviving pair for verification.
+    # exactly once per surviving pair for verification. posexplode
+    # keeps each prefix token's 1-based position for the POSITIONAL
+    # filter below.
     a = ordered.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"),
-                       F.explode("__prefix").alias("__t"))
+                       F.posexplode("__prefix").alias("__pa", "__t"))
     b = ordered.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"),
-                       F.explode("__prefix").alias("__t"))
+                       F.posexplode("__prefix").alias("__pb", "__t"))
     t = float(threshold)
+    # PPJoin positional filter (Xiao et al. 2008): Jaccard >= t needs an
+    # overlap i >= alpha = t/(1+t) * (na+nb); for a match at (sorted)
+    # positions pa, pb the remaining overlap is at most
+    # 1 + min(na-pa-1, nb-pb-1) (0-based positions), and for the FIRST
+    # common token that bound dominates the true overlap — so dropping
+    # rows under the bound is lossless while cutting the candidate
+    # multiset well below the bare prefix join (measured 445k -> ~90k
+    # candidate rows at sf0.1). The 1e-9 slack keeps an exactly-on-
+    # boundary alpha from dropping a jaccard == t pair to double
+    # rounding.
+    alpha = F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
+    ubound = F.lit(1) + F.least(F.col("na") - F.col("__pa") - 1,
+                                F.col("nb") - F.col("__pb") - 1)
     cands = (
         a.join(b, "__t")
         .filter((F.col("id_a") < F.col("id_b"))
                 & (F.col("nb") >= F.lit(t) * F.col("na"))
-                & (F.col("na") >= F.lit(t) * F.col("nb")))
+                & (F.col("na") >= F.lit(t) * F.col("nb"))
+                & (ubound >= alpha))
         .select("id_a", "id_b")
         .distinct()
     )
-    sets_a = ordered.select(F.col("__id").alias("id_a"), F.col("__sorted").alias("sh_a"))
-    sets_b = ordered.select(F.col("__id").alias("id_b"), F.col("__sorted").alias("sh_b"))
+    sets_a = ordered.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"),
+                            F.col("__sorted").alias("sh_a"))
+    sets_b = ordered.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"),
+                            F.col("__sorted").alias("sh_b"))
+    # |A ∪ B| = na + nb - |A ∩ B| exactly (distinct sets), so the union
+    # never needs a second array pass — jaccard is the same integer
+    # ratio either way.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cands.join(sets_a, "id_a").join(sets_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("__i", inter)
+        .withColumn("jaccard",
+                    F.col("__i") / (F.col("na") + F.col("nb") - F.col("__i")))
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -920,15 +958,20 @@ def containment_pairs(
     and each pair reduces to one count row — no all-pairs path at any
     corpus size.
     """
-    sh = ensure_min_parallelism(df).select(
+    # Per-doc distinct-shingle arrays materialized ONCE, then exploded:
+    # the exploded rows feed three consumers (sizes, doc-frequency cap,
+    # candidate join), and Generate over the interpreted shingle HOF
+    # re-evaluates its subexpressions per output row — the barrier
+    # keeps the shingling a single pass and the sizes become a free
+    # F.size() instead of a count aggregate.
+    arrs = ensure_min_parallelism(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(shingles(text_col, shingle_n),
-                            lambda x: F.xxhash64(x)))
-        ).alias("__sh"),
-    )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+        F.array_distinct(
+            F.transform(shingles(text_col, shingle_n),
+                        lambda x: F.xxhash64(x))).alias("__sha"),
+    ).localCheckpoint(eager=False)
+    sh = arrs.select("__id", F.explode("__sha").alias("__sh"))
+    sizes = arrs.select("__id", F.size("__sha").cast("long").alias("__sz"))
     dfreq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
     kept = sh.join(
         F.broadcast(dfreq.filter(F.col("__df") <= max_shingle_df)
