@@ -3632,11 +3632,22 @@ def _pair_grid_stats(
     spark = df.sparkSession
     if not cells:
         return None
-    lit = spark.range(1).select(F.inline(F.array(*[
-        F.struct(F.lit(float(r["__x"])).alias("__bx"),
-                 F.lit(float(r["__y"])).alias("__by"),
-                 F.lit(int(r["__n"])).alias("__bn"))
-        for r in cells])))
+    # Three array LITERALS + posexplode/element_at, not |cells| structs
+    # of inlined field literals: the 3*|cells|-node expression tree
+    # cost ~2s of Catalyst analysis PER ACTION at 350 cells (measured;
+    # the array-literal form is 3 Literal nodes regardless of cell
+    # count). Same Generate-over-Range shape for the plan audit's
+    # constant-side proof; values bit-identical.
+    lit = spark.range(1).select(
+        F.posexplode(F.lit([float(r["__x"]) for r in cells]))
+        .alias("__i", "__bx")
+    ).select(
+        "__bx",
+        F.element_at(F.lit([float(r["__y"]) for r in cells]),
+                     F.col("__i") + 1).alias("__by"),
+        F.element_at(F.lit([int(r["__n"]) for r in cells]),
+                     F.col("__i") + 1).alias("__bn"),
+    )
     pair = grid.join(
         F.broadcast(lit), F.col("__x") < F.col("__bx"), "inner")
     cd = pair.agg(

@@ -264,21 +264,25 @@ def fit_centroids(
             members = x[assign == ci]
             if len(members):
                 ctrs[ci] = members.mean(axis=0)
-    # Emit the centroid table as LITERAL rows (inline over range(1)),
+    # Emit the centroid table as LITERAL rows (generate over range(1)),
     # not createDataFrame: a driver list renders as `Scan ExistingRDD`,
     # which the plan audit can no longer trust as constant-row (r11
     # verdict #5) — the literal form renders Generate-over-Range, a
     # PROVABLY bounded subtree, so every BNLJ against the broadcast
     # centroid table carries its own boundedness proof in the plan.
-    structs = [
-        F.struct(
-            F.lit(i).cast("int").alias("cell"),
-            F.array(*[F.lit(float(v)) for v in ctr])
-            .cast("array<double>").alias("__ctr"),
-        )
-        for i, ctr in enumerate(ctrs)
-    ]
-    return c.sparkSession.range(1).select(F.inline(F.array(*structs)))
+    # TWO array literals (flat centroid matrix + slice per cell), not
+    # k structs of dim element literals: the k*dim-node expression
+    # tree cost ~2s of Catalyst analysis per action at 16x64 (same
+    # pathology as the pair-grid literal in operators/assoc.py).
+    dim = int(ctrs.shape[1])
+    flat = F.lit([float(v) for v in ctrs.ravel()])
+    return c.sparkSession.range(1).select(
+        F.posexplode(F.lit(list(range(len(ctrs))))).alias("__i", "__cl")
+    ).select(
+        F.col("__cl").cast("int").alias("cell"),
+        F.slice(flat, F.col("__i") * dim + 1, dim)
+        .cast("array<double>").alias("__ctr"),
+    )
 
 
 def _nearest_cells(df: DataFrame, cents: DataFrame, id_name: str, vec_name: str,
@@ -471,11 +475,21 @@ def lsh_topk(
     n_planes: int = 6,
     seed: int = 42,
     n_tables: int = 1,
+    min_sim: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: score only candidates in the same
     random-hyperplane bucket. Recall < 1 by construction; the bucket
     equi-join replaces the cross join, so candidate count scales with
     bucket occupancy (~n/2^planes per bucket).
+
+    ``min_sim`` pre-filters scored pairs BEFORE the per-query top-k
+    window. Provably rank-preserving: the window orders by __sim desc,
+    so dropping rows below a cutoff can only remove rows ranked BELOW
+    every retained row — row_number of retained rows is unchanged.
+    Callers that post-filter on the ROUNDED cosine must pass the cutoff
+    with rounding slack (e.g. ``0.3`` rounded to 4 digits admits raw
+    sims down to 0.29995). The win: the window (and its shuffle) sees
+    only above-threshold pairs instead of every bucket collision.
 
     ``n_tables`` is THE recall lever (standard multi-table LSH): each
     table hashes with an independent plane set, a (query, candidate)
@@ -497,6 +511,11 @@ def lsh_topk(
     a low-threshold random-vector corpus — production similarity
     thresholds (~0.95) collide far more selectively.
     """
+    # Single-file scans arrive as ONE partition: spread both legs so
+    # the bucket matmul UDF and the normalization use every core (a
+    # no-op on real multi-file tables).
+    queries = ensure_min_parallelism(queries)
+    corpus = ensure_min_parallelism(corpus)
     inv = F.lit(1.0) / l2_norm(F.col(vec_col))
     qn = queries.select(
         F.col(id_col).alias("query_id"),
@@ -548,6 +567,8 @@ def lsh_topk(
         .join(cn, "match_id")
         .withColumn("__sim", dot("__qv", "__cv"))
     )
+    if min_sim is not None:
+        scored = scored.filter(F.col("__sim") >= min_sim)
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("match_id"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))

@@ -3182,7 +3182,11 @@ def dedup_embedding_cosine_q(spark, sf):
     # exactly theory), useless as a dedup pass; the multi-table form
     # measures 0.92 pair recall (witnessed by dedup_embedding_recall).
     emb = _t(spark, sf, "embeddings")
-    pairs = lsh_topk(emb, emb, k=20, n_planes=4, n_tables=16)
+    # min_sim pre-filters before the top-k window (rank-preserving —
+    # see lsh_topk). 0.29995-1e-9: the smallest raw sim whose round(.,4)
+    # can still pass the >=0.3 post-filter, minus double-repr slack.
+    pairs = lsh_topk(emb, emb, k=20, n_planes=4, n_tables=16,
+                     min_sim=0.29995 - 1e-9)
     return pairs.filter((F.col("cosine_sim") >= 0.3) & (F.col("query_id") < F.col("match_id")))
 
 
@@ -6756,8 +6760,17 @@ def _grid_geno(spark, sf) -> DataFrame:
     """(c_custkey, variant, chrom, pos, gene, gt, is_case): the dense
     genotype grid; SQL twin _GRID_GENO_SQL. The 200-variant range side
     is broadcast — the 'cross join' is a constant-width row expansion,
-    not a data-sized product."""
-    cust = _t(spark, sf, "customer").select("c_custkey")
+    not a data-sized product.
+
+    The customer side is spread across cores first: a single small
+    parquet file scans as ONE task, and the x200 expansion is narrow,
+    so the whole 2-md5-per-cell grid (3M cells at sf0.1) was computed
+    single-threaded — measured 5.4s noop, ~32x the per-core work. The
+    repartition moves only the 8-byte keys and is a no-op on real
+    multi-file tables (ensure_min_parallelism)."""
+    from clinpy_spark.session import ensure_min_parallelism
+
+    cust = ensure_min_parallelism(_t(spark, sf, "customer").select("c_custkey"))
     variants = spark.range(200).select(F.col("id").alias("variant"))
     g = cust.crossJoin(F.broadcast(variants))
     h = F.conv(
@@ -6974,7 +6987,11 @@ def dx_diff_expression_q(spark, sf):
     # sqrt included (IEEE-exact), so the oracle matches bit-for-bit.
     # One conditional-sum groupBy keyed by gene — the canonical
     # RNA-seq readout a clinpy expression assay feeds.
-    cust = _t(spark, sf, "customer").select("c_custkey")
+    from clinpy_spark.session import ensure_min_parallelism
+
+    # spread the 1-task single-file customer scan before the md5-per-cell
+    # expansion (no-op on multi-file tables)
+    cust = ensure_min_parallelism(_t(spark, sf, "customer").select("c_custkey"))
     genes = spark.range(10).select(F.col("id").alias("gene"))
     x = cust.crossJoin(F.broadcast(genes))
     h = F.conv(
@@ -7258,7 +7275,11 @@ def dx_quantile_normalize_q(spark, sf):
     # broadcastable rank join.
     from clinpy_spark.operators.assoc import quantile_normalize
 
-    cust = _t(spark, sf, "customer").select("c_custkey")
+    from clinpy_spark.session import ensure_min_parallelism
+
+    # spread the 1-task single-file customer scan before the md5-per-cell
+    # expansion (no-op on multi-file tables)
+    cust = ensure_min_parallelism(_t(spark, sf, "customer").select("c_custkey"))
     genes = spark.range(10).select(F.col("id").alias("gene"))
     x = cust.crossJoin(F.broadcast(genes))
     h = F.conv(
