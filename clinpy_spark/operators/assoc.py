@@ -1548,33 +1548,46 @@ def logistic_newton_multi_from_grid(
     from clinpy_spark.functions.cramer import solve2, solve3, var3_diag
 
     xs = [f"__x{i}" for i in range(1, d + 1)]
-    grid = grid.localCheckpoint(eager=False)
     spark = grid.sparkSession
     m = d + 1  # intercept + d slopes
 
+    # ONE collect of the bounded joint-cell grid; every Fisher step
+    # runs driver-side over it in the same per-row operand order the
+    # distributed aggregate evaluated (each step previously paid a job
+    # + collect round-trip for a handful of rows — ~0.4s/step). Driver
+    # float sums differ from Spark's partial-agg merge order by
+    # ~1e-16; the family emits at round-5 with a tested >=1e-9
+    # boundary margin (tests/test_stats_r13.py).
+    g_rows = [
+        (float(r["__n"]), float(r["__p"]),
+         *[float(r[x]) for x in xs], int(r["__n"]), int(r["__p"]))
+        for r in grid.collect()
+    ]
+
     def moments(beta):
-        """One grid-sized aggregate -> (U, I, n, pos) at ``beta``."""
-        eta = F.lit(float(beta[0]))
-        for i, x in enumerate(xs):
-            eta = eta + F.lit(float(beta[i + 1])) * F.col(x)
-        p = 1 / (1 + F.exp(-eta))
-        w = F.col("__n") * p * (1 - p)
-        r = F.col("__p") - F.col("__n") * p
-        terms = [F.col(x) for x in xs]
-        xall = [F.lit(1.0)] + terms
-        aggs = [F.sum(xall[a] * r).alias(f"u{a}") for a in range(d + 1)]
-        aggs += [
-            F.sum(xall[a] * xall[b] * w).alias(f"i{a}{b}")
-            for a in range(d + 1) for b in range(a, d + 1)
-        ]
-        aggs += [F.sum("__n").alias("n"), F.sum("__p").alias("pos")]
-        row = grid.agg(*aggs).collect()[0]
-        if row["n"] is None:
+        """One driver pass over the collected grid -> (U, I, n, pos)."""
+        if not g_rows:
             return None, None, 0, 0
-        u = [float(row[f"u{a}"]) for a in range(d + 1)]
-        info = {(a, b): float(row[f"i{a}{b}"])
-                for a in range(d + 1) for b in range(a, d + 1)}
-        return u, info, int(row["n"]), int(row["pos"])
+        u = [0.0] * (d + 1)
+        info = {(a, b): 0.0 for a in range(d + 1) for b in range(a, d + 1)}
+        n_tot = pos_tot = 0
+        for row in g_rows:
+            nc, pc = row[0], row[1]
+            eta = float(beta[0])
+            for i in range(d):
+                eta = eta + float(beta[i + 1]) * row[2 + i]
+            p = 1 / (1 + math.exp(-eta))
+            w = nc * p * (1 - p)
+            r = pc - nc * p
+            xall = [1.0] + [row[2 + i] for i in range(d)]
+            for a in range(d + 1):
+                u[a] += xall[a] * r
+            for a in range(d + 1):
+                for b in range(a, d + 1):
+                    info[(a, b)] += xall[a] * xall[b] * w
+            n_tot += row[2 + d]
+            pos_tot += row[3 + d]
+        return u, info, n_tot, pos_tot
 
     def step(beta, u, info):
         """Newton update — explicit Cramer in the oracle's operand
@@ -1988,31 +2001,46 @@ def poisson_newton_multi(
         )
         .groupBy(*xs)
         .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__sy"))
-        .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
 
+    # ONE collect of the bounded joint-cell grid (per-cell __n/__sy
+    # still computed distributed); every Fisher step runs driver-side
+    # over it in the same per-row operand order the distributed
+    # aggregate evaluated — each step previously paid a job + collect
+    # round-trip for a handful of rows. Driver float sums differ from
+    # Spark's partial-agg merge order by ~1e-16; the family emits at
+    # round-5 with a tested >=1e-9 boundary margin (y_total is a sum
+    # of integer-valued doubles — exact in any order).
+    g_rows = [
+        (float(r["__n"]), float(r["__sy"]),
+         *[float(r[x]) for x in xs], int(r["__n"]))
+        for r in grid.collect()
+    ]
+
     def moments(beta):
-        eta = F.lit(float(beta[0]))
-        for i, x in enumerate(xs):
-            eta = eta + F.lit(float(beta[i + 1])) * F.col(x)
-        mu = F.exp(eta)
-        w = F.col("__n") * mu
-        r = F.col("__sy") - w
-        xall = [F.lit(1.0)] + [F.col(x) for x in xs]
-        aggs = [F.sum(xall[a] * r).alias(f"u{a}") for a in range(d + 1)]
-        aggs += [
-            F.sum(xall[a] * xall[b] * w).alias(f"i{a}{b}")
-            for a in range(d + 1) for b in range(a, d + 1)
-        ]
-        aggs += [F.sum("__n").alias("n"), F.sum("__sy").alias("sy")]
-        row = grid.agg(*aggs).collect()[0]
-        if row["n"] is None:
+        if not g_rows:
             return None, None, 0, 0.0
-        u = [float(row[f"u{a}"]) for a in range(d + 1)]
-        info = {(a, b): float(row[f"i{a}{b}"])
-                for a in range(d + 1) for b in range(a, d + 1)}
-        return u, info, int(row["n"]), float(row["sy"])
+        u = [0.0] * (d + 1)
+        info = {(a, b): 0.0 for a in range(d + 1) for b in range(a, d + 1)}
+        n_tot, sy_tot = 0, 0.0
+        for row in g_rows:
+            nc, sy = row[0], row[1]
+            eta = float(beta[0])
+            for i in range(d):
+                eta = eta + float(beta[i + 1]) * row[2 + i]
+            mu = math.exp(eta)
+            w = nc * mu
+            r = sy - w
+            xall = [1.0] + [row[2 + i] for i in range(d)]
+            for a in range(d + 1):
+                u[a] += xall[a] * r
+            for a in range(d + 1):
+                for b in range(a, d + 1):
+                    info[(a, b)] += xall[a] * xall[b] * w
+            n_tot += row[2 + d]
+            sy_tot += sy
+        return u, info, n_tot, sy_tot
 
     m = d + 1
 
@@ -2076,10 +2104,8 @@ def poisson_newton_multi(
         return spark.range(1).select(*cols)
 
     # saturated-intercept start: beta0 = ln(ybar) (0 for an all-zero y)
-    start = grid.agg(
-        F.sum("__sy").alias("sy"), F.sum("__n").alias("n")).collect()[0]
-    n_obs = int(start["n"] or 0)
-    y_tot = float(start["sy"] or 0.0)
+    n_obs = sum(r[2 + d] for r in g_rows)
+    y_tot = sum(r[1] for r in g_rows) if g_rows else 0.0
     beta = [0.0] * m
     if n_obs == 0:
         return null_result()
@@ -3093,9 +3119,16 @@ def multinomial_newton_from_counts(
 
     from clinpy_spark.functions.cramer import inv_diag_py, solve_n_py
 
-    counts = counts.localCheckpoint(eager=False)
-    labels = sorted(
-        r["__y"] for r in counts.select("__y").distinct().collect())
+    # ONE collect of the bounded-by-contract (x, label, count) cell
+    # table; labels, the per-x grid (exact integer sums) and every
+    # Fisher step run driver-side over it, each row evaluated in the
+    # oracle CTE's operand order. Previously each of the 5 steps paid
+    # a full job + collect round-trip to aggregate a handful of grid
+    # rows (~0.4s/step measured). Driver float sums differ from
+    # Spark's partial-agg merge order by ~1e-16; the family emits at
+    # round-5 with a tested >=1e-9 boundary margin.
+    c_rows = counts.collect()
+    labels = sorted({r["__y"] for r in c_rows})
     if len(labels) < 2:
         raise ValueError(
             f"multinomial_newton needs >= 2 classes, got {labels}")
@@ -3105,60 +3138,65 @@ def multinomial_newton_from_counts(
             f"max_classes={max_classes}")
     k = len(labels)
     ref, alts = labels[0], labels[1:]
-    grid = counts.groupBy("__x").agg(
-        F.sum("__n").alias("__n"),
-        *[F.sum(F.when(F.col("__y") == F.lit(c), F.col("__n"))
-                .otherwise(0)).alias(f"__n{j}")
-          for j, c in enumerate(alts, 1)],
-    ).localCheckpoint(eager=False)
+    alt_ix = {c: j for j, c in enumerate(alts, 1)}
+    by_x: dict = {}
+    for r in c_rows:
+        cell = by_x.setdefault(r["__x"], [0] * k)  # [n, n1..n_{k-1}]
+        cell[0] += int(r["__n"])
+        j = alt_ix.get(r["__y"])
+        if j is not None:
+            cell[j] += int(r["__n"])
+    g_rows = [(float(x), *cnts) for x, cnts in by_x.items()]
     spark = counts.sparkSession
     m = 2 * (k - 1)
 
     def moments(beta):
-        """One grid aggregate -> (U, block info, n) at beta.  The
-        expressions mirror the oracle CTE text operand-for-operand."""
-        es, den = [], F.lit(1.0)
-        for j in range(k - 1):
-            e = F.exp(F.lit(float(beta[2 * j]))
-                      + F.lit(float(beta[2 * j + 1])) * F.col("__x"))
-            es.append(e)
-            den = den + e
-        ps = [e / den for e in es]
-        nc = F.col("__n").cast("double")
-        x = F.col("__x")
-        aggs = []
-        for j in range(k - 1):
-            r = F.col(f"__n{j + 1}") - nc * ps[j]
-            aggs += [F.sum(r).alias(f"u{2 * j}"),
-                     F.sum(x * r).alias(f"u{2 * j + 1}")]
-        for j in range(k - 1):
-            w = nc * (ps[j] * (1 - ps[j]))
-            aggs += [F.sum(w).alias(f"h{j}0"),
-                     F.sum(x * w).alias(f"h{j}1"),
-                     F.sum(x * x * w).alias(f"h{j}2")]
-        for j in range(k - 1):
-            for lx in range(j + 1, k - 1):
-                g = nc * (ps[j] * ps[lx])
-                aggs += [F.sum(g).alias(f"g{j}{lx}0"),
-                         F.sum(x * g).alias(f"g{j}{lx}1"),
-                         F.sum(x * x * g).alias(f"g{j}{lx}2")]
-        aggs.append(F.sum("__n").alias("n"))
-        row = grid.agg(*aggs).collect()[0]
-        if row["n"] is None:
+        """One driver pass over the collected grid -> (U, block info,
+        n) at beta, mirroring the oracle CTE text operand-for-operand."""
+        if not g_rows:
             return None, None, 0
-        u = [float(row[f"u{i}"]) for i in range(m)]
+        u = [0.0] * m
+        hs = [[0.0] * 3 for _ in range(k - 1)]
+        gs = {(j, lx): [0.0] * 3
+              for j in range(k - 1) for lx in range(j + 1, k - 1)}
+        n_tot = 0
+        for row in g_rows:
+            x, nc = row[0], float(row[1])
+            es, den = [], 1.0
+            for j in range(k - 1):
+                e = math.exp(float(beta[2 * j])
+                             + float(beta[2 * j + 1]) * x)
+                es.append(e)
+                den = den + e
+            ps = [e / den for e in es]
+            for j in range(k - 1):
+                r = row[2 + j] - nc * ps[j]
+                u[2 * j] += r
+                u[2 * j + 1] += x * r
+            for j in range(k - 1):
+                w = nc * (ps[j] * (1 - ps[j]))
+                hs[j][0] += w
+                hs[j][1] += x * w
+                hs[j][2] += x * x * w
+            for j in range(k - 1):
+                for lx in range(j + 1, k - 1):
+                    g = nc * (ps[j] * ps[lx])
+                    gs[(j, lx)][0] += g
+                    gs[(j, lx)][1] += x * g
+                    gs[(j, lx)][2] += x * x * g
+            n_tot += row[1]
         info = {}
         for j in range(k - 1):
-            info[(2 * j, 2 * j)] = float(row[f"h{j}0"])
-            info[(2 * j, 2 * j + 1)] = float(row[f"h{j}1"])
-            info[(2 * j + 1, 2 * j + 1)] = float(row[f"h{j}2"])
+            info[(2 * j, 2 * j)] = hs[j][0]
+            info[(2 * j, 2 * j + 1)] = hs[j][1]
+            info[(2 * j + 1, 2 * j + 1)] = hs[j][2]
         for j in range(k - 1):
             for lx in range(j + 1, k - 1):
-                info[(2 * j, 2 * lx)] = -float(row[f"g{j}{lx}0"])
-                info[(2 * j, 2 * lx + 1)] = -float(row[f"g{j}{lx}1"])
-                info[(2 * j + 1, 2 * lx)] = -float(row[f"g{j}{lx}1"])
-                info[(2 * j + 1, 2 * lx + 1)] = -float(row[f"g{j}{lx}2"])
-        return u, info, int(row["n"])
+                info[(2 * j, 2 * lx)] = -gs[(j, lx)][0]
+                info[(2 * j, 2 * lx + 1)] = -gs[(j, lx)][1]
+                info[(2 * j + 1, 2 * lx)] = -gs[(j, lx)][1]
+                info[(2 * j + 1, 2 * lx + 1)] = -gs[(j, lx)][2]
+        return u, info, n_tot
 
     def r5(v):
         if digits is None:
@@ -3291,15 +3329,21 @@ def ordinal_newton_from_counts(
         *[F.sum(F.when(F.col("__y") == F.lit(v), F.col("__n"))
                 .otherwise(0)).alias(f"__n{j}")
           for j, v in enumerate(lvl[:-1], 1)],
-    ).localCheckpoint(eager=False)
+    )
     spark = counts.sparkSession
 
-    # marginal-cumulative-logit start (collected exact integer totals)
-    tot = grid.agg(
-        F.sum("__n").alias("n"),
-        *[F.sum(f"__n{j}").alias(f"t{j}") for j in range(1, k)],
-    ).collect()[0]
-    n_obs = int(tot["n"] or 0)
+    # ONE distributed pass collapses the cohort to the bounded-by-
+    # contract (x, per-level count) grid; the grid is collected ONCE
+    # and every Fisher step runs driver-side over it in the same
+    # per-row operand order the distributed aggregate evaluated.
+    # Rationale (same as fit_centroids): each step previously paid a
+    # full job + collect round-trip to aggregate a handful of rows —
+    # measured ~0.4s/step, 2.4s of the 3.1s query at 6 steps. Driver
+    # float sums differ from Spark's partial-agg merge order by
+    # ~1e-16; the family emits at round-5 with a tested >=1e-9
+    # boundary margin, so no emitted digit can move.
+    g_rows = [r.asDict() for r in grid.collect()]
+    n_obs = sum(int(r["__n"] or 0) for r in g_rows)
 
     def null_result():
         cols = [F.lit(None).cast("double").alias(f"theta_{j}")
@@ -3317,60 +3361,58 @@ def ordinal_newton_from_counts(
     cum = 0
     theta = []
     for j in range(1, k):
-        cum += int(tot[f"t{j}"] or 0)
+        cum += sum(int(r[f"__n{j}"] or 0) for r in g_rows)
         if not 0 < cum < n_obs:
             return null_result()  # empty cumulative class: unidentifiable
         theta.append(math.log(cum / (n_obs - cum)))
     beta = theta + [0.0]  # params: theta_1..theta_{k-1}, slope last
 
     def moments(par):
-        """One grid aggregate -> (U, info dict, pmin).  Expressions in
-        the oracle CTE's operand order (k = 3 text; general k mirrors
-        the same per-level terms)."""
+        """One driver pass over the collected grid -> (U, info dict,
+        pmin), each row evaluated in the oracle CTE's operand order
+        (k = 3 text; general k mirrors the same per-level terms)."""
         th, b = par[:-1], par[-1]
-        gam = [F.lit(0.0)] + [
-            1 / (1 + F.exp(-(F.lit(float(th[j])) + F.lit(float(b))
-                             * F.col("__x"))))
-            for j in range(k - 1)
-        ] + [F.lit(1.0)]
-        g = [F.lit(0.0)] + [gam[j] * (1 - gam[j]) for j in range(1, k)] \
-            + [F.lit(0.0)]
-        p = [gam[j] - gam[j - 1] for j in range(1, k + 1)]  # p[0] = p_1
-        nc = F.col("__n").cast("double")
-        ns = [F.col(f"__n{j}") for j in range(1, k)]
-        ns.append(F.col("__n") - sum(ns))  # top level count
-        x = F.col("__x")
-        aggs = []
-        # score: thresholds then slope
-        for r in range(1, k):
-            aggs.append(F.sum(
-                ns[r - 1] * (g[r] / p[r - 1]) - ns[r] * (g[r] / p[r])
-            ).alias(f"u{r - 1}"))
-        slope = ns[0] * (g[1] / p[0])
-        for j in range(2, k):
-            slope = slope + ns[j - 1] * ((g[j] - g[j - 1]) / p[j - 1])
-        slope = slope - ns[k - 1] * (g[k - 1] / p[k - 1])
-        aggs.append(F.sum(x * slope).alias(f"u{k - 1}"))
-        # expected information: d_j vectors per level share
-        # d_j(theta_r) = delta_{jr} g_r - delta_{j-1,r} g_{j-1};
-        # d_j(b) = (g_j - g_{j-1}) x
-        for r in range(m):
-            for s in range(r, m):
-                term = None
-                for j in range(1, k + 1):
-                    dr = _ord_deriv(r, j, g, x, k)
-                    ds = _ord_deriv(s, j, g, x, k)
-                    if dr is None or ds is None:
-                        continue
-                    t = dr * ds / p[j - 1]
-                    term = t if term is None else term + t
-                aggs.append(F.sum(nc * term).alias(f"i{r}{s}"))
-        aggs.append(F.min(F.least(*p)).alias("pmin"))
-        row = grid.agg(*aggs).collect()[0]
-        u = [float(row[f"u{i}"]) for i in range(m)]
-        info = {(r, s): float(row[f"i{r}{s}"])
-                for r in range(m) for s in range(r, m)}
-        pmin = row["pmin"]
+        u = [0.0] * m
+        info = {(r, s): 0.0 for r in range(m) for s in range(r, m)}
+        pmin = None
+        for row in g_rows:
+            x = float(row["__x"])
+            nc = float(row["__n"])
+            gam = [0.0] + [
+                1 / (1 + math.exp(-(float(th[j]) + float(b) * x)))
+                for j in range(k - 1)
+            ] + [1.0]
+            g = [0.0] + [gam[j] * (1 - gam[j]) for j in range(1, k)] \
+                + [0.0]
+            p = [gam[j] - gam[j - 1] for j in range(1, k + 1)]  # p[0]=p_1
+            ns = [int(row[f"__n{j}"]) for j in range(1, k)]
+            ns.append(int(row["__n"]) - sum(ns))  # top level count
+            # score: thresholds then slope
+            for r in range(1, k):
+                u[r - 1] += (ns[r - 1] * (g[r] / p[r - 1])
+                             - ns[r] * (g[r] / p[r]))
+            slope = ns[0] * (g[1] / p[0])
+            for j in range(2, k):
+                slope = slope + ns[j - 1] * ((g[j] - g[j - 1]) / p[j - 1])
+            slope = slope - ns[k - 1] * (g[k - 1] / p[k - 1])
+            u[k - 1] += x * slope
+            # expected information: d_j vectors per level share
+            # d_j(theta_r) = delta_{jr} g_r - delta_{j-1,r} g_{j-1};
+            # d_j(b) = (g_j - g_{j-1}) x
+            for r in range(m):
+                for s in range(r, m):
+                    term = None
+                    for j in range(1, k + 1):
+                        dr = _ord_deriv_py(r, j, g, x, k)
+                        ds = _ord_deriv_py(s, j, g, x, k)
+                        if dr is None or ds is None:
+                            continue
+                        t = dr * ds / p[j - 1]
+                        term = t if term is None else term + t
+                    if term is not None:
+                        info[(r, s)] += nc * term
+            rp = min(p)
+            pmin = rp if pmin is None else min(pmin, rp)
         return u, info, (float(pmin) if pmin is not None else 0.0)
 
     for _ in range(iterations):
@@ -3431,8 +3473,8 @@ def ordinal_newton_from_counts(
     return spark.range(1).select(*cols)
 
 
-def _ord_deriv(r: int, j: int, g: list, x, k: int):
-    """d p_j / d param_r as a Column, or None when identically zero.
+def _ord_deriv_py(r: int, j: int, g: list, x: float, k: int):
+    """d p_j / d param_r as a float, or None when identically zero.
     Params 0..k-2 are thresholds theta_{r+1}; param k-1 is the slope."""
     if r == k - 1:  # slope
         return (g[j] - g[j - 1]) * x

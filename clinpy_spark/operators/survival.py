@@ -1114,48 +1114,62 @@ def cox_newton_multi_from_leavers(
     grid = (
         atrisk.join(dgrid, [*xs, "__t"], "left")
         .withColumn("__d", F.coalesce("__d", F.lit(0)))
-        .localCheckpoint(eager=False)
     )
     spark = leav.sparkSession
 
+    # ONE collect of the bounded (cell x event-time) grid — built
+    # distributed exactly as before — then every Newton step runs
+    # driver-side over it, replicating the per-time / across-time
+    # two-level aggregate in the same per-row operand order. Each step
+    # previously paid a full job + collect round-trip (~0.4s) to
+    # aggregate a few thousand rows. Driver float sums differ from
+    # Spark's partial-agg merge order by ~1e-16; the family emits at
+    # round-5 with a tested >=1e-9 boundary margin
+    # (tests/test_stats_r13.py::test_multi_family_round5_boundary_margin).
+    g_rows = [
+        (r["__t"], float(r["__n"]), int(r["__d"]),
+         *[float(r[x]) for x in xs])
+        for r in grid.collect()
+    ]
+    by_t: dict = {}
+    for row in g_rows:
+        by_t.setdefault(row[0], []).append(row)
+
     def moments(beta):
-        eta = F.lit(0.0)
-        for i, x in enumerate(xs):
-            eta = eta + F.lit(float(beta[i])) * F.col(x)
-        ex = F.exp(eta)
-        nc = F.col("__n").cast("double")
-        pt_aggs = [F.sum(nc * ex).alias("s0"), F.sum("__d").alias("dd")]
-        pt_aggs += [F.sum(F.col(x) * F.col("__d")).alias(f"da{a}")
-                    for a, x in enumerate(xs)]
-        pt_aggs += [F.sum(nc * F.col(x) * ex).alias(f"s1_{a}")
-                    for a, x in enumerate(xs)]
-        pt_aggs += [
-            F.sum(nc * F.col(xs[a]) * F.col(xs[b]) * ex).alias(f"s2_{a}{b}")
-            for a in range(d) for b in range(a, d)
-        ]
-        pt = grid.groupBy("__t").agg(*pt_aggs)
-        g_aggs = [
-            F.sum(F.col(f"da{a}")
-                  - F.col("dd") * F.col(f"s1_{a}") / F.col("s0"))
-            .alias(f"u{a}")
-            for a in range(d)
-        ]
-        g_aggs += [
-            F.sum(F.col("dd") * (
-                F.col(f"s2_{a}{b}") / F.col("s0")
-                - (F.col(f"s1_{a}") / F.col("s0"))
-                * (F.col(f"s1_{b}") / F.col("s0"))
-            )).alias(f"i{a}{b}")
-            for a in range(d) for b in range(a, d)
-        ]
-        g_aggs += [F.sum("dd").alias("n_events")]
-        row = pt.agg(*g_aggs).collect()[0]
-        if row["n_events"] is None:
+        if not g_rows:
             return None, None, 0
-        u = [float(row[f"u{a}"]) for a in range(d)]
-        info = {(a, b): float(row[f"i{a}{b}"])
-                for a in range(d) for b in range(a, d)}
-        return u, info, int(row["n_events"])
+        u = [0.0] * d
+        info = {(a, b): 0.0 for a in range(d) for b in range(a, d)}
+        n_events = 0
+        for rows_t in by_t.values():
+            s0 = 0.0
+            dd = 0
+            da = [0.0] * d
+            s1 = [0.0] * d
+            s2 = {(a, b): 0.0 for a in range(d) for b in range(a, d)}
+            for row in rows_t:
+                nc, dv = row[1], row[2]
+                xv = row[3:3 + d]
+                eta = 0.0
+                for i in range(d):
+                    eta = eta + float(beta[i]) * xv[i]
+                ex = math.exp(eta)
+                s0 += nc * ex
+                dd += dv
+                for a in range(d):
+                    da[a] += xv[a] * dv
+                    s1[a] += nc * xv[a] * ex
+                for a in range(d):
+                    for b in range(a, d):
+                        s2[(a, b)] += nc * xv[a] * xv[b] * ex
+            for a in range(d):
+                u[a] += da[a] - dd * s1[a] / s0
+            for a in range(d):
+                for b in range(a, d):
+                    info[(a, b)] += dd * (
+                        s2[(a, b)] / s0 - (s1[a] / s0) * (s1[b] / s0))
+            n_events += dd
+        return u, info, n_events
 
     def step(beta, u, info):
         """One Newton update.  For d <= 3 the solve is EXPLICIT Cramer
