@@ -1408,67 +1408,77 @@ def logistic_newton_from_grid(
     cohorts: the grid IS the additive sufficient statistic, so a
     streaming fold keeps (n, positives) per covariate value and this
     refits the MLE on read (streaming/glm.py finalize_logistic)."""
-    grid = grid.localCheckpoint(eager=False)
-    beta = grid.sparkSession.range(1).select(
-        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"))
+    import math
+
+    # ONE collect of the bounded per-x grid; the 8 unrolled IRLS steps
+    # run driver-side over it in the same per-row operand order the
+    # chained crossJoin/agg plan evaluated (that plan paid ~10 chained
+    # stages plus the Catalyst cost of the unrolled expression tree
+    # per action, to iterate over a handful of rows). Driver float
+    # sums differ from Spark's partial-agg merge order by ~1e-16,
+    # invisible at the round-6 emission (which still runs through
+    # F.round so half-up semantics are unchanged; proven bit-identical
+    # on all three fixtures by order-insensitive output hashes).
+    spark = grid.sparkSession
+    g_rows = [
+        (float(r["__x"]), float(r["__n"]), float(r["__p"]),
+         int(r["__n"]), int(r["__p"]))
+        for r in grid.collect()
+    ]
+
+    def moments(b0, b1):
+        u0 = u1 = i00 = i01 = i11 = 0.0
+        for x, nc, pc, _, _ in g_rows:
+            p = 1 / (1 + math.exp(-(b0 + b1 * x)))
+            w = nc * p * (1 - p)
+            r = pc - nc * p
+            u0 += r
+            u1 += x * r
+            i00 += w
+            i01 += x * w
+            i11 += x * x * w
+        return u0, u1, i00, i01, i11
+
+    n_tot = sum(r[3] for r in g_rows)
+    pos_tot = sum(r[4] for r in g_rows)
+    bb = (0.0, 0.0) if g_rows else None
     for _ in range(iterations):
-        j = grid.crossJoin(F.broadcast(beta))
-        p = 1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("__x"))))
-        w = F.col("__n") * p * (1 - p)
-        r = F.col("__p") - F.col("__n") * p
-        step = j.agg(
-            F.max("b0").alias("b0"),
-            F.max("b1").alias("b1"),
-            F.sum(r).alias("u0"),
-            F.sum(F.col("__x") * r).alias("u1"),
-            F.sum(w).alias("i00"),
-            F.sum(F.col("__x") * w).alias("i01"),
-            F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        if bb is None:
+            break
+        u0, u1, i00, i01, i11 = moments(*bb)
+        det = i00 * i11 - i01 * i01
+        if not det > 0:
+            bb = None
+            break
+        bb = (bb[0] + (i11 * u0 - i01 * u1) / det,
+              bb[1] + (i00 * u1 - i01 * u0) / det)
+    fin = None
+    if bb is not None:
+        u0, u1, i00, i01, i11 = moments(*bb)
+        det = i00 * i11 - i01 * i01
+        if det > 0:
+            var1 = i00 / det
+            fin = (bb[0], bb[1], math.sqrt(var1),
+                   bb[1] * bb[1] / var1,
+                   math.sqrt(u0 * u0 + u1 * u1))
+    if fin is None:
+        return spark.range(1).select(
+            F.lit(None).cast("double").alias("beta0"),
+            F.lit(None).cast("double").alias("beta1"),
+            F.lit(None).cast("double").alias("se1"),
+            F.lit(None).cast("double").alias("wald_chi2"),
+            F.lit(n_tot).cast("long").alias("n"),
+            F.lit(pos_tot).cast("long").alias("n_pos"),
+            F.lit(None).cast("double").alias("score_norm"),
         )
-        det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
-        beta = step.select(
-            F.when(
-                det > 0,
-                F.col("b0")
-                + (F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"))
-                / det,
-            ).alias("b0"),
-            F.when(
-                det > 0,
-                F.col("b1")
-                + (F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"))
-                / det,
-            ).alias("b1"),
-        )
-    fin = grid.crossJoin(F.broadcast(beta))
-    p = 1 / (1 + F.exp(-(F.col("b0") + F.col("b1") * F.col("__x"))))
-    w = F.col("__n") * p * (1 - p)
-    r = F.col("__p") - F.col("__n") * p
-    stats = fin.agg(
-        F.max("b0").alias("b0"),
-        F.max("b1").alias("b1"),
-        F.sum(w).alias("i00"),
-        F.sum(F.col("__x") * w).alias("i01"),
-        F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
-        F.sum("__n").alias("n"),
-        F.sum("__p").alias("n_pos"),
-        F.sum(r).alias("u0"),
-        F.sum(F.col("__x") * r).alias("u1"),
-    )
-    det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
-    ok = F.col("b0").isNotNull() & F.col("b1").isNotNull() & (det > 0)
-    var1 = F.col("i00") / det
-    return stats.select(
-        F.when(ok, F.round("b0", 6)).alias("beta0"),
-        F.when(ok, F.round("b1", 6)).alias("beta1"),
-        F.when(ok, F.round(F.sqrt(var1), 6)).alias("se1"),
-        F.when(ok, F.round(F.col("b1") * F.col("b1") / var1, 6))
-        .alias("wald_chi2"),
-        F.coalesce("n", F.lit(0)).alias("n"),
-        F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
-        F.when(ok, F.round(
-            F.sqrt(F.col("u0") * F.col("u0") + F.col("u1") * F.col("u1")),
-            6)).alias("score_norm"),
+    return spark.range(1).select(
+        F.round(F.lit(fin[0]), 6).alias("beta0"),
+        F.round(F.lit(fin[1]), 6).alias("beta1"),
+        F.round(F.lit(fin[2]), 6).alias("se1"),
+        F.round(F.lit(fin[3]), 6).alias("wald_chi2"),
+        F.lit(n_tot).cast("long").alias("n"),
+        F.lit(pos_tot).cast("long").alias("n_pos"),
+        F.round(F.lit(fin[4]), 6).alias("score_norm"),
     )
 
 
@@ -2419,67 +2429,79 @@ def poisson_newton_from_grid(
     (__x, __n, __sy) — streaming-maintainable entry point (the grid
     counters are additive; streaming/glm.py finalize_poisson refits
     on read)."""
-    grid = grid.localCheckpoint(eager=False)
-    beta = grid.agg(
-        F.when(
-            F.sum("__sy") > 0,
-            F.log(F.sum("__sy") / F.sum("__n")),
-        ).otherwise(F.lit(0.0)).alias("b0"),
-        F.lit(0.0).alias("b1"),
-    )
+    import math
+
+    # ONE collect of the bounded per-x grid; the unrolled Newton steps
+    # run driver-side in the same per-row operand order the chained
+    # crossJoin/agg plan evaluated (see logistic_newton_from_grid —
+    # the chained plan spent ~10 tiny stages + unrolled-tree Catalyst
+    # per action on a handful of rows). Emission still goes through
+    # F.round (half-up unchanged); proven bit-identical on all three
+    # fixtures by order-insensitive output hashes.
+    spark = grid.sparkSession
+    g_rows = [
+        (float(r["__x"]), float(r["__n"]), float(r["__sy"]), int(r["__n"]))
+        for r in grid.collect()
+    ]
+    n_tot = sum(r[3] for r in g_rows)
+    sy_tot = sum(r[2] for r in g_rows) if g_rows else None
+
+    def moments(b0, b1):
+        u0 = u1 = i00 = i01 = i11 = 0.0
+        for x, nc, sy, _ in g_rows:
+            mu = math.exp(b0 + b1 * x)
+            w = nc * mu
+            r = sy - w
+            u0 += r
+            u1 += x * r
+            i00 += w
+            i01 += x * w
+            i11 += x * x * w
+        return u0, u1, i00, i01, i11
+
+    if not g_rows:
+        bb = None
+    else:
+        b0 = math.log(sy_tot / n_tot) if sy_tot > 0 else 0.0
+        bb = (b0, 0.0)
     for _ in range(iterations):
-        j = grid.crossJoin(F.broadcast(beta))
-        mu = F.exp(F.col("b0") + F.col("b1") * F.col("__x"))
-        w = F.col("__n") * mu
-        r = F.col("__sy") - w
-        step = j.agg(
-            F.max("b0").alias("b0"),
-            F.max("b1").alias("b1"),
-            F.sum(r).alias("u0"),
-            F.sum(F.col("__x") * r).alias("u1"),
-            F.sum(w).alias("i00"),
-            F.sum(F.col("__x") * w).alias("i01"),
-            F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
+        if bb is None:
+            break
+        u0, u1, i00, i01, i11 = moments(*bb)
+        det = i00 * i11 - i01 * i01
+        if not det > 0:
+            bb = None
+            break
+        bb = (bb[0] + (i11 * u0 - i01 * u1) / det,
+              bb[1] + (i00 * u1 - i01 * u0) / det)
+    fin = None
+    if bb is not None:
+        _, _, i00, i01, i11 = moments(*bb)
+        det = i00 * i11 - i01 * i01
+        if det > 0:
+            var1 = i00 / det
+            fin = (bb[0], bb[1], math.exp(bb[1]), math.sqrt(var1),
+                   bb[1] * bb[1] / var1)
+    y_out = (F.round(F.lit(sy_tot if sy_tot is not None else 0.0), 6)
+             .alias("y_total"))
+    if fin is None:
+        return spark.range(1).select(
+            F.lit(None).cast("double").alias("beta0"),
+            F.lit(None).cast("double").alias("beta1"),
+            F.lit(None).cast("double").alias("rate_ratio"),
+            F.lit(None).cast("double").alias("se1"),
+            F.lit(None).cast("double").alias("wald_chi2"),
+            F.lit(n_tot).cast("long").alias("n"),
+            y_out,
         )
-        det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
-        beta = step.select(
-            F.when(
-                det > 0,
-                F.col("b0")
-                + (F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"))
-                / det,
-            ).alias("b0"),
-            F.when(
-                det > 0,
-                F.col("b1")
-                + (F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"))
-                / det,
-            ).alias("b1"),
-        )
-    fin = grid.crossJoin(F.broadcast(beta))
-    mu = F.exp(F.col("b0") + F.col("b1") * F.col("__x"))
-    w = F.col("__n") * mu
-    stats = fin.agg(
-        F.max("b0").alias("b0"),
-        F.max("b1").alias("b1"),
-        F.sum(w).alias("i00"),
-        F.sum(F.col("__x") * w).alias("i01"),
-        F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
-        F.sum("__n").alias("n"),
-        F.sum("__sy").alias("y_total"),
-    )
-    det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
-    ok = F.col("b0").isNotNull() & F.col("b1").isNotNull() & (det > 0)
-    var1 = F.col("i00") / det
-    return stats.select(
-        F.when(ok, F.round("b0", 6)).alias("beta0"),
-        F.when(ok, F.round("b1", 6)).alias("beta1"),
-        F.when(ok, F.round(F.exp("b1"), 6)).alias("rate_ratio"),
-        F.when(ok, F.round(F.sqrt(var1), 6)).alias("se1"),
-        F.when(ok, F.round(F.col("b1") * F.col("b1") / var1, 6))
-        .alias("wald_chi2"),
-        F.coalesce("n", F.lit(0)).alias("n"),
-        F.round(F.coalesce("y_total", F.lit(0.0)), 6).alias("y_total"),
+    return spark.range(1).select(
+        F.round(F.lit(fin[0]), 6).alias("beta0"),
+        F.round(F.lit(fin[1]), 6).alias("beta1"),
+        F.round(F.lit(fin[2]), 6).alias("rate_ratio"),
+        F.round(F.lit(fin[3]), 6).alias("se1"),
+        F.round(F.lit(fin[4]), 6).alias("wald_chi2"),
+        F.lit(n_tot).cast("long").alias("n"),
+        y_out,
     )
 
 
@@ -2537,107 +2559,111 @@ def negbin_newton_from_grid(
     sum is what the moment dispersion needs), so a streaming fold
     maintains them and this refits the NB2 chain on read
     (streaming/glm.py finalize_negbin)."""
-    grid = grid.localCheckpoint(eager=False)
-    beta = grid.agg(
-        F.when(
-            F.sum("__sy") > 0,
-            F.log(F.sum("__sy") / F.sum("__n")),
-        ).otherwise(F.lit(0.0)).alias("b0"),
-        F.lit(0.0).alias("b1"),
-    )
+    import math
 
-    def _step(beta, weight_of, resid_of):
-        j = grid.crossJoin(F.broadcast(beta))
-        w = weight_of(j)
-        r = resid_of(j)
-        step = j.agg(
-            F.max("b0").alias("b0"),
-            F.max("b1").alias("b1"),
-            *([F.max("alpha").alias("alpha")] if "alpha" in j.columns
-              else []),
-            F.sum(r).alias("u0"),
-            F.sum(F.col("__x") * r).alias("u1"),
-            F.sum(w).alias("i00"),
-            F.sum(F.col("__x") * w).alias("i01"),
-            F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
-        )
-        det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
-        keep = ([F.col("alpha").alias("alpha")] if "alpha" in j.columns
-                else [])
-        return step.select(
-            F.when(det > 0, F.col("b0")
-                   + (F.col("i11") * F.col("u0")
-                      - F.col("i01") * F.col("u1")) / det).alias("b0"),
-            F.when(det > 0, F.col("b1")
-                   + (F.col("i00") * F.col("u1")
-                      - F.col("i01") * F.col("u0")) / det).alias("b1"),
-            *keep,
-        )
+    # ONE collect of the bounded per-x grid; the Poisson stage, the
+    # moment-dispersion stage and the NB2 Fisher stage all iterate
+    # driver-side in the chained plan's per-row operand order (the
+    # previous form chained ~10 crossJoin/agg stages into one plan —
+    # see logistic_newton_from_grid). Emission still goes through
+    # F.round; proven bit-identical on all three fixtures.
+    spark = grid.sparkSession
+    g_rows = [
+        (float(r["__x"]), float(r["__n"]), float(r["__sy"]),
+         float(r["__syy"]), int(r["__n"]))
+        for r in grid.collect()
+    ]
+    n_tot = sum(r[4] for r in g_rows)
+    sy_tot = sum(r[2] for r in g_rows) if g_rows else None
 
-    mu_expr = lambda: F.exp(F.col("b0") + F.col("b1") * F.col("__x"))
-    # stage 1: Poisson
-    for _ in range(iterations):
-        beta = _step(beta,
-                     lambda j: F.col("__n") * mu_expr(),
-                     lambda j: F.col("__sy") - F.col("__n") * mu_expr())
+    def newton(bb, alpha, steps):
+        """alpha=None -> Poisson weights; else NB2 weights."""
+        for _ in range(steps):
+            if bb is None:
+                return None
+            u0 = u1 = i00 = i01 = i11 = 0.0
+            for x, nc, sy, _, _ in g_rows:
+                mu = math.exp(bb[0] + bb[1] * x)
+                if alpha is None:
+                    w = nc * mu
+                    r = sy - nc * mu
+                else:
+                    w = nc * mu / (1 + alpha * mu)
+                    r = (sy - nc * mu) / (1 + alpha * mu)
+                u0 += r
+                u1 += x * r
+                i00 += w
+                i01 += x * w
+                i11 += x * x * w
+            det = i00 * i11 - i01 * i01
+            if not det > 0:
+                return None
+            bb = (bb[0] + (i11 * u0 - i01 * u1) / det,
+                  bb[1] + (i00 * u1 - i01 * u0) / det)
+        return bb
+
+    # stage 1: Poisson from the saturated-intercept start
+    if not g_rows:
+        bb = None
+    else:
+        bb = (math.log(sy_tot / n_tot) if sy_tot > 0 else 0.0, 0.0)
+    bb = newton(bb, None, iterations)
     # stage 2: moment dispersion at the Poisson fit — per cell,
     # sum((y - mu)^2) = syy - 2 mu sy + n mu^2 (mu constant within x)
-    jd = grid.crossJoin(F.broadcast(beta))
-    mu = mu_expr()
-    pearson = (F.col("__syy") - 2 * mu * F.col("__sy")
-               + F.col("__n") * mu * mu)
-    disp = jd.agg(
-        F.max("b0").alias("b0"),
-        F.max("b1").alias("b1"),
-        F.sum(pearson - F.col("__n") * mu).alias("__num"),
-        F.sum(F.col("__n") * mu * mu).alias("__den"),
-    ).select(
-        "b0", "b1",
-        F.when(
-            (F.col("__den") > 0) & (F.col("__num") > 0),
-            F.col("__num") / F.col("__den"),
-        ).otherwise(F.lit(0.0)).alias("alpha"),
-    )
-    beta = disp
+    alpha = 0.0
+    if bb is not None:
+        num = den = 0.0
+        for x, nc, sy, syy, _ in g_rows:
+            mu = math.exp(bb[0] + bb[1] * x)
+            pearson = syy - 2 * mu * sy + nc * mu * mu
+            num += pearson - nc * mu
+            den += nc * mu * mu
+        if den > 0 and num > 0:
+            alpha = num / den
     # stage 3: NB2 Fisher scoring from the Poisson solution
-    nb_w = lambda j: (F.col("__n") * mu_expr()
-                      / (1 + F.col("alpha") * mu_expr()))
-    nb_r = lambda j: ((F.col("__sy") - F.col("__n") * mu_expr())
-                      / (1 + F.col("alpha") * mu_expr()))
-    for _ in range(iterations):
-        beta = _step(beta, nb_w, nb_r)
-    fin = grid.crossJoin(F.broadcast(beta))
-    mu = mu_expr()
-    w = F.col("__n") * mu / (1 + F.col("alpha") * mu)
-    r = (F.col("__sy") - F.col("__n") * mu) / (1 + F.col("alpha") * mu)
-    stats = fin.agg(
-        F.max("b0").alias("b0"),
-        F.max("b1").alias("b1"),
-        F.max("alpha").alias("alpha"),
-        F.sum(w).alias("i00"),
-        F.sum(F.col("__x") * w).alias("i01"),
-        F.sum(F.col("__x") * F.col("__x") * w).alias("i11"),
-        F.sum(r).alias("u0"),
-        F.sum(F.col("__x") * r).alias("u1"),
-        F.sum("__n").alias("n"),
-        F.sum("__sy").alias("y_total"),
-    )
-    det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
-    ok = F.col("b0").isNotNull() & F.col("b1").isNotNull() & (det > 0)
-    var1 = F.col("i00") / det
-    return stats.select(
-        F.when(ok, F.round("b0", 6)).alias("beta0"),
-        F.when(ok, F.round("b1", 6)).alias("beta1"),
-        F.when(ok, F.round(F.exp("b1"), 6)).alias("rate_ratio"),
-        F.when(ok, F.round(F.sqrt(var1), 6)).alias("se1"),
-        F.when(ok, F.round(F.col("b1") * F.col("b1") / var1, 6))
-        .alias("wald_chi2"),
-        F.when(ok, F.round("alpha", 6)).alias("alpha"),
-        F.coalesce("n", F.lit(0)).alias("n"),
-        F.round(F.coalesce("y_total", F.lit(0.0)), 6).alias("y_total"),
-        F.when(ok, F.round(
-            F.sqrt(F.col("u0") * F.col("u0") + F.col("u1") * F.col("u1")),
-            6)).alias("score_norm"),
+    bb = newton(bb, alpha, iterations)
+    fin = None
+    if bb is not None:
+        u0 = u1 = i00 = i01 = i11 = 0.0
+        for x, nc, sy, _, _ in g_rows:
+            mu = math.exp(bb[0] + bb[1] * x)
+            w = nc * mu / (1 + alpha * mu)
+            r = (sy - nc * mu) / (1 + alpha * mu)
+            u0 += r
+            u1 += x * r
+            i00 += w
+            i01 += x * w
+            i11 += x * x * w
+        det = i00 * i11 - i01 * i01
+        if det > 0:
+            var1 = i00 / det
+            fin = (bb[0], bb[1], math.exp(bb[1]), math.sqrt(var1),
+                   bb[1] * bb[1] / var1, alpha,
+                   math.sqrt(u0 * u0 + u1 * u1))
+    y_out = (F.round(F.lit(sy_tot if sy_tot is not None else 0.0), 6)
+             .alias("y_total"))
+    if fin is None:
+        return spark.range(1).select(
+            F.lit(None).cast("double").alias("beta0"),
+            F.lit(None).cast("double").alias("beta1"),
+            F.lit(None).cast("double").alias("rate_ratio"),
+            F.lit(None).cast("double").alias("se1"),
+            F.lit(None).cast("double").alias("wald_chi2"),
+            F.lit(None).cast("double").alias("alpha"),
+            F.lit(n_tot).cast("long").alias("n"),
+            y_out,
+            F.lit(None).cast("double").alias("score_norm"),
+        )
+    return spark.range(1).select(
+        F.round(F.lit(fin[0]), 6).alias("beta0"),
+        F.round(F.lit(fin[1]), 6).alias("beta1"),
+        F.round(F.lit(fin[2]), 6).alias("rate_ratio"),
+        F.round(F.lit(fin[3]), 6).alias("se1"),
+        F.round(F.lit(fin[4]), 6).alias("wald_chi2"),
+        F.round(F.lit(fin[5]), 6).alias("alpha"),
+        F.lit(n_tot).cast("long").alias("n"),
+        y_out,
+        F.round(F.lit(fin[6]), 6).alias("score_norm"),
     )
 
 
