@@ -150,11 +150,13 @@ def ld_r2(
     Scale shape: candidate pairs come from a banded self-join of the
     DISTINCT variant map (bucket = pos / max_dist, probe side exploded
     to 3 neighbor buckets) — pair count is bounded by the LD window,
-    never |variants|^2. Cross-moments join the genotype table to the
-    candidate list first (broadcast when small) and only then to the
-    second genotype copy keyed by (sample, variant) — the corpus is
-    never self-joined on the sample key, so a 1M-variant biobank
-    shuffles candidate-sized data only.
+    never |variants|^2. Cross-moments come from per-variant
+    sample-ordered genotype vectors (one matrix-sized groupBy, the
+    PLINK bed-row layout): each candidate pair joins two vector rows
+    and evaluates one exact integer dot product, so the matrix is
+    shuffled ONCE and everything after is candidate-sized — the corpus
+    is never self-joined on the sample key, and nothing is expanded by
+    the window width.
     """
     g = df.select(
         F.col(variant_col).alias("__v"),
@@ -204,18 +206,36 @@ def ld_r2(
         .select("vx", "vy")
         .distinct()
     )
-    gx = g.select(F.col("__v").alias("vx"), "__s", F.col("__gt").alias("gx"))
-    gy = g.select(
-        F.col("__v").alias("__vy2"), F.col("__s").alias("__s2"),
-        F.col("__gt").alias("gy"))
+    # Per-variant sample-ordered genotype vectors. The previous shape
+    # expanded the genotype table by the candidate list (~|window| x
+    # |matrix| rows — 28M at sf0.1 for max_dist=10) and sort-merge
+    # joined that against a second (sample, variant)-keyed copy: the
+    # sort of the expanded side dominated the whole query. ONE
+    # matrix-sized groupBy now builds each variant's genotype vector
+    # ordered by sample id; the pair cross-moment is an exact integer
+    # dot product (zip_with + aggregate over longs) evaluated once per
+    # candidate pair, and every join after the groupBy is
+    # candidate-sized. Sample order aligns across variants by the
+    # complete-matrix contract above, which also makes n = |vector|.
+    vec = g.groupBy("__v").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__s", "__gt"))),
+            lambda x: x["__gt"],
+        ).alias("__vec"),
+    )
     cross = (
-        gx.join(cand, "vx")
-        .join(gy, (F.col("__s") == F.col("__s2"))
-              & (F.col("vy") == F.col("__vy2")))
-        .groupBy("vx", "vy")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("gx") * F.col("gy")).alias("sxy"),
+        cand.join(vec.select(F.col("__v").alias("vx"),
+                             F.col("__vec").alias("__va")), "vx")
+        .join(vec.select(F.col("__v").alias("vy"),
+                         F.col("__vec").alias("__vb")), "vy")
+        .select(
+            "vx", "vy",
+            F.size("__va").cast("long").alias("n"),
+            F.aggregate(
+                F.zip_with("__va", "__vb", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sxy"),
         )
     )
     stx = stats.select(
