@@ -2317,13 +2317,20 @@ def tpch_q2_min_cost_supplier(spark, sf):
     # both engines, so the min-cost equi-join compares exactly. Dims
     # broadcast; the two aggregates reuse one shuffle on l_partkey.
     li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_type")
+    # Pre-filter the fact side with a broadcast semi-join on the
+    # selective part predicate (~4% of parts) BEFORE the two
+    # aggregates: min-per-(part,supp) and min-per-part commute with a
+    # partkey-level filter, so results are identical while the offer
+    # aggregate and the (part, cost) self-join shuffle ~25x fewer rows.
+    li = li.join(F.broadcast(part.select("p_partkey")),
+                 li.l_partkey == F.col("p_partkey"), "left_semi")
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("cost").alias("min_cost"))
-    part = _t(spark, sf, "part").filter(
-        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20)
-    ).select("p_partkey", "p_type")
     supp = _t(spark, sf, "supplier")
     nat = _t(spark, sf, "nation")
     reg = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
@@ -4763,7 +4770,12 @@ def _synth_media(docs: DataFrame) -> DataFrame:
                                  encode_wav(np.full((n, ch), a, dtype=np.int16))))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
+    # Spread the single-file doc-id scan first: the pure-Python codec
+    # work below otherwise runs in ONE task (ensure_min_parallelism is
+    # a no-op on real multi-file tables).
+    from clinpy_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id long, media_type string, payload binary"
     )
 
@@ -4872,7 +4884,12 @@ def _synth_jpeg(docs: DataFrame) -> DataFrame:
                 rows.append((did, "image", encode_jpeg(px, quality=92, restart_interval=2)))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
+    # Spread the single-file doc-id scan first: the pure-Python codec
+    # work below otherwise runs in ONE task (ensure_min_parallelism is
+    # a no-op on real multi-file tables).
+    from clinpy_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id long, media_type string, payload binary"
     )
 
@@ -4939,7 +4956,12 @@ def _synth_flac(docs: DataFrame) -> DataFrame:
                 rows.append((did, "audio", encode_flac(x, rate=8000, bps=16, blocksize=64)))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
+    # Spread the single-file doc-id scan first: the pure-Python codec
+    # work below otherwise runs in ONE task (ensure_min_parallelism is
+    # a no-op on real multi-file tables).
+    from clinpy_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id long, media_type string, payload binary"
     )
 
@@ -5058,7 +5080,12 @@ def _synth_avi(docs: DataFrame) -> DataFrame:
                 rows.append((did, "video", encode_avi_mjpeg(frames, fps=25)))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
+    # Spread the single-file doc-id scan first: the pure-Python codec
+    # work below otherwise runs in ONE task (ensure_min_parallelism is
+    # a no-op on real multi-file tables).
+    from clinpy_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id long, media_type string, payload binary"
     )
 
@@ -5124,7 +5151,12 @@ def _synth_gif(docs: DataFrame) -> DataFrame:
                 rows.append((did, "video", encode_gif(frames)))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
+    # Spread the single-file doc-id scan first: the pure-Python codec
+    # work below otherwise runs in ONE task (ensure_min_parallelism is
+    # a no-op on real multi-file tables).
+    from clinpy_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id long, media_type string, payload binary"
     )
 
@@ -5195,7 +5227,12 @@ def _synth_tiff(docs: DataFrame) -> DataFrame:
                 rows.append((did, "image", encode_tiff(px)))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
+    # Spread the single-file doc-id scan first: the pure-Python codec
+    # work below otherwise runs in ONE task (ensure_min_parallelism is
+    # a no-op on real multi-file tables).
+    from clinpy_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id long, media_type string, payload binary"
     )
 
