@@ -140,7 +140,21 @@ def main() -> None:
     spark.range(1).count()
 
     tier2: dict[str, float] = {}
-    for name in TIER2:
+    for idx, name in enumerate(TIER2):
+        # Mid-tier restart (measurement hygiene, same rationale as the
+        # tier3 policy below): tier2 is the heaviest query list and a
+        # single session across all ~31 of them showed 5-20x in-session
+        # inflation on late members (er_resolve_parts 36.4s in-tier vs
+        # 1.5s standalone-warm in this round's baseline sidecar —
+        # accumulated driver-pinned localCheckpoint blocks + codegen
+        # cache). A fresh JVM every 10 queries keeps every tier2 number
+        # within ~1.5x of standalone steady state; restart time is
+        # never attributed to any query's timing.
+        if idx and idx % 10 == 0:
+            spark.catalog.clearCache()
+            spark.stop()
+            spark = get_spark(f"clinpy-spark-bench-tier2-{idx // 10}")
+            spark.range(1).count()
         runs = []
         for run in range(2):
             t0 = time.time()
