@@ -10258,8 +10258,13 @@ def gx_prs_q(spark, sf):
                 1, 8),
             16, 10).cast("long") % 2001 - 1000) / 1000.0
     )
-    weights = g.select("variant").distinct().select(
-        "variant", wt.alias("wt"))
+    # weights from the grid's own variant axis (range 200) directly —
+    # g.select("variant").distinct() re-executed the whole x200
+    # customer expansion just to recover the range values. Output
+    # identical even on an empty customer table: the weights only
+    # matter through the inner join against g.
+    weights = spark.range(200).select(
+        F.col("id").alias("variant"), wt.alias("wt"))
     return polygenic_score(
         g, weights, "c_custkey", "variant", "gt", "wt")
 
@@ -12820,12 +12825,22 @@ def gx_prs_auc_q(spark, sf):
                 1, 8),
             16, 10).cast("long") % 2001 - 1000) / 1000.0
     )
-    weights = g.select("variant").distinct().select(
-        "variant", wt.alias("wt"))
+    # weights from the variant axis directly and the phenotype from
+    # the customer table directly: the previous legs re-executed the
+    # whole x200 md5 grid expansion once for distinct(variant) (= the
+    # range values) and once for max(is_case) per customer (= the
+    # per-customer constant md5(c_custkey) % 2 the grid stamps on all
+    # 200 copies). Values bit-identical — same hash expressions over
+    # the same domains; prs comes from the one remaining grid pass.
+    weights = spark.range(200).select(
+        F.col("id").alias("variant"), wt.alias("wt"))
     prs = polygenic_score(
         g, weights, "c_custkey", "variant", "gt", "wt")
-    pheno = g.groupBy("c_custkey").agg(
-        F.max(F.col("is_case").cast("int")).alias("y"))
+    hc = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    pheno = _t(spark, sf, "customer").select(
+        "c_custkey", (hc % 2 == 1).cast("int").alias("y"))
     j = prs.join(pheno, "c_custkey").select(
         F.col("prs").alias("s"), "y")
     return roc_auc(j, "s", "y")
