@@ -96,6 +96,25 @@ TIER2 = [
 ]
 
 
+def _warm(spark) -> None:
+    """Untimed post-(re)start warmup: one trivial action for JVM/codegen
+    paths plus one trivial mapInPandas so every core's Python worker is
+    up with numpy/pandas imported. Without this, the first Arrow-batched
+    query after a JVM restart absorbs ~32 worker cold-starts into its
+    single timed run (dedup_simhash_pairs read 7.7s in-tier vs 1.9s
+    standalone-warm) — worker startup is session plumbing, not query
+    cost, exactly like the JVM warmup action next to it."""
+    spark.range(1).count()
+
+    def _imp(batches):
+        import numpy  # noqa: F401
+        import pandas as pd
+        for b in batches:
+            yield pd.DataFrame({"v": [1]})
+
+    spark.range(64, numPartitions=64).mapInPandas(_imp, "v long").count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -105,7 +124,7 @@ def main() -> None:
     qs = Q.queries()
 
     # Warm up the JVM / parquet footer caches with a trivial action.
-    spark.range(1).count()
+    _warm(spark)
 
     # Four runs per query: run 1 pays Catalyst analysis + whole-stage
     # codegen JIT (a fixed per-plan cost, noise at real data scale);
@@ -137,7 +156,7 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.stop()
     spark = get_spark("clinpy-spark-bench-tier2")
-    spark.range(1).count()
+    _warm(spark)
 
     tier2: dict[str, float] = {}
     for idx, name in enumerate(TIER2):
@@ -154,7 +173,7 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.stop()
             spark = get_spark(f"clinpy-spark-bench-tier2-{idx // 10}")
-            spark.range(1).count()
+            _warm(spark)
         runs = []
         for run in range(2):
             t0 = time.time()
@@ -180,7 +199,7 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.stop()
     spark = get_spark("clinpy-spark-bench-tier3")
-    spark.range(1).count()
+    _warm(spark)
     tier3: dict[str, float] = {}
     covered = set(HEADLINE) | set(TIER2)
     done = 0
@@ -207,7 +226,7 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.stop()
             spark = get_spark(f"clinpy-spark-bench-tier3-fam{n_restarts}")
-            spark.range(1).count()
+            _warm(spark)
         # Periodic cleanup inside the sweep: accumulated state from the
         # preceding queries (driver-pinned localCheckpoint blocks,
         # broadcast/shuffle cleanup backlog — the ContextCleaner only
@@ -226,7 +245,7 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.stop()
             spark = get_spark(f"clinpy-spark-bench-tier3-{n_restarts}")
-            spark.range(1).count()
+            _warm(spark)
         elif done and done % 25 == 0:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
