@@ -84,9 +84,19 @@ def explode_chunks(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_words + 1, chunk_words)),
     )
-    return df.select(F.col(id_col).alias("__id"), chunks.alias("__chunks")).select(
-        "__id", F.posexplode("__chunks").alias("__pos", "__chunk")
-    )
+    arr = df.select(F.col(id_col).alias("__id"), chunks.alias("__chunks"))
+    if not df.isStreaming:
+        # Materialize the per-doc chunk arrays BEFORE the explode:
+        # Generate over the interpreted tokenize/slice HOF re-evaluates
+        # its subexpressions per OUTPUT chunk row (no codegen
+        # subexpression elimination under a generator — the same
+        # pathology ppjoin_pairs/minhash hit; A/B-measured 0.91s vs
+        # 0.07s for the explode alone at sf0.1, full passage_dedup
+        # 1.46s -> 0.70s). Streams pass through unbarriered:
+        # localCheckpoint is a batch-only API and a micro-batch's
+        # explode volume is bounded by the trigger.
+        arr = arr.localCheckpoint(eager=False)
+    return arr.select("__id", F.posexplode("__chunks").alias("__pos", "__chunk"))
 
 
 def reassemble_passages(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -151,26 +161,70 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     interpreted-slow).
     """
     if portable:
-        # Array materialized before the explode: Generate over the
-        # interpreted string-shingle HOF re-evaluates subexpressions
-        # per output row (same pathology as ppjoin_pairs — measured
-        # ~6x on the explode at sf0.1); the checkpointed array rows
-        # are smaller than the exploded rows.
-        ex = (
-            ensure_min_parallelism(df)
-            .select(
-                F.col(id_col),
-                F.array_distinct(shingles(text_col, shingle_n)).alias("__sa"),
-            )
-            .localCheckpoint(eager=False)
-            .select(F.col(id_col), F.explode("__sa").alias("__s0"))
+        # Same one-Arrow-pass shape as the fast path below (guide §4.2):
+        # the per-doc distinct string shingles cross the boundary once
+        # and a vectorized-md5 numpy pass (functions/md5np.py — pinned
+        # bit-identical to hashlib/DuckDB md5) computes the full
+        # 64-permutation grid + per-doc minima. The replaced JVM plan
+        # paid 64 x (md5 + substring + conv) expression evaluations per
+        # EXPLODED shingle row plus a 64-min-slot aggregate buffer
+        # update per row — the same pathology the fast path's signature
+        # aggregate had (15s -> 0.54s noop at sf0.1) with md5 string
+        # parsing on top. The md5 hash family itself is the contract
+        # (DuckDB recomputes it) and is unchanged; only where it
+        # executes moves.
+        arrs = ensure_min_parallelism(df).select(
+            F.col(id_col),
+            F.array_distinct(shingles(text_col, shingle_n)).alias("__sa"),
         )
-        perm = lambda i: F.conv(  # noqa: E731
-            F.substring(F.md5(F.concat(F.col("__s0"), F.lit(f"|{i}"))), 1, 15), 16, 10
-        ).cast("long")
-        mins = ex.groupBy(id_col).agg(
-            *[F.min(perm(i)).alias(f"__h{i}") for i in range(num_hashes)]
-        )
+        id_type = arrs.schema[id_col].dataType.simpleString()
+        nh = num_hashes
+
+        def _sig_md5(batches):
+            import numpy as np
+            import pandas as pd
+
+            from clinpy_spark.functions.md5np import (
+                hex_prefix_value, md5_of_bytes_matrix, strings_to_matrix)
+
+            for pdf in batches:
+                lists = pdf["__sa"]
+                counts = np.fromiter(
+                    (0 if a is None else len(a) for a in lists),
+                    dtype=np.int64, count=len(lists))
+                keep = counts > 0
+                if not keep.any():
+                    continue
+                flat = [s for a in lists[keep] for s in a]
+                data, lengths = strings_to_matrix(flat)
+                starts = np.concatenate(([0], np.cumsum(counts[keep])[:-1]))
+                n = len(flat)
+                rows = np.arange(n)
+                # one byte-matrix workspace reused across seeds: seed i
+                # appends "|i" after each shingle's own bytes (suffix
+                # length is non-decreasing in i, so stale suffix bytes
+                # are always re-overwritten and the padding region
+                # beyond each row's length stays zero)
+                sfxw = len(f"|{nh - 1}")
+                buf = np.zeros((n, data.shape[1] + sfxw), dtype=np.uint8)
+                buf[:, :data.shape[1]] = data
+                sig = np.empty((int(keep.sum()), nh), dtype=np.int64)
+                for i in range(nh):
+                    sfx = f"|{i}".encode()
+                    for j, byte in enumerate(sfx):
+                        buf[rows, lengths + j] = byte
+                    v = hex_prefix_value(
+                        md5_of_bytes_matrix(buf, lengths + len(sfx)), 15)
+                    # Spark's MIN over long is signed; hex15 values are
+                    # < 2^60 so plain int64 minima match exactly
+                    sig[:, i] = np.minimum.reduceat(v, starts)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col][keep],
+                    "minhash": list(sig),
+                })
+
+        return arrs.mapInPandas(
+            _sig_md5, schema=f"{id_col} {id_type}, minhash array<long>")
     else:
         arrs = ensure_min_parallelism(df).select(
             F.col(id_col), token_hashes(text_col).alias("__th")
@@ -238,10 +292,6 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
         return arrs.mapInPandas(
             _sig, schema=f"{id_col} {id_type}, minhash array<long>")
-    return mins.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"),
-    )
 
 
 def band_keys(sigs: DataFrame, id_col: str, num_hashes: int, bands: int,
@@ -994,7 +1044,16 @@ def ppjoin_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cands.join(sets_a, "id_a").join(sets_b, "id_b")
-        .withColumn("__i", inter)
+        .select("id_a", "id_b", "na", "nb", inter.alias("__i"))
+        # Materialize the intersection COUNT before the threshold
+        # filter: the filter's jaccard predicate and the emitted
+        # jaccard column otherwise both inline `__i`, and
+        # array_intersect is interpreted (no codegen, no cross-
+        # operator subexpression elimination) — the verify paid the
+        # 206k-candidate set intersection TWICE. Measured 2.45s ->
+        # ~1.3s for the verify stage at sf0.1; rows after this
+        # projection are four longs, so the pinned block is tiny.
+        .localCheckpoint(eager=False)
         .withColumn("jaccard",
                     F.col("__i") / (F.col("na") + F.col("nb") - F.col("__i")))
         .filter(F.col("jaccard") >= t)
