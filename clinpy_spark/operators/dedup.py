@@ -448,7 +448,11 @@ def minhash_near_duplicates(
     # executed twice inside the candidate job (measured ~1.3s of the
     # headline dedup_minhash_lsh at sf0.1). One (id, band, hash) row
     # per document band, so the pinned block stays corpus-row-bounded.
-    banded = banded.localCheckpoint(eager=False)
+    # Guarded like the sibling barriers (ADVICE r13): checkpoint is a
+    # batch-only API, and a streaming source should fail at the join
+    # below (the real unsupported operation), not here.
+    if not banded.isStreaming:
+        banded = banded.localCheckpoint(eager=False)
 
     left = banded.toDF("id_a", "band", "band_hash")
     right = banded.toDF("id_b", "band", "band_hash")

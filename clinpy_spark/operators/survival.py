@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Cap on per-event-time grid rows the Newton fitters may pull to the
+# driver (r13 verdict #2): cells are design-bounded but DISTINCT EVENT
+# TIMES come from the data, so past this cap the fitters keep the
+# distributed per-step recurrence instead of collecting a data-sized
+# grid. 100k rows of 4-8 numerics is ~a few MB — far under any
+# maxResultSize — while every declared fixture's grid is ~1.5k rows.
+_GRID_DRIVER_MAX = 100_000
+
 
 def _per_time(df: DataFrame, time_col: str, event_col: str,
               group_col: str) -> DataFrame:
@@ -925,17 +933,50 @@ def _newton_beta(spark, grid: DataFrame, iterations: int) -> DataFrame:
     shapes (s1 = n1*e^b; s0 = (n-n1)+s1; u += d1 - d*frac;
     i += d*frac*(1-frac)), so the float stream matches the previous
     single-partition aggregate's operand order; emission stays behind
-    the callers' round-6 as before."""
+    the callers' round-6 as before.
+
+    The driver loop only engages when the grid is provably bounded
+    (r13 verdict #2): distinct event times come from the data, so past
+    ``_GRID_DRIVER_MAX`` rows the steps fall back to the pre-r13
+    distributed recurrence (one grid aggregate + broadcast crossJoin
+    per step) and nothing data-sized reaches the driver."""
     import math
 
-    rows = grid.select("n", "n1", "d", "d1").collect()
+    rows = grid.select("n", "n1", "d", "d1").take(_GRID_DRIVER_MAX + 1)
+    if len(rows) > _GRID_DRIVER_MAX:
+        beta_df = spark.range(1).select(F.lit(0.0).alias("beta"))
+        for _ in range(iterations):
+            j = grid.crossJoin(F.broadcast(beta_df))
+            s1c = F.col("n1") * F.exp(F.col("beta"))
+            s0c = (F.col("n") - F.col("n1")) + s1c
+            fracc = s1c / s0c
+            u_t = F.col("d1") - F.col("d") * fracc
+            i_t = F.col("d") * fracc * (1 - fracc)
+            # agg (not groupBy) so an event-free cohort still yields
+            # the 1-row NULL result instead of vanishing
+            stp = j.agg(
+                F.max("beta").alias("beta"),
+                F.sum(u_t).alias("__u"), F.sum(i_t).alias("__i"))
+            beta_df = stp.select(
+                F.when(
+                    F.col("__i") > 0,
+                    F.col("beta") + F.col("__u") / F.col("__i"),
+                ).alias("beta")
+            )
+        return beta_df
     beta: float | None = 0.0
     for _ in range(iterations):
         if beta is None:
             break
         u = 0.0
         i = 0.0
-        eb = math.exp(beta)
+        try:
+            eb = math.exp(beta)
+        except OverflowError:
+            # mirror the distributed plan's F.exp: inf -> nan moments
+            # -> NULL beta, never a driver crash (divergent step on a
+            # separated / rare-exposure cohort)
+            eb = math.inf
         for r in rows:
             s1 = r[1] * eb
             frac = s1 / ((r[0] - r[1]) + s1)
@@ -1129,25 +1170,43 @@ def cox_newton_multi_from_leavers(
     )
     spark = leav.sparkSession
 
-    # ONE collect of the bounded (cell x event-time) grid — built
-    # distributed exactly as before — then every Newton step runs
-    # driver-side over it, replicating the per-time / across-time
-    # two-level aggregate in the same per-row operand order. Each step
-    # previously paid a full job + collect round-trip (~0.4s) to
-    # aggregate a few thousand rows. Driver float sums differ from
-    # Spark's partial-agg merge order by ~1e-16; the family emits at
-    # round-5 with a tested >=1e-9 boundary margin
-    # (tests/test_stats_r13.py::test_multi_family_round5_boundary_margin).
-    g_rows = [
-        (r["__t"], float(r["__n"]), int(r["__d"]),
-         *[float(r[x]) for x in xs])
-        for r in grid.collect()
-    ]
-    by_t: dict = {}
-    for row in g_rows:
-        by_t.setdefault(row[0], []).append(row)
+    # ONE bounded probe of the (cell x event-time) grid — built
+    # distributed exactly as before. Cells are design-bounded, but the
+    # TIME axis comes from the data (a continuous time column at scale
+    # has ~one distinct time per event), so the driver-side fast path
+    # only engages when the grid is provably small; past the cap every
+    # Newton step stays a distributed grid aggregate (the pre-r13
+    # recurrence), so no data-sized collect can ever reach the driver.
+    raw = grid.select("__t", "__n", "__d", *xs).take(_GRID_DRIVER_MAX + 1)
+    driver_side = len(raw) <= _GRID_DRIVER_MAX
+    if driver_side:
+        # Deterministic reduction order BY CONSTRUCTION (r13 verdict
+        # #1): collect order depends on partition layout (core count,
+        # AQE), so the rows are sorted by (t, x1..xd) before any float
+        # touches them — within each time the cells accumulate in
+        # x-lexicographic order and times accumulate ascending. The
+        # oracle CTEs pin the identical order with DuckDB ordered
+        # aggregates (sum(... ORDER BY x1..xd) per time, ORDER BY t
+        # across times), so the two float streams are operand-for-
+        # operand identical, not merely within rounding distance.
+        g_rows = sorted(
+            ((r["__t"], float(r["__n"]), int(r["__d"]),
+              *[float(r[x]) for x in xs])
+             for r in raw),
+            key=lambda row: (row[0],) + row[3:])
+        by_t: dict = {}
+        for row in g_rows:
+            by_t.setdefault(row[0], []).append(row)
 
-    def moments(beta):
+    def _exp(v: float) -> float:
+        # mirror the distributed plan's F.exp: overflow propagates as
+        # inf -> nan moments -> NULL emission, never a driver crash
+        try:
+            return math.exp(v)
+        except OverflowError:
+            return math.inf
+
+    def moments_driver(beta):
         if not g_rows:
             return None, None, 0
         u = [0.0] * d
@@ -1165,7 +1224,7 @@ def cox_newton_multi_from_leavers(
                 eta = 0.0
                 for i in range(d):
                     eta = eta + float(beta[i]) * xv[i]
-                ex = math.exp(eta)
+                ex = _exp(eta)
                 s0 += nc * ex
                 dd += dv
                 for a in range(d):
@@ -1182,6 +1241,49 @@ def cox_newton_multi_from_leavers(
                         s2[(a, b)] / s0 - (s1[a] / s0) * (s1[b] / s0))
             n_events += dd
         return u, info, n_events
+
+    def moments_distributed(beta):
+        # the pre-r13 per-step grid aggregate: one Spark job per Newton
+        # step, grid-sized shuffle only — the scale-safe branch
+        eta = F.lit(0.0)
+        for i, x in enumerate(xs):
+            eta = eta + F.lit(float(beta[i])) * F.col(x)
+        ex = F.exp(eta)
+        nc = F.col("__n").cast("double")
+        pt_aggs = [F.sum(nc * ex).alias("s0"), F.sum("__d").alias("dd")]
+        pt_aggs += [F.sum(F.col(x) * F.col("__d")).alias(f"da{a}")
+                    for a, x in enumerate(xs)]
+        pt_aggs += [F.sum(nc * F.col(x) * ex).alias(f"s1_{a}")
+                    for a, x in enumerate(xs)]
+        pt_aggs += [
+            F.sum(nc * F.col(xs[a]) * F.col(xs[b]) * ex).alias(f"s2_{a}{b}")
+            for a in range(d) for b in range(a, d)
+        ]
+        pt = grid.groupBy("__t").agg(*pt_aggs)
+        g_aggs = [
+            F.sum(F.col(f"da{a}")
+                  - F.col("dd") * F.col(f"s1_{a}") / F.col("s0"))
+            .alias(f"u{a}")
+            for a in range(d)
+        ]
+        g_aggs += [
+            F.sum(F.col("dd") * (
+                F.col(f"s2_{a}{b}") / F.col("s0")
+                - (F.col(f"s1_{a}") / F.col("s0"))
+                * (F.col(f"s1_{b}") / F.col("s0"))
+            )).alias(f"i{a}{b}")
+            for a in range(d) for b in range(a, d)
+        ]
+        g_aggs += [F.sum("dd").alias("n_events")]
+        row = pt.agg(*g_aggs).collect()[0]
+        if row["n_events"] is None:
+            return None, None, 0
+        u = [float(row[f"u{a}"]) for a in range(d)]
+        info = {(a, b): float(row[f"i{a}{b}"])
+                for a in range(d) for b in range(a, d)}
+        return u, info, int(row["n_events"])
+
+    moments = moments_driver if driver_side else moments_distributed
 
     def step(beta, u, info):
         """One Newton update.  For d <= 3 the solve is EXPLICIT Cramer

@@ -8143,19 +8143,26 @@ def _cox_multi_sql(iterations: int) -> str:
     window trick as the Spark side, then per step one per-time moment
     aggregate, one global score/information reduce, and a Cramer 2x2
     update. Every step CTE MATERIALIZED (scalar-subquery references
-    would otherwise re-inline the whole chain per reference)."""
+    would otherwise re-inline the whole chain per reference). Every
+    DOUBLE sum is an ORDERED aggregate (cells by x1, x2 within each
+    time; times ascending across the reduce) so the accumulation order
+    is pinned to EXACTLY the sorted order the Spark driver loop uses
+    (r13 verdict #1) — the two float streams are operand-for-operand
+    identical, not merely within rounding distance."""
     pt = """ (SELECT sum(dd) AS n_events,
-         sum(da1 - dd * s11 / s0) AS u1,
-         sum(da2 - dd * s12 / s0) AS u2,
-         sum(dd * (s211 / s0 - (s11 / s0) * (s11 / s0))) AS i11,
-         sum(dd * (s212 / s0 - (s11 / s0) * (s12 / s0))) AS i12,
-         sum(dd * (s222 / s0 - (s12 / s0) * (s12 / s0))) AS i22
-   FROM (SELECT t, sum(n_c * ex) AS s0, sum(d) AS dd,
-                sum(x1 * d) AS da1, sum(x2 * d) AS da2,
-                sum(n_c * x1 * ex) AS s11, sum(n_c * x2 * ex) AS s12,
-                sum(n_c * x1 * x1 * ex) AS s211,
-                sum(n_c * x1 * x2 * ex) AS s212,
-                sum(n_c * x2 * x2 * ex) AS s222
+         sum(da1 - dd * s11 / s0 ORDER BY t) AS u1,
+         sum(da2 - dd * s12 / s0 ORDER BY t) AS u2,
+         sum(dd * (s211 / s0 - (s11 / s0) * (s11 / s0)) ORDER BY t) AS i11,
+         sum(dd * (s212 / s0 - (s11 / s0) * (s12 / s0)) ORDER BY t) AS i12,
+         sum(dd * (s222 / s0 - (s12 / s0) * (s12 / s0)) ORDER BY t) AS i22
+   FROM (SELECT t, sum(n_c * ex ORDER BY x1, x2) AS s0, sum(d) AS dd,
+                sum(x1 * d ORDER BY x1, x2) AS da1,
+                sum(x2 * d ORDER BY x1, x2) AS da2,
+                sum(n_c * x1 * ex ORDER BY x1, x2) AS s11,
+                sum(n_c * x2 * ex ORDER BY x1, x2) AS s12,
+                sum(n_c * x1 * x1 * ex ORDER BY x1, x2) AS s211,
+                sum(n_c * x1 * x2 * ex ORDER BY x1, x2) AS s212,
+                sum(n_c * x2 * x2 * ex ORDER BY x1, x2) AS s222
          FROM (SELECT g.*, exp((SELECT b1 FROM {prev}) * x1
                                + (SELECT b2 FROM {prev}) * x2) AS ex
                FROM grid g)
@@ -8271,25 +8278,28 @@ def _cox_multi3_sql(iterations: int) -> str:
     driver solve), so the two sides differ only by distributed-sum
     order — absorbed by the family's round-5 emission."""
     pt = """ (SELECT sum(dd) AS n_events,
-         sum(da1 - dd * s11 / s0) AS u1,
-         sum(da2 - dd * s12 / s0) AS u2,
-         sum(da3 - dd * s13 / s0) AS u3,
-         sum(dd * (s211 / s0 - (s11 / s0) * (s11 / s0))) AS i11,
-         sum(dd * (s212 / s0 - (s11 / s0) * (s12 / s0))) AS i12,
-         sum(dd * (s213 / s0 - (s11 / s0) * (s13 / s0))) AS i13,
-         sum(dd * (s222 / s0 - (s12 / s0) * (s12 / s0))) AS i22,
-         sum(dd * (s223 / s0 - (s12 / s0) * (s13 / s0))) AS i23,
-         sum(dd * (s233 / s0 - (s13 / s0) * (s13 / s0))) AS i33
-   FROM (SELECT t, sum(n_c * ex) AS s0, sum(d) AS dd,
-                sum(x1 * d) AS da1, sum(x2 * d) AS da2, sum(x3 * d) AS da3,
-                sum(n_c * x1 * ex) AS s11, sum(n_c * x2 * ex) AS s12,
-                sum(n_c * x3 * ex) AS s13,
-                sum(n_c * x1 * x1 * ex) AS s211,
-                sum(n_c * x1 * x2 * ex) AS s212,
-                sum(n_c * x1 * x3 * ex) AS s213,
-                sum(n_c * x2 * x2 * ex) AS s222,
-                sum(n_c * x2 * x3 * ex) AS s223,
-                sum(n_c * x3 * x3 * ex) AS s233
+         sum(da1 - dd * s11 / s0 ORDER BY t) AS u1,
+         sum(da2 - dd * s12 / s0 ORDER BY t) AS u2,
+         sum(da3 - dd * s13 / s0 ORDER BY t) AS u3,
+         sum(dd * (s211 / s0 - (s11 / s0) * (s11 / s0)) ORDER BY t) AS i11,
+         sum(dd * (s212 / s0 - (s11 / s0) * (s12 / s0)) ORDER BY t) AS i12,
+         sum(dd * (s213 / s0 - (s11 / s0) * (s13 / s0)) ORDER BY t) AS i13,
+         sum(dd * (s222 / s0 - (s12 / s0) * (s12 / s0)) ORDER BY t) AS i22,
+         sum(dd * (s223 / s0 - (s12 / s0) * (s13 / s0)) ORDER BY t) AS i23,
+         sum(dd * (s233 / s0 - (s13 / s0) * (s13 / s0)) ORDER BY t) AS i33
+   FROM (SELECT t, sum(n_c * ex ORDER BY x1, x2, x3) AS s0, sum(d) AS dd,
+                sum(x1 * d ORDER BY x1, x2, x3) AS da1,
+                sum(x2 * d ORDER BY x1, x2, x3) AS da2,
+                sum(x3 * d ORDER BY x1, x2, x3) AS da3,
+                sum(n_c * x1 * ex ORDER BY x1, x2, x3) AS s11,
+                sum(n_c * x2 * ex ORDER BY x1, x2, x3) AS s12,
+                sum(n_c * x3 * ex ORDER BY x1, x2, x3) AS s13,
+                sum(n_c * x1 * x1 * ex ORDER BY x1, x2, x3) AS s211,
+                sum(n_c * x1 * x2 * ex ORDER BY x1, x2, x3) AS s212,
+                sum(n_c * x1 * x3 * ex ORDER BY x1, x2, x3) AS s213,
+                sum(n_c * x2 * x2 * ex ORDER BY x1, x2, x3) AS s222,
+                sum(n_c * x2 * x3 * ex ORDER BY x1, x2, x3) AS s223,
+                sum(n_c * x3 * x3 * ex ORDER BY x1, x2, x3) AS s233
          FROM (SELECT g.*, exp((SELECT b1 FROM {prev}) * x1
                                + (SELECT b2 FROM {prev}) * x2
                                + (SELECT b3 FROM {prev}) * x3) AS ex

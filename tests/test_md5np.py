@@ -63,7 +63,7 @@ def test_minhash_portable_signature_matches_direct_replay(spark):
         Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
         Row(doc_id=2, text="one two"),          # < n tokens -> single shingle
         Row(doc_id=3, text="alpha beta gamma"),
-        Row(doc_id=4, text=""),                  # empty -> dropped
+        Row(doc_id=4, text=""),  # empty text -> single empty shingle, kept
     ])
     out = {r["doc_id"]: list(r["minhash"])
            for r in minhash_signature(docs, portable=True, num_hashes=16).collect()}

@@ -379,24 +379,62 @@ def unbounded_join_hazards(plan: str) -> list:
     return hazards
 
 
+# ---------------------------------------------------------------------------
+# Barrier capture (r13 verdict #5 / next-round #8): localCheckpoint sites
+# render as `Scan ExistingRDD` leaves in the final plan, so the subtree BELOW
+# each barrier became invisible to this audit. During query construction we
+# intercept DataFrame.localCheckpoint, snapshot the pre-barrier child plan,
+# and run the same shape gates over every captured plan — shape hazards can
+# no longer hide under a barrier.
+# ---------------------------------------------------------------------------
+
+_BARRIER_PLANS: list = []
+
+
+def _install_barrier_capture(spark):
+    # patch the CONCRETE DataFrame class (Spark 4: instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides the
+    # abstract base's localCheckpoint)
+    cls = type(spark.range(1))
+    orig = cls.localCheckpoint
+
+    def capturing(self, eager=True):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            self.explain("formatted")
+        _BARRIER_PLANS.append(buf.getvalue())
+        return orig(self, eager=eager)
+
+    cls.localCheckpoint = capturing
+
+
+def _plan_shape_hazards(plan: str, name: str, tag: str = "") -> list:
+    hazards = []
+    # Shape gate for EVERY plan: a nested-loop/cartesian whose build side
+    # is not provably constant-row is a hazard even under an allowlisted
+    # name (the allowlist documents intent; it no longer bypasses checks).
+    hazards += [tag + h for h in unbounded_join_hazards(plan)]
+    # Name gate: a bounded BNLJ in a query that never declared one still
+    # needs a conscious allowlist entry (keeps the inventory honest).
+    if "CartesianProduct" in plan and name not in EXPECTED_UNBOUNDED:
+        hazards.append(tag + "CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in EXPECTED_UNBOUNDED:
+        hazards.append(tag + "BroadcastNestedLoopJoin")
+    return hazards
+
+
 def audit_one(name: str, fn, spark, sf_dir: str) -> dict:
+    _BARRIER_PLANS.clear()
     df = fn(spark, sf_dir)
+    barrier_plans = list(_BARRIER_PLANS)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
 
-    hazards = []
-    # Shape gate for EVERY query: a nested-loop/cartesian whose build side
-    # is not provably constant-row is a hazard even under an allowlisted
-    # name (the allowlist documents intent; it no longer bypasses checks).
-    hazards += unbounded_join_hazards(plan)
-    # Name gate: a bounded BNLJ in a query that never declared one still
-    # needs a conscious allowlist entry (keeps the inventory honest).
-    if "CartesianProduct" in plan and name not in EXPECTED_UNBOUNDED:
-        hazards.append("CartesianProduct")
-    if "BroadcastNestedLoopJoin" in plan and name not in EXPECTED_UNBOUNDED:
-        hazards.append("BroadcastNestedLoopJoin")
+    hazards = _plan_shape_hazards(plan, name)
+    for i, bp in enumerate(barrier_plans):
+        hazards += _plan_shape_hazards(bp, name, tag=f"barrier{i}:")
 
     n_exchanges = len(re.findall(r"\bExchange\b|\(Exchange", plan)) or plan.count("Exchange")
     n_scans = plan.count("Scan parquet")
@@ -411,6 +449,7 @@ def audit_one(name: str, fn, spark, sf_dir: str) -> dict:
         "pushed": has_pushed,
         "joins": joins,
         "n_exchanges": len(re.findall(r"Exchange ", plan)),
+        "n_barriers": len(barrier_plans),
     }
 
 
@@ -418,6 +457,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("explain-audit")
+    _install_barrier_capture(spark)
     qs = Q.queries()
 
     results = []
@@ -428,7 +468,8 @@ def main() -> None:
             results.append(audit_one(name, fn, spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             results.append({"name": name, "plan": f"ERROR: {e}", "hazards": [f"explain-failed: {e}"],
-                            "n_scans": 0, "pushed": False, "joins": [], "n_exchanges": 0})
+                            "n_scans": 0, "pushed": False, "joins": [], "n_exchanges": 0,
+                            "n_barriers": 0})
 
     bad = [r for r in results if r["hazards"]]
 
@@ -437,14 +478,19 @@ def main() -> None:
         "",
         f"Scale-hazard scan over all {len(results)} registered queries at"
         f" `{sf_dir}`: CartesianProduct / BroadcastNestedLoopJoin outside the"
-        " declared all-pairs baselines, lost parquet filter pushdown.",
+        " declared all-pairs baselines, lost parquet filter pushdown."
+        " Every localCheckpoint barrier's PRE-barrier child plan is captured"
+        " during construction and runs through the same shape gates"
+        " (`barriers` column) — hazards cannot hide under an ExistingRDD"
+        " leaf (r13 verdict #5).",
         "",
-        "| query | join strategies | exchanges | pushdown | hazards |",
-        "|---|---|---|---|---|",
+        "| query | join strategies | exchanges | barriers | pushdown | hazards |",
+        "|---|---|---|---|---|---|",
     ]
     for r in results:
         lines.append(
             f"| {r['name']} | {', '.join(r['joins']) or '—'} | {r['n_exchanges']} |"
+            f" {r.get('n_barriers', 0)} |"
             f" {'✓' if r['pushed'] else '—'} | {', '.join(r['hazards']) or 'none'} |"
         )
     lines += [
@@ -462,7 +508,8 @@ def main() -> None:
 
     for r in results:
         mark = "HAZARD" if r["hazards"] else "ok"
-        print(f"{mark:7s} {r['name']}: joins={r['joins']} exchanges={r['n_exchanges']} hazards={r['hazards']}")
+        print(f"{mark:7s} {r['name']}: joins={r['joins']} exchanges={r['n_exchanges']}"
+              f" barriers={r.get('n_barriers', 0)} hazards={r['hazards']}")
     print(f"\n{len(results) - len(bad)} ok, {len(bad)} with hazards -> PLANS.md")
     if bad:
         for r in bad:
