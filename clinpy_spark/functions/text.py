@@ -240,6 +240,30 @@ def hashed_shingles_from(th: Column | str, n: int = 3) -> Column:
     )
 
 
+#: Java's regex \s — EXACTLY the class ``F.regexp_replace(x, r"\s+", " ")``
+#: collapses (Python's own \s additionally matches unicode whitespace like
+#: \xa0, which the JVM class does not).
+import re as _re  # noqa: E402  (module-level for executor pickling)
+
+_JAVA_WS = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+
+def py_shingle_set(text: str, n: int = 3) -> set:
+    """Plain-Python twin of ``array_distinct(shingles(text, n))`` for
+    Arrow passes that build shingles executor-side (the portable
+    minhash signature): same trim (leading/trailing SPACES only, like
+    ``F.trim``), lower, Java-``\\s`` collapse, single-space split,
+    space-joined n-grams, and the under-n fallback to the whole
+    normalized text as one shingle. Returns a SET (callers take hash
+    minima, so order is irrelevant). Pinned equal to the JVM column by
+    tests/test_r14_optimization.py across whitespace/unicode edges."""
+    toks = _JAVA_WS.sub(" ", text.strip(" ").lower()).split(" ")
+    k = len(toks) - (n - 1)
+    if k <= 0:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(k)}
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (for minhash/Jaccard)."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " "), " ")

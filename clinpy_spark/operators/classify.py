@@ -17,8 +17,11 @@ Scale shape:
   into a fixed ``n_features`` vector — one pass, no vocabulary table,
   executor-local hashing (the hashing-trick half of fastText).
 - **Training is bounded**: the labeled sample is capped (``train_cap``
-  prefix — the same bounded-fit contract as KMeans/PQ codebooks), LBFGS
-  with a fixed seed. The model is a coefficient vector of KiB.
+  prefix — the same bounded-fit contract as KMeans/PQ codebooks) and
+  collected ONCE; the L-BFGS iterations run driver-side in numpy (the
+  previous Spark ML LBFGS paid one treeAggregate job per iteration over
+  the same bounded sample — pure scheduling for a KiB-sized result).
+  The model is a coefficient vector of KiB.
 - **Scoring is one ``model.transform``** — JVM-vectorized, linear in
   the corpus, trivially parallel.
 - **Verification is contract-gated** like the ANN recall gates: a
@@ -31,6 +34,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,26 +57,147 @@ def hashed_features(
     return tf.transform(toked).drop("__toks")
 
 
+class LinearQualityModel:
+    """L2-regularized logistic model as a plain (weights, intercept)
+    pair — KiB of floats closed over by the scoring UDF, the same
+    broadcast-everywhere property the Spark ML model had. ``transform``
+    appends ``quality_prob``/``keep_pred`` with ONE Arrow pass
+    (vector_to_array -> numpy GEMV per batch)."""
+
+    def __init__(self, weights, intercept: float):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.intercept = float(intercept)
+
+    def transform(self, df: DataFrame, features_col: str = "features",
+                  prob_col: str = "quality_prob",
+                  pred_col: str = "keep_pred") -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        w, b = self.weights, self.intercept
+
+        @F.pandas_udf("double")
+        def _margin(arrs: pd.Series) -> pd.Series:
+            x = np.asarray(list(arrs), dtype=np.float64)
+            return pd.Series(x @ w + b)
+
+        m = _margin(vector_to_array(features_col))
+        return df.withColumn(prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-m))) \
+                 .withColumn(pred_col, (F.col(prob_col) > 0.5).cast("int"))
+
+
+def _fit_logistic_driver(x_indptr, x_indices, x_values, y, n_features,
+                         reg_param: float, max_iter: int):
+    """L-BFGS (two-loop recursion, Armijo backtracking) on the standard
+    L2-regularized mean log-loss over a CSR matrix — the textbook
+    Nocedal-Wright algorithm in numpy. The sample is train_cap-bounded
+    by the caller, so this is constant-size driver work (guide §1.2:
+    25 Spark jobs of scheduling for a KiB-sized solve was the whole
+    cost of the previous Spark ML LBFGS fit). Coefficients are solver
+    detail by the declared contract (the gate pins accuracy >= floor,
+    not coefficients)."""
+    n = len(y)
+    yv = np.asarray(y, dtype=np.float64)
+    counts = np.diff(x_indptr)
+
+    def f_g(wb):
+        w, b = wb[:-1], wb[-1]
+        zseg = x_values * w[x_indices]
+        if len(zseg):
+            # reduceat rejects offsets == len (trailing all-zero rows);
+            # clamp, then zero empty rows via the counts mask below
+            z = np.add.reduceat(zseg, np.minimum(x_indptr[:-1],
+                                                 len(zseg) - 1))
+        else:
+            z = np.zeros(n)
+        z = np.where(counts > 0, z, 0.0) + b
+        # stable log(1+exp(-yz)) with y in {0,1}: loss = log1p(exp(z)) - y*z
+        loss = np.logaddexp(0.0, z) - yv * z
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = (p - yv) / n
+        gw = np.bincount(x_indices, weights=x_values * np.repeat(r, counts),
+                         minlength=n_features) + reg_param * w
+        f = loss.mean() + 0.5 * reg_param * float(w @ w)
+        return f, np.concatenate([gw, [r.sum()]])
+
+    wb = np.zeros(n_features + 1)
+    f, g = f_g(wb)
+    s_l, y_l, rho = [], [], []
+    for _ in range(max_iter):
+        q = g.copy()
+        alphas = []
+        for s, yk, r in zip(reversed(s_l), reversed(y_l), reversed(rho)):
+            a = r * (s @ q)
+            alphas.append(a)
+            q -= a * yk
+        gamma = (s_l[-1] @ y_l[-1]) / (y_l[-1] @ y_l[-1]) if y_l else 1.0
+        z = gamma * q
+        for (s, yk, r), a in zip(zip(s_l, y_l, rho), reversed(alphas)):
+            z += (a - r * (yk @ z)) * s
+        p = -z
+        gp = g @ p
+        if gp >= 0:  # lost descent (numerical) — reset to steepest
+            p, gp = -g, -(g @ g)
+        t = 1.0
+        while True:
+            wb_n = wb + t * p
+            f_n, g_n = f_g(wb_n)
+            if f_n <= f + 1e-4 * t * gp or t < 1e-12:
+                break
+            t *= 0.5
+        s, yk = wb_n - wb, g_n - g
+        sy = s @ yk
+        if sy > 1e-12:
+            s_l.append(s)
+            y_l.append(yk)
+            rho.append(1.0 / sy)
+            if len(s_l) > 10:
+                s_l.pop(0), y_l.pop(0), rho.pop(0)
+        wb, f, g = wb_n, f_n, g_n
+        if float(np.abs(g).max()) < 1e-7:
+            break
+    return wb[:-1], float(wb[-1])
+
+
 def train_quality_model(
     labeled: DataFrame,
     label_col: str = "label",
     features_col: str = "features",
     train_cap: int = 100_000,
-    max_iter: int = 25,
+    max_iter: int = 50,
     reg_param: float = 0.01,
-):
+) -> LinearQualityModel:
     """Fit the logistic model on a bounded prefix of the labeled
-    corpus -> a Spark ML ``LogisticRegressionModel`` (KiB of
-    coefficients, broadcastable everywhere)."""
-    from pyspark.ml.classification import LogisticRegression
+    corpus -> a :class:`LinearQualityModel` (KiB of coefficients).
 
-    train = labeled.select(label_col, features_col).limit(train_cap) \
-        .localCheckpoint(eager=False)
-    lr = LogisticRegression(
-        maxIter=max_iter, regParam=reg_param,
-        labelCol=label_col, featuresCol=features_col,
-    )
-    return lr.fit(train)
+    The bounded sample (``train_cap`` rows of sparse 1024-dim TF
+    vectors, a few hundred MB worst-case, ~MBs on real corpora) is
+    collected ONCE and the L-BFGS iterations run driver-side in numpy —
+    the previous Spark ML LBFGS paid one treeAggregate job per
+    iteration over this same bounded, checkpointed sample (~25 jobs of
+    pure scheduling for a KiB-sized result; guide §1.2). Labeling,
+    feature hashing, and scoring stay distributed."""
+    n_features = None
+    rows = labeled.select(label_col, features_col).limit(train_cap).collect()
+    indptr = [0]
+    indices: list = []
+    values: list = []
+    y = []
+    for r in rows:
+        v = r[1]
+        if n_features is None:
+            n_features = v.size
+        indices.extend(v.indices)
+        values.extend(v.values)
+        indptr.append(len(indices))
+        y.append(r[0])
+    if not rows:
+        return LinearQualityModel([], 0.0)
+    w, b = _fit_logistic_driver(
+        np.asarray(indptr, dtype=np.int64),
+        np.asarray(indices, dtype=np.int64),
+        np.asarray(values, dtype=np.float64),
+        y, n_features, reg_param, max_iter)
+    return LinearQualityModel(w, b)
 
 
 def quality_scores(
@@ -83,15 +209,9 @@ def quality_scores(
 ) -> DataFrame:
     """Score every document -> (id, quality_prob, keep_pred). One
     feature pass + one model.transform; no shuffle at all."""
-    from pyspark.ml.functions import vector_to_array
-
     feats = hashed_features(docs, text_col, n_features)
     out = model.transform(feats)
-    return out.select(
-        id_col,
-        vector_to_array("probability")[1].alias("quality_prob"),
-        F.col("prediction").cast("int").alias("keep_pred"),
-    )
+    return out.select(id_col, "quality_prob", "keep_pred")
 
 
 def quality_model_gate(
@@ -126,7 +246,7 @@ def quality_model_gate(
     agg = pred.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("label").cast("long").alias("n_kept_rules"),
-        F.sum((F.col("prediction") == F.col("label")).cast("int")).alias("__hits"),
+        F.sum((F.col("keep_pred") == F.col("label")).cast("int")).alias("__hits"),
     )
     return agg.select(
         "n_docs",

@@ -162,23 +162,23 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     """
     if portable:
         # Same one-Arrow-pass shape as the fast path below (guide §4.2):
-        # the per-doc distinct string shingles cross the boundary once
-        # and a vectorized-md5 numpy pass (functions/md5np.py — pinned
-        # bit-identical to hashlib/DuckDB md5) computes the full
-        # 64-permutation grid + per-doc minima. The replaced JVM plan
+        # raw text crosses the boundary once; shingle construction
+        # (functions/text.py py_shingle_set — the pinned Python twin of
+        # array_distinct(shingles(...))) AND the vectorized-md5 pass
+        # (functions/md5np.py — pinned bit-identical to hashlib/DuckDB
+        # md5) both run in the same Arrow batch. The replaced JVM plan
         # paid 64 x (md5 + substring + conv) expression evaluations per
         # EXPLODED shingle row plus a 64-min-slot aggregate buffer
-        # update per row — the same pathology the fast path's signature
-        # aggregate had (15s -> 0.54s noop at sf0.1) with md5 string
-        # parsing on top. The md5 hash family itself is the contract
-        # (DuckDB recomputes it) and is unchanged; only where it
-        # executes moves.
+        # update per row (the r13 batch-11 fix), and after that fix
+        # still ~0.7s/corpus pass of interpreted-HOF string-shingle
+        # construction (the r13 "not yet optimized" floor). The md5
+        # hash family itself is the contract (DuckDB recomputes it)
+        # and is unchanged; only where the strings are BUILT moves.
         arrs = ensure_min_parallelism(df).select(
-            F.col(id_col),
-            F.array_distinct(shingles(text_col, shingle_n)).alias("__sa"),
-        )
+            F.col(id_col), F.col(text_col).alias("__txt"))
         id_type = arrs.schema[id_col].dataType.simpleString()
         nh = num_hashes
+        sh_n = shingle_n
 
         def _sig_md5(batches):
             import numpy as np
@@ -186,18 +186,22 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
             from clinpy_spark.functions.md5np import (
                 hex_prefix_value, md5_of_bytes_matrix, strings_to_matrix)
+            from clinpy_spark.functions.text import py_shingle_set
 
-            for pdf in batches:
-                lists = pdf["__sa"]
-                counts = np.fromiter(
-                    (0 if a is None else len(a) for a in lists),
-                    dtype=np.int64, count=len(lists))
-                keep = counts > 0
-                if not keep.any():
-                    continue
-                flat = [s for a in lists[keep] for s in a]
-                data, lengths = strings_to_matrix(flat)
-                starts = np.concatenate(([0], np.cumsum(counts[keep])[:-1]))
+            sfxw = len(f"|{nh - 1}")
+            # Cap the dense (rows x max_len) md5 workspace (ADVICE r13:
+            # a single long unbroken string — a doc with < n tokens
+            # yields its whole text as ONE shingle — would otherwise
+            # inflate max_len for the entire batch): flush doc-aligned
+            # chunks past ~48 MB, so a pathological doc only pays for
+            # its own chunk.
+            budget = 48 << 20
+
+            def run_chunk(ids, encs, counts_list):
+                flat = [b for doc in encs for b in doc]
+                counts = np.asarray(counts_list, dtype=np.int64)
+                data, lengths = strings_to_matrix(flat, encode=False)
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
                 n = len(flat)
                 rows = np.arange(n)
                 # one byte-matrix workspace reused across seeds: seed i
@@ -205,10 +209,9 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                 # length is non-decreasing in i, so stale suffix bytes
                 # are always re-overwritten and the padding region
                 # beyond each row's length stays zero)
-                sfxw = len(f"|{nh - 1}")
                 buf = np.zeros((n, data.shape[1] + sfxw), dtype=np.uint8)
                 buf[:, :data.shape[1]] = data
-                sig = np.empty((int(keep.sum()), nh), dtype=np.int64)
+                sig = np.empty((len(ids), nh), dtype=np.int64)
                 for i in range(nh):
                     sfx = f"|{i}".encode()
                     for j, byte in enumerate(sfx):
@@ -218,10 +221,30 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                     # Spark's MIN over long is signed; hex15 values are
                     # < 2^60 so plain int64 minima match exactly
                     sig[:, i] = np.minimum.reduceat(v, starts)
-                yield pd.DataFrame({
-                    id_col: pdf[id_col][keep],
-                    "minhash": list(sig),
-                })
+                return pd.DataFrame({id_col: ids, "minhash": list(sig)})
+
+            for pdf in batches:
+                ids_c: list = []
+                encs_c: list = []
+                counts_c: list = []
+                rows_c, maxlen_c = 0, 1
+                for did, txt in zip(pdf[id_col], pdf["__txt"]):
+                    if txt is None:
+                        continue  # null text -> dropped (JVM parity)
+                    enc = [s.encode("utf-8")
+                           for s in py_shingle_set(txt, sh_n)]
+                    dmax = max(len(b) for b in enc)
+                    if rows_c and (rows_c + len(enc)) * max(maxlen_c, dmax) > budget:
+                        yield run_chunk(ids_c, encs_c, counts_c)
+                        ids_c, encs_c, counts_c = [], [], []
+                        rows_c, maxlen_c = 0, 1
+                    ids_c.append(did)
+                    encs_c.append(enc)
+                    counts_c.append(len(enc))
+                    rows_c += len(enc)
+                    maxlen_c = max(maxlen_c, dmax)
+                if ids_c:
+                    yield run_chunk(ids_c, encs_c, counts_c)
 
         return arrs.mapInPandas(
             _sig_md5, schema=f"{id_col} {id_type}, minhash array<long>")

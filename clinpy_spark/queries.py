@@ -4157,12 +4157,35 @@ def a16_market_basket_q(spark, sf):
     # corpus squared); item marginals broadcast back. Items are
     # partkey classes so the pair space stays dense enough to score.
     li = _t(spark, sf, "lineitem")
-    b = li.select("l_orderkey", (F.col("l_partkey") % 50).alias("item")).distinct()
-    n_baskets = b.select(F.countDistinct("l_orderkey").alias("nb"))
-    item_n = b.groupBy("item").agg(F.count("*").alias("ni"))
-    a = b.toDF("ok", "item_a")
-    c = b.toDF("ok", "item_b")
-    pairs = (a.join(c, "ok").filter(F.col("item_a") < F.col("item_b"))
+    # ONE groupBy builds each basket's sorted distinct-item array; the
+    # basket-key SELF-JOIN it replaces shuffled the (orderkey, item)
+    # table twice and materialized ~2.4M joined rows at sf0.1 before
+    # the pair aggregate (guide §2.4: the pair expansion is per-basket
+    # map-side work over a <=50-item array, so explode-from-array needs
+    # no join at all and the pair aggregate gets map-side partials).
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set(F.col("l_partkey") % 50))
+             .alias("items"))
+        # three readers (basket count, item marginals, pair explode) —
+        # materialize once; one row per order, array <= 50 items
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    item_n = (baskets.select(F.explode("items").alias("item"))
+              .groupBy("item").agg(F.count("*").alias("ni")))
+    arr = F.col("items")
+    sz = F.size(arr)
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), sz - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, sz),
+            lambda j: F.struct(
+                F.element_at(arr, i).alias("item_a"),
+                F.element_at(arr, j).alias("item_b")))))
+    pairs = (baskets.filter(sz >= 2)
+             .select(F.explode(pair_structs).alias("p"))
+             .select("p.item_a", "p.item_b")
              .groupBy("item_a", "item_b").agg(F.count("*").alias("n_ab"))
              .filter(F.col("n_ab") >= 20))
     ia = item_n.toDF("item_a", "ni_a")
@@ -5245,7 +5268,15 @@ SELECT event_id FROM (
 """)
 def u1_grouped_filter_q(spark, sf):
     # U1: per-group DataFrame->DataFrame user filter via applyInPandas
-    # (junction.py:113-130 grouped-map semantics).
+    # (junction.py:113-130 grouped-map semantics). NOTE (r14, measured):
+    # pre-selecting only the 3 used columns (guide §4.1 — the grouped
+    # map is opaque to pruning, so ts/event_type/props ship through
+    # Arrow for nothing) made this query SLOWER at sf0.1 (2.3 -> 3.2s):
+    # the smaller shuffle made AQE coalesce the grouped-map exchange to
+    # ONE partition, serializing the Python workers that dominate the
+    # query. The prune only pays at real scale where AQE keeps the
+    # partition count; kept unpruned so the bench reflects the
+    # shipping shape.
     ev = _t(spark, sf, "events")
 
     def keep_above_mean(pdf):
@@ -8484,15 +8515,16 @@ a2 AS (SELECT x, t, g_prev, d1, d1x,
          il
        FROM u0 QUALIFY il = 0),
 per_t AS MATERIALIZED (
-  SELECT t, sum(n + g_prev * cw) AS s0,
-         sum(CASE WHEN x = 1 THEN n + g_prev * cw ELSE 0.0 END) AS s1,
+  SELECT t, sum(n + g_prev * cw ORDER BY x) AS s0,
+         sum(CASE WHEN x = 1 THEN n + g_prev * cw ELSE 0.0 END
+             ORDER BY x) AS s1,
          max(d1) AS d, max(d1x) AS dx
   FROM a2 GROUP BY t),
-fin AS (SELECT sum(dx - d * (s1 / s0)) AS u,
+fin AS (SELECT sum(dx - d * (s1 / s0) ORDER BY t) AS u,
                sum(CASE WHEN s0 > 1
                    THEN d * (s0 - d) / (s0 - 1)
                         * (s1 / s0 - (s1 / s0) * (s1 / s0))
-                   ELSE 0.0 END) AS v,
+                   ELSE 0.0 END ORDER BY t) AS v,
                CAST(sum(d) AS BIGINT) AS n_events
         FROM per_t)
 SELECT CASE WHEN v > 0 THEN round(u * u / v, 6) + 0.0 END AS chi2,
@@ -8704,8 +8736,9 @@ a2 AS (SELECT x, t, g_prev, d1, d1x,
          il
        FROM u0 QUALIFY il = 0),
 per_t AS MATERIALIZED (
-  SELECT t, sum(n + g_prev * cw) AS s0,
-         sum(CASE WHEN x = 1 THEN n + g_prev * cw ELSE 0.0 END) AS s1,
+  SELECT t, sum(n + g_prev * cw ORDER BY x) AS s0,
+         sum(CASE WHEN x = 1 THEN n + g_prev * cw ELSE 0.0 END
+             ORDER BY x) AS s1,
          max(d1) AS d, max(d1x) AS dx
   FROM a2 GROUP BY t)"""
 
@@ -8715,9 +8748,9 @@ def _finegray_beta_sql(iterations: int) -> str:
     chained Newton CTEs as surv_cox_beta over the weighted sums
     (s1e = s1 e^b, s0e = (s0 - s1) + s1 e^b — weights are beta-
     invariant, so the grid is built once)."""
-    step = """ (SELECT sum(dx - d * s1e / s0e) AS u,
-        sum(d * (s1e / s0e) * (1 - s1e / s0e)) AS i
-   FROM (SELECT d, dx, s1 * exp((SELECT beta FROM {prev})) AS s1e,
+    step = """ (SELECT sum(dx - d * s1e / s0e ORDER BY t) AS u,
+        sum(d * (s1e / s0e) * (1 - s1e / s0e) ORDER BY t) AS i
+   FROM (SELECT t, d, dx, s1 * exp((SELECT beta FROM {prev})) AS s1e,
                 (s0 - s1) + s1 * exp((SELECT beta FROM {prev})) AS s0e
          FROM per_t))"""
     upd = """ (SELECT CASE WHEN i > 0
@@ -13907,21 +13940,69 @@ def epi_poisson_rate_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # -- r13 window (r12 verdict #2/#3): surv_cox_multi leads (the one
-    # red r12 record, re-emitted under the Cramer+round-5 determinism
-    # fix), then the two other behavior-changed multi fitters, the
-    # three NEW r13 queries (d=3 Cox, Fine-Gray, multinomial), and the
-    # two ADVICE behavior changes; then every rows-only emitter PAIRED
-    # with its ORACLED recall gate in the same window so the driver
-    # artifact is self-certifying (dedup_semdedup's gate is
-    # dedup_embedding_recall, shared with dedup_embedding_cosine);
-    # then the stalest driver records (r2-era TPC-H/agg tail). --
+    # -- r14 window (r13 verdict #1/#10): the two FIXED queries lead
+    # (r13's red hash records, re-emitted under the sorted-reduction +
+    # ordered-oracle determinism fix — bit-exact vs DuckDB unrounded),
+    # then every query whose code path changed this round (driver-side
+    # L-BFGS quality fit; shingles-in-Arrow portable minhash — its
+    # rows-only twin dedup_minhash_lsh PAIRED with the hash-oracled
+    # dedup_minhash_portable gate; driver-side finegray grid; the
+    # take()-guarded binary-covariate Newton family; the market-basket
+    # join removal), then the stalest driver records (r2-era agg/TPC-H
+    # tail, r4/r6-era next) so no record ages past ~2 rounds. --
     "surv_cox_multi",
     "surv_cox_multi3",
+    "surv_finegray_beta",
+    "surv_finegray_score",
+    "curate_quality_model",
+    "dedup_minhash_portable",
+    "text_fuzzy_decontaminate",
+    "dedup_minhash_lsh",
+    "a16_market_basket",
+    "surv_cox_beta",
+    "surv_cox_tv",
+    "surv_ph_check",
+    "surv_cox_strat",
+    "a4_distinct_dedup",
+    "a6_pivot_wide",
+    "a7_ratio_agg",
+    "a9_explode_words",
+    "a12_hash_id",
+    "a8_rollup",
+    "e_time_rollup",
+    "o6_approx_quantiles",
+    "s13_stratified_sample",
+    "s14_profile",
+    "s12_merge_upsert",
+    "a15_hll_sketch",
+    "a8c_cube",
+    "o4_exact_percentiles",
+    "a6b_unpivot",
+    "o3_lag_gaps",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q4_order_priority",
+    "tpch_q13_cust_distribution",
+    "flagship_cohort_revenue",
+    "p_coerce_floor",
+    "j13_overlap_fraction",
+    "j14_point_in_interval",
+    "o7_ntile_ranks",
+    "text_decontaminate",
+    "text_repetition",
+    "sim_range_search",
+    "tpch_q15_top_supplier",
+    "mix_resample_upsample",
+    "curate_gopher_rules",
+    "o2_running_total",
+    "e_tumbling_hour",
+    "e_sliding_window",
+    "text_tokens_bpe",
+    # -- beyond the 50-slot driver window (kept for local gate ordering) --
     "dx_logistic_multi",
     "dx_poisson_multi",
-    "surv_finegray_score",
-    "surv_finegray_beta",
     "surv_rmst_diff",
     "dx_multinomial",
     "dx_ordinal",
@@ -13935,7 +14016,6 @@ _PRIORITY: list[str] = [
     "dx_somers_d",
     "curate_gains_curve",
     "epi_direct_std",
-    "surv_cox_tv",
     "text_kneser_ney",
     "dx_conditional_logit",
     "q_l_diversity",
@@ -13945,8 +14025,6 @@ _PRIORITY: list[str] = [
     "epi_effect_measures",
     "surv_aalen_excess",
     "epi_poisson_rate",
-    "dedup_minhash_lsh",
-    "dedup_minhash_portable",
     "dedup_embedding_cosine",
     "dedup_embedding_recall",
     "dedup_semdedup",
@@ -13966,45 +14044,8 @@ _PRIORITY: list[str] = [
     "a11_union_tagged",
     "a11b_intersect",
     "a11c_except",
-    # -- beyond the 50-slot driver window (kept for local gate ordering) --
-    "a12_hash_id",
-    "a15_hll_sketch",
-    "a4_distinct_dedup",
-    "a6_pivot_wide",
-    "a6b_unpivot",
-    "a7_ratio_agg",
-    "a8_rollup",
-    "a8c_cube",
-    "a9_explode_words",
-    "e_time_rollup",
-    "o3_lag_gaps",
-    "o4_exact_percentiles",
-    "o6_approx_quantiles",
-    "s12_merge_upsert",
-    "s13_stratified_sample",
-    "s14_profile",
-    "tpch_q13_cust_distribution",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
-    "curate_gopher_rules",
-    "flagship_cohort_revenue",
-    "j13_overlap_fraction",
-    "j14_point_in_interval",
-    "mix_resample_upsample",
-    "o7_ntile_ranks",
-    "p_coerce_floor",
-    "sim_range_search",
-    "text_decontaminate",
-    "text_repetition",
-    "tpch_q15_top_supplier",
     "a2b_two_phase_distinct",
-    "e_sliding_window",
-    "e_tumbling_hour",
     "mix_by_lang",
-    "o2_running_total",
     "s15_histogram",
     "sample_exact_n",
     "skew_salted_join",
@@ -14015,7 +14056,6 @@ _PRIORITY: list[str] = [
     "text_quality",
     "text_redact",
     "text_stats",
-    "text_tokens_bpe",
     "text_vocab_topk",
     "tpch_q14_promo",
     "tpch_q17_small_qty",

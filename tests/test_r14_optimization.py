@@ -125,6 +125,37 @@ def test_cox_multi_reduction_order_partition_invariant(spark):
             assert vals == base, parts
 
 
+def test_py_shingle_set_matches_jvm_shingles(spark):
+    # the portable minhash signature now builds shingles inside its
+    # Arrow pass; the Python twin must match array_distinct(shingles())
+    # exactly — any string diff silently changes the md5 signature
+    from clinpy_spark.functions.text import py_shingle_set, shingles
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        " ",
+        "one two",
+        "one",
+        "  leading and trailing  ",
+        "\tleading tab",
+        "internal\ttab and\nnewline and\x0bvtab and\fform and\rcr",
+        "Mixed CASE Tokens HERE and MORE of THEM",
+        "repeat repeat repeat repeat repeat repeat",
+        "unicode café ÉCLAIR straße tokens here",
+        "double  space   collapse    everywhere here now",
+        "a b c d e f g h i j",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    for n in (2, 3, 5):
+        jvm = {r["i"]: set(r["sh"]) for r in df.select(
+            "i", F.array_distinct(shingles("text", n)).alias("sh")
+        ).collect()}
+        for i, t in enumerate(texts):
+            assert py_shingle_set(t, n) == jvm[i], (n, i, t)
+
+
 def test_newton_divergence_emits_null_not_overflow(spark):
     # a grid whose first Newton step is ~1e12 pushes exp(beta) past the
     # float range on step 2: the old distributed plan propagated
