@@ -1979,7 +1979,12 @@ def dedup_cluster_components_q(spark, sf):
     # verified end-to-end, not just unit-tested.
     from clinpy_spark.operators.dedup import near_dup_clusters
 
-    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    # limit(200) is a no-op on results (vec_ids are unique, so the
+    # filter already yields <= 200 rows) but makes the slice's
+    # boundedness PLAN-PROVABLE: the r14 barrier-capturing audit sees
+    # the brute-force pair join under the pointer-jumping checkpoints,
+    # and its strict shape gate accepts Limit-bounded sides only.
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200).limit(200)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = (

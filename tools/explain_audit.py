@@ -253,6 +253,17 @@ EXPECTED_UNBOUNDED = {
     "gx_prs_auc",  # the CONSTANT 200-row broadcast variant-range grid
                    # expansion (gx_prs shape); the AUC rank grid is a
                    # score-keyed window
+    # -- r14: shapes newly VISIBLE under localCheckpoint barriers (the
+    # barrier-capturing audit now sees pre-barrier child plans) --
+    "dedup_cluster_components",  # brute-force cosine pair emitter over
+                                 # the LIMIT-bounded <200-id slice — the
+                                 # declared verification-shaped input
+                                 # (oracle rebuilds the same graph);
+                                 # both legs Limit-proven constant-row
+    "gx_haplotype_em",  # each EM step crossJoins the bounded haplotype
+                        # grid vs the 1-row count/frequency aggregate
+                        # (dx_negbin's scalar-recurrence shape), under
+                        # the per-step checkpoint barrier
 }
 
 
